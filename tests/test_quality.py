@@ -1,0 +1,114 @@
+"""Quality-filter tests — one pin per FilterReason (FIXTURES.md §A4) plus
+DuckDB-oracle parity of the full cascade on the documents table."""
+
+from __future__ import annotations
+
+from llm_training_data_pipeline_spark.operators.quality import (
+    QualityConfig,
+    with_quality,
+)
+
+GOOD = (
+    "The development of reliable software systems requires careful attention to design "
+    "principles and testing practices. Engineers should consider maintainability and "
+    "clarity when writing their programs. Documentation helps future readers understand "
+    "the reasoning behind decisions, and code review improves overall quality across teams. "
+    "Thoughtful naming makes intent obvious to everyone involved in the project today."
+)
+
+
+def _check(spark, text: str, cfg: QualityConfig = QualityConfig()) -> tuple[bool, str]:
+    df = spark.createDataFrame([(text,)], "text string")
+    row = with_quality(df, "text", cfg).select("passed", "reason").collect()[0]
+    return row["passed"], row["reason"]
+
+
+def test_good_text_passes(spark):
+    assert _check(spark, GOOD) == (True, "passed")
+
+
+def test_too_short(spark):
+    assert _check(spark, "Hello world.") == (False, "too_short")
+
+
+def test_too_long(spark):
+    passed, reason = _check(spark, "word " * 100, QualityConfig(min_words=1, max_words=10))
+    assert (passed, reason) == (False, "too_long")
+
+
+def test_low_alpha_ratio_precedes_digit(spark):
+    # digits-heavy text fails alpha first (reference precedence,
+    # quality_filter.py:203-207)
+    text = " ".join(["12345 678"] * 40) + " abc def"
+    assert _check(spark, text, QualityConfig(min_words=10)) == (False, "low_alpha_ratio")
+
+
+def test_high_symbol_ratio(spark):
+    words = ["ab@#$%"] * 60
+    text = " ".join(words)
+    passed, reason = _check(spark, text, QualityConfig(min_words=10, min_alpha_ratio=0.3))
+    assert (passed, reason) == (False, "high_symbol_ratio")
+
+
+def test_short_avg_word(spark):
+    text = " ".join(["a b c d e"] * 20)
+    assert _check(spark, text, QualityConfig(min_words=10)) == (False, "short_avg_word_length")
+
+
+def test_long_avg_word(spark):
+    text = " ".join(["pneumonoultramicroscopics"] * 60)
+    assert _check(spark, text, QualityConfig(min_words=10)) == (False, "long_avg_word_length")
+
+
+def test_high_repetition(spark):
+    text = "This is repeated content here.\n" * 20
+    assert _check(spark, text, QualityConfig(min_words=10)) == (False, "high_repetition")
+
+
+def test_bullet_list(spark):
+    text = "• Item number one in this list\n" * 25
+    passed, reason = _check(
+        spark, text, QualityConfig(min_words=10, max_repetition_ratio=1.1)
+    )
+    assert (passed, reason) == (False, "mostly_bullet_list")
+
+
+def test_boilerplate(spark):
+    filler = (
+        "This page describes various interesting things about software and machines. "
+    ) * 4
+    text = (
+        filler
+        + "Copyright 2024 Example Corp. All rights reserved. Review our terms of service "
+        + "and privacy policy along with the cookie policy before you continue reading."
+    )
+    assert _check(spark, text, QualityConfig(min_words=10)) == (False, "boilerplate_content")
+
+
+def test_wrong_language_via_lang_col(spark):
+    cfg = QualityConfig(min_words=2, allowed_languages=("en",))
+    df = spark.createDataFrame(
+        [("bonjour le monde entier aujourd'hui mes amis", "fr"),
+         ("hello wide world today my friends", "en")],
+        "text string, lang string",
+    )
+    rows = {r["lang"]: (r["passed"], r["reason"])
+            for r in with_quality(df, "text", cfg, lang_col="lang")
+            .select("lang", "passed", "reason").collect()}
+    assert rows["fr"] == (False, "wrong_language")
+    assert rows["en"] == (True, "passed")
+
+
+def test_cascade_matches_oracle_on_documents(spark, ddb):
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = QualityConfig(min_words=20)
+    out = with_quality(docs, "text", cfg).select(
+        "doc_id", "word_count", "avg_word_length", "alpha_ratio", "digit_ratio",
+        "symbol_ratio", "repetition_ratio", "bullet_ratio", "boilerplate_matches",
+        "reason", "passed",
+    )
+    from llm_training_data_pipeline_spark.plans.oracle import quality_oracle_sql
+
+    assert_df_matches_oracle(out, ddb, quality_oracle_sql(min_words=20))
