@@ -1,0 +1,115 @@
+"""Hash-family Column helpers: MinHash signatures, SimHash, band keys.
+
+All native ``pyspark.sql.functions`` expressions — the MinHash permutation
+family is the classic ``(a*h + b) mod p`` universal hashing scheme evaluated
+with higher-order array functions, so signatures are computed in the JVM with
+no Python and no shuffle. ANSI-overflow-safe: shingle hashes are folded to
+32 bits so ``a*h + b`` stays below 2^63.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+_HASH_FOLD = 1 << 32
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = random.Random(seed)
+    a = [rng.randrange(1, 1 << 31) for _ in range(num_perm)]
+    b = [rng.randrange(0, 1 << 31) for _ in range(num_perm)]
+    return a, b
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 128, seed: int = 42
+) -> Column:
+    """ARRAY<BIGINT> MinHash signature of an ARRAY<STRING> shingle set.
+
+    Semantics of /root/reference/src/processing/deduplicator.py:132-148
+    (datasketch MinHash, 128 permutations) re-expressed as pure Spark
+    expressions: h32 = xxhash64(shingle) folded to 32 bits, then
+    sig[i] = min over shingles of (a_i * h32 + b_i) mod 2^61-1.
+    Hash values differ from datasketch (different family); the *set-level*
+    property (Jaccard-similar sets collide) is what tests pin.
+    """
+    a, b = _perm_params(num_perm, seed)
+    a_lit = F.array(*[F.lit(x) for x in a])
+    b_lit = F.array(*[F.lit(x) for x in b])
+    h32 = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_FOLD))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                h32,
+                lambda h: F.pmod(
+                    F.element_at(a_lit, i + 1) * h + F.element_at(b_lit, i + 1),
+                    F.lit(MERSENNE_61),
+                ),
+            )
+        ),
+    )
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of equal MinHash positions, as DOUBLE."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.size(sig_a).cast(
+        "double"
+    )
+
+
+def lsh_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """ARRAY<STRUCT<band_id INT, band_sig ARRAY<BIGINT>>> — explode + hash to
+    get LSH bucket keys; docs sharing any band bucket are candidates."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("band_id"),
+            F.slice(sig, j * rows_per_band + 1, rows_per_band).alias("band_sig"),
+        ),
+    )
+
+
+def simhash64(tokens: Column, seed: int = 42) -> Column:
+    """64-bit SimHash of an ARRAY<STRING> token column, as BIGINT.
+
+    Classic Charikar scheme: per bit position, sum +1/-1 over token hashes,
+    sign of the sum sets the bit. Pure higher-order expressions: O(64 * n)
+    JVM ops per row, no Python.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t, F.lit(seed)))
+    # bit b contribution: +1 if hash bit set else -1; bit set iff sum > 0
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(F.call_function("shiftright", h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # assemble via bitwise OR of bit_b << b (no arithmetic overflow possible)
+    indexed = F.zip_with(
+        bits,
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda bit, pos: F.call_function("shiftleft", bit, pos.cast("int")),
+    )
+    return F.aggregate(
+        indexed, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v)
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two BIGINT bit-patterns."""
+    return F.bit_count(a.bitwiseXOR(b))

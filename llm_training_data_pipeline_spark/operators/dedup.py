@@ -1,0 +1,333 @@
+"""Deduplication operators (SURVEY.md §2.3, D1-D9 + engine extensions).
+
+Reference semantics: /root/reference/src/processing/deduplicator.py. The
+reference is an order-dependent in-memory index (first-seen wins,
+deduplicator.py:150-180); a distributed dataflow has no insertion order, so
+every variant here uses the deterministic **min-id winner**: a document is
+dropped iff it matches some document with a smaller id. This is pinned in
+tests and documented as the one deliberate semantic deviation.
+
+Variants:
+- ``exact_dedup``            D8: md5 of normalized text, windowed first-wins
+- ``minhash_dedup``          D1-D5: shingle → native MinHash → LSH band join
+- ``simhash_dedup``          engine extension: 64-bit SimHash + hamming bands
+- ``ngram_jaccard_pairs``    blocked exact n-gram Jaccard similarity join
+- ``embedding_near_dup``     cosine-similarity near-dup over embeddings
+
+Scale notes (100 TB): every join here keys on a hash/bucket column — a plain
+shuffle join that AQE can skew-split. The LSH band join explodes ``b`` rows
+per doc (b ≈ 8-32), so shuffle volume is O(b·n·r); candidate pairs are
+verified with signature-estimated Jaccard before any doc is dropped, and the
+final keep-side is a broadcast-able anti-join on the (small) drop-list.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.functions.hashing import (
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    signature_jaccard,
+    simhash64,
+)
+from llm_training_data_pipeline_spark.functions.text import char_shingles, strip_ws, whitespace_tokens
+from llm_training_data_pipeline_spark.functions.vectors import cosine_similarity
+
+
+# --- D8: exact hash dedup -------------------------------------------------
+
+
+def exact_hash(text: Column) -> Column:
+    """md5 of ``text.strip().lower()`` (deduplicator.py:299-304)."""
+    return F.md5(F.encode(F.lower(strip_ws(text)), "UTF-8"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest-id row per normalized-text hash (first-wins).
+
+    One shuffle on the digest; ``row_number`` beats ``dropDuplicates`` here
+    because the winner must be *deterministic* (min id), not arbitrary.
+    """
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", exact_hash(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """DeduplicationResult aggregate (deduplicator.py:29-43): totals +
+    cluster count, computed map-side-combinable (no window needed)."""
+    h = exact_hash(F.col(text_col))
+    per_hash = df.groupBy(h.alias("_h")).agg(F.count(F.lit(1)).alias("n"))
+    return per_hash.agg(
+        F.sum("n").cast("long").alias("total_documents"),
+        F.count(F.lit(1)).cast("long").alias("unique_documents"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("duplicate_documents"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("duplicate_clusters"),
+    )
+
+
+def semi_join_keep(df: DataFrame, keep_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """D9 glue: keep original rows whose id survived dedup (main.py:250-256).
+
+    ``left_semi`` lets Spark broadcast the id-list side when small.
+    """
+    return df.join(keep_ids.select(id_col), on=id_col, how="left_semi")
+
+
+# --- D1-D5: MinHash LSH dedup --------------------------------------------
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """Mirrors MinHashDeduplicator knobs (deduplicator.py:59-91)."""
+
+    num_perm: int = 128
+    threshold: float = 0.8
+    shingle_size: int = 5
+    num_bands: int = 16  # bands * rows_per_band == num_perm
+
+    @property
+    def rows_per_band(self) -> int:
+        assert self.num_perm % self.num_bands == 0
+        return self.num_perm // self.num_bands
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    cfg: MinHashConfig = MinHashConfig(),
+    *,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """D1+D2: shingle and sign each document (no shuffle — pure map)."""
+    shingles = char_shingles(F.col(text_col), cfg.shingle_size)
+    return df.withColumn(sig_col, minhash_signature(shingles, cfg.num_perm))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """D4 candidate generation: LSH band self-join → (id_a < id_b) pairs with
+    signature-estimated Jaccard. One shuffle keyed on the band-bucket hash.
+    """
+    sig = with_minhash(df, text_col, cfg).select(id_col, "minhash_sig")
+    banded = (
+        sig.withColumn("band", F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)))
+        .select(
+            F.col(id_col),
+            F.col("minhash_sig"),
+            F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
+        )
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(right, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            signature_jaccard(F.col("a.minhash_sig"), F.col("b.minhash_sig")).alias(
+                "est_jaccard"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("est_jaccard") >= cfg.threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """D5: drop every doc that near-matches a smaller-id doc (min-id wins)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """DeduplicationResult for the MinHash variant (D5/D7)."""
+    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg).cache()
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    total = df.count()
+    dup = losers.count()
+    # clusters ≈ distinct "winner" docs that defeated someone and are not
+    # themselves losers (min-id cluster representative)
+    winners = (
+        pairs.join(losers.withColumnRenamed(id_col, "id_a"), on="id_a", how="left_anti")
+        .select("id_a")
+        .distinct()
+        .count()
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(total, total - dup, dup, winners)],
+        "total_documents long, unique_documents long, duplicate_documents long, duplicate_clusters long",
+    )
+
+
+# --- SimHash dedup (engine extension; reference declares but never
+# implements `deduplication.algorithm: simhash`, pipeline_config.yaml:34) ---
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", *, out_col: str = "simhash") -> DataFrame:
+    tokens = whitespace_tokens(F.lower(F.col(text_col)))
+    return df.withColumn(out_col, simhash64(tokens))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``num_bands`` chunks (any equal chunk → candidate, guaranteed complete
+    for hamming <= num_bands-1), verify exact hamming distance."""
+    bits_per = 64 // num_bands
+    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    mask = (1 << bits_per) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftrightunsigned("simhash", i * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band")])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    losers = (
+        simhash_near_dup_pairs(df, text_col, id_col, max_hamming)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --- blocked exact n-gram Jaccard (SQL-expressible correctness anchor) ----
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Distinct word n-grams (space-joined) of lowercased text."""
+    toks = whitespace_tokens(F.lower(col))
+    ln = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(ln < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    n: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs within blocks (equi-join on
+    ``block_col`` bounds the pair explosion — the classic blocked similarity
+    join). Fully SQL-expressible → DuckDB oracle checks values exactly.
+    """
+    g = df.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
+    union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col("_blk").alias(block_col),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs, blocked on ``block_col`` when given (else full
+    cross product — only for small inputs). Vectors are cast to DOUBLE before
+    arithmetic so results are bit-stable across engines."""
+    vecs = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else None
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    cos = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    out_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cos, 6).alias("cosine"),
+    ]
+    if block_col:
+        out_cols.insert(0, F.col(f"a.{block_col}").alias(block_col))
+    return (
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(*out_cols)
+        .filter(F.col("cosine") >= threshold)
+    )

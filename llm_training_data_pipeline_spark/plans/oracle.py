@@ -173,3 +173,84 @@ def quality_histogram_sql(min_words: int = 50, **kw) -> str:
         FROM ratios
         GROUP BY 1
     """
+
+
+# --- dedup oracles --------------------------------------------------------
+
+
+def exact_dedup_sql() -> str:
+    """D8: min-id winner per md5(lower(strip(text))) digest."""
+    return f"""
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """
+
+
+def exact_dedup_stats_sql() -> str:
+    return f"""
+        WITH per_hash AS (
+          SELECT md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g'))) AS h,
+                 count(*) AS n
+          FROM documents GROUP BY 1
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS total_documents,
+               CAST(count(*) AS BIGINT) AS unique_documents,
+               CAST(sum(n) - count(*) AS BIGINT) AS duplicate_documents,
+               CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_clusters
+        FROM per_hash
+    """
+
+
+def _word_ngrams_sql(text_expr: str, n: int) -> str:
+    toks = (
+        f"CASE WHEN regexp_replace(lower({text_expr}), '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(lower({text_expr}), '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    return f"""
+        CASE WHEN len({toks}) < {n}
+             THEN [array_to_string({toks}, ' ')]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len({toks}) - {n} + 1),
+                    i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))
+        END
+    """
+
+
+def ngram_jaccard_sql(n: int = 2, threshold: float = 0.6, block_col: str = "source") -> str:
+    return f"""
+        WITH g AS (
+          SELECT doc_id, {block_col} AS blk,
+                 {_word_ngrams_sql('text', n)} AS grams
+          FROM documents
+        )
+        SELECT a.blk AS {block_col}, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}
+    """
+
+
+def embedding_near_dup_sql(threshold: float = 0.95, block_col: str = "label") -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, {block_col},
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        )
+        SELECT a.{block_col} AS {block_col}, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                     ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                            p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) AS cosine
+        FROM v a JOIN v b ON a.{block_col} = b.{block_col} AND a.vec_id < b.vec_id
+        WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                           p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) >= {threshold}
+    """

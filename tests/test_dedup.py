@@ -1,0 +1,119 @@
+"""Dedup tests — reference pins (FIXTURES.md §A3) + oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators.dedup import (
+    MinHashConfig,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    semi_join_keep,
+    simhash_dedup,
+    simhash_near_dup_pairs,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog."),
+    (2, "The quick brown fox jumps over the lazy dog."),
+    (4, "Python is a great programming language."),
+    (6, "Machine learning is transforming technology."),
+]
+
+
+def _df(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_4_to_3(spark):
+    """Pinned reference assertion: batch {1,2,4,6} → 3 unique
+    (/root/reference/tests/test_pipeline.py:89-104)."""
+    out = exact_dedup(_df(spark)).select("doc_id").collect()
+    ids = sorted(r[0] for r in out)
+    assert ids == [1, 4, 6]  # min-id winner: 1 beats 2
+
+
+def test_exact_dedup_case_insensitive(spark):
+    """'Hello world' vs 'Hello World' collide (deduplicator.py:299-304)."""
+    df = _df(spark, [(1, "Hello world"), (2, "Hello World")])
+    assert [r[0] for r in exact_dedup(df).select("doc_id").collect()] == [1]
+
+
+def test_exact_dedup_stats(spark):
+    row = exact_dedup_stats(_df(spark)).collect()[0]
+    assert row["total_documents"] == 4
+    assert row["unique_documents"] == 3
+    assert row["duplicate_documents"] == 1
+    assert row["duplicate_clusters"] == 1
+
+
+def test_semi_join_keep(spark):
+    df = _df(spark)
+    keep = exact_dedup(df).select("doc_id")
+    out = semi_join_keep(df, keep)
+    assert out.count() == 3
+
+
+def test_minhash_exact_dup_always_caught(spark):
+    out = minhash_dedup(_df(spark))
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [1, 4, 6]
+
+
+def test_minhash_near_dup_low_threshold(spark):
+    rows = DOCS + [
+        (3, "The quick brown fox leaps over the lazy dog."),
+        (5, "Python is an excellent programming language."),
+        (7, "Completely unrelated sentence about astronomy and galaxies far away."),
+    ]
+    cfg = MinHashConfig(num_perm=128, threshold=0.5, shingle_size=3, num_bands=32)
+    pairs = minhash_candidate_pairs(_df(spark, rows), cfg=cfg)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup
+    assert (1, 3) in got  # near dup at permissive threshold
+    assert all(7 not in p for p in got)  # unrelated never matches
+
+
+def test_minhash_far_docs_not_matched(spark):
+    cfg = MinHashConfig(num_perm=64, threshold=0.8, shingle_size=5, num_bands=16)
+    pairs = minhash_candidate_pairs(_df(spark), cfg=cfg).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2)}
+
+
+def test_simhash_exact_and_near(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "the quick brown fox jumps over the lazy cat today"),
+        (9, "totally different words about spacecraft navigation systems engineering"),
+    ]
+    pairs = simhash_near_dup_pairs(_df(spark, rows), max_hamming=12)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and got[(1, 3)] <= 12
+    out = simhash_dedup(_df(spark, rows), max_hamming=12)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 9]
+
+
+def test_ngram_jaccard_matches_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from llm_training_data_pipeline_spark.plans.oracle import ngram_jaccard_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, n=2, threshold=0.3)
+    assert_df_matches_oracle(out, ddb, ngram_jaccard_sql(n=2, threshold=0.3))
+
+
+def test_embedding_near_dup_matches_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from llm_training_data_pipeline_spark.plans.oracle import embedding_near_dup_sql
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, threshold=0.8)
+    assert_df_matches_oracle(out, ddb, embedding_near_dup_sql(threshold=0.8))
