@@ -1,0 +1,159 @@
+"""Text-analysis operators (engine extensions for LLM data pipelines).
+
+These go beyond the reference's surface (BASELINE.json north star): language
+identification, token counting, quality scoring, and document fingerprinting
+— all as native column expressions so they run at 100 TB as plain codegen'd
+scans (no Python, no shuffle).
+
+The reference's language check (Q9) wraps ``langdetect``
+(/root/reference/src/processing/quality_filter.py:243-252); that library is
+not available here, so ``lang_id`` is a deterministic stopword/char-class
+profile heuristic over {en, fr, es, de, zh} — same API position, documented
+substitution, testable and SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.functions.text import (
+    char_shingles,
+    strip_ws,
+    word_count,
+)
+
+# Stopword profiles. \b word boundaries work in Java regex and RE2 alike.
+LANG_PROFILES: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|was|that|it|for|with|are|this|have)\b",
+    "fr": r"\b(le|la|les|des|du|et|est|une|dans|que|pour|avec|sur|pas)\b",
+    "es": r"\b(el|los|las|del|y|es|una|en|que|por|para|con|su|como)\b",
+    "de": r"\b(der|die|das|und|ist|ein|eine|nicht|mit|von|zu|den|auf|für)\b",
+}
+# Han-script detection: Java spells it \p{IsHan}, RE2 spells it \p{Han}.
+HAN_CLASS_SPARK = r"\p{IsHan}"
+HAN_CLASS_DUCKDB = r"\p{Han}"
+
+# GPT-2-ish pre-tokenizer, simplified to the Java∩RE2 regex subset
+# (no lookahead): contractions | space?letters | space?digits | space?other.
+BPE_ISH_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language evidence scores (stopword hits per word; Han-char ratio)."""
+    lowered = F.lower(text)
+    n_words = word_count(text)
+    safe_words = F.when(n_words > 0, n_words.cast("double"))
+    scores: dict[str, Column] = {
+        lang: (F.regexp_count(lowered, F.lit(pat)).cast("double") / safe_words)
+        for lang, pat in LANG_PROFILES.items()
+    }
+    n_chars = F.length(text)
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    scores["zh"] = (
+        F.length(F.regexp_replace(text, f"[^{HAN_CLASS_SPARK}]", "")).cast("double")
+        / safe_chars
+    )
+    return scores
+
+
+def lang_id(text: Column, min_score: float = 0.01) -> Column:
+    """Argmax language label, 'unknown' when no profile scores ≥ min_score.
+
+    zh wins on any meaningful Han-character presence (character evidence is
+    stronger than stopword evidence); otherwise the highest stopword rate
+    wins with a deterministic tie order en > fr > es > de.
+    """
+    s = lang_scores(text)
+    best = F.greatest(*[s[lang] for lang in LANG_PROFILES])
+    cascade = F.when(s["zh"] >= F.lit(0.05), "zh")
+    for lang in ("en", "fr", "es", "de"):  # tie → earlier wins
+        cascade = cascade.when(
+            (best >= F.lit(min_score)) & (s[lang] == best), lang
+        )
+    return cascade.otherwise("unknown")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detected_lang") -> DataFrame:
+    return df.withColumn(out_col, lang_id(F.col(text_col)))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return word_count(text)
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Count of GPT-2-ish pre-tokenizer matches (BIGINT) — a fast, trainless
+    proxy for 'how many BPE tokens would this be'."""
+    return F.regexp_count(text, F.lit(BPE_ISH_TOKEN_REGEX)).cast("long")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumn("n_tokens_ws", token_count_ws(t)).withColumn(
+        "n_tokens_bpe_ish", token_count_bpe_ish(t)
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 (not xxhash64) so the DuckDB oracle can reproduce it bit-for-bit.
+    """
+    norm = F.regexp_replace(F.lower(strip_ws(text)), r"\s+", " ")
+    return F.md5(F.encode(norm, "UTF-8"))
+
+
+def shingle_sketch(text: Column, n: int = 5, k: int = 8) -> Column:
+    """Bottom-k sketch of the char-shingle set: the k lexicographically
+    smallest md5(shingle) digests (ARRAY<STRING>).
+
+    A winnowing-style robust fingerprint: two near-duplicate documents share
+    most of their bottom-k digests. Pure array expressions; SQL-expressible.
+    """
+    digests = F.transform(char_shingles(text, n), lambda s: F.md5(F.encode(s, "UTF-8")))
+    return F.slice(F.array_sort(digests), 1, k)
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumn("fingerprint", doc_fingerprint(t)).withColumn(
+        "sketch", shingle_sketch(t)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-1 quality score: blend of alpha ratio, stopword rate,
+    length saturation, and repetition penalty. Native expressions only."""
+    from llm_training_data_pipeline_spark.functions.text import (
+        alpha_count,
+        nonspace_count,
+    )
+
+    n_alpha = alpha_count(text)
+    n_nonspace = nonspace_count(text)
+    alpha_ratio = F.when(n_nonspace > 0, n_alpha / n_nonspace.cast("double")).otherwise(0.0)
+    n_words = word_count(text)
+    stop_rate = F.when(
+        n_words > 0,
+        F.regexp_count(F.lower(text), F.lit(LANG_PROFILES["en"])).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(0.0)
+    length_sat = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    distinct_rate = F.when(
+        n_words > 0,
+        F.size(F.array_distinct(F.split(F.lower(strip_ws(text)), r"\s+"))).cast("double")
+        / n_words.cast("double"),
+    ).otherwise(0.0)
+    score = (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.2) * F.least(stop_rate * 2, F.lit(1.0))
+        + F.lit(0.2) * length_sat
+        + F.lit(0.2) * distinct_rate
+    )
+    return F.round(score, 6)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("quality_score", quality_score(F.col(text_col)))

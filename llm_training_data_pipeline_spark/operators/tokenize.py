@@ -1,0 +1,261 @@
+"""Tokenization operators (SURVEY.md §2.5, T1-T6).
+
+Reference semantics: /root/reference/src/processing/tokenizer.py — train a
+subword tokenizer (BPE default) over the corpus, then encode every document
+to ARRAY<INT>. The reference wraps HuggingFace ``tokenizers`` (not available
+in this container), so the trainer here is a from-scratch pure-Python BPE —
+same algorithm family, deterministic, save/load-able.
+
+Scale design (the part that matters at 100 TB):
+- Training input is NOT the corpus — it is the **word-frequency table**,
+  computed in Spark (split → explode → groupBy → sum). 100 TB of text
+  collapses to a few million (word, count) rows; merge learning happens on
+  the driver over that dict, exactly how BPE trainers work internally.
+  This mirrors the reference's one deliberate global step
+  (tokenizer.py:135-155) but distributes the expensive pass.
+- Encoding is embarrassingly parallel: the trained tokenizer is broadcast
+  and applied with an Arrow-batched pandas UDF (tokenizer.py:179-202's
+  ``encode_batch`` ≙ one UDF batch), with an LRU word cache per executor.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+from llm_training_data_pipeline_spark.functions.text import whitespace_tokens
+
+SPECIAL_TOKENS = ["<pad>", "<unk>", "<bos>", "<eos>"]  # tokenizer.py:68
+END_OF_WORD = "</w>"
+
+
+@dataclass
+class BpeTokenizer:
+    """A trained BPE model: vocab (symbol→id) + ordered merge rules.
+
+    Equivalent role to the reference's HF tokenizer object (T1/T5);
+    deterministic given the same word counts.
+    """
+
+    vocab: dict[str, int]
+    merges: list[tuple[str, str]]
+    special_tokens: list[str] = field(default_factory=lambda: list(SPECIAL_TOKENS))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def unk_id(self) -> int:
+        return self.vocab[self.special_tokens[1]]
+
+    def _ranks(self) -> dict[tuple[str, str], int]:
+        return {pair: i for i, pair in enumerate(self.merges)}
+
+    def encode_word(self, word: str, ranks: dict[tuple[str, str], int]) -> list[int]:
+        symbols = list(word) + [END_OF_WORD]
+        while len(symbols) > 1:
+            best, best_rank = None, None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            symbols[best : best + 2] = [symbols[best] + symbols[best + 1]]
+        unk = self.unk_id
+        return [self.vocab.get(s, unk) for s in symbols]
+
+    def encode(self, text: str, _cache: dict | None = None) -> list[int]:
+        """T3: whitespace pre-tokenize, BPE-merge each word."""
+        ranks = self._ranks()
+        cache = _cache if _cache is not None else {}
+        out: list[int] = []
+        for w in text.split():
+            ids = cache.get(w)
+            if ids is None:
+                ids = self.encode_word(w, ranks)
+                if len(cache) < 200_000:
+                    cache[w] = ids
+            out.extend(ids)
+        return out
+
+    def decode(self, ids: list[int]) -> str:
+        """T4: inverse map; ``</w>`` marks word boundaries."""
+        inv = {i: s for s, i in self.vocab.items()}
+        specials = set(self.special_tokens)
+        pieces = [inv.get(i, self.special_tokens[1]) for i in ids]
+        text = "".join(p for p in pieces if p not in specials)
+        return text.replace(END_OF_WORD, " ").strip()
+
+    # T1 save/load (tokenizer.py:157-177)
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "vocab": self.vocab,
+                    "merges": [list(m) for m in self.merges],
+                    "special_tokens": self.special_tokens,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BpeTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            vocab=d["vocab"],
+            merges=[tuple(m) for m in d["merges"]],
+            special_tokens=d["special_tokens"],
+        )
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The distributed pass: corpus → (word, count). One shuffle, map-side
+    combined; output is tiny relative to the corpus."""
+    return (
+        df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_bpe_from_word_counts(
+    wc: list[tuple[str, int]],
+    vocab_size: int = 32_000,
+    min_frequency: int = 2,
+    special_tokens: list[str] | None = None,
+) -> BpeTokenizer:
+    """T2: classic BPE merge learning over a word-frequency dict.
+
+    Deterministic: ties in pair frequency break lexicographically.
+    """
+    special_tokens = list(special_tokens or SPECIAL_TOKENS)
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in wc:
+        if w:
+            words[tuple(w) + (END_OF_WORD,)] = words.get(tuple(w) + (END_OF_WORD,), 0) + c
+
+    alphabet = sorted({s for word in words for s in word})
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        vocab[tok] = len(vocab)
+    for s in alphabet:
+        vocab[s] = len(vocab)
+
+    merges: list[tuple[str, str]] = []
+    while len(vocab) < vocab_size:
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in words.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_frequency:
+            break
+        merges.append((a, b))
+        vocab[a + b] = len(vocab)
+        new_words: dict[tuple[str, ...], int] = {}
+        for word, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    return BpeTokenizer(vocab=vocab, merges=merges, special_tokens=special_tokens)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 32_000,
+    min_frequency: int = 2,
+    max_words: int = 2_000_000,
+) -> BpeTokenizer:
+    """Distributed word counting + driver-side merge learning (T2).
+
+    ``max_words`` caps the driver collect to the most frequent words — the
+    long tail below min_frequency cannot affect merges anyway.
+    """
+    wc_df = word_counts(df, text_col).orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
+    wc = [(r["word"], r["cnt"]) for r in wc_df.collect()]
+    return train_bpe_from_word_counts(wc, vocab_size, min_frequency)
+
+
+def encode_udf(spark: SparkSession, tokenizer: BpeTokenizer):
+    """Broadcast the model once; per-executor word cache amortizes merges."""
+    bc = spark.sparkContext.broadcast(
+        {"vocab": tokenizer.vocab, "merges": tokenizer.merges, "special": tokenizer.special_tokens}
+    )
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        d = bc.value
+        tok = BpeTokenizer(d["vocab"], [tuple(m) for m in d["merges"]], d["special"])
+        cache: dict = {}
+        ranks = tok._ranks()
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            ids: list[int] = []
+            for w in t.split():
+                got = cache.get(w)
+                if got is None:
+                    got = tok.encode_word(w, ranks)
+                    if len(cache) < 200_000:
+                        cache[w] = got
+                ids.extend(got)
+            out.append(ids)
+        return pd.Series(out)
+
+    return _encode
+
+
+def tokenize_documents(
+    df: DataFrame,
+    tokenizer: BpeTokenizer,
+    text_col: str = "text",
+    *,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """T6: add ``tokens`` ARRAY<INT> + ``token_count``."""
+    spark = df.sparkSession
+    enc = encode_udf(spark, tokenizer)
+    out = df.withColumn(out_col, enc(F.col(text_col)))
+    return out.withColumn("token_count", F.size(F.col(out_col)).cast("long"))
+
+
+def tokenization_stats(df_tokenized: DataFrame, tokenizer: BpeTokenizer, text_col: str = "text") -> DataFrame:
+    """TokenizationStats aggregate (tokenizer.py:24-55): totals + derived
+    avg_tokens_per_doc and compression_ratio (chars/token)."""
+    agg = df_tokenized.agg(
+        F.count(F.lit(1)).alias("total_documents"),
+        F.sum("token_count").alias("total_tokens"),
+        F.sum(F.length(F.col(text_col))).alias("total_chars"),
+    )
+    return agg.select(
+        "total_documents",
+        "total_tokens",
+        "total_chars",
+        F.lit(tokenizer.vocab_size).cast("long").alias("vocab_size"),
+        F.round(F.col("total_tokens") / F.col("total_documents"), 4).alias("avg_tokens_per_doc"),
+        F.round(F.col("total_chars") / F.col("total_tokens"), 4).alias("compression_ratio"),
+    )

@@ -254,3 +254,69 @@ def embedding_near_dup_sql(threshold: float = 0.95, block_col: str = "label") ->
                     ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
                            p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) >= {threshold}
     """
+
+
+# --- textstats oracles ----------------------------------------------------
+
+
+def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        HAN_CLASS_DUCKDB,
+        LANG_PROFILES,
+    )
+
+    wc = (
+        f"CASE WHEN regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g') = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g'), '\\s+')) END"
+    )
+    scores = {
+        lang: (
+            f"CASE WHEN {wc} > 0 THEN len(regexp_extract_all(lower({text_col}), '{q(pat)}'))"
+            f" / CAST({wc} AS DOUBLE) END"
+        )
+        for lang, pat in LANG_PROFILES.items()
+    }
+    zh = (
+        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"length(regexp_replace({text_col}, '[^{q(HAN_CLASS_DUCKDB)}]', '', 'g'))"
+        f" / CAST(length({text_col}) AS DOUBLE) END"
+    )
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    case = f"CASE WHEN ({zh}) >= 0.05 THEN 'zh'"
+    for lang in ("en", "fr", "es", "de"):
+        case += (
+            f" WHEN ({best}) >= {min_score} AND ({scores[lang]}) = ({best}) THEN '{lang}'"
+        )
+    case += " ELSE 'unknown' END"
+    return case
+
+
+def lang_id_histogram_sql() -> str:
+    return f"""
+        SELECT {_lang_id_case_sql()} AS detected_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    """
+
+
+def fingerprint_sql(n: int = 5, k: int = 8) -> str:
+    norm_full = f"regexp_replace(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')), '\\s+', ' ', 'g')"
+    norm_sh = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 md5({norm_full}) AS fingerprint,
+                 {norm_sh} AS ns
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, fingerprint,
+                 CASE WHEN length(ns) < {n} THEN [ns]
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, length(ns) - {n} + 1),
+                             i -> substr(ns, i, {n}))) END AS shingles
+          FROM s
+        )
+        SELECT doc_id, fingerprint,
+               (list_sort(list_transform(shingles, x -> md5(x))))[1:{k}] AS sketch
+        FROM sh
+    """

@@ -1,0 +1,93 @@
+"""Text-analysis operator tests: lang-id fixtures, token counts, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators.textstats import (
+    with_fingerprints,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+FIXTURES = [
+    (1, "The cat and the dog are in the house and it is warm for them today.", "en"),
+    (2, "Le chat est dans la maison et il est pour les amis dans une salle.", "fr"),
+    (3, "El gato es una mascota y los perros del parque son para el niño.", "es"),
+    (4, "Der Hund ist ein Tier und die Katze ist nicht mit den Leuten zu Hause.", "de"),
+    (5, "今天天气很好我们一起去公园散步吧这是一个美丽的城市", "zh"),
+    (6, "xqzt vlk bfg hjw", "unknown"),
+]
+
+
+def test_lang_id_fixtures(spark):
+    df = spark.createDataFrame(FIXTURES, "doc_id long, text string, expected string")
+    rows = with_lang_id(df).select("expected", "detected_lang").collect()
+    for r in rows:
+        assert r["detected_lang"] == r["expected"], r
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, it's 42 degrees!")], "id long, text string")
+    row = with_token_counts(df).collect()[0]
+    assert row["n_tokens_ws"] == 5
+    # hello | world | , | ' s? — contraction 's split; digits separate
+    assert row["n_tokens_bpe_ish"] >= 6
+
+
+def test_fingerprint_stable_under_case_and_spacing(spark):
+    df = spark.createDataFrame(
+        [(1, "The Quick  Brown   Fox"), (2, "the quick brown fox"), (3, "другой текст здесь")],
+        "id long, text string",
+    )
+    rows = with_fingerprints(df).collect()
+    assert rows[0]["fingerprint"] == rows[1]["fingerprint"]
+    assert rows[0]["fingerprint"] != rows[2]["fingerprint"]
+    assert len(rows[0]["sketch"]) >= 1
+
+
+def test_sketch_overlap_for_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy cat near the river bank"),
+            (3, "completely different content about orbital mechanics and rocketry"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: set(r["sketch"]) for r in with_fingerprints(df).collect()}
+    assert len(rows[1] & rows[2]) > len(rows[1] & rows[3])
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The development of reliable software systems requires careful attention "
+                "to design principles and the testing of practices that the team follows."),
+            (2, "@#$% ^&* !!! ???"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["quality_score"] for r in with_quality_score(df).collect()}
+    assert 0.0 <= rows[2] < rows[1] <= 1.0
+
+
+def test_lang_histogram_matches_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from llm_training_data_pipeline_spark.plans.oracle import lang_id_histogram_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = with_lang_id(docs).groupBy("detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    assert_df_matches_oracle(out, ddb, lang_id_histogram_sql())
+
+
+def test_fingerprint_matches_oracle(spark, ddb):
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from llm_training_data_pipeline_spark.plans.oracle import fingerprint_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = with_fingerprints(docs).select("doc_id", "fingerprint", "sketch")
+    assert_df_matches_oracle(out, ddb, fingerprint_sql())

@@ -1,0 +1,74 @@
+"""Tokenizer tests — mirror the reference's assertions
+(/root/reference/tests/test_pipeline.py:180-241, FIXTURES.md §A5)."""
+
+from __future__ import annotations
+
+import os
+
+from llm_training_data_pipeline_spark.operators.tokenize import (
+    BpeTokenizer,
+    tokenization_stats,
+    tokenize_documents,
+    train_bpe,
+    train_bpe_from_word_counts,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "how vexingly quick daft zebras jump",
+    "the five boxing wizards jump quickly",
+] * 50
+
+
+def _corpus_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+
+
+def test_train_vocab_under_cap(spark):
+    tok = train_bpe(_corpus_df(spark), vocab_size=200, min_frequency=2)
+    assert 0 < tok.vocab_size <= 200
+    assert all(s in tok.vocab for s in ["<pad>", "<unk>", "<bos>", "<eos>"])
+
+
+def test_encode_decode_roundtrip(spark):
+    tok = train_bpe(_corpus_df(spark), vocab_size=300, min_frequency=1)
+    text = "the quick brown fox"
+    ids = tok.encode(text)
+    assert ids and all(isinstance(i, int) for i in ids)
+    assert tok.decode(ids) == text
+
+
+def test_save_load_preserves_vocab(tmp_path, spark):
+    tok = train_bpe(_corpus_df(spark), vocab_size=200)
+    p = os.path.join(tmp_path, "tok.json")
+    tok.save(p)
+    tok2 = BpeTokenizer.load(p)
+    assert tok2.vocab_size == tok.vocab_size
+    assert tok2.encode("quick brown") == tok.encode("quick brown")
+
+
+def test_deterministic_training():
+    wc = [("aaab", 10), ("aab", 5), ("abc", 3)]
+    t1 = train_bpe_from_word_counts(wc, vocab_size=50)
+    t2 = train_bpe_from_word_counts(wc, vocab_size=50)
+    assert t1.merges == t2.merges and t1.vocab == t2.vocab
+
+
+def test_tokenize_documents_and_stats(spark):
+    df = _corpus_df(spark)
+    tok = train_bpe(df, vocab_size=300)
+    out = tokenize_documents(df, tok)
+    rows = out.select("tokens", "token_count").collect()
+    assert all(r["token_count"] == len(r["tokens"]) > 0 for r in rows)
+    stats = tokenization_stats(out, tok).collect()[0]
+    assert stats["total_documents"] == len(CORPUS)
+    assert stats["total_tokens"] > 0
+    assert stats["vocab_size"] == tok.vocab_size
+    assert stats["compression_ratio"] > 1.0  # chars per token
+
+
+def test_unknown_chars_map_to_unk(spark):
+    tok = train_bpe(_corpus_df(spark), vocab_size=200)
+    ids = tok.encode("日本語")
+    assert ids and all(i == tok.unk_id for i in ids[:-1] or ids)
