@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Usage: python bench.py  [--sf-dir DIR] [--queries name1,name2]
+
+Each query is forced with a full materialization (count of the result —
+not collect, so driver memory stays flat at any scale factor). Wall time
+includes planning + execution; the session is warmed up with one trivial
+job first so JVM startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "top3_customers_per_nation",
+    "customer_running_totals",
+    "rollup_order_stats",
+    "event_sessionization",
+    "json_events",
+    "clean_documents",
+    "quality_cascade",
+    "exact_dedup_stats",
+    "lang_id_histogram",
+    "token_counts",
+    "doc_fingerprints",
+    "minhash_dedup",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default=",".join(HEADLINE))
+    args = ap.parse_args()
+
+    from llm_training_data_pipeline_spark.plans.queries import registry
+    from llm_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.range(1000).count()  # JVM warm-up
+
+    reg = registry()
+    names = [n for n in args.queries.split(",") if n in reg]
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _sql = reg[name]
+        t0 = time.perf_counter()
+        df = fn(spark, args.sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,8 +3,8 @@
 All native ``pyspark.sql.functions`` expressions — the MinHash permutation
 family is the classic ``(a*h + b) mod p`` universal hashing scheme evaluated
 with higher-order array functions, so signatures are computed in the JVM with
-no Python and no shuffle. ANSI-overflow-safe: shingle hashes are folded to
-32 bits so ``a*h + b`` stays below 2^63.
+no Python and no shuffle. ANSI-overflow-safe: the family works mod
+Mersenne-31 (see below), keeping every product under 2^62.
 """
 
 from __future__ import annotations
@@ -14,14 +14,21 @@ import random
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-MERSENNE_61 = (1 << 61) - 1
-_HASH_FOLD = 1 << 32
+# Universal-hash permutation family (a*h + b) mod M31 over h in [0, M31).
+# M31 (Mersenne 2^31-1) is chosen so a*h wraps the modulus ~2^31 times —
+# a genuinely scrambling permutation — while a*h+b < 2^62 stays far from
+# int64 overflow (Spark 4 runs ANSI mode: overflow would throw). A larger
+# modulus with small multipliers (to dodge overflow) barely wraps, leaving
+# the map order-preserving and every permutation picking the same argmin:
+# signatures collide and estimated Jaccard biases toward 1.
+MERSENNE_31 = (1 << 31) - 1
+_HASH_FOLD = MERSENNE_31
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
     rng = random.Random(seed)
-    a = [rng.randrange(1, 1 << 31) for _ in range(num_perm)]
-    b = [rng.randrange(0, 1 << 31) for _ in range(num_perm)]
+    a = [rng.randrange(1, MERSENNE_31) for _ in range(num_perm)]
+    b = [rng.randrange(0, MERSENNE_31) for _ in range(num_perm)]
     return a, b
 
 
@@ -32,8 +39,8 @@ def minhash_signature(
 
     Semantics of /root/reference/src/processing/deduplicator.py:132-148
     (datasketch MinHash, 128 permutations) re-expressed as pure Spark
-    expressions: h32 = xxhash64(shingle) folded to 32 bits, then
-    sig[i] = min over shingles of (a_i * h32 + b_i) mod 2^61-1.
+    expressions: h = xxhash64(shingle) folded to [0, 2^31-1), then
+    sig[i] = min over shingles of (a_i * h + b_i) mod 2^31-1.
     Hash values differ from datasketch (different family); the *set-level*
     property (Jaccard-similar sets collide) is what tests pin.
     """
@@ -50,7 +57,7 @@ def minhash_signature(
                 h32,
                 lambda h: F.pmod(
                     F.element_at(a_lit, i + 1) * h + F.element_at(b_lit, i + 1),
-                    F.lit(MERSENNE_61),
+                    F.lit(MERSENNE_31),
                 ),
             )
         ),

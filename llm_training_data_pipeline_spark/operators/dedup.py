@@ -104,13 +104,41 @@ class MinHashConfig:
 def with_minhash(
     df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
     *,
     sig_col: str = "minhash_sig",
 ) -> DataFrame:
-    """D1+D2: shingle and sign each document (no shuffle — pure map)."""
-    shingles = char_shingles(F.col(text_col), cfg.shingle_size)
-    return df.withColumn(sig_col, minhash_signature(shingles, cfg.num_perm))
+    """D1+D2: shingle and sign each document.
+
+    Shape: explode shingles → xxhash64 each ONCE → one hash-aggregate with
+    ``num_perm`` map-side-combinable ``min`` expressions → assemble the
+    signature array. This avoids nested higher-order lambdas, which Catalyst
+    inlines (re-evaluating the shingle hash per permutation — O(perms x
+    shingle_len) regex work per row). The aggregate shuffles only
+    (id, num_perm x 8 bytes) per doc — tiny next to the corpus.
+    """
+    from llm_training_data_pipeline_spark.functions.hashing import (
+        MERSENNE_31,
+        _HASH_FOLD,
+        _perm_params,
+    )
+
+    a, b = _perm_params(cfg.num_perm, seed=42)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), cfg.shingle_size)).alias("_sh"),
+    ).select(F.col(id_col), F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD)).alias("_h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(MERSENNE_31))).alias(f"_s{i}")
+            for i in range(cfg.num_perm)
+        ]
+    )
+    sig = mins.select(
+        F.col(id_col), F.array(*[F.col(f"_s{i}") for i in range(cfg.num_perm)]).alias(sig_col)
+    )
+    return df.join(sig, on=id_col, how="left")
 
 
 def minhash_candidate_pairs(
@@ -122,7 +150,7 @@ def minhash_candidate_pairs(
     """D4 candidate generation: LSH band self-join → (id_a < id_b) pairs with
     signature-estimated Jaccard. One shuffle keyed on the band-bucket hash.
     """
-    sig = with_minhash(df, text_col, cfg).select(id_col, "minhash_sig")
+    sig = with_minhash(df, text_col, id_col, cfg).select(id_col, "minhash_sig")
     banded = (
         sig.withColumn("band", F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)))
         .select(

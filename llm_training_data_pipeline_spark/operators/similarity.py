@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (engine extension).
+
+Two paths, mirroring how production vector search degrades gracefully:
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the full table; one scan of the big side, per-query window rank.
+  At 100 TB this is the correctness baseline and still shuffle-free on the
+  big side (the only shuffle is the final per-query top-k, whose input is
+  already cut down by the window pushdown).
+- ``ann_lsh_topk`` — random-hyperplane LSH: bucket vectors by the sign
+  pattern of ``num_planes`` seeded hyperplane dot products, join query and
+  corpus on bucket, rank within candidates. Recall < 1, cost ~ 1/2^planes
+  of brute force; the scale path.
+
+All arithmetic is native higher-order array expressions (JVM, codegen) —
+hyperplanes are literal arrays baked into the plan, not UDF state.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.functions.vectors import cosine_similarity, dot_product
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (self excluded)."""
+    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    qs = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    scored = vecs.join(F.broadcast(qs), F.col(id_col) != F.col("q_id")).select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col("_qv"), F.col("_v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (BIGINT) from literal hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_product(vec, plane_lit) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    Deterministic given ``seed``. The bucket join is an equi-join the
+    optimizer shuffles on the bucket key (or broadcasts the query side);
+    each query scores ~|corpus| / 2^num_planes candidates.
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    vecs = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("_v"),
+    ).withColumn("bucket", lsh_bucket(F.col("_v"), planes))
+    qs = (
+        queries.select(F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("_qv"))
+        .withColumn("bucket", lsh_bucket(F.col("_qv"), planes))
+    )
+    scored = vecs.join(F.broadcast(qs), on="bucket").filter(
+        F.col(id_col) != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col("_qv"), F.col("_v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -320,3 +320,298 @@ def fingerprint_sql(n: int = 5, k: int = 8) -> str:
                (list_sort(list_transform(shingles, x -> md5(x))))[1:{k}] AS sketch
         FROM sh
     """
+
+
+def token_counts_sql() -> str:
+    from llm_training_data_pipeline_spark.operators.textstats import BPE_ISH_TOKEN_REGEX
+
+    wc = (
+        f"CASE WHEN regexp_replace(text, '{q(STRIP_WS)}', '', 'g') = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(regexp_replace(text, '{q(STRIP_WS)}', '', 'g'), '\\s+')) END"
+    )
+    return f"""
+        SELECT doc_id,
+               CAST({wc} AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all(text, '{q(BPE_ISH_TOKEN_REGEX)}')) AS BIGINT) AS n_tokens_bpe_ish
+        FROM documents
+    """
+
+
+def quality_score_sql() -> str:
+    from llm_training_data_pipeline_spark.operators.textstats import LANG_PROFILES
+
+    stext = f"regexp_replace(text, '{q(STRIP_WS)}', '', 'g')"
+    wc = (
+        f"CASE WHEN {stext} = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array({stext}, '\\s+')) END"
+    )
+    n_alpha = "length(regexp_replace(text, '[^\\p{L}]', '', 'g'))"
+    n_nonspace = "length(regexp_replace(text, '\\s', '', 'g'))"
+    stop_hits = f"len(regexp_extract_all(lower(text), '{q(LANG_PROFILES['en'])}'))"
+    distinct_words = (
+        f"CASE WHEN {stext} = '' THEN 0 "
+        f"ELSE len(list_distinct(regexp_split_to_array(lower({stext}), '\\s+'))) END"
+    )
+    return f"""
+        SELECT doc_id,
+          round(
+            0.4 * (CASE WHEN {n_nonspace} > 0 THEN {n_alpha} / CAST({n_nonspace} AS DOUBLE) ELSE 0.0 END)
+          + 0.2 * least((CASE WHEN {wc} > 0 THEN {stop_hits} / CAST({wc} AS DOUBLE) ELSE 0.0 END) * 2, 1.0)
+          + 0.2 * least(length(text) / 500.0, 1.0)
+          + 0.2 * (CASE WHEN {wc} > 0 THEN {distinct_words} / CAST({wc} AS DOUBLE) ELSE 0.0 END)
+          , 6) AS quality_score
+        FROM documents
+    """
+
+
+def cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), qs AS (
+          SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm FROM v WHERE vec_id < {n_queries}
+        ), scored AS (
+          SELECT qs.q_id, v.vec_id,
+                 round(CASE WHEN qs.q_nrm = 0 OR v.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(list_zip(qs.q_vec, v.vec),
+                              p -> p[1] * p[2])) / (qs.q_nrm * v.nrm) END, 6) AS cosine
+          FROM qs JOIN v ON v.vec_id <> qs.q_id
+        )
+        SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+# --- relational surface oracles ------------------------------------------
+
+
+def q1_pricing_summary_sql() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q3_top_unshipped_sql() -> str:
+    return """
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """
+
+
+def q5_region_revenue_sql() -> str:
+    return """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY r_name, n_name
+    """
+
+
+def top3_customers_per_nation_sql() -> str:
+    return """
+        WITH spend AS (
+          SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT n_name, c_custkey, c_name, total_spend, rnk FROM (
+          SELECT n_name, c_custkey, c_name, total_spend,
+                 CAST(row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS BIGINT) AS rnk
+          FROM customer
+          JOIN spend ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rnk <= 3
+    """
+
+
+def customer_running_totals_sql() -> str:
+    return """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               round(sum(o_totalprice) OVER w_cum, 2) AS running_spend,
+               round(lag(o_totalprice, 1) OVER w_ord, 2) AS prev_price,
+               round(avg(o_totalprice) OVER w_mov, 4) AS moving_avg3,
+               CAST(row_number() OVER w_ord AS BIGINT) AS order_seq
+        FROM orders
+        WINDOW
+          w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """
+
+
+def rollup_order_stats_sql() -> str:
+    return """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+
+def cube_lineitem_stats_sql() -> str:
+    return """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_items,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+
+def set_ops_customers_sql() -> str:
+    return """
+        WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+        UNION ALL
+        SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+        UNION ALL
+        SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+    """
+
+
+def semi_anti_customers_sql() -> str:
+    return """
+        SELECT 'with_orders' AS kind, c_custkey, c_name
+        FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'no_orders' AS kind, c_custkey, c_name
+        FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """
+
+
+def string_functions_part_sql() -> str:
+    return """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substr(p_type, 1, 5) AS type_prefix,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+               string_split(p_type, ' ') AS type_words
+        FROM part
+        WHERE p_name LIKE '%a%'
+    """
+
+
+def date_functions_orders_sql() -> str:
+    return """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
+        FROM orders
+        GROUP BY 1, 2, 3
+    """
+
+
+def math_functions_lineitem_sql() -> str:
+    return """
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_extendedprice), 6) AS sqrt_price,
+               round(ln(l_extendedprice + 1), 6) AS ln_price,
+               round(pow(l_discount, 2), 6) AS disc_sq,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               round(abs(l_discount - 0.05), 6) AS disc_dev,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+        FROM lineitem WHERE l_orderkey <= 100
+    """
+
+
+def array_agg_per_order_sql() -> str:
+    return """
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber)) AS line_numbers,
+               CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
+               list_sort(list_distinct(list(l_returnflag))) AS flags,
+               CAST(list_sum(list(l_linenumber)) AS BIGINT) AS line_sum
+        FROM lineitem WHERE l_orderkey <= 200
+        GROUP BY l_orderkey
+    """
+
+
+def json_events_sql() -> str:
+    return """
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY event_type
+    """
+
+
+def event_sessionization_sql() -> str:
+    return """
+        WITH lagged AS (
+          SELECT user_id, event_id, value, ts,
+                 epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), flagged AS (
+          SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_session
+          FROM lagged
+        ), sessioned AS (
+          SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM sessioned
+        GROUP BY user_id, session_id
+    """
+
+
+def grouping_sets_revenue_sql() -> str:
+    return """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """

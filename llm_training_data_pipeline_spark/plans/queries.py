@@ -1,0 +1,528 @@
+"""The engine's declared query surface: name → (Spark callable, oracle SQL).
+
+Two families:
+- **Pipeline queries** exercise the reference-derived operators
+  (SURVEY.md §2.1-2.6) over ``documents``/``embeddings``.
+- **Relational queries** declare the standard operator surface
+  (SURVEY.md §2.7): joins (equi/semi/anti/broadcast), hash aggregates,
+  rollup/cube/grouping sets, ranking + frame windows, sort/limit/top-k,
+  set ops, string/date/math/array/map/JSON scalars, approx distinct,
+  similarity search — all stock ``pyspark.sql``, each with DuckDB oracle SQL.
+
+Conventions for oracle agreement (driver hashes values after sorting by
+column name): every computed column is aliased identically on both sides;
+double aggregates are rounded (2dp money, 4dp ratios); timestamps are
+projected as formatted strings; computed integers are cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark import plans
+from llm_training_data_pipeline_spark.functions.vectors import cosine_similarity
+from llm_training_data_pipeline_spark.operators import (
+    cleaning,
+    dedup,
+    quality,
+    textstats,
+)
+from llm_training_data_pipeline_spark.plans import oracle
+from llm_training_data_pipeline_spark.schemas import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# =====================================================================
+# Pipeline queries (reference operators, SURVEY.md §2.2-2.5)
+# =====================================================================
+
+
+@register("clean_documents", oracle.clean_documents_sql(100))
+def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return cleaning.clean_documents(
+        docs, "text", cleaning.CleanerConfig(min_length_chars=100), sql_only=True
+    ).select("doc_id", "cleaned_text", "cleaned_length", "chars_removed")
+
+
+@register("cleaning_stats", oracle.cleaning_stats_sql(100))
+def q_cleaning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = cleaning.clean_documents(
+        docs, "text", cleaning.CleanerConfig(min_length_chars=100), sql_only=True
+    )
+    return cleaning.cleaning_stats(cleaned)
+
+
+@register("quality_cascade", oracle.quality_oracle_sql(min_words=20))
+def q_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return quality.with_quality(
+        docs, "text", quality.QualityConfig(min_words=20)
+    ).select(
+        "doc_id", "word_count", "avg_word_length", "alpha_ratio", "digit_ratio",
+        "symbol_ratio", "repetition_ratio", "bullet_ratio", "boilerplate_matches",
+        "reason", "passed",
+    )
+
+
+@register("quality_histogram", oracle.quality_histogram_sql(min_words=20))
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return quality.quality_stats(docs, "text", quality.QualityConfig(min_words=20))
+
+
+@register("exact_dedup", oracle.exact_dedup_sql())
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("exact_dedup_stats", oracle.exact_dedup_stats_sql())
+def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_pairs", oracle.ngram_jaccard_sql(n=2, threshold=0.3))
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=2, threshold=0.3)
+
+
+@register("embedding_near_dup", oracle.embedding_near_dup_sql(threshold=0.8))
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+@register("lang_id_histogram", oracle.lang_id_histogram_sql())
+def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_lang_id(docs).groupBy("detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register("doc_fingerprints", oracle.fingerprint_sql())
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_fingerprints(docs).select("doc_id", "fingerprint", "sketch")
+
+
+@register("token_counts", oracle.token_counts_sql())
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe_ish")
+
+
+@register("quality_score", oracle.quality_score_sql())
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_quality_score(docs).select("doc_id", "quality_score")
+
+
+# --- non-SQL-expressible pipeline ops (rows-only driver check) -------------
+
+
+@register("minhash_dedup", None)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = dedup.MinHashConfig(num_perm=64, threshold=0.8, shingle_size=5, num_bands=16)
+    return dedup.minhash_dedup(_t(spark, sf_dir, "documents"), cfg=cfg).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register("simhash_near_dup_pairs", None)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register("clean_documents_full", None)
+def q_clean_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full C1-C8 chain including the mojibake+NFKC pandas UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return cleaning.clean_documents(docs, "text").select(
+        "doc_id", "cleaned_text", "cleaned_length"
+    )
+
+
+@register("bpe_tokenize_stats", None)
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenization_stats,
+        tokenize_documents,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_bpe(docs, vocab_size=2000, min_frequency=2)
+    return tokenization_stats(tokenize_documents(docs, tok), tok)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+@register("cosine_topk", oracle.cosine_topk_sql(k=5, n_queries=10))
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the first 10 vectors are the query set;
+    broadcast them against the full table (one scan, no shuffle of the big
+    side), rank with a per-query window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_v")
+    )
+    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("q_v"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llm_training_data_pipeline_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, queries, k=5)
+
+
+# =====================================================================
+# Relational surface (star schema) — all stock pyspark.sql + oracle SQL
+# =====================================================================
+
+
+@register("q1_pricing_summary", oracle.q1_pricing_summary_sql())
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + hash aggregate (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register("q3_top_unshipped", oracle.q3_top_unshipped_sql())
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (broadcast the small dims)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register("q5_region_revenue", oracle.q5_region_revenue_sql())
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims, grouped revenue."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register("top3_customers_per_nation", oracle.top3_customers_per_nation_sql())
+def q_top3_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window over a join-aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    joined = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_spend", "rnk")
+    )
+
+
+@register("customer_running_totals", oracle.customer_running_totals_sql())
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame windows: running sum, lag, 3-row moving average per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wframe = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_spend"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.avg("o_totalprice").over(wframe), 4).alias("moving_avg3"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@register("rollup_order_stats", oracle.rollup_order_stats_sql())
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate with grouping indicators."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register("cube_lineitem_stats", oracle.cube_lineitem_stats_sql())
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "avg_qty",
+        )
+    )
+
+
+@register("set_ops_customers", oracle.set_ops_customers_sql())
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    u = building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey")
+    i = building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+    e = building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+    return u.union(i).union(e)
+
+
+@register("semi_anti_customers", oracle.semi_anti_customers_sql())
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI join (has-orders / never-ordered customers)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cust.join(orders, on="c_custkey", how="left_semi").select(
+        F.lit("with_orders").alias("kind"), "c_custkey", "c_name"
+    )
+    without = cust.join(orders, on="c_custkey", how="left_anti").select(
+        F.lit("no_orders").alias("kind"), "c_custkey", "c_name"
+    )
+    return with_orders.union(without)
+
+
+@register("string_functions_part", oracle.string_functions_part_sql())
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.split("p_type", " ").alias("type_words"),
+    )
+
+
+@register("date_functions_orders", oracle.date_functions_orders_sql())
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        )
+    )
+
+
+@register("math_functions_lineitem", oracle.math_functions_lineitem_sql())
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.ln(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+    )
+
+
+@register("array_agg_per_order", oracle.array_agg_per_order_sql())
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + higher-order array functions per group."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+             F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
+        .select(
+            "l_orderkey",
+            "line_numbers",
+            F.size("line_numbers").cast("long").alias("n_lines"),
+            "flags",
+            F.aggregate(
+                "line_numbers", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("line_sum"),
+        )
+    )
+
+
+@register("json_events", oracle.json_events_sql())
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + grouped agg on the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register("event_sessionization", oracle.event_sessionization_sql())
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + conditional cumulative sum —
+    the classic pattern for event-time analytics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+@register("approx_distinct_users", None)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch values are engine-specific,
+    so the driver records a rows-only check; exactness is asserted in unit
+    tests against the exact distinct count within rsd tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("grouping_sets_revenue", oracle.grouping_sets_revenue_sql())
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL (nation-level, region-level, grand total)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    joined.createOrReplaceTempView("_gs_joined")
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM _gs_joined
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )

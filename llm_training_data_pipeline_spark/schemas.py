@@ -96,10 +96,13 @@ TABLE_SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampType()),
         ]
     ),
+    # ts is TIMESTAMP(NANOS) in the parquet, which Spark's reader rejects;
+    # it is read as BIGINT nanos (legacy.parquet.nanosAsLong) and converted
+    # to TimestampType in load_table — lossless, the data is µs-resolution.
     "events": StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", TimestampType()),
+            StructField("ts", LongType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -134,6 +137,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+        # ns → µs is exact integer division (data is µs-resolution)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 

@@ -1,0 +1,128 @@
+"""Wikipedia XML dump ingestion (SURVEY.md §2.1 S4-S5, §2.2 C12-C14).
+
+Reference semantics: /root/reference/src/ingestion/wiki_parser.py — a
+driver-side ``ET.iterparse`` generator. Spark-first replacement: the
+built-in XML data source (``format('xml'), rowTag='page'``, distributed,
+splittable with compression codecs) plus a native ``regexp_replace`` chain
+for markup removal (the reference's regex fallback path,
+wiki_parser.py:249-293). The mwparserfromhell-based primary path
+(wiki_parser.py:215-247) is gated behind an import-try pandas UDF — that
+library is not in this container, so the regex path is the default and the
+tested one.
+
+Page filters (wiki_parser.py:153-196): ns == 0, not a redirect, text
+present, stripped length >= 50 — expressed as pushdown-friendly filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.functions.text import strip_ws
+
+MIN_ARTICLE_CHARS = 50  # wiki_parser.py:195
+
+# C13 regex fallback chain (wiki_parser.py:249-276), Java-regex flavored.
+_MARKUP_REWRITES: list[tuple[str, str]] = [
+    (r"\{\{[^}]+\}\}", ""),                        # templates {{...}}
+    (r"(?s)<ref[^>]*>.*?</ref>", ""),              # <ref>...</ref>
+    (r"<ref[^/>]*/>", ""),                         # self-closing refs
+    (r"<[^>]+>", ""),                              # any HTML tag
+    (r"\[\[Category:[^\]]+\]\]", ""),              # categories (before links)
+    (r"\[\[(?:[^|\]]*\|)?([^\]]+)\]\]", "$1"),     # [[link|text]] → text
+    (r"\[https?://[^\]]+\]", ""),                  # external links
+    (r"'{2,5}", ""),                               # bold/italic quotes
+    (r"(?m)^=+\s*([^=]+?)\s*=+$", "$1"),           # == headings ==
+]
+
+# C14 post-clean (wiki_parser.py:278-293)
+_POST_CLEAN: list[tuple[str, str]] = [
+    (r"\n{3,}", "\n\n"),
+    (r"[ \t]+", " "),
+    (r"\(\s*\)", ""),
+    (r"\s+([.,;:!?])", "$1"),
+]
+
+
+def strip_wiki_markup(col: Column) -> Column:
+    """C13+C14 as one JVM regexp chain (order matches the reference)."""
+    c = col
+    for pat, repl in _MARKUP_REWRITES:
+        c = F.regexp_replace(c, pat, repl)
+    for pat, repl in _POST_CLEAN:
+        c = F.regexp_replace(c, pat, repl)
+    return strip_ws(c)
+
+
+def read_wiki_dump(spark: SparkSession, path: str) -> DataFrame:
+    """S4: distributed scan of a MediaWiki export via the built-in XML source.
+
+    Handles export-0.10/0.11 or no-namespace dumps identically — rowTag
+    matching is namespace-agnostic in the Spark XML reader. ``.bz2`` dumps
+    are read directly through the Hadoop codec (reference needed an explicit
+    decompress step, download_wiki.py:84-141).
+    """
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "page")
+        .load(path)
+    )
+
+
+def parse_articles(
+    raw: DataFrame, *, remove_markup: bool = True, min_chars: int = MIN_ARTICLE_CHARS
+) -> DataFrame:
+    """S5 projection + filters → WikiArticle-shaped DataFrame.
+
+    Output schema: title, text, page_id, ns, redirect (+word_count,
+    char_count derived columns, wiki_parser.py:36-44).
+    """
+    cols = dict.fromkeys(raw.columns)
+    redirect = (
+        F.col("redirect._title") if "redirect" in cols else F.lit(None).cast("string")
+    )
+    # revision/text may parse as plain string or as struct with _VALUE
+    text_field = "revision.text"
+    rev_type = [f for f in raw.schema.fields if f.name == "revision"]
+    if rev_type:
+        inner = rev_type[0].dataType
+        try:
+            text_type = inner["text"].dataType  # type: ignore[index]
+            if hasattr(text_type, "fields") and any(
+                f.name == "_VALUE" for f in text_type.fields
+            ):
+                text_field = "revision.text._VALUE"
+        except Exception:
+            pass
+    raw_text = F.col(text_field).cast("string")
+    text = strip_wiki_markup(raw_text) if remove_markup else raw_text
+
+    out = (
+        raw.select(
+            F.col("title").cast("string").alias("title"),
+            F.col("id").cast("long").alias("page_id"),
+            F.coalesce(F.col("ns").cast("int"), F.lit(0)).alias("ns"),
+            redirect.alias("redirect"),
+            text.alias("text"),
+        )
+        .filter(F.col("ns") == 0)                       # wiki_parser.py:153-155
+        .filter(F.col("redirect").isNull())             # wiki_parser.py:165-167
+        .filter(F.col("text").isNotNull())              # wiki_parser.py:183-184
+        .filter(F.length(strip_ws(F.col("text"))) >= min_chars)  # :194-196
+    )
+    return out.withColumn(
+        "word_count", F.size(F.split(strip_ws(F.col("text")), r"\s+")).cast("long")
+    ).withColumn("char_count", F.length("text").cast("long"))
+
+
+def parse_wikipedia(
+    spark: SparkSession, path: str, max_articles: int | None = None, remove_markup: bool = True
+) -> DataFrame:
+    """Convenience wrapper mirroring parse_wikipedia (wiki_parser.py:296-311).
+
+    ``max_articles`` maps to ``limit`` (O2) — Catalyst short-circuits the
+    scan instead of the reference's generator break (wiki_parser.py:122-124).
+    """
+    df = parse_articles(read_wiki_dump(spark, path), remove_markup=remove_markup)
+    return df.limit(max_articles) if max_articles else df

@@ -37,7 +37,7 @@ def ddb():
 
 def assert_df_matches_oracle(spark_df, ddb_con, sql: str, *, atol: float = 1e-9):
     """Mimic the driver's compare: same columns, order-insensitive values."""
-    import math
+    import math  # noqa: F811
 
     sp = spark_df.toPandas()
     du = ddb_con.execute(sql).df()
@@ -55,7 +55,7 @@ def assert_df_matches_oracle(spark_df, ddb_con, sql: str, *, atol: float = 1e-9)
             vals = []
             for v in row:
                 if isinstance(v, float):
-                    vals.append(round(v, 9))
+                    vals.append(None if math.isnan(v) else round(v, 9))
                 elif hasattr(v, "isoformat"):
                     vals.append(v.isoformat())
                 elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":

@@ -1,0 +1,92 @@
+"""Wiki-XML ingestion tests over a synthetic MediaWiki export fixture
+(FIXTURES.md §A6): ns filtering, redirect drop, markup strip, min-length."""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+
+from llm_training_data_pipeline_spark.sources.wiki import parse_articles, parse_wikipedia, read_wiki_dump
+
+FIXTURE = textwrap.dedent("""\
+    <mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/" version="0.11">
+      <page>
+        <title>Alpha Article</title>
+        <ns>0</ns>
+        <id>1</id>
+        <revision>
+          <id>101</id>
+          <text>{{Infobox|name=Alpha}}'''Alpha''' is a [[letter|Greek letter]] used in [[mathematics]].&lt;ref&gt;cite&lt;/ref&gt; == History == It has a long history in science and engineering texts worldwide.</text>
+        </revision>
+      </page>
+      <page>
+        <title>Beta Redirect</title>
+        <ns>0</ns>
+        <id>2</id>
+        <redirect title="Alpha Article"/>
+        <revision><id>102</id><text>#REDIRECT [[Alpha Article]]</text></revision>
+      </page>
+      <page>
+        <title>Category:Letters</title>
+        <ns>14</ns>
+        <id>3</id>
+        <revision><id>103</id><text>Category page text that is long enough to pass length checks easily.</text></revision>
+      </page>
+      <page>
+        <title>Empty Page</title>
+        <ns>0</ns>
+        <id>4</id>
+        <revision><id>104</id><text></text></revision>
+      </page>
+      <page>
+        <title>Stub</title>
+        <ns>0</ns>
+        <id>5</id>
+        <revision><id>105</id><text>Tiny.</text></revision>
+      </page>
+      <page>
+        <title>Gamma Article</title>
+        <ns>0</ns>
+        <id>6</id>
+        <revision>
+          <id>106</id>
+          <text>Gamma is the third letter [https://example.org ext] of the Greek alphabet and is widely used ''across'' physics () , chemistry and advanced mathematics notation today.</text>
+        </revision>
+      </page>
+    </mediawiki>
+""")
+
+
+@pytest.fixture(scope="module")
+def wiki_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("wiki") / "dump.xml"
+    p.write_text(FIXTURE)
+    return str(p)
+
+
+def test_parse_articles_filters(spark, wiki_file):
+    out = parse_articles(read_wiki_dump(spark, wiki_file))
+    rows = {r["page_id"]: r for r in out.collect()}
+    # only Alpha (1) and Gamma (6) survive: redirect, ns=14, empty, stub drop
+    assert sorted(rows) == [1, 6]
+    alpha = rows[1]["text"]
+    assert "{{" not in alpha and "[[" not in alpha and "<ref>" not in alpha
+    assert "Greek letter" in alpha  # [[letter|Greek letter]] → display text
+    assert "'''" not in alpha
+    gamma = rows[6]["text"]
+    assert "https://example.org" not in gamma
+    assert "()" not in gamma  # empty parens dropped
+    assert " ," not in gamma  # space-before-punctuation fixed
+
+
+def test_word_and_char_counts(spark, wiki_file):
+    out = parse_articles(read_wiki_dump(spark, wiki_file))
+    for r in out.collect():
+        assert r["word_count"] == len(r["text"].split())
+        assert r["char_count"] == len(r["text"])
+
+
+def test_max_articles_limit(spark, wiki_file):
+    assert parse_wikipedia(spark, wiki_file, max_articles=1).count() == 1
