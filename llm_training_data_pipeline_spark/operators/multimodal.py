@@ -1,0 +1,202 @@
+"""Multimodal asset columns (engine extension, BASELINE.json north star).
+
+Images/audio/video are opaque ``BINARY`` payload columns plus typed
+metadata (``MULTIMODAL_SCHEMA``). The Spark-side plumbing — schema,
+partition-friendly batch processing via ``mapInPandas``, Arrow batch shapes,
+deterministic synthetic fixtures — is real and tested; the codec work
+itself is STUBBED (the image/audio libraries are not in this container):
+
+- ``decode_image_meta``   parses width/height from PNG/GIF/JPEG headers —
+  real parsing, stdlib-only (struct), no pixel decode.
+- ``extract_features``    deterministic fake embedding (payload digest →
+  seeded vector); the UDF signature, batch iteration, and output schema are
+  exactly what a real CLIP/Wav2Vec extractor would use. Marked clearly.
+- ``resize_image`` / ``sample_frames``  raise ``NotImplementedError`` behind
+  a capability check, keeping the API surface honest.
+
+At 100 TB: payloads stay in parquet binary columns; ``mapInPandas``
+processes whole Arrow batches per partition, so decode parallelism ==
+partition count and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+HAVE_PIL = False
+try:  # capability gate: real decode only if an imaging library exists
+    import PIL  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def _png_dims(payload: bytes) -> tuple[int, int] | None:
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = _struct.unpack(">II", payload[16:24])
+        return w, h
+    return None
+
+
+def _gif_dims(payload: bytes) -> tuple[int, int] | None:
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = _struct.unpack("<HH", payload[6:10])
+        return w, h
+    return None
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 9 < len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        seg_len = _struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF segments
+            h, w = _struct.unpack(">HH", payload[i + 5 : i + 9])
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Header-only image metadata extraction over Arrow batches.
+
+    Real parsing (PNG/GIF/JPEG headers), no external deps; unknown formats
+    yield NULL dims. ``mapInPandas`` keeps the binary payloads executor-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "format": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+            }
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                dims, fmt = None, None
+                for name, fn in (("png", _png_dims), ("gif", _gif_dims), ("jpeg", _jpeg_dims)):
+                    dims = fn(b)
+                    if dims:
+                        fmt = name
+                        break
+                out["format"].append(fmt)
+                out["width"].append(dims[0] if dims else None)
+                out["height"].append(dims[1] if dims else None)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=META_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB feature extractor: deterministic digest-seeded pseudo-embedding.
+
+    A real extractor would decode + run a model per Arrow batch here; the
+    dataflow (binary in, fixed-dim float vector out, batch-at-a-time) is
+    identical, so swapping in a real model changes only the inner loop.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(b).digest()
+                feats.append(
+                    [
+                        ((digest[i] << 8 | digest[i + 1]) / 65535.0) * 2 - 1
+                        for i in range(0, FEATURE_DIM * 2, 2)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Pixel-level resize requires an imaging library (absent here)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "resize_image needs an imaging library (PIL) not present in this "
+            "environment; the mapInPandas plumbing mirrors decode_image_meta"
+        )
+    raise NotImplementedError("real resize intentionally not implemented")
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling requires a codec library (absent here)."""
+    raise NotImplementedError(
+        "sample_frames needs a video codec library not present in this "
+        "environment; the batch dataflow mirrors extract_features"
+    )
+
+
+def synthetic_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture: tiny valid PNG/GIF headers as payloads."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 8), 16 + (i % 5)
+        if i % 2 == 0:
+            payload = (
+                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + _struct.pack(">II", w, h) + b"\x08"
+            )
+            mime = "image/png"
+        else:
+            payload = b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00"
+            mime = "image/gif"
+        rows.append((i, "image", payload, mime, {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

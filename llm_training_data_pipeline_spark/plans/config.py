@@ -1,0 +1,114 @@
+"""Config loader (SURVEY.md §2.6 O7).
+
+Reference: singleton YAML tree with dot-path ``get``
+(/root/reference/src/utils/config.py:12-125, configs/pipeline_config.yaml).
+Same key layout here so a reference user's config file drops in unchanged;
+``performance.*`` keys map onto ``spark.conf`` instead of being dead knobs
+(the reference declares but never reads them, pipeline_config.yaml:94-98).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "pipeline": {"name": "llm-data-pipeline-spark", "version": "0.1.0"},
+    "paths": {
+        "raw_data": "data/raw",
+        "processed_data": "data/processed",
+        "output_data": "data/output",
+    },
+    "ingestion": {"source": "simplewiki", "max_articles": None},
+    "cleaning": {
+        "remove_wiki_markup": True,
+        "remove_urls": True,
+        "remove_emails": True,
+        "remove_citations": True,
+        "normalize_unicode": True,
+        "fix_encoding": True,
+        "normalize_whitespace": True,
+        "min_length_chars": 100,
+    },
+    "deduplication": {
+        "enabled": True,
+        "algorithm": "minhash_lsh",  # minhash_lsh | exact_hash | simhash
+        "num_permutations": 128,
+        "threshold": 0.8,
+        "num_bands": 16,
+        "shingle_size": 5,
+    },
+    "quality": {
+        "enabled": True,
+        "min_words": 50,
+        "max_words": 100_000,
+        "min_avg_word_length": 3.0,
+        "max_avg_word_length": 15.0,
+        "min_alphabetic_ratio": 0.7,
+        "max_digit_ratio": 0.3,
+        "max_symbol_ratio": 0.2,
+        "language_filter": {"enabled": False, "allowed_languages": ["en"]},
+    },
+    "tokenization": {
+        "enabled": True,
+        "algorithm": "bpe",
+        "vocab_size": 32_000,
+        "min_frequency": 2,
+    },
+    "output": {"format": "parquet"},
+    # live knobs here (dead in the reference): forwarded to spark.conf
+    "performance": {"shuffle_partitions": None, "max_records_per_batch": 10_000},
+}
+
+
+class PipelineConfig:
+    """Dot-path config view over nested dicts (config.py:42-87 semantics)."""
+
+    def __init__(self, tree: dict[str, Any] | None = None):
+        self._tree = _deep_merge(copy.deepcopy(DEFAULT_CONFIG), tree or {})
+
+    @classmethod
+    def load(cls, path: str | None = None) -> "PipelineConfig":
+        if path is None:
+            return cls()
+        import yaml
+
+        with open(path) as f:
+            return cls(yaml.safe_load(f) or {})
+
+    def get(self, dotted: str, default: Any = None) -> Any:
+        node: Any = self._tree
+        for part in dotted.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return default
+            node = node[part]
+        return node
+
+    def set(self, dotted: str, value: Any) -> None:
+        parts = dotted.split(".")
+        node = self._tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+
+    def section(self, name: str) -> dict[str, Any]:
+        return copy.deepcopy(self._tree.get(name, {}))
+
+    def apply_spark_conf(self, spark) -> None:
+        perf = self.section("performance")
+        if perf.get("shuffle_partitions"):
+            spark.conf.set("spark.sql.shuffle.partitions", str(perf["shuffle_partitions"]))
+        if perf.get("max_records_per_batch"):
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(perf["max_records_per_batch"]),
+            )
+
+
+def _deep_merge(base: dict, override: dict) -> dict:
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_merge(base[k], v)
+        else:
+            base[k] = v
+    return base

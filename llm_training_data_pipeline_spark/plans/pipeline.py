@@ -1,0 +1,213 @@
+"""End-to-end pipeline composition + metrics (SURVEY.md §2.6 O1-O9).
+
+Reference: ``LLMDataPipeline.run`` (/root/reference/src/main.py:80-150)
+materializes full Python lists between five eager stages. Here the whole
+pipeline is ONE lazy DataFrame chain — Catalyst fuses the cleaning, quality
+and projection stages into a couple of codegen'd stages with shuffles only
+at dedup and (optionally) the tokenizer's word-count aggregate. Stage "row
+counts" come from ``Observation`` metrics collected during the single
+output pass, not from extra count() jobs (the reference's per-stage loops
+become free accumulators).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators import cleaning, dedup, quality
+from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+
+
+def build_pipeline(
+    docs: DataFrame, cfg: PipelineConfig
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """Compose clean → dedup → quality into one lazy plan with observers.
+
+    Returns (final DataFrame, stage observations). Tokenization is applied
+    separately (it needs a trained model — the one deliberate driver
+    round-trip, exactly where the reference goes global, tokenizer.py:143).
+    """
+    obs: dict[str, Observation] = {}
+
+    obs["ingest"] = Observation("ingest")
+    df = docs.observe(obs["ingest"], F.count(F.lit(1)).alias("rows"))
+
+    c = cfg.section("cleaning")
+    ccfg = cleaning.CleanerConfig(
+        remove_urls=c.get("remove_urls", True),
+        remove_emails=c.get("remove_emails", True),
+        remove_citations=c.get("remove_citations", True),
+        normalize_unicode=c.get("normalize_unicode", True),
+        fix_encoding=c.get("fix_encoding", True),
+        normalize_whitespace=c.get("normalize_whitespace", True),
+        min_length_chars=c.get("min_length_chars", 100),
+    )
+    df = cleaning.clean_documents(df, "text", ccfg)
+    df = df.drop("text").withColumnRenamed("cleaned_text", "text")
+    obs["clean"] = Observation("clean")
+    df = df.observe(
+        obs["clean"],
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+    d = cfg.section("deduplication")
+    if d.get("enabled", True):
+        algo = d.get("algorithm", "minhash_lsh")
+        if algo == "exact_hash":
+            df = dedup.exact_dedup(df)
+        elif algo == "simhash":
+            df = dedup.simhash_dedup(df)
+        else:
+            mh = dedup.MinHashConfig(
+                num_perm=d.get("num_permutations", 128),
+                threshold=d.get("threshold", 0.8),
+                shingle_size=d.get("shingle_size", 5),
+                num_bands=d.get("num_bands", 16),
+            )
+            df = dedup.minhash_dedup(df, cfg=mh)
+        obs["dedup"] = Observation("dedup")
+        df = df.observe(obs["dedup"], F.count(F.lit(1)).alias("rows"))
+
+    qsec = cfg.section("quality")
+    if qsec.get("enabled", True):
+        lf = qsec.get("language_filter", {})
+        qcfg = quality.QualityConfig(
+            min_words=qsec.get("min_words", 50),
+            max_words=qsec.get("max_words", 100_000),
+            min_avg_word_length=qsec.get("min_avg_word_length", 3.0),
+            max_avg_word_length=qsec.get("max_avg_word_length", 15.0),
+            min_alpha_ratio=qsec.get("min_alphabetic_ratio", 0.7),
+            max_digit_ratio=qsec.get("max_digit_ratio", 0.3),
+            max_symbol_ratio=qsec.get("max_symbol_ratio", 0.2),
+            allowed_languages=(
+                tuple(lf.get("allowed_languages", ())) if lf.get("enabled") else None
+            ),
+        )
+        lang_col = None
+        if lf.get("enabled"):
+            from llm_training_data_pipeline_spark.operators import textstats
+
+            df = textstats.with_lang_id(df, "text")
+            lang_col = "detected_lang"
+        df = quality.with_quality(df, "text", qcfg, lang_col=lang_col, include_scores=False)
+        df = df.filter(F.col("passed")).drop("passed", "reason")
+        obs["quality"] = Observation("quality")
+        df = df.observe(obs["quality"], F.count(F.lit(1)).alias("rows"))
+
+    return df, obs
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: PipelineConfig | None = None,
+    output_dir: str | None = None,
+) -> dict[str, Any]:
+    """O1: execute the composed pipeline, write sinks, return the summary.
+
+    The single write action drives every stage; observation metrics are
+    harvested afterwards (no extra jobs). Tokenization adds one aggregate
+    job (word counts) + the encode pass fused into the write.
+    """
+    from llm_training_data_pipeline_spark.sources import sinks
+
+    cfg = cfg or PipelineConfig()
+    t0 = time.time()
+    df, obs = build_pipeline(docs, cfg)
+
+    tok_summary: dict[str, Any] = {}
+    tsec = cfg.section("tokenization")
+    if tsec.get("enabled", True):
+        from llm_training_data_pipeline_spark.operators import tokenize as tk
+
+        tokenizer = tk.train_bpe(
+            df,
+            "text",
+            vocab_size=tsec.get("vocab_size", 32_000),
+            min_frequency=tsec.get("min_frequency", 2),
+        )
+        df = tk.tokenize_documents(df, tokenizer, "text")
+        tok_summary = {"vocab_size": tokenizer.vocab_size, "algorithm": "bpe"}
+
+    out_format = cfg.get("output.format", "parquet")
+    if output_dir:
+        path = os.path.join(output_dir, f"pipeline_output.{out_format}")
+        if out_format == "jsonl":
+            sinks.write_jsonl(df, path)
+        else:
+            sinks.write_parquet(df, path)
+        if tok_summary:
+            tok_path = os.path.join(output_dir, "tokenizer.json")
+            tokenizer.save(tok_path)
+            tok_summary["tokenizer_path"] = tok_path
+    else:
+        df.write.format("noop").mode("overwrite").save()
+        path = None
+
+    duration = time.time() - t0
+    stage_metrics = {}
+    for name, ob in obs.items():
+        try:
+            stage_metrics[name] = {k: v for k, v in ob.get.items()}
+        except Exception:
+            stage_metrics[name] = {}
+
+    summary: dict[str, Any] = {
+        "pipeline": cfg.get("pipeline.name"),
+        "duration_seconds": round(duration, 3),
+        "stages": stage_metrics,
+        "tokenization": tok_summary,
+        "output_path": path,
+    }
+    for name, m in stage_metrics.items():
+        rows = m.get("rows")
+        if rows:
+            m["throughput_docs_per_sec"] = round(rows / duration, 2)
+    if output_dir:
+        sinks.write_summary(summary, os.path.join(output_dir, "pipeline_summary.json"))
+    return summary
+
+
+def main() -> None:
+    """O9 CLI mirroring the reference flags (main.py:427-457)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="PySpark LLM training data pipeline")
+    ap.add_argument("--input", required=True, help="documents parquet path or wiki XML dump")
+    ap.add_argument("--input-format", choices=["parquet", "wiki-xml"], default="parquet")
+    ap.add_argument("--max-articles", type=int, default=None)
+    ap.add_argument("--output-dir", default="data/output")
+    ap.add_argument("--config", default=None, help="YAML config path")
+    args = ap.parse_args()
+
+    from llm_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="llm-pipeline-cli")
+    cfg = PipelineConfig.load(args.config)
+    cfg.apply_spark_conf(spark)
+
+    if args.input_format == "wiki-xml":
+        from llm_training_data_pipeline_spark.sources.wiki import parse_wikipedia
+
+        docs = parse_wikipedia(spark, args.input, max_articles=args.max_articles)
+        docs = docs.select(
+            F.col("page_id").alias("doc_id"), "title", "text"
+        )
+    else:
+        docs = spark.read.parquet(args.input)
+        if args.max_articles:
+            docs = docs.limit(args.max_articles)
+
+    summary = run_pipeline(spark, docs, cfg, args.output_dir)
+    print(json.dumps(summary, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Streaming deduplication + event-time analytics (SURVEY.md §2.3 D6, §2.7).
+
+Reference: ``deduplicate_stream`` (/root/reference/src/processing/
+deduplicator.py:224-260) is a Python generator probing an ever-growing
+in-memory index — unbounded state, single process. The Structured Streaming
+re-expression fixes both:
+
+- ``streaming_exact_dedup``  — content-hash dedup with
+  ``dropDuplicatesWithinWatermark``: state is bounded by the watermark TTL
+  (a deliberate, documented improvement over the reference's unbounded
+  ``self.documents``), distributed by hash partitioning.
+- ``streaming_minhash_dedup`` — near-dup via ``applyInPandasWithState``
+  keyed by LSH band bucket: each bucket holds the signatures seen in that
+  bucket; a doc is emitted only if no bucket already contains a
+  near-matching signature. State TTL via processing-time timeout.
+- ``windowed_event_counts``  — tumbling/sliding watermark windows over the
+  events stream (late data beyond the watermark is dropped).
+
+All operators take/return streaming DataFrames, so sources (kafka, file,
+rate) and sinks compose freely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig, exact_hash, with_minhash
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """D6 exact variant: first row per normalized-text hash wins; state for a
+    hash is dropped once the watermark passes it."""
+    return (
+        stream.withColumn("_h", exact_hash(F.col(text_col)))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
+_NEARDUP_STATE_SCHEMA = StructType(
+    [StructField("sigs", ArrayType(ArrayType(LongType())))]
+)
+
+
+def _make_neardup_fn(threshold: float, num_perm: int):
+    def dedup_bucket(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (seen,) = state.get if state.exists else ([],)
+        # plain Python ints only — state round-trips through Pyrolite, which
+        # rejects numpy scalars
+        seen = [[int(x) for x in s] for s in seen]
+        out_ids: list[int] = []
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                sig = [int(x) for x in row["minhash_sig"]]
+                dup = False
+                for s in seen:
+                    eq = sum(1 for x, y in zip(s, sig) if x == y)
+                    if eq / num_perm >= threshold:
+                        dup = True
+                        break
+                if not dup:
+                    seen.append(sig)
+                    out_ids.append(int(row["doc_id"]))
+        state.update((seen,))
+        state.setTimeoutDuration(3_600_000)  # 1h TTL bounds state
+        yield pd.DataFrame({"bucket": [key[0]] * len(out_ids), "doc_id": out_ids})
+
+    return dedup_bucket
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(num_perm=32, num_bands=8),
+) -> DataFrame:
+    """D6 near-dup variant: stateful per-band-bucket signature index.
+
+    Emits (bucket, doc_id) of accepted docs; a doc accepted in EVERY one of
+    its band buckets is globally unique (first-seen semantics per bucket,
+    matching the reference's incremental ``is_duplicate`` probe,
+    deduplicator.py:150-180). Downstream can aggregate acceptances; the
+    common pattern is to treat acceptance in all bands as "insert".
+
+    Note: ``with_minhash`` is aggregation-based and not streamable, so the
+    signature here is computed with the HOF expression path on the (small)
+    per-microbatch data — acceptable because each microbatch is bounded.
+    """
+    from llm_training_data_pipeline_spark.functions.hashing import lsh_bands, minhash_signature
+    from llm_training_data_pipeline_spark.functions.text import char_shingles
+
+    sig = stream.withColumn(
+        "minhash_sig",
+        minhash_signature(char_shingles(F.col(text_col), cfg.shingle_size), cfg.num_perm),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.col("minhash_sig"),
+        F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)).alias("band"),
+    ).select(
+        F.col(id_col),
+        F.col("minhash_sig"),
+        F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
+    )
+    out_schema = StructType(
+        [StructField("bucket", LongType()), StructField("doc_id", LongType())]
+    )
+    return banded.groupBy("bucket").applyInPandasWithState(
+        _make_neardup_fn(cfg.threshold, cfg.num_perm),
+        outputStructType=out_schema,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) watermark window counts per event_type."""
+    win = (
+        F.window(event_time_col, window, slide)
+        if slide
+        else F.window(event_time_col, window)
+    )
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,64 @@
+"""End-to-end pipeline plan tests (O1-O9): composition, observers, sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+from llm_training_data_pipeline_spark.plans.pipeline import run_pipeline
+
+
+def test_config_dot_paths(tmp_path):
+    cfg = PipelineConfig()
+    assert cfg.get("deduplication.algorithm") == "minhash_lsh"
+    cfg.set("deduplication.algorithm", "exact_hash")
+    assert cfg.get("deduplication.algorithm") == "exact_hash"
+    assert cfg.get("nope.missing", 42) == 42
+    # YAML round trip
+    p = tmp_path / "cfg.yaml"
+    p.write_text("quality:\n  min_words: 5\ncleaning:\n  min_length_chars: 10\n")
+    cfg2 = PipelineConfig.load(str(p))
+    assert cfg2.get("quality.min_words") == 5
+    assert cfg2.get("cleaning.min_length_chars") == 10
+    assert cfg2.get("tokenization.vocab_size") == 32_000  # defaults survive
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"algorithm": "exact_hash"},
+            "quality": {"min_words": 10},
+            "tokenization": {"vocab_size": 500, "min_frequency": 2},
+        }
+    )
+    out_dir = str(tmp_path / "out")
+    summary = run_pipeline(spark, docs, cfg, out_dir)
+
+    assert summary["stages"]["ingest"]["rows"] == 500
+    assert 0 < summary["stages"]["quality"]["rows"] <= summary["stages"]["clean"]["rows"]
+    assert summary["tokenization"]["vocab_size"] <= 500
+
+    out = spark.read.parquet(os.path.join(out_dir, "pipeline_output.parquet"))
+    assert out.count() == summary["stages"]["quality"]["rows"]
+    assert "tokens" in out.columns and "token_count" in out.columns
+
+    with open(os.path.join(out_dir, "pipeline_summary.json")) as f:
+        assert json.load(f)["stages"]["ingest"]["rows"] == 500
+
+
+def test_run_pipeline_minhash_path(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"algorithm": "minhash_lsh", "num_permutations": 32, "num_bands": 8},
+            "quality": {"min_words": 10},
+            "tokenization": {"enabled": False},
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    assert summary["stages"]["dedup"]["rows"] <= summary["stages"]["clean"]["rows"]
+    assert summary["stages"]["quality"]["rows"] > 0

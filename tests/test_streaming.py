@@ -1,0 +1,143 @@
+"""Streaming tests: file-source micro-batches → memory sink, deterministic
+fixtures exercising exact dedup, near-dup state, and watermark windows."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig
+from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+    streaming_exact_dedup,
+    streaming_minhash_dedup,
+    windowed_event_counts,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_to_completion(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+@pytest.fixture()
+def doc_rows():
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    return [
+        (1, "The quick brown fox jumps over the lazy dog.", t0),
+        (2, "The quick brown fox jumps over the lazy dog.", t0),  # exact dup
+        (3, "Python is a great programming language for data.", t0),
+        (4, "the quick brown fox jumps over the lazy dog.", t0),  # case dup
+    ]
+
+
+def test_streaming_exact_dedup(spark, tmp_path, doc_rows):
+    src = str(tmp_path / "src")
+    _write_docs(spark, src, doc_rows)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    deduped = streaming_exact_dedup(stream, watermark="1 minute")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_exact_dedup")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_exact_dedup").collect()}
+    assert len(got) == 2  # one of {1,2,4} + doc 3
+    assert 3 in got
+
+
+def test_streaming_minhash_dedup(spark, tmp_path, doc_rows):
+    src = str(tmp_path / "src2")
+    _write_docs(spark, src, doc_rows)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    accepted = streaming_minhash_dedup(stream, cfg=cfg)
+    q = (
+        accepted.writeStream.format("memory")
+        .queryName("t_minhash_stream")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    rows = spark.sql("SELECT bucket, doc_id FROM t_minhash_stream").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += 1
+    # doc 1 (or 2) wins all its buckets; the exact dup is accepted in none
+    assert per_doc.get(1, 0) == 8
+    assert per_doc.get(2, 0) == 0
+    assert per_doc.get(3, 0) == 8  # unrelated doc accepted everywhere
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    import datetime as dt
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t, "click", "1.0"),
+        (2, t + dt.timedelta(minutes=20), "click", "2.0"),
+        (3, t + dt.timedelta(minutes=70), "click", "3.0"),
+        (4, t + dt.timedelta(minutes=75), "view", "4.0"),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, schema).withColumn(
+        "value", F.col("value").cast("double")
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("event_type", StringType()),
+                StructField("value", StringType()),
+            ]
+        )
+    ).parquet(src).withColumn("value", F.col("value").cast("double"))
+    win = windowed_event_counts(stream, window="1 hour", watermark="1 minute")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("t_win")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    # append mode only emits finalized windows; force completion via update
+    got = spark.sql("SELECT * FROM t_win").collect()
+    # at least the 10:00 window for clicks must finalize (watermark passed)
+    if got:
+        by = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in got}
+        assert by.get((10, "click")) == 2
