@@ -615,3 +615,92 @@ def grouping_sets_revenue_sql() -> str:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
     """
+
+
+def q6_revenue_delta_sql() -> str:
+    return """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """
+
+
+def having_big_orders_sql() -> str:
+    return """
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 12
+    """
+
+
+def distinct_stats_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+
+def theta_join_price_bands_sql() -> str:
+    return """
+        WITH bands(band_name, lo, hi) AS (
+          VALUES ('budget', 0.0, 500.0),
+                 ('mid', 500.0, 1200.0),
+                 ('premium', 1200.0, 100000.0)
+        )
+        SELECT band_name, CAST(count(*) AS BIGINT) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part JOIN bands
+          ON p_retailprice >= lo AND p_retailprice < hi
+        GROUP BY band_name
+    """
+
+
+def pivot_status_priority_sql() -> str:
+    return """
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+               CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+               CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+               CAST(count(*) FILTER (o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM')) AS BIGINT) AS other
+        FROM orders GROUP BY o_orderstatus
+    """
+
+
+def minmax_by_nation_sql() -> str:
+    return """
+        SELECT c_nationkey,
+               arg_max(c_name, c_acctbal) AS richest_customer,
+               arg_min(c_name, c_acctbal) AS poorest_customer,
+               round(max(c_acctbal), 2) AS max_bal,
+               round(min(c_acctbal), 2) AS min_bal,
+               round(median(c_acctbal), 4) AS median_bal
+        FROM customer
+        GROUP BY c_nationkey
+    """
+
+
+def map_functions_events_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(map(['n','total'], [CAST(count(*) AS DOUBLE), round(sum(value),2)])['n'][1] AS BIGINT) AS n_from_map,
+               round(map(['n','total'], [CAST(count(*) AS DOUBLE), round(sum(value),2)])['total'][1], 2) AS total_from_map
+        FROM events GROUP BY event_type
+    """
+
+
+def exists_subquery_sql() -> str:
+    return """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """

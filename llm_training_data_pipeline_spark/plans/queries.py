@@ -526,3 +526,122 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
     )
+
+
+@register("q6_revenue_delta", oracle.q6_revenue_delta_sql())
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan filter + single-row aggregate — the query
+    where predicate pushdown into the parquet scan matters most."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("having_big_orders", oracle.having_big_orders_sql())
+def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register("distinct_stats", oracle.distinct_stats_sql())
+def q_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("theta_join_price_bands", oracle.theta_join_price_bands_sql())
+def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join against a literal band table — broadcast NLJ."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 100000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register("pivot_status_priority", oracle.pivot_status_priority_sql())
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (portable across engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    known = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("high"),
+        F.count(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1)).alias("medium"),
+        F.count(F.when(~F.col("o_orderpriority").isin(*known), 1)).alias("other"),
+    )
+
+
+@register("minmax_by_nation", oracle.minmax_by_nation_sql())
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+    )
+
+
+@register("map_functions_events", oracle.map_functions_events_sql())
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP construction + element_at access (map scalar surface)."""
+    ev = _t(spark, sf_dir, "events")
+    agged = ev.groupBy("event_type").agg(
+        F.create_map(
+            F.lit("n"), F.count(F.lit(1)).cast("double"),
+            F.lit("total"), F.round(F.sum("value"), 2),
+        ).alias("m")
+    )
+    return agged.select(
+        "event_type",
+        F.element_at("m", "n").cast("long").alias("n_from_map"),
+        F.round(F.element_at("m", "total"), 2).alias("total_from_map"),
+    )
+
+
+@register("exists_subquery", oracle.exists_subquery_sql())
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery via SQL (Catalyst rewrites to semi join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_ex_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ex_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM _ex_customer c
+        WHERE EXISTS (SELECT 1 FROM _ex_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """
+    )

@@ -60,7 +60,7 @@ _NEARDUP_STATE_SCHEMA = StructType(
 )
 
 
-def _make_neardup_fn(threshold: float, num_perm: int):
+def _make_neardup_fn(threshold: float, num_perm: int, state_ttl_ms: int | None):
     def dedup_bucket(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -85,7 +85,8 @@ def _make_neardup_fn(threshold: float, num_perm: int):
                     seen.append(sig)
                     out_ids.append(int(row["doc_id"]))
         state.update((seen,))
-        state.setTimeoutDuration(3_600_000)  # 1h TTL bounds state
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)  # TTL bounds state size
         yield pd.DataFrame({"bucket": [key[0]] * len(out_ids), "doc_id": out_ids})
 
     return dedup_bucket
@@ -96,8 +97,15 @@ def streaming_minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(num_perm=32, num_bands=8),
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """D6 near-dup variant: stateful per-band-bucket signature index.
+
+    ``state_ttl_ms`` enables a processing-time TTL that evicts idle bucket
+    state (the fix for the reference's unbounded index). Leave None for
+    bounded test runs: a registered processing-time timeout keeps the
+    micro-batch engine scheduling work, so ``processAllAvailable`` would
+    never quiesce.
 
     Emits (bucket, doc_id) of accepted docs; a doc accepted in EVERY one of
     its band buckets is globally unique (first-seen semantics per bucket,
@@ -128,12 +136,17 @@ def streaming_minhash_dedup(
     out_schema = StructType(
         [StructField("bucket", LongType()), StructField("doc_id", LongType())]
     )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return banded.groupBy("bucket").applyInPandasWithState(
-        _make_neardup_fn(cfg.threshold, cfg.num_perm),
+        _make_neardup_fn(cfg.threshold, cfg.num_perm, state_ttl_ms),
         outputStructType=out_schema,
         stateStructType=_NEARDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

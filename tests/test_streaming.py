@@ -98,35 +98,26 @@ def test_streaming_minhash_dedup(spark, tmp_path, doc_rows):
 def test_windowed_event_counts(spark, tmp_path):
     import datetime as dt
 
+    from pyspark.sql.types import DoubleType
+
     schema = StructType(
         [
             StructField("event_id", LongType()),
             StructField("ts", TimestampType()),
             StructField("event_type", StringType()),
-            StructField("value", StringType()),
+            StructField("value", DoubleType()),
         ]
     )
     t = dt.datetime(2024, 1, 1, 10, 0, 0)
     rows = [
-        (1, t, "click", "1.0"),
-        (2, t + dt.timedelta(minutes=20), "click", "2.0"),
-        (3, t + dt.timedelta(minutes=70), "click", "3.0"),
-        (4, t + dt.timedelta(minutes=75), "view", "4.0"),
+        (1, t, "click", 1.0),
+        (2, t + dt.timedelta(minutes=20), "click", 2.0),
+        (3, t + dt.timedelta(minutes=70), "click", 3.0),
+        (4, t + dt.timedelta(minutes=75), "view", 4.0),
     ]
     src = str(tmp_path / "ev")
-    spark.createDataFrame(rows, schema).withColumn(
-        "value", F.col("value").cast("double")
-    ).coalesce(1).write.parquet(src)
-    stream = spark.readStream.schema(
-        StructType(
-            [
-                StructField("event_id", LongType()),
-                StructField("ts", TimestampType()),
-                StructField("event_type", StringType()),
-                StructField("value", StringType()),
-            ]
-        )
-    ).parquet(src).withColumn("value", F.col("value").cast("double"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
     win = windowed_event_counts(stream, window="1 hour", watermark="1 minute")
     q = (
         win.writeStream.format("memory")
