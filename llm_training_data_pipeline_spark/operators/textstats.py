@@ -75,7 +75,22 @@ def lang_id(text: Column, min_score: float = 0.01) -> Column:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detected_lang") -> DataFrame:
-    return df.withColumn(out_col, lang_id(F.col(text_col)))
+    """Stage per-language scores as columns, then argmax over attributes —
+    embedding the regexp_count scores straight into the when-cascade would
+    re-evaluate each pattern once per branch (~10x the regex work)."""
+    min_score = 0.01
+    score_exprs = lang_scores(F.col(text_col))
+    staged = df.select(
+        "*", *[col.alias(f"_ls_{lang}") for lang, col in score_exprs.items()]
+    )
+    s = {lang: F.col(f"_ls_{lang}") for lang in score_exprs}
+    best = F.greatest(*[s[lang] for lang in LANG_PROFILES])
+    cascade = F.when(s["zh"] >= F.lit(0.05), "zh")
+    for lang in ("en", "fr", "es", "de"):
+        cascade = cascade.when((best >= F.lit(min_score)) & (s[lang] == best), lang)
+    return staged.withColumn(out_col, cascade.otherwise("unknown")).drop(
+        *[f"_ls_{lang}" for lang in score_exprs]
+    )
 
 
 def token_count_ws(text: Column) -> Column:

@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig, exact_hash, with_minhash
+from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig, exact_hash
 
 
 def streaming_exact_dedup(
@@ -113,7 +113,7 @@ def streaming_minhash_dedup(
     deduplicator.py:150-180). Downstream can aggregate acceptances; the
     common pattern is to treat acceptance in all bands as "insert".
 
-    Note: ``with_minhash`` is aggregation-based and not streamable, so the
+    Note: ``minhash_signatures`` is aggregation-based and not streamable, so the
     signature here is computed with the HOF expression path on the (small)
     per-microbatch data — acceptable because each microbatch is bounded.
     """
