@@ -125,9 +125,21 @@ def _minhash_sig_table(
     )
 
     a, b = _perm_params(cfg.num_perm, seed=42)
-    exploded = df.select(
+    # stage the normalized text as a column: char_shingles over a raw text
+    # expression would re-run the lowercase+collapse regex once per gram
+    normed = df.select(
         F.col(id_col),
-        F.explode(char_shingles(F.col(text_col), cfg.shingle_size)).alias("_sh"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+    )
+    n = cfg.shingle_size
+    ln = F.length("_norm")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
+        lambda i: F.col("_norm").substr(i, F.lit(n)),
+    )
+    shingles = F.when(ln < n, F.array(F.col("_norm"))).otherwise(F.array_distinct(grams))
+    exploded = normed.select(
+        F.col(id_col), F.explode(shingles).alias("_sh")
     ).select(F.col(id_col), F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD)).alias("_h"))
     mins = exploded.groupBy(id_col).agg(
         *[
@@ -162,19 +174,16 @@ def minhash_candidate_pairs(
     signature-estimated Jaccard.
 
     Plan shape (the scale-critical part):
-    1. signature table PERSISTED — the band self-join references it twice,
-       and without pinning it Spark recomputes the whole shingle+aggregate
-       pipeline per side (measured ~9x slower);
+    1. signature table MATERIALIZED (eager localCheckpoint) — the band
+       self-join references it twice and downstream joins twice more; lazy
+       persist still lets concurrent branches of one job race and recompute
+       the whole shingle+aggregate pipeline per branch (measured ~9x);
     2. the self-join ships only (id, bucket) — signatures are joined back
        by id for the surviving candidate pairs, so shuffle width stays
        16 bytes/row instead of 16 + 8*num_perm;
     3. verification is the signature-estimated Jaccard >= threshold.
     """
-    from pyspark import StorageLevel
-
-    sig = minhash_signatures(df, text_col, id_col, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sig = minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
     banded = (
         sig.withColumn("band", F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)))
         .select(
