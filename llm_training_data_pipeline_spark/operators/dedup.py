@@ -349,7 +349,12 @@ def simhash_dedup(
 
 
 def word_ngrams(col: Column, n: int = 2) -> Column:
-    """Distinct word n-grams (space-joined) of lowercased text."""
+    """Distinct word n-grams (space-joined) of lowercased text.
+
+    NOTE: pass an *attribute* (staged column) as ``col`` in hot paths — the
+    tokenization is referenced once per gram, so a raw expression would be
+    re-evaluated per gram (see ``_minhash_sig_table`` for the pattern).
+    """
     toks = whitespace_tokens(F.lower(col))
     ln = F.size(toks)
     grams = F.transform(
@@ -373,8 +378,25 @@ def ngram_jaccard_pairs(
     ``block_col`` bounds the pair explosion — the classic blocked similarity
     join). Fully SQL-expressible → DuckDB oracle checks values exactly.
     """
-    g = df.select(
-        F.col(id_col), F.col(block_col).alias("_blk"), word_ngrams(F.col(text_col), n).alias("_grams")
+    # stage tokens as a column: the gram builder references the token array
+    # once per gram, so the split must not be re-evaluated there
+    staged = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    ln = F.size(toks)
+    grams_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    g = staged.select(
+        F.col(id_col),
+        F.col("_blk"),
+        F.when(ln < n, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array_distinct(grams_expr))
+        .alias("_grams"),
     )
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))

@@ -56,7 +56,11 @@ class BpeTokenizer:
         return self.vocab[self.special_tokens[1]]
 
     def _ranks(self) -> dict[tuple[str, str], int]:
-        return {pair: i for i, pair in enumerate(self.merges)}
+        r = getattr(self, "_ranks_memo", None)
+        if r is None:
+            r = {pair: i for i, pair in enumerate(self.merges)}
+            object.__setattr__(self, "_ranks_memo", r)
+        return r
 
     def encode_word(self, word: str, ranks: dict[tuple[str, str], int]) -> list[int]:
         symbols = list(word) + [END_OF_WORD]
@@ -181,6 +185,226 @@ def train_bpe_from_word_counts(
     return BpeTokenizer(vocab=vocab, merges=merges, special_tokens=special_tokens)
 
 
+def train_wordpiece_from_word_counts(
+    wc: list[tuple[str, int]],
+    vocab_size: int = 32_000,
+    min_frequency: int = 2,
+    special_tokens: list[str] | None = None,
+) -> BpeTokenizer:
+    """WordPiece-scored merge learning: same loop as BPE but the next merge
+    maximizes ``count(ab) / (count(a) * count(b))`` (HF WordPiece scoring)
+    rather than raw pair frequency. Returns the same model type — encoding
+    is identical merge-rank application.
+    """
+    special_tokens = list(special_tokens or SPECIAL_TOKENS)
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in wc:
+        if w:
+            key = tuple(w) + (END_OF_WORD,)
+            words[key] = words.get(key, 0) + c
+
+    alphabet = sorted({s for word in words for s in word})
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        vocab[tok] = len(vocab)
+    for s in alphabet:
+        vocab[s] = len(vocab)
+
+    merges: list[tuple[str, str]] = []
+    while len(vocab) < vocab_size:
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for word, c in words.items():
+            for s in word:
+                sym_counts[s] = sym_counts.get(s, 0) + c
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        scored = (
+            ((cnt / (sym_counts[p[0]] * sym_counts[p[1]])), cnt, p)
+            for p, cnt in pair_counts.items()
+            if cnt >= min_frequency
+        )
+        best = min(scored, key=lambda t: (-t[0], t[2]), default=None)
+        if best is None:
+            break
+        _score, _cnt, (a, b) = best
+        merges.append((a, b))
+        vocab[a + b] = len(vocab)
+        new_words: dict[tuple[str, ...], int] = {}
+        for word, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    return BpeTokenizer(vocab=vocab, merges=merges, special_tokens=special_tokens)
+
+
+def train_unigram_from_word_counts(
+    wc: list[tuple[str, int]],
+    vocab_size: int = 32_000,
+    min_frequency: int = 2,
+    special_tokens: list[str] | None = None,
+    max_piece_len: int = 8,
+) -> "UnigramTokenizer":
+    """Simplified Unigram LM trainer: seed with all substrings up to
+    ``max_piece_len`` weighted by frequency, keep the top ``vocab_size``
+    pieces (single chars always kept for coverage), encode by Viterbi
+    (max sum of log-probs). A deterministic, from-scratch stand-in for
+    SentencePiece's EM+pruning — the API and encode semantics match.
+    """
+    import math
+
+    special_tokens = list(special_tokens or SPECIAL_TOKENS)
+    piece_counts: dict[str, int] = {}
+    char_set: set[str] = set()
+    for w, c in wc:
+        if not w or c < 1:
+            continue
+        char_set.update(w)
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(i + 1 + max_piece_len, L + 1)):
+                piece = w[i:j]
+                piece_counts[piece] = piece_counts.get(piece, 0) + c
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in piece_counts.items()
+            if len(p) > 1 and c >= min_frequency
+        ),
+        key=lambda kv: (-kv[1] * len(kv[0]), kv[0]),  # favor long frequent pieces
+    )
+    budget = max(vocab_size - len(special_tokens) - len(char_set), 0)
+    kept = [p for p, _ in multi[:budget]]
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        vocab[tok] = len(vocab)
+    for ch in sorted(char_set):
+        vocab[ch] = len(vocab)
+    for p in kept:
+        vocab[p] = len(vocab)
+    total = sum(piece_counts.get(p, 1) for p in vocab if p not in special_tokens) or 1
+    logp = {
+        p: math.log(piece_counts.get(p, 1) / total)
+        for p in vocab
+        if p not in special_tokens
+    }
+    return UnigramTokenizer(vocab=vocab, logp=logp, special_tokens=special_tokens)
+
+
+@dataclass
+class UnigramTokenizer:
+    """Unigram-LM tokenizer: Viterbi segmentation over piece log-probs."""
+
+    vocab: dict[str, int]
+    logp: dict[str, float]
+    special_tokens: list[str] = field(default_factory=lambda: list(SPECIAL_TOKENS))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def unk_id(self) -> int:
+        return self.vocab[self.special_tokens[1]]
+
+    def encode_word(self, word: str) -> list[int]:
+        L = len(word)
+        NEG = float("-inf")
+        best = [NEG] * (L + 1)
+        back: list[tuple[int, str] | None] = [None] * (L + 1)
+        best[0] = 0.0
+        for j in range(1, L + 1):
+            for i in range(max(0, j - 16), j):
+                piece = word[i:j]
+                lp = self.logp.get(piece)
+                if lp is None and j - i == 1:
+                    lp = -100.0  # unknown single char — always segmentable
+                if lp is not None and best[i] + lp > best[j]:
+                    best[j] = best[i] + lp
+                    back[j] = (i, piece)
+        pieces: list[str] = []
+        j = L
+        while j > 0:
+            i, piece = back[j]  # type: ignore[misc]
+            pieces.append(piece)
+            j = i
+        pieces.reverse()
+        unk = self.unk_id
+        return [self.vocab.get(p, unk) for p in pieces]
+
+    def encode(self, text: str, _cache: dict | None = None) -> list[int]:
+        cache = _cache if _cache is not None else {}
+        out: list[int] = []
+        for w in text.split():
+            ids = cache.get(w)
+            if ids is None:
+                ids = self.encode_word(w)
+                if len(cache) < 200_000:
+                    cache[w] = ids
+            out.extend(ids)
+        return out
+
+    def decode(self, ids: list[int]) -> str:
+        inv = {i: s for s, i in self.vocab.items()}
+        specials = set(self.special_tokens)
+        return "".join(inv.get(i, "") for i in ids if inv.get(i) not in specials)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "type": "unigram",
+                    "vocab": self.vocab,
+                    "logp": self.logp,
+                    "special_tokens": self.special_tokens,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "UnigramTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(vocab=d["vocab"], logp=d["logp"], special_tokens=d["special_tokens"])
+
+
+TRAINERS = {
+    "bpe": train_bpe_from_word_counts,
+    "wordpiece": train_wordpiece_from_word_counts,
+    "unigram": train_unigram_from_word_counts,
+}
+
+
+def train_tokenizer(
+    df: DataFrame,
+    text_col: str = "text",
+    algorithm: str = "bpe",
+    vocab_size: int = 32_000,
+    min_frequency: int = 2,
+    max_words: int = 2_000_000,
+):
+    """T1/T2: distributed word counting + driver-side training with the
+    reference's algorithm choices {bpe, wordpiece, unigram}
+    (tokenizer.py:58-133)."""
+    if algorithm not in TRAINERS:
+        raise ValueError(f"unknown algorithm {algorithm!r}; choose from {sorted(TRAINERS)}")
+    wc_df = word_counts(df, text_col).orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
+    wc = [(r["word"], r["cnt"]) for r in wc_df.collect()]
+    return TRAINERS[algorithm](wc, vocab_size, min_frequency)
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -193,37 +417,29 @@ def train_bpe(
     ``max_words`` caps the driver collect to the most frequent words — the
     long tail below min_frequency cannot affect merges anyway.
     """
-    wc_df = word_counts(df, text_col).orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
-    wc = [(r["word"], r["cnt"]) for r in wc_df.collect()]
-    return train_bpe_from_word_counts(wc, vocab_size, min_frequency)
-
-
-def encode_udf(spark: SparkSession, tokenizer: BpeTokenizer):
-    """Broadcast the model once; per-executor word cache amortizes merges."""
-    bc = spark.sparkContext.broadcast(
-        {"vocab": tokenizer.vocab, "merges": tokenizer.merges, "special": tokenizer.special_tokens}
+    return train_tokenizer(
+        df, text_col, "bpe", vocab_size, min_frequency, max_words
     )
+
+
+def encode_udf(spark: SparkSession, tokenizer):
+    """Broadcast the model once; per-executor word cache amortizes work.
+
+    Works for any tokenizer exposing ``encode(text, _cache)`` (BPE,
+    WordPiece-scored BPE, Unigram).
+    """
+    bc = spark.sparkContext.broadcast(tokenizer)
 
     @pandas_udf(ArrayType(IntegerType()))
     def _encode(texts: pd.Series) -> pd.Series:
-        d = bc.value
-        tok = BpeTokenizer(d["vocab"], [tuple(m) for m in d["merges"]], d["special"])
+        tok = bc.value
         cache: dict = {}
-        ranks = tok._ranks()
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            ids: list[int] = []
-            for w in t.split():
-                got = cache.get(w)
-                if got is None:
-                    got = tok.encode_word(w, ranks)
-                    if len(cache) < 200_000:
-                        cache[w] = got
-                ids.extend(got)
-            out.append(ids)
+            out.append(tok.encode(t, cache))
         return pd.Series(out)
 
     return _encode
@@ -231,7 +447,7 @@ def encode_udf(spark: SparkSession, tokenizer: BpeTokenizer):
 
 def tokenize_documents(
     df: DataFrame,
-    tokenizer: BpeTokenizer,
+    tokenizer,
     text_col: str = "text",
     *,
     out_col: str = "tokens",
@@ -243,7 +459,7 @@ def tokenize_documents(
     return out.withColumn("token_count", F.size(F.col(out_col)).cast("long"))
 
 
-def tokenization_stats(df_tokenized: DataFrame, tokenizer: BpeTokenizer, text_col: str = "text") -> DataFrame:
+def tokenization_stats(df_tokenized: DataFrame, tokenizer, text_col: str = "text") -> DataFrame:
     """TokenizationStats aggregate (tokenizer.py:24-55): totals + derived
     avg_tokens_per_doc and compression_ratio (chars/token)."""
     agg = df_tokenized.agg(

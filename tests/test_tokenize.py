@@ -72,3 +72,47 @@ def test_unknown_chars_map_to_unk(spark):
     tok = train_bpe(_corpus_df(spark), vocab_size=200)
     ids = tok.encode("日本語")
     assert ids and all(i == tok.unk_id for i in ids[:-1] or ids)
+
+
+def test_wordpiece_and_unigram_variants(spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        UnigramTokenizer,
+        train_tokenizer,
+    )
+
+    df = _corpus_df(spark)
+    wp = train_tokenizer(df, algorithm="wordpiece", vocab_size=300, min_frequency=2)
+    ids = wp.encode("the quick brown fox")
+    assert ids and wp.decode(ids) == "the quick brown fox"
+
+    uni = train_tokenizer(df, algorithm="unigram", vocab_size=300, min_frequency=2)
+    assert isinstance(uni, UnigramTokenizer)
+    uids = uni.encode("the quick brown fox")
+    assert uids and uni.decode(uids) == "thequickbrownfox"  # unigram joins pieces
+    # frequent whole words should be single pieces
+    assert len(uni.encode("quick")) <= 2
+
+
+def test_unigram_save_load(tmp_path, spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        UnigramTokenizer,
+        train_tokenizer,
+    )
+
+    uni = train_tokenizer(_corpus_df(spark), algorithm="unigram", vocab_size=200)
+    p = os.path.join(tmp_path, "uni.json")
+    uni.save(p)
+    uni2 = UnigramTokenizer.load(p)
+    assert uni2.encode("quick brown") == uni.encode("quick brown")
+
+
+def test_tokenize_documents_with_unigram(spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    df = _corpus_df(spark)
+    uni = train_tokenizer(df, algorithm="unigram", vocab_size=300)
+    out = tokenize_documents(df, uni).select("token_count").collect()
+    assert all(r["token_count"] > 0 for r in out)
