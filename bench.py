@@ -54,7 +54,10 @@ def main() -> None:
     spark.range(1000).count()  # JVM warm-up
 
     reg = registry()
-    names = [n for n in args.queries.split(",") if n in reg]
+    names = [n for n in args.queries.split(",") if n]
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}; known: {sorted(reg)}")
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}

@@ -64,7 +64,7 @@ def build_pipeline(
             df = dedup.exact_dedup(df)
         elif algo == "simhash":
             df = dedup.simhash_dedup(df)
-        else:
+        elif algo == "minhash_lsh":
             mh = dedup.MinHashConfig(
                 num_perm=d.get("num_permutations", 128),
                 threshold=d.get("threshold", 0.8),
@@ -72,6 +72,11 @@ def build_pipeline(
                 num_bands=d.get("num_bands", 16),
             )
             df = dedup.minhash_dedup(df, cfg=mh)
+        else:
+            raise ValueError(
+                f"unknown deduplication.algorithm {algo!r}; "
+                "choose from minhash_lsh, exact_hash, simhash"
+            )
         obs["dedup"] = Observation("dedup")
         df = df.observe(obs["dedup"], F.count(F.lit(1)).alias("rows"))
 
@@ -127,14 +132,16 @@ def run_pipeline(
     if tsec.get("enabled", True):
         from llm_training_data_pipeline_spark.operators import tokenize as tk
 
-        tokenizer = tk.train_bpe(
+        algo = tsec.get("algorithm", "bpe")
+        tokenizer = tk.train_tokenizer(
             df,
             "text",
+            algorithm=algo,
             vocab_size=tsec.get("vocab_size", 32_000),
             min_frequency=tsec.get("min_frequency", 2),
         )
         df = tk.tokenize_documents(df, tokenizer, "text")
-        tok_summary = {"vocab_size": tokenizer.vocab_size, "algorithm": "bpe"}
+        tok_summary = {"vocab_size": tokenizer.vocab_size, "algorithm": algo}
 
     out_format = cfg.get("output.format", "parquet")
     if output_dir:
@@ -155,9 +162,13 @@ def run_pipeline(
     stage_metrics = {}
     for name, ob in obs.items():
         try:
-            stage_metrics[name] = {k: v for k, v in ob.get.items()}
+            m = dict(ob.get)
         except Exception:
-            stage_metrics[name] = {}
+            m = {}
+        # a stage that saw zero rows emits no metrics — report rows: 0
+        # rather than an empty dict that hides the empty stage
+        m.setdefault("rows", 0)
+        stage_metrics[name] = m
 
     summary: dict[str, Any] = {
         "pipeline": cfg.get("pipeline.name"),

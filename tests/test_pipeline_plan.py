@@ -62,3 +62,20 @@ def test_run_pipeline_minhash_path(spark, tmp_path):
     summary = run_pipeline(spark, docs, cfg, None)
     assert summary["stages"]["dedup"]["rows"] <= summary["stages"]["clean"]["rows"]
     assert summary["stages"]["quality"]["rows"] > 0
+
+
+def test_report_rendering():
+    from llm_training_data_pipeline_spark.plans.report import render_report
+
+    summary = {
+        "pipeline": "t",
+        "duration_seconds": 1.5,
+        "stages": {
+            "ingest": {"rows": 100},
+            "clean": {"rows": 90, "throughput_docs_per_sec": 60.0},
+            "quality": {"rows": 80},
+        },
+        "tokenization": {"algorithm": "bpe", "vocab_size": 99},
+    }
+    out = render_report(summary)
+    assert "ingest" in out and "90" in out and "10.0%" in out and "vocab=99" in out
