@@ -1,0 +1,64 @@
+"""Scale utilities: salted joins for skew, bucketed tables for
+shuffle-free co-located joins.
+
+These are the knobs a 100 TB deployment turns when AQE alone isn't enough:
+
+- ``salted_join`` — explicit skew mitigation for a join whose LEFT side has
+  hot keys: the left side gets a per-row salt, the right side is replicated
+  once per salt value, and the join key becomes (key, salt). Hot keys fan
+  out over ``num_salts`` reducers instead of one.
+- ``write_bucketed`` / ``bucketed_join_ready`` — persist both join sides
+  bucketed+sorted by the join key; Spark then sort-merge-joins bucket files
+  pairwise WITHOUT a shuffle (no Exchange in the plan). The right choice
+  for repeated joins against the same huge table (e.g. doc-id keyed
+  signature tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left join with the left side's hot keys spread over
+    ``num_salts`` partitions. Result equals ``left.join(right, on, how)``.
+
+    The left salt is derived deterministically from the full row hash, so
+    the plan stays reproducible (no ``rand()``); the right side is
+    replicated ``num_salts`` times — use only when ``right`` is far smaller
+    than the skew being fixed.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    lsalted = left.withColumn("_salt", salt.cast("int"))
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>"))
+    )
+    return lsalted.join(rsalted, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    w = w.sortBy(sort_col or bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str, on: str) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket specs Spark
+    plans a shuffle-free sort-merge join (verify: no Exchange in
+    ``.explain``)."""
+    return spark.table(table_a).join(spark.table(table_b), on=on)

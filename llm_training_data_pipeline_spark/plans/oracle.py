@@ -715,3 +715,26 @@ def tumbling_window_events_sql() -> str:
         FROM events
         GROUP BY 1, 2
     """
+
+
+def asof_join_events_sql() -> str:
+    return """
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               r.value AS last_purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+
+def stats_moments_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+               round(var_samp(l_quantity), 4) AS qty_var,
+               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+    """

@@ -1,0 +1,76 @@
+"""Scale-utility tests: salted join equivalence, bucketed join plan shape,
+and as-of join semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators.asof import asof_join
+from llm_training_data_pipeline_spark.operators.scale import (
+    bucketed_join_ready,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed left: 90% of rows share key 1
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, i) for i in range(10)], "k long, v long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, name string")
+    plain = {(r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["v"], r["name"]) for r in salted_join(left, right, "k", num_salts=4).collect()}
+    assert salted == plain and len(plain) == 100
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import shutil
+
+    for t in ("t_buck_a", "t_buck_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "t_buck_a", "k", num_buckets=4)
+    write_bucketed(b, "t_buck_b", "k", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join_ready(spark, "t_buck_a", "t_buck_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located sort-merge join: bucketed scans, no shuffle exchange
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_buck_a", "t_buck_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 10, minute, 0)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(20)), (3, 100, _ts(5)), (4, 200, _ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(8), 1.0), (100, _ts(15), 2.0), (100, _ts(20), 3.0), (300, _ts(1), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r["value"]
+        for r in asof_join(left, right, key="user_id", value_cols=["value"]).collect()
+    }
+    assert out[1] == 1.0   # latest at/before 10:10 is 10:08
+    assert out[2] == 3.0   # equal timestamp matches (<= semantics)
+    assert out[3] is None  # nothing at/before 10:05... wait, 10:05 < 10:08
+    assert out[4] is None  # user 200 has no purchases
