@@ -694,3 +694,31 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
     )
+
+
+@register("multimodal_image_meta", None)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload columns → header-level metadata
+    via mapInPandas (deterministic synthetic assets; rows-only check)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_image_meta,
+        synthetic_assets,
+    )
+
+    return decode_image_meta(synthetic_assets(spark, n=64))
+
+
+@register("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub feature extraction over Arrow batches (rows-only check)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_assets,
+    )
+
+    from pyspark.sql import functions as FF
+
+    feats = extract_features(synthetic_assets(spark, n=64))
+    return feats.select(
+        "asset_id", "modality", FF.round(FF.aggregate("features", FF.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum")
+    )
