@@ -738,3 +738,67 @@ def stats_moments_sql() -> str:
         FROM lineitem
         GROUP BY l_returnflag
     """
+
+
+def percentiles_sql() -> str:
+    return """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+               round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+
+def sliding_window_events_sql() -> str:
+    # Spark's window(ts, '1 hour', '30 minutes'): each event falls into the
+    # two 1h windows starting at the 30-minute grid points in
+    # (ts - 1h, ts]. Emulated with two bucket offsets.
+    return """
+        WITH w AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS g, event_type, value FROM events
+        ), exploded AS (
+          SELECT g AS window_start, event_type, value FROM w
+          UNION ALL
+          SELECT g - INTERVAL '30 minutes' AS window_start, event_type, value FROM w
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM exploded
+        GROUP BY 1, 2
+    """
+
+
+def quality_with_language_sql(min_words: int = 20, allowed: tuple = ("en",)) -> str:
+    lang_case = _lang_id_case_sql("text")
+    allowed_list = ", ".join(f"'{a}'" for a in allowed)
+    base_case = quality_reason_case(min_words=min_words)
+    # language check has LOWEST precedence (reference checks it last)
+    wrapped = f"""CASE WHEN ({base_case}) <> 'passed' THEN ({base_case})
+            WHEN ({lang_case}) <> 'unknown' AND ({lang_case}) NOT IN ({allowed_list})
+            THEN 'wrong_language' ELSE 'passed' END"""
+    return f"""
+        WITH {_quality_scores_cte()}
+        SELECT doc_id, {wrapped} AS reason, ({wrapped}) = 'passed' AS passed
+        FROM ratios
+    """
+
+
+def range_frame_orders_sql() -> str:
+    return """
+        SELECT o_orderkey, o_custkey,
+               CAST(count(*) OVER w AS BIGINT) - 1 AS prior_30d_orders,
+               round(sum(o_totalprice) OVER w - o_totalprice, 2) AS prior_30d_spend,
+               round(first_value(o_totalprice) OVER w2, 2) AS first_price,
+               round(nth_value(o_totalprice, 2) OVER w2, 2) AS second_price
+        FROM orders
+        WINDOW
+          w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate) // 86400
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW),
+          w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

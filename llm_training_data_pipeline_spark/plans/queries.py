@@ -722,3 +722,72 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "asset_id", "modality", FF.round(FF.aggregate("features", FF.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum")
     )
+
+
+@register("percentiles_lineitem", oracle.percentiles_sql())
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75_qty"),
+    )
+
+
+@register("sliding_window_events", oracle.sliding_window_events_sql())
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 30m slide)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register("quality_with_language", oracle.quality_with_language_sql(min_words=20, allowed=("en",)))
+def q_quality_with_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Q1-Q9 battery including the language gate (lang-id heuristic
+    standing in for langdetect, wrong_language precedence last)."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = textstats.with_lang_id(docs)
+    cfg = quality.QualityConfig(min_words=20, allowed_languages=("en",))
+    return quality.with_quality(
+        labeled, "text", cfg, lang_col="detected_lang", include_scores=False
+    ).select("doc_id", "reason", "passed")
+
+
+@register("range_frame_orders", oracle.range_frame_orders_sql())
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window) + first_value/nth_value."""
+    orders = _t(spark, sf_dir, "orders")
+    days = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("prior_30d_orders"),
+        F.round(F.sum("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("prior_30d_spend"),
+        F.round(F.first("o_totalprice").over(w2), 2).alias("first_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w2), 2).alias("second_price"),
+    )
