@@ -791,3 +791,23 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w2), 2).alias("first_price"),
         F.round(F.nth_value("o_totalprice", 2).over(w2), 2).alias("second_price"),
     )
+
+
+@register("wiki_ingestion_demo", None)
+def q_wiki_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 + C13/C14: distributed XML scan, ns/redirect/length filters,
+    native markup-strip chain (rows-only check; self-contained fixture)."""
+    from llm_training_data_pipeline_spark.sources.wiki import demo_ingestion
+
+    return demo_ingestion(spark)
+
+
+@register("minhash_ml_dedup", None)
+def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH dedup path (HashingTF → approxSimilarityJoin) —
+    independent cross-check of the native signature implementation."""
+    from llm_training_data_pipeline_spark.operators.dedup_ml import minhash_ml_dedup
+
+    return minhash_ml_dedup(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hash_tables=8
+    ).select("doc_id", "lang", "source")

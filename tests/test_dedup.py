@@ -117,3 +117,20 @@ def test_embedding_near_dup_matches_oracle(spark, ddb):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     out = embedding_near_dup_pairs(emb, threshold=0.8)
     assert_df_matches_oracle(out, ddb, embedding_near_dup_sql(threshold=0.8))
+
+
+def test_minhash_ml_agrees_with_native(spark):
+    """MLlib MinHashLSH path finds the same exact dup + near dups the
+    native implementation finds on the pinned fixture."""
+    from llm_training_data_pipeline_spark.operators.dedup_ml import (
+        minhash_ml_dedup,
+        minhash_ml_pairs,
+    )
+
+    rows = DOCS + [(3, "The quick brown fox leaps over the lazy dog.")]
+    pairs = minhash_ml_pairs(_df(spark, rows), threshold=0.5, num_hash_tables=8)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0  # exact dup: jaccard exactly 1
+    assert (1, 3) in got and got[(1, 3)] >= 0.5
+    out = minhash_ml_dedup(_df(spark, rows), threshold=0.5)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 4, 6]
