@@ -158,6 +158,14 @@ def clean_documents(
 
     Equivalent of ``TextCleaner.clean_batch`` keeping only survivors
     (cleaner.py:157-185).
+
+    Known plan trade-off: Catalyst pushes the min-length predicate through
+    the projection by inlining the cleaning chain, so the regex chain is
+    evaluated twice per surviving row (once in the scan-side filter, once
+    in the projection) — all inside one codegen stage, no shuffle. The
+    alternative (materialization barrier) costs I/O at corpus scale for a
+    pure-CPU saving; the duplicate wins. Verified in
+    tests/test_plan_shape.py.
     """
     out = with_cleaned(df, text_col, cfg, sql_only=sql_only)
     return out.filter(F.col("cleaned_length") >= F.lit(cfg.min_length_chars))

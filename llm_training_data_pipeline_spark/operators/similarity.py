@@ -107,3 +107,73 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus with seeded MLlib KMeans,
+    then search each query only in its ``n_probe`` nearest clusters.
+
+    The inverted-file structure is the cluster-id column: the probe join is
+    an equi-join on cluster id (shuffle bounded by list sizes), and each
+    query scores ~|corpus| * n_probe / n_clusters candidates. Deterministic
+    given ``seed``. Recall grows with n_probe; n_probe == n_clusters
+    degrades gracefully to brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_fv", array_to_vector("_v"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cluster")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(id_col, "_v", "_cluster")
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(centers, "cluster int, center array<double>")
+
+    qs = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    # rank clusters per query by center cosine; keep n_probe
+    q_clusters = (
+        qs.crossJoin(F.broadcast(centers_df))
+        .select(
+            "q_id",
+            "_qv",
+            "cluster",
+            cosine_similarity(F.col("_qv"), F.col("center")).alias("_csim"),
+        )
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("_csim").desc(), F.col("cluster"))
+            ),
+        )
+        .filter(F.col("_crank") <= n_probe)
+        .select("q_id", "_qv", F.col("cluster").alias("_cluster"))
+    )
+    scored = assigned.join(F.broadcast(q_clusters), on="_cluster").filter(
+        F.col(id_col) != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col(id_col),
+        F.round(cosine_similarity(F.col("_qv"), F.col("_v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

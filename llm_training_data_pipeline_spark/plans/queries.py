@@ -811,3 +811,13 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_ml_dedup(
         _t(spark, sf_dir, "documents"), threshold=0.8, num_hash_tables=8
     ).select("doc_id", "lang", "source")
+
+
+@register("ann_ivf_topk", None)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (seeded KMeans coarse quantizer + n_probe cluster search)."""
+    from llm_training_data_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=3)
