@@ -18,10 +18,20 @@ from pyspark.sql import functions as F
 OUTPUT_COLUMNS = ["id", "title", "text", "token_count"]  # main.py:374-381
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
     """S6: snappy parquet (Spark default codec is snappy, as the reference
-    requests explicitly)."""
-    df.write.mode(mode).parquet(path)
+    requests explicitly). ``partition_by`` produces hive-style directory
+    partitioning — the layout that makes downstream partition pruning free
+    at corpus scale (e.g. partition by lang or source)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
 
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:

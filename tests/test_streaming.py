@@ -132,3 +132,58 @@ def test_windowed_event_counts(spark, tmp_path):
     if got:
         by = {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in got}
         assert by.get((10, "click")) == 2
+
+
+def test_partitioned_parquet_sink_prunes(spark, tmp_path):
+    """Partitioned sink layout + partition pruning on read-back."""
+    from llm_training_data_pipeline_spark.sources.sinks import write_parquet
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "bylang")
+    write_parquet(docs, out, partition_by=["lang"])
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan  # pruning, not scan+filter
+    assert back.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_windowed_counts_drop_late_data(spark, tmp_path):
+    """An event older than the watermark horizon is dropped once later
+    micro-batches advance the watermark past its window."""
+    import datetime as dt
+
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "late_ev")
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batch1 = [(1, t, "click", 1.0), (2, t + dt.timedelta(hours=3), "click", 2.0)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    win = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        win.writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    )
+    q.processAllAvailable()
+    # second batch: an event for the long-closed 10:00 window (very late)
+    late = [(3, t + dt.timedelta(minutes=10), "click", 100.0)]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r["window_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    # the 10:00 window finalized with ONLY the on-time event
+    assert rows.get((10, "click")) == 1
