@@ -426,16 +426,25 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine near-dup pairs, blocked on ``block_col`` when given (else full
     cross product — only for small inputs). Vectors are cast to DOUBLE before
-    arithmetic so results are bit-stable across engines."""
+    arithmetic so results are bit-stable across engines.
+
+    Norms are STAGED per row before the join — ``cosine_similarity`` inline
+    would recompute both norms per pair (the usual expression-duplication
+    pitfall), tripling the pair-side flops.
+    """
+    from llm_training_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
     vecs = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).withColumn("_n", l2_norm(F.col("_v")))
     a, b = vecs.alias("a"), vecs.alias("b")
     on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else None
     joined = a.join(b, on=on) if on else a.crossJoin(b)
-    cos = cosine_similarity(F.col("a._v"), F.col("b._v"))
+    cos = F.when(
+        (F.col("a._n") == 0) | (F.col("b._n") == 0), F.lit(0.0)
+    ).otherwise(dot_product(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")))
     out_cols = [
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),

@@ -22,11 +22,27 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from llm_training_data_pipeline_spark.functions.vectors import cosine_similarity, dot_product
+from llm_training_data_pipeline_spark.functions.vectors import cosine_similarity, dot_product  # noqa: F401
 
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _staged_cosine() -> Column:
+    """dot/(na*nb) over pre-staged norm columns (_n, _qn) — inline
+    cosine_similarity would recompute both norms per scored pair."""
+    return F.when((F.col("_n") == 0) | (F.col("_qn") == 0), F.lit(0.0)).otherwise(
+        dot_product(F.col("_qv"), F.col("_v")) / (F.col("_n") * F.col("_qn"))
+    )
+
+
+def _with_norm(df: DataFrame, vec_col: str, id_col: str, out_id: str, v: str, n: str) -> DataFrame:
+    from llm_training_data_pipeline_spark.functions.vectors import l2_norm
+
+    return df.select(
+        F.col(id_col).alias(out_id), _as_double(F.col(vec_col)).alias(v)
+    ).withColumn(n, l2_norm(F.col(v)))
 
 
 def brute_force_topk(
@@ -37,14 +53,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus (self excluded)."""
-    vecs = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
-    qs = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("_qv")
-    )
+    vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n")
+    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
     scored = vecs.join(F.broadcast(qs), F.col(id_col) != F.col("q_id")).select(
         "q_id",
         F.col(id_col),
-        F.round(cosine_similarity(F.col("_qv"), F.col("_v")), 6).alias("cosine"),
+        F.round(_staged_cosine(), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -87,20 +101,18 @@ def ann_lsh_topk(
     each query scores ~|corpus| / 2^num_planes candidates.
     """
     planes = _hyperplanes(dim, num_planes, seed)
-    vecs = corpus.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("_v"),
-    ).withColumn("bucket", lsh_bucket(F.col("_v"), planes))
-    qs = (
-        queries.select(F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("_qv"))
-        .withColumn("bucket", lsh_bucket(F.col("_qv"), planes))
+    vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n").withColumn(
+        "bucket", lsh_bucket(F.col("_v"), planes)
+    )
+    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn").withColumn(
+        "bucket", lsh_bucket(F.col("_qv"), planes)
     )
     scored = vecs.join(F.broadcast(qs), on="bucket").filter(
         F.col(id_col) != F.col("q_id")
     ).select(
         "q_id",
         F.col(id_col),
-        F.round(cosine_similarity(F.col("_qv"), F.col("_v")), 6).alias("cosine"),
+        F.round(_staged_cosine(), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -131,12 +143,12 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_fv", array_to_vector("_v"))
+    vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n").withColumn(
+        "_fv", array_to_vector("_v")
+    )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cluster")
     model = km.fit(vecs)
-    assigned = model.transform(vecs).select(id_col, "_v", "_cluster")
+    assigned = model.transform(vecs).select(id_col, "_v", "_n", "_cluster")
 
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
@@ -144,15 +156,14 @@ def ivf_topk(
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(centers, "cluster int, center array<double>")
 
-    qs = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("_qv")
-    )
+    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
     # rank clusters per query by center cosine; keep n_probe
     q_clusters = (
         qs.crossJoin(F.broadcast(centers_df))
         .select(
             "q_id",
             "_qv",
+            "_qn",
             "cluster",
             cosine_similarity(F.col("_qv"), F.col("center")).alias("_csim"),
         )
@@ -163,14 +174,14 @@ def ivf_topk(
             ),
         )
         .filter(F.col("_crank") <= n_probe)
-        .select("q_id", "_qv", F.col("cluster").alias("_cluster"))
+        .select("q_id", "_qv", "_qn", F.col("cluster").alias("_cluster"))
     )
     scored = assigned.join(F.broadcast(q_clusters), on="_cluster").filter(
         F.col(id_col) != F.col("q_id")
     ).select(
         "q_id",
         F.col(id_col),
-        F.round(cosine_similarity(F.col("_qv"), F.col("_v")), 6).alias("cosine"),
+        F.round(_staged_cosine(), 6).alias("cosine"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
