@@ -132,9 +132,25 @@ def shingle_sketch(text: Column, n: int = 5, k: int = 8) -> Column:
 
 
 def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage the normalized text before shingling — char_shingles over the
+    raw column would re-run the normalize regex once per gram."""
     t = F.col(text_col)
-    return df.withColumn("fingerprint", doc_fingerprint(t)).withColumn(
-        "sketch", shingle_sketch(t)
+    staged = df.withColumn(
+        "_fp_norm", F.regexp_replace(F.lower(t), r"\s+", " ")
+    )
+    n, k = 5, 8
+    norm = F.col("_fp_norm")
+    ln = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+    shingles = F.when(ln < n, F.array(norm)).otherwise(F.array_distinct(grams))
+    digests = F.transform(shingles, lambda s: F.md5(F.encode(s, "UTF-8")))
+    return (
+        staged.withColumn("fingerprint", doc_fingerprint(t))
+        .withColumn("sketch", F.slice(F.array_sort(digests), 1, k))
+        .drop("_fp_norm")
     )
 
 
