@@ -137,7 +137,9 @@ def _minhash_sig_table(
         F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
         lambda i: F.col("_norm").substr(i, F.lit(n)),
     )
-    shingles = F.when(ln < n, F.array(F.col("_norm"))).otherwise(F.array_distinct(grams))
+    # no array_distinct: min() is duplicate-insensitive, so signatures are
+    # identical over the multiset, and the O(len^2) per-doc dedup is saved
+    shingles = F.when(ln < n, F.array(F.col("_norm"))).otherwise(grams)
     exploded = normed.select(
         F.col(id_col), F.explode(shingles).alias("_sh")
     ).select(F.col(id_col), F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD)).alias("_h"))
