@@ -459,3 +459,29 @@ def embedding_near_dup_pairs(
         .select(*out_cols)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- incremental dedup against an existing corpus -------------------------
+
+
+def exact_dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep new docs whose normalized-text digest is NOT in the corpus,
+    then dedup the survivors among themselves (min-id winner).
+
+    The batch form of the reference's incremental ``is_duplicate`` probe
+    (deduplicator.py:150-180) for the "new shard vs existing corpus" case:
+    an anti-join on the digest (broadcast-able when the corpus digest set is
+    small; hash-shuffled otherwise) followed by the standard exact dedup.
+    """
+    seen = corpus.select(exact_hash(F.col(text_col)).alias("_h")).distinct()
+    fresh = (
+        new_docs.withColumn("_h", exact_hash(F.col(text_col)))
+        .join(seen, on="_h", how="left_anti")
+        .drop("_h")
+    )
+    return exact_dedup(fresh, text_col, id_col)

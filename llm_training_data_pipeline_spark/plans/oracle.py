@@ -802,3 +802,18 @@ def range_frame_orders_sql() -> str:
           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+def exact_dedup_against_sql(split_id: int = 250) -> str:
+    h = f"md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))"
+    return f"""
+        WITH corpus AS (SELECT DISTINCT {h} AS h FROM documents WHERE doc_id < {split_id}),
+        fresh AS (
+          SELECT d.* FROM documents d
+          WHERE d.doc_id >= {split_id}
+            AND {h.replace('text', 'd.text')} NOT IN (SELECT h FROM corpus)
+        )
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY {h} ORDER BY doc_id) AS rn FROM fresh
+        ) WHERE rn = 1
+    """

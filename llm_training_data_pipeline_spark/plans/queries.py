@@ -821,3 +821,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=3)
+
+
+@register("exact_dedup_against_corpus", oracle.exact_dedup_against_sql(split_id=250))
+def q_exact_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: new shard (doc_id >= 250) vs existing corpus
+    (doc_id < 250) — digest anti-join + min-id self-dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return dedup.exact_dedup_against(new, corpus)
