@@ -38,6 +38,8 @@ HEADLINE = [
     "simhash_near_dup_pairs",
     "embedding_near_dup",
     "cosine_topk",
+    "ann_lsh_topk",
+    "asof_join_events",
 ]
 
 
