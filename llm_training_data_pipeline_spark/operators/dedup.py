@@ -31,12 +31,9 @@ from pyspark.sql import functions as F
 from llm_training_data_pipeline_spark.functions.hashing import (
     hamming64,
     lsh_bands,
-    minhash_signature,
     signature_jaccard,
-    simhash64,
 )
-from llm_training_data_pipeline_spark.functions.text import char_shingles, strip_ws, whitespace_tokens
-from llm_training_data_pipeline_spark.functions.vectors import cosine_similarity
+from llm_training_data_pipeline_spark.functions.text import strip_ws, whitespace_tokens
 
 
 # --- D8: exact hash dedup -------------------------------------------------
