@@ -54,6 +54,15 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.range(1000).count()  # JVM warm-up
+    # touch each input table once so timings measure query execution, not
+    # first-touch page-cache/footer reads
+    from llm_training_data_pipeline_spark.schemas import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, t, args.sf_dir).count()
+        except Exception:
+            pass
 
     reg = registry()
     names = [n for n in args.queries.split(",") if n]

@@ -187,3 +187,18 @@ def cleaning_stats(df_cleaned: DataFrame) -> DataFrame:
         ).alias("reduction_pct"),
     )
     return agg
+
+
+def _main() -> None:
+    """Module demo (reference parity: ``python -m src.processing.cleaner``,
+    README.md:66-71): clean the sf0.001 documents and print stats."""
+    from llm_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="cleaning-demo")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cleaned = clean_documents(docs, "text")
+    cleaning_stats(cleaned).show(truncate=False)
+
+
+if __name__ == "__main__":
+    _main()

@@ -482,3 +482,19 @@ def exact_dedup_against(
         .drop("_h")
     )
     return exact_dedup(fresh, text_col, id_col)
+
+
+def _main() -> None:
+    """Module demo: exact + MinHash dedup stats on the sf0.001 documents."""
+    from llm_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup-demo")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact_dedup_stats(docs).show(truncate=False)
+    minhash_dedup_stats(docs, cfg=MinHashConfig(num_perm=64, num_bands=16)).show(
+        truncate=False
+    )
+
+
+if __name__ == "__main__":
+    _main()

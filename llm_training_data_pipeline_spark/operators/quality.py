@@ -228,3 +228,16 @@ def quality_stats(
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _main() -> None:
+    """Module demo: quality-reason histogram on the sf0.001 documents."""
+    from llm_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="quality-demo")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    quality_stats(docs, "text", QualityConfig(min_words=20)).show(truncate=False)
+
+
+if __name__ == "__main__":
+    _main()
