@@ -183,8 +183,12 @@ def cleaning_stats(df_cleaned: DataFrame) -> DataFrame:
         F.sum("cleaned_length").alias("total_cleaned_chars"),
         F.sum("chars_removed").alias("total_chars_removed"),
         F.round(
-            F.sum("chars_removed") * 100.0 / F.sum("original_length"), 4
-        ).alias("reduction_pct"),
+            F.when(
+                F.sum("original_length") > 0,
+                F.sum("chars_removed") * 100.0 / F.sum("original_length"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("reduction_pct"),  # guarded: long/0 throws under ANSI
     )
     return agg
 

@@ -472,6 +472,13 @@ def tokenization_stats(df_tokenized: DataFrame, tokenizer, text_col: str = "text
         "total_tokens",
         "total_chars",
         F.lit(tokenizer.vocab_size).cast("long").alias("vocab_size"),
-        F.round(F.col("total_tokens") / F.col("total_documents"), 4).alias("avg_tokens_per_doc"),
-        F.round(F.col("total_chars") / F.col("total_tokens"), 4).alias("compression_ratio"),
+        # guarded divisions: long/0 raises DIVIDE_BY_ZERO under ANSI mode
+        F.round(
+            F.when(F.col("total_documents") > 0, F.col("total_tokens") / F.col("total_documents")),
+            4,
+        ).alias("avg_tokens_per_doc"),
+        F.round(
+            F.when(F.col("total_tokens") > 0, F.col("total_chars") / F.col("total_tokens")),
+            4,
+        ).alias("compression_ratio"),
     )

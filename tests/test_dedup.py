@@ -134,3 +134,43 @@ def test_minhash_ml_agrees_with_native(spark):
     assert (1, 3) in got and got[(1, 3)] >= 0.5
     out = minhash_ml_dedup(_df(spark, rows), threshold=0.5)
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 4, 6]
+
+
+def test_minhash_accuracy_vs_exact_jaccard_ground_truth(spark, ddb):
+    """MinHash dedup vs DuckDB-computed EXACT all-pairs Jaccard on the real
+    documents table: every strongly-similar pair (J >= 0.9) must be caught,
+    and nothing weakly-similar (J < 0.7) may be dropped (threshold 0.8 with
+    64 perms: estimator sigma ~ 0.05, so these margins are ~2 sigma)."""
+    from tests.conftest import SF_DIR
+
+    exact = ddb.execute("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS s FROM documents
+        ), g AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, length(s)-4), i -> substr(s, i, 5))) AS grams
+          FROM d
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+    """).fetchall()
+    strong_losers = {b for a, b, j in exact if j >= 0.9}
+    weakish = {(a, b) for a, b, j in exact}  # all pairs with J >= 0.7
+
+    from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig, minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = MinHashConfig(num_perm=64, threshold=0.8, shingle_size=5, num_bands=16)
+    kept = {r["doc_id"] for r in minhash_dedup(docs, cfg=cfg).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    dropped = all_ids - kept
+
+    missed = strong_losers - dropped
+    assert not missed, f"strong near-dups not caught: {missed}"
+    # every dropped doc must be the larger id of SOME pair with J >= 0.7
+    over_dropped = {d for d in dropped if not any(b == d for a, b in weakish)}
+    assert not over_dropped, f"dropped without exact-Jaccard support: {over_dropped}"

@@ -79,3 +79,26 @@ def test_report_rendering():
     }
     out = render_report(summary)
     assert "ingest" in out and "90" in out and "10.0%" in out and "vocab=99" in out
+
+
+def test_stats_survive_empty_input(spark):
+    """ANSI mode: aggregates over empty inputs must not DIVIDE_BY_ZERO."""
+    from llm_training_data_pipeline_spark.operators.cleaning import (
+        CleanerConfig,
+        clean_documents,
+        cleaning_stats,
+    )
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenization_stats,
+        tokenize_documents,
+        train_bpe_from_word_counts,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = cleaning_stats(clean_documents(empty, "text", CleanerConfig())).collect()[0]
+    assert row["n_docs"] == 0 and row["reduction_pct"] == 0.0
+    tok = train_bpe_from_word_counts([("word", 5)], vocab_size=50)
+    out = tokenize_documents(empty, tok)
+    srow = tokenization_stats(out, tok).collect()[0]
+    assert srow["total_documents"] == 0
+    assert srow["avg_tokens_per_doc"] is None
