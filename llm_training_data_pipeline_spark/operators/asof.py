@@ -55,9 +55,12 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
     )
     merged = lhs.unionByName(rhs)
+    # third sort key: deterministic tie-break when multiple right rows share
+    # a timestamp — the greatest value-struct wins (last in ascending order)
+    tie = F.struct(*[F.col(f"_rv_{c}") for c in value_cols])
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = merged.select(

@@ -98,3 +98,18 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     # determinism
     ap2 = {(r["q_id"], r["vec_id"]) for r in ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect()}
     assert ap2 == {(q, v) for q, vs in ap.items() for v in vs}
+
+
+def test_asof_join_tied_right_timestamps_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(5), 1.0), (100, _ts(5), 7.0), (100, _ts(5), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    vals = set()
+    for _ in range(3):
+        out = asof_join(left, right, key="user_id", value_cols=["value"]).collect()
+        vals.add(out[0]["value"])
+    assert vals == {7.0}  # greatest value-struct wins, every run
