@@ -817,3 +817,26 @@ def exact_dedup_against_sql(split_id: int = 250) -> str:
           SELECT *, row_number() OVER (PARTITION BY {h} ORDER BY doc_id) AS rn FROM fresh
         ) WHERE rn = 1
     """
+
+
+def null_handling_sql() -> str:
+    return """
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS pos_balance,
+               coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END, 0.0) AS balance_or_zero,
+               (c_acctbal IS NULL) AS bal_is_null,
+               ifnull(NULL, c_custkey) AS id_roundtrip
+        FROM customer
+    """
+
+
+def regex_extract_parts_sql() -> str:
+    return """
+        SELECT p_partkey,
+               regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+               regexp_extract(p_type, '(\\w+)$', 1) AS type_tail,
+               regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+               CAST(regexp_matches(p_name, 'a.*e') AS BOOLEAN) AS has_a_then_e
+        FROM part
+    """

@@ -153,7 +153,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_near_dup_pairs", None)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    # hamming <= 4 of 64 bits (~94% agreement) — the usual near-dup setting;
+    # looser radii explode the pair count on homogeneous corpora
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=4)
 
 
 @register("clean_documents_full", None)
@@ -831,3 +833,33 @@ def q_exact_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
     return dedup.exact_dedup_against(new, corpus)
+
+
+@register("null_handling_customers", oracle.null_handling_sql())
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL scalar surface: coalesce / nullif / conditional nulls."""
+    cust = _t(spark, sf_dir, "customer")
+    pos_balance = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.round("c_acctbal", 2)
+    )
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("segment_masked"),
+        pos_balance.alias("pos_balance"),
+        F.coalesce(pos_balance, F.lit(0.0)).alias("balance_or_zero"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        F.ifnull(F.lit(None), F.col("c_custkey")).alias("id_roundtrip"),
+    )
+
+
+@register("regex_extract_parts", oracle.regex_extract_parts_sql())
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract groups + rlike boolean."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("type_tail"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.col("p_name").rlike("a.*e").alias("has_a_then_e"),
+    )
