@@ -178,3 +178,70 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def streaming_exact_dedup_tws(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """D6 exact variant on the Spark 4 ``transformWithStateInPandas`` API.
+
+    Keyed by content digest; a ValueState flag marks digests already seen,
+    so only the first arrival per digest is emitted. Functionally equivalent
+    to ``streaming_exact_dedup`` but on the modern StatefulProcessor API
+    (explicit state variables, TTL support, richer timers); kept alongside
+    the watermark-based variant as the forward-looking implementation.
+
+    Capability-gated: the transformWithState protocol needs
+    ``google.protobuf`` (absent in this container); use
+    ``streaming_exact_dedup`` / ``streaming_minhash_dedup``
+    (applyInPandasWithState) where it is unavailable.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which is "
+            "not installed here; use streaming_exact_dedup instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = StructType(
+        [StructField("h", StringType()), StructField(id_col, LongType())]
+    )
+
+    class FirstSeenProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", StructType([StructField("flag", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+            if self._seen.exists():
+                return iter(())
+            first_id = None
+            for pdf in rows:
+                if len(pdf):
+                    cand = int(pdf[id_col].min())
+                    first_id = cand if first_id is None else min(first_id, cand)
+            if first_id is None:
+                return iter(())
+            self._seen.update((1,))
+            return iter([pd.DataFrame({"h": [key[0]], id_col: [first_id]})])
+
+        def close(self) -> None:
+            pass
+
+    hashed = stream.withColumn("_h", exact_hash(F.col(text_col))).select(
+        F.col("_h"), F.col(id_col)
+    )
+    return hashed.groupBy("_h").transformWithStateInPandas(
+        statefulProcessor=FirstSeenProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

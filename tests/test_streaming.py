@@ -187,3 +187,32 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     }
     # the 10:00 window finalized with ONLY the on-time event
     assert rows.get((10, "click")) == 1
+
+
+def test_streaming_exact_dedup_transform_with_state(spark, tmp_path, doc_rows):
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        streaming_exact_dedup_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(str(tmp_path))
+        with pytest.raises(NotImplementedError):
+            streaming_exact_dedup_tws(stream)
+        return
+
+    src = str(tmp_path / "tws_src")
+    _write_docs(spark, src, doc_rows)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    out = streaming_exact_dedup_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws_dedup")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_tws_dedup").collect()}
+    # min-id winner per digest: docs 1/2/4 collapse (case-insensitive hash)
+    assert got == {1, 3}
