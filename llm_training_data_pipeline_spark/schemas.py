@@ -132,8 +132,23 @@ TABLE_NAMES = tuple(TABLE_SCHEMAS)
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one test table with its pinned schema (no inference)."""
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    *,
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Read one test table with its pinned schema (no inference).
+
+    The driver-generated tables are single-row-group parquet files, which
+    Spark cannot split — the scan AND everything codegen-fused onto it
+    would run in one task on a 32-core machine. When the scan has fewer
+    partitions than ``min_parallelism`` (default: the session's
+    defaultParallelism), a round-robin repartition is inserted; for these
+    megabyte-scale inputs the extra shuffle is microseconds, and on a real
+    multi-file 100 TB table the condition is simply never true.
+    """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -143,10 +158,16 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
         # ns → µs is exact integer division (data is µs-resolution)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < min(target, 16):
+            df = df.repartition(min(target, 16))
+    except Exception:
+        pass  # never fail a read over a parallelism hint
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
