@@ -71,6 +71,12 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     (lowercase → collapse whitespace → set of char n-grams). Expressed as a
     higher-order ``transform`` over an index ``sequence`` — stays JVM-side,
     no explode, no Python.
+
+    Hot-path note: pass a STAGED attribute in performance-critical plans —
+    the normalize expression inside is referenced once per gram, so handing
+    this a raw column is fine, but composing it over another heavy
+    expression re-evaluates that expression per gram (see
+    ``dedup._minhash_sig_table`` for the staged pattern).
     """
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.lower(c), r"\s+", " ")
