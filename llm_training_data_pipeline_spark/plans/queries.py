@@ -153,9 +153,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_near_dup_pairs", None)
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hamming <= 4 of 64 bits (~94% agreement) — the usual near-dup setting;
-    # looser radii explode the pair count on homogeneous corpora
-    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=4)
+    # hamming <= 3 of 64 bits: with 4 bands the candidate generation is
+    # provably complete at this radius (pigeonhole); looser radii both
+    # explode pair counts on homogeneous corpora and lose the guarantee
+    return dedup.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 @register("clean_documents_full", None)
