@@ -317,7 +317,7 @@ def fingerprint_sql(n: int = 5, k: int = 8) -> str:
           FROM s
         )
         SELECT doc_id, fingerprint,
-               (list_sort(list_transform(shingles, x -> md5(x))))[1:{k}] AS sketch
+               array_to_string((list_sort(list_transform(shingles, x -> md5(x))))[1:{k}], ',') AS sketch
         FROM sh
     """
 
@@ -525,7 +525,7 @@ def string_functions_part_sql() -> str:
                concat_ws('|', p_brand, p_type) AS brand_type,
                CAST(length(p_name) AS BIGINT) AS name_len,
                regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
-               string_split(p_type, ' ') AS type_words
+               array_to_string(string_split(p_type, ' '), ',') AS type_words
         FROM part
         WHERE p_name LIKE '%a%'
     """
@@ -561,9 +561,10 @@ def math_functions_lineitem_sql() -> str:
 def array_agg_per_order_sql() -> str:
     return """
         SELECT l_orderkey,
-               list_sort(list(l_linenumber)) AS line_numbers,
+               array_to_string(list_transform(list_sort(list(l_linenumber)),
+                                              x -> CAST(x AS VARCHAR)), ',') AS line_numbers,
                CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
-               list_sort(list_distinct(list(l_returnflag))) AS flags,
+               array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags,
                CAST(list_sum(list(l_linenumber)) AS BIGINT) AS line_sum
         FROM lineitem WHERE l_orderkey <= 200
         GROUP BY l_orderkey

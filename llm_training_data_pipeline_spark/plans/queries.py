@@ -124,8 +124,12 @@ def q_lang_id_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("doc_fingerprints", oracle.fingerprint_sql())
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch is ARRAY<STRING>; join it so the driver's row-hash comparator
+    # (pandas factorize) can handle the cell — lists are unhashable there.
     docs = _t(spark, sf_dir, "documents")
-    return textstats.with_fingerprints(docs).select("doc_id", "fingerprint", "sketch")
+    return textstats.with_fingerprints(docs).select(
+        "doc_id", "fingerprint", F.array_join("sketch", ",").alias("sketch")
+    )
 
 
 @register("token_counts", oracle.token_counts_sql())
@@ -398,7 +402,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.length("p_name").cast("long").alias("name_len"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
-        F.split("p_type", " ").alias("type_words"),
+        F.array_join(F.split("p_type", " "), ",").alias("type_words"),
     )
 
 
@@ -445,9 +449,13 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
         .select(
             "l_orderkey",
-            "line_numbers",
+            # arrays are joined to scalars so the driver's row-hash
+            # comparator can factorize the cells (lists are unhashable)
+            F.array_join(F.col("line_numbers").cast("array<string>"), ",").alias(
+                "line_numbers"
+            ),
             F.size("line_numbers").cast("long").alias("n_lines"),
-            "flags",
+            F.array_join("flags", ",").alias("flags"),
             F.aggregate(
                 "line_numbers", F.lit(0).cast("long"), lambda a, x: a + x
             ).alias("line_sum"),
