@@ -64,27 +64,48 @@ def _make_neardup_fn(threshold: float, num_perm: int, state_ttl_ms: int | None):
     def dedup_bucket(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.hasTimedOut:
             state.remove()
             return
         (seen,) = state.get if state.exists else ([],)
-        # plain Python ints only — state round-trips through Pyrolite, which
-        # rejects numpy scalars
-        seen = [[int(x) for x in s] for s in seen]
+        seen_mat = np.asarray(list(seen), dtype=np.int64).reshape(-1, num_perm)
         out_ids: list[int] = []
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                sig = [int(x) for x in row["minhash_sig"]]
-                dup = False
-                for s in seen:
-                    eq = sum(1 for x, y in zip(s, sig) if x == y)
-                    if eq / num_perm >= threshold:
-                        dup = True
-                        break
-                if not dup:
-                    seen.append(sig)
-                    out_ids.append(int(row["doc_id"]))
-        state.update((seen,))
+            if not len(pdf):
+                continue
+            sig_mat = np.array(
+                [list(s) for s in pdf["minhash_sig"]], dtype=np.int64
+            ).reshape(-1, num_perm)
+            ids = pdf["doc_id"].to_numpy()
+            # phase 1 — one matrix op against the whole stored state:
+            # (n_batch, 1, num_perm) == (1, n_seen, num_perm) → est-Jaccard max
+            if seen_mat.shape[0]:
+                sims = (
+                    (sig_mat[:, None, :] == seen_mat[None, :, :])
+                    .mean(axis=2)
+                    .max(axis=1)
+                )
+                survivors = np.flatnonzero(sims < threshold)
+            else:
+                survivors = np.arange(sig_mat.shape[0])
+            # phase 2 — within-batch near-dups among survivors, in arrival
+            # order; each accepted signature joins the comparison matrix
+            new_rows: list[np.ndarray] = []
+            for i in survivors:
+                sig = sig_mat[i]
+                if new_rows and (
+                    (np.stack(new_rows) == sig).mean(axis=1).max() >= threshold
+                ):
+                    continue
+                new_rows.append(sig)
+                out_ids.append(int(ids[i]))
+            if new_rows:
+                seen_mat = np.concatenate([seen_mat, np.stack(new_rows)])
+        # plain Python ints only — state round-trips through Pyrolite, which
+        # rejects numpy scalars
+        state.update(([[int(x) for x in s] for s in seen_mat],))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)  # TTL bounds state size
         yield pd.DataFrame({"bucket": [key[0]] * len(out_ids), "doc_id": out_ids})
@@ -147,6 +168,32 @@ def streaming_minhash_dedup(
         stateStructType=_NEARDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout_conf,
+    )
+
+
+def accepted_in_all_bands(
+    acceptances: DataFrame,
+    num_bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse ``streaming_minhash_dedup`` per-band acceptances to unique docs.
+
+    ``streaming_minhash_dedup`` emits one (bucket, doc_id) row per band bucket
+    that accepted the doc — a near-duplicate still appears in the buckets
+    where it does NOT collide with its twin. A doc is globally unique only
+    when accepted in ALL ``num_bands`` of its buckets (first-seen semantics
+    per bucket). This helper performs that aggregation; apply it per
+    micro-batch (``foreachBatch``) or over the collected sink table — a
+    post-state streaming aggregate would need its own output-mode handling.
+
+    Each (doc, band) pair emits at most one acceptance row and the bucket id
+    hashes (band_id, band_sig), so a plain count equals the band count.
+    """
+    return (
+        acceptances.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_accepted"))
+        .filter(F.col("_n_accepted") == num_bands)
+        .select(id_col)
     )
 
 

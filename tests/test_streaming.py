@@ -94,6 +94,19 @@ def test_streaming_minhash_dedup(spark, tmp_path, doc_rows):
     assert per_doc.get(2, 0) == 0
     assert per_doc.get(3, 0) == 8  # unrelated doc accepted everywhere
 
+    # the all-bands collapse yields exactly the globally-unique docs
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        accepted_in_all_bands,
+    )
+
+    unique = {
+        r["doc_id"]
+        for r in accepted_in_all_bands(
+            spark.sql("SELECT bucket, doc_id FROM t_minhash_stream"), num_bands=8
+        ).collect()
+    }
+    assert unique == {1, 3}
+
 
 def test_windowed_event_counts(spark, tmp_path):
     import datetime as dt
