@@ -15,6 +15,8 @@ Stats columns mirror CleaningStats (cleaner.py:20-36).
 
 from __future__ import annotations
 
+import html
+import re
 import unicodedata
 from dataclasses import dataclass
 
@@ -48,23 +50,65 @@ class CleanerConfig:
     min_length_chars: int = 100
 
 
+# cp1252 images of UTF-8 lead bytes (0xC2-0xF4) and continuation bytes
+# (0x80-0xBF): a LEAD immediately followed by a TRAIL is the telltale
+# signature of UTF-8 text mis-decoded as cp1252/latin-1 ("Ã©", "â€™", ...).
+_UTF8_LEAD = "\u00C2-\u00F4"
+_UTF8_TRAIL = (
+    # 0xA0-0xBF keep their codepoints; 0x80-0x9F map into the windows
+    # punctuation block (with 81/8D/8F/90/9D passing through as controls)
+    "\u00A0-\u00BF\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030"
+    "\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014"
+    "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178\u0081\u008D\u008F\u0090\u009D"
+)
+_MOJIBAKE_MARKS = re.compile(f"[{_UTF8_LEAD}][{_UTF8_TRAIL}]")
+_HTML_ENTITY = re.compile(r"&(?:#\d+|#x[0-9a-fA-F]+|[A-Za-z][A-Za-z0-9]*);")
+
+
+def _badness(s: str) -> int:
+    return len(_MOJIBAKE_MARKS.findall(s))
+
+
 def _fix_mojibake(s: str) -> str:
     """Best-effort mojibake repair (stand-in for ``ftfy.fix_text``).
 
-    ftfy is not available in this environment; this covers the dominant
-    UTF-8-read-as-cp1252/latin-1 case (e.g. ``â€™`` → ``’``) by re-encoding
-    and checking the round trip actually decodes to fewer suspicious marks.
-    Deterministic and idempotent; a clearly-marked narrower repair than ftfy.
+    ftfy is not available in this environment; this stdlib repair covers:
+
+    - HTML entities (``&amp;`` / ``&#8217;`` / ``&eacute;``) via
+      ``html.unescape`` — mirrors ftfy's ``unescape_html`` step;
+    - UTF-8-read-as-cp1252/latin-1 (``â€™`` → ``’``, ``Ã©`` → ``é``),
+      including double/triple-encoded chains (``Ã¢â‚¬â„¢`` → ``’``) via a
+      bounded fixpoint (3 passes).
+
+    Acceptance rule: a re-decode is applied only when the input contains
+    suspicious lead+trail mark pairs (``_MOJIBAKE_MARKS``) AND the candidate
+    strictly reduces their count — legitimate non-ASCII text that happens to
+    round-trip is left untouched. Deterministic and idempotent; a
+    clearly-marked narrower repair than ftfy (reference:
+    src/processing/cleaner.py:108-112).
     """
-    if not s or s.isascii():
+    if not s:
         return s
-    for enc in ("cp1252", "latin-1"):
-        try:
-            candidate = s.encode(enc).decode("utf-8")
-        except (UnicodeEncodeError, UnicodeDecodeError):
-            continue
-        if candidate != s:
-            return candidate
+    if "&" in s and _HTML_ENTITY.search(s):
+        s = html.unescape(s)
+    for _ in range(3):  # bounded fixpoint for double/triple-encoded chains
+        if s.isascii():
+            break
+        bad = _badness(s)
+        if bad == 0:
+            break
+        repaired = None
+        for enc in ("cp1252", "latin-1"):
+            try:
+                candidate = s.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if candidate != s and _badness(candidate) < bad:
+                repaired = candidate
+                break
+        if repaired is None:
+            break
+        s = repaired
     return s
 
 

@@ -101,3 +101,26 @@ def test_sql_only_matches_oracle_on_documents(spark, ddb):
     from llm_training_data_pipeline_spark.plans.oracle import clean_documents_sql
 
     assert_df_matches_oracle(out, ddb, clean_documents_sql(min_length_chars=100))
+
+
+def test_fix_mojibake_pins():
+    """Pure-Python pins mirroring ftfy's canonical examples (no Spark)."""
+    from llm_training_data_pipeline_spark.operators.cleaning import _fix_mojibake
+
+    cases = [
+        ("Pythonâ€™s fine", "Python’s fine"),  # utf8-as-cp1252
+        ("Ã©tÃ©", "été"),
+        ("Ã¢â‚¬â„¢", "’"),  # double-encoded chain → fixpoint
+        ("naÃ¯ve cafÃ©", "naïve café"),
+        ("AT&amp;T &#8217;ok&#8217;", "AT&T ’ok’"),  # HTML entities
+        ("fish &amp; chips", "fish & chips"),
+        ("déjà vu", "déjà vu"),  # legitimate non-ASCII untouched
+        ("München Straße", "München Straße"),  # round-trips but no marks
+        ("100 < 200 & x", "100 < 200 & x"),  # bare & is not an entity
+        ("ASCII only", "ASCII only"),
+        ("", ""),
+    ]
+    for inp, want in cases:
+        got = _fix_mojibake(inp)
+        assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
+        assert _fix_mojibake(got) == got, f"not idempotent on {got!r}"
