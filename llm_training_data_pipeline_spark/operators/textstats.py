@@ -23,16 +23,39 @@ from llm_training_data_pipeline_spark.functions.text import (
     word_count,
 )
 
-# Stopword profiles. \b word boundaries work in Java regex and RE2 alike.
+# Stopword profiles. \b word boundaries work in Java regex and RE2 alike
+# (both ASCII \w, so profiles stay accent-free to avoid boundary drift).
 LANG_PROFILES: dict[str, str] = {
     "en": r"\b(the|and|of|to|in|is|was|that|it|for|with|are|this|have)\b",
     "fr": r"\b(le|la|les|des|du|et|est|une|dans|que|pour|avec|sur|pas)\b",
     "es": r"\b(el|los|las|del|y|es|una|en|que|por|para|con|su|como)\b",
     "de": r"\b(der|die|das|und|ist|ein|eine|nicht|mit|von|zu|den|auf|für)\b",
+    "pt": r"\b(do|da|dos|das|uma|mais|muito|pelo|pela|isso|ele|os|em|se)\b",
+    "it": r"\b(il|lo|gli|della|delle|nel|nella|anche|sono|questo|ma|come|dei|alla)\b",
 }
-# Han-script detection: Java spells it \p{IsHan}, RE2 spells it \p{Han}.
-HAN_CLASS_SPARK = r"\p{IsHan}"
-HAN_CLASS_DUCKDB = r"\p{Han}"
+# deterministic argmax tie order (earlier wins)
+STOPWORD_ORDER = ("en", "fr", "es", "de", "pt", "it")
+
+# Script-class languages: character evidence beats stopword evidence.
+# Java spells the classes \p{IsHan}; RE2 (DuckDB oracle) spells them \p{Han}.
+# ja is checked BEFORE zh: kanji-heavy Japanese also scores on Han, but any
+# meaningful kana presence is decisive for Japanese.
+SCRIPT_CLASS_SPARK: dict[str, str] = {
+    "ja": r"\p{IsHiragana}\p{IsKatakana}",
+    "zh": r"\p{IsHan}",
+    "ru": r"\p{IsCyrillic}",
+}
+SCRIPT_CLASS_DUCKDB: dict[str, str] = {
+    "ja": r"\p{Hiragana}\p{Katakana}",
+    "zh": r"\p{Han}",
+    "ru": r"\p{Cyrillic}",
+}
+SCRIPT_ORDER = ("ja", "zh", "ru")
+SCRIPT_MIN_RATIO = 0.05
+
+# kept for backward compatibility with earlier call sites
+HAN_CLASS_SPARK = SCRIPT_CLASS_SPARK["zh"]
+HAN_CLASS_DUCKDB = SCRIPT_CLASS_DUCKDB["zh"]
 
 # GPT-2-ish pre-tokenizer, simplified to the Java∩RE2 regex subset
 # (no lookahead): contractions | space?letters | space?digits | space?other.
@@ -40,7 +63,8 @@ BPE_ISH_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language evidence scores (stopword hits per word; Han-char ratio)."""
+    """Per-language evidence scores (stopword hits per word; script-char
+    ratios for ja/zh/ru)."""
     lowered = F.lower(text)
     n_words = word_count(text)
     safe_words = F.when(n_words > 0, n_words.cast("double"))
@@ -50,28 +74,33 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
     n_chars = F.length(text)
     safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
-    scores["zh"] = (
-        F.length(F.regexp_replace(text, f"[^{HAN_CLASS_SPARK}]", "")).cast("double")
-        / safe_chars
-    )
+    for lang, cls in SCRIPT_CLASS_SPARK.items():
+        scores[lang] = (
+            F.length(F.regexp_replace(text, f"[^{cls}]", "")).cast("double")
+            / safe_chars
+        )
     return scores
+
+
+def _lang_cascade(s: dict[str, Column], min_score: float) -> Column:
+    """Shared argmax cascade: script languages first (ja > zh > ru on char
+    ratio), then the highest stopword rate with tie order STOPWORD_ORDER."""
+    cascade = F.when(s[SCRIPT_ORDER[0]] >= F.lit(SCRIPT_MIN_RATIO), SCRIPT_ORDER[0])
+    for lang in SCRIPT_ORDER[1:]:
+        cascade = cascade.when(s[lang] >= F.lit(SCRIPT_MIN_RATIO), lang)
+    best = F.greatest(*[s[lang] for lang in STOPWORD_ORDER])
+    for lang in STOPWORD_ORDER:  # tie → earlier wins
+        cascade = cascade.when((best >= F.lit(min_score)) & (s[lang] == best), lang)
+    return cascade.otherwise("unknown")
 
 
 def lang_id(text: Column, min_score: float = 0.01) -> Column:
     """Argmax language label, 'unknown' when no profile scores ≥ min_score.
 
-    zh wins on any meaningful Han-character presence (character evidence is
-    stronger than stopword evidence); otherwise the highest stopword rate
-    wins with a deterministic tie order en > fr > es > de.
+    Script evidence (kana/Han/Cyrillic ratio ≥ 5%) is stronger than stopword
+    evidence; otherwise the highest stopword rate wins deterministically.
     """
-    s = lang_scores(text)
-    best = F.greatest(*[s[lang] for lang in LANG_PROFILES])
-    cascade = F.when(s["zh"] >= F.lit(0.05), "zh")
-    for lang in ("en", "fr", "es", "de"):  # tie → earlier wins
-        cascade = cascade.when(
-            (best >= F.lit(min_score)) & (s[lang] == best), lang
-        )
-    return cascade.otherwise("unknown")
+    return _lang_cascade(lang_scores(text), min_score)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detected_lang") -> DataFrame:
@@ -84,11 +113,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
         "*", *[col.alias(f"_ls_{lang}") for lang, col in score_exprs.items()]
     )
     s = {lang: F.col(f"_ls_{lang}") for lang in score_exprs}
-    best = F.greatest(*[s[lang] for lang in LANG_PROFILES])
-    cascade = F.when(s["zh"] >= F.lit(0.05), "zh")
-    for lang in ("en", "fr", "es", "de"):
-        cascade = cascade.when((best >= F.lit(min_score)) & (s[lang] == best), lang)
-    return staged.withColumn(out_col, cascade.otherwise("unknown")).drop(
+    return staged.withColumn(out_col, _lang_cascade(s, min_score)).drop(
         *[f"_ls_{lang}" for lang in score_exprs]
     )
 

@@ -261,8 +261,11 @@ def embedding_near_dup_sql(threshold: float = 0.95, block_col: str = "label") ->
 
 def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
     from llm_training_data_pipeline_spark.operators.textstats import (
-        HAN_CLASS_DUCKDB,
         LANG_PROFILES,
+        SCRIPT_CLASS_DUCKDB,
+        SCRIPT_MIN_RATIO,
+        SCRIPT_ORDER,
+        STOPWORD_ORDER,
     )
 
     wc = (
@@ -276,14 +279,19 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
         )
         for lang, pat in LANG_PROFILES.items()
     }
-    zh = (
-        f"CASE WHEN length({text_col}) > 0 THEN "
-        f"length(regexp_replace({text_col}, '[^{q(HAN_CLASS_DUCKDB)}]', '', 'g'))"
-        f" / CAST(length({text_col}) AS DOUBLE) END"
-    )
-    best = "greatest(" + ", ".join(scores.values()) + ")"
-    case = f"CASE WHEN ({zh}) >= 0.05 THEN 'zh'"
-    for lang in ("en", "fr", "es", "de"):
+    script = {
+        lang: (
+            f"CASE WHEN length({text_col}) > 0 THEN "
+            f"length(regexp_replace({text_col}, '[^{q(cls)}]', '', 'g'))"
+            f" / CAST(length({text_col}) AS DOUBLE) END"
+        )
+        for lang, cls in SCRIPT_CLASS_DUCKDB.items()
+    }
+    best = "greatest(" + ", ".join(scores[lang] for lang in STOPWORD_ORDER) + ")"
+    case = "CASE"
+    for lang in SCRIPT_ORDER:
+        case += f" WHEN ({script[lang]}) >= {SCRIPT_MIN_RATIO} THEN '{lang}'"
+    for lang in STOPWORD_ORDER:
         case += (
             f" WHEN ({best}) >= {min_score} AND ({scores[lang]}) = ({best}) THEN '{lang}'"
         )

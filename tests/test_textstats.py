@@ -18,6 +18,11 @@ FIXTURES = [
     (4, "Der Hund ist ein Tier und die Katze ist nicht mit den Leuten zu Hause.", "de"),
     (5, "今天天气很好我们一起去公园散步吧这是一个美丽的城市", "zh"),
     (6, "xqzt vlk bfg hjw", "unknown"),
+    (7, "O menino gosta muito do parque e da praia, mais do que isso ele gosta dos amigos.", "pt"),
+    (8, "Il ragazzo cammina nel parco e anche questo è il modo come sono fatti i giorni della vita.", "it"),
+    (9, "Сегодня хорошая погода и мы идем гулять в парк этого города.", "ru"),
+    (10, "今日は天気がいいので、みんなで公園へ散歩に行きましょう。", "ja"),
+    (11, "日本語の文章には漢字とひらがなが混ざっています。", "ja"),  # kanji-heavy, kana decides
 ]
 
 
@@ -89,5 +94,9 @@ def test_fingerprint_matches_oracle(spark, ddb):
     from llm_training_data_pipeline_spark.plans.oracle import fingerprint_sql
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = with_fingerprints(docs).select("doc_id", "fingerprint", "sketch")
+    # same projection as the registered query: join the sketch array so the
+    # comparison (and the driver's row-hash) sees a scalar cell
+    out = with_fingerprints(docs).select(
+        "doc_id", "fingerprint", F.array_join("sketch", ",").alias("sketch")
+    )
     assert_df_matches_oracle(out, ddb, fingerprint_sql())
