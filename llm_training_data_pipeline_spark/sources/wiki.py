@@ -23,9 +23,16 @@ from llm_training_data_pipeline_spark.functions.text import strip_ws
 
 MIN_ARTICLE_CHARS = 50  # wiki_parser.py:195
 
+# Bounded fixpoint depth for nested templates: {{a|{{b}}}} needs one pass
+# per nesting level; 3 covers essentially all real wikitext.
+_TEMPLATE_PASSES = 3
+
 # C13 regex fallback chain (wiki_parser.py:249-276), Java-regex flavored.
+# The template rewrite is innermost-first, iterated _TEMPLATE_PASSES times
+# in strip_wiki_markup (a single [^{}]+ pass leaves the outer braces of
+# nested templates behind).
 _MARKUP_REWRITES: list[tuple[str, str]] = [
-    (r"\{\{[^}]+\}\}", ""),                        # templates {{...}}
+    (r"\{\{[^{}]*\}\}", ""),                       # templates {{...}} (innermost)
     (r"(?s)<ref[^>]*>.*?</ref>", ""),              # <ref>...</ref>
     (r"<ref[^/>]*/>", ""),                         # self-closing refs
     (r"<[^>]+>", ""),                              # any HTML tag
@@ -46,8 +53,15 @@ _POST_CLEAN: list[tuple[str, str]] = [
 
 
 def strip_wiki_markup(col: Column) -> Column:
-    """C13+C14 as one JVM regexp chain (order matches the reference)."""
+    """C13+C14 as one JVM regexp chain (order matches the reference).
+
+    The template rewrite runs ``_TEMPLATE_PASSES`` times so nested templates
+    (``{{a|{{b}}}}``) strip fully — each pass removes one nesting level,
+    matching wiki_parser.py:249-259 intent without mwparserfromhell."""
     c = col
+    template_pat, _ = _MARKUP_REWRITES[0]
+    for _ in range(_TEMPLATE_PASSES - 1):
+        c = F.regexp_replace(c, template_pat, "")
     for pat, repl in _MARKUP_REWRITES:
         c = F.regexp_replace(c, pat, repl)
     for pat, repl in _POST_CLEAN:

@@ -90,3 +90,21 @@ def test_word_and_char_counts(spark, wiki_file):
 
 def test_max_articles_limit(spark, wiki_file):
     assert parse_wikipedia(spark, wiki_file, max_articles=1).count() == 1
+
+
+def test_nested_template_strip(spark):
+    from llm_training_data_pipeline_spark.sources.wiki import strip_wiki_markup
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("Before {{cite|title=X}} after.", "Before after."),
+        ("Nested {{a|{{b}}}} gone.", "Nested gone."),
+        ("Deep {{a|{{b|{{c}}}}}} gone.", "Deep gone."),
+        ("Link [[target|shown]] kept.", "Link shown kept."),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    rows = df.select(
+        strip_wiki_markup(F.col("text")).alias("got"), "expected"
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], (r["got"], r["expected"])
