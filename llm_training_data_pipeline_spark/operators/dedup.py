@@ -232,23 +232,53 @@ def minhash_dedup_stats(
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
 ) -> DataFrame:
-    """DeduplicationResult for the MinHash variant (D5/D7)."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg).cache()
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    total = df.count()
-    dup = losers.count()
-    # clusters ≈ distinct "winner" docs that defeated someone and are not
-    # themselves losers (min-id cluster representative)
-    winners = (
-        pairs.join(losers.withColumnRenamed(id_col, "id_a"), on="id_a", how="left_anti")
-        .select("id_a")
-        .distinct()
-        .count()
+    """DeduplicationResult for the MinHash variant (D5/D7).
+
+    Fully lazy single-plan form: the pairs table is read ONCE (explode each
+    pair into its two endpoints, then per-id winner/loser flags), so no
+    cache or driver-side counting loop is needed — the caller's one action
+    computes total, duplicates, and clusters together.
+    """
+    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg)
+    per_id = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("id"),
+                        F.lit(1).alias("w"),
+                        F.lit(0).alias("l"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id"),
+                        F.lit(0).alias("w"),
+                        F.lit(1).alias("l"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("id")
+        .agg(F.max("w").alias("won"), F.max("l").alias("lost"))
     )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(total, total - dup, dup, winners)],
-        "total_documents long, unique_documents long, duplicate_documents long, duplicate_clusters long",
+    # clusters = distinct "winner" docs that defeated someone and are not
+    # themselves losers (min-id cluster representative)
+    stats = per_id.agg(
+        F.coalesce(F.sum("lost"), F.lit(0)).cast("long").alias("duplicate_documents"),
+        F.coalesce(
+            F.sum(F.when((F.col("won") == 1) & (F.col("lost") == 0), 1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("duplicate_clusters"),
+    )
+    totals = df.agg(F.count(F.lit(1)).cast("long").alias("total_documents"))
+    return totals.crossJoin(stats).select(
+        "total_documents",
+        (F.col("total_documents") - F.col("duplicate_documents"))
+        .cast("long")
+        .alias("unique_documents"),
+        "duplicate_documents",
+        "duplicate_clusters",
     )
 
 

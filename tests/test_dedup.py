@@ -174,3 +174,33 @@ def test_minhash_accuracy_vs_exact_jaccard_ground_truth(spark, ddb):
     # every dropped doc must be the larger id of SOME pair with J >= 0.7
     over_dropped = {d for d in dropped if not any(b == d for a, b in weakish)}
     assert not over_dropped, f"dropped without exact-Jaccard support: {over_dropped}"
+
+
+def test_minhash_dedup_stats_single_plan(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import minhash_dedup_stats
+
+    row = minhash_dedup_stats(_df(spark)).collect()[0]
+    # fixture {1,2,4,6}: doc 2 is the exact dup of 1 → one loser, one
+    # cluster led by winner 1; minhash_dedup keeps [1,4,6] on this fixture
+    assert row["total_documents"] == row["unique_documents"] + row["duplicate_documents"]
+    assert row["total_documents"] == 4
+    assert row["duplicate_documents"] == 1
+    assert row["duplicate_clusters"] == 1
+    assert row["unique_documents"] == 3
+
+
+def test_minhash_dedup_stats_no_dups(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import minhash_dedup_stats
+
+    df = _df(
+        spark,
+        [
+            (1, "Entirely unique content about astronomy and telescopes tonight."),
+            (2, "A different passage concerning maritime navigation and tides."),
+        ],
+    )
+    row = minhash_dedup_stats(df).collect()[0]
+    assert row["total_documents"] == 2
+    assert row["unique_documents"] == 2
+    assert row["duplicate_documents"] == 0
+    assert row["duplicate_clusters"] == 0
