@@ -176,13 +176,52 @@ def minhash_candidate_pairs(
     1. signature table MATERIALIZED (eager localCheckpoint) — the band
        self-join references it twice and downstream joins twice more; lazy
        persist still lets concurrent branches of one job race and recompute
-       the whole shingle+aggregate pipeline per branch (measured ~9x);
+       the whole shingle+aggregate pipeline per branch (measured ~9x).
+       For repeated runs on a cluster, prefer ``persist_minhash_signatures``
+       + ``minhash_candidate_pairs_from_signatures`` — a bucketed table
+       survives across jobs and joins by id without an Exchange;
     2. the self-join ships only (id, bucket) — signatures are joined back
        by id for the surviving candidate pairs, so shuffle width stays
        16 bytes/row instead of 16 + 8*num_perm;
     3. verification is the signature-estimated Jaccard >= threshold.
     """
     sig = minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    return minhash_candidate_pairs_from_signatures(sig, id_col, cfg)
+
+
+def persist_minhash_signatures(
+    df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Cluster-grade signature persistence: write the (id, signature) table
+    bucketed+sorted by id and return the bucketed scan.
+
+    This is the durable alternative to the in-job ``localCheckpoint`` —
+    executor-local checkpoint blocks die with the job, while a bucketed
+    table is reusable across jobs (incremental dedup probes, re-runs,
+    verification joins) and every equi-join on ``id_col`` against another
+    same-bucketed table plans WITHOUT an Exchange on this side
+    (tests/test_scale.py asserts the no-shuffle plan).
+    """
+    from llm_training_data_pipeline_spark.operators.scale import write_bucketed
+
+    sig = minhash_signatures(df, text_col, id_col, cfg)
+    write_bucketed(sig, table, id_col, num_buckets=num_buckets)
+    return df.sparkSession.table(table)
+
+
+def minhash_candidate_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """D4 band self-join + est-Jaccard verify over a precomputed
+    (id, minhash_sig) table — the signature source decides the reuse
+    strategy (localCheckpoint in-job, bucketed table across jobs)."""
     banded = (
         sig.withColumn("band", F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)))
         .select(

@@ -113,3 +113,53 @@ def test_asof_join_tied_right_timestamps_deterministic(spark):
         out = asof_join(left, right, key="user_id", value_cols=["value"]).collect()
         vals.add(out[0]["value"])
     assert vals == {7.0}  # greatest value-struct wins, every run
+
+
+def test_bucketed_minhash_signature_table_joins_without_exchange(spark):
+    """The cluster-grade repeated-join path: signatures persisted bucketed
+    by doc_id join a same-bucketed corpus with zero shuffle, and the
+    candidate pairs from the bucketed table equal the in-job path."""
+    import shutil
+
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        MinHashConfig,
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_from_signatures,
+        persist_minhash_signatures,
+    )
+
+    for t in ("t_sig_bucketed", "t_docs_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    sig = persist_minhash_signatures(docs, "t_sig_bucketed", cfg=cfg, num_buckets=4)
+
+    from llm_training_data_pipeline_spark.operators.scale import write_bucketed
+
+    write_bucketed(docs.select("doc_id", "lang"), "t_docs_bucketed", "doc_id", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("t_sig_bucketed").join(
+            spark.table("t_docs_bucketed"), on="doc_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == docs.count()
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs_from_signatures(sig, cfg=cfg).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(docs, cfg=cfg).collect()
+        }
+        assert got == want and want  # same pairs, non-empty on sf0.001
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("t_sig_bucketed", "t_docs_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
