@@ -1,0 +1,100 @@
+"""Mimic the driver's CORRECTNESS check locally: run every registered query
+at sf0.01 against its DuckDB oracle, canonicalizing with pandas sort_values
+(the exact step that failed on raw ARRAY columns in round 1).
+
+Usage: python tools/driver_mimic.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from llm_training_data_pipeline_spark.plans.queries import registry  # noqa: E402
+from llm_training_data_pipeline_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: sort columns by name, sort rows by all
+    columns (this is the step that raises on unhashable list cells)."""
+    cols = sorted(df.columns)
+    out = df[cols].copy()
+    for c in cols:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        elif out[c].dtype.kind == "f":
+            out[c] = out[c].round(6)
+    out = out.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    reg = registry()
+    results: dict[str, dict] = {}
+    for name in sorted(reg):
+        if name_filter and name not in name_filter:
+            continue
+        fn, sql = reg[name]
+        t0 = time.time()
+        try:
+            sp = fn(spark, sf_dir).toPandas()
+            if sql is None:
+                results[name] = {"status": "rows_only", "rows": len(sp),
+                                 "sec": round(time.time() - t0, 1)}
+                continue
+            du = con.execute(sql).df()
+            # the driver sorts by raw (un-stringified) values first; replicate
+            # that exact failure mode before our tolerant compare
+            sp[sorted(sp.columns)].sort_values(by=sorted(sp.columns))
+            a, b = _canon(sp), _canon(du)
+            schema_ok = sorted(sp.columns) == sorted(du.columns)
+            rows_ok = len(sp) == len(du)
+            val_ok = False
+            if schema_ok and rows_ok:
+                try:
+                    pd.testing.assert_frame_equal(
+                        a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+                    )
+                    val_ok = True
+                except AssertionError as e:
+                    results[name] = {"status": "VALUE_MISMATCH",
+                                     "detail": str(e).splitlines()[-1][:200],
+                                     "sec": round(time.time() - t0, 1)}
+                    continue
+            results[name] = {
+                "status": "pass" if (schema_ok and rows_ok and val_ok) else "MISMATCH",
+                "rows": len(sp), "oracle_rows": len(du), "schema_ok": schema_ok,
+                "sec": round(time.time() - t0, 1),
+            }
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"[:300],
+                             "sec": round(time.time() - t0, 1)}
+    bad = {k: v for k, v in results.items() if v["status"] not in ("pass", "rows_only")}
+    print(json.dumps(results, indent=1))
+    print(f"\n{len(results)} queries: {len(results) - len(bad)} ok, {len(bad)} bad")
+    if bad:
+        print("BAD:", sorted(bad))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
