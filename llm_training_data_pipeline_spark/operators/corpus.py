@@ -1,0 +1,284 @@
+"""Corpus-level operators for large-scale training-data preparation.
+
+These extend the reference's five stages with operations a 100 TB
+pipeline needs and the reference only gestures at:
+
+- **Unigram LM scoring** — the reference declares a perplexity filter in
+  config but never implements it (configs/pipeline_config.yaml:54-58;
+  SURVEY §2.4 Q12). Here it is real: a corpus unigram language model
+  (add-one smoothed) built with one aggregation, then per-document
+  average surprisal via an equi-join — the classic cheap stand-in for
+  kenlm-style perplexity filtering.
+- **Benchmark contamination check** — flag training documents sharing
+  word n-grams with a held-out benchmark set (the standard n-gram
+  overlap decontamination used for LLM training corpora).
+- **Deterministic stratified sampling** — per-stratum keep rates driven
+  by a pure-arithmetic hash so runs are reproducible and the DuckDB
+  oracle can replay them bit-for-bit.
+- **Sequence packing** — assign documents to fixed token-budget packs
+  (training-sequence construction) with one window pass.
+- **Corpus mix report** — per-stratum share-of-corpus statistics.
+
+Everything is pure DataFrame algebra — no Python UDFs — so each
+operator runs as codegen'd JVM expressions and is oracle-checkable.
+
+Scale notes are on each function; the common theme: one shuffle per
+logical step, small sides broadcast, no window over an unpartitioned
+frame, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.functions.text import (
+    whitespace_tokens,
+    word_count,
+)
+
+# ---------------------------------------------------------------------
+# Unigram LM scoring (Q12 made real)
+# ---------------------------------------------------------------------
+
+
+def _lower_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, word), case-folded. Zero-word docs vanish here —
+    they carry no LM evidence and are excluded from scoring by design."""
+    return df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word")
+    )
+
+
+def unigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus unigram counts: ``(word, n)``.
+
+    One explode + one hash aggregate (map-side partials first), keyed on
+    the word — the natural high-cardinality key, so it scales linearly
+    and AQE coalesces the tail.
+    """
+    return _lower_words(df, text_col, id_col).groupBy("word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average surprisal under the corpus's own add-one
+    smoothed unigram LM: ``avg over words of -ln((c_w + 1) / (N + V))``.
+
+    High surprisal = rare/garbled vocabulary → the perplexity-style
+    quality signal the reference's dead config knob describes
+    (configs/pipeline_config.yaml:54-58).
+
+    Folded to ``ln(N + V) - avg(ln(c_w + 1))`` so the constant lives in
+    ONE broadcast single-row cross join instead of being recomputed per
+    word. Plan: explode → agg(vocab) → equi-join words⋈vocab → agg per
+    doc → broadcast totals. Two shuffles total (word, then doc id), both
+    on natural keys; nothing driver-side.
+    """
+    words = _lower_words(df, text_col, id_col)
+    vocab = unigram_model(df, text_col, id_col)
+    totals = vocab.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    per_doc = (
+        words.join(vocab, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.avg(F.log(F.col("n") + F.lit(1))).alias("_avg_ln"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_words",
+        F.round(F.log(F.col("_total") + F.col("_v")) - F.col("_avg_ln"), 6).alias(
+            "avg_surprisal"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------
+
+
+def word_ngram_set(text: Column, n: int) -> Column:
+    """Distinct word n-grams of the lowercased text; documents shorter
+    than ``n`` words contribute their whole text as one gram (same rule
+    as ``dedup.ngram_jaccard_pairs`` / ``oracle._word_ngrams_sql``)."""
+    toks = whitespace_tokens(F.lower(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/test decontamination: ``(corpus_id, benchmark_id, n_shared)``
+    for every corpus document sharing ≥ ``min_shared`` distinct word
+    ``n``-grams with a benchmark document.
+
+    Shape: explode both gram sets → equi-join on the gram string →
+    count per pair. The benchmark side is tiny relative to the corpus
+    (eval suites are ~1e5 docs vs 1e9+), so its exploded grams are
+    broadcast; the 100 TB side is a single scan + map-side join, no
+    corpus shuffle. Grams are distinct per document, so ``count(*)``
+    per pair IS the number of distinct shared grams.
+    """
+    cg = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
+    )
+    bg = benchmark.select(
+        F.col(id_col).alias("benchmark_id"),
+        F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        cg.join(F.broadcast(bg), on="gram")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------
+
+# Knuth's multiplicative constant; the modulus keeps the product inside
+# int64 (1000002 * 2654435761 ≈ 2.7e15 ≪ 2^63).
+_HASH_MULT = 2654435761
+_HASH_MOD = 1000003
+
+
+def sample_key(id_col: Column, buckets: int = 1000) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, buckets) from an id.
+
+    Pure arithmetic (no engine hash) so the DuckDB oracle replays it
+    bit-for-bit. In production swap for ``pmod(xxhash64(id), buckets)``
+    — identical plan shape, better avalanche on adversarial id spaces.
+    """
+    return ((id_col % _HASH_MOD) * F.lit(_HASH_MULT)) % F.lit(buckets)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row with a per-stratum probability, deterministically:
+    row survives iff ``sample_key(id) < rate[stratum] * 1000``.
+
+    This is the corpus-mixing primitive (upsample wiki, downsample web
+    crawl). Pure filter — no shuffle, pushes past column pruning, and
+    the same ids survive on every run and every engine.
+    """
+    key = sample_key(F.col(id_col))
+    rate: Column = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(key < rate * F.lit(1000))
+
+
+# ---------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PackConfig:
+    budget_tokens: int = 2048
+    part_col: str = "source"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+def pack_sequences(df: DataFrame, cfg: PackConfig = PackConfig()) -> DataFrame:
+    """Assign every document to a training-sequence pack: within each
+    ``part_col`` partition, documents in ``id_col`` order fill packs of
+    ``budget_tokens`` whitespace tokens; a document belongs to the pack
+    in which it STARTS (``floor(preceding_tokens / budget)``).
+
+    One window pass, partitioned by ``part_col`` — never a global
+    unpartitioned window, so state per task stays bounded by the
+    largest partition, not the corpus. At 100 TB you'd pick a
+    partitioning column with enough cardinality (shard id) for the
+    same reason.
+    """
+    n_tok = word_count(F.col(cfg.text_col))
+    w = (
+        Window.partitionBy(cfg.part_col)
+        .orderBy(cfg.id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return df.select(
+        cfg.part_col,
+        cfg.id_col,
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(cfg.budget_tokens)).alias("pack_id"),
+    )
+
+
+def pack_stats(df: DataFrame, cfg: PackConfig = PackConfig()) -> DataFrame:
+    """Per-pack fill statistics: docs per pack and tokens per pack."""
+    return (
+        pack_sequences(df, cfg)
+        .groupBy(cfg.part_col, "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Corpus mix report
+# ---------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MixConfig:
+    group_cols: tuple[str, ...] = ("lang",)
+    text_col: str = "text"
+
+
+def corpus_mix_report(df: DataFrame, cfg: MixConfig = MixConfig()) -> DataFrame:
+    """Share-of-corpus per stratum: docs, words, and each stratum's
+    fraction of both — the report that drives mixing-rate decisions.
+
+    Grand totals come from a second aggregate broadcast as one row
+    (never a window over an unpartitioned frame, which would funnel
+    the corpus through a single task).
+    """
+    per = df.groupBy(*cfg.group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(word_count(F.col(cfg.text_col))).alias("n_words"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_words").alias("_tw")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        *cfg.group_cols,
+        "n_docs",
+        "n_words",
+        F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
+        F.round(F.col("n_words") / F.col("_tw"), 6).alias("word_share"),
+    )

@@ -849,3 +849,122 @@ def regex_extract_parts_sql() -> str:
                CAST(regexp_matches(p_name, 'a.*e') AS BOOLEAN) AS has_a_then_e
         FROM part
     """
+
+
+# ---------------------------------------------------------------------
+# Corpus-scale operators (operators/corpus.py)
+# ---------------------------------------------------------------------
+
+
+def _lower_toks(text_expr: str = "text") -> str:
+    """Whitespace tokens of lower(text), Python str.split() semantics."""
+    stripped = f"regexp_replace(lower({text_expr}), '{q(STRIP_WS)}', '', 'g')"
+    return (
+        f"CASE WHEN {stripped} = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array({stripped}, '\\s+') END"
+    )
+
+
+def unigram_surprisal_sql() -> str:
+    """Mirror of corpus.unigram_surprisal: add-one smoothed unigram LM,
+    avg surprisal folded to ln(N+V) - avg(ln(c_w+1))."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest({_lower_toks()}) AS word FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS n FROM w GROUP BY word
+        ), tot AS (
+          SELECT sum(n) AS total, count(*) AS v FROM vocab
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               round(ln(tot.total + tot.v) - avg(ln(vocab.n + 1)), 6) AS avg_surprisal
+        FROM w JOIN vocab USING (word) CROSS JOIN tot
+        GROUP BY w.doc_id, tot.total, tot.v
+    """
+
+
+def contamination_sql(n: int = 8, min_shared: int = 1, bench_mod: int = 97) -> str:
+    """Mirror of corpus.contamination_pairs with benchmark = docs whose
+    id ≡ 0 (mod bench_mod)."""
+    return f"""
+        WITH g AS (
+          SELECT doc_id, {_word_ngrams_sql('text', n)} AS grams FROM documents
+        ), cg AS (
+          SELECT doc_id AS corpus_id, unnest(grams) AS gram FROM g
+          WHERE doc_id % {bench_mod} <> 0
+        ), bg AS (
+          SELECT doc_id AS benchmark_id, unnest(grams) AS gram FROM g
+          WHERE doc_id % {bench_mod} = 0
+        )
+        SELECT corpus_id, benchmark_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM cg JOIN bg USING (gram)
+        GROUP BY corpus_id, benchmark_id
+        HAVING count(*) >= {min_shared}
+    """
+
+
+def stratified_sample_sql(rates: dict[str, float], default_rate: float = 0.0) -> str:
+    """Mirror of corpus.stratified_sample over documents.lang — the same
+    arithmetic sample key, bit-for-bit."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {float(r)}" for s, r in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+              (CASE lang {whens} ELSE {float(default_rate)} END) * 1000
+    """
+
+
+def pack_stats_sql(budget: int = 2048) -> str:
+    wc = (
+        f"CASE WHEN regexp_replace(text, '{q(STRIP_WS)}', '', 'g') = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(regexp_replace(text, '{q(STRIP_WS)}', '', 'g'), '\\s+')) END"
+    )
+    return f"""
+        WITH t AS (
+          SELECT source, doc_id, CAST({wc} AS BIGINT) AS n_tokens FROM documents
+        ), p AS (
+          SELECT source, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / {budget}) AS BIGINT) AS pack_id
+          FROM t
+        )
+        SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        FROM p GROUP BY source, pack_id
+    """
+
+
+def corpus_mix_sql() -> str:
+    wc = (
+        f"CASE WHEN regexp_replace(text, '{q(STRIP_WS)}', '', 'g') = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(regexp_replace(text, '{q(STRIP_WS)}', '', 'g'), '\\s+')) END"
+    )
+    return f"""
+        WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum({wc}) AS BIGINT) AS n_words
+          FROM documents GROUP BY lang
+        ), tot AS (SELECT sum(n_docs) AS td, sum(n_words) AS tw FROM per)
+        SELECT lang, n_docs, n_words,
+               round(n_docs / td, 6) AS doc_share,
+               round(n_words / tw, 6) AS word_share
+        FROM per CROSS JOIN tot
+    """
+
+
+def lag_lead_orders_sql() -> str:
+    return """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """

@@ -872,3 +872,84 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
         F.col("p_name").rlike("a.*e").alias("has_a_then_e"),
     )
+
+
+# =====================================================================
+# Corpus-scale operators (operators/corpus.py): LM scoring,
+# decontamination, sampling, packing, mixing
+# =====================================================================
+
+
+@register("unigram_surprisal", oracle.unigram_surprisal_sql())
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 made real: per-doc avg surprisal under the corpus's own
+    add-one smoothed unigram LM (perplexity-style quality signal)."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register("contamination_check", oracle.contamination_sql(n=3, min_shared=2, bench_mod=97))
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark decontamination: word-n-gram overlap pairs, with
+    docs whose id ≡ 0 (mod 97) standing in for the held-out benchmark.
+    (Production uses 8-13-grams; n=3 here so the synthetic corpus
+    actually exhibits overlap for the oracle to check.)"""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus.contamination_pairs(train, bench, n=3, min_shared=2)
+
+
+@register(
+    "stratified_sample",
+    oracle.stratified_sample_sql({"en": 0.5, "fr": 0.3, "de": 0.2}, default_rate=0.1),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixing sample: per-language keep rates via
+    an arithmetic sample key (replayable in the oracle bit-for-bit)."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.3, "de": 0.2}, default_rate=0.1
+    ).select("doc_id", "lang", "source")
+
+
+@register("pack_stats", oracle.pack_stats_sql(budget=2048))
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs → 2048-token packs per source shard; per-
+    pack fill stats via one partitioned window pass."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.pack_stats(
+        _t(spark, sf_dir, "documents"), corpus.PackConfig(budget_tokens=2048)
+    )
+
+
+@register("corpus_mix_report", oracle.corpus_mix_sql())
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-corpus per language: the mixing-decision report."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.corpus_mix_report(_t(spark, sf_dir, "documents"))
+
+
+@register("lag_lead_orders", oracle.lag_lead_orders_sql())
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset + distribution window functions: lag/lead/ntile/
+    percent_rank/cume_dist over a per-customer total order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
