@@ -3,8 +3,14 @@
 Reference semantics: /root/reference/src/processing/tokenizer.py — train a
 subword tokenizer (BPE default) over the corpus, then encode every document
 to ARRAY<INT>. The reference wraps HuggingFace ``tokenizers`` (not available
-in this container), so the trainer here is a from-scratch pure-Python BPE —
-same algorithm family, deterministic, save/load-able.
+in this container), so the trainers here are from-scratch pure Python —
+same algorithm families, deterministic, save/load-able. Two BPE variants:
+
+- ``bpe``: whitespace pre-tokenization + ``</w>`` end-of-word marker (the
+  classic formulation; token streams are NOT HF-comparable).
+- ``byte_bpe``: GPT-2-style ByteLevel pre-tokenization — the pre-tokenizer
+  the reference's BPE actually configures (tokenizer.py:77-90). Exact
+  byte-level round-trip, whitespace preserved, no <unk> possible.
 
 Scale design (the part that matters at 100 TB):
 - Training input is NOT the corpus — it is the **word-frequency table**,
@@ -33,6 +39,99 @@ from llm_training_data_pipeline_spark.functions.text import whitespace_tokens
 
 SPECIAL_TOKENS = ["<pad>", "<unk>", "<bos>", "<eos>"]  # tokenizer.py:68
 END_OF_WORD = "</w>"
+
+# GPT-2-style byte-level pre-tokenizer split (the reference's BPE uses HF
+# ByteLevel, tokenizer.py:77-90; this is the public GPT-2 pattern). Java
+# regex (Spark side) supports \p{L}/\p{N} and the lookahead directly.
+GPT2_PRETOKEN_REGEX = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+# Python-re approximation for off-Spark use: [^\W\d_] ≈ \p{L}, \d ≈ \p{Nd}
+# (drops Nl/No — rare numerals pre-tokenize slightly differently off-Spark).
+import re as _re  # noqa: E402
+
+_PY_PRETOKEN_RE = _re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's byte↔printable-unicode bijection: printable latin bytes map
+    to themselves, everything else to U+0100.. in order. Every byte is
+    representable, so byte-level BPE never needs <unk>."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_BYTE_TO_CHAR = bytes_to_unicode()
+_CHAR_TO_BYTE = {c: b for b, c in _BYTE_TO_CHAR.items()}
+
+
+def _byte_symbols(pretoken: str) -> list[str]:
+    return [_BYTE_TO_CHAR[b] for b in pretoken.encode("utf-8")]
+
+
+def _apply_merges(symbols: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge application (shared by all BPE
+    variants)."""
+    while len(symbols) > 1:
+        best, best_rank = None, None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        symbols[best : best + 2] = [symbols[best] + symbols[best + 1]]
+    return symbols
+
+
+def _learn_merges(
+    words: dict[tuple[str, ...], int],
+    vocab: dict[str, int],
+    vocab_size: int,
+    min_frequency: int,
+) -> list[tuple[str, str]]:
+    """Classic BPE merge learning over a symbol-sequence frequency dict.
+    Mutates ``vocab``; ties in pair frequency break lexicographically."""
+    merges: list[tuple[str, str]] = []
+    while len(vocab) < vocab_size:
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in words.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_frequency:
+            break
+        merges.append((a, b))
+        vocab[a + b] = len(vocab)
+        new_words: dict[tuple[str, ...], int] = {}
+        for word, c in words.items():
+            out: list[str] = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + c
+        words = new_words
+    return merges
 
 
 @dataclass
@@ -63,16 +162,7 @@ class BpeTokenizer:
         return r
 
     def encode_word(self, word: str, ranks: dict[tuple[str, str], int]) -> list[int]:
-        symbols = list(word) + [END_OF_WORD]
-        while len(symbols) > 1:
-            best, best_rank = None, None
-            for i in range(len(symbols) - 1):
-                r = ranks.get((symbols[i], symbols[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best is None:
-                break
-            symbols[best : best + 2] = [symbols[best] + symbols[best + 1]]
+        symbols = _apply_merges(list(word) + [END_OF_WORD], ranks)
         unk = self.unk_id
         return [self.vocab.get(s, unk) for s in symbols]
 
@@ -154,34 +244,7 @@ def train_bpe_from_word_counts(
     for s in alphabet:
         vocab[s] = len(vocab)
 
-    merges: list[tuple[str, str]] = []
-    while len(vocab) < vocab_size:
-        pair_counts: dict[tuple[str, str], int] = {}
-        for word, c in words.items():
-            for i in range(len(word) - 1):
-                p = (word[i], word[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + c
-        if not pair_counts:
-            break
-        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if cnt < min_frequency:
-            break
-        merges.append((a, b))
-        vocab[a + b] = len(vocab)
-        new_words: dict[tuple[str, ...], int] = {}
-        for word, c in words.items():
-            out: list[str] = []
-            i = 0
-            while i < len(word):
-                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(word[i])
-                    i += 1
-            key = tuple(out)
-            new_words[key] = new_words.get(key, 0) + c
-        words = new_words
+    merges = _learn_merges(words, vocab, vocab_size, min_frequency)
     return BpeTokenizer(vocab=vocab, merges=merges, special_tokens=special_tokens)
 
 
@@ -380,10 +443,134 @@ class UnigramTokenizer:
         return cls(vocab=d["vocab"], logp=d["logp"], special_tokens=d["special_tokens"])
 
 
+@dataclass
+class ByteLevelBpeTokenizer:
+    """Byte-level BPE: GPT-2-style pre-tokenization + BPE merges over
+    byte symbols — the pre-tokenizer the reference's BPE actually uses
+    (HF ByteLevel, tokenizer.py:77-90), from scratch.
+
+    Unlike the whitespace+``</w>`` ``BpeTokenizer``, this round-trips
+    text EXACTLY (whitespace included): every byte has a symbol, so no
+    token is ever <unk> and decode inverts encode bit-for-bit.
+    """
+
+    vocab: dict[str, int]
+    merges: list[tuple[str, str]]
+    special_tokens: list[str] = field(default_factory=lambda: list(SPECIAL_TOKENS))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def unk_id(self) -> int:
+        return self.vocab[self.special_tokens[1]]
+
+    def _ranks(self) -> dict[tuple[str, str], int]:
+        r = getattr(self, "_ranks_memo", None)
+        if r is None:
+            r = {pair: i for i, pair in enumerate(self.merges)}
+            object.__setattr__(self, "_ranks_memo", r)
+        return r
+
+    def encode_pretoken(self, pretoken: str, ranks: dict[tuple[str, str], int]) -> list[int]:
+        symbols = _apply_merges(_byte_symbols(pretoken), ranks)
+        # full byte alphabet is always in vocab → lookups cannot miss
+        return [self.vocab[s] for s in symbols]
+
+    def encode(self, text: str, _cache: dict | None = None) -> list[int]:
+        """Pre-tokenize (GPT-2 split), BPE-merge each pre-token's bytes.
+
+        Off-Spark this uses the Python-re approximation of the split; the
+        Spark encode path feeds the same text through the same UDF, so
+        train/encode stay consistent either way (both Python-side).
+        """
+        ranks = self._ranks()
+        cache = _cache if _cache is not None else {}
+        out: list[int] = []
+        for m in _PY_PRETOKEN_RE.findall(text):
+            ids = cache.get(m)
+            if ids is None:
+                ids = self.encode_pretoken(m, ranks)
+                if len(cache) < 200_000:
+                    cache[m] = ids
+            out.extend(ids)
+        return out
+
+    def decode(self, ids: list[int]) -> str:
+        inv = {i: s for s, i in self.vocab.items()}
+        specials = set(self.special_tokens)
+        chars = "".join(inv.get(i, "") for i in ids if inv.get(i) not in specials)
+        data = bytes(_CHAR_TO_BYTE[c] for c in chars)
+        return data.decode("utf-8", errors="replace")
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "type": "byte_bpe",
+                    "vocab": self.vocab,
+                    "merges": [list(m) for m in self.merges],
+                    "special_tokens": self.special_tokens,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ByteLevelBpeTokenizer":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            vocab=d["vocab"],
+            merges=[tuple(m) for m in d["merges"]],
+            special_tokens=d["special_tokens"],
+        )
+
+
+def train_byte_bpe_from_pretoken_counts(
+    wc: list[tuple[str, int]],
+    vocab_size: int = 32_000,
+    min_frequency: int = 2,
+    special_tokens: list[str] | None = None,
+) -> ByteLevelBpeTokenizer:
+    """Merge learning over a (pretoken, count) table; alphabet is the
+    full 256-symbol byte map so coverage is total by construction."""
+    special_tokens = list(special_tokens or SPECIAL_TOKENS)
+    words: dict[tuple[str, ...], int] = {}
+    for w, c in wc:
+        if w:
+            key = tuple(_byte_symbols(w))
+            words[key] = words.get(key, 0) + c
+
+    vocab: dict[str, int] = {}
+    for tok in special_tokens:
+        vocab[tok] = len(vocab)
+    for b in range(256):
+        vocab[_BYTE_TO_CHAR[b]] = len(vocab)
+
+    merges = _learn_merges(words, vocab, vocab_size, min_frequency)
+    return ByteLevelBpeTokenizer(vocab=vocab, merges=merges, special_tokens=special_tokens)
+
+
+def pretoken_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed GPT-2 pre-token frequency table: one extract-all +
+    explode + hash aggregate, same scale shape as ``word_counts``."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(GPT2_PRETOKEN_REGEX), 0)
+            ).alias("pretoken")
+        )
+        .groupBy("pretoken")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 TRAINERS = {
     "bpe": train_bpe_from_word_counts,
     "wordpiece": train_wordpiece_from_word_counts,
     "unigram": train_unigram_from_word_counts,
+    "byte_bpe": train_byte_bpe_from_pretoken_counts,
 }
 
 
@@ -400,8 +587,18 @@ def train_tokenizer(
     (tokenizer.py:58-133)."""
     if algorithm not in TRAINERS:
         raise ValueError(f"unknown algorithm {algorithm!r}; choose from {sorted(TRAINERS)}")
-    wc_df = word_counts(df, text_col).orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
-    wc = [(r["word"], r["cnt"]) for r in wc_df.collect()]
+    if algorithm == "byte_bpe":
+        wc_df = (
+            pretoken_counts(df, text_col)
+            .orderBy(F.col("cnt").desc(), F.col("pretoken"))
+            .limit(max_words)
+        )
+        wc = [(r["pretoken"], r["cnt"]) for r in wc_df.collect()]
+    else:
+        wc_df = (
+            word_counts(df, text_col).orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
+        )
+        wc = [(r["word"], r["cnt"]) for r in wc_df.collect()]
     return TRAINERS[algorithm](wc, vocab_size, min_frequency)
 
 

@@ -953,3 +953,19 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@register("byte_bpe_tokenize_stats", None)
+def q_byte_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE (GPT-2 ByteLevel pre-tokenizer, the reference's
+    actual BPE configuration) trained on the corpus, then full-corpus
+    encode + stats. Rows-only: merge learning is not SQL-expressible."""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenization_stats,
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs, algorithm="byte_bpe", vocab_size=2000, min_frequency=2)
+    return tokenization_stats(tokenize_documents(docs, tok), tok)

@@ -116,3 +116,92 @@ def test_tokenize_documents_with_unigram(spark):
     uni = train_tokenizer(df, algorithm="unigram", vocab_size=300)
     out = tokenize_documents(df, uni).select("token_count").collect()
     assert all(r["token_count"] > 0 for r in out)
+
+
+# --------------------------- byte-level BPE ---------------------------
+
+
+def test_bytes_to_unicode_bijection():
+    from llm_training_data_pipeline_spark.operators.tokenize import bytes_to_unicode
+
+    m = bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256
+    assert m[ord("A")] == "A"  # printable maps to itself
+
+
+def test_byte_bpe_exact_roundtrip(spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        ByteLevelBpeTokenizer,
+        train_tokenizer,
+    )
+
+    tok = train_tokenizer(_corpus_df(spark), algorithm="byte_bpe", vocab_size=400)
+    assert isinstance(tok, ByteLevelBpeTokenizer)
+    for text in (
+        "the quick  brown\tfox\n jumps",
+        "unicode: café 日本語 \U0001f600",
+        "  leading and trailing  ",
+        "it's we've I'll",
+    ):
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text, "byte-level BPE must round-trip exactly"
+
+
+def test_byte_bpe_never_unk(spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import train_tokenizer
+
+    tok = train_tokenizer(_corpus_df(spark), algorithm="byte_bpe", vocab_size=300)
+    ids = tok.encode("жопа zzz \U0001f409")  # chars never seen in training
+    assert tok.unk_id not in ids
+
+
+def test_byte_bpe_merges_compress(spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import train_tokenizer
+
+    tok = train_tokenizer(_corpus_df(spark), algorithm="byte_bpe", vocab_size=500)
+    # a word frequent in the corpus should be far fewer tokens than bytes
+    assert len(tok.encode("quick")) < len("quick".encode())
+
+
+def test_byte_bpe_save_load(tmp_path, spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        ByteLevelBpeTokenizer,
+        train_tokenizer,
+    )
+
+    tok = train_tokenizer(_corpus_df(spark), algorithm="byte_bpe", vocab_size=300)
+    p = os.path.join(tmp_path, "bb.json")
+    tok.save(p)
+    tok2 = ByteLevelBpeTokenizer.load(p)
+    assert tok2.encode("quick brown") == tok.encode("quick brown")
+
+
+def test_byte_bpe_spark_encode_path(spark):
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    df = _corpus_df(spark)
+    tok = train_tokenizer(df, algorithm="byte_bpe", vocab_size=300)
+    out = tokenize_documents(df, tok).select("text", "tokens").collect()
+    for r in out:
+        assert tok.decode(r["tokens"]) == r["text"]
+
+
+def test_pretoken_counts_matches_python_split(spark):
+    """Spark's Java-regex pre-token table agrees with the Python re
+    approximation on ASCII text (the common-subset guarantee)."""
+    from collections import Counter
+
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        _PY_PRETOKEN_RE,
+        pretoken_counts,
+    )
+
+    texts = ["the fox's den, 42 times!", "  spaced   out  ", "it'll re-run 3x"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["pretoken"]: r["cnt"] for r in pretoken_counts(df).collect()}
+    want = Counter(m for t in texts for m in _PY_PRETOKEN_RE.findall(t))
+    assert got == dict(want)
