@@ -44,13 +44,19 @@ SCRIPT_CLASS_SPARK: dict[str, str] = {
     "ja": r"\p{IsHiragana}\p{IsKatakana}",
     "zh": r"\p{IsHan}",
     "ru": r"\p{IsCyrillic}",
+    "ko": r"\p{IsHangul}",
+    "ar": r"\p{IsArabic}",
+    "hi": r"\p{IsDevanagari}",
 }
 SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "ja": r"\p{Hiragana}\p{Katakana}",
     "zh": r"\p{Han}",
     "ru": r"\p{Cyrillic}",
+    "ko": r"\p{Hangul}",
+    "ar": r"\p{Arabic}",
+    "hi": r"\p{Devanagari}",
 }
-SCRIPT_ORDER = ("ja", "zh", "ru")
+SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi")
 SCRIPT_MIN_RATIO = 0.05
 
 # kept for backward compatibility with earlier call sites
@@ -64,7 +70,12 @@ BPE_ISH_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{
 
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language evidence scores (stopword hits per word; script-char
-    ratios for ja/zh/ru)."""
+    ratios for the script-class languages).
+
+    Script-char counting uses ``regexp_count`` of the positive class —
+    counting matches is cheaper than ``regexp_replace`` building the
+    stripped string just to measure it.
+    """
     lowered = F.lower(text)
     n_words = word_count(text)
     safe_words = F.when(n_words > 0, n_words.cast("double"))
@@ -76,8 +87,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
     safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
     for lang, cls in SCRIPT_CLASS_SPARK.items():
         scores[lang] = (
-            F.length(F.regexp_replace(text, f"[^{cls}]", "")).cast("double")
-            / safe_chars
+            F.regexp_count(text, F.lit(f"[{cls}]")).cast("double") / safe_chars
         )
     return scores
 
@@ -106,15 +116,50 @@ def lang_id(text: Column, min_score: float = 0.01) -> Column:
 def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detected_lang") -> DataFrame:
     """Stage per-language scores as columns, then argmax over attributes —
     embedding the regexp_count scores straight into the when-cascade would
-    re-evaluate each pattern once per branch (~10x the regex work)."""
+    re-evaluate each pattern once per branch (~10x the regex work).
+
+    Two more hot-path cuts (each score expression is its own regex pass
+    over the full text, so shared subtrees must be staged, not repeated):
+    - ``lower(text)`` and the whitespace word count are staged ONCE and
+      shared by all stopword profiles (previously each profile embedded
+      its own lower + two splits);
+    - the six script-class counts are gated behind a single cheap
+      non-ASCII probe — ASCII-only documents (the bulk of web corpora)
+      skip all script regexes, and ASCII text contains zero script chars
+      so the gate is value-neutral (oracle SQL needs no gate).
+    """
     min_score = 0.01
-    score_exprs = lang_scores(F.col(text_col))
-    staged = df.select(
+    t = F.col(text_col)
+    pre = df.select(
+        "*",
+        F.lower(t).alias("_lid_low"),
+        word_count(t).alias("_lid_nw"),
+        t.rlike(r"[^\x00-\x7F]").alias("_lid_nonascii"),
+    )
+    safe_words = F.when(F.col("_lid_nw") > 0, F.col("_lid_nw").cast("double"))
+    n_chars = F.length(t)
+    safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
+    score_exprs: dict[str, Column] = {
+        lang: (F.regexp_count(F.col("_lid_low"), F.lit(pat)).cast("double") / safe_words)
+        for lang, pat in LANG_PROFILES.items()
+    }
+    for lang, cls in SCRIPT_CLASS_SPARK.items():
+        score_exprs[lang] = (
+            F.when(
+                F.col("_lid_nonascii"),
+                F.regexp_count(t, F.lit(f"[{cls}]")).cast("double"),
+            ).otherwise(F.lit(0.0))
+            / safe_chars
+        )
+    staged = pre.select(
         "*", *[col.alias(f"_ls_{lang}") for lang, col in score_exprs.items()]
     )
     s = {lang: F.col(f"_ls_{lang}") for lang in score_exprs}
     return staged.withColumn(out_col, _lang_cascade(s, min_score)).drop(
-        *[f"_ls_{lang}" for lang in score_exprs]
+        "_lid_low",
+        "_lid_nw",
+        "_lid_nonascii",
+        *[f"_ls_{lang}" for lang in score_exprs],
     )
 
 

@@ -23,6 +23,9 @@ FIXTURES = [
     (9, "Сегодня хорошая погода и мы идем гулять в парк этого города.", "ru"),
     (10, "今日は天気がいいので、みんなで公園へ散歩に行きましょう。", "ja"),
     (11, "日本語の文章には漢字とひらがなが混ざっています。", "ja"),  # kanji-heavy, kana decides
+    (12, "오늘은 날씨가 좋아서 우리는 공원에 산책하러 갑니다.", "ko"),
+    (13, "الطقس جميل اليوم ونحن ذاهبون للتنزه في الحديقة.", "ar"),
+    (14, "आज मौसम अच्छा है और हम पार्क में टहलने जा रहे हैं।", "hi"),
 ]
 
 
