@@ -282,3 +282,64 @@ def corpus_mix_report(df: DataFrame, cfg: MixConfig = MixConfig()) -> DataFrame:
         F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
         F.round(F.col("n_words") / F.col("_tw"), 6).alias("word_share"),
     )
+
+
+# ---------------------------------------------------------------------
+# Cross-document repeated-line removal (C4-style)
+# ---------------------------------------------------------------------
+
+
+def remove_common_lines(
+    df: DataFrame,
+    min_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every line that occurs (verbatim) in ≥ ``min_freq`` documents
+    corpus-wide — the C4-style boilerplate cut (nav bars, cookie notices,
+    footer text repeat across pages; prose doesn't).
+
+    Whitespace-only lines are never counted as "common" (removing them
+    would collapse paragraph structure). Documents are reassembled in
+    original line order; a doc whose every line is common comes back as
+    ''. Output: ``(id_col, cleaned_text, n_lines_removed)``.
+
+    Shape: posexplode → line-frequency aggregate → anti-join on the
+    (small) common-line set → order-preserving rebuild via sort of
+    (pos, line) structs inside the per-doc aggregate. Two shuffles (line
+    key, then doc id); the common-line set is broadcast for the anti-join.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    common = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_freq)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(common), on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    return (
+        df.select(F.col(id_col), n_lines.alias("_n_lines"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

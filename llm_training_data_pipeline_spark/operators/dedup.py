@@ -553,6 +553,62 @@ def exact_dedup_against(
     return exact_dedup(fresh, text_col, id_col)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive closure of near-duplicate pairs → ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the minimum doc id reachable
+    through any chain of pairs (the duplicate-*cluster* extraction the
+    reference only counts, deduplicator.py:205-214).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round pulls the minimum label across its neighbors; the unique
+    fixpoint is the min reachable id, independent of evaluation order.
+    Inherently iterative — one equi-join + min-aggregate per round,
+    ``localCheckpoint`` truncating lineage between rounds, converging in
+    graph-diameter rounds (near-dup clusters are shallow; ``max_iter``
+    is a safety bound). At 100 TB you'd swap in the large-star/small-star
+    contraction to cut round count; the per-round dataflow is identical.
+
+    Convergence is detected via ``sum(label)``, which strictly decreases
+    until fixpoint (labels only ever decrease).
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    row = labels.agg(F.sum("label").alias("s")).collect()[0]
+    if row["s"] is None:  # no pairs → no clusters
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    prev_sum = row["s"]
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def _main() -> None:
     """Module demo: exact + MinHash dedup stats on the sf0.001 documents."""
     from llm_training_data_pipeline_spark.session import get_spark

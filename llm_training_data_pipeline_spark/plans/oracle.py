@@ -968,3 +968,52 @@ def lag_lead_orders_sql() -> str:
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """
+
+
+def dedup_clusters_sql(n: int = 2, threshold: float = 0.1, block_col: str = "source") -> str:
+    """Recursive-CTE mirror of dedup.dedup_clusters over the n-gram
+    Jaccard pair graph: cluster_id = min reachable doc id."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM ({ngram_jaccard_sql(n, threshold, block_col)})
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+
+def remove_common_lines_sql(min_freq: int = 3) -> str:
+    return f"""
+        WITH lines AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                 unnest(string_split(text, chr(10))) AS line
+          FROM documents
+        ), common AS (
+          SELECT line FROM lines WHERE trim(line) <> ''
+          GROUP BY line HAVING count(*) >= {min_freq}
+        ), kept AS (
+          SELECT doc_id, pos, line FROM lines
+          WHERE line NOT IN (SELECT line FROM common)
+        ), rebuilt AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(r.cleaned_text, '') AS cleaned_text,
+               CAST(len(string_split(d.text, chr(10))) - coalesce(r.n_kept, 0) AS BIGINT)
+                 AS n_lines_removed
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """

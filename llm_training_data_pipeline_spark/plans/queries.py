@@ -969,3 +969,24 @@ def q_byte_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = train_tokenizer(docs, algorithm="byte_bpe", vocab_size=2000, min_frequency=2)
     return tokenization_stats(tokenize_documents(docs, tok), tok)
+
+
+@register("dedup_clusters", oracle.dedup_clusters_sql(n=2, threshold=0.1))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: transitive closure (min-label
+    propagation) over the blocked n-gram Jaccard pair graph; the oracle
+    replays it with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.1)
+    return dedup.dedup_clusters(pairs)
+
+
+@register("remove_common_lines", oracle.remove_common_lines_sql(min_freq=3))
+def q_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate cut: drop lines appearing in
+    >= 3 documents corpus-wide, rebuild docs in line order. (The
+    synthetic corpus has no repeated lines, so this verifies the
+    split/count/anti-join/reassembly plumbing end-to-end as identity.)"""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.remove_common_lines(_t(spark, sf_dir, "documents"), min_freq=3)

@@ -118,3 +118,40 @@ def test_unigram_surprisal_plan_has_no_cartesian_blowup(spark):
     df = _docs(spark, [(1, "a b", "en", "s0"), (2, "b c", "en", "s0")])
     plan = corpus.unigram_surprisal(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_remove_common_lines_cuts_boilerplate(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"real content one\n{boiler}\nmore prose", "en", "s0"),
+        (2, f"{boiler}\nsecond doc body", "en", "s0"),
+        (3, f"third doc text\n{boiler}", "en", "s0"),
+        (4, "untouched document\nwith two lines", "en", "s0"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in corpus.remove_common_lines(_docs(spark, rows), min_freq=3).collect()
+    }
+    assert out[1]["cleaned_text"] == "real content one\nmore prose"
+    assert out[2]["cleaned_text"] == "second doc body"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[4]["cleaned_text"] == "untouched document\nwith two lines"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_remove_common_lines_blank_lines_survive(spark):
+    rows = [(i, "para one\n\npara two", "en", "s0") for i in range(5)]
+    out = corpus.remove_common_lines(_docs(spark, rows), min_freq=3).collect()
+    # the blank separator is common but must never be treated as boilerplate;
+    # the actual paragraph lines ARE common (5 occurrences) and get cut,
+    # leaving only the blank line (which joins to the empty string)
+    for r in out:
+        assert r["cleaned_text"] == ""
+        assert r["n_lines_removed"] == 2
+
+
+def test_remove_common_lines_fully_boilerplate_doc(spark):
+    rows = [(i, "same line", "en", "s0") for i in range(3)]
+    out = corpus.remove_common_lines(_docs(spark, rows), min_freq=3).collect()
+    for r in out:
+        assert r["cleaned_text"] == "" and r["n_lines_removed"] == 1

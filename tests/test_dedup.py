@@ -204,3 +204,30 @@ def test_minhash_dedup_stats_no_dups(spark):
     assert row["unique_documents"] == 2
     assert row["duplicate_documents"] == 0
     assert row["duplicate_clusters"] == 0
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2, 2-3, 3-4 plus island 10-11 → clusters {1,2,3,4}->1, {10,11}->10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_direction_independent(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    # edges given in "wrong" direction (big id first) must cluster the same
+    pairs = spark.createDataFrame([(5, 1), (3, 5)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 3: 1, 5: 1}
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(pairs).count() == 0
