@@ -32,6 +32,26 @@ def _perm_params(num_perm: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def md5_fold31(s: Column) -> Column:
+    """Shingle hash in [0, M31) derived from md5 instead of xxhash64, for
+    oracle parity: equals ``md5_number_lower(s) % 2147483647`` in DuckDB
+    bit-for-bit (md5_number_lower = little-endian digest bytes 8..15;
+    verified empirically against hashlib).
+
+    Folded byte-by-byte with precomputed ``256^k mod M31`` multipliers so
+    every intermediate stays ≤ 8*255*M31 ≈ 2^42 — ANSI-overflow-safe.
+    Slower than xxhash64 (md5 + 8 conv calls per shingle); use only where
+    cross-engine reproducibility is worth it.
+    """
+    hx = F.md5(F.encode(s, "UTF-8"))
+    expr = None
+    for k in range(8):
+        byte_k = F.conv(F.substring(hx, 17 + 2 * k, 2), 16, 10).cast("long")
+        term = byte_k * F.lit(pow(256, k, MERSENNE_31))
+        expr = term if expr is None else expr + term
+    return F.pmod(expr, F.lit(MERSENNE_31))
+
+
 def minhash_signature(
     shingles: Column, num_perm: int = 128, seed: int = 42
 ) -> Column:

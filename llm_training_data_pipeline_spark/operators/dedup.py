@@ -91,6 +91,9 @@ class MinHashConfig:
     threshold: float = 0.8
     shingle_size: int = 5
     num_bands: int = 16  # bands * rows_per_band == num_perm
+    # "xxhash64" (fast, default) or "md5" (slower; bit-for-bit reproducible
+    # in the DuckDB oracle via md5_number_lower — see hashing.md5_fold31)
+    hash_family: str = "xxhash64"
 
     @property
     def rows_per_band(self) -> int:
@@ -137,9 +140,16 @@ def _minhash_sig_table(
     # no array_distinct: min() is duplicate-insensitive, so signatures are
     # identical over the multiset, and the O(len^2) per-doc dedup is saved
     shingles = F.when(ln < n, F.array(F.col("_norm"))).otherwise(grams)
+    from llm_training_data_pipeline_spark.functions.hashing import md5_fold31
+
+    h_expr = (
+        md5_fold31(F.col("_sh"))
+        if cfg.hash_family == "md5"
+        else F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD))
+    )
     exploded = normed.select(
         F.col(id_col), F.explode(shingles).alias("_sh")
-    ).select(F.col(id_col), F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD)).alias("_h"))
+    ).select(F.col(id_col), h_expr.alias("_h"))
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(MERSENNE_31))).alias(f"_s{i}")

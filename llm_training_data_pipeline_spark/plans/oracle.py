@@ -1017,3 +1017,66 @@ def remove_common_lines_sql(min_freq: int = 3) -> str:
                  AS n_lines_removed
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """
+
+
+def minhash_pairs_md5_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """Bit-for-bit replay of dedup.minhash_candidate_pairs with the md5
+    hash family: same normalization, same multiset shingles, the same
+    (a*h+b) mod M31 permutation constants (shared RNG seed), banding via
+    band-array equality (Spark buckets by hashing the band — identical
+    pairs modulo 64-bit hash collisions)."""
+    from llm_training_data_pipeline_spark.functions.hashing import (
+        MERSENNE_31,
+        _perm_params,
+    )
+
+    a, b = _perm_params(num_perm, seed=42)
+    rows = num_perm // num_bands
+    n = shingle_size
+    norm = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> (CAST({a[i]} AS BIGINT) * h + {b[i]}) % {MERSENNE_31}))"
+        for i in range(num_perm)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, {norm} AS ns FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(ns) < {n} THEN [ns]
+                      ELSE list_transform(
+                             generate_series(1, length(ns) - {n} + 1),
+                             i -> substr(ns, i, {n})) END AS shingles
+          FROM s
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(shingles,
+                   sgl -> CAST(md5_number_lower(sgl) % {MERSENNE_31} AS BIGINT)) AS hs
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, [{sig_items}] AS sig FROM hs
+        ), bands AS (
+          SELECT doc_id, j.band_id, sig[j.band_id * {rows} + 1 : (j.band_id + 1) * {rows}] AS band_sig
+          FROM sig, (SELECT unnest(range(0, {num_bands})) AS band_id) j
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(({eq_terms}) / CAST({num_perm} AS DOUBLE), 6) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+    """

@@ -990,3 +990,20 @@ def q_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     return corpus.remove_common_lines(_t(spark, sf_dir, "documents"), min_freq=3)
+
+
+@register(
+    "minhash_pairs_md5",
+    oracle.minhash_pairs_md5_sql(num_perm=16, num_bands=4, threshold=0.5),
+)
+def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs with the md5 hash family — the one
+    MinHash configuration the DuckDB oracle can replay BIT-FOR-BIT
+    (signatures, banding, est-Jaccard all value-checked, not just
+    rows-only). Production keeps the faster xxhash64 family; the math
+    is identical."""
+    cfg = dedup.MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    pairs = dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), cfg=cfg)
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))

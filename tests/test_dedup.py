@@ -231,3 +231,56 @@ def test_dedup_clusters_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(pairs).count() == 0
+
+
+def test_md5_fold31_matches_reference_math(spark):
+    """md5_fold31 == little-endian md5 digest bytes 8..15, mod M31 —
+    the exact quantity DuckDB computes as md5_number_lower(s) % M31."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.functions.hashing import (
+        MERSENNE_31,
+        md5_fold31,
+    )
+
+    vals = ["abc", "hello world", "日本語", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", md5_fold31(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        want = (
+            int.from_bytes(hashlib.md5(v.encode()).digest()[8:16], "little")
+            % MERSENNE_31
+        )
+        assert got[v] == want, v
+
+
+def test_minhash_md5_family_same_dedup_behavior(spark):
+    """Both hash families must catch exact duplicates; signatures differ."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        MinHashConfig,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "the quick brown fox jumps over the lazy dog " * 5),
+            (3, "an entirely different document about orbital mechanics"),
+        ],
+        "doc_id long, text string",
+    )
+    for fam in ("xxhash64", "md5"):
+        cfg = MinHashConfig(num_perm=16, num_bands=4, threshold=0.8, hash_family=fam)
+        kept = sorted(r["doc_id"] for r in minhash_dedup(df, cfg=cfg).collect())
+        assert kept == [1, 3], fam
+    sx = minhash_signatures(df, cfg=MinHashConfig(num_perm=16, num_bands=4)).collect()
+    sm = minhash_signatures(
+        df, cfg=MinHashConfig(num_perm=16, num_bands=4, hash_family="md5")
+    ).collect()
+    assert sx[0]["minhash_sig"] != sm[0]["minhash_sig"]
