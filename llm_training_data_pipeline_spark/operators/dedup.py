@@ -336,7 +336,12 @@ def minhash_dedup_stats(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, out_col: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    out_col: str = "simhash",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc via explode + 64 bit-vote aggregates.
 
@@ -344,19 +349,42 @@ def with_simhash(
     reason: a single higher-order expression re-evaluates the token hash
     array once per bit position. Here each token is hashed ONCE; the 64
     per-bit vote sums are map-side-combinable aggregate expressions.
+
+    ``hash_family="md5"`` derives the 64 bits from the md5 digest instead
+    of xxhash64 so the DuckDB oracle can replay the fingerprint exactly
+    (slower; default stays xxhash64).
     """
     seed = 42
     tokens = whitespace_tokens(F.lower(F.col(text_col)))
-    ex = df.select(F.col(id_col), F.explode(tokens).alias("_t")).select(
-        F.col(id_col), F.xxhash64("_t", F.lit(seed)).alias("_h")
-    )
+    base = df.select(F.col(id_col), F.explode(tokens).alias("_t"))
+    if hash_family == "md5":
+        # oracle-replicable bits: little-endian md5 digest bytes 8..15
+        # (DuckDB md5_number_lower); byte k staged once, bit b = byte
+        # b//8 >> (b%8). 8 conv calls per token instead of 64.
+        hexed = base.select(
+            F.col(id_col), F.md5(F.encode("_t", "UTF-8")).alias("_hx")
+        )
+        ex = hexed.select(
+            F.col(id_col),
+            *[
+                F.conv(F.substring("_hx", 17 + 2 * k, 2), 16, 10)
+                .cast("long")
+                .alias(f"_y{k}")
+                for k in range(8)
+            ],
+        )
+
+        def _bit(b: int) -> Column:
+            return F.shiftright(F.col(f"_y{b // 8}"), b % 8).bitwiseAND(F.lit(1))
+
+    else:
+        ex = base.select(F.col(id_col), F.xxhash64("_t", F.lit(seed)).alias("_h"))
+
+        def _bit(b: int) -> Column:
+            return F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))
+
     votes = ex.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            ).alias(f"_b{b}")
-            for b in range(64)
-        ]
+        *[F.sum(_bit(b).cast("long") * 2 - 1).alias(f"_b{b}") for b in range(64)]
     )
     fingerprint = None
     for b in range(64):
@@ -374,12 +402,15 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``num_bands`` chunks (any equal chunk → candidate, guaranteed complete
     for hamming <= num_bands-1), verify exact hamming distance."""
     bits_per = 64 // num_bands
-    sh = with_simhash(df, text_col, id_col).select(id_col, "simhash")
+    sh = with_simhash(df, text_col, id_col, hash_family=hash_family).select(
+        id_col, "simhash"
+    )
     mask = (1 << bits_per) - 1
     banded = sh.select(
         id_col,

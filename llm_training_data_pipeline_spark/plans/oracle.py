@@ -1080,3 +1080,47 @@ def minhash_pairs_md5_sql(
         JOIN sig sb ON sb.doc_id = c.id_b
         WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
     """
+
+
+def simhash_pairs_md5_sql(max_hamming: int = 3, num_bands: int = 4) -> str:
+    """Bit-for-bit replay of dedup.simhash_near_dup_pairs with the md5
+    hash family. The fingerprint is assembled as UBIGINT (addition of
+    disjoint powers of two == bitwise OR), so band chunking via
+    unsigned shift matches Spark's shiftrightunsigned on the same bit
+    pattern, and hamming via bit_count(xor) is sign-free."""
+    toks = (
+        f"CASE WHEN regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    vote_items = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    bits_per = 64 // num_bands
+    mask = (1 << bits_per) - 1
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS t FROM documents
+        ), h AS (
+          SELECT doc_id, md5_number_lower(t) AS h FROM tok
+        ), votes AS (
+          SELECT doc_id, {vote_items} FROM h GROUP BY doc_id
+        ), sim AS (
+          SELECT doc_id, {assemble} AS simhash FROM votes
+        ), bands AS (
+          SELECT doc_id, simhash, j.band_id,
+                 (simhash >> (j.band_id * {bits_per})) & {mask} AS chunk
+          FROM sim, (SELECT unnest(range(0, {num_bands})) AS band_id) j
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+    """

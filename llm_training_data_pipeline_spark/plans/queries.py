@@ -1007,3 +1007,14 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), cfg=cfg)
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@register("simhash_pairs_md5", oracle.simhash_pairs_md5_sql(max_hamming=3, num_bands=4))
+def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5 bit family — fingerprints,
+    banding, and hamming verification all value-checked against the
+    DuckDB replay (production keeps the faster xxhash64 family)."""
+    pairs = dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_family="md5"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
