@@ -229,3 +229,46 @@ def test_streaming_exact_dedup_transform_with_state(spark, tmp_path, doc_rows):
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM t_tws_dedup").collect()}
     # min-id winner per digest: docs 1/2/4 collapse (case-insensitive hash)
     assert got == {1, 3}
+
+
+def test_batch_operators_run_unchanged_on_streams(spark, tmp_path):
+    """The unified Dataset API in practice: the SAME clean_documents /
+    with_quality / with_lang_id transforms used in batch apply verbatim
+    to a streaming DataFrame (they are stateless column algebra), and a
+    micro-batched run produces exactly the batch result."""
+    from llm_training_data_pipeline_spark.operators import cleaning, quality, textstats
+
+    rows = [
+        (1, "Visit https://spam.example now! " + "word " * 60, None),
+        (2, "A perfectly reasonable document. " * 30, None),
+        (3, "short", None),
+    ]
+    src = os.path.join(tmp_path, "docs")
+    _write_docs(spark, src, [(i, t, __import__("datetime").datetime(2024, 1, 1)) for i, t, _ in rows])
+
+    def transform(df):
+        cleaned = cleaning.clean_documents(
+            df, "text", cleaning.CleanerConfig(min_length_chars=50), sql_only=True
+        )
+        labeled = textstats.with_lang_id(cleaned, "cleaned_text")
+        return quality.with_quality(
+            labeled, "cleaned_text", quality.QualityConfig(min_words=20),
+            include_scores=False,
+        ).select("doc_id", "detected_lang", "reason", "passed")
+
+    batch = {r["doc_id"]: r for r in transform(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("t_unified")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    streamed = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM t_unified").collect()
+    }
+    assert streamed == batch
+    assert streamed[2]["passed"] is True
