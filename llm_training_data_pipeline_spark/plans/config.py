@@ -48,6 +48,23 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "max_digit_ratio": 0.3,
         "max_symbol_ratio": 0.2,
         "language_filter": {"enabled": False, "allowed_languages": ["en"]},
+        # declared-but-dead in the reference (pipeline_config.yaml:54-58);
+        # LIVE here via corpus unigram surprisal: keep docs with
+        # exp(avg_surprisal) <= max_perplexity
+        "perplexity_filter": {"enabled": False, "max_perplexity": 100_000.0},
+    },
+    # engine-extension stages (no reference counterpart; off by default)
+    "decontamination": {
+        "enabled": False,
+        "benchmark_path": None,
+        "ngram_size": 8,
+        "min_shared": 1,
+    },
+    "sampling": {
+        "enabled": False,
+        "strata_col": "lang",
+        "rates": {},
+        "default_rate": 1.0,
     },
     "tokenization": {
         "enabled": True,

@@ -106,6 +106,55 @@ def build_pipeline(
         obs["quality"] = Observation("quality")
         df = df.observe(obs["quality"], F.count(F.lit(1)).alias("rows"))
 
+    pf = qsec.get("perplexity_filter", {}) if qsec.get("enabled", True) else {}
+    if pf.get("enabled", False):
+        # the reference's declared-but-dead knob, live: surprisal is
+        # ln-perplexity under the corpus unigram LM, so the yaml threshold
+        # maps through ln() unchanged
+        import math
+
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        max_surprisal = math.log(pf.get("max_perplexity", 100_000.0))
+        scores = corpus.unigram_surprisal(df, "text").select(
+            "doc_id", "avg_surprisal"
+        )
+        df = (
+            df.join(scores, on="doc_id")
+            .filter(F.col("avg_surprisal") <= max_surprisal)
+            .drop("avg_surprisal")
+        )
+        obs["perplexity"] = Observation("perplexity")
+        df = df.observe(obs["perplexity"], F.count(F.lit(1)).alias("rows"))
+
+    dc = cfg.section("decontamination")
+    if dc.get("enabled", False) and dc.get("benchmark_path"):
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        bench = docs.sparkSession.read.parquet(dc["benchmark_path"])
+        hits = corpus.contamination_pairs(
+            df,
+            bench,
+            n=dc.get("ngram_size", 8),
+            min_shared=dc.get("min_shared", 1),
+        ).select(F.col("corpus_id").alias("doc_id")).distinct()
+        df = df.join(hits, on="doc_id", how="left_anti")
+        obs["decontaminate"] = Observation("decontaminate")
+        df = df.observe(obs["decontaminate"], F.count(F.lit(1)).alias("rows"))
+
+    ssec = cfg.section("sampling")
+    if ssec.get("enabled", False) and ssec.get("rates"):
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        df = corpus.stratified_sample(
+            df,
+            ssec.get("strata_col", "lang"),
+            {str(k): float(v) for k, v in ssec["rates"].items()},
+            default_rate=float(ssec.get("default_rate", 1.0)),
+        )
+        obs["sample"] = Observation("sample")
+        df = df.observe(obs["sample"], F.count(F.lit(1)).alias("rows"))
+
     return df, obs
 
 

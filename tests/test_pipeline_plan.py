@@ -102,3 +102,67 @@ def test_stats_survive_empty_input(spark):
     srow = tokenization_stats(out, tok).collect()[0]
     assert srow["total_documents"] == 0
     assert srow["avg_tokens_per_doc"] is None
+
+
+def test_pipeline_extension_stages(spark, tmp_path):
+    """perplexity_filter (the reference's dead knob, live), decontamination,
+    and stratified sampling compose into the same lazy plan when enabled."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # benchmark = a handful of real docs → decontamination must drop them
+    # (every doc trivially shares 8-grams with itself)
+    bench_path = str(tmp_path / "bench")
+    docs.filter("doc_id % 100 = 0").write.parquet(bench_path)
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"enabled": False},
+            "quality": {
+                "min_words": 10,
+                "perplexity_filter": {"enabled": True, "max_perplexity": 1e9},
+            },
+            "decontamination": {"enabled": True, "benchmark_path": bench_path},
+            "sampling": {"enabled": True, "rates": {"en": 0.5}, "default_rate": 1.0},
+            "tokenization": {"enabled": False},
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    st = summary["stages"]
+    assert st["perplexity"]["rows"] <= st["quality"]["rows"]
+    assert st["decontaminate"]["rows"] < st["perplexity"]["rows"], (
+        "benchmark members must be dropped as contaminated"
+    )
+    assert st["sample"]["rows"] < st["decontaminate"]["rows"]
+
+
+def test_perplexity_filter_actually_filters(spark):
+    """A tight max_perplexity must cut high-surprisal (rare-vocab) docs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    loose = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"enabled": False},
+            "quality": {
+                "min_words": 10,
+                "perplexity_filter": {"enabled": True, "max_perplexity": 1e9},
+            },
+            "tokenization": {"enabled": False},
+        }
+    )
+    tight = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"enabled": False},
+            "quality": {
+                "min_words": 10,
+                # corpus surprisal spans ~[3.39, 3.72] → perplexity
+                # [29.6, 41.1]; 30 cuts most docs but not all
+                "perplexity_filter": {"enabled": True, "max_perplexity": 30.0},
+            },
+            "tokenization": {"enabled": False},
+        }
+    )
+    n_loose = run_pipeline(spark, docs, loose, None)["stages"]["perplexity"]["rows"]
+    n_tight = run_pipeline(spark, docs, tight, None)["stages"]["perplexity"]["rows"]
+    assert n_tight < n_loose
