@@ -1124,3 +1124,31 @@ def simhash_pairs_md5_sql(max_hamming: int = 3, num_bands: int = 4) -> str:
         )
         SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
     """
+
+
+def session_window_events_sql(gap_minutes: int = 30) -> str:
+    """Replay of F.session_window semantics: a new session starts when
+    the gap from the previous event is >= the window gap (the window end
+    is exclusive, so an event landing exactly at prev+gap opens a new
+    session); session_end = last event + gap."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+        WITH s AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {gap_us}
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s2 AS (
+          SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL {gap_minutes} MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s2 GROUP BY user_id, sid
+    """

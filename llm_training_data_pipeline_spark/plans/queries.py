@@ -1018,3 +1018,25 @@ def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), max_hamming=3, hash_family="md5"
     )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register("session_window_events", oracle.session_window_events_sql(gap_minutes=30))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window) — the same gap semantics
+    as the lag-based event_sessionization but via the built-in operator
+    that also works under Structured Streaming with state cleanup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
