@@ -97,3 +97,66 @@ def test_bpe_roundtrip_known_vocab(words):
     tok = train_bpe_from_word_counts(wc, vocab_size=500, min_frequency=1)
     text = " ".join(words)
     assert tok.decode(tok.encode(text)) == text
+
+
+@given(st.text(max_size=300))
+@SETTINGS
+def test_byte_bpe_roundtrip_any_text(text):
+    """Byte-level BPE round-trips ARBITRARY unicode text exactly —
+    whitespace, emoji, control chars, unseen scripts — because every
+    byte has a vocab symbol. (The whitespace-BPE variant only guarantees
+    round-trip modulo whitespace normalization; this one is identity.)"""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        train_byte_bpe_from_pretoken_counts,
+    )
+
+    tok = train_byte_bpe_from_pretoken_counts(
+        [("the", 10), ("quick", 8), (" fox", 5)], vocab_size=300, min_frequency=1
+    )
+    assert tok.decode(tok.encode(text)) == text
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "fr", "zz"]), st.floats(0.0, 1.0), min_size=1
+    ),
+    st.integers(1, 500),
+)
+@SETTINGS
+def test_stratified_sample_subset_and_monotone(spark, rates, n):
+    """Sample is a subset of the input; rate 1.0 keeps every row of the
+    stratum; rate 0.0 keeps none."""
+    from llm_training_data_pipeline_spark.operators.corpus import stratified_sample
+
+    rows = [(i, f"t {i}", ["en", "fr", "zz"][i % 3], "s0") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"] for r in stratified_sample(df, "lang", rates, 0.0).collect()}
+    assert got <= {i for i, *_ in rows}
+    for i, _t, lang, _s in rows:
+        if rates.get(lang) == 1.0:
+            assert i in got
+        if rates.get(lang, 0.0) == 0.0:
+            assert i not in got
+
+
+@given(st.lists(st.integers(1, 400), min_size=1, max_size=30), st.integers(50, 1000))
+@SETTINGS
+def test_pack_sequences_conservation_and_bounds(spark, token_counts, budget):
+    """Packing conserves tokens and every doc starts inside its pack's
+    token range: pack_id == floor(preceding_tokens / budget)."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        PackConfig,
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(["w"] * c), "en", "s0") for i, c in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = sorted(
+        pack_sequences(df, PackConfig(budget_tokens=budget)).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert sum(r["n_tokens"] for r in out) == sum(token_counts)
+    preceding = 0
+    for r in out:
+        assert r["pack_id"] == preceding // budget, (r, preceding)
+        preceding += r["n_tokens"]
