@@ -343,3 +343,22 @@ def remove_common_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def _main() -> None:
+    """Module demo: corpus mix, surprisal quartiles, pack fill on sf0.001."""
+    from llm_training_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-demo")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_mix_report(docs).orderBy("lang").show(truncate=False)
+    unigram_surprisal(docs).agg(
+        F.min("avg_surprisal").alias("min"),
+        F.expr("percentile(avg_surprisal, 0.5)").alias("median"),
+        F.max("avg_surprisal").alias("max"),
+    ).show()
+    pack_stats(docs).orderBy("source", "pack_id").show(5, truncate=False)
+
+
+if __name__ == "__main__":
+    _main()
