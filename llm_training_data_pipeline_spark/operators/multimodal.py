@@ -165,6 +165,73 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _wav_meta(payload: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, channels, bits_per_sample, duration_s) from a RIFF/WAVE
+    header — real parsing, stdlib-only, no sample decode. Walks the chunk
+    list for 'fmt ' and 'data' (the fmt chunk is not guaranteed first)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = byte_rate = None
+    data_len = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = _struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            channels, rate = _struct.unpack("<HI", payload[i + 10 : i + 16])
+            (byte_rate,) = _struct.unpack("<I", payload[i + 16 : i + 20])
+            (bits,) = _struct.unpack("<H", payload[i + 22 : i + 24])
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None:
+        return None
+    dur = (data_len / byte_rate) if (data_len is not None and byte_rate) else 0.0
+    return rate, channels or 0, bits or 0, round(dur, 6)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_s", FloatType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Header-only audio metadata (RIFF/WAVE) over Arrow batches — the
+    audio counterpart of ``decode_image_meta``; non-WAV payloads yield
+    NULL fields. Same 100 TB shape: payloads never leave the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "sample_rate": [],
+                "channels": [],
+                "bits_per_sample": [],
+                "duration_s": [],
+                "n_bytes": [],
+            }
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                meta = _wav_meta(b)
+                out["sample_rate"].append(meta[0] if meta else None)
+                out["channels"].append(meta[1] if meta else None)
+                out["bits_per_sample"].append(meta[2] if meta else None)
+                out["duration_s"].append(meta[3] if meta else None)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     """Pixel-level resize requires an imaging library (absent here)."""
     if not HAVE_PIL:
@@ -197,6 +264,28 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
             payload = b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00"
             mime = "image/gif"
         rows.append((i, "image", payload, mime, {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def synthetic_audio_assets(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture: minimal valid RIFF/WAVE files (fmt + data
+    chunks, no samples beyond a deterministic length)."""
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100, 48000)[i % 4]
+        channels = 1 + (i % 2)
+        bits = 16
+        byte_rate = rate * channels * bits // 8
+        data_len = byte_rate // 10 * (1 + i % 3)  # 0.1-0.3 s of silence
+        fmt = b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * bits // 8, bits
+        )
+        data = b"data" + _struct.pack("<I", data_len) + b"\x00" * data_len
+        body = b"WAVE" + fmt + data
+        payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+        rows.append((i, "audio", payload, "audio/wav", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

@@ -1040,3 +1040,16 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register("multimodal_audio_meta", None)
+def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio counterpart of multimodal_image_meta: RIFF/WAVE header
+    parsing (sample rate/channels/bits/duration) over Arrow batches —
+    real stdlib parsing, deterministic fixture, rows-only check."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        synthetic_audio_assets,
+    )
+
+    return decode_audio_meta(synthetic_audio_assets(spark, 64))

@@ -40,3 +40,30 @@ def test_stubs_raise(spark):
         resize_image(assets, 8, 8)
     with pytest.raises(NotImplementedError):
         sample_frames(assets)
+
+
+def test_wav_meta_parses_real_riff_header(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        synthetic_audio_assets,
+    )
+
+    out = {r["asset_id"]: r for r in decode_audio_meta(synthetic_audio_assets(spark, 8)).collect()}
+    assert len(out) == 8
+    r0 = out[0]  # rate 8000, 1 channel, 16-bit, 0.1 s
+    assert (r0["sample_rate"], r0["channels"], r0["bits_per_sample"]) == (8000, 1, 16)
+    assert abs(r0["duration_s"] - 0.1) < 1e-6
+    r2 = out[2]  # rate 44100, 1 channel, 0.3 s
+    assert r2["sample_rate"] == 44100
+    assert abs(r2["duration_s"] - 0.3) < 2e-2  # byte_rate//10 truncation
+
+
+def test_wav_meta_rejects_non_wav(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+        synthetic_assets,
+    )
+
+    out = decode_audio_meta(synthetic_assets(spark, 4)).collect()
+    assert all(r["sample_rate"] is None for r in out)
+    assert all(r["n_bytes"] > 0 for r in out)
