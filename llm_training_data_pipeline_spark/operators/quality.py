@@ -230,6 +230,94 @@ def quality_stats(
     )
 
 
+# --- Gopher-style rules (engine extension) --------------------------------
+# The published Gopher/MassiveText filtering heuristics (Rae et al. 2021,
+# appendix A1.1) — the de-facto standard ruleset for web-scale LLM corpora,
+# complementing the reference's battery. All pure column expressions.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@dataclass(frozen=True)
+class GopherConfig:
+    min_words: int = 50
+    max_words: int = 100_000
+    min_mean_word_len: float = 3.0
+    max_mean_word_len: float = 10.0
+    max_symbol_word_ratio: float = 0.1  # '#' or ellipsis per word
+    max_bullet_line_frac: float = 0.9
+    max_ellipsis_line_frac: float = 0.3
+    min_alpha_word_frac: float = 0.8
+    min_stopwords_present: int = 2
+
+
+def with_gopher_quality(
+    df: DataFrame, text_col: str = "text", cfg: GopherConfig = GopherConfig()
+) -> DataFrame:
+    """Gopher rule flags + verdict: per-rule BOOLEAN columns and
+    ``gopher_pass`` (AND of all). One staged projection of the measured
+    quantities, then cheap comparisons — same scan shape as
+    ``with_quality``; the two batteries compose in one pass.
+    """
+    t = F.col(text_col)
+    words = whitespace_tokens(t)
+    lines = F.split(t, "\n")
+    lowered = F.lower(t)
+    stop_hits = None
+    for s in GOPHER_STOPWORDS:
+        hit = F.when(lowered.rlike(rf"\b{s}\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    staged = df.select(
+        "*",
+        F.size(words).cast("long").alias("_g_nw"),
+        (
+            F.aggregate(
+                F.transform(words, lambda w: F.length(w)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            / F.greatest(F.size(words), F.lit(1)).cast("double")
+        ).alias("_g_mwl"),
+        (
+            (F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"(\.\.\.|…)")))
+            / F.greatest(F.size(words), F.lit(1)).cast("double")
+        ).alias("_g_swr"),
+        (
+            F.size(F.filter(lines, lambda l: l.rlike(BULLET_LINE_REGEX)))
+            / F.greatest(F.size(lines), F.lit(1)).cast("double")
+        ).alias("_g_blf"),
+        (
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+            / F.greatest(F.size(lines), F.lit(1)).cast("double")
+        ).alias("_g_elf"),
+        (
+            F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+            / F.greatest(F.size(words), F.lit(1)).cast("double")
+        ).alias("_g_awf"),
+        stop_hits.cast("int").alias("_g_stops"),
+    )
+    flags = {
+        "ok_word_count": (F.col("_g_nw") >= cfg.min_words)
+        & (F.col("_g_nw") <= cfg.max_words),
+        "ok_mean_word_len": (F.col("_g_mwl") >= cfg.min_mean_word_len)
+        & (F.col("_g_mwl") <= cfg.max_mean_word_len),
+        "ok_symbol_ratio": F.col("_g_swr") <= cfg.max_symbol_word_ratio,
+        "ok_bullet_lines": F.col("_g_blf") <= cfg.max_bullet_line_frac,
+        "ok_ellipsis_lines": F.col("_g_elf") <= cfg.max_ellipsis_line_frac,
+        "ok_alpha_words": F.col("_g_awf") >= cfg.min_alpha_word_frac,
+        "ok_stopwords": F.col("_g_stops") >= cfg.min_stopwords_present,
+    }
+    out = staged
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    verdict = None
+    for name in flags:
+        verdict = F.col(name) if verdict is None else (verdict & F.col(name))
+    return out.withColumn("gopher_pass", verdict).drop(
+        "_g_nw", "_g_mwl", "_g_swr", "_g_blf", "_g_elf", "_g_awf", "_g_stops"
+    )
+
+
 def _main() -> None:
     """Module demo: quality-reason histogram on the sf0.001 documents."""
     from llm_training_data_pipeline_spark.session import get_spark

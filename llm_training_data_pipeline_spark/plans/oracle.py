@@ -1152,3 +1152,61 @@ def session_window_events_sql(gap_minutes: int = 30) -> str:
                round(sum(value), 2) AS session_value
         FROM s2 GROUP BY user_id, sid
     """
+
+
+def gopher_quality_sql() -> str:
+    """Mirror of quality.with_gopher_quality over documents."""
+    from llm_training_data_pipeline_spark.operators.quality import (
+        BULLET_LINE_REGEX,
+        GOPHER_STOPWORDS,
+        GopherConfig,
+    )
+
+    cfg = GopherConfig()
+    toks = (
+        f"CASE WHEN regexp_replace(text, '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(text, '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    stops = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{s}\\b') THEN 1 ELSE 0 END"
+        for s in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {toks} AS w, string_split(text, chr(10)) AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 len(w) AS nw,
+                 coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+                   / CAST(greatest(len(w), 1) AS DOUBLE) AS mwl,
+                 (len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))
+                   / CAST(greatest(len(w), 1) AS DOUBLE) AS swr,
+                 len(list_filter(lines, l -> regexp_matches(l, '{q(BULLET_LINE_REGEX)}')))
+                   / CAST(greatest(len(lines), 1) AS DOUBLE) AS blf,
+                 len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                   / CAST(greatest(len(lines), 1) AS DOUBLE) AS elf,
+                 len(list_filter(w, x -> regexp_matches(x, '\\p{{L}}')))
+                   / CAST(greatest(len(w), 1) AS DOUBLE) AS awf,
+                 {stops} AS stops
+          FROM t
+        )
+        SELECT doc_id,
+               (nw >= {cfg.min_words} AND nw <= {cfg.max_words}) AS ok_word_count,
+               (mwl >= {cfg.min_mean_word_len} AND mwl <= {cfg.max_mean_word_len}) AS ok_mean_word_len,
+               (swr <= {cfg.max_symbol_word_ratio}) AS ok_symbol_ratio,
+               (blf <= {cfg.max_bullet_line_frac}) AS ok_bullet_lines,
+               (elf <= {cfg.max_ellipsis_line_frac}) AS ok_ellipsis_lines,
+               (awf >= {cfg.min_alpha_word_frac}) AS ok_alpha_words,
+               (stops >= {cfg.min_stopwords_present}) AS ok_stopwords,
+               ((nw >= {cfg.min_words} AND nw <= {cfg.max_words})
+                AND (mwl >= {cfg.min_mean_word_len} AND mwl <= {cfg.max_mean_word_len})
+                AND (swr <= {cfg.max_symbol_word_ratio})
+                AND (blf <= {cfg.max_bullet_line_frac})
+                AND (elf <= {cfg.max_ellipsis_line_frac})
+                AND (awf >= {cfg.min_alpha_word_frac})
+                AND (stops >= {cfg.min_stopwords_present})) AS gopher_pass
+        FROM m
+    """

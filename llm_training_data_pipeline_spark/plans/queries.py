@@ -1053,3 +1053,20 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_audio_meta(synthetic_audio_assets(spark, 64))
+
+
+@register("gopher_quality", oracle.gopher_quality_sql())
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText filtering rules (Rae et al. 2021 A1.1) — the
+    published web-corpus ruleset, as per-rule flags + verdict."""
+    return quality.with_gopher_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_bullet_lines",
+        "ok_ellipsis_lines",
+        "ok_alpha_words",
+        "ok_stopwords",
+        "gopher_pass",
+    )

@@ -112,3 +112,51 @@ def test_cascade_matches_oracle_on_documents(spark, ddb):
     from llm_training_data_pipeline_spark.plans.oracle import quality_oracle_sql
 
     assert_df_matches_oracle(out, ddb, quality_oracle_sql(min_words=20))
+
+
+# --------------------- Gopher rules (engine extension) ---------------------
+
+
+def _gopher(spark, text):
+    from llm_training_data_pipeline_spark.operators.quality import with_gopher_quality
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return with_gopher_quality(df).collect()[0]
+
+
+def test_gopher_good_prose_passes(spark):
+    text = (
+        "The development of reliable software requires that teams have careful "
+        "attention to design principles and be willing to iterate with the "
+        "feedback of users over time. " * 3
+    )
+    r = _gopher(spark, text)
+    assert r["gopher_pass"] is True, dict(r.asDict())
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    text = "# " * 60 + "the be to of and that have with words here"
+    r = _gopher(spark, text)
+    assert r["ok_symbol_ratio"] is False
+    assert r["gopher_pass"] is False
+
+
+def test_gopher_stopword_rule(spark):
+    # 60 words, zero English stopwords
+    text = " ".join(["datum", "kernel", "vector"] * 20)
+    r = _gopher(spark, text)
+    assert r["ok_stopwords"] is False
+    assert r["ok_word_count"] is True
+
+
+def test_gopher_ellipsis_lines_rule(spark):
+    lines = ["the quick brown fox continues..." for _ in range(10)]
+    text = "\n".join(lines) + "\n" + "the be to of and that have with plain words"
+    r = _gopher(spark, text)
+    assert r["ok_ellipsis_lines"] is False
+
+
+def test_gopher_alpha_word_rule(spark):
+    text = " ".join(["12345"] * 50) + " the be to of and that have with"
+    r = _gopher(spark, text)
+    assert r["ok_alpha_words"] is False
