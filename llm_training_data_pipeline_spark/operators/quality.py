@@ -329,3 +329,57 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+# --- C4-style rules (engine extension) ------------------------------------
+# The C4/T5 cleaning heuristics (Raffel et al. 2020 §2.2): keep lines
+# ending in terminal punctuation, drop pages with code/boilerplate
+# markers, require a minimum of sentences. Line-level rules are reported
+# as fractions so callers can keep either the doc verdict or the
+# per-line cleaning decision.
+
+TERMINAL_PUNCT_REGEX = r'[.!?"”]\s*$'
+
+
+@dataclass(frozen=True)
+class C4Config:
+    min_sentences: int = 3
+    min_words_per_line: int = 3
+    max_no_terminal_punct_frac: float = 0.5
+
+
+def with_c4_quality(
+    df: DataFrame, text_col: str = "text", cfg: C4Config = C4Config()
+) -> DataFrame:
+    """C4 rule flags: terminal-punctuation line fraction, lorem-ipsum /
+    curly-brace markers, sentence count — flags + ``c4_pass`` verdict in
+    one staged projection (no Python, no shuffle)."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    staged = df.select(
+        "*",
+        (
+            F.size(
+                F.filter(lines, lambda l: ~l.rlike(TERMINAL_PUNCT_REGEX))
+            )
+            / F.greatest(F.size(lines), F.lit(1)).cast("double")
+        ).alias("_c_ntp"),
+        F.lower(t).contains("lorem ipsum").alias("_c_lorem"),
+        t.contains("{").alias("_c_brace"),
+        F.regexp_count(t, F.lit(r"[.!?]")).cast("long").alias("_c_sents"),
+    )
+    flags = {
+        "ok_terminal_punct": F.col("_c_ntp") <= cfg.max_no_terminal_punct_frac,
+        "ok_no_lorem": ~F.col("_c_lorem"),
+        "ok_no_braces": ~F.col("_c_brace"),
+        "ok_sentences": F.col("_c_sents") >= cfg.min_sentences,
+    }
+    out = staged
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    verdict = None
+    for name in flags:
+        verdict = F.col(name) if verdict is None else (verdict & F.col(name))
+    return out.withColumn("c4_pass", verdict).drop(
+        "_c_ntp", "_c_lorem", "_c_brace", "_c_sents"
+    )

@@ -1210,3 +1210,29 @@ def gopher_quality_sql() -> str:
                 AND (stops >= {cfg.min_stopwords_present})) AS gopher_pass
         FROM m
     """
+
+
+def c4_quality_sql() -> str:
+    from llm_training_data_pipeline_spark.operators.quality import (
+        C4Config,
+        TERMINAL_PUNCT_REGEX,
+    )
+
+    cfg = C4Config()
+    ntp = (
+        f"len(list_filter(string_split(text, chr(10)), "
+        f"l -> NOT regexp_matches(l, '{q(TERMINAL_PUNCT_REGEX)}')))"
+        f" / CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE)"
+    )
+    return f"""
+        SELECT doc_id,
+               ({ntp}) <= {cfg.max_no_terminal_punct_frac} AS ok_terminal_punct,
+               NOT contains(lower(text), 'lorem ipsum') AS ok_no_lorem,
+               NOT contains(text, '{{') AS ok_no_braces,
+               len(regexp_extract_all(text, '[.!?]')) >= {cfg.min_sentences} AS ok_sentences,
+               (({ntp}) <= {cfg.max_no_terminal_punct_frac}
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{{')
+                AND len(regexp_extract_all(text, '[.!?]')) >= {cfg.min_sentences}) AS c4_pass
+        FROM documents
+    """

@@ -1070,3 +1070,13 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok_stopwords",
         "gopher_pass",
     )
+
+
+@register("c4_quality", oracle.c4_quality_sql())
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/T5 cleaning heuristics (Raffel et al. 2020 §2.2) as flags +
+    verdict — the second named public ruleset next to gopher_quality."""
+    return quality.with_c4_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ok_terminal_punct", "ok_no_lorem", "ok_no_braces",
+        "ok_sentences", "c4_pass",
+    )

@@ -160,3 +160,31 @@ def test_gopher_alpha_word_rule(spark):
     text = " ".join(["12345"] * 50) + " the be to of and that have with"
     r = _gopher(spark, text)
     assert r["ok_alpha_words"] is False
+
+
+def _c4(spark, text):
+    from llm_training_data_pipeline_spark.operators.quality import with_c4_quality
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return with_c4_quality(df).collect()[0]
+
+
+def test_c4_good_prose_passes(spark):
+    r = _c4(spark, "First sentence here. Second one follows! A third, asking?\nAnother line ends too.")
+    assert r["c4_pass"] is True, dict(r.asDict())
+
+
+def test_c4_lorem_and_braces_rules(spark):
+    assert _c4(spark, "Some Lorem Ipsum dolor sit. Filler text. More filler.")["ok_no_lorem"] is False
+    assert _c4(spark, "function f() { return 1; } Done. Yes. Ok.")["ok_no_braces"] is False
+
+
+def test_c4_terminal_punct_fraction(spark):
+    text = "\n".join(["no punctuation line here"] * 8 + ["This one ends properly."])
+    r = _c4(spark, text)
+    assert r["ok_terminal_punct"] is False
+
+
+def test_c4_min_sentences(spark):
+    r = _c4(spark, "only one sentence here.")
+    assert r["ok_sentences"] is False
