@@ -383,3 +383,80 @@ def with_c4_quality(
     return out.withColumn("c4_pass", verdict).drop(
         "_c_ntp", "_c_lorem", "_c_brace", "_c_sents"
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition statistics (Rae et al. 2021 A1.1, second block):
+
+    - ``dup_line_frac``       fraction of non-empty lines that are repeats
+                              (non-first occurrences / total)
+    - ``dup_line_char_frac``  characters inside those repeat occurrences /
+                              total line characters
+    - ``top_2gram_char_frac`` characters covered by the most frequent word
+                              2-gram (count x gram length) / doc length
+
+    Pure higher-order expressions; the distinct x occurrences scan is
+    O(distinct * n) per doc — same shape (and caveat) as the reference's
+    line-repetition rule in ``quality_score_columns``.
+    """
+    t = F.col(text_col)
+    # stage the arrays as attributes: a lambda referencing a non-staged
+    # array expression re-evaluates it once PER ELEMENT of the outer
+    # array (the nested-HOF trap; attribute references are free)
+    s1 = df.select(
+        "*",
+        F.filter(F.transform(F.split(t, "\n"), strip_ws), lambda x: x != "").alias(
+            "_r_lines"
+        ),
+        whitespace_tokens(F.lower(t)).alias("_r_words"),
+    )
+    w = F.col("_r_words")
+    s2 = s1.select(
+        "*",
+        F.array_distinct("_r_lines").alias("_r_dlines"),
+        F.when(F.size(w) < 2, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(1), F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            )
+        )
+        .alias("_r_grams"),
+    )
+    s3 = s2.select("*", F.array_distinct("_r_grams").alias("_r_dgrams"))
+    lines, dlines = F.col("_r_lines"), F.col("_r_dlines")
+    grams, dgrams = F.col("_r_grams"), F.col("_r_dgrams")
+    n_lines, n_distinct = F.size(lines), F.size(dlines)
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    distinct_line_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    best_cover = (
+        F.when(
+            F.size(grams) > 0,
+            F.array_max(
+                F.transform(
+                    dgrams,
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)) * F.length(g),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return s3.select(
+        "*",
+        F.when(
+            n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            total_line_chars > 0,
+            (total_line_chars - distinct_line_chars) / total_line_chars.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(
+            F.length(t) > 0, best_cover / F.length(t).cast("double")
+        ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+    ).drop("_r_lines", "_r_words", "_r_dlines", "_r_grams", "_r_dgrams")

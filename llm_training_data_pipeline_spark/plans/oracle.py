@@ -1236,3 +1236,42 @@ def c4_quality_sql() -> str:
                 AND len(regexp_extract_all(text, '[.!?]')) >= {cfg.min_sentences}) AS c4_pass
         FROM documents
     """
+
+
+def repetition_stats_sql() -> str:
+    """Mirror of quality.with_repetition_stats (rounded to 6dp on both
+    sides by the registered query)."""
+    sl = (
+        f"list_filter(list_transform(string_split(text, chr(10)), "
+        f"x -> regexp_replace(x, '{q(STRIP_WS)}', '', 'g')), x -> x <> '')"
+    )
+    toks = (
+        f"CASE WHEN regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, {sl} AS sl, {toks} AS w FROM documents
+        ), g AS (
+          SELECT *, CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE list_transform(generate_series(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i + 1]) END AS grams
+          FROM t
+        ), m AS (
+          SELECT doc_id, text, sl, grams,
+                 len(sl) AS nl, len(list_distinct(sl)) AS nd,
+                 coalesce(list_sum(list_transform(sl, x -> length(x))), 0) AS tc,
+                 coalesce(list_sum(list_transform(list_distinct(sl), x -> length(x))), 0) AS dc,
+                 CASE WHEN len(grams) > 0
+                      THEN list_max(list_transform(list_distinct(grams),
+                             x -> len(list_filter(grams, y -> y = x)) * length(x)))
+                      ELSE 0 END AS best_cover
+          FROM g
+        )
+        SELECT doc_id,
+               round(CASE WHEN nl > 0 THEN (nl - nd) / CAST(nl AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_frac,
+               round(CASE WHEN tc > 0 THEN (tc - dc) / CAST(tc AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_char_frac,
+               round(CASE WHEN length(text) > 0 THEN best_cover / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS top_2gram_char_frac
+        FROM m
+    """

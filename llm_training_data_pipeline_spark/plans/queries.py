@@ -1080,3 +1080,16 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "ok_terminal_punct", "ok_no_lorem", "ok_no_braces",
         "ok_sentences", "c4_pass",
     )
+
+
+@register("repetition_stats", oracle.repetition_stats_sql())
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition block: duplicate-line fractions + top word-2-gram
+    character coverage."""
+    out = quality.with_repetition_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
+    )

@@ -188,3 +188,26 @@ def test_c4_terminal_punct_fraction(spark):
 def test_c4_min_sentences(spark):
     r = _c4(spark, "only one sentence here.")
     assert r["ok_sentences"] is False
+
+
+def test_repetition_stats_pins(spark):
+    from llm_training_data_pipeline_spark.operators.quality import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, "dup me" twice → dup_line_frac 1/4;
+            # line chars: 6+6+10+8=30, distinct 6+10+8=24 → char frac 6/30
+            (1, "dup me\ndup me\nunique one\n\nlast one"),
+            # "a b a b a" → 2-grams: [a b, b a, a b, b a]; best cover
+            # = 2 occurrences x len('a b')=3 → 6 / len(text)=9
+            (2, "a b a b a"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert abs(rows[1]["dup_line_frac"] - 0.25) < 1e-9
+    assert abs(rows[1]["dup_line_char_frac"] - 6 / 30) < 1e-9
+    assert abs(rows[2]["top_2gram_char_frac"] - 6 / 9) < 1e-9
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["top_2gram_char_frac"] == 0.0
