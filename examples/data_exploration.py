@@ -44,6 +44,26 @@ def main() -> None:
             F.round(F.avg("token_count"), 1).alias("avg_tokens"),
         ).orderBy(F.col("docs").desc()).show(truncate=False)
 
+    print("=== quality rulesets (reference battery / Gopher / C4) ===")
+    from llm_training_data_pipeline_spark.operators.quality import (
+        with_c4_quality,
+        with_gopher_quality,
+    )
+
+    with_gopher_quality(df).agg(
+        F.round(F.avg(F.col("gopher_pass").cast("double")), 3).alias("gopher_pass_rate")
+    ).show()
+    with_c4_quality(df).agg(
+        F.round(F.avg(F.col("c4_pass").cast("double")), 3).alias("c4_pass_rate")
+    ).show()
+
+    print("=== unigram surprisal distribution (LM-quality signal) ===")
+    from llm_training_data_pipeline_spark.operators.corpus import unigram_surprisal
+
+    unigram_surprisal(df, id_col="doc_id" if "doc_id" in df.columns else df.columns[0]).select(
+        F.expr("percentile(avg_surprisal, array(0.1, 0.5, 0.9))").alias("p10_p50_p90")
+    ).show(truncate=False)
+
 
 if __name__ == "__main__":
     main()
