@@ -1275,3 +1275,13 @@ def repetition_stats_sql() -> str:
                round(CASE WHEN length(text) > 0 THEN best_cover / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS top_2gram_char_frac
         FROM m
     """
+
+
+def salted_join_revenue_sql() -> str:
+    return """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """

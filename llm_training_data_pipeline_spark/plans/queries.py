@@ -1093,3 +1093,22 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
         F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"),
     )
+
+
+@register("salted_join_revenue", oracle.salted_join_revenue_sql())
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/scale.py) value-equals the plain
+    join: orders x customer through the salted path, then a segment
+    rollup — the oracle is the unsalted SQL join, proving the salting
+    rewrite is result-invariant."""
+    from llm_training_data_pipeline_spark.operators.scale import salted_join
+
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, cust, on="custkey", num_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
