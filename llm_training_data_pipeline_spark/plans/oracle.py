@@ -1285,3 +1285,52 @@ def salted_join_revenue_sql() -> str:
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """
+
+
+def set_ops_all_sql() -> str:
+    return """
+        WITH a AS (SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 0),
+             b AS (SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 10)
+        SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT seg FROM a UNION ALL SELECT seg FROM b)
+        UNION ALL
+        SELECT 'intersect_all', CAST(count(*) AS BIGINT)
+        FROM (SELECT seg FROM a INTERSECT ALL SELECT seg FROM b)
+        UNION ALL
+        SELECT 'except_all', CAST(count(*) AS BIGINT)
+        FROM (SELECT seg FROM a EXCEPT ALL SELECT seg FROM b)
+    """
+
+
+def scalar_subquery_sql() -> str:
+    return """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(o_totalprice / (SELECT avg(o_totalprice) FROM orders)), 6)
+                 AS avg_price_ratio
+        FROM orders
+        GROUP BY o_orderpriority
+    """
+
+
+def posexplode_sql() -> str:
+    return """
+        WITH w AS (
+          SELECT generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos,
+                 unnest(string_split(p_name, ' ')) AS word
+          FROM part
+        )
+        SELECT pos, CAST(count(*) AS BIGINT) AS n_words,
+               min(word) AS first_word
+        FROM w GROUP BY pos
+    """
+
+
+def null_safe_eq_sql() -> str:
+    return """
+        SELECT c_mktsegment,
+               CAST(count(*) FILTER (WHERE nullif(c_mktsegment, 'BUILDING')
+                     IS NOT DISTINCT FROM NULL) AS BIGINT) AS masked,
+               CAST(count(*) AS BIGINT) AS total
+        FROM customer GROUP BY c_mktsegment
+    """

@@ -1112,3 +1112,62 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@register("set_ops_all_customers", oracle.set_ops_all_sql())
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-operations: UNION ALL / INTERSECT ALL / EXCEPT ALL
+    (duplicate-preserving variants of the r1 set_ops query)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") > 0).select(F.col("c_mktsegment").alias("seg"))
+    b = cust.filter(F.col("c_nationkey") < 10).select(F.col("c_mktsegment").alias("seg"))
+
+    def tagged(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("op"), "n")
+
+    return (
+        tagged("union_all", a.unionAll(b))
+        .unionByName(tagged("intersect_all", a.intersectAll(b)))
+        .unionByName(tagged("except_all", a.exceptAll(b)))
+    )
+
+
+@register("scalar_subquery_orders", oracle.scalar_subquery_sql())
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery through the SQL-parser path (the one
+    registry query issued as SQL text, exercising spark.sql end-to-end)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(avg(o_totalprice / (SELECT avg(o_totalprice) FROM orders_v)), 6)
+                 AS avg_price_ratio
+        FROM orders_v
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register("posexplode_part_words", oracle.posexplode_sql())
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (explode with ordinality): word-position histogram over
+    part names."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(F.posexplode(F.split("p_name", " ")).alias("pos", "word"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.min("word").alias("first_word"))
+    )
+
+
+@register("null_safe_eq_customers", oracle.null_safe_eq_sql())
+def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) in an aggregate
+    filter."""
+    cust = _t(spark, sf_dir, "customer")
+    masked = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.when(masked.eqNullSafe(F.lit(None)), 1)).alias("masked"),
+        F.count(F.lit(1)).alias("total"),
+    )
