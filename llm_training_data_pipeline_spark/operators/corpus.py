@@ -78,7 +78,10 @@ def unigram_surprisal(
     ONE broadcast single-row cross join instead of being recomputed per
     word. Plan: explode → agg(vocab) → equi-join words⋈vocab → agg per
     doc → broadcast totals. Two shuffles total (word, then doc id), both
-    on natural keys; nothing driver-side.
+    on natural keys; nothing driver-side. Stopwords make the word key
+    skewed ("the" alone is percents of the corpus) — the vocab side has
+    ONE row per key, so AQE's skew-join split handles the hot partitions
+    without replication (enabled in ``session.get_spark``).
     """
     words = _lower_words(df, text_col, id_col)
     vocab = unigram_model(df, text_col, id_col)
@@ -305,9 +308,13 @@ def remove_common_lines(
     ''. Output: ``(id_col, cleaned_text, n_lines_removed)``.
 
     Shape: posexplode → line-frequency aggregate → anti-join on the
-    (small) common-line set → order-preserving rebuild via sort of
-    (pos, line) structs inside the per-doc aggregate. Two shuffles (line
-    key, then doc id); the common-line set is broadcast for the anti-join.
+    common-line set → order-preserving rebuild via sort of (pos, line)
+    structs inside the per-doc aggregate. Two shuffles (line key, then
+    doc id). The common-line set is deliberately NOT broadcast-hinted:
+    on a web-scale corpus the ≥k-frequency line set is itself huge
+    (boilerplate repeats billions of times), so the join strategy is
+    left to Catalyst/AQE — broadcast when it measures small, shuffle
+    anti-join otherwise.
     """
     lines = df.select(
         F.col(id_col),
@@ -320,7 +327,7 @@ def remove_common_lines(
         .filter(F.col("_n") >= min_freq)
         .select("line")
     )
-    kept = lines.join(F.broadcast(common), on="line", how="left_anti")
+    kept = lines.join(common, on="line", how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
