@@ -188,3 +188,88 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- int8 scalar quantization (the 100 TB memory lever) -------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: ``q_i = floor(x_i / max_abs
+    * 127)`` with ``qscale = max_abs / 127`` for reconstruction —
+    the standard 4x memory cut for web-scale vector search (a 100 TB
+    float corpus becomes ~25 TB of int8 + one scale per vector).
+
+    ``floor`` (not round) so both engines agree bit-for-bit: round's
+    half-way ties are engine-defined, floor's only boundary is exact
+    integers, which the shared double arithmetic produces identically.
+    Zero vectors quantize to zeros.
+    """
+    staged = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_dv")
+    ).withColumn(
+        "_ma", F.array_max(F.transform(F.col("_dv"), lambda x: F.abs(x)))
+    )
+    q = F.when(
+        F.col("_ma") == 0,
+        F.transform(F.col("_dv"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("_dv"), lambda x: F.floor(x / F.col("_ma") * 127).cast("int")
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        (F.col("_ma") / 127).alias("qscale"),
+    )
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors. Cosine is
+    scale-invariant, so the per-vector quantization scales cancel and
+    the score is integer-dot / (integer-norms) — exact integer
+    arithmetic until the final division, hence oracle-checkable
+    bit-for-bit (unlike float-dot ANN variants)."""
+
+    def with_qnorm(df_: DataFrame, out_id: str, v: str, n: str) -> DataFrame:
+        qz = quantize_embeddings(df_, vec_col, id_col)
+        return qz.select(
+            F.col(id_col).alias(out_id), F.col("qvec").alias(v)
+        ).withColumn(
+            n,
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col(v), F.col(v), lambda a, b: (a * b).cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            ),
+        )
+
+    vecs = with_qnorm(corpus, id_col, "_v", "_n")
+    qs = with_qnorm(queries, "q_id", "_qv", "_qn")
+    dot = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_v"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.when((F.col("_n") == 0) | (F.col("_qn") == 0), F.lit(0.0)).otherwise(
+        dot.cast("double") / (F.col("_n") * F.col("_qn"))
+    )
+    scored = vecs.join(F.broadcast(qs), F.col(id_col) != F.col("q_id")).select(
+        "q_id", F.col(id_col), F.round(score, 6).alias("q_cosine")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("q_cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

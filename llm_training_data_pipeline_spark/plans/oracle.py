@@ -1334,3 +1334,38 @@ def null_safe_eq_sql() -> str:
                CAST(count(*) AS BIGINT) AS total
         FROM customer GROUP BY c_mktsegment
     """
+
+
+def cosine_topk_int8_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Mirror of similarity.cosine_topk_int8: same floor-quantization
+    expression (identical double op order), integer dot/norms."""
+    return f"""
+        WITH dv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id,
+                 CASE WHEN ma = 0 THEN list_transform(v, x -> 0)
+                      ELSE list_transform(v, x -> CAST(floor(x / ma * 127) AS INT)) END AS qvec
+          FROM dv
+        ), nz AS (
+          SELECT vec_id, qvec,
+                 sqrt(CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS nrm
+          FROM qz
+        ), qs AS (
+          SELECT vec_id AS q_id, qvec AS q_vec, nrm AS q_nrm FROM nz WHERE vec_id < {n_queries}
+        ), scored AS (
+          SELECT qs.q_id, nz.vec_id,
+                 round(CASE WHEN qs.q_nrm = 0 OR nz.nrm = 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(list_zip(qs.q_vec, nz.qvec),
+                              p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE)
+                            / (qs.q_nrm * nz.nrm) END, 6) AS q_cosine
+          FROM qs JOIN nz ON nz.vec_id <> qs.q_id
+        )
+        SELECT q_id, vec_id, q_cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY q_cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

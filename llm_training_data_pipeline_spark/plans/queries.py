@@ -1171,3 +1171,14 @@ def q_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(masked.eqNullSafe(F.lit(None)), 1)).alias("masked"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+@register("cosine_topk_int8", oracle.cosine_topk_int8_sql(k=5, n_queries=10))
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings (the 4x-memory scale
+    path); scales cancel in cosine so the score is exact integer
+    arithmetic — value-checked bit-for-bit."""
+    from llm_training_data_pipeline_spark.operators.similarity import cosine_topk_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_int8(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -163,3 +163,33 @@ def test_bucketed_minhash_signature_table_joins_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("t_sig_bucketed", "t_docs_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_int8_quantized_topk_matches_float_closely(spark):
+    """int8 quantization must preserve cosine ranking almost perfectly:
+    recall@5 vs the exact float top-k should be high on real vectors,
+    and quantized values stay within the int8 envelope."""
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_topk_int8,
+        quantize_embeddings,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    quant = {}
+    for r in cosine_topk_int8(emb, queries, k=5).collect():
+        quant.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & quant.get(q, set())) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    qz = quantize_embeddings(emb).collect()
+    for r in qz[:50]:
+        assert all(-127 <= x <= 127 for x in r["qvec"]), r["vec_id"]
+        assert r["qscale"] >= 0
