@@ -1369,3 +1369,43 @@ def cosine_topk_int8_sql(k: int = 5, n_queries: int = 10) -> str:
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def q10_returned_items_sql(k: int = 20) -> str:
+    return f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT {k}
+    """
+
+
+def q14_promo_revenue_sql() -> str:
+    return """
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """
+
+
+def q4_late_shipments_sql(days: int = 90) -> str:
+    return f"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL {days} DAY
+        )
+        GROUP BY o_orderpriority
+    """
