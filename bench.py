@@ -40,6 +40,15 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_topk",
     "asof_join_events",
+    # round-2/3 heavy queries (kept after the original 20 so round-over-
+    # round totals stay comparable on the shared prefix)
+    "dedup_clusters",
+    "unigram_surprisal",
+    "minhash_pairs_md5",
+    "byte_bpe_tokenize_stats",
+    "session_window_events",
+    "gopher_quality",
+    "repetition_stats",
 ]
 
 

@@ -69,6 +69,24 @@ def _badness(s: str) -> int:
     return len(_MOJIBAKE_MARKS.findall(s))
 
 
+def _sloppy_cp1252_encode(s: str) -> bytes:
+    """cp1252 encode with ftfy's "sloppy-windows-1252" extension: the five
+    codepoints cp1252 leaves undefined (U+0081/8D/8F/90/9D) pass through
+    as their raw byte values. Real mojibake mixes both — ``â€\\x9d`` is
+    cp1252 punctuation for E2 80 plus a raw 9D — so strict cp1252 refuses
+    exactly the strings that need repair most. Raises UnicodeEncodeError
+    for anything else outside cp1252, preserving the caller's "can't
+    re-encode → not mojibake" logic."""
+    out = bytearray()
+    for ch in s:
+        o = ord(ch)
+        if 0x80 <= o <= 0x9F:
+            out.append(o)
+        else:
+            out += ch.encode("cp1252")
+    return bytes(out)
+
+
 def _fix_mojibake(s: str) -> str:
     """Best-effort mojibake repair (stand-in for ``ftfy.fix_text``).
 
@@ -98,9 +116,12 @@ def _fix_mojibake(s: str) -> str:
         if bad == 0:
             break
         repaired = None
-        for enc in ("cp1252", "latin-1"):
+        # sloppy cp1252 first (strict cp1252 plus raw control passthrough —
+        # strictly more strings repairable, identical where both succeed)
+        for enc in ("sloppy", "latin-1"):
             try:
-                candidate = s.encode(enc).decode("utf-8")
+                raw = _sloppy_cp1252_encode(s) if enc == "sloppy" else s.encode(enc)
+                candidate = raw.decode("utf-8")
             except (UnicodeEncodeError, UnicodeDecodeError):
                 continue
             if candidate != s and _badness(candidate) < bad:

@@ -175,8 +175,12 @@ def sample_key(id_col: Column, buckets: int = 1000) -> Column:
     Pure arithmetic (no engine hash) so the DuckDB oracle replays it
     bit-for-bit. In production swap for ``pmod(xxhash64(id), buckets)``
     — identical plan shape, better avalanche on adversarial id spaces.
+
+    ``pmod`` (not ``%``, which keeps the dividend's sign) so negative
+    ids land in [0, buckets) instead of producing a negative key that
+    passes ``key < rate * 1000`` even at rate 0.
     """
-    return ((id_col % _HASH_MOD) * F.lit(_HASH_MULT)) % F.lit(buckets)
+    return (F.pmod(id_col, F.lit(_HASH_MOD)) * F.lit(_HASH_MULT)) % F.lit(buckets)
 
 
 def stratified_sample(

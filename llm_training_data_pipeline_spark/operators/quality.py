@@ -260,14 +260,25 @@ def with_gopher_quality(
     ``with_quality``; the two batteries compose in one pass.
     """
     t = F.col(text_col)
-    words = whitespace_tokens(t)
-    lines = F.split(t, "\n")
-    lowered = F.lower(t)
+    # stage words/lines/lowered as COLUMNS first: raw expressions are
+    # inlined by Catalyst at every reference, so e.g. eight stopword
+    # rlikes over F.lower(t) would lowercase the doc eight times and
+    # five F.size(words) references would re-run the split regex five
+    # times (the module's staging discipline — see lang_id in textstats)
+    pre = df.select(
+        "*",
+        whitespace_tokens(t).alias("_g_words"),
+        F.split(t, "\n").alias("_g_lines"),
+        F.lower(t).alias("_g_low"),
+    )
+    words = F.col("_g_words")
+    lines = F.col("_g_lines")
+    lowered = F.col("_g_low")
     stop_hits = None
     for s in GOPHER_STOPWORDS:
         hit = F.when(lowered.rlike(rf"\b{s}\b"), 1).otherwise(0)
         stop_hits = hit if stop_hits is None else stop_hits + hit
-    staged = df.select(
+    staged = pre.select(
         "*",
         F.size(words).cast("long").alias("_g_nw"),
         (
@@ -295,7 +306,7 @@ def with_gopher_quality(
             / F.greatest(F.size(words), F.lit(1)).cast("double")
         ).alias("_g_awf"),
         stop_hits.cast("int").alias("_g_stops"),
-    )
+    ).drop("_g_words", "_g_lines", "_g_low")
     flags = {
         "ok_word_count": (F.col("_g_nw") >= cfg.min_words)
         & (F.col("_g_nw") <= cfg.max_words),
@@ -385,7 +396,12 @@ def with_c4_quality(
     )
 
 
-def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hof_max_words: int = 5000,
+) -> DataFrame:
     """Gopher repetition statistics (Rae et al. 2021 A1.1, second block):
 
     - ``dup_line_frac``       fraction of non-empty lines that are repeats
@@ -395,9 +411,14 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_2gram_char_frac`` characters covered by the most frequent word
                               2-gram (count x gram length) / doc length
 
-    Pure higher-order expressions; the distinct x occurrences scan is
-    O(distinct * n) per doc — same shape (and caveat) as the reference's
-    line-repetition rule in ``quality_score_columns``.
+    Pure higher-order expressions for typical docs; the top-2gram
+    distinct x occurrences scan is O(distinct * n) per doc, so one
+    pathological many-word doc would otherwise pin a task. Docs over
+    ``hof_max_words`` words therefore switch to an explode + groupBy
+    top-gram count — O(n log n) shuffle work spread over the cluster —
+    and are joined back by ``id_col``. Values are identical on both
+    paths; with no ``id_col`` in the frame the HOF path handles
+    everything (no way to join the fallback back).
     """
     t = F.col(text_col)
     # stage the arrays as attributes: a lambda referencing a non-staged
@@ -414,6 +435,13 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     s2 = s1.select(
         "*",
         F.array_distinct("_r_lines").alias("_r_dlines"),
+        # gram COUNT as its own cheap column: the path-routing filter below
+        # must NOT test size(_r_grams) — predicate pushdown substitutes the
+        # alias into the condition unconditionally, and the inlined lambda
+        # re-runs element_at(split(text),i) once PER SEQUENCE ELEMENT,
+        # turning the filter itself O(words^2) per row (a 100k-word doc
+        # pins a task for hours). size(_r_words) inlines to one split.
+        F.when(F.size(w) < 2, F.lit(0)).otherwise(F.size(w) - 1).alias("_r_ng"),
         F.when(F.size(w) < 2, F.array().cast("array<string>"))
         .otherwise(
             F.transform(
@@ -435,7 +463,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     distinct_line_chars = F.aggregate(
         dlines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
     )
-    best_cover = (
+    hof_cover = (
         F.when(
             F.size(grams) > 0,
             F.array_max(
@@ -447,16 +475,43 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .otherwise(F.lit(0).cast("long"))
     )
-    return s3.select(
-        "*",
-        F.when(
-            n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
-        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
-        F.when(
-            total_line_chars > 0,
-            (total_line_chars - distinct_line_chars) / total_line_chars.cast("double"),
-        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
-        F.when(
-            F.length(t) > 0, best_cover / F.length(t).cast("double")
-        ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
-    ).drop("_r_lines", "_r_words", "_r_dlines", "_r_grams", "_r_dgrams")
+
+    def _finish(frame: DataFrame, best_cover) -> DataFrame:
+        return frame.select(
+            "*",
+            F.when(
+                n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
+            ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+            F.when(
+                total_line_chars > 0,
+                (total_line_chars - distinct_line_chars)
+                / total_line_chars.cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+            F.when(
+                F.length(t) > 0, best_cover / F.length(t).cast("double")
+            ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+        ).drop("_r_lines", "_r_words", "_r_dlines", "_r_grams", "_r_dgrams", "_r_ng")
+
+    if id_col not in df.columns:
+        return _finish(s3, hof_cover)
+    small = _finish(s3.filter(F.col("_r_ng") <= hof_max_words), hof_cover)
+    big = s3.filter(F.col("_r_ng") > hof_max_words)
+    # explode_OUTER, deliberately: plain explode triggers the
+    # InferFiltersFromGenerate rule, which infers size(_r_grams) > 0 and
+    # pushes it below the projections with the gram-building lambda
+    # inlined — the same O(words^2)-per-row trap as filtering on
+    # size(_r_grams) directly. The rule skips outer generators, and the
+    # two are identical here (every big-path array is non-empty; an
+    # empty-array null gram would aggregate to null and coalesce to 0).
+    top = (
+        big.select(F.col(id_col), F.explode_outer(grams).alias("_r_g"))
+        .groupBy(id_col, "_r_g")
+        .agg(F.count(F.lit(1)).alias("_r_cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("_r_cnt") * F.length("_r_g")).alias("_r_best"))
+    )
+    big_done = _finish(
+        big.join(top, on=id_col, how="left"),
+        F.coalesce(F.col("_r_best"), F.lit(0)).cast("long"),
+    ).drop("_r_best")
+    return small.unionByName(big_done)

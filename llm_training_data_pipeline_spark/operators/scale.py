@@ -20,6 +20,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Guard a CPU-heavy fan-out stage (shingle explode, per-token hashing)
+    against low upstream parallelism.
+
+    A small or heavily-filtered scan can collapse to a handful of input
+    partitions (a 1.5 MB parquet file is ONE FilePartition under the
+    default 128 MB ``maxPartitionBytes``), serializing all downstream
+    per-row work no matter how many cores exist. When the physical plan
+    has fewer partitions than ``defaultParallelism``, repartition by the
+    given keys — hash-partitioning on the same key the downstream
+    ``groupBy`` uses, so the aggregate reuses the exchange instead of
+    adding one. When upstream parallelism is already adequate (the
+    100 TB case: thousands of scan partitions), this is a NO-OP — no
+    shuffle is added on the big-data path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    # explicit numPartitions: a bare repartition(cols) is advisory and AQE
+    # coalesces tiny shuffles back to one partition — exactly the state
+    # this guard exists to escape (partition count must be chosen by CPU
+    # cost, not bytes, for hash-heavy fan-out stages)
+    return df.repartition(target, *[F.col(c) for c in key_cols])
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -8,8 +8,9 @@ scans (no Python, no shuffle).
 The reference's language check (Q9) wraps ``langdetect``
 (/root/reference/src/processing/quality_filter.py:243-252); that library is
 not available here, so ``lang_id`` is a deterministic stopword/char-class
-profile heuristic over {en, fr, es, de, zh} — same API position, documented
-substitution, testable and SQL-expressible.
+profile heuristic — 11 stopword profiles (en fr es de pt it nl tr pl sv id)
+plus 9 script classes (ja zh ru ko ar hi th el he), 20 languages total —
+same API position, documented substitution, testable and SQL-expressible.
 """
 
 from __future__ import annotations
@@ -32,9 +33,14 @@ LANG_PROFILES: dict[str, str] = {
     "de": r"\b(der|die|das|und|ist|ein|eine|nicht|mit|von|zu|den|auf|für)\b",
     "pt": r"\b(do|da|dos|das|uma|mais|muito|pelo|pela|isso|ele|os|em|se)\b",
     "it": r"\b(il|lo|gli|della|delle|nel|nella|anche|sono|questo|ma|come|dei|alla)\b",
+    "nl": r"\b(het|een|van|dat|niet|zijn|voor|maar|ook|aan|bij|naar|heeft|wordt)\b",
+    "tr": r"\b(bir|ve|bu|ile|olarak|daha|gibi|ama|olan|sonra|kadar|ben|sen|ne)\b",
+    "pl": r"\b(nie|jest|jak|ale|przez|tylko|bardzo|jego|tego|oraz|czy|dla|przy|lub)\b",
+    "sv": r"\b(och|att|det|som|av|med|den|till|inte|har|ett|om|han|hon)\b",
+    "id": r"\b(yang|dan|di|dengan|untuk|dari|ini|itu|pada|adalah|tidak|akan|juga|atau)\b",
 }
 # deterministic argmax tie order (earlier wins)
-STOPWORD_ORDER = ("en", "fr", "es", "de", "pt", "it")
+STOPWORD_ORDER = ("en", "fr", "es", "de", "pt", "it", "nl", "tr", "pl", "sv", "id")
 
 # Script-class languages: character evidence beats stopword evidence.
 # Java spells the classes \p{IsHan}; RE2 (DuckDB oracle) spells them \p{Han}.
@@ -47,6 +53,9 @@ SCRIPT_CLASS_SPARK: dict[str, str] = {
     "ko": r"\p{IsHangul}",
     "ar": r"\p{IsArabic}",
     "hi": r"\p{IsDevanagari}",
+    "th": r"\p{IsThai}",
+    "el": r"\p{IsGreek}",
+    "he": r"\p{IsHebrew}",
 }
 SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "ja": r"\p{Hiragana}\p{Katakana}",
@@ -55,8 +64,11 @@ SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "ko": r"\p{Hangul}",
     "ar": r"\p{Arabic}",
     "hi": r"\p{Devanagari}",
+    "th": r"\p{Thai}",
+    "el": r"\p{Greek}",
+    "he": r"\p{Hebrew}",
 }
-SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi")
+SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi", "th", "el", "he")
 SCRIPT_MIN_RATIO = 0.05
 
 # kept for backward compatibility with earlier call sites

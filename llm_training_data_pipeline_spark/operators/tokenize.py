@@ -481,9 +481,16 @@ class ByteLevelBpeTokenizer:
     def encode(self, text: str, _cache: dict | None = None) -> list[int]:
         """Pre-tokenize (GPT-2 split), BPE-merge each pre-token's bytes.
 
-        Off-Spark this uses the Python-re approximation of the split; the
-        Spark encode path feeds the same text through the same UDF, so
-        train/encode stay consistent either way (both Python-side).
+        Encode (here and in the Spark UDF path, which feeds text through
+        this same method) splits with the Python-re approximation of the
+        GPT-2 pattern (``[^\\W\\d_]``/``\\d``); TRAINING statistics come
+        from the Spark/Java-regex pretoken counts (``\\p{L}``/``\\p{N}``).
+        The two character classes agree on ASCII and common scripts but
+        diverge on Unicode Nl/No numerals (e.g. Ⅷ, ①): such a pretoken
+        may split differently at encode time than it was counted at
+        train time. Consequence is a suboptimal merge applied to a rare
+        pretoken — never an invalid id (the byte alphabet is complete),
+        and decode round-trips regardless.
         """
         ranks = self._ranks()
         cache = _cache if _cache is not None else {}

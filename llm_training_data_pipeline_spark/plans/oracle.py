@@ -906,14 +906,15 @@ def contamination_sql(n: int = 8, min_shared: int = 1, bench_mod: int = 97) -> s
 
 def stratified_sample_sql(rates: dict[str, float], default_rate: float = 0.0) -> str:
     """Mirror of corpus.stratified_sample over documents.lang — the same
-    arithmetic sample key, bit-for-bit."""
+    arithmetic sample key, bit-for-bit (pmod spelled out: DuckDB's %
+    keeps the dividend's sign like Spark's)."""
     whens = " ".join(
         f"WHEN '{s}' THEN {float(r)}" for s, r in sorted(rates.items())
     )
     return f"""
         SELECT doc_id, lang, source
         FROM documents
-        WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+        WHERE (((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000 <
               (CASE lang {whens} ELSE {float(default_rate)} END) * 1000
     """
 
@@ -970,12 +971,15 @@ def lag_lead_orders_sql() -> str:
     """
 
 
-def dedup_clusters_sql(n: int = 2, threshold: float = 0.1, block_col: str = "source") -> str:
-    """Recursive-CTE mirror of dedup.dedup_clusters over the n-gram
-    Jaccard pair graph: cluster_id = min reachable doc id."""
+def dedup_clusters_sql(pairs_sql: str | None = None, n: int = 2, threshold: float = 0.1, block_col: str = "source") -> str:
+    """Recursive-CTE mirror of dedup.dedup_clusters: cluster_id = min
+    reachable doc id over the given pair graph (any SELECT producing
+    ``id_a, id_b`` — MinHash md5 band pairs for the registered query;
+    defaults to the n-gram Jaccard graph)."""
+    src = pairs_sql if pairs_sql is not None else ngram_jaccard_sql(n, threshold, block_col)
     return f"""
         WITH RECURSIVE pairs AS (
-          SELECT id_a, id_b FROM ({ngram_jaccard_sql(n, threshold, block_col)})
+          SELECT id_a, id_b FROM ({src})
         ), edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
           UNION
@@ -1408,4 +1412,75 @@ def q4_late_shipments_sql(days: int = 90) -> str:
             AND l.l_shipdate > o.o_orderdate + INTERVAL {days} DAY
         )
         GROUP BY o_orderpriority
+    """
+
+
+def q2_min_cost_supplier_sql(max_size: int = 10, region: str = "EUROPE", k: int = 100) -> str:
+    """TPC-H Q2 adapted to the slim schema (no partsupp): per-part unit
+    cost derived from lineitem (avg extendedprice/quantity per
+    part-supplier), cheapest supplier per part via row_number. Unit cost
+    is rounded to 4dp BEFORE ranking so float summation-order noise
+    between engines cannot flip the chosen supplier."""
+    return f"""
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), best AS (
+          SELECT l_partkey, l_suppkey, unit_cost,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY unit_cost, l_suppkey) AS rk
+          FROM cost
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, b.unit_cost
+        FROM best b
+        JOIN part p ON b.l_partkey = p.p_partkey AND p.p_size <= {max_size}
+        JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+        WHERE b.rk = 1
+        ORDER BY b.unit_cost, p.p_partkey
+        LIMIT {k}
+    """
+
+
+def q7_volume_shipping_sql(y1: int = 1996, y2: int = 1997) -> str:
+    """TPC-H Q7 shape: cross-border revenue per (supplier nation,
+    customer nation, ship year) for two ship years."""
+    return f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE year(l.l_shipdate) IN ({y1}, {y2})
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """
+
+
+def q8_market_share_sql(
+    supp_nation: str = "NATION_7", region: str = "ASIA", p_type: str = "PROMO"
+) -> str:
+    """TPC-H Q8 shape: the given supplier nation's share of revenue for
+    one part type among customers of one region, per order year."""
+    return f"""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               round(sum(CASE WHEN sn.n_name = '{supp_nation}'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{p_type}'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
+        GROUP BY 1
     """

@@ -119,9 +119,15 @@ def build_pipeline(
         scores = corpus.unigram_surprisal(df, "text").select(
             "doc_id", "avg_surprisal"
         )
+        # LEFT join: zero-word docs have no surprisal row (they vanish in
+        # the word explode) — the filter must not silently drop them, so
+        # NULL surprisal passes
         df = (
-            df.join(scores, on="doc_id")
-            .filter(F.col("avg_surprisal") <= max_surprisal)
+            df.join(scores, on="doc_id", how="left")
+            .filter(
+                F.col("avg_surprisal").isNull()
+                | (F.col("avg_surprisal") <= max_surprisal)
+            )
             .drop("avg_surprisal")
         )
         obs["perplexity"] = Observation("perplexity")

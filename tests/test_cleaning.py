@@ -124,3 +124,42 @@ def test_fix_mojibake_pins():
         got = _fix_mojibake(inp)
         assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
         assert _fix_mojibake(got) == got, f"not idempotent on {got!r}"
+
+
+def test_fix_mojibake_ftfy_canonical_examples():
+    """ftfy's published doctest examples as expected-in/out pins — the
+    exact C1 fidelity boundary of the stdlib stand-in. FIXED cases must
+    repair bit-for-bit like ftfy; SKIPPED cases are the documented gaps
+    (each must pass through unchanged — a wrong repair would be worse
+    than none)."""
+    from llm_training_data_pipeline_spark.operators.cleaning import _fix_mojibake
+
+    fixed = [
+        # ftfy README headline example
+        ("âœ” No problems", "✔ No problems"),
+        # triple-encoded apostrophe (ftfy "fix_text resolves in one call")
+        (
+            "The Mona Lisa doesnÃƒÂ¢Ã¢â€šÂ¬Ã¢â€žÂ¢t have eyebrows.",
+            "The Mona Lisa doesn’t have eyebrows.",
+        ),
+        # curly quotes with a raw 0x9D control — needs sloppy-windows-1252
+        ("â€œMojibakeâ€\x9d", "“Mojibake”"),
+        ("IL Y MARQUÃ‰", "IL Y MARQUÉ"),
+        ("l&#39;humanitÃ©", "l'humanité"),
+        ("Ã\xa0 la carte", "à la carte"),
+    ]
+    skipped = [
+        # shrug kaomoji: 'ã\x83\x84' has NO suspicious lead+trail pair in
+        # the cp1252 image (0x83 is a pass-through control not preceded by
+        # a lead mark we track), so the acceptance rule declines; ftfy's
+        # full heuristics (language detection + codepoint cost model)
+        # would repair it. The HTML entities around it DO unescape.
+        ("&macr;\\_(ã\x83\x84)_/&macr;", "¯\\_(ã\x83\x84)_/¯"),
+        # ftfy also uncurls lone curly apostrophes per style config; this
+        # repair never rewrites legitimate text
+        ("it’s fine", "it’s fine"),
+    ]
+    for inp, want in fixed + skipped:
+        got = _fix_mojibake(inp)
+        assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
+        assert _fix_mojibake(got) == got, f"not idempotent on {got!r}"

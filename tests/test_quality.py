@@ -211,3 +211,37 @@ def test_repetition_stats_pins(spark):
     assert abs(rows[2]["top_2gram_char_frac"] - 6 / 9) < 1e-9
     assert rows[3]["dup_line_frac"] == 0.0
     assert rows[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_stats_explode_fallback_matches_hof(spark):
+    """Docs over hof_max_words take the explode+groupBy path; values must
+    equal the HOF path, and a 100k-word doc must complete (the quadratic
+    HOF would scan distinct x n ≈ 10^10 gram comparisons)."""
+    from llm_training_data_pipeline_spark.operators.quality import with_repetition_stats
+
+    big_unique = " ".join(f"w{i}" for i in range(100_000))
+    big_repeat = "spam ham " * 50_000
+    df = spark.createDataFrame(
+        [(1, big_unique), (2, big_repeat.strip()), (3, "a b a b a")],
+        "doc_id long, text string",
+    )
+    # force ALL docs through each path by moving the threshold
+    via_explode = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(df, hof_max_words=0).collect()
+    }
+    hof_small = {
+        r["doc_id"]: r
+        for r in with_repetition_stats(
+            df.filter("doc_id = 3"), hof_max_words=10**9
+        ).collect()
+    }
+    assert abs(via_explode[3]["top_2gram_char_frac"] - hof_small[3]["top_2gram_char_frac"]) < 1e-9
+    # 100k unique words → best 2-gram occurs once: cover = len longest gram pair
+    assert via_explode[1]["top_2gram_char_frac"] < 0.001
+    # 'spam ham' doc: gram 'spam ham' (or 'ham spam') covers ~half the chars
+    assert via_explode[2]["top_2gram_char_frac"] > 0.4
+    # default threshold routes the big docs through explode, small through HOF
+    mixed = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    for k in (1, 2, 3):
+        assert abs(mixed[k]["top_2gram_char_frac"] - via_explode[k]["top_2gram_char_frac"]) < 1e-9

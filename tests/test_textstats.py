@@ -26,6 +26,15 @@ FIXTURES = [
     (12, "오늘은 날씨가 좋아서 우리는 공원에 산책하러 갑니다.", "ko"),
     (13, "الطقس جميل اليوم ونحن ذاهبون للتنزه في الحديقة.", "ar"),
     (14, "आज मौसम अच्छा है और हम पार्क में टहलने जा रहे हैं।", "hi"),
+    # round-3 widening: 5 new stopword profiles, 3 new script classes
+    (15, "Het is een mooie dag en wij gaan naar het park voor een wandeling met elkaar.", "nl"),
+    (16, "Bu bir deneme ve biz parka gidiyoruz ama sonra eve kadar beraber olacak.", "tr"),
+    (17, "To nie jest bardzo dobry dzien ale przez ten czas tylko dla niego oraz jego rodziny.", "pl"),
+    (18, "Det har varit en fin dag och vi ska ta en promenad i parken med den lilla hunden.", "sv"),
+    (19, "Hari ini cuaca bagus dan kami akan pergi ke taman untuk berjalan dengan teman ini.", "id"),
+    (20, "วันนี้อากาศดีมากเราจะไปเดินเล่นที่สวนสาธารณะกัน", "th"),
+    (21, "Σήμερα ο καιρός είναι καλός και πηγαίνουμε για περπάτημα στο πάρκο.", "el"),
+    (22, "היום מזג האוויר יפה ואנחנו הולכים לטייל בפארק של העיר.", "he"),
 ]
 
 
