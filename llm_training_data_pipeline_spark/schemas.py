@@ -96,9 +96,11 @@ TABLE_SCHEMAS: dict[str, StructType] = {
             StructField("l_shipdate", TimestampType()),
         ]
     ),
-    # ts is TIMESTAMP(NANOS) in the parquet, which Spark's reader rejects;
-    # it is read as BIGINT nanos (legacy.parquet.nanosAsLong) and converted
-    # to TimestampType in load_table — lossless, the data is µs-resolution.
+    # ts encoding has varied across driver testdata generations:
+    # TIMESTAMP(NANOS) (which Spark's reader rejects) in some, plain
+    # TIMESTAMP(MICROS) in others. load_table sniffs the parquet footer
+    # and picks the right read path; this schema is the nanos-legacy
+    # variant (ts read as BIGINT nanos via legacy.parquet.nanosAsLong).
     "events": StructType(
         [
             StructField("event_id", LongType()),
@@ -132,6 +134,36 @@ TABLE_NAMES = tuple(TABLE_SCHEMAS)
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+_TS_NANOS_CACHE: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the events parquet footer: is ``ts`` TIMESTAMP(NANOS)?
+
+    Driver testdata generations have used both nanos and micros; a footer
+    read (driver-side, cached per path, no data pages touched) picks the
+    right Spark read path. Unknown/unreadable footers default to the
+    native (micros) path, which is what Spark handles without legacy
+    flags.
+    """
+    if path not in _TS_NANOS_CACHE:
+        nanos = False
+        try:
+            import pyarrow.parquet as pq
+
+            p = path
+            if os.path.isdir(p):
+                inner = [f for f in os.listdir(p) if f.endswith(".parquet")]
+                if inner:
+                    p = os.path.join(p, inner[0])
+            t = pq.read_schema(p).field("ts").type
+            nanos = getattr(t, "unit", None) == "ns"
+        except Exception:
+            pass
+        _TS_NANOS_CACHE[path] = nanos
+    return _TS_NANOS_CACHE[path]
+
+
 def load_table(
     spark: SparkSession,
     name: str,
@@ -152,13 +184,21 @@ def load_table(
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
         # ns → µs is exact integer division (data is µs-resolution)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events":
+        schema = StructType(
+            [
+                f if f.name != "ts" else StructField("ts", TimestampType())
+                for f in TABLE_SCHEMAS[name]
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
     target = min_parallelism or spark.sparkContext.defaultParallelism
