@@ -79,6 +79,76 @@ def redact_pii(
     return df.withColumn(out_col, expr)
 
 
+def synthetic_pii_corpus(customer_df: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing corpus derived from the customer table.
+
+    The driver's synthetic ``documents`` text contains no digits or ``@``
+    at all, so PII queries over it would be trivially all-zero. This
+    builds real work for the detectors from ``c_custkey`` arithmetic —
+    every row carries an email + phone, and modular conditions add SSN /
+    credit-card / IP lines to deterministic subsets. The expression is
+    mirrored token-for-token in ``plans/oracle._pii_corpus_sql`` so the
+    DuckDB oracle constructs the identical corpus.
+
+    Pure projection over one scan — no shuffle, no Python.
+    """
+    k = F.col("c_custkey")
+
+    def pad(expr: Column, n: int) -> Column:
+        return F.lpad(expr.cast("string"), n, "0")
+
+    text = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        k.cast("string"),
+        F.lit("@example.com or call 555-"),
+        pad((k * 13) % 900 + 100, 3),
+        F.lit("-"),
+        pad((k * 31) % 10000, 4),
+        F.lit("."),
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit(" SSN "),
+                pad((k * 7) % 1000, 3),
+                F.lit("-"),
+                pad(k % 100, 2),
+                F.lit("-"),
+                pad((k * 3) % 10000, 4),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 7 == 0,
+            F.concat(
+                F.lit(" Card "),
+                pad((k * 11) % 10000, 4),
+                F.lit(" "),
+                pad((k * 17) % 10000, 4),
+                F.lit(" "),
+                pad((k * 23) % 10000, 4),
+                F.lit(" "),
+                pad((k * 29) % 10000, 4),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit(" Login from 10."),
+                (k % 256).cast("string"),
+                F.lit("."),
+                ((k * 3) % 256).cast("string"),
+                F.lit("."),
+                ((k * 5) % 256).cast("string"),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return customer_df.select(k.alias("doc_id"), text.alias("text"))
+
+
 def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus summary: docs scanned, docs with any PII, and total
     matches per type. Single scan + single partial-aggregable agg."""
