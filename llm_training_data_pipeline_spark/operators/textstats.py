@@ -71,6 +71,13 @@ SCRIPT_CLASS_DUCKDB: dict[str, str] = {
 SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi", "th", "el", "he")
 SCRIPT_MIN_RATIO = 0.05
 
+# Language evidence is scored over a fixed document prefix, mirroring the
+# reference's text[:1000] (quality_filter.py:250) at 2x the window. This
+# bounds per-row regex cost independent of document length — ~20 regex
+# passes over a book-length document is a scale-killer, over 2000 chars it
+# is constant work. The oracle SQL applies the identical substring.
+LANG_ID_PREFIX_CHARS = 2000
+
 # kept for backward compatibility with earlier call sites
 HAN_CLASS_SPARK = SCRIPT_CLASS_SPARK["zh"]
 HAN_CLASS_DUCKDB = SCRIPT_CLASS_DUCKDB["zh"]
@@ -86,8 +93,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
     Script-char counting uses ``regexp_count`` of the positive class —
     counting matches is cheaper than ``regexp_replace`` building the
-    stripped string just to measure it.
+    stripped string just to measure it. All evidence is taken from the
+    first LANG_ID_PREFIX_CHARS characters (see constant).
     """
+    text = F.substring(text, 1, LANG_ID_PREFIX_CHARS)
     lowered = F.lower(text)
     n_words = word_count(text)
     safe_words = F.when(n_words > 0, n_words.cast("double"))
@@ -141,8 +150,14 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
       so the gate is value-neutral (oracle SQL needs no gate).
     """
     min_score = 0.01
-    t = F.col(text_col)
+    # stage the scoring prefix ONCE: every downstream regex runs over the
+    # bounded window, not the full document
     pre = df.select(
+        "*",
+        F.substring(F.col(text_col), 1, LANG_ID_PREFIX_CHARS).alias("_lid_pref"),
+    )
+    t = F.col("_lid_pref")
+    pre = pre.select(
         "*",
         F.lower(t).alias("_lid_low"),
         word_count(t).alias("_lid_nw"),
@@ -168,6 +183,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
     )
     s = {lang: F.col(f"_ls_{lang}") for lang in score_exprs}
     return staged.withColumn(out_col, _lang_cascade(s, min_score)).drop(
+        "_lid_pref",
         "_lid_low",
         "_lid_nw",
         "_lid_nonascii",

@@ -31,6 +31,47 @@ def q(pattern: str) -> str:
     return pattern.replace("'", "''")
 
 
+def units(x: str, scale: int = 4) -> str:
+    """Exact integer units for a double expression: floor(x * 10^scale).
+    Both engines evaluate the identical IEEE multiply + floor, so the
+    result is bit-identical — unlike a double->DECIMAL cast, where Spark
+    half-up-rounds the double's shortest decimal repr while DuckDB
+    rounds the scaled binary value (they disagree near scale-digit
+    boundaries)."""
+    # NB: a literal like 10000.0 parses as DECIMAL in both SQL dialects;
+    # cast an integer literal to DOUBLE to keep the arithmetic in floats
+    return f"CAST(floor(({x}) * CAST({10 ** scale} AS DOUBLE)) AS BIGINT)"
+
+
+def dsum(x: str, nd: int = 2, scale: int = 4) -> str:
+    """Order-independent money sum (mirrors ``queries._dsum``): truncate
+    each value to exact 1e-{scale} integer units, sum exactly, then
+    half-up round to ``nd`` decimals in integer arithmetic. Every step is
+    deterministic regardless of partitioning, merge order, or engine;
+    ``round(sum(double), nd)`` is not (float summation order), and
+    DECIMAL casts of doubles are not portable (see ``units``). The text
+    is valid in both DuckDB and Spark SQL."""
+    f = 10 ** (scale - nd)
+    return (
+        f"(CAST(floor((sum({units(x, scale)}) * 2 + {f}) / CAST({2 * f} AS DOUBLE)) AS BIGINT)"
+        f" / CAST({10 ** nd} AS DOUBLE))"
+    )
+
+
+def davg(x: str, nd: int = 4, scale: int = 4, cnt: str | None = None) -> str:
+    """Order-independent average (mirrors ``queries._davg``): exact unit
+    sum and non-null count, half-up rounded to ``nd`` decimals in integer
+    arithmetic (u/n rounded = floor((2u + n*f) / (2nf)) at f units per
+    output decimal). ``cnt`` overrides the divisor count expression (use
+    'count(*)' when x is known non-null and verbose)."""
+    f = 10 ** (scale - nd)
+    n = cnt if cnt is not None else f"count({x})"
+    return (
+        f"(CAST(floor((sum({units(x, scale)}) * 2 + {n} * {f})"
+        f" / ({n} * CAST({2 * f} AS DOUBLE))) AS BIGINT) / CAST({10 ** nd} AS DOUBLE))"
+    )
+
+
 def clean_text_sql_expr(col: str = "text") -> str:
     """The C3-C8 chain as one DuckDB expression (C1/C2 excluded — Python)."""
     e = col
@@ -261,6 +302,7 @@ def embedding_near_dup_sql(threshold: float = 0.95, block_col: str = "label") ->
 
 def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
     from llm_training_data_pipeline_spark.operators.textstats import (
+        LANG_ID_PREFIX_CHARS,
         LANG_PROFILES,
         SCRIPT_CLASS_DUCKDB,
         SCRIPT_MIN_RATIO,
@@ -268,6 +310,8 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
         STOPWORD_ORDER,
     )
 
+    # evidence is scored over the same bounded prefix as the Spark side
+    text_col = f"substring({text_col}, 1, {LANG_ID_PREFIX_CHARS})"
     wc = (
         f"CASE WHEN regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g') = '' THEN 0 "
         f"ELSE len(regexp_split_to_array(regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g'), '\\s+')) END"
@@ -398,15 +442,15 @@ def cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
 
 
 def q1_pricing_summary_sql() -> str:
-    return """
+    return f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               {dsum('l_quantity')} AS sum_qty,
+               {dsum('l_extendedprice')} AS sum_base_price,
+               {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {davg('l_quantity')} AS avg_qty,
+               {davg('l_extendedprice')} AS avg_price,
+               {davg('l_discount')} AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -415,11 +459,11 @@ def q1_pricing_summary_sql() -> str:
 
 
 def q3_top_unshipped_sql() -> str:
-    return """
+    return f"""
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -433,9 +477,9 @@ def q3_top_unshipped_sql() -> str:
 
 
 def q5_region_revenue_sql() -> str:
-    return """
+    return f"""
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -448,9 +492,9 @@ def q5_region_revenue_sql() -> str:
 
 
 def top3_customers_per_nation_sql() -> str:
-    return """
+    return f"""
         WITH spend AS (
-          SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+          SELECT o_custkey, {dsum('o_totalprice')} AS total_spend
           FROM orders GROUP BY o_custkey
         )
         SELECT n_name, c_custkey, c_name, total_spend, rnk FROM (
@@ -464,12 +508,15 @@ def top3_customers_per_nation_sql() -> str:
 
 
 def customer_running_totals_sql() -> str:
-    return """
+    return f"""
         SELECT o_custkey, o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-               round(sum(o_totalprice) OVER w_cum, 2) AS running_spend,
+               (CAST(floor((sum({units('o_totalprice')}) OVER w_cum * 2 + 100)
+                     / CAST(200 AS DOUBLE)) AS BIGINT) / CAST(100 AS DOUBLE)) AS running_spend,
                round(lag(o_totalprice, 1) OVER w_ord, 2) AS prev_price,
-               round(avg(o_totalprice) OVER w_mov, 4) AS moving_avg3,
+               (CAST(floor((sum({units('o_totalprice')}) OVER w_mov * 2 + count(*) OVER w_mov)
+                     / (count(*) OVER w_mov * CAST(2 AS DOUBLE))) AS BIGINT)
+                / CAST(10000 AS DOUBLE)) AS moving_avg3,
                CAST(row_number() OVER w_ord AS BIGINT) AS order_seq
         FROM orders
         WINDOW
@@ -482,22 +529,22 @@ def customer_running_totals_sql() -> str:
 
 
 def rollup_order_stats_sql() -> str:
-    return """
+    return f"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               {dsum('o_totalprice')} AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """
 
 
 def cube_lineitem_stats_sql() -> str:
-    return """
+    return f"""
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                coalesce(l_linestatus, 'ALL') AS linestatus,
                count(*) AS n_items,
-               round(avg(l_quantity), 4) AS avg_qty
+               {davg('l_quantity')} AS avg_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
     """
@@ -540,12 +587,12 @@ def string_functions_part_sql() -> str:
 
 
 def date_functions_orders_sql() -> str:
-    return """
+    return f"""
         SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
                CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
                CAST(month(o_orderdate) AS BIGINT) AS order_month,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price,
+               {dsum('o_totalprice')} AS total_price,
                strftime(min(o_orderdate), '%Y-%m-%d') AS first_order
         FROM orders
         GROUP BY 1, 2, 3
@@ -580,19 +627,24 @@ def array_agg_per_order_sql() -> str:
 
 
 def json_events_sql() -> str:
-    return """
+    return f"""
+        WITH j AS (
+          SELECT event_type, value,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        )
         SELECT event_type,
                count(*) AS n_events,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-               round(sum(value), 2) AS total_value
-        FROM events
+               round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k,
+               CAST(max(k) AS BIGINT) AS max_k,
+               {dsum('value')} AS total_value
+        FROM j
         GROUP BY event_type
     """
 
 
 def event_sessionization_sql() -> str:
-    return """
+    return f"""
         WITH lagged AS (
           SELECT user_id, event_id, value, ts,
                  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap
@@ -606,18 +658,19 @@ def event_sessionization_sql() -> str:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM flagged
         )
-        SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        SELECT user_id, session_id, count(*) AS n_events,
+               {dsum('value')} AS session_value
         FROM sessioned
         GROUP BY user_id, session_id
     """
 
 
 def grouping_sets_revenue_sql() -> str:
-    return """
+    return f"""
         SELECT coalesce(r_name, 'ALL') AS region_name,
                coalesce(n_name, 'ALL') AS nation_name,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               {dsum('o_totalprice')} AS total_price
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -627,8 +680,8 @@ def grouping_sets_revenue_sql() -> str:
 
 
 def q6_revenue_delta_sql() -> str:
-    return """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+    return f"""
+        SELECT {dsum('l_extendedprice * l_discount')} AS revenue_delta,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -639,8 +692,8 @@ def q6_revenue_delta_sql() -> str:
 
 
 def having_big_orders_sql() -> str:
-    return """
-        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+    return f"""
+        SELECT o_custkey, count(*) AS n_orders, {dsum('o_totalprice')} AS total_spend
         FROM orders
         GROUP BY o_custkey
         HAVING count(*) >= 12
@@ -659,14 +712,14 @@ def distinct_stats_sql() -> str:
 
 
 def theta_join_price_bands_sql() -> str:
-    return """
+    return f"""
         WITH bands(band_name, lo, hi) AS (
           VALUES ('budget', 0.0, 500.0),
                  ('mid', 500.0, 1200.0),
                  ('premium', 1200.0, 100000.0)
         )
         SELECT band_name, CAST(count(*) AS BIGINT) AS n_parts,
-               round(avg(p_retailprice), 4) AS avg_price
+               {davg('p_retailprice')} AS avg_price
         FROM part JOIN bands
           ON p_retailprice >= lo AND p_retailprice < hi
         GROUP BY band_name
@@ -698,10 +751,10 @@ def minmax_by_nation_sql() -> str:
 
 
 def map_functions_events_sql() -> str:
-    return """
+    return f"""
         SELECT event_type,
-               CAST(map(['n','total'], [CAST(count(*) AS DOUBLE), round(sum(value),2)])['n'][1] AS BIGINT) AS n_from_map,
-               round(map(['n','total'], [CAST(count(*) AS DOUBLE), round(sum(value),2)])['total'][1], 2) AS total_from_map
+               CAST(map(['n','total'], [CAST(count(*) AS DOUBLE), {dsum('value')}])['n'][1] AS BIGINT) AS n_from_map,
+               round(map(['n','total'], [CAST(count(*) AS DOUBLE), {dsum('value')}])['total'][1], 2) AS total_from_map
         FROM events GROUP BY event_type
     """
 
@@ -716,11 +769,11 @@ def exists_subquery_sql() -> str:
 
 
 def tumbling_window_events_sql() -> str:
-    return """
+    return f"""
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               {dsum('value')} AS total_value
         FROM events
         GROUP BY 1, 2
     """
@@ -765,7 +818,7 @@ def sliding_window_events_sql() -> str:
     # Spark's window(ts, '1 hour', '30 minutes'): each event falls into the
     # two 1h windows starting at the 30-minute grid points in
     # (ts - 1h, ts]. Emulated with two bucket offsets.
-    return """
+    return f"""
         WITH w AS (
           SELECT time_bucket(INTERVAL '30 minutes', ts) AS g, event_type, value FROM events
         ), exploded AS (
@@ -776,7 +829,7 @@ def sliding_window_events_sql() -> str:
         SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               {dsum('value')} AS total_value
         FROM exploded
         GROUP BY 1, 2
     """
@@ -798,10 +851,11 @@ def quality_with_language_sql(min_words: int = 20, allowed: tuple = ("en",)) -> 
 
 
 def range_frame_orders_sql() -> str:
-    return """
+    return f"""
         SELECT o_orderkey, o_custkey,
                CAST(count(*) OVER w AS BIGINT) - 1 AS prior_30d_orders,
-               round(sum(o_totalprice) OVER w - o_totalprice, 2) AS prior_30d_spend,
+               (CAST(floor(((sum({units('o_totalprice')}) OVER w - {units('o_totalprice')}) * 2 + 100)
+                     / CAST(200 AS DOUBLE)) AS BIGINT) / CAST(100 AS DOUBLE)) AS prior_30d_spend,
                round(first_value(o_totalprice) OVER w2, 2) AS first_price,
                round(nth_value(o_totalprice, 2) OVER w2, 2) AS second_price
         FROM orders
@@ -1153,7 +1207,7 @@ def session_window_events_sql(gap_minutes: int = 30) -> str:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(max(ts) + INTERVAL {gap_minutes} MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value), 2) AS session_value
+               {dsum('value')} AS session_value
         FROM s2 GROUP BY user_id, sid
     """
 
@@ -1282,10 +1336,10 @@ def repetition_stats_sql() -> str:
 
 
 def salted_join_revenue_sql() -> str:
-    return """
+    return f"""
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               {dsum('o_totalprice')} AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
     """
@@ -1306,13 +1360,19 @@ def set_ops_all_sql() -> str:
     """
 
 
-def scalar_subquery_sql() -> str:
-    return """
+def scalar_subquery_sql(table: str = "orders") -> str:
+    # unrounded exact mean as the divisor (identical integer->double on
+    # both engines), then an order-independent davg of the ratios at
+    # scale 8 / 6dp output
+    mean = (
+        f"(SELECT CAST(sum({units('o_totalprice')}) AS DOUBLE)"
+        f" / CAST(10000 AS DOUBLE) / count(*) FROM {table})"
+    )
+    return f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(o_totalprice / (SELECT avg(o_totalprice) FROM orders)), 6)
-                 AS avg_price_ratio
-        FROM orders
+               {davg(f'o_totalprice / {mean}', nd=6, scale=8, cnt='count(*)')} AS avg_price_ratio
+        FROM {table}
         GROUP BY o_orderpriority
     """
 
@@ -1378,7 +1438,7 @@ def cosine_topk_int8_sql(k: int = 5, n_queries: int = 10) -> str:
 def q10_returned_items_sql(k: int = 20) -> str:
     return f"""
         SELECT c.c_custkey, c.c_name, n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1392,11 +1452,10 @@ def q10_returned_items_sql(k: int = 20) -> str:
 
 
 def q14_promo_revenue_sql() -> str:
-    return """
+    return f"""
         SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-               round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+               round(CAST(100 AS DOUBLE) * CAST(sum({units("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}) AS DOUBLE)
+                     / CAST(sum({units('l_extendedprice * (1 - l_discount)')}) AS DOUBLE), 6) AS promo_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
     """
@@ -1424,7 +1483,7 @@ def q2_min_cost_supplier_sql(max_size: int = 10, region: str = "EUROPE", k: int 
     return f"""
         WITH cost AS (
           SELECT l_partkey, l_suppkey,
-                 round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+                 {davg('l_extendedprice / l_quantity')} AS unit_cost
           FROM lineitem GROUP BY l_partkey, l_suppkey
         ), best AS (
           SELECT l_partkey, l_suppkey, unit_cost,
@@ -1450,7 +1509,7 @@ def q7_volume_shipping_sql(y1: int = 1996, y2: int = 1997) -> str:
     return f"""
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
@@ -1470,10 +1529,8 @@ def q8_market_share_sql(
     one part type among customers of one region, per order year."""
     return f"""
         SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
-               round(sum(CASE WHEN sn.n_name = '{supp_nation}'
-                         THEN l.l_extendedprice * (1 - l.l_discount)
-                         ELSE 0 END)
-                     / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+               round(CAST(sum({units(f"CASE WHEN sn.n_name = '{supp_nation}' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}) AS DOUBLE)
+                     / CAST(sum({units('l.l_extendedprice * (1 - l.l_discount)')}) AS DOUBLE), 6) AS mkt_share
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{p_type}'
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1483,4 +1540,87 @@ def q8_market_share_sql(
         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
         JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{region}'
         GROUP BY 1
+    """
+
+
+# --- PII oracles ----------------------------------------------------------
+
+
+def _pii_corpus_sql() -> str:
+    """Token-for-token mirror of ``operators.pii.synthetic_pii_corpus``:
+    the same c_custkey arithmetic, lpad widths, and conditional segments,
+    so both engines construct the identical PII-bearing corpus from the
+    customer table."""
+
+    def pad(expr: str, n: int) -> str:
+        return f"lpad(CAST({expr} AS VARCHAR), {n}, '0')"
+
+    return f"""
+        SELECT c_custkey AS doc_id,
+               'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+               || '@example.com or call 555-'
+               || {pad('(c_custkey * 13) % 900 + 100', 3)} || '-'
+               || {pad('(c_custkey * 31) % 10000', 4)} || '.'
+               || CASE WHEN c_custkey % 5 = 0 THEN
+                    ' SSN ' || {pad('(c_custkey * 7) % 1000', 3)} || '-'
+                    || {pad('c_custkey % 100', 2)} || '-'
+                    || {pad('(c_custkey * 3) % 10000', 4)} || '.'
+                  ELSE '' END
+               || CASE WHEN c_custkey % 7 = 0 THEN
+                    ' Card ' || {pad('(c_custkey * 11) % 10000', 4)} || ' '
+                    || {pad('(c_custkey * 17) % 10000', 4)} || ' '
+                    || {pad('(c_custkey * 23) % 10000', 4)} || ' '
+                    || {pad('(c_custkey * 29) % 10000', 4)} || '.'
+                  ELSE '' END
+               || CASE WHEN c_custkey % 3 = 0 THEN
+                    ' Login from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                    || CAST((c_custkey * 3) % 256 AS VARCHAR) || '.'
+                    || CAST((c_custkey * 5) % 256 AS VARCHAR) || '.'
+                  ELSE '' END
+               AS text
+        FROM customer
+    """
+
+
+def pii_stats_sql() -> str:
+    """Mirror of ``operators.pii.pii_stats`` over the synthetic corpus.
+    Counts use ``len(regexp_extract_all(...))`` — RE2 leftmost,
+    non-overlapping, same as Spark's ``regexp_count``; the patterns are
+    shared constants from the operator module."""
+    from llm_training_data_pipeline_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n                 ".join(
+        f"len(regexp_extract_all(text, '{q(pat)}')) AS n_{name}"
+        for name, pat, _tok in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _p, _t in PII_PATTERNS)
+    sums = ",\n               ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS total_{name}"
+        for name, _p, _t in PII_PATTERNS
+    )
+    return f"""
+        WITH corpus AS ({_pii_corpus_sql()}),
+        counted AS (
+          SELECT {counts}
+          FROM corpus
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN {total} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               {sums}
+        FROM counted
+    """
+
+
+def redact_pii_sql() -> str:
+    """Mirror of ``operators.pii.redact_pii`` over the synthetic corpus:
+    the same chained global regexp_replace in PII_PATTERNS order."""
+    from llm_training_data_pipeline_spark.operators.pii import PII_PATTERNS
+
+    expr = "text"
+    for _name, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{token}', 'g')"
+    return f"""
+        WITH corpus AS ({_pii_corpus_sql()})
+        SELECT doc_id, {expr} AS redacted
+        FROM corpus
     """

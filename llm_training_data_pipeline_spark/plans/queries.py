@@ -46,13 +46,16 @@ def register(name: str, sql: str | None):
     return deco
 
 
-# Queries with green driver CORRECTNESS rows in rounds 1-2. The driver
-# checks only the first ~50 registry entries, so ``registry()`` orders
-# never-driver-checked oracle queries first (they need a scorecard row),
-# already-verified oracle queries second, and rows-only queries (sql=None,
-# which can never upgrade past the weaker check) last. Within each tier,
-# module registration order is preserved.
-_DRIVER_VERIFIED = frozenset(
+# The driver scores only the first ~50 registry entries per round, so
+# ``registry()`` orders oracle-paired queries by driver-scorecard
+# staleness: never-scored first (they need any row at all), then
+# least-recently-verified (r1/r2 green rows with no r3 row), then
+# freshly-verified (green in CORRECTNESS_r03), and rows-only queries
+# (sql=None, which can never upgrade past the weaker check) last.
+# Within each tier, module registration order is preserved. Update the
+# sets each round from the latest CORRECTNESS file so every oracle query
+# keeps a driver row no older than ~one round.
+_VERIFIED_R12 = frozenset(
     {
         "clean_documents", "cleaning_stats", "quality_cascade", "quality_histogram",
         "exact_dedup", "exact_dedup_stats", "ngram_jaccard_pairs", "embedding_near_dup",
@@ -70,19 +73,105 @@ _DRIVER_VERIFIED = frozenset(
     }
 )
 
+# green rows in CORRECTNESS_r03.json (q7_volume_shipping excluded: red in
+# r3, fixed this round, must be re-scored)
+_VERIFIED_R3 = frozenset(
+    {
+        "quality_with_language", "range_frame_orders", "exact_dedup_against_corpus",
+        "null_handling_customers", "regex_extract_parts", "unigram_surprisal",
+        "contamination_check", "stratified_sample", "pack_stats", "corpus_mix_report",
+        "lag_lead_orders", "dedup_clusters", "remove_common_lines",
+        "minhash_pairs_md5", "simhash_pairs_md5", "session_window_events",
+        "gopher_quality", "c4_quality", "repetition_stats", "salted_join_revenue",
+        "set_ops_all_customers", "scalar_subquery_orders", "posexplode_part_words",
+        "null_safe_eq_customers", "cosine_topk_int8", "q10_returned_items",
+        "q14_promo_revenue", "q4_late_shipments", "q2_min_cost_supplier",
+        "q8_market_share", "clean_documents", "cleaning_stats", "quality_cascade",
+        "quality_histogram", "exact_dedup", "exact_dedup_stats", "ngram_jaccard_pairs",
+        "embedding_near_dup", "lang_id_histogram", "doc_fingerprints", "token_counts",
+        "quality_score", "cosine_topk", "q1_pricing_summary", "q3_top_unshipped",
+        "q5_region_revenue", "top3_customers_per_nation", "customer_running_totals",
+        "rollup_order_stats",
+    }
+)
+
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     def tier(item: tuple[str, tuple[QueryFn, str | None]]) -> int:
         name, (_fn, sql) = item
         if sql is None:
+            return 3
+        if name in _VERIFIED_R3:
             return 2
-        return 1 if name in _DRIVER_VERIFIED else 0
+        if name in _VERIFIED_R12:
+            return 1
+        return 0
 
     return dict(sorted(_REGISTRY.items(), key=tier))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+def _units(col, scale: int = 4):
+    """Exact integer units for a double column: floor(x * 10^scale) as
+    LONG. Identical IEEE multiply + floor on every engine — see
+    ``oracle.units`` for why DECIMAL casts of doubles are NOT portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(10 ** scale))).cast("long")
+
+
+def _dsum(col, nd: int = 2, scale: int = 4):
+    """Order-independent money sum (mirrors ``oracle.dsum``): truncate to
+    exact 1e-scale integer units per row, sum exactly, half-up round to
+    ``nd`` decimals in integer arithmetic. Deterministic under any
+    partitioning/merge order at any cluster size, unlike
+    round(sum(double), nd) whose float summation order varies."""
+    f = 10 ** (scale - nd)
+    u = F.sum(_units(col, scale))
+    return (
+        F.floor((u * 2 + F.lit(f)) / F.lit(2.0 * f)).cast("long")
+        / F.lit(float(10 ** nd))
+    ).cast("double")
+
+
+def _davg(col, nd: int = 4, scale: int = 4):
+    """Order-independent average (mirrors ``oracle.davg``): exact unit
+    sum / non-null count, half-up rounded in integer arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    f = 10 ** (scale - nd)
+    u = F.sum(_units(c, scale))
+    n = F.count(c)
+    return (
+        F.floor((u * 2 + n * F.lit(f)) / (n * F.lit(2.0 * f))).cast("long")
+        / F.lit(float(10 ** nd))
+    ).cast("double")
+
+
+def _wdsum(col, window, nd: int = 2, scale: int = 4, minus=None):
+    """Windowed ``_dsum``: exact unit sum over a window frame, half-up
+    rounded in integer arithmetic. ``minus`` subtracts another column's
+    units (e.g. the current row) before rounding."""
+    f = 10 ** (scale - nd)
+    u = F.sum(_units(col, scale)).over(window)
+    if minus is not None:
+        u = u - _units(minus, scale)
+    return (
+        F.floor((u * 2 + F.lit(f)) / F.lit(2.0 * f)).cast("long")
+        / F.lit(float(10 ** nd))
+    ).cast("double")
+
+
+def _wdavg(col, window, nd: int = 4, scale: int = 4):
+    """Windowed ``_davg`` over a frame (count of frame rows as divisor)."""
+    f = 10 ** (scale - nd)
+    u = F.sum(_units(col, scale)).over(window)
+    n = F.count(F.lit(1)).over(window)
+    return (
+        F.floor((u * 2 + n * F.lit(f)) / (n * F.lit(2.0 * f))).cast("long")
+        / F.lit(float(10 ** nd))
+    ).cast("double")
 
 
 # =====================================================================
@@ -268,15 +357,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -292,7 +381,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -321,7 +410,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -332,7 +421,7 @@ def q_top3_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
     spend = (
-        orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        orders.groupBy("o_custkey").agg(_dsum("o_totalprice").alias("total_spend"))
     )
     joined = (
         cust.join(spend, cust.c_custkey == spend.o_custkey)
@@ -356,9 +445,11 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_spend"),
+        _wdsum(
+            "o_totalprice", w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_spend"),
         F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(F.avg("o_totalprice").over(wframe), 4).alias("moving_avg3"),
+        _wdavg("o_totalprice", wframe).alias("moving_avg3"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
@@ -371,7 +462,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _dsum("o_totalprice").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -387,7 +478,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .agg(F.count(F.lit(1)).alias("n_items"), _davg("l_quantity").alias("avg_qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -448,7 +539,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            _dsum("o_totalprice").alias("total_price"),
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
         )
     )
@@ -503,9 +594,10 @@ def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # k is integral: exact long sum / count is order-independent
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum("value").alias("total_value"),
         )
     )
 
@@ -528,7 +620,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            _dsum("value").alias("session_value"),
         )
     )
 
@@ -559,11 +651,11 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined.createOrReplaceTempView("_gs_joined")
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(r_name, 'ALL') AS region_name,
                coalesce(n_name, 'ALL') AS nation_name,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               {oracle.dsum('o_totalprice')} AS total_price
         FROM _gs_joined
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
@@ -583,7 +675,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue_delta"),
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -596,7 +688,7 @@ def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            _dsum("o_totalprice").alias("total_spend"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -628,7 +720,7 @@ def q_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_name")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            _davg("p_retailprice").alias("avg_price"),
         )
     )
 
@@ -665,7 +757,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     agged = ev.groupBy("event_type").agg(
         F.create_map(
             F.lit("n"), F.count(F.lit(1)).cast("double"),
-            F.lit("total"), F.round(F.sum("value"), 2),
+            F.lit("total"), _dsum("value"),
         ).alias("m")
     )
     return agged.select(
@@ -698,7 +790,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum("value").alias("total_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -787,7 +879,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            _dsum("value").alias("total_value"),
         )
         .select(
             F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -829,7 +921,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         (F.count(F.lit(1)).over(w) - 1).cast("long").alias("prior_30d_orders"),
-        F.round(F.sum("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias("prior_30d_spend"),
+        _wdsum("o_totalprice", w, minus="o_totalprice").alias("prior_30d_spend"),
         F.round(F.first("o_totalprice").over(w2), 2).alias("first_price"),
         F.round(F.nth_value("o_totalprice", 2).over(w2), 2).alias("second_price"),
     )
@@ -1074,7 +1166,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            _dsum("value").alias("session_value"),
         )
         .select(
             "user_id",
@@ -1154,7 +1246,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(orders, cust, on="custkey", num_salts=8)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        _dsum("o_totalprice").alias("revenue"),
     )
 
 
@@ -1181,16 +1273,9 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery through the SQL-parser path (the one
     registry query issued as SQL text, exercising spark.sql end-to-end)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
-        SELECT o_orderpriority,
-               count(*) AS n,
-               round(avg(o_totalprice / (SELECT avg(o_totalprice) FROM orders_v)), 6)
-                 AS avg_price_ratio
-        FROM orders_v
-        GROUP BY o_orderpriority
-        """
-    )
+    # identical SQL text to oracle.scalar_subquery_sql (modulo view name):
+    # the units formula is valid in both Spark SQL and DuckDB
+    return spark.sql(oracle.scalar_subquery_sql(table="orders_v"))
 
 
 @register("posexplode_part_words", oracle.posexplode_sql())
@@ -1242,7 +1327,7 @@ def q_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -1261,7 +1346,13 @@ def q_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
-        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"))
+        .agg(
+            F.round(
+                100.0 * F.sum(_units(promo)).cast("double")
+                / F.sum(_units(rev)).cast("double"),
+                6,
+            ).alias("promo_pct")
+        )
     )
 
 
@@ -1291,9 +1382,7 @@ def q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences between engines cannot flip the winner."""
     li = _t(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
-        )
+        _davg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
     best = cost.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
@@ -1342,11 +1431,7 @@ def q_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -1381,9 +1466,38 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.sum(
+                    _units(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0)))
+                ).cast("double")
+                / F.sum(_units(rev)).cast("double"),
                 6,
             ).alias("mkt_share")
         )
     )
+
+
+@register("pii_stats", oracle.pii_stats_sql())
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection battery (operators/pii.py) over the deterministic
+    synthetic corpus derived from customer — one scan, pure regex columns,
+    single partial-aggregable summary row."""
+    from llm_training_data_pipeline_spark.operators.pii import (
+        pii_stats,
+        synthetic_pii_corpus,
+    )
+
+    return pii_stats(synthetic_pii_corpus(_t(spark, sf_dir, "customer")))
+
+
+@register("redact_pii_corpus", oracle.redact_pii_sql())
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction round-trip: the chained global regexp_replace chain,
+    value-checked against the oracle's identical chain on the identical
+    synthetic corpus (full redacted text compared row by row)."""
+    from llm_training_data_pipeline_spark.operators.pii import (
+        redact_pii,
+        synthetic_pii_corpus,
+    )
+
+    corpus = synthetic_pii_corpus(_t(spark, sf_dir, "customer"))
+    return redact_pii(corpus, "text", out_col="redacted").select("doc_id", "redacted")

@@ -25,16 +25,20 @@ TABLES = (
 ).split()
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
+def _canon(df: pd.DataFrame, float_dp: int | None = None) -> pd.DataFrame:
     """Driver-style canonicalization: sort columns by name, sort rows by all
-    columns (this is the step that raises on unhashable list cells)."""
+    columns (this is the step that raises on unhashable list cells).
+
+    float_dp=None keeps floats bit-exact — the driver hashes raw values, so
+    any float drift between Spark and the oracle is a real driver failure.
+    """
     cols = sorted(df.columns)
     out = df[cols].copy()
     for c in cols:
         if out[c].dtype == object:
             out[c] = out[c].astype(str)
-        elif out[c].dtype.kind == "f":
-            out[c] = out[c].round(6)
+        elif out[c].dtype.kind == "f" and float_dp is not None:
+            out[c] = out[c].round(float_dp)
     out = out.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     return out
 
@@ -65,20 +69,31 @@ def main() -> int:
             # the driver sorts by raw (un-stringified) values first; replicate
             # that exact failure mode before our tolerant compare
             sp[sorted(sp.columns)].sort_values(by=sorted(sp.columns))
-            a, b = _canon(sp), _canon(du)
             schema_ok = sorted(sp.columns) == sorted(du.columns)
             rows_ok = len(sp) == len(du)
             val_ok = False
             if schema_ok and rows_ok:
+                # strict first: the driver hashes exact values, so only a
+                # bit-exact match predicts a green driver row
                 try:
                     pd.testing.assert_frame_equal(
-                        a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
+                        _canon(sp), _canon(du), check_dtype=False, check_exact=True
                     )
                     val_ok = True
-                except AssertionError as e:
-                    results[name] = {"status": "VALUE_MISMATCH",
-                                     "detail": str(e).splitlines()[-1][:200],
-                                     "sec": round(time.time() - t0, 1)}
+                except AssertionError as strict_err:
+                    try:
+                        pd.testing.assert_frame_equal(
+                            _canon(sp, 6), _canon(du, 6), check_dtype=False,
+                            check_exact=False, rtol=1e-6, atol=1e-6,
+                        )
+                        # would pass a tolerant check but NOT the driver hash
+                        results[name] = {"status": "FLOAT_DRIFT",
+                                         "detail": str(strict_err).splitlines()[-1][:200],
+                                         "sec": round(time.time() - t0, 1)}
+                    except AssertionError as e:
+                        results[name] = {"status": "VALUE_MISMATCH",
+                                         "detail": str(e).splitlines()[-1][:200],
+                                         "sec": round(time.time() - t0, 1)}
                     continue
             results[name] = {
                 "status": "pass" if (schema_ok and rows_ok and val_ok) else "MISMATCH",
