@@ -1,7 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
 
-Usage: python bench.py  [--sf-dir DIR] [--queries name1,name2]
+Usage: python bench.py  [--sf-dir DIR] [--queries name1,name2] [--repeat N]
+
+--repeat N runs each query N times and reports the per-query MEDIAN —
+machine contention polluted whole-round comparisons twice (r3 recorded a
+broad ~1.9x "regression" that was a busy box); median-of-3 makes a
+recorded number attributable to the plan, not the neighbor.
 
 Each query is forced with a full materialization (count of the result —
 not collect, so driver memory stays flat at any scale factor). Wall time
@@ -56,6 +61,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--queries", default=",".join(HEADLINE))
+    ap.add_argument(
+        "--repeat",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
+        help="runs per query; the reported number is the median",
+    )
     args = ap.parse_args()
 
     from llm_training_data_pipeline_spark.plans.queries import registry
@@ -80,14 +91,21 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}; known: {sorted(reg)}")
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    import statistics
+
     timings: dict[str, float] = {}
     for name in names:
         fn, _sql = reg[name]
-        t0 = time.perf_counter()
-        df = fn(spark, args.sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        n = 0
+        for _ in range(max(1, args.repeat)):
+            t0 = time.perf_counter()
+            df = fn(spark, args.sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        detail = "" if len(runs) == 1 else f" runs={[round(r, 3) for r in runs]}"
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows){detail}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -147,14 +147,25 @@ def _minhash_sig_table(
     shingles = F.when(ln < n, F.array(F.col("_norm"))).otherwise(grams)
     from llm_training_data_pipeline_spark.functions.hashing import md5_fold31
 
-    h_expr = (
-        md5_fold31(F.col("_sh"))
-        if cfg.hash_family == "md5"
-        else F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD))
-    )
-    exploded = normed.select(
-        F.col(id_col), F.explode(shingles).alias("_sh")
-    ).select(F.col(id_col), h_expr.alias("_h"))
+    sh = normed.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+    if cfg.hash_family == "md5":
+        # md5+conv per shingle is ~20x the cost of xxhash64, and shingle
+        # occurrences repeat massively across a corpus (char n-gram
+        # vocabulary saturates). Hash each DISTINCT shingle once and join
+        # back — min() per permutation is unchanged, so signatures are
+        # bit-identical; the hash count drops from sum(|doc|) to |vocab|.
+        # The vocab side is broadcast (char-5-gram vocabularies stay small
+        # relative to corpus growth); the oracle-replay md5 family is the
+        # correctness path — production scale uses the xxhash64 family,
+        # which hashes inline.
+        vocab = sh.select("_sh").distinct().select(
+            "_sh", md5_fold31(F.col("_sh")).alias("_h")
+        )
+        exploded = sh.join(F.broadcast(vocab), on="_sh").select(F.col(id_col), "_h")
+    else:
+        exploded = sh.select(
+            F.col(id_col), F.pmod(F.xxhash64("_sh"), F.lit(_HASH_FOLD)).alias("_h")
+        )
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(F.pmod(F.lit(a[i]) * F.col("_h") + F.lit(b[i]), F.lit(MERSENNE_31))).alias(f"_s{i}")
@@ -266,6 +277,53 @@ def minhash_candidate_pairs_from_signatures(
         )
     )
     return pairs.filter(F.col("est_jaccard") >= cfg.threshold)
+
+
+def minhash_bucket_stars(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """Clustering-specific candidate edges: ONE STAR PER LSH BUCKET
+    (bucket-min → member) instead of the all-pairs bucket clique.
+
+    For connected-component extraction the star is connectivity-
+    equivalent to the clique (every bucket member reaches every other
+    through the bucket root), but emits O(k) edges per k-member bucket
+    instead of O(k²) — the difference between a 10k-member hot bucket
+    contributing 10k edges vs 50M. Banding itself is the similarity
+    test here (no per-pair est-Jaccard verify — pair-level verification
+    would have to run on the clique and is what ``minhash_candidate_pairs``
+    is for); the propagation fixpoint (min reachable id) is unchanged.
+
+    Plan: signatures → (id, bucket) explode → per-bucket min via one
+    partial-aggregable groupBy → self-join back on bucket. No signature
+    join-back, no quadratic pair set. Reference anchor:
+    deduplicator.py:205-214 (cluster counting this extends).
+    """
+    sig = minhash_signatures(df, text_col, id_col, cfg)
+    banded = (
+        sig.withColumn(
+            "band",
+            F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)),
+        )
+        .select(
+            F.col(id_col),
+            F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
+        )
+        # the roots aggregate and the member join both read this — without
+        # materialization each branch recomputes the whole shingle+md5
+        # signature pipeline (same measured ~2x as minhash_candidate_pairs)
+        .localCheckpoint(eager=True)
+    )
+    roots = banded.groupBy("bucket").agg(F.min(id_col).alias("_root"))
+    return (
+        banded.join(roots, on="bucket")
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_dedup(
@@ -649,28 +707,32 @@ def dedup_clusters(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
     prev_sum = row["s"]
+    # Two propagation steps per materialization: the checkpoint + collect
+    # convergence check carry fixed per-round job overhead, so batching
+    # steps trades a little duplicated lineage for half the rounds
+    # (measured on the sf0.1 star graph: 11 rounds/5.1s at 1 step,
+    # 6 rounds/4.2s at 2, 3 steps regresses — lineage growth wins out).
+    steps_per_round = 2
     for _ in range(max_iter):
-        prop = edges.join(
-            labels.withColumnRenamed("node", "dst"), on="dst"
-        ).select(F.col("src").alias("node"), "label")
-        merged = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        )
-        # pointer jump: label ← label(label). Every label value is a node
-        # id (labels start as node→node and min-merge only moves existing
-        # ids around), so the left join misses only at the fixpoint root.
-        # Measured on the sf0.1 MinHash pair graph: no-jump converges in
-        # graph-diameter rounds (19), one jump in 10; a second jump per
-        # round buys no further rounds (min-labels still have to FLOW
-        # through edges via the neighbor join; jumping only compresses
-        # already-discovered label chains) while costing one more shuffle,
-        # so exactly one jump per round is the measured optimum.
-        jump = merged.select(
-            F.col("node").alias("label"), F.col("label").alias("_jlabel")
-        )
-        merged = merged.join(jump, on="label", how="left").select(
-            "node", F.coalesce("_jlabel", "label").alias("label")
-        )
+        merged = labels
+        for _ in range(steps_per_round):
+            prop = edges.join(
+                merged.withColumnRenamed("node", "dst"), on="dst"
+            ).select(F.col("src").alias("node"), "label")
+            merged = (
+                merged.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+            )
+            # pointer jump: label ← label(label). Every label value is a
+            # node id (labels start as node→node and min-merge only moves
+            # existing ids around), so the left join misses only at the
+            # fixpoint root. Measured: no-jump converges in graph-diameter
+            # rounds, one jump per step halves remaining chain depth.
+            jump = merged.select(
+                F.col("node").alias("label"), F.col("label").alias("_jlabel")
+            )
+            merged = merged.join(jump, on="label", how="left").select(
+                "node", F.coalesce("_jlabel", "label").alias("label")
+            )
         new_labels = merged.localCheckpoint(eager=True)
         new_sum = new_labels.agg(_label_sum).collect()[0][0]
         labels = new_labels

@@ -481,16 +481,12 @@ class ByteLevelBpeTokenizer:
     def encode(self, text: str, _cache: dict | None = None) -> list[int]:
         """Pre-tokenize (GPT-2 split), BPE-merge each pre-token's bytes.
 
-        Encode (here and in the Spark UDF path, which feeds text through
-        this same method) splits with the Python-re approximation of the
-        GPT-2 pattern (``[^\\W\\d_]``/``\\d``); TRAINING statistics come
-        from the Spark/Java-regex pretoken counts (``\\p{L}``/``\\p{N}``).
-        The two character classes agree on ASCII and common scripts but
-        diverge on Unicode Nl/No numerals (e.g. Ⅷ, ①): such a pretoken
-        may split differently at encode time than it was counted at
-        train time. Consequence is a suboptimal merge applied to a rare
-        pretoken — never an invalid id (the byte alphabet is complete),
-        and decode round-trips regardless.
+        Encode and TRAINING both split with ``_PY_PRETOKEN_RE``
+        (``pretoken_counts`` runs the same compiled regex inside
+        mapInPandas), so train-time statistics and encode-time pretokens
+        agree exactly — including on Unicode Nl/No numerals where the
+        Java and Python character classes diverge
+        (tests/test_tokenize.py pins this agreement).
         """
         ranks = self._ranks()
         cache = _cache if _cache is not None else {}
@@ -560,17 +556,33 @@ def train_byte_bpe_from_pretoken_counts(
 
 
 def pretoken_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Distributed GPT-2 pre-token frequency table: one extract-all +
-    explode + hash aggregate, same scale shape as ``word_counts``."""
-    return (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(F.col(text_col), F.lit(GPT2_PRETOKEN_REGEX), 0)
-            ).alias("pretoken")
-        )
-        .groupBy("pretoken")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    """Distributed GPT-2 pre-token frequency table using the SAME Python
+    regex that ``ByteLevelBpeTokenizer.encode`` splits with, so training
+    statistics and encode-time pretokens agree exactly — including on
+    Unicode Nl/No numerals (Ⅷ, ①) where Java's ``\\p{N}`` and Python's
+    ``\\d`` classes diverge.
+
+    Arrow-batched ``mapInPandas`` with per-batch Counter pre-aggregation
+    (map-side combine in Python), then a hash aggregate to merge batch
+    partials — the shuffle carries (pretoken, partial_count), not raw
+    occurrences, so the Python stage cost is one pass over the corpus and
+    the shuffle stays vocabulary-sized. Training is the one deliberate
+    Python/driver round-trip of the tokenizer design (SURVEY §7)."""
+    from collections import Counter
+
+    def _count(batches):
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                if t:
+                    c.update(_PY_PRETOKEN_RE.findall(t))
+            if c:
+                yield pd.DataFrame(
+                    {"pretoken": list(c.keys()), "cnt": list(c.values())}
+                )
+
+    partials = df.select(text_col).mapInPandas(_count, "pretoken string, cnt long")
+    return partials.groupBy("pretoken").agg(F.sum("cnt").alias("cnt"))
 
 
 TRAINERS = {

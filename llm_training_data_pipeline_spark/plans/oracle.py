@@ -1077,17 +1077,12 @@ def remove_common_lines_sql(min_freq: int = 3) -> str:
     """
 
 
-def minhash_pairs_md5_sql(
-    num_perm: int = 16,
-    num_bands: int = 4,
-    threshold: float = 0.5,
-    shingle_size: int = 5,
+def _minhash_bands_prefix_sql(
+    num_perm: int, num_bands: int, shingle_size: int
 ) -> str:
-    """Bit-for-bit replay of dedup.minhash_candidate_pairs with the md5
-    hash family: same normalization, same multiset shingles, the same
-    (a*h+b) mod M31 permutation constants (shared RNG seed), banding via
-    band-array equality (Spark buckets by hashing the band — identical
-    pairs modulo 64-bit hash collisions)."""
+    """Shared CTE prefix (normalize → shingles → md5 hashes → signature →
+    bands) for the md5-family MinHash replays. Returned text is the body
+    after ``WITH `` up to and including the ``bands`` CTE."""
     from llm_training_data_pipeline_spark.functions.hashing import (
         MERSENNE_31,
         _perm_params,
@@ -1101,12 +1096,7 @@ def minhash_pairs_md5_sql(
         f"list_min(list_transform(hs, h -> (CAST({a[i]} AS BIGINT) * h + {b[i]}) % {MERSENNE_31}))"
         for i in range(num_perm)
     )
-    eq_terms = " + ".join(
-        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
-        for i in range(num_perm)
-    )
-    return f"""
-        WITH s AS (
+    return f"""s AS (
           SELECT doc_id, {norm} AS ns FROM documents
         ), sh AS (
           SELECT doc_id,
@@ -1125,7 +1115,26 @@ def minhash_pairs_md5_sql(
         ), bands AS (
           SELECT doc_id, j.band_id, sig[j.band_id * {rows} + 1 : (j.band_id + 1) * {rows}] AS band_sig
           FROM sig, (SELECT unnest(range(0, {num_bands})) AS band_id) j
-        ), cand AS (
+        )"""
+
+
+def minhash_pairs_md5_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """Bit-for-bit replay of dedup.minhash_candidate_pairs with the md5
+    hash family: same normalization, same multiset shingles, the same
+    (a*h+b) mod M31 permutation constants (shared RNG seed), banding via
+    band-array equality (Spark buckets by hashing the band — identical
+    pairs modulo 64-bit hash collisions)."""
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)}, cand AS (
           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
           FROM bands x JOIN bands y
             ON x.band_id = y.band_id AND x.band_sig = y.band_sig
@@ -1137,6 +1146,27 @@ def minhash_pairs_md5_sql(
         JOIN sig sa ON sa.doc_id = c.id_a
         JOIN sig sb ON sb.doc_id = c.id_b
         WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+    """
+
+
+def minhash_stars_md5_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_size: int = 5,
+) -> str:
+    """Replay of dedup.minhash_bucket_stars: one star per LSH bucket
+    (bucket-min → member), connectivity-equivalent to the bucket clique
+    with O(k) edges per bucket. No est-Jaccard verification by design —
+    banding is the similarity test for cluster extraction."""
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)}, roots AS (
+          SELECT band_id, band_sig, min(doc_id) AS root
+          FROM bands GROUP BY band_id, band_sig
+        )
+        SELECT DISTINCT r.root AS id_a, b.doc_id AS id_b
+        FROM bands b
+        JOIN roots r ON b.band_id = r.band_id AND b.band_sig = r.band_sig
+        WHERE b.doc_id <> r.root
     """
 
 

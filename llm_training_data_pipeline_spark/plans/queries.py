@@ -1097,24 +1097,25 @@ def q_byte_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     oracle.dedup_clusters_sql(
-        pairs_sql=oracle.minhash_pairs_md5_sql(num_perm=16, num_bands=4, threshold=0.5)
+        pairs_sql=oracle.minhash_stars_md5_sql(num_perm=16, num_bands=4)
     ),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster extraction: transitive closure (min-label
-    propagation) over the MinHash LSH candidate-pair graph; the oracle
-    replays it with a recursive CTE over the same md5-family pairs.
+    propagation) over per-LSH-bucket STAR edges (bucket-min → member);
+    the oracle replays it with a recursive CTE over the same md5-family
+    star graph.
 
-    Edge source is the banded MinHash self-join — pair count is bounded
-    by bucket collisions, unlike a low-threshold n-gram Jaccard blocked
-    join whose candidate graph grows near-quadratically on natural-
-    language corpora (the round-2 shape: 13.1s at sf0.1, dominated by
-    pair-gen)."""
+    Stars are connectivity-equivalent to the all-pairs bucket clique but
+    emit O(k) edges per bucket instead of O(k²) — the scale difference
+    between a hot bucket contributing thousands vs millions of edges —
+    and the shallow star topology converges the label propagation in a
+    couple of rounds instead of graph-diameter rounds."""
     cfg = dedup.MinHashConfig(
         num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
     )
-    pairs = dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), cfg=cfg)
-    return dedup.dedup_clusters(pairs)
+    stars = dedup.minhash_bucket_stars(_t(spark, sf_dir, "documents"), cfg=cfg)
+    return dedup.dedup_clusters(stars)
 
 
 @register("remove_common_lines", oracle.remove_common_lines_sql(min_freq=3))

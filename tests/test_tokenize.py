@@ -191,8 +191,8 @@ def test_byte_bpe_spark_encode_path(spark):
 
 
 def test_pretoken_counts_matches_python_split(spark):
-    """Spark's Java-regex pre-token table agrees with the Python re
-    approximation on ASCII text (the common-subset guarantee)."""
+    """pretoken_counts (training) uses the same compiled regex as encode,
+    so the frequency table equals a driver-side findall Counter."""
     from collections import Counter
 
     from llm_training_data_pipeline_spark.operators.tokenize import (
@@ -205,3 +205,27 @@ def test_pretoken_counts_matches_python_split(spark):
     got = {r["pretoken"]: r["cnt"] for r in pretoken_counts(df).collect()}
     want = Counter(m for t in texts for m in _PY_PRETOKEN_RE.findall(t))
     assert got == dict(want)
+
+
+def test_pretoken_counts_numeral_heavy_agrees_with_encode_split(spark):
+    """Train/encode pretokenization agreement on the divergent class:
+    Unicode Nl (Ⅷ) and No (①) numerals, where Java \\p{N} and Python \\d
+    split differently. Training now runs the encode-side Python regex in
+    mapInPandas, so the two sides must agree exactly even here."""
+    from collections import Counter
+
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        _PY_PRETOKEN_RE,
+        pretoken_counts,
+        train_byte_bpe_from_pretoken_counts,
+    )
+
+    texts = ["chapter Ⅷ begins", "item ① and ② of 10", "mix Ⅷ①7 end"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = [(r["pretoken"], r["cnt"]) for r in pretoken_counts(df).collect()]
+    want = Counter(m for t in texts for m in _PY_PRETOKEN_RE.findall(t))
+    assert dict(rows) == dict(want)
+    # and the trained tokenizer round-trips the numeral-heavy text exactly
+    tok = train_byte_bpe_from_pretoken_counts(rows, vocab_size=300, min_frequency=1)
+    for t in texts:
+        assert tok.decode(tok.encode(t)) == t
