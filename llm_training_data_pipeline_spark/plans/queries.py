@@ -844,7 +844,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub feature extraction over Arrow batches (rows-only check)."""
+    """Byte-histogram feature extraction over Arrow batches (rows-only
+    check; per-payload semantics pinned in tests/test_multimodal.py)."""
     from llm_training_data_pipeline_spark.operators.multimodal import (
         extract_features,
         synthetic_assets,

@@ -67,3 +67,42 @@ def test_wav_meta_rejects_non_wav(spark):
     out = decode_audio_meta(synthetic_assets(spark, 4)).collect()
     assert all(r["sample_rate"] is None for r in out)
     assert all(r["n_bytes"] > 0 for r in out)
+
+
+def test_extract_features_is_byte_histogram(spark):
+    """Features are the normalized 16-bin high-nibble byte histogram —
+    verified against a driver-side recomputation on a known payload."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    payload = bytes(range(256)) * 3 + b"\x00" * 16
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "asset_id long, modality string, payload binary",
+    )
+    got = extract_features(df).collect()[0]["features"]
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    want = (
+        (np.bincount(arr >> 4, minlength=FEATURE_DIM) / np.float64(arr.size))
+        .astype(np.float32)
+        .tolist()
+    )
+    assert got == want
+    assert abs(sum(got) - 1.0) < 1e-6
+
+
+def test_extract_features_empty_payload(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b""))],
+        "asset_id long, modality string, payload binary",
+    )
+    assert extract_features(df).collect()[0]["features"] == [0.0] * FEATURE_DIM
