@@ -8,9 +8,10 @@ itself is STUBBED (the image/audio libraries are not in this container):
 
 - ``decode_image_meta``   parses width/height from PNG/GIF/JPEG headers —
   real parsing, stdlib-only (struct), no pixel decode.
-- ``extract_features``    deterministic fake embedding (payload digest →
-  seeded vector); the UDF signature, batch iteration, and output schema are
-  exactly what a real CLIP/Wav2Vec extractor would use. Marked clearly.
+- ``extract_features``    normalized 16-bin byte histogram per payload — a
+  real content-derived feature (dependency-free); the UDF signature, batch
+  iteration, and output schema are exactly what a model-based CLIP/Wav2Vec
+  extractor would use (only the inner loop would change).
 - ``resize_image`` / ``sample_frames``  raise ``NotImplementedError`` behind
   a capability check, keeping the API surface honest.
 

@@ -1654,3 +1654,63 @@ def redact_pii_sql() -> str:
         SELECT doc_id, {expr} AS redacted
         FROM corpus
     """
+
+
+def q9_product_profit_sql(name_like: str = "red") -> str:
+    """TPC-H Q9 shape adapted to the slim schema (no partsupp): profit =
+    revenue - estimated supply cost (60% of retail price x quantity) per
+    (supplier nation, order year) over parts whose name contains a word."""
+    profit = (
+        "l.l_extendedprice * (1 - l.l_discount)"
+        " - 0.6 * p.p_retailprice * l.l_quantity"
+    )
+    return f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               {dsum(profit)} AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%{name_like}%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """
+
+
+def q12_shipmode_priority_sql(days: int = 60) -> str:
+    """TPC-H Q12 shape adapted to the slim schema (no l_shipmode /
+    l_receiptdate): per line status, urgent-vs-other order counts among
+    lineitems shipped more than ``days`` after the order date."""
+    return f"""
+        SELECT l.l_linestatus,
+               CAST(count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS high_line_count,
+               CAST(count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                    AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL {days} DAY
+        GROUP BY 1
+    """
+
+
+def q18_large_volume_customers_sql(qty_threshold: int = 300, k: int = 100) -> str:
+    """TPC-H Q18 shape: customers with any order whose total lineitem
+    quantity exceeds the threshold; top-k by order value."""
+    return f"""
+        WITH big AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING {dsum('l_quantity')} > {qty_threshold}
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               {dsum('l.l_quantity')} AS total_qty
+        FROM orders o
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT {k}
+    """

@@ -1503,3 +1503,80 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = synthetic_pii_corpus(_t(spark, sf_dir, "customer"))
     return redact_pii(corpus, "text", out_col="redacted").select("doc_id", "redacted")
+
+
+@register("q9_product_profit", oracle.q9_product_profit_sql())
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (slim schema: supply cost estimated as 60% of
+    retail): profit per (supplier nation, order year) for parts matching
+    a name word. Part is filtered BEFORE its broadcast join; the only
+    shuffle join is lineitem-orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(_dsum(profit).alias("profit"))
+    )
+
+
+@register("q12_shipmode_priority", oracle.q12_shipmode_priority_sql(days=60))
+def q_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (slim schema: line status stands in for ship mode,
+    ship-after-order delay for the receipt/commit dates): urgent vs other
+    order counts among late-shipped lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate.cast("date"), 60)),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register("q18_large_volume_customers", oracle.q18_large_volume_customers_sql())
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: big-quantity orders (HAVING over a lineitem
+    aggregate, left-semi into orders), customer join, top-100 by order
+    value. The quantity aggregate runs once and is reused for both the
+    filter and the output column."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(_dsum("l_quantity").alias("total_qty"))
+    big = qty.filter(F.col("total_qty") > 300)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
