@@ -134,34 +134,66 @@ TABLE_NAMES = tuple(TABLE_SCHEMAS)
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-_TS_NANOS_CACHE: dict[str, bool] = {}
+_TS_NANOS_CACHE: dict[tuple[str, float, int], tuple[bool, bool]] = {}
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """Sniff the events parquet footer: is ``ts`` TIMESTAMP(NANOS)?
+def _events_ts_is_nanos(path: str) -> tuple[bool, bool]:
+    """Sniff the events parquet footer: ``(is_nanos, sniff_ok)``.
 
     Driver testdata generations have used both nanos and micros; a footer
-    read (driver-side, cached per path, no data pages touched) picks the
-    right Spark read path. Unknown/unreadable footers default to the
-    native (micros) path, which is what Spark handles without legacy
-    flags.
+    read (driver-side, no data pages touched) picks the right Spark read
+    path. Cached per (path, mtime, size) so a regenerated file at the
+    same path is re-sniffed. An unreadable footer logs a warning and
+    returns ``sniff_ok=False`` — ``load_table`` then probes the micros
+    read and falls back to the legacy-nanos path if it fails.
     """
-    if path not in _TS_NANOS_CACHE:
-        nanos = False
+    p = path
+    try:
+        if os.path.isdir(p):
+            inner = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            if inner:
+                p = os.path.join(p, inner[0])
+        st = os.stat(p)
+        key = (p, st.st_mtime, st.st_size)
+    except OSError:
+        key = (p, 0.0, 0)
+    if key not in _TS_NANOS_CACHE:
+        nanos, ok = False, True
         try:
             import pyarrow.parquet as pq
 
-            p = path
-            if os.path.isdir(p):
-                inner = [f for f in os.listdir(p) if f.endswith(".parquet")]
-                if inner:
-                    p = os.path.join(p, inner[0])
             t = pq.read_schema(p).field("ts").type
             nanos = getattr(t, "unit", None) == "ns"
-        except Exception:
-            pass
-        _TS_NANOS_CACHE[path] = nanos
-    return _TS_NANOS_CACHE[path]
+        except Exception as e:  # noqa: BLE001
+            import logging
+
+            ok = False
+            logging.getLogger(__name__).warning(
+                "events ts-encoding sniff failed for %s (%s: %s); "
+                "assuming TIMESTAMP(MICROS) and probing — the legacy "
+                "nanos path takes over if that read fails",
+                p, type(e).__name__, e,
+            )
+        _TS_NANOS_CACHE[key] = (nanos, ok)
+    return _TS_NANOS_CACHE[key]
+
+
+def _read_events_nanos(spark: SparkSession, path: str) -> DataFrame:
+    """Read a TIMESTAMP(NANOS) events file via the legacy nanosAsLong path.
+
+    NOTE: ``spark.sql.legacy.parquet.nanosAsLong`` is session-global and
+    intentionally NOT restored — the flag must still be set when the lazy
+    DataFrame executes (possibly much later), so scoping it around this
+    call would break the read. Side effect on other reads: nanos columns
+    elsewhere surface as LONG instead of erroring; micros/millis columns
+    are unaffected.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
+    # ns → µs is exact integer division (data is µs-resolution)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_table(
@@ -172,6 +204,10 @@ def load_table(
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """Read one test table with its pinned schema (no inference).
+
+    ``events`` reads may set the session-global
+    ``spark.sql.legacy.parquet.nanosAsLong`` flag as a side effect when
+    the file is TIMESTAMP(NANOS) — see ``_read_events_nanos``.
 
     The driver-generated tables are single-row-group parquet files, which
     Spark cannot split — the scan AND everything codegen-fused onto it
@@ -184,21 +220,27 @@ def load_table(
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events" and _events_ts_is_nanos(path):
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
-        # ns → µs is exact integer division (data is µs-resolution)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif name == "events":
-        schema = StructType(
-            [
-                f if f.name != "ts" else StructField("ts", TimestampType())
-                for f in TABLE_SCHEMAS[name]
-            ]
-        )
-        df = spark.read.schema(schema).parquet(path)
+    if name == "events":
+        nanos, sniff_ok = _events_ts_is_nanos(path)
+        if nanos:
+            df = _read_events_nanos(spark, path)
+        else:
+            schema = StructType(
+                [
+                    f if f.name != "ts" else StructField("ts", TimestampType())
+                    for f in TABLE_SCHEMAS[name]
+                ]
+            )
+            df = spark.read.schema(schema).parquet(path)
+            if not sniff_ok:
+                # the footer could not be sniffed: probe the micros guess
+                # with a one-row job NOW so a TIMESTAMP(NANOS) file fails
+                # here (cheaply) instead of deep inside the caller's query,
+                # then take the legacy-nanos path
+                try:
+                    df.limit(1).collect()
+                except Exception:  # noqa: BLE001
+                    df = _read_events_nanos(spark, path)
     else:
         df = spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
     target = min_parallelism or spark.sparkContext.defaultParallelism
