@@ -1714,3 +1714,92 @@ def q18_large_volume_customers_sql(qty_threshold: int = 300, k: int = 100) -> st
         ORDER BY o.o_totalprice DESC, o.o_orderkey
         LIMIT {k}
     """
+
+
+def q13_order_count_distribution_sql() -> str:
+    """TPC-H Q13 shape: distribution of per-customer order counts (left
+    join keeps zero-order customers)."""
+    return """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """
+
+
+def q15_top_supplier_sql(d1: str = "1996-01-01", d2: str = "1996-04-01") -> str:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue aggregate is the exact-unit dsum, so the max comparison
+    cannot be split by float noise between engines."""
+    rev = dsum("l_extendedprice * (1 - l_discount)")
+    return f"""
+        WITH revenue AS (
+          SELECT l_suppkey, {rev} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{d1} 00:00:00'
+            AND l_shipdate < TIMESTAMP '{d2} 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """
+
+
+def q17_small_quantity_revenue_sql(brand: str = "Brand#23", frac: float = 0.5) -> str:
+    """TPC-H Q17 shape (no p_container): yearly revenue from orders whose
+    quantity is below ``frac`` x the part's average quantity. The per-part
+    average is the deterministic davg, so the threshold comparison is
+    engine-stable."""
+    return f"""
+        WITH pa AS (
+          SELECT l_partkey, {davg('l_quantity')} AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(CAST(sum({units('l.l_extendedprice')}) AS DOUBLE)
+                     / CAST(10000 AS DOUBLE) / CAST(7 AS DOUBLE), 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = '{brand}'
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE l.l_quantity < {frac} * pa.avg_qty
+    """
+
+
+def q19_disjunctive_revenue_sql() -> str:
+    """TPC-H Q19 shape: disjunction of brand x quantity x size bands
+    (tests predicate handling across OR branches on a broadcast join)."""
+    return f"""
+        SELECT {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
+           OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+           OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """
+
+
+def q22_global_sales_opportunity_sql(cutoff: str = "2000-01-01") -> str:
+    """TPC-H Q22 shape (no phone column: nation key stands in for the
+    country code; every synthetic customer has SOME order, so 'no orders'
+    becomes 'no orders since cutoff' — lapsed customers): above-average-
+    balance lapsed customers per nation. The average threshold is an
+    exact-unit mean (unrounded), identical on both engines."""
+    mean = (
+        f"(SELECT CAST(sum({units('c_acctbal')}) AS DOUBLE)"
+        f" / CAST(10000 AS DOUBLE) / count(*) FROM customer WHERE c_acctbal > 0)"
+    )
+    return f"""
+        SELECT c.c_nationkey AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               {dsum('c.c_acctbal')} AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > {mean}
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '{cutoff} 00:00:00')
+        GROUP BY 1
+    """

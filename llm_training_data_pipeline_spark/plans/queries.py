@@ -1580,3 +1580,116 @@ def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register("q13_order_count_distribution", oracle.q13_order_count_distribution_sql())
+def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregate over a LEFT join (zero-order
+    customers kept) — the canonical histogram-of-counts plan."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register("q15_top_supplier", oracle.q15_top_supplier_sql())
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the max
+    (exact-unit revenue so the max is engine-stable). The max is a
+    broadcast 1-row cross join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register("q17_small_quantity_revenue", oracle.q17_small_quantity_revenue_sql())
+def q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity lines of
+    one brand. The per-part average-quantity table is broadcast (part
+    cardinality ~ dimensions); threshold uses the deterministic davg."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("_pa_key")).agg(
+        _davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(pa), li.l_partkey == F.col("_pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_units("l_extendedprice")).cast("double")
+                / F.lit(10000.0) / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("q19_disjunctive_revenue", oracle.q19_disjunctive_revenue_sql())
+def q_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of brand x quantity x size bands over a
+    broadcast part join — exercises disjunctive predicate pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11) & sz.between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & q.between(20, 30) & sz.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("q22_global_sales_opportunity", oracle.q22_global_sales_opportunity_sql())
+def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance LAPSED customers (no orders
+    since the cutoff — every synthetic customer has some order), grouped
+    by nation (country-code stand-in). Anti join for NOT EXISTS; the
+    global mean is a broadcast 1-row cross join (exact-unit mean, no
+    rounding, engine-identical)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    mean = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_units("c_acctbal")).cast("double")
+            / F.lit(10000.0) / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(mean))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
