@@ -60,6 +60,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "ngram_size": 8,
         "min_shared": 1,
     },
+    "pii": {
+        # engine extension: scrub detected PII before output.
+        # action: "redact" replaces matches with type tokens (<EMAIL>, ...),
+        # "drop" removes any document containing PII entirely.
+        "enabled": False,
+        "action": "redact",
+    },
     "sampling": {
         "enabled": False,
         "strata_col": "lang",

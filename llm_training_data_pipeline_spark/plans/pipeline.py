@@ -148,6 +148,20 @@ def build_pipeline(
         obs["decontaminate"] = Observation("decontaminate")
         df = df.observe(obs["decontaminate"], F.count(F.lit(1)).alias("rows"))
 
+    psec = cfg.section("pii")
+    if psec.get("enabled", False):
+        from llm_training_data_pipeline_spark.operators import pii
+
+        if psec.get("action", "redact") == "drop":
+            flagged = pii.with_pii_counts(df, "text")
+            df = flagged.filter(~F.col("has_pii")).drop(
+                "has_pii", *[f"n_{n}" for n, _p, _t in pii.PII_PATTERNS]
+            )
+        else:
+            df = pii.redact_pii(df, "text")
+        obs["pii"] = Observation("pii")
+        df = df.observe(obs["pii"], F.count(F.lit(1)).alias("rows"))
+
     ssec = cfg.section("sampling")
     if ssec.get("enabled", False) and ssec.get("rates"):
         from llm_training_data_pipeline_spark.operators import corpus

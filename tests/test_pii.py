@@ -89,3 +89,61 @@ class TestCorpus:
             *[F.sum(f"n_{name}").alias(name) for name, _p, _t in PII_PATTERNS]
         ).collect()[0]
         assert all(total[name] == 0 for name, _p, _t in PII_PATTERNS)
+
+
+class TestPipelineStage:
+    def test_pii_stage_redacts_in_pipeline(self, spark):
+        """The config-gated pii stage scrubs emails/phones from the
+        pipeline output text."""
+        from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+        from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+        # emails are already stripped by the CLEANING stage (C4) upstream;
+        # the pii stage covers what cleaning does not: phones, SSNs, cards
+        body = ("spark engine data quality " * 20).strip()
+        docs = spark.createDataFrame(
+            [
+                (i, f"{body} call 555-123-4567 or ssn 123-45-678{i} ok")
+                for i in range(4)
+            ],
+            "doc_id long, text string",
+        )
+        cfg = PipelineConfig(
+            {
+                "pii": {"enabled": True},
+                "deduplication": {"enabled": False},
+                "quality": {"enabled": True, "min_words": 5},
+                "tokenization": {"enabled": False},
+            }
+        )
+        out, obs = build_pipeline(docs, cfg)
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert "555-123-4567" not in r["text"]
+            assert "<PHONE>" in r["text"]
+            assert "<SSN>" in r["text"]
+
+    def test_pii_stage_drop_action(self, spark):
+        from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+        from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+        body = ("clean corpus text without secrets " * 10).strip()
+        docs = spark.createDataFrame(
+            [
+                (1, body),
+                (2, body + " but my card is 1234 5678 9012 3456 please"),
+            ],
+            "doc_id long, text string",
+        )
+        cfg = PipelineConfig(
+            {
+                "pii": {"enabled": True, "action": "drop"},
+                "deduplication": {"enabled": False},
+                "quality": {"enabled": True, "min_words": 5},
+                "tokenization": {"enabled": False},
+            }
+        )
+        out, obs = build_pipeline(docs, cfg)
+        ids = [r["doc_id"] for r in out.collect()]
+        assert ids == [1]
