@@ -88,18 +88,24 @@ def unigram_surprisal(
     totals = vocab.agg(
         F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v")
     )
+    # the per-word ln values are truncated to exact 1e-8 integer units and
+    # summed exactly — a float avg() here would depend on partition/merge
+    # order (the one nondeterminism an engine-side aggregate can't hide)
     per_doc = (
         words.join(vocab, on="word")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.avg(F.log(F.col("n") + F.lit(1))).alias("_avg_ln"),
+            F.sum(
+                F.floor(F.log(F.col("n") + F.lit(1)) * F.lit(1e8)).cast("long")
+            ).alias("_sln"),
         )
     )
+    avg_ln = F.col("_sln").cast("double") / F.lit(1e8) / F.col("n_words")
     return per_doc.crossJoin(F.broadcast(totals)).select(
         id_col,
         "n_words",
-        F.round(F.log(F.col("_total") + F.col("_v")) - F.col("_avg_ln"), 6).alias(
+        F.round(F.log(F.col("_total") + F.col("_v")) - avg_ln, 6).alias(
             "avg_surprisal"
         ),
     )

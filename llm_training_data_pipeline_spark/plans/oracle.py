@@ -738,10 +738,12 @@ def pivot_status_priority_sql() -> str:
 
 
 def minmax_by_nation_sql() -> str:
+    # struct extrema = deterministic name tie-break (mirrors the Spark
+    # struct max/min; bare arg_max is order-dependent on balance ties)
     return """
         SELECT c_nationkey,
-               arg_max(c_name, c_acctbal) AS richest_customer,
-               arg_min(c_name, c_acctbal) AS poorest_customer,
+               (max({'b': c_acctbal, 'n': c_name})).n AS richest_customer,
+               (min({'b': c_acctbal, 'n': c_name})).n AS poorest_customer,
                round(max(c_acctbal), 2) AS max_bal,
                round(min(c_acctbal), 2) AS min_bal,
                round(median(c_acctbal), 4) AS median_bal
@@ -791,14 +793,36 @@ def asof_join_events_sql() -> str:
 
 
 def stats_moments_sql() -> str:
-    return """
+    """Mirror of the exact-unit moment assembly (see queries
+    q_stats_moments): Σu/Σu²/Σuv in HUGEINT, finished in double."""
+    ux = units("l_extendedprice")
+    uq = units("l_quantity")
+    return f"""
+        WITH m AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(CAST({ux} AS HUGEINT)) AS sx,
+                 sum(CAST({uq} AS HUGEINT)) AS sq,
+                 sum(CAST({ux} AS HUGEINT) * {ux}) AS sxx,
+                 sum(CAST({uq} AS HUGEINT) * {uq}) AS sqq,
+                 sum(CAST({ux} AS HUGEINT) * {uq}) AS sxq
+          FROM lineitem GROUP BY l_returnflag
+        )
         SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-               round(var_samp(l_quantity), 4) AS qty_var,
-               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-               round(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar
-        FROM lineitem
-        GROUP BY l_returnflag
+               round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE)) / CAST(10000 AS DOUBLE),
+                     4) AS price_stddev,
+               round(CAST(n * sqq - sq * sq AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) / CAST(100000000 AS DOUBLE),
+                     4) AS qty_var,
+               round(CAST(n * sxq - sx * sq AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * sqq - sq * sq AS DOUBLE)),
+                     6) AS price_qty_corr,
+               round(CAST(n * sxq - sx * sq AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE) / CAST(100000000 AS DOUBLE),
+                     4) AS price_qty_covar
+        FROM m
     """
 
 
@@ -932,7 +956,10 @@ def unigram_surprisal_sql() -> str:
         )
         SELECT w.doc_id,
                CAST(count(*) AS BIGINT) AS n_words,
-               round(ln(tot.total + tot.v) - avg(ln(vocab.n + 1)), 6) AS avg_surprisal
+               round(ln(tot.total + tot.v)
+                     - CAST(sum(CAST(floor(ln(vocab.n + 1) * CAST(100000000 AS DOUBLE))
+                                AS BIGINT)) AS DOUBLE)
+                       / CAST(100000000 AS DOUBLE) / count(*), 6) AS avg_surprisal
         FROM w JOIN vocab USING (word) CROSS JOIN tot
         GROUP BY w.doc_id, tot.total, tot.v
     """

@@ -740,10 +740,14 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minmax_by_nation", oracle.minmax_by_nation_sql())
 def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by expressed as struct extrema so equal balances break
+    ties on the name deterministically — bare max_by keeps whichever row
+    a partition saw last, which is not reproducible across engines or
+    shuffles."""
     cust = _t(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
-        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.max(F.struct("c_acctbal", "c_name"))["c_name"].alias("richest_customer"),
+        F.min(F.struct("c_acctbal", "c_name"))["c_name"].alias("poorest_customer"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.median("c_acctbal"), 4).alias("median_bal"),
@@ -821,12 +825,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stats_moments", oracle.stats_moments_sql())
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second moments from EXACT integer-unit sums: var/stddev/corr/covar
+    are assembled from Σu, Σu², Σuv accumulated in DECIMAL(38,0) (order-
+    independent), then finished in double where every operand is already
+    engine-identical. Built-in stddev/corr stream doubles in partition
+    order and are not reproducible across engines or partitionings."""
     li = _t(spark, sf_dir, "lineitem")
+    ux = _units("l_extendedprice")
+    uq = _units("l_quantity")
+    dec = "decimal(38,0)"
+    n = F.count(F.lit(1))
+    sx = F.sum(ux.cast(dec))
+    sq = F.sum(uq.cast(dec))
+    sxx = F.sum((ux.cast(dec) * ux.cast(dec)))
+    sqq = F.sum((uq.cast(dec) * uq.cast(dec)))
+    sxq = F.sum((ux.cast(dec) * uq.cast(dec)))
+    nd = n.cast(dec)
+    # exact integers (units² scale): n·Σu² − (Σu)² and n·Σuv − Σu·Σv
+    mxx = (nd * sxx - sx * sx).cast("double")
+    mqq = (nd * sqq - sq * sq).cast("double")
+    mxq = (nd * sxq - sx * sq).cast("double")
+    denom = (n * (n - 1)).cast("double")
+    scale2 = F.lit(1e8)  # units are 1e-4, second moments are 1e-8
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("price_qty_covar"),
+        F.round(F.sqrt(mxx / denom) / F.lit(1e4), 4).alias("price_stddev"),
+        F.round(mqq / denom / scale2, 4).alias("qty_var"),
+        F.round(mxq / F.sqrt(mxx * mqq), 6).alias("price_qty_corr"),
+        F.round(mxq / denom / scale2, 4).alias("price_qty_covar"),
     )
 
 

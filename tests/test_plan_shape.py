@@ -53,3 +53,35 @@ def test_semi_anti_plans_use_semi_anti_joins(spark):
     plan = _plan(spark, "semi_anti_customers")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_q9_broadcasts_dims_single_shuffle_join(spark):
+    """q9: part/supplier/nation broadcast; lineitem-orders is the only
+    shuffle join; the name filter reaches the part scan."""
+    plan = _plan(spark, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,red)" in plan or "p_name" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_pii_stats_is_single_scan(spark):
+    """The PII battery is pure regex columns over one scan — no join, no
+    shuffle besides the final single-row aggregate exchange."""
+    plan = _plan(spark, "pii_stats")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q18_uses_single_lineitem_aggregate(spark):
+    """q18 reuses one lineitem quantity aggregate for both the HAVING
+    filter and the output column (no second lineitem scan join-back)."""
+    plan = _plan(spark, "q18_large_volume_customers")
+    assert plan.count("Scan parquet") <= 3  # lineitem + orders + customer
+
+
+def test_dsum_keeps_partial_aggregation(spark):
+    """Exact-unit sums must still plan as partial (map-side) + final hash
+    aggregates — the determinism fix cannot cost the combine."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
