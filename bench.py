@@ -54,6 +54,13 @@ HEADLINE = [
     "session_window_events",
     "gopher_quality",
     "repetition_stats",
+    # round-4 additions (again appended, preserving the shared prefix)
+    "stats_moments",
+    "pii_stats",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q22_global_sales_opportunity",
 ]
 
 

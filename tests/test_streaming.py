@@ -272,3 +272,51 @@ def test_batch_operators_run_unchanged_on_streams(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed[2]["passed"] is True
+
+
+def test_clean_quality_stream_matches_batch(spark, tmp_path):
+    """The stateless clean+quality front-end produces identical rows in
+    streaming and batch mode over the same files."""
+    from llm_training_data_pipeline_spark.operators import cleaning, quality
+    from llm_training_data_pipeline_spark.streaming.pipeline_stream import (
+        clean_quality_stream,
+        stream_documents_dir,
+    )
+
+    good = ("informative sentence with many reasonable english words " * 6).strip()
+    rows = [
+        (1, good + " visit https://spam.example now"),
+        (2, "short"),
+        (3, good),
+        (4, "1 2 3 4 5 6 7 8 9 0 " * 30),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    in_dir = str(tmp_path / "landing")
+    src.repartition(2).write.parquet(in_dir)
+
+    ccfg = cleaning.CleanerConfig(min_length_chars=50)
+    qcfg = quality.QualityConfig(min_words=10)
+
+    batch = clean_quality_stream(
+        spark.read.schema(src.schema).parquet(in_dir), "text", ccfg, qcfg
+    )
+    expected = {(r["doc_id"], r["text"]) for r in batch.collect()}
+    assert expected  # the good docs survive
+
+    stream = stream_documents_dir(spark, in_dir, src.schema, max_files_per_trigger=1)
+    out = clean_quality_stream(stream, "text", ccfg, qcfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cq_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["text"])
+            for r in spark.sql("SELECT * FROM cq_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
