@@ -379,3 +379,46 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing (the alpha-smoothed sampling of
+    multilingual LM training, e.g. XLM-R's p^alpha renormalization):
+
+    - ``p``            stratum share n_s / N
+    - ``mix_weight``   p^alpha / sum_s p^alpha — the smoothed sampling
+                       distribution (alpha<1 upweights small strata)
+    - ``sample_rate``  p^(alpha-1) / max_s p^(alpha-1) — per-document
+                       acceptance rate realizing that mixture in one
+                       pass, scaled so the most-upweighted stratum keeps
+                       every document
+
+    One grouped count + two single-row broadcast cross joins — no second
+    corpus scan at any scale; feed ``sample_rate`` into
+    ``stratified_sample`` to materialize the mixture deterministically.
+    """
+    n = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = n.agg(F.sum("n_docs").alias("_N"))
+    w = n.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_docs").cast("double") / F.col("_N")
+    )
+    w = w.withColumn("_pa", F.pow("p", F.lit(alpha))).withColumn(
+        "_pr", F.pow("p", F.lit(alpha - 1.0))
+    )
+    norms = w.agg(F.sum("_pa").alias("_sum_pa"), F.max("_pr").alias("_max_pr"))
+    return (
+        w.crossJoin(F.broadcast(norms))
+        .select(
+            "stratum",
+            "n_docs",
+            F.round("p", 6).alias("p"),
+            F.round(F.col("_pa") / F.col("_sum_pa"), 6).alias("mix_weight"),
+            F.round(F.col("_pr") / F.col("_max_pr"), 6).alias("sample_rate"),
+        )
+    )

@@ -1830,3 +1830,27 @@ def q22_global_sales_opportunity_sql(cutoff: str = "2000-01-01") -> str:
                             AND o.o_orderdate >= TIMESTAMP '{cutoff} 00:00:00')
         GROUP BY 1
     """
+
+
+def temperature_mix_weights_sql(strata_col: str = "lang", alpha: float = 0.5) -> str:
+    """Mirror of corpus.temperature_mix_weights over documents."""
+    return f"""
+        WITH s AS (
+          SELECT {strata_col} AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
+        ), t AS (
+          SELECT sum(n_docs) AS N FROM s
+        ), w AS (
+          SELECT stratum, n_docs,
+                 CAST(n_docs AS DOUBLE) / N AS p,
+                 pow(CAST(n_docs AS DOUBLE) / N, {alpha}) AS pa,
+                 pow(CAST(n_docs AS DOUBLE) / N, {alpha - 1.0}) AS pr
+          FROM s CROSS JOIN t
+        ), nrm AS (
+          SELECT sum(pa) AS sum_pa, max(pr) AS max_pr FROM w
+        )
+        SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+               round(p, 6) AS p,
+               round(pa / nrm.sum_pa, 6) AS mix_weight,
+               round(pr / nrm.max_pr, 6) AS sample_rate
+        FROM w CROSS JOIN nrm
+    """

@@ -1718,3 +1718,15 @@ def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register("temperature_mix_weights", oracle.temperature_mix_weights_sql(alpha=0.5))
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-smoothed corpus mixing weights per language stratum (the
+    multilingual-LM p^alpha renormalization); one grouped count + two
+    broadcast scalar joins, no second corpus scan."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        temperature_mix_weights,
+    )
+
+    return temperature_mix_weights(_t(spark, sf_dir, "documents"), "lang", alpha=0.5)

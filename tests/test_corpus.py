@@ -155,3 +155,36 @@ def test_remove_common_lines_fully_boilerplate_doc(spark):
     out = corpus.remove_common_lines(_docs(spark, rows), min_freq=3).collect()
     for r in out:
         assert r["cleaned_text"] == "" and r["n_lines_removed"] == 1
+
+
+def test_temperature_mix_weights(spark):
+    """alpha-smoothed mixture: weights sum to 1, small strata upweighted
+    relative to their share, the rarest stratum keeps sample_rate 1."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        temperature_mix_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "mi") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rows = {r["stratum"]: r for r in temperature_mix_weights(df, "lang", 0.5).collect()}
+    assert abs(rows["en"]["mix_weight"] + rows["mi"]["mix_weight"] - 1.0) < 1e-6
+    # alpha<1: the minority stratum's mix share exceeds its raw share
+    assert rows["mi"]["mix_weight"] > rows["mi"]["p"]
+    assert rows["mi"]["sample_rate"] == 1.0
+    assert rows["en"]["sample_rate"] < 1.0
+
+
+def test_temperature_mix_alpha_one_is_identity(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        temperature_mix_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)],
+        "doc_id long, lang string",
+    )
+    for r in temperature_mix_weights(df, "lang", alpha=1.0).collect():
+        assert abs(r["mix_weight"] - r["p"]) < 1e-6
+        assert r["sample_rate"] == 1.0

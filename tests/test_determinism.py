@@ -1,0 +1,67 @@
+"""Determinism-by-construction proofs: the exact-unit aggregates must be
+bit-identical under ANY partitioning — the property the driver's value
+hash depends on and float sums do not have."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.plans.queries import _davg, _dsum, _units
+
+
+def _random_money_df(spark, n=5000, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, rng.uniform(0.01, 99999.99), rng.choice("ABC")) for i in range(n)]
+    return spark.createDataFrame(rows, "id long, amount double, grp string")
+
+
+def test_dsum_identical_across_partitionings(spark):
+    df = _random_money_df(spark)
+    results = []
+    for parts in (1, 7, 32):
+        out = (
+            df.repartition(parts)
+            .groupBy("grp")
+            .agg(_dsum("amount").alias("total"))
+            .orderBy("grp")
+            .collect()
+        )
+        results.append([(r["grp"], r["total"]) for r in out])
+    assert results[0] == results[1] == results[2]
+    # and a float sum over the same data is allowed to differ — sanity
+    # that the test would catch order dependence if present (no assert:
+    # float sums CAN agree by luck; the point is dsum may never differ)
+
+
+def test_davg_identical_across_partitionings(spark):
+    df = _random_money_df(spark, seed=11)
+    outs = []
+    for parts in (2, 13):
+        out = (
+            df.repartition(parts)
+            .groupBy("grp")
+            .agg(_davg("amount").alias("avg"))
+            .orderBy("grp")
+            .collect()
+        )
+        outs.append([(r["grp"], r["avg"]) for r in out])
+    assert outs[0] == outs[1]
+
+
+def test_units_rounding_boundary_pinned(spark):
+    """The defined semantic: values are truncated (floor) to 1e-4 units,
+    then the SUM is half-up rounded — pinned on exact boundary values."""
+    df = spark.createDataFrame(
+        [(1, 0.00004), (2, 0.00005), (3, 1.99995), (4, -0.00004)],
+        "id long, v double",
+    )
+    units = [r["u"] for r in df.select(_units("v").alias("u")).orderBy("id").collect()]
+    # floor of the IEEE product — 1.99995*1e4 is 19999.499999... so 19999
+    assert units[0] == 0
+    assert units[2] == 19999
+    assert units[3] == -1  # floor toward -inf, consistently on all engines
+    total = df.agg(_dsum("v").alias("t")).collect()[0]["t"]
+    # sum of units = 0 + 0 + 19999 + (-1) = 19998 -> round to 2dp: 2.00
+    assert total == 2.0
