@@ -96,15 +96,42 @@ _VERIFIED_R3 = frozenset(
 )
 
 
+# Queries whose implementation (Spark side, oracle side, or both)
+# materially changed in round 4 — the exact-unit money/moment rewrite,
+# the lang-id prefix bound, star-edge clustering, struct-extrema
+# tie-breaks, surprisal ln-units. A prior green row does not vouch for
+# the NEW code, so these sort ahead of everything except never-scored
+# queries (new registrations are not in any verified set and already
+# land in tier 0).
+_CHANGED_R4 = frozenset(
+    {
+        "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
+        "top3_customers_per_nation", "customer_running_totals",
+        "rollup_order_stats", "cube_lineitem_stats", "date_functions_orders",
+        "json_events", "event_sessionization", "grouping_sets_revenue",
+        "q6_revenue_delta", "having_big_orders", "theta_join_price_bands",
+        "map_functions_events", "tumbling_window_events",
+        "sliding_window_events", "range_frame_orders", "session_window_events",
+        "scalar_subquery_orders", "salted_join_revenue", "q2_min_cost_supplier",
+        "q8_market_share", "q10_returned_items", "q14_promo_revenue",
+        "q7_volume_shipping", "stats_moments", "minmax_by_nation",
+        "unigram_surprisal", "dedup_clusters", "minhash_pairs_md5",
+        "quality_with_language", "lang_id_histogram",
+    }
+)
+
+
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     def tier(item: tuple[str, tuple[QueryFn, str | None]]) -> int:
         name, (_fn, sql) = item
         if sql is None:
-            return 3
-        if name in _VERIFIED_R3:
-            return 2
-        if name in _VERIFIED_R12:
+            return 4
+        if name in _CHANGED_R4:
             return 1
+        if name in _VERIFIED_R3:
+            return 3
+        if name in _VERIFIED_R12:
+            return 2
         return 0
 
     return dict(sorted(_REGISTRY.items(), key=tier))
