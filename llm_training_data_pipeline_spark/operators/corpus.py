@@ -422,3 +422,54 @@ def temperature_mix_weights(
             F.round(F.col("_pr") / F.col("_max_pr"), 6).alias("sample_rate"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 2000,
+    overlap_chars: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the standard context-window preparation step (long documents cannot
+    feed a trainer whole; adjacent chunks share ``overlap_chars`` so no
+    boundary context is lost).
+
+    Chunk k covers [k*stride, k*stride + chunk_chars) with
+    stride = chunk_chars - overlap_chars. Emitted columns:
+    (id, chunk_id, n_chunks, chunk_text, chunk_len). Pure
+    sequence+explode+substring — codegen'd, one pass, no shuffle; output
+    order is deterministic via (id, chunk_id).
+
+    Empty/short documents yield exactly one chunk (their whole text), so
+    the operator never drops rows.
+    """
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be smaller than chunk_chars")
+    stride = chunk_chars - overlap_chars
+    ln = F.length(F.col(text_col))
+    # number of stride starts covering the text: 1 + ceil(max(len - chunk, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(ln - F.lit(chunk_chars), F.lit(0)).cast("double") / F.lit(stride))
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_chunks.alias("n_chunks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.substring(
+                    F.col(text_col), (k * stride + 1).cast("int"), chunk_chars
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_chunks",
+        "chunk_text",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+    )

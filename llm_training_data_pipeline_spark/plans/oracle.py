@@ -1854,3 +1854,25 @@ def temperature_mix_weights_sql(strata_col: str = "lang", alpha: float = 0.5) ->
                round(pr / nrm.max_pr, 6) AS sample_rate
         FROM w CROSS JOIN nrm
     """
+
+
+def chunk_documents_sql(chunk_chars: int = 2000, overlap_chars: int = 200) -> str:
+    """Mirror of corpus.chunk_documents over documents."""
+    stride = chunk_chars - overlap_chars
+    return f"""
+        WITH n AS (
+          SELECT doc_id, text,
+                 CAST(1 + ceil(greatest(length(text) - {chunk_chars}, 0)
+                               / CAST({stride} AS DOUBLE)) AS BIGINT) AS n_chunks
+          FROM documents
+        ), e AS (
+          SELECT doc_id, n_chunks, unnest(range(0, n_chunks)) AS chunk_id, text
+          FROM n
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               n_chunks,
+               substring(text, CAST(chunk_id * {stride} + 1 AS INT), {chunk_chars}) AS chunk_text,
+               CAST(length(substring(text, CAST(chunk_id * {stride} + 1 AS INT), {chunk_chars})) AS BIGINT) AS chunk_len
+        FROM e
+    """

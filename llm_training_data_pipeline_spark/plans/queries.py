@@ -1757,3 +1757,15 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return temperature_mix_weights(_t(spark, sf_dir, "documents"), "lang", alpha=0.5)
+
+
+@register("chunk_documents", oracle.chunk_documents_sql(chunk_chars=800, overlap_chars=80))
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: fixed 800-char chunks with 80-char
+    overlap per document — sequence+explode+substring, one codegen'd
+    pass, no shuffle."""
+    from llm_training_data_pipeline_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=800, overlap_chars=80
+    )

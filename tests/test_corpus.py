@@ -188,3 +188,42 @@ def test_temperature_mix_alpha_one_is_identity(spark):
     for r in temperature_mix_weights(df, "lang", alpha=1.0).collect():
         assert abs(r["mix_weight"] - r["p"]) < 1e-6
         assert r["sample_rate"] == 1.0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Chunks cover the text exactly with the declared overlap; short
+    and empty docs yield one chunk each."""
+    from llm_training_data_pipeline_spark.operators.corpus import chunk_documents
+
+    long_text = "".join(chr(ord("a") + (i % 26)) for i in range(2500))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "tiny"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_chars=1000, overlap_chars=100).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # stride 900: starts 0, 900, 1800 -> 3 chunks
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2]
+    assert all(c["n_chunks"] == 3 for c in chunks)
+    assert chunks[0]["chunk_text"] == long_text[:1000]
+    assert chunks[1]["chunk_text"] == long_text[900:1900]
+    assert chunks[2]["chunk_text"] == long_text[1800:2500]
+    # overlap: last 100 chars of chunk k == first 100 of chunk k+1
+    assert chunks[0]["chunk_text"][-100:] == chunks[1]["chunk_text"][:100]
+    # reassembly without overlaps reproduces the document
+    rebuilt = chunks[0]["chunk_text"] + "".join(c["chunk_text"][100:] for c in chunks[1:])
+    assert rebuilt == long_text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "tiny"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from llm_training_data_pipeline_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=100, overlap_chars=100)
