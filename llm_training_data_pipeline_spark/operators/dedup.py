@@ -758,3 +758,41 @@ def _main() -> None:
 
 if __name__ == "__main__":
     _main()
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """Near-dup removal that keeps the HIGHEST-``score_col`` member of
+    each duplicate cluster (ties → smallest id) instead of the smallest
+    id — the curated-corpus policy: when a document exists in several
+    versions, keep the best one, not an arbitrary one.
+
+    The reference keeps first-seen (deduplicator.py:167-169, insertion-
+    order-dependent); ``minhash_dedup`` replaces that with the
+    deterministic min-id winner; this variant upgrades the winner rule
+    to quality-aware while staying fully deterministic.
+
+    Plan: star edges per LSH bucket → connected components
+    (``dedup_clusters``) → one ranking window per cluster. Docs in no
+    cluster pass through untouched (left join, cluster label defaults
+    to the doc itself). Window partitions are cluster-sized — bounded by
+    near-dup group sizes, never corpus-sized.
+    """
+    stars = minhash_bucket_stars(df, text_col, id_col, cfg)
+    clusters = dedup_clusters(stars).withColumnRenamed("doc_id", id_col)
+    labeled = df.join(clusters, on=id_col, how="left").withColumn(
+        "_cluster", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("_cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_cluster", "cluster_id")
+    )

@@ -1876,3 +1876,25 @@ def chunk_documents_sql(chunk_chars: int = 2000, overlap_chars: int = 200) -> st
                CAST(length(substring(text, CAST(chunk_id * {stride} + 1 AS INT), {chunk_chars})) AS BIGINT) AS chunk_len
         FROM e
     """
+
+
+def dedup_keep_best_sql() -> str:
+    """Mirror of dedup.dedup_keep_best over documents with n_chars as the
+    quality score: connected components of the md5-family star graph,
+    then keep the longest member per cluster (ties → min id)."""
+    clusters = dedup_clusters_sql(
+        pairs_sql=minhash_stars_md5_sql(num_perm=16, num_bands=4)
+    )
+    return f"""
+        WITH labels AS ({clusters}), labeled AS (
+          SELECT d.doc_id, d.n_chars, coalesce(l.cluster_id, d.doc_id) AS c
+          FROM documents d LEFT JOIN labels l USING (doc_id)
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY c ORDER BY n_chars DESC, doc_id) AS rk
+          FROM labeled
+        )
+        WHERE rk = 1
+    """

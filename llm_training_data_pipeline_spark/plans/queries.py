@@ -1769,3 +1769,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_chars=800, overlap_chars=80
     )
+
+
+@register("dedup_keep_best", oracle.dedup_keep_best_sql())
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup removal: keep the longest member of each
+    LSH cluster (curated-corpus policy) instead of the smallest id —
+    star edges, label propagation, one cluster-partitioned window."""
+    cfg = dedup.MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    out = dedup.dedup_keep_best(
+        _t(spark, sf_dir, "documents"), "n_chars", cfg=cfg
+    )
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))

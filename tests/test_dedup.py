@@ -284,3 +284,49 @@ def test_minhash_md5_family_same_dedup_behavior(spark):
         df, cfg=MinHashConfig(num_perm=16, num_bands=4, hash_family="md5")
     ).collect()
     assert sx[0]["minhash_sig"] != sm[0]["minhash_sig"]
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    """Near-identical docs: the highest-score cluster member survives,
+    regardless of id order; singleton docs pass through."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        MinHashConfig,
+        dedup_keep_best,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest towards the shining river every morning "
+    ) * 3
+    rows = [
+        (1, base, 0.2),               # near-dup cluster, low score
+        (2, base + "slight tail.", 0.9),  # same cluster, best score
+        (3, base + "slight tail!", 0.5),
+        (4, "completely different content about spark physical plans and "
+            "shuffle exchanges in distributed query execution engines " * 3, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    cfg = MinHashConfig(num_perm=32, threshold=0.5, num_bands=8)
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_best(df, "score", cfg=cfg).collect()
+    )
+    assert 2 in kept          # the best-quality duplicate wins
+    assert 1 not in kept      # min-id alone would have kept 1
+    assert 4 in kept          # non-duplicate untouched
+
+
+def test_dedup_keep_best_tie_breaks_on_id(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        MinHashConfig,
+        dedup_keep_best,
+    )
+
+    text = ("identical duplicated content repeated for the minhash shingles "
+            "to match exactly across copies of this document body ") * 3
+    df = spark.createDataFrame(
+        [(10, text, 0.7), (11, text, 0.7), (12, text, 0.7)],
+        "doc_id long, text string, score double",
+    )
+    cfg = MinHashConfig(num_perm=32, threshold=0.5, num_bands=8)
+    kept = [r["doc_id"] for r in dedup_keep_best(df, "score", cfg=cfg).collect()]
+    assert kept == [10]
