@@ -64,18 +64,33 @@ def build_pipeline(
             df = dedup.exact_dedup(df)
         elif algo == "simhash":
             df = dedup.simhash_dedup(df)
-        elif algo == "minhash_lsh":
+        elif algo in ("minhash_lsh", "minhash_keep_best"):
             mh = dedup.MinHashConfig(
                 num_perm=d.get("num_permutations", 128),
                 threshold=d.get("threshold", 0.8),
                 shingle_size=d.get("shingle_size", 5),
                 num_bands=d.get("num_bands", 16),
             )
-            df = dedup.minhash_dedup(df, cfg=mh)
+            if algo == "minhash_keep_best":
+                # quality-aware winner: keep the best-scoring member of
+                # each near-dup cluster instead of the smallest id
+                from llm_training_data_pipeline_spark.operators.textstats import (
+                    quality_score,
+                )
+
+                df = (
+                    dedup.dedup_keep_best(
+                        df.withColumn("_dedup_score", quality_score(F.col("text"))),
+                        "_dedup_score",
+                        cfg=mh,
+                    ).drop("_dedup_score")
+                )
+            else:
+                df = dedup.minhash_dedup(df, cfg=mh)
         else:
             raise ValueError(
                 f"unknown deduplication.algorithm {algo!r}; "
-                "choose from minhash_lsh, exact_hash, simhash"
+                "choose from minhash_lsh, minhash_keep_best, exact_hash, simhash"
             )
         obs["dedup"] = Observation("dedup")
         df = df.observe(obs["dedup"], F.count(F.lit(1)).alias("rows"))

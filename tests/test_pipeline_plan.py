@@ -166,3 +166,40 @@ def test_perplexity_filter_actually_filters(spark):
     n_loose = run_pipeline(spark, docs, loose, None)["stages"]["perplexity"]["rows"]
     n_tight = run_pipeline(spark, docs, tight, None)["stages"]["perplexity"]["rows"]
     assert n_tight < n_loose
+
+
+def test_pipeline_minhash_keep_best_algorithm(spark):
+    """deduplication.algorithm=minhash_keep_best keeps the best-quality
+    member of a duplicate pair instead of the smallest id."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest towards the shining river every morning "
+    ) * 4
+    rows = [
+        (1, good + "1 1 1 1 1 1 1 1 1 1 1 1"),  # duplicate, digit-noisy tail
+        (2, good + "with a clean informative closing sentence here."),
+        (3, "a completely different document about query planning and "
+            "broadcast joins in distributed execution engines " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {
+                "algorithm": "minhash_keep_best",
+                "num_permutations": 32,
+                "num_bands": 8,
+                "threshold": 0.5,
+            },
+            "quality": {"enabled": False},
+            "tokenization": {"enabled": False},
+        }
+    )
+    out, _obs = build_pipeline(docs, cfg)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 3 in ids
+    assert len([i for i in ids if i in (1, 2)]) == 1  # one of the pair survives
+    assert 2 in ids  # and it is the higher-quality one
