@@ -1652,7 +1652,11 @@ def q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: quarterly revenue per supplier, keep the max
     (exact-unit revenue so the max is engine-stable). The max is a
-    broadcast 1-row cross join, not a driver collect."""
+    broadcast 1-row cross join, not a driver collect. The revenue
+    aggregate is MATERIALIZED (supplier-cardinality, tiny) — it feeds
+    both the max and the filter, and without materialization each branch
+    re-scans lineitem (ReuseExchange does not fire across the extra
+    aggregate; verified in the physical plan)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -1660,7 +1664,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
         rev.crossJoin(F.broadcast(mx))
