@@ -47,94 +47,94 @@ def register(name: str, sql: str | None):
 
 
 # The driver scores only the first ~50 registry entries per round, so
-# ``registry()`` orders oracle-paired queries by driver-scorecard
-# staleness: never-scored first (they need any row at all), then
-# least-recently-verified (r1/r2 green rows with no r3 row), then
-# freshly-verified (green in CORRECTNESS_r03), and rows-only queries
-# (sql=None, which can never upgrade past the weaker check) last.
-# Within each tier, module registration order is preserved. Update the
-# sets each round from the latest CORRECTNESS file so every oracle query
-# keeps a driver row no older than ~one round.
-_VERIFIED_R12 = frozenset(
+# ``registry()`` orders queries by driver-scorecard staleness DERIVED
+# from the CORRECTNESS_r*.json files the driver itself writes (no
+# hand-maintained verified sets — a missed edit used to silently
+# mis-rotate the window):
+#   tier 0  never scored in any round (needs any driver row at all,
+#           including rows-only entries registered after r2 that the old
+#           static tiers permanently starved);
+#   tier 1  code changed this round (manual set below) OR the newest
+#           recorded row is red — a prior green row does not vouch for
+#           new code, and a red row must be re-scored immediately;
+#   tier 2  previously green: oracle-paired first (the bit-exact check
+#           is the one that decays in value as code drifts), each group
+#           ordered oldest-green-round first.
+# Within a tier+staleness bucket, module registration order is
+# preserved (sorted() is stable).
+#
+# The ONLY manual input is _CHANGED_THIS_ROUND: queries whose Spark or
+# oracle implementation materially changed since their last green row.
+_CHANGED_THIS_ROUND = frozenset(
     {
-        "clean_documents", "cleaning_stats", "quality_cascade", "quality_histogram",
-        "exact_dedup", "exact_dedup_stats", "ngram_jaccard_pairs", "embedding_near_dup",
-        "lang_id_histogram", "doc_fingerprints", "token_counts", "quality_score",
-        "cosine_topk", "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
-        "top3_customers_per_nation", "customer_running_totals", "rollup_order_stats",
-        "cube_lineitem_stats", "set_ops_customers", "semi_anti_customers",
-        "string_functions_part", "date_functions_orders", "math_functions_lineitem",
-        "array_agg_per_order", "json_events", "event_sessionization",
-        "grouping_sets_revenue", "q6_revenue_delta", "having_big_orders",
-        "distinct_stats", "theta_join_price_bands", "pivot_status_priority",
-        "minmax_by_nation", "map_functions_events", "exists_subquery",
-        "tumbling_window_events", "asof_join_events", "stats_moments",
-        "percentiles_lineitem", "sliding_window_events",
-    }
-)
-
-# green rows in CORRECTNESS_r03.json (q7_volume_shipping excluded: red in
-# r3, fixed this round, must be re-scored)
-_VERIFIED_R3 = frozenset(
-    {
-        "quality_with_language", "range_frame_orders", "exact_dedup_against_corpus",
-        "null_handling_customers", "regex_extract_parts", "unigram_surprisal",
-        "contamination_check", "stratified_sample", "pack_stats", "corpus_mix_report",
-        "lag_lead_orders", "dedup_clusters", "remove_common_lines",
-        "minhash_pairs_md5", "simhash_pairs_md5", "session_window_events",
-        "gopher_quality", "c4_quality", "repetition_stats", "salted_join_revenue",
-        "set_ops_all_customers", "scalar_subquery_orders", "posexplode_part_words",
-        "null_safe_eq_customers", "cosine_topk_int8", "q10_returned_items",
-        "q14_promo_revenue", "q4_late_shipments", "q2_min_cost_supplier",
-        "q8_market_share", "clean_documents", "cleaning_stats", "quality_cascade",
-        "quality_histogram", "exact_dedup", "exact_dedup_stats", "ngram_jaccard_pairs",
-        "embedding_near_dup", "lang_id_histogram", "doc_fingerprints", "token_counts",
-        "quality_score", "cosine_topk", "q1_pricing_summary", "q3_top_unshipped",
-        "q5_region_revenue", "top3_customers_per_nation", "customer_running_totals",
-        "rollup_order_stats",
+        # r5: LSH-candidate default for n-gram Jaccard (block path kept
+        # for this oracle config but the shared body was rewritten)
+        "ngram_jaccard_pairs",
+        # r5: crossJoin fallback removed / bucketed default (blocked
+        # oracle config unchanged, shared body rewritten)
+        "embedding_near_dup",
+        # r5: sort key moved to the raw (unrounded) o_totalprice
+        "q18_large_volume_customers",
+        # r5: md5-family star buckets group on the exact band value
+        # instead of its 64-bit hash
+        "dedup_clusters",
     }
 )
 
 
-# Queries whose implementation (Spark side, oracle side, or both)
-# materially changed in round 4 — the exact-unit money/moment rewrite,
-# the lang-id prefix bound, star-edge clustering, struct-extrema
-# tie-breaks, surprisal ln-units. A prior green row does not vouch for
-# the NEW code, so these sort ahead of everything except never-scored
-# queries (new registrations are not in any verified set and already
-# land in tier 0).
-_CHANGED_R4 = frozenset(
-    {
-        "q1_pricing_summary", "q3_top_unshipped", "q5_region_revenue",
-        "top3_customers_per_nation", "customer_running_totals",
-        "rollup_order_stats", "cube_lineitem_stats", "date_functions_orders",
-        "json_events", "event_sessionization", "grouping_sets_revenue",
-        "q6_revenue_delta", "having_big_orders", "theta_join_price_bands",
-        "map_functions_events", "tumbling_window_events",
-        "sliding_window_events", "range_frame_orders", "session_window_events",
-        "scalar_subquery_orders", "salted_join_revenue", "q2_min_cost_supplier",
-        "q8_market_share", "q10_returned_items", "q14_promo_revenue",
-        "q7_volume_shipping", "stats_moments", "minmax_by_nation",
-        "unigram_surprisal", "dedup_clusters", "minhash_pairs_md5",
-        "quality_with_language", "lang_id_histogram",
-    }
-)
+def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
+    """Parse repo-root CORRECTNESS_r*.json into per-query newest-scored
+    and newest-green round numbers.
+
+    Green means ``hash_match`` true (oracle-paired) or a clean rows-only
+    run (``err == "no_oracle"`` with a recorded row count). Missing or
+    malformed files are skipped — worst case every query looks
+    never-scored, which only makes the rotation conservative.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    newest_scored: dict[str, int] = {}
+    newest_green: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)$", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            newest_scored[name] = max(newest_scored.get(name, 0), rnd)
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+    return newest_scored, newest_green
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
-    def tier(item: tuple[str, tuple[QueryFn, str | None]]) -> int:
-        name, (_fn, sql) = item
-        if sql is None:
-            return 4
-        if name in _CHANGED_R4:
-            return 1
-        if name in _VERIFIED_R3:
-            return 3
-        if name in _VERIFIED_R12:
-            return 2
-        return 0
+    newest_scored, newest_green = _scorecard_rounds()
 
-    return dict(sorted(_REGISTRY.items(), key=tier))
+    def key(item: tuple[str, tuple[QueryFn, str | None]]) -> tuple[int, int, int]:
+        name, (_fn, sql) = item
+        scored = newest_scored.get(name, 0)
+        green = newest_green.get(name, 0)
+        if scored == 0:
+            return (0, 0, 0)
+        if name in _CHANGED_THIS_ROUND or scored > green:
+            return (1, 0, green)
+        return (2, 1 if sql is None else 0, green)
+
+    return dict(sorted(_REGISTRY.items(), key=key))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -26,6 +26,40 @@ def test_contract_shape():
     assert set(osql) <= set(qs)
 
 
+def test_scorecard_rotation_policy():
+    """The driver scores only the first ~50 registry slots, so ordering IS
+    the rotation policy: never-scored first, changed-this-round next, then
+    previously-green oldest-first with oracle-paired ahead of rows-only.
+    Derived from the CORRECTNESS_r*.json files, not hand-edited sets."""
+    from llm_training_data_pipeline_spark.plans.queries import (
+        _CHANGED_THIS_ROUND,
+        _scorecard_rounds,
+    )
+
+    names = list(REG)
+    scored, green = _scorecard_rounds()
+    assert scored, "driver correctness files must parse to at least one row"
+
+    def tier(name: str) -> int:
+        if scored.get(name, 0) == 0:
+            return 0
+        if name in _CHANGED_THIS_ROUND or scored.get(name, 0) > green.get(name, 0):
+            return 1
+        return 2
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), "registry order must be tier-monotonic"
+    # within tier 2: every oracle-paired entry precedes every rows-only
+    # entry, and green rounds are non-decreasing within each group
+    t2 = [n for n in names if tier(n) == 2]
+    paired = [n for n in t2 if REG[n][1] is not None]
+    rows_only = [n for n in t2 if REG[n][1] is None]
+    assert t2 == paired + rows_only
+    for group in (paired, rows_only):
+        rounds = [green[n] for n in group]
+        assert rounds == sorted(rounds)
+
+
 @pytest.mark.parametrize("name", sorted(REG))
 def test_query_against_oracle(name, spark, ddb):
     fn, sql = REG[name]
