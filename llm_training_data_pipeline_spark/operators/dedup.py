@@ -11,8 +11,10 @@ Variants:
 - ``exact_dedup``            D8: md5 of normalized text, windowed first-wins
 - ``minhash_dedup``          D1-D5: shingle → native MinHash → LSH band join
 - ``simhash_dedup``          engine extension: 64-bit SimHash + hamming bands
-- ``ngram_jaccard_pairs``    blocked exact n-gram Jaccard similarity join
-- ``embedding_near_dup``     cosine-similarity near-dup over embeddings
+- ``ngram_jaccard_pairs``    exact n-gram Jaccard verify over LSH-band
+                             candidates (blocked form kept as oracle anchor)
+- ``embedding_near_dup``     cosine near-dup over hyperplane-LSH buckets
+                             (blocked form kept as oracle anchor)
 
 Scale notes (100 TB): every join here keys on a hash/bucket column — a plain
 shuffle join that AQE can skew-split. The LSH band join explodes ``b`` rows
@@ -240,22 +242,47 @@ def persist_minhash_signatures(
     return df.sparkSession.table(table)
 
 
-def minhash_candidate_pairs_from_signatures(
+def _band_bucket_expr(cfg: MinHashConfig) -> Column:
+    """Join/group key for one exploded LSH band (column ``band``).
+
+    md5 (oracle-replay) family: the EXACT band value rendered as a
+    string — the DuckDB oracle buckets by band equality, so a 64-bit
+    hash collision on the Spark side would merge unrelated buckets and
+    break the bit-exact compare (vanishingly rare, but star roots and
+    candidate sets are directly sensitive to it). The production
+    xxhash64 family keeps the 8-byte hashed bucket: far cheaper to
+    shuffle, and a collision merely adds one spurious candidate that
+    downstream verification drops.
+    """
+    if cfg.hash_family == "md5":
+        # the band struct itself: struct equality is exact, and the
+        # (int, 4×long) struct shuffles narrower than a rendered string
+        return F.col("band")
+    return F.xxhash64(F.col("band.band_id"), F.col("band.band_sig"))
+
+
+def minhash_band_buckets(
     sig: DataFrame,
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
 ) -> DataFrame:
-    """D4 band self-join + est-Jaccard verify over a precomputed
-    (id, minhash_sig) table — the signature source decides the reuse
-    strategy (localCheckpoint in-job, bucketed table across jobs)."""
-    banded = (
-        sig.withColumn("band", F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)))
-        .select(
-            F.col(id_col),
-            F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
-        )
-    )
-    cand = (
+    """(id, bucket) table — one row per (doc, LSH band)."""
+    return sig.withColumn(
+        "band",
+        F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)),
+    ).select(F.col(id_col), _band_bucket_expr(cfg).alias("bucket"))
+
+
+def minhash_band_candidates(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band — the
+    raw candidate set, before any similarity verification. Per-bucket
+    joins, never all-pairs; the shuffle ships (id, bucket) only."""
+    banded = minhash_band_buckets(sig, id_col, cfg)
+    return (
         banded.alias("a")
         .join(banded.alias("b"), on="bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -265,6 +292,17 @@ def minhash_candidate_pairs_from_signatures(
         )
         .distinct()
     )
+
+
+def minhash_candidate_pairs_from_signatures(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """D4 band self-join + est-Jaccard verify over a precomputed
+    (id, minhash_sig) table — the signature source decides the reuse
+    strategy (localCheckpoint in-job, bucketed table across jobs)."""
+    cand = minhash_band_candidates(sig, id_col, cfg)
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("_sa"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("_sb"))
     pairs = (
@@ -303,20 +341,10 @@ def minhash_bucket_stars(
     deduplicator.py:205-214 (cluster counting this extends).
     """
     sig = minhash_signatures(df, text_col, id_col, cfg)
-    banded = (
-        sig.withColumn(
-            "band",
-            F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)),
-        )
-        .select(
-            F.col(id_col),
-            F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
-        )
-        # the roots aggregate and the member join both read this — without
-        # materialization each branch recomputes the whole shingle+md5
-        # signature pipeline (same measured ~2x as minhash_candidate_pairs)
-        .localCheckpoint(eager=True)
-    )
+    # the roots aggregate and the member join both read the banded table —
+    # without materialization each branch recomputes the whole shingle+md5
+    # signature pipeline (same measured ~2x as minhash_candidate_pairs)
+    banded = minhash_band_buckets(sig, id_col, cfg).localCheckpoint(eager=True)
     roots = banded.groupBy("bucket").agg(F.min(id_col).alias("_root"))
     return (
         banded.join(roots, on="bucket")
@@ -542,23 +570,21 @@ def word_ngrams(col: Column, n: int = 2) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
+def _word_gram_table(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_col: str = "source",
-    n: int = 2,
-    threshold: float = 0.6,
+    text_col: str,
+    id_col: str,
+    n: int,
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard pairs within blocks (equi-join on
-    ``block_col`` bounds the pair explosion — the classic blocked similarity
-    join). Fully SQL-expressible → DuckDB oracle checks values exactly.
-    """
-    # stage tokens as a column: the gram builder references the token array
-    # once per gram, so the split must not be re-evaluated there
+    """(id[, _blk], _grams) — distinct word n-grams per document.
+
+    Tokens are staged as a column first: the gram builder references the
+    token array once per gram, so the split must not be re-evaluated
+    there (the usual expression-duplication pitfall)."""
     staged = df.select(
         F.col(id_col),
-        F.col(block_col).alias("_blk"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
         whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
     toks = F.col("_toks")
@@ -567,13 +593,38 @@ def ngram_jaccard_pairs(
         F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    g = staged.select(
+    return staged.select(
         F.col(id_col),
-        F.col("_blk"),
+        *([F.col("_blk")] if block_col else []),
         F.when(ln < n, F.array(F.array_join(toks, " ")))
         .otherwise(F.array_distinct(grams_expr))
         .alias("_grams"),
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 2,
+    threshold: float = 0.6,
+    cfg: MinHashConfig | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity pairs.
+
+    Default (``block_col=None``): candidates come from MinHash LSH bands
+    (``ngram_jaccard_pairs_lsh``) — the corpus-scale path, quadratic
+    only within LSH buckets. With ``block_col``: the classic blocked
+    similarity join (equi-join on the block bounds the pair explosion) —
+    fully SQL-expressible, kept as the small-input oracle-parity anchor,
+    but a popular block value makes it a quadratic shuffle at scale.
+    """
+    if block_col is None:
+        return ngram_jaccard_pairs_lsh(
+            df, text_col, id_col, n=n, threshold=threshold, cfg=cfg or MinHashConfig()
+        )
+    g = _word_gram_table(df, text_col, id_col, n, block_col)
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
     union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
@@ -590,6 +641,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.6,
+    cfg: MinHashConfig = MinHashConfig(),
+) -> DataFrame:
+    """LSH-candidate exact n-gram Jaccard — D4-style similarity
+    (reference deduplicator.py:150-180) at corpus scale.
+
+    Candidate pairs are generated from MinHash band buckets (per-bucket
+    joins, never all-pairs) and the exact word-n-gram Jaccard is
+    computed ONLY for candidates — so the quadratic term is bounded by
+    LSH bucket sizes, not by block or corpus size. Recall is the LSH
+    band recall (tune ``cfg.num_bands``/``num_perm`` for the target
+    similarity); with ``cfg.hash_family="md5"`` the candidate set and
+    the verification are both DuckDB-replayable bit-for-bit.
+    """
+    sig = minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    cand = minhash_band_candidates(sig, id_col, cfg)
+    g = _word_gram_table(df, text_col, id_col, n)
+    ga = g.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = g.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    return (
+        cand.join(ga, on="id_a")
+        .join(gb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 
@@ -597,16 +686,34 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    *,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
-    """Cosine near-dup pairs, blocked on ``block_col`` when given (else full
-    cross product — only for small inputs). Vectors are cast to DOUBLE before
-    arithmetic so results are bit-stable across engines.
+    """Cosine near-dup pairs over an embedding column.
 
-    Norms are STAGED per row before the join — ``cosine_similarity`` inline
-    would recompute both norms per pair (the usual expression-duplication
-    pitfall), tripling the pair-side flops.
+    Default (``block_col=None``): candidates share a random-hyperplane
+    LSH bucket (sign pattern of ``num_planes`` seeded plane dots, the
+    same buckets as ``similarity.ann_lsh_topk``); exact cosine is
+    verified only on candidates — each vector lands in exactly one
+    bucket, so the join is quadratic per bucket (~|corpus|/2^planes),
+    never all-pairs. Recall for a pair at angle θ is (1-θ/π)^planes —
+    tune ``num_planes`` down for higher recall, up for lower cost.
+
+    With ``block_col``: blocked equi-join (quadratic within a block —
+    the oracle-parity anchor). ``allow_cross_join=True`` restores the
+    exhaustive all-pairs form for tiny inputs; without it, an unblocked
+    call never plans a CartesianProduct.
+
+    Vectors are cast to DOUBLE before arithmetic so results are
+    bit-stable across engines, and norms are STAGED per row before the
+    join — ``cosine_similarity`` inline would recompute both norms per
+    pair (the usual expression-duplication pitfall), tripling the
+    pair-side flops.
     """
     from llm_training_data_pipeline_spark.functions.vectors import dot_product, l2_norm
 
@@ -615,9 +722,21 @@ def embedding_near_dup_pairs(
         *([F.col(block_col)] if block_col else []),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
+    if block_col is None and not allow_cross_join:
+        from llm_training_data_pipeline_spark.operators.similarity import (
+            _hyperplanes,
+            lsh_bucket,
+        )
+
+        planes = _hyperplanes(dim, num_planes, seed)
+        vecs = vecs.withColumn("_bkt", lsh_bucket(F.col("_v"), planes))
     a, b = vecs.alias("a"), vecs.alias("b")
-    on = [F.col(f"a.{block_col}") == F.col(f"b.{block_col}")] if block_col else None
-    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    if block_col:
+        joined = a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}")])
+    elif allow_cross_join:
+        joined = a.crossJoin(b)
+    else:
+        joined = a.join(b, on=[F.col("a._bkt") == F.col("b._bkt")])
     cos = F.when(
         (F.col("a._n") == 0) | (F.col("b._n") == 0), F.lit(0.0)
     ).otherwise(dot_product(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")))

@@ -278,6 +278,85 @@ def ngram_jaccard_sql(n: int = 2, threshold: float = 0.6, block_col: str = "sour
     """
 
 
+def ngram_jaccard_lsh_sql(
+    n: int = 2,
+    threshold: float = 0.6,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_size: int = 5,
+) -> str:
+    """Replay of dedup.ngram_jaccard_pairs_lsh with the md5 MinHash
+    family: candidates = pairs sharing any LSH band (exact band-value
+    equality, which the Spark md5 path also groups on), verification =
+    exact word-n-gram Jaccard on candidates only."""
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)}, cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        ), g AS (
+          SELECT doc_id, {_word_ngrams_sql('text', n)} AS grams
+          FROM documents
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        FROM cand c
+        JOIN g a ON a.doc_id = c.id_a
+        JOIN g b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}
+    """
+
+
+def embedding_ann_pairs_sql(
+    threshold: float = 0.8,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Replay of dedup.embedding_near_dup_pairs (bucketed default):
+    candidates share the random-hyperplane LSH bucket (sign pattern of
+    the seeded plane dots — the plane literals here are the exact
+    doubles the Spark plan bakes in), verification = exact cosine.
+
+    Caveat (accepted): the bucket bit compares a float dot product
+    against 0 — both engines fold the 64 products left-to-right, and a
+    sign flip would need a |dot| within float-noise of zero, which the
+    O(1)-magnitude random planes make vanishingly unlikely."""
+    from llm_training_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return f"list_sum(list_transform(list_zip(vec, {lit}), p -> p[1] * p[2]))"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), bk AS (
+          SELECT vec_id, vec, nrm, {bucket} AS bucket FROM v
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                     ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                            p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) AS cosine
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                           p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) >= {threshold}
+    """
+
+
 def embedding_near_dup_sql(threshold: float = 0.95, block_col: str = "label") -> str:
     return f"""
         WITH v AS (

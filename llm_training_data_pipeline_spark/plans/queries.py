@@ -75,9 +75,11 @@ _CHANGED_THIS_ROUND = frozenset(
         "embedding_near_dup",
         # r5: sort key moved to the raw (unrounded) o_totalprice
         "q18_large_volume_customers",
-        # r5: md5-family star buckets group on the exact band value
-        # instead of its 64-bit hash
+        # r5: md5-family band buckets group on the exact band value
+        # instead of its 64-bit hash (these all consume that bucket key)
         "dedup_clusters",
+        "minhash_pairs_md5",
+        "dedup_keep_best",
     }
 )
 
@@ -253,12 +255,55 @@ def q_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ngram_jaccard_pairs", oracle.ngram_jaccard_sql(n=2, threshold=0.3))
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=2, threshold=0.3)
+    """Blocked form — the small-input oracle-parity anchor; the default
+    (unblocked) operator routes through LSH bands, see ngram_jaccard_lsh."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source", n=2, threshold=0.3
+    )
+
+
+@register(
+    "ngram_jaccard_lsh",
+    oracle.ngram_jaccard_lsh_sql(n=2, threshold=0.3, num_perm=16, num_bands=4),
+)
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale default: MinHash-band candidates + exact n-gram
+    Jaccard verified on candidates only (no block column, no all-pairs).
+    The md5 hash family makes candidates AND verification DuckDB-
+    replayable bit-for-bit."""
+    cfg = dedup.MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=2, threshold=0.3, cfg=cfg
+    )
 
 
 @register("embedding_near_dup", oracle.embedding_near_dup_sql(threshold=0.8))
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    """Blocked form — the oracle-parity anchor; the default (unblocked)
+    operator routes through hyperplane LSH buckets, see
+    embedding_ann_pairs."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.8
+    )
+
+
+@register(
+    "embedding_ann_pairs",
+    # threshold 0.3: the synthetic embeddings top out near cosine 0.475,
+    # so 0.3 exercises real pair emission (0.8 would green-light on an
+    # empty result)
+    oracle.embedding_ann_pairs_sql(threshold=0.3, num_planes=6, dim=64, seed=42),
+)
+def q_embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale default: candidates share a random-hyperplane
+    LSH bucket (each vector in exactly one bucket → per-bucket joins,
+    no CartesianProduct), exact cosine verified on candidates. The
+    oracle bakes the identical plane literals and replays the buckets."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=6, dim=64, seed=42
+    )
 
 
 @register("lang_id_histogram", oracle.lang_id_histogram_sql())
@@ -1628,9 +1673,14 @@ def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "total_qty",
+            # sort on the RAW price — the oracle orders by o.o_totalprice
+            # before rounding, and two orders differing only beyond 2
+            # decimals must not diverge at the LIMIT boundary
+            orders.o_totalprice.alias("_raw_price"),
         )
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .orderBy(F.col("_raw_price").desc(), "o_orderkey")
         .limit(100)
+        .drop("_raw_price")
     )
 
 

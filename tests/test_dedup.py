@@ -106,8 +106,35 @@ def test_ngram_jaccard_matches_oracle(spark, ddb):
     from llm_training_data_pipeline_spark.plans.oracle import ngram_jaccard_sql
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    out = ngram_jaccard_pairs(docs, n=2, threshold=0.3)
+    out = ngram_jaccard_pairs(docs, block_col="source", n=2, threshold=0.3)
     assert_df_matches_oracle(out, ddb, ngram_jaccard_sql(n=2, threshold=0.3))
+
+
+def test_ngram_jaccard_lsh_matches_oracle_and_blocked_subset(spark, ddb):
+    """Default (unblocked) path: MinHash-band candidates + exact verify.
+    Value-checked against the DuckDB replay; every emitted pair must
+    carry the same exact Jaccard the all-pairs form would compute."""
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig
+    from llm_training_data_pipeline_spark.plans.oracle import ngram_jaccard_lsh_sql
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    out = ngram_jaccard_pairs(docs, n=2, threshold=0.3, cfg=cfg)
+    assert_df_matches_oracle(out, ddb, ngram_jaccard_lsh_sql(n=2, threshold=0.3))
+
+
+def test_ngram_jaccard_default_plan_has_no_block_self_join(spark):
+    """The default plan joins on LSH band buckets, never a block column
+    self-join or cartesian product."""
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = ngram_jaccard_pairs(docs, n=2, threshold=0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
 
 
 def test_embedding_near_dup_matches_oracle(spark, ddb):
@@ -115,8 +142,22 @@ def test_embedding_near_dup_matches_oracle(spark, ddb):
     from llm_training_data_pipeline_spark.plans.oracle import embedding_near_dup_sql
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    out = embedding_near_dup_pairs(emb, threshold=0.8)
+    out = embedding_near_dup_pairs(emb, block_col="label", threshold=0.8)
     assert_df_matches_oracle(out, ddb, embedding_near_dup_sql(threshold=0.8))
+
+
+def test_embedding_ann_pairs_matches_oracle_no_cartesian(spark, ddb):
+    """Default (unblocked) path: hyperplane-LSH bucket join + exact
+    cosine verify — value-checked against the DuckDB replay of the same
+    plane literals, and the physical plan has no CartesianProduct."""
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+    from llm_training_data_pipeline_spark.plans.oracle import embedding_ann_pairs_sql
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert_df_matches_oracle(out, ddb, embedding_ann_pairs_sql(threshold=0.3))
 
 
 def test_minhash_ml_agrees_with_native(spark):
