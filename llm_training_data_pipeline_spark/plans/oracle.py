@@ -216,6 +216,35 @@ def quality_histogram_sql(min_words: int = 50, **kw) -> str:
     """
 
 
+def pipeline_e2e_exact_sql(min_length_chars: int = 100, min_words: int = 20) -> str:
+    """Full replay of ``plans.pipeline.build_pipeline`` with every stage
+    SQL-expressible: regex cleaning (C3-C8; C1/C2 disabled by config) →
+    min-length gate → exact dedup (min-id winner per normalized-text md5)
+    → quality cascade over the CLEANED text. This is the reference's
+    flagship ``LLMDataPipeline.run`` composition (main.py:80-150) as one
+    oracle-checked query."""
+    return f"""
+        WITH cleaned AS (
+          SELECT doc_id, {clean_text_sql_expr('text')} AS ctext
+          FROM documents
+        ), gated AS (
+          SELECT doc_id, ctext FROM cleaned
+          WHERE length(ctext) >= {min_length_chars}
+        ), deduped AS (
+          SELECT doc_id, ctext FROM (
+            SELECT doc_id, ctext, row_number() OVER (
+                     PARTITION BY md5(lower(regexp_replace(ctext, '{q(STRIP_WS)}', '', 'g')))
+                     ORDER BY doc_id) AS rn
+            FROM gated
+          ) WHERE rn = 1
+        ), {_quality_scores_cte(table="deduped", text_col="ctext", id_cols="doc_id")}
+        SELECT doc_id, text AS final_text,
+               CAST(length(text) AS BIGINT) AS final_length
+        FROM ratios
+        WHERE ({quality_reason_case(min_words=min_words)}) = 'passed'
+    """
+
+
 # --- dedup oracles --------------------------------------------------------
 
 

@@ -339,6 +339,39 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- non-SQL-expressible pipeline ops (rows-only driver check) -------------
 
 
+@register(
+    "pipeline_e2e_exact",
+    oracle.pipeline_e2e_exact_sql(min_length_chars=100, min_words=20),
+)
+def q_pipeline_e2e_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ``build_pipeline`` composition (the reference's
+    ``LLMDataPipeline.run`` flagship, main.py:80-150) configured so
+    every stage is SQL-expressible — regex cleaning (unicode/encoding
+    UDF stages off), exact-hash dedup, quality cascade — and the whole
+    chain is value-checked against one DuckDB replay, not just
+    stage-by-stage."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    cfg = PipelineConfig(
+        {
+            "cleaning": {
+                "normalize_unicode": False,
+                "fix_encoding": False,
+                "min_length_chars": 100,
+            },
+            "deduplication": {"enabled": True, "algorithm": "exact_hash"},
+            "quality": {"enabled": True, "min_words": 20},
+        }
+    )
+    df, _obs = build_pipeline(_t(spark, sf_dir, "documents"), cfg)
+    return df.select(
+        "doc_id",
+        F.col("text").alias("final_text"),
+        F.length("text").cast("long").alias("final_length"),
+    )
+
+
 @register("minhash_dedup", None)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = dedup.MinHashConfig(num_perm=64, threshold=0.8, shingle_size=5, num_bands=16)
