@@ -56,17 +56,36 @@ class CleanerConfig:
 _UTF8_LEAD = "\u00C2-\u00F4"
 _UTF8_TRAIL = (
     # 0xA0-0xBF keep their codepoints; 0x80-0x9F map into the windows
-    # punctuation block (with 81/8D/8F/90/9D passing through as controls)
+    # punctuation block under cp1252 OR pass through as raw controls
+    # under latin-1 -- the full U+0080-U+009F range is included so
+    # latin-1-decoded pages (a-circumflex + raw 80 99 for a curly
+    # apostrophe) are detected, not just the five bytes cp1252 leaves
+    # undefined
     "\u00A0-\u00BF\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030"
     "\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014"
-    "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178\u0081\u008D\u008F\u0090\u009D"
+    "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178\u0080-\u009F"
 )
 _MOJIBAKE_MARKS = re.compile(f"[{_UTF8_LEAD}][{_UTF8_TRAIL}]")
+
+
+def _byte_images(rng: range, enc: str) -> str:
+    """Regex char-class body: the ``enc`` images of the bytes in ``rng``."""
+    return re.escape("".join(sorted({bytes([b]).decode(enc) for b in rng})))
+
+
+# MacRoman images of the same UTF-8 byte structure (sqrt-sign + copyright
+# for e-acute; low-quote + A-umlaut + o-circumflex for a curly apostrophe):
+# the other classic single-byte misdecode family ftfy repairs. Lead/trail
+# classes are derived from the codec so they cannot drift.
+_MACROMAN_MARKS = re.compile(
+    f"[{_byte_images(range(0xC2, 0xF5), 'mac_roman')}]"
+    f"[{_byte_images(range(0x80, 0xC0), 'mac_roman')}]"
+)
 _HTML_ENTITY = re.compile(r"&(?:#\d+|#x[0-9a-fA-F]+|[A-Za-z][A-Za-z0-9]*);")
 
 
 def _badness(s: str) -> int:
-    return len(_MOJIBAKE_MARKS.findall(s))
+    return len(_MOJIBAKE_MARKS.findall(s)) + len(_MACROMAN_MARKS.findall(s))
 
 
 def _sloppy_cp1252_encode(s: str) -> bytes:
@@ -95,8 +114,10 @@ def _fix_mojibake(s: str) -> str:
     - HTML entities (``&amp;`` / ``&#8217;`` / ``&eacute;``) via
       ``html.unescape`` — mirrors ftfy's ``unescape_html`` step;
     - UTF-8-read-as-cp1252/latin-1 (``â€™`` → ``’``, ``Ã©`` → ``é``),
-      including double/triple-encoded chains (``Ã¢â‚¬â„¢`` → ``’``) via a
-      bounded fixpoint (3 passes).
+      including latin-1 pages whose 0x80-0x9F bytes surface as raw
+      controls, and double/triple-encoded chains (``Ã¢â‚¬â„¢`` → ``’``)
+      via a bounded fixpoint (3 passes);
+    - UTF-8-read-as-MacRoman (``√©`` → ``é``, ``‚Äô`` → ``’``).
 
     Acceptance rule: a re-decode is applied only when the input contains
     suspicious lead+trail mark pairs (``_MOJIBAKE_MARKS``) AND the candidate
@@ -117,8 +138,11 @@ def _fix_mojibake(s: str) -> str:
             break
         repaired = None
         # sloppy cp1252 first (strict cp1252 plus raw control passthrough —
-        # strictly more strings repairable, identical where both succeed)
-        for enc in ("sloppy", "latin-1"):
+        # strictly more strings repairable, identical where both succeed);
+        # mac_roman last (its charset barely overlaps cp1252's suspicious
+        # range, so order rarely matters, but the windows family is the
+        # overwhelmingly common mojibake source)
+        for enc in ("sloppy", "latin-1", "mac_roman"):
             try:
                 raw = _sloppy_cp1252_encode(s) if enc == "sloppy" else s.encode(enc)
                 candidate = raw.decode("utf-8")

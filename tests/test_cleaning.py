@@ -147,13 +147,25 @@ def test_fix_mojibake_ftfy_canonical_examples():
         ("IL Y MARQUÃ‰", "IL Y MARQUÉ"),
         ("l&#39;humanitÃ©", "l'humanité"),
         ("Ã\xa0 la carte", "à la carte"),
+        # UTF-8 read as MacRoman (r5 widening)
+        ("caf√©", "café"),
+        ("‚ÄúThat‚Äôs right‚Äù", "“That’s right”"),
+        ("This ‚Äî dash", "This — dash"),
+        # UTF-8 read as latin-1: 0x80-0x9F surface as raw controls
+        ("donâ\x80\x99t stop", "don’t stop"),
+        ("â\x80\x9cquotedâ\x80\x9d", "“quoted”"),
+        # legitimate uses of MacRoman-suspicious marks stay untouched
+        # (digit/space follow the mark, which is outside the trail class)
+        ("√2 ≈ 1.414", "√2 ≈ 1.414"),
+        ("A ¬ B", "A ¬ B"),
     ]
     skipped = [
-        # shrug kaomoji: 'ã\x83\x84' has NO suspicious lead+trail pair in
-        # the cp1252 image (0x83 is a pass-through control not preceded by
-        # a lead mark we track), so the acceptance rule declines; ftfy's
-        # full heuristics (language detection + codepoint cost model)
-        # would repair it. The HTML entities around it DO unescape.
+        # shrug kaomoji: the 'ã' + raw 0x83 pair IS detected now, but
+        # every candidate re-encode fails on the surrounding macron
+        # characters (¯ is outside latin-1's repairable image and its
+        # MacRoman byte 0xF8 is no valid UTF-8 lead), so the acceptance
+        # rule declines and the kaomoji survives; ftfy's full cost model
+        # would segment the string. The HTML entities DO unescape.
         ("&macr;\\_(ã\x83\x84)_/&macr;", "¯\\_(ã\x83\x84)_/¯"),
         # ftfy also uncurls lone curly apostrophes per style config; this
         # repair never rewrites legitimate text

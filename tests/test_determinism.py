@@ -65,3 +65,41 @@ def test_units_rounding_boundary_pinned(spark):
     total = df.agg(_dsum("v").alias("t")).collect()[0]["t"]
     # sum of units = 0 + 0 + 19999 + (-1) = 19998 -> round to 2dp: 2.00
     assert total == 2.0
+
+
+def test_surprisal_ln_units_agree_across_engines(spark):
+    """floor(ln(n+1) * 1e8) — the exact-unit step in unigram_surprisal
+    (and the analogous pow in temperature_mix_weights) — relies on JVM
+    Math.log and DuckDB libm producing bit-identical doubles; a 1-ulp
+    disagreement AT an integer boundary would shift a unit and can flip
+    the 6dp rounding the driver hashes. Pin it: exhaustive over the
+    realistic vocab-count range plus a geometric sweep to 1e9."""
+    import duckdb
+
+    ns = list(range(1, 100_001))
+    x = 100_000.0
+    while x < 1e9:
+        x *= 1.01
+        ns.append(int(x))
+
+    jvm = {
+        r["n"]: r["u"]
+        for r in (
+            spark.createDataFrame([(n,) for n in ns], "n long")
+            .select(
+                "n",
+                F.floor(F.log(F.col("n") + F.lit(1)) * F.lit(1e8)).cast("long").alias("u"),
+            )
+            .collect()
+        )
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ns(n BIGINT)")
+    con.executemany("INSERT INTO ns VALUES (?)", [(n,) for n in ns])
+    ddb_units = dict(
+        con.execute(
+            "SELECT n, CAST(floor(ln(n + 1) * 1e8) AS BIGINT) FROM ns"
+        ).fetchall()
+    )
+    mismatches = [(n, jvm[n], ddb_units[n]) for n in ns if jvm[n] != ddb_units[n]]
+    assert not mismatches, f"first mismatches: {mismatches[:5]}"
