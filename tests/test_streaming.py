@@ -320,3 +320,190 @@ def test_clean_quality_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_and_batch_minhash_signatures_identical(spark):
+    """The streaming path signs docs with the HOF expression
+    (minhash_signature over char_shingles); batch uses the explode+agg
+    table. Same normalization, same fold, same permutation params -> the
+    signatures must be BIT-IDENTICAL, else stream/batch dedup decisions
+    drift apart silently."""
+    from llm_training_data_pipeline_spark.functions.hashing import minhash_signature
+    from llm_training_data_pipeline_spark.functions.text import char_shingles
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        MinHashConfig,
+        minhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    hof = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(
+                char_shingles(F.col("text"), cfg.shingle_size), cfg.num_perm
+            ).alias("sig"),
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: tuple(r["minhash_sig"])
+        for r in minhash_signatures(docs, cfg=cfg).collect()
+    }
+    assert hof == agg
+
+
+def test_streaming_minhash_matches_batch_greedy_replay(spark, tmp_path):
+    """Replay a real corpus slice through streaming_minhash_dedup in two
+    deterministic micro-batches and assert the surviving set equals a
+    batch-computed mirror of the same first-seen-per-bucket semantics
+    built from the SAME signatures. This is the stream<->batch
+    equivalence gate for near-dup dedup."""
+    import time as _time
+    from collections import defaultdict
+
+    from llm_training_data_pipeline_spark.functions.hashing import minhash_signature
+    from llm_training_data_pipeline_spark.functions.text import char_shingles
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        accepted_in_all_bands,
+    )
+
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+        .collect()
+    )
+    assert len(base) == 120
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "replay")
+    # two micro-batches in doc_id order; distinct mtimes fix replay order
+    for chunk in (base[:60], base[60:]):
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in chunk], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    accepted = streaming_minhash_dedup(stream, cfg=cfg)
+    q = (
+        accepted.writeStream.format("memory")
+        .queryName("t_equiv_minhash")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    streamed = {
+        r["doc_id"]
+        for r in accepted_in_all_bands(
+            spark.sql("SELECT bucket, doc_id FROM t_equiv_minhash"),
+            num_bands=cfg.num_bands,
+        ).collect()
+    }
+
+    # batch mirror: identical signatures, identical per-bucket first-seen
+    # acceptance in doc_id (arrival) order
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in base], schema
+        )
+        .select(
+            "doc_id",
+            minhash_signature(
+                char_shingles(F.col("text"), cfg.shingle_size), cfg.num_perm
+            ).alias("sig"),
+        )
+        .collect()
+    }
+    rows_per = cfg.rows_per_band
+    state: dict[tuple, list] = defaultdict(list)
+    expected = set()
+    for doc_id in sorted(sigs):
+        sig = sigs[doc_id]
+        n_accepted = 0
+        for band_id in range(cfg.num_bands):
+            bucket = (band_id, tuple(sig[band_id * rows_per : (band_id + 1) * rows_per]))
+            near = any(
+                sum(a == b for a, b in zip(s, sig)) / cfg.num_perm >= cfg.threshold
+                for s in state[bucket]
+            )
+            if not near:
+                state[bucket].append(sig)
+                n_accepted += 1
+        if n_accepted == cfg.num_bands:
+            expected.add(doc_id)
+
+    assert streamed == expected
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
+    """Replay the real events table through windowed_event_counts in
+    time-ordered micro-batches (plus a far-future sentinel that closes
+    every real window) and assert the streamed, finalized windows equal
+    the batch aggregation of the same rows — the stream<->batch
+    equivalence gate for the oracle-green tumbling-window query."""
+    import datetime as dt
+    import time as _time
+
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    events = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    assert events
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "ev_replay")
+    n = len(events)
+    chunks = [events[: n // 3], events[n // 3 : 2 * n // 3], events[2 * n // 3 :]]
+    sentinel_ts = max(r["ts"] for r in events) + dt.timedelta(days=1)
+    chunks.append([(-1, sentinel_ts, "zz_sentinel", 0.0)])
+    for chunk in chunks:
+        spark.createDataFrame(
+            [tuple(r) for r in chunk], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    win = windowed_event_counts(stream, window="1 hour", watermark="1 minute")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("t_equiv_win")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    streamed = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM t_equiv_win").collect()
+        if r["event_type"] != "zz_sentinel"
+    }
+
+    batch_df = spark.createDataFrame([tuple(r) for r in events], schema)
+    batch = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in windowed_event_counts(
+            batch_df, window="1 hour", watermark="1 minute"
+        ).collect()
+    }
+    assert streamed == batch
