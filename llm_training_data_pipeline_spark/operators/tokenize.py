@@ -529,6 +529,107 @@ class ByteLevelBpeTokenizer:
             special_tokens=d["special_tokens"],
         )
 
+    # S10 artifact interchange: the reference saves HF `tokenizers` JSON
+    # (tokenizer.py:157-177). This model is semantically an HF ByteLevel
+    # BPE (same GPT-2 pretoken regex, same bytes_to_unicode map, plain
+    # merges without suffix markers), so the HF wire format round-trips
+    # EXACTLY. The whitespace+``</w>`` BpeTokenizer deliberately has no
+    # HF export — its standalone end-of-word SYMBOL is not expressible
+    # in HF's end_of_word_suffix scheme without renumbering the vocab.
+    def save_hf(self, path: str) -> None:
+        """Write an HF ``tokenizers``-format tokenizer.json.
+
+        Loadable by ``tokenizers.Tokenizer.from_file`` / transformers
+        ``PreTrainedTokenizerFast(tokenizer_file=...)``. The library is
+        absent in this container, so compatibility is pinned at the
+        format level (``load_hf`` round-trip + schema shape test); the
+        mapping is one-to-one: vocab passes through unchanged, merge
+        pairs render as the classic "a b" strings.
+        """
+        obj = {
+            "version": "1.0",
+            "truncation": None,
+            "padding": None,
+            "added_tokens": [
+                {
+                    "id": self.vocab[t],
+                    "content": t,
+                    "single_word": False,
+                    "lstrip": False,
+                    "rstrip": False,
+                    "normalized": False,
+                    "special": True,
+                }
+                for t in self.special_tokens
+                if t in self.vocab
+            ],
+            "normalizer": None,
+            "pre_tokenizer": {
+                "type": "ByteLevel",
+                "add_prefix_space": False,
+                "trim_offsets": True,
+                "use_regex": True,
+            },
+            "post_processor": None,
+            "decoder": {
+                "type": "ByteLevel",
+                "add_prefix_space": False,
+                "trim_offsets": True,
+                "use_regex": True,
+            },
+            "model": {
+                "type": "BPE",
+                "dropout": None,
+                "unk_token": self.special_tokens[1] if len(self.special_tokens) > 1 else None,
+                "continuing_subword_prefix": None,
+                "end_of_word_suffix": None,
+                "fuse_unk": False,
+                "byte_fallback": False,
+                "vocab": self.vocab,
+                "merges": [f"{a} {b}" for a, b in self.merges],
+            },
+        }
+        with open(path, "w") as f:
+            json.dump(obj, f, ensure_ascii=False)
+
+    @classmethod
+    def load_hf(cls, path: str) -> "ByteLevelBpeTokenizer":
+        """Load an HF ``tokenizers`` tokenizer.json (ByteLevel BPE).
+
+        Accepts both merge spellings the library has used: "a b" strings
+        (classic) and [a, b] pairs (tokenizers >= 0.20). Special tokens
+        come from ``added_tokens``; absent one, the engine defaults
+        apply (ids then differ from the engine's own training layout,
+        which is fine — the file's vocab ids are authoritative).
+        """
+        with open(path) as f:
+            d = json.load(f)
+        model = d.get("model", {})
+        if model.get("type") != "BPE":
+            raise ValueError(f"not an HF BPE model: {model.get('type')!r}")
+        if model.get("end_of_word_suffix") or model.get("continuing_subword_prefix"):
+            raise ValueError(
+                "only plain ByteLevel BPE round-trips exactly; suffix/prefix "
+                "schemes segment differently from this model"
+            )
+        merges: list[tuple[str, str]] = []
+        for m in model.get("merges", []):
+            if isinstance(m, str):
+                a, _, b = m.partition(" ")
+            else:
+                a, b = m
+            merges.append((a, b))
+        specials = [
+            t["content"]
+            for t in sorted(d.get("added_tokens", []), key=lambda t: t["id"])
+            if t.get("special")
+        ]
+        return cls(
+            vocab=model["vocab"],
+            merges=merges,
+            special_tokens=specials or list(SPECIAL_TOKENS),
+        )
+
 
 def train_byte_bpe_from_pretoken_counts(
     wc: list[tuple[str, int]],

@@ -238,6 +238,13 @@ def run_pipeline(
             tok_path = os.path.join(output_dir, "tokenizer.json")
             tokenizer.save(tok_path)
             tok_summary["tokenizer_path"] = tok_path
+            if hasattr(tokenizer, "save_hf"):
+                # byte-level BPE round-trips the HF `tokenizers` wire
+                # format exactly — emit it too so reference users can
+                # load the artifact with their existing tooling (S10)
+                hf_path = os.path.join(output_dir, "tokenizer_hf.json")
+                tokenizer.save_hf(hf_path)
+                tok_summary["tokenizer_hf_path"] = hf_path
     else:
         df.write.format("noop").mode("overwrite").save()
         path = None

@@ -177,6 +177,66 @@ def test_byte_bpe_save_load(tmp_path, spark):
     assert tok2.encode("quick brown") == tok.encode("quick brown")
 
 
+def test_byte_bpe_hf_format_roundtrip(tmp_path, spark):
+    """S10 artifact interchange: the HF `tokenizers` JSON export must
+    carry the full model (vocab ids, merge order, specials) and load
+    back to a bit-identical encoder. Checked at the format level (the
+    tokenizers library is absent in this container); the real-library
+    cross-check below is capability-gated."""
+    import json as _json
+
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        ByteLevelBpeTokenizer,
+        train_tokenizer,
+    )
+
+    tok = train_tokenizer(_corpus_df(spark), algorithm="byte_bpe", vocab_size=300)
+    p = os.path.join(tmp_path, "tokenizer.json")
+    tok.save_hf(p)
+
+    with open(p) as f:
+        d = _json.load(f)
+    assert d["model"]["type"] == "BPE"
+    assert d["pre_tokenizer"]["type"] == "ByteLevel"
+    assert d["model"]["end_of_word_suffix"] is None
+    assert all(isinstance(m, str) and " " in m for m in d["model"]["merges"])
+    assert {t["content"] for t in d["added_tokens"]} == set(tok.special_tokens)
+
+    tok2 = ByteLevelBpeTokenizer.load_hf(p)
+    assert tok2.vocab == tok.vocab
+    assert tok2.merges == tok.merges
+    for text in ["quick brown fox", "Ⅷ ① numerals", "  spaces\tkept "]:
+        assert tok2.encode(text) == tok.encode(text)
+        assert tok2.decode(tok2.encode(text)) == text
+
+    # list-form merges (tokenizers >= 0.20) load identically
+    d["model"]["merges"] = [m.split(" ", 1) for m in d["model"]["merges"]]
+    p2 = os.path.join(tmp_path, "tokenizer_listmerges.json")
+    with open(p2, "w") as f:
+        _json.dump(d, f, ensure_ascii=False)
+    tok3 = ByteLevelBpeTokenizer.load_hf(p2)
+    assert tok3.merges == tok.merges
+
+    # suffix-scheme models must be refused, not silently mis-segmented
+    d["model"]["end_of_word_suffix"] = "</w>"
+    p3 = os.path.join(tmp_path, "tokenizer_suffix.json")
+    with open(p3, "w") as f:
+        _json.dump(d, f, ensure_ascii=False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ByteLevelBpeTokenizer.load_hf(p3)
+
+    # when the real library exists, the exported file must load and agree
+    try:
+        from tokenizers import Tokenizer  # type: ignore
+    except ImportError:
+        return
+    hf = Tokenizer.from_file(p)
+    for text in ["quick brown fox", "pack my box"]:
+        assert hf.encode(text).ids == tok.encode(text)
+
+
 def test_byte_bpe_spark_encode_path(spark):
     from llm_training_data_pipeline_spark.operators.tokenize import (
         tokenize_documents,
