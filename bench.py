@@ -2,11 +2,19 @@
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
 
 Usage: python bench.py  [--sf-dir DIR] [--queries name1,name2] [--repeat N]
+                        [--scale-dir DIR|none]
 
---repeat N runs each query N times and reports the per-query MEDIAN —
-machine contention polluted whole-round comparisons twice (r3 recorded a
-broad ~1.9x "regression" that was a busy box); median-of-3 makes a
-recorded number attributable to the plan, not the neighbor.
+--repeat N runs each query N times and reports the per-query median of
+the WARM runs (the first run is discarded when N >= 2 and recorded
+separately): machine contention polluted whole-round comparisons twice
+(r3 recorded a broad ~1.9x "regression" that was a busy box), and a
+cold/warm mix made r1-r3 single-shot numbers incomparable to medians.
+The JSON carries "warm_median": true so readers know the protocol.
+
+--scale-dir (default: the sibling sf0.01 of --sf-dir) reruns the suite
+at a second, smaller scale factor and reports t_main/t_small per query
+as "scale_ratio" — a query whose ratio far exceeds the sf ratio has a
+superlinear plan. "none" disables the second pass.
 
 Each query is forced with a full materialization (count of the result —
 not collect, so driver memory stays flat at any scale factor). Wall time
@@ -61,6 +69,15 @@ HEADLINE = [
     "q13_order_count_distribution",
     "q18_large_volume_customers",
     "q22_global_sales_opportunity",
+    # round-5 additions
+    "dedup_keep_best",
+    "chunk_documents",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "ngram_jaccard_lsh",
+    "embedding_ann_pairs",
+    "pipeline_e2e_exact",
 ]
 
 
@@ -72,7 +89,13 @@ def main() -> None:
         "--repeat",
         type=int,
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
-        help="runs per query; the reported number is the median",
+        help="runs per query; the reported number is the median of the warm runs",
+    )
+    ap.add_argument(
+        "--scale-dir",
+        default=os.environ.get("SPARK_GRAFT_SCALE_DIR", "auto"),
+        help="second (smaller) sf dir for scaling ratios; 'auto' picks the "
+        "sibling sf0.01, 'none' disables the second pass",
     )
     args = ap.parse_args()
 
@@ -100,32 +123,60 @@ def main() -> None:
 
     import statistics
 
-    timings: dict[str, float] = {}
-    for name in names:
-        fn, _sql = reg[name]
-        runs: list[float] = []
-        n = 0
-        for _ in range(max(1, args.repeat)):
-            t0 = time.perf_counter()
-            df = fn(spark, args.sf_dir)
-            n = df.count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
-        detail = "" if len(runs) == 1 else f" runs={[round(r, 3) for r in runs]}"
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows){detail}", file=sys.stderr)
+    def run_suite(sf_dir: str, label: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn, _sql = reg[name]
+            runs: list[float] = []
+            n = 0
+            for _ in range(max(1, args.repeat)):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+            # warm median: the first run pays page-cache + codegen warmth
+            # and is reported separately, never mixed into the number
+            warm = runs[1:] if len(runs) > 1 else runs
+            timings[name] = round(statistics.median(warm), 3)
+            detail = "" if len(runs) == 1 else f" runs={[round(r, 3) for r in runs]}"
+            print(
+                f"# [{label}] {name}: {timings[name]:.3f}s ({n} rows){detail}",
+                file=sys.stderr,
+            )
+        return timings
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    timings = run_suite(args.sf_dir, f"sf{sf}")
+
+    scale_dir = args.scale_dir
+    if scale_dir == "auto":
+        cand = args.sf_dir.rstrip("/").rsplit("sf", 1)[0] + "sf0.01"
+        scale_dir = cand if os.path.isdir(cand) and cand != args.sf_dir.rstrip("/") else "none"
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warm_median": args.repeat > 1,
+    }
+    if scale_dir != "none":
+        small_sf = scale_dir.rstrip("/").rsplit("sf", 1)[-1]
+        for t in TABLE_NAMES:
+            try:
+                load_table(spark, t, scale_dir).count()
+            except Exception:
+                pass
+        small = run_suite(scale_dir, f"sf{small_sf}")
+        result["small_sf"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf
+        result["queries_small"] = small
+        # t_main / t_small per query: with a 10x sf step, a ratio well
+        # beyond 10 flags a superlinear plan (fixed overheads push most
+        # ratios far BELOW the sf ratio)
+        result["scale_ratio"] = {
+            n: round(timings[n] / small[n], 2) if small.get(n) else None
+            for n in names
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

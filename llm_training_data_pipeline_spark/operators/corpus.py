@@ -408,9 +408,19 @@ def temperature_mix_weights(
     w = n.crossJoin(F.broadcast(tot)).withColumn(
         "p", F.col("n_docs").cast("double") / F.col("_N")
     )
-    w = w.withColumn("_pa", F.pow("p", F.lit(alpha))).withColumn(
-        "_pr", F.pow("p", F.lit(alpha - 1.0))
-    )
+    if alpha == 0.5:
+        # sqrt and division are IEEE-754 correctly-rounded on EVERY
+        # engine; Math.pow is not (measured: 1-ulp drift vs libm on ~9%
+        # of pow(p, -0.5) inputs, tests/test_determinism.py) — so the
+        # default temperature uses the exact construction the oracle can
+        # replay bit-for-bit, and pow stays only for exotic alphas
+        w = w.withColumn("_pa", F.sqrt("p")).withColumn(
+            "_pr", F.lit(1.0) / F.sqrt("p")
+        )
+    else:
+        w = w.withColumn("_pa", F.pow("p", F.lit(alpha))).withColumn(
+            "_pr", F.pow("p", F.lit(alpha - 1.0))
+        )
     norms = w.agg(F.sum("_pa").alias("_sum_pa"), F.max("_pr").alias("_max_pr"))
     return (
         w.crossJoin(F.broadcast(norms))

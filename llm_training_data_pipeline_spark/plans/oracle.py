@@ -1941,7 +1941,17 @@ def q22_global_sales_opportunity_sql(cutoff: str = "2000-01-01") -> str:
 
 
 def temperature_mix_weights_sql(strata_col: str = "lang", alpha: float = 0.5) -> str:
-    """Mirror of corpus.temperature_mix_weights over documents."""
+    """Mirror of corpus.temperature_mix_weights over documents.
+
+    alpha=0.5 renders as sqrt / 1/sqrt — IEEE-correctly-rounded on both
+    engines, unlike pow (JVM Math.pow drifts 1 ulp from libm on a few
+    percent of inputs; the Spark side uses the same construction)."""
+    if alpha == 0.5:
+        pa = "sqrt(CAST(n_docs AS DOUBLE) / N)"
+        pr = "1.0 / sqrt(CAST(n_docs AS DOUBLE) / N)"
+    else:
+        pa = f"pow(CAST(n_docs AS DOUBLE) / N, {alpha})"
+        pr = f"pow(CAST(n_docs AS DOUBLE) / N, {alpha - 1.0})"
     return f"""
         WITH s AS (
           SELECT {strata_col} AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
@@ -1950,8 +1960,8 @@ def temperature_mix_weights_sql(strata_col: str = "lang", alpha: float = 0.5) ->
         ), w AS (
           SELECT stratum, n_docs,
                  CAST(n_docs AS DOUBLE) / N AS p,
-                 pow(CAST(n_docs AS DOUBLE) / N, {alpha}) AS pa,
-                 pow(CAST(n_docs AS DOUBLE) / N, {alpha - 1.0}) AS pr
+                 {pa} AS pa,
+                 {pr} AS pr
           FROM s CROSS JOIN t
         ), nrm AS (
           SELECT sum(pa) AS sum_pa, max(pr) AS max_pr FROM w

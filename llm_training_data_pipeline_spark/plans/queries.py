@@ -80,6 +80,9 @@ _CHANGED_THIS_ROUND = frozenset(
         "dedup_clusters",
         "minhash_pairs_md5",
         "dedup_keep_best",
+        # r5: alpha=0.5 path rewritten to correctly-rounded sqrt / 1/sqrt
+        # on both sides (Math.pow drifts 1 ulp from libm)
+        "temperature_mix_weights",
     }
 )
 

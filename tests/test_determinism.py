@@ -103,3 +103,50 @@ def test_surprisal_ln_units_agree_across_engines(spark):
     )
     mismatches = [(n, jvm[n], ddb_units[n]) for n in ns if jvm[n] != ddb_units[n]]
     assert not mismatches, f"first mismatches: {mismatches[:5]}"
+
+
+def test_temperature_sqrt_agrees_across_engines(spark):
+    """sqrt(p) and 1/sqrt(p) — the alpha=0.5 temperature-mix core —
+    compared bit-exact between the JVM and DuckDB over a dense sweep of
+    stratum shares. IEEE 754 requires sqrt and division to be correctly
+    rounded, so exact agreement is guaranteed by construction; this pin
+    exists because the NAIVE spelling, Math.pow(p, ±0.5), is NOT
+    correctly rounded (measured 1-ulp drift vs libm on ~9% of
+    pow(p,-0.5) inputs when this pin was introduced) — which is why
+    temperature_mix_weights special-cases alpha=0.5 to sqrt."""
+    import struct
+
+    import duckdb
+
+    ps = [k / 20000 for k in range(1, 20001)]
+    got = {
+        r["p"]: (r["a"], r["b"])
+        for r in (
+            spark.createDataFrame([(p,) for p in ps], "p double")
+            .select(
+                "p",
+                F.sqrt("p").alias("a"),
+                (F.lit(1.0) / F.sqrt("p")).alias("b"),
+            )
+            .collect()
+        )
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ps(p DOUBLE)")
+    con.executemany("INSERT INTO ps VALUES (?)", [(p,) for p in ps])
+    ddb = {
+        p: (a, b)
+        for p, a, b in con.execute(
+            "SELECT p, sqrt(p), 1.0 / sqrt(p) FROM ps"
+        ).fetchall()
+    }
+
+    def bits(x: float) -> int:
+        return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+    bad = [
+        p
+        for p in ps
+        if bits(got[p][0]) != bits(ddb[p][0]) or bits(got[p][1]) != bits(ddb[p][1])
+    ]
+    assert not bad, f"sqrt drift at {bad[:5]}"
