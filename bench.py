@@ -123,13 +123,13 @@ def main() -> None:
 
     import statistics
 
-    def run_suite(sf_dir: str, label: str) -> dict[str, float]:
+    def run_suite(sf_dir: str, label: str, repeat: int) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
             fn, _sql = reg[name]
             runs: list[float] = []
             n = 0
-            for _ in range(max(1, args.repeat)):
+            for _ in range(max(1, repeat)):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
@@ -145,7 +145,7 @@ def main() -> None:
             )
         return timings
 
-    timings = run_suite(args.sf_dir, f"sf{sf}")
+    timings = run_suite(args.sf_dir, f"sf{sf}", args.repeat)
 
     scale_dir = args.scale_dir
     if scale_dir == "auto":
@@ -166,7 +166,10 @@ def main() -> None:
                 load_table(spark, t, scale_dir).count()
             except Exception:
                 pass
-        small = run_suite(scale_dir, f"sf{small_sf}")
+        # the scale pass exists for the RATIO, not the headline number —
+        # 2 runs (1 discarded cold + 1 warm) keep total bench time well
+        # inside any driver budget while still excluding cold effects
+        small = run_suite(scale_dir, f"sf{small_sf}", min(args.repeat, 2))
         result["small_sf"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf
         result["queries_small"] = small
         # t_main / t_small per query: with a 10x sf step, a ratio well
