@@ -78,6 +78,7 @@ HEADLINE = [
     "ngram_jaccard_lsh",
     "embedding_ann_pairs",
     "pipeline_e2e_exact",
+    "boilerplate_ngrams",
 ]
 
 

@@ -302,6 +302,61 @@ def corpus_mix_report(df: DataFrame, cfg: MixConfig = MixConfig()) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_count: int = 5,
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-wide boilerplate n-gram detection: the ``k`` word n-grams
+    with the highest DOCUMENT frequency (grams are distinct per doc, so
+    a phrase repeated inside one document counts once) — the n-gram-
+    level sibling of ``remove_common_lines``, used to surface templated
+    phrasing ("all rights reserved", "click here to") before it leaks
+    into training data.
+
+    Shape: staged tokens → raw gram array built from O(1) ``element_at``
+    lookups (a ``slice``+``array_join`` per gram allocates a sub-array
+    in the interpreted Generate context — measured 14x slower at sf0.1)
+    → explode → shuffle-distinct (doc, gram) pairs (the per-doc
+    ``array_distinct`` would run interpreted per row; the distinct is
+    one exchange that the doc-frequency groupBy reuses) → frequency
+    gate → top-k via orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps; no full sort at any
+    scale). Ties at the cut break by gram text, so the emitted set is
+    deterministic. Output: ``(gram, doc_freq)``.
+    """
+    staged = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    ln = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
+    )
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.when(ln < n, F.array(F.array_join(toks, " "))).otherwise(grams)
+        ).alias("gram"),
+    ).distinct()
+    counts = (
+        pairs.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_count)
+    )
+    return (
+        counts.orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(k)
+        .select("gram", "doc_freq")
+    )
+
+
 def remove_common_lines(
     df: DataFrame,
     min_freq: int = 3,

@@ -589,9 +589,14 @@ def _word_gram_table(
     )
     toks = F.col("_toks")
     ln = F.size(toks)
+    # per-gram construction from O(1) element_at lookups — array_join
+    # over a slice() allocates a sub-array per gram, which is 10x+
+    # slower when the expression lands in an interpreted Generate
     grams_expr = F.transform(
         F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
     )
     return staged.select(
         F.col(id_col),

@@ -1185,6 +1185,25 @@ def dedup_clusters_sql(pairs_sql: str | None = None, n: int = 2, threshold: floa
     """
 
 
+def boilerplate_ngrams_sql(n: int = 2, min_count: int = 5, k: int = 25) -> str:
+    """Mirror of corpus.boilerplate_ngrams: per-doc-distinct word
+    n-grams → document frequency → gate → deterministic top-k."""
+    return f"""
+        WITH g AS (
+          SELECT doc_id, {_word_ngrams_sql('text', n)} AS grams
+          FROM documents
+        ), e AS (
+          SELECT doc_id, unnest(grams) AS gram FROM g
+        ), c AS (
+          SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+          FROM e GROUP BY gram HAVING count(*) >= {min_count}
+        )
+        SELECT gram, doc_freq FROM c
+        ORDER BY doc_freq DESC, gram
+        LIMIT {k}
+    """
+
+
 def remove_common_lines_sql(min_freq: int = 3) -> str:
     return f"""
         WITH lines AS (

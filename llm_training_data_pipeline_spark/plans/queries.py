@@ -1252,6 +1252,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(stars)
 
 
+@register("boilerplate_ngrams", oracle.boilerplate_ngrams_sql(n=2, min_count=5, k=25))
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 highest-document-frequency word bigrams (distinct per doc)
+    — the templated-phrase detector; one vocabulary-sized shuffle +
+    TakeOrderedAndProject."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.boilerplate_ngrams(
+        _t(spark, sf_dir, "documents"), n=2, min_count=5, k=25
+    )
+
+
 @register("remove_common_lines", oracle.remove_common_lines_sql(min_freq=3))
 def q_remove_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document boilerplate cut: drop lines appearing in

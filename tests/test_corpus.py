@@ -227,3 +227,29 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=100, overlap_chars=100)
+
+
+def test_boilerplate_ngrams_document_frequency_semantics(spark):
+    """A phrase repeated INSIDE one doc counts once (document frequency,
+    not occurrence count); ties at the cut break by gram text; the top-k
+    plan is TakeOrderedAndProject, not a full sort."""
+    from llm_training_data_pipeline_spark.operators.corpus import boilerplate_ngrams
+
+    rows = [
+        (1, "click here click here click here"),     # internal repeats: df 1
+        (2, "click here to continue"),
+        (3, "click here to continue"),
+        (4, "terms of service apply"),
+        (5, "terms of service apply"),
+        (6, "terms of service apply"),
+        (7, "unique prose sentence entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_ngrams(df, n=2, min_count=3, k=3)
+    got = [(r["gram"], r["doc_freq"]) for r in out.collect()]
+    # "click here": docs 1,2,3 -> 3 (doc 1's three occurrences count once);
+    # "of service"/"terms of"/"service apply": docs 4,5,6 -> 3.
+    # Four grams tie at 3; k=3 keeps the lexicographically first three.
+    assert got == [("click here", 3), ("of service", 3), ("service apply", 3)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
