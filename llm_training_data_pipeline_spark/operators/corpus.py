@@ -121,9 +121,14 @@ def word_ngram_set(text: Column, n: int) -> Column:
     than ``n`` words contribute their whole text as one gram (same rule
     as ``dedup.ngram_jaccard_pairs`` / ``oracle._word_ngrams_sql``)."""
     toks = whitespace_tokens(F.lower(text))
+    # grams from O(1) element_at lookups — array_join(slice()) allocates
+    # a sub-array per gram and runs 10x+ slower in interpreted Generate
+    # contexts (see boilerplate_ngrams)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(n)]
+        ),
     )
     return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
         F.array_distinct(grams)

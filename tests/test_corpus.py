@@ -253,3 +253,29 @@ def test_boilerplate_ngrams_document_frequency_semantics(spark):
     assert got == [("click here", 3), ("of service", 3), ("service apply", 3)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gram_builders_short_and_empty_docs(spark):
+    """Docs shorter than n words take the whole-text-gram branch; the
+    element_at-based gram construction must never evaluate its (ANSI-
+    throwing) out-of-bounds lookups for them."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        boilerplate_ngrams,
+        word_ngram_set,
+    )
+
+    rows = [(1, "single"), (2, ""), (3, "two words"), (4, "three word doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: sorted(r["g"])
+        for r in df.select(
+            "doc_id", word_ngram_set(F.col("text"), 2).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["single"]
+    assert got[2] == [""]
+    assert got[3] == ["two words"]
+    assert got[4] == ["three word", "word doc"]
+    # heavy-hitter path runs the same branches without error
+    out = boilerplate_ngrams(df, n=2, min_count=1, k=10).collect()
+    assert ("three word", 1) in {(r["gram"], r["doc_freq"]) for r in out}
