@@ -339,6 +339,61 @@ def ngram_jaccard_lsh_sql(
     """
 
 
+def _hyperplane_bucket_expr(num_planes: int, dim: int, seed: int, vec: str = "vec") -> str:
+    """Sign-pattern bucket over the SAME plane literals the Spark plan
+    bakes in (similarity._hyperplanes, shared seed)."""
+    from llm_training_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes, seed)
+
+    def dot(plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return f"list_sum(list_transform(list_zip({vec}, {lit}), p -> p[1] * p[2]))"
+
+    return " + ".join(
+        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def ann_lsh_topk_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Replay of similarity.ann_lsh_topk: queries are the first
+    ``n_queries`` vectors, candidates share the query's hyperplane
+    bucket, rank by (cosine DESC, vec_id) within each query."""
+    cos = """CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+             ELSE list_sum(list_transform(list_zip(q.vec, c.vec),
+                    p -> p[1] * p[2])) / (q.nrm * c.nrm) END"""
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), bk AS (
+          SELECT vec_id, vec, nrm,
+                 {_hyperplane_bucket_expr(num_planes, dim, seed)} AS bucket
+          FROM v
+        ), scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                 round({cos}, 6) AS cosine
+          FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < {n_queries}
+        ), ranked AS (
+          SELECT q_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_ann_pairs_sql(
     threshold: float = 0.8,
     num_planes: int = 6,
@@ -354,18 +409,7 @@ def embedding_ann_pairs_sql(
     against 0 — both engines fold the 64 products left-to-right, and a
     sign flip would need a |dot| within float-noise of zero, which the
     O(1)-magnitude random planes make vanishingly unlikely."""
-    from llm_training_data_pipeline_spark.operators.similarity import _hyperplanes
-
-    planes = _hyperplanes(dim, num_planes, seed)
-
-    def dot(plane: list[float]) -> str:
-        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
-        return f"list_sum(list_transform(list_zip(vec, {lit}), p -> p[1] * p[2]))"
-
-    bucket = " + ".join(
-        f"(CASE WHEN {dot(p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    bucket = _hyperplane_bucket_expr(num_planes, dim, seed)
     return f"""
         WITH v AS (
           SELECT vec_id,
@@ -1300,6 +1344,38 @@ def minhash_pairs_md5_sql(
         JOIN sig sa ON sa.doc_id = c.id_a
         JOIN sig sb ON sb.doc_id = c.id_b
         WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+    """
+
+
+def minhash_dedup_md5_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """End-to-end replay of dedup.minhash_dedup (D5) with the md5
+    family: band candidates → est-Jaccard verify → drop every id_b
+    (min-id winner keeps the smaller id) → surviving documents."""
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)}, cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        ), losers AS (
+          SELECT DISTINCT c.id_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+          WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+        )
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
     """
 
 

@@ -443,8 +443,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", None)
+@register(
+    "ann_lsh_topk",
+    oracle.ann_lsh_topk_sql(k=5, n_queries=10, num_planes=6, dim=64, seed=42),
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-k — oracle-paired since r5: the buckets
+    are deterministic literal planes, so DuckDB replays candidate
+    generation AND ranking bit-for-bit (upgraded from rows-only)."""
     from llm_training_data_pipeline_spark.operators.similarity import ann_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1290,6 +1296,23 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), cfg=cfg)
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@register(
+    "minhash_dedup_md5",
+    oracle.minhash_dedup_md5_sql(num_perm=16, num_bands=4, threshold=0.5),
+)
+def q_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship D5 near-dup REMOVAL end-to-end with the md5 family:
+    candidate generation, est-Jaccard verification, AND the min-id-wins
+    anti-join are all replayed by the oracle — upgrading minhash dedup
+    from pairs-only value checking to whole-operator value checking.
+    Production keeps the xxhash64 family (identical math)."""
+    cfg = dedup.MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    out = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), cfg=cfg)
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
 @register("simhash_pairs_md5", oracle.simhash_pairs_md5_sql(max_hamming=3, num_bands=4))
