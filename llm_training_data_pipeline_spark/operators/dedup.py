@@ -539,10 +539,14 @@ def simhash_near_dup_pairs(
 
 
 def simhash_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     losers = (
-        simhash_near_dup_pairs(df, text_col, id_col, max_hamming)
+        simhash_near_dup_pairs(df, text_col, id_col, max_hamming, hash_family=hash_family)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -1444,6 +1444,18 @@ def simhash_pairs_md5_sql(max_hamming: int = 3, num_bands: int = 4) -> str:
     """
 
 
+def simhash_dedup_md5_sql(max_hamming: int = 3, num_bands: int = 4) -> str:
+    """End-to-end replay of dedup.simhash_dedup with the md5 bit family:
+    banded candidates → hamming verify → drop every id_b → survivors."""
+    pairs = simhash_pairs_md5_sql(max_hamming, num_bands)
+    return f"""
+        WITH p AS ({pairs})
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT DISTINCT id_b FROM p)
+    """
+
+
 def session_window_events_sql(gap_minutes: int = 30) -> str:
     """Replay of F.session_window semantics: a new session starts when
     the gap from the previous event is >= the window gap (the window end

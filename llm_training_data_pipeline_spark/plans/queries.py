@@ -1326,6 +1326,17 @@ def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+@register("simhash_dedup_md5", oracle.simhash_dedup_md5_sql(max_hamming=3, num_bands=4))
+def q_simhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup REMOVAL end-to-end with the md5 bit family —
+    fingerprints, banding, hamming verify, and the min-id anti-join all
+    oracle-replayed (the whole-operator sibling of minhash_dedup_md5)."""
+    out = dedup.simhash_dedup(
+        _t(spark, sf_dir, "documents"), max_hamming=3, hash_family="md5"
+    )
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 @register("session_window_events", oracle.session_window_events_sql(gap_minutes=30))
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (F.session_window) — the same gap semantics
