@@ -227,6 +227,38 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    stream: DataFrame,
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows per event_type: a session extends while
+    consecutive events arrive within ``gap``; a session closes (and is
+    emitted, in append mode) once the watermark passes its end. Same
+    ``F.session_window`` semantics as the oracle-green batch query
+    (``session_window_events``), so the batch↔stream equivalence test
+    can replay real events through both paths row-for-row."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_exact_dedup_tws(
     stream: DataFrame,
     text_col: str = "text",

@@ -507,3 +507,61 @@ def test_windowed_event_counts_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_session_window_counts_stream_matches_batch(spark, tmp_path):
+    """Session windows over a time-ordered replay of the real events
+    table (sentinel closes every session) must equal the batch
+    F.session_window aggregation row-for-row — the stream<->batch gate
+    for the oracle-green session-window query family."""
+    import datetime as dt
+    import time as _time
+
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        session_window_counts,
+    )
+
+    events = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    src = str(tmp_path / "sess_replay")
+    n = len(events)
+    sentinel_ts = max(r["ts"] for r in events) + dt.timedelta(days=2)
+    chunks = [events[: n // 2], events[n // 2 :], [(-1, sentinel_ts, "zz_sentinel", 0.0)]]
+    for chunk in chunks:
+        spark.createDataFrame([tuple(r) for r in chunk], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = session_window_counts(stream, gap="30 minutes", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_equiv_sess")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    key = lambda r: (r["session_start"], r["session_end"], r["event_type"])
+    streamed = {
+        key(r): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_equiv_sess").collect()
+        if r["event_type"] != "zz_sentinel"
+    }
+    batch_df = spark.createDataFrame([tuple(r) for r in events], schema)
+    batch = {
+        key(r): (r["n_events"], r["total_value"])
+        for r in session_window_counts(
+            batch_df, gap="30 minutes", watermark="1 minute"
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed  # real sessions actually closed and were emitted
