@@ -307,6 +307,36 @@ def corpus_mix_report(df: DataFrame, cfg: MixConfig = MixConfig()) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order
+    randomization pass before sequence packing / sharding.
+
+    Every document gets ``shuffle_key = md5(id ":" seed)`` (uniform,
+    seeded, engine-replayable), then ``repartitionByRange`` on the key +
+    ``sortWithinPartitions``: reading the output partitions in order
+    yields a fully shuffled but REPRODUCIBLE document order. The range
+    exchange samples key quantiles, so there is no single-point global
+    sort — this scales to any corpus size, unlike ``orderBy`` into one
+    writer or a driver-side permutation. A different ``seed`` gives an
+    independent permutation (new epoch order without touching the data).
+    """
+    keyed = df.withColumn(
+        "shuffle_key",
+        F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+        ),
+    )
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(parts, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     text_col: str = "text",

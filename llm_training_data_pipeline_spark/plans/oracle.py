@@ -1229,6 +1229,18 @@ def dedup_clusters_sql(pairs_sql: str | None = None, n: int = 2, threshold: floa
     """
 
 
+def corpus_shuffle_keys_sql(seed: int = 42) -> str:
+    """Mirror of corpus.corpus_shuffle's key assignment: md5 of
+    ``id:seed`` — the seeded permutation both engines derive
+    identically (the range-partitioned ordering itself is Spark
+    plumbing; the KEY is the semantics)."""
+    return f"""
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':' || '{seed}') AS shuffle_key
+        FROM documents
+    """
+
+
 def boilerplate_ngrams_sql(n: int = 2, min_count: int = 5, k: int = 25) -> str:
     """Mirror of corpus.boilerplate_ngrams: per-doc-distinct word
     n-grams → document frequency → gate → deterministic top-k."""

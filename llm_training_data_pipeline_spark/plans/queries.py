@@ -1258,6 +1258,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(stars)
 
 
+@register("corpus_shuffle_keys", oracle.corpus_shuffle_keys_sql(seed=42))
+def q_corpus_shuffle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded training-order shuffle: the md5(id:seed) permutation key,
+    value-checked; the range-partitioned ordering it drives is pinned by
+    plan/determinism tests (no single-point global sort)."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    out = corpus.corpus_shuffle(_t(spark, sf_dir, "documents"), seed=42)
+    return out.select("doc_id", "shuffle_key")
+
+
 @register("boilerplate_ngrams", oracle.boilerplate_ngrams_sql(n=2, min_count=5, k=25))
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 highest-document-frequency word bigrams (distinct per doc)

@@ -279,3 +279,21 @@ def test_gram_builders_short_and_empty_docs(spark):
     # heavy-hitter path runs the same branches without error
     out = boilerplate_ngrams(df, n=2, min_count=1, k=10).collect()
     assert ("three word", 1) in {(r["gram"], r["doc_freq"]) for r in out}
+
+
+def test_corpus_shuffle_deterministic_range_partitioned(spark):
+    """The shuffle order is reproducible for a seed, differs across
+    seeds, and the plan uses a range exchange (scalable global order),
+    never a single-partition sort."""
+    from llm_training_data_pipeline_spark.operators.corpus import corpus_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [r["doc_id"] for r in corpus_shuffle(docs, seed=1, num_partitions=8).select("doc_id").collect()]
+    b = [r["doc_id"] for r in corpus_shuffle(docs, seed=1, num_partitions=8).select("doc_id").collect()]
+    c = [r["doc_id"] for r in corpus_shuffle(docs, seed=2, num_partitions=8).select("doc_id").collect()]
+    assert a == b                      # same seed -> same global order
+    assert a != c                      # new seed -> new permutation
+    assert sorted(a) == sorted(c)      # same corpus either way
+    assert a != sorted(a)              # actually shuffled
+    plan = corpus_shuffle(docs, seed=1, num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
