@@ -79,7 +79,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "vocab_size": 32_000,
         "min_frequency": 2,
     },
-    "output": {"format": "parquet"},
+    # output.shuffle: seeded deterministic training-order randomization
+    # applied just before the sink (corpus.corpus_shuffle)
+    "output": {"format": "parquet", "shuffle": {"enabled": False, "seed": 42}},
     # live knobs here (dead in the reference): forwarded to spark.conf
     "performance": {"shuffle_partitions": None, "max_records_per_batch": 10_000},
 }

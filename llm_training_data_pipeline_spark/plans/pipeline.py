@@ -227,6 +227,26 @@ def run_pipeline(
         df = tk.tokenize_documents(df, tokenizer, "text")
         tok_summary = {"vocab_size": tokenizer.vocab_size, "algorithm": algo}
 
+    shuffle_cache = None
+    if cfg.get("output.shuffle.enabled", False):
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        # seeded global shuffle (range-partitioned, reproducible) so the
+        # written shards are already in training order. The pipeline is
+        # materialized ONCE first: repartitionByRange runs a key-sampling
+        # pass that would otherwise re-execute the whole upstream chain —
+        # measured doubling both the compute and the Observation stage
+        # counts. persist + count is used (not localCheckpoint: its
+        # RDD-level job bypasses SQL observation events and the stage
+        # metrics come back empty); the count fires each observation
+        # exactly once and both the sampler and the exchange then read
+        # cached blocks (MEMORY_AND_DISK — spills, never recomputes).
+        shuffle_cache = df.persist()
+        shuffle_cache.count()
+        df = corpus.corpus_shuffle(
+            shuffle_cache, seed=int(cfg.get("output.shuffle.seed", 42))
+        )
+
     out_format = cfg.get("output.format", "parquet")
     if output_dir:
         path = os.path.join(output_dir, f"pipeline_output.{out_format}")
@@ -248,6 +268,9 @@ def run_pipeline(
     else:
         df.write.format("noop").mode("overwrite").save()
         path = None
+
+    if shuffle_cache is not None:
+        shuffle_cache.unpersist()
 
     duration = time.time() - t0
     stage_metrics = {}

@@ -203,3 +203,32 @@ def test_pipeline_minhash_keep_best_algorithm(spark):
     assert 3 in ids
     assert len([i for i in ids if i in (1, 2)]) == 1  # one of the pair survives
     assert 2 in ids  # and it is the higher-quality one
+
+
+def test_output_shuffle_stage_keeps_metrics_exact(spark, tmp_path):
+    """The output shuffle's range partitioner samples its input; without
+    the pre-shuffle materialization that sampling pass re-executed the
+    whole pipeline and DOUBLED every Observation stage count (and a
+    localCheckpoint instead zeroed them — RDD jobs bypass SQL
+    observation events). Pin: stage rows with shuffle on == rows with
+    shuffle off, and the written shards are keyed and complete."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        "cleaning": {"min_length_chars": 50},
+        "deduplication": {"algorithm": "exact_hash"},
+        "quality": {"min_words": 10},
+        "tokenization": {"enabled": False},
+    }
+    plain = run_pipeline(spark, docs, PipelineConfig(dict(base)), None)
+    out_dir = str(tmp_path / "shuffled")
+    shuffled = run_pipeline(
+        spark,
+        docs,
+        PipelineConfig({**base, "output": {"shuffle": {"enabled": True, "seed": 7}}}),
+        out_dir,
+    )
+    for stage in ("ingest", "clean", "dedup", "quality"):
+        assert shuffled["stages"][stage]["rows"] == plain["stages"][stage]["rows"]
+    out = spark.read.parquet(os.path.join(out_dir, "pipeline_output.parquet"))
+    assert out.count() == plain["stages"]["quality"]["rows"]
+    assert "shuffle_key" in out.columns
