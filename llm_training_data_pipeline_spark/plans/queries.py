@@ -282,13 +282,15 @@ def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dup", oracle.embedding_near_dup_sql(threshold=0.8))
+@register("embedding_near_dup", oracle.embedding_near_dup_sql(threshold=0.3))
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked form — the oracle-parity anchor; the default (unblocked)
     operator routes through hyperplane LSH buckets, see
-    embedding_ann_pairs."""
+    embedding_ann_pairs. Threshold 0.3: the synthetic embeddings top out
+    near cosine 0.475, so the 0.8 used through r4 matched on an EMPTY
+    result — this exercises real pair emission."""
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.8
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
     )
 
 
