@@ -54,37 +54,34 @@ def register(name: str, sql: str | None):
 #   tier 0  never scored in any round (needs any driver row at all,
 #           including rows-only entries registered after r2 that the old
 #           static tiers permanently starved);
-#   tier 1  code changed this round (manual set below) OR the newest
-#           recorded row is red — a prior green row does not vouch for
-#           new code, and a red row must be re-scored immediately;
-#   tier 2  previously green: oracle-paired first (the bit-exact check
-#           is the one that decays in value as code drifts), each group
-#           ordered oldest-green-round first.
+#   tier 1  code changed since the last green row (the round-keyed map
+#           below) OR the newest recorded row is red — a prior green row
+#           does not vouch for new code, and a red row must be re-scored
+#           immediately;
+#   tier 2  previously green, ordered oldest-green-round first so BOTH
+#           families decay together (a rows-only row also goes stale —
+#           an executing row is the only proof the plan still runs under
+#           the driver harness); within the same green round,
+#           oracle-paired before rows-only (the bit-exact check decays
+#           faster in value as code drifts).
 # Within a tier+staleness bucket, module registration order is
 # preserved (sorted() is stable).
 #
-# The ONLY manual input is _CHANGED_THIS_ROUND: queries whose Spark or
-# oracle implementation materially changed since their last green row.
-_CHANGED_THIS_ROUND = frozenset(
-    {
-        # r5: LSH-candidate default for n-gram Jaccard (block path kept
-        # for this oracle config but the shared body was rewritten)
-        "ngram_jaccard_pairs",
-        # r5: crossJoin fallback removed / bucketed default (blocked
-        # oracle config unchanged, shared body rewritten)
-        "embedding_near_dup",
-        # r5: sort key moved to the raw (unrounded) o_totalprice
-        "q18_large_volume_customers",
-        # r5: md5-family band buckets group on the exact band value
-        # instead of its 64-bit hash (these all consume that bucket key)
-        "dedup_clusters",
-        "minhash_pairs_md5",
-        "dedup_keep_best",
-        # r5: alpha=0.5 path rewritten to correctly-rounded sqrt / 1/sqrt
-        # on both sides (Math.pow drifts 1 ulp from libm)
-        "temperature_mix_weights",
-    }
-)
+# The ONLY manual input is _CHANGED_IN_ROUND: query name → round number
+# in which its Spark or oracle implementation materially changed. The
+# pin expires automatically once a green row from that round (or later)
+# exists, so stale entries never squat in tier 1 and starve the
+# oldest-green rotation (they used to, as a frozenset with no scoping).
+_CHANGED_IN_ROUND: dict[str, int] = {
+    # r5 (all re-scored green in CORRECTNESS_r05 → pins expired):
+    "ngram_jaccard_pairs": 5,
+    "embedding_near_dup": 5,
+    "q18_large_volume_customers": 5,
+    "dedup_clusters": 5,
+    "minhash_pairs_md5": 5,
+    "dedup_keep_best": 5,
+    "temperature_mix_weights": 5,
+}
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -135,9 +132,10 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         green = newest_green.get(name, 0)
         if scored == 0:
             return (0, 0, 0)
-        if name in _CHANGED_THIS_ROUND or scored > green:
+        changed = green < _CHANGED_IN_ROUND.get(name, 0)
+        if changed or scored > green:
             return (1, 0, green)
-        return (2, 1 if sql is None else 0, green)
+        return (2, green, 1 if sql is None else 0)
 
     return dict(sorted(_REGISTRY.items(), key=key))
 

@@ -28,11 +28,12 @@ def test_contract_shape():
 
 def test_scorecard_rotation_policy():
     """The driver scores only the first ~50 registry slots, so ordering IS
-    the rotation policy: never-scored first, changed-this-round next, then
-    previously-green oldest-first with oracle-paired ahead of rows-only.
-    Derived from the CORRECTNESS_r*.json files, not hand-edited sets."""
+    the rotation policy: never-scored first, changed-since-last-green next,
+    then previously-green strictly oldest-green-round first (rows-only rows
+    decay alongside oracle-paired ones; within the same round, paired
+    first). Derived from the CORRECTNESS_r*.json files, not hand-edited."""
     from llm_training_data_pipeline_spark.plans.queries import (
-        _CHANGED_THIS_ROUND,
+        _CHANGED_IN_ROUND,
         _scorecard_rounds,
     )
 
@@ -43,21 +44,47 @@ def test_scorecard_rotation_policy():
     def tier(name: str) -> int:
         if scored.get(name, 0) == 0:
             return 0
-        if name in _CHANGED_THIS_ROUND or scored.get(name, 0) > green.get(name, 0):
+        if green.get(name, 0) < _CHANGED_IN_ROUND.get(name, 0) or scored.get(
+            name, 0
+        ) > green.get(name, 0):
             return 1
         return 2
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry order must be tier-monotonic"
-    # within tier 2: every oracle-paired entry precedes every rows-only
-    # entry, and green rounds are non-decreasing within each group
-    t2 = [n for n in names if tier(n) == 2]
-    paired = [n for n in t2 if REG[n][1] is not None]
-    rows_only = [n for n in t2 if REG[n][1] is None]
-    assert t2 == paired + rows_only
-    for group in (paired, rows_only):
-        rounds = [green[n] for n in group]
-        assert rounds == sorted(rounds)
+    # within tier 2: green rounds non-decreasing overall; within a round,
+    # oracle-paired entries precede rows-only ones
+    t2 = [(green[n], 1 if REG[n][1] is None else 0) for n in names if tier(n) == 2]
+    assert t2 == sorted(t2)
+
+
+def test_changed_pin_expires_after_green():
+    """A _CHANGED_IN_ROUND pin must stop occupying a tier-1 slot once a
+    green row from that round (or later) exists — else stale pins starve
+    the oldest-green rotation forever (round-5 advisory)."""
+    from llm_training_data_pipeline_spark.plans.queries import (
+        _CHANGED_IN_ROUND,
+        _scorecard_rounds,
+    )
+
+    _scored, green = _scorecard_rounds()
+    newest_round = max(green.values(), default=0)
+    for name, rnd in _CHANGED_IN_ROUND.items():
+        assert name in REG, f"pin for unregistered query {name}"
+        if green.get(name, 0) >= rnd:
+            # expired pin: must sort by its green round, not tier 1
+            names = list(REG)
+            # it should NOT appear before every tier-2 entry with an
+            # older green round
+            older = [
+                n
+                for n in names
+                if green.get(n, 0) and green[n] < green[name] and n not in _CHANGED_IN_ROUND
+            ]
+            if older:
+                assert names.index(name) > names.index(older[0])
+        else:
+            assert rnd <= newest_round + 1, f"pin round {rnd} is in the future"
 
 
 @pytest.mark.parametrize("name", sorted(REG))
