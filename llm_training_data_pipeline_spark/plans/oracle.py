@@ -2135,3 +2135,64 @@ def dedup_keep_best_sql() -> str:
         )
         WHERE rk = 1
     """
+
+
+def _wiki_sql_repl(repl: str) -> str:
+    """Render a Java-regex replacement string as a DuckDB replacement
+    expression: ``$1`` → RE2 ``\\1``, literal newlines via chr(10) (RE2
+    replacement strings do not process ``\\n`` escapes)."""
+    out = repl.replace("$1", "\\1")
+    segs = ["'" + s.replace("'", "''") + "'" for s in out.split("\n")]
+    return "||chr(10)||".join(segs)
+
+
+def wikitext_fixture_sql_expr() -> str:
+    """DuckDB mirror of ``wiki.wikitext_fixture_col`` — byte-identical
+    wikitext rendered from a ``documents`` row."""
+    from llm_training_data_pipeline_spark.sources.wiki import WIKITEXT_FIXTURE
+
+    parts: list[str] = []
+    for kind, val in WIKITEXT_FIXTURE:
+        if kind == "lit":
+            segs = str(val).split("\n")
+            parts.append(
+                "||chr(10)||".join("'" + s.replace("'", "''") + "'" for s in segs)
+            )
+        elif kind == "col":
+            parts.append(f"CAST({val} AS VARCHAR)")
+        else:
+            parts.append(f"substr(text, 1, {int(val)})")
+    return "(" + " || ".join(parts) + ")"
+
+
+def wiki_markup_strip_expr(e: str) -> str:
+    """The C13+C14 chain (``wiki.strip_wiki_markup``) as one DuckDB
+    expression, built from the SAME rewrite tables so the two sides
+    cannot drift. Reference: wiki_parser.py:249-293."""
+    from llm_training_data_pipeline_spark.sources.wiki import (
+        _MARKUP_REWRITES,
+        _POST_CLEAN,
+        _TEMPLATE_PASSES,
+    )
+
+    template_pat, _ = _MARKUP_REWRITES[0]
+    for _ in range(_TEMPLATE_PASSES - 1):
+        e = f"regexp_replace({e}, '{q(template_pat)}', '', 'g')"
+    for pat, repl in list(_MARKUP_REWRITES) + list(_POST_CLEAN):
+        e = f"regexp_replace({e}, '{q(pat)}', {_wiki_sql_repl(repl)}, 'g')"
+    return f"regexp_replace({e}, '{q(STRIP_WS)}', '', 'g')"
+
+
+def wiki_markup_strip_sql() -> str:
+    return f"""
+        WITH wt AS (
+          SELECT doc_id, {wikitext_fixture_sql_expr()} AS wikitext
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id, {wiki_markup_strip_expr('wikitext')} AS wiki_clean
+          FROM wt
+        )
+        SELECT doc_id, wiki_clean,
+               CAST(length(wiki_clean) AS BIGINT) AS clean_chars
+        FROM stripped
+    """

@@ -1067,6 +1067,26 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("wiki_markup_strip", oracle.wiki_markup_strip_sql())
+def q_wiki_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13/C14 markup-strip chain hash-checked end-to-end: render the
+    deterministic wikitext fixture from ``documents`` rows (templates,
+    refs, tags, links, categories, quotes, headings, post-clean triggers
+    — every rewrite rule fires), strip with the native regexp chain, and
+    bit-compare against the DuckDB mirror built from the same rewrite
+    tables. Reference: wiki_parser.py:249-293."""
+    from llm_training_data_pipeline_spark.sources import wiki
+
+    docs = _t(spark, sf_dir, "documents")
+    wt = docs.select("doc_id", "source", "text").select(
+        "doc_id", wiki.wikitext_fixture_col().alias("wikitext")
+    )
+    return wt.select(
+        "doc_id",
+        wiki.strip_wiki_markup(F.col("wikitext")).alias("wiki_clean"),
+    ).withColumn("clean_chars", F.length("wiki_clean").cast("long"))
+
+
 @register("wiki_ingestion_demo", None)
 def q_wiki_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S5 + C13/C14: distributed XML scan, ns/redirect/length filters,

@@ -69,6 +69,58 @@ def strip_wiki_markup(col: Column) -> Column:
     return strip_ws(c)
 
 
+# Deterministic wikitext fixture rendered from ``documents`` rows so the
+# C13/C14 markup chain can be hash-checked against a DuckDB mirror (the
+# driver's oracle can only see the pre-registered parquet views, not an XML
+# file). Every rewrite rule above is exercised: nested templates, <ref>
+# spans, self-closing refs, HTML tags, categories, piped + plain links,
+# external links, bold/italic quotes, headings, and all four post-clean
+# rules. Pieces: ("lit", s) literal, ("col", name) string-cast column,
+# ("text", n) substr(text, 1, n).
+WIKITEXT_FIXTURE: list[tuple[str, str | int]] = [
+    ("lit", "{{Infobox|id="),
+    ("col", "doc_id"),
+    ("lit", "|nested={{val|"),
+    ("col", "source"),
+    ("lit", "}}}}\n== "),
+    ("col", "source"),
+    ("lit", " overview ==\n'''"),
+    ("col", "source"),
+    ("lit", "''' article.<ref name=\"r"),
+    ("col", "doc_id"),
+    ("lit", "\">cited text</ref>\nSee [[Main Topic|"),
+    ("col", "source"),
+    ("lit", " link]] and [[Plain Target]].<ref name=\"s"),
+    ("col", "doc_id"),
+    ("lit", "\"/>\nVisit [https://example.org/"),
+    ("col", "doc_id"),
+    (
+        "lit",
+        " the site] today , please !\n"
+        '<div class="x">inline html</div> ( ) and   spaced   out .\n',
+    ),
+    ("text", 200),
+    ("lit", "\n\n\n\n[[Category:"),
+    ("col", "source"),
+    ("lit", "]]"),
+]
+
+
+def wikitext_fixture_col() -> Column:
+    """Render ``WIKITEXT_FIXTURE`` as a Spark concat over a ``documents``
+    row (columns doc_id, source, text). The DuckDB mirror is
+    ``oracle.wikitext_fixture_sql_expr`` — same template, same bytes."""
+    parts: list[Column] = []
+    for kind, val in WIKITEXT_FIXTURE:
+        if kind == "lit":
+            parts.append(F.lit(val))
+        elif kind == "col":
+            parts.append(F.col(str(val)).cast("string"))
+        else:  # ("text", n)
+            parts.append(F.substring(F.col("text"), 1, int(val)))
+    return F.concat(*parts)
+
+
 def read_wiki_dump(spark: SparkSession, path: str) -> DataFrame:
     """S4: distributed scan of a MediaWiki export via the built-in XML source.
 
