@@ -84,6 +84,12 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def table_seed(seed: int, table: int) -> int:
+    """Per-table hyperplane seed for multi-table LSH (table 0 == ``seed``,
+    so single-table results are unchanged by the num_tables extension)."""
+    return seed + 1000 * table
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -93,27 +99,52 @@ def ann_lsh_topk(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket.
+    """Approximate top-k: candidates share the query's LSH bucket in at
+    least one of ``num_tables`` independent hyperplane tables
+    (OR-amplification — recall grows with tables, cost grows linearly).
 
-    Deterministic given ``seed``. The bucket join is an equi-join the
-    optimizer shuffles on the bucket key (or broadcasts the query side);
-    each query scores ~|corpus| / 2^num_planes candidates.
+    Deterministic given ``seed``. One scan of the corpus: each row
+    explodes into ``num_tables`` (table, bucket) keys, the bucket join is
+    an equi-join on (table, bucket) with the query side broadcast, and
+    duplicate candidates (pairs colliding in several tables) collapse via
+    DISTINCT on the identical rounded score. Each query scores
+    ~``num_tables * |corpus| / 2^num_planes`` candidates.
     """
-    planes = _hyperplanes(dim, num_planes, seed)
-    vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n").withColumn(
-        "bucket", lsh_bucket(F.col("_v"), planes)
+    tables = [
+        _hyperplanes(dim, num_planes, table_seed(seed, t)) for t in range(num_tables)
+    ]
+
+    def with_tb(df: DataFrame) -> DataFrame:
+        vec = "_qv" if "_qv" in df.columns else "_v"
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), lsh_bucket(F.col(vec), planes).alias("b")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.withColumn("_tb", F.explode(entries)).select(
+            *df.columns, F.col("_tb.t").alias("t"), F.col("_tb.b").alias("bucket")
+        )
+
+    vecs = with_tb(_with_norm(corpus, vec_col, id_col, id_col, "_v", "_n"))
+    qs = with_tb(_with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn"))
+    scored = (
+        vecs.join(F.broadcast(qs), on=["t", "bucket"])
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(_staged_cosine(), 6).alias("cosine"),
+        )
     )
-    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn").withColumn(
-        "bucket", lsh_bucket(F.col("_qv"), planes)
-    )
-    scored = vecs.join(F.broadcast(qs), on="bucket").filter(
-        F.col(id_col) != F.col("q_id")
-    ).select(
-        "q_id",
-        F.col(id_col),
-        F.round(_staged_cosine(), 6).alias("cosine"),
-    )
+    if num_tables > 1:
+        # pairs colliding in several tables carry identical rounded
+        # scores, so DISTINCT collapses them exactly
+        scored = scored.distinct()
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -187,6 +218,48 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+# (method label, num_planes, num_tables) rows of the recall report —
+# shared with oracle.ann_recall_report_sql so the two sides cannot drift.
+RECALL_REPORT_METHODS: list[tuple[str, int, int]] = [
+    ("lsh_p4_t1", 4, 1),
+    ("lsh_p4_t8", 4, 8),
+    ("lsh_p6_t1", 6, 1),
+    ("lsh_p6_t4", 6, 4),
+    ("lsh_p8_t8", 8, 8),
+]
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Single-row recall aggregate of an ANN result against exact ground
+    truth: ``hits = |approx ∩ exact|`` on (q_id, id) pairs, ``expected =
+    |exact|``, ``recall`` half-up-rounded to 4dp in integer arithmetic
+    (bit-identical on any engine — no float-rounding ties).
+
+    An ANN path that silently returns low-recall candidates is the classic
+    hidden failure mode; this makes the number a first-class, oracle-
+    checkable output instead of a hope.
+    """
+    pairs = approx.select("q_id", id_col)
+    truth = exact.select("q_id", id_col)
+    hits = pairs.join(truth, ["q_id", id_col]).agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    expected = truth.agg(F.count(F.lit(1)).cast("long").alias("expected"))
+    return hits.crossJoin(expected).select(
+        "hits",
+        "expected",
+        (
+            F.floor(
+                (F.col("hits") * 20000 + F.col("expected"))
+                / (F.col("expected") * F.lit(2.0))
+            ).cast("long")
+            / F.lit(10000.0)
+        ).alias("recall"),
     )
 
 

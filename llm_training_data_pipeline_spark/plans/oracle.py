@@ -2196,3 +2196,87 @@ def wiki_markup_strip_sql() -> str:
                CAST(length(wiki_clean) AS BIGINT) AS clean_chars
         FROM stripped
     """
+
+
+def ann_recall_report_sql(
+    k: int = 10, n_queries: int = 10, dim: int = 64, seed: int = 42
+) -> str:
+    """Replay of the full ANN recall report: exact cosine top-k ground
+    truth, then per-method multi-table hyperplane-LSH top-k and the
+    hits/expected/recall aggregate (``similarity.ann_recall``). Methods
+    come from ``similarity.RECALL_REPORT_METHODS``; per-table seeds from
+    ``similarity.table_seed`` — one source of truth for both engines."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        RECALL_REPORT_METHODS,
+        table_seed,
+    )
+
+    cos = """CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+             ELSE list_sum(list_transform(list_zip(q.vec, c.vec),
+                    p -> p[1] * p[2])) / (q.nrm * c.nrm) END"""
+    recall = (
+        "CAST(floor((hits * 20000 + expected) / (expected * 2.0)) AS BIGINT)"
+        " / 10000.0"
+    )
+    ctes = [
+        f"""v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        )""",
+        f"""exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {n_queries}
+          ) WHERE rank <= {k}
+        )""",
+        f"exp_cnt AS (SELECT count(*) AS expected FROM exact)",
+    ]
+    selects = []
+    for method, num_planes, num_tables in RECALL_REPORT_METHODS:
+        buckets = ", ".join(
+            f"{_hyperplane_bucket_expr(num_planes, dim, table_seed(seed, t))} AS b{t}"
+            for t in range(num_tables)
+        )
+        on = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+        ctes.append(
+            f"""bk_{method} AS (
+              SELECT vec_id, vec, nrm, {buckets} FROM v
+            )"""
+        )
+        ctes.append(
+            f"""approx_{method} AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, vec_id) AS rank
+                FROM (
+                  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id,
+                         round({cos}, 6) AS cosine
+                  FROM bk_{method} q JOIN bk_{method} c
+                    ON ({on}) AND q.vec_id <> c.vec_id
+                  WHERE q.vec_id < {n_queries}
+                )
+              ) WHERE rank <= {k}
+            )"""
+        )
+        ctes.append(
+            f"""hit_{method} AS (
+              SELECT count(*) AS hits
+              FROM approx_{method} a JOIN exact e USING (q_id, vec_id)
+            )"""
+        )
+        selects.append(
+            f"""SELECT '{method}' AS method,
+                   CAST(hits AS BIGINT) AS hits,
+                   CAST(expected AS BIGINT) AS expected,
+                   {recall} AS recall
+            FROM hit_{method} CROSS JOIN exp_cnt"""
+        )
+    body = "\n        UNION ALL\n        ".join(selects)
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + body

@@ -458,6 +458,59 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, k=5)
 
 
+@register("ann_recall_report", oracle.ann_recall_report_sql(k=10, n_queries=10))
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every hyperplane-LSH configuration against exact
+    brute-force ground truth, as a hash-checked aggregate — an ANN that
+    silently degrades shows up as a red driver row, not a hunch. Methods
+    span the planes/tables tradeoff (more planes = smaller buckets =
+    cheaper + lower recall; more tables = OR-amplification = recall back
+    up at linear cost)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        RECALL_REPORT_METHODS,
+        ann_lsh_topk,
+        ann_recall,
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    out: DataFrame | None = None
+    for method, num_planes, num_tables in RECALL_REPORT_METHODS:
+        approx = ann_lsh_topk(
+            emb, queries, k=10, num_planes=num_planes, num_tables=num_tables
+        ).select("q_id", "vec_id")
+        row = ann_recall(exact, approx).select(
+            F.lit(method).alias("method"), "hits", "expected", "recall"
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
+@register("ann_recall_ivf", None)
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF path vs brute force (rows-only: the KMeans
+    coarse quantizer is iterative and not SQL-replayable; the recall
+    floor is pinned by pytest instead)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    approx = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=3).select(
+        "q_id", "vec_id"
+    )
+    return ann_recall(exact, approx).select(
+        F.lit("ivf_c16_p3").alias("method"), "hits", "expected", "recall"
+    )
+
+
 # =====================================================================
 # Relational surface (star schema) — all stock pyspark.sql + oracle SQL
 # =====================================================================

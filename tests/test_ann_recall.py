@@ -1,0 +1,97 @@
+"""ANN recall quantification (round-6): the approximate paths must state
+and keep a measured recall floor against brute-force ground truth, so a
+silently degrading ANN shows up as a red test, not a hunch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators.similarity import (
+    RECALL_REPORT_METHODS,
+    ann_lsh_topk,
+    ann_recall,
+    brute_force_topk,
+    ivf_topk,
+)
+from llm_training_data_pipeline_spark.schemas import load_table
+from tests.conftest import SF_DIR
+
+# Floors hold at both sf0.001 and sf0.01 (the report is fully seeded, so
+# per-sf values are deterministic: p4_t8 measures 0.69 / 0.66, ivf
+# 0.45 / 0.56). The synthetic embeddings are near-random (neighbor
+# angles ~80°) — real embedding corpora cluster far tighter and recall
+# runs much higher at the same config.
+FLOORS = {
+    "lsh_p4_t1": 0.10,
+    "lsh_p4_t8": 0.50,
+    "lsh_p6_t4": 0.10,
+}
+
+
+@pytest.fixture(scope="module")
+def recall_by_method(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    out = {}
+    for method, num_planes, num_tables in RECALL_REPORT_METHODS:
+        approx = ann_lsh_topk(
+            emb, queries, k=10, num_planes=num_planes, num_tables=num_tables
+        ).select("q_id", "vec_id")
+        out[method] = ann_recall(exact, approx).collect()[0]
+    return out
+
+
+def test_lsh_recall_floors(recall_by_method):
+    for method, floor in FLOORS.items():
+        assert recall_by_method[method]["recall"] >= floor, (
+            method,
+            recall_by_method[method]["recall"],
+        )
+
+
+def test_or_amplification_raises_recall(recall_by_method):
+    """More tables at fixed planes must strictly help on this data."""
+    assert (
+        recall_by_method["lsh_p4_t8"]["recall"]
+        > recall_by_method["lsh_p4_t1"]["recall"]
+    )
+    assert (
+        recall_by_method["lsh_p6_t4"]["recall"]
+        > recall_by_method["lsh_p6_t1"]["recall"]
+    )
+
+
+def test_ivf_recall_floor(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    approx = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=3).select(
+        "q_id", "vec_id"
+    )
+    row = ann_recall(exact, approx).collect()[0]
+    assert row["recall"] >= 0.40, row["recall"]
+    assert row["expected"] == 100
+
+
+def test_multi_table_candidates_deduped(spark):
+    """A pair colliding in several tables must appear once in the ranked
+    output (DISTINCT on the identical rounded score)."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = ann_lsh_topk(emb, queries, k=10, num_planes=4, num_tables=8)
+    n = res.count()
+    n_distinct = res.select("q_id", "vec_id").distinct().count()
+    assert n == n_distinct
+
+
+def test_single_table_unchanged_by_extension(spark):
+    """num_tables=1 must reproduce the r5 single-table results exactly
+    (table 0 seed == seed) — the oracle-paired ann_lsh_topk query relies
+    on this."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = ann_lsh_topk(emb, queries, k=5)
+    b = ann_lsh_topk(emb, queries, k=5, num_tables=1)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
