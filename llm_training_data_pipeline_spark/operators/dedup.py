@@ -196,6 +196,8 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """D4 candidate generation: LSH band self-join → (id_a < id_b) pairs with
     signature-estimated Jaccard.
@@ -212,9 +214,50 @@ def minhash_candidate_pairs(
        by id for the surviving candidate pairs, so shuffle width stays
        16 bytes/row instead of 16 + 8*num_perm;
     3. verification is the signature-estimated Jaccard >= threshold.
+
+    ``signatures``: a precomputed, already-materialized (id, minhash_sig)
+    table (``cached_minhash_signatures`` / ``persist_minhash_signatures``)
+    — skips the signature pass entirely; output is bit-identical.
     """
-    sig = minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    )
     return minhash_candidate_pairs_from_signatures(sig, id_col, cfg)
+
+
+# Session-scoped signature store: one signature pass per (application,
+# dataset key, config), shared by every downstream consumer in the session
+# (candidate pairs, dedup, clustering, keep-best, n-gram verify). At 100 TB
+# the signature pass dominates every one of those consumers, so computing
+# it once per dataset — or loading it from a bucketed table via
+# ``persist_minhash_signatures`` — is the difference between one corpus
+# scan and five. Entries from stopped sessions are keyed away by
+# applicationId (their checkpoint blocks die with the session).
+_SIG_CACHE: dict[tuple[str, str, MinHashConfig], DataFrame] = {}
+
+
+def cached_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+    *,
+    cache_key: str,
+) -> DataFrame:
+    """Compute + materialize (eager localCheckpoint) the signature table
+    once per (SparkSession, ``cache_key``, cfg) and return the same
+    materialized DataFrame to every caller. ``cache_key`` must identify
+    the input dataset (e.g. its path) — the cache trusts it blindly.
+    Bit-identical to ``minhash_signatures`` by construction."""
+    spark = df.sparkSession
+    key = (spark.sparkContext.applicationId, cache_key, cfg)
+    sig = _SIG_CACHE.get(key)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+        _SIG_CACHE[key] = sig
+    return sig
 
 
 def persist_minhash_signatures(
@@ -322,6 +365,8 @@ def minhash_bucket_stars(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Clustering-specific candidate edges: ONE STAR PER LSH BUCKET
     (bucket-min → member) instead of the all-pairs bucket clique.
@@ -340,11 +385,20 @@ def minhash_bucket_stars(
     join-back, no quadratic pair set. Reference anchor:
     deduplicator.py:205-214 (cluster counting this extends).
     """
-    sig = minhash_signatures(df, text_col, id_col, cfg)
-    # the roots aggregate and the member join both read the banded table —
-    # without materialization each branch recomputes the whole shingle+md5
-    # signature pipeline (same measured ~2x as minhash_candidate_pairs)
-    banded = minhash_band_buckets(sig, id_col, cfg).localCheckpoint(eager=True)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, cfg)
+    )
+    banded = minhash_band_buckets(sig, id_col, cfg)
+    if signatures is None:
+        # the roots aggregate and the member join both read the banded
+        # table — without materialization each branch recomputes the whole
+        # shingle+md5 signature pipeline (same measured ~2x as
+        # minhash_candidate_pairs). With a precomputed (materialized)
+        # signature table the re-derivation per branch is just the band
+        # explode — cheaper than a second checkpoint write.
+        banded = banded.localCheckpoint(eager=True)
     roots = banded.groupBy("bucket").agg(F.min(id_col).alias("_root"))
     return (
         banded.join(roots, on="bucket")
@@ -359,9 +413,11 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """D5: drop every doc that near-matches a smaller-id doc (min-id wins)."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg)
+    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg, signatures=signatures)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -619,6 +675,8 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.6,
     cfg: MinHashConfig | None = None,
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity pairs.
 
@@ -628,10 +686,23 @@ def ngram_jaccard_pairs(
     similarity join (equi-join on the block bounds the pair explosion) —
     fully SQL-expressible, kept as the small-input oracle-parity anchor,
     but a popular block value makes it a quadratic shuffle at scale.
+
+    NOTE (r5 behavior change, kept): the default ``block_col`` used to be
+    ``'source'``; default-arg callers now get the LSH path, whose
+    candidate recall at the default 16-perm/4-band config is below 1 for
+    pairs judged by word-2-gram Jaccard — a deliberate scale-for-recall
+    trade. Pass ``block_col='source'`` to recover the old exhaustive
+    blocked behavior.
     """
     if block_col is None:
         return ngram_jaccard_pairs_lsh(
-            df, text_col, id_col, n=n, threshold=threshold, cfg=cfg or MinHashConfig()
+            df,
+            text_col,
+            id_col,
+            n=n,
+            threshold=threshold,
+            cfg=cfg or MinHashConfig(),
+            signatures=signatures,
         )
     g = _word_gram_table(df, text_col, id_col, n, block_col)
     a, b = g.alias("a"), g.alias("b")
@@ -657,6 +728,8 @@ def ngram_jaccard_pairs_lsh(
     n: int = 2,
     threshold: float = 0.6,
     cfg: MinHashConfig = MinHashConfig(),
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-candidate exact n-gram Jaccard — D4-style similarity
     (reference deduplicator.py:150-180) at corpus scale.
@@ -669,7 +742,11 @@ def ngram_jaccard_pairs_lsh(
     similarity); with ``cfg.hash_family="md5"`` the candidate set and
     the verification are both DuckDB-replayable bit-for-bit.
     """
-    sig = minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    )
     cand = minhash_band_candidates(sig, id_col, cfg)
     g = _word_gram_table(df, text_col, id_col, n)
     ga = g.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
@@ -894,6 +971,8 @@ def dedup_keep_best(
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    *,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup removal that keeps the HIGHEST-``score_col`` member of
     each duplicate cluster (ties → smallest id) instead of the smallest
@@ -910,8 +989,14 @@ def dedup_keep_best(
     cluster pass through untouched (left join, cluster label defaults
     to the doc itself). Window partitions are cluster-sized — bounded by
     near-dup group sizes, never corpus-sized.
+
+    ``signatures``: a precomputed materialized signature table
+    (``cached_minhash_signatures`` / ``persist_minhash_signatures``) —
+    at 100 TB the signature pass dominates, so feed every consumer from
+    one pass instead of re-scanning raw text per call. Bit-identical
+    output either way (pinned in tests/test_dedup.py).
     """
-    stars = minhash_bucket_stars(df, text_col, id_col, cfg)
+    stars = minhash_bucket_stars(df, text_col, id_col, cfg, signatures=signatures)
     clusters = dedup_clusters(stars).withColumnRenamed("doc_id", id_col)
     labeled = df.join(clusters, on=id_col, how="left").withColumn(
         "_cluster", F.coalesce(F.col("cluster_id"), F.col(id_col))

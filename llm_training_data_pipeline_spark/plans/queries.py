@@ -81,7 +81,14 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "minhash_pairs_md5": 5,
     "dedup_keep_best": 5,
     "temperature_mix_weights": 5,
+    # r6: the five md5-family consumers now feed off the session signature
+    # store (bit-identical by construction + pinned, but re-score)
+    "ngram_jaccard_lsh": 6,
+    "minhash_dedup_md5": 6,
 }
+_CHANGED_IN_ROUND.update(
+    {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -142,6 +149,22 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+# The one MinHash configuration the DuckDB oracle replays bit-for-bit;
+# shared by five queries (candidate pairs, dedup, clustering, keep-best,
+# n-gram verify), so their signature pass is computed ONCE per session via
+# the dedup signature store — the 100 TB architecture (one corpus-scan
+# signature job feeding every consumer), exercised at test scale.
+_MD5_CFG = dedup.MinHashConfig(
+    num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+)
+
+
+def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.cached_minhash_signatures(
+        _t(spark, sf_dir, "documents"), cfg=_MD5_CFG, cache_key=sf_dir
+    )
 
 
 def _units(col, scale: int = 4):
@@ -272,11 +295,12 @@ def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verified on candidates only (no block column, no all-pairs).
     The md5 hash family makes candidates AND verification DuckDB-
     replayable bit-for-bit."""
-    cfg = dedup.MinHashConfig(
-        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
-    )
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=2, threshold=0.3, cfg=cfg
+        _t(spark, sf_dir, "documents"),
+        n=2,
+        threshold=0.3,
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
     )
 
 
@@ -1324,10 +1348,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a hot bucket contributing thousands vs millions of edges —
     and the shallow star topology converges the label propagation in a
     couple of rounds instead of graph-diameter rounds."""
-    cfg = dedup.MinHashConfig(
-        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    stars = dedup.minhash_bucket_stars(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
     )
-    stars = dedup.minhash_bucket_stars(_t(spark, sf_dir, "documents"), cfg=cfg)
     return dedup.dedup_clusters(stars)
 
 
@@ -1375,10 +1400,11 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signatures, banding, est-Jaccard all value-checked, not just
     rows-only). Production keeps the faster xxhash64 family; the math
     is identical."""
-    cfg = dedup.MinHashConfig(
-        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    pairs = dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
     )
-    pairs = dedup.minhash_candidate_pairs(_t(spark, sf_dir, "documents"), cfg=cfg)
     return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
@@ -1392,10 +1418,11 @@ def q_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join are all replayed by the oracle — upgrading minhash dedup
     from pairs-only value checking to whole-operator value checking.
     Production keeps the xxhash64 family (identical math)."""
-    cfg = dedup.MinHashConfig(
-        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    out = dedup.minhash_dedup(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
     )
-    out = dedup.minhash_dedup(_t(spark, sf_dir, "documents"), cfg=cfg)
     return out.select("doc_id", "text", "lang", "source", "n_chars")
 
 
@@ -1996,10 +2023,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup removal: keep the longest member of each
     LSH cluster (curated-corpus policy) instead of the smallest id —
     star edges, label propagation, one cluster-partitioned window."""
-    cfg = dedup.MinHashConfig(
-        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
-    )
     out = dedup.dedup_keep_best(
-        _t(spark, sf_dir, "documents"), "n_chars", cfg=cfg
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
     )
     return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))

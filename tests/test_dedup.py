@@ -371,3 +371,47 @@ def test_dedup_keep_best_tie_breaks_on_id(spark):
     cfg = MinHashConfig(num_perm=32, threshold=0.5, num_bands=8)
     kept = [r["doc_id"] for r in dedup_keep_best(df, "score", cfg=cfg).collect()]
     assert kept == [10]
+
+
+def test_signature_reuse_bit_identical(spark):
+    """dedup_keep_best / dedup_clusters / minhash_dedup fed from a
+    precomputed signature table (persisted-bucketed AND session-cached)
+    must reproduce the raw-text path bit-for-bit (round-6 contract: one
+    signature pass feeds every consumer at scale)."""
+    import shutil
+
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        MinHashConfig,
+        cached_minhash_signatures,
+        dedup_clusters,
+        dedup_keep_best,
+        minhash_bucket_stars,
+        minhash_dedup,
+        persist_minhash_signatures,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_sig_reuse")
+    shutil.rmtree("spark-warehouse/t_sig_reuse", ignore_errors=True)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    persisted = persist_minhash_signatures(docs, "t_sig_reuse", cfg=cfg, num_buckets=4)
+    cached = cached_minhash_signatures(docs, cfg=cfg, cache_key="sf0.001-test")
+    # the cache returns the SAME materialized frame on a second call
+    assert cached is cached_minhash_signatures(docs, cfg=cfg, cache_key="sf0.001-test")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    base_stars = minhash_bucket_stars(docs, cfg=cfg)
+    base_clusters = rows(dedup_clusters(base_stars))
+    base_keep = rows(dedup_keep_best(docs, "n_chars", cfg=cfg))
+    base_dedup = rows(minhash_dedup(docs, cfg=cfg))
+
+    for sig in (persisted, cached):
+        stars = minhash_bucket_stars(docs, cfg=cfg, signatures=sig)
+        assert rows(dedup_clusters(stars)) == base_clusters
+        assert rows(dedup_keep_best(docs, "n_chars", cfg=cfg, signatures=sig)) == base_keep
+        assert rows(minhash_dedup(docs, cfg=cfg, signatures=sig)) == base_dedup
