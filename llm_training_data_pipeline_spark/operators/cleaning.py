@@ -29,6 +29,11 @@ from pyspark.sql.types import StringType
 # Patterns are verbatim from the reference (cleaner.py:52-60); they are valid
 # in Java regex (Spark) and RE2 (DuckDB oracle) alike.
 URL_PATTERN = r"https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+[/\w\-.~:/?#\[\]@!$&'()*+,;=%]*"
+# Deliberate deviation from the reference: cleaner.py:53 writes the TLD
+# class as [A-Z|a-z]{2,} — the literal '|' inside a character class is a
+# reference bug (it would also match pipes in "TLDs"). Both the Spark and
+# DuckDB sides use this corrected pattern, so the oracle mirror cannot
+# drift; do NOT "fix" it back to match the reference byte-for-byte.
 EMAIL_PATTERN = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
 CITATION_PATTERN = r"(?i)\[\d+\]|\[citation needed\]|\[note \d+\]"
 MULTIPLE_SPACES = r"[ \t]+"
@@ -106,54 +111,76 @@ def _sloppy_cp1252_encode(s: str) -> bytes:
     return bytes(out)
 
 
+# maximal non-ASCII runs: UTF-8 multibyte sequences contain no ASCII
+# bytes, and every cp1252/latin-1/MacRoman image of a byte >= 0x80 is a
+# non-ASCII codepoint — so a mojibake segment is always wholly contained
+# in one such run, and repairing runs independently (ftfy's segmentation
+# idea) fixes mixed strings whose whole-string re-encode fails on an
+# unrelated legitimate character (the ``¯\\_(ツ)_/¯`` case).
+_NONASCII_RUN = re.compile(r"[^\x00-\x7f]+")
+
+
+def _repair_run(run: str) -> str:
+    """Try to repair ONE maximal non-ASCII run. A re-decode is accepted
+    only when the run contains suspicious lead+trail mark pairs AND the
+    candidate strictly reduces their count — legitimate non-ASCII text
+    that happens to round-trip is left untouched."""
+    bad = _badness(run)
+    if bad == 0:
+        return run
+    # sloppy cp1252 first (strict cp1252 plus raw control passthrough —
+    # strictly more strings repairable, identical where both succeed);
+    # mac_roman last (its charset barely overlaps cp1252's suspicious
+    # range, so order rarely matters, but the windows family is the
+    # overwhelmingly common mojibake source)
+    for enc in ("sloppy", "latin-1", "mac_roman"):
+        try:
+            raw = _sloppy_cp1252_encode(run) if enc == "sloppy" else run.encode(enc)
+            candidate = raw.decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if candidate != run and _badness(candidate) < bad:
+            return candidate
+    return run
+
+
 def _fix_mojibake(s: str) -> str:
     """Best-effort mojibake repair (stand-in for ``ftfy.fix_text``).
 
     ftfy is not available in this environment; this stdlib repair covers:
 
     - HTML entities (``&amp;`` / ``&#8217;`` / ``&eacute;``) via
-      ``html.unescape`` — mirrors ftfy's ``unescape_html`` step;
+      ``html.unescape`` — mirrors ftfy's ``unescape_html`` step, and runs
+      INSIDE the fixpoint so entity/mojibake interleavings
+      (``&Atilde;&copy;`` → ``Ã©`` → ``é``) resolve in one call;
     - UTF-8-read-as-cp1252/latin-1 (``â€™`` → ``’``, ``Ã©`` → ``é``),
       including latin-1 pages whose 0x80-0x9F bytes surface as raw
       controls, and double/triple-encoded chains (``Ã¢â‚¬â„¢`` → ``’``)
-      via a bounded fixpoint (3 passes);
-    - UTF-8-read-as-MacRoman (``√©`` → ``é``, ``‚Äô`` → ``’``).
+      via the bounded fixpoint (3 passes);
+    - UTF-8-read-as-MacRoman (``√©`` → ``é``, ``‚Äô`` → ``’``);
+    - mixed strings: repair is per maximal non-ASCII run, so mojibake
+      next to legitimate non-ASCII (or unrepairable damage) is still
+      fixed run-by-run instead of failing wholesale.
 
-    Acceptance rule: a re-decode is applied only when the input contains
-    suspicious lead+trail mark pairs (``_MOJIBAKE_MARKS``) AND the candidate
-    strictly reduces their count — legitimate non-ASCII text that happens to
-    round-trip is left untouched. Deterministic and idempotent; a
-    clearly-marked narrower repair than ftfy (reference:
-    src/processing/cleaner.py:108-112).
+    Deterministic and idempotent; a clearly-marked narrower repair than
+    ftfy (reference: src/processing/cleaner.py:108-112).
     """
     if not s:
         return s
-    if "&" in s and _HTML_ENTITY.search(s):
-        s = html.unescape(s)
-    for _ in range(3):  # bounded fixpoint for double/triple-encoded chains
-        if s.isascii():
+    for _ in range(3):  # bounded fixpoint for chains + revealed entities
+        changed = False
+        if "&" in s and _HTML_ENTITY.search(s):
+            unescaped = html.unescape(s)
+            if unescaped != s:
+                s = unescaped
+                changed = True
+        if not s.isascii() and _badness(s) > 0:
+            repaired = _NONASCII_RUN.sub(lambda m: _repair_run(m.group()), s)
+            if repaired != s:
+                s = repaired
+                changed = True
+        if not changed:
             break
-        bad = _badness(s)
-        if bad == 0:
-            break
-        repaired = None
-        # sloppy cp1252 first (strict cp1252 plus raw control passthrough —
-        # strictly more strings repairable, identical where both succeed);
-        # mac_roman last (its charset barely overlaps cp1252's suspicious
-        # range, so order rarely matters, but the windows family is the
-        # overwhelmingly common mojibake source)
-        for enc in ("sloppy", "latin-1", "mac_roman"):
-            try:
-                raw = _sloppy_cp1252_encode(s) if enc == "sloppy" else s.encode(enc)
-                candidate = raw.decode("utf-8")
-            except (UnicodeEncodeError, UnicodeDecodeError):
-                continue
-            if candidate != s and _badness(candidate) < bad:
-                repaired = candidate
-                break
-        if repaired is None:
-            break
-        s = repaired
     return s
 
 

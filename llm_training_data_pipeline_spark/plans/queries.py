@@ -85,6 +85,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # store (bit-identical by construction + pinned, but re-score)
     "ngram_jaccard_lsh": 6,
     "minhash_dedup_md5": 6,
+    # r6: per-run mojibake segmentation + in-fixpoint entity unescape
+    "clean_documents_full": 6,
 }
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}

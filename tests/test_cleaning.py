@@ -158,18 +158,28 @@ def test_fix_mojibake_ftfy_canonical_examples():
         # (digit/space follow the mark, which is outside the trail class)
         ("√2 ≈ 1.414", "√2 ≈ 1.414"),
         ("A ¬ B", "A ¬ B"),
+        # r6: per-run segmentation — the ftfy README shrug example. The
+        # kaomoji's latin-1-damaged run repairs on its own even though
+        # the surrounding macrons are un-re-encodable; the whole-string
+        # approach used to decline exactly here.
+        ("&macr;\\_(ã\x83\x84)_/&macr;", "¯\\_(ツ)_/¯"),
+        # r6: entity unescape inside the fixpoint — entities that DECODE
+        # to mojibake resolve in one call
+        ("&Atilde;&copy;t&Atilde;&copy;", "été"),
+        # r6: mojibake adjacent to legitimate (unrepairable) non-ASCII is
+        # fixed run-by-run instead of failing wholesale
+        ("Привет Ã© mixed", "Привет é mixed"),
+        ("é next to Ã©", "é next to é"),
     ]
     skipped = [
-        # shrug kaomoji: the 'ã' + raw 0x83 pair IS detected now, but
-        # every candidate re-encode fails on the surrounding macron
-        # characters (¯ is outside latin-1's repairable image and its
-        # MacRoman byte 0xF8 is no valid UTF-8 lead), so the acceptance
-        # rule declines and the kaomoji survives; ftfy's full cost model
-        # would segment the string. The HTML entities DO unescape.
-        ("&macr;\\_(ã\x83\x84)_/&macr;", "¯\\_(ã\x83\x84)_/¯"),
         # ftfy also uncurls lone curly apostrophes per style config; this
         # repair never rewrites legitimate text
         ("it’s fine", "it’s fine"),
+        # legit+mojibake fused in ONE contiguous run: no candidate decode
+        # of the whole run exists, so it survives — ftfy's character-level
+        # cost model can split inside a run; this repair segments only at
+        # ASCII boundaries (documented fidelity boundary)
+        ("éÃ©", "éÃ©"),
     ]
     for inp, want in fixed + skipped:
         got = _fix_mojibake(inp)
