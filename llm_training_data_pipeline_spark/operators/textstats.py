@@ -8,9 +8,11 @@ scans (no Python, no shuffle).
 The reference's language check (Q9) wraps ``langdetect``
 (/root/reference/src/processing/quality_filter.py:243-252); that library is
 not available here, so ``lang_id`` is a deterministic stopword/char-class
-profile heuristic — 11 stopword profiles (en fr es de pt it nl tr pl sv id)
-plus 9 script classes (ja zh ru ko ar hi th el he), 20 languages total —
-same API position, documented substitution, testable and SQL-expressible.
+profile heuristic — 17 stopword profiles (en fr es de pt it nl tr pl sv id
+ro da fi cs hu ca) plus 10 script classes (ja zh ru ko ar hi th el he vi)
+with within-script refinement (Cyrillic → ru/uk, Arabic → ar/fa), 29
+languages total — same API position, documented substitution, testable and
+SQL-expressible.
 """
 
 from __future__ import annotations
@@ -38,14 +40,31 @@ LANG_PROFILES: dict[str, str] = {
     "pl": r"\b(nie|jest|jak|ale|przez|tylko|bardzo|jego|tego|oraz|czy|dla|przy|lub)\b",
     "sv": r"\b(och|att|det|som|av|med|den|till|inte|har|ett|om|han|hon)\b",
     "id": r"\b(yang|dan|di|dengan|untuk|dari|ini|itu|pada|adalah|tidak|akan|juga|atau)\b",
+    # r6 widening — accent-free function words only (see \b note above)
+    "ro": r"\b(care|este|sunt|pentru|dar|sau|mai|acest|fost|unde|foarte|ani|fie|spre)\b",
+    "da": r"\b(og|det|til|er|som|af|ikke|der|men|hvad|kan|skal|efter|hvor)\b",
+    "fi": r"\b(ja|on|ei|oli|mutta|kun|niin|jos|vain|kanssa|mukaan|jotka|ovat|hyvin)\b",
+    "cs": r"\b(je|se|na|to|ale|jako|pro|tak|nebo|aby|byl|jsou|jsem|kdy)\b",
+    "hu": r"\b(az|hogy|nem|egy|van|mint|meg|csak|mert|vagy|ez|ki|volt|lehet)\b",
+    "ca": r"\b(els|les|amb|per|com|una|dels|aquest|molt|fins|seva|aquesta|tot|cap)\b",
 }
 # deterministic argmax tie order (earlier wins)
-STOPWORD_ORDER = ("en", "fr", "es", "de", "pt", "it", "nl", "tr", "pl", "sv", "id")
+STOPWORD_ORDER = (
+    "en", "fr", "es", "de", "pt", "it", "nl", "tr", "pl", "sv", "id",
+    "ro", "da", "fi", "cs", "hu", "ca",
+)
 
 # Script-class languages: character evidence beats stopword evidence.
 # Java spells the classes \p{IsHan}; RE2 (DuckDB oracle) spells them \p{Han}.
 # ja is checked BEFORE zh: kanji-heavy Japanese also scores on Han, but any
 # meaningful kana presence is decisive for Japanese.
+# Vietnamese is Latin-script but its precomposed tone-marked vowels
+# (U+1EA0-U+1EF9) plus đ/ơ/ư are unique to it — a reliable "script"
+# signal with no regex-engine spelling difference (literal chars work
+# identically in Java regex and RE2). ă/â/ê/ô are deliberately excluded
+# (Romanian/French share them).
+_VI_CHARS = "đơưĐƠƯẠ-ỹ"
+
 SCRIPT_CLASS_SPARK: dict[str, str] = {
     "ja": r"\p{IsHiragana}\p{IsKatakana}",
     "zh": r"\p{IsHan}",
@@ -56,6 +75,7 @@ SCRIPT_CLASS_SPARK: dict[str, str] = {
     "th": r"\p{IsThai}",
     "el": r"\p{IsGreek}",
     "he": r"\p{IsHebrew}",
+    "vi": _VI_CHARS,
 }
 SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "ja": r"\p{Hiragana}\p{Katakana}",
@@ -67,9 +87,24 @@ SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "th": r"\p{Thai}",
     "el": r"\p{Greek}",
     "he": r"\p{Hebrew}",
+    "vi": _VI_CHARS,
 }
-SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi", "th", "el", "he")
+SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi", "th", "el", "he", "vi")
 SCRIPT_MIN_RATIO = 0.05
+
+# Within-script refinement (langdetect-style granularity): when a script
+# class fires, distinctive letters pick the specific language. Entry:
+# base script lang → (refined lang, refined-marks class, base-marks
+# class); the refined label wins iff count(refined marks) >
+# count(base marks) over the scoring prefix. Literal character classes —
+# identical spelling in Java regex and RE2.
+SCRIPT_REFINEMENTS: dict[str, tuple[str, str, str]] = {
+    # Ukrainian і ї є ґ vs Russian ы э ъ ё
+    "ru": ("uk", "іїєґІЇЄҐ", "ыэъёЫЭЪЁ"),
+    # Persian-specific پ چ ژ گ (Arabic has no counterpart class — any
+    # Persian letter majority of zero Arabic marks still needs > 0)
+    "ar": ("fa", "پچژگ", ""),
+}
 
 # Language evidence is scored over a fixed document prefix, mirroring the
 # reference's text[:1000] (quality_filter.py:250) at 2x the window. This
@@ -110,15 +145,29 @@ def lang_scores(text: Column) -> dict[str, Column]:
         scores[lang] = (
             F.regexp_count(text, F.lit(f"[{cls}]")).cast("double") / safe_chars
         )
+    for base, (refined, pos, neg) in SCRIPT_REFINEMENTS.items():
+        scores[f"_m_{refined}"] = F.regexp_count(text, F.lit(f"[{pos}]")).cast("long")
+        scores[f"_m_{base}"] = (
+            F.regexp_count(text, F.lit(f"[{neg}]")).cast("long") if neg else F.lit(0)
+        )
     return scores
 
 
 def _lang_cascade(s: dict[str, Column], min_score: float) -> Column:
     """Shared argmax cascade: script languages first (ja > zh > ru on char
-    ratio), then the highest stopword rate with tie order STOPWORD_ORDER."""
-    cascade = F.when(s[SCRIPT_ORDER[0]] >= F.lit(SCRIPT_MIN_RATIO), SCRIPT_ORDER[0])
-    for lang in SCRIPT_ORDER[1:]:
-        cascade = cascade.when(s[lang] >= F.lit(SCRIPT_MIN_RATIO), lang)
+    ratio, with within-script refinement per SCRIPT_REFINEMENTS), then the
+    highest stopword rate with tie order STOPWORD_ORDER."""
+    cascade: Column | None = None
+    for lang in SCRIPT_ORDER:
+        label: Column | str = lang
+        if lang in SCRIPT_REFINEMENTS:
+            refined, _pos, _neg = SCRIPT_REFINEMENTS[lang]
+            label = F.when(
+                s[f"_m_{refined}"] > s[f"_m_{lang}"], F.lit(refined)
+            ).otherwise(F.lit(lang))
+        cond = s[lang] >= F.lit(SCRIPT_MIN_RATIO)
+        cascade = F.when(cond, label) if cascade is None else cascade.when(cond, label)
+    assert cascade is not None
     best = F.greatest(*[s[lang] for lang in STOPWORD_ORDER])
     for lang in STOPWORD_ORDER:  # tie → earlier wins
         cascade = cascade.when((best >= F.lit(min_score)) & (s[lang] == best), lang)
@@ -177,6 +226,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
                 F.regexp_count(t, F.lit(f"[{cls}]")).cast("double"),
             ).otherwise(F.lit(0.0))
             / safe_chars
+        )
+    for base, (refined, pos, neg) in SCRIPT_REFINEMENTS.items():
+        score_exprs[f"_m_{refined}"] = F.when(
+            F.col("_lid_nonascii"), F.regexp_count(t, F.lit(f"[{pos}]")).cast("long")
+        ).otherwise(F.lit(0))
+        score_exprs[f"_m_{base}"] = (
+            F.when(
+                F.col("_lid_nonascii"),
+                F.regexp_count(t, F.lit(f"[{neg}]")).cast("long"),
+            ).otherwise(F.lit(0))
+            if neg
+            else F.lit(0)
         )
     staged = pre.select(
         "*", *[col.alias(f"_ls_{lang}") for lang, col in score_exprs.items()]

@@ -459,6 +459,7 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
         SCRIPT_CLASS_DUCKDB,
         SCRIPT_MIN_RATIO,
         SCRIPT_ORDER,
+        SCRIPT_REFINEMENTS,
         STOPWORD_ORDER,
     )
 
@@ -486,7 +487,13 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
     best = "greatest(" + ", ".join(scores[lang] for lang in STOPWORD_ORDER) + ")"
     case = "CASE"
     for lang in SCRIPT_ORDER:
-        case += f" WHEN ({script[lang]}) >= {SCRIPT_MIN_RATIO} THEN '{lang}'"
+        label = f"'{lang}'"
+        if lang in SCRIPT_REFINEMENTS:
+            refined, pos, neg = SCRIPT_REFINEMENTS[lang]
+            pos_n = f"len(regexp_extract_all({text_col}, '[{q(pos)}]'))"
+            neg_n = f"len(regexp_extract_all({text_col}, '[{q(neg)}]'))" if neg else "0"
+            label = f"(CASE WHEN {pos_n} > {neg_n} THEN '{refined}' ELSE '{lang}' END)"
+        case += f" WHEN ({script[lang]}) >= {SCRIPT_MIN_RATIO} THEN {label}"
     for lang in STOPWORD_ORDER:
         case += (
             f" WHEN ({best}) >= {min_score} AND ({scores[lang]}) = ({best}) THEN '{lang}'"

@@ -87,6 +87,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "minhash_dedup_md5": 6,
     # r6: per-run mojibake segmentation + in-fixpoint entity unescape
     "clean_documents_full": 6,
+    # r6: lang-id widened to 29 languages (vi script class, ru/uk + ar/fa
+    # refinement, 6 new stopword profiles) — oracle updated in lockstep
+    "lang_id_histogram": 6,
+    "quality_with_language": 6,
 }
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}

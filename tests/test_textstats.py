@@ -35,6 +35,17 @@ FIXTURES = [
     (20, "วันนี้อากาศดีมากเราจะไปเดินเล่นที่สวนสาธารณะกัน", "th"),
     (21, "Σήμερα ο καιρός είναι καλός και πηγαίνουμε για περπάτημα στο πάρκο.", "el"),
     (22, "היום מזג האוויר יפה ואנחנו הולכים לטייל בפארק של העיר.", "he"),
+    # round-6 widening: 6 new stopword profiles, vi script class, and
+    # within-script refinement (Cyrillic → ru/uk, Arabic → ar/fa)
+    (23, "Hôm nay trời đẹp chúng ta cùng đi dạo ở công viên thành phố nhé.", "vi"),
+    (24, "Сьогодні гарна погода і ми ідемо гуляти в парк цього міста.", "uk"),
+    (25, "امروز هوا خوب است و ما برای پیاده‌روی به پارک می‌رویم، گچ پژ.", "fa"),
+    (26, "Acest oras este foarte frumos dar mai sunt multe locuri unde nu am fost pentru ani.", "ro"),
+    (27, "Det er en god dag og vi skal ikke til parken men der er tid efter hvad han siger.", "da"),
+    (28, "Tänään on hyvä päivä ja me menemme puistoon kävelylle mutta vain jos ei sada.", "fi"),
+    (29, "To je dobrý den a my jdeme na procházku do parku ale jen pokud nebo aby bylo hezky.", "cs"),
+    (30, "Ez egy nagyon szép nap és mi sétálni megyünk a parkba de csak ha nem esik mert úgy jó.", "hu"),
+    (31, "Els nens van amb una bicicleta per la ciutat i aquest parc és molt gran fins al final.", "ca"),
 ]
 
 
