@@ -73,7 +73,14 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id (BIGINT) from literal hyperplanes."""
+    """Sign-pattern bucket id (BIGINT) from literal hyperplanes.
+
+    Guarded against dimension mismatch: a vector whose length differs
+    from the plane dimension would zip_with-pad with nulls, null every
+    dot product, evaluate every sign bit to 0 and silently collapse ALL
+    vectors into bucket 0 — degrading the "never all-pairs" guarantee
+    into a full quadratic single-bucket join. Fail loudly instead."""
+    dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         plane_lit = F.array(*[F.lit(float(x)) for x in plane])
@@ -81,7 +88,14 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0).cast("long")
         )
         bucket = bucket.bitwiseOR(bit)
-    return bucket
+    return F.when(F.size(vec) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: expected vector dim {dim}, got "),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
 
 
 def table_seed(seed: int, table: int) -> int:

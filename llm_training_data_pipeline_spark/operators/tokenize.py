@@ -580,7 +580,10 @@ class ByteLevelBpeTokenizer:
             "model": {
                 "type": "BPE",
                 "dropout": None,
-                "unk_token": self.special_tokens[1] if len(self.special_tokens) > 1 else None,
+                # select by content, not position: a custom special-token
+                # list may not keep '<unk>' at index 1, and byte-level BPE
+                # never emits unk anyway — None is the honest default
+                "unk_token": "<unk>" if "<unk>" in self.special_tokens else None,
                 "continuing_subword_prefix": None,
                 "end_of_word_suffix": None,
                 "fuse_unk": False,

@@ -248,29 +248,32 @@ def run_pipeline(
         )
 
     out_format = cfg.get("output.format", "parquet")
-    if output_dir:
-        path = os.path.join(output_dir, f"pipeline_output.{out_format}")
-        if out_format == "jsonl":
-            sinks.write_jsonl(df, path)
+    try:
+        if output_dir:
+            path = os.path.join(output_dir, f"pipeline_output.{out_format}")
+            if out_format == "jsonl":
+                sinks.write_jsonl(df, path)
+            else:
+                sinks.write_parquet(df, path)
+            if tok_summary:
+                tok_path = os.path.join(output_dir, "tokenizer.json")
+                tokenizer.save(tok_path)
+                tok_summary["tokenizer_path"] = tok_path
+                if hasattr(tokenizer, "save_hf"):
+                    # byte-level BPE round-trips the HF `tokenizers` wire
+                    # format exactly — emit it too so reference users can
+                    # load the artifact with their existing tooling (S10)
+                    hf_path = os.path.join(output_dir, "tokenizer_hf.json")
+                    tokenizer.save_hf(hf_path)
+                    tok_summary["tokenizer_hf_path"] = hf_path
         else:
-            sinks.write_parquet(df, path)
-        if tok_summary:
-            tok_path = os.path.join(output_dir, "tokenizer.json")
-            tokenizer.save(tok_path)
-            tok_summary["tokenizer_path"] = tok_path
-            if hasattr(tokenizer, "save_hf"):
-                # byte-level BPE round-trips the HF `tokenizers` wire
-                # format exactly — emit it too so reference users can
-                # load the artifact with their existing tooling (S10)
-                hf_path = os.path.join(output_dir, "tokenizer_hf.json")
-                tokenizer.save_hf(hf_path)
-                tok_summary["tokenizer_hf_path"] = hf_path
-    else:
-        df.write.format("noop").mode("overwrite").save()
-        path = None
-
-    if shuffle_cache is not None:
-        shuffle_cache.unpersist()
+            df.write.format("noop").mode("overwrite").save()
+            path = None
+    finally:
+        # unpersist even when the sink write throws — the MEMORY_AND_DISK
+        # blocks would otherwise leak for the SparkSession's lifetime
+        if shuffle_cache is not None:
+            shuffle_cache.unpersist()
 
     duration = time.time() - t0
     stage_metrics = {}
