@@ -79,6 +79,9 @@ HEADLINE = [
     "embedding_ann_pairs",
     "pipeline_e2e_exact",
     "boilerplate_ngrams",
+    # round-6 additions
+    "wiki_markup_strip",
+    "ann_recall_report",
 ]
 
 

@@ -65,23 +65,37 @@ def minhash_signature(
     property (Jaccard-similar sets collide) is what tests pin.
     """
     a, b = _perm_params(num_perm, seed)
-    a_lit = F.array(*[F.lit(x) for x in a])
-    b_lit = F.array(*[F.lit(x) for x in b])
-    h32 = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_FOLD))
+    # ONE traversal: hash each shingle once, fold all num_perm running
+    # minima simultaneously via aggregate+zip_with. The earlier
+    # per-permutation form (transform(sequence, i -> array_min(transform(
+    # h32, ...)))) re-evaluated the h32 expression — shingle-array build +
+    # xxhash64 per element — once per permutation, because Catalyst inlines
+    # the aliased array into every lambda use-site: measured 26x slower at
+    # 32 perms on the streaming micro-bench (tools/stream_bench.py).
+    ab = F.array(
+        *[
+            F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
+            for i in range(num_perm)
+        ]
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                h32,
-                lambda h: F.pmod(
-                    F.element_at(a_lit, i + 1) * h + F.element_at(b_lit, i + 1),
-                    F.lit(MERSENNE_31),
-                ),
-            )
+    h32 = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_FOLD)))
+    # sentinel: every permuted hash is < MERSENNE_31, so M31 == +inf here
+    init = F.array(*[F.lit(MERSENNE_31).cast("long")] * num_perm)
+    folded = F.aggregate(
+        h32,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, p: F.least(
+                m, F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE_31))
+            ),
         ),
     )
+    # preserve the original empty-set semantics (array_min over an empty
+    # array): all-NULL signature, not all-sentinel
+    nulls = F.array(*[F.lit(None).cast("long")] * num_perm)
+    return F.when(F.size(shingles) == 0, nulls).otherwise(folded)
 
 
 def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:

@@ -1,0 +1,113 @@
+"""Structured-Streaming throughput micro-bench (round-6, VERDICT ask #7).
+
+Replays the ``documents`` table through the streaming dedup operators as a
+file-source stream (N parquet files → N micro-batches, memory sink) and
+reports rows/s per operator, so streaming regressions become visible
+round-over-round in BENCH_NOTES.md instead of only semantics (the r5
+stream/batch equivalence tests).
+
+Usage: python tools/stream_bench.py [--sf-dir DIR] [--batches N]
+Prints ONE JSON line: {"metric": "streaming_rows_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("stream-bench")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from llm_training_data_pipeline_spark.operators.dedup import MinHashConfig
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+        streaming_minhash_dedup,
+    )
+
+    from pyspark.sql import functions as F
+
+    # synthetic deterministic event time (documents has none): exact dedup
+    # needs a watermark column
+    docs = load_table(spark, "documents", args.sf_dir).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    n_docs = docs.count()
+    src = tempfile.mkdtemp(prefix="stream_bench_")
+    # N files → N micro-batches with maxFilesPerTrigger=1
+    docs.repartition(args.batches).write.mode("overwrite").parquet(src)
+    schema = docs.schema
+
+    def run(name, build):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = build(stream)
+        t0 = time.time()
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"bench_{name}")
+            .outputMode("append" if name != "exact" else "append")
+            .start()
+        )
+        q.processAllAvailable()
+        elapsed = time.time() - t0
+        q.stop()
+        got = spark.table(f"bench_{name}").count()
+        return {
+            "rows_in": n_docs,
+            "rows_out": got,
+            "sec": round(elapsed, 3),
+            "rows_per_sec": round(n_docs / elapsed, 1),
+        }
+
+    results = {
+        "exact": run("exact", lambda s: streaming_exact_dedup(s)),
+        "minhash": run(
+            "minhash",
+            lambda s: streaming_minhash_dedup(
+                s, cfg=MinHashConfig(num_perm=32, num_bands=8), state_ttl_ms=None
+            ),
+        ),
+    }
+    shutil.rmtree(src, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rows_per_sec",
+                "sf_dir": args.sf_dir,
+                "batches": args.batches,
+                "operators": results,
+            }
+        )
+    )
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
