@@ -866,16 +866,64 @@ def exact_dedup_against(
     return exact_dedup(fresh, text_col, id_col)
 
 
+def _driver_union_find(rows: list, id_a: str, id_b: str) -> list[tuple[int, int]]:
+    """Min-label connected components of a small edge list, driver-side:
+    classic union-find with path compression, then min-id per component.
+    Output is identical to the distributed propagation fixpoint (same
+    unique min-reachable-id labeling; pinned in tests/test_dedup.py)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = int(r[id_a]), int(r[id_b])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # root is already the component minimum: unions always hang the larger
+    # root under the smaller one, so every tree root is its component min
+    return [(node, find(node)) for node in parent]
+
+
+# Above this many candidate pairs the transitive closure runs as the
+# distributed label propagation; below it, the edge list is collected and
+# solved with driver-side union-find. Near-dup cluster graphs are tiny
+# relative to the corpus (edges exist only among near-duplicates), so the
+# driver path is the overwhelmingly common case even at corpus scale —
+# the same size-adaptive strategy GraphFrames/AQE-style planners use.
+# 2M edges ≈ 32 MB collected — comfortable; the distributed path has no
+# size limit.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Transitive closure of near-duplicate pairs → ``(doc_id,
     cluster_id)`` where ``cluster_id`` is the minimum doc id reachable
     through any chain of pairs (the duplicate-*cluster* extraction the
     reference only counts, deduplicator.py:205-214).
+
+    Size-adaptive: the deduplicated undirected edge set is counted once
+    (cheap — it is checkpointed anyway for the propagation loop); at or
+    under ``driver_cc_max_edges`` the closure is solved with driver-side
+    union-find (milliseconds, zero Spark rounds) and the labels are
+    parallelized back. Larger graphs run the distributed min-label
+    propagation below. Both paths produce the identical min-reachable-id
+    labeling — the driver path is an optimization, not an approximation
+    (equality pinned in tests/test_dedup.py).
 
     Min-label propagation with pointer jumping: every node starts
     labeled with itself; each round (a) pulls the minimum label across
@@ -902,6 +950,14 @@ def dedup_clusters(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)  # reused every round
+    if edges.count() <= 2 * driver_cc_max_edges:  # symmetric: 2 rows/pair
+        labeled = _driver_union_find(
+            edges.collect(), "src", "dst"
+        )
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            labeled, "doc_id long, cluster_id long"
+        )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -415,3 +415,33 @@ def test_signature_reuse_bit_identical(spark):
         assert rows(dedup_clusters(stars)) == base_clusters
         assert rows(dedup_keep_best(docs, "n_chars", cfg=cfg, signatures=sig)) == base_keep
         assert rows(minhash_dedup(docs, cfg=cfg, signatures=sig)) == base_dedup
+
+
+def test_dedup_clusters_driver_path_equals_distributed(spark):
+    """The size-adaptive driver union-find must produce the identical
+    min-reachable-id labeling as the distributed propagation (it is an
+    optimization, not an approximation) — including chains that span
+    multiple pairs and isolated pairs."""
+    from llm_training_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 12), (20, 21), (40, 2), (2, 1), (50, 50)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(map(tuple, dedup_clusters(pairs).collect()))
+    slow = sorted(
+        map(tuple, dedup_clusters(pairs, driver_cc_max_edges=0).collect())
+    )
+    assert fast == slow
+    labels = dict(fast)
+    assert labels[12] == 3 and labels[5] == 3 and labels[9] == 3
+    assert labels[21] == 20
+    assert labels[40] == 1 and labels[2] == 1
+
+
+def test_dedup_clusters_empty_pairs_both_paths(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
+    assert dedup_clusters(empty, driver_cc_max_edges=0).count() == 0
