@@ -79,9 +79,12 @@ HEADLINE = [
     "embedding_ann_pairs",
     "pipeline_e2e_exact",
     "boilerplate_ngrams",
-    # round-6 additions
+    # round-6 additions (ann_recall_report is deliberately NOT here: it is
+    # a diagnostic audit query — 4 full LSH configurations + brute-force
+    # ground truth — whose ~15s would dominate and distort the suite
+    # total; its cost is recorded separately in BENCH_NOTES.md and the
+    # driver's correctness rotation still scores it at sf0.01)
     "wiki_markup_strip",
-    "ann_recall_report",
 ]
 
 

@@ -778,17 +778,22 @@ def embedding_near_dup_pairs(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    num_tables: int = 1,
     allow_cross_join: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
     Default (``block_col=None``): candidates share a random-hyperplane
     LSH bucket (sign pattern of ``num_planes`` seeded plane dots, the
-    same buckets as ``similarity.ann_lsh_topk``); exact cosine is
-    verified only on candidates — each vector lands in exactly one
-    bucket, so the join is quadratic per bucket (~|corpus|/2^planes),
-    never all-pairs. Recall for a pair at angle θ is (1-θ/π)^planes —
-    tune ``num_planes`` down for higher recall, up for lower cost.
+    same buckets as ``similarity.ann_lsh_topk``) in at least one of
+    ``num_tables`` independent tables; exact cosine is verified only on
+    candidates — per table each vector lands in exactly one bucket, so
+    the join is quadratic per bucket (~num_tables·|corpus|/2^planes),
+    never all-pairs. Single-table recall for a pair at angle θ is
+    (1-θ/π)^planes; OR-amplification lifts it to 1-(1-(1-θ/π)^planes)^t
+    at linearly higher cost (the measured tradeoff is the oracle-paired
+    ``ann_recall_report`` query). Pairs colliding in several tables
+    carry identical rounded cosines and collapse via DISTINCT.
 
     With ``block_col``: blocked equi-join (quadratic within a block —
     the oracle-parity anchor). ``allow_cross_join=True`` restores the
@@ -808,19 +813,51 @@ def embedding_near_dup_pairs(
         *([F.col(block_col)] if block_col else []),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
+    multi_table = False
     if block_col is None and not allow_cross_join:
         from llm_training_data_pipeline_spark.operators.similarity import (
             _hyperplanes,
             lsh_bucket,
+            table_seed,
         )
 
-        planes = _hyperplanes(dim, num_planes, seed)
-        vecs = vecs.withColumn("_bkt", lsh_bucket(F.col("_v"), planes))
+        if num_tables <= 1:
+            planes = _hyperplanes(dim, num_planes, seed)
+            vecs = vecs.withColumn("_bkt", lsh_bucket(F.col("_v"), planes))
+        else:
+            multi_table = True
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(
+                            F.col("_v"),
+                            _hyperplanes(dim, num_planes, table_seed(seed, t)),
+                        ).alias("b"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+            vecs = vecs.withColumn("_tb", F.explode(entries)).select(
+                F.col(id_col),
+                "_v",
+                "_n",
+                F.col("_tb.t").alias("_t"),
+                F.col("_tb.b").alias("_bkt"),
+            )
     a, b = vecs.alias("a"), vecs.alias("b")
     if block_col:
         joined = a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}")])
     elif allow_cross_join:
         joined = a.crossJoin(b)
+    elif multi_table:
+        joined = a.join(
+            b,
+            on=[
+                F.col("a._t") == F.col("b._t"),
+                F.col("a._bkt") == F.col("b._bkt"),
+            ],
+        )
     else:
         joined = a.join(b, on=[F.col("a._bkt") == F.col("b._bkt")])
     cos = F.when(
@@ -833,11 +870,12 @@ def embedding_near_dup_pairs(
     ]
     if block_col:
         out_cols.insert(0, F.col(f"a.{block_col}").alias(block_col))
-    return (
+    out = (
         joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(*out_cols)
         .filter(F.col("cosine") >= threshold)
     )
+    return out.distinct() if multi_table else out
 
 
 # --- incremental dedup against an existing corpus -------------------------

@@ -75,19 +75,44 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id (BIGINT) from literal hyperplanes.
 
-    Guarded against dimension mismatch: a vector whose length differs
-    from the plane dimension would zip_with-pad with nulls, null every
-    dot product, evaluate every sign bit to 0 and silently collapse ALL
-    vectors into bucket 0 — degrading the "never all-pairs" guarantee
-    into a full quadratic single-bucket join. Fail loudly instead."""
+    All plane dots are folded in ONE traversal of the vector's
+    dimensions (acc is a P-vector of running dots) instead of P separate
+    zip_with+aggregate passes — higher-order lambdas evaluate
+    interpreted, and the per-plane form also materializes a dim-length
+    product array per plane per row. Per-plane accumulation order is the
+    identical left fold (0 + v1*w1) + v2*w2 + ..., so results are
+    bit-for-bit unchanged and the DuckDB oracle replay
+    (``oracle._hyperplane_bucket_expr``) still agrees.
+
+    Guarded against dimension mismatch: a shorter/longer vector would
+    null the dots via out-of-range element_at, evaluate every sign bit
+    to 0 and silently collapse ALL vectors into bucket 0 — degrading the
+    "never all-pairs" guarantee into a full quadratic single-bucket
+    join. Fail loudly instead."""
     dim = len(planes[0])
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot_product(vec, plane_lit) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(bit)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes]
+    )
+    init = F.array_repeat(F.lit(0.0), len(planes))
+    dots = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        init,
+        lambda acc, i: F.zip_with(
+            acc,
+            planes_lit,
+            lambda a, pl: a + F.element_at(pl, i) * F.element_at(vec, i),
+        ),
+    )
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(len(planes))])
+    bucket = F.aggregate(
+        F.zip_with(
+            dots,
+            powers,
+            lambda d, pw: F.when(d > 0, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return F.when(F.size(vec) == dim, bucket).otherwise(
         F.raise_error(
             F.concat(
@@ -237,12 +262,17 @@ def ivf_topk(
 
 # (method label, num_planes, num_tables) rows of the recall report —
 # shared with oracle.ann_recall_report_sql so the two sides cannot drift.
+# Four configs span the planes/tables tradeoff (fewer planes = bigger
+# buckets = recall; more tables = OR-amplification = recall at linear
+# cost). Each additional (planes x tables) literal-plane set costs real
+# evaluation time — higher-order-function lambdas run interpreted, not
+# codegen'd — so the list is kept tight; p8_t8 measured 10s alone at
+# sf0.1 while adding nothing p4_t8/p6_t4 don't already show.
 RECALL_REPORT_METHODS: list[tuple[str, int, int]] = [
     ("lsh_p4_t1", 4, 1),
     ("lsh_p4_t8", 4, 8),
     ("lsh_p6_t1", 6, 1),
     ("lsh_p6_t4", 6, 4),
-    ("lsh_p8_t8", 8, 8),
 ]
 
 

@@ -399,17 +399,28 @@ def embedding_ann_pairs_sql(
     num_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> str:
     """Replay of dedup.embedding_near_dup_pairs (bucketed default):
-    candidates share the random-hyperplane LSH bucket (sign pattern of
+    candidates share a random-hyperplane LSH bucket (sign pattern of
     the seeded plane dots — the plane literals here are the exact
-    doubles the Spark plan bakes in), verification = exact cosine.
+    doubles the Spark plan bakes in) in at least one of ``num_tables``
+    tables (per-table seeds via ``similarity.table_seed``),
+    verification = exact cosine; multi-table collisions collapse via
+    DISTINCT exactly like the Spark DISTINCT on identical rounded rows.
 
     Caveat (accepted): the bucket bit compares a float dot product
     against 0 — both engines fold the 64 products left-to-right, and a
     sign flip would need a |dot| within float-noise of zero, which the
     O(1)-magnitude random planes make vanishingly unlikely."""
-    bucket = _hyperplane_bucket_expr(num_planes, dim, seed)
+    from llm_training_data_pipeline_spark.operators.similarity import table_seed
+
+    buckets = ", ".join(
+        f"{_hyperplane_bucket_expr(num_planes, dim, table_seed(seed, t))} AS b{t}"
+        for t in range(num_tables)
+    )
+    on = " OR ".join(f"a.b{t} = b.b{t}" for t in range(num_tables))
+    distinct = "DISTINCT " if num_tables > 1 else ""
     return f"""
         WITH v AS (
           SELECT vec_id,
@@ -417,13 +428,13 @@ def embedding_ann_pairs_sql(
                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
           FROM embeddings
         ), bk AS (
-          SELECT vec_id, vec, nrm, {bucket} AS bucket FROM v
+          SELECT vec_id, vec, nrm, {buckets} FROM v
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT {distinct}a.vec_id AS id_a, b.vec_id AS id_b,
                round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
                      ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
                             p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) AS cosine
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        FROM bk a JOIN bk b ON ({on}) AND a.vec_id < b.vec_id
         WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
                     ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
                            p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) >= {threshold}

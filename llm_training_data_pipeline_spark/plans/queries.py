@@ -91,6 +91,8 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # refinement, 6 new stopword profiles) — oracle updated in lockstep
     "lang_id_histogram": 6,
     "quality_with_language": 6,
+    # r6: multi-table OR-amplified LSH default (num_tables=4)
+    "embedding_ann_pairs": 6,
 }
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}
@@ -327,15 +329,23 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.3: the synthetic embeddings top out near cosine 0.475,
     # so 0.3 exercises real pair emission (0.8 would green-light on an
     # empty result)
-    oracle.embedding_ann_pairs_sql(threshold=0.3, num_planes=6, dim=64, seed=42),
+    oracle.embedding_ann_pairs_sql(
+        threshold=0.3, num_planes=6, dim=64, seed=42, num_tables=4
+    ),
 )
 def q_embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-scale default: candidates share a random-hyperplane
-    LSH bucket (each vector in exactly one bucket → per-bucket joins,
-    no CartesianProduct), exact cosine verified on candidates. The
-    oracle bakes the identical plane literals and replays the buckets."""
+    LSH bucket in at least one of 4 tables (per-bucket joins, no
+    CartesianProduct; OR-amplified recall per ann_recall_report), exact
+    cosine verified on candidates. The oracle bakes the identical plane
+    literals and replays buckets + DISTINCT collapse."""
     return dedup.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=6, dim=64, seed=42
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        num_planes=6,
+        dim=64,
+        seed=42,
+        num_tables=4,
     )
 
 
@@ -505,7 +515,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    # materialize the ground truth once: the union re-reads it per method
+    # (hits join + expected count), ~10 recomputes of the brute-force
+    # subplan otherwise
+    exact = (
+        brute_force_topk(emb, queries, k=10)
+        .select("q_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     out: DataFrame | None = None
     for method, num_planes, num_tables in RECALL_REPORT_METHODS:
         approx = ann_lsh_topk(

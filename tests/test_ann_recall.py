@@ -95,3 +95,21 @@ def test_single_table_unchanged_by_extension(spark):
     a = ann_lsh_topk(emb, queries, k=5)
     b = ann_lsh_topk(emb, queries, k=5, num_tables=1)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_embedding_pairs_multi_table_superset(spark):
+    """OR-amplified (t=4) candidate pairs must be a superset of the
+    single-table pairs at the same planes/seed, with no duplicate rows."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    one = embedding_near_dup_pairs(emb, threshold=0.3, num_tables=1)
+    four = embedding_near_dup_pairs(emb, threshold=0.3, num_tables=4)
+    p1 = {(r["id_a"], r["id_b"]) for r in one.collect()}
+    rows4 = four.collect()
+    p4 = {(r["id_a"], r["id_b"]) for r in rows4}
+    assert p1 <= p4
+    assert len(rows4) == len(p4), "multi-table emitted duplicate pairs"
+    assert len(p4) > len(p1), "amplification found no extra pairs at t=4"
