@@ -1506,6 +1506,20 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_meta(synthetic_audio_assets(spark, 64))
 
 
+@register("multimodal_video_meta", None)
+def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video counterpart: ISO-BMFF/MP4 container box-walk (ftyp brand,
+    mvhd timescale + duration in both version layouts, trak count) over
+    Arrow batches — real stdlib parsing, deterministic fixture,
+    rows-only check (binary payloads are not SQL-expressible)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+        synthetic_video_assets,
+    )
+
+    return decode_video_meta(synthetic_video_assets(spark, 64))
+
+
 @register("gopher_quality", oracle.gopher_quality_sql())
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText filtering rules (Rae et al. 2021 A1.1) — the

@@ -106,3 +106,61 @@ def test_extract_features_empty_payload(spark):
         "asset_id long, modality string, payload binary",
     )
     assert extract_features(df).collect()[0]["features"] == [0.0] * FEATURE_DIM
+
+
+def test_video_meta_parses_both_mvhd_versions(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+        synthetic_video_assets,
+    )
+
+    rows = {
+        r["asset_id"]: r
+        for r in decode_video_meta(synthetic_video_assets(spark, 12)).collect()
+    }
+    assert len(rows) == 12
+    for i, r in rows.items():
+        ts = (600, 1000, 90000)[i % 3]
+        assert r["brand"] == "isom"
+        assert r["timescale"] == ts
+        assert abs(r["duration_s"] - (1 + i % 5)) < 1e-6, (i, r)
+        assert r["n_tracks"] == 1 + (i % 3)
+
+
+def test_video_meta_non_mp4_yields_nulls(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+    )
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    df = spark.createDataFrame(
+        [
+            (1, "video", b"not a video at all", "video/mp4", {}),
+            (2, "video", None, "video/mp4", {}),
+        ],
+        MULTIMODAL_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in decode_video_meta(df).collect()}
+    assert rows[1]["brand"] is None and rows[1]["n_bytes"] == 18
+    assert rows[2]["brand"] is None and rows[2]["n_bytes"] == 0
+
+
+def test_mp4_box_walk_handles_truncation_and_largesize():
+    """Malformed/truncated boxes must stop the walk, not crash; 64-bit
+    largesize boxes parse."""
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import _mp4_meta
+
+    ftyp = struct.pack(">I", 20) + b"ftypisom\x00\x00\x02\x00mp41"
+    # truncated moov (declared larger than the buffer)
+    bad = ftyp + struct.pack(">I", 9999) + b"moov"
+    meta = _mp4_meta(bad)
+    assert meta == ("isom", 0, 0.0, 0)
+    # largesize moov containing a v0 mvhd
+    mvhd = struct.pack(">I", 28) + b"mvhd" + b"\x00\x00\x00\x00" + struct.pack(
+        ">IIII", 0, 0, 600, 1200
+    )
+    moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    meta = _mp4_meta(ftyp + moov)
+    assert meta == ("isom", 600, 2.0, 0)
