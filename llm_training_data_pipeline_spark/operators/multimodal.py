@@ -77,6 +77,35 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = _struct.unpack("<ii", payload[18:26])
+        return abs(w), abs(h)  # negative height = top-down DIB
+    return None
+
+
+def _webp_dims(payload: bytes) -> tuple[int, int] | None:
+    """RIFF/WEBP: VP8X extended header, VP8 lossy frame tag, or VP8L
+    lossless signature — all three layouts, header-only."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    chunk = payload[12:16]
+    if chunk == b"VP8X" and len(payload) >= 30:
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return w, h
+    if chunk == b"VP8 " and len(payload) >= 30 and payload[23:26] == b"\x9d\x01\x2a":
+        w = _struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+        h = _struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+        return w, h
+    if chunk == b"VP8L" and len(payload) >= 25 and payload[20] == 0x2F:
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    return None
+
+
 META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -92,8 +121,9 @@ META_SCHEMA = StructType(
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Header-only image metadata extraction over Arrow batches.
 
-    Real parsing (PNG/GIF/JPEG headers), no external deps; unknown formats
-    yield NULL dims. ``mapInPandas`` keeps the binary payloads executor-side.
+    Real parsing (PNG/GIF/JPEG/BMP/WebP headers — WebP covers the VP8X,
+    VP8 and VP8L layouts), no external deps; unknown formats yield NULL
+    dims. ``mapInPandas`` keeps the binary payloads executor-side.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,7 +139,13 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
                 dims, fmt = None, None
-                for name, fn in (("png", _png_dims), ("gif", _gif_dims), ("jpeg", _jpeg_dims)):
+                for name, fn in (
+                    ("png", _png_dims),
+                    ("gif", _gif_dims),
+                    ("jpeg", _jpeg_dims),
+                    ("bmp", _bmp_dims),
+                    ("webp", _webp_dims),
+                ):
                     dims = fn(b)
                     if dims:
                         fmt = name

@@ -164,3 +164,34 @@ def test_mp4_box_walk_handles_truncation_and_largesize():
     moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
     meta = _mp4_meta(ftyp + moov)
     assert meta == ("isom", 600, 2.0, 0)
+
+
+def test_bmp_and_webp_dims():
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _bmp_dims,
+        _webp_dims,
+    )
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert _bmp_dims(bmp) == (640, 480)
+
+    def riff(chunk: bytes, body: bytes) -> bytes:
+        payload = b"WEBP" + chunk + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    vp8x = riff(b"VP8X", b"\x00" * 4
+                + (99).to_bytes(3, "little") + (49).to_bytes(3, "little"))
+    assert _webp_dims(vp8x) == (100, 50)
+
+    vp8 = riff(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240) + b"\x00" * 4)
+    assert _webp_dims(vp8) == (320, 240)
+
+    bits = (199) | (99 << 14)  # w-1=199, h-1=99
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 4)
+    assert _webp_dims(vp8l) == (200, 100)
+
+    assert _webp_dims(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 20) is None
+    assert _bmp_dims(b"PK\x03\x04" + b"\x00" * 30) is None
