@@ -93,6 +93,11 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "quality_with_language": 6,
     # r6: multi-table OR-amplified LSH default (num_tables=4)
     "embedding_ann_pairs": 6,
+    # r6: lsh_bucket fold fusion + explode-based table path (bit-identical
+    # by construction, but the plan changed — re-score)
+    "ann_lsh_topk": 6,
+    # r6: BMP/WebP added to the image header battery
+    "multimodal_image_meta": 6,
 }
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}
