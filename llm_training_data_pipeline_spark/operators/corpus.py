@@ -573,3 +573,71 @@ def chunk_documents(
         "chunk_text",
         F.length("chunk_text").cast("long").alias("chunk_len"),
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of each document's ``window``-token spans that appear
+    verbatim in at least one OTHER document. MinHash answers "are these
+    documents near-duplicates"; this answers "how much of this document
+    is copied text" — the two miss different contamination (boilerplate
+    chunks inside otherwise-unique pages slip past whole-doc sketches).
+
+    Plan: lower+tokenize once per doc, explode one md5 window hash per
+    token position (O(n_tokens) rows — same volume as the unigram LM
+    explode), one map-side-combinable groupBy to find hashes spanning
+    >= 2 distinct docs, one join back, one per-doc aggregate. At corpus
+    scale every stage keys on the span hash — uniform by construction.
+    ``dup_fraction`` is half-up-rounded in exact integer arithmetic
+    (n/2^k quotients tie at fixed decimals; float round() is
+    engine-defined there).
+    """
+    w = window
+    staged = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).withColumn("_nw", F.greatest(F.size("_toks") - F.lit(w - 1), F.lit(0)))
+    # sequence(1, 0) would DESCEND in Spark — guard the empty case
+    spans = staged.filter(F.col("_nw") >= 1).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.col("_nw"))).alias("_i"),
+        "_toks",
+    ).select(
+        F.col(id_col),
+        F.md5(
+            F.encode(F.array_join(F.slice("_toks", F.col("_i"), w), " "), "UTF-8")
+        ).alias("_wh"),
+    )
+    dup = (
+        spans.groupBy("_wh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_wh", F.lit(1).alias("_isdup"))
+    )
+    per = (
+        spans.join(dup, on="_wh", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_windows"),
+            F.sum(F.coalesce(F.col("_isdup"), F.lit(0))).alias("_n_dup"),
+        )
+    )
+    nwin = F.coalesce(F.col("_n_windows"), F.lit(0)).cast("long")
+    ndup = F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long")
+    frac = F.when(
+        nwin > 0,
+        F.floor((ndup * 2000000 + nwin) / (nwin * F.lit(2.0))).cast("long")
+        / F.lit(1000000.0),
+    ).otherwise(F.lit(0.0))
+    return df.select(id_col).join(per, on=id_col, how="left").select(
+        F.col(id_col),
+        nwin.alias("n_windows"),
+        ndup.alias("dup_windows"),
+        frac.alias("dup_fraction"),
+    )

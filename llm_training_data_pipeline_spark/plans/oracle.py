@@ -2298,3 +2298,45 @@ def ann_recall_report_sql(
         )
     body = "\n        UNION ALL\n        ".join(selects)
     return "WITH " + ",\n        ".join(ctes) + "\n        " + body
+
+
+def duplicated_span_stats_sql(window: int = 8) -> str:
+    """Mirror of corpus.duplicated_span_stats: per-doc fraction of
+    ``window``-token spans appearing verbatim in >= 2 distinct docs.
+    Same tokenization as ``_lower_toks`` (proven bit-stable via
+    unigram_surprisal); dup_fraction uses the exact-integer half-up
+    rounding shared with the Spark side."""
+    w = window
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_lower_toks()} AS toks FROM documents
+        ), nwin AS (
+          SELECT doc_id, toks,
+                 greatest(len(toks) - {w - 1}, 0) AS nw
+          FROM t
+        ), pos AS (
+          SELECT doc_id, toks, unnest(range(1, nw + 1)) AS i
+          FROM nwin WHERE nw >= 1
+        ), h AS (
+          SELECT doc_id,
+                 md5(array_to_string(toks[i : i + {w - 1}], ' ')) AS wh
+          FROM pos
+        ), dup AS (
+          SELECT wh, 1 AS isdup FROM h GROUP BY wh
+          HAVING count(DISTINCT doc_id) >= 2
+        ), per AS (
+          SELECT h.doc_id,
+                 count(*) AS n_windows,
+                 sum(coalesce(dup.isdup, 0)) AS n_dup
+          FROM h LEFT JOIN dup USING (wh)
+          GROUP BY h.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(coalesce(per.n_dup, 0) AS BIGINT) AS dup_windows,
+               CASE WHEN coalesce(per.n_windows, 0) > 0 THEN
+                 CAST(floor((coalesce(per.n_dup, 0) * 2000000 + per.n_windows)
+                            / (per.n_windows * 2.0)) AS BIGINT) / 1000000.0
+               ELSE 0.0 END AS dup_fraction
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """

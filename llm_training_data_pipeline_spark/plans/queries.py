@@ -1525,6 +1525,20 @@ def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_meta(synthetic_video_assets(spark, 64))
 
 
+@register("duplicated_spans", oracle.duplicated_span_stats_sql(window=8))
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2021): per-doc fraction of
+    8-token spans appearing verbatim in >= 2 distinct documents —
+    catches copied boilerplate chunks that whole-document sketches miss.
+    Window hashes, cross-doc counts, and the exact-rounded fraction are
+    all DuckDB-replayed bit-for-bit."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), window=8)
+
+
 @register("gopher_quality", oracle.gopher_quality_sql())
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText filtering rules (Rae et al. 2021 A1.1) — the

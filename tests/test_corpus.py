@@ -297,3 +297,54 @@ def test_corpus_shuffle_deterministic_range_partitioned(spark):
     assert a != sorted(a)              # actually shuffled
     plan = corpus_shuffle(docs, seed=1, num_partitions=8)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_duplicated_span_stats_fixture(spark):
+    """A shared 8-token span is flagged in BOTH docs; unique docs score 0;
+    sub-window docs emit zero windows."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        duplicated_span_stats,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " unique tail one two three"),
+        (2, "different head words here " + shared),
+        (3, "totally unrelated content with enough tokens to form windows ok"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_span_stats(df, window=8).collect()}
+    assert out[1]["dup_windows"] >= 1 and out[2]["dup_windows"] >= 1
+    assert out[3]["dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_fraction"] == 0.0
+    # windows count: n_tokens - 7
+    assert out[1]["n_windows"] == 13 - 7
+    # case-folded: the span matches regardless of case
+    df2 = spark.createDataFrame(
+        [(1, shared.upper() + " x y z a b"), (2, "p q r s " + shared)],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in duplicated_span_stats(df2, window=8).collect()}
+    assert out2[1]["dup_windows"] >= 1
+
+
+def test_duplicated_span_stats_nontrivial_on_testdata(spark):
+    """The synthetic corpus contains near/exact duplicate docs, so the
+    cross-doc span signal must actually fire (a green hash over an
+    all-zeros column would be a vacuous check)."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        duplicated_span_stats,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    out = duplicated_span_stats(load_table(spark, "documents", SF_DIR), window=8)
+    from pyspark.sql import functions as F
+
+    agg = out.agg(
+        F.sum("dup_windows").alias("total_dup"),
+        F.count(F.when(F.col("dup_fraction") > 0, 1)).alias("docs_with_dups"),
+    ).collect()[0]
+    assert agg["total_dup"] > 0
+    assert agg["docs_with_dups"] >= 2
