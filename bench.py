@@ -85,6 +85,7 @@ HEADLINE = [
     # total; its cost is recorded separately in BENCH_NOTES.md and the
     # driver's correctness rotation still scores it at sf0.01)
     "wiki_markup_strip",
+    "duplicated_spans",
 ]
 
 
