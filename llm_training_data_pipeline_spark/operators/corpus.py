@@ -641,3 +641,82 @@ def duplicated_span_stats(
         ndup.alias("dup_windows"),
         frac.alias("dup_fraction"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    keep_first_doc: bool = True,
+) -> DataFrame:
+    """Surgical exact-substring removal (the second half of Lee et al.
+    2021): delete every token covered by a ``window``-token span that
+    appears verbatim in >= 2 distinct documents, keeping the copy in the
+    smallest doc id when ``keep_first_doc`` (so shared text survives
+    exactly once in the corpus, deterministically).
+
+    Output is whitespace-normalized (tokens re-joined with single
+    spaces) — span surgery is inherently token-level; callers needing
+    original spacing should gate on ``duplicated_span_stats`` instead.
+
+    Plan: one span-hash explode (O(n_tokens)), a min-doc-per-hash
+    aggregate, covered-position explode bounded by dup windows only,
+    and an order-stable rebuild via sort_array(collect_list(struct)) —
+    collect_list alone is shuffle-order-dependent and would be
+    nondeterministic.
+    """
+    w = window
+    staged = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).withColumn("_nw", F.greatest(F.size("_toks") - F.lit(w - 1), F.lit(0)))
+    spans = staged.filter(F.col("_nw") >= 1).select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.col("_nw"))).alias("_i"),
+        "_toks",
+    ).select(
+        F.col(id_col),
+        F.col("_i"),
+        F.md5(
+            F.encode(F.array_join(F.slice("_toks", F.col("_i"), w), " "), "UTF-8")
+        ).alias("_wh"),
+    )
+    agg = [F.count_distinct(F.col(id_col)).alias("_nd")]
+    if keep_first_doc:
+        agg.append(F.min(F.col(id_col)).alias("_keeper"))
+    dup = spans.groupBy("_wh").agg(*agg).filter(F.col("_nd") >= 2)
+    flagged = spans.join(dup, on="_wh")
+    if keep_first_doc:
+        flagged = flagged.filter(F.col(id_col) != F.col("_keeper"))
+    covered = flagged.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_i"), F.col("_i") + F.lit(w - 1))).alias("_pos"),
+    ).distinct()
+    toks = staged.select(
+        F.col(id_col),
+        F.posexplode(F.col("_toks")).alias("_p0", "_tok"),
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("_pos"), "_tok")
+    kept = toks.join(covered, on=[id_col, "_pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    n_tokens = F.coalesce(F.col("_ntok"), F.lit(0)).cast("long")
+    kept_n = F.coalesce(F.col("_kept"), F.lit(0)).cast("long")
+    return (
+        staged.select(F.col(id_col), F.size("_toks").alias("_ntok"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            kept_n.alias("kept_tokens"),
+            (n_tokens - kept_n).alias("removed_tokens"),
+        )
+    )

@@ -2340,3 +2340,53 @@ def duplicated_span_stats_sql(window: int = 8) -> str:
                ELSE 0.0 END AS dup_fraction
         FROM documents d LEFT JOIN per USING (doc_id)
     """
+
+
+def remove_duplicated_spans_sql(window: int = 8) -> str:
+    """Mirror of corpus.remove_duplicated_spans (keep_first_doc=True):
+    tokens covered by a cross-document duplicated window are deleted
+    everywhere except in the smallest doc id; rebuild is order-stable
+    (list(... ORDER BY pos) ↔ sort_array(collect_list(struct)))."""
+    w = window
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_lower_toks()} AS toks FROM documents
+        ), nwin AS (
+          SELECT doc_id, toks, greatest(len(toks) - {w - 1}, 0) AS nw FROM t
+        ), pos AS (
+          SELECT doc_id, toks, unnest(range(1, nw + 1)) AS i
+          FROM nwin WHERE nw >= 1
+        ), h AS (
+          SELECT doc_id, i,
+                 md5(array_to_string(toks[i : i + {w - 1}], ' ')) AS wh
+          FROM pos
+        ), dup AS (
+          SELECT wh, min(doc_id) AS keeper FROM h GROUP BY wh
+          HAVING count(DISTINCT doc_id) >= 2
+        ), flagged AS (
+          SELECT h.doc_id, h.i FROM h JOIN dup USING (wh)
+          WHERE h.doc_id <> dup.keeper
+        ), covered AS (
+          SELECT DISTINCT doc_id, unnest(range(i, i + {w})) AS p
+          FROM flagged
+        ), toks AS (
+          SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+          FROM t WHERE len(toks) > 0
+        ), kept AS (
+          SELECT tk.doc_id, tk.p, tk.toks[tk.p] AS tok
+          FROM toks tk LEFT JOIN covered c
+            ON tk.doc_id = c.doc_id AND tk.p = c.p
+          WHERE c.doc_id IS NULL
+        ), rebuilt AS (
+          SELECT doc_id,
+                 array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+                 count(*) AS kept_n
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(rebuilt.clean_text, '') AS clean_text,
+               CAST(coalesce(rebuilt.kept_n, 0) AS BIGINT) AS kept_tokens,
+               CAST(len(t.toks) - coalesce(rebuilt.kept_n, 0) AS BIGINT)
+                 AS removed_tokens
+        FROM t LEFT JOIN rebuilt USING (doc_id)
+    """

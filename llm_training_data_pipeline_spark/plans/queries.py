@@ -1539,6 +1539,19 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(_t(spark, sf_dir, "documents"), window=8)
 
 
+@register("remove_dup_spans", oracle.remove_duplicated_spans_sql(window=8))
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical exact-substring removal (Lee et al. 2021 second half):
+    every token covered by a cross-document duplicated 8-token window is
+    deleted except in the smallest doc id — shared text survives exactly
+    once. Rebuild is order-stable and fully DuckDB-replayed."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"), window=8)
+
+
 @register("gopher_quality", oracle.gopher_quality_sql())
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText filtering rules (Rae et al. 2021 A1.1) — the

@@ -348,3 +348,43 @@ def test_duplicated_span_stats_nontrivial_on_testdata(spark):
     ).collect()[0]
     assert agg["total_dup"] > 0
     assert agg["docs_with_dups"] >= 2
+
+
+def test_remove_duplicated_spans_keeps_first_doc(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " one two three four five"),
+            (2, "p q r s " + shared),
+            (3, "independent text with plenty of unique tokens in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=8).collect()}
+    # doc 1 (min id) keeps the span; doc 2 loses exactly those 8 tokens
+    assert out[1]["removed_tokens"] == 0
+    assert "alpha" in out[1]["clean_text"]
+    assert out[2]["removed_tokens"] == 8
+    assert out[2]["clean_text"] == "p q r s"
+    assert out[3]["removed_tokens"] == 0
+
+
+def test_remove_duplicated_spans_overlapping_windows(spark):
+    """A 10-token shared run = 3 overlapping dup windows; covered
+    positions union to the full run, not 3x8 tokens."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        remove_duplicated_spans,
+    )
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, run + " tail x y"), (2, "head z " + run)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=8).collect()}
+    assert out[2]["removed_tokens"] == 10
+    assert out[2]["clean_text"] == "head z"
