@@ -95,6 +95,41 @@ def build_pipeline(
         obs["dedup"] = Observation("dedup")
         df = df.observe(obs["dedup"], F.count(F.lit(1)).alias("rows"))
 
+    sr = cfg.section("deduplication").get("span_removal", {})
+    if sr.get("enabled", False):
+        # sub-document exact-substring pass (Lee et al. 2021): document-
+        # level dedup above misses boilerplate chunks shared between
+        # otherwise-unique pages. action=filter drops docs above a
+        # duplicated-span-fraction budget; action=remove (default) cuts
+        # the covered tokens, keeping the smallest-id copy.
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        w = int(sr.get("window", 8))
+        if sr.get("action", "remove") == "filter":
+            budget = float(sr.get("max_dup_fraction", 0.5))
+            stats = corpus.duplicated_span_stats(df, "text", window=w).select(
+                "doc_id", "dup_fraction"
+            )
+            df = (
+                df.join(stats, on="doc_id", how="left")
+                .filter(
+                    F.col("dup_fraction").isNull()
+                    | (F.col("dup_fraction") <= budget)
+                )
+                .drop("dup_fraction")
+            )
+        else:
+            cleaned_spans = corpus.remove_duplicated_spans(
+                df, "text", window=w
+            ).select("doc_id", "clean_text")
+            df = (
+                df.join(cleaned_spans, on="doc_id", how="left")
+                .withColumn("text", F.coalesce("clean_text", "text"))
+                .drop("clean_text")
+            )
+        obs["span_dedup"] = Observation("span_dedup")
+        df = df.observe(obs["span_dedup"], F.count(F.lit(1)).alias("rows"))
+
     qsec = cfg.section("quality")
     if qsec.get("enabled", True):
         lf = qsec.get("language_filter", {})

@@ -232,3 +232,46 @@ def test_output_shuffle_stage_keeps_metrics_exact(spark, tmp_path):
     out = spark.read.parquet(os.path.join(out_dir, "pipeline_output.parquet"))
     assert out.count() == plain["stages"]["quality"]["rows"]
     assert "shuffle_key" in out.columns
+
+
+def test_span_removal_stage_composes(spark):
+    """deduplication.span_removal: action=remove rewrites text (shared
+    chunks survive once), action=filter drops docs over the dup budget;
+    both report a span_dedup stage row."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        "cleaning": {"min_length_chars": 50},
+        "quality": {"enabled": False},
+        "tokenization": {"enabled": False},
+    }
+    cfg_remove = PipelineConfig(
+        {
+            **base,
+            "deduplication": {
+                "enabled": False,
+                "span_removal": {"enabled": True, "window": 8},
+            },
+        }
+    )
+    s1 = run_pipeline(spark, docs, cfg_remove, None)
+    assert "span_dedup" in s1["stages"]
+    assert s1["stages"]["span_dedup"]["rows"] > 0
+
+    cfg_filter = PipelineConfig(
+        {
+            **base,
+            "deduplication": {
+                "enabled": False,
+                "span_removal": {
+                    "enabled": True,
+                    "window": 8,
+                    "action": "filter",
+                    "max_dup_fraction": 0.0,
+                },
+            },
+        }
+    )
+    s2 = run_pipeline(spark, docs, cfg_filter, None)
+    # fraction budget 0.0: every doc with ANY cross-doc duplicated span
+    # drops, so the filter form must keep fewer-or-equal rows
+    assert s2["stages"]["span_dedup"]["rows"] <= s1["stages"]["span_dedup"]["rows"]
