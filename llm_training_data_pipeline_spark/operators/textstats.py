@@ -347,3 +347,40 @@ def quality_score(text: Column) -> Column:
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", quality_score(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------
+# Readability (engine extension): Flesch Reading Ease + Flesch-Kincaid
+# grade from three native counts — words (whitespace tokens), sentences
+# (terminal-punctuation runs, floor 1), syllables (vowel-group runs, the
+# standard dictionary-free approximation). One regex pass per count, no
+# Python; scores are floor-scaled to 4dp so both engines round
+# identically for any sign (round() half-tie behavior is engine-defined,
+# floor is not).
+# ---------------------------------------------------------------------
+
+SENTENCE_RUN_REGEX = r"[.!?]+"
+VOWEL_GROUP_REGEX = r"[aeiouy]+"
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    n_words = word_count(t)
+    n_sentences = F.greatest(
+        F.regexp_count(t, F.lit(SENTENCE_RUN_REGEX)), F.lit(1)
+    ).cast("long")
+    n_syllables = F.regexp_count(F.lower(t), F.lit(VOWEL_GROUP_REGEX)).cast("long")
+    wps = n_words.cast("double") / n_sentences.cast("double")
+    spw = F.when(
+        n_words > 0, n_syllables.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    q4 = lambda c: (F.floor(c * F.lit(10000.0)).cast("long") / F.lit(10000.0))  # noqa: E731
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("n_syllables", n_syllables)
+        .withColumn("flesch_ease", q4(ease))
+        .withColumn("fk_grade", q4(grade))
+    )

@@ -2390,3 +2390,35 @@ def remove_duplicated_spans_sql(window: int = 8) -> str:
                  AS removed_tokens
         FROM t LEFT JOIN rebuilt USING (doc_id)
     """
+
+
+def readability_sql() -> str:
+    """Mirror of textstats.with_readability over documents: identical
+    counts, identical double expression order, floor-scaled 4dp."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        SENTENCE_RUN_REGEX,
+        VOWEL_GROUP_REGEX,
+    )
+
+    stripped = f"regexp_replace(text, '{q(STRIP_WS)}', '', 'g')"
+    wc = (
+        f"CASE WHEN {stripped} = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array({stripped}, '\\s+')) END"
+    )
+    ns = f"greatest(len(regexp_extract_all(text, '{q(SENTENCE_RUN_REGEX)}')), 1)"
+    sy = f"len(regexp_extract_all(lower(text), '{q(VOWEL_GROUP_REGEX)}'))"
+    wps = f"(CAST({wc} AS DOUBLE) / CAST({ns} AS DOUBLE))"
+    spw = f"(CASE WHEN {wc} > 0 THEN CAST({sy} AS DOUBLE) / CAST({wc} AS DOUBLE) ELSE 0.0 END)"
+    ease = f"(206.835 - 1.015 * {wps} - 84.6 * {spw})"
+    grade = f"(0.39 * {wps} + 11.8 * {spw} - 15.59)"
+    return f"""
+        SELECT doc_id,
+               CAST({wc} AS BIGINT) AS n_words,
+               CAST({ns} AS BIGINT) AS n_sentences,
+               CAST({sy} AS BIGINT) AS n_syllables,
+               CAST(floor({ease} * CAST(10000 AS DOUBLE)) AS BIGINT)
+                 / CAST(10000 AS DOUBLE) AS flesch_ease,
+               CAST(floor({grade} * CAST(10000 AS DOUBLE)) AS BIGINT)
+                 / CAST(10000 AS DOUBLE) AS fk_grade
+        FROM documents
+    """

@@ -1525,6 +1525,18 @@ def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_meta(synthetic_video_assets(spark, 64))
 
 
+@register("readability_scores", oracle.readability_sql())
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade per document from three
+    native regex counts (words / sentence-terminal runs / vowel groups)
+    — the classic dictionary-free readability battery as a quality
+    signal; scores floor-scaled to 4dp for cross-engine bit agreement."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_readability(docs, "text").select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "flesch_ease", "fk_grade"
+    )
+
+
 @register("duplicated_spans", oracle.duplicated_span_stats_sql(window=8))
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication (Lee et al. 2021): per-doc fraction of

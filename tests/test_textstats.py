@@ -123,3 +123,34 @@ def test_fingerprint_matches_oracle(spark, ddb):
         "doc_id", "fingerprint", F.array_join("sketch", ",").alias("sketch")
     )
     assert_df_matches_oracle(out, ddb, fingerprint_sql())
+
+
+def test_readability_known_values(spark):
+    """Hand-computed Flesch/FK on a fixed sentence; degenerate inputs
+    stay finite (sentence floor 1, zero-word guard)."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        with_readability,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat. It was happy there!"),
+            (2, ""),  # no words, no sentences
+            (3, "word"),  # one word, no terminal punctuation
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_readability(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 10 and r1["n_sentences"] == 2
+    # vowel groups: the(1) cat(1) sat(1) on(1) the(1) mat(1) it(1) was(1)
+    # ha-ppy(2: a, y) the-re(2: e, e) = 12
+    assert r1["n_syllables"] == 12
+    wps, spw = 10 / 2, 12 / 10
+    import math
+
+    assert abs(r1["flesch_ease"] - math.floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e4) / 1e4) < 1e-9
+    assert abs(r1["fk_grade"] - math.floor((0.39 * wps + 11.8 * spw - 15.59) * 1e4) / 1e4) < 1e-9
+    assert rows[2]["n_words"] == 0 and rows[2]["n_sentences"] == 1
+    assert rows[2]["flesch_ease"] is not None  # finite, no div-by-zero
+    assert rows[3]["n_sentences"] == 1
