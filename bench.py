@@ -86,6 +86,8 @@ HEADLINE = [
     # driver's correctness rotation still scores it at sf0.01)
     "wiki_markup_strip",
     "duplicated_spans",
+    "remove_dup_spans",
+    "readability_scores",
 ]
 
 
