@@ -720,3 +720,81 @@ def remove_duplicated_spans(
             (n_tokens - kept_n).alias("removed_tokens"),
         )
     )
+
+
+def pack_token_ids(
+    tokenized: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ids_col: str = "tokens",
+    eos_id: int | None = None,
+) -> DataFrame:
+    """GPT-style corpus packing into actual training sequences:
+    concatenate per-document token-id arrays in ascending ``id_col``
+    order (optionally appending ``eos_id`` per document), cut the global
+    stream into fixed ``seq_len`` windows → (seq_id, input_ids,
+    n_tokens). The last sequence may be partial; everything else is
+    exactly ``seq_len``. ``pack_sequences`` assigns docs to budgeted
+    packs; this emits the packed id arrays a training loader consumes.
+
+    Scale shape: the global token offset per document is a DISTRIBUTED
+    prefix sum — range-partition by id, per-partition running sums via a
+    window over the staged partition id, plus a driver-side cumulative
+    of the per-partition totals (one tiny collect of num-partitions
+    rows, control plane only). The token explode then carries an exact
+    global position, so sequence assignment is independent of
+    partitioning; the per-sequence rebuild groups exactly ``seq_len``
+    rows via sort_array(collect_list(struct)) (order-stable, bounded
+    group size). No global single-partition window anywhere.
+    """
+    ids = F.col(ids_col)
+    if eos_id is not None:
+        ids = F.concat(ids, F.array(F.lit(int(eos_id)).cast("int")))
+    docs = (
+        tokenized.select(F.col(id_col).alias("_id"), ids.alias("_ids"))
+        .repartitionByRange(F.col("_id"))
+        .sortWithinPartitions("_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids for the two passes
+    )
+    per_part = (
+        docs.groupBy("_pid").agg(F.sum(F.size("_ids")).alias("_ptot")).collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in sorted(per_part, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_ptot"] or 0
+    spark = tokenized.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)], "_pid int, _poff long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        docs.join(F.broadcast(off_df), on="_pid", how="left")
+        .withColumn(
+            "_doc_off",
+            F.coalesce(F.col("_poff"), F.lit(0))
+            + F.coalesce(F.sum(F.size("_ids")).over(w), F.lit(0)),
+        )
+    )
+    toks = staged.select(
+        "_doc_off", F.posexplode("_ids").alias("_p", "_tok")
+    ).select(
+        (F.col("_doc_off") + F.col("_p")).alias("_gpos"), "_tok"
+    )
+    return (
+        toks.withColumn("seq_id", F.floor(F.col("_gpos") / seq_len).cast("long"))
+        .groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_gpos", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("input_ids"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )

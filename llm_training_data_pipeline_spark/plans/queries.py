@@ -1359,6 +1359,29 @@ def q_byte_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenization_stats(tokenize_documents(docs, tok), tok)
 
 
+@register("packed_sequences", None)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-loader endgame: byte-BPE encode the corpus, then
+    GPT-style pack the global token stream (EOS-separated, ascending
+    doc id) into fixed 512-token input_ids windows via a distributed
+    prefix sum. Rows-only (BPE merges are not SQL-expressible); window
+    exactness and partition-invariance are pinned in tests/test_corpus.py."""
+    from llm_training_data_pipeline_spark.operators.corpus import pack_token_ids
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs, algorithm="byte_bpe", vocab_size=2000, min_frequency=2)
+    packed = pack_token_ids(
+        tokenize_documents(docs, tok), seq_len=512, eos_id=tok.vocab.get("<eos>")
+    )
+    return packed.select(
+        "seq_id", "n_tokens", F.array_join("input_ids", ",").alias("input_ids")
+    )
+
+
 @register(
     "dedup_clusters",
     oracle.dedup_clusters_sql(

@@ -388,3 +388,58 @@ def test_remove_duplicated_spans_overlapping_windows(spark):
     out = {r["doc_id"]: r for r in remove_duplicated_spans(df, window=8).collect()}
     assert out[2]["removed_tokens"] == 10
     assert out[2]["clean_text"] == "head z"
+
+
+def test_pack_token_ids_exact_windows(spark):
+    """Concatenation in doc order, fixed windows, exact boundary math:
+    every sequence except the last has exactly seq_len tokens, and the
+    concatenated stream round-trips token-for-token."""
+    from llm_training_data_pipeline_spark.operators.corpus import pack_token_ids
+
+    rows = [
+        (1, [int(x) for x in range(10)]),          # 0..9
+        (2, [int(x) for x in range(100, 107)]),    # 7 tokens
+        (3, [int(x) for x in range(200, 205)]),    # 5 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {
+        r["seq_id"]: r for r in pack_token_ids(df, seq_len=8).collect()
+    }
+    stream = list(range(10)) + list(range(100, 107)) + list(range(200, 205))
+    assert sorted(out) == [0, 1, 2]
+    assert out[0]["input_ids"] == stream[0:8]
+    assert out[1]["input_ids"] == stream[8:16]
+    assert out[2]["input_ids"] == stream[16:22] and out[2]["n_tokens"] == 6
+
+    # with EOS separators the stream gains one id per doc
+    out_eos = {
+        r["seq_id"]: r
+        for r in pack_token_ids(df, seq_len=8, eos_id=9999).collect()
+    }
+    stream_eos = (
+        list(range(10)) + [9999]
+        + list(range(100, 107)) + [9999]
+        + list(range(200, 205)) + [9999]
+    )
+    got = []
+    for s in sorted(out_eos):
+        got.extend(out_eos[s]["input_ids"])
+    assert got == stream_eos
+
+
+def test_pack_token_ids_partition_invariant(spark):
+    """The global positions come from the distributed prefix sum, so the
+    packed output must be identical regardless of input partitioning."""
+    from llm_training_data_pipeline_spark.operators.corpus import pack_token_ids
+
+    rows = [(i, [int(i * 100 + j) for j in range(1 + i % 7)]) for i in range(60)]
+    df1 = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    df2 = df1.repartition(13)
+
+    def rendered(df):
+        return sorted(
+            (r["seq_id"], tuple(r["input_ids"]))
+            for r in pack_token_ids(df, seq_len=16).collect()
+        )
+
+    assert rendered(df1) == rendered(df2)
