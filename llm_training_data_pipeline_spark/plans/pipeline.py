@@ -262,6 +262,21 @@ def run_pipeline(
         df = tk.tokenize_documents(df, tokenizer, "text")
         tok_summary = {"vocab_size": tokenizer.vocab_size, "algorithm": algo}
 
+        pk = tsec.get("pack", {})
+        if pk.get("enabled", False) and output_dir:
+            # training-loader artifact: GPT-style fixed-length input_ids
+            # windows over the EOS-separated global token stream, written
+            # alongside the document-level output
+            from llm_training_data_pipeline_spark.operators import corpus
+
+            seq_len = int(pk.get("seq_len", 2048))
+            eos = getattr(tokenizer, "vocab", {}).get("<eos>")
+            packed = corpus.pack_token_ids(df, seq_len, eos_id=eos)
+            packed_path = os.path.join(output_dir, "packed_sequences.parquet")
+            sinks.write_parquet(packed, packed_path)
+            tok_summary["packed_path"] = packed_path
+            tok_summary["packed_seq_len"] = seq_len
+
     shuffle_cache = None
     if cfg.get("output.shuffle.enabled", False):
         from llm_training_data_pipeline_spark.operators import corpus

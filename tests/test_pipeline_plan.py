@@ -275,3 +275,30 @@ def test_span_removal_stage_composes(spark):
     # fraction budget 0.0: every doc with ANY cross-doc duplicated span
     # drops, so the filter form must keep fewer-or-equal rows
     assert s2["stages"]["span_dedup"]["rows"] <= s1["stages"]["span_dedup"]["rows"]
+
+
+def test_tokenization_pack_stage_writes_sequences(spark, tmp_path):
+    """tokenization.pack emits a packed_sequences.parquet artifact whose
+    sequences are full seq_len windows (except possibly the last)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"enabled": False},
+            "quality": {"enabled": False},
+            "tokenization": {
+                "enabled": True,
+                "algorithm": "byte_bpe",
+                "vocab_size": 500,
+                "pack": {"enabled": True, "seq_len": 256},
+            },
+        }
+    )
+    out_dir = str(tmp_path / "out")
+    summary = run_pipeline(spark, docs, cfg, out_dir)
+    packed_path = summary["tokenization"]["packed_path"]
+    packed = spark.read.parquet(packed_path)
+    n = packed.count()
+    assert n > 1
+    full = packed.filter("n_tokens = 256").count()
+    assert full >= n - 1  # only the final window may be partial
