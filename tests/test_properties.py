@@ -160,3 +160,76 @@ def test_pack_sequences_conservation_and_bounds(spark, token_counts, budget):
     for r in out:
         assert r["pack_id"] == preceding // budget, (r, preceding)
         preceding += r["n_tokens"]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_mojibake_repair_idempotent_any_text(batch):
+    """fix(fix(x)) == fix(x) for arbitrary (incl. non-ASCII) strings —
+    the per-run segmentation must never oscillate (pure Python, no job)."""
+    from llm_training_data_pipeline_spark.operators.cleaning import _fix_mojibake
+
+    for s in batch:
+        once = _fix_mojibake(s)
+        assert _fix_mojibake(once) == once, repr(s)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_union_find_equals_propagation_random_graphs(spark, edges):
+    """Driver union-find and distributed min-label propagation agree on
+    arbitrary random pair sets (self-loops and duplicates included)."""
+    from llm_training_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(map(tuple, dedup_clusters(df).collect()))
+    slow = sorted(map(tuple, dedup_clusters(df, driver_cc_max_edges=0).collect()))
+    assert fast == slow
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 999), min_size=0, max_size=17),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(2, 16),
+)
+@SETTINGS
+def test_pack_token_ids_stream_roundtrip(spark, docs, seq_len):
+    """Concatenating the packed sequences in seq_id order reproduces the
+    doc-order token stream exactly, for any doc sizes and seq_len."""
+    from llm_training_data_pipeline_spark.operators.corpus import pack_token_ids
+
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in d]) for i, d in enumerate(docs)] or [(0, [])],
+        "doc_id long, tokens array<int>",
+    )
+    packed = {r["seq_id"]: r for r in pack_token_ids(df, seq_len).collect()}
+    got = []
+    for s in sorted(packed):
+        ids = packed[s]["input_ids"]
+        if s != max(packed):
+            assert len(ids) == seq_len, (s, len(ids))
+        got.extend(ids)
+    want = [x for d in (docs or [[]]) for x in d]
+    assert got == want
