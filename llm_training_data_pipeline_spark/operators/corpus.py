@@ -746,6 +746,10 @@ def pack_token_ids(
     partitioning; the per-sequence rebuild groups exactly ``seq_len``
     rows via sort_array(collect_list(struct)) (order-stable, bounded
     group size). No global single-partition window anywhere.
+
+    Precondition: ``id_col`` values are unique — the global stream order
+    is "ascending id", so duplicate ids would make the relative order of
+    their tokens arbitrary.
     """
     ids = F.col(ids_col)
     if eos_id is not None:
