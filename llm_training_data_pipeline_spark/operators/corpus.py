@@ -802,3 +802,40 @@ def pack_token_ids(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary diagnostics in one aggregate: total tokens,
+    distinct types, hapax legomena count (frequency-1 types — the Zipf
+    tail), top-type frequency, type-token ratio and hapax share (exact
+    integer half-up rounding, 6dp). A sudden type-token-ratio move
+    between pipeline runs is the classic early warning for tokenizer or
+    cleaning regressions.
+
+    Plan: the word explode + two map-side-combinable aggregates (per
+    type, then corpus-level) — the same shuffle shape as the unigram LM.
+    """
+    words = _lower_words(df, text_col, "doc_id")
+    per_type = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+    def r6(num, den):
+        return F.when(
+            den > 0,
+            F.floor((num * 2000000 + den) / (den * F.lit(2.0))).cast("long")
+            / F.lit(1000000.0),
+        ).otherwise(F.lit(0.0))
+
+    agg = per_type.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax_types"),
+        F.max("n").cast("long").alias("top_type_freq"),
+    )
+    return agg.select(
+        "total_tokens",
+        "distinct_types",
+        "hapax_types",
+        "top_type_freq",
+        r6(F.col("distinct_types"), F.col("total_tokens")).alias("type_token_ratio"),
+        r6(F.col("hapax_types"), F.col("distinct_types")).alias("hapax_share"),
+    )

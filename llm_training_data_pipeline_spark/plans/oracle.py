@@ -2422,3 +2422,30 @@ def readability_sql() -> str:
                  / CAST(10000 AS DOUBLE) AS fk_grade
         FROM documents
     """
+
+
+def vocab_stats_sql() -> str:
+    """Mirror of corpus.vocab_stats over documents (same tokenization as
+    ``_lower_toks``; exact integer 6dp rounding)."""
+    r6 = (
+        lambda num, den: f"CASE WHEN {den} > 0 THEN "
+        f"CAST(floor(({num} * 2000000 + {den}) / ({den} * 2.0)) AS BIGINT)"
+        f" / 1000000.0 ELSE 0.0 END"
+    )
+    return f"""
+        WITH w AS (
+          SELECT unnest({_lower_toks()}) AS word FROM documents
+        ), per_type AS (
+          SELECT word, count(*) AS n FROM w GROUP BY word
+        ), agg AS (
+          SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                 CAST(count(*) AS BIGINT) AS distinct_types,
+                 CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+                 CAST(max(n) AS BIGINT) AS top_type_freq
+          FROM per_type
+        )
+        SELECT total_tokens, distinct_types, hapax_types, top_type_freq,
+               {r6('distinct_types', 'total_tokens')} AS type_token_ratio,
+               {r6('hapax_types', 'distinct_types')} AS hapax_share
+        FROM agg
+    """

@@ -1548,6 +1548,16 @@ def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_meta(synthetic_video_assets(spark, 64))
 
 
+@register("vocab_stats", oracle.vocab_stats_sql())
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary diagnostics (type-token ratio, hapax share,
+    Zipf head/tail) — one explode + two map-side-combinable aggregates;
+    the classic early warning for tokenizer/cleaning regressions."""
+    from llm_training_data_pipeline_spark.operators.corpus import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"))
+
+
 @register("readability_scores", oracle.readability_sql())
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch Reading Ease + Flesch-Kincaid grade per document from three

@@ -443,3 +443,20 @@ def test_pack_token_ids_partition_invariant(spark):
         )
 
     assert rendered(df1) == rendered(df2)
+
+
+def test_vocab_stats_hand_computed(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import vocab_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a d")],
+        "doc_id long, text string",
+    )
+    r = vocab_stats(df).collect()[0]
+    # tokens: a a b c a d -> total 6; types a b c d -> 4; hapax b c d -> 3
+    assert r["total_tokens"] == 6
+    assert r["distinct_types"] == 4
+    assert r["hapax_types"] == 3
+    assert r["top_type_freq"] == 3  # 'a'
+    assert abs(r["type_token_ratio"] - 0.666667) < 1e-9
+    assert r["hapax_share"] == 0.75
