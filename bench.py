@@ -88,6 +88,7 @@ HEADLINE = [
     "duplicated_spans",
     "remove_dup_spans",
     "readability_scores",
+    "vocab_stats",
 ]
 
 
