@@ -234,6 +234,28 @@ def _wav_meta(payload: bytes) -> tuple[int, int, int, float] | None:
     return rate, channels or 0, bits or 0, round(dur, 6)
 
 
+def _flac_meta(payload: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, channels, bits_per_sample, duration_s) from a FLAC
+    STREAMINFO block — the first metadata block after the 'fLaC' magic
+    per spec. Bit layout of the packed 8 bytes: rate 20b, channels-1 3b,
+    bps-1 5b, total samples 36b. Header-only, stdlib-only."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    if payload[4] & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    blen = int.from_bytes(payload[5:8], "big")
+    if blen < 34 or len(payload) < 8 + 34:
+        return None
+    si = payload[8 : 8 + 34]
+    packed = int.from_bytes(si[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    dur = round(total / rate, 6) if rate else 0.0
+    return rate, channels, bps, dur
+
+
 AUDIO_META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -248,9 +270,10 @@ AUDIO_META_SCHEMA = StructType(
 
 
 def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Header-only audio metadata (RIFF/WAVE) over Arrow batches — the
-    audio counterpart of ``decode_image_meta``; non-WAV payloads yield
-    NULL fields. Same 100 TB shape: payloads never leave the executors."""
+    """Header-only audio metadata (RIFF/WAVE chunk walk + FLAC
+    STREAMINFO) over Arrow batches — the audio counterpart of
+    ``decode_image_meta``; unrecognized payloads yield NULL fields.
+    Same 100 TB shape: payloads never leave the executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,7 +288,7 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
-                meta = _wav_meta(b)
+                meta = _wav_meta(b) or _flac_meta(b)
                 out["sample_rate"].append(meta[0] if meta else None)
                 out["channels"].append(meta[1] if meta else None)
                 out["bits_per_sample"].append(meta[2] if meta else None)

@@ -195,3 +195,37 @@ def test_bmp_and_webp_dims():
 
     assert _webp_dims(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 20) is None
     assert _bmp_dims(b"PK\x03\x04" + b"\x00" * 30) is None
+
+
+def test_flac_streaminfo_meta():
+    from llm_training_data_pipeline_spark.operators.multimodal import _flac_meta
+
+    def make_flac(rate, channels, bps, total):
+        packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+        si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+        return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    assert _flac_meta(make_flac(44100, 2, 16, 441000)) == (44100, 2, 16, 10.0)
+    assert _flac_meta(make_flac(48000, 1, 24, 24000)) == (48000, 1, 24, 0.5)
+    assert _flac_meta(b"fLaC" + b"\x00" * 10) is None  # truncated
+    assert _flac_meta(b"RIFF....WAVE" + b"\x00" * 40) is None
+    # first block not STREAMINFO → refuse
+    bad = b"fLaC" + bytes([0x84]) + (34).to_bytes(3, "big") + b"\x00" * 34
+    assert _flac_meta(bad) is None
+
+
+def test_decode_audio_meta_handles_flac(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_audio_meta,
+    )
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    packed = (22050 << 44) | (0 << 41) | (15 << 36) | 22050
+    si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    df = spark.createDataFrame(
+        [(1, "audio", flac, "audio/flac", {})], MULTIMODAL_SCHEMA
+    )
+    r = decode_audio_meta(df).collect()[0]
+    assert (r["sample_rate"], r["channels"], r["bits_per_sample"]) == (22050, 1, 16)
+    assert abs(r["duration_s"] - 1.0) < 1e-6
