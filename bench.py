@@ -89,6 +89,8 @@ HEADLINE = [
     "remove_dup_spans",
     "readability_scores",
     "vocab_stats",
+    "bigram_surprisal",
+    "token_budget_fill",
 ]
 
 

@@ -839,3 +839,196 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         r6(F.col("distinct_types"), F.col("total_tokens")).alias("type_token_ratio"),
         r6(F.col("hapax_types"), F.col("distinct_types")).alias("hapax_share"),
     )
+
+
+# ---------------------------------------------------------------------
+# Bigram LM surprisal (CCNet-style perplexity filtering, one order up
+# from unigram_surprisal)
+# ---------------------------------------------------------------------
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per (doc, w1, w2) adjacent word pair, case-folded.
+
+    The pair build is an array transform over the token array
+    (element_at is O(1)), so it stays inside whole-stage codegen — no
+    positional self-join. Docs with <2 tokens vanish here: they carry no
+    bigram evidence and are excluded from scoring by design (same
+    convention as ``_lower_words`` for zero-word docs).
+    """
+    toks = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    pairs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+        " (w, i) -> struct(w AS w1, element_at(_toks, i + 2) AS w2))"
+    )
+    return toks.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+
+
+def bigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus bigram counts ``(w1, w2, n12)`` — one explode + one hash
+    aggregate on the natural (w1, w2) key, map-side partials first."""
+    return _doc_bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n12")
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average surprisal under an interpolated corpus bigram
+    LM: ``avg over adjacent pairs of -ln(0.75·c12/c1 + 0.25·(c2+1)/(N+V))``
+    — the Jelinek-Mercer mix of the bigram MLE with the add-one unigram
+    prior (weights are dyadic rationals so the float arithmetic is
+    bit-identical across engines).
+
+    This is the KenLM-perplexity quality signal of CCNet (Wenzek et al.
+    2020) with the LM trained on the corpus itself: garbled, shuffled or
+    boilerplate text scores high even when its vocabulary is common —
+    exactly what ``unigram_surprisal`` cannot see.
+
+    Plan: pair-explode → agg(bigram model) → two word-keyed equi-joins
+    (c1, c2) + one bigram-keyed equi-join (c12) → broadcast totals → agg
+    per doc. All joins are on natural high-cardinality keys; the
+    stopword-pair skew ("of the") has ONE model row per key, so AQE's
+    skew split handles hot partitions without replication. Per-pair ln
+    values are truncated to exact 1e-8 units and summed as longs — no
+    float-sum order dependence.
+    """
+    pairs = _doc_bigrams(df, text_col, id_col)
+    bmodel = bigram_model(df, text_col, id_col)
+    uni = unigram_model(df, text_col, id_col)
+    totals = uni.agg(F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v"))
+    scored = (
+        pairs.join(bmodel, on=["w1", "w2"])
+        .join(uni.select(F.col("word").alias("w1"), F.col("n").alias("n1")), on="w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("n").alias("n2")), on="w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    p = F.lit(0.75) * (
+        F.col("n12").cast("double") / F.col("n1").cast("double")
+    ) + F.lit(0.25) * (
+        (F.col("n2") + F.lit(1)).cast("double")
+        / (F.col("_total") + F.col("_v")).cast("double")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.floor(-F.log(p) * F.lit(1e8)).cast("long")).alias("_su"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(
+            F.col("_su").cast("double") / F.lit(1e8) / F.col("n_bigrams"), 6
+        ).alias("avg_bigram_surprisal"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Token-budget corpus selection (greedy best-first fill per stratum)
+# ---------------------------------------------------------------------
+
+
+def _budget_base(
+    df: DataFrame, text_col: str, id_col: str, strata_col: str
+) -> DataFrame:
+    """Per-doc selection inputs: token count and an exact-integer quality
+    score — the per-doc type-token ratio (distinct words / words) in
+    1e-6 units via integer division. ``div`` here and ``//`` in DuckDB
+    round identically for non-negatives, so the greedy order can never
+    drift between engines; the ratio itself is the classic repetition-
+    aware quality proxy (low = the doc repeats itself). Zero-token docs
+    are excluded: they carry no budget weight and selecting them is
+    meaningless."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(strata_col).alias("strata"),
+            F.col(id_col).alias("doc_id"),
+            toks.alias("_toks"),
+        )
+        .filter(F.size("_toks") > 0)
+        .select(
+            "strata",
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((size(array_distinct(_toks)) * 1000000L) div size(_toks) AS LONG)"
+            ).alias("score_units"),
+        )
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    prune_bucket_units: int | None = 10_000,
+) -> DataFrame:
+    """Greedy token-budget fill: per stratum, take documents best-first
+    (alpha-ratio score desc, id asc) while the running token total stays
+    within ``budget_tokens`` — the standard "fill a fixed training-token
+    budget with the highest-quality documents from each source" step.
+
+    Semantics are defined by ONE per-stratum window (cum ≤ budget over
+    the score-ordered prefix). A naive window funnels each stratum's
+    entire corpus through one sort partition — with a handful of sources
+    at 100 TB that is THE scale hazard. So by default the selection is
+    computed with an exact two-phase prune:
+
+    1. bucket scores (``score_units div prune_bucket_units``) and
+       aggregate token sums per (stratum, bucket) — a tiny S×B table;
+    2. per stratum find the boundary bucket b* where the descending
+       running total first reaches the budget; every doc in a bucket
+       above b* is provably inside the budget, every doc below is
+       provably outside (token counts are positive), so only candidates
+       with bucket ≥ b* — a budget-sized set, not the corpus — enter the
+       exact window.
+
+    The pruned result is bit-identical to the naive window by
+    construction (pinned in tests). Pass ``prune_bucket_units=None`` for
+    the definitional single-window form.
+
+    Output: strata, doc_id, score_units, n_tokens, cum_tokens.
+    """
+    base = _budget_base(df, text_col, id_col, strata_col)
+    if prune_bucket_units is not None:
+        bucket = (F.col("score_units") / F.lit(prune_bucket_units)).cast("long")
+        bucketed = base.withColumn("_bucket", bucket)
+        per_bucket = bucketed.groupBy("strata", "_bucket").agg(
+            F.sum("n_tokens").alias("_btok")
+        )
+        wb = (
+            Window.partitionBy("strata")
+            .orderBy(F.desc("_bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cutoff = (
+            per_bucket.withColumn("_running", F.sum("_btok").over(wb))
+            .groupBy("strata")
+            .agg(
+                F.max(
+                    F.when(F.col("_running") >= budget_tokens, F.col("_bucket"))
+                ).alias("_b_star")
+            )
+        )
+        base = (
+            bucketed.join(F.broadcast(cutoff), on="strata", how="left")
+            .filter(F.col("_b_star").isNull() | (F.col("_bucket") >= F.col("_b_star")))
+            .drop("_bucket", "_b_star")
+        )
+    w = (
+        Window.partitionBy("strata")
+        .orderBy(F.desc("score_units"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select("strata", "doc_id", "score_units", "n_tokens", "cum_tokens")
+    )

@@ -2449,3 +2449,74 @@ def vocab_stats_sql() -> str:
                {r6('hapax_types', 'distinct_types')} AS hapax_share
         FROM agg
     """
+
+
+def bigram_surprisal_sql() -> str:
+    """Mirror of corpus.bigram_surprisal: interpolated bigram LM
+    (0.75·c12/c1 + 0.25·(c2+1)/(N+V), dyadic weights), per-pair -ln in
+    exact 1e-8 units. DuckDB builds the adjacent pairs by 1-based list
+    indexing over the same whitespace token array."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_lower_toks()} AS toks FROM documents
+        ), bgidx AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM toks
+        ), bg AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2
+          FROM bgidx
+        ), uni AS (
+          SELECT word, count(*) AS n
+          FROM (SELECT unnest(toks) AS word FROM toks) GROUP BY word
+        ), bmodel AS (
+          SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2
+        ), tot AS (
+          SELECT sum(n) AS total, count(*) AS v FROM uni
+        ), scored AS (
+          SELECT bg.doc_id,
+                 0.75 * (CAST(bmodel.n12 AS DOUBLE) / CAST(u1.n AS DOUBLE))
+                 + 0.25 * (CAST(u2.n + 1 AS DOUBLE)
+                           / CAST(tot.total + tot.v AS DOUBLE)) AS p
+          FROM bg
+          JOIN bmodel USING (w1, w2)
+          JOIN uni u1 ON u1.word = bg.w1
+          JOIN uni u2 ON u2.word = bg.w2
+          CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(CAST(floor(-ln(p) * CAST(100000000 AS DOUBLE))
+                              AS BIGINT)) AS DOUBLE)
+                     / CAST(100000000 AS DOUBLE) / count(*), 6)
+                 AS avg_bigram_surprisal
+        FROM scored
+        GROUP BY doc_id
+    """
+
+
+def token_budget_sql(budget_tokens: int = 600) -> str:
+    """Mirror of corpus.select_token_budget's definitional form: ONE
+    per-stratum window over (type-token-ratio units DESC, doc_id), keep
+    the prefix with cumulative tokens within budget. The Spark side's
+    bucket-pruned path is bit-identical by construction (pinned in
+    tests), so this replays both."""
+    return f"""
+        WITH toks AS (
+          SELECT source AS strata, doc_id, {_lower_toks()} AS toks
+          FROM documents
+        ), scored AS (
+          SELECT strata, doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST((len(list_distinct(toks)) * 1000000) // len(toks)
+                      AS BIGINT) AS score_units
+          FROM toks WHERE len(toks) > 0
+        ), cum AS (
+          SELECT *, sum(n_tokens) OVER (
+                   PARTITION BY strata
+                   ORDER BY score_units DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM scored
+        )
+        SELECT strata, doc_id, score_units, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum WHERE cum_tokens <= {budget_tokens}
+    """

@@ -2146,3 +2146,27 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         signatures=_md5_sigs(spark, sf_dir),
     )
     return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@register("bigram_surprisal", oracle.bigram_surprisal_sql())
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality signal, one order above the
+    unigram LM: interpolated bigram surprisal per document (corpus-
+    trained Jelinek-Mercer mix, exact 1e-8-unit ln sums). Reference's
+    perplexity knob (configs/pipeline_config.yaml:54-58) made real at
+    bigram order."""
+    from llm_training_data_pipeline_spark.operators.corpus import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register("token_budget_fill", oracle.token_budget_sql(budget_tokens=600))
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget corpus selection: per source, take documents
+    best-first (type-token-ratio score) until a 600-token budget fills —
+    the "fill a fixed training-token budget with the best of each
+    source" step. Runs the bucket-pruned exact path (the naive window
+    funnels whole sources through single sort partitions at 100 TB)."""
+    from llm_training_data_pipeline_spark.operators.corpus import select_token_budget
+
+    return select_token_budget(_t(spark, sf_dir, "documents"), 600)

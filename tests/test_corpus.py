@@ -460,3 +460,71 @@ def test_vocab_stats_hand_computed(spark):
     assert r["top_type_freq"] == 3  # 'a'
     assert abs(r["type_token_ratio"] - 0.666667) < 1e-9
     assert r["hapax_share"] == 0.75
+
+
+def test_bigram_surprisal_repetitive_doc_scores_lower(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b a b a b a b a b", "en", "s0"),
+            (2, "a b c d e f g h i j", "en", "s0"),
+            (3, "x", "en", "s0"),  # <2 tokens → no bigram evidence
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.bigram_surprisal(df).collect()}
+    # doc 1's pairs (a,b)/(b,a) repeat corpus-wide → far more predictable
+    # than doc 2's all-hapax chain
+    assert out[1]["avg_bigram_surprisal"] < out[2]["avg_bigram_surprisal"]
+    assert out[1]["n_bigrams"] == 9
+    assert out[2]["n_bigrams"] == 9
+    assert 3 not in out
+
+
+def test_bigram_surprisal_hand_checked(spark):
+    # one doc "a b a": pairs (a,b),(b,a), each c12=1; c(a)=2, c(b)=1;
+    # N=3, V=2 → p(ab)=.75*(1/2)+.25*(2/5); p(ba)=.75*(1/1)+.25*(3/5)
+    df = _docs(spark, [(1, "a b a", "en", "s0")])
+    row = corpus.bigram_surprisal(df).collect()[0]
+    p_ab = 0.75 * (1 / 2) + 0.25 * (2 / 5)
+    p_ba = 0.75 * 1.0 + 0.25 * (3 / 5)
+    want = (-math.log(p_ab) - math.log(p_ba)) / 2
+    assert math.isclose(row["avg_bigram_surprisal"], want, abs_tol=1e-5)
+
+
+def test_select_token_budget_pruned_equals_definitional(spark):
+    from tests.conftest import SF_DIR
+
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    for budget in (200, 600, 10_000_000):
+        a = sorted(
+            map(tuple, corpus.select_token_budget(docs, budget).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                corpus.select_token_budget(
+                    docs, budget, prune_bucket_units=None
+                ).collect(),
+            )
+        )
+        assert a == b, f"prune mismatch at budget={budget}"
+    # the huge budget keeps every nonzero-token doc
+    assert len(a) == docs.count()
+
+
+def test_select_token_budget_greedy_order(spark):
+    # strata s0: doc 1 all-distinct (score 1.0), doc 2 repetitive
+    # (score 0.25), each 4 tokens; budget 5 → only the best doc fits
+    # (cum would hit 8 > 5 at doc 2).
+    df = _docs(
+        spark,
+        [
+            (1, "p q r s", "en", "s0"),
+            (2, "t t t t", "en", "s0"),
+            (3, "", "en", "s0"),  # zero-token → excluded
+        ],
+    )
+    rows = corpus.select_token_budget(df, 5, strata_col="source").collect()
+    assert [(r["doc_id"], r["cum_tokens"]) for r in rows] == [(1, 4)]
