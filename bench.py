@@ -91,6 +91,7 @@ HEADLINE = [
     "vocab_stats",
     "bigram_surprisal",
     "token_budget_fill",
+    "html_to_text",
 ]
 
 

@@ -2520,3 +2520,57 @@ def token_budget_sql(budget_tokens: int = 600) -> str:
                CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM cum WHERE cum_tokens <= {budget_tokens}
     """
+
+
+def html_fixture_sql_expr() -> str:
+    """DuckDB mirror of ``html.html_fixture_col`` — byte-identical HTML
+    rendered from a ``documents`` row."""
+    from llm_training_data_pipeline_spark.sources.html import HTML_FIXTURE
+
+    parts: list[str] = []
+    for kind, val in HTML_FIXTURE:
+        if kind == "lit":
+            segs = str(val).split("\n")
+            parts.append(
+                "||chr(10)||".join("'" + s.replace("'", "''") + "'" for s in segs)
+            )
+        elif kind == "col":
+            parts.append(f"CAST({val} AS VARCHAR)")
+        else:
+            parts.append(f"substr(text, 1, {int(val)})")
+    return "(" + " || ".join(parts) + ")"
+
+
+def html_to_text_expr(e: str) -> str:
+    """The HTML→text chain (``html.html_to_text``) as one DuckDB
+    expression, built from the SAME rewrite/entity tables so the two
+    engines cannot drift."""
+    from llm_training_data_pipeline_spark.sources.html import (
+        _HTML_BLOCK_REWRITES,
+        _HTML_ENTITIES,
+        _HTML_POST_CLEAN,
+        _HTML_TAG_REWRITES,
+    )
+
+    for pat, repl in list(_HTML_BLOCK_REWRITES) + list(_HTML_TAG_REWRITES):
+        e = f"regexp_replace({e}, '{q(pat)}', {_wiki_sql_repl(repl)}, 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        e = f"replace({e}, '{ent.replace(chr(39), chr(39) * 2)}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    for pat, repl in _HTML_POST_CLEAN:
+        e = f"regexp_replace({e}, '{q(pat)}', {_wiki_sql_repl(repl)}, 'g')"
+    return f"regexp_replace({e}, '{q(STRIP_WS)}', '', 'g')"
+
+
+def html_to_text_sql() -> str:
+    return f"""
+        WITH h AS (
+          SELECT doc_id, {html_fixture_sql_expr()} AS raw_html
+          FROM documents
+        ), stripped AS (
+          SELECT doc_id, {html_to_text_expr('raw_html')} AS extracted
+          FROM h
+        )
+        SELECT doc_id, extracted,
+               CAST(length(extracted) AS BIGINT) AS extracted_chars
+        FROM stripped
+    """

@@ -2170,3 +2170,21 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import select_token_budget
 
     return select_token_budget(_t(spark, sf_dir, "documents"), 600)
+
+
+@register("html_to_text", oracle.html_to_text_sql())
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl HTML→text extraction hash-checked end-to-end: render a
+    deterministic HTML fixture from ``documents`` rows (script/style/
+    comment blocks, block tags, entities, whitespace shapes — every
+    rewrite rule fires), extract with the native regexp chain, and
+    bit-compare against the DuckDB mirror built from the same tables."""
+    from llm_training_data_pipeline_spark.sources import html as html_src
+
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", "text").select(
+        "doc_id", html_src.html_fixture_col().alias("raw_html")
+    )
+    return h.select(
+        "doc_id", html_src.html_to_text(F.col("raw_html")).alias("extracted")
+    ).withColumn("extracted_chars", F.length("extracted").cast("long"))
