@@ -92,6 +92,8 @@ HEADLINE = [
     "bigram_surprisal",
     "token_budget_fill",
     "html_to_text",
+    "tfidf_top_terms",
+    "key_skew_profile",
 ]
 
 

@@ -1032,3 +1032,66 @@ def select_token_budget(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select("strata", "doc_id", "score_units", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the standard
+    corpus-keyword signal (topic tagging, mixture diagnostics, building
+    blocklists from what a source is actually about).
+
+    ``idf = ln(D / df)`` is truncated to exact 1e-8 integer units ONCE
+    per vocabulary term; the per-doc score is then the exact long
+    product ``tf · idf_units``, so ranking (score desc, term asc) can
+    never drift between engines — no per-row float comparisons at all.
+
+    Plan: explode → (doc, word) hash aggregate → word-keyed aggregate
+    for document frequency → equi-join back on word → per-doc top-k
+    window (partitions are doc-sized). Two shuffles on natural keys plus
+    one broadcast of the doc-count scalar.
+    """
+    tf = (
+        _lower_words(df, text_col, id_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    docfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    n_docs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    scored = (
+        tf.join(docfreq, on="word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_idf_units",
+            F.floor(
+                F.log(F.col("_d").cast("double") / F.col("df_docs").cast("double"))
+                * F.lit(1e8)
+            ).cast("long"),
+        )
+        .withColumn("_score_units", F.col("tf") * F.col("_idf_units"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score_units"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            F.col("word").alias("term"),
+            "tf",
+            F.round(F.col("_score_units").cast("double") / F.lit(1e8), 6).alias(
+                "tfidf"
+            ),
+        )
+    )

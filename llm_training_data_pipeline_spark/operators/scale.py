@@ -16,7 +16,7 @@ These are the knobs a 100 TB deployment turns when AQE alone isn't enough:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,58 @@ def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str, on: str
     plans a shuffle-free sort-merge join (verify: no Exchange in
     ``.explain``)."""
     return spark.table(table_a).join(spark.table(table_b), on=on)
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
+    """Shuffle-key skew diagnostic: the top-k heaviest keys with their
+    row share, plus the skew factor (max key count / mean key count) on
+    every row. This is the measurement you take BEFORE choosing between
+    a plain join, ``salted_join``, or AQE skew-split for a key — a skew
+    factor near 1 means the key partitions evenly; hundreds means one
+    reducer owns the stage's tail latency.
+
+    Plan: one hash aggregate on the key (map-side partials), one tiny
+    corpus-level aggregate broadcast back, and a top-k sort that
+    TakeOrdered handles without a global sort. Shares and the factor are
+    exact-integer half-up units (6dp) so the report replays bit-for-bit
+    in DuckDB.
+    """
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+        F.max("n_rows").cast("long").alias("_max_n"),
+    )
+
+    def _units6(num, den):
+        return F.when(
+            den > 0,
+            F.floor((num * 2_000_000 + den) / (den * F.lit(2.0))).cast("long")
+            / F.lit(1_000_000.0),
+        ).otherwise(F.lit(0.0))
+
+    # top-k BEFORE the rank window: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition top-k, driver merge — no
+    # global sort shuffle), so the single-partition rank window only
+    # ever sees k rows, not the full key distribution.
+    ranked = (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_rows"), F.asc("key"))),
+        )
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        "n_rows",
+        F.col("_n_keys").alias("n_keys"),
+        _units6(F.col("n_rows"), F.col("_total")).alias("row_share"),
+        _units6(F.col("_max_n") * F.col("_n_keys"), F.col("_total")).alias(
+            "skew_factor"
+        ),
+    )

@@ -2574,3 +2574,69 @@ def html_to_text_sql() -> str:
                CAST(length(extracted) AS BIGINT) AS extracted_chars
         FROM stripped
     """
+
+
+def key_skew_profile_sql(table: str = "events", key: str = "user_id", top_k: int = 5) -> str:
+    """Mirror of scale.key_skew_profile: per-key counts, corpus totals,
+    top-k by (count desc, key-string asc), exact 6dp half-up units."""
+
+    def u6(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN "
+            f"CAST(floor(({num} * 2000000 + {den}) / ({den} * 2.0)) AS BIGINT)"
+            f" / 1000000.0 ELSE 0.0 END"
+        )
+
+    return f"""
+        WITH per_key AS (
+          SELECT CAST({key} AS VARCHAR) AS key, count(*) AS n_rows
+          FROM {table} GROUP BY 1
+        ), tot AS (
+          SELECT sum(n_rows) AS total, count(*) AS n_keys, max(n_rows) AS max_n
+          FROM per_key
+        ), ranked AS (
+          SELECT key, n_rows, tot.total, tot.n_keys, tot.max_n,
+                 row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+          FROM per_key CROSS JOIN tot
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, key,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               {u6('n_rows', 'total')} AS row_share,
+               {u6('max_n * n_keys', 'total')} AS skew_factor
+        FROM ranked WHERE rank <= {top_k}
+    """
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Mirror of corpus.tfidf_top_terms: idf in exact 1e-8 units per
+    term, exact long tf·idf products, per-doc top-k by (score desc,
+    term asc)."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest({_lower_toks()}) AS word FROM documents
+        ), tf AS (
+          SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word
+        ), docfreq AS (
+          SELECT word, count(*) AS df_docs FROM tf GROUP BY word
+        ), nd AS (
+          SELECT count(DISTINCT doc_id) AS d FROM tf
+        ), scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf,
+                 tf.tf * CAST(floor(ln(CAST(nd.d AS DOUBLE)
+                              / CAST(docfreq.df_docs AS DOUBLE))
+                              * CAST(100000000 AS DOUBLE)) AS BIGINT)
+                   AS score_units
+          FROM tf JOIN docfreq USING (word) CROSS JOIN nd
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_units DESC, word) AS rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, word AS term,
+               CAST(tf AS BIGINT) AS tf,
+               round(CAST(score_units AS DOUBLE)
+                     / CAST(100000000 AS DOUBLE), 6) AS tfidf
+        FROM ranked WHERE rank <= {k}
+    """

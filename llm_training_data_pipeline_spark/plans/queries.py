@@ -2188,3 +2188,23 @@ def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", html_src.html_to_text(F.col("raw_html")).alias("extracted")
     ).withColumn("extracted_chars", F.length("extracted").cast("long"))
+
+
+@register("key_skew_profile", oracle.key_skew_profile_sql())
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostic: heaviest event-stream keys with row
+    shares and the corpus skew factor — the measurement behind the
+    plain-join vs salted_join vs AQE-skew-split decision."""
+    from llm_training_data_pipeline_spark.operators.scale import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), "user_id")
+
+
+@register("tfidf_top_terms", oracle.tfidf_top_terms_sql(k=3))
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF with
+    exact-integer scoring (idf in 1e-8 units, long tf·idf products) so
+    the ranking replays bit-for-bit in DuckDB."""
+    from llm_training_data_pipeline_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)

@@ -528,3 +528,35 @@ def test_select_token_budget_greedy_order(spark):
     )
     rows = corpus.select_token_budget(df, 5, strata_col="source").collect()
     assert [(r["doc_id"], r["cum_tokens"]) for r in rows] == [(1, 4)]
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common apple apple apple", "en", "s0"),
+            (2, "common banana", "en", "s0"),
+            (3, "common cherry cherry", "en", "s0"),
+        ],
+    )
+    out = corpus.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r for r in out}
+    # 'common' appears in all 3 docs → idf = ln(1) = 0; the doc-unique
+    # word must win in every doc
+    assert top[1]["term"] == "apple" and top[1]["tf"] == 3
+    assert top[2]["term"] == "banana"
+    assert top[3]["term"] == "cherry"
+    assert all(r["rank"] == 1 for r in out)
+    import math as _m
+
+    assert abs(top[1]["tfidf"] - 3 * _m.log(3)) < 1e-6
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    # both hapaxes tie on tf·idf → lexicographic term order decides
+    df = _docs(spark, [(1, "zeta alpha", "en", "s0"), (2, "filler", "en", "s0")])
+    rows = corpus.tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 1).collect()
+    assert [r["term"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+        "alpha",
+        "zeta",
+    ]

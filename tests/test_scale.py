@@ -193,3 +193,28 @@ def test_int8_quantized_topk_matches_float_closely(spark):
     for r in qz[:50]:
         assert all(-127 <= x <= 127 for x in r["qvec"]), r["vec_id"]
         assert r["qscale"] >= 0
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from llm_training_data_pipeline_spark.operators.scale import key_skew_profile
+
+    # key a: 6 rows, b: 2, c: 1, d: 1 → 10 rows / 4 keys, mean 2.5,
+    # skew factor 6/2.5 = 2.4
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_k=2).orderBy("rank").collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in out] == [
+        (1, "a", 6),
+        (2, "b", 2),
+    ]
+    assert out[0]["n_keys"] == 4
+    assert abs(out[0]["skew_factor"] - 2.4) < 1e-9
+    assert abs(out[0]["row_share"] - 0.6) < 1e-9
+
+
+def test_key_skew_profile_top_k_plan_has_no_global_sort_exchange(spark):
+    from llm_training_data_pipeline_spark.operators.scale import key_skew_profile
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    plan = key_skew_profile(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
