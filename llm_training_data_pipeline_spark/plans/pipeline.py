@@ -248,8 +248,24 @@ def run_pipeline(
 
     tok_summary: dict[str, Any] = {}
     tsec = cfg.section("tokenization")
+    pre_cache = None
     if tsec.get("enabled", True):
         from llm_training_data_pipeline_spark.operators import tokenize as tk
+
+        # Materialize the composed pipeline ONCE before tokenizer
+        # training. Two reasons: (a) the training aggregate would
+        # otherwise be the FIRST action on the observed plan, and
+        # Observation.get latches whatever that action reports — under
+        # AQE, empty-relation propagation can elide upstream
+        # CollectMetrics nodes from the re-optimized plan (an all-
+        # filtered corpus reported dedup rows: 0 while the stage really
+        # passed 430), so stage metrics must come from one complete
+        # count; (b) without it the whole upstream chain runs TWICE
+        # (training action + sink write) — at scale the cache is
+        # strictly cheaper than the recompute it replaces.
+        pre_cache = df.persist()
+        pre_cache.count()
+        df = pre_cache
 
         algo = tsec.get("algorithm", "bpe")
         tokenizer = tk.train_tokenizer(
@@ -324,6 +340,8 @@ def run_pipeline(
         # blocks would otherwise leak for the SparkSession's lifetime
         if shuffle_cache is not None:
             shuffle_cache.unpersist()
+        if pre_cache is not None:
+            pre_cache.unpersist()
 
     duration = time.time() - t0
     stage_metrics = {}
@@ -359,7 +377,11 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description="PySpark LLM training data pipeline")
     ap.add_argument("--input", required=True, help="documents parquet path or wiki XML dump")
-    ap.add_argument("--input-format", choices=["parquet", "wiki-xml"], default="parquet")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "wiki-xml", "html-parquet"],
+        default="parquet",
+    )
     ap.add_argument("--max-articles", type=int, default=None)
     ap.add_argument("--output-dir", default="data/output")
     ap.add_argument("--config", default=None, help="YAML config path")
@@ -378,6 +400,21 @@ def main() -> None:
         docs = docs.select(
             F.col("page_id").alias("doc_id"), "title", "text"
         )
+    elif args.input_format == "html-parquet":
+        # web-crawl landing format: parquet rows carrying raw HTML in an
+        # ``html`` (or ``raw_html``) column; the extraction chain turns
+        # it into the pipeline's ``text`` column before the stages run
+        from llm_training_data_pipeline_spark.sources.html import html_to_text
+
+        raw = spark.read.parquet(args.input)
+        html_col = "html" if "html" in raw.columns else "raw_html"
+        if html_col not in raw.columns:
+            raise SystemExit(
+                "--input-format html-parquet needs an 'html' or 'raw_html' column"
+            )
+        docs = raw.withColumn("text", html_to_text(F.col(html_col))).drop(html_col)
+        if args.max_articles:
+            docs = docs.limit(args.max_articles)
     else:
         docs = spark.read.parquet(args.input)
         if args.max_articles:

@@ -302,3 +302,28 @@ def test_tokenization_pack_stage_writes_sequences(spark, tmp_path):
     assert n > 1
     full = packed.filter("n_tokens = 256").count()
     assert full >= n - 1  # only the final window may be partial
+
+
+def test_stage_metrics_exact_when_downstream_stage_empties_corpus(spark):
+    """Regression: with tokenization enabled, the training aggregate used
+    to be the FIRST action on the observed plan — Observation.get latches
+    that action's metrics, and under AQE empty-relation propagation an
+    all-filtering quality stage reported dedup rows: 0 even though the
+    dedup stage really passed rows. The pre-train persist+count must
+    report every upstream stage's true count."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"algorithm": "exact_hash"},
+            "quality": {"min_words": 10_000},  # nothing survives
+            "tokenization": {"vocab_size": 300},
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    st = summary["stages"]
+    assert st["quality"]["rows"] == 0
+    assert st["ingest"]["rows"] == 500
+    assert st["clean"]["rows"] > 0
+    assert st["dedup"]["rows"] > 0, "upstream stage metric lost to first-action latching"
+    assert st["dedup"]["rows"] <= st["clean"]["rows"]
