@@ -94,6 +94,7 @@ HEADLINE = [
     "html_to_text",
     "tfidf_top_terms",
     "key_skew_profile",
+    "bloom_incremental_dedup",
 ]
 
 

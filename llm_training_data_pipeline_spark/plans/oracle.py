@@ -2640,3 +2640,19 @@ def tfidf_top_terms_sql(k: int = 3) -> str:
                      / CAST(100000000 AS DOUBLE), 6) AS tfidf
         FROM ranked WHERE rank <= {k}
     """
+
+
+def bloom_incremental_sql(split_id: int = 250) -> str:
+    """Oracle for the Bloom-prefiltered incremental dedup: the filter
+    composition is provably bit-identical to the plain digest anti-join
+    (no false negatives), so the mirror IS the anti-join."""
+    h = f"md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))"
+    return f"""
+        WITH corpus AS (
+          SELECT DISTINCT {h} AS digest FROM documents WHERE doc_id < {split_id}
+        )
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents d
+        WHERE d.doc_id >= {split_id}
+          AND {h.replace('text', 'd.text')} NOT IN (SELECT digest FROM corpus)
+    """

@@ -2208,3 +2208,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register("bloom_incremental_dedup", oracle.bloom_incremental_sql(split_id=250))
+def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup behind a broadcast Bloom pre-filter: new shard
+    (doc_id ≥ 250) vs corpus history (doc_id < 250). Definitely-new rows
+    skip the anti-join entirely; only Bloom-maybe rows reach it — and
+    the composition is provably identical to the plain anti-join, which
+    is exactly what the oracle replays."""
+    from llm_training_data_pipeline_spark.functions.text import strip_ws
+    from llm_training_data_pipeline_spark.operators import bloom
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5(F.lower(strip_ws(F.col("text"))))
+    )
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    out = bloom.bloom_incremental_new_docs(
+        new, corpus, "digest", num_bits=65536
+    )
+    return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
