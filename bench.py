@@ -95,6 +95,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "key_skew_profile",
     "bloom_incremental_dedup",
+    "mixture_epoch_plan",
+    "mixture_apply",
 ]
 
 

@@ -1095,3 +1095,115 @@ def tfidf_top_terms(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Budget-driven mixture / epoch planning
+# ---------------------------------------------------------------------
+
+
+def _weight_units_expr(
+    source_col: str, weights: dict[str, float], default_weight: float
+) -> Column:
+    """Per-source mixture weight in exact 1e-3 integer units (CASE
+    cascade over sorted source names so plan text is deterministic)."""
+    w: Column = F.lit(int(round(default_weight * 1000)))
+    for name, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(int(round(wt * 1000)))).otherwise(w)
+    return w
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    default_weight: float = 1.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Turn target mixture weights + a total token budget into a
+    per-source plan: how many tokens each source should contribute
+    (``target_tokens``) and the repeat factor over what it actually has
+    (``epochs`` — >1 means the source is seen multiple times per
+    training pass, the standard upsampling move for small high-quality
+    sources; <1 means downsampling).
+
+    All arithmetic is integer-exact (weights in 1e-3 units, epochs in
+    1e-4 units, integer division) so the plan replays bit-for-bit in
+    DuckDB. Plan shape: one token-count aggregate per source, one tiny
+    total broadcast — two shuffles on the source key, nothing
+    driver-side.
+    """
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(whitespace_tokens(F.col(text_col))).cast("long").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("available_tokens"))
+        .withColumn("_w_units", _weight_units_expr("source", weights, default_weight))
+    )
+    totals = per.agg(F.sum("_w_units").alias("_tot_w"))
+    plan = per.crossJoin(F.broadcast(totals)).withColumn(
+        "target_tokens",
+        F.expr(f"CAST(({budget_tokens}L * _w_units) div _tot_w AS LONG)"),
+    )
+    epochs_units = F.when(
+        F.col("available_tokens") > 0,
+        F.expr("CAST((target_tokens * 10000L) div available_tokens AS LONG)"),
+    ).otherwise(F.lit(0))
+    return plan.select(
+        "source",
+        "available_tokens",
+        "target_tokens",
+        epochs_units.alias("_epochs_units"),
+        (epochs_units.cast("double") / F.lit(10_000.0)).alias("epochs"),
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    default_weight: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    materialize: bool = False,
+) -> DataFrame:
+    """Doc-level application of ``mixture_epoch_plan``: every document
+    gets ``floor(epochs)`` copies plus one more for a deterministic
+    ``frac(epochs)`` share of ids (the pure-arithmetic ``sample_key`` in
+    1e-4 buckets) — so each source's expected token contribution matches
+    its target. Returns (id, source, n_copies) with n_copies > 0;
+    ``materialize=True`` explodes to one row per copy with a ``copy``
+    index (the actual training-input shape).
+
+    The plan side is tiny (one row per source) and broadcast — the doc
+    side is a single scan with no shuffle.
+    """
+    plan = mixture_epoch_plan(
+        df, weights, budget_tokens, default_weight, text_col, source_col
+    ).select(F.col("source").alias(source_col), "_epochs_units")
+    whole = F.expr("CAST(_epochs_units div 10000 AS LONG)")
+    frac_units = F.expr("CAST(_epochs_units % 10000 AS LONG)")
+    n_copies = (
+        whole
+        + F.when(sample_key(F.col(id_col), 10_000) < frac_units, 1).otherwise(0)
+    ).cast("long")
+    out = (
+        df.join(F.broadcast(plan), on=source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            n_copies.alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    if materialize:
+        return out.select(
+            id_col,
+            source_col,
+            F.explode(F.expr("sequence(1L, n_copies)")).alias("copy"),
+        )
+    return out

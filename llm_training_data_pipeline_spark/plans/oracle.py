@@ -2656,3 +2656,64 @@ def bloom_incremental_sql(split_id: int = 250) -> str:
         WHERE d.doc_id >= {split_id}
           AND {h.replace('text', 'd.text')} NOT IN (SELECT digest FROM corpus)
     """
+
+
+def _weight_units_case_sql(weights: dict[str, float], default_weight: float) -> str:
+    whens = "".join(
+        f"WHEN source = '{name}' THEN {int(round(wt * 1000))} "
+        for name, wt in sorted(weights.items())
+    )
+    return f"CASE {whens}ELSE {int(round(default_weight * 1000))} END"
+
+
+def _mixture_plan_cte(
+    weights: dict[str, float], budget_tokens: int, default_weight: float = 1.0
+) -> str:
+    """Shared CTE chain mirroring corpus.mixture_epoch_plan's exact
+    integer arithmetic (1e-3 weight units, 1e-4 epoch units)."""
+    return f"""
+        per AS (
+          SELECT source,
+                 CAST(sum(len({_lower_toks()})) AS BIGINT) AS available_tokens,
+                 {_weight_units_case_sql(weights, default_weight)} AS w_units
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT sum(w_units) AS tot_w FROM per
+        ), plan AS (
+          SELECT source, available_tokens,
+                 CAST(({budget_tokens} * w_units) // tot.tot_w AS BIGINT)
+                   AS target_tokens,
+                 CASE WHEN available_tokens > 0
+                      THEN CAST(((({budget_tokens} * w_units) // tot.tot_w)
+                                 * 10000) // available_tokens AS BIGINT)
+                      ELSE 0 END AS epochs_units
+          FROM per CROSS JOIN tot
+        )
+    """
+
+
+def mixture_epoch_plan_sql(
+    weights: dict[str, float], budget_tokens: int, default_weight: float = 1.0
+) -> str:
+    return f"""
+        WITH {_mixture_plan_cte(weights, budget_tokens, default_weight)}
+        SELECT source, available_tokens, target_tokens,
+               CAST(epochs_units AS DOUBLE) / 10000.0 AS epochs
+        FROM plan
+    """
+
+
+def mixture_apply_sql(
+    weights: dict[str, float], budget_tokens: int, default_weight: float = 1.0
+) -> str:
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 10000"
+    return f"""
+        WITH {_mixture_plan_cte(weights, budget_tokens, default_weight)}
+        SELECT d.doc_id, d.source,
+               CAST(p.epochs_units // 10000
+                    + CASE WHEN {key} < p.epochs_units % 10000
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM documents d JOIN plan p USING (source)
+        WHERE p.epochs_units // 10000
+              + CASE WHEN {key} < p.epochs_units % 10000 THEN 1 ELSE 0 END > 0
+    """

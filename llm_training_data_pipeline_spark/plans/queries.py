@@ -2229,3 +2229,34 @@ def q_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, corpus, "digest", num_bits=65536
     )
     return out.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0}
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle.mixture_epoch_plan_sql(_MIX_WEIGHTS, budget_tokens=50_000),
+)
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven corpus mixing: per-source target tokens and repeat
+    factors (epochs) for a 50k-token budget with src0/src1 upweighted —
+    all integer-exact arithmetic, replayed bit-for-bit."""
+    from llm_training_data_pipeline_spark.operators.corpus import mixture_epoch_plan
+
+    return mixture_epoch_plan(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, 50_000
+    ).drop("_epochs_units")
+
+
+@register(
+    "mixture_apply",
+    oracle.mixture_apply_sql(_MIX_WEIGHTS, budget_tokens=50_000),
+)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level application of the mixture plan: floor(epochs) copies
+    per doc plus a deterministic fractional share via the arithmetic
+    sample key — broadcast plan join, no corpus shuffle."""
+    from llm_training_data_pipeline_spark.operators.corpus import apply_mixture_plan
+
+    return apply_mixture_plan(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS, 50_000)

@@ -560,3 +560,41 @@ def test_tfidf_tie_breaks_by_term(spark):
         "alpha",
         "zeta",
     ]
+
+
+def test_mixture_epoch_plan_hand_computed(spark):
+    # s0: 4 tokens, s1: 8 tokens; weights s0=3, s1=1 → target s0 = 75
+    # of 100, s1 = 25; epochs s0 = 75/4 = 18.75, s1 = 25/8 = 3.125
+    df = _docs(spark, [(1, "a b c d", "en", "s0"), (2, "e f g h i j k l", "en", "s1")])
+    plan = {
+        r["source"]: r
+        for r in corpus.mixture_epoch_plan(df, {"s0": 3.0}, 100).collect()
+    }
+    assert plan["s0"]["target_tokens"] == 75 and plan["s1"]["target_tokens"] == 25
+    assert plan["s0"]["epochs"] == 18.75
+    assert plan["s1"]["epochs"] == 3.125
+
+
+def test_apply_mixture_plan_copies_and_materialize(spark):
+    # one source, 10 tokens available, budget 25 → epochs 2.5: every doc
+    # gets 2 copies plus 1 more for half the ids (deterministic)
+    rows = [(i, "w x y z v", "en", "s0") for i in range(20)]  # 5 tokens each
+    df = _docs(spark, rows)
+    out = corpus.apply_mixture_plan(df, {}, 250).collect()
+    copies = {r["doc_id"]: r["n_copies"] for r in out}
+    assert set(copies.values()) <= {2, 3}
+    assert len(copies) == 20
+    # 250 budget / 100 available = 2.5 epochs → expected total copies 50
+    total = sum(copies.values())
+    assert 45 <= total <= 55
+    mat = corpus.apply_mixture_plan(df, {}, 250, materialize=True)
+    assert mat.count() == total
+    assert mat.filter(F.col("copy") > 3).count() == 0
+
+
+def test_apply_mixture_plan_deterministic(spark):
+    rows = [(i, "q r s", "en", f"s{i % 3}") for i in range(30)]
+    df = _docs(spark, rows)
+    a = sorted(map(tuple, corpus.apply_mixture_plan(df, {"s1": 2.0}, 500).collect()))
+    b = sorted(map(tuple, corpus.apply_mixture_plan(df, {"s1": 2.0}, 500).collect()))
+    assert a == b
