@@ -97,6 +97,9 @@ HEADLINE = [
     "bloom_incremental_dedup",
     "mixture_epoch_plan",
     "mixture_apply",
+    "dataset_split_counts",
+    "blocklist_filter",
+    "embedding_centroids",
 ]
 
 

@@ -1207,3 +1207,60 @@ def apply_mixture_plan(
             F.explode(F.expr("sequence(1L, n_copies)")).alias("copy"),
         )
     return out
+
+
+# ---------------------------------------------------------------------
+# Deterministic dataset splitting (train/val/test)
+# ---------------------------------------------------------------------
+
+
+def dataset_split(
+    df: DataFrame,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tag every row train/val/test by the deterministic arithmetic
+    sample key (permille fractions, integer comparisons only): the same
+    ids land in the same split on every run, every engine, and every
+    partitioning — the property that matters when the corpus is rebuilt
+    incrementally and yesterday's validation set must not leak into
+    today's training set. Pure projection: no shuffle, survives
+    predicate pushdown."""
+    key = sample_key(F.col(id_col), 1000)
+    return df.withColumn(
+        "split",
+        F.when(key < val_permille, F.lit("val"))
+        .when(key < val_permille + test_permille, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+# ---------------------------------------------------------------------
+# Term blocklist filtering (C4-style badword / policy filtering)
+# ---------------------------------------------------------------------
+
+
+def blocklist_pattern(terms: list[str]) -> str:
+    """One case-insensitive whole-word alternation for the term list —
+    a single compiled regex pass per document regardless of list size
+    (the C4 recipe; at thousands of terms switch to token-set semi-join
+    via ``_lower_words`` + a broadcast term table instead)."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("empty blocklist")
+    alt = "|".join(_re.escape(t) for t in sorted(terms))
+    return rf"(?i)\b(?:{alt})\b"
+
+
+def with_blocklist_hits(
+    df: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Add ``blocklist_hits`` (match count) and ``blocked`` (any hit).
+    Pure projection — no shuffle, pushes down past column pruning."""
+    pat = blocklist_pattern(terms)
+    hits = F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+    return df.withColumn("blocklist_hits", hits).withColumn(
+        "blocked", F.col("blocklist_hits") > 0
+    )

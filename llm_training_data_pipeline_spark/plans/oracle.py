@@ -2717,3 +2717,60 @@ def mixture_apply_sql(
         WHERE p.epochs_units // 10000
               + CASE WHEN {key} < p.epochs_units % 10000 THEN 1 ELSE 0 END > 0
     """
+
+
+def dataset_split_sql(val_permille: int = 50, test_permille: int = 50) -> str:
+    """Mirror of corpus.dataset_split aggregated per (source, split)."""
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000"
+    return f"""
+        SELECT source,
+               CASE WHEN {key} < {val_permille} THEN 'val'
+                    WHEN {key} < {val_permille + test_permille} THEN 'test'
+                    ELSE 'train' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_id,
+               CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
+def blocklist_sql(terms: list[str]) -> str:
+    """Mirror of corpus.with_blocklist_hits aggregated per source: the
+    SAME alternation pattern via the shared builder."""
+    from llm_training_data_pipeline_spark.operators.corpus import blocklist_pattern
+
+    pat = q(blocklist_pattern(terms))
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+                 AS total_hits,
+               CAST(sum(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS blocked_docs
+        FROM documents
+        GROUP BY source
+    """
+
+
+def embedding_centroids_sql() -> str:
+    """Mirror of the per-(label, dim) centroid aggregate: exact 1e-6
+    integer unit sums, half-up 6dp means."""
+    return """
+        WITH ei AS (
+          SELECT label, embedding,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings
+        ), e AS (
+          SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                 CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS vu
+          FROM ei
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(floor((sum(vu) * 2 + count(*)) / (count(*) * 2.0)) AS BIGINT)
+                 / 1000000.0 AS centroid
+        FROM e
+        GROUP BY label, dim
+    """

@@ -2260,3 +2260,62 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import apply_mixture_plan
 
     return apply_mixture_plan(_t(spark, sf_dir, "documents"), _MIX_WEIGHTS, 50_000)
+
+
+@register("dataset_split_counts", oracle.dataset_split_sql())
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test tagging (5%/5% by arithmetic sample
+    key — rebuild-stable, no leakage across incremental runs), reported
+    as per-(source, split) counts."""
+    from llm_training_data_pipeline_spark.operators.corpus import dataset_split
+
+    out = dataset_split(_t(spark, sf_dir, "documents"))
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+_BLOCKLIST_TERMS = ["spark", "merge", "vector"]
+
+
+@register("blocklist_filter", oracle.blocklist_sql(_BLOCKLIST_TERMS))
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style term blocklist: one whole-word case-insensitive
+    alternation pass per document, reported per source (docs blocked,
+    total hits). Pattern built by the shared builder on both engines."""
+    from llm_training_data_pipeline_spark.operators.corpus import with_blocklist_hits
+
+    out = with_blocklist_hits(_t(spark, sf_dir, "documents"), _BLOCKLIST_TERMS)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("blocklist_hits").cast("long").alias("total_hits"),
+        F.sum(F.when(F.col("blocked"), 1).otherwise(0)).cast("long").alias("blocked_docs"),
+    )
+
+
+@register("embedding_centroids", oracle.embedding_centroids_sql())
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (label × dimension means in exact
+    1e-6 units, half-up 6dp) — the IVF coarse-quantizer build step and
+    the standard embedding-drift diagnostic, as one posexplode +
+    map-side-combinable aggregate on the natural (label, dim) key."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * F.lit(1_000_000)).cast("long").alias("vu"),
+    )
+    agg = e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("vu").alias("_su"),
+    )
+    centroid = (
+        F.floor((F.col("_su") * 2 + F.col("n_vecs")) / (F.col("n_vecs") * F.lit(2.0)))
+        .cast("long")
+        / F.lit(1_000_000.0)
+    )
+    return agg.select("label", "dim", "n_vecs", centroid.alias("centroid"))

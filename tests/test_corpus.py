@@ -598,3 +598,44 @@ def test_apply_mixture_plan_deterministic(spark):
     a = sorted(map(tuple, corpus.apply_mixture_plan(df, {"s1": 2.0}, 500).collect()))
     b = sorted(map(tuple, corpus.apply_mixture_plan(df, {"s1": 2.0}, 500).collect()))
     assert a == b
+
+
+def test_dataset_split_deterministic_partitions(spark):
+    df = _docs(spark, [(i, f"doc {i}", "en", "s0") for i in range(2000)])
+    out = corpus.dataset_split(df)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    # 5% val / 5% test over a pseudo-uniform key
+    assert 50 <= counts.get("val", 0) <= 150
+    assert 50 <= counts.get("test", 0) <= 150
+    assert counts["train"] == 2000 - counts["val"] - counts["test"]
+
+
+def test_blocklist_whole_word_and_case(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "The Spark engine sparkles", "en", "s0"),  # 'sparkles' ≠ word hit
+            (2, "merge then MERGE again", "en", "s0"),
+            (3, "clean text only", "en", "s0"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.with_blocklist_hits(df, ["spark", "merge"]).collect()
+    }
+    assert out[1]["blocklist_hits"] == 1  # 'Spark' yes, 'sparkles' no
+    assert out[2]["blocklist_hits"] == 2  # case-insensitive
+    assert out[3]["blocklist_hits"] == 0 and not out[3]["blocked"]
+
+
+def test_blocklist_escapes_regex_metachars(spark):
+    df = _docs(spark, [(1, "price is $9.99 today", "en", "s0")])
+    out = corpus.with_blocklist_hits(df, ["9.99"]).collect()[0]
+    assert out["blocklist_hits"] == 1
+    out2 = corpus.with_blocklist_hits(df, ["9Z99"]).collect()[0]
+    assert out2["blocklist_hits"] == 0  # '.' must not match literally
