@@ -100,6 +100,8 @@ HEADLINE = [
     "dataset_split_counts",
     "blocklist_filter",
     "embedding_centroids",
+    "event_funnel",
+    "compression_ratio_stats",
 ]
 
 

@@ -17,6 +17,7 @@ SQL-expressible.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -384,3 +385,38 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("flesch_ease", q4(ease))
         .withColumn("fk_grade", q4(grade))
     )
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document (compressed bytes / utf-8
+    bytes, exact 4dp) — the classic cheap redundancy signal: repetitive
+    or templated text compresses far below prose, random/garbled bytes
+    compress above it (RedPajama/Gopher-adjacent heuristic).
+
+    This is a deliberate Python-path operator: there is no JVM-side
+    DEFLATE expression, so it runs as an Arrow-batched pandas UDF
+    (zlib releases the GIL; batches compress at memory bandwidth). Not
+    SQL-expressible → rows-only correctness, pinned by unit tests.
+    Empty/NULL text → NULL ratio.
+    """
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if not raw:
+                out.append(None)
+                continue
+            comp = len(zlib.compress(raw, 6))
+            # exact half-up 4dp on the byte ratio
+            out.append(((comp * 20_000 + len(raw)) // (len(raw) * 2)) / 10_000.0)
+        return pd.Series(out, dtype="float64")
+
+    return df.withColumn("compression_ratio", _ratio(F.col(text_col)))

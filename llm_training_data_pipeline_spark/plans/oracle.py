@@ -2774,3 +2774,42 @@ def embedding_centroids_sql() -> str:
         FROM e
         GROUP BY label, dim
     """
+
+
+def event_funnel_sql() -> str:
+    """Mirror of the view→click→purchase funnel: per-user first-view
+    time, first click strictly after it, first purchase strictly after
+    that; exact 4dp half-up conversion rates."""
+
+    def u4(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN "
+            f"CAST(floor(({num} * 20000 + {den}) / ({den} * 2.0)) AS BIGINT)"
+            f" / 10000.0 ELSE 0.0 END"
+        )
+
+    return f"""
+        WITH s1 AS (
+          SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+          FROM events GROUP BY user_id
+        ), s2 AS (
+          SELECT e.user_id, s1.t1,
+                 min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                          THEN e.ts END) AS t2
+          FROM events e JOIN s1 USING (user_id)
+          GROUP BY e.user_id, s1.t1
+        ), s3 AS (
+          SELECT e.user_id, s2.t1, s2.t2,
+                 min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                          THEN e.ts END) AS t3
+          FROM events e JOIN s2 USING (user_id)
+          GROUP BY e.user_id, s2.t1, s2.t2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+               CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+               CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase,
+               {u4("sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)", "sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)")} AS view_to_click,
+               {u4("sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)", "sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)")} AS click_to_purchase
+        FROM s3
+    """

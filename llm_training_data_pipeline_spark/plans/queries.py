@@ -2319,3 +2319,77 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1_000_000.0)
     )
     return agg.select("label", "dim", "n_vecs", centroid.alias("centroid"))
+
+
+@register("event_funnel", oracle.event_funnel_sql())
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel over the event stream: first view, then
+    first click strictly after it, then first purchase strictly after
+    that, per user — two staged conditional-min aggregates (events per
+    user are bounded, so the user-keyed joins stay balanced), with exact
+    4dp conversion rates."""
+    ev = _t(spark, sf_dir, "events")
+
+    def u4(num, den):
+        return F.when(
+            den > 0,
+            F.floor((num * 20_000 + den) / (den * F.lit(2.0))).cast("long")
+            / F.lit(10_000.0),
+        ).otherwise(F.lit(0.0))
+
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, on="user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        ev.join(s2, on="user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    rv = F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0))
+    rc = F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0))
+    rp = F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0))
+    return s3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        rv.cast("long").alias("reached_view"),
+        rc.cast("long").alias("reached_click"),
+        rp.cast("long").alias("reached_purchase"),
+        u4(rc, rv).alias("view_to_click"),
+        u4(rp, rc).alias("click_to_purchase"),
+    )
+
+
+@register("compression_ratio_stats", None)
+def q_compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy signal: per-source min/mean/max zlib compression ratio
+    (rows-only — DEFLATE is not SQL-expressible; the per-doc ratio is
+    pinned by unit tests). Aggregates use exact 4dp units."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        with_compression_ratio,
+    )
+
+    out = with_compression_ratio(_t(spark, sf_dir, "documents"))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("compression_ratio").alias("min_ratio"),
+        F.round(F.avg("compression_ratio"), 4).alias("mean_ratio"),
+        F.max("compression_ratio").alias("max_ratio"),
+    )

@@ -154,3 +154,29 @@ def test_readability_known_values(spark):
     assert rows[2]["n_words"] == 0 and rows[2]["n_sentences"] == 1
     assert rows[2]["flesch_ease"] is not None  # finite, no div-by-zero
     assert rows[3]["n_sentences"] == 1
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        with_compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),                       # highly repetitive
+            (2, " ".join(f"w{i}x{i * 7}" for i in range(200))),  # varied
+            (3, ""),                                   # empty → NULL
+            (4, None),                                 # null → NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["compression_ratio"] for r in with_compression_ratio(df).collect()}
+    assert out[1] < out[2], "repetitive text must compress better"
+    assert out[1] < 0.1
+    assert out[3] is None and out[4] is None
+    # exact pin: the UDF is deterministic byte arithmetic
+    import zlib
+
+    raw = ("spam " * 200).encode()
+    want = ((len(zlib.compress(raw, 6)) * 20_000 + len(raw)) // (len(raw) * 2)) / 10_000.0
+    assert out[1] == want
