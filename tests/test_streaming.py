@@ -565,3 +565,49 @@ def test_session_window_counts_stream_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert streamed  # real sessions actually closed and were emitted
+
+
+def test_streaming_bloom_prefilter_matches_batch(spark, tmp_path):
+    """The broadcast Bloom pre-filter is stateless, so it applies to a
+    stream unchanged: incoming micro-batches are checked against a
+    static corpus-history filter and the kept set must equal the batch
+    anti-join composition."""
+    import datetime as dt
+
+    from llm_training_data_pipeline_spark.operators import bloom
+
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200)], "digest string"
+    )
+    bf = bloom.build_bloom_filter(corpus, "digest", num_bits=8192)
+
+    src = str(tmp_path / "in")
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, f"k{i}", t0) for i in range(150, 260)]  # 50 dup, 60 new
+    spark.createDataFrame(rows, DOC_SCHEMA).selectExpr(
+        "doc_id", "text AS digest", "ts"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = "doc_id long, digest string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    flagged = bloom.with_bloom_maybe_contains(stream, "digest", bf)
+    q = (
+        flagged.filter(~F.col("maybe_dup"))
+        .writeStream.format("memory")
+        .queryName("bloom_stream")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    streamed = {r["digest"] for r in spark.sql("select digest from bloom_stream").collect()}
+
+    batch = spark.createDataFrame(rows, DOC_SCHEMA).selectExpr("text AS digest")
+    want = {
+        r["digest"]
+        for r in batch.join(corpus, on="digest", how="left_anti").collect()
+    }
+    # Bloom has no false negatives: everything the stream kept IS new,
+    # and anything it dropped-but-new is only a false positive (none at
+    # this sizing, so the sets are equal)
+    assert streamed <= want
+    assert len(want - streamed) <= 3  # FP slack at 8192 bits / 200 keys
