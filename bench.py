@@ -102,6 +102,7 @@ HEADLINE = [
     "embedding_centroids",
     "event_funnel",
     "compression_ratio_stats",
+    "source_vocab_overlap",
 ]
 
 

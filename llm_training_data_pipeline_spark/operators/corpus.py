@@ -1264,3 +1264,54 @@ def with_blocklist_hits(
     return df.withColumn("blocklist_hits", hits).withColumn(
         "blocked", F.col("blocklist_hits") > 0
     )
+
+
+# ---------------------------------------------------------------------
+# Cross-source vocabulary overlap
+# ---------------------------------------------------------------------
+
+
+def source_vocab_overlap(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the quick answer to
+    "are these two crawls basically the same corpus?" before any
+    expensive document-level dedup across them.
+
+    Shape: (source, word) distinct → self-join on the word (vocab rows,
+    not token rows — |vocab| ≪ corpus) → per-pair intersection counts →
+    join per-source vocab sizes (tiny, broadcast). Jaccard in exact 1e-6
+    half-up units. Only pairs a < b with a nonempty intersection are
+    emitted; the word-keyed self-join is the one real shuffle and its
+    per-key fan-out is (sources containing the word)², bounded by the
+    source count squared — not by corpus size.
+    """
+    sv = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+        .distinct()
+    )
+    sizes = sv.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    a = sv.select(F.col("src").alias("src_a"), "word")
+    b = sv.select(F.col("src").alias("src_b"), "word")
+    inter = (
+        a.join(b, on="word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("src", "src_a").withColumnRenamed("vocab", "vocab_a")), on="src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("src", "src_b").withColumnRenamed("vocab", "vocab_b")), on="src_b")
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+    jac = (
+        F.floor((F.col("n_shared") * 2_000_000 + union) / (union * F.lit(2.0)))
+        .cast("long")
+        / F.lit(1_000_000.0)
+    )
+    return out.select(
+        "src_a", "src_b", "n_shared", "vocab_a", "vocab_b", jac.alias("jaccard")
+    )

@@ -2813,3 +2813,29 @@ def event_funnel_sql() -> str:
                {u4("sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)", "sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)")} AS click_to_purchase
         FROM s3
     """
+
+
+def source_vocab_overlap_sql() -> str:
+    """Mirror of corpus.source_vocab_overlap: distinct (source, word)
+    self-join, exact 1e-6 half-up Jaccard."""
+    return f"""
+        WITH sv AS (
+          SELECT DISTINCT source AS src, word
+          FROM (SELECT source, unnest({_lower_toks()}) AS word FROM documents)
+        ), sizes AS (
+          SELECT src, count(*) AS vocab FROM sv GROUP BY src
+        ), inter AS (
+          SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+          FROM sv a JOIN sv b ON a.word = b.word AND a.src < b.src
+          GROUP BY a.src, b.src
+        )
+        SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(sa.vocab AS BIGINT) AS vocab_a,
+               CAST(sb.vocab AS BIGINT) AS vocab_b,
+               CAST(floor((n_shared * 2000000 + (sa.vocab + sb.vocab - n_shared))
+                          / ((sa.vocab + sb.vocab - n_shared) * 2.0)) AS BIGINT)
+                 / 1000000.0 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.src = inter.src_a
+        JOIN sizes sb ON sb.src = inter.src_b
+    """

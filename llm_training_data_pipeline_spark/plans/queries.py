@@ -2393,3 +2393,13 @@ def q_compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("compression_ratio"), 4).alias("mean_ratio"),
         F.max("compression_ratio").alias("max_ratio"),
     )
+
+
+@register("source_vocab_overlap", oracle.source_vocab_overlap_sql())
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diagnostic: pairwise vocabulary Jaccard between
+    sources over distinct (source, word) rows — answers "are these two
+    crawls the same corpus?" before any cross-source document dedup."""
+    from llm_training_data_pipeline_spark.operators.corpus import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf_dir, "documents"))

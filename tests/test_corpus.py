@@ -639,3 +639,26 @@ def test_blocklist_escapes_regex_metachars(spark):
     assert out["blocklist_hits"] == 1
     out2 = corpus.with_blocklist_hits(df, ["9Z99"]).collect()[0]
     assert out2["blocklist_hits"] == 0  # '.' must not match literally
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d", "en", "s0"),
+            (2, "c d e f", "en", "s1"),   # share {c, d} with s0
+            (3, "x y z", "en", "s2"),     # disjoint from both
+        ],
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in corpus.source_vocab_overlap(df).collect()}
+    assert set(rows) == {("s0", "s1")}
+    r = rows[("s0", "s1")]
+    assert r["n_shared"] == 2 and r["vocab_a"] == 4 and r["vocab_b"] == 4
+    # jaccard = 2 / (4+4-2) = 1/3 → half-up 6dp
+    assert r["jaccard"] == 0.333333
+
+
+def test_source_vocab_overlap_identical_sources(spark):
+    df = _docs(spark, [(1, "p q r", "en", "sA"), (2, "p q r", "en", "sB")])
+    r = corpus.source_vocab_overlap(df).collect()[0]
+    assert r["jaccard"] == 1.0
