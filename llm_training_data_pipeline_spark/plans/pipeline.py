@@ -166,9 +166,22 @@ def build_pipeline(
         from llm_training_data_pipeline_spark.operators import corpus
 
         max_surprisal = math.log(pf.get("max_perplexity", 100_000.0))
-        scores = corpus.unigram_surprisal(df, "text").select(
-            "doc_id", "avg_surprisal"
-        )
+        lm = pf.get("model", "unigram")
+        if lm == "bigram":
+            # CCNet-grade signal: the interpolated bigram LM sees
+            # shuffled/garbled word ORDER that the unigram LM cannot
+            scores = corpus.bigram_surprisal(df, "text").select(
+                "doc_id", F.col("avg_bigram_surprisal").alias("avg_surprisal")
+            )
+        elif lm == "unigram":
+            scores = corpus.unigram_surprisal(df, "text").select(
+                "doc_id", "avg_surprisal"
+            )
+        else:
+            raise ValueError(
+                f"unknown quality.perplexity_filter.model {lm!r}; "
+                "choose from unigram, bigram"
+            )
         # LEFT join: zero-word docs have no surprisal row (they vanish in
         # the word explode) — the filter must not silently drop them, so
         # NULL surprisal passes

@@ -327,3 +327,31 @@ def test_stage_metrics_exact_when_downstream_stage_empties_corpus(spark):
     assert st["clean"]["rows"] > 0
     assert st["dedup"]["rows"] > 0, "upstream stage metric lost to first-action latching"
     assert st["dedup"]["rows"] <= st["clean"]["rows"]
+
+
+def test_perplexity_filter_bigram_model(spark):
+    """quality.perplexity_filter.model: bigram routes scoring through
+    the interpolated bigram LM; a tight threshold must drop the
+    word-salad docs while the permissive default keeps everything."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        "cleaning": {"min_length_chars": 10},
+        "deduplication": {"enabled": False},
+        "quality": {
+            "min_words": 5,
+            "perplexity_filter": {"enabled": True, "model": "bigram"},
+        },
+        "tokenization": {"enabled": False},
+    }
+    loose = run_pipeline(spark, docs, PipelineConfig(base), None)
+    assert loose["stages"]["perplexity"]["rows"] > 0
+
+    tight = {**base, "quality": {**base["quality"], "perplexity_filter": {"enabled": True, "model": "bigram", "max_perplexity": 1.5}}}
+    strict = run_pipeline(spark, docs, PipelineConfig(tight), None)
+    assert strict["stages"]["perplexity"]["rows"] < loose["stages"]["perplexity"]["rows"]
+
+    import pytest as _pytest
+
+    bad = {**base, "quality": {**base["quality"], "perplexity_filter": {"enabled": True, "model": "trigram"}}}
+    with _pytest.raises(ValueError, match="unigram, bigram"):
+        run_pipeline(spark, docs, PipelineConfig(bad), None)
