@@ -256,6 +256,53 @@ def _flac_meta(payload: bytes) -> tuple[int, int, int, float] | None:
     return rate, channels, bps, dur
 
 
+# MPEG audio (MP3) tables — Layer III bitrate rows (kbps) and sample
+# rates per version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5).
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_meta(payload: bytes) -> tuple[int, int, int, float] | None:
+    """(sample_rate, channels, 0, duration_s) from the first MPEG Layer
+    III frame header (optionally behind an ID3v2 tag, whose syncsafe
+    size is skipped). bits_per_sample is 0 — lossy streams have none.
+    Duration is the CBR estimate payload_bits/bitrate; VBR files with a
+    Xing header report the first frame's nominal rate (documented
+    approximation, not an error)."""
+    b = payload
+    if len(b) < 14:
+        return None
+    off = 0
+    if b[:3] == b"ID3":
+        size = (
+            ((b[6] & 0x7F) << 21)
+            | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7)
+            | (b[9] & 0x7F)
+        )
+        off = 10 + size
+    if off + 4 > len(b):
+        return None
+    h = b[off : off + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    version = (h[1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (h[1] >> 1) & 0x3  # 1=Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (h[2] >> 4) & 0xF
+    sr_idx = (h[2] >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    table = _MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3
+    bitrate = table[br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    channels = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
+    dur = round((len(b) - off) * 8 / bitrate, 6) if bitrate else 0.0
+    return rate, channels, 0, dur
+
+
 AUDIO_META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -270,10 +317,11 @@ AUDIO_META_SCHEMA = StructType(
 
 
 def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Header-only audio metadata (RIFF/WAVE chunk walk + FLAC
-    STREAMINFO) over Arrow batches — the audio counterpart of
-    ``decode_image_meta``; unrecognized payloads yield NULL fields.
-    Same 100 TB shape: payloads never leave the executors."""
+    """Header-only audio metadata (RIFF/WAVE chunk walk, FLAC
+    STREAMINFO, MPEG Layer III frame header) over Arrow batches — the
+    audio counterpart of ``decode_image_meta``; unrecognized payloads
+    yield NULL fields. Same 100 TB shape: payloads never leave the
+    executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -288,7 +336,7 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
-                meta = _wav_meta(b) or _flac_meta(b)
+                meta = _wav_meta(b) or _flac_meta(b) or _mp3_meta(b)
                 out["sample_rate"].append(meta[0] if meta else None)
                 out["channels"].append(meta[1] if meta else None)
                 out["bits_per_sample"].append(meta[2] if meta else None)
@@ -471,22 +519,36 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
 
 
 def synthetic_audio_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fixture: minimal valid RIFF/WAVE files (fmt + data
-    chunks, no samples beyond a deterministic length)."""
+    """Deterministic fixture cycling the whole decode battery: minimal
+    valid RIFF/WAVE files, FLAC STREAMINFO headers, and MPEG Layer III
+    frames (every third row each), so one driver-executed row proves all
+    three parsers still run."""
     rows = []
     for i in range(n):
         rate = (8000, 16000, 44100, 48000)[i % 4]
         channels = 1 + (i % 2)
         bits = 16
-        byte_rate = rate * channels * bits // 8
-        data_len = byte_rate // 10 * (1 + i % 3)  # 0.1-0.3 s of silence
-        fmt = b"fmt " + _struct.pack(
-            "<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * bits // 8, bits
-        )
-        data = b"data" + _struct.pack("<I", data_len) + b"\x00" * data_len
-        body = b"WAVE" + fmt + data
-        payload = b"RIFF" + _struct.pack("<I", len(body)) + body
-        rows.append((i, "audio", payload, "audio/wav", {"idx": str(i)}))
+        kind = i % 3
+        if kind == 0:  # WAV
+            byte_rate = rate * channels * bits // 8
+            data_len = byte_rate // 10 * (1 + i % 3)  # 0.1-0.3 s of silence
+            fmt = b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, 1, channels, rate, byte_rate, channels * bits // 8, bits
+            )
+            data = b"data" + _struct.pack("<I", data_len) + b"\x00" * data_len
+            body = b"WAVE" + fmt + data
+            payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+            mime = "audio/wav"
+        elif kind == 1:  # FLAC: fLaC magic + last-block STREAMINFO
+            total_samples = rate * (1 + i % 3) // 10
+            packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total_samples
+            si = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+            payload = b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si
+            mime = "audio/flac"
+        else:  # MP3: MPEG1 Layer III 128 kbps 44100 Hz frame header
+            payload = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (1600 * (1 + i % 3) - 4)
+            mime = "audio/mpeg"
+        rows.append((i, "audio", payload, mime, {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

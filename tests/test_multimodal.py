@@ -229,3 +229,32 @@ def test_decode_audio_meta_handles_flac(spark):
     r = decode_audio_meta(df).collect()[0]
     assert (r["sample_rate"], r["channels"], r["bits_per_sample"]) == (22050, 1, 16)
     assert abs(r["duration_s"] - 1.0) < 1e-6
+
+
+def test_mp3_meta_parses_frame_header():
+    from llm_training_data_pipeline_spark.operators.multimodal import _mp3_meta
+
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo;
+    # 4000 payload bytes → duration 4000*8/128000 = 0.25 s
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 3996
+    meta = _mp3_meta(frame)
+    assert meta == (44100, 2, 0, 0.25)
+
+    # behind an ID3v2 tag (syncsafe size 100)
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x64" + b"\x00" * 100
+    meta2 = _mp3_meta(id3 + frame)
+    assert meta2 == (44100, 2, 0, 0.25)
+
+    # MPEG2 Layer III, 64 kbps (idx 8), 22050 Hz (idx 0), mono
+    f2 = bytes([0xFF, 0xF3, 0x80, 0xC0]) + b"\x00" * 796
+    r2 = _mp3_meta(f2)
+    assert r2[0] == 22050 and r2[1] == 1 and r2[3] == 0.1
+
+
+def test_mp3_meta_rejects_non_mp3():
+    from llm_training_data_pipeline_spark.operators.multimodal import _mp3_meta
+
+    assert _mp3_meta(b"") is None
+    assert _mp3_meta(b"RIFF" + b"\x00" * 40) is None          # wav magic
+    assert _mp3_meta(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 50) is None  # bad bitrate idx
+    assert _mp3_meta(bytes([0xFF, 0xE9, 0x90, 0x00]) + b"\x00" * 50) is None  # reserved version
