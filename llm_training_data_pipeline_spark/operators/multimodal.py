@@ -106,6 +106,40 @@ def _webp_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _tiff_dims(payload: bytes) -> tuple[int, int] | None:
+    """TIFF: endian magic + first-IFD walk for ImageWidth (256) /
+    ImageLength (257), SHORT or LONG value encodings."""
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd_off,) = _struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = _struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    w = h = None
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(payload):
+            break
+        tag, typ = _struct.unpack(bo + "HH", payload[e : e + 4])
+        if typ == 3:  # SHORT: value left-justified in the 4-byte field
+            (val,) = _struct.unpack(bo + "H", payload[e + 8 : e + 10])
+        elif typ == 4:  # LONG
+            (val,) = _struct.unpack(bo + "I", payload[e + 8 : e + 12])
+        else:
+            continue
+        if tag == 256:
+            w = val
+        elif tag == 257:
+            h = val
+    return (w, h) if (w and h) else None
+
+
 META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -145,6 +179,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     ("jpeg", _jpeg_dims),
                     ("bmp", _bmp_dims),
                     ("webp", _webp_dims),
+                    ("tiff", _tiff_dims),
                 ):
                     dims = fn(b)
                     if dims:
@@ -256,6 +291,29 @@ def _flac_meta(payload: bytes) -> tuple[int, int, int, float] | None:
     return rate, channels, bps, dur
 
 
+def _ogg_opus_meta(payload: bytes) -> tuple[int, int, int, float] | None:
+    """(input_sample_rate, channels, 0, duration_s) from an Ogg/Opus
+    stream: OpusHead on the first page (version, channels, pre-skip,
+    input rate), duration from the LAST page's granule position (Opus
+    granules are always 48 kHz regardless of input rate)."""
+    if len(payload) < 47 or payload[:4] != b"OggS":
+        return None
+    nsegs = payload[26]
+    head_off = 27 + nsegs
+    if payload[head_off : head_off + 8] != b"OpusHead":
+        return None
+    channels = payload[head_off + 9]
+    (rate,) = _struct.unpack("<I", payload[head_off + 12 : head_off + 16])
+    (pre_skip,) = _struct.unpack("<H", payload[head_off + 10 : head_off + 12])
+    last = payload.rfind(b"OggS")
+    dur = 0.0
+    if last > 0 and last + 14 <= len(payload):
+        (granule,) = _struct.unpack("<q", payload[last + 6 : last + 14])
+        if granule > 0:
+            dur = round(max(granule - pre_skip, 0) / 48_000.0, 6)
+    return rate, channels, 0, dur
+
+
 # MPEG audio (MP3) tables — Layer III bitrate rows (kbps) and sample
 # rates per version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5).
 _MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
@@ -336,7 +394,7 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
-                meta = _wav_meta(b) or _flac_meta(b) or _mp3_meta(b)
+                meta = _wav_meta(b) or _flac_meta(b) or _mp3_meta(b) or _ogg_opus_meta(b)
                 out["sample_rate"].append(meta[0] if meta else None)
                 out["channels"].append(meta[1] if meta else None)
                 out["bits_per_sample"].append(meta[2] if meta else None)
@@ -500,18 +558,29 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fixture: tiny valid PNG/GIF headers as payloads."""
+    """Deterministic fixture cycling PNG/GIF/TIFF headers so one
+    driver-executed row exercises each parser family (BMP/WebP/JPEG get
+    their own unit fixtures)."""
     rows = []
     for i in range(n):
         w, h = 16 + (i % 8), 16 + (i % 5)
-        if i % 2 == 0:
+        kind = i % 3
+        if kind == 0:
             payload = (
                 b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + _struct.pack(">II", w, h) + b"\x08"
             )
             mime = "image/png"
-        else:
+        elif kind == 1:
             payload = b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00"
             mime = "image/gif"
+        else:  # little-endian TIFF, IFD at 8 with SHORT width + LONG height
+            payload = (
+                b"II*\x00" + _struct.pack("<I", 8) + _struct.pack("<H", 2)
+                + _struct.pack("<HHI", 256, 3, 1) + _struct.pack("<H", w) + b"\x00\x00"
+                + _struct.pack("<HHI", 257, 4, 1) + _struct.pack("<I", h)
+                + _struct.pack("<I", 0)
+            )
+            mime = "image/tiff"
         rows.append((i, "image", payload, mime, {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 

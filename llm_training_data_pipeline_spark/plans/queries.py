@@ -98,8 +98,12 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "ann_lsh_topk": 6,
     # r6: BMP/WebP added to the image header battery
     "multimodal_image_meta": 6,
-    # r6: FLAC STREAMINFO added to the audio header battery
+    # r6: FLAC STREAMINFO added to the audio header battery; second wave
+    # added MP3 + Ogg/Opus and made the fixtures cycle formats
     "multimodal_audio_meta": 6,
+    # r6 second wave: TIFF in the image battery + format-cycling fixture
+    # (also shifts the byte-histogram features off the same fixture)
+    "multimodal_features": 6,
 }
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}

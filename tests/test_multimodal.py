@@ -19,7 +19,7 @@ def test_decode_image_meta(spark):
     rows = {r["asset_id"]: r for r in decode_image_meta(assets).collect()}
     assert len(rows) == 20
     for i, r in rows.items():
-        assert r["format"] == ("png" if i % 2 == 0 else "gif")
+        assert r["format"] == ("png", "gif", "tiff")[i % 3]
         assert r["width"] == 16 + (i % 8)
         assert r["height"] == 16 + (i % 5)
         assert r["n_bytes"] > 0
@@ -258,3 +258,45 @@ def test_mp3_meta_rejects_non_mp3():
     assert _mp3_meta(b"RIFF" + b"\x00" * 40) is None          # wav magic
     assert _mp3_meta(bytes([0xFF, 0xFB, 0xF0, 0x00]) + b"\x00" * 50) is None  # bad bitrate idx
     assert _mp3_meta(bytes([0xFF, 0xE9, 0x90, 0x00]) + b"\x00" * 50) is None  # reserved version
+
+
+def test_tiff_dims_both_endians_and_negatives():
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import _tiff_dims
+
+    def tiff(bo, w, h):
+        # header -> IFD at offset 8 with two SHORT entries
+        hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
+        entries = struct.pack(bo + "H", 2)
+        entries += struct.pack(bo + "HHI", 256, 3, 1) + struct.pack(bo + "H", w) + b"\x00\x00"
+        entries += struct.pack(bo + "HHI", 257, 4, 1) + struct.pack(bo + "I", h)
+        return hdr + entries + struct.pack(bo + "I", 0)
+
+    assert _tiff_dims(tiff("<", 640, 480)) == (640, 480)
+    assert _tiff_dims(tiff(">", 31, 17)) == (31, 17)
+    assert _tiff_dims(b"II*\x00\x00\x00") is None
+    assert _tiff_dims(b"notatiff") is None
+
+
+def test_ogg_opus_meta_parses_head_and_duration():
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import _ogg_opus_meta
+
+    def ogg_page(granule, payload, first=False):
+        seg = bytes([len(payload)])
+        return (
+            b"OggS" + b"\x00" + (b"\x02" if first else b"\x04")
+            + struct.pack("<q", granule) + b"\x00" * 12 + b"\x01" + seg + payload
+        )
+
+    opus_head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + b"\x00" * 3
+    )
+    stream = ogg_page(0, opus_head, first=True) + ogg_page(96312, b"\x00" * 10)
+    meta = _ogg_opus_meta(stream)
+    assert meta == (48000, 2, 0, 2.0)  # (96312 - 312) / 48000
+    assert _ogg_opus_meta(b"OggS" + b"\x00" * 50) is None  # no OpusHead
+    assert _ogg_opus_meta(b"") is None
