@@ -142,3 +142,34 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 5) -> DataFrame:
             "skew_factor"
         ),
     )
+
+
+def recommend_salts(
+    df: DataFrame,
+    key_col: str,
+    shuffle_partitions: int | None = None,
+    max_salts: int = 64,
+) -> int:
+    """Turn the skew measurement into the ``salted_join`` knob: enough
+    salts that the hottest key's rows spread to roughly one average
+    reducer's load — ``ceil(max_key_rows / (total_rows /
+    shuffle_partitions))`` — capped (each salt replicates the build side
+    once, so more salts is not free). Returns 1 when no salting is
+    needed; feed the result straight into ``salted_join(num_salts=...)``.
+    """
+    import math
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    row = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("max_n"), F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    if not row["total"]:
+        return 1
+    per_reducer = max(row["total"] / shuffle_partitions, 1.0)
+    return max(1, min(max_salts, math.ceil(row["max_n"] / per_reducer)))

@@ -218,3 +218,19 @@ def test_key_skew_profile_top_k_plan_has_no_global_sort_exchange(spark):
     df = spark.range(1000).select((F.col("id") % 7).alias("k"))
     plan = key_skew_profile(df, "k")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_recommend_salts_scales_with_skew(spark):
+    from llm_training_data_pipeline_spark.operators.scale import recommend_salts
+
+    # uniform keys → no salting
+    uniform = spark.range(800).select((F.col("id") % 8).alias("k"))
+    assert recommend_salts(uniform, "k", shuffle_partitions=8) == 1
+    # one key owns half the rows → hottest key needs ~p/2 reducers
+    skewed = spark.createDataFrame(
+        [("hot",)] * 400 + [(f"k{i}",) for i in range(400)], "k string"
+    )
+    n = recommend_salts(skewed, "k", shuffle_partitions=8)
+    assert n == 4  # 400 / (800/8) = 4
+    # cap respected
+    assert recommend_salts(skewed, "k", shuffle_partitions=1000, max_salts=16) == 16
