@@ -2839,3 +2839,35 @@ def source_vocab_overlap_sql() -> str:
         JOIN sizes sa ON sa.src = inter.src_a
         JOIN sizes sb ON sb.src = inter.src_b
     """
+
+
+def unpivot_order_metrics_sql() -> str:
+    """Mirror of the stack()-based unpivot: per-priority order metrics
+    rotated to (priority, metric, value) rows."""
+    return """
+        WITH agg AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(count(*) AS DOUBLE) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS total_price,
+                 CAST(max(o_custkey) AS DOUBLE) AS max_cust
+          FROM orders GROUP BY 1
+        )
+        SELECT priority, metric, value FROM agg
+        UNPIVOT (value FOR metric IN (n_orders, total_price, max_cust))
+    """
+
+
+def try_arithmetic_sql() -> str:
+    """Mirror of the try_* error-safe surface: division by zero and bad
+    casts yield NULL instead of failing the job (ANSI mode is on —
+    plain '/' would throw)."""
+    return """
+        SELECT o_orderkey,
+               CAST(o_totalprice / nullif(CAST(o_custkey % 5 AS DOUBLE), 0) AS DOUBLE)
+                 AS safe_ratio,
+               TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+        FROM orders
+        WHERE o_orderkey < 500
+    """

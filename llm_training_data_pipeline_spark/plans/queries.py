@@ -2407,3 +2407,41 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import source_vocab_overlap
 
     return source_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+@register("unpivot_order_metrics", oracle.unpivot_order_metrics_sql())
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long rotation via stack(): per-priority metrics unpivoted to
+    (priority, metric, value) — the inverse of the pivot query. Exact
+    money units keep the double metric hash-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 10_000 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.lit(10_000.0)
+        ).alias("total_price"),
+        F.max("o_custkey").cast("double").alias("max_cust"),
+    )
+    return agg.select(
+        "priority",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'total_price', total_price,"
+            " 'max_cust', max_cust) AS (metric, value)"
+        ),
+    )
+
+
+@register("try_arithmetic_orders", oracle.try_arithmetic_sql())
+def q_try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar surface: under ANSI mode plain division/casts
+    THROW; try_divide/try_cast yield NULL — the semantics long-running
+    ingest jobs need (one malformed row must not kill a 100 TB pass)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), (F.col("o_custkey") % 5).cast("double")).alias("safe_ratio"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    )
