@@ -103,6 +103,8 @@ HEADLINE = [
     "event_funnel",
     "compression_ratio_stats",
     "source_vocab_overlap",
+    "unpivot_order_metrics",
+    "try_arithmetic_orders",
 ]
 
 

@@ -233,3 +233,33 @@ def test_pack_token_ids_stream_roundtrip(spark, docs, seq_len):
         got.extend(ids)
     want = [x for d in (docs or [[]]) for x in d]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["sA", "sB", "sC"]),
+            st.lists(st.sampled_from("aa bb cc dd ee ff gg".split()), min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=60),
+    st.sampled_from([1_000, 10_000, 200_000]),
+)
+@SETTINGS
+def test_token_budget_prune_always_equals_definitional(spark, docs, budget, width):
+    """The bucket-pruned token-budget selection must be bit-identical to
+    the definitional single-window form for ANY corpus, budget, and
+    bucket width — the prune's correctness proof, fuzzed."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    rows = [(i, " ".join(words), "en", src) for i, (src, words) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    pruned = sorted(
+        map(tuple, corpus.select_token_budget(df, budget, prune_bucket_units=width).collect())
+    )
+    plain = sorted(
+        map(tuple, corpus.select_token_budget(df, budget, prune_bucket_units=None).collect())
+    )
+    assert pruned == plain
