@@ -877,7 +877,10 @@ def bigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def bigram_surprisal(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document average surprisal under an interpolated corpus bigram
     LM: ``avg over adjacent pairs of -ln(0.75·c12/c1 + 0.25·(c2+1)/(N+V))``
@@ -897,10 +900,21 @@ def bigram_surprisal(
     skew split handles hot partitions without replication. Per-pair ln
     values are truncated to exact 1e-8 units and summed as longs — no
     float-sum order dependence.
+
+    The lazy plan reads the corpus once per model branch (pairs, bigram
+    model, two unigram joins — up to 5 scans). ``materialize=True``
+    checkpoints the exploded pair and word tables once, cutting it to 2
+    corpus scans — the right call at 100 TB where the scan dominates;
+    output is bit-identical (pinned in tests). Default stays lazy so
+    the oracle-replayed query remains a pure expression tree.
     """
     pairs = _doc_bigrams(df, text_col, id_col)
-    bmodel = bigram_model(df, text_col, id_col)
-    uni = unigram_model(df, text_col, id_col)
+    words = _lower_words(df, text_col, id_col)
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
+        words = words.localCheckpoint(eager=True)
+    bmodel = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     totals = uni.agg(F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v"))
     scored = (
         pairs.join(bmodel, on=["w1", "w2"])

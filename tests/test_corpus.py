@@ -662,3 +662,14 @@ def test_source_vocab_overlap_identical_sources(spark):
     df = _docs(spark, [(1, "p q r", "en", "sA"), (2, "p q r", "en", "sB")])
     r = corpus.source_vocab_overlap(df).collect()[0]
     assert r["jaccard"] == 1.0
+
+
+def test_bigram_surprisal_materialized_bit_identical(spark):
+    from tests.conftest import SF_DIR
+
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    lazy = sorted(map(tuple, corpus.bigram_surprisal(docs).collect()))
+    mat = sorted(map(tuple, corpus.bigram_surprisal(docs, materialize=True).collect()))
+    assert lazy == mat
