@@ -65,7 +65,10 @@ def unigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def unigram_surprisal(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document average surprisal under the corpus's own add-one
     smoothed unigram LM: ``avg over words of -ln((c_w + 1) / (N + V))``.
@@ -84,7 +87,11 @@ def unigram_surprisal(
     without replication (enabled in ``session.get_spark``).
     """
     words = _lower_words(df, text_col, id_col)
-    vocab = unigram_model(df, text_col, id_col)
+    if materialize:
+        # one corpus scan instead of three (words, vocab branch, join
+        # branch) — bit-identical output, pinned in tests
+        words = words.localCheckpoint(eager=True)
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     totals = vocab.agg(
         F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v")
     )
@@ -1054,7 +1061,11 @@ def select_token_budget(
 
 
 def tfidf_top_terms(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF — the standard
     corpus-keyword signal (topic tagging, mixture diagnostics, building
@@ -1075,6 +1086,10 @@ def tfidf_top_terms(
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    if materialize:
+        # tf feeds three branches (docfreq, doc count, the score join) —
+        # checkpoint it once and the corpus is scanned once, not thrice
+        tf = tf.localCheckpoint(eager=True)
     docfreq = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs")
     )
@@ -1286,7 +1301,10 @@ def with_blocklist_hits(
 
 
 def source_vocab_overlap(
-    df: DataFrame, text_col: str = "text", source_col: str = "source"
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    materialize: bool = False,
 ) -> DataFrame:
     """Pairwise vocabulary Jaccard between sources — the quick answer to
     "are these two crawls basically the same corpus?" before any
@@ -1307,6 +1325,9 @@ def source_vocab_overlap(
         )
         .distinct()
     )
+    if materialize:
+        # sv feeds sizes + both join sides — checkpoint for one scan
+        sv = sv.localCheckpoint(eager=True)
     sizes = sv.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
     a = sv.select(F.col("src").alias("src_a"), "word")
     b = sv.select(F.col("src").alias("src_b"), "word")

@@ -673,3 +673,21 @@ def test_bigram_surprisal_materialized_bit_identical(spark):
     lazy = sorted(map(tuple, corpus.bigram_surprisal(docs).collect()))
     mat = sorted(map(tuple, corpus.bigram_surprisal(docs, materialize=True).collect()))
     assert lazy == mat
+
+
+def test_materialize_options_bit_identical(spark):
+    """materialize=True must never change a result — only the scan
+    count (unigram surprisal, TF-IDF, vocab overlap)."""
+    from tests.conftest import SF_DIR
+
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    for fn, kw in (
+        (corpus.unigram_surprisal, {}),
+        (corpus.tfidf_top_terms, {"k": 2}),
+        (corpus.source_vocab_overlap, {}),
+    ):
+        lazy = sorted(map(tuple, fn(docs, **kw).collect()))
+        mat = sorted(map(tuple, fn(docs, materialize=True, **kw).collect()))
+        assert lazy == mat, fn.__name__
