@@ -104,6 +104,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # r6 second wave: TIFF in the image battery + format-cycling fixture
     # (also shifts the byte-histogram features off the same fixture)
     "multimodal_features": 6,
+    # r6 second wave: vocab branch now derives from the shared words
+    # subtree (materialize refactor) — logically identical, but the plan
+    # changed, so re-score
+    "unigram_surprisal": 6,
 }
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}
