@@ -95,6 +95,24 @@ def main() -> None:
             ),
         ),
     }
+
+    # Bloom pre-filter: stateless broadcast probe against a static
+    # corpus-history filter (the incremental-dedup front line). Keyed by
+    # a digest computed in-stream so the probe path includes the hash.
+    from llm_training_data_pipeline_spark.operators import bloom
+
+    history = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5(F.col("text")).alias("digest")
+    )
+    bf = bloom.build_bloom_filter(
+        history, "digest", num_bits=bloom.optimal_num_bits(max(n_docs // 2, 1))
+    )
+    results["bloom_prefilter"] = run(
+        "bloom",
+        lambda s: bloom.with_bloom_maybe_contains(
+            s.withColumn("digest", F.md5(F.col("text"))), "digest", bf
+        ).filter(~F.col("maybe_dup")),
+    )
     shutil.rmtree(src, ignore_errors=True)
     print(
         json.dumps(
