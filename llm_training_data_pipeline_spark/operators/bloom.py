@@ -124,14 +124,33 @@ def build_bloom_filter(
     return BloomFilter(bits=merged.tobytes(), num_bits=num_bits, num_hashes=num_hashes)
 
 
+# One Spark broadcast per (application, filter) — repeated per-batch
+# calls against the same corpus snapshot must NOT ship (or pin) the
+# bitmap again; entries hold the filter alive so id() stays unique.
+_BC_CACHE: dict = {}
+
+
+def _broadcast_once(spark, bloom: BloomFilter):
+    key = (spark.sparkContext.applicationId, id(bloom))
+    hit = _BC_CACHE.get(key)
+    if hit is None:
+        hit = (bloom, spark.sparkContext.broadcast(bloom))
+        _BC_CACHE[key] = hit
+    return hit[1]
+
+
 def with_bloom_maybe_contains(
     df: DataFrame, col: str, bloom: BloomFilter, flag_col: str = "maybe_dup"
 ) -> DataFrame:
     """Add a boolean: could ``col`` be in the filter? False is definitive
     (not present); True needs the exact check. Positions are JVM-hashed;
-    the bitmap probe is one vectorized numpy gather per Arrow batch."""
+    the bitmap probe is one vectorized numpy gather per Arrow batch. The
+    bitmap broadcast is cached per (SparkSession, filter): the intended
+    shape is one filter per corpus snapshot probed by many batches, and
+    a fresh broadcast per call would pin one bitmap copy per batch for
+    the session's lifetime."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bloom)
+    bc = _broadcast_once(spark, bloom)
 
     @F.pandas_udf(BooleanType())
     def _probe(pos: pd.Series) -> pd.Series:
@@ -153,6 +172,7 @@ def bloom_incremental_new_docs(
     key_col: str = "digest",
     bloom: BloomFilter | None = None,
     num_bits: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental dedup of a new batch against a historical corpus:
     keep exactly the new rows whose ``key_col`` is absent from the
@@ -161,6 +181,11 @@ def bloom_incremental_new_docs(
     join. Pass a prebuilt ``bloom`` (built once per corpus snapshot and
     reused across batches — the intended production shape) or let one
     be built at 1% FPR.
+
+    The flagged frame feeds two union branches; without ``materialize``
+    the batch scan and the k-hash probe would run twice (Spark has no
+    common-subexpression reuse across union branches), defeating the
+    point of the pre-filter — so the default checkpoints it once.
     """
     if bloom is None:
         n = corpus.count()
@@ -168,6 +193,8 @@ def bloom_incremental_new_docs(
             corpus, key_col, num_bits or optimal_num_bits(n), expected_keys=n
         )
     flagged = with_bloom_maybe_contains(new_docs, key_col, bloom)
+    if materialize:
+        flagged = flagged.localCheckpoint(eager=True)
     definitely_new = flagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
     maybe = flagged.filter(F.col("maybe_dup")).drop("maybe_dup")
     checked = maybe.join(

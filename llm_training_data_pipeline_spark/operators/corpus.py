@@ -52,6 +52,13 @@ def _lower_words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _count_words(words: DataFrame) -> DataFrame:
+    """(word, n) counts over an exploded word table — the single
+    definition both the public model builder and the surprisal scorers
+    share, so the two can never drift."""
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
 def unigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus unigram counts: ``(word, n)``.
 
@@ -59,9 +66,7 @@ def unigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     the word — the natural high-cardinality key, so it scales linearly
     and AQE coalesces the tail.
     """
-    return _lower_words(df, text_col, id_col).groupBy("word").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    return _count_words(_lower_words(df, text_col, id_col))
 
 
 def unigram_surprisal(
@@ -91,7 +96,7 @@ def unigram_surprisal(
         # one corpus scan instead of three (words, vocab branch, join
         # branch) — bit-identical output, pinned in tests
         words = words.localCheckpoint(eager=True)
-    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = _count_words(words)
     totals = vocab.agg(
         F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v")
     )
@@ -875,12 +880,16 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _count_pairs(pairs: DataFrame) -> DataFrame:
+    """(w1, w2, n12) counts over an exploded pair table — shared by the
+    public model builder and ``bigram_surprisal``."""
+    return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+
+
 def bigram_model(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus bigram counts ``(w1, w2, n12)`` — one explode + one hash
     aggregate on the natural (w1, w2) key, map-side partials first."""
-    return _doc_bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n12")
-    )
+    return _count_pairs(_doc_bigrams(df, text_col, id_col))
 
 
 def bigram_surprisal(
@@ -920,8 +929,8 @@ def bigram_surprisal(
     if materialize:
         pairs = pairs.localCheckpoint(eager=True)
         words = words.localCheckpoint(eager=True)
-    bmodel = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    bmodel = _count_pairs(pairs)
+    uni = _count_words(words)
     totals = uni.agg(F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_v"))
     scored = (
         pairs.join(bmodel, on=["w1", "w2"])

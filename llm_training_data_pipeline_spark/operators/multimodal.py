@@ -300,6 +300,11 @@ def _ogg_opus_meta(payload: bytes) -> tuple[int, int, int, float] | None:
         return None
     nsegs = payload[26]
     head_off = 27 + nsegs
+    # OpusHead needs 19 bytes (magic 8 + version 1 + channels 1 +
+    # pre-skip 2 + rate 4 + gain 2 + mapping 1); a truncated payload must
+    # yield None, not an exception that fails the whole decode task
+    if head_off + 19 > len(payload):
+        return None
     if payload[head_off : head_off + 8] != b"OpusHead":
         return None
     channels = payload[head_off + 9]

@@ -300,3 +300,12 @@ def test_ogg_opus_meta_parses_head_and_duration():
     assert meta == (48000, 2, 0, 2.0)  # (96312 - 312) / 48000
     assert _ogg_opus_meta(b"OggS" + b"\x00" * 50) is None  # no OpusHead
     assert _ogg_opus_meta(b"") is None
+
+
+def test_ogg_opus_meta_truncated_payload_returns_none():
+    """Review repro: payload passing the length+magic checks but ending
+    right after 'OpusHead' must yield None, not IndexError."""
+    from llm_training_data_pipeline_spark.operators.multimodal import _ogg_opus_meta
+
+    trunc = b"OggS" + b"\x00" * 22 + bytes([20]) + b"\x00" * 20 + b"OpusHead"
+    assert _ogg_opus_meta(trunc) is None

@@ -355,3 +355,24 @@ def test_perplexity_filter_bigram_model(spark):
     bad = {**base, "quality": {**base["quality"], "perplexity_filter": {"enabled": True, "model": "trigram"}}}
     with _pytest.raises(ValueError, match="unigram, bigram"):
         run_pipeline(spark, docs, PipelineConfig(bad), None)
+
+
+def test_stage_metrics_exact_without_tokenization(spark):
+    """Tokenization disabled → the sink write is the single (complete)
+    action; stage counts must still be exact when a later stage empties
+    the corpus (the first-action-latching fix only persists on the
+    tokenization path — this pins that the write path needs no guard)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"algorithm": "exact_hash"},
+            "quality": {"min_words": 10_000},
+            "tokenization": {"enabled": False},
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    st = summary["stages"]
+    assert st["quality"]["rows"] == 0
+    assert st["dedup"]["rows"] > 0
+    assert st["clean"]["rows"] > 0

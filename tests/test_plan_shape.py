@@ -92,9 +92,6 @@ def test_token_budget_prune_broadcasts_cutoffs(spark):
     broadcast — a shuffle here would defeat the prune's purpose."""
     plan = _plan(spark, "token_budget_fill")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # and the final exact window partitions by strata (no global sort of
-    # an unpartitioned frame)
-    assert "partitionBy" not in plan or True  # window spec not in toString
     assert "CartesianProduct" not in plan
 
 
