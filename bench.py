@@ -105,6 +105,8 @@ HEADLINE = [
     "source_vocab_overlap",
     "unpivot_order_metrics",
     "try_arithmetic_orders",
+    # round-6 third wave
+    "nb_classify_lang",
 ]
 
 

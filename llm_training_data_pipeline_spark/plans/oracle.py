@@ -2871,3 +2871,68 @@ def try_arithmetic_sql() -> str:
         FROM orders
         WHERE o_orderkey < 500
     """
+
+
+def nb_classify_sql(label: str = "source", test_mod: int = 5) -> str:
+    """Mirror of classify.nb_classify: multinomial Naive Bayes trained on
+    doc_id % test_mod != 0, scoring the held-out rest. Same delta
+    decomposition (prior + n_d·miss + Σ n_w·Δ), every log truncated to
+    exact 1e-8 units and summed as BIGINT; exact half-up 6dp output."""
+    u6 = lambda e: (  # noqa: E731
+        f"CAST(floor((({e}) * 2 + 100) / 200.0) AS BIGINT) / 1000000.0"
+    )
+    return f"""
+        WITH train AS (
+          SELECT * FROM documents WHERE doc_id % {test_mod} != 0
+        ), test AS (
+          SELECT * FROM documents WHERE doc_id % {test_mod} = 0
+        ), tw AS (
+          SELECT {label} AS label, unnest({_lower_toks()}) AS word FROM train
+        ), wc AS (
+          SELECT word, label, count(*) AS nwc FROM tw GROUP BY word, label
+        ), tc AS (
+          SELECT label, sum(nwc) AS tc FROM wc GROUP BY label
+        ), v AS (
+          SELECT count(DISTINCT word) AS v FROM wc
+        ), n AS (
+          SELECT count(*) AS n FROM train
+        ), classes AS (
+          SELECT c.label, tc.tc, v.v,
+                 CAST(floor(ln(CAST(c.nc AS DOUBLE) / CAST(n.n AS DOUBLE))
+                            * 100000000) AS BIGINT) AS prior_u,
+                 CAST(floor(ln(1.0 / CAST(tc.tc + v.v AS DOUBLE))
+                            * 100000000) AS BIGINT) AS miss_u
+          FROM (SELECT {label} AS label, count(*) AS nc FROM train GROUP BY 1) c
+          JOIN tc USING (label) CROSS JOIN v CROSS JOIN n
+        ), model AS (
+          SELECT wc.word, wc.label,
+                 CAST(floor(ln(CAST(wc.nwc + 1 AS DOUBLE)
+                               / CAST(classes.tc + classes.v AS DOUBLE))
+                            * 100000000) AS BIGINT) - classes.miss_u AS delta_u
+          FROM wc JOIN classes USING (label)
+        ), words AS (
+          SELECT doc_id, word, count(*) AS nw
+          FROM (SELECT doc_id, unnest({_lower_toks()}) AS word FROM test)
+          GROUP BY doc_id, word
+        ), doc_totals AS (
+          SELECT doc_id, sum(nw) AS total FROM words GROUP BY doc_id
+        ), deltas AS (
+          SELECT w.doc_id, m.label, sum(w.nw * m.delta_u) AS dsum
+          FROM words w JOIN model m USING (word) GROUP BY w.doc_id, m.label
+        ), scores AS (
+          SELECT dt.doc_id, c.label,
+                 c.prior_u + dt.total * c.miss_u + COALESCE(d.dsum, 0) AS score_u
+          FROM doc_totals dt CROSS JOIN classes c
+          LEFT JOIN deltas d ON d.doc_id = dt.doc_id AND d.label = c.label
+        ), ranked AS (
+          SELECT doc_id, label, score_u,
+                 row_number() OVER w AS rk,
+                 lead(score_u, 1) OVER w AS next_u
+          FROM scores
+          WINDOW w AS (PARTITION BY doc_id ORDER BY score_u DESC, label ASC)
+        )
+        SELECT doc_id, label AS pred_label,
+               {u6('score_u')} AS score,
+               {u6('score_u - COALESCE(next_u, score_u)')} AS margin
+        FROM ranked WHERE rk = 1
+    """

@@ -2449,3 +2449,20 @@ def q_try_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
     )
+
+
+@register("nb_classify_lang", oracle.nb_classify_sql(label="lang"))
+def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (the fasttext-style
+    linear text classifier of CCNet/RefinedWeb/DCLM, as pure DataFrame
+    algebra): train on doc_id % 5 != 0, predict the held-out 20%.
+    Training = two hash aggregates over the exploded word table; scoring
+    = ONE word-keyed join via the delta decomposition (absent word-class
+    pairs cost nothing) + a broadcast C-row class table; argmax is a
+    C-row per-doc window. Exact 1e-8 log units throughout."""
+    from llm_training_data_pipeline_spark.operators.classify import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    return nb_classify(train, test, label_col="lang")
