@@ -107,6 +107,7 @@ HEADLINE = [
     "try_arithmetic_orders",
     # round-6 third wave
     "nb_classify_lang",
+    "interval_overlap_stats",
 ]
 
 

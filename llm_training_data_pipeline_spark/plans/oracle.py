@@ -2936,3 +2936,26 @@ def nb_classify_sql(label: str = "source", test_mod: int = 5) -> str:
                {u6('score_u - COALESCE(next_u, score_u)')} AS margin
         FROM ranked WHERE rk = 1
     """
+
+
+def interval_overlap_sql(mult_us: int = 600_000_000) -> str:
+    """Mirror of the binned interval join's per-user summary, in its
+    definitional quadratic-per-user form: intervals [ts, ts+value·600s)
+    as exact BIGINT microseconds, half-open overlap, a_id < b_id."""
+    return f"""
+        WITH iv AS (
+          SELECT event_id, user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + CAST(floor(value * {mult_us}) AS BIGINT) AS e
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), p AS (
+          SELECT a.user_id,
+                 least(a.e, b.e) - greatest(a.s, b.s) AS ov
+          FROM iv a JOIN iv b
+            ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND a.s < b.e AND b.s < a.e
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(ov) AS DOUBLE) / 1000000.0 AS total_overlap_s,
+               CAST(max(ov) AS DOUBLE) / 1000000.0 AS max_overlap_s
+        FROM p GROUP BY user_id
+    """

@@ -2466,3 +2466,37 @@ def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
     return nb_classify(train, test, label_col="lang")
+
+
+@register("interval_overlap_stats", oracle.interval_overlap_sql())
+def q_interval_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join over events: each event spans
+    [ts, ts + value·600s); per-user count/total/max of pairwise overlap.
+    The operator rewrites the non-equi range predicate as an equi-join
+    on (user, day-bin) with overlap-start bin attribution — no
+    CartesianProduct, no DISTINCT (see operators/interval.py). The
+    oracle replays the definitional quadratic-per-user form."""
+    from llm_training_data_pipeline_spark.operators.interval import (
+        interval_overlap_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(600_000_000.0)).cast("long")
+        ).alias("e_us"),
+    )
+    pairs = interval_overlap_pairs(iv, ["user_id"], "event_id", "s_us", "e_us")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.sum("overlap_us").cast("double") / F.lit(1_000_000.0)).alias(
+            "total_overlap_s"
+        ),
+        (F.max("overlap_us").cast("double") / F.lit(1_000_000.0)).alias(
+            "max_overlap_s"
+        ),
+    )
