@@ -108,6 +108,8 @@ HEADLINE = [
     # round-6 third wave
     "nb_classify_lang",
     "interval_overlap_stats",
+    "orders_profile",
+    "length_histogram",
 ]
 
 

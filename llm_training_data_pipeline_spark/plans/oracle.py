@@ -2959,3 +2959,56 @@ def interval_overlap_sql(mult_us: int = 600_000_000) -> str:
                CAST(max(ov) AS DOUBLE) / 1000000.0 AS max_overlap_s
         FROM p GROUP BY user_id
     """
+
+
+def orders_profile_sql() -> str:
+    """Mirror of profile_table over the derived orders projection: one
+    UNION ALL branch per column (the definitional form of the Spark
+    side's single stacked aggregate)."""
+    base = """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM orders
+    """
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "price_cents",
+        "order_day",
+    ]
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM base
+        """
+        for c in cols
+    )
+    return f"WITH base AS ({base}) {branches}"
+
+
+def length_histogram_sql(lo: int = 0, hi: int = 600, nb: int = 24) -> str:
+    """Mirror of numeric_histogram over documents.n_chars: clamped
+    equal-width buckets, exact half-up 6dp share."""
+    width = (hi - lo) // nb
+    return f"""
+        WITH c AS (
+          SELECT least({nb - 1}, greatest(0, (n_chars - {lo}) // {width}))
+                   AS bucket,
+                 count(*) AS n
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ), t AS (SELECT sum(n) AS total FROM c)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST({lo} + bucket * {width} AS BIGINT) AS lo_edge,
+               CAST({lo} + (bucket + 1) * {width} AS BIGINT) AS hi_edge,
+               CAST(n AS BIGINT) AS n,
+               CAST(floor((n * 2000000 + t.total) / (t.total * 2.0)) AS BIGINT)
+                 / 1000000.0 AS share
+        FROM c CROSS JOIN t
+    """

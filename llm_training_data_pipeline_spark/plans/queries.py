@@ -2500,3 +2500,44 @@ def q_interval_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_overlap_s"
         ),
     )
+
+
+@register("orders_profile", oracle.orders_profile_sql())
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column input profile (null rate, cardinality, range) of the
+    orders table — the pre-flight check every big corpus run needs.
+    ONE aggregate pass + stack; doubles/timestamps are projected to
+    engine-stable string forms first (cents, ISO day)."""
+    from llm_training_data_pipeline_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+    return profile_table(
+        orders,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "price_cents",
+            "order_day",
+        ],
+    )
+
+
+@register("length_histogram", oracle.length_histogram_sql())
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution: clamped equal-width histogram over
+    n_chars (24 × 25-char buckets) — one tiny-key hash aggregate plus a
+    broadcast total; shares in exact half-up 6dp."""
+    from llm_training_data_pipeline_spark.operators.profile import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "documents"), "n_chars", 0, 600, 24)
