@@ -110,6 +110,7 @@ HEADLINE = [
     "interval_overlap_stats",
     "orders_profile",
     "length_histogram",
+    "embedding_pca_topk",
 ]
 
 

@@ -2541,3 +2541,15 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.profile import numeric_histogram
 
     return numeric_histogram(_t(spark, sf_dir, "documents"), "n_chars", 0, 600, 24)
+
+
+@register("embedding_pca_topk", None)
+def q_embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embeddings table (rows-only: the eigensolver is not
+    SQL-replayable): distributed moments (one mapInPandas scan reducing
+    each partition to a d²-sized row), driver eigh, JVM-literal
+    projection; returns the 20 most extreme docs along PC1. Agreement
+    with full numpy PCA is pinned in tests/test_pca.py."""
+    from llm_training_data_pipeline_spark.operators.pca import pca_topk_query
+
+    return pca_topk_query(_t(spark, sf_dir, "embeddings"))
