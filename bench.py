@@ -111,6 +111,9 @@ HEADLINE = [
     "orders_profile",
     "length_histogram",
     "embedding_pca_topk",
+    "curriculum_phases",
+    "embedding_norm_outliers",
+    "corpus_diff",
 ]
 
 

@@ -1359,3 +1359,87 @@ def source_vocab_overlap(
     return out.select(
         "src_a", "src_b", "n_shared", "vocab_a", "vocab_b", jac.alias("jaccard")
     )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    score_col: Column | str,
+    id_col: str = "doc_id",
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum assignment: rank the corpus by (score, id) ascending
+    and cut it into ``n_phases`` contiguous phases (``phase = rank·k/N``
+    in exact integer arithmetic) — easy-first ordering for curriculum
+    training schedules.
+
+    The global rank is the same DISTRIBUTED prefix sum as
+    ``pack_token_ids``: range-partition by the sort key, per-partition
+    row_number, plus a driver-side cumulative of per-partition counts
+    (a num-partitions-row control collect). No single-partition global
+    window — ntile() would funnel the corpus through one task.
+
+    Returns the input rows plus ``phase`` (0-based BIGINT).
+    """
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    staged = (
+        df.withColumn("_score", score)
+        .repartitionByRange(F.col("_score"), F.col(id_col))
+        .sortWithinPartitions("_score", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids for the two passes
+    )
+    per_part = staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in sorted(per_part, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_n"]
+    total = running
+    if total == 0:
+        return df.withColumn("phase", F.lit(0).cast("long"))
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("_score", id_col)
+    return (
+        staged.join(F.broadcast(off_df), on="_pid")
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w) - 1)
+        .withColumn(
+            "phase", F.expr(f"(_rn * {int(n_phases)}) div {total}").cast("long")
+        )
+        .drop("_pid", "_off", "_rn", "_score")
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one full-outer join on
+    id comparing content digests → per-doc ``status`` in {added,
+    removed, changed, unchanged}. The ingest-ops primitive behind
+    incremental refreshes and retention audits: ONE shuffle on the id
+    key, digests computed scan-side so text never travels twice.
+
+    Returns (id, status).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_od")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_nd")
+    )
+    return (
+        o.join(n, on="_id", how="full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_od").isNull(), F.lit("added"))
+            .when(F.col("_nd").isNull(), F.lit("removed"))
+            .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -3012,3 +3012,71 @@ def length_histogram_sql(lo: int = 0, hi: int = 600, nb: int = 24) -> str:
                  / 1000000.0 AS share
         FROM c CROSS JOIN t
     """
+
+
+def curriculum_phases_sql(n_phases: int = 4) -> str:
+    """Mirror of corpus.curriculum_phases over word count: global rank
+    by (wc, doc_id), phase = (rank-1)·k // N; per-phase summary."""
+    return f"""
+        WITH wc AS (
+          SELECT doc_id, len({_lower_toks()}) AS words FROM documents
+        ), ranked AS (
+          SELECT doc_id, words,
+                 row_number() OVER (ORDER BY words, doc_id) - 1 AS rn,
+                 count(*) OVER () AS total
+          FROM wc
+        ), phased AS (
+          SELECT doc_id, words, (rn * {n_phases}) // total AS phase FROM ranked
+        )
+        SELECT CAST(phase AS BIGINT) AS phase,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(words) AS BIGINT) AS min_words,
+               CAST(max(words) AS BIGINT) AS max_words
+        FROM phased GROUP BY phase
+    """
+
+
+def embedding_norm_outliers_sql() -> str:
+    """Mirror of the norm-outlier flag: exact interpolated p99 of the
+    L2 norms (quantile_cont == Spark percentile), rows above it."""
+    nrm = (
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"""
+        WITH n AS (
+          SELECT vec_id, {nrm} AS nrm FROM embeddings
+          WHERE embedding IS NOT NULL
+        ), t AS (
+          SELECT quantile_cont(nrm, 0.99) AS p99 FROM n
+        )
+        SELECT vec_id,
+               CAST(floor(nrm * 1000000) AS BIGINT) / 1000000.0 AS norm,
+               round(p99, 4) AS p99_norm
+        FROM n CROSS JOIN t WHERE nrm > p99
+    """
+
+
+def corpus_diff_sql() -> str:
+    """Mirror of corpus.corpus_diff on the simulated snapshots: old =
+    doc_id % 7 != 0 (original text), new = doc_id % 5 != 0 with doc_id
+    % 11 == 0 rows edited; per-status counts."""
+    return """
+        WITH old AS (
+          SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 7 != 0
+        ), new AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
+                          ELSE text END) AS d
+          FROM documents WHERE doc_id % 5 != 0
+        ), j AS (
+          SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+                 CASE WHEN old.d IS NULL THEN 'added'
+                      WHEN new.d IS NULL THEN 'removed'
+                      WHEN old.d != new.d THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY status
+    """

@@ -2553,3 +2553,72 @@ def q_embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.pca import pca_topk_query
 
     return pca_topk_query(_t(spark, sf_dir, "embeddings"))
+
+
+@register("curriculum_phases", oracle.curriculum_phases_sql())
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: corpus ranked easy-first by word count and
+    cut into 4 contiguous phases via the distributed prefix-sum rank
+    (no single-partition ntile window); per-phase doc counts + word
+    bounds."""
+    from llm_training_data_pipeline_spark.functions.text import whitespace_tokens
+    from llm_training_data_pipeline_spark.operators.corpus import curriculum_phases
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(whitespace_tokens(F.lower(F.col("text")))).alias("words")
+    )
+    phased = curriculum_phases(docs, F.col("words"), n_phases=4)
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("words").cast("long").alias("min_words"),
+        F.max("words").cast("long").alias("max_words"),
+    )
+
+
+@register("embedding_norm_outliers", oracle.embedding_norm_outliers_sql())
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: vectors whose L2 norm exceeds the exact
+    interpolated p99 — the pre-index clip/inspect step for an
+    embedding table. One scan for norms, broadcast 1-row threshold."""
+    from llm_training_data_pipeline_spark.functions.vectors import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    norms = emb.select(
+        "vec_id",
+        l2_norm(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("_nrm"),
+    )
+    thr = norms.agg(F.percentile("_nrm", F.lit(0.99)).alias("_p99"))
+    return (
+        norms.crossJoin(F.broadcast(thr))
+        .filter(F.col("_nrm") > F.col("_p99"))
+        .select(
+            "vec_id",
+            (F.floor(F.col("_nrm") * F.lit(1_000_000)).cast("long") / F.lit(1e6)).alias(
+                "norm"
+            ),
+            F.round(F.col("_p99"), 4).alias("p99_norm"),
+        )
+    )
+
+
+@register("corpus_diff", oracle.corpus_diff_sql())
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two simulated corpus versions (old =
+    doc_id%7!=0 original, new = doc_id%5!=0 with doc_id%11==0 edited):
+    full-outer digest join → added/removed/changed/unchanged counts.
+    The incremental-refresh audit primitive."""
+    from llm_training_data_pipeline_spark.operators.corpus import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new).groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

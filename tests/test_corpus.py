@@ -691,3 +691,49 @@ def test_materialize_options_bit_identical(spark):
         lazy = sorted(map(tuple, fn(docs, **kw).collect()))
         mat = sorted(map(tuple, fn(docs, materialize=True, **kw).collect()))
         assert lazy == mat, fn.__name__
+
+
+def test_curriculum_phases_exact_cuts(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import curriculum_phases
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], ["doc_id", "score"]
+    )
+    out = curriculum_phases(df, "score", n_phases=4)
+    got = {r.doc_id: r.phase for r in out.collect()}
+    # ascending score order is doc_id 9..0; rank r -> phase r*4//10
+    order = list(range(9, -1, -1))
+    expected = {doc: (rank * 4) // 10 for rank, doc in enumerate(order)}
+    assert got == expected
+
+
+def test_curriculum_phases_partitioning_invariant(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import curriculum_phases
+
+    rows = [(i, float(i * 37 % 11)) for i in range(50)]
+    a = curriculum_phases(
+        spark.createDataFrame(rows, ["doc_id", "score"]).repartition(7),
+        "score",
+        n_phases=3,
+    )
+    b = curriculum_phases(
+        spark.createDataFrame(rows, ["doc_id", "score"]).coalesce(1),
+        "score",
+        n_phases=3,
+    )
+    assert sorted(map(tuple, a.select("doc_id", "phase").collect())) == sorted(
+        map(tuple, b.select("doc_id", "phase").collect())
+    )
+
+
+def test_corpus_diff_statuses(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
