@@ -114,6 +114,7 @@ HEADLINE = [
     "curriculum_phases",
     "embedding_norm_outliers",
     "corpus_diff",
+    "click_attribution",
 ]
 
 

@@ -3080,3 +3080,27 @@ def corpus_diff_sql() -> str:
         SELECT status, CAST(count(*) AS BIGINT) AS n_docs
         FROM j GROUP BY status
     """
+
+
+def click_attribution_sql(window_minutes: int = 30) -> str:
+    """Mirror of streaming.join_stream.attribution_join run in batch:
+    purchases within [click_ts, click_ts + window] per user; per-user
+    pair count + exact 2dp attributed value."""
+    return f"""
+        WITH c AS (
+          SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'
+        ), p AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+          FROM events WHERE event_type = 'purchase'
+        ), j AS (
+          SELECT c.user_id, p.value
+          FROM c JOIN p ON c.user_id = p.user_id
+           AND p.purchase_ts >= c.click_ts
+           AND p.purchase_ts <= c.click_ts + INTERVAL {window_minutes} MINUTE
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_attributed,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS attributed_value
+        FROM j GROUP BY user_id
+    """

@@ -2622,3 +2622,29 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(old, new).groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@register("click_attribution", oracle.click_attribution_sql())
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution (the batch face of the stream-stream
+    time-bounded join in streaming/join_stream.py — same builder runs
+    on streams with bounded state via dual watermarks): per-user count
+    + exact 2dp attributed value."""
+    from llm_training_data_pipeline_spark.streaming.join_stream import (
+        attribution_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("attributed_value"),
+    )

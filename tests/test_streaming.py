@@ -611,3 +611,59 @@ def test_streaming_bloom_prefilter_matches_batch(spark, tmp_path):
     # this sizing, so the sets are equal)
     assert streamed <= want
     assert len(want - streamed) <= 3  # FP slack at 8192 bits / 200 keys
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Replay real events as TWO file streams (clicks / purchases) and
+    assert the time-bounded stream-stream inner join emits exactly the
+    batch join of the same rows. Inner joins emit on match (the
+    watermark only bounds state), so no sentinel row is needed."""
+    import time as _time
+
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from llm_training_data_pipeline_spark.streaming.join_stream import (
+        attribution_join,
+    )
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    clicks = [tuple(r) for r in ev if r["event_type"] == "click"]
+    purchases = [tuple(r) for r in ev if r["event_type"] == "purchase"]
+    assert clicks and purchases
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    for rows, src in ((clicks, c_src), (purchases, p_src)):
+        half = len(rows) // 2
+        for chunk in (rows[:half], rows[half:]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.1)
+
+    cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(c_src)
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p_src)
+    q = (
+        attribution_join(cs, ps)
+        .writeStream.format("memory")
+        .queryName("t_attr_join")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    streamed = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_attr_join").collect()
+    }
+
+    batch = attribution_join(
+        spark.createDataFrame(clicks, schema),
+        spark.createDataFrame(purchases, schema),
+    )
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id) for r in batch.collect()
+    }
+    assert streamed == expected and expected
