@@ -54,16 +54,19 @@ def register(name: str, sql: str | None):
 #   tier 0  never scored in any round (needs any driver row at all,
 #           including rows-only entries registered after r2 that the old
 #           static tiers permanently starved);
-#   tier 1  code changed since the last green row (the round-keyed map
-#           below) OR the newest recorded row is red — a prior green row
-#           does not vouch for new code, and a red row must be re-scored
-#           immediately;
+#   tier 1  the newest recorded row is red — must re-score immediately;
 #   tier 2  previously green, ordered oldest-green-round first so BOTH
 #           families decay together (a rows-only row also goes stale —
 #           an executing row is the only proof the plan still runs under
 #           the driver harness); within the same green round,
-#           oracle-paired before rows-only (the bit-exact check decays
-#           faster in value as code drifts).
+#           changed-since-green entries first (the round-keyed map below
+#           invalidates the old verification), then oracle-paired before
+#           rows-only (the bit-exact check decays faster in value as
+#           code drifts). Changed entries used to form their own tier
+#           above every stale green; once 30+ never-scored entries
+#           existed, that pushed 3-round-stale queries out of the
+#           ~50-slot window entirely — staleness and changedness now
+#           share one ordering.
 # Within a tier+staleness bucket, module registration order is
 # preserved (sorted() is stable).
 #
@@ -156,16 +159,26 @@ def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     newest_scored, newest_green = _scorecard_rounds()
 
-    def key(item: tuple[str, tuple[QueryFn, str | None]]) -> tuple[int, int, int]:
+    def key(item: tuple[str, tuple[QueryFn, str | None]]) -> tuple[int, ...]:
         name, (_fn, sql) = item
         scored = newest_scored.get(name, 0)
         green = newest_green.get(name, 0)
         if scored == 0:
-            return (0, 0, 0)
+            return (0, 0, 0, 0)
+        if scored > green:  # newest row is red: re-score immediately
+            return (1, 0, 0, 0)
         changed = green < _CHANGED_IN_ROUND.get(name, 0)
-        if changed or scored > green:
-            return (1, 0, green)
-        return (2, green, 1 if sql is None else 0)
+        # Merged staleness ordering (was: a separate changed tier above
+        # ALL stale greens — with 30+ never-scored entries that starved
+        # multi-round-stale queries out of the ~50-slot window): rank
+        # every green query by its green round, oldest first. A change
+        # since the green row invalidates that verification, which is
+        # worth one extra round of staleness (not an unconditional jump
+        # over 3-round-stale unchanged queries). Within the same
+        # effective round: changed first, oracle-paired before
+        # rows-only.
+        eff = green - 1 if changed else green
+        return (2, eff, 0 if changed else 1, 1 if sql is None else 0)
 
     return dict(sorted(_REGISTRY.items(), key=key))
 

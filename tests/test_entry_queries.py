@@ -28,10 +28,13 @@ def test_contract_shape():
 
 def test_scorecard_rotation_policy():
     """The driver scores only the first ~50 registry slots, so ordering IS
-    the rotation policy: never-scored first, changed-since-last-green next,
-    then previously-green strictly oldest-green-round first (rows-only rows
-    decay alongside oracle-paired ones; within the same round, paired
-    first). Derived from the CORRECTNESS_r*.json files, not hand-edited."""
+    the rotation policy: never-scored first, red rows next, then every
+    green query strictly oldest-green-round first — staleness and
+    changedness share ONE ordering (a separate changed tier used to push
+    3-round-stale queries out of the window once 30+ never-scored
+    entries existed). Within a green round: changed-since-green first,
+    then oracle-paired before rows-only. Derived from the
+    CORRECTNESS_r*.json files, not hand-edited."""
     from llm_training_data_pipeline_spark.plans.queries import (
         _CHANGED_IN_ROUND,
         _scorecard_rounds,
@@ -44,18 +47,38 @@ def test_scorecard_rotation_policy():
     def tier(name: str) -> int:
         if scored.get(name, 0) == 0:
             return 0
-        if green.get(name, 0) < _CHANGED_IN_ROUND.get(name, 0) or scored.get(
-            name, 0
-        ) > green.get(name, 0):
+        if scored.get(name, 0) > green.get(name, 0):
             return 1
         return 2
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry order must be tier-monotonic"
-    # within tier 2: green rounds non-decreasing overall; within a round,
-    # oracle-paired entries precede rows-only ones
-    t2 = [(green[n], 1 if REG[n][1] is None else 0) for n in names if tier(n) == 2]
+    # within tier 2: (green round, changed-first, paired-first) ordering
+    t2 = [
+        (
+            green[n],
+            0 if green[n] < _CHANGED_IN_ROUND.get(n, 0) else 1,
+            1 if REG[n][1] is None else 0,
+        )
+        for n in names
+        if tier(n) == 2
+    ]
     assert t2 == sorted(t2)
+
+
+def test_stalest_queries_fit_driver_window():
+    """The concrete guarantee the merged ordering exists for: every
+    query whose newest green row is >= 2 rounds old sits inside the
+    driver's 50-slot scoring window."""
+    from llm_training_data_pipeline_spark.plans.queries import _scorecard_rounds
+
+    names = list(REG)
+    _scored, green = _scorecard_rounds()
+    newest = max(green.values(), default=0)
+    window = set(names[:50])
+    stale = [n for n in names if 0 < green.get(n, 0) <= newest - 2]
+    missing = [n for n in stale if n not in window]
+    assert not missing, f"multi-round-stale queries outside window: {missing}"
 
 
 def test_changed_pin_expires_after_green():
