@@ -53,16 +53,20 @@ def test_scorecard_rotation_policy():
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry order must be tier-monotonic"
-    # within tier 2: (green round, changed-first, paired-first) ordering
-    t2 = [
-        (
-            green[n],
-            0 if green[n] < _CHANGED_IN_ROUND.get(n, 0) else 1,
-            1 if REG[n][1] is None else 0,
+    # within tier 2: (effective round, changed-first, paired-first) —
+    # a change since the green row costs one round of staleness
+    t2 = []
+    for n in names:
+        if tier(n) != 2:
+            continue
+        changed = green[n] < _CHANGED_IN_ROUND.get(n, 0)
+        t2.append(
+            (
+                green[n] - 1 if changed else green[n],
+                0 if changed else 1,
+                1 if REG[n][1] is None else 0,
+            )
         )
-        for n in names
-        if tier(n) == 2
-    ]
     assert t2 == sorted(t2)
 
 
