@@ -115,6 +115,7 @@ HEADLINE = [
     "embedding_norm_outliers",
     "corpus_diff",
     "click_attribution",
+    "event_anomalies",
 ]
 
 

@@ -3104,3 +3104,31 @@ def click_attribution_sql(window_minutes: int = 30) -> str:
                  / 100.0 AS attributed_value
         FROM j GROUP BY user_id
     """
+
+
+def event_anomalies_sql() -> str:
+    """Mirror of the hourly-count anomaly flag. The 3-sigma test runs in
+    EXACT integer arithmetic — c > mean + 3·sigma rewritten as
+    (n·c − S)²·(n−1) > 9·n·(n·Q − S²) with S=Σc, Q=Σc² over the type's
+    hourly counts — no float mean/stddev/sqrt anywhere, so both engines
+    agree bit-for-bit and partitioning cannot flip a boundary case."""
+    return """
+        WITH hc AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour_start,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ), st AS (
+          SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS q
+          FROM hc GROUP BY event_type
+        )
+        SELECT hc.event_type,
+               strftime(hc.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+               CAST(hc.c AS BIGINT) AS n_events,
+               CAST(floor((st.s * 2000000 + st.n) / (st.n * 2.0)) AS BIGINT)
+                 / 1000000.0 AS mean_hourly
+        FROM hc JOIN st USING (event_type)
+        WHERE st.n > 1
+          AND hc.c * st.n > st.s
+          AND (hc.c * st.n - st.s) * (hc.c * st.n - st.s) * (st.n - 1)
+              > 9 * st.n * (st.n * st.q - st.s * st.s)
+    """

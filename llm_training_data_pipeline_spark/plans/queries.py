@@ -2661,3 +2661,45 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("attributed_value"),
     )
+
+
+@register("event_anomalies", oracle.event_anomalies_sql())
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies (> mean + 3σ per type). The sigma
+    test is EXACT integer arithmetic — (n·c−S)²·(n−1) > 9·n·(n·Q−S²) —
+    so no float mean/stddev/sqrt exists to drift across engines or
+    partitionings. Two hash aggregates + a broadcast per-type stats
+    join; the monitoring primitive for streaming ingest dashboards."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    st = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    d = F.col("c") * F.col("n") - F.col("s")
+    return (
+        hc.join(F.broadcast(st), on="event_type")
+        .filter(
+            (F.col("n") > 1)
+            & (F.col("c") * F.col("n") > F.col("s"))
+            & (
+                d * d * (F.col("n") - 1)
+                > 9 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+            )
+        )
+        .select(
+            "event_type",
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.col("c").cast("long").alias("n_events"),
+            (
+                F.floor(
+                    (F.col("s") * F.lit(2_000_000) + F.col("n"))
+                    / (F.col("n") * F.lit(2.0))
+                ).cast("long")
+                / F.lit(1e6)
+            ).alias("mean_hourly"),
+        )
+    )
