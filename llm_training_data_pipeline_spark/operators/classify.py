@@ -58,6 +58,7 @@ def nb_train(
     text_col: str = "text",
     label_col: str = "source",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the model; returns ``(model, classes)``.
 
@@ -65,9 +66,17 @@ def nb_train(
     advantage over the class's unseen-word floor, exact 1e-8 units.
     ``classes``: (_label, prior_u, miss_u) — log prior and unseen-word
     log-likelihood, exact 1e-8 units. C rows; broadcast it at scoring.
+
+    The lazy plan re-reads the training corpus once per model branch
+    (word×class counts + class doc counts). ``materialize=True``
+    checkpoints the (word, class) count table once — the right call at
+    100 TB where the scan dominates; output is bit-identical (the repo's
+    multi-branch ``materialize`` convention, cf. ``bigram_surprisal``).
     """
     words = _label_words(train, text_col, label_col, id_col)
     wc = words.groupBy("word", "_label").agg(F.count(F.lit(1)).alias("_nwc"))
+    if materialize:
+        wc = wc.localCheckpoint(eager=True)
     tc = wc.groupBy("_label").agg(F.sum("_nwc").alias("_tc"))
     vocab = wc.select("word").distinct().agg(F.count(F.lit(1)).alias("_v"))
     n_docs = train.agg(F.count(F.lit(1)).alias("_n"))
@@ -154,12 +163,13 @@ def nb_classify(
     text_col: str = "text",
     label_col: str = "source",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Train on ``train``, predict ``test``: (id, pred_label, score,
     margin). ``score`` is the winning log-likelihood and ``margin`` the
     gap to the runner-up class, both rounded 6dp from exact units.
     Ties break deterministically (score DESC, label ASC)."""
-    model, classes = nb_train(train, text_col, label_col, id_col)
+    model, classes = nb_train(train, text_col, label_col, id_col, materialize)
     scores = nb_scores(model, classes, test, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy(F.desc("score_u"), F.asc("_label"))
     ranked = scores.select(

@@ -106,3 +106,19 @@ def test_plan_has_no_cartesian_on_corpus(spark):
     test = _docs(spark, [(10, "a", "?")])
     plan = nb_classify(train, test, label_col="label")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_materialize_is_bit_identical(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "spark shuffle executor partition stage", "infra"),
+            (2, "executor stage shuffle broadcast partition", "infra"),
+            (3, "sonnet stanza meter rhyme verse", "poetry"),
+            (4, "verse rhyme stanza couplet meter", "poetry"),
+        ],
+    )
+    test = _docs(spark, [(10, "shuffle partition verse", "?"), (11, "rhyme", "?")])
+    lazy = nb_classify(train, test, label_col="label").collect()
+    mat = nb_classify(train, test, label_col="label", materialize=True).collect()
+    assert sorted(map(tuple, lazy)) == sorted(map(tuple, mat))
