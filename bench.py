@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_diff",
     "click_attribution",
     "event_anomalies",
+    "lang_confusion_matrix",
 ]
 
 

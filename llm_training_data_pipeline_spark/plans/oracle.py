@@ -3132,3 +3132,21 @@ def event_anomalies_sql() -> str:
           AND (hc.c * st.n - st.s) * (hc.c * st.n - st.s) * (st.n - 1)
               > 9 * st.n * (st.n * st.q - st.s * st.s)
     """
+
+
+def lang_confusion_sql() -> str:
+    """Mirror of the labeled-vs-detected language cross-tab (reuses the
+    full lang-id CASE mirror; exact half-up 6dp row-share)."""
+    return f"""
+        WITH d AS (
+          SELECT lang, {_lang_id_case_sql()} AS detected_lang FROM documents
+        ), c AS (
+          SELECT lang, detected_lang, count(*) AS n FROM d GROUP BY 1, 2
+        ), t AS (
+          SELECT lang, sum(n) AS tot FROM c GROUP BY lang
+        )
+        SELECT c.lang, c.detected_lang, CAST(c.n AS BIGINT) AS n_docs,
+               CAST(floor((c.n * 2000000 + t.tot) / (t.tot * 2.0)) AS BIGINT)
+                 / 1000000.0 AS row_share
+        FROM c JOIN t USING (lang)
+    """

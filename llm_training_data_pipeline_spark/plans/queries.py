@@ -2703,3 +2703,30 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_hourly"),
         )
     )
+
+
+@register("lang_confusion_matrix", oracle.lang_confusion_sql())
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-detected language cross-tab with per-label row shares —
+    the accuracy diagnostic for the native lang-id battery (which
+    languages leak into which). Two hash aggregates + a label-keyed
+    join against per-label totals."""
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        textstats.with_lang_id(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return c.join(t, on="lang").select(
+        "lang",
+        "detected_lang",
+        F.col("n").cast("long").alias("n_docs"),
+        (
+            F.floor(
+                (F.col("n") * F.lit(2_000_000) + F.col("tot"))
+                / (F.col("tot") * F.lit(2.0))
+            ).cast("long")
+            / F.lit(1e6)
+        ).alias("row_share"),
+    )
