@@ -68,3 +68,33 @@ def test_plan_is_equi_join_no_cartesian(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_random_intervals_match_brute_force(spark):
+    """Property check: the binned equi-join equals the definitional
+    quadratic join on randomized fixtures spanning many bins, multiple
+    keys, and degenerate intervals."""
+    import random
+
+    rng = random.Random(20240814)
+    rows = []
+    for i in range(200):
+        k = rng.choice(["a", "b", "c"])
+        s = rng.randrange(0, 5000)
+        e = s + rng.randrange(-50, 400)  # some empty/negative
+        rows.append((k, i, s, e))
+    df = _iv(spark, rows)
+    got = sorted(
+        (r.k, r.a_id, r.b_id, r.overlap_us)
+        for r in interval_overlap_pairs(
+            df, ["k"], "id", "s", "e", bin_width_us=W
+        ).collect()
+    )
+    live = [(k, i, s, e) for k, i, s, e in rows if e > s]
+    expected = sorted(
+        (ka, ia, ib, min(ea, eb) - max(sa, sb))
+        for ka, ia, sa, ea in live
+        for kb, ib, sb, eb in live
+        if ka == kb and ia < ib and sa < eb and sb < ea
+    )
+    assert got == expected and expected
