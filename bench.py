@@ -117,6 +117,7 @@ HEADLINE = [
     "click_attribution",
     "event_anomalies",
     "lang_confusion_matrix",
+    "equidepth_histogram",
 ]
 
 

@@ -88,3 +88,40 @@ def numeric_histogram(
             / F.lit(1e6)
         ).alias("share"),
     )
+
+
+def equidepth_histogram(df: DataFrame, col: str, num_buckets: int) -> DataFrame:
+    """Equal-depth (quantile) histogram: bucket boundaries are the exact
+    interpolated percentiles, then one broadcast range-join counts rows
+    per [lo, hi) band (last band inclusive). Two passes: a tiny
+    percentile aggregate (broadcast, num_buckets+1 doubles) and one
+    scan for the counts — no global sort.
+
+    Complements ``numeric_histogram``: equal-width answers "where is the
+    mass", equal-depth answers "where are the cut points" (the
+    boundaries double as range-partition split points for layout
+    planning). NULLs are excluded."""
+    vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("_x"))
+    ps = [i / num_buckets for i in range(num_buckets + 1)]
+    bounds = vals.agg(
+        F.percentile("_x", F.array(*[F.lit(p) for p in ps])).alias("_bs")
+    ).select(
+        F.posexplode(
+            F.expr("transform(slice(_bs, 1, size(_bs) - 1), (b, i) -> struct(b AS lo, _bs[i + 1] AS hi))")
+        ).alias("bucket", "_band")
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("_band.lo").alias("lo_edge"),
+        F.col("_band.hi").alias("hi_edge"),
+    )
+    joined = vals.join(
+        F.broadcast(bounds),
+        (F.col("_x") >= F.col("lo_edge"))
+        & (
+            (F.col("_x") < F.col("hi_edge"))
+            | ((F.col("bucket") == num_buckets - 1) & (F.col("_x") <= F.col("hi_edge")))
+        ),
+    )
+    return joined.groupBy("bucket", "lo_edge", "hi_edge").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

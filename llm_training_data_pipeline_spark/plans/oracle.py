@@ -3150,3 +3150,29 @@ def lang_confusion_sql() -> str:
                  / 1000000.0 AS row_share
         FROM c JOIN t USING (lang)
     """
+
+
+def equidepth_histogram_sql(num_buckets: int = 10) -> str:
+    """Mirror of profile.equidepth_histogram over documents.n_chars:
+    quantile_cont boundary list (== Spark percentile array), range
+    bands, last band inclusive."""
+    ps = ", ".join(str(i / num_buckets) for i in range(num_buckets + 1))
+    return f"""
+        WITH v AS (
+          SELECT n_chars AS x FROM documents WHERE n_chars IS NOT NULL
+        ), b AS (
+          SELECT quantile_cont(x, [{ps}]) AS bs FROM v
+        ), idx AS (
+          SELECT unnest(range(1, len(bs))) AS i, bs FROM b
+        ), bands AS (
+          SELECT CAST(i - 1 AS BIGINT) AS bucket,
+                 bs[CAST(i AS INT)] AS lo_edge,
+                 bs[CAST(i AS INT) + 1] AS hi_edge
+          FROM idx
+        )
+        SELECT bucket, lo_edge, hi_edge, CAST(count(*) AS BIGINT) AS n
+        FROM v JOIN bands
+          ON x >= lo_edge
+         AND (x < hi_edge OR (bucket = {num_buckets - 1} AND x <= hi_edge))
+        GROUP BY bucket, lo_edge, hi_edge
+    """

@@ -2730,3 +2730,16 @@ def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("row_share"),
     )
+
+
+@register("equidepth_histogram", oracle.equidepth_histogram_sql())
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth histogram of document lengths: exact interpolated
+    decile boundaries (the range-partition split points a layout
+    planner needs), then one broadcast range-join count — no global
+    sort."""
+    from llm_training_data_pipeline_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    return equidepth_histogram(_t(spark, sf_dir, "documents"), "n_chars", 10)

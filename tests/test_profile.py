@@ -55,3 +55,20 @@ def test_histogram_rejects_fractional_width(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError):
         numeric_histogram(df, "x", 0, 100, 7)
+
+
+def test_equidepth_histogram_balanced_counts(spark):
+    from llm_training_data_pipeline_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["x"])
+    rows = sorted(
+        equidepth_histogram(df, "x", 4).collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == [0, 1, 2, 3]
+    # exact quartile boundaries of 0..99 split the data 25/25/25/25
+    # (boundary values land in the lower band; last band inclusive)
+    assert sum(r.n for r in rows) == 100
+    assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
+    assert rows[0].lo_edge == 0.0 and rows[3].hi_edge == 99.0
