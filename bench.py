@@ -118,6 +118,7 @@ HEADLINE = [
     "event_anomalies",
     "lang_confusion_matrix",
     "equidepth_histogram",
+    "zorder_locality",
 ]
 
 

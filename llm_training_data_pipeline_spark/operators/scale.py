@@ -16,7 +16,7 @@ These are the knobs a 100 TB deployment turns when AQE alone isn't enough:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -173,3 +173,35 @@ def recommend_salts(
         return 1
     per_reducer = max(row["total"] / shuffle_partitions, 1.0)
     return max(1, min(max_salts, math.ceil(row["max_n"] / per_reducer)))
+
+
+def morton_key(x: Column, y: Column, bits: int = 8) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — x in the even positions, y in the
+    odd. Pure shift/mask arithmetic (whole-stage codegen; replayable in
+    any SQL engine).
+
+    Sorting or range-partitioning by this key gives locality in BOTH
+    dimensions at once — the data-layout trick (Delta/Iceberg Z-ORDER)
+    that lets min/max file statistics prune scans for predicates on
+    either column, where a lexicographic sort only prunes its leading
+    column. ``zorder_locality_stats`` measures exactly that span
+    contraction."""
+    key = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        xbit = F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(one), 2 * i)
+        ybit = F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(one), 2 * i + 1)
+        key = key.bitwiseOR(xbit).bitwiseOR(ybit)
+    return key
+
+
+def normalize_to_bits(col: Column, lo: Column, hi: Column, bits: int = 8) -> Column:
+    """Map an integer column with known [lo, hi] range onto
+    [0, 2^bits): floor((v − lo)·2^bits / (hi − lo + 1)) — monotone and
+    range-safe. The division runs in DOUBLE (exact here: numerators
+    stay far under 2^53) so the identical IEEE result replays in any
+    engine."""
+    num = (col.cast("long") - lo.cast("long")) * F.lit(1 << bits)
+    span = hi.cast("long") - lo.cast("long") + F.lit(1)
+    return F.floor(num.cast("double") / span.cast("double")).cast("long")

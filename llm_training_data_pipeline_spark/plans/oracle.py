@@ -3176,3 +3176,45 @@ def equidepth_histogram_sql(num_buckets: int = 10) -> str:
          AND (x < hi_edge OR (bucket = {num_buckets - 1} AND x <= hi_edge))
         GROUP BY bucket, lo_edge, hi_edge
     """
+
+
+def _morton_sql(ux: str, hx: str, bits: int = 8) -> str:
+    """Bit-interleave SQL expression (mirror of scale.morton_key)."""
+    parts = [
+        f"((({ux} >> {i}) & 1) << {2 * i}) | ((({hx} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(f"({p})" for p in parts) + ")"
+
+
+def zorder_locality_sql(bits: int = 8, bucket_bits: int = 4) -> str:
+    """Mirror of the Z-order locality demo over events: normalize
+    (user_id, hour) to 2^bits grids, Morton-interleave, bucket by the
+    top bits, report per-bucket spans of BOTH dimensions."""
+    norm = (
+        lambda v, lo, hi: f"CAST(floor(CAST(({v} - {lo}) * {1 << bits} AS DOUBLE)"
+        f" / CAST({hi} - {lo} + 1 AS DOUBLE)) AS BIGINT)"
+    )
+    shift = 2 * bits - bucket_bits
+    return f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) // 3600000000 AS hour FROM events
+        ), r AS (
+          SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+                 min(hour) AS hlo, max(hour) AS hhi
+          FROM e
+        ), g AS (
+          SELECT e.user_id, e.hour,
+                 {norm('e.user_id', 'r.ulo', 'r.uhi')} AS ux,
+                 {norm('e.hour', 'r.hlo', 'r.hhi')} AS hx
+          FROM e CROSS JOIN r
+        ), z AS (
+          SELECT user_id, hour, {_morton_sql('ux', 'hx')} >> {shift} AS bucket
+          FROM g
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(user_id) - min(user_id) AS BIGINT) AS user_span,
+               CAST(max(hour) - min(hour) AS BIGINT) AS hour_span
+        FROM z GROUP BY bucket
+    """

@@ -2743,3 +2743,43 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return equidepth_histogram(_t(spark, sf_dir, "documents"), "n_chars", 10)
+
+
+@register("zorder_locality", oracle.zorder_locality_sql())
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout demo: Morton-interleave (user_id, hour) onto a
+    256×256 grid, bucket by the key's top 4 bits (≈ file assignment
+    under a Z-ORDER rewrite), report per-bucket spans of BOTH
+    dimensions — each span contracts to ~¼ of its global range, which
+    is what lets min/max file stats prune scans on EITHER predicate
+    column (a lexicographic sort only prunes its leading column)."""
+    from llm_training_data_pipeline_spark.operators.scale import (
+        morton_key,
+        normalize_to_bits,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 3600000000").alias("hour")
+    )
+    rng = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min("hour").alias("hlo"),
+        F.max("hour").alias("hhi"),
+    )
+    g = ev.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        "hour",
+        normalize_to_bits(F.col("user_id"), F.col("ulo"), F.col("uhi")).alias("ux"),
+        normalize_to_bits(F.col("hour"), F.col("hlo"), F.col("hhi")).alias("hx"),
+    )
+    z = g.select(
+        "user_id",
+        "hour",
+        F.shiftright(morton_key(F.col("ux"), F.col("hx")), 12).alias("bucket"),
+    )
+    return z.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("user_id") - F.min("user_id")).cast("long").alias("user_span"),
+        (F.max("hour") - F.min("hour")).cast("long").alias("hour_span"),
+    )

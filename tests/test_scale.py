@@ -234,3 +234,40 @@ def test_recommend_salts_scales_with_skew(spark):
     assert n == 4  # 400 / (800/8) = 4
     # cap respected
     assert recommend_salts(skewed, "k", shuffle_partitions=1000, max_salts=16) == 16
+
+
+def test_morton_key_roundtrip_and_locality(spark):
+    from llm_training_data_pipeline_spark.operators.scale import morton_key
+
+    # full 8x8 grid with 3-bit coords: every key distinct, and the
+    # top-2-bit bucket of each key confines BOTH coordinates to one
+    # half of their range (the pruning property Z-ORDER exists for)
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = df.select(
+        "x", "y", morton_key(F.col("x"), F.col("y"), bits=3).alias("z")
+    ).collect()
+    zs = [r.z for r in out]
+    assert len(set(zs)) == 64 and min(zs) == 0 and max(zs) == 63
+    for r in out:
+        bucket = r.z >> 4  # top bit of each dim
+        assert bucket == ((r.x >> 2) | ((r.y >> 2) << 1))
+
+
+def test_normalize_to_bits_monotone_and_range_safe(spark):
+    from llm_training_data_pipeline_spark.operators.scale import normalize_to_bits
+
+    df = spark.createDataFrame([(v,) for v in range(37, 91)], ["v"])
+    out = (
+        df.select(
+            "v",
+            normalize_to_bits(
+                F.col("v"), F.lit(37), F.lit(90), bits=4
+            ).alias("n"),
+        )
+        .orderBy("v")
+        .collect()
+    )
+    ns = [r.n for r in out]
+    assert ns == sorted(ns)
+    assert min(ns) == 0 and max(ns) == 15
