@@ -119,6 +119,7 @@ HEADLINE = [
     "lang_confusion_matrix",
     "equidepth_histogram",
     "zorder_locality",
+    "event_paths",
 ]
 
 

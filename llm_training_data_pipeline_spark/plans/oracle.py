@@ -3218,3 +3218,22 @@ def zorder_locality_sql(bits: int = 8, bucket_bits: int = 4) -> str:
                CAST(max(hour) - min(hour) AS BIGINT) AS hour_span
         FROM z GROUP BY bucket
     """
+
+
+def event_paths_sql(steps: int = 5, top_k: int = 10) -> str:
+    """Mirror of the top-k first-N event-type paths: per-user ordered
+    type list (ts, event_id tie-break), first ``steps`` joined with
+    '>', frequency top-k (count DESC, path ASC)."""
+    return f"""
+        WITH p AS (
+          SELECT user_id,
+                 array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id),
+                              1, {steps}), '>') AS path
+          FROM events GROUP BY user_id
+        ), c AS (
+          SELECT path, count(*) AS n_users FROM p GROUP BY path
+        )
+        SELECT path, CAST(n_users AS BIGINT) AS n_users
+        FROM c ORDER BY n_users DESC, path ASC LIMIT {top_k}
+    """

@@ -2783,3 +2783,35 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("user_id") - F.min("user_id")).cast("long").alias("user_span"),
         (F.max("hour") - F.min("hour")).cast("long").alias("hour_span"),
     )
+
+
+@register("event_paths", oracle.event_paths_sql())
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening event-type paths (first 5 events per user): the
+    funnel-discovery companion to event_funnel. Per-user ordering is
+    ONE user-keyed aggregate — sort_array over collected (ts, id, type)
+    structs orders by the struct fields, so ties break on event_id
+    deterministically; the top-k compiles to TakeOrderedAndProject (no
+    global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                5,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
