@@ -120,6 +120,7 @@ HEADLINE = [
     "equidepth_histogram",
     "zorder_locality",
     "event_paths",
+    "weighted_sample_counts",
 ]
 
 

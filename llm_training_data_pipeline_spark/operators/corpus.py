@@ -1443,3 +1443,27 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    base_rate: float,
+    id_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: row survives iff
+    ``sample_key(id, buckets) < base_rate · weight · buckets`` — keep
+    probability proportional to a per-row weight (quality score,
+    recency, source priority), capped at 1. Completes the sampling
+    family (uniform `sample_key`, per-stratum `stratified_sample`,
+    `temperature_mix_weights`): same pure-filter shape — no shuffle, no
+    RNG, same survivors on every run and engine. 1e6 buckets keep rate
+    granularity at 1e-6 for small base_rate·weight products.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    thresh = F.least(
+        F.lit(float(buckets)),
+        w.cast("double") * F.lit(float(base_rate)) * F.lit(float(buckets)),
+    )
+    return df.filter(sample_key(F.col(id_col), buckets) < thresh)

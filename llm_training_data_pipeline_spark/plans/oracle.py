@@ -3237,3 +3237,19 @@ def event_paths_sql(steps: int = 5, top_k: int = 10) -> str:
         SELECT path, CAST(n_users AS BIGINT) AS n_users
         FROM c ORDER BY n_users DESC, path ASC LIMIT {top_k}
     """
+
+
+def weighted_sample_sql(base_rate: float = 0.5) -> str:
+    """Mirror of corpus.weighted_sample with weight = n_chars/600 capped
+    at 1 (longer docs kept more often); per-source survivor counts."""
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000000"
+    w = "least(CAST(n_chars AS DOUBLE) / 600.0, 1.0)"
+    return f"""
+        WITH kept AS (
+          SELECT * FROM documents
+          WHERE {key} < least(1000000.0, {w} * {base_rate} * 1000000)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM kept GROUP BY source
+    """

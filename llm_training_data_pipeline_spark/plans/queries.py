@@ -2815,3 +2815,20 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(10)
     )
+
+
+@register("weighted_sample_counts", oracle.weighted_sample_sql())
+def q_weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (keep probability ∝ per-row
+    weight — here length-weighted, capped at 1): pure filter, no RNG,
+    no shuffle; per-source survivor counts. Completes the sampling
+    family next to stratified/temperature mixing."""
+    from llm_training_data_pipeline_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("double") / F.lit(600.0), F.lit(1.0))
+    kept = weighted_sample(docs, w, base_rate=0.5)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -737,3 +737,29 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 100 + (i % 5) * 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    from pyspark.sql import functions as F
+
+    w = F.col("n_chars").cast("double") / F.lit(500.0)
+    kept = weighted_sample(df, w, base_rate=0.5)
+    shares = {
+        r.n_chars: r.n
+        for r in kept.groupBy("n_chars").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # higher weight -> higher survival count (monotone across the bands)
+    ordered = [shares.get(100 + k * 100, 0) for k in range(5)]
+    assert ordered == sorted(ordered)
+    assert ordered[0] > 0 and ordered[4] > ordered[0]
+    # weight 1.0 at base_rate 0.5 band (n_chars=500): ~half survive
+    assert 0.3 < shares[500] / 400 < 0.7
+    # determinism: same survivors on a re-run
+    again = weighted_sample(df, w, base_rate=0.5)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
