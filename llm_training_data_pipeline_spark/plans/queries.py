@@ -2478,7 +2478,7 @@ def q_nb_classify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
-    return nb_classify(train, test, label_col="lang")
+    return nb_classify(train, test, label_col="lang", materialize=True)
 
 
 @register("interval_overlap_stats", oracle.interval_overlap_sql())
