@@ -121,6 +121,7 @@ HEADLINE = [
     "zorder_locality",
     "event_paths",
     "weighted_sample_counts",
+    "segment_lang_mix",
 ]
 
 

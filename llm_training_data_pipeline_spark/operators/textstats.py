@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from llm_training_data_pipeline_spark.functions.text import (
     char_shingles,
     strip_ws,
+    whitespace_tokens,
     word_count,
 )
 
@@ -420,3 +421,58 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
         return pd.Series(out, dtype="float64")
 
     return df.withColumn("compression_ratio", _ratio(F.col(text_col)))
+
+
+def segment_lang_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 40,
+) -> DataFrame:
+    """Segment-level language ID (CCNet runs its LID per paragraph; the
+    fixture corpus has no paragraph breaks, so segments are fixed
+    ``words_per_segment``-word windows of the lowered token stream):
+    one row per (id, seg_idx, seg_lang). Mixed-language documents — the
+    ones a document-level LID mislabels entirely — show up as multiple
+    seg_lang values per id.
+
+    Plan: tokenize once, explode one index range per document
+    (O(n_words) total rows), rebuild each window with slice (O(1)
+    element refs), then the staged score/argmax cascade per segment.
+    Segments are bounded (≤ words_per_segment words), so per-row regex
+    cost is constant — the same property LANG_ID_PREFIX_CHARS buys the
+    document-level path.
+    """
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    w = int(words_per_segment)
+    segs = toks.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("_toks") - 1) / F.lit(w)).cast("int"),
+            )
+        ).alias("seg_idx"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        "seg_idx",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("seg_idx") * w + 1, w), " "
+        ).alias("_seg"),
+    )
+    scores = lang_scores(F.col("_seg"))
+    staged = segs.select(
+        id_col,
+        "seg_idx",
+        *[c.alias(f"_s_{k}") for k, c in scores.items()],
+    )
+    restored = {k: F.col(f"_s_{k}") for k in scores}
+    return staged.select(
+        id_col,
+        "seg_idx",
+        _lang_cascade(restored, min_score=0.01).alias("seg_lang"),
+    )

@@ -3253,3 +3253,45 @@ def weighted_sample_sql(base_rate: float = 0.5) -> str:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM kept GROUP BY source
     """
+
+
+def segment_lang_mix_sql(words_per_segment: int = 40) -> str:
+    """Mirror of textstats.segment_lang_table + the per-doc mix rollup:
+    fixed word-window segments of the lowered token stream, the full
+    lang-id CASE per segment, dominant language by (count DESC, lang
+    ASC)."""
+    w = words_per_segment
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_lower_toks()} AS toks FROM documents
+        ), nz AS (
+          SELECT * FROM toks WHERE len(toks) > 0
+        ), idx AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, CAST(floor((len(toks) - 1) / {w}) AS BIGINT)
+                                 + 1)) AS i
+          FROM nz
+        ), segs AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                 array_to_string(list_slice(toks, CAST(i * {w} + 1 AS INT),
+                                            CAST(i * {w} + {w} AS INT)),
+                                 ' ') AS seg
+          FROM idx
+        ), lid AS (
+          SELECT doc_id, seg_idx, {_lang_id_case_sql(text_col='seg')} AS seg_lang
+          FROM segs
+        ), c AS (
+          SELECT doc_id, seg_lang, count(*) AS n FROM lid GROUP BY 1, 2
+        ), r AS (
+          SELECT doc_id, seg_lang, n,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, seg_lang ASC) AS rk,
+                 sum(n) OVER (PARTITION BY doc_id) AS total,
+                 count(*) OVER (PARTITION BY doc_id) AS n_langs
+          FROM c
+        )
+        SELECT doc_id, CAST(total AS BIGINT) AS n_segments,
+               CAST(n_langs AS BIGINT) AS n_langs,
+               seg_lang AS dominant_lang
+        FROM r WHERE rk = 1
+    """

@@ -2832,3 +2832,32 @@ def q_weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register("segment_lang_mix", oracle.segment_lang_mix_sql())
+def q_segment_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level language mix per document (CCNet applies its LID
+    per paragraph — a document-level label hides mixed-language docs):
+    40-word windows through the full lang-id cascade, rolled up to
+    (n_segments, n_langs, dominant_lang) with a deterministic mode."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        segment_lang_table,
+    )
+
+    lid = segment_lang_table(_t(spark, sf_dir, "documents"))
+    c = lid.groupBy("doc_id", "seg_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id")
+    wrk = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("seg_lang"))
+    return (
+        c.select(
+            "doc_id",
+            "seg_lang",
+            F.row_number().over(wrk).alias("_rk"),
+            F.sum("n").over(w).cast("long").alias("n_segments"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_langs"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "doc_id", "n_segments", "n_langs", F.col("seg_lang").alias("dominant_lang")
+        )
+    )

@@ -180,3 +180,24 @@ def test_compression_ratio_orders_redundancy(spark):
     raw = ("spam " * 200).encode()
     want = ((len(zlib.compress(raw, 6)) * 20_000 + len(raw)) // (len(raw) * 2)) / 10_000.0
     assert out[1] == want
+
+
+def test_segment_lang_table_flags_mixed_docs(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        segment_lang_table,
+    )
+
+    en = "the cat and the dog are in the house and it is warm " * 4
+    fr = "le chat et le chien est dans la maison pour une " * 4
+    rows = [
+        (1, en + " " + fr),  # mixed: first window en, second fr
+        (2, en),             # pure
+        (3, "   "),          # empty -> no segments
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = segment_lang_table(df, words_per_segment=52)
+    got = {(r.doc_id, r.seg_idx): r.seg_lang for r in out.collect()}
+    langs_doc1 = {v for (d, _i), v in got.items() if d == 1}
+    assert {"en", "fr"} <= langs_doc1
+    assert all(v == "en" for (d, _i), v in got.items() if d == 2)
+    assert not any(d == 3 for (d, _i) in got)
