@@ -122,6 +122,7 @@ HEADLINE = [
     "event_paths",
     "weighted_sample_counts",
     "segment_lang_mix",
+    "remove_wrong_lang",
 ]
 
 

@@ -18,7 +18,7 @@ SQL-expressible.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from llm_training_data_pipeline_spark.functions.text import (
@@ -428,6 +428,7 @@ def segment_lang_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     words_per_segment: int = 40,
+    keep_segment: bool = False,
 ) -> DataFrame:
     """Segment-level language ID (CCNet runs its LID per paragraph; the
     fixture corpus has no paragraph breaks, so segments are fixed
@@ -465,14 +466,62 @@ def segment_lang_table(
         ).alias("_seg"),
     )
     scores = lang_scores(F.col("_seg"))
+    extra = ["_seg"] if keep_segment else []
     staged = segs.select(
         id_col,
         "seg_idx",
+        *extra,
         *[c.alias(f"_s_{k}") for k, c in scores.items()],
     )
     restored = {k: F.col(f"_s_{k}") for k in scores}
     return staged.select(
         id_col,
         "seg_idx",
+        *([F.col("_seg").alias("seg")] if keep_segment else []),
         _lang_cascade(restored, min_score=0.01).alias("seg_lang"),
+    )
+
+
+def remove_wrong_lang_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 40,
+) -> DataFrame:
+    """Surgical language cleanup (the action CCNet takes after its
+    paragraph LID): drop every segment whose detected language differs
+    from the document's dominant language, rebuild the text in segment
+    order. Returns (id, text, n_segments, n_kept) — documents with all
+    segments agreeing pass through with text rebuilt from the same
+    lowered token windows (normalization is part of the operator's
+    contract, like ``remove_common_lines``).
+
+    Plan: the segment table once, a doc-keyed window for the dominant
+    label (doc-sized partitions), a filter, and one order-stable
+    rebuild via sort_array(collect_list(struct)) — no second corpus
+    scan, no joins beyond the aggregate itself.
+    """
+    lid = segment_lang_table(
+        df, text_col, id_col, words_per_segment, keep_segment=True
+    )
+    wc = Window.partitionBy(id_col, "seg_lang")
+    wrk = Window.partitionBy(id_col).orderBy(
+        F.desc("_n"), F.asc("seg_lang")
+    )
+    labeled = (
+        lid.withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn("_dom", F.first("seg_lang").over(wrk))
+        .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    kept = labeled.filter(F.col("seg_lang") == F.col("_dom"))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias(text_col),
+        F.max("_total").cast("long").alias("n_segments"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
     )

@@ -3295,3 +3295,51 @@ def segment_lang_mix_sql(words_per_segment: int = 40) -> str:
                seg_lang AS dominant_lang
         FROM r WHERE rk = 1
     """
+
+
+def remove_wrong_lang_sql(words_per_segment: int = 40) -> str:
+    """Mirror of textstats.remove_wrong_lang_segments: per-segment LID,
+    dominant language by (count DESC, lang ASC), minority segments
+    dropped, text rebuilt in segment order from the lowered windows."""
+    w = words_per_segment
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_lower_toks()} AS toks FROM documents
+        ), nz AS (
+          SELECT * FROM toks WHERE len(toks) > 0
+        ), idx AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, CAST(floor((len(toks) - 1) / {w}) AS BIGINT)
+                                 + 1)) AS i
+          FROM nz
+        ), segs AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                 array_to_string(list_slice(toks, CAST(i * {w} + 1 AS INT),
+                                            CAST(i * {w} + {w} AS INT)),
+                                 ' ') AS seg
+          FROM idx
+        ), lid AS (
+          SELECT doc_id, seg_idx, seg,
+                 {_lang_id_case_sql(text_col='seg')} AS seg_lang
+          FROM segs
+        ), c AS (
+          SELECT doc_id, seg_lang, count(*) AS n FROM lid GROUP BY 1, 2
+        ), dom AS (
+          SELECT doc_id, seg_lang FROM (
+            SELECT doc_id, seg_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY n DESC, seg_lang ASC) AS rk
+            FROM c
+          ) WHERE rk = 1
+        ), tot AS (
+          SELECT doc_id, count(*) AS total FROM lid GROUP BY doc_id
+        )
+        SELECT lid.doc_id,
+               string_agg(lid.seg, ' ' ORDER BY lid.seg_idx) AS text,
+               CAST(max(tot.total) AS BIGINT) AS n_segments,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM lid
+        JOIN dom ON dom.doc_id = lid.doc_id AND dom.seg_lang = lid.seg_lang
+        JOIN tot ON tot.doc_id = lid.doc_id
+        GROUP BY lid.doc_id
+    """

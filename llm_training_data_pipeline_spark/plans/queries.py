@@ -2861,3 +2861,16 @@ def q_segment_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_segments", "n_langs", F.col("seg_lang").alias("dominant_lang")
         )
     )
+
+
+@register("remove_wrong_lang", oracle.remove_wrong_lang_sql())
+def q_remove_wrong_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical minority-language removal (the CCNet action after
+    paragraph LID): drop segments disagreeing with the document's
+    dominant language, rebuild text in order — one segment pass, one
+    doc-keyed window, one order-stable rebuild."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        remove_wrong_lang_segments,
+    )
+
+    return remove_wrong_lang_segments(_t(spark, sf_dir, "documents"))

@@ -201,3 +201,17 @@ def test_segment_lang_table_flags_mixed_docs(spark):
     assert {"en", "fr"} <= langs_doc1
     assert all(v == "en" for (d, _i), v in got.items() if d == 2)
     assert not any(d == 3 for (d, _i) in got)
+
+
+def test_remove_wrong_lang_segments_surgical(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        remove_wrong_lang_segments,
+    )
+
+    en = ("the cat and the dog are in the house and it is warm " * 4).split()
+    fr = ("le chat et le chien est dans la maison pour une " * 4).split()
+    mixed = " ".join(en[:40] + fr[:40] + en[:40])  # en, fr, en windows
+    df = spark.createDataFrame([(1, mixed)], ["doc_id", "text"])
+    out = remove_wrong_lang_segments(df).collect()[0]
+    assert out.n_segments == 3 and out.n_kept == 2
+    assert "le chat" not in out.text and out.text.startswith("the cat")
