@@ -123,6 +123,7 @@ HEADLINE = [
     "weighted_sample_counts",
     "segment_lang_mix",
     "remove_wrong_lang",
+    "fim_sample",
 ]
 
 

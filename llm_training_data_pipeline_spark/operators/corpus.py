@@ -1467,3 +1467,46 @@ def weighted_sample(
         w.cast("double") * F.lit(float(base_rate)) * F.lit(float(buckets)),
     )
     return df.filter(sample_key(F.col(id_col), buckets) < thresh)
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    pre_tok: str = "<fim_prefix>",
+    suf_tok: str = "<fim_suffix>",
+    mid_tok: str = "<fim_middle>",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, PSM layout):
+    for a deterministic ``rate`` fraction of documents, cut the text at
+    two pseudo-random points and emit
+    ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` — the standard augmented
+    example for infilling-capable code/text models. Everything is pure
+    column arithmetic: document selection AND both cut points derive
+    from the arithmetic sample key (decorrelated lanes via 2·id+1 /
+    3·id+2), so the same documents get the same transforms on every
+    run and engine — no RNG, replayable in DuckDB.
+
+    Adds ``fim_applied``; documents shorter than 3 chars (or outside the
+    rate) pass through unchanged.
+    """
+    text = F.col(text_col)
+    length = F.length(text)
+    idc = F.col(id_col)
+    apply_fim = (sample_key(idc, 1000) < F.lit(rate * 1000)) & (length >= 3)
+    span = F.greatest(length - 1, F.lit(1))
+    p1 = F.lit(1) + F.pmod(sample_key(idc * 2 + 1, 1_000_000), span)
+    p2 = F.lit(1) + F.pmod(sample_key(idc * 3 + 2, 1_000_000), span)
+    lo, hi = F.least(p1, p2), F.greatest(p1, p2)
+    rebuilt = F.concat(
+        F.lit(pre_tok),
+        F.substring(text, F.lit(1), lo),
+        F.lit(suf_tok),
+        F.substring(text, hi + 1, length),
+        F.lit(mid_tok),
+        F.substring(text, lo + 1, hi - lo),
+    )
+    return df.withColumn(
+        text_col, F.when(apply_fim, rebuilt).otherwise(text)
+    ).withColumn("fim_applied", apply_fim)

@@ -3343,3 +3343,39 @@ def remove_wrong_lang_sql(words_per_segment: int = 40) -> str:
         JOIN tot ON tot.doc_id = lid.doc_id
         GROUP BY lid.doc_id
     """
+
+
+def fim_sample_sql(rate: float = 0.5) -> str:
+    """Mirror of corpus.fim_transform: same arithmetic-key selection and
+    cut points, PSM rebuild, md5+length projection."""
+    key = (
+        lambda e, b: f"((({e}) % 1000003 + 1000003) % 1000003 * 2654435761) % {b}"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text, length(text) AS l,
+                 ({key('doc_id', 1000)}) < {rate * 1000} AND length(text) >= 3
+                   AS apply_fim,
+                 1 + ({key('doc_id * 2 + 1', 1000000)})
+                     % greatest(length(text) - 1, 1) AS p1,
+                 1 + ({key('doc_id * 3 + 2', 1000000)})
+                     % greatest(length(text) - 1, 1) AS p2
+          FROM documents
+        ), cut AS (
+          SELECT doc_id, text, l, apply_fim,
+                 least(p1, p2) AS lo, greatest(p1, p2) AS hi
+          FROM s
+        ), o AS (
+          SELECT doc_id, apply_fim,
+                 CASE WHEN apply_fim THEN
+                   '<fim_prefix>' || substr(text, 1, CAST(lo AS INT))
+                   || '<fim_suffix>' || substr(text, CAST(hi + 1 AS INT), CAST(l AS INT))
+                   || '<fim_middle>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+                 ELSE text END AS out
+          FROM cut
+        )
+        SELECT doc_id, apply_fim AS fim_applied,
+               CAST(length(out) AS BIGINT) AS out_len,
+               md5(out) AS out_md5
+        FROM o
+    """

@@ -2874,3 +2874,20 @@ def q_remove_wrong_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return remove_wrong_lang_segments(_t(spark, sf_dir, "documents"))
+
+
+@register("fim_sample", oracle.fim_sample_sql())
+def q_fim_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (PSM layout) over half the
+    corpus, selection and cut points in pure arithmetic — projected as
+    md5+length so the driver row stays compact while pinning every
+    transformed byte."""
+    from llm_training_data_pipeline_spark.operators.corpus import fim_transform
+
+    out = fim_transform(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "fim_applied",
+        F.length("text").cast("long").alias("out_len"),
+        F.md5("text").alias("out_md5"),
+    )

@@ -763,3 +763,32 @@ def test_weighted_sample_monotone_in_weight(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_fim_transform_reconstructs_original(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import fim_transform
+
+    rows = [(i, f"abcdefghij-{i:04d}-klmnopqrst") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in fim_transform(df, rate=1.0).collect()}
+    orig = dict(rows)
+    for i, r in out.items():
+        assert r.fim_applied
+        # PSM layout: prefix+suffix+middle re-assembles the original
+        body = r.text
+        assert body.startswith("<fim_prefix>")
+        p, rest = body[len("<fim_prefix>"):].split("<fim_suffix>", 1)
+        s, m = rest.split("<fim_middle>", 1)
+        assert p + m + s == orig[i]
+        assert p  # lo >= 1, so the prefix is never empty (middle may
+        # be: the two cut points can coincide)
+
+
+def test_fim_transform_rate_zero_is_identity(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import fim_transform
+
+    rows = [(i, f"text number {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = fim_transform(df, rate=0.0).collect()
+    assert all(not r.fim_applied for r in out)
+    assert {r.doc_id: r.text for r in out} == dict(rows)
