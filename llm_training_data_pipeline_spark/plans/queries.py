@@ -51,24 +51,25 @@ def register(name: str, sql: str | None):
 # from the CORRECTNESS_r*.json files the driver itself writes (no
 # hand-maintained verified sets — a missed edit used to silently
 # mis-rotate the window):
-#   tier 0  never scored in any round (needs any driver row at all,
-#           including rows-only entries registered after r2 that the old
-#           static tiers permanently starved);
-#   tier 1  the newest recorded row is red — must re-score immediately;
-#   tier 2  previously green, ordered oldest-green-round first so BOTH
-#           families decay together (a rows-only row also goes stale —
-#           an executing row is the only proof the plan still runs under
-#           the driver harness); within the same green round,
-#           changed-since-green entries first (the round-keyed map below
-#           invalidates the old verification), then oracle-paired before
-#           rows-only (the bit-exact check decays faster in value as
-#           code drifts). Changed entries used to form their own tier
-#           above every stale green; once 30+ never-scored entries
-#           existed, that pushed 3-round-stale queries out of the
-#           ~50-slot window entirely — staleness and changedness now
-#           share one ordering.
-# Within a tier+staleness bucket, module registration order is
-# preserved (sorted() is stable).
+#   tier 0  newest recorded row is red — must re-score immediately;
+#   tier 1  never scored, ORACLE-PAIRED — a hash-checked first row
+#           proves the most per slot;
+#   tier 2  green but >= 2 rounds stale, oldest-effective-round first
+#           (BOTH families decay — an executing row is the only proof
+#           the plan still runs under the driver harness);
+#   tier 3  never scored, rows-only — pytest already pins these, so
+#           their first driver row (which proves only "still runs")
+#           queues behind the deep-stale refreshes; without this split
+#           a productive round of new operators evicts 3-round-stale
+#           hash checks from the ~50-slot window;
+#   tier 4  fresher greens, oldest-effective-round first.
+# Within the green tiers the effective round is the green round minus
+# one if the code changed since (the round-keyed map below invalidates
+# the old verification — worth one round of staleness, not a jump over
+# 3-round-stale unchanged queries, which the old separate changed tier
+# caused); within a round: changed first, oracle-paired before
+# rows-only. Within any bucket, module registration order is preserved
+# (sorted() is stable).
 #
 # The ONLY manual input is _CHANGED_IN_ROUND: query name → round number
 # in which its Spark or oracle implementation materially changed. The
@@ -159,14 +160,22 @@ def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     newest_scored, newest_green = _scorecard_rounds()
 
+    newest = max(newest_green.values(), default=0)
+
     def key(item: tuple[str, tuple[QueryFn, str | None]]) -> tuple[int, ...]:
         name, (_fn, sql) = item
         scored = newest_scored.get(name, 0)
         green = newest_green.get(name, 0)
-        if scored == 0:
-            return (0, 0, 0, 0)
         if scored > green:  # newest row is red: re-score immediately
-            return (1, 0, 0, 0)
+            return (0, 0, 0, 0)
+        if scored == 0:
+            # A hash-checked first row proves the most per slot, so
+            # never-scored ORACLE-PAIRED entries lead; never-scored
+            # rows-only entries (already pinned by pytest — a driver row
+            # adds only "still runs under the harness") queue BEHIND the
+            # multi-round-stale greens, else a productive round of new
+            # operators evicts 3-round-stale refreshes from the window.
+            return (1, 0, 0, 0) if sql is not None else (3, 0, 0, 0)
         changed = green < _CHANGED_IN_ROUND.get(name, 0)
         # Merged staleness ordering (was: a separate changed tier above
         # ALL stale greens — with 30+ never-scored entries that starved
@@ -176,9 +185,11 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         # worth one extra round of staleness (not an unconditional jump
         # over 3-round-stale unchanged queries). Within the same
         # effective round: changed first, oracle-paired before
-        # rows-only.
+        # rows-only. Deep-stale greens (>= 2 rounds behind) outrank
+        # never-scored rows-only entries; fresher greens queue after.
         eff = green - 1 if changed else green
-        return (2, eff, 0 if changed else 1, 1 if sql is None else 0)
+        deep = 2 if green <= newest - 2 else 4
+        return (deep, eff, 0 if changed else 1, 1 if sql is None else 0)
 
     return dict(sorted(_REGISTRY.items(), key=key))
 

@@ -43,31 +43,35 @@ def test_scorecard_rotation_policy():
     names = list(REG)
     scored, green = _scorecard_rounds()
     assert scored, "driver correctness files must parse to at least one row"
+    newest = max(green.values(), default=0)
 
     def tier(name: str) -> int:
-        if scored.get(name, 0) == 0:
-            return 0
         if scored.get(name, 0) > green.get(name, 0):
-            return 1
-        return 2
+            return 0  # red: re-score immediately
+        if scored.get(name, 0) == 0:
+            # hash-checked first rows lead; rows-only first rows queue
+            # behind the deep-stale greens (pytest already pins them)
+            return 1 if REG[name][1] is not None else 3
+        return 2 if green[name] <= newest - 2 else 4
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry order must be tier-monotonic"
-    # within tier 2: (effective round, changed-first, paired-first) —
-    # a change since the green row costs one round of staleness
-    t2 = []
-    for n in names:
-        if tier(n) != 2:
-            continue
-        changed = green[n] < _CHANGED_IN_ROUND.get(n, 0)
-        t2.append(
-            (
-                green[n] - 1 if changed else green[n],
-                0 if changed else 1,
-                1 if REG[n][1] is None else 0,
+    # within the green tiers: (effective round, changed-first,
+    # paired-first) — a change since the green row costs one round
+    for t in (2, 4):
+        tt = []
+        for n in names:
+            if tier(n) != t:
+                continue
+            changed = green[n] < _CHANGED_IN_ROUND.get(n, 0)
+            tt.append(
+                (
+                    green[n] - 1 if changed else green[n],
+                    0 if changed else 1,
+                    1 if REG[n][1] is None else 0,
+                )
             )
-        )
-    assert t2 == sorted(t2)
+        assert tt == sorted(tt)
 
 
 def test_stalest_queries_fit_driver_window():
