@@ -115,3 +115,42 @@ def test_mixture_apply_broadcasts_plan(spark):
     plan = _plan(spark, "mixture_apply")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_event_paths_uses_take_ordered(spark):
+    """The top-10 must compile to TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort shuffle."""
+    plan = _plan(spark, "event_paths")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_equidepth_histogram_broadcasts_bands(spark):
+    """The quantile band table (num_buckets rows) joins as a broadcast
+    range-join — no shuffle of the value scan, no CartesianProduct."""
+    plan = _plan(spark, "equidepth_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_locality_single_scan_broadcast_range(spark):
+    """The min/max range row attaches via a 1-row broadcast; the key
+    arithmetic stays in one projection (no extra joins)."""
+    plan = _plan(spark, "zorder_locality")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_weighted_sample_is_pure_filter(spark):
+    """The weighted keep-decision must plan as a Filter over the scan —
+    no join, no window, no extra exchange before the rollup groupBy."""
+    plan = _plan(spark, "weighted_sample_counts")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_fim_sample_is_pure_projection(spark):
+    """FIM is per-row arithmetic: no join, no window, no aggregate —
+    one scan, one projection. (An Exchange may appear from the small-
+    scan parallelism guard in load_table, not from the operator.)"""
+    plan = _plan(spark, "fim_sample")
+    for op in ("Join", "Window", "HashAggregate"):
+        assert op not in plan, op
