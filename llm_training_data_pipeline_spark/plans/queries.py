@@ -2902,3 +2902,35 @@ def q_fim_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("out_len"),
         F.md5("text").alias("out_md5"),
     )
+
+
+@register("wordpiece_tokenize_stats", None)
+def q_wordpiece_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece train + encode + corpus stats under the driver harness
+    (rows-only like the other tokenizer-family queries: driver-side
+    merge learning is not SQL-replayable; determinism and round-trips
+    are pinned in tests/test_tokenize.py)."""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenization_stats,
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs, algorithm="wordpiece", vocab_size=2000)
+    return tokenization_stats(tokenize_documents(docs, tok), tok)
+
+
+@register("unigram_tokenize_stats", None)
+def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer train + encode + corpus stats under the
+    driver harness (rows-only; see wordpiece_tokenize_stats)."""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenization_stats,
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs, algorithm="unigram", vocab_size=2000)
+    return tokenization_stats(tokenize_documents(docs, tok), tok)
