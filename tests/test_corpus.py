@@ -792,3 +792,20 @@ def test_fim_transform_rate_zero_is_identity(spark):
     out = fim_transform(df, rate=0.0).collect()
     assert all(not r.fim_applied for r in out)
     assert {r.doc_id: r.text for r in out} == dict(rows)
+
+
+def test_fim_transform_unicode_safe(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import fim_transform
+
+    rows = [
+        (1, "héllo wörld — ünïcode tëxt ø¶§ißßüé with àccents"),
+        (2, "日本語のテキストですここで切り分けます中身を埋める"),
+        (3, "mixed ascii と 日本語 and émojis ☃☔★ test"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in fim_transform(df, rate=1.0).collect()}
+    for i, orig in rows:
+        body = out[i]
+        p, rest = body[len("<fim_prefix>"):].split("<fim_suffix>", 1)
+        s, m = rest.split("<fim_middle>", 1)
+        assert p + m + s == orig  # codepoint-based cuts reassemble
