@@ -28,6 +28,8 @@ above that.
 from __future__ import annotations
 
 import math
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 
 import numpy as np
@@ -127,15 +129,32 @@ def build_bloom_filter(
 # One Spark broadcast per (application, filter) — repeated per-batch
 # calls against the same corpus snapshot must NOT ship (or pin) the
 # bitmap again; entries hold the filter alive so id() stays unique.
-_BC_CACHE: dict = {}
+# BOUNDED: the per-call path (bloom=None) builds a fresh filter each
+# time, so an uncapped cache pins one bitmap per batch for the process
+# lifetime (~1.2 GB per billion-digest snapshot). LRU over the last
+# few snapshots; evicted broadcasts are unpersisted (executor copies
+# freed; Spark re-ships lazily if a still-live plan touches one).
+_BC_CACHE_MAX = 8
+_BC_CACHE: OrderedDict = OrderedDict()
+_BC_LOCK = threading.Lock()
 
 
 def _broadcast_once(spark, bloom: BloomFilter):
     key = (spark.sparkContext.applicationId, id(bloom))
-    hit = _BC_CACHE.get(key)
-    if hit is None:
-        hit = (bloom, spark.sparkContext.broadcast(bloom))
-        _BC_CACHE[key] = hit
+    with _BC_LOCK:  # check-then-act must be atomic: two driver threads
+        # racing the same filter would both ship the multi-GB bitmap
+        hit = _BC_CACHE.get(key)
+        if hit is None:
+            hit = (bloom, spark.sparkContext.broadcast(bloom))
+            _BC_CACHE[key] = hit
+            while len(_BC_CACHE) > _BC_CACHE_MAX:
+                _old_key, (_f, old_bc) = _BC_CACHE.popitem(last=False)
+                try:
+                    old_bc.unpersist(blocking=False)
+                except Exception:
+                    pass  # context already stopped
+        else:
+            _BC_CACHE.move_to_end(key)
     return hit[1]
 
 
@@ -193,7 +212,10 @@ def bloom_incremental_new_docs(
             corpus, key_col, num_bits or optimal_num_bits(n), expected_keys=n
         )
     flagged = with_bloom_maybe_contains(new_docs, key_col, bloom)
-    if materialize:
+    # streaming frames cannot checkpoint (and the microbatch engine
+    # already materializes each batch once) — the lazy composition is
+    # the only valid shape there
+    if materialize and not new_docs.isStreaming:
         flagged = flagged.localCheckpoint(eager=True)
     definitely_new = flagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
     maybe = flagged.filter(F.col("maybe_dup")).drop("maybe_dup")

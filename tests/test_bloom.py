@@ -65,3 +65,25 @@ def test_sizing_helpers():
     assert 9_000_000 < m < 10_500_000
     k = bloom.optimal_num_hashes(m, 1_000_000)
     assert 5 <= k <= 9
+
+
+def test_broadcast_cache_is_bounded(spark):
+    from llm_training_data_pipeline_spark.operators import bloom as B
+
+    filt = B.BloomFilter(bits=bytes(16), num_bits=128, num_hashes=2)
+    before = dict(B._BC_CACHE)
+    try:
+        holders = [
+            B.BloomFilter(bits=bytes(16), num_bits=128, num_hashes=2)
+            for _ in range(B._BC_CACHE_MAX + 4)
+        ]
+        for f in holders:  # distinct live objects -> distinct id() keys
+            B._broadcast_once(spark, f)
+        assert len(B._BC_CACHE) <= B._BC_CACHE_MAX
+        # same filter re-probed returns the SAME broadcast (cache hit)
+        a = B._broadcast_once(spark, filt)
+        b = B._broadcast_once(spark, filt)
+        assert a is b
+    finally:
+        B._BC_CACHE.clear()
+        B._BC_CACHE.update(before)
