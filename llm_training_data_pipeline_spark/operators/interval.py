@@ -44,6 +44,14 @@ def interval_overlap_pairs(
     intervals (``a.end == b.start``) do NOT overlap (half-open).
     """
     w = int(bin_width_us)
+
+    def fdiv(expr: str) -> str:
+        # FLOOR division on BIGINT: Spark's `div` truncates toward zero,
+        # which mis-bins negative starts (bin 0 would swallow [-w, 0)
+        # and the attribution check below would then reject the pair —
+        # silently DROPPING overlaps on pre-epoch/signed domains)
+        return f"(({expr}) div {w}) + (CASE WHEN ({expr}) % {w} != 0 AND ({expr}) < 0 THEN -1 ELSE 0 END)"
+
     iv = (
         df.select(
             *key_cols,
@@ -55,9 +63,7 @@ def interval_overlap_pairs(
         .withColumn(
             "_bin",
             F.explode(
-                F.sequence(
-                    F.expr(f"_s div {w}"), F.expr(f"(_e - 1) div {w}")
-                )
+                F.sequence(F.expr(fdiv("_s")), F.expr(fdiv("_e - 1")))
             ),
         )
     )
@@ -71,14 +77,9 @@ def interval_overlap_pairs(
             (F.col("a._id") < F.col("b._id"))
             & (F.col("a._s") < F.col("b._e"))
             & (F.col("b._s") < F.col("a._e"))
-            & (
-                F.expr("greatest(a._s, b._s)") - F.col("a._bin") * F.lit(w)
-                >= F.lit(0)
-            )
-            & (
-                F.expr("greatest(a._s, b._s)") - F.col("a._bin") * F.lit(w)
-                < F.lit(w)
-            )
+            # overlap-start attribution via the same FLOOR division —
+            # exactly one shared bin owns each pair
+            & (F.expr(fdiv("greatest(a._s, b._s)")) == F.col("a._bin"))
         )
         .select(
             *[F.col(f"a.{k}") for k in key_cols],

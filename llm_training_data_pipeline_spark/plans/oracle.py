@@ -2947,6 +2947,8 @@ def interval_overlap_sql(mult_us: int = 600_000_000) -> str:
           SELECT event_id, user_id, epoch_us(ts) AS s,
                  epoch_us(ts) + CAST(floor(value * {mult_us}) AS BIGINT) AS e
           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            AND epoch_us(ts) + CAST(floor(value * {mult_us}) AS BIGINT)
+                > epoch_us(ts)  -- empty/negative intervals drop (= operator)
         ), p AS (
           SELECT a.user_id,
                  least(a.e, b.e) - greatest(a.s, b.s) AS ov

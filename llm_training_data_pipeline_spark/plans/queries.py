@@ -188,8 +188,12 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         # rows-only. Deep-stale greens (>= 2 rounds behind) outrank
         # never-scored rows-only entries; fresher greens queue after.
         eff = green - 1 if changed else green
-        deep = 2 if green <= newest - 2 else 4
-        return (deep, eff, 0 if changed else 1, 1 if sql is None else 0)
+        deep = 2 if eff <= newest - 2 else 4
+        # within an effective round the RAW green round breaks the tie
+        # (longest since ANY verification first — a changed green-r4
+        # entry must not evict an unchanged green-r3 one from the
+        # window), then oracle-paired before rows-only
+        return (deep, eff, green, 1 if sql is None else 0)
 
     return dict(sorted(_REGISTRY.items(), key=key))
 

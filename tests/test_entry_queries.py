@@ -52,12 +52,18 @@ def test_scorecard_rotation_policy():
             # hash-checked first rows lead; rows-only first rows queue
             # behind the deep-stale greens (pytest already pins them)
             return 1 if REG[name][1] is not None else 3
-        return 2 if green[name] <= newest - 2 else 4
+        eff = (
+            green[name] - 1
+            if green[name] < _CHANGED_IN_ROUND.get(name, 0)
+            else green[name]
+        )
+        return 2 if eff <= newest - 2 else 4
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry order must be tier-monotonic"
-    # within the green tiers: (effective round, changed-first,
-    # paired-first) — a change since the green row costs one round
+    # within the green tiers: (effective round, raw green round,
+    # paired-first) — a change costs one round of staleness, and the
+    # raw round breaks ties so the longest-unverified entry leads
     for t in (2, 4):
         tt = []
         for n in names:
@@ -67,7 +73,7 @@ def test_scorecard_rotation_policy():
             tt.append(
                 (
                     green[n] - 1 if changed else green[n],
-                    0 if changed else 1,
+                    green[n],
                     1 if REG[n][1] is None else 0,
                 )
             )

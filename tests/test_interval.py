@@ -80,7 +80,7 @@ def test_random_intervals_match_brute_force(spark):
     rows = []
     for i in range(200):
         k = rng.choice(["a", "b", "c"])
-        s = rng.randrange(0, 5000)
+        s = rng.randrange(-2000, 5000)  # negative starts: floor-div bins
         e = s + rng.randrange(-50, 400)  # some empty/negative
         rows.append((k, i, s, e))
     df = _iv(spark, rows)
