@@ -141,21 +141,37 @@ _BC_LOCK = threading.Lock()
 
 def _broadcast_once(spark, bloom: BloomFilter):
     key = (spark.sparkContext.applicationId, id(bloom))
-    with _BC_LOCK:  # check-then-act must be atomic: two driver threads
-        # racing the same filter would both ship the multi-GB bitmap
+    with _BC_LOCK:
         hit = _BC_CACHE.get(key)
-        if hit is None:
-            hit = (bloom, spark.sparkContext.broadcast(bloom))
-            _BC_CACHE[key] = hit
+        if hit is not None:
+            _BC_CACHE.move_to_end(key)
+            return hit[1]
+    # Ship OUTSIDE the lock: holding it across a multi-GB broadcast
+    # would serialize unrelated filters from other driver threads. The
+    # same-filter race is resolved by a second check — the loser
+    # discards its duplicate broadcast.
+    bc = spark.sparkContext.broadcast(bloom)
+    with _BC_LOCK:
+        hit = _BC_CACHE.get(key)
+        if hit is not None:  # lost the race for this same filter
+            _BC_CACHE.move_to_end(key)
+            winner = hit[1]
+            loser = bc
+        else:
+            _BC_CACHE[key] = (bloom, bc)
+            winner, loser = bc, None
             while len(_BC_CACHE) > _BC_CACHE_MAX:
                 _old_key, (_f, old_bc) = _BC_CACHE.popitem(last=False)
                 try:
                     old_bc.unpersist(blocking=False)
                 except Exception:
                     pass  # context already stopped
-        else:
-            _BC_CACHE.move_to_end(key)
-    return hit[1]
+    if loser is not None:
+        try:
+            loser.unpersist(blocking=False)
+        except Exception:
+            pass
+    return winner
 
 
 def with_bloom_maybe_contains(

@@ -44,10 +44,10 @@ from llm_training_data_pipeline_spark.functions.text import whitespace_tokens
 LOG_UNIT = 1e8
 
 
-def _label_words(df: DataFrame, text_col: str, label_col: str, id_col: str) -> DataFrame:
-    """One row per (id, label, word) occurrence, case-folded."""
+def _label_words(df: DataFrame, text_col: str, label_col: str) -> DataFrame:
+    """One row per (label, word) occurrence, case-folded — training
+    needs no document identity, only class-conditional counts."""
     return df.select(
-        F.col(id_col),
         F.col(label_col).alias("_label"),
         F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word"),
     )
@@ -73,7 +73,7 @@ def nb_train(
     100 TB where the scan dominates; output is bit-identical (the repo's
     multi-branch ``materialize`` convention, cf. ``bigram_surprisal``).
     """
-    words = _label_words(train, text_col, label_col, id_col)
+    words = _label_words(train, text_col, label_col)
     wc = words.groupBy("word", "_label").agg(F.count(F.lit(1)).alias("_nwc"))
     if materialize:
         wc = wc.localCheckpoint(eager=True)
@@ -83,9 +83,16 @@ def nb_train(
     classes = (
         train.groupBy(F.col(label_col).alias("_label"))
         .agg(F.count(F.lit(1)).alias("_nc"))
-        .join(tc, on="_label")
+        # LEFT join + coalesce: a class whose training docs are all
+        # zero-token has no tc row, but add-one smoothing still defines
+        # its scores (prior + n·ln(1/V)) — an inner join would silently
+        # make the class unpredictable while its docs still inflated
+        # every other prior's denominator
+        .join(tc, on="_label", how="left")
+        .withColumn("_tc", F.coalesce(F.col("_tc"), F.lit(0)))
         .crossJoin(F.broadcast(n_docs))
         .crossJoin(F.broadcast(vocab))
+        .withColumn("_v", F.greatest(F.col("_v"), F.lit(1)))
         .select(
             "_label",
             "_tc",

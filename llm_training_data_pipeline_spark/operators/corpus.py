@@ -1426,19 +1426,26 @@ def corpus_diff(
 
     Returns (id, status).
     """
+    # presence flags, NOT digest nullness: md5(NULL) is NULL, so a
+    # null-text doc present in both snapshots would otherwise read as
+    # "added"; digest comparison is null-safe for the same reason
     o = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_od")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_od"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_nd")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_nd"),
+        F.lit(True).alias("_in_new"),
     )
     return (
         o.join(n, on="_id", how="full_outer")
         .select(
             F.col("_id").alias(id_col),
-            F.when(F.col("_od").isNull(), F.lit("added"))
-            .when(F.col("_nd").isNull(), F.lit("removed"))
-            .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(~F.col("_od").eqNullSafe(F.col("_nd")), F.lit("changed"))
             .otherwise(F.lit("unchanged"))
             .alias("status"),
         )

@@ -141,6 +141,8 @@ def pca_topk_query(
     """Fit + project + rank: the ``top`` most extreme documents along
     PC1 with their first two scores and the fitted explained-variance
     ratios (constant columns). Drives the full operator path."""
+    if k < 2:
+        raise ValueError("pca_topk_query reports pc1+pc2; need k >= 2")
     comps, mean, ratio = fit_pca(df, k, vec_col)
     proj = pca_project(df, comps, mean, vec_col, id_col)
     return (

@@ -33,6 +33,14 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, cols: list[str], exact: bool = True) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nonnull, n_distinct,
     min_value, max_value) — one aggregate pass over the table."""
+    import re
+
+    for c in cols:  # names are spliced into a stack() SQL string below
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+            raise ValueError(
+                f"profile_table: column name {c!r} is not a plain "
+                "identifier; alias it first (names reach a SQL expr)"
+            )
     nd = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:

@@ -2897,13 +2897,16 @@ def nb_classify_sql(label: str = "source", test_mod: int = 5) -> str:
         ), n AS (
           SELECT count(*) AS n FROM train
         ), classes AS (
-          SELECT c.label, tc.tc, v.v,
+          -- LEFT join + coalesce mirrors the operator: a zero-token
+          -- class keeps its prior and the ln(1/V) floor
+          SELECT c.label, COALESCE(tc.tc, 0) AS tc, greatest(v.v, 1) AS v,
                  CAST(floor(ln(CAST(c.nc AS DOUBLE) / CAST(n.n AS DOUBLE))
                             * 100000000) AS BIGINT) AS prior_u,
-                 CAST(floor(ln(1.0 / CAST(tc.tc + v.v AS DOUBLE))
+                 CAST(floor(ln(1.0 / CAST(COALESCE(tc.tc, 0)
+                                          + greatest(v.v, 1) AS DOUBLE))
                             * 100000000) AS BIGINT) AS miss_u
           FROM (SELECT {label} AS label, count(*) AS nc FROM train GROUP BY 1) c
-          JOIN tc USING (label) CROSS JOIN v CROSS JOIN n
+          LEFT JOIN tc USING (label) CROSS JOIN v CROSS JOIN n
         ), model AS (
           SELECT wc.word, wc.label,
                  CAST(floor(ln(CAST(wc.nwc + 1 AS DOUBLE)
@@ -3065,17 +3068,19 @@ def corpus_diff_sql() -> str:
     % 11 == 0 rows edited; per-status counts."""
     return """
         WITH old AS (
-          SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 7 != 0
+          SELECT doc_id, md5(text) AS d, TRUE AS in_old
+          FROM documents WHERE doc_id % 7 != 0
         ), new AS (
           SELECT doc_id,
                  md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
-                          ELSE text END) AS d
+                          ELSE text END) AS d,
+                 TRUE AS in_new
           FROM documents WHERE doc_id % 5 != 0
         ), j AS (
           SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
-                 CASE WHEN old.d IS NULL THEN 'added'
-                      WHEN new.d IS NULL THEN 'removed'
-                      WHEN old.d != new.d THEN 'changed'
+                 CASE WHEN old.in_old IS NULL THEN 'added'
+                      WHEN new.in_new IS NULL THEN 'removed'
+                      WHEN old.d IS DISTINCT FROM new.d THEN 'changed'
                       ELSE 'unchanged' END AS status
           FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         )
@@ -3131,8 +3136,11 @@ def event_anomalies_sql() -> str:
         FROM hc JOIN st USING (event_type)
         WHERE st.n > 1
           AND hc.c * st.n > st.s
-          AND (hc.c * st.n - st.s) * (hc.c * st.n - st.s) * (st.n - 1)
-              > 9 * st.n * (st.n * st.q - st.s * st.s)
+          AND (CAST(hc.c AS HUGEINT) * st.n - st.s)
+              * (CAST(hc.c AS HUGEINT) * st.n - st.s) * (st.n - 1)
+              > 9 * CAST(st.n AS HUGEINT)
+                  * (CAST(st.n AS HUGEINT) * st.q
+                     - CAST(st.s AS HUGEINT) * st.s)
     """
 
 

@@ -2694,16 +2694,22 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("q"),
     )
-    d = F.col("c") * F.col("n") - F.col("s")
+    # the quadratic terms run in DECIMAL(38,0) (mirror: HUGEINT) — at
+    # realistic scale (c ~ 1e6 counts over 1e4 hours) (n·c−S)² exceeds
+    # BIGINT and Spark would wrap silently while DuckDB errors
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d = dec(F.col("c")) * dec(F.col("n")) - dec(F.col("s"))
+    rhs = (
+        F.lit(9).cast("decimal(38,0)")
+        * dec(F.col("n"))
+        * (dec(F.col("n")) * dec(F.col("q")) - dec(F.col("s")) * dec(F.col("s")))
+    )
     return (
         hc.join(F.broadcast(st), on="event_type")
         .filter(
             (F.col("n") > 1)
             & (F.col("c") * F.col("n") > F.col("s"))
-            & (
-                d * d * (F.col("n") - 1)
-                > 9 * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-            )
+            & (d * d * (dec(F.col("n")) - 1) > rhs)
         )
         .select(
             "event_type",

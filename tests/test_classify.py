@@ -122,3 +122,18 @@ def test_materialize_is_bit_identical(spark):
     lazy = nb_classify(train, test, label_col="label").collect()
     mat = nb_classify(train, test, label_col="label", materialize=True).collect()
     assert sorted(map(tuple, lazy)) == sorted(map(tuple, mat))
+
+
+def test_zero_token_class_still_predictable(spark):
+    # class y's only training doc has no tokens: y must keep its prior
+    # and the ln(1/V) unseen floor, not vanish from the model; and the
+    # winning class for y-ish (all-unseen) docs is decided by prior.
+    train = _docs(
+        spark,
+        [(1, "a b c", "x"), (2, "   ", "y"), (3, "  ", "y")],
+    )
+    test = _docs(spark, [(10, "zz", "?")])
+    out = nb_classify(train, test, label_col="label").collect()[0]
+    # scores: x -> ln(1/3) + ln(1/(3+3)); y -> ln(2/3) + ln(1/(0+3))
+    # y wins (higher prior, smaller vocab denominator)
+    assert out.pred_label == "y"

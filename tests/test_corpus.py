@@ -809,3 +809,18 @@ def test_fim_transform_unicode_safe(spark):
         p, rest = body[len("<fim_prefix>"):].split("<fim_suffix>", 1)
         s, m = rest.split("<fim_middle>", 1)
         assert p + m + s == orig  # codepoint-based cuts reassemble
+
+
+def test_corpus_diff_null_text_is_presence_based(spark):
+    from llm_training_data_pipeline_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (3, None), (4, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    # null text in both -> unchanged; null vs text -> changed;
+    # presence decides added/removed regardless of digest nullness
+    assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
