@@ -124,6 +124,11 @@ HEADLINE = [
     "segment_lang_mix",
     "remove_wrong_lang",
     "fim_sample",
+    # round-6 fourth wave
+    "semdedup_pairs",
+    "semdedup_stats",
+    "pmi_collocations",
+    "char_entropy_stats",
 ]
 
 

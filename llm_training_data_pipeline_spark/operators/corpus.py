@@ -1517,3 +1517,104 @@ def fim_transform(
     return df.withColumn(
         text_col, F.when(apply_fim, rebuilt).otherwise(text)
     ).withColumn("fim_applied", apply_fim)
+
+
+# ---------------------------------------------------------------------
+# PMI collocations (vocabulary/tokenizer diagnostics)
+# ---------------------------------------------------------------------
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information —
+    the standard multi-word-expression signal (tokenizer vocab design,
+    boilerplate phrase discovery, corpus fingerprinting).
+
+    ``PMI = ln( p(ab) / (p(a) p(b)) )`` with p(ab) from the bigram
+    distribution and p(a), p(b) from the unigram distribution. The lift
+    ratio is computed from exact integer counts in one fixed-order
+    double expression, then truncated to 1e-6 integer units BEFORE
+    ranking — so (pmi desc, w1, w2) ordering can never drift between
+    engines (same discipline as ``tfidf_top_terms``).
+
+    Plan: one corpus scan feeds both the unigram and bigram hash
+    aggregates (explode → map-side partial count); bigrams above
+    ``min_count`` equi-join the vocab twice on the word keys (AQE splits
+    the stopword-hot keys); the global top-k is a TakeOrdered, not a
+    full sort. No window over an unpartitioned frame, no cross join —
+    the only broadcast rows are the two count scalars.
+    """
+    toks = df.select(whitespace_tokens(F.lower(F.col(text_col))).alias("_ws"))
+    uni = toks.select(F.explode("_ws").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    if materialize:
+        # uc feeds three branches (nu, both word joins) and bc feeds two
+        # (nb, the scored join) — checkpoint the two count tables once so
+        # the corpus is scanned + tokenized twice total, not five times
+        # (same opt-in contract as tfidf_top_terms/unigram_surprisal;
+        # bit-identical output, pinned in tests)
+        uc = uc.localCheckpoint(eager=True)
+    nu = uc.agg(F.sum("c").cast("long").alias("_nu"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.col("_ws"),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).filter(F.col("p.w2").isNotNull())
+    bc = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    if materialize:
+        bc = bc.localCheckpoint(eager=True)
+    nb = bc.agg(F.sum("c_ab").cast("long").alias("_nb"))
+    a = uc.select(F.col("w").alias("w1"), F.col("c").alias("_ca"))
+    b = uc.select(F.col("w").alias("w2"), F.col("c").alias("_cb"))
+    lift = (
+        F.col("c_ab").cast("double") * F.col("_nu") * F.col("_nu")
+        / (F.col("_ca").cast("double") * F.col("_cb") * F.col("_nb"))
+    )
+    scored = (
+        bc.filter(F.col("c_ab") >= F.lit(min_count))
+        .join(a, on="w1")
+        .join(b, on="w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "_pmi_units",
+            F.floor(F.log(lift) * F.lit(1e6)).cast("long"),
+        )
+    )
+    ranked = (
+        scored.orderBy(
+            F.col("_pmi_units").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("_pmi_units").desc(), F.col("w1").asc(), F.col("w2").asc()
+                )
+            )
+            .cast("long"),
+        )
+    )
+    return ranked.select(
+        "rank",
+        "w1",
+        "w2",
+        F.col("c_ab").alias("pair_count"),
+        F.round(F.col("_pmi_units").cast("double") / F.lit(1e6), 6).alias("pmi"),
+    )

@@ -525,3 +525,60 @@ def remove_wrong_lang_segments(
         F.max("_total").cast("long").alias("n_segments"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------
+# Per-document character entropy (garbage / machine-text signal)
+# ---------------------------------------------------------------------
+
+# Fixed 37-symbol alphabet: the text is first projected onto it
+# (non-members dropped), so the entropy is over a closed, engine-neutral
+# domain — no unicode case-folding or grapheme-split parity risks.
+ENTROPY_ALPHABET: str = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (nats) of the ASCII-letter/digit/space character
+    distribution of ``text`` — low entropy flags repetitive or
+    machine-generated text, near-zero flags padding/garbage; a standard
+    cheap corpus-quality signal.
+
+    Zero-shuffle by construction: each symbol's count is
+    ``length(t) - length(replace(t, c))``, so the whole computation is a
+    per-row fold over a 37-literal alphabet — codegen'd expressions, no
+    explode, no (doc, char) aggregate, nothing leaves the row. At 100 TB
+    this is a plain projection on the scan.
+
+    ``H = ln(n) - (sum_c cnt_c * ln(cnt_c)) / n`` with the inner sum
+    accumulated as exact 1e-8 integer units in fixed alphabet order, so
+    the result is bit-stable across engines and partitionings (same
+    discipline as ``unigram_surprisal``).
+    """
+    # strip everything outside the alphabet BEFORE lower(): uppercase is
+    # mapped in by explicitly listing A-Z in the keep-class, so unicode
+    # case-folding (Turkish I, Kelvin sign, ...) never runs
+    t = F.lower(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    n = F.length(t)
+    terms = []
+    for ch in ENTROPY_ALPHABET:
+        cnt = (n - F.length(F.replace(t, F.lit(ch), F.lit("")))).cast("long")
+        terms.append(
+            F.when(
+                cnt > 0,
+                cnt * F.floor(F.log(cnt.cast("double")) * F.lit(1e8)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    s_units = terms[0]
+    for term in terms[1:]:
+        s_units = s_units + term
+    h = F.log(n.cast("double")) - s_units.cast("double") / F.lit(1e8) / n.cast(
+        "double"
+    )
+    return F.when(n <= 1, F.lit(0.0)).otherwise(F.round(h, 6))
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", ""))
+    return df.withColumn("alpha_chars", F.length(t).cast("long")).withColumn(
+        "char_entropy", char_entropy(F.col(text_col))
+    )

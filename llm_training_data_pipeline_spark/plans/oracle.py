@@ -3389,3 +3389,137 @@ def fim_sample_sql(rate: float = 0.5) -> str:
                md5(out) AS out_md5
         FROM o
     """
+
+
+def _semdedup_pairs_cte(n_clusters: int) -> str:
+    """Shared CTE chain replaying semdedup.assign_clusters +
+    semdedup_pairs: seed centroids = first k vectors by id, nearest
+    centroid by (cosine desc, cluster asc), within-cluster pairs."""
+    cos_c = """CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(v.vec, c.cvec),
+                      p -> p[1] * p[2])) / (v.nrm * c.cnrm) END"""
+    cos_p = """CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                      p -> p[1] * p[2])) / (a.nrm * b.nrm) END"""
+    return f"""
+        v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), c AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec AS cvec, nrm AS cnrm
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_clusters})
+        ), assigned AS (
+          SELECT v.vec_id, v.vec, v.nrm, c.cluster,
+                 {cos_c} AS cs
+          FROM v CROSS JOIN c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY cs DESC, c.cluster) = 1
+        ), pairs AS (
+          SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+                 round({cos_p}, 6) AS cosine
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )"""
+
+
+def semdedup_pairs_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
+    """Mirror of semdedup.semdedup_pairs over the embeddings table."""
+    return f"""
+        WITH {_semdedup_pairs_cte(n_clusters)}
+        SELECT cluster, a_id, b_id, cosine
+        FROM pairs WHERE cosine >= {threshold}
+    """
+
+
+def semdedup_stats_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
+    """Mirror of semdedup.semdedup_stats: min-id-winner retention."""
+    return f"""
+        WITH {_semdedup_pairs_cte(n_clusters)},
+        flt AS (SELECT * FROM pairs WHERE cosine >= {threshold}),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+                     CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
+              FROM flt)
+        SELECT n_vectors, n_dup_pairs, n_dropped,
+               round((n_vectors - n_dropped) / CAST(n_vectors AS DOUBLE), 4)
+                 AS retention
+        FROM tot CROSS JOIN d
+    """
+
+
+def pmi_collocations_sql(k: int = 50, min_count: int = 5) -> str:
+    """Mirror of corpus.pmi_collocations: exact-count lift ratio in one
+    fixed-order double expression, truncated to 1e-6 units pre-rank."""
+    return f"""
+        WITH toks AS (
+          SELECT {_lower_toks()} AS ws FROM documents
+        ), uc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+        ), nu AS (
+          SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc
+        ), bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+          FROM (
+            SELECT p[1] AS w1, p[2] AS w2
+            FROM (SELECT unnest(list_zip(ws, ws[2:])) AS p FROM toks)
+            WHERE p[2] IS NOT NULL
+          ) GROUP BY w1, w2
+        ), nb AS (
+          SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bc
+        ), scored AS (
+          SELECT bc.w1, bc.w2, bc.c_ab,
+                 CAST(floor(ln(CAST(bc.c_ab AS DOUBLE) * nu.nu * nu.nu
+                        / (CAST(a.c AS DOUBLE) * b.c * nb.nb))
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS pmi_units
+          FROM bc
+          JOIN uc a ON bc.w1 = a.w
+          JOIN uc b ON bc.w2 = b.w
+          CROSS JOIN nu CROSS JOIN nb
+          WHERE bc.c_ab >= {min_count}
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
+               c_ab AS pair_count,
+               round(CAST(pmi_units AS DOUBLE)
+                     / CAST(1000000 AS DOUBLE), 6) AS pmi
+        FROM (SELECT *, row_number() OVER (
+                ORDER BY pmi_units DESC, w1, w2) AS rank FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def char_entropy_sql() -> str:
+    """Mirror of textstats.char_entropy over documents: per-symbol
+    counts via length-difference of literal replace, inner sum in exact
+    1e-8 units in fixed alphabet order."""
+    from llm_training_data_pipeline_spark.operators.textstats import ENTROPY_ALPHABET
+
+    t = "lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))"
+    terms = []
+    for ch in ENTROPY_ALPHABET:
+        lit = ch.replace("'", "''")
+        cnt = f"(length(t) - length(replace(t, '{lit}', '')))"
+        terms.append(
+            f"CASE WHEN {cnt} > 0 THEN {cnt} * CAST(floor(ln(CAST({cnt} AS DOUBLE))"
+            f" * CAST(100000000 AS DOUBLE)) AS BIGINT) ELSE 0 END"
+        )
+    s_units = " + ".join(terms)
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {t} AS t FROM documents
+        ), c AS (
+          SELECT doc_id, CAST(length(t) AS BIGINT) AS alpha_chars,
+                 CAST({s_units} AS BIGINT) AS s_units
+          FROM p
+        )
+        SELECT doc_id, alpha_chars,
+               CASE WHEN alpha_chars <= 1 THEN 0.0
+                    ELSE round(ln(CAST(alpha_chars AS DOUBLE))
+                         - CAST(s_units AS DOUBLE) / CAST(100000000 AS DOUBLE)
+                           / CAST(alpha_chars AS DOUBLE), 6) END AS char_entropy
+        FROM c
+    """

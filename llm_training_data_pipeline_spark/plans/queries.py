@@ -52,16 +52,17 @@ def register(name: str, sql: str | None):
 # hand-maintained verified sets — a missed edit used to silently
 # mis-rotate the window):
 #   tier 0  newest recorded row is red — must re-score immediately;
-#   tier 1  never scored, ORACLE-PAIRED — a hash-checked first row
-#           proves the most per slot;
-#   tier 2  green but >= 2 rounds stale, oldest-effective-round first
+#   tier 1  green but >= 2 rounds stale, oldest-effective-round first
 #           (BOTH families decay — an executing row is the only proof
-#           the plan still runs under the driver harness);
-#   tier 3  never scored, rows-only — pytest already pins these, so
-#           their first driver row (which proves only "still runs")
-#           queues behind the deep-stale refreshes; without this split
-#           a productive round of new operators evicts 3-round-stale
-#           hash checks from the ~50-slot window;
+#           the plan still runs under the driver harness). Deep-stale
+#           refreshes outrank ALL first rows: a never-scored query is
+#           the lowest-risk slot in the window (pytest already pins
+#           it), while a productive round can mint 40+ new queries and
+#           would otherwise evict exactly the 3-round-stale hash
+#           checks the rotation exists to protect;
+#   tier 2  never scored, ORACLE-PAIRED — hash-checked first rows;
+#   tier 3  never scored, rows-only — their first driver row proves
+#           only "still runs", so they queue last among first rows;
 #   tier 4  fresher greens, oldest-effective-round first.
 # Within the green tiers the effective round is the green round minus
 # one if the code changed since (the round-keyed map below invalidates
@@ -169,13 +170,17 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         if scored > green:  # newest row is red: re-score immediately
             return (0, 0, 0, 0)
         if scored == 0:
-            # A hash-checked first row proves the most per slot, so
-            # never-scored ORACLE-PAIRED entries lead; never-scored
-            # rows-only entries (already pinned by pytest — a driver row
-            # adds only "still runs under the harness") queue BEHIND the
-            # multi-round-stale greens, else a productive round of new
-            # operators evicts 3-round-stale refreshes from the window.
-            return (1, 0, 0, 0) if sql is not None else (3, 0, 0, 0)
+            # Never-scored entries queue BEHIND the multi-round-stale
+            # greens: with 40+ new queries in a productive round, putting
+            # first rows ahead of refreshes evicts exactly the 3-round-
+            # stale hash checks the rotation exists to protect (observed
+            # in r6: 42 never-scored pushed the r3-stale four out). A
+            # never-scored query is the LOWEST-risk slot in the window —
+            # pytest already oracle-pins or behavior-pins it — while a
+            # deep-stale green is rounds of code drift away from its last
+            # verification. Oracle-paired first rows still precede
+            # rows-only ones.
+            return (2, 0, 0, 0) if sql is not None else (3, 0, 0, 0)
         changed = green < _CHANGED_IN_ROUND.get(name, 0)
         # Merged staleness ordering (was: a separate changed tier above
         # ALL stale greens — with 30+ never-scored entries that starved
@@ -186,9 +191,10 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
         # over 3-round-stale unchanged queries). Within the same
         # effective round: changed first, oracle-paired before
         # rows-only. Deep-stale greens (>= 2 rounds behind) outrank
-        # never-scored rows-only entries; fresher greens queue after.
+        # EVERY never-scored entry; fresher greens queue after all of
+        # them.
         eff = green - 1 if changed else green
-        deep = 2 if eff <= newest - 2 else 4
+        deep = 1 if eff <= newest - 2 else 4
         # within an effective round the RAW green round breaks the tie
         # (longest since ANY verification first — a changed green-r4
         # entry must not evict an unchanged green-r3 one from the
@@ -2944,3 +2950,52 @@ def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = train_tokenizer(docs, algorithm="unigram", vocab_size=2000)
     return tokenization_stats(tokenize_documents(docs, tok), tok)
+
+
+@register("semdedup_pairs", oracle.semdedup_pairs_sql(threshold=0.35, n_clusters=16))
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
+    emit near-duplicate pairs ONLY within clusters — the cluster
+    structure bounds the quadratic step to sum(|cluster|^2), never N^2.
+    Seed centroids (first 16 by id) keep the whole chain
+    oracle-replayable; threshold 0.35 exercises real pair emission on
+    the synthetic embeddings (global max cosine ~0.51)."""
+    from llm_training_data_pipeline_spark.operators import semdedup
+
+    return semdedup.semdedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16
+    )
+
+
+@register("semdedup_stats", oracle.semdedup_stats_sql(threshold=0.35, n_clusters=16))
+def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row SemDeDup retention report under the min-id-winner policy
+    (the convention every dedup family in the engine shares)."""
+    from llm_training_data_pipeline_spark.operators import semdedup
+
+    return semdedup.semdedup_stats(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16
+    )
+
+
+@register("pmi_collocations", oracle.pmi_collocations_sql(k=50, min_count=5))
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI over the documents
+    corpus — multi-word-expression discovery for tokenizer vocab design
+    and boilerplate phrase mining. Exact-integer count arithmetic;
+    ranking on 1e-6 truncated units so order never drifts."""
+    from llm_training_data_pipeline_spark.operators.corpus import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), k=50, min_count=5, materialize=True
+    )
+
+
+@register("char_entropy_stats", oracle.char_entropy_sql())
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the letter/digit/space distribution —
+    the cheap garbage/repetition signal. Zero-shuffle: a 37-literal
+    per-row fold on the scan, no explode, no (doc, char) aggregate."""
+    return textstats.with_char_entropy(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "alpha_chars", "char_entropy"
+    )

@@ -687,6 +687,7 @@ def test_materialize_options_bit_identical(spark):
         (corpus.unigram_surprisal, {}),
         (corpus.tfidf_top_terms, {"k": 2}),
         (corpus.source_vocab_overlap, {}),
+        (corpus.pmi_collocations, {"k": 10, "min_count": 2}),
     ):
         lazy = sorted(map(tuple, fn(docs, **kw).collect()))
         mat = sorted(map(tuple, fn(docs, materialize=True, **kw).collect()))
@@ -824,3 +825,46 @@ def test_corpus_diff_null_text_is_presence_based(spark):
     # null text in both -> unchanged; null vs text -> changed;
     # presence decides added/removed regardless of digest nullness
     assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+
+
+def test_pmi_collocations_known_values(spark):
+    """'new york' repeats as a unit; 'the' pairs with everything — the
+    collocation must outrank the stopword bigrams."""
+    import math
+
+    rows = [(i, "the new york times covers the new york subway") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = corpus.pmi_collocations(df, k=5, min_count=2).collect()
+    # Nu=27 unigrams, Nb=24 bigrams. The exclusive hapax pair dominates
+    # (classic PMI): "times covers" c=3, c_a=c_b=3 →
+    # lift = 3*27*27/(3*3*24) = 10.125; every other adjacent pair lands
+    # exactly at lift 5.0625 (e.g. "new york" 6*27*27/(6*6*24)) and the
+    # tie group orders by (w1, w2): covers the, new york, the new, ...
+    assert (out[0]["w1"], out[0]["w2"], out[0]["pair_count"]) == ("times", "covers", 3)
+    want = math.floor(math.log((3 * 27 * 27) / (3 * 3 * 24)) * 1e6) / 1e6
+    assert abs(out[0]["pmi"] - round(want, 6)) < 1e-9
+    tie = math.floor(math.log(5.0625) * 1e6) / 1e6
+    assert [(r["w1"], r["w2"]) for r in out[1:4]] == [
+        ("covers", "the"),
+        ("new", "york"),
+        ("the", "new"),
+    ]
+    assert out[2]["pair_count"] == 6
+    assert abs(out[2]["pmi"] - round(tie, 6)) < 1e-9
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_pmi_min_count_gate(spark):
+    df = spark.createDataFrame([(0, "alpha beta gamma")], ["doc_id", "text"])
+    assert corpus.pmi_collocations(df, min_count=2).count() == 0
+    assert corpus.pmi_collocations(df, min_count=1).count() == 2
+
+
+def test_pmi_collocations_matches_oracle(spark, ddb):
+    from llm_training_data_pipeline_spark.plans import oracle
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = load_table(spark, "documents", SF_DIR)
+    got = corpus.pmi_collocations(docs, k=50, min_count=5, materialize=True)
+    assert_df_matches_oracle(got, ddb, oracle.pmi_collocations_sql(k=50, min_count=5))

@@ -28,13 +28,13 @@ def test_contract_shape():
 
 def test_scorecard_rotation_policy():
     """The driver scores only the first ~50 registry slots, so ordering IS
-    the rotation policy: never-scored first, red rows next, then every
-    green query strictly oldest-green-round first — staleness and
-    changedness share ONE ordering (a separate changed tier used to push
-    3-round-stale queries out of the window once 30+ never-scored
-    entries existed). Within a green round: changed-since-green first,
-    then oracle-paired before rows-only. Derived from the
-    CORRECTNESS_r*.json files, not hand-edited."""
+    the rotation policy: red rows first, deep-stale greens next (oldest
+    effective round first), THEN never-scored first rows (oracle-paired
+    before rows-only), then fresher greens. Staleness and changedness
+    share ONE ordering, and first rows queue behind deep-stale refreshes
+    — a productive 40+-query round must not evict 3-round-stale hash
+    checks from the window. Derived from the CORRECTNESS_r*.json files,
+    not hand-edited."""
     from llm_training_data_pipeline_spark.plans.queries import (
         _CHANGED_IN_ROUND,
         _scorecard_rounds,
@@ -49,22 +49,23 @@ def test_scorecard_rotation_policy():
         if scored.get(name, 0) > green.get(name, 0):
             return 0  # red: re-score immediately
         if scored.get(name, 0) == 0:
-            # hash-checked first rows lead; rows-only first rows queue
-            # behind the deep-stale greens (pytest already pins them)
-            return 1 if REG[name][1] is not None else 3
+            # first rows queue behind the deep-stale greens (pytest
+            # already pins them; a 40+-query round must not evict
+            # 3-round-stale hash checks); oracle-paired before rows-only
+            return 2 if REG[name][1] is not None else 3
         eff = (
             green[name] - 1
             if green[name] < _CHANGED_IN_ROUND.get(name, 0)
             else green[name]
         )
-        return 2 if eff <= newest - 2 else 4
+        return 1 if eff <= newest - 2 else 4
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers), "registry order must be tier-monotonic"
     # within the green tiers: (effective round, raw green round,
     # paired-first) — a change costs one round of staleness, and the
     # raw round breaks ties so the longest-unverified entry leads
-    for t in (2, 4):
+    for t in (1, 4):
         tt = []
         for n in names:
             if tier(n) != t:

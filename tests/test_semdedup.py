@@ -1,0 +1,103 @@
+"""SemDeDup semantic dedup: oracle parity, the within-cluster contract,
+and deterministic assignment tie-breaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators import semdedup
+from llm_training_data_pipeline_spark.plans import oracle
+from llm_training_data_pipeline_spark.schemas import load_table
+from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_pairs_match_oracle(spark, ddb):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    got = semdedup.semdedup_pairs(emb, threshold=0.35, n_clusters=16)
+    assert_df_matches_oracle(
+        got, ddb, oracle.semdedup_pairs_sql(threshold=0.35, n_clusters=16)
+    )
+
+
+def test_stats_match_oracle(spark, ddb):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    got = semdedup.semdedup_stats(emb, threshold=0.35, n_clusters=16)
+    assert_df_matches_oracle(
+        got, ddb, oracle.semdedup_stats_sql(threshold=0.35, n_clusters=16)
+    )
+
+
+def test_identical_vectors_in_same_cluster_pair(spark):
+    # seeds = ids 0,1 (orthogonal); ids 2 and 3 both sit on seed 0's axis
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [2.0, 0.1]),
+            (3, [3.0, 0.2]),
+        ],
+    )
+    pairs = semdedup.semdedup_pairs(emb, threshold=0.9, n_clusters=2).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (2, 3) in got
+    # the seed itself pairs with its near-copies too
+    assert (0, 2) in got and (0, 3) in got
+
+
+def test_cross_cluster_pairs_are_unseen(spark):
+    # ids 2 and 3 are identical, but land in different clusters by
+    # construction (each sits exactly on a different seed) — SemDeDup's
+    # documented recall trade: no within-cluster pair is emitted.
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0001]),
+            (2, [1.0, 0.0]),
+            (3, [1.0, 0.0001]),
+        ],
+    )
+    # cluster 0 gets {0, 2}, cluster 1 gets {1, 3}; the identical
+    # cross-cluster pairs (0,1)/(2,3) never meet.
+    pairs = semdedup.semdedup_pairs(emb, threshold=0.999, n_clusters=2).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert got == {(0, 2), (1, 3)}
+
+
+def test_assignment_tie_breaks_to_lowest_cluster(spark):
+    # two identical seeds: every vector ties on cosine; all must land in
+    # cluster 0 (lowest id wins)
+    emb = _emb(
+        spark,
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.9, 0.1])],
+    )
+    assigned = semdedup.assign_clusters(emb, n_clusters=2)
+    assert {r["cluster"] for r in assigned.collect()} == {0}
+
+
+def test_custom_centroids_df(spark):
+    emb = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 2.0])])
+    cents = semdedup.seed_centroids(
+        _emb(spark, [(10, [0.0, 1.0])]), n_clusters=1
+    )
+    assigned = semdedup.assign_clusters(emb, centroids=cents)
+    rows = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert rows == {0: 0, 1: 0, 2: 0}
+    pairs = semdedup.semdedup_pairs(emb, threshold=0.999, centroids=cents)
+    assert {(r["a_id"], r["b_id"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_pair_join_is_equi_join_no_cartesian(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    df = semdedup.semdedup_pairs(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # centroid fan-out is a broadcast, the pair scan an equi hash join
+    assert "Broadcast" in plan

@@ -215,3 +215,52 @@ def test_remove_wrong_lang_segments_surgical(spark):
     out = remove_wrong_lang_segments(df).collect()[0]
     assert out.n_segments == 3 and out.n_kept == 2
     assert "le chat" not in out.text and out.text.startswith("the cat")
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from llm_training_data_pipeline_spark.operators.textstats import with_char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaaaaaaa"),          # one symbol → 0
+            (1, "abababab"),          # two equiprobable → ln 2
+            (2, "ABAB abab!!"),       # case folds, '!' dropped: a4 b4 ' '1
+            (3, "ééé"),  # entirely outside alphabet → n=0 → 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in with_char_entropy(df).collect()}
+    assert got[0]["char_entropy"] == 0.0
+    assert abs(got[1]["char_entropy"] - round(math.log(2), 6)) < 2e-6
+    assert got[2]["alpha_chars"] == 9
+    h = math.log(9) - (4 * math.log(4) * 2) / 9
+    assert abs(got[2]["char_entropy"] - h) < 2e-6
+    assert got[3]["alpha_chars"] == 0 and got[3]["char_entropy"] == 0.0
+
+
+def test_char_entropy_orders_garbage_below_prose(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import with_char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near rivers"),
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["char_entropy"] for r in with_char_entropy(df).collect()}
+    assert got[0] > got[1] > got[2] == 0.0
+
+
+def test_char_entropy_matches_oracle(spark, ddb):
+    from llm_training_data_pipeline_spark.operators.textstats import with_char_entropy
+    from llm_training_data_pipeline_spark.plans import oracle
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = load_table(spark, "documents", SF_DIR)
+    got = with_char_entropy(docs).select("doc_id", "alpha_chars", "char_entropy")
+    assert_df_matches_oracle(got, ddb, oracle.char_entropy_sql())
