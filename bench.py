@@ -129,6 +129,7 @@ HEADLINE = [
     "semdedup_stats",
     "pmi_collocations",
     "char_entropy_stats",
+    "source_cap_sample",
 ]
 
 

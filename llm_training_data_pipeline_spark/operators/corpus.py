@@ -1618,3 +1618,40 @@ def pmi_collocations(
         F.col("c_ab").alias("pair_count"),
         F.round(F.col("_pmi_units").cast("double") / F.lit(1e6), 6).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------
+# Per-stratum document caps (anti-over-representation)
+# ---------------------------------------------------------------------
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per stratum — the RefinedWeb-style
+    per-domain cap that stops a single crawl-heavy domain from
+    dominating the mixture (rate-based ``stratified_sample`` cannot
+    express "never more than N", only proportions).
+
+    Selection is the ``cap`` lowest ``(sample_key, id)`` rows per
+    stratum: pseudo-uniform (no head-of-domain bias), deterministic, and
+    oracle-replayable — no RNG anywhere.
+
+    Scale: a rank-filter window on the stratum key. Spark's
+    InferWindowGroupLimit rewrites ``row_number() <= cap`` into a
+    WindowGroupLimit that prunes to ``cap`` rows per key map-side BEFORE
+    the shuffle (pinned in tests), so a billion-page domain ships
+    ``cap`` rows, not a billion. Skewed domains are exactly the point of
+    this operator; the group-limit pushdown is what makes it safe.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_key(F.col(id_col), 1_000_000).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -3523,3 +3523,17 @@ def char_entropy_sql() -> str:
                            / CAST(alpha_chars AS DOUBLE), 6) END AS char_entropy
         FROM c
     """
+
+
+def cap_per_stratum_sql(cap: int = 10) -> str:
+    """Mirror of corpus.cap_per_stratum over documents: cap lowest
+    (sample_key, doc_id) rows per source."""
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000000"
+    return f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY {key} ASC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn <= {cap}
+    """

@@ -2999,3 +2999,16 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_char_entropy(_t(spark, sf_dir, "documents")).select(
         "doc_id", "alpha_chars", "char_entropy"
     )
+
+
+@register("source_cap_sample", oracle.cap_per_stratum_sql(cap=10))
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style anti-over-representation):
+    at most 10 docs per source, picked by the deterministic pseudo-uniform
+    key. The row_number<=cap filter compiles to a WindowGroupLimit, so
+    each domain ships cap rows map-side, never its full page count."""
+    from llm_training_data_pipeline_spark.operators.corpus import cap_per_stratum
+
+    return cap_per_stratum(
+        _t(spark, sf_dir, "documents"), stratum_col="source", cap=10
+    ).select("doc_id", "source")

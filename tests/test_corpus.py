@@ -868,3 +868,47 @@ def test_pmi_collocations_matches_oracle(spark, ddb):
     docs = load_table(spark, "documents", SF_DIR)
     got = corpus.pmi_collocations(docs, k=50, min_count=5, materialize=True)
     assert_df_matches_oracle(got, ddb, oracle.pmi_collocations_sql(k=50, min_count=5))
+
+
+def test_cap_per_stratum_caps_and_is_deterministic(spark):
+    rows = [(i, f"doc {i}", "en", f"s{i % 3}") for i in range(300)]
+    df = _docs(spark, rows)
+    out1 = sorted(r["doc_id"] for r in corpus.cap_per_stratum(df, cap=7).collect())
+    out2 = sorted(r["doc_id"] for r in corpus.cap_per_stratum(df, cap=7).collect())
+    assert out1 == out2
+    per = {}
+    for i in out1:
+        per[i % 3] = per.get(i % 3, 0) + 1
+    assert per == {0: 7, 1: 7, 2: 7}
+    # small strata survive whole
+    tiny = _docs(spark, [(1, "a", "en", "s0"), (2, "b", "en", "s0")])
+    assert corpus.cap_per_stratum(tiny, cap=7).count() == 2
+
+
+def test_cap_per_stratum_uses_window_group_limit(spark):
+    """The 100 TB contract: row_number<=cap must compile to a
+    WindowGroupLimit (map-side per-key pruning BEFORE the shuffle), so a
+    billion-page domain ships cap rows, not a billion."""
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        corpus.cap_per_stratum(docs, cap=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_cap_per_stratum_matches_oracle(spark, ddb):
+    from llm_training_data_pipeline_spark.plans import oracle
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = load_table(spark, "documents", SF_DIR)
+    got = corpus.cap_per_stratum(docs, stratum_col="source", cap=10).select(
+        "doc_id", "source"
+    )
+    assert_df_matches_oracle(got, ddb, oracle.cap_per_stratum_sql(cap=10))
