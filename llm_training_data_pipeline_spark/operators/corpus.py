@@ -1529,7 +1529,6 @@ def pmi_collocations(
     k: int = 50,
     min_count: int = 5,
     text_col: str = "text",
-    id_col: str = "doc_id",
     materialize: bool = False,
 ) -> DataFrame:
     """Top-k adjacent-word collocations by pointwise mutual information —

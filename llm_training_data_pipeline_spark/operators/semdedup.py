@@ -74,6 +74,7 @@ def assign_clusters(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment: ``(id, cluster, _v, _n)``.
 
@@ -96,12 +97,21 @@ def assign_clusters(
         ).alias("_cand"),
     )
     best = scored.groupBy(id_col).agg(F.max("_cand").alias("_m"))
-    return best.select(
+    assigned = best.select(
         id_col,
         (-F.col("_m.negc")).cast("int").alias("cluster"),
         F.col("_m.v").alias("_v"),
         F.col("_m.n").alias("_n"),
     )
+    if materialize:
+        # the pair scan consumes `assigned` on BOTH join sides (and the
+        # stats query adds a third branch) — checkpoint once so the
+        # expensive step (k-way broadcast expansion + per-vector argmax
+        # over every embedding) runs once, not per branch (same opt-in
+        # contract as tfidf_top_terms/pmi_collocations; bit-identical
+        # output, pinned in tests)
+        assigned = assigned.localCheckpoint(eager=True)
+    return assigned
 
 
 def semdedup_pairs(
@@ -111,6 +121,7 @@ def semdedup_pairs(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs: ``(cluster, a_id, b_id,
     cosine)`` with ``a_id < b_id`` and rounded cosine >= threshold.
@@ -121,7 +132,9 @@ def semdedup_pairs(
     unseen by construction (that is the recall/cost trade the paper
     makes; raise n_clusters for cost, lower it for recall).
     """
-    assigned = assign_clusters(df, centroids, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(
+        df, centroids, n_clusters, vec_col, id_col, materialize=materialize
+    )
     a = assigned.select(
         "cluster",
         F.col(id_col).alias("a_id"),
@@ -157,6 +170,7 @@ def semdedup_stats(
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """One-row retention report of the min-id-winner SemDeDup policy.
 
@@ -165,19 +179,27 @@ def semdedup_stats(
     the exact/MinHash dedups use); ``retention`` is the exact integer
     ratio rounded to 4 decimals.
     """
-    pairs = semdedup_pairs(df, threshold, centroids, n_clusters, vec_col, id_col)
+    pairs = semdedup_pairs(
+        df, threshold, centroids, n_clusters, vec_col, id_col, materialize=materialize
+    )
     total = df.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     dropped = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
         F.count_distinct(F.col("b_id")).cast("long").alias("n_dropped"),
     )
+    # explicit NULL on an empty corpus: Spark 4's ANSI default throws on
+    # double division by zero, and the DuckDB oracle returns NULL there
     return total.crossJoin(dropped).select(
         "n_vectors",
         "n_dup_pairs",
         "n_dropped",
-        F.round(
-            (F.col("n_vectors") - F.col("n_dropped"))
-            / F.col("n_vectors").cast("double"),
-            4,
-        ).alias("retention"),
+        F.when(F.col("n_vectors") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n_vectors") - F.col("n_dropped"))
+                / F.col("n_vectors").cast("double"),
+                4,
+            )
+        )
+        .alias("retention"),
     )

@@ -3445,7 +3445,9 @@ def semdedup_stats_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
                      CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
               FROM flt)
         SELECT n_vectors, n_dup_pairs, n_dropped,
-               round((n_vectors - n_dropped) / CAST(n_vectors AS DOUBLE), 4)
+               CASE WHEN n_vectors = 0 THEN NULL
+                    ELSE round((n_vectors - n_dropped)
+                               / CAST(n_vectors AS DOUBLE), 4) END
                  AS retention
         FROM tot CROSS JOIN d
     """

@@ -2963,7 +2963,8 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import semdedup
 
     return semdedup.semdedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
+        materialize=True,
     )
 
 
@@ -2974,7 +2975,8 @@ def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import semdedup
 
     return semdedup.semdedup_stats(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
+        materialize=True,
     )
 
 

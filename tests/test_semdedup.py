@@ -101,3 +101,18 @@ def test_pair_join_is_equi_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # centroid fan-out is a broadcast, the pair scan an equi hash join
     assert "Broadcast" in plan
+
+
+def test_stats_empty_corpus_yields_null_retention(spark):
+    # Spark 4 ANSI would throw on 0/0 — the operator must return the
+    # oracle's NULL instead of crashing
+    emb = _emb(spark, []).filter("vec_id IS NOT NULL")
+    row = semdedup.semdedup_stats(emb).collect()[0]
+    assert row["n_vectors"] == 0 and row["retention"] is None
+
+
+def test_materialize_bit_identical(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    lazy = sorted(map(tuple, semdedup.semdedup_pairs(emb).collect()))
+    mat = sorted(map(tuple, semdedup.semdedup_pairs(emb, materialize=True).collect()))
+    assert lazy == mat
