@@ -263,3 +263,67 @@ def test_token_budget_prune_always_equals_definitional(spark, docs, budget, widt
         map(tuple, corpus.select_token_budget(df, budget, prune_bucket_units=None).collect())
     )
     assert pruned == plain
+
+
+@given(st.lists(texts, min_size=1, max_size=15))
+@SETTINGS
+def test_char_entropy_bounds_and_python_parity(spark, batch):
+    """0 <= H <= ln(37) for any input, and the Spark value matches a
+    direct Python computation of the same definition (including the
+    exact 1e-8 unit truncation)."""
+    import math
+    from collections import Counter
+
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        ENTROPY_ALPHABET,
+        with_char_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in with_char_entropy(df).collect()}
+    for i, t in enumerate(batch):
+        proj = [c for c in t.lower() if c in ENTROPY_ALPHABET]
+        n = len(proj)
+        assert got[i]["alpha_chars"] == n
+        h = got[i]["char_entropy"]
+        # the floor-truncated unit sum can inflate H by up to
+        # |alphabet|/1e8/n above the true value — allow that headroom
+        assert 0.0 <= h <= math.log(len(ENTROPY_ALPHABET)) + 1e-6
+        if n > 1:
+            s_units = sum(
+                c * math.floor(math.log(c) * 1e8)
+                for c in Counter(proj).values()
+                if c > 0
+            )
+            want = round(math.log(n) - s_units / 1e8 / n, 6)
+            assert abs(h - want) < 1e-9, (t, h, want)
+        else:
+            assert h == 0.0
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=60, unique=True),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=2, max_value=4),
+)
+@SETTINGS
+def test_cap_per_stratum_cap_and_subset(spark, ids, cap, n_strata):
+    """Output is a subset of the input, every stratum's count is
+    min(cap, stratum size), and the selection is stable under re-run."""
+    from llm_training_data_pipeline_spark.operators.corpus import cap_per_stratum
+
+    rows = [(i, "t", "en", f"s{abs(i) % n_strata}") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = cap_per_stratum(df, cap=cap).collect()
+    per: dict[str, int] = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+        assert r["doc_id"] in set(ids)
+    sizes: dict[str, int] = {}
+    for i in ids:
+        s = f"s{abs(i) % n_strata}"
+        sizes[s] = sizes.get(s, 0) + 1
+    for s, size in sizes.items():
+        assert per.get(s, 0) == min(cap, size), (s, cap, sizes, per)
