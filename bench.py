@@ -124,7 +124,10 @@ HEADLINE = [
     "segment_lang_mix",
     "remove_wrong_lang",
     "fim_sample",
-    # round-6 fourth wave
+    # round-6 fourth wave (semdedup_recall is deliberately NOT here for
+    # the same reason as ann_recall_report: its exact all-pairs ground
+    # truth would dominate the suite total; the driver rotation still
+    # hash-checks it at sf0.01)
     "semdedup_pairs",
     "semdedup_stats",
     "pmi_collocations",

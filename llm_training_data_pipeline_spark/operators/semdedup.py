@@ -203,3 +203,56 @@ def semdedup_stats(
         )
         .alias("retention"),
     )
+
+
+def semdedup_recall(
+    df: DataFrame,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """One-row recall audit of the within-cluster approximation: what
+    fraction of ALL pairs with cosine >= threshold does the clustered
+    scan actually see? (Same discipline as ``similarity.ann_recall`` —
+    an approximation whose recall is unmeasured is the classic hidden
+    failure.)
+
+    Ground truth is the exact pair set via a broadcast self-join —
+    affordable at audit scale; at 100 TB run the audit on a sampled
+    slice (the recall estimate is unbiased under uniform sampling
+    because both sides see the same sample).
+    """
+    vecs = _with_norm(df, vec_col, id_col, id_col, "_v", "_n")
+    a = vecs.select(
+        F.col(id_col).alias("a_id"), F.col("_v").alias("_av"), F.col("_n").alias("_an")
+    )
+    b = vecs.select(
+        F.col(id_col).alias("b_id"), F.col("_v").alias("_bv"), F.col("_n").alias("_bn")
+    )
+    cos = F.when((F.col("_an") == 0) | (F.col("_bn") == 0), F.lit(0.0)).otherwise(
+        dot_product(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cos, 6).alias("_c"))
+        .filter(F.col("_c") >= F.lit(threshold))
+        .select("a_id", "b_id")
+    )
+    caught = semdedup_pairs(
+        df, threshold, centroids, n_clusters, vec_col, id_col, materialize=materialize
+    ).select("a_id", "b_id")
+    joined = truth.join(caught, on=["a_id", "b_id"], how="left_semi")
+    totals = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    hits = joined.agg(F.count(F.lit(1)).cast("long").alias("n_caught"))
+    return totals.crossJoin(hits).select(
+        "n_true_pairs",
+        "n_caught",
+        F.when(F.col("n_true_pairs") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("n_caught") / F.col("n_true_pairs").cast("double"), 4)
+        )
+        .alias("recall"),
+    )

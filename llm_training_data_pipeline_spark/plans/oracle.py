@@ -3539,3 +3539,32 @@ def cap_per_stratum_sql(cap: int = 10) -> str:
           FROM documents
         ) WHERE rn <= {cap}
     """
+
+
+def semdedup_recall_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
+    """Mirror of semdedup.semdedup_recall: exact all-pairs ground truth
+    vs the within-cluster pair set."""
+    cos_t = """CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                      p -> p[1] * p[2])) / (a.nrm * b.nrm) END"""
+    return f"""
+        WITH {_semdedup_pairs_cte(n_clusters)},
+        caught AS (
+          SELECT a_id, b_id FROM pairs WHERE cosine >= {threshold}
+        ), truth AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round({cos_t}, 6) >= {threshold}
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth
+        ), hit AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_caught
+          FROM truth t SEMI JOIN caught c
+            ON t.a_id = c.a_id AND t.b_id = c.b_id
+        )
+        SELECT n_true_pairs, n_caught,
+               CASE WHEN n_true_pairs = 0 THEN NULL
+                    ELSE round(n_caught / CAST(n_true_pairs AS DOUBLE), 4) END
+                 AS recall
+        FROM tot CROSS JOIN hit
+    """

@@ -3014,3 +3014,21 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_stratum(
         _t(spark, sf_dir, "documents"), stratum_col="source", cap=10
     ).select("doc_id", "source")
+
+
+@register("semdedup_recall", oracle.semdedup_recall_sql(threshold=0.35, n_clusters=16))
+def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the SemDeDup within-cluster approximation against
+    exact all-pairs ground truth (broadcast self-join at audit scale) —
+    the cross-cluster pairs it misses, quantified, not assumed. The
+    synthetic embeddings are near-random (neighbor angles ~80°, no real
+    cluster structure), so recall sits near k-fold chance (~0.24 at
+    sf0.01); real embedding corpora cluster far tighter and recall runs
+    much higher at the same k — which is exactly why the audit query
+    exists."""
+    from llm_training_data_pipeline_spark.operators import semdedup
+
+    return semdedup.semdedup_recall(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
+        materialize=True,
+    )

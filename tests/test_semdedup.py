@@ -116,3 +116,23 @@ def test_materialize_bit_identical(spark):
     lazy = sorted(map(tuple, semdedup.semdedup_pairs(emb).collect()))
     mat = sorted(map(tuple, semdedup.semdedup_pairs(emb, materialize=True).collect()))
     assert lazy == mat
+
+
+def test_recall_matches_oracle_and_floors(spark, ddb):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    got = semdedup.semdedup_recall(emb, threshold=0.35, n_clusters=16)
+    assert_df_matches_oracle(
+        got, ddb, oracle.semdedup_recall_sql(threshold=0.35, n_clusters=16)
+    )
+    row = got.collect()[0]
+    # near-random synthetic embeddings → recall near k-fold chance; the
+    # floor trips if the cluster scan stops seeing its own pairs
+    assert row["n_true_pairs"] > 0
+    assert row["recall"] >= 0.10
+
+
+def test_recall_is_one_with_single_cluster(spark):
+    # one cluster = the exact scan; recall must be exactly 1
+    emb = load_table(spark, "embeddings", SF_DIR)
+    row = semdedup.semdedup_recall(emb, threshold=0.35, n_clusters=1).collect()[0]
+    assert row["recall"] == 1.0
