@@ -35,7 +35,11 @@ from llm_training_data_pipeline_spark.functions.hashing import (
     lsh_bands,
     signature_jaccard,
 )
-from llm_training_data_pipeline_spark.functions.text import strip_ws, whitespace_tokens
+from llm_training_data_pipeline_spark.functions.text import (
+    char_shingles,
+    strip_ws,
+    whitespace_tokens,
+)
 
 
 # --- D8: exact hash dedup -------------------------------------------------
@@ -1102,4 +1106,92 @@ def dedup_keep_best(
         labeled.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_cluster", "cluster_id")
+    )
+
+
+def minhash_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+    *,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """One-row recall audit of the MinHash pipeline against EXACT
+    distinct-shingle Jaccard ground truth at ``cfg.threshold`` — the
+    same discipline as ``similarity.ann_recall`` / ``semdedup_recall``:
+    every approximate path in the engine states a measured recall.
+
+    Two stages are audited separately, because they lose different
+    pairs: ``band_recall`` (does a true pair share ANY LSH band?) and
+    ``emit_recall`` (does it also survive the est-Jaccard verify —
+    the estimator's variance at 16 perms can reject true pairs a band
+    caught).
+
+    Ground truth cost is ``sum over shingles of df(s)^2`` via the
+    shingle equi-join (never an all-pairs cross join); at 100 TB run
+    the audit on a uniform sample — the recall estimate stays unbiased
+    because both sides see the same sample.
+    """
+    sgs = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), cfg.shingle_size)).alias("_sg"),
+    )
+    sizes = sgs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    a = sgs.select(F.col(id_col).alias("id_a"), "_sg")
+    b = sgs.select(F.col(id_col).alias("id_b"), "_sg")
+    inter = (
+        a.join(b, on="_sg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb"))
+    truth = (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .filter(
+            F.col("_i")
+            / (F.col("_sa") + F.col("_sb") - F.col("_i")).cast("double")
+            >= F.lit(cfg.threshold)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
+    )
+    band = minhash_band_candidates(sig, id_col, cfg)
+    emitted = minhash_candidate_pairs_from_signatures(sig, id_col, cfg).select(
+        "id_a", "id_b"
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    band_hits = truth.join(band, on=["id_a", "id_b"], how="left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_band_caught")
+    )
+    emit_hits = truth.join(emitted, on=["id_a", "id_b"], how="left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted_caught")
+    )
+
+    def _recall(num: str) -> Column:
+        return (
+            F.when(F.col("n_true_pairs") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.col(num) / F.col("n_true_pairs").cast("double"), 4)
+            )
+        )
+
+    return (
+        tot.crossJoin(band_hits)
+        .crossJoin(emit_hits)
+        .select(
+            "n_true_pairs",
+            "n_band_caught",
+            "n_emitted_caught",
+            _recall("n_band_caught").alias("band_recall"),
+            _recall("n_emitted_caught").alias("emit_recall"),
+        )
     )

@@ -3568,3 +3568,65 @@ def semdedup_recall_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
                  AS recall
         FROM tot CROSS JOIN hit
     """
+
+
+def minhash_recall_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """Mirror of dedup.minhash_recall: exact distinct-shingle Jaccard
+    ground truth vs the band-candidate and est-Jaccard-verified sets."""
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)},
+        dsh AS (
+          SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+        ), ex AS (
+          SELECT doc_id, unnest(ds) AS sg FROM dsh
+        ), sz AS (
+          SELECT doc_id, CAST(len(ds) AS BIGINT) AS sz FROM dsh
+        ), it AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT id_a, id_b
+          FROM it
+          JOIN sz sa ON it.id_a = sa.doc_id
+          JOIN sz sb ON it.id_b = sb.doc_id
+          WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {threshold}
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        ), emitted AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+          WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth
+        ), bh AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_band_caught
+          FROM truth t SEMI JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+        ), eh AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_emitted_caught
+          FROM truth t SEMI JOIN emitted e ON t.id_a = e.id_a AND t.id_b = e.id_b
+        )
+        SELECT n_true_pairs, n_band_caught, n_emitted_caught,
+               CASE WHEN n_true_pairs = 0 THEN NULL
+                    ELSE round(n_band_caught / CAST(n_true_pairs AS DOUBLE), 4) END
+                 AS band_recall,
+               CASE WHEN n_true_pairs = 0 THEN NULL
+                    ELSE round(n_emitted_caught / CAST(n_true_pairs AS DOUBLE), 4) END
+                 AS emit_recall
+        FROM tot CROSS JOIN bh CROSS JOIN eh
+    """

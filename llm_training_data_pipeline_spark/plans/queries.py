@@ -3032,3 +3032,21 @@ def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
         materialize=True,
     )
+
+
+@register(
+    "minhash_recall",
+    oracle.minhash_recall_sql(num_perm=16, num_bands=4, threshold=0.5, shingle_size=5),
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash near-dup pipeline against EXACT
+    distinct-shingle Jaccard ground truth (shingle equi-join, never
+    all-pairs): band_recall isolates LSH-band misses, emit_recall adds
+    the est-Jaccard verifier's variance. Completes the audited-
+    approximation set (ANN, SemDeDup, MinHash). Reuses the session
+    signature store like every md5-family query."""
+    return dedup.minhash_recall(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
+    )

@@ -445,3 +445,39 @@ def test_dedup_clusters_empty_pairs_both_paths(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(empty).count() == 0
     assert dedup_clusters(empty, driver_cc_max_edges=0).count() == 0
+
+
+def test_minhash_recall_matches_oracle_and_is_nonvacuous(spark, ddb):
+    from llm_training_data_pipeline_spark.operators import dedup
+    from llm_training_data_pipeline_spark.plans import oracle
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = load_table(spark, "documents", SF_DIR)
+    cfg = dedup.MinHashConfig(
+        num_perm=16, threshold=0.5, shingle_size=5, num_bands=4, hash_family="md5"
+    )
+    got = dedup.minhash_recall(docs, cfg=cfg)
+    assert_df_matches_oracle(
+        got,
+        ddb,
+        oracle.minhash_recall_sql(
+            num_perm=16, num_bands=4, threshold=0.5, shingle_size=5
+        ),
+    )
+    row = got.collect()[0]
+    assert row["n_true_pairs"] > 0, "fixture must contain true near-dups"
+    # band stage can only lose pairs the verifier never sees
+    assert row["n_emitted_caught"] <= row["n_band_caught"]
+
+
+def test_minhash_recall_empty_truth_is_null(spark):
+    from llm_training_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "completely unique first text body"),
+         (2, "nothing shared with the above at all")],
+        "doc_id long, text string",
+    )
+    row = dedup.minhash_recall(docs).collect()[0]
+    assert row["n_true_pairs"] == 0 and row["band_recall"] is None
