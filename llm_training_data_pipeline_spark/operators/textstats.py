@@ -9,10 +9,10 @@ The reference's language check (Q9) wraps ``langdetect``
 (/root/reference/src/processing/quality_filter.py:243-252); that library is
 not available here, so ``lang_id`` is a deterministic stopword/char-class
 profile heuristic — 17 stopword profiles (en fr es de pt it nl tr pl sv id
-ro da fi cs hu ca) plus 10 script classes (ja zh ru ko ar hi th el he vi)
-with within-script refinement (Cyrillic → ru/uk, Arabic → ar/fa), 29
-languages total — same API position, documented substitution, testable and
-SQL-expressible.
+ro da fi cs hu ca) plus 24 script classes (ja zh ru ko ar hi th el he vi
+bn ta te ml kn gu pa si my km lo ka am hy) with within-script refinement
+(Cyrillic → ru/uk, Arabic → ar/fa), 43 languages total — same API
+position, documented substitution, testable and SQL-expressible.
 """
 
 from __future__ import annotations
@@ -78,6 +78,23 @@ SCRIPT_CLASS_SPARK: dict[str, str] = {
     "el": r"\p{IsGreek}",
     "he": r"\p{IsHebrew}",
     "vi": _VI_CHARS,
+    # single-script languages (fourth wave, toward langdetect's 55): each
+    # Unicode script below maps to one dominant language — the standard
+    # script→language assignment every fast LID makes
+    "bn": r"\p{IsBengali}",
+    "ta": r"\p{IsTamil}",
+    "te": r"\p{IsTelugu}",
+    "ml": r"\p{IsMalayalam}",
+    "kn": r"\p{IsKannada}",
+    "gu": r"\p{IsGujarati}",
+    "pa": r"\p{IsGurmukhi}",
+    "si": r"\p{IsSinhala}",
+    "my": r"\p{IsMyanmar}",
+    "km": r"\p{IsKhmer}",
+    "lo": r"\p{IsLao}",
+    "ka": r"\p{IsGeorgian}",
+    "am": r"\p{IsEthiopic}",
+    "hy": r"\p{IsArmenian}",
 }
 SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "ja": r"\p{Hiragana}\p{Katakana}",
@@ -90,8 +107,26 @@ SCRIPT_CLASS_DUCKDB: dict[str, str] = {
     "el": r"\p{Greek}",
     "he": r"\p{Hebrew}",
     "vi": _VI_CHARS,
+    "bn": r"\p{Bengali}",
+    "ta": r"\p{Tamil}",
+    "te": r"\p{Telugu}",
+    "ml": r"\p{Malayalam}",
+    "kn": r"\p{Kannada}",
+    "gu": r"\p{Gujarati}",
+    "pa": r"\p{Gurmukhi}",
+    "si": r"\p{Sinhala}",
+    "my": r"\p{Myanmar}",
+    "km": r"\p{Khmer}",
+    "lo": r"\p{Lao}",
+    "ka": r"\p{Georgian}",
+    "am": r"\p{Ethiopic}",
+    "hy": r"\p{Armenian}",
 }
-SCRIPT_ORDER = ("ja", "zh", "ru", "ko", "ar", "hi", "th", "el", "he", "vi")
+SCRIPT_ORDER = (
+    "ja", "zh", "ru", "ko", "ar", "hi", "th", "el", "he", "vi",
+    "bn", "ta", "te", "ml", "kn", "gu", "pa", "si", "my", "km",
+    "lo", "ka", "am", "hy",
+)
 SCRIPT_MIN_RATIO = 0.05
 
 # Within-script refinement (langdetect-style granularity): when a script

@@ -92,8 +92,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "minhash_dedup_md5": 6,
     # r6: per-run mojibake segmentation + in-fixpoint entity unescape
     "clean_documents_full": 6,
-    # r6: lang-id widened to 29 languages (vi script class, ru/uk + ar/fa
-    # refinement, 6 new stopword profiles) — oracle updated in lockstep
+    # r6: lang-id widened to 29 then 43 languages (vi script class,
+    # ru/uk + ar/fa refinement, 6 stopword profiles; fourth wave adds 14
+    # single-script classes) — oracle updated in lockstep via the shared
+    # constant tables
     "lang_id_histogram": 6,
     "quality_with_language": 6,
     # r6: multi-table OR-amplified LSH default (num_tables=4)

@@ -264,3 +264,29 @@ def test_char_entropy_matches_oracle(spark, ddb):
     docs = load_table(spark, "documents", SF_DIR)
     got = with_char_entropy(docs).select("doc_id", "alpha_chars", "char_entropy")
     assert_df_matches_oracle(got, ddb, oracle.char_entropy_sql())
+
+
+def test_script_class_languages_detected(spark):
+    """One native-script sample per single-script language (fourth-wave
+    widening toward langdetect's 55): each must label as its language."""
+    from llm_training_data_pipeline_spark.operators.textstats import with_lang_id
+
+    samples = {
+        "bn": "বাংলা ভাষা একটি সুন্দর ভাষা",
+        "ta": "தமிழ் ஒரு செம்மொழி ஆகும்",
+        "te": "తెలుగు ఒక ద్రావిడ భాష",
+        "ml": "മലയാളം കേരളത്തിലെ ഭാഷ",
+        "kn": "ಕನ್ನಡ ಕರ್ನಾಟಕದ ಭಾಷೆ",
+        "gu": "ગુજરાતી ભાષા સુંદર છે",
+        "pa": "ਪੰਜਾਬੀ ਇੱਕ ਭਾਸ਼ਾ ਹੈ",
+        "si": "සිංහල ශ්‍රී ලංකාවේ භාෂාවයි",
+        "my": "မြန်မာဘာသာ စကားဖြစ်သည်",
+        "km": "ភាសាខ្មែរ ជាភាសាកម្ពុជា",
+        "lo": "ພາສາລາວ ເປັນພາສາຂອງລາວ",
+        "ka": "ქართული ენა საქართველოში",
+        "am": "አማርኛ የኢትዮጵያ ቋንቋ ነው",
+        "hy": "հայերենը Հայաստանի լեզուն է",
+    }
+    df = spark.createDataFrame(list(samples.items()), "lang string, text string")
+    got = {r["lang"]: r["detected_lang"] for r in with_lang_id(df).collect()}
+    assert got == {k: k for k in samples}, got
