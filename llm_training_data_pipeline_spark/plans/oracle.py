@@ -3630,3 +3630,55 @@ def minhash_recall_sql(
                  AS emit_recall
         FROM tot CROSS JOIN bh CROSS JOIN eh
     """
+
+
+def simhash_recall_sql(
+    max_hamming: int = 3, num_bands: int = 4, cos_threshold: float | None = None
+) -> str:
+    """Mirror of dedup.simhash_recall: exact sparse token-cosine ground
+    truth vs the md5-family SimHash pair set."""
+    import math
+
+    t = (
+        cos_threshold
+        if cos_threshold is not None
+        else round(math.cos(math.pi * max_hamming / 64), 9)
+    )
+    toks = (
+        f"CASE WHEN regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    emitted = simhash_pairs_md5_sql(max_hamming, num_bands)
+    return f"""
+        WITH wc AS (
+          SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+          GROUP BY doc_id, w
+        ), nrm AS (
+          SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM wc GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+          FROM wc a JOIN wc b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT id_a, id_b
+          FROM dots
+          JOIN nrm na ON dots.id_a = na.doc_id
+          JOIN nrm nb ON dots.id_b = nb.doc_id
+          WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= {t}
+        ), emitted AS (
+          SELECT id_a, id_b FROM ({emitted})
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth
+        ), ht AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_caught
+          FROM truth t SEMI JOIN emitted e ON t.id_a = e.id_a AND t.id_b = e.id_b
+        )
+        SELECT n_true_pairs, n_caught,
+               CASE WHEN n_true_pairs = 0 THEN NULL
+                    ELSE round(n_caught / CAST(n_true_pairs AS DOUBLE), 4) END
+                 AS recall
+        FROM tot CROSS JOIN ht
+    """

@@ -3052,3 +3052,16 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg=_MD5_CFG,
         signatures=_md5_sigs(spark, sf_dir),
     )
+
+
+@register("simhash_recall", oracle.simhash_recall_sql(max_hamming=3, num_bands=4))
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of SimHash against exact token-count cosine ground
+    truth at cos(pi*3/64): the band stage is lossless at hamming<=3 with
+    4 bands (pigeonhole), so this measures the 64-bit estimator's
+    variance — ~0.81 on the fixture, i.e. one in five true near-dup
+    pairs is mis-ranked past the hamming cut. Completes the audited-
+    approximation quartet (ANN, SemDeDup, MinHash, SimHash)."""
+    return dedup.simhash_recall(
+        _t(spark, sf_dir, "documents"), max_hamming=3, num_bands=4, hash_family="md5"
+    )

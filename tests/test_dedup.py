@@ -481,3 +481,20 @@ def test_minhash_recall_empty_truth_is_null(spark):
     )
     row = dedup.minhash_recall(docs).collect()[0]
     assert row["n_true_pairs"] == 0 and row["band_recall"] is None
+
+
+def test_simhash_recall_matches_oracle_and_band_lossless(spark, ddb):
+    from llm_training_data_pipeline_spark.operators import dedup
+    from llm_training_data_pipeline_spark.plans import oracle
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = load_table(spark, "documents", SF_DIR)
+    got = dedup.simhash_recall(docs, max_hamming=3, num_bands=4, hash_family="md5")
+    assert_df_matches_oracle(
+        got, ddb, oracle.simhash_recall_sql(max_hamming=3, num_bands=4)
+    )
+    row = got.collect()[0]
+    assert row["n_true_pairs"] > 0, "fixture must contain true near-dups"
+    # identical docs always survive: hamming 0 <= 3
+    assert row["recall"] >= 0.5
