@@ -256,3 +256,55 @@ def semdedup_recall(
         )
         .alias("recall"),
     )
+
+
+def semdedup_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    centroids: DataFrame | None = None,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """Incremental semantic dedup: keep the ``new`` vectors that are NOT
+    within ``threshold`` cosine of any ``corpus`` vector sharing their
+    cluster — the semantic-family analogue of
+    ``dedup.exact_dedup_against`` / the Bloom incremental path.
+
+    Centroids default to seeds from the CORPUS side, so cluster
+    geometry stays stable as successive new batches arrive (seeding
+    from ``new`` would re-cluster every batch and make keep/drop
+    decisions batch-dependent). Both sides assign with the same
+    centroids; the probe is an equi-join on cluster id bounded by
+    cluster sizes — never new x corpus.
+
+    Returns ``(id, cluster)`` for surviving new vectors.
+    """
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    an = assign_clusters(new, centroids, n_clusters, vec_col, id_col, materialize)
+    ac = assign_clusters(corpus, centroids, n_clusters, vec_col, id_col, materialize)
+    n_side = an.select(
+        "cluster",
+        F.col(id_col).alias("_nid"),
+        F.col("_v").alias("_nv"),
+        F.col("_n").alias("_nn"),
+    )
+    c_side = ac.select(
+        "cluster",
+        F.col(id_col).alias("_cid"),
+        F.col("_v").alias("_cv2"),
+        F.col("_n").alias("_cn2"),
+    )
+    cos = F.when((F.col("_nn") == 0) | (F.col("_cn2") == 0), F.lit(0.0)).otherwise(
+        dot_product(F.col("_nv"), F.col("_cv2")) / (F.col("_nn") * F.col("_cn2"))
+    )
+    drops = (
+        n_side.join(c_side, on="cluster")
+        .filter(F.round(cos, 6) >= F.lit(threshold))
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return an.join(drops, on=id_col, how="left_anti").select(id_col, "cluster")

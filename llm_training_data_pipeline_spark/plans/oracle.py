@@ -3682,3 +3682,44 @@ def simhash_recall_sql(
                  AS recall
         FROM tot CROSS JOIN ht
     """
+
+
+def semdedup_against_sql(
+    split_id: int = 250, threshold: float = 0.35, n_clusters: int = 16
+) -> str:
+    """Mirror of semdedup.semdedup_against with corpus = vec_id <
+    split_id, new = the rest, seeds from the corpus side."""
+    cos_c = """CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(v.vec, c.cvec),
+                      p -> p[1] * p[2])) / (v.nrm * c.cnrm) END"""
+    cos_p = """CASE WHEN n.nrm = 0 OR o.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(n.vec, o.vec),
+                      p -> p[1] * p[2])) / (n.nrm * o.nrm) END"""
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), c AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec AS cvec, nrm AS cnrm
+          FROM (SELECT * FROM v WHERE vec_id < {split_id}
+                ORDER BY vec_id LIMIT {n_clusters})
+        ), assigned AS (
+          SELECT v.vec_id, v.vec, v.nrm, c.cluster, {cos_c} AS cs
+          FROM v CROSS JOIN c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY cs DESC, c.cluster) = 1
+        ), drops AS (
+          SELECT DISTINCT n.vec_id
+          FROM assigned n JOIN assigned o
+            ON n.cluster = o.cluster
+           AND n.vec_id >= {split_id} AND o.vec_id < {split_id}
+          WHERE round({cos_p}, 6) >= {threshold}
+        )
+        SELECT vec_id, cluster FROM assigned
+        WHERE vec_id >= {split_id}
+          AND vec_id NOT IN (SELECT vec_id FROM drops)
+    """

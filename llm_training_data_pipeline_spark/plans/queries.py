@@ -3065,3 +3065,24 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_recall(
         _t(spark, sf_dir, "documents"), max_hamming=3, num_bands=4, hash_family="md5"
     )
+
+
+@register(
+    "semdedup_incremental",
+    oracle.semdedup_against_sql(split_id=250, threshold=0.35, n_clusters=16),
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup: the second half of the embeddings
+    table arrives as a new batch and is pruned against the first half
+    (corpus-seeded centroids keep cluster geometry batch-stable). The
+    probe join is cluster-bounded, never new x corpus."""
+    from llm_training_data_pipeline_spark.operators import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup.semdedup_against(
+        emb.filter(F.col("vec_id") >= 250),
+        emb.filter(F.col("vec_id") < 250),
+        threshold=0.35,
+        n_clusters=16,
+        materialize=True,
+    )

@@ -136,3 +136,46 @@ def test_recall_is_one_with_single_cluster(spark):
     emb = load_table(spark, "embeddings", SF_DIR)
     row = semdedup.semdedup_recall(emb, threshold=0.35, n_clusters=1).collect()[0]
     assert row["recall"] == 1.0
+
+
+def test_incremental_drops_near_corpus_keeps_far(spark):
+    corpus = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    new = _emb(
+        spark,
+        [
+            (10, [2.0, 0.01]),   # near corpus 0 → dropped
+            (11, [-1.0, 1.0]),   # far from both in its cluster → kept
+        ],
+    )
+    out = {r["vec_id"] for r in semdedup.semdedup_against(
+        new, corpus, threshold=0.9, n_clusters=2
+    ).collect()}
+    assert out == {11}
+
+
+def test_incremental_is_batch_stable(spark):
+    """Processing the new batch in two halves gives the same keep set as
+    one batch: corpus-seeded centroids + corpus-only probes make the
+    decision independent of batch composition."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    corpus = emb.filter("vec_id < 250")
+    new = emb.filter("vec_id >= 250")
+    whole = {r["vec_id"] for r in semdedup.semdedup_against(new, corpus).collect()}
+    h1 = {r["vec_id"] for r in semdedup.semdedup_against(
+        emb.filter("vec_id >= 250 and vec_id < 375"), corpus
+    ).collect()}
+    h2 = {r["vec_id"] for r in semdedup.semdedup_against(
+        emb.filter("vec_id >= 375"), corpus
+    ).collect()}
+    assert whole == h1 | h2
+
+
+def test_incremental_matches_oracle(spark, ddb):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    got = semdedup.semdedup_against(
+        emb.filter("vec_id >= 250"), emb.filter("vec_id < 250"),
+        threshold=0.35, n_clusters=16,
+    )
+    assert_df_matches_oracle(
+        got, ddb, oracle.semdedup_against_sql(split_id=250, threshold=0.35, n_clusters=16)
+    )

@@ -2,6 +2,11 @@
 at sf0.01 against its DuckDB oracle, canonicalizing with pandas sort_values
 (the exact step that failed on raw ARRAY columns in round 1).
 
+Also a global plan audit: every query's executed plan is checked for
+CartesianProduct (status CARTESIAN — a scale bug, even if values match)
+and its Exchange count is recorded, so a lost broadcast or a new
+accidental shuffle is visible in the sweep diff round-over-round.
+
 Usage: python tools/driver_mimic.py [sf_dir] [name_filter ...]
 """
 
@@ -60,9 +65,22 @@ def main() -> int:
         fn, sql = reg[name]
         t0 = time.time()
         try:
-            sp = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # global plan audit: a CartesianProduct anywhere in the suite
+            # is a scale bug (broadcast-scalar cross joins compile to
+            # BroadcastNestedLoopJoin, which is fine); counted per query
+            # so a lost broadcast shows up as a sweep failure, not a hunch
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            cartesians = plan.count("CartesianProduct")
+            exchanges = plan.count("Exchange ")
+            sp = df.toPandas()
+            if cartesians:
+                results[name] = {"status": "CARTESIAN", "cartesians": cartesians,
+                                 "sec": round(time.time() - t0, 1)}
+                continue
             if sql is None:
                 results[name] = {"status": "rows_only", "rows": len(sp),
+                                 "exchanges": exchanges,
                                  "sec": round(time.time() - t0, 1)}
                 continue
             du = con.execute(sql).df()
@@ -98,6 +116,7 @@ def main() -> int:
             results[name] = {
                 "status": "pass" if (schema_ok and rows_ok and val_ok) else "MISMATCH",
                 "rows": len(sp), "oracle_rows": len(du), "schema_ok": schema_ok,
+                "exchanges": exchanges,
                 "sec": round(time.time() - t0, 1),
             }
         except Exception as e:  # noqa: BLE001
