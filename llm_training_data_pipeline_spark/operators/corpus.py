@@ -1654,3 +1654,53 @@ def cap_per_stratum(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------
+# CCNet-style perplexity terciles (head / middle / tail)
+# ---------------------------------------------------------------------
+
+
+def surprisal_terciles(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): bucket each
+    document by which per-``by``-group tercile its LM surprisal falls
+    into. CCNet trains a KenLM per language; here the engine's own
+    add-one unigram surprisal is the score (the documented substitution
+    the perplexity family already makes), and ``by`` defaults to the
+    language column so thresholds are per-language like the paper's.
+
+    head = cleanest third (lowest surprisal) — the CCNet convention of
+    keeping head+middle for training. Boundaries are exact interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``);
+    ``<=`` on the boundary puts ties into the cleaner bucket on both
+    engines, since inputs are identical rounded doubles.
+
+    Plan: the surprisal pass (two shuffles on natural keys) + one join
+    back for the group column + one small aggregate on ``by`` whose
+    per-group boundary row broadcasts back. Zero-word docs carry no LM
+    evidence and are excluded, as in ``unigram_surprisal``.
+    """
+    s = unigram_surprisal(df, text_col, id_col, materialize=materialize)
+    scored = s.join(df.select(F.col(id_col), F.col(by)), on=id_col)
+    bounds = scored.groupBy(by).agg(
+        F.percentile("avg_surprisal", F.lit(1.0 / 3)).alias("_t1"),
+        F.percentile("avg_surprisal", F.lit(2.0 / 3)).alias("_t2"),
+    )
+    return (
+        scored.join(F.broadcast(bounds), on=by)
+        .select(
+            id_col,
+            by,
+            "avg_surprisal",
+            F.when(F.col("avg_surprisal") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("avg_surprisal") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )

@@ -3723,3 +3723,25 @@ def semdedup_against_sql(
         WHERE vec_id >= {split_id}
           AND vec_id NOT IN (SELECT vec_id FROM drops)
     """
+
+
+def surprisal_terciles_sql(by: str = "lang") -> str:
+    """Mirror of corpus.surprisal_terciles over documents: per-group
+    quantile_cont terciles of the unigram surprisal."""
+    return f"""
+        WITH s AS ({unigram_surprisal_sql()}),
+        scored AS (
+          SELECT s.doc_id, d.{by} AS {by}, s.avg_surprisal
+          FROM s JOIN documents d ON s.doc_id = d.doc_id
+        ), bounds AS (
+          SELECT {by},
+                 quantile_cont(avg_surprisal, 1.0/3) AS t1,
+                 quantile_cont(avg_surprisal, 2.0/3) AS t2
+          FROM scored GROUP BY {by}
+        )
+        SELECT scored.doc_id, scored.{by}, scored.avg_surprisal,
+               CASE WHEN avg_surprisal <= t1 THEN 'head'
+                    WHEN avg_surprisal <= t2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM scored JOIN bounds USING ({by})
+    """

@@ -3086,3 +3086,15 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=16,
         materialize=True,
     )
+
+
+@register("surprisal_terciles", oracle.surprisal_terciles_sql(by="lang"))
+def q_surprisal_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing, per-language
+    thresholds (Wenzek et al. 2020) — the standard 'keep the cleanest
+    two-thirds' curation split, on the engine's unigram surprisal."""
+    from llm_training_data_pipeline_spark.operators.corpus import surprisal_terciles
+
+    return surprisal_terciles(
+        _t(spark, sf_dir, "documents"), by="lang", materialize=True
+    )

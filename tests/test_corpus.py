@@ -912,3 +912,39 @@ def test_cap_per_stratum_matches_oracle(spark, ddb):
         "doc_id", "source"
     )
     assert_df_matches_oracle(got, ddb, oracle.cap_per_stratum_sql(cap=10))
+
+
+def test_surprisal_terciles_buckets_and_order(spark):
+    """head/middle/tail are ~equal thirds per group and ordered by
+    surprisal: max(head) <= min(middle) boundary-wise."""
+    rows = []
+    for i in range(30):
+        # 10 clean (repeated common words), 10 mixed, 10 rare-word docs
+        if i < 10:
+            t = "the cat sat on the mat " * 3
+        elif i < 20:
+            t = "the cat sat on zyzzyva"
+        else:
+            t = f"zyzzyva{i} quokka{i} axolotl{i}"
+        rows.append((i, t, "en", "s0"))
+    df = _docs(spark, rows)
+    out = corpus.surprisal_terciles(df, by="lang").collect()
+    buckets = {}
+    for r in out:
+        buckets.setdefault(r["ppl_bucket"], []).append(r["avg_surprisal"])
+    assert set(buckets) == {"head", "middle", "tail"}
+    assert max(buckets["head"]) <= min(buckets["middle"])
+    assert max(buckets["middle"]) <= min(buckets["tail"])
+    # clean docs land in head
+    head_ids = {r["doc_id"] for r in out if r["ppl_bucket"] == "head"}
+    assert set(range(10)) <= head_ids
+
+
+def test_surprisal_terciles_matches_oracle(spark, ddb):
+    from llm_training_data_pipeline_spark.plans import oracle
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR, assert_df_matches_oracle
+
+    docs = load_table(spark, "documents", SF_DIR)
+    got = corpus.surprisal_terciles(docs, by="lang")
+    assert_df_matches_oracle(got, ddb, oracle.surprisal_terciles_sql(by="lang"))
