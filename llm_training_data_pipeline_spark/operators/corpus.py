@@ -1704,3 +1704,60 @@ def surprisal_terciles(
             .alias("ppl_bucket"),
         )
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    span_len: int = 10,
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): mask two
+    deterministic character spans with sentinels and emit the
+    ``(inputs, targets)`` pair —
+    ``inputs  = A <extra_id_0> B <extra_id_1> C``
+    ``targets = <extra_id_0> span1 <extra_id_1> span2 <extra_id_2>``.
+
+    One span per document half, so spans can never overlap; selection
+    and both span starts derive from decorrelated arithmetic key lanes
+    (the ``fim_transform`` discipline — no RNG, same documents get the
+    same corruption on every run and engine). Documents outside the
+    rate or shorter than ``2*span_len`` chars pass through uncorrupted
+    (``inputs`` = text, ``targets`` = ''). Splicing targets back into
+    inputs reconstructs the original text exactly (pinned in tests).
+    """
+    text = F.col(text_col)
+    idc = F.col(id_col)
+    length = F.length(text)
+    sl = F.lit(span_len)
+    apply_sc = (sample_key(idc, 1000) < F.lit(rate * 1000)) & (
+        length >= F.lit(2 * span_len)
+    )
+    h = F.floor(length / 2).cast("int")
+    s1 = (F.lit(1) + F.pmod(sample_key(idc * 2 + 1, 1_000_000), h - sl + 1)).cast(
+        "int"
+    )
+    s2 = (
+        h + 1 + F.pmod(sample_key(idc * 3 + 2, 1_000_000), length - h - sl + 1)
+    ).cast("int")
+    inputs = F.concat(
+        F.substring(text, F.lit(1), s1 - 1),
+        F.lit("<extra_id_0>"),
+        F.substring(text, s1 + sl, s2 - s1 - sl),
+        F.lit("<extra_id_1>"),
+        F.substring(text, s2 + sl, length - s2 - sl + 1),
+    )
+    targets = F.concat(
+        F.lit("<extra_id_0>"),
+        F.substring(text, s1, sl),
+        F.lit("<extra_id_1>"),
+        F.substring(text, s2, sl),
+        F.lit("<extra_id_2>"),
+    )
+    return df.select(
+        F.col(id_col),
+        apply_sc.alias("corrupted"),
+        F.when(apply_sc, inputs).otherwise(text).alias("inputs"),
+        F.when(apply_sc, targets).otherwise(F.lit("")).alias("targets"),
+    )

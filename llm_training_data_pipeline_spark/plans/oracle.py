@@ -3745,3 +3745,47 @@ def surprisal_terciles_sql(by: str = "lang") -> str:
                     ELSE 'tail' END AS ppl_bucket
         FROM scored JOIN bounds USING ({by})
     """
+
+
+def span_corrupt_sql(rate: float = 0.5, span_len: int = 10) -> str:
+    """Mirror of corpus.span_corrupt, projected as md5+length per side
+    (pins every byte of inputs AND targets in a compact row)."""
+    key = (
+        lambda e, b: f"((({e}) % 1000003 + 1000003) % 1000003 * 2654435761) % {b}"
+    )
+    sl = span_len
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text, length(text) AS l,
+                 ({key('doc_id', 1000)}) < {rate * 1000}
+                   AND length(text) >= {2 * sl} AS apply_sc,
+                 CAST(floor(length(text) / 2) AS INT) AS h
+          FROM documents
+        ), p AS (
+          SELECT doc_id, text, l, apply_sc, h,
+                 CAST(1 + ({key('doc_id * 2 + 1', 1000000)})
+                     % (h - {sl} + 1) AS INT) AS s1,
+                 CAST(h + 1 + ({key('doc_id * 3 + 2', 1000000)})
+                     % (l - h - {sl} + 1) AS INT) AS s2
+          FROM s
+        ), o AS (
+          SELECT doc_id, apply_sc,
+                 CASE WHEN apply_sc THEN
+                   substr(text, 1, s1 - 1) || '<extra_id_0>'
+                   || substr(text, s1 + {sl}, s2 - s1 - {sl}) || '<extra_id_1>'
+                   || substr(text, s2 + {sl}, l - s2 - {sl} + 1)
+                 ELSE text END AS inputs,
+                 CASE WHEN apply_sc THEN
+                   '<extra_id_0>' || substr(text, s1, {sl})
+                   || '<extra_id_1>' || substr(text, s2, {sl})
+                   || '<extra_id_2>'
+                 ELSE '' END AS targets
+          FROM p
+        )
+        SELECT doc_id, apply_sc AS corrupted,
+               CAST(length(inputs) AS BIGINT) AS inputs_len,
+               md5(inputs) AS inputs_md5,
+               CAST(length(targets) AS BIGINT) AS targets_len,
+               md5(targets) AS targets_md5
+        FROM o
+    """

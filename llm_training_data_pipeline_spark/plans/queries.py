@@ -3098,3 +3098,22 @@ def q_surprisal_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surprisal_terciles(
         _t(spark, sf_dir, "documents"), by="lang", materialize=True
     )
+
+
+@register("span_corrupt_sample", oracle.span_corrupt_sql(rate=0.5, span_len=10))
+def q_span_corrupt_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption over half the corpus (two sentinel-masked
+    spans, one per document half; deterministic key lanes) — projected
+    as md5+length per side so the driver row pins every byte of both
+    inputs and targets."""
+    from llm_training_data_pipeline_spark.operators.corpus import span_corrupt
+
+    out = span_corrupt(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "corrupted",
+        F.length("inputs").cast("long").alias("inputs_len"),
+        F.md5("inputs").alias("inputs_md5"),
+        F.length("targets").cast("long").alias("targets_len"),
+        F.md5("targets").alias("targets_md5"),
+    )

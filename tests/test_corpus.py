@@ -948,3 +948,43 @@ def test_surprisal_terciles_matches_oracle(spark, ddb):
     docs = load_table(spark, "documents", SF_DIR)
     got = corpus.surprisal_terciles(docs, by="lang")
     assert_df_matches_oracle(got, ddb, oracle.surprisal_terciles_sql(by="lang"))
+
+
+def test_span_corrupt_reconstructs_original(spark):
+    """Splicing the targets back into the inputs at the sentinels must
+    reproduce the original text byte-for-byte (incl. unicode)."""
+    import re
+
+    rows = [
+        (i, ("café δ" + "abcdefghij" * 4 + f" tail{i}"), "en", "s0")
+        for i in range(20)
+    ]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r for r in corpus.span_corrupt(df, rate=1.0).collect()}
+    orig = {i: t for i, t, _l, _s in rows}
+    n_corrupted = 0
+    for i, r in out.items():
+        assert r["corrupted"]
+        n_corrupted += 1
+        spans = re.findall(
+            r"<extra_id_0>(.*?)<extra_id_1>(.*?)<extra_id_2>", r["targets"], re.S
+        )[0]
+        rebuilt = (
+            r["inputs"]
+            .replace("<extra_id_0>", spans[0], 1)
+            .replace("<extra_id_1>", spans[1], 1)
+        )
+        assert rebuilt == orig[i], i
+        # two sentinel-masked spans of exactly span_len chars
+        assert len(spans[0]) == 10 and len(spans[1]) == 10
+    assert n_corrupted == 20
+
+
+def test_span_corrupt_rate_zero_and_short_docs_identity(spark):
+    df = _docs(spark, [(1, "x" * 100, "en", "s0"), (2, "short", "en", "s0")])
+    out = {r["doc_id"]: r for r in corpus.span_corrupt(df, rate=0.0).collect()}
+    assert not out[1]["corrupted"] and out[1]["inputs"] == "x" * 100
+    assert out[1]["targets"] == ""
+    # under rate=1.0 a doc shorter than 2*span_len still passes through
+    out = {r["doc_id"]: r for r in corpus.span_corrupt(df, rate=1.0).collect()}
+    assert not out[2]["corrupted"] and out[2]["inputs"] == "short"
