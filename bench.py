@@ -133,6 +133,9 @@ HEADLINE = [
     "pmi_collocations",
     "char_entropy_stats",
     "source_cap_sample",
+    "semdedup_incremental",
+    "surprisal_terciles",
+    "span_corrupt_sample",
 ]
 
 
