@@ -345,11 +345,16 @@ def minhash_candidate_pairs_from_signatures(
     sig: DataFrame,
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    *,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """D4 band self-join + est-Jaccard verify over a precomputed
     (id, minhash_sig) table — the signature source decides the reuse
-    strategy (localCheckpoint in-job, bucketed table across jobs)."""
-    cand = minhash_band_candidates(sig, id_col, cfg)
+    strategy (localCheckpoint in-job, bucketed table across jobs).
+    ``candidates``: a precomputed (id_a, id_b) band-candidate table, so
+    callers that also consume the raw candidate set (the recall audit)
+    run the band self-join once, not per consumer."""
+    cand = candidates if candidates is not None else minhash_band_candidates(sig, id_col, cfg)
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash_sig").alias("_sa"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash_sig").alias("_sb"))
     pairs = (
@@ -1133,10 +1138,14 @@ def minhash_recall(
     the audit on a uniform sample — the recall estimate stays unbiased
     because both sides see the same sample.
     """
+    # materialized: the exploded shingle table feeds three branches
+    # (sizes + both join sides) in ONE job — unchecked, the explode and
+    # corpus scan run three times (the measured shared-subtree pitfall
+    # minhash_candidate_pairs documents)
     sgs = df.select(
         F.col(id_col),
         F.explode(char_shingles(F.col(text_col), cfg.shingle_size)).alias("_sg"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = sgs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
     a = sgs.select(F.col(id_col).alias("id_a"), "_sg")
     b = sgs.select(F.col(id_col).alias("id_b"), "_sg")
@@ -1164,10 +1173,12 @@ def minhash_recall(
         if signatures is not None
         else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
     )
-    band = minhash_band_candidates(sig, id_col, cfg)
-    emitted = minhash_candidate_pairs_from_signatures(sig, id_col, cfg).select(
-        "id_a", "id_b"
-    )
+    # the band self-join feeds both the raw-candidate check and the
+    # verified-emission check — run it once
+    band = minhash_band_candidates(sig, id_col, cfg).localCheckpoint(eager=True)
+    emitted = minhash_candidate_pairs_from_signatures(
+        sig, id_col, cfg, candidates=band
+    ).select("id_a", "id_b")
     tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
     band_hits = truth.join(band, on=["id_a", "id_b"], how="left_semi").agg(
         F.count(F.lit(1)).cast("long").alias("n_band_caught")
@@ -1230,6 +1241,8 @@ def simhash_recall(
         if cos_threshold is not None
         else round(math.cos(math.pi * max_hamming / 64), 9)
     )
+    # materialized: the word-count table feeds three branches (norms +
+    # both join sides) in one job — see minhash_recall
     wc = (
         df.select(
             F.col(id_col),
@@ -1237,6 +1250,7 @@ def simhash_recall(
         )
         .groupBy(id_col, "_w")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=True)
     )
     norms = wc.groupBy(id_col).agg(
         F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_n2")

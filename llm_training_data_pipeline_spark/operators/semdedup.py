@@ -235,11 +235,16 @@ def semdedup_recall(
     cos = F.when((F.col("_an") == 0) | (F.col("_bn") == 0), F.lit(0.0)).otherwise(
         dot_product(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
     )
+    # materialized: the totals and semi-join branches both consume truth,
+    # and the O(N^2) broadcast cosine scan is the audit's dominant cost —
+    # without the checkpoint it executes once per branch (the same
+    # shared-subtree discipline as the minhash/simhash audits)
     truth = (
         a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.round(cos, 6).alias("_c"))
         .filter(F.col("_c") >= F.lit(threshold))
         .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
     )
     caught = semdedup_pairs(
         df, threshold, centroids, n_clusters, vec_col, id_col, materialize=materialize
@@ -307,4 +312,12 @@ def semdedup_against(
         .select(F.col("_nid").alias(id_col))
         .distinct()
     )
-    return an.join(drops, on=id_col, how="left_anti").select(id_col, "cluster")
+    # anchor on the NEW side's ids, not the assignment: with an EMPTY
+    # corpus there are no centroids, assignment produces zero rows, and
+    # an assignment-anchored return would silently drop the whole first
+    # batch — the correct bootstrap answer is "keep everything" (cluster
+    # is NULL then), matching exact_dedup_against / the Bloom path
+    survivors = new.select(F.col(id_col)).join(
+        an.select(id_col, "cluster"), on=id_col, how="left"
+    )
+    return survivors.join(drops, on=id_col, how="left_anti").select(id_col, "cluster")

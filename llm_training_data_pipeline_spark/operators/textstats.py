@@ -230,7 +230,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
     - ``lower(text)`` and the whitespace word count are staged ONCE and
       shared by all stopword profiles (previously each profile embedded
       its own lower + two splits);
-    - the six script-class counts are gated behind a single cheap
+    - the script-class counts (24 languages) are gated behind a single cheap
       non-ASCII probe — ASCII-only documents (the bulk of web corpora)
       skip all script regexes, and ASCII text contains zero script chars
       so the gate is value-neutral (oracle SQL needs no gate).

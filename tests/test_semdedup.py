@@ -179,3 +179,13 @@ def test_incremental_matches_oracle(spark, ddb):
     assert_df_matches_oracle(
         got, ddb, oracle.semdedup_against_sql(split_id=250, threshold=0.35, n_clusters=16)
     )
+
+
+def test_incremental_empty_corpus_keeps_everything(spark):
+    """Bootstrap: the first batch ever has nothing to dedup against —
+    every vector survives (cluster NULL), matching exact_dedup_against."""
+    corpus = _emb(spark, []).filter("vec_id IS NOT NULL")
+    new = _emb(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0])])
+    out = semdedup.semdedup_against(new, corpus, threshold=0.1).collect()
+    assert {r["vec_id"] for r in out} == {1, 2}
+    assert all(r["cluster"] is None for r in out)

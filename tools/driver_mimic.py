@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -66,14 +67,21 @@ def main() -> int:
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            # global plan audit: a CartesianProduct anywhere in the suite
-            # is a scale bug (broadcast-scalar cross joins compile to
-            # BroadcastNestedLoopJoin, which is fine); counted per query
-            # so a lost broadcast shows up as a sweep failure, not a hunch
+            sp = df.toPandas()
+            # global plan audit, captured AFTER execution so AQE's FINAL
+            # adaptive plan is what gets audited (the pre-execution string
+            # is the static estimate — a runtime broadcast demotion would
+            # be invisible in it). A CartesianProduct anywhere in the
+            # suite is a scale bug (broadcast-scalar cross joins compile
+            # to BroadcastNestedLoopJoin, which is fine); exchanges counts
+            # SHUFFLE exchanges only (hash/range/single partitioning), not
+            # BroadcastExchange/ReusedExchange, so the number is the
+            # round-over-round shuffle signal.
             plan = df._jdf.queryExecution().executedPlan().toString()
             cartesians = plan.count("CartesianProduct")
-            exchanges = plan.count("Exchange ")
-            sp = df.toPandas()
+            exchanges = len(
+                re.findall(r"\bExchange (hash|range|Single)", plan)
+            )
             if cartesians:
                 results[name] = {"status": "CARTESIAN", "cartesians": cartesians,
                                  "sec": round(time.time() - t0, 1)}
