@@ -3117,3 +3117,41 @@ def q_span_corrupt_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("targets").cast("long").alias("targets_len"),
         F.md5("targets").alias("targets_md5"),
     )
+
+
+@register(
+    "scd2_user_intervals",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM events WHERE user_id < 200
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           CASE WHEN next_ts IS NULL THEN NULL
+                ELSE strftime(next_ts, '%Y-%m-%d %H:%M:%S') END AS valid_to,
+           (next_ts IS NULL) AS is_current
+    FROM s
+    """,
+)
+def q_scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: each
+    user's event opens a validity interval closed by the next event
+    (lead window, ties broken by event_id), open-ended row flagged
+    current — the write-side complement of the as-of join. One shuffle
+    on user_id; window partitions are user-sized."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    out = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    return out
