@@ -398,6 +398,12 @@ def main() -> None:
     ap.add_argument("--max-articles", type=int, default=None)
     ap.add_argument("--output-dir", default="data/output")
     ap.add_argument("--config", default=None, help="YAML config path")
+    ap.add_argument(
+        "--dataset-card",
+        action="store_true",
+        help="also write DATASET_CARD.md (size/source/lang/dedup/quality "
+        "summary of the pipeline OUTPUT) into --output-dir",
+    )
     args = ap.parse_args()
 
     from llm_training_data_pipeline_spark.session import get_spark
@@ -434,6 +440,15 @@ def main() -> None:
             docs = docs.limit(args.max_articles)
 
     summary = run_pipeline(spark, docs, cfg, args.output_dir)
+    if args.dataset_card:
+        import os
+
+        from llm_training_data_pipeline_spark.plans.card import write_dataset_card
+
+        out = spark.read.parquet(os.path.join(args.output_dir, "pipeline_output.parquet"))
+        card_path = os.path.join(args.output_dir, "DATASET_CARD.md")
+        write_dataset_card(out, card_path, name=os.path.basename(args.input))
+        summary["dataset_card"] = card_path
     print(json.dumps(summary, indent=2, default=str))
 
 

@@ -376,3 +376,19 @@ def test_stage_metrics_exact_without_tokenization(spark):
     assert st["quality"]["rows"] == 0
     assert st["dedup"]["rows"] > 0
     assert st["clean"]["rows"] > 0
+
+
+def test_dataset_card_sections_and_numbers(spark, tmp_path):
+    from llm_training_data_pipeline_spark.plans.card import write_dataset_card
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    path = str(tmp_path / "CARD.md")
+    md = write_dataset_card(docs, path, name="sf0.001-docs")
+    assert open(path).read() == md
+    for section in ("# Dataset card", "## Size", "## Source mix",
+                    "## Language mix", "## Duplication", "## Quality"):
+        assert section in md, section
+    n = docs.count()
+    assert f"documents: {n:,}" in md
