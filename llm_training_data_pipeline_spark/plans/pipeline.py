@@ -130,6 +130,23 @@ def build_pipeline(
         obs["span_dedup"] = Observation("span_dedup")
         df = df.observe(obs["span_dedup"], F.count(F.lit(1)).alias("rows"))
 
+    sc = cfg.section("sampling").get("source_cap", {})
+    if sc.get("enabled", False):
+        # RefinedWeb-style anti-over-representation: never more than N
+        # docs per source, picked by the deterministic pseudo-uniform
+        # key (rate-based sampling can't express a hard cap); the rank
+        # filter compiles to a WindowGroupLimit so skewed sources prune
+        # map-side
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        df = corpus.cap_per_stratum(
+            df,
+            stratum_col=sc.get("stratum_col", "source"),
+            cap=int(sc.get("max_per_stratum", 10_000)),
+        )
+        obs["source_cap"] = Observation("source_cap")
+        df = df.observe(obs["source_cap"], F.count(F.lit(1)).alias("rows"))
+
     qsec = cfg.section("quality")
     if qsec.get("enabled", True):
         lf = qsec.get("language_filter", {})
@@ -155,6 +172,20 @@ def build_pipeline(
         df = df.filter(F.col("passed")).drop("passed", "reason")
         obs["quality"] = Observation("quality")
         df = df.observe(obs["quality"], F.count(F.lit(1)).alias("rows"))
+
+    ef = qsec.get("entropy_filter", {}) if qsec.get("enabled", True) else {}
+    if ef.get("enabled", False):
+        # zero-shuffle garbage screen: Shannon entropy of the
+        # letter/digit/space distribution, a per-row literal fold on the
+        # scan (textstats.char_entropy) — repetitive/padding documents
+        # score near zero
+        from llm_training_data_pipeline_spark.operators import textstats
+
+        df = textstats.with_char_entropy(df, "text").filter(
+            F.col("char_entropy") >= float(ef.get("min_entropy", 1.5))
+        ).drop("alpha_chars", "char_entropy")
+        obs["entropy"] = Observation("entropy")
+        df = df.observe(obs["entropy"], F.count(F.lit(1)).alias("rows"))
 
     pf = qsec.get("perplexity_filter", {}) if qsec.get("enabled", True) else {}
     if pf.get("enabled", False):

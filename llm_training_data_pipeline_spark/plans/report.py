@@ -10,7 +10,10 @@ from __future__ import annotations
 import json
 from typing import Any
 
-STAGE_ORDER = ["ingest", "clean", "dedup", "quality", "tokenize"]
+STAGE_ORDER = [
+    "ingest", "clean", "dedup", "span_dedup", "source_cap",
+    "quality", "entropy", "perplexity", "tokenize",
+]
 
 
 def render_report(summary: dict[str, Any]) -> str:

@@ -392,3 +392,42 @@ def test_dataset_card_sections_and_numbers(spark, tmp_path):
         assert section in md, section
     n = docs.count()
     assert f"documents: {n:,}" in md
+
+
+def test_source_cap_and_entropy_stages_gate(spark):
+    """The two fourth-wave config stages: default-off is a no-op; when
+    enabled the caps bound per-source counts and the entropy gate drops
+    repetitive text, with their Observation rows in the summary."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    rows = []
+    for i in range(40):
+        body = ("real words with varied letters number %d " % i) * 8
+        rows.append((i, body, "en", f"s{i % 2}"))
+    rows.append((100, "aaaaaaaaaa " * 40, "en", "s0"))  # near-zero entropy
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    base_cfg = {
+        "cleaning": {"min_length_chars": 10, "normalize_unicode": False,
+                     "fix_encoding": False},
+        "deduplication": {"enabled": False},
+        "quality": {"min_words": 5, "max_words": 100000,
+                    "min_avg_word_length": 1.0},
+    }
+    off, _ = build_pipeline(docs, PipelineConfig(dict(base_cfg)))
+    n_off = off.count()
+    cfg = dict(base_cfg)
+    cfg["sampling"] = {"source_cap": {"enabled": True, "max_per_stratum": 5}}
+    cfg["quality"] = dict(base_cfg["quality"], entropy_filter={
+        "enabled": True, "min_entropy": 1.5})
+    on, obs = build_pipeline(docs, PipelineConfig(cfg))
+    out = on.collect()
+    assert {"source_cap", "entropy"} <= set(obs)
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(v <= 5 for v in per.values()), per
+    assert all(r["doc_id"] != 100 for r in out), "low-entropy doc must drop"
+    assert n_off > len(out)
