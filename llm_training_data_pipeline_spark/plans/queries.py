@@ -119,6 +119,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
 _CHANGED_IN_ROUND.update(
     {n: 6 for n in ("dedup_clusters", "minhash_pairs_md5", "dedup_keep_best")}
 )
+# r6 fourth wave: build_pipeline gained two default-off gated stages
+# (source_cap / entropy_filter) — default plan identical, mimic-verified,
+# but the composing code changed, so re-score
+_CHANGED_IN_ROUND["pipeline_e2e_exact"] = 6
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
