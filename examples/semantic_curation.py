@@ -56,6 +56,20 @@ def main() -> None:
         f"{row['n_dropped']} dropped, retention={row['retention']}"
     )
 
+    from llm_training_data_pipeline_spark.operators.semdedup import semdedup_recall
+
+    rec = semdedup_recall(emb, threshold=0.35, n_clusters=16, materialize=True).collect()[0]
+    print(
+        "semdedup recall audit: "
+        f"{rec['n_caught']}/{rec['n_true_pairs']} true pairs caught "
+        f"(recall={rec['recall']}) — the cross-cluster trade, measured"
+    )
+
+    from llm_training_data_pipeline_spark.plans.card import dataset_card
+
+    print()
+    print(dataset_card(gated.select(*docs.columns), name="curated-corpus"))
+
     spark.stop()
 
 

@@ -327,3 +327,42 @@ def test_cap_per_stratum_cap_and_subset(spark, ids, cap, n_strata):
         sizes[s] = sizes.get(s, 0) + 1
     for s, size in sizes.items():
         assert per.get(s, 0) == min(cap, size), (s, cap, sizes, per)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+                min_size=0, max_size=120),
+        min_size=1, max_size=12,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+@SETTINGS
+def test_span_corrupt_reconstructs_any_text(spark, batch, span_len):
+    """For arbitrary unicode text and span lengths: corrupted rows
+    splice back to the original exactly; short rows pass through."""
+    import re
+
+    from llm_training_data_pipeline_spark.operators.corpus import span_corrupt
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_corrupt(df, rate=1.0, span_len=span_len).collect()}
+    for i, t in enumerate(batch):
+        r = out[i]
+        if len(t) < 2 * span_len:
+            assert not r["corrupted"] and r["inputs"] == t and r["targets"] == ""
+            continue
+        assert r["corrupted"]
+        m = re.fullmatch(
+            "<extra_id_0>(.*)<extra_id_1>(.*)<extra_id_2>", r["targets"], re.S
+        )
+        assert m, r["targets"]
+        rebuilt = (
+            r["inputs"]
+            .replace("<extra_id_0>", m.group(1), 1)
+            .replace("<extra_id_1>", m.group(2), 1)
+        )
+        assert rebuilt == t, (i, span_len)
+        assert len(m.group(1)) == span_len and len(m.group(2)) == span_len

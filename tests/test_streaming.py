@@ -667,3 +667,47 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
         (r.user_id, r.click_id, r.purchase_id) for r in batch.collect()
     }
     assert streamed == expected and expected
+
+
+def test_streaming_source_cap_counts_match_batch(spark, tmp_path):
+    """Per-stratum admitted counts equal min(cap, stratum size) — the
+    same counts as the batch cap (membership differs by design: the
+    stream admits first-arrived, the batch selects pseudo-uniformly)."""
+    from llm_training_data_pipeline_spark.streaming.cap_stream import (
+        streaming_source_cap,
+    )
+
+    cap_schema = "doc_id long, text string, lang string, source string"
+    rows = [(i, f"text {i}", "en", f"s{i % 3}") for i in range(30)]
+    src = str(tmp_path / "cap_src")
+    spark.createDataFrame(rows, cap_schema).write.parquet(src)
+    stream = spark.readStream.schema(cap_schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    admitted = streaming_source_cap(stream, cap=4)
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName("t_source_cap")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    got = spark.sql("SELECT source, doc_id FROM t_source_cap").collect()
+    per: dict[str, int] = {}
+    ids = set()
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+        assert r["doc_id"] not in ids, "no row may be admitted twice"
+        ids.add(r["doc_id"])
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    # a small stratum survives whole
+    from llm_training_data_pipeline_spark.operators.corpus import cap_per_stratum
+
+    batch = cap_per_stratum(
+        spark.createDataFrame(rows, cap_schema), cap=4
+    )
+    per_batch = {
+        r["source"]: r["n"]
+        for r in batch.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_batch == per
