@@ -113,6 +113,47 @@ def main() -> None:
             s.withColumn("digest", F.md5(F.col("text"))), "digest", bf
         ).filter(~F.col("maybe_dup")),
     )
+    # per-source admission caps: the stateless-looking stateful counter
+    # (one int of state per stratum) — measures the applyInPandasWithState
+    # floor with minimal state, vs minhash's signature-index state
+    from llm_training_data_pipeline_spark.streaming.cap_stream import (
+        streaming_source_cap,
+    )
+
+    capped_src = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string"))
+    )
+    schema_cap = capped_src.schema
+    src_cap = tempfile.mkdtemp(prefix="stream_bench_cap_")
+    capped_src.repartition(args.batches).write.mode("overwrite").parquet(src_cap)
+
+    def run_cap():
+        stream = (
+            spark.readStream.schema(schema_cap)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_cap)
+        )
+        out = streaming_source_cap(stream, cap=max(n_docs // 40, 1))
+        t0 = time.time()
+        q = (
+            out.writeStream.format("memory")
+            .queryName("bench_cap")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        elapsed = time.time() - t0
+        q.stop()
+        got = spark.table("bench_cap").count()
+        return {
+            "rows_in": n_docs,
+            "rows_out": got,
+            "sec": round(elapsed, 3),
+            "rows_per_sec": round(n_docs / elapsed, 1),
+        }
+
+    results["source_cap"] = run_cap()
+    shutil.rmtree(src_cap, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     print(
         json.dumps(
