@@ -1761,3 +1761,37 @@ def span_corrupt(
         F.when(apply_sc, inputs).otherwise(text).alias("inputs"),
         F.when(apply_sc, targets).otherwise(F.lit("")).alias("targets"),
     )
+
+
+def rotate_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+) -> DataFrame:
+    """BART-style document rotation (Lewis et al. 2020): for a
+    deterministic ``rate`` fraction of documents, rotate the text so a
+    pseudo-random character position becomes the start —
+    ``text[p:] + text[:p]`` — the denoising objective that trains a
+    model to find the true document start. Same arithmetic-key-lane
+    discipline as ``fim_transform``/``span_corrupt``: no RNG, every
+    byte replayable. Documents outside the rate or shorter than 2 chars
+    pass through (``rotated`` false).
+    """
+    text = F.col(text_col)
+    idc = F.col(id_col)
+    length = F.length(text)
+    apply_rot = (sample_key(idc, 1000) < F.lit(rate * 1000)) & (length >= 2)
+    # p in [2, length]: substring(text, p) || substring(text, 1, p-1);
+    # p = 1 would be the identity rotation, so the lane lands on 2..length
+    p = (F.lit(2) + F.pmod(sample_key(idc * 2 + 1, 1_000_000), length - 1)).cast(
+        "int"
+    )
+    rotated = F.concat(
+        F.substring(text, p, length - p + 1), F.substring(text, F.lit(1), p - 1)
+    )
+    return df.select(
+        F.col(id_col),
+        apply_rot.alias("rotated"),
+        F.when(apply_rot, rotated).otherwise(text).alias(text_col),
+    )

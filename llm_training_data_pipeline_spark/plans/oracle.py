@@ -3789,3 +3789,30 @@ def span_corrupt_sql(rate: float = 0.5, span_len: int = 10) -> str:
                md5(targets) AS targets_md5
         FROM o
     """
+
+
+def rotate_docs_sql(rate: float = 0.5) -> str:
+    """Mirror of corpus.rotate_docs, md5+length projected."""
+    key = (
+        lambda e, b: f"((({e}) % 1000003 + 1000003) % 1000003 * 2654435761) % {b}"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, text, length(text) AS l,
+                 ({key('doc_id', 1000)}) < {rate * 1000}
+                   AND length(text) >= 2 AS apply_rot,
+                 CAST(2 + ({key('doc_id * 2 + 1', 1000000)})
+                     % (length(text) - 1) AS INT) AS p
+          FROM documents
+        ), o AS (
+          SELECT doc_id, apply_rot,
+                 CASE WHEN apply_rot THEN
+                   substr(text, p, l - p + 1) || substr(text, 1, p - 1)
+                 ELSE text END AS out
+          FROM s
+        )
+        SELECT doc_id, apply_rot AS rotated,
+               CAST(length(out) AS BIGINT) AS out_len,
+               md5(out) AS out_md5
+        FROM o
+    """

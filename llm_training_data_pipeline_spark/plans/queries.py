@@ -3159,3 +3159,20 @@ def q_scd2_user_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
     return out
+
+
+@register("rotate_docs_sample", oracle.rotate_docs_sql(rate=0.5))
+def q_rotate_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BART document-rotation augmentation over half the corpus
+    (deterministic key-lane rotation point) — md5+length projection pins
+    every rotated byte. Completes the denoising-objective family
+    (FIM infill, T5 span corruption, BART rotation)."""
+    from llm_training_data_pipeline_spark.operators.corpus import rotate_docs
+
+    out = rotate_docs(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "rotated",
+        F.length("text").cast("long").alias("out_len"),
+        F.md5("text").alias("out_md5"),
+    )

@@ -988,3 +988,22 @@ def test_span_corrupt_rate_zero_and_short_docs_identity(spark):
     # under rate=1.0 a doc shorter than 2*span_len still passes through
     out = {r["doc_id"]: r for r in corpus.span_corrupt(df, rate=1.0).collect()}
     assert not out[2]["corrupted"] and out[2]["inputs"] == "short"
+
+
+def test_rotate_docs_is_rotation_and_identity_cases(spark):
+    df = _docs(
+        spark,
+        [(i, "abcdefghij", "en", "s0") for i in range(10)] + [(100, "x", "en", "s0")],
+    )
+    out = {r["doc_id"]: r for r in corpus.rotate_docs(df, rate=1.0).collect()}
+    for i in range(10):
+        r = out[i]
+        assert r["rotated"]
+        t = r["text"]
+        # a rotation of the original: same multiset, found in doubled string,
+        # and never the identity rotation (p >= 2)
+        assert len(t) == 10 and t != "abcdefghij"
+        assert t in "abcdefghijabcdefghij"
+    assert not out[100]["rotated"] and out[100]["text"] == "x"
+    none = corpus.rotate_docs(df, rate=0.0).collect()
+    assert all(not r["rotated"] for r in none)
