@@ -3176,3 +3176,44 @@ def q_rotate_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("out_len"),
         F.md5("text").alias("out_md5"),
     )
+
+
+@register("tokenizer_fertility", None)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: chars/token and tokens/word of
+    a byte-BPE trained on this corpus, grouped by detected language —
+    the standard multilingual tokenizer diagnostic (a language with low
+    chars/token pays more sequence length per character). Rows-only:
+    tokenizer training is the engine's one deliberate driver round-trip."""
+    from llm_training_data_pipeline_spark.functions.text import word_count
+    from llm_training_data_pipeline_spark.operators.textstats import with_lang_id
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        tokenize_documents,
+        train_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = train_tokenizer(docs, algorithm="byte_bpe", vocab_size=2000)
+    enc = tokenize_documents(with_lang_id(docs), tok)
+    return (
+        enc.groupBy("detected_lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("token_count").cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(word_count(F.col("text"))).cast("long").alias("n_words"),
+        )
+        .select(
+            "detected_lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.when(F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")),
+                4,
+            ).alias("chars_per_token"),
+            F.round(
+                F.when(F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words")),
+                4,
+            ).alias("tokens_per_word"),
+        )
+    )

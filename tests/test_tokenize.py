@@ -289,3 +289,18 @@ def test_pretoken_counts_numeral_heavy_agrees_with_encode_split(spark):
     tok = train_byte_bpe_from_pretoken_counts(rows, vocab_size=300, min_frequency=1)
     for t in texts:
         assert tok.decode(tok.encode(t)) == t
+
+
+def test_tokenizer_fertility_sane(spark):
+    """Fertility query: byte-BPE chars/token must land in a plausible
+    band (1..20) and tokens/word >= 1 for every language group."""
+    from llm_training_data_pipeline_spark.plans.queries import registry
+    from tests.conftest import SF_DIR
+
+    fn, sql = registry()["tokenizer_fertility"]
+    assert sql is None
+    rows = fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r["chars_per_token"] <= 20.0, r
+        assert r["tokens_per_word"] >= 1.0, r
