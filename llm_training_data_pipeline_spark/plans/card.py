@@ -25,10 +25,15 @@ def dataset_card(
     df: DataFrame,
     name: str = "corpus",
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_k: int = 10,
 ) -> str:
-    """Render a markdown dataset card for a documents DataFrame."""
+    """Render a markdown dataset card for a documents DataFrame.
+
+    Handles the all-filtered case (0 rows → zeros and n/a, no crash).
+    The input is persisted around the five section jobs so an expensive
+    upstream chain (caps, entropy gates, dedup) executes once, not per
+    section.
+    """
     from llm_training_data_pipeline_spark.operators.dedup import exact_dedup_stats
     from llm_training_data_pipeline_spark.operators.quality import with_quality
     from llm_training_data_pipeline_spark.operators.textstats import (
@@ -36,6 +41,7 @@ def dataset_card(
         with_lang_id,
     )
 
+    df = df.persist()
     totals = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length(text_col)).cast("long").alias("n_chars"),
@@ -79,42 +85,50 @@ def dataset_card(
         )
         .collect()[0]
     )
+    df.unpersist()
+
+    # zero-row corpus: sums/percentiles come back NULL — render zeros/n-a
+    n_docs = totals["n_docs"] or 0
+    n_chars = totals["n_chars"] or 0
+    na = lambda v: "n/a" if v is None else v  # noqa: E731
 
     lines = [
         f"# Dataset card — {name}",
         "",
         "## Size",
-        f"- documents: {totals['n_docs']:,}",
-        f"- characters: {totals['n_chars']:,}",
-        f"- doc length (chars): p50 {totals['p50_chars']}, p90 {totals['p90_chars']}",
+        f"- documents: {n_docs:,}",
+        f"- characters: {n_chars:,}",
+        f"- doc length (chars): p50 {na(totals['p50_chars'])},"
+        f" p90 {na(totals['p90_chars'])}",
         "",
         "## Source mix",
     ]
     for r in sources:
         lines.append(
-            f"- {r['source']}: {r['n_docs']:,} ({_fmt_pct(r['n_docs'] / totals['n_docs'])})"
+            f"- {r['source']}: {r['n_docs']:,} ({_fmt_pct(r['n_docs'] / n_docs)})"
         )
     lines += ["", "## Language mix (detected)"]
     for r in langs:
         lines.append(
-            f"- {r['detected_lang']}: {r['n_docs']:,} ({_fmt_pct(r['n_docs'] / totals['n_docs'])})"
+            f"- {r['detected_lang']}: {r['n_docs']:,} ({_fmt_pct(r['n_docs'] / n_docs)})"
         )
-    dup_rate = (
-        dd["duplicate_documents"] / dd["total_documents"]
-        if dd["total_documents"]
-        else 0.0
-    )
+    uniq = dd["unique_documents"] or 0
+    dups = dd["duplicate_documents"] or 0
+    clusters = dd["duplicate_clusters"] or 0
+    dup_rate = dups / dd["total_documents"] if dd["total_documents"] else 0.0
+    passed = q["passed"] or 0
+    total_q = q["total"] or 0
     lines += [
         "",
         "## Duplication (exact)",
-        f"- unique documents: {dd['unique_documents']:,}",
-        f"- exact duplicates: {dd['duplicate_documents']:,} ({_fmt_pct(dup_rate)})",
-        f"- duplicate clusters: {dd['duplicate_clusters']:,}",
+        f"- unique documents: {uniq:,}",
+        f"- exact duplicates: {dups:,} ({_fmt_pct(dup_rate)})",
+        f"- duplicate clusters: {clusters:,}",
         "",
         "## Quality",
-        f"- battery pass rate: {_fmt_pct(q['passed'] / q['total'] if q['total'] else 0.0)}"
-        f" ({q['passed']:,} of {q['total']:,})",
-        f"- char-entropy p10/p50 (nats): {ent['p10']} / {ent['p50']}",
+        f"- battery pass rate: {_fmt_pct(passed / total_q if total_q else 0.0)}"
+        f" ({passed:,} of {total_q:,})",
+        f"- char-entropy p10/p50 (nats): {na(ent['p10'])} / {na(ent['p50'])}",
         "",
     ]
     return "\n".join(lines)

@@ -476,7 +476,11 @@ def main() -> None:
 
         from llm_training_data_pipeline_spark.plans.card import write_dataset_card
 
-        out = spark.read.parquet(os.path.join(args.output_dir, "pipeline_output.parquet"))
+        out_path = summary["output_path"]
+        if out_path.endswith(".parquet"):
+            out = spark.read.parquet(out_path)
+        else:  # jsonl sink
+            out = spark.read.json(out_path)
         card_path = os.path.join(args.output_dir, "DATASET_CARD.md")
         write_dataset_card(out, card_path, name=os.path.basename(args.input))
         summary["dataset_card"] = card_path

@@ -12,7 +12,8 @@ from typing import Any
 
 STAGE_ORDER = [
     "ingest", "clean", "dedup", "span_dedup", "source_cap",
-    "quality", "entropy", "perplexity", "tokenize",
+    "quality", "entropy", "perplexity", "decontaminate", "pii",
+    "sample", "tokenize",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _CAP_STATE_SCHEMA = StructType([StructField("admitted", LongType())])
 
@@ -58,11 +58,17 @@ def streaming_source_cap(
     """
     from pyspark.sql import functions as F
 
-    out_schema = StructType(
-        [StructField("source", StringType()), StructField("doc_id", LongType())]
-    )
     keyed = stream.select(
         F.col(stratum_col).alias("source"), F.col(id_col).alias("doc_id")
+    )
+    # schema follows the INPUT column types (string urls, int strata, ...)
+    # instead of hardcoding string/long — the signature's generality is
+    # only real if the Arrow round-trip agrees with the declared types
+    out_schema = StructType(
+        [
+            StructField("source", keyed.schema["source"].dataType),
+            StructField("doc_id", keyed.schema["doc_id"].dataType),
+        ]
     )
     return keyed.groupBy("source").applyInPandasWithState(
         _make_cap_fn(cap),

@@ -431,3 +431,16 @@ def test_source_cap_and_entropy_stages_gate(spark):
     assert all(v <= 5 for v in per.values()), per
     assert all(r["doc_id"] != 100 for r in out), "low-entropy doc must drop"
     assert n_off > len(out)
+
+
+def test_dataset_card_empty_corpus_no_crash(spark):
+    """The all-filtered case: zero rows must render zeros/n-a, not
+    TypeError on NULL aggregates."""
+    from llm_training_data_pipeline_spark.plans.card import dataset_card
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    md = dataset_card(docs, name="empty")
+    assert "documents: 0" in md and "n/a" in md
+    assert "0.0%" in md

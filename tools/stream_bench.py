@@ -61,11 +61,11 @@ def main() -> None:
     docs.repartition(args.batches).write.mode("overwrite").parquet(src)
     schema = docs.schema
 
-    def run(name, build):
+    def run(name, build, src_dir=None, src_schema=None):
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(src_schema or schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+            .parquet(src_dir or src)
         )
         out = build(stream)
         t0 = time.time()
@@ -123,36 +123,14 @@ def main() -> None:
     capped_src = docs.withColumn(
         "source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string"))
     )
-    schema_cap = capped_src.schema
     src_cap = tempfile.mkdtemp(prefix="stream_bench_cap_")
     capped_src.repartition(args.batches).write.mode("overwrite").parquet(src_cap)
-
-    def run_cap():
-        stream = (
-            spark.readStream.schema(schema_cap)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_cap)
-        )
-        out = streaming_source_cap(stream, cap=max(n_docs // 40, 1))
-        t0 = time.time()
-        q = (
-            out.writeStream.format("memory")
-            .queryName("bench_cap")
-            .outputMode("append")
-            .start()
-        )
-        q.processAllAvailable()
-        elapsed = time.time() - t0
-        q.stop()
-        got = spark.table("bench_cap").count()
-        return {
-            "rows_in": n_docs,
-            "rows_out": got,
-            "sec": round(elapsed, 3),
-            "rows_per_sec": round(n_docs / elapsed, 1),
-        }
-
-    results["source_cap"] = run_cap()
+    results["source_cap"] = run(
+        "cap",
+        lambda s: streaming_source_cap(s, cap=max(n_docs // 40, 1)),
+        src_dir=src_cap,
+        src_schema=capped_src.schema,
+    )
     shutil.rmtree(src_cap, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     print(

@@ -40,7 +40,10 @@ def main() -> int:
     for name in sorted(set(old) | set(new)):
         o, n = old.get(name), new.get(name)
         if o is None:
-            notes.append(f"+ {name} (new: {n['status']})")
+            if n["status"] in ok_status:
+                notes.append(f"+ {name} (new: {n['status']})")
+            else:
+                regressions.append(f"! {name}: new query arrives {n['status']}")
             continue
         if n is None:
             notes.append(f"- {name} (removed; was {o['status']})")
@@ -50,6 +53,9 @@ def main() -> int:
                 f"! {name}: {o['status']} -> {n['status']}"
                 + (f" ({n.get('detail', '')})" if n.get("detail") else "")
             )
+        elif o["status"] == "pass" and n["status"] == "rows_only":
+            # losing the oracle hash-check IS a verification regression
+            regressions.append(f"! {name}: pass -> rows_only (oracle pairing lost)")
         elif o["status"] != n["status"]:
             notes.append(f"~ {name}: {o['status']} -> {n['status']}")
         eo, en = o.get("exchanges"), n.get("exchanges")
