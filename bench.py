@@ -136,6 +136,11 @@ HEADLINE = [
     "semdedup_incremental",
     "surprisal_terciles",
     "span_corrupt_sample",
+    # fifth mini-wave (tokenizer_fertility stays out: it trains a
+    # tokenizer end-to-end like the *_tokenize_stats queries but adds the
+    # full lang-id pass on top — diagnostic, not a throughput query)
+    "scd2_user_intervals",
+    "rotate_docs_sample",
 ]
 
 
