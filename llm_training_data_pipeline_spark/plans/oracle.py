@@ -3816,3 +3816,25 @@ def rotate_docs_sql(rate: float = 0.5) -> str:
                md5(out) AS out_md5
         FROM o
     """
+
+
+def dup_source_matrix_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """Mirror of the cross-source duplication matrix: md5-family MinHash
+    pairs attributed to their (source_a, source_b) cell, sources sorted
+    within the pair so the matrix is upper-triangular."""
+    pairs = minhash_pairs_md5_sql(num_perm, num_bands, threshold, shingle_size)
+    return f"""
+        WITH p AS ({pairs})
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM p
+        JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id
+        GROUP BY 1, 2
+    """

@@ -3217,3 +3217,31 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word"),
         )
     )
+
+
+@register(
+    "dup_source_matrix",
+    oracle.dup_source_matrix_sql(num_perm=16, num_bands=4, threshold=0.5, shingle_size=5),
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs from the shared
+    md5-family signature store attributed to their (source_a, source_b)
+    cell — the provenance diagnostic that shows which sources mirror
+    which (within-source boilerplate vs cross-source syndication). Two
+    slim id joins back to documents; sources sorted within the pair so
+    the matrix is upper-triangular."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(
+        docs, cfg=_MD5_CFG, signatures=_md5_sigs(spark, sf_dir)
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
