@@ -20,8 +20,15 @@ def main() -> None:
     from llm_training_data_pipeline_spark.session import get_spark
     from llm_training_data_pipeline_spark.sources.sinks import read_pipeline_output
 
+    path = f"{out_dir}/pipeline_output.parquet"
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"no pipeline output at {path} — run the pipeline CLI first:\n"
+            "  python -m llm_training_data_pipeline_spark.plans.pipeline "
+            f"--input <docs.parquet> --output-dir {out_dir}"
+        )
     spark = get_spark(app_name="data-exploration")
-    df = read_pipeline_output(spark, f"{out_dir}/pipeline_output.parquet")
+    df = read_pipeline_output(spark, path)
 
     print("=== corpus overview ===")
     df.printSchema()
