@@ -1726,6 +1726,12 @@ def span_corrupt(
     rate or shorter than ``2*span_len`` chars pass through uncorrupted
     (``inputs`` = text, ``targets`` = ''). Splicing targets back into
     inputs reconstructs the original text exactly (pinned in tests).
+
+    All input columns (including the original ``text_col``) pass
+    through unchanged; ``corrupted``, ``inputs`` and ``targets`` are
+    appended — the same column-preserving contract as
+    ``fim_transform``/``rotate_docs``, so the augmentation family
+    composes inside a pipeline without dropping metadata.
     """
     text = F.col(text_col)
     idc = F.col(id_col)
@@ -1755,11 +1761,10 @@ def span_corrupt(
         F.substring(text, s2, sl),
         F.lit("<extra_id_2>"),
     )
-    return df.select(
-        F.col(id_col),
-        apply_sc.alias("corrupted"),
-        F.when(apply_sc, inputs).otherwise(text).alias("inputs"),
-        F.when(apply_sc, targets).otherwise(F.lit("")).alias("targets"),
+    return (
+        df.withColumn("corrupted", apply_sc)
+        .withColumn("inputs", F.when(apply_sc, inputs).otherwise(text))
+        .withColumn("targets", F.when(apply_sc, targets).otherwise(F.lit("")))
     )
 
 
@@ -1777,6 +1782,10 @@ def rotate_docs(
     discipline as ``fim_transform``/``span_corrupt``: no RNG, every
     byte replayable. Documents outside the rate or shorter than 2 chars
     pass through (``rotated`` false).
+
+    ``text_col`` is rewritten in place and ``rotated`` appended; every
+    other input column passes through unchanged (the ``fim_transform``
+    column-preserving contract).
     """
     text = F.col(text_col)
     idc = F.col(id_col)
@@ -1790,8 +1799,6 @@ def rotate_docs(
     rotated = F.concat(
         F.substring(text, p, length - p + 1), F.substring(text, F.lit(1), p - 1)
     )
-    return df.select(
-        F.col(id_col),
-        apply_rot.alias("rotated"),
-        F.when(apply_rot, rotated).otherwise(text).alias(text_col),
-    )
+    return df.withColumn(
+        text_col, F.when(apply_rot, rotated).otherwise(text)
+    ).withColumn("rotated", apply_rot)

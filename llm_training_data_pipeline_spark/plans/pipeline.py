@@ -480,7 +480,15 @@ def main() -> None:
         if out_path.endswith(".parquet"):
             out = spark.read.parquet(out_path)
         else:  # jsonl sink
-            out = spark.read.json(out_path)
+            try:
+                out = spark.read.json(out_path)
+            except Exception:
+                # an all-rows-filtered run leaves a jsonl file with zero
+                # records; spark.read.json cannot infer a schema from it
+                # ("Unable to infer schema"), even though dataset_card
+                # itself handles 0 rows — give it the empty frame with a
+                # minimal explicit schema instead of crashing the CLI
+                out = spark.createDataFrame([], "text string")
         card_path = os.path.join(args.output_dir, "DATASET_CARD.md")
         write_dataset_card(out, card_path, name=os.path.basename(args.input))
         summary["dataset_card"] = card_path

@@ -25,8 +25,11 @@ import sys
 
 def _load(path: str) -> dict:
     txt = open(path).read()
-    # the mimic prints a trailing summary line after the JSON object
-    return json.loads(txt[: txt.rindex("}") + 1])
+    # the mimic prints a trailing summary after the JSON object; decode
+    # the first JSON value structurally instead of trimming at the last
+    # '}' (which mis-parses if the summary ever contains a brace)
+    obj, _ = json.JSONDecoder().raw_decode(txt, txt.index("{"))
+    return obj
 
 
 def main() -> int:
