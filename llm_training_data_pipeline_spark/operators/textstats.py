@@ -8,11 +8,14 @@ scans (no Python, no shuffle).
 The reference's language check (Q9) wraps ``langdetect``
 (/root/reference/src/processing/quality_filter.py:243-252); that library is
 not available here, so ``lang_id`` is a deterministic stopword/char-class
-profile heuristic — 17 stopword profiles (en fr es de pt it nl tr pl sv id
-ro da fi cs hu ca) plus 24 script classes (ja zh ru ko ar hi th el he vi
-bn ta te ml kn gu pa si my km lo ka am hy) with within-script refinement
-(Cyrillic → ru/uk, Arabic → ar/fa), 43 languages total — same API
-position, documented substitution, testable and SQL-expressible.
+profile heuristic — 30 stopword profiles (en fr es de pt it nl tr pl sv id
+ro da fi cs hu ca af cy et hr lt lv no sk sl so sq sw tl) plus 24 script
+classes (ja zh ru ko ar hi th el he vi bn ta te ml kn gu pa si my km lo ka
+am hy) with within-script refinement (Cyrillic → ru/uk/bg/mk/sr, Arabic →
+ar/fa/ur, Devanagari → hi/mr/ne), 62 languages total — a superset of
+langdetect's 55-language domain except the zh-cn/zh-tw split (both emit
+``zh``; Han-variant detection needs a codepoint inventory, not a class).
+Same API position, documented substitution, testable and SQL-expressible.
 """
 
 from __future__ import annotations
@@ -49,11 +52,31 @@ LANG_PROFILES: dict[str, str] = {
     "cs": r"\b(je|se|na|to|ale|jako|pro|tak|nebo|aby|byl|jsou|jsem|kdy)\b",
     "hu": r"\b(az|hogy|nem|egy|van|mint|meg|csak|mert|vagy|ez|ki|volt|lehet)\b",
     "ca": r"\b(els|les|amb|per|com|una|dels|aquest|molt|fins|seva|aquesta|tot|cap)\b",
+    # r7 widening to langdetect's full Latin-script domain (quality_filter
+    # .py:243-252 spec): accent-free function words only, chosen to be
+    # distinctive against the near-neighbour already in the table
+    # (af vs nl, no vs da/sv, sk vs cs, hr vs cs, et vs fi, sl vs hr/cs)
+    "af": r"\b(die|nie|vir|ons|hulle|baie|wat|jy|hy|sy|ek|word|om|te)\b",
+    "cy": r"\b(mae|yn|wedi|gyda|bod|eich|ydy|iawn|ond|hefyd|neu|fel|cael|ei)\b",
+    "et": r"\b(ja|on|ei|et|see|oli|oma|aga|ning|kui|seda|ka|mis|siis)\b",
+    "hr": r"\b(su|za|da|ili|nije|koji|koja|bio|samo|nego|kako|jer|vrlo|ove)\b",
+    "lt": r"\b(ir|yra|kad|tai|bet|kaip|buvo|jis|su|nuo|taip|arba|apie|jau)\b",
+    "lv": r"\b(un|ir|ka|par|bet|kas|tas|ar|no|uz|vai|tika|lai|tam)\b",
+    "no": r"\b(og|det|er|som|av|ikke|fra|jeg|han|med|til|ble|eller|etter)\b",
+    "sk": r"\b(sa|aj|ako|alebo|bol|som|pre|kde|ich|ale|na|to|tak|pri)\b",
+    "sl": r"\b(je|in|se|da|so|ki|pa|tudi|ali|kot|bil|smo|lahko|med)\b",
+    "so": r"\b(iyo|oo|waa|ku|ka|uu|ay|soo|waxaa|waxa|kale|sida|lagu|kuwa)\b",
+    "sq": r"\b(dhe|nga|por|kjo|ky|duke|edhe|sipas|tij|saj|mund|disa|ishte|madhe)\b",
+    "sw": r"\b(na|ya|wa|kwa|ni|za|katika|hii|hiyo|kwamba|lakini|pia|sana|yake)\b",
+    "tl": r"\b(ang|ng|sa|na|mga|ay|para|hindi|ito|siya|kanyang|naman|lamang|rin)\b",
 }
-# deterministic argmax tie order (earlier wins)
+# deterministic argmax tie order (earlier wins); new languages append at
+# the end so pre-r7 tie behaviour (and its pinned fixtures) is unchanged
 STOPWORD_ORDER = (
     "en", "fr", "es", "de", "pt", "it", "nl", "tr", "pl", "sv", "id",
     "ro", "da", "fi", "cs", "hu", "ca",
+    "af", "cy", "et", "hr", "lt", "lv", "no", "sk", "sl", "so", "sq",
+    "sw", "tl",
 )
 
 # Script-class languages: character evidence beats stopword evidence.
@@ -130,17 +153,41 @@ SCRIPT_ORDER = (
 SCRIPT_MIN_RATIO = 0.05
 
 # Within-script refinement (langdetect-style granularity): when a script
-# class fires, distinctive letters pick the specific language. Entry:
-# base script lang → (refined lang, refined-marks class, base-marks
-# class); the refined label wins iff count(refined marks) >
-# count(base marks) over the scoring prefix. Literal character classes —
-# identical spelling in Java regex and RE2.
-SCRIPT_REFINEMENTS: dict[str, tuple[str, str, str]] = {
-    # Ukrainian і ї є ґ vs Russian ы э ъ ё
-    "ru": ("uk", "іїєґІЇЄҐ", "ыэъёЫЭЪЁ"),
-    # Persian-specific پ چ ژ گ (Arabic has no counterpart class — any
-    # Persian letter majority of zero Arabic marks still needs > 0)
-    "ar": ("fa", "پچژگ", ""),
+# class fires, distinctive marker patterns pick the specific language.
+# Entry: base script lang → (base-marker pattern, ((refined lang,
+# refined-marker pattern), ...)). A refined label wins iff
+# count(its markers) > count(base markers) AND ≥ every other refined
+# count (ties among refined → earlier wins); otherwise the base label
+# stands. Patterns are literal character classes / alternations with
+# identical spelling in Java regex and RE2; no \b (ASCII word
+# boundaries don't exist inside these scripts), plain occurrence counts
+# compare fairly because all candidates share the script.
+SCRIPT_REFINEMENTS: dict[str, tuple[str, tuple[tuple[str, str], ...]]] = {
+    # Cyrillic: Russian ы/э/ё vs Ukrainian і/ї/є/ґ vs Bulgarian's
+    # vowel-ъ (Russian's hard-sign ъ is rare; Bulgarian съм/първи/към
+    # make it frequent, and Bulgarian lacks ы/э entirely) vs Macedonian
+    # ѓ/ќ/ѕ vs Serbian ђ/ћ (both also lack ы/э/ъ).
+    "ru": (
+        "[ыэёЫЭЁ]",
+        (
+            ("uk", "[іїєґІЇЄҐ]"),
+            ("bg", "[ъЪ]"),
+            ("mk", "[ѓќѕЃЌЅ]"),
+            ("sr", "[ђћЂЋ]"),
+        ),
+    ),
+    # Arabic script: Persian پ/چ/ژ/گ (no Arabic counterpart class — a
+    # refined majority over zero base marks still needs > 0); Urdu's
+    # retroflex ٹ/ڈ/ڑ + noon-ghunna ں + baree-yeh ے are absent from
+    # Persian, while Urdu text also contains the Persian four — the
+    # ≥-other-refined rule lets the more specific Urdu count win.
+    "ar": ("", (("fa", "[پچژگ]"), ("ur", "[ٹڈڑںے]"))),
+    # Devanagari: Hindi है/और copulas vs Marathi आहे/आणि + retroflex ळ
+    # vs Nepali छन्/भएको and the हरू plural marker.
+    "hi": (
+        "(है|और)",
+        (("mr", "(आहे|आणि|ळ)"), ("ne", "(छन्|भएको|गरेको|हरू)")),
+    ),
 }
 
 # Language evidence is scored over a fixed document prefix, mirroring the
@@ -182,11 +229,14 @@ def lang_scores(text: Column) -> dict[str, Column]:
         scores[lang] = (
             F.regexp_count(text, F.lit(f"[{cls}]")).cast("double") / safe_chars
         )
-    for base, (refined, pos, neg) in SCRIPT_REFINEMENTS.items():
-        scores[f"_m_{refined}"] = F.regexp_count(text, F.lit(f"[{pos}]")).cast("long")
+    for base, (base_pat, refinements) in SCRIPT_REFINEMENTS.items():
         scores[f"_m_{base}"] = (
-            F.regexp_count(text, F.lit(f"[{neg}]")).cast("long") if neg else F.lit(0)
+            F.regexp_count(text, F.lit(base_pat)).cast("long")
+            if base_pat
+            else F.lit(0)
         )
+        for refined, pat in refinements:
+            scores[f"_m_{refined}"] = F.regexp_count(text, F.lit(pat)).cast("long")
     return scores
 
 
@@ -198,10 +248,20 @@ def _lang_cascade(s: dict[str, Column], min_score: float) -> Column:
     for lang in SCRIPT_ORDER:
         label: Column | str = lang
         if lang in SCRIPT_REFINEMENTS:
-            refined, _pos, _neg = SCRIPT_REFINEMENTS[lang]
-            label = F.when(
-                s[f"_m_{refined}"] > s[f"_m_{lang}"], F.lit(refined)
-            ).otherwise(F.lit(lang))
+            _base_pat, refinements = SCRIPT_REFINEMENTS[lang]
+            refined_label: Column | None = None
+            for i, (refined, _pat) in enumerate(refinements):
+                cnt = s[f"_m_{refined}"]
+                cond_r = cnt > s[f"_m_{lang}"]
+                for other, _p in refinements[i + 1 :]:
+                    cond_r = cond_r & (cnt >= s[f"_m_{other}"])
+                refined_label = (
+                    F.when(cond_r, F.lit(refined))
+                    if refined_label is None
+                    else refined_label.when(cond_r, F.lit(refined))
+                )
+            assert refined_label is not None
+            label = refined_label.otherwise(F.lit(lang))
         cond = s[lang] >= F.lit(SCRIPT_MIN_RATIO)
         cascade = F.when(cond, label) if cascade is None else cascade.when(cond, label)
     assert cascade is not None
@@ -264,18 +324,19 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
             ).otherwise(F.lit(0.0))
             / safe_chars
         )
-    for base, (refined, pos, neg) in SCRIPT_REFINEMENTS.items():
-        score_exprs[f"_m_{refined}"] = F.when(
-            F.col("_lid_nonascii"), F.regexp_count(t, F.lit(f"[{pos}]")).cast("long")
-        ).otherwise(F.lit(0))
+    for base, (base_pat, refinements) in SCRIPT_REFINEMENTS.items():
         score_exprs[f"_m_{base}"] = (
             F.when(
                 F.col("_lid_nonascii"),
-                F.regexp_count(t, F.lit(f"[{neg}]")).cast("long"),
+                F.regexp_count(t, F.lit(base_pat)).cast("long"),
             ).otherwise(F.lit(0))
-            if neg
+            if base_pat
             else F.lit(0)
         )
+        for refined, pat in refinements:
+            score_exprs[f"_m_{refined}"] = F.when(
+                F.col("_lid_nonascii"), F.regexp_count(t, F.lit(pat)).cast("long")
+            ).otherwise(F.lit(0))
     staged = pre.select(
         "*", *[col.alias(f"_ls_{lang}") for lang, col in score_exprs.items()]
     )

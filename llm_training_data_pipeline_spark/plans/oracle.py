@@ -500,10 +500,25 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
     for lang in SCRIPT_ORDER:
         label = f"'{lang}'"
         if lang in SCRIPT_REFINEMENTS:
-            refined, pos, neg = SCRIPT_REFINEMENTS[lang]
-            pos_n = f"len(regexp_extract_all({text_col}, '[{q(pos)}]'))"
-            neg_n = f"len(regexp_extract_all({text_col}, '[{q(neg)}]'))" if neg else "0"
-            label = f"(CASE WHEN {pos_n} > {neg_n} THEN '{refined}' ELSE '{lang}' END)"
+            base_pat, refinements = SCRIPT_REFINEMENTS[lang]
+            base_n = (
+                f"len(regexp_extract_all({text_col}, '{q(base_pat)}'))"
+                if base_pat
+                else "0"
+            )
+            counts = {
+                refined: f"len(regexp_extract_all({text_col}, '{q(pat)}'))"
+                for refined, pat in refinements
+            }
+            # refined wins iff > base marks AND >= every later refined
+            # (earlier refined wins ties) — mirrors _lang_cascade exactly
+            label = "(CASE"
+            for i, (refined, _pat) in enumerate(refinements):
+                cond = f"{counts[refined]} > {base_n}"
+                for other, _p in refinements[i + 1 :]:
+                    cond += f" AND {counts[refined]} >= {counts[other]}"
+                label += f" WHEN {cond} THEN '{refined}'"
+            label += f" ELSE '{lang}' END)"
         case += f" WHEN ({script[lang]}) >= {SCRIPT_MIN_RATIO} THEN {label}"
     for lang in STOPWORD_ORDER:
         case += (

@@ -46,6 +46,28 @@ FIXTURES = [
     (29, "To je dobrý den a my jdeme na procházku do parku ale jen pokud nebo aby bylo hezky.", "cs"),
     (30, "Ez egy nagyon szép nap és mi sétálni megyünk a parkba de csak ha nem esik mert úgy jó.", "hu"),
     (31, "Els nens van amb una bicicleta per la ciutat i aquest parc és molt gran fins al final.", "ca"),
+    # round-7 widening to the full langdetect domain: 13 new Latin-script
+    # stopword profiles plus Cyrillic → bg/mk/sr, Arabic → ur and
+    # Devanagari → mr/ne within-script refinements
+    (32, "Die kinders speel nie in die park nie maar hulle is baie bly om vir ons te help.", "af"),
+    (33, "Mae y tywydd yn braf heddiw ac rydym wedi bod yn cerdded gyda ein gilydd hefyd.", "cy"),
+    (34, "See on ilus päev ja me läheme parki aga ainult kui ei saja ning oma sõpradega.", "et"),
+    (35, "Ovo nije dobar dan za njih ali samo zato jer su oni bili tu kako bi vidjeli ove stvari.", "hr"),
+    (36, "Tai yra graži diena ir mes einame į parką bet tik jei nelyja kaip buvo sakyta apie tai.", "lt"),
+    (37, "Šī ir skaista diena un mēs ejam uz parku bet tikai tad ja nelīst lai tam būtu jēga.", "lv"),
+    (38, "Det er en fin dag og vi skal gå en tur i parken men ikke etter at han ble syk eller fra da.", "no"),
+    (39, "Toto je pekný deň a my sa ideme prejsť do parku ale len ak nebude pršať pri tom aj bol som tam.", "sk"),
+    (40, "To je lep dan in gremo na sprehod v park pa tudi če dežuje ali pa smo lahko med drevesi.", "sl"),
+    (41, "Maanta waa maalin wanaagsan oo waxaan ku soo socdaa beerta iyo waxa kale ee lagu arko sida kuwa.", "so"),
+    (42, "Kjo ditë është e bukur dhe ne po shkojmë në park por vetëm sipas motit duke ecur edhe me disa.", "sq"),
+    (43, "Leo ni siku nzuri na tunakwenda katika bustani kwa sababu hali ya hewa ni nzuri sana pia.", "sw"),
+    (44, "Ang panahon ay maganda ngayon at kami ay pupunta sa parke para sa mga bata hindi naman malayo.", "tl"),
+    (45, "Днес времето е хубаво и ние отиваме към парка защото първият ден е съвсем добър за съня.", "bg"),
+    (46, "Денес времето е убаво и ние одиме во паркот ѕвезда затоа што е првиот ден ќе биде добро ѓон.", "mk"),
+    (47, "Данас је време лепо и ми идемо у парк јер је први дан ђак баш добар и ноћ ће бити тиха.", "sr"),
+    (48, "آج موسم بہت اچھا ہے اور ہم پارک میں ٹہلنے جا رہے ہیں کیونکہ یہ دن بہت خوبصورت ہے۔", "ur"),
+    (49, "आज हवामान चांगले आहे आणि आम्ही बागेत फिरायला जात आहोत कारण हा दिवस सुंदर आहे आणि बाळ खेळते.", "mr"),
+    (50, "आज मौसम राम्रो छ र हामीहरू पार्कमा हिँड्न जाँदैछौं किनभने यो दिन राम्रो भएको छन् भनेका हरू।", "ne"),
 ]
 
 
