@@ -850,6 +850,22 @@ def event_sessionization_sql() -> str:
     """
 
 
+def approx_distinct_bound_sql() -> str:
+    """Oracle for the HLL++ error-bound contract: the exact per-group
+    distinct counts with ``within_bound`` hard-coded TRUE. The Spark side
+    computes the boolean from its own sketch — a sketch drifting outside
+    5·rsd of exact flips the bit and fails the value hash, so the
+    approximate path is hash-falsifiable without DuckDB replaying
+    engine-specific HLL registers."""
+    return """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               TRUE AS within_bound
+        FROM events GROUP BY event_type
+    """
+
+
 def grouping_sets_revenue_sql() -> str:
     return f"""
         SELECT coalesce(r_name, 'ALL') AS region_name,

@@ -123,6 +123,33 @@ _CHANGED_IN_ROUND.update(
 # (source_cap / entropy_filter) — default plan identical, mimic-verified,
 # but the composing code changed, so re-score
 _CHANGED_IN_ROUND["pipeline_e2e_exact"] = 6
+# r7: lang-id widened 43 → 62 languages (13 stopword profiles,
+# multi-candidate within-script refinement) — oracle updated in lockstep
+# via the shared constant tables; every lang-consuming query re-scores
+_CHANGED_IN_ROUND.update(
+    {
+        n: 7
+        for n in (
+            "lang_id_histogram",
+            "quality_with_language",
+            "nb_classify_lang",
+            "lang_confusion_matrix",
+            "segment_lang_mix",
+            "remove_wrong_lang",
+            "surprisal_terciles",
+        )
+    }
+)
+# r7: approx_distinct_users upgraded from rows-only to an oracle-paired
+# 5·rsd error-bound contract; span_corrupt/rotate_docs now preserve
+# pass-through columns (projection identical, composing code changed)
+_CHANGED_IN_ROUND.update(
+    {
+        "approx_distinct_users": 7,
+        "span_corrupt_sample": 7,
+        "rotate_docs_sample": 7,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -894,15 +921,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", None)
+@register("approx_distinct_users", oracle.approx_distinct_bound_sql())
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch values are engine-specific,
-    so the driver records a rows-only check; exactness is asserted in unit
-    tests against the exact distinct count within rsd tolerance."""
+    """approx_count_distinct (HLL++) with an oracle-checked error bound.
+
+    The sketch estimate itself is engine-specific (DuckDB cannot replay
+    Spark's HLL++ registers), so the hash-checked row carries what IS
+    cross-engine: the exact distinct count, the group size, and a
+    boolean asserting |HLL − exact| ≤ 5·rsd·exact. The oracle emits the
+    same exact counts with the bound hard-coded TRUE — any sketch whose
+    error escapes five standard deviations (rsd=0.02 → 10%) flips the
+    boolean and fails the value hash. This upgrades the former rows-only
+    check into a falsifiable accuracy contract (the r6-verdict pattern
+    used for the MinHash/SimHash/ANN recall audits)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    bound = F.abs(F.col("_approx") - F.col("exact_users")) <= (
+        F.lit(5 * rsd) * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type", "exact_users", "n_events", bound.alias("within_bound")
     )
 
 

@@ -96,6 +96,32 @@ def test_stalest_queries_fit_driver_window():
     assert not missing, f"multi-round-stale queries outside window: {missing}"
 
 
+def test_staleness_ceiling():
+    """The rotation's guarantee, enforced as an invariant: no
+    oracle-paired query's newest green row may fall more than 4 rounds
+    behind the newest scored round. With ~166 registered queries and a
+    50-slot driver window, oldest-green-first rotation bounds worst-case
+    staleness at ~3-4 rounds by construction — if this fails, the
+    ordering regressed (or the registry outgrew the window and the
+    rotation needs rebalancing), not a flaky fixture."""
+    from llm_training_data_pipeline_spark.plans.queries import _scorecard_rounds
+
+    MAX_STALE_ROUNDS = 4
+    scored, green = _scorecard_rounds()
+    newest = max(green.values(), default=0)
+    over = {
+        n: newest - green[n]
+        for n in REG
+        if REG[n][1] is not None
+        and green.get(n, 0) > 0
+        and newest - green[n] > MAX_STALE_ROUNDS
+    }
+    assert not over, (
+        f"oracle-paired queries stale beyond {MAX_STALE_ROUNDS} rounds "
+        f"(newest green round {newest}): {over}"
+    )
+
+
 def test_changed_pin_expires_after_green():
     """A _CHANGED_IN_ROUND pin must stop occupying a tier-1 slot once a
     green row from that round (or later) exists — else stale pins starve
