@@ -141,6 +141,47 @@ HEADLINE = [
     # full lang-id pass on top — diagnostic, not a throughput query)
     "scd2_user_intervals",
     "rotate_docs_sample",
+    # round-7: the forced distributed connected-components path (the
+    # 100-TB branch of dedup_clusters) gets its own measured row
+    "dedup_clusters_distributed",
+]
+
+# The two-decade scale audit (r6 verdict #1): these queries also run at
+# the sf1-equivalent slice (10x sf0.1; tools/gen_scale.py regenerates it
+# deterministically in ~10s) so every family has sf0.01→0.1→1 ratios.
+# A fixed subset, not the whole suite: the representative/most-expensive
+# plan shapes — scan-agg, shuffle joins, windows, sessionization,
+# shingle/LSH dedup, CC (driver + forced-distributed), ANN, SemDeDup,
+# tokenize-adjacent text passes, and the e2e pipeline — at single-run
+# cost that keeps the whole bench inside a per-round budget.
+LARGE_SUBSET = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_volume_customers",
+    "top3_customers_per_nation",
+    "customer_running_totals",
+    "event_sessionization",
+    "asof_join_events",
+    "clean_documents",
+    "quality_cascade",
+    "lang_id_histogram",
+    "exact_dedup_stats",
+    "minhash_dedup",
+    "minhash_pairs_md5",
+    "simhash_near_dup_pairs",
+    "dedup_clusters",
+    "dedup_clusters_distributed",
+    "dedup_keep_best",
+    "ngram_jaccard_lsh",
+    "bloom_incremental_dedup",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_ann_pairs",
+    "semdedup_pairs",
+    "semdedup_incremental",
+    "unigram_surprisal",
+    "token_budget_fill",
+    "pipeline_e2e_exact",
 ]
 
 
@@ -159,6 +200,13 @@ def main() -> None:
         default=os.environ.get("SPARK_GRAFT_SCALE_DIR", "auto"),
         help="second (smaller) sf dir for scaling ratios; 'auto' picks the "
         "sibling sf0.01, 'none' disables the second pass",
+    )
+    ap.add_argument(
+        "--large-dir",
+        default=os.environ.get("SPARK_GRAFT_LARGE_DIR", "auto"),
+        help="sf1-equivalent dir for the second scale decade; 'auto' uses "
+        "<repo>/.testdata/sf1 (generated via tools/gen_scale.py if absent), "
+        "'none' disables the large pass",
     )
     args = ap.parse_args()
 
@@ -186,9 +234,11 @@ def main() -> None:
 
     import statistics
 
-    def run_suite(sf_dir: str, label: str, repeat: int) -> dict[str, float]:
+    def run_suite(
+        sf_dir: str, label: str, repeat: int, suite: list[str] | None = None
+    ) -> dict[str, float]:
         timings: dict[str, float] = {}
-        for name in names:
+        for name in suite if suite is not None else names:
             fn, _sql = reg[name]
             runs: list[float] = []
             n = 0
@@ -242,6 +292,44 @@ def main() -> None:
             n: round(timings[n] / small[n], 2) if small.get(n) else None
             for n in names
         }
+
+    large_dir = args.large_dir
+    if large_dir == "auto":
+        repo = os.path.dirname(os.path.abspath(__file__))
+        large_dir = os.path.join(repo, ".testdata", "sf1")
+        if not os.path.isdir(large_dir):
+            # deterministic ~10s regeneration — keeps the two-decade
+            # evidence reproducible from a fresh clone
+            import subprocess
+
+            rc = subprocess.call(
+                [sys.executable, os.path.join(repo, "tools", "gen_scale.py")],
+                stdout=sys.stderr,
+            )
+            if rc != 0 or not os.path.isdir(large_dir):
+                large_dir = "none"
+    if large_dir != "none" and os.path.isdir(large_dir):
+        for t in TABLE_NAMES:
+            try:
+                load_table(spark, t, large_dir).count()
+            except Exception:
+                pass
+        # single run per query: at 10x the data, real work dominates the
+        # cold-plan constant the warm-median protocol exists to strip,
+        # and a second run would double a multi-minute pass for a ratio
+        # whose signal is "is growth ~sf or superlinear", not ±10%
+        sub = [n for n in LARGE_SUBSET if n in set(names)]
+        if sub:
+            large = run_suite(large_dir, "sf1", 1, suite=sub)
+            result["large_sf"] = 1.0
+            result["queries_large"] = large
+            # t_large / t_main per query over the 10x sf0.1→sf1 step;
+            # with the sf0.01 ratios above this gives two decades of
+            # evidence
+            result["scale_ratio_large"] = {
+                n: round(large[n] / timings[n], 2) if timings.get(n) else None
+                for n in sub
+            }
     print(json.dumps(result))
 
 

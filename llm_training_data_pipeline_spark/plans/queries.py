@@ -1500,6 +1500,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(stars)
 
 
+@register(
+    "dedup_clusters_distributed",
+    oracle.dedup_clusters_sql(
+        pairs_sql=oracle.minhash_stars_md5_sql(num_perm=16, num_bands=4)
+    ),
+)
+def q_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_clusters` with the driver-side union-find gate forced OFF
+    (``driver_cc_max_edges=0``) so the 100-TB path — distributed
+    min-label propagation with pointer jumping — runs, is hash-checked
+    against the same recursive-CTE oracle, and gets a measured bench row
+    at every scale factor. At bench scale every clustering query
+    otherwise takes the ≤2M-edge driver branch, leaving the distributed
+    path correctness-pinned but perf-invisible (r6 verdict watch item)."""
+    stars = dedup.minhash_bucket_stars(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
+    )
+    return dedup.dedup_clusters(stars, driver_cc_max_edges=0)
+
+
 @register("corpus_shuffle_keys", oracle.corpus_shuffle_keys_sql(seed=42))
 def q_corpus_shuffle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded training-order shuffle: the md5(id:seed) permutation key,
