@@ -144,6 +144,12 @@ HEADLINE = [
     # round-7: the forced distributed connected-components path (the
     # 100-TB branch of dedup_clusters) gets its own measured row
     "dedup_clusters_distributed",
+    # round-7 second wave
+    "approx_quantiles_bound",
+    "script_mixing_stats",
+    "shard_plan",
+    "event_rate_gapfill",
+    "ntile_customer_value",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

@@ -1656,6 +1656,94 @@ def cap_per_stratum(
     )
 
 
+def shard_assignment(
+    df: DataFrame,
+    target_chars: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sink-side shard planning: assign every document a ``shard_id``
+    such that consecutive shards each hold ≈``target_chars`` of text —
+    the write-planning step that turns "dump 100 TB to parquet" into
+    evenly-sized output files instead of whatever task sizes fall out
+    of the last shuffle.
+
+    Documents are laid out in ``(sample_key(id), id)`` order — a
+    deterministic pseudo-random permutation, so every shard gets a
+    mixed slice of the corpus (no source/time clustering) and the
+    oracle replays the layout bit-for-bit. ``shard_id =
+    floor(running_chars_before_doc / target_chars)``.
+
+    Scale: the running total is a distributed prefix sum — range-
+    partition on the order key, per-partition totals to the driver (one
+    row per partition), broadcast offsets back, ONE within-partition
+    window. No global single-partition sort anywhere (the same pattern
+    as ``pack_sequences``/``curriculum_phases``).
+    """
+    key = sample_key(F.col(id_col), 1_000_000)
+    docs = (
+        df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            key.alias("_k"),
+        )
+        .repartitionByRange(F.col("_k"), F.col(id_col))
+        .sortWithinPartitions("_k", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids for the two passes
+    )
+    per_part = docs.groupBy("_pid").agg(F.sum("n_chars").alias("_ptot")).collect()
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in sorted(per_part, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_ptot"] or 0
+    off_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)], "_pid int, _poff long"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_k", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.join(F.broadcast(off_df), on="_pid", how="left")
+        .select(
+            F.col(id_col),
+            "n_chars",
+            F.floor(
+                (
+                    F.coalesce(F.col("_poff"), F.lit(0))
+                    + F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+                )
+                / F.lit(target_chars)
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+def shard_plan_stats(
+    df: DataFrame,
+    target_chars: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard balance report over ``shard_assignment``: docs and
+    chars per shard. Every interior shard must land within one document
+    of ``target_chars`` — the verifiable claim behind "evenly-sized
+    output files"."""
+    return (
+        shard_assignment(df, target_chars, text_col, id_col)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # CCNet-style perplexity terciles (head / middle / tail)
 # ---------------------------------------------------------------------

@@ -350,6 +350,89 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
     )
 
 
+# Script-mixing detector classes: the major writing systems, each as a
+# (Spark, DuckDB) class pair — same \p{IsX} vs \p{X} spelling split as
+# SCRIPT_CLASS_*. Kana merges Hiragana+Katakana (one writing system).
+SCRIPT_MIX_CLASSES: dict[str, tuple[str, str]] = {
+    "latin": (r"\p{IsLatin}", r"\p{Latin}"),
+    "han": (r"\p{IsHan}", r"\p{Han}"),
+    "kana": (r"\p{IsHiragana}\p{IsKatakana}", r"\p{Hiragana}\p{Katakana}"),
+    "hangul": (r"\p{IsHangul}", r"\p{Hangul}"),
+    "cyrillic": (r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    "arabic": (r"\p{IsArabic}", r"\p{Arabic}"),
+    "devanagari": (r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    "greek": (r"\p{IsGreek}", r"\p{Greek}"),
+    "hebrew": (r"\p{IsHebrew}", r"\p{Hebrew}"),
+    "thai": (r"\p{IsThai}", r"\p{Thai}"),
+}
+# deterministic argmax tie order (earlier wins)
+SCRIPT_MIX_ORDER = tuple(SCRIPT_MIX_CLASSES)
+# a script "counts" toward mixing when it holds >= 1/20 of script chars
+SCRIPT_MIX_MIN_SHARE = 20
+
+
+def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Script-mixing detector — the mixed-writing-system signal
+    (Cyrillic lookalikes in Latin spam, CJK/Latin mashups, injected RTL
+    runs) quality pipelines gate on before language ID is trusted.
+
+    Adds per document:
+
+    - ``n_scripts``       — how many major scripts have ≥1 character;
+    - ``dominant_script`` — argmax script by char count ('none' when the
+      text has no script characters at all), ties by SCRIPT_MIX_ORDER;
+    - ``dominant_permille`` — floor(1000 · dominant / total script
+      chars): INTEGER arithmetic end-to-end, so the oracle replays it
+      bit-for-bit with no float drift;
+    - ``script_mixed``    — ≥2 scripts each holding ≥5% of script chars.
+
+    Plan: one ``regexp_count`` per class over the row (codegen'd scan,
+    no shuffle, no Python) with counts staged as attributes so the
+    argmax cascade references them instead of re-running the regexes.
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        "*",
+        *[
+            F.regexp_count(t, F.lit(f"[{spark_cls}]")).alias(f"_sc_{name}")
+            for name, (spark_cls, _d) in SCRIPT_MIX_CLASSES.items()
+        ],
+    )
+    cnts = {name: F.col(f"_sc_{name}") for name in SCRIPT_MIX_ORDER}
+    total = sum(list(cnts.values())[1:], list(cnts.values())[0])
+    n_scripts = sum(
+        (F.when(c > 0, 1).otherwise(0) for c in list(cnts.values())[1:]),
+        F.when(list(cnts.values())[0] > 0, 1).otherwise(0),
+    ).cast("long")
+    best = F.greatest(*cnts.values())
+    dominant: Column | None = None
+    for name in SCRIPT_MIX_ORDER:
+        cond = (best > 0) & (cnts[name] == best)
+        dominant = (
+            F.when(cond, name) if dominant is None else dominant.when(cond, name)
+        )
+    assert dominant is not None
+    n_big = sum(
+        (
+            F.when(c * SCRIPT_MIX_MIN_SHARE >= total, 1).otherwise(0)
+            for c in list(cnts.values())[1:]
+        ),
+        F.when(
+            list(cnts.values())[0] * SCRIPT_MIX_MIN_SHARE >= total, 1
+        ).otherwise(0),
+    )
+    return staged.select(
+        "*",
+        n_scripts.alias("n_scripts"),
+        dominant.otherwise("none").alias("dominant_script"),
+        F.when(total > 0, F.floor(best * 1000 / total))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dominant_permille"),
+        (n_big >= 2).alias("script_mixed"),
+    ).drop(*[f"_sc_{name}" for name in SCRIPT_MIX_ORDER])
+
+
 def token_count_ws(text: Column) -> Column:
     """Whitespace token count (BIGINT)."""
     return word_count(text)

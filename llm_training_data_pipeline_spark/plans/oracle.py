@@ -850,6 +850,102 @@ def event_sessionization_sql() -> str:
     """
 
 
+def script_mix_sql() -> str:
+    """Mirror of textstats.with_script_mix: per-class regexp counts in a
+    CTE, integer argmax with the same tie order, floor-permille."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        SCRIPT_MIX_CLASSES,
+        SCRIPT_MIX_MIN_SHARE,
+        SCRIPT_MIX_ORDER,
+    )
+
+    cnt_exprs = ", ".join(
+        f"len(regexp_extract_all(text, '[{q(duck)}]')) AS c_{name}"
+        for name, (_spark, duck) in SCRIPT_MIX_CLASSES.items()
+    )
+    total = " + ".join(f"c_{n}" for n in SCRIPT_MIX_ORDER)
+    n_scripts = " + ".join(
+        f"(CASE WHEN c_{n} > 0 THEN 1 ELSE 0 END)" for n in SCRIPT_MIX_ORDER
+    )
+    best = "greatest(" + ", ".join(f"c_{n}" for n in SCRIPT_MIX_ORDER) + ")"
+    dominant = "CASE"
+    for n in SCRIPT_MIX_ORDER:
+        dominant += f" WHEN ({best}) > 0 AND c_{n} = ({best}) THEN '{n}'"
+    dominant += " ELSE 'none' END"
+    n_big = " + ".join(
+        f"(CASE WHEN c_{n} * {SCRIPT_MIX_MIN_SHARE} >= ({total}) THEN 1 ELSE 0 END)"
+        for n in SCRIPT_MIX_ORDER
+    )
+    return f"""
+        WITH c AS (SELECT doc_id, {cnt_exprs} FROM documents)
+        SELECT doc_id,
+               CAST({n_scripts} AS BIGINT) AS n_scripts,
+               {dominant} AS dominant_script,
+               CAST(CASE WHEN ({total}) > 0
+                         THEN floor(({best}) * CAST(1000 AS DOUBLE) / ({total}))
+                         ELSE 0 END AS BIGINT) AS dominant_permille,
+               ({n_big}) >= 2 AS script_mixed
+        FROM c
+    """
+
+
+def shard_plan_sql(target_chars: int = 500_000) -> str:
+    """Mirror of corpus.shard_plan_stats: the same (sample_key, id)
+    layout as a window cumulative sum (the oracle may use the global
+    window the distributed prefix-sum exists to avoid)."""
+    return f"""
+        WITH laid AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 (((doc_id % 1000003 + 1000003) % 1000003) * 2654435761)
+                   % 1000000 AS k
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_chars,
+                 coalesce(sum(n_chars) OVER (
+                   ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS chars_before
+          FROM laid
+        )
+        SELECT CAST(floor(chars_before / CAST({target_chars} AS DOUBLE)) AS BIGINT)
+                 AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM c GROUP BY 1
+    """
+
+
+def event_rate_gapfill_sql() -> str:
+    """Minute-spine gap-filled event rate (day 1, sparse user slice):
+    DuckDB generate_series mirrors Spark sequence()."""
+    return """
+        WITH ev AS (
+          SELECT date_trunc('minute', ts) AS m FROM events
+          WHERE ts < TIMESTAMP '2024-01-02 00:00:00' AND user_id < 30
+        ), b AS (SELECT min(m) AS mn, max(m) AS mx FROM ev),
+        spine AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+          FROM b
+        ), c AS (SELECT m, count(*) AS n FROM ev GROUP BY 1)
+        SELECT strftime(minute, '%Y-%m-%d %H:%M:%S') AS minute,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events
+        FROM spine LEFT JOIN c ON spine.minute = c.m
+    """
+
+
+def approx_quantiles_bound_sql() -> str:
+    """Oracle for the approx_percentile rank-error contract — exact
+    group counts with the bound booleans hard-coded TRUE (the same
+    falsifiable-accuracy pattern as approx_distinct_bound_sql)."""
+    return """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               TRUE AS p50_rank_ok,
+               TRUE AS p90_rank_ok
+        FROM events GROUP BY event_type
+    """
+
+
 def approx_distinct_bound_sql() -> str:
     """Oracle for the HLL++ error-bound contract: the exact per-group
     distinct counts with ``within_bound`` hard-coded TRUE. The Spark side

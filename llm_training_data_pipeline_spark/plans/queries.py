@@ -949,6 +949,136 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_quantiles_bound", oracle.approx_quantiles_bound_sql())
+def q_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style rank sketch) with an oracle-checked
+    rank-error contract: for each event_type, the count of values ≤ the
+    sketch's p50/p90 estimate must sit within 5·(n/accuracy)+20 of the
+    exact target rank. The oracle emits TRUE — a sketch whose rank error
+    escapes the bound flips the boolean and fails the value hash (the
+    approx_distinct_users pattern applied to quantiles)."""
+    ev = _t(spark, sf_dir, "events")
+    acc = 10_000
+    sk = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, array(0.5D, 0.9D), {acc})").alias("_ap"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    probe = ev.join(
+        F.broadcast(
+            sk.select(
+                "event_type",
+                F.col("_ap")[0].alias("_p50"),
+                F.col("_ap")[1].alias("_p90"),
+                "n_events",
+            )
+        ),
+        on="event_type",
+    )
+    slack = F.lit(5.0) * F.col("n_events") / F.lit(acc) + F.lit(20.0)
+    return (
+        probe.groupBy("event_type", "n_events")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("_p50"), 1).otherwise(0)).alias(
+                "_le50"
+            ),
+            F.sum(F.when(F.col("value") <= F.col("_p90"), 1).otherwise(0)).alias(
+                "_le90"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("_le50") - F.lit(0.5) * F.col("n_events")) <= slack
+            ).alias("p50_rank_ok"),
+            (
+                F.abs(F.col("_le90") - F.lit(0.9) * F.col("n_events")) <= slack
+            ).alias("p90_rank_ok"),
+        )
+    )
+
+
+@register("script_mixing_stats", oracle.script_mix_sql())
+def q_script_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script-mixing detector: writing-system counts,
+    deterministic dominant-script argmax, floor-permille dominance and
+    the ≥2-scripts-at-≥5% mixed flag — the mixed-script spam signal
+    gated before language ID is trusted. Zero-shuffle codegen'd scan."""
+    from llm_training_data_pipeline_spark.operators.textstats import with_script_mix
+
+    return with_script_mix(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_scripts", "dominant_script", "dominant_permille", "script_mixed"
+    )
+
+
+@register("shard_plan", oracle.shard_plan_sql(target_chars=100_000))
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-side shard planning: size-balanced output shards over a
+    deterministic pseudo-random document layout, computed with the
+    distributed prefix-sum (range partition → per-partition offsets →
+    one within-partition window; no global sort). The oracle replays the
+    layout with the global window the distributed form avoids."""
+    from llm_training_data_pipeline_spark.operators.corpus import shard_plan_stats
+
+    return shard_plan_stats(_t(spark, sf_dir, "documents"), target_chars=100_000)
+
+
+@register("event_rate_gapfill", oracle.event_rate_gapfill_sql())
+def q_event_rate_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-minute event rate (day 1, sparse user slice): a
+    minute spine via sequence() left-joined to the per-minute counts,
+    zero-filling the minutes with no events — the time-series
+    densification every monitoring rollup needs; mirrors DuckDB
+    generate_series."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        & (F.col("user_id") < 30)
+    )
+    m = F.date_trunc("minute", F.col("ts"))
+    bounds = ev.agg(F.min(m).alias("_mn"), F.max(m).alias("_mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr("INTERVAL 1 MINUTE"))
+        ).alias("_minute")
+    )
+    counts = ev.groupBy(m.alias("_m")).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        spine.join(counts, spine["_minute"] == counts["_m"], "left")
+        .select(
+            F.date_format("_minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "ntile_customer_value",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_units,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_units
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window battery: ntile quartiles, percent_rank
+    and cume_dist per market segment (unique tiebreak on custkey so
+    every engine computes the identical assignment; the rank doubles
+    hash via floor-units)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1_000_000).cast("long").alias("pr_units"),
+        F.floor(F.cume_dist().over(w) * 1_000_000).cast("long").alias("cd_units"),
+    )
+
+
 @register("grouping_sets_revenue", oracle.grouping_sets_revenue_sql())
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS via SQL (nation-level, region-level, grand total)."""

@@ -694,6 +694,37 @@ def test_materialize_options_bit_identical(spark):
         assert lazy == mat, fn.__name__
 
 
+def test_shard_assignment_balance_and_partition_invariance(spark):
+    """Every interior shard lands within one document of target_chars;
+    shard ids are monotone over the deterministic layout; and the
+    assignment is identical regardless of input partitioning (the
+    distributed prefix-sum must not depend on physical layout)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = 20_000
+    plan = corpus.shard_assignment(docs, target_chars=target).collect()
+    by_shard: dict[int, int] = {}
+    for r in plan:
+        by_shard[r["shard_id"]] = by_shard.get(r["shard_id"], 0) + r["n_chars"]
+    n_shards = max(by_shard) + 1
+    assert set(by_shard) == set(range(n_shards)), "shard ids must be contiguous"
+    max_doc = max(r["n_chars"] for r in plan)
+    for sid, chars in by_shard.items():
+        if sid < n_shards - 1:  # interior shards: full within one doc
+            assert target - max_doc <= chars < target + max_doc, (sid, chars)
+    # partition invariance: 1 vs 7 input partitions, identical assignment
+    a = {
+        (r["doc_id"], r["shard_id"])
+        for r in corpus.shard_assignment(docs.coalesce(1), target_chars=target).collect()
+    }
+    b = {
+        (r["doc_id"], r["shard_id"])
+        for r in corpus.shard_assignment(
+            docs.repartition(7), target_chars=target
+        ).collect()
+    }
+    assert a == b == {(r["doc_id"], r["shard_id"]) for r in plan}
+
+
 def test_curriculum_phases_exact_cuts(spark):
     from llm_training_data_pipeline_spark.operators.corpus import curriculum_phases
 

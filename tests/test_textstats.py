@@ -78,6 +78,29 @@ def test_lang_id_fixtures(spark):
         assert r["detected_lang"] == r["expected"], r
 
 
+def test_script_mix_fixtures(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import with_script_mix
+
+    rows = [
+        (1, "pure latin text only"),
+        (2, "рукопись на кириллице"),
+        (3, "Latin with Кириллица mixed half and half почти"),
+        (4, "日本語のテキストです"),  # han + kana, kana-heavy
+        (5, "1234 !!! ..."),  # no script chars at all
+        (6, "english с одним words"),  # light mixing, both >=5%
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_script_mix(df).collect()}
+    assert got[1]["dominant_script"] == "latin" and not got[1]["script_mixed"]
+    assert got[1]["dominant_permille"] == 1000 and got[1]["n_scripts"] == 1
+    assert got[2]["dominant_script"] == "cyrillic" and not got[2]["script_mixed"]
+    assert got[3]["script_mixed"] and got[3]["n_scripts"] == 2
+    assert got[4]["n_scripts"] == 2  # han + kana
+    assert got[5]["dominant_script"] == "none" and got[5]["n_scripts"] == 0
+    assert got[5]["dominant_permille"] == 0
+    assert got[6]["script_mixed"]
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame([(1, "Hello world, it's 42 degrees!")], "id long, text string")
     row = with_token_counts(df).collect()[0]
