@@ -1656,6 +1656,61 @@ def cap_per_stratum(
     )
 
 
+def word_dropout(
+    df: DataFrame,
+    rate: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BART-style token-deletion noising (Lewis et al. 2020): delete a
+    deterministic ``rate`` fraction of words per document — the fourth
+    member of the denoising-augmentation family (FIM infill, T5 span
+    corruption, BART rotation). Per-word selection derives from the
+    arithmetic key lane ``sample_key(id·1009 + pos)`` so the same
+    document drops the same words on every run and engine (no RNG,
+    DuckDB-replayable).
+
+    Adds ``n_dropped``; ``text_col`` is rewritten in place and every
+    other column passes through (the family's column-preserving
+    contract). Plan: posexplode → keyed filter → order-preserving
+    re-aggregate (sort_array over (pos, word) structs), one shuffle on
+    the id.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_w"),
+    )
+    keep = sample_key(
+        F.col(id_col) * F.lit(1009) + F.col("_pos"), 1000
+    ) >= F.lit(int(rate * 1000))
+    rebuilt = (
+        words.withColumn("_keep", keep)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("_pos"), F.col("_w")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_w"],
+                ),
+                " ",
+            ).alias("_new_text"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    return df.join(rebuilt, on=id_col).withColumn(
+        text_col, F.col("_new_text")
+    ).drop("_new_text")
+
+
 def shard_assignment(
     df: DataFrame,
     target_chars: int = 500_000,

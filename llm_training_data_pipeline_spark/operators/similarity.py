@@ -67,6 +67,44 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dup_ceiling: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: per
+    query, the ``k`` MOST similar corpus vectors that are NOT
+    near-duplicates (cosine < ``dup_ceiling``, self excluded) — the
+    "close but wrong" examples a dual encoder learns the most from
+    (the standard DPR/contrastive curriculum step).
+
+    Same plan as ``brute_force_topk`` (broadcast queries, one corpus
+    traversal, per-query top-k window) with the duplicate ceiling
+    applied before ranking, so a query's mojibake twin cannot occupy
+    its negative slots. At 100 TB swap the brute-force face for the
+    ANN candidates (``ann_lsh_topk``) and keep the same ceiling+rank
+    tail."""
+    vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n")
+    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
+    scored = (
+        vecs.join(F.broadcast(qs), F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(_staged_cosine(), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") < F.lit(dup_ceiling))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]

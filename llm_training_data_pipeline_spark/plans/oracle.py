@@ -850,6 +850,64 @@ def event_sessionization_sql() -> str:
     """
 
 
+def word_dropout_sql(rate: float = 0.1) -> str:
+    """Mirror of corpus.word_dropout, md5+length projected: the same
+    per-word arithmetic key lane over (doc_id·1009 + pos), replayed with
+    DuckDB list lambdas (list_zip against a 1-based ordinal series;
+    pos = ordinal − 1 matches Spark's 0-based posexplode)."""
+    thr = int(rate * 1000)
+    return f"""
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), z AS (
+          SELECT doc_id,
+                 list_filter(list_zip(ws, generate_series(1, len(ws))),
+                   p -> (((doc_id * 1009 + (p[2] - 1)) % 1000003 + 1000003)
+                         % 1000003 * 2654435761) % 1000 >= {thr}) AS kept,
+                 len(ws) AS n_words
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(n_words - len(kept) AS BIGINT) AS n_dropped,
+               CAST(length(array_to_string(list_transform(kept, p -> p[1]), ' '))
+                    AS BIGINT) AS out_len,
+               md5(array_to_string(list_transform(kept, p -> p[1]), ' '))
+                 AS out_md5
+        FROM z
+    """
+
+
+def hard_negatives_sql(
+    k: int = 5, n_queries: int = 10, dup_ceiling: float = 0.2
+) -> str:
+    """Mirror of similarity.hard_negatives: cosine_topk with the
+    near-duplicate ceiling applied before ranking."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), qs AS (
+          SELECT vec_id AS q_id, vec AS q_vec, nrm AS q_nrm
+          FROM v WHERE vec_id < {n_queries}
+        ), scored AS (
+          SELECT qs.q_id, v.vec_id,
+                 round(CASE WHEN qs.q_nrm = 0 OR v.nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(list_zip(qs.q_vec, v.vec),
+                              p -> p[1] * p[2])) / (qs.q_nrm * v.nrm) END, 6)
+                   AS cosine
+          FROM qs JOIN v ON v.vec_id <> qs.q_id
+        )
+        SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+                 AS rank
+          FROM scored WHERE cosine < {dup_ceiling}
+        ) WHERE rank <= {k}
+    """
+
+
 def script_mix_sql() -> str:
     """Mirror of textstats.with_script_mix: per-class regexp counts in a
     CTE, integer argmax with the same tie order, floor-permille."""

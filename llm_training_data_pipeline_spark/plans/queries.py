@@ -949,6 +949,39 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("word_dropout_sample", oracle.word_dropout_sql(rate=0.1))
+def q_word_dropout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BART token-deletion noising over the corpus (deterministic
+    per-word key lanes; fourth member of the denoising family) —
+    md5+length projection pins every surviving byte and the drop
+    count."""
+    from llm_training_data_pipeline_spark.operators.corpus import word_dropout
+
+    out = word_dropout(_t(spark, sf_dir, "documents"), rate=0.1)
+    return out.select(
+        "doc_id",
+        "n_dropped",
+        F.length("text").cast("long").alias("out_len"),
+        F.md5("text").alias("out_md5"),
+    )
+
+
+@register(
+    "hard_negatives", oracle.hard_negatives_sql(k=5, n_queries=10, dup_ceiling=0.2)
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per
+    query vector, the 5 most-similar corpus vectors below the
+    near-duplicate ceiling (0.2 here so the exclusion actually binds on
+    the synthetic unit-sphere corpus; production uses ~0.95)."""
+    from llm_training_data_pipeline_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dup_ceiling=0.2
+    )
+
+
 @register("approx_quantiles_bound", oracle.approx_quantiles_bound_sql())
 def q_approx_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style rank sketch) with an oracle-checked

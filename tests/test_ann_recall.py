@@ -113,3 +113,29 @@ def test_embedding_pairs_multi_table_superset(spark):
     assert p1 <= p4
     assert len(rows4) == len(p4), "multi-table emitted duplicate pairs"
     assert len(p4) > len(p1), "amplification found no extra pairs at t=4"
+
+
+def test_hard_negatives_ceiling_binds(spark):
+    """The near-duplicate ceiling excludes the look-alike from the
+    negative slots; everything returned scores below it, ranked desc."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [0.999, 0.04, 0.0, 0.0]),       # near-dup (cos ~0.999)
+        (2, [0.7, 0.7, 0.0, 0.0]),          # hard negative (cos ~0.707)
+        (3, [0.0, 1.0, 0.0, 0.0]),          # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),         # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    neg = hard_negatives(df, q, k=2, dup_ceiling=0.95).collect()
+    got = [(r["rank"], r["vec_id"]) for r in sorted(neg, key=lambda r: r["rank"])]
+    assert got == [(1, 2), (2, 3)], got  # near-dup 1 excluded, 2 then 3
+    assert all(r["cosine"] < 0.95 for r in neg)
+    # sanity: without the ceiling the near-dup would head the list
+    top = brute_force_topk(df, q, k=1).collect()[0]
+    assert top["vec_id"] == 1 and top["cosine"] >= 0.95

@@ -1038,3 +1038,26 @@ def test_rotate_docs_is_rotation_and_identity_cases(spark):
     assert not out[100]["rotated"] and out[100]["text"] == "x"
     none = corpus.rotate_docs(df, rate=0.0).collect()
     assert all(not r["rotated"] for r in none)
+
+
+def test_word_dropout_preserves_order_and_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "src1"), (2, "one two", "src2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in corpus.word_dropout(df, rate=0.3).collect()}
+    # column-preserving contract
+    assert out[1]["source"] == "src1" and "n_dropped" in out[1].asDict()
+    for doc_id, orig in ((1, "a b c d e f g h i j"), (2, "one two")):
+        kept = out[doc_id]["text"].split(" ") if out[doc_id]["text"] else []
+        orig_words = orig.split(" ")
+        # surviving words keep their relative order (subsequence test)
+        it = iter(orig_words)
+        assert all(w in it for w in kept), (kept, orig_words)
+        assert len(kept) + out[doc_id]["n_dropped"] == len(orig_words)
+    # rate 0 is the identity
+    none = {r["doc_id"]: r for r in corpus.word_dropout(df, rate=0.0).collect()}
+    assert none[1]["text"] == "a b c d e f g h i j" and none[1]["n_dropped"] == 0
+    # determinism
+    again = {r["doc_id"]: r["text"] for r in corpus.word_dropout(df, rate=0.3).collect()}
+    assert again == {k: v["text"] for k, v in out.items()}
