@@ -150,6 +150,9 @@ HEADLINE = [
     "shard_plan",
     "event_rate_gapfill",
     "ntile_customer_value",
+    "word_dropout_sample",
+    "hard_negatives",
+    "semdedup_pairs_scaled",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -184,10 +187,12 @@ LARGE_SUBSET = [
     "ann_lsh_topk",
     "embedding_ann_pairs",
     "semdedup_pairs",
+    "semdedup_pairs_scaled",
     "semdedup_incremental",
     "unigram_surprisal",
     "token_budget_fill",
     "pipeline_e2e_exact",
+    "shard_plan",
 ]
 
 

@@ -37,6 +37,17 @@ from llm_training_data_pipeline_spark.functions.vectors import dot_product
 from llm_training_data_pipeline_spark.operators.similarity import _with_norm
 
 
+def scaled_k(n: int, per_cluster: int = 128, floor: int = 16) -> int:
+    """Cluster count that grows with corpus size: ``max(floor,
+    n // per_cluster)``. SemDeDup's within-cluster pair scan costs
+    Σ|cluster|² ≈ n²/k — with FIXED k that is quadratic in corpus
+    growth (the documented sf1 bench ratio), with k ∝ n it is linear
+    (expected cluster size stays ``per_cluster``). Callers pass
+    ``scaled_k(df.count())`` as ``n_clusters``; the oracle mirrors the
+    same formula as a scalar-subquery LIMIT."""
+    return max(floor, n // per_cluster)
+
+
 def seed_centroids(
     df: DataFrame,
     n_clusters: int = 16,

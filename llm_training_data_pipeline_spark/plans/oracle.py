@@ -3576,7 +3576,21 @@ def fim_sample_sql(rate: float = 0.5) -> str:
     """
 
 
-def _semdedup_pairs_cte(n_clusters: int) -> str:
+def semdedup_pairs_scaled_sql(
+    threshold: float = 0.35, per_cluster: int = 128, floor: int = 16
+) -> str:
+    """semdedup_pairs with k scaled to corpus size — the 100-TB knob
+    (k = max(floor, n // per_cluster)) exercised end-to-end: the oracle
+    computes the same k as a scalar-subquery LIMIT."""
+    k = f"(SELECT greatest({floor}, count(*) // {per_cluster}) FROM embeddings)"
+    return f"""
+        WITH {_semdedup_pairs_cte(k)}
+        SELECT cluster, a_id, b_id, cosine
+        FROM pairs WHERE cosine >= {threshold}
+    """
+
+
+def _semdedup_pairs_cte(n_clusters: int | str) -> str:
     """Shared CTE chain replaying semdedup.assign_clusters +
     semdedup_pairs: seed centroids = first k vectors by id, nearest
     centroid by (cosine desc, cluster asc), within-cluster pairs."""

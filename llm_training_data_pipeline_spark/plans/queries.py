@@ -3202,6 +3202,23 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semdedup_pairs_scaled", oracle.semdedup_pairs_scaled_sql(threshold=0.35))
+def q_semdedup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semdedup_pairs with the 100-TB knob engaged: k =
+    scaled_k(corpus size) instead of a fixed 16, so expected cluster
+    size stays ~128 vectors and the Σ|cluster|² pair scan grows
+    LINEARLY with the corpus (fixed k makes it quadratic — the
+    documented sf1 bench ratio this query exists to retire). The
+    oracle computes the identical k via a scalar-subquery LIMIT."""
+    from llm_training_data_pipeline_spark.operators import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = semdedup.scaled_k(emb.count())
+    return semdedup.semdedup_pairs(
+        emb, threshold=0.35, n_clusters=k, materialize=True
+    )
+
+
 @register("semdedup_stats", oracle.semdedup_stats_sql(threshold=0.35, n_clusters=16))
 def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row SemDeDup retention report under the min-id-winner policy
