@@ -187,6 +187,28 @@ def build_pipeline(
         obs["entropy"] = Observation("entropy")
         df = df.observe(obs["entropy"], F.count(F.lit(1)).alias("rows"))
 
+    sm = qsec.get("script_mix_filter", {}) if qsec.get("enabled", True) else {}
+    if sm.get("enabled", False):
+        # mixed-writing-system spam screen (Cyrillic lookalikes in Latin
+        # text, injected RTL runs): drop docs whose dominant script holds
+        # less than min_dominant_permille of script chars — zero-shuffle
+        # codegen'd scan (textstats.with_script_mix), integer arithmetic
+        from llm_training_data_pipeline_spark.operators import textstats
+
+        df = (
+            textstats.with_script_mix(df, "text")
+            .filter(
+                ~F.col("script_mixed")
+                | (
+                    F.col("dominant_permille")
+                    >= int(sm.get("min_dominant_permille", 800))
+                )
+            )
+            .drop("n_scripts", "dominant_script", "dominant_permille", "script_mixed")
+        )
+        obs["script_mix"] = Observation("script_mix")
+        df = df.observe(obs["script_mix"], F.count(F.lit(1)).alias("rows"))
+
     pf = qsec.get("perplexity_filter", {}) if qsec.get("enabled", True) else {}
     if pf.get("enabled", False):
         # the reference's declared-but-dead knob, live: surprisal is

@@ -148,6 +148,10 @@ _CHANGED_IN_ROUND.update(
         "approx_distinct_users": 7,
         "span_corrupt_sample": 7,
         "rotate_docs_sample": 7,
+        # r7 second wave: build_pipeline gained the default-off
+        # script_mix_filter stage (default plan identical, gate tested,
+        # but the composing code changed — re-score)
+        "pipeline_e2e_exact": 7,
     }
 )
 

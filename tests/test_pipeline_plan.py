@@ -433,6 +433,39 @@ def test_source_cap_and_entropy_stages_gate(spark):
     assert n_off > len(out)
 
 
+def test_script_mix_filter_stage_gates(spark):
+    """r7 config stage: default-off is a no-op; enabled, a document
+    whose dominant script holds < min_dominant_permille of script chars
+    drops, single-script documents pass, and the Observation row lands
+    in the summary."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    clean = "plain latin words repeated for body length " * 4
+    mixed = ("word кирилица " * 14).strip()  # ~50/50 latin+cyrillic
+    docs = spark.createDataFrame(
+        [(1, clean, "en", "s0"), (2, mixed, "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    base_cfg = {
+        "cleaning": {"min_length_chars": 10, "normalize_unicode": False,
+                     "fix_encoding": False},
+        "deduplication": {"enabled": False},
+        "quality": {"min_words": 5, "max_words": 100000,
+                    "min_avg_word_length": 1.0},
+    }
+    off, _ = build_pipeline(docs, PipelineConfig(dict(base_cfg)))
+    assert off.count() == 2
+    cfg = dict(base_cfg)
+    cfg["quality"] = dict(base_cfg["quality"], script_mix_filter={
+        "enabled": True, "min_dominant_permille": 800})
+    on, obs = build_pipeline(docs, PipelineConfig(cfg))
+    out = on.collect()
+    assert "script_mix" in obs
+    assert [r["doc_id"] for r in out] == [1], out
+    assert "script_mixed" not in on.columns  # helper columns dropped
+
+
 def test_dataset_card_empty_corpus_no_crash(spark):
     """The all-filtered case: zero rows must render zeros/n-a, not
     TypeError on NULL aggregates."""
