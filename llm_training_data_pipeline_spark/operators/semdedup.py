@@ -125,6 +125,78 @@ def assign_clusters(
     return assigned
 
 
+def refine_centroids(assigned: DataFrame) -> DataFrame:
+    """One Lloyd mean step over an ``assign_clusters`` table, in EXACT
+    integer units: each vector component is quantized to
+    ``floor(v·10⁶)`` BEFORE summation, so the per-(cluster, dim) sums
+    are order-independent longs (float accumulation order across
+    partitions is exactly what would break cross-engine determinism),
+    and the mean is the half-up integer rounding
+    ``floor((2·Σ + n) / 2n)`` — the ``embedding_centroids`` discipline
+    applied to the k-means update. Returns ``(cluster, _cv, _cn)``
+    ready for the next ``assign_clusters`` round; clusters that lost
+    every member vanish (deterministically, on every engine).
+    """
+    from llm_training_data_pipeline_spark.functions.vectors import l2_norm
+
+    units = assigned.select(
+        "cluster", F.posexplode("_v").alias("dim", "val")
+    ).select(
+        "cluster",
+        "dim",
+        F.floor(F.col("val") * F.lit(1_000_000)).cast("long").alias("vu"),
+    )
+    agg = units.groupBy("cluster", "dim").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("vu").alias("_su")
+    )
+    mu = F.floor(
+        (F.col("_su") * 2 + F.col("_n")) / (F.col("_n") * F.lit(2.0))
+    ).cast("long")
+    cents = (
+        agg.select("cluster", "dim", mu.alias("_mu"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "_mu"))),
+                lambda s: s["_mu"] / F.lit(1_000_000.0),
+            ).alias("_cv")
+        )
+    )
+    return cents.withColumn("_cn", l2_norm(F.col("_cv")))
+
+
+def kmeans_refine(
+    df: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed Lloyd k-means refinement over the deterministic seed
+    centroids: ``iters`` rounds of (integer-unit mean recompute →
+    nearest-centroid reassignment). Every step is oracle-replayable —
+    the quality upgrade path between ``seed_centroids`` (iteration-free
+    but arbitrary geometry) and a full MLlib KMeans (non-deterministic
+    init): callers get genuinely data-adapted clusters for SemDeDup /
+    IVF while keeping the bit-replayable correctness story.
+
+    Per round: one posexplode aggregate (k·dim rows out) and one
+    broadcast-k assignment with the map-side ``max(struct)`` argmax —
+    both linear scans, no quadratic step anywhere. Returns the final
+    ``(id, cluster, _v, _n)`` assignment table.
+    """
+    assigned = assign_clusters(
+        df, centroids, n_clusters, vec_col, id_col, materialize=True
+    )
+    for _ in range(iters):
+        cents = refine_centroids(assigned)
+        assigned = assign_clusters(
+            df, centroids=cents, vec_col=vec_col, id_col=id_col, materialize=True
+        )
+    return assigned
+
+
 def semdedup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
