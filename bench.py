@@ -341,7 +341,46 @@ def main() -> None:
                 n: round(large[n] / timings[n], 2) if timings.get(n) else None
                 for n in sub
             }
-    print(json.dumps(result))
+
+    # The full 100-query × 4-section detail outgrew the driver's
+    # tail-capture buffer (BENCH_r05..r07 all recorded "parsed": null on a
+    # truncated line).  The binding stdout record is therefore a COMPACT
+    # summary (≤1 KB) printed LAST; the complete per-query detail goes to
+    # artifacts/bench_full.json (pure JSON, committed per round) and is
+    # also echoed to stderr for interactive runs.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "artifacts", "bench_full.json")
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: fall back to stderr only
+        print(f"# could not write {detail_path}: {exc}", file=sys.stderr)
+        detail_path = None
+    print("# full detail: " + json.dumps(result), file=sys.stderr)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_queries": len(timings),
+        # the 10 slowest queries keep the driver-spec "queries" key inside
+        # the ≤1 KB budget; the complete map lives in the detail artifact
+        "queries": slowest,
+        "warm_median": result["warm_median"],
+        "detail": detail_path and os.path.relpath(detail_path, repo),
+    }
+    ratios = result.get("scale_ratio_large") or {}
+    worst = max(((v, k) for k, v in ratios.items() if v is not None), default=None)
+    if worst is not None:
+        summary["worst_scale_ratio_large"] = {worst[1]: worst[0]}
+        summary["large_sf"] = result.get("large_sf")
+    line = json.dumps(summary)
+    assert len(line) <= 1024, f"summary line {len(line)}B exceeds 1 KB budget"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -429,7 +429,11 @@ def with_script_mix(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("dominant_permille"),
-        (n_big >= 2).alias("script_mixed"),
+        # total>0 guard: a no-script document (digits/punctuation only)
+        # has every class trivially passing `c * 20 >= 0`, which would
+        # flag it mixed with dominant_permille=0 and get it silently
+        # dropped by the pipeline's script_mix_filter (ADVICE r7)
+        ((total > 0) & (n_big >= 2)).alias("script_mixed"),
     ).drop(*[f"_sc_{name}" for name in SCRIPT_MIX_ORDER])
 
 

@@ -528,11 +528,24 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
     return case
 
 
-def lang_id_histogram_sql() -> str:
+def doc_lang_table_sql() -> str:
+    """Per-document detected_lang via the full lang-id CASE — the
+    sweep-shared source table (tools/driver_mimic.py materializes it once
+    per sf_dir so the 62-language CASE runs once, not once per consuming
+    query).  The CASE is still the single source of truth."""
+    return f"SELECT doc_id, {_lang_id_case_sql()} AS detected_lang FROM documents"
+
+
+def lang_id_histogram_sql(lang_table: str | None = None) -> str:
+    src = (
+        f"SELECT {_lang_id_case_sql()} AS detected_lang FROM documents"
+        if lang_table is None
+        else f"SELECT detected_lang FROM {lang_table}"
+    )
     return f"""
-        SELECT {_lang_id_case_sql()} AS detected_lang,
+        SELECT detected_lang,
                CAST(count(*) AS BIGINT) AS n_docs
-        FROM documents GROUP BY 1
+        FROM ({src}) GROUP BY 1
     """
 
 
@@ -942,7 +955,7 @@ def script_mix_sql() -> str:
                CAST(CASE WHEN ({total}) > 0
                          THEN floor(({best}) * CAST(1000 AS DOUBLE) / ({total}))
                          ELSE 0 END AS BIGINT) AS dominant_permille,
-               ({n_big}) >= 2 AS script_mixed
+               (({total}) > 0 AND ({n_big}) >= 2) AS script_mixed
         FROM c
     """
 
@@ -1214,18 +1227,23 @@ def sliding_window_events_sql() -> str:
     """
 
 
-def quality_with_language_sql(min_words: int = 20, allowed: tuple = ("en",)) -> str:
-    lang_case = _lang_id_case_sql("text")
+def quality_with_language_sql(
+    min_words: int = 20, allowed: tuple = ("en",), lang_table: str | None = None
+) -> str:
+    lang_expr = (
+        f"({_lang_id_case_sql('text')})" if lang_table is None else "dl.detected_lang"
+    )
     allowed_list = ", ".join(f"'{a}'" for a in allowed)
     base_case = quality_reason_case(min_words=min_words)
     # language check has LOWEST precedence (reference checks it last)
     wrapped = f"""CASE WHEN ({base_case}) <> 'passed' THEN ({base_case})
-            WHEN ({lang_case}) <> 'unknown' AND ({lang_case}) NOT IN ({allowed_list})
+            WHEN {lang_expr} <> 'unknown' AND {lang_expr} NOT IN ({allowed_list})
             THEN 'wrong_language' ELSE 'passed' END"""
+    join = "" if lang_table is None else f" JOIN {lang_table} dl ON dl.doc_id = ratios.doc_id"
     return f"""
         WITH {_quality_scores_cte()}
-        SELECT doc_id, {wrapped} AS reason, ({wrapped}) = 'passed' AS passed
-        FROM ratios
+        SELECT ratios.doc_id AS doc_id, {wrapped} AS reason, ({wrapped}) = 'passed' AS passed
+        FROM ratios{join}
     """
 
 
@@ -3329,12 +3347,17 @@ def event_anomalies_sql() -> str:
     """
 
 
-def lang_confusion_sql() -> str:
+def lang_confusion_sql(lang_table: str | None = None) -> str:
     """Mirror of the labeled-vs-detected language cross-tab (reuses the
     full lang-id CASE mirror; exact half-up 6dp row-share)."""
+    d_src = (
+        f"SELECT lang, {_lang_id_case_sql()} AS detected_lang FROM documents"
+        if lang_table is None
+        else f"SELECT lang, detected_lang FROM documents JOIN {lang_table} USING (doc_id)"
+    )
     return f"""
         WITH d AS (
-          SELECT lang, {_lang_id_case_sql()} AS detected_lang FROM documents
+          {d_src}
         ), c AS (
           SELECT lang, detected_lang, count(*) AS n FROM d GROUP BY 1, 2
         ), t AS (
@@ -3450,55 +3473,15 @@ def weighted_sample_sql(base_rate: float = 0.5) -> str:
     """
 
 
-def segment_lang_mix_sql(words_per_segment: int = 40) -> str:
-    """Mirror of textstats.segment_lang_table + the per-doc mix rollup:
-    fixed word-window segments of the lowered token stream, the full
-    lang-id CASE per segment, dominant language by (count DESC, lang
-    ASC)."""
-    w = words_per_segment
-    return f"""
-        WITH toks AS (
-          SELECT doc_id, {_lower_toks()} AS toks FROM documents
-        ), nz AS (
-          SELECT * FROM toks WHERE len(toks) > 0
-        ), idx AS (
-          SELECT doc_id, toks,
-                 unnest(range(0, CAST(floor((len(toks) - 1) / {w}) AS BIGINT)
-                                 + 1)) AS i
-          FROM nz
-        ), segs AS (
-          SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
-                 array_to_string(list_slice(toks, CAST(i * {w} + 1 AS INT),
-                                            CAST(i * {w} + {w} AS INT)),
-                                 ' ') AS seg
-          FROM idx
-        ), lid AS (
-          SELECT doc_id, seg_idx, {_lang_id_case_sql(text_col='seg')} AS seg_lang
-          FROM segs
-        ), c AS (
-          SELECT doc_id, seg_lang, count(*) AS n FROM lid GROUP BY 1, 2
-        ), r AS (
-          SELECT doc_id, seg_lang, n,
-                 row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY n DESC, seg_lang ASC) AS rk,
-                 sum(n) OVER (PARTITION BY doc_id) AS total,
-                 count(*) OVER (PARTITION BY doc_id) AS n_langs
-          FROM c
-        )
-        SELECT doc_id, CAST(total AS BIGINT) AS n_segments,
-               CAST(n_langs AS BIGINT) AS n_langs,
-               seg_lang AS dominant_lang
-        FROM r WHERE rk = 1
-    """
-
-
-def remove_wrong_lang_sql(words_per_segment: int = 40) -> str:
-    """Mirror of textstats.remove_wrong_lang_segments: per-segment LID,
-    dominant language by (count DESC, lang ASC), minority segments
-    dropped, text rebuilt in segment order from the lowered windows."""
-    w = words_per_segment
-    return f"""
-        WITH toks AS (
+def _seg_lid_ctes(w: int, lid_table: str | None = None) -> str:
+    """CTE chain ending in lid(doc_id, seg_idx, seg, seg_lang): fixed
+    word-window segments of the lowered token stream with the full lang-id
+    CASE per segment.  lid_table short-circuits to a pre-materialized
+    table holding the SAME chain's output (see seg_lang_table_sql) so a
+    sweep evaluates the 62-language CASE once, not once per consumer."""
+    if lid_table is not None:
+        return f"lid AS (SELECT * FROM {lid_table})"
+    return f"""toks AS (
           SELECT doc_id, {_lower_toks()} AS toks FROM documents
         ), nz AS (
           SELECT * FROM toks WHERE len(toks) > 0
@@ -3517,7 +3500,65 @@ def remove_wrong_lang_sql(words_per_segment: int = 40) -> str:
           SELECT doc_id, seg_idx, seg,
                  {_lang_id_case_sql(text_col='seg')} AS seg_lang
           FROM segs
-        ), c AS (
+        )"""
+
+
+def seg_lang_table_sql(words_per_segment: int = 40) -> str:
+    """Materialization source for the shared per-segment LID table."""
+    return f"WITH {_seg_lid_ctes(words_per_segment)} SELECT * FROM lid"
+
+
+def lang_materialized_overrides() -> dict[str, str]:
+    """Sweep-time rewrites of the language-family oracles against the
+    pre-materialized ``_doc_lang`` / ``_seg_lang40`` temp tables (built
+    from doc_lang_table_sql / seg_lang_table_sql — the same CASE, run
+    once per sf_dir).  The shipped/driver oracles remain the inline
+    versions; these exist so tools/driver_mimic.py doesn't replay the
+    62-language CASE 7+ times per sweep (~2 min at sf0.01)."""
+    return {
+        "lang_id_histogram": lang_id_histogram_sql(lang_table="_doc_lang"),
+        "lang_confusion_matrix": lang_confusion_sql(lang_table="_doc_lang"),
+        "quality_with_language": quality_with_language_sql(
+            min_words=20, allowed=("en",), lang_table="_doc_lang"
+        ),
+        "segment_lang_mix": segment_lang_mix_sql(lid_table="_seg_lang40"),
+        "remove_wrong_lang": remove_wrong_lang_sql(lid_table="_seg_lang40"),
+    }
+
+
+def segment_lang_mix_sql(
+    words_per_segment: int = 40, lid_table: str | None = None
+) -> str:
+    """Mirror of textstats.segment_lang_table + the per-doc mix rollup:
+    fixed word-window segments of the lowered token stream, the full
+    lang-id CASE per segment, dominant language by (count DESC, lang
+    ASC)."""
+    return f"""
+        WITH {_seg_lid_ctes(words_per_segment, lid_table)}, c AS (
+          SELECT doc_id, seg_lang, count(*) AS n FROM lid GROUP BY 1, 2
+        ), r AS (
+          SELECT doc_id, seg_lang, n,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY n DESC, seg_lang ASC) AS rk,
+                 sum(n) OVER (PARTITION BY doc_id) AS total,
+                 count(*) OVER (PARTITION BY doc_id) AS n_langs
+          FROM c
+        )
+        SELECT doc_id, CAST(total AS BIGINT) AS n_segments,
+               CAST(n_langs AS BIGINT) AS n_langs,
+               seg_lang AS dominant_lang
+        FROM r WHERE rk = 1
+    """
+
+
+def remove_wrong_lang_sql(
+    words_per_segment: int = 40, lid_table: str | None = None
+) -> str:
+    """Mirror of textstats.remove_wrong_lang_segments: per-segment LID,
+    dominant language by (count DESC, lang ASC), minority segments
+    dropped, text rebuilt in segment order from the lowered windows."""
+    return f"""
+        WITH {_seg_lid_ctes(words_per_segment, lid_table)}, c AS (
           SELECT doc_id, seg_lang, count(*) AS n FROM lid GROUP BY 1, 2
         ), dom AS (
           SELECT doc_id, seg_lang FROM (

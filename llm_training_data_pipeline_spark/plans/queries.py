@@ -154,6 +154,20 @@ _CHANGED_IN_ROUND.update(
         "pipeline_e2e_exact": 7,
     }
 )
+# r8: script_mixed gains the total>0 guard (no-script docs no longer
+# flagged, ADVICE r7) — both engines changed, re-score; the language
+# family's shipped oracle SQL was restructured for the sweep-shared LID
+# materialization (same CASE, same results, different SQL text)
+_CHANGED_IN_ROUND.update(
+    {
+        "script_mixing_stats": 8,
+        "lang_id_histogram": 8,
+        "quality_with_language": 8,
+        "lang_confusion_matrix": 8,
+        "segment_lang_mix": 8,
+        "remove_wrong_lang": 8,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:

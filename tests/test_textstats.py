@@ -98,6 +98,9 @@ def test_script_mix_fixtures(spark):
     assert got[4]["n_scripts"] == 2  # han + kana
     assert got[5]["dominant_script"] == "none" and got[5]["n_scripts"] == 0
     assert got[5]["dominant_permille"] == 0
+    # total=0 guard (ADVICE r7): without it every class passes
+    # `c * 20 >= 0` and the doc is flagged mixed-script spam
+    assert not got[5]["script_mixed"]
     assert got[6]["script_mixed"]
 
 

@@ -59,11 +59,27 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     reg = registry()
+    # materialize the 62-language LID once per sf_dir (doc- and
+    # segment-level) and rewrite the language-family oracles against the
+    # temp tables — the CASE is still the single source of truth (it
+    # builds the tables), but it runs 2× per sweep instead of 7+ ×
+    # (remove_wrong_lang alone was 56s at sf0.01; VERDICT r7 #5)
+    from llm_training_data_pipeline_spark.plans import oracle as _oracle
+
+    t0 = time.time()
+    con.execute(f"CREATE TABLE _doc_lang AS {_oracle.doc_lang_table_sql()}")
+    con.execute(f"CREATE TABLE _seg_lang40 AS {_oracle.seg_lang_table_sql()}")
+    overrides = _oracle.lang_materialized_overrides()
+    print(f"# lang LID tables materialized in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
     results: dict[str, dict] = {}
     for name in sorted(reg):
         if name_filter and name not in name_filter:
             continue
         fn, sql = reg[name]
+        if sql is not None and name in overrides:
+            sql = overrides[name]
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -131,10 +147,14 @@ def main() -> int:
             results[name] = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"[:300],
                              "sec": round(time.time() - t0, 1)}
     bad = {k: v for k, v in results.items() if v["status"] not in ("pass", "rows_only")}
+    # stdout carries ONLY the JSON document so `python tools/driver_mimic.py
+    # > artifacts/sweep.json` is valid JSON (the r7 artifact had the human
+    # summary appended inside the file); the summary goes to stderr
     print(json.dumps(results, indent=1))
-    print(f"\n{len(results)} queries: {len(results) - len(bad)} ok, {len(bad)} bad")
+    print(f"\n{len(results)} queries: {len(results) - len(bad)} ok, {len(bad)} bad",
+          file=sys.stderr)
     if bad:
-        print("BAD:", sorted(bad))
+        print("BAD:", sorted(bad), file=sys.stderr)
     return 1 if bad else 0
 
 
