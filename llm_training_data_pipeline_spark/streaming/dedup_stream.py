@@ -261,20 +261,27 @@ def incremental_minhash_dedup_batch(
         F.col("minhash_sig"),
         F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
     )
-    # rivals = smaller-id batch docs ∪ history (id −1: beats every real id)
-    rivals = banded
+    # rivals = smaller-id batch docs ∪ history. History rows keep their
+    # TRUE id plus a _hist flag: a history rival beats every batch doc
+    # EXCEPT the doc itself (same id) — the self-exclusion that makes an
+    # epoch replay against a warm store already containing the replayed
+    # epoch idempotent (each previously-accepted doc used to match its
+    # own stored signature under the old always-smaller id −1 encoding
+    # and be rejected, erasing the epoch's signatures; ADVICE r7)
+    rivals = banded.withColumn("_hist", F.lit(False))
     if history_banded is not None:
         rivals = rivals.union(
-            history_banded.select(
-                F.lit(-1).cast("long").alias(id_col),
-                F.col("minhash_sig"),
-                F.col("bucket"),
+            history_banded.select(id_col, "minhash_sig", "bucket").withColumn(
+                "_hist", F.lit(True)
             )
         )
     losers = (
         banded.alias("a")
         .join(rivals.alias("r"), on="bucket")
-        .filter(F.col(f"r.{id_col}") < F.col(f"a.{id_col}"))
+        .filter(
+            (F.col("r._hist") & (F.col(f"r.{id_col}") != F.col(f"a.{id_col}")))
+            | (~F.col("r._hist") & (F.col(f"r.{id_col}") < F.col(f"a.{id_col}")))
+        )
         .filter(
             signature_jaccard(F.col("a.minhash_sig"), F.col("r.minhash_sig"))
             >= F.lit(cfg.threshold)
@@ -325,8 +332,12 @@ def streaming_minhash_dedup_incremental(
     accepted signatures to the history — in memory as localCheckpointed
     per-epoch frames (no re-materialization of old epochs), durably as
     an ``epoch=N`` parquet partition under ``state_dir`` (idempotent on
-    epoch replay: the partition is overwritten, and a restart
-    warm-starts from whatever partitions exist). ``sink(accepted_df,
+    epoch replay: the probe self-excludes same-id history rows, so a
+    replayed batch re-accepts exactly its prior accepted set and the
+    rewritten partition keeps the signatures; corollary — a NEW doc
+    reusing an accepted id is treated as an update of that doc, never
+    a duplicate of it. A restart warm-starts from whatever partitions
+    exist). ``sink(accepted_df,
     epoch_id)`` receives each batch's accepted rows (original columns).
 
     Why this beats the stateful-operator variant ~10-40×: per-bucket

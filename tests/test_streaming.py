@@ -661,6 +661,69 @@ def test_incremental_minhash_stream_rejects_history_dups(spark, tmp_path):
     assert 6 in accepted2 and 5 not in accepted2 and 3 not in accepted2
 
 
+def test_incremental_minhash_epoch_replay_idempotent(spark, tmp_path):
+    """Checkpoint-restart replay of an epoch the signature store ALREADY
+    holds (ADVICE r7): each previously-accepted doc must NOT match its
+    own stored signature (self-id exclusion in the probe), so the sink
+    re-receives the same accepted set and the rewritten epoch partition
+    keeps the signatures — replaying must not erase history."""
+    import time as _time
+
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        streaming_minhash_dedup_incremental,
+    )
+
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    schema = "doc_id long, text string"
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    batch = [(1, a), (2, "completely different content about orbital mechanics"),
+             (3, a + "!")]
+    src = str(tmp_path / "replay_src")
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(src)
+    state_dir = str(tmp_path / "replay_state")
+
+    def run_once():
+        got: dict[int, set] = {}
+
+        def sink(df, epoch_id):
+            got[epoch_id] = {r["doc_id"] for r in df.collect()}
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_minhash_dedup_incremental(
+            stream, state_dir=state_dir, sink=sink, cfg=cfg
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        return got
+
+    first = run_once()
+    assert first == {0: {1, 2}}, first  # 3 is a near-dup of 1
+    # replay: fresh query, SAME state dir already containing epoch=0
+    second = run_once()
+    assert second == {0: {1, 2}}, second  # not {} — docs don't self-reject
+    stored = {
+        r["doc_id"] for r in spark.read.parquet(state_dir).select("doc_id").collect()
+    }
+    assert stored == {1, 2}  # signatures survived the partition rewrite
+    # and the surviving history still rejects a later near-dup of doc 1
+    src2 = str(tmp_path / "replay_src2")
+    spark.createDataFrame([(9, a + "?"), (10, "new topic: sourdough")],
+                          schema).coalesce(1).write.parquet(src2)
+    got3: dict[int, set] = {}
+
+    def sink3(df, epoch_id):
+        got3[epoch_id] = {r["doc_id"] for r in df.collect()}
+
+    _time.sleep(0.1)
+    stream3 = spark.readStream.schema(schema).parquet(src2)
+    q3 = streaming_minhash_dedup_incremental(
+        stream3, state_dir=state_dir, sink=sink3, cfg=cfg
+    ).start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert set().union(*got3.values()) == {10}, got3
+
+
 def test_streaming_bloom_prefilter_matches_batch(spark, tmp_path):
     """The broadcast Bloom pre-filter is stateless, so it applies to a
     stream unchanged: incoming micro-batches are checked against a
