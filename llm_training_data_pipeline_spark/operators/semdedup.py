@@ -42,15 +42,28 @@ def scaled_k(n: int, per_cluster: int = 128, floor: int = 16) -> int:
     n // per_cluster)``. SemDeDup's within-cluster pair scan costs
     Σ|cluster|² ≈ n²/k — with FIXED k that is quadratic in corpus
     growth (the documented sf1 bench ratio), with k ∝ n it is linear
-    (expected cluster size stays ``per_cluster``). Callers pass
-    ``scaled_k(df.count())`` as ``n_clusters``; the oracle mirrors the
-    same formula as a scalar-subquery LIMIT."""
+    (expected cluster size stays ``per_cluster``). The oracle mirrors
+    the same formula as a scalar-subquery LIMIT."""
     return max(floor, n // per_cluster)
+
+
+def _resolve_k(df: DataFrame, n_clusters: int | str) -> int:
+    """``"auto"`` → ``scaled_k(count)``. The count is one cheap action
+    (parquet row-group metadata when the frame is a bare scan); paying
+    it by DEFAULT is the r7-verdict trade — a caller who doesn't think
+    about k gets the linear Σ|cluster|² curve, and the measured 6.38×
+    quadratic-ish sf1 ratio is opt-in (pass a fixed int) instead of
+    opt-out."""
+    if n_clusters == "auto":
+        return scaled_k(df.count())
+    if not isinstance(n_clusters, int):
+        raise ValueError(f"n_clusters must be an int or 'auto': {n_clusters!r}")
+    return n_clusters
 
 
 def seed_centroids(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -59,7 +72,9 @@ def seed_centroids(
     Deterministic and iteration-free: an oracle replays it as
     ``ORDER BY id LIMIT k``. The global sort is a top-k (limit pushes
     into the sort), and the row_number window runs over k rows only.
+    ``n_clusters`` defaults to ``"auto"`` = ``scaled_k(count)``.
     """
+    n_clusters = _resolve_k(df, n_clusters)
     w = Window.orderBy(id_col)
     return (
         _with_norm(df, vec_col, id_col, id_col, "_cv", "_cn")
@@ -82,7 +97,7 @@ def _centroid_cosine() -> Column:
 def assign_clusters(
     df: DataFrame,
     centroids: DataFrame | None = None,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = False,
@@ -149,9 +164,12 @@ def refine_centroids(assigned: DataFrame) -> DataFrame:
     agg = units.groupBy("cluster", "dim").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("vu").alias("_su")
     )
-    mu = F.floor(
-        (F.col("_su") * 2 + F.col("_n")) / (F.col("_n") * F.lit(2.0))
-    ).cast("long")
+    # floor division in pure long arithmetic: subtracting the positive
+    # modulus makes the numerator exactly divisible, so truncating `div`
+    # IS the floor — no double quotient anywhere (past ~2^53 integer
+    # units a float quotient can floor differently across engines, which
+    # would break the bit-replayable claim; ADVICE r7)
+    mu = F.expr("(2*_su + _n - pmod(2*_su + _n, 2*_n)) div (2*_n)")
     cents = (
         agg.select("cluster", "dim", mu.alias("_mu"))
         .groupBy("cluster")
@@ -167,7 +185,7 @@ def refine_centroids(assigned: DataFrame) -> DataFrame:
 
 def kmeans_refine(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -201,7 +219,7 @@ def semdedup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = False,
@@ -218,6 +236,18 @@ def semdedup_pairs(
     assigned = assign_clusters(
         df, centroids, n_clusters, vec_col, id_col, materialize=materialize
     )
+    return pairs_from_assignment(assigned, threshold, id_col)
+
+
+def pairs_from_assignment(
+    assigned: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The within-cluster pair scan over an existing ``assign_clusters``
+    / ``kmeans_refine`` assignment table — the back half of
+    ``semdedup_pairs``, exposed so refined (or externally clustered)
+    assignments feed the identical equi-join without re-assigning."""
     a = assigned.select(
         "cluster",
         F.col(id_col).alias("a_id"),
@@ -250,7 +280,7 @@ def semdedup_stats(
     df: DataFrame,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = False,
@@ -292,7 +322,7 @@ def semdedup_recall(
     df: DataFrame,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = False,
@@ -351,7 +381,7 @@ def semdedup_against(
     corpus: DataFrame,
     threshold: float = 0.35,
     centroids: DataFrame | None = None,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     materialize: bool = False,

@@ -3617,6 +3617,15 @@ def fim_sample_sql(rate: float = 0.5) -> str:
     """
 
 
+def _semdedup_k(n_clusters: int | str, where: str = "") -> str:
+    """SQL expression for the cluster count: ``"auto"`` mirrors
+    ``semdedup.scaled_k`` (max(16, n // 128)) as a scalar subquery over
+    the same rows the Spark side counts; an int passes through."""
+    if n_clusters == "auto":
+        return f"(SELECT greatest(16, count(*) // 128) FROM embeddings{where})"
+    return str(n_clusters)
+
+
 def semdedup_pairs_scaled_sql(
     threshold: float = 0.35, per_cluster: int = 128, floor: int = 16
 ) -> str:
@@ -3666,19 +3675,23 @@ def _semdedup_pairs_cte(n_clusters: int | str) -> str:
         )"""
 
 
-def semdedup_pairs_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
+def semdedup_pairs_sql(
+    threshold: float = 0.35, n_clusters: int | str = "auto"
+) -> str:
     """Mirror of semdedup.semdedup_pairs over the embeddings table."""
     return f"""
-        WITH {_semdedup_pairs_cte(n_clusters)}
+        WITH {_semdedup_pairs_cte(_semdedup_k(n_clusters))}
         SELECT cluster, a_id, b_id, cosine
         FROM pairs WHERE cosine >= {threshold}
     """
 
 
-def semdedup_stats_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
+def semdedup_stats_sql(
+    threshold: float = 0.35, n_clusters: int | str = "auto"
+) -> str:
     """Mirror of semdedup.semdedup_stats: min-id-winner retention."""
     return f"""
-        WITH {_semdedup_pairs_cte(n_clusters)},
+        WITH {_semdedup_pairs_cte(_semdedup_k(n_clusters))},
         flt AS (SELECT * FROM pairs WHERE cosine >= {threshold}),
         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
         d AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
@@ -3781,14 +3794,85 @@ def cap_per_stratum_sql(cap: int = 10) -> str:
     """
 
 
-def semdedup_recall_sql(threshold: float = 0.35, n_clusters: int = 16) -> str:
+def semdedup_pairs_refined_sql(
+    threshold: float = 0.35, n_clusters: int | str = "auto"
+) -> str:
+    """Mirror of semdedup.kmeans_refine(iters=1) + pairs_from_assignment:
+    seed-centroid assignment, ONE integer-unit Lloyd mean step
+    (component quantized to floor(v*1e6) longs, mean = exact half-up
+    floor division — no double quotient, so the floor cannot drift
+    across engines), nearest-centroid reassignment, within-cluster
+    pairs. Clusters that lose every member vanish before reassignment
+    on both engines."""
+    k = _semdedup_k(n_clusters)
+    cos_c = """CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(v.vec, c.cvec),
+                      p -> p[1] * p[2])) / (v.nrm * c.cnrm) END"""
+    cos_c2 = """CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(v.vec, c.cvec),
+                      p -> p[1] * p[2])) / (v.nrm * c.cnrm) END"""
+    cos_p = """CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                      p -> p[1] * p[2])) / (a.nrm * b.nrm) END"""
+    # exact floor division on longs: pmod subtraction, then // is exact
+    mu = ("(2*su + n - ((2*su + n) % (2*n) + 2*n) % (2*n)) // (2*n)")
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                 vec AS cvec, nrm AS cnrm
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+        ), a0 AS (
+          SELECT v.vec_id, v.vec, v.nrm, c.cluster, {cos_c} AS cs
+          FROM v CROSS JOIN c0 c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY cs DESC, c.cluster) = 1
+        ), units AS (
+          SELECT cluster,
+                 generate_subscripts(vec, 1) AS dim,
+                 CAST(floor(unnest(vec) * 1000000) AS BIGINT) AS vu
+          FROM a0
+        ), m AS (
+          SELECT cluster, dim,
+                 CAST(count(*) AS BIGINT) AS n, sum(vu) AS su
+          FROM units GROUP BY cluster, dim
+        ), c1 AS (
+          SELECT cluster,
+                 list(({mu}) / 1000000.0 ORDER BY dim) AS cvec
+          FROM m GROUP BY cluster
+        ), c1n AS (
+          SELECT cluster, cvec,
+                 sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+          FROM c1
+        ), a1 AS (
+          SELECT v.vec_id, v.vec, v.nrm, c.cluster, {cos_c2} AS cs
+          FROM v CROSS JOIN c1n c
+          QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY cs DESC, c.cluster) = 1
+        )
+        SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+               round({cos_p}, 6) AS cosine
+        FROM a1 a JOIN a1 b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round({cos_p}, 6) >= {threshold}
+    """
+
+
+def semdedup_recall_sql(
+    threshold: float = 0.35, n_clusters: int | str = "auto"
+) -> str:
     """Mirror of semdedup.semdedup_recall: exact all-pairs ground truth
     vs the within-cluster pair set."""
     cos_t = """CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
                ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
                       p -> p[1] * p[2])) / (a.nrm * b.nrm) END"""
     return f"""
-        WITH {_semdedup_pairs_cte(n_clusters)},
+        WITH {_semdedup_pairs_cte(_semdedup_k(n_clusters))},
         caught AS (
           SELECT a_id, b_id FROM pairs WHERE cosine >= {threshold}
         ), truth AS (
@@ -3925,7 +4009,7 @@ def simhash_recall_sql(
 
 
 def semdedup_against_sql(
-    split_id: int = 250, threshold: float = 0.35, n_clusters: int = 16
+    split_id: int = 250, threshold: float = 0.35, n_clusters: int | str = "auto"
 ) -> str:
     """Mirror of semdedup.semdedup_against with corpus = vec_id <
     split_id, new = the rest, seeds from the corpus side."""
@@ -3946,7 +4030,8 @@ def semdedup_against_sql(
           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
                  vec AS cvec, nrm AS cnrm
           FROM (SELECT * FROM v WHERE vec_id < {split_id}
-                ORDER BY vec_id LIMIT {n_clusters})
+                ORDER BY vec_id
+                LIMIT {_semdedup_k(n_clusters, f" WHERE vec_id < {split_id}")})
         ), assigned AS (
           SELECT v.vec_id, v.vec, v.nrm, c.cluster, {cos_c} AS cs
           FROM v CROSS JOIN c

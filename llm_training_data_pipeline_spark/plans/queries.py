@@ -168,6 +168,17 @@ _CHANGED_IN_ROUND.update(
         "remove_wrong_lang": 8,
     }
 )
+# r8: the semdedup family's DEFAULT k is now "auto" = scaled_k(count)
+# (VERDICT r7 #2) — both the Spark defaults and the oracle k expressions
+# changed, re-score every default-k consumer
+_CHANGED_IN_ROUND.update(
+    {
+        "semdedup_pairs": 8,
+        "semdedup_stats": 8,
+        "semdedup_recall": 8,
+        "semdedup_incremental": 8,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -3204,19 +3215,20 @@ def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenization_stats(tokenize_documents(docs, tok), tok)
 
 
-@register("semdedup_pairs", oracle.semdedup_pairs_sql(threshold=0.35, n_clusters=16))
+@register("semdedup_pairs", oracle.semdedup_pairs_sql(threshold=0.35))
 def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding space,
     emit near-duplicate pairs ONLY within clusters — the cluster
     structure bounds the quadratic step to sum(|cluster|^2), never N^2.
-    Seed centroids (first 16 by id) keep the whole chain
+    Seed centroids (first k by id) keep the whole chain
     oracle-replayable; threshold 0.35 exercises real pair emission on
-    the synthetic embeddings (global max cosine ~0.51)."""
+    the synthetic embeddings (global max cosine ~0.51). r8: the DEFAULT
+    k is now "auto" = scaled_k(count) — the measured-linear sf1 curve —
+    so this default-config query IS the 100-TB configuration."""
     from llm_training_data_pipeline_spark.operators import semdedup
 
     return semdedup.semdedup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
-        materialize=True,
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, materialize=True
     )
 
 
@@ -3227,7 +3239,9 @@ def q_semdedup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     size stays ~128 vectors and the Σ|cluster|² pair scan grows
     LINEARLY with the corpus (fixed k makes it quadratic — the
     documented sf1 bench ratio this query exists to retire). The
-    oracle computes the identical k via a scalar-subquery LIMIT."""
+    oracle computes the identical k via a scalar-subquery LIMIT.
+    r8: "auto" became the family default, so this query now ALSO pins
+    that the default path == an explicitly computed scaled_k(count)."""
     from llm_training_data_pipeline_spark.operators import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3237,15 +3251,33 @@ def q_semdedup_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semdedup_stats", oracle.semdedup_stats_sql(threshold=0.35, n_clusters=16))
+@register(
+    "semdedup_pairs_refined", oracle.semdedup_pairs_refined_sql(threshold=0.35)
+)
+def q_semdedup_pairs_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs over ONE distributed Lloyd refinement of the seed
+    centroids (kmeans_refine): integer-unit mean recompute + broadcast
+    reassignment, then the identical within-cluster pair scan via
+    pairs_from_assignment. The whole chain — quantized sums, exact
+    half-up floor-division means, vanishing clusters, argmax ties —
+    replays bit-identically in the DuckDB oracle; the quality upgrade
+    path between iteration-free seeds and non-deterministic MLlib
+    KMeans, kept oracle-checkable."""
+    from llm_training_data_pipeline_spark.operators import semdedup
+
+    assigned = semdedup.kmeans_refine(_t(spark, sf_dir, "embeddings"), iters=1)
+    return semdedup.pairs_from_assignment(assigned, threshold=0.35)
+
+
+@register("semdedup_stats", oracle.semdedup_stats_sql(threshold=0.35))
 def q_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row SemDeDup retention report under the min-id-winner policy
-    (the convention every dedup family in the engine shares)."""
+    (the convention every dedup family in the engine shares). Runs the
+    r8 auto-k default (k = scaled_k(count))."""
     from llm_training_data_pipeline_spark.operators import semdedup
 
     return semdedup.semdedup_stats(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
-        materialize=True,
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, materialize=True
     )
 
 
@@ -3285,21 +3317,20 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-@register("semdedup_recall", oracle.semdedup_recall_sql(threshold=0.35, n_clusters=16))
+@register("semdedup_recall", oracle.semdedup_recall_sql(threshold=0.35))
 def q_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the SemDeDup within-cluster approximation against
     exact all-pairs ground truth (broadcast self-join at audit scale) —
     the cross-cluster pairs it misses, quantified, not assumed. The
     synthetic embeddings are near-random (neighbor angles ~80°, no real
-    cluster structure), so recall sits near k-fold chance (~0.24 at
-    sf0.01); real embedding corpora cluster far tighter and recall runs
-    much higher at the same k — which is exactly why the audit query
-    exists."""
+    cluster structure), so recall sits near k-fold chance; real
+    embedding corpora cluster far tighter and recall runs much higher at
+    the same k — which is exactly why the audit query exists. Audits the
+    r8 auto-k default (recall trades against the linear-cost k ∝ n)."""
     from llm_training_data_pipeline_spark.operators import semdedup
 
     return semdedup.semdedup_recall(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_clusters=16,
-        materialize=True,
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, materialize=True
     )
 
 
@@ -3336,13 +3367,14 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_incremental",
-    oracle.semdedup_against_sql(split_id=250, threshold=0.35, n_clusters=16),
+    oracle.semdedup_against_sql(split_id=250, threshold=0.35),
 )
 def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental semantic dedup: the second half of the embeddings
     table arrives as a new batch and is pruned against the first half
     (corpus-seeded centroids keep cluster geometry batch-stable). The
-    probe join is cluster-bounded, never new x corpus."""
+    probe join is cluster-bounded, never new x corpus. Auto-k resolves
+    over the CORPUS side, matching the centroid-seeding side."""
     from llm_training_data_pipeline_spark.operators import semdedup
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3350,7 +3382,6 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") >= 250),
         emb.filter(F.col("vec_id") < 250),
         threshold=0.35,
-        n_clusters=16,
         materialize=True,
     )
 

@@ -189,3 +189,93 @@ def test_incremental_empty_corpus_keeps_everything(spark):
     out = semdedup.semdedup_against(new, corpus, threshold=0.1).collect()
     assert {r["vec_id"] for r in out} == {1, 2}
     assert all(r["cluster"] is None for r in out)
+
+
+def test_refine_matches_oracle(spark, ddb):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    assigned = semdedup.kmeans_refine(emb, iters=1)
+    got = semdedup.pairs_from_assignment(assigned, threshold=0.35)
+    assert_df_matches_oracle(
+        got, ddb, oracle.semdedup_pairs_refined_sql(threshold=0.35)
+    )
+
+
+def test_refine_improves_within_cluster_cosine(spark):
+    """One Lloyd step must not decrease the mean cosine to the assigned
+    centroid (k-means' monotone objective), and on a fixture with real
+    cluster structure offset from the seeds it strictly increases."""
+
+    def mean_cos(assigned, cents):
+        j = assigned.join(F.broadcast(cents), on="cluster")
+        cos = F.when(
+            (F.col("_n") == 0) | (F.col("_cn") == 0), F.lit(0.0)
+        ).otherwise(
+            F.aggregate(
+                F.zip_with(F.col("_v"), F.col("_cv"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("_n") * F.col("_cn"))
+        )
+        return j.agg(F.avg(cos)).collect()[0][0]
+
+    # two tight blobs, but the first two vectors (the seeds) sit at the
+    # blob EDGES — the refined means move into the blob centers
+    rows = [(0, [1.0, 0.3]), (1, [0.3, 1.0])]
+    rows += [(i, [1.0, 0.05 * (i % 5)]) for i in range(2, 30)]
+    rows += [(i, [0.05 * (i % 5), 1.0]) for i in range(30, 60)]
+    emb = _emb(spark, rows)
+    a0 = semdedup.assign_clusters(emb, n_clusters=2, materialize=True)
+    c0 = semdedup.seed_centroids(emb, n_clusters=2)
+    c1 = semdedup.refine_centroids(a0)
+    a1 = semdedup.assign_clusters(emb, centroids=c1, materialize=True)
+    before, after = mean_cos(a0, c0), mean_cos(a1, c1)
+    assert after > before + 1e-4, (before, after)
+
+
+def test_refine_vanishing_cluster(spark):
+    """A seed cluster that attracts no members disappears from the
+    refined centroid table — deterministically, not as NaN garbage."""
+    # seeds 0 and 1 are identical: every vector ties to cluster 0
+    emb = _emb(
+        spark,
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.8, 0.05])],
+    )
+    a0 = semdedup.assign_clusters(emb, n_clusters=2, materialize=True)
+    assert {r["cluster"] for r in a0.collect()} == {0}
+    c1 = semdedup.refine_centroids(a0)
+    assert [r["cluster"] for r in c1.collect()] == [0]
+    # and the next assignment still covers every vector
+    a1 = semdedup.assign_clusters(emb, centroids=c1)
+    assert a1.count() == 4
+
+
+def test_refine_mean_is_exact_integer_floor(spark):
+    """The Lloyd mean is floor((2*su + n) / 2n) in pure long arithmetic:
+    3 members at quantized units {1, 1, 2} average to floor(4/3 + 1/2
+    adjustments) — pinned against hand arithmetic, including a negative
+    component where truncating division would round the wrong way."""
+    assigned = spark.createDataFrame(
+        [
+            (0, [0.000001, -0.000001], 1.0),
+            (0, [0.000001, -0.000002], 1.0),
+            (0, [0.000002, -0.000002], 1.0),
+        ],
+        "cluster int, _v array<double>, _n double",
+    )
+    [row] = semdedup.refine_centroids(assigned).collect()
+    # dim0: su=4, n=3 -> floor((8+3)/6)=1 unit; dim1: su=-5 (floor of
+    # negatives: -1,-2,-2), floor((-10+3)/6)=floor(-7/6)=-2 units
+    assert row["_cv"] == [0.000001, -0.000002]
+
+
+def test_auto_k_default_matches_scaled_k(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    k = semdedup.scaled_k(emb.count())
+    auto = semdedup.seed_centroids(emb)  # default "auto"
+    assert auto.count() == k
+    explicit = semdedup.semdedup_pairs(emb, threshold=0.35, n_clusters=k)
+    default = semdedup.semdedup_pairs(emb, threshold=0.35)
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
