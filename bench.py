@@ -153,6 +153,8 @@ HEADLINE = [
     "word_dropout_sample",
     "hard_negatives",
     "semdedup_pairs_scaled",
+    # round-8: one Lloyd-refined SemDeDup pass (kmeans_refine exercised)
+    "semdedup_pairs_refined",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -193,6 +195,25 @@ LARGE_SUBSET = [
     "token_budget_fill",
     "pipeline_e2e_exact",
     "shard_plan",
+    # round-8 (r7 verdict #6): the families that previously had
+    # two-decade evidence only up to sf0.1 — language ID (the 62-class
+    # scan + segment/classifier/confusion consumers), profile/histogram
+    # aggregations, and the window/event set — so every query family has
+    # an sf0.01→0.1→1 ratio
+    "segment_lang_mix",
+    "remove_wrong_lang",
+    "nb_classify_lang",
+    "lang_confusion_matrix",
+    "orders_profile",
+    "length_histogram",
+    "equidepth_histogram",
+    "event_funnel",
+    "event_paths",
+    "click_attribution",
+    "event_rate_gapfill",
+    "ntile_customer_value",
+    "scd2_user_intervals",
+    "semdedup_pairs_refined",
 ]
 
 

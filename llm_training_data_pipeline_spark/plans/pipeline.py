@@ -504,12 +504,18 @@ def main() -> None:
         else:  # jsonl sink
             try:
                 out = spark.read.json(out_path)
-            except Exception:
+            except Exception as exc:
                 # an all-rows-filtered run leaves a jsonl file with zero
                 # records; spark.read.json cannot infer a schema from it
                 # ("Unable to infer schema"), even though dataset_card
-                # itself handles 0 rows — give it the empty frame with a
-                # minimal explicit schema instead of crashing the CLI
+                # itself handles 0 rows — give THAT case the empty frame
+                # with a minimal explicit schema. Anything else (corrupt
+                # or unreadable output) must stay a visible failure, not
+                # a plausible-looking zero-row card.
+                if "UNABLE_TO_INFER_SCHEMA" not in str(
+                    exc
+                ) and "Unable to infer schema" not in str(exc):
+                    raise
                 out = spark.createDataFrame([], "text string")
         card_path = os.path.join(args.output_dir, "DATASET_CARD.md")
         write_dataset_card(out, card_path, name=os.path.basename(args.input))
