@@ -120,11 +120,79 @@ def _sloppy_cp1252_encode(s: str) -> bytes:
 _NONASCII_RUN = re.compile(r"[^\x00-\x7f]+")
 
 
-def _repair_run(run: str) -> str:
-    """Try to repair ONE maximal non-ASCII run. A re-decode is accepted
-    only when the run contains suspicious lead+trail mark pairs AND the
-    candidate strictly reduces their count — legitimate non-ASCII text
-    that happens to round-trip is left untouched."""
+def _char_byte(ch: str, enc: str) -> int | None:
+    """The single byte whose ``enc`` image is ``ch``, or None if ``ch``
+    has no single-byte preimage under that codec (sloppy = cp1252 with
+    the raw-control passthrough)."""
+    try:
+        if enc == "sloppy":
+            o = ord(ch)
+            if 0x80 <= o <= 0x9F:
+                return o
+            b = ch.encode("cp1252")
+        else:
+            b = ch.encode(enc)
+    except UnicodeEncodeError:
+        return None
+    return b[0] if len(b) == 1 else None
+
+
+def _span_repair(run: str, enc: str) -> str:
+    """Greedy per-SPAN repair inside one run: replace each substring
+    whose ``enc`` byte image is a complete multi-byte UTF-8 sequence
+    with its decode, and keep every other character verbatim. This is
+    the recovery path for runs the whole-run re-encode refuses — legit
+    non-ASCII fused against mojibake with no ASCII boundary between
+    (``éÃ©``), or a real curly quote / ellipsis adjacent to the damaged
+    image of another (``â€™’``): the un-re-encodable or non-sequence
+    characters no longer veto repairing the spans around them."""
+    out: list[str] = []
+    i, n, changed = 0, len(run), False
+    while i < n:
+        b0 = _char_byte(run[i], enc)
+        seq_len = 0
+        if b0 is not None:
+            if 0xC2 <= b0 <= 0xDF:
+                seq_len = 2
+            elif 0xE0 <= b0 <= 0xEF:
+                seq_len = 3
+            elif 0xF0 <= b0 <= 0xF4:
+                seq_len = 4
+        if seq_len and i + seq_len <= n:
+            trail = [_char_byte(run[j], enc) for j in range(i + 1, i + seq_len)]
+            if all(t is not None and 0x80 <= t <= 0xBF for t in trail):
+                try:
+                    out.append(bytes([b0, *trail]).decode("utf-8"))
+                    i += seq_len
+                    changed = True
+                    continue
+                except UnicodeDecodeError:
+                    pass
+        out.append(run[i])
+        i += 1
+    return "".join(out) if changed else run
+
+
+def _plausible(candidate: str, prev: str) -> bool:
+    """ftfy-style sanity check on a repair candidate: a decode that
+    BEGINS with a combining mark is only believable when the character
+    before the run is a letter for it to combine with (``uÌˆber`` →
+    u + U+0308: yes; a run-initial ``Ã©√©`` mis-decoding to U+0329 +
+    é under MacRoman: no — there is nothing to combine with)."""
+    return not (
+        candidate
+        and unicodedata.combining(candidate[0])
+        and not (prev and unicodedata.category(prev).startswith("L"))
+    )
+
+
+def _repair_run(run: str, prev: str = "") -> str:
+    """Try to repair ONE maximal non-ASCII run (``prev`` = the character
+    immediately before the run, for the combining-mark plausibility
+    gate). A re-decode is accepted only when the run contains suspicious
+    lead+trail mark pairs AND the candidate strictly reduces their
+    count — legitimate non-ASCII text that happens to round-trip is
+    left untouched."""
     bad = _badness(run)
     if bad == 0:
         return run
@@ -139,7 +207,21 @@ def _repair_run(run: str) -> str:
             candidate = raw.decode("utf-8")
         except (UnicodeEncodeError, UnicodeDecodeError):
             continue
-        if candidate != run and _badness(candidate) < bad:
+        if candidate != run and _badness(candidate) < bad and _plausible(
+            candidate, prev
+        ):
+            return candidate
+    # whole-run re-decode refused: repair the decodable SPANS and leave
+    # the rest (r8, ftfy's character-level splitting inside a run). The
+    # same badness gate applies, so a partial repair is accepted only
+    # when it strictly reduces the suspicious-mark count; mixed cp1252 +
+    # MacRoman damage in one run resolves across fixpoint passes (each
+    # pass repairs one family's spans, lowering badness for the next).
+    for enc in ("sloppy", "latin-1", "mac_roman"):
+        candidate = _span_repair(run, enc)
+        if candidate != run and _badness(candidate) < bad and _plausible(
+            candidate, prev
+        ):
             return candidate
     return run
 
@@ -175,7 +257,12 @@ def _fix_mojibake(s: str) -> str:
                 s = unescaped
                 changed = True
         if not s.isascii() and _badness(s) > 0:
-            repaired = _NONASCII_RUN.sub(lambda m: _repair_run(m.group()), s)
+            repaired = _NONASCII_RUN.sub(
+                lambda m: _repair_run(
+                    m.group(), s[m.start() - 1] if m.start() else ""
+                ),
+                s,
+            )
             if repaired != s:
                 s = repaired
                 changed = True

@@ -177,6 +177,9 @@ _CHANGED_IN_ROUND.update(
         "semdedup_stats": 8,
         "semdedup_recall": 8,
         "semdedup_incremental": 8,
+        # r8: C1 per-span repair inside non-ASCII runs + combining-mark
+        # plausibility gate — the fused C1+C2 UDF changed, re-execute
+        "clean_documents_full": 8,
     }
 )
 

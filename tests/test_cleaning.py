@@ -170,16 +170,26 @@ def test_fix_mojibake_ftfy_canonical_examples():
         # fixed run-by-run instead of failing wholesale
         ("Привет Ã© mixed", "Привет é mixed"),
         ("é next to Ã©", "é next to é"),
+        # r8: per-SPAN repair inside one run (was the documented skipped
+        # gap) — legit non-ASCII fused against mojibake with no ASCII
+        # boundary no longer vetoes the repair
+        ("éÃ©", "éé"),
+        ("Ã©é", "éé"),
+        # a REAL curly quote / ellipsis adjacent to a mojibake one: the
+        # legit char's lone cp1252 byte (0x92 / 0x85) breaks the
+        # whole-run decode; the span path restores the damaged one and
+        # keeps the real one
+        ("â€™’", "’’"),
+        ("â€¦…", "……"),
+        ("…â€¦", "……"),
+        # mixed ENCODINGS inside one run: cp1252 damage fused to
+        # MacRoman damage, one family per fixpoint pass
+        ("Ã©√©", "éé"),
     ]
     skipped = [
         # ftfy also uncurls lone curly apostrophes per style config; this
         # repair never rewrites legitimate text
         ("it’s fine", "it’s fine"),
-        # legit+mojibake fused in ONE contiguous run: no candidate decode
-        # of the whole run exists, so it survives — ftfy's character-level
-        # cost model can split inside a run; this repair segments only at
-        # ASCII boundaries (documented fidelity boundary)
-        ("éÃ©", "éÃ©"),
     ]
     for inp, want in fixed + skipped:
         got = _fix_mojibake(inp)
