@@ -2388,17 +2388,36 @@ def wikitext_fixture_sql_expr() -> str:
 
 def wiki_markup_strip_expr(e: str) -> str:
     """The C13+C14 chain (``wiki.strip_wiki_markup``) as one DuckDB
-    expression, built from the SAME rewrite tables so the two sides
-    cannot drift. Reference: wiki_parser.py:249-293."""
+    expression, built from the SAME rewrite/sentinel tables so the two
+    sides cannot drift. Reference: wiki_parser.py:249-293. r8: the
+    template stage is the balanced depth-counter fold (token-for-token
+    mirror of ``wiki.strip_templates_balanced``), exact at any nesting
+    depth."""
     from llm_training_data_pipeline_spark.sources.wiki import (
         _MARKUP_REWRITES,
         _POST_CLEAN,
-        _TEMPLATE_PASSES,
+        _T_CLOSE,
+        _T_OPEN,
+        _T_SEP,
     )
 
-    template_pat, _ = _MARKUP_REWRITES[0]
-    for _ in range(_TEMPLATE_PASSES - 1):
-        e = f"regexp_replace({e}, '{q(template_pat)}', '', 'g')"
+    sep, op, cl = (f"chr({ord(c)})" for c in (_T_SEP, _T_OPEN, _T_CLOSE))
+    toks = (
+        f"string_split(replace(replace({e}, '{{{{', {sep}||{op}||{sep}), "
+        f"'}}}}', {sep}||{cl}||{sep}), {sep})"
+    )
+    e = f"""(list_reduce(
+        list_prepend(struct_pack(d := 0, a := ''),
+          list_transform({toks}, t -> struct_pack(d := 0, a := t))),
+        (acc, x) -> CASE
+          WHEN x.a = {op} THEN struct_pack(d := acc.d + 1, a := acc.a)
+          WHEN x.a = {cl} THEN CASE
+            WHEN acc.d > 0 THEN struct_pack(d := acc.d - 1, a := acc.a)
+            ELSE struct_pack(d := 0, a := acc.a || '}}}}') END
+          ELSE CASE
+            WHEN acc.d = 0 THEN struct_pack(d := acc.d, a := acc.a || x.a)
+            ELSE acc END
+        END)).a"""
     for pat, repl in list(_MARKUP_REWRITES) + list(_POST_CLEAN):
         e = f"regexp_replace({e}, '{q(pat)}', {_wiki_sql_repl(repl)}, 'g')"
     return f"regexp_replace({e}, '{q(STRIP_WS)}', '', 'g')"

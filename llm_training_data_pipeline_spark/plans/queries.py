@@ -180,6 +180,9 @@ _CHANGED_IN_ROUND.update(
         # r8: C1 per-span repair inside non-ASCII runs + combining-mark
         # plausibility gate — the fused C1+C2 UDF changed, re-execute
         "clean_documents_full": 8,
+        # r8: balanced depth-counter template strip (Spark fold + DuckDB
+        # list_reduce mirror) + 4-deep/stray-closer fixture extension
+        "wiki_markup_strip": 8,
     }
 )
 

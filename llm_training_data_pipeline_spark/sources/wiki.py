@@ -3,12 +3,13 @@
 Reference semantics: /root/reference/src/ingestion/wiki_parser.py — a
 driver-side ``ET.iterparse`` generator. Spark-first replacement: the
 built-in XML data source (``format('xml'), rowTag='page'``, distributed,
-splittable with compression codecs) plus a native ``regexp_replace`` chain
-for markup removal (the reference's regex fallback path,
-wiki_parser.py:249-293). The mwparserfromhell-based primary path
-(wiki_parser.py:215-247) is gated behind an import-try pandas UDF — that
-library is not in this container, so the regex path is the default and the
-tested one.
+splittable with compression codecs) plus a native markup-removal chain:
+a balanced depth-counter template strip (exact at any nesting depth —
+the semantics of mwparserfromhell's template nodes, wiki_parser.py:215-247,
+as a pure JVM fold) followed by the reference's regex fallback rewrites
+(wiki_parser.py:249-293). The mwparserfromhell-based primary path is still
+gated behind an import-try pandas UDF — that library is not in this
+container, so the native chain is the default and the tested one.
 
 Page filters (wiki_parser.py:153-196): ns == 0, not a redirect, text
 present, stripped length >= 50 — expressed as pushdown-friendly filters.
@@ -23,16 +24,19 @@ from llm_training_data_pipeline_spark.functions.text import strip_ws
 
 MIN_ARTICLE_CHARS = 50  # wiki_parser.py:195
 
-# Bounded fixpoint depth for nested templates: {{a|{{b}}}} needs one pass
-# per nesting level; 3 covers essentially all real wikitext.
-_TEMPLATE_PASSES = 3
+# Tokenizer sentinels for the balanced template strip: '{{' / '}}' are
+# rewritten to SEP+mark+SEP so a plain split yields a stream of
+# (open-mark | close-mark | literal) tokens both engines fold over with
+# a depth counter. Control picks (RS / DC1 / DC2) never occur in real
+# wikitext; if they did, both engines transform identically, so the
+# oracle cannot drift.
+_T_SEP, _T_OPEN, _T_CLOSE = "\x1e", "\x11", "\x12"
 
 # C13 regex fallback chain (wiki_parser.py:249-276), Java-regex flavored.
-# The template rewrite is innermost-first, iterated _TEMPLATE_PASSES times
-# in strip_wiki_markup (a single [^{}]+ pass leaves the outer braces of
-# nested templates behind).
+# Templates are handled BEFORE this chain by the balanced depth-counter
+# fold in strip_wiki_markup (r8: exact at any nesting depth, replacing
+# the bounded 3-pass innermost-first regexp iteration).
 _MARKUP_REWRITES: list[tuple[str, str]] = [
-    (r"\{\{[^{}]*\}\}", ""),                       # templates {{...}} (innermost)
     (r"(?s)<ref[^>]*>.*?</ref>", ""),              # <ref>...</ref>
     (r"<ref[^/>]*/>", ""),                         # self-closing refs
     (r"<[^>]+>", ""),                              # any HTML tag
@@ -52,16 +56,70 @@ _POST_CLEAN: list[tuple[str, str]] = [
 ]
 
 
-def strip_wiki_markup(col: Column) -> Column:
-    """C13+C14 as one JVM regexp chain (order matches the reference).
+def strip_templates_balanced(col: Column) -> Column:
+    """Balanced ``{{…}}`` removal at ANY nesting depth — the native
+    stand-in for mwparserfromhell's template nodes (reference
+    wiki_parser.py:215-247), replacing the r7 bounded 3-pass regex
+    iteration that left residue beyond depth 3.
 
-    The template rewrite runs ``_TEMPLATE_PASSES`` times so nested templates
-    (``{{a|{{b}}}}``) strip fully — each pass removes one nesting level,
-    matching wiki_parser.py:249-259 intent without mwparserfromhell."""
-    c = col
-    template_pat, _ = _MARKUP_REWRITES[0]
-    for _ in range(_TEMPLATE_PASSES - 1):
-        c = F.regexp_replace(c, template_pat, "")
+    Mechanism (mirrored token-for-token by the DuckDB oracle): rewrite
+    the brace digraphs to sentinel tokens, split, and fold a depth
+    counter — literal text is kept only at depth 0, a stray ``}}`` with
+    no open template stays literal (the regex chain's behavior), and an
+    unclosed ``{{`` strips to end-of-text (mwparserfromhell would keep
+    it; documented deviation, deterministic on both engines). One
+    linear pass per row, all JVM expression — no UDF.
+    """
+    toks = F.split(
+        F.replace(
+            F.replace(col, F.lit("{{"), F.lit(_T_SEP + _T_OPEN + _T_SEP)),
+            F.lit("}}"),
+            F.lit(_T_SEP + _T_CLOSE + _T_SEP),
+        ),
+        _T_SEP,
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        keep = F.struct(acc["d"].alias("d"), acc["a"].alias("a"))
+        return (
+            F.when(
+                t == _T_OPEN,
+                F.struct((acc["d"] + F.lit(1)).alias("d"), acc["a"].alias("a")),
+            )
+            .when(
+                t == _T_CLOSE,
+                F.when(
+                    acc["d"] > 0,
+                    F.struct((acc["d"] - F.lit(1)).alias("d"), acc["a"].alias("a")),
+                ).otherwise(
+                    F.struct(
+                        acc["d"].alias("d"),
+                        F.concat(acc["a"], F.lit("}}")).alias("a"),
+                    )
+                ),
+            )
+            .otherwise(
+                F.when(
+                    acc["d"] == 0,
+                    F.struct(
+                        acc["d"].alias("d"), F.concat(acc["a"], t).alias("a")
+                    ),
+                ).otherwise(keep)
+            )
+        )
+
+    return F.aggregate(
+        toks,
+        F.struct(F.lit(0).alias("d"), F.lit("").alias("a")),
+        step,
+        lambda acc: acc["a"],
+    )
+
+
+def strip_wiki_markup(col: Column) -> Column:
+    """C13+C14 as one JVM expression chain (order matches the reference):
+    balanced template removal first, then the regexp rewrites."""
+    c = strip_templates_balanced(col)
     for pat, repl in _MARKUP_REWRITES:
         c = F.regexp_replace(c, pat, repl)
     for pat, repl in _POST_CLEAN:
@@ -100,6 +158,12 @@ WIKITEXT_FIXTURE: list[tuple[str, str | int]] = [
         '<div class="x">inline html</div> ( ) and   spaced   out .\n',
     ),
     ("text", 200),
+    # r8: the balanced-strip pins — 4-deep nesting (beyond the old
+    # 3-pass bound) must vanish wholly, and a stray '}}' with no open
+    # template stays literal
+    ("lit", "\n{{d1|x{{d2|y{{d3|z{{d4|"),
+    ("col", "source"),
+    ("lit", "}}}}}}}} deep-tail }} stray-closer"),
     ("lit", "\n\n\n\n[[Category:"),
     ("col", "source"),
     ("lit", "]]"),

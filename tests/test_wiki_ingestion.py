@@ -108,3 +108,29 @@ def test_nested_template_strip(spark):
     ).collect()
     for r in rows:
         assert r["got"] == r["expected"], (r["got"], r["expected"])
+
+
+def test_balanced_template_strip_any_depth(spark):
+    """r8 depth-counter fold: exact at ANY nesting depth (the old 3-pass
+    regex left residue past depth 3), stray '}}' stays literal, an
+    unclosed '{{' strips to end-of-text — all deterministic and
+    mirrored token-for-token by the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.sources.wiki import (
+        strip_templates_balanced,
+    )
+
+    cases = [
+        ("a {{1|{{2|{{3|{{4|{{5|x}}}}}}}}}} b", "a  b"),  # 5-deep
+        ("keep }} stray", "keep }} stray"),
+        ("tail {{unclosed forever", "tail "),
+        ("{{a}}{{b}} mid {{c|{{d}}}} end", " mid  end"),
+        ("", ""),
+        ("no braces at all", "no braces at all"),
+    ]
+    df = spark.createDataFrame(cases, "text string, expected string")
+    for r in df.select(
+        strip_templates_balanced(F.col("text")).alias("got"), "expected"
+    ).collect():
+        assert r["got"] == r["expected"], (r["got"], r["expected"])
