@@ -163,6 +163,59 @@ def main() -> None:
     }
     shutil.rmtree(state_dir2, ignore_errors=True)
 
+    # end-to-end streaming INGEST composition (r7 verdict #9): the
+    # examples/streaming_ingest.py shape — incremental near-dup dedup →
+    # script-mix screen → durable parquet accept sink per micro-batch,
+    # then one shard_assignment pass over the accumulated corpus — as a
+    # timed row, so the composed pipeline's throughput is tracked
+    # round-over-round next to the bare dedup operator's.
+    from llm_training_data_pipeline_spark.operators import corpus
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        with_script_mix,
+    )
+
+    state_dir3 = tempfile.mkdtemp(prefix="stream_bench_sigstore3_")
+    out_dir = tempfile.mkdtemp(prefix="stream_bench_accepted_")
+
+    def _ingest_sink(df, epoch_id):
+        kept = (
+            with_script_mix(df, "text")
+            .filter(~F.col("script_mixed"))
+            .select("doc_id", "text", "ts")
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    inc_stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max(args.batches // 2, 1))
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = streaming_minhash_dedup_incremental(
+        inc_stream3,
+        state_dir=state_dir3,
+        sink=_ingest_sink,
+        cfg=MinHashConfig(num_perm=32, num_bands=8),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    accepted = spark.read.parquet(out_dir)
+    n_shards = (
+        corpus.shard_assignment(accepted, target_chars=200_000)
+        .agg(F.count_distinct(F.col("shard_id")).alias("n"))
+        .collect()[0]["n"]
+    )
+    elapsed = time.time() - t0
+    results["ingest_pipeline"] = {
+        "rows_in": n_docs,
+        "rows_out": accepted.count(),
+        "n_shards": n_shards,
+        "sec": round(elapsed, 3),
+        "rows_per_sec": round(n_docs / elapsed, 1),
+    }
+    shutil.rmtree(state_dir3, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     # Bloom pre-filter: stateless broadcast probe against a static
     # corpus-history filter (the incremental-dedup front line). Keyed by
     # a digest computed in-stream so the probe path includes the hash.
