@@ -155,6 +155,9 @@ HEADLINE = [
     "semdedup_pairs_scaled",
     # round-8: one Lloyd-refined SemDeDup pass (kmeans_refine exercised)
     "semdedup_pairs_refined",
+    # round-8: DSIR importance scoring + Gumbel-top-k resample
+    "dsir_scores",
+    "dsir_sample",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -214,6 +217,7 @@ LARGE_SUBSET = [
     "ntile_customer_value",
     "scd2_user_intervals",
     "semdedup_pairs_refined",
+    "dsir_sample",
 ]
 
 

@@ -1945,3 +1945,229 @@ def rotate_docs(
     return df.withColumn(
         text_col, F.when(apply_rot, rotated).otherwise(text)
     ).withColumn("rotated", apply_rot)
+
+
+# ---------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------
+
+_DSIR_UNITS = 100_000_000  # 1e8 — the repo-wide ln-unit quantum
+
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Hashed n-gram features per document: ``(id, bucket)`` rows, one
+    per case-folded unigram AND adjacent bigram occurrence, bucketed by
+    ``md5_fold31 % num_buckets`` (the cross-engine-replayable hash lane
+    the md5 dedup family uses). This is DSIR's feature space: a fixed
+    ``num_buckets``-dim multinomial regardless of vocab size, so the
+    importance model is a broadcastable table even at 100 TB."""
+    from llm_training_data_pipeline_spark.functions.hashing import md5_fold31
+
+    toks = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("_ws")
+    )
+    uni = toks.select(id_col, F.explode("_ws").alias("f"))
+    bi = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.col("_ws"),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    feats = uni.unionByName(bi)
+    return feats.select(
+        id_col, F.pmod(md5_fold31(F.col("f")), F.lit(num_buckets)).alias("bucket")
+    )
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table ``(bucket, lr_units)``:
+    ``ln p_target(b) - ln p_raw(b)`` under add-one smoothing, in exact
+    1e-8 integer units. Each ln is floored to units INDIVIDUALLY
+    (``fl(ln(c_t+1)) - fl(ln(c_r+1)) - fl(ln(N_t+B)) + fl(ln(N_r+B))``)
+    so every value after the four ln calls is integer arithmetic — the
+    ``unigram_surprisal`` determinism discipline. At most ``num_buckets``
+    rows: broadcastable by construction.
+
+    Plan: two feature-explode passes feed two bucket hash aggregates
+    (map-side partials on a 10k-ary key — no skew possible beyond the
+    bucket count), full-outer-joined on bucket so features seen in only
+    one corpus still get their smoothed mass."""
+    fl = lambda c: F.floor(F.log(c) * F.lit(float(_DSIR_UNITS))).cast("long")
+    rc = (
+        dsir_features(raw, text_col, id_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_r"))
+    )
+    tc = (
+        dsir_features(target, text_col, id_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    joined = rc.join(tc, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce(F.col("c_r"), F.lit(0)).alias("c_r"),
+        F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+    )
+    tot = joined.agg(
+        F.sum("c_r").cast("long").alias("_nr"), F.sum("c_t").cast("long").alias("_nt")
+    )
+    b = F.lit(num_buckets)
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            fl(F.col("c_t") + 1)
+            - fl(F.col("c_r") + 1)
+            - fl(F.col("_nt") + b)
+            + fl(F.col("_nr") + b)
+        ).alias("lr_units"),
+    )
+
+
+def dsir_log_ratios_within(
+    df: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    materialize: bool = False,
+) -> DataFrame:
+    """``dsir_log_ratios`` for the common case where the target corpus
+    is a PREDICATE over the raw corpus (a language slice, a quality
+    tier): ONE feature-explode pass computes both bucket counts via a
+    conditional aggregate — halving the dominant cost (the md5 feature
+    hash) versus hashing the raw and target slices separately. Bit-
+    identical to ``dsir_log_ratios(df, df.filter(target_cond))``
+    (pinned in tests)."""
+    from llm_training_data_pipeline_spark.functions.hashing import md5_fold31
+
+    fl = lambda c: F.floor(F.log(c) * F.lit(float(_DSIR_UNITS))).cast("long")
+    toks = df.select(
+        target_cond.alias("_t"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_ws"),
+    )
+    uni = toks.select("_t", F.explode("_ws").alias("f"))
+    bi = toks.select(
+        "_t",
+        F.explode(
+            F.zip_with(
+                F.col("_ws"),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    counts = (
+        uni.unionByName(bi)
+        .select("_t", F.pmod(md5_fold31(F.col("f")), F.lit(num_buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_r"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("c_t"),
+        )
+    )
+    if materialize:
+        # counts (≤num_buckets rows) feeds BOTH the totals scalar and the
+        # ratio select, and the downstream broadcast boundary blocks
+        # exchange reuse — checkpoint once so the feature-hash pass (the
+        # dominant cost) runs once, not per branch (bit-identical output,
+        # same opt-in contract as unigram_surprisal/pmi_collocations)
+        counts = counts.localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.sum("c_r").cast("long").alias("_nr"), F.sum("c_t").cast("long").alias("_nt")
+    )
+    b = F.lit(num_buckets)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            fl(F.col("c_t") + 1)
+            - fl(F.col("c_r") + 1)
+            - fl(F.col("_nt") + b)
+            + fl(F.col("_nr") + b)
+        ).alias("lr_units"),
+    )
+
+
+def with_dsir_score(
+    df: DataFrame,
+    log_ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document DSIR importance score: ``(id, n_feats,
+    score_units)`` with ``score_units = Σ_features lr_units[bucket]``
+    (exact long sum — order-independent). Zero-feature documents score
+    0 with 0 features (kept: DSIR has no evidence either way).
+
+    The join is feature-rows ⋈ broadcast(10k-row ratio table) — no
+    shuffle beyond the per-doc aggregate on the natural id key."""
+    feats = dsir_features(df, text_col, id_col, num_buckets)
+    scored = (
+        feats.join(F.broadcast(log_ratios), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_units").cast("long").alias("score_units"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("score_units"), F.lit(0))
+            .cast("long")
+            .alias("score_units"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    log_ratios: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """DSIR's Gumbel-top-k importance resample: keep the ``k`` documents
+    maximizing ``log w(x) + Gumbel(id)`` — equivalent to sampling k
+    WITHOUT replacement with probability ∝ w(x) (the Gumbel-max trick),
+    but fully deterministic: the noise is ``-ln(-ln(u))`` over the
+    arithmetic ``sample_key`` lane, each ln floored to 1e-8 units with
+    an exactly-representable input for the second call, so both engines
+    replay the same sample. The global top-k is a TakeOrdered, never a
+    full sort. Returns ``(id, score_units, gumbel_units, key_units)``.
+    """
+    u = (
+        sample_key(F.col(id_col), 1_000_000).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    inner_units = F.floor(-F.log(u) * F.lit(float(_DSIR_UNITS))).cast("long")
+    gumbel_units = F.floor(
+        -F.log(inner_units.cast("double") / F.lit(float(_DSIR_UNITS)))
+        * F.lit(float(_DSIR_UNITS))
+    ).cast("long")
+    scored = with_dsir_score(df, log_ratios, text_col, id_col, num_buckets)
+    keyed = scored.select(
+        id_col,
+        "score_units",
+        gumbel_units.alias("gumbel_units"),
+        (F.col("score_units") + gumbel_units).alias("key_units"),
+    )
+    return keyed.orderBy(F.col("key_units").desc(), F.col(id_col)).limit(k)

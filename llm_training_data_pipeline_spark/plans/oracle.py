@@ -4182,3 +4182,95 @@ def dup_source_matrix_sql(
         JOIN documents db ON p.id_b = db.doc_id
         GROUP BY 1, 2
     """
+
+
+def _dsir_lr_cte(target_lang: str = "en", num_buckets: int = 10_000) -> str:
+    """Shared CTE chain mirroring corpus.dsir_features +
+    dsir_log_ratios over the documents table (target = one language):
+    hashed unigram+bigram buckets via the md5_fold31 lane, add-one
+    smoothed per-bucket log-ratios with each ln floored to 1e-8 units
+    individually (integer arithmetic thereafter)."""
+    b = num_buckets
+    fl = lambda x: f"CAST(floor(ln({x}) * CAST(100000000 AS DOUBLE)) AS BIGINT)"
+    return f"""
+        toks AS (
+          SELECT doc_id, {_lower_toks()} AS ws FROM documents
+        ), rawf AS (
+          SELECT doc_id, f FROM (
+            SELECT doc_id, unnest(ws) AS f FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(list_zip(ws, ws[2:]),
+                     p -> CASE WHEN p[2] IS NULL THEN NULL
+                          ELSE p[1] || ' ' || p[2] END)) AS f
+            FROM toks
+          ) WHERE f IS NOT NULL
+        ), feats AS (
+          SELECT doc_id,
+                 CAST((md5_number_lower(f) % 2147483647) % {b} AS BIGINT)
+                   AS bucket
+          FROM rawf
+        ), rc AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS c_r
+          FROM feats GROUP BY bucket
+        ), tc AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+          FROM feats JOIN documents USING (doc_id)
+          WHERE lang = '{target_lang}' GROUP BY bucket
+        ), jb AS (
+          SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+                 coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+          FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket
+        ), tot AS (
+          SELECT sum(c_r) AS nr, sum(c_t) AS nt FROM jb
+        ), lr AS (
+          SELECT bucket,
+                 {fl('c_t + 1')} - {fl('c_r + 1')}
+                 - {fl(f'nt + {b}')} + {fl(f'nr + {b}')} AS lr_units
+          FROM jb CROSS JOIN tot
+        ), sc AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(lr_units) AS BIGINT) AS score_units
+          FROM feats JOIN lr USING (bucket) GROUP BY doc_id
+        ), scores AS (
+          SELECT d.doc_id,
+                 coalesce(n_feats, 0) AS n_feats,
+                 coalesce(score_units, 0) AS score_units
+          FROM documents d LEFT JOIN sc USING (doc_id)
+        )"""
+
+
+def dsir_scores_sql(target_lang: str = "en", num_buckets: int = 10_000) -> str:
+    """Mirror of corpus.with_dsir_score with raw = documents and
+    target = documents of one language."""
+    return f"""
+        WITH {_dsir_lr_cte(target_lang, num_buckets)}
+        SELECT doc_id, n_feats, score_units FROM scores
+    """
+
+
+def dsir_sample_sql(
+    target_lang: str = "en", num_buckets: int = 10_000, frac: int = 4
+) -> str:
+    """Mirror of corpus.dsir_sample with k = n_docs // frac: Gumbel
+    noise over the arithmetic sample_key lane, each ln floored to 1e-8
+    units with an exactly-representable second input."""
+    u = (
+        "((CAST((((doc_id % 1000003 + 1000003) % 1000003) * 2654435761)"
+        " % 1000000 AS DOUBLE) + 0.5) / 1000000.0)"
+    )
+    inner = (
+        f"CAST(floor(-ln({u}) * CAST(100000000 AS DOUBLE)) AS BIGINT)"
+    )
+    gum = (
+        f"CAST(floor(-ln(CAST({inner} AS DOUBLE) / CAST(100000000 AS DOUBLE))"
+        f" * CAST(100000000 AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+        WITH {_dsir_lr_cte(target_lang, num_buckets)}
+        SELECT doc_id, score_units, {gum} AS gumbel_units,
+               score_units + {gum} AS key_units
+        FROM scores
+        ORDER BY key_units DESC, doc_id
+        LIMIT (SELECT count(*) // {frac} FROM documents)
+    """

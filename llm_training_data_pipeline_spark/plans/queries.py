@@ -1582,6 +1582,40 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_pairs(train, bench, n=3, min_shared=2)
 
 
+@register("dsir_scores", oracle.dsir_scores_sql(target_lang="en"))
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling'): hashed unigram+bigram
+    features (md5_fold31 lane, 10k buckets), add-one smoothed
+    target-vs-raw log-ratio table, per-doc exact-unit score — here
+    target = the English slice, raw = the whole corpus, so high scores
+    mean 'looks like the target distribution'. The ratio table is ≤10k
+    rows (broadcast) regardless of corpus size; the per-doc sum is an
+    exact long aggregate."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = corpus.dsir_log_ratios_within(
+        docs, F.col("lang") == "en", materialize=True
+    )
+    return corpus.with_dsir_score(docs, lr)
+
+
+@register("dsir_sample", oracle.dsir_sample_sql(target_lang="en", frac=4))
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's Gumbel-top-k importance resample: keep n//4 documents by
+    score + deterministic Gumbel noise (the Gumbel-max trick == sampling
+    w/o replacement ∝ importance weight), every unit replayable on both
+    engines. The selection is a TakeOrdered top-k, never a full sort."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    lr = corpus.dsir_log_ratios_within(
+        docs, F.col("lang") == "en", materialize=True
+    )
+    return corpus.dsir_sample(docs, lr, k=docs.count() // 4)
+
+
 @register(
     "stratified_sample",
     oracle.stratified_sample_sql({"en": 0.5, "fr": 0.3, "de": 0.2}, default_rate=0.1),

@@ -1061,3 +1061,80 @@ def test_word_dropout_preserves_order_and_columns(spark):
     # determinism
     again = {r["doc_id"]: r["text"] for r in corpus.word_dropout(df, rate=0.3).collect()}
     assert again == {k: v["text"] for k, v in out.items()}
+
+
+def test_dsir_within_equals_two_corpus_ratios(spark):
+    """dsir_log_ratios_within (one conditional-count pass) must be
+    bit-identical to dsir_log_ratios(df, df.filter(cond)) — the halved
+    feature-hash cost cannot change a single unit."""
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.operators import corpus
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    # a deterministic subset (limit() may pick different rows per job)
+    docs = load_table(spark, "documents", SF_DIR).filter(F.col("doc_id") < 200)
+    cond = F.col("lang") == "en"
+    two = corpus.dsir_log_ratios(docs, docs.filter(cond))
+    one = corpus.dsir_log_ratios_within(docs, cond, materialize=True)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_dsir_scores_favor_target_distribution(spark):
+    """Docs from the target slice must average a higher importance
+    score than the rest — the operator's entire point."""
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.operators import corpus
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    lr = corpus.dsir_log_ratios_within(docs, F.col("lang") == "en", materialize=True)
+    scored = corpus.with_dsir_score(docs, lr).join(
+        docs.select("doc_id", "lang"), on="doc_id"
+    )
+    rows = {
+        r["is_en"]: r["avg_per_feat"]
+        for r in scored.filter(F.col("n_feats") > 0)
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(
+            F.avg(F.col("score_units") / F.col("n_feats")).alias("avg_per_feat")
+        )
+        .collect()
+    }
+    assert rows[True] > rows[False], rows
+
+
+def test_dsir_sample_is_deterministic_and_sized(spark):
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.operators import corpus
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    lr = corpus.dsir_log_ratios_within(docs, F.col("lang") == "en", materialize=True)
+    a = corpus.dsir_sample(docs, lr, k=50).collect()
+    b = corpus.dsir_sample(docs, lr, k=50).collect()
+    assert len(a) == 50 and sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # key = score + gumbel, exactly
+    for r in a:
+        assert r["key_units"] == r["score_units"] + r["gumbel_units"]
+
+
+def test_dsir_zero_feature_doc_scores_zero(spark):
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello", "en"), (2, "   ", "de"), (3, "", "en")],
+        "doc_id long, text string, lang string",
+    )
+    lr = corpus.dsir_log_ratios_within(docs, F.col("lang") == "en")
+    got = {r["doc_id"]: (r["n_feats"], r["score_units"])
+           for r in corpus.with_dsir_score(docs, lr).collect()}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[1][0] == 5  # 3 unigrams + 2 bigrams
