@@ -229,11 +229,21 @@ def ann_lsh_topk(
     )
 
 
+def ivf_scaled_k(n: int, floor: int = 16) -> int:
+    """IVF list count that grows with corpus size: ``max(floor,
+    isqrt(n))`` — the classic inverted-file balance (per-query candidate
+    scan ≈ n·n_probe/k and centroid ranking ≈ k meet at k ≈ √n), so the
+    per-query cost is O(√n) instead of the fixed-k O(n)."""
+    import math
+
+    return max(floor, math.isqrt(n))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_clusters: int = 16,
+    n_clusters: int | str = "auto",
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -246,10 +256,16 @@ def ivf_topk(
     an equi-join on cluster id (shuffle bounded by list sizes), and each
     query scores ~|corpus| * n_probe / n_clusters candidates. Deterministic
     given ``seed``. Recall grows with n_probe; n_probe == n_clusters
-    degrades gracefully to brute force.
+    degrades gracefully to brute force. ``n_clusters`` defaults to
+    ``"auto"`` = ``ivf_scaled_k(count)`` (the r8 semdedup auto-k
+    discipline: the naive caller gets the √n-balanced list count, the
+    fixed-k curve is opt-in).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if n_clusters == "auto":
+        n_clusters = ivf_scaled_k(corpus.count())
 
     vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n").withColumn(
         "_fv", array_to_vector("_v")
