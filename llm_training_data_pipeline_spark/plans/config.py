@@ -73,6 +73,15 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "rates": {},
         "default_rate": 1.0,
     },
+    "dsir": {
+        # engine extension: DSIR importance selection (Xie et al. 2023) —
+        # keep the keep_fraction of surviving docs sampled ∝ resemblance
+        # to the target-language slice (deterministic Gumbel-top-k)
+        "enabled": False,
+        "target_lang": "en",
+        "keep_fraction": 0.25,
+        "num_buckets": 10_000,
+    },
     "tokenization": {
         "enabled": True,
         "algorithm": "bpe",

@@ -291,6 +291,34 @@ def build_pipeline(
         obs["sample"] = Observation("sample")
         df = df.observe(obs["sample"], F.count(F.lit(1)).alias("rows"))
 
+    dsec = cfg.section("dsir")
+    if dsec.get("enabled", False):
+        # DSIR importance selection (Xie et al. 2023): keep the documents
+        # most resembling the target slice, sampled ∝ importance weight
+        # via the deterministic Gumbel-top-k (corpus.dsir_sample). The
+        # ratio table is one conditional-count pass (≤num_buckets rows,
+        # broadcast); the count for k is one cheap action. Runs AFTER the
+        # quality/sampling screens so the importance model is fit on the
+        # surviving distribution, not on the junk the screens remove.
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        target_lang = str(dsec.get("target_lang", "en"))
+        frac = float(dsec.get("keep_fraction", 0.25))
+        buckets = int(dsec.get("num_buckets", 10_000))
+        lr = corpus.dsir_log_ratios_within(
+            df,
+            F.col("lang") == target_lang,
+            num_buckets=buckets,
+            materialize=True,
+        )
+        k = max(1, int(df.count() * frac))
+        keep = corpus.dsir_sample(df, lr, k=k, num_buckets=buckets).select(
+            "doc_id"
+        )
+        df = df.join(keep, on="doc_id", how="left_semi")
+        obs["dsir"] = Observation("dsir")
+        df = df.observe(obs["dsir"], F.count(F.lit(1)).alias("rows"))
+
     return df, obs
 
 

@@ -183,6 +183,9 @@ _CHANGED_IN_ROUND.update(
         # r8: balanced depth-counter template strip (Spark fold + DuckDB
         # list_reduce mirror) + 4-deep/stray-closer fixture extension
         "wiki_markup_strip": 8,
+        # r8: build_pipeline gained the default-off dsir stage (default
+        # plan identical, gate tested, composing code changed — re-score)
+        "pipeline_e2e_exact": 8,
     }
 )
 

@@ -477,3 +477,46 @@ def test_dataset_card_empty_corpus_no_crash(spark):
     md = dataset_card(docs, name="empty")
     assert "documents: 0" in md and "n/a" in md
     assert "0.0%" in md
+
+
+def test_dsir_stage_gates(spark):
+    """r8 config stage: default-off is a no-op; enabled, the pipeline
+    keeps ceil-ish keep_fraction of survivors selected by DSIR
+    importance (target-language resemblance), deterministically, and
+    the Observation row lands in the summary."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    rows = []
+    for i in range(20):
+        lang = "en" if i % 2 == 0 else "de"
+        text = (
+            "the quick brown fox jumps over the lazy dog " * 3
+            if lang == "en"
+            else "der schnelle braune fuchs springt ueber den faulen hund " * 3
+        )
+        rows.append((i, text + f"tail{i}", lang, "s0"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    base_cfg = {
+        "cleaning": {"min_length_chars": 10, "normalize_unicode": False,
+                     "fix_encoding": False},
+        "deduplication": {"enabled": False},
+        "quality": {"min_words": 5, "max_words": 100000,
+                    "min_avg_word_length": 1.0},
+    }
+    off, _ = build_pipeline(docs, PipelineConfig(dict(base_cfg)))
+    assert off.count() == 20
+    cfg = dict(base_cfg)
+    cfg["dsir"] = {"enabled": True, "target_lang": "en", "keep_fraction": 0.5}
+    on, obs = build_pipeline(docs, PipelineConfig(cfg))
+    kept = sorted(r["doc_id"] for r in on.collect())
+    assert "dsir" in obs
+    assert len(kept) == 10
+    # deterministic: the same ids survive on a second build
+    on2, _ = build_pipeline(docs, PipelineConfig(dict(cfg)))
+    assert sorted(r["doc_id"] for r in on2.collect()) == kept
+    # the selection leans target: en docs (importance > 1) dominate
+    n_en = sum(1 for i in kept if i % 2 == 0)
+    assert n_en > len(kept) // 2, kept
