@@ -158,6 +158,7 @@ HEADLINE = [
     # round-8: DSIR importance scoring + Gumbel-top-k resample
     "dsir_scores",
     "dsir_sample",
+    "media_exact_dedup",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

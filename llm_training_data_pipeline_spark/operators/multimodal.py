@@ -626,3 +626,25 @@ def synthetic_audio_assets(spark, n: int = 64) -> DataFrame:
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def media_exact_dedup(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """Byte-identical asset dedup: min-id winner per md5(payload) — the
+    text exact-dedup convention (deduplicator.py:61-88) applied to
+    opaque binary columns. The shuffle ships (digest, id), never the
+    payload bytes: at 100 TB of media the digest column is the only
+    thing the exchange ever sees, and survivors re-join nothing (the
+    window runs over the projected pair). Appends ``digest`` and
+    ``n_bytes``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        df.withColumn("digest", F.md5(F.col(payload_col)))
+        .withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

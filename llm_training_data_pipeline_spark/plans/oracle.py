@@ -4274,3 +4274,23 @@ def dsir_sample_sql(
         ORDER BY key_units DESC, doc_id
         LIMIT (SELECT count(*) // {frac} FROM documents)
     """
+
+
+def media_exact_dedup_sql(prefix_chars: int = 40) -> str:
+    """Mirror of multimodal.media_exact_dedup over payloads derived from
+    the documents table (utf-8 bytes of a text prefix — the oracle-
+    visible stand-in for opaque media blobs; md5 over the same bytes)."""
+    return f"""
+        WITH assets AS (
+          SELECT doc_id AS asset_id,
+                 substr(text, 1, {prefix_chars}) AS s
+          FROM documents
+        ), d AS (
+          SELECT asset_id, md5(s) AS digest,
+                 CAST(strlen(s) AS BIGINT) AS n_bytes,
+                 row_number() OVER (PARTITION BY md5(s) ORDER BY asset_id)
+                   AS rn
+          FROM assets
+        )
+        SELECT asset_id, digest, n_bytes FROM d WHERE rn = 1
+    """

@@ -1397,6 +1397,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_exact_dedup", oracle.media_exact_dedup_sql(prefix_chars=40))
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup: min-id winner per md5(payload) over
+    BINARY asset payloads (utf-8 bytes of a documents prefix stand in
+    for opaque blobs so the digest math is oracle-checkable; 24 dup
+    payloads at sf0.01). The exchange ships (digest, id) only — at
+    100 TB of media the payload bytes never cross a shuffle."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        media_exact_dedup,
+    )
+
+    assets = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.substring(F.col("text"), 1, 40), "UTF-8").alias("payload"),
+    )
+    return media_exact_dedup(assets).select("asset_id", "digest", "n_bytes")
+
+
 @register("percentiles_lineitem", oracle.percentiles_sql())
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` == DuckDB

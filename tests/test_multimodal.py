@@ -309,3 +309,23 @@ def test_ogg_opus_meta_truncated_payload_returns_none():
 
     trunc = b"OggS" + b"\x00" * 22 + bytes([20]) + b"\x00" * 20 + b"OpusHead"
     assert _ogg_opus_meta(trunc) is None
+
+
+def test_media_exact_dedup_min_id_winner(spark):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        media_exact_dedup,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (3, bytearray(b"\x00\x01\x02")),
+            (1, bytearray(b"\x00\x01\x02")),  # dup bytes — lower id wins
+            (2, bytearray(b"\xff")),
+            (4, bytearray(b"")),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: (r["digest"], r["n_bytes"])
+           for r in media_exact_dedup(assets).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1][1] == 3 and got[4][1] == 0
