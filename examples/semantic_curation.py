@@ -65,6 +65,27 @@ def main() -> None:
         f"(recall={rec['recall']}) — the cross-cluster trade, measured"
     )
 
+    # DSIR importance selection (r8): resample the gated corpus toward
+    # the English slice — the Xie et al. 2023 step between screening and
+    # mixing. Single-pass ratio table, deterministic Gumbel-top-k.
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        dsir_log_ratios_within,
+        dsir_sample,
+    )
+
+    lr = dsir_log_ratios_within(gated, F.col("lang") == "en", materialize=True)
+    k = max(1, gated.count() // 2)
+    picked = dsir_sample(gated, lr, k=k)
+    n_en = (
+        picked.join(gated.select("doc_id", "lang"), on="doc_id")
+        .filter(F.col("lang") == "en")
+        .count()
+    )
+    print(
+        f"dsir resample toward en: kept {k} docs, {n_en} en "
+        f"(corpus share was {gated.filter(F.col('lang') == 'en').count()}/{gated.count()})"
+    )
+
     from llm_training_data_pipeline_spark.plans.card import dataset_card
 
     print()
