@@ -485,6 +485,13 @@ def main() -> None:
         help="also write DATASET_CARD.md (size/source/lang/dedup/quality "
         "summary of the pipeline OUTPUT) into --output-dir",
     )
+    ap.add_argument(
+        "--report",
+        action="store_true",
+        help="also render the stage-metrics table (O5): written to "
+        "pipeline_report.txt in --output-dir and echoed to stderr "
+        "(stdout stays pure JSON)",
+    )
     args = ap.parse_args()
 
     from llm_training_data_pipeline_spark.session import get_spark
@@ -548,6 +555,18 @@ def main() -> None:
         card_path = os.path.join(args.output_dir, "DATASET_CARD.md")
         write_dataset_card(out, card_path, name=os.path.basename(args.input))
         summary["dataset_card"] = card_path
+    if args.report:
+        import os
+        import sys as _sys
+
+        from llm_training_data_pipeline_spark.plans.report import render_report
+
+        rendered = render_report(summary)
+        report_path = os.path.join(args.output_dir, "pipeline_report.txt")
+        with open(report_path, "w") as fh:
+            fh.write(rendered + "\n")
+        print(rendered, file=_sys.stderr)
+        summary["report"] = report_path
     print(json.dumps(summary, indent=2, default=str))
 
 

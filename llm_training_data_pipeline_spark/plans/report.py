@@ -12,8 +12,8 @@ from typing import Any
 
 STAGE_ORDER = [
     "ingest", "clean", "dedup", "span_dedup", "source_cap",
-    "quality", "entropy", "perplexity", "decontaminate", "pii",
-    "sample", "tokenize",
+    "quality", "entropy", "script_mix", "perplexity", "decontaminate",
+    "pii", "sample", "dsir", "tokenize",
 ]
 
 

@@ -81,6 +81,21 @@ def test_report_rendering():
     assert "ingest" in out and "90" in out and "10.0%" in out and "vocab=99" in out
 
 
+def test_report_covers_every_observed_stage():
+    """Every Observation name build_pipeline can emit must appear in
+    STAGE_ORDER — a stage missing from the list silently drops its row
+    from the report (script_mix did exactly that in r7)."""
+    import re
+
+    from llm_training_data_pipeline_spark.plans import pipeline as pl
+    from llm_training_data_pipeline_spark.plans.report import STAGE_ORDER
+
+    src = open(pl.__file__).read()
+    observed = set(re.findall(r'obs\["(\w+)"\] = Observation', src))
+    missing = observed - set(STAGE_ORDER)
+    assert not missing, f"stages observed but absent from STAGE_ORDER: {missing}"
+
+
 def test_stats_survive_empty_input(spark):
     """ANSI mode: aggregates over empty inputs must not DIVIDE_BY_ZERO."""
     from llm_training_data_pipeline_spark.operators.cleaning import (
