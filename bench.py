@@ -274,6 +274,8 @@ def main() -> None:
     def run_suite(
         sf_dir: str, label: str, repeat: int, suite: list[str] | None = None
     ) -> dict[str, float]:
+        import gc
+
         timings: dict[str, float] = {}
         for name in suite if suite is not None else names:
             fn, _sql = reg[name]
@@ -284,6 +286,14 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 runs.append(time.perf_counter() - t0)
+                del df
+            # free dead localCheckpoint blocks NOW: finished queries'
+            # checkpointed frames otherwise pin executor storage until
+            # some later Python GC, and by the 500th execution the
+            # squeezed execution memory makes late queries spill (the
+            # deliberately session-scoped caches, e.g. the md5 signature
+            # store, hold live references and are untouched)
+            gc.collect()
             # warm median: the first run pays page-cache + codegen warmth
             # and is reported separately, never mixed into the number
             warm = runs[1:] if len(runs) > 1 else runs
@@ -346,6 +356,15 @@ def main() -> None:
             if rc != 0 or not os.path.isdir(large_dir):
                 large_dir = "none"
     if large_dir != "none" and os.path.isdir(large_dir):
+        # FRESH session for the large pass: the ratio must measure the
+        # plan at 10x data, not the storage-memory residue of the ~500
+        # query executions above (measured: the same queries run up to
+        # ~10x slower at sf1 in the end-of-suite session than in a clean
+        # one). Costs one JVM restart + re-paying the signature-store
+        # pass — both part of honest cold-at-scale cost.
+        spark.stop()
+        spark = get_spark(app_name="bench-large")
+        spark.range(1000).count()
         for t in TABLE_NAMES:
             try:
                 load_table(spark, t, large_dir).count()

@@ -67,8 +67,12 @@ def strip_templates_balanced(col: Column) -> Column:
     counter — literal text is kept only at depth 0, a stray ``}}`` with
     no open template stays literal (the regex chain's behavior), and an
     unclosed ``{{`` strips to end-of-text (mwparserfromhell would keep
-    it; documented deviation, deterministic on both engines). One
-    linear pass per row, all JVM expression — no UDF.
+    it; documented deviation, deterministic on both engines). All JVM
+    expression — no UDF. Cost: linear in text size for the tokenize,
+    plus one accumulator concat per BRACE TOKEN (string copy ∝ kept
+    length — quadratic only in the brace count, which is tens-to-
+    hundreds on real wikitext, never the text length; a doc would need
+    ~10⁴ template digraphs before this term rivals one regex pass).
     """
     toks = F.split(
         F.replace(

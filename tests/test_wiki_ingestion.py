@@ -134,3 +134,48 @@ def test_balanced_template_strip_any_depth(spark):
         strip_templates_balanced(F.col("text")).alias("got"), "expected"
     ).collect():
         assert r["got"] == r["expected"], (r["got"], r["expected"])
+
+
+def test_balanced_template_strip_matches_python_model(spark):
+    """Property pin: the Spark fold == a transparent Python model of the
+    same depth-counter algorithm, over 300 seeded random brace-soup
+    strings (nesting to depth ~8, stray closers, unclosed opens,
+    adjacent digraphs like '{{{' and '}}}')."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.sources.wiki import (
+        strip_templates_balanced,
+    )
+
+    def model(s: str) -> str:
+        toks = re.split("(\\{\\{|\\}\\})", s)
+        out, d = [], 0
+        for t in toks:
+            if t == "{{":
+                d += 1
+            elif t == "}}":
+                if d > 0:
+                    d -= 1
+                else:
+                    out.append("}}")
+            elif d == 0:
+                out.append(t)
+        return "".join(out)
+
+    rng = random.Random(42)
+    alphabet = ["{{", "}}", "{", "}", "a", "b ", "|", "x{y"]
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, t string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", strip_templates_balanced(F.col("t")).alias("s")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), (c, got[i], model(c))
