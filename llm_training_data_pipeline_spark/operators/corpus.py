@@ -2171,3 +2171,62 @@ def dsir_sample(
         (F.col("score_units") + gumbel_units).alias("key_units"),
     )
     return keyed.orderBy(F.col("key_units").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------
+# Distinct-n diversity (per-source corpus diversity diagnostics)
+# ---------------------------------------------------------------------
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity per group: corpus-distinct word n-grams over
+    total n-gram occurrences, in exact ppm units, for each ``n``. Low
+    distinct-2/distinct-3 against siblings is the classic fingerprint of
+    a templated or machine-generated source — the corpus-level complement
+    to the per-doc repetition battery (quality.py Q6).
+
+    Plan, per n: totals come from token COUNTS alone (a scalar per doc —
+    no explode), so the only shuffle carrying grams is the distinct
+    count, which Spark runs as a two-stage partial-distinct expand over
+    the per-doc-distinct gram sets from ``word_ngram_set`` (per-doc
+    distinctness shrinks the explode for repetitive docs and leaves the
+    corpus-level distinct unchanged). Short docs (<n words) contribute
+    their whole text as one gram, same rule as the contamination check.
+    """
+    parts = []
+    for n in ns:
+        toks_sz = F.size(whitespace_tokens(F.lower(F.col(text_col))))
+        per_doc_total = (
+            F.when(toks_sz < n, F.lit(1))
+            .otherwise(toks_sz - F.lit(n - 1))
+            .cast("long")
+        )
+        totals = df.groupBy(by).agg(F.sum(per_doc_total).alias("total_grams"))
+        distincts = (
+            df.select(
+                F.col(by),
+                F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
+            )
+            .groupBy(by)
+            .agg(F.count_distinct("gram").cast("long").alias("distinct_grams"))
+        )
+        parts.append(
+            distincts.join(totals, on=by).select(
+                F.lit(n).cast("int").alias("n"),
+                F.col(by),
+                "distinct_grams",
+                F.col("total_grams").cast("long").alias("total_grams"),
+                F.expr("1000000 * distinct_grams div total_grams")
+                .cast("long")
+                .alias("diversity_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n", by)

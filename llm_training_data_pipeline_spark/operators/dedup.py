@@ -1304,3 +1304,96 @@ def simhash_recall(
         )
         .alias("recall"),
     )
+
+
+# --- Soft dedup: downweight duplicates instead of dropping them -----------
+#
+# Hard dedup (D5/D8) deletes every non-winner; soft dedup keeps all rows
+# and assigns each a sampling weight 1/n over its duplicate group, so the
+# duplicated CONTENT contributes one document's worth of training mass no
+# matter how many copies the crawl found. This is the standard
+# "downweight, don't drop" alternative in LLM corpus curation (the
+# reference's deduplicator.py:299-304 only drops; this extends the same
+# digest/cluster machinery). Weights are integer ppm (1_000_000 div n) —
+# exact on both engines, summable without float drift.
+
+
+def exact_soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc ``(id, n_copies, soft_weight_ppm)`` over the exact-content
+    digest groups of D8.
+
+    Plan: project to ``(id, digest)`` first, then ONE hash shuffle for the
+    unordered count window — no join-back, and the shuffle carries two
+    columns, not the document text. Duplicate multiplicity is the only
+    skew (a k-copy group is k rows in one partition), which is exactly
+    the quantity being measured.
+    """
+    w = Window.partitionBy("_h")
+    return (
+        df.select(F.col(id_col), exact_hash(F.col(text_col)).alias("_h"))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+        .select(
+            id_col,
+            "n_copies",
+            F.expr("1000000 div n_copies").cast("long").alias("soft_weight_ppm"),
+        )
+    )
+
+
+def cluster_soft_dedup_weights(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup soft weights: ``1/|cluster|`` ppm over ``dedup_clusters``
+    labels; docs outside every cluster keep full weight (singleton).
+
+    The cluster-size table is tiny (one row per near-dup cluster) so the
+    size join broadcasts; the label join is id-to-id. Composes with any
+    pair graph the clusterer accepts (MinHash bands, SimHash, n-gram
+    Jaccard).
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    labeled = clusters.join(F.broadcast(sizes), on="cluster_id").select(
+        F.col("doc_id").alias(id_col), "_sz"
+    )
+    return (
+        df.select(id_col)
+        .join(labeled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_sz"), F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("1000000 div coalesce(_sz, 1)").cast("long").alias(
+                "soft_weight_ppm"
+            ),
+        )
+    )
+
+
+def soft_dedup_mass(
+    df: DataFrame,
+    weights: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Effective-corpus-size report: per group, raw docs vs the
+    soft-weighted document mass (ppm-summed, exact) and how many rows sit
+    in multi-copy groups. ``sum(soft_weight_ppm)/1e6`` is "how many
+    documents' worth of unique content" — the number a mixture planner
+    should budget against, not the raw row count.
+    """
+    size_col = "n_copies" if "n_copies" in weights.columns else "cluster_size"
+    joined = df.select(id_col, by).join(weights, on=id_col)
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("soft_weight_ppm").cast("long").alias("effective_docs_ppm"),
+            F.sum(F.when(F.col(size_col) > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("downweighted_docs"),
+        )
+        .orderBy(by)
+    )

@@ -32,7 +32,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     },
     "deduplication": {
         "enabled": True,
-        "algorithm": "minhash_lsh",  # minhash_lsh | exact_hash | simhash
+        # minhash_lsh | minhash_keep_best | exact_hash | simhash |
+        # soft_exact | soft_minhash (soft_* keep every row and add a
+        # 1/n-duplicates soft_weight_ppm sampling-weight column)
+        "algorithm": "minhash_lsh",
         "num_permutations": 128,
         "threshold": 0.8,
         "num_bands": 16,

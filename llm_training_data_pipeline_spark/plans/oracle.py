@@ -4294,3 +4294,79 @@ def media_exact_dedup_sql(prefix_chars: int = 40) -> str:
         )
         SELECT asset_id, digest, n_bytes FROM d WHERE rn = 1
     """
+
+
+def soft_dedup_weights_sql() -> str:
+    """Mirror of dedup.exact_soft_dedup_weights: unordered count window
+    over the D8 content digest; weight = 1e6 div n in exact ppm units."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 count(*) OVER (
+                   PARTITION BY
+                     md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))
+                 ) AS n
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_copies,
+               CAST(1000000 // n AS BIGINT) AS soft_weight_ppm
+        FROM w
+    """
+
+
+def soft_dedup_mass_sql(pairs_sql: str) -> str:
+    """Mirror of dedup.cluster_soft_dedup_weights ∘ soft_dedup_mass over
+    the given near-dup pair graph: recursive-CTE clusters → per-cluster
+    sizes → 1e6 div size ppm weights (singletons keep 1e6) → per-source
+    raw vs effective document mass."""
+    return f"""
+        WITH clusters AS ({dedup_clusters_sql(pairs_sql=pairs_sql)}),
+        sizes AS (
+          SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+        ),
+        wts AS (
+          SELECT d.doc_id, d.source, COALESCE(s.sz, 1) AS sz
+          FROM documents d
+          LEFT JOIN clusters c ON d.doc_id = c.doc_id
+          LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(1000000 // sz) AS BIGINT) AS effective_docs_ppm,
+               CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS downweighted_docs
+        FROM wts GROUP BY source ORDER BY source
+    """
+
+
+def ngram_diversity_sql(ns: tuple[int, ...] = (1, 2, 3), by: str = "source") -> str:
+    """Mirror of corpus.ngram_diversity: per-``n`` UNION ALL of
+    (distinct corpus grams) / (total gram occurrences) in exact ppm,
+    grouped by ``by``; totals derived from token counts, distincts from
+    the per-doc-distinct gram sets (identical corpus-level set)."""
+    blocks = []
+    for n in ns:
+        blocks.append(f"""
+        SELECT CAST({n} AS INTEGER) AS n, tot.{by},
+               distinct_grams, total_grams,
+               CAST(1000000 * distinct_grams // total_grams AS BIGINT)
+                 AS diversity_ppm
+        FROM (
+          SELECT {by},
+                 CAST(sum(CASE WHEN len({_lower_toks()}) < {n} THEN 1
+                          ELSE len({_lower_toks()}) - {n} + 1 END) AS BIGINT)
+                   AS total_grams
+          FROM documents GROUP BY {by}
+        ) tot
+        JOIN (
+          SELECT {by},
+                 CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+          FROM (
+            SELECT {by}, unnest({_word_ngrams_sql('text', n)}) AS gram
+            FROM documents
+          ) GROUP BY {by}
+        ) dst USING ({by})
+        """)
+    u = " UNION ALL ".join(blocks)
+    return f"SELECT * FROM ({u}) ORDER BY n, {by}"

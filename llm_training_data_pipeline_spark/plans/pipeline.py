@@ -17,7 +17,7 @@ import os
 import time
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from llm_training_data_pipeline_spark.operators import cleaning, dedup, quality
@@ -87,13 +87,46 @@ def build_pipeline(
                 )
             else:
                 df = dedup.minhash_dedup(df, cfg=mh)
+        elif algo == "soft_exact":
+            # downweight, don't drop: every row survives with a
+            # 1/n_copies ppm weight over its content-digest group (one
+            # full-row hash shuffle, no join-back)
+            w = Window.partitionBy(dedup.exact_hash(F.col("text")))
+            df = df.withColumn(
+                "_n_copies", F.count(F.lit(1)).over(w).cast("long")
+            ).withColumn(
+                "soft_weight_ppm",
+                F.expr("1000000 div _n_copies").cast("long"),
+            ).drop("_n_copies")
+        elif algo == "soft_minhash":
+            mh = dedup.MinHashConfig(
+                num_perm=d.get("num_permutations", 128),
+                threshold=d.get("threshold", 0.8),
+                shingle_size=d.get("shingle_size", 5),
+                num_bands=d.get("num_bands", 16),
+            )
+            clusters = dedup.dedup_clusters(
+                dedup.minhash_bucket_stars(df, cfg=mh)
+            )
+            weights = dedup.cluster_soft_dedup_weights(df, clusters).select(
+                "doc_id", "soft_weight_ppm"
+            )
+            df = df.join(weights, on="doc_id", how="left")
         else:
             raise ValueError(
                 f"unknown deduplication.algorithm {algo!r}; "
-                "choose from minhash_lsh, minhash_keep_best, exact_hash, simhash"
+                "choose from minhash_lsh, minhash_keep_best, exact_hash, "
+                "simhash, soft_exact, soft_minhash"
             )
         obs["dedup"] = Observation("dedup")
-        df = df.observe(obs["dedup"], F.count(F.lit(1)).alias("rows"))
+        dedup_metrics = [F.count(F.lit(1)).alias("rows")]
+        if algo in ("soft_exact", "soft_minhash"):
+            # effective corpus mass the mixture planner should budget
+            # against (raw rows are unchanged by design in soft modes)
+            dedup_metrics.append(
+                F.sum("soft_weight_ppm").alias("effective_docs_ppm")
+            )
+        df = df.observe(obs["dedup"], *dedup_metrics)
 
     sr = cfg.section("deduplication").get("span_removal", {})
     if sr.get("enabled", False):

@@ -3600,3 +3600,44 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
     )
+
+
+@register("soft_dedup_weights", oracle.soft_dedup_weights_sql())
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup, exact flavor: every doc keeps a 1/n_copies sampling
+    weight (integer ppm) over its D8 content-digest group instead of
+    being dropped — duplicated content contributes one document's worth
+    of training mass however many copies the crawl found. One two-column
+    hash shuffle (id, digest); no join-back."""
+    return dedup.exact_soft_dedup_weights(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "soft_dedup_mass",
+    oracle.soft_dedup_mass_sql(
+        pairs_sql=oracle.minhash_stars_md5_sql(num_perm=16, num_bands=4)
+    ),
+)
+def q_soft_dedup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup soft dedup rolled up to the mixture-planning number:
+    per source, raw docs vs effective (1/|cluster| ppm-weighted) document
+    mass over the md5-family star-graph clusters. The cluster-size join
+    broadcasts (one row per cluster); the oracle replays the full chain
+    through the recursive-CTE closure."""
+    docs = _t(spark, sf_dir, "documents")
+    stars = dedup.minhash_bucket_stars(
+        docs, cfg=_MD5_CFG, signatures=_md5_sigs(spark, sf_dir)
+    )
+    clusters = dedup.dedup_clusters(stars)
+    weights = dedup.cluster_soft_dedup_weights(docs, clusters)
+    return dedup.soft_dedup_mass(docs, weights)
+
+
+@register("ngram_diversity", oracle.ngram_diversity_sql(ns=(1, 2, 3)))
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-1/2/3 diversity in exact ppm — the corpus-
+    level templated-source fingerprint. Totals come from token counts
+    (no explode); only the distinct count shuffles grams."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.ngram_diversity(_t(spark, sf_dir, "documents"), ns=(1, 2, 3))

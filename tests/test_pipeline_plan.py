@@ -535,3 +535,45 @@ def test_dsir_stage_gates(spark):
     # the selection leans target: en docs (importance > 1) dominate
     n_en = sum(1 for i in kept if i % 2 == 0)
     assert n_en > len(kept) // 2, kept
+
+
+def test_pipeline_soft_dedup_modes_keep_rows_and_weight(spark):
+    """soft_exact / soft_minhash keep EVERY row and attach a
+    1/n-duplicates ppm weight; the dedup observation reports the
+    effective (weighted) corpus mass."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest towards the shining river every morning "
+    ) * 4
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, "a completely different document about query planning and "
+            "broadcast joins in distributed execution engines " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for algo in ("soft_exact", "soft_minhash"):
+        cfg = PipelineConfig(
+            {
+                "cleaning": {"min_length_chars": 50},
+                "deduplication": {
+                    "algorithm": algo,
+                    "num_permutations": 32,
+                    "num_bands": 8,
+                    "threshold": 0.5,
+                },
+                "quality": {"enabled": False},
+                "tokenization": {"enabled": False},
+            }
+        )
+        out, obs = build_pipeline(docs, cfg)
+        got = {r["doc_id"]: r["soft_weight_ppm"] for r in out.collect()}
+        assert sorted(got) == [1, 2, 3], algo  # nothing dropped
+        assert got[1] == 500000 and got[2] == 500000, algo
+        assert got[3] == 1000000, algo
+        m = obs["dedup"].get
+        assert m["rows"] == 3, algo
+        assert m["effective_docs_ppm"] == 2000000, algo

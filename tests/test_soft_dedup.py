@@ -1,0 +1,106 @@
+"""Soft dedup (downweight-not-drop) + distinct-n diversity pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from llm_training_data_pipeline_spark.operators.corpus import ngram_diversity
+from llm_training_data_pipeline_spark.operators.dedup import (
+    cluster_soft_dedup_weights,
+    dedup_clusters,
+    exact_soft_dedup_weights,
+    soft_dedup_mass,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog.", "a"),
+    (2, "The quick brown fox jumps over the lazy dog.", "a"),
+    (3, "the quick brown fox jumps over the lazy dog.  ", "b"),  # case/ws-normalized dup
+    (4, "Python is a great programming language.", "a"),
+    (6, "Machine learning is transforming technology.", "b"),
+]
+
+
+def _df(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_soft_weights_are_reciprocal_counts(spark):
+    out = {
+        r["doc_id"]: (r["n_copies"], r["soft_weight_ppm"])
+        for r in exact_soft_dedup_weights(_df(spark)).collect()
+    }
+    # docs 1,2,3 share one normalized digest (strip+lower) -> 1/3
+    assert out[1] == (3, 333333)
+    assert out[2] == (3, 333333)
+    assert out[3] == (3, 333333)
+    assert out[4] == (1, 1000000)
+    assert out[6] == (1, 1000000)
+
+
+def test_exact_soft_weights_preserve_every_row(spark):
+    df = _df(spark)
+    assert exact_soft_dedup_weights(df).count() == df.count()
+
+
+def test_cluster_soft_weights_singletons_keep_full_weight(spark):
+    df = _df(spark)
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    clusters = dedup_clusters(pairs)
+    out = {
+        r["doc_id"]: (r["cluster_size"], r["soft_weight_ppm"])
+        for r in cluster_soft_dedup_weights(df, clusters).collect()
+    }
+    assert out[1] == (3, 333333)
+    assert out[2] == (3, 333333)
+    assert out[3] == (3, 333333)
+    assert out[4] == (1, 1000000)  # never appears in the pair graph
+    assert out[6] == (1, 1000000)
+
+
+def test_soft_dedup_mass_effective_counts(spark):
+    df = _df(spark)
+    weights = exact_soft_dedup_weights(df)
+    out = {r["source"]: r.asDict() for r in soft_dedup_mass(df, weights).collect()}
+    # source a: docs 1,2 at 1/3 each + doc 4 at 1 -> 1_666_666 ppm
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["effective_docs_ppm"] == 333333 + 333333 + 1000000
+    assert out["a"]["downweighted_docs"] == 2
+    # source b: doc 3 at 1/3 + doc 6 at 1
+    assert out["b"]["n_docs"] == 2
+    assert out["b"]["effective_docs_ppm"] == 333333 + 1000000
+    assert out["b"]["downweighted_docs"] == 1
+
+
+def test_ngram_diversity_pinned_tiny_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b", "s"),  # unigrams: a,b x2 each; bigrams: "a b"x2,"b a"
+            (2, "a", "s"),  # short doc: whole text is its one unigram AND bigram
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["n"]: (r["distinct_grams"], r["total_grams"], r["diversity_ppm"])
+        for r in ngram_diversity(df, ns=(1, 2)).collect()
+    }
+    # n=1: grams a,b,a,b + a -> distinct {a,b}=2, total 5
+    assert out[1] == (2, 5, 400000)
+    # n=2: doc1 "a b","b a","a b" (3 total, 2 distinct); doc2 short -> "a" (1)
+    # distinct {"a b","b a","a"}=3, total 4
+    assert out[2] == (3, 4, 750000)
+
+
+def test_ngram_diversity_repetitive_source_scores_lower(spark):
+    rows = [(i, "spam spam spam spam spam", "dup") for i in range(10)] + [
+        (100 + i, t, "var")
+        for i, t in enumerate(
+            ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["n"], r["source"]): r["diversity_ppm"]
+        for r in ngram_diversity(df, ns=(2,)).collect()
+    }
+    assert out[(2, "dup")] < out[(2, "var")]
