@@ -159,6 +159,10 @@ HEADLINE = [
     "dsir_scores",
     "dsir_sample",
     "media_exact_dedup",
+    "soft_dedup_weights",
+    "soft_dedup_mass",
+    "ngram_diversity",
+    "dup_source_matrix",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -219,6 +223,10 @@ LARGE_SUBSET = [
     "scd2_user_intervals",
     "semdedup_pairs_refined",
     "dsir_sample",
+    # round-8 second wave: soft dedup (cluster-weighted mass — the CC
+    # chain with the broadcast size join) and the distinct-n explode
+    "soft_dedup_mass",
+    "ngram_diversity",
 ]
 
 

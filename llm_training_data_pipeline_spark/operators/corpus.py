@@ -2190,43 +2190,68 @@ def ngram_diversity(
     a templated or machine-generated source — the corpus-level complement
     to the per-doc repetition battery (quality.py Q6).
 
-    Plan, per n: totals come from token COUNTS alone (a scalar per doc —
-    no explode), so the only shuffle carrying grams is the distinct
-    count, which Spark runs as a two-stage partial-distinct expand over
-    the per-doc-distinct gram sets from ``word_ngram_set`` (per-doc
-    distinctness shrinks the explode for repetitive docs and leaves the
-    corpus-level distinct unchanged). Short docs (<n words) contribute
-    their whole text as one gram, same rule as the contamination check.
+    Plan: totals come from token COUNTS alone, all n's side by side in
+    ONE scan+aggregate (a scalar per doc per n — no explode); distincts
+    run one explode branch per n over the per-doc-distinct gram sets
+    from ``word_ngram_set`` (per-doc distinctness shrinks the explode
+    for repetitive docs and leaves the corpus-level distinct unchanged),
+    unioned and joined to the stacked totals. A struct-tagged
+    single-explode variant was measured SLOWER at both sf0.1 and sf1
+    (34s vs 24s at sf1: the per-gram struct allocation exceeds the
+    repeated scan cost, and the gram shuffle volume — the term that
+    dominates at cluster scale — is identical either way). Short docs
+    (<n words) contribute their whole text as one gram, same rule as
+    the contamination check.
     """
-    parts = []
-    for n in ns:
-        toks_sz = F.size(whitespace_tokens(F.lower(F.col(text_col))))
-        per_doc_total = (
-            F.when(toks_sz < n, F.lit(1))
-            .otherwise(toks_sz - F.lit(n - 1))
-            .cast("long")
-        )
-        totals = df.groupBy(by).agg(F.sum(per_doc_total).alias("total_grams"))
-        distincts = (
-            df.select(
-                F.col(by),
-                F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
-            )
-            .groupBy(by)
-            .agg(F.count_distinct("gram").cast("long").alias("distinct_grams"))
-        )
-        parts.append(
-            distincts.join(totals, on=by).select(
-                F.lit(n).cast("int").alias("n"),
-                F.col(by),
-                "distinct_grams",
-                F.col("total_grams").cast("long").alias("total_grams"),
-                F.expr("1000000 * distinct_grams div total_grams")
+    toks_sz = F.size(whitespace_tokens(F.lower(F.col(text_col))))
+    totals = df.groupBy(by).agg(
+        *[
+            F.sum(
+                F.when(toks_sz < n, F.lit(1))
+                .otherwise(toks_sz - F.lit(n - 1))
                 .cast("long")
-                .alias("diversity_ppm"),
+            ).alias(f"_tot_{n}")
+            for n in ns
+        ]
+    )
+    total_stack = totals.select(
+        F.col(by),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("int").alias("n"),
+                        F.col(f"_tot_{n}").alias("total_grams"),
+                    )
+                    for n in ns
+                ]
             )
+        ).alias("_t"),
+    ).select(by, F.col("_t.n").alias("n"), F.col("_t.total_grams").alias("total_grams"))
+    branches = [
+        df.select(
+            F.lit(n).cast("int").alias("n"),
+            F.col(by),
+            F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("n", by)
+        for n in ns
+    ]
+    grams = branches[0]
+    for b in branches[1:]:
+        grams = grams.unionByName(b)
+    distincts = grams.groupBy("n", by).agg(
+        F.count_distinct("gram").cast("long").alias("distinct_grams")
+    )
+    return (
+        distincts.join(total_stack, on=["n", by])
+        .select(
+            "n",
+            by,
+            "distinct_grams",
+            "total_grams",
+            F.expr("1000000 * distinct_grams div total_grams")
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+        .orderBy("n", by)
+    )
