@@ -224,9 +224,13 @@ LARGE_SUBSET = [
     "semdedup_pairs_refined",
     "dsir_sample",
     # round-8 second wave: soft dedup (cluster-weighted mass — the CC
-    # chain with the broadcast size join) and the distinct-n explode
+    # chain with the broadcast size join), the slim-digest window,
+    # the distinct-n explode, and the provenance matrix off the shared
+    # signature store
     "soft_dedup_mass",
+    "soft_dedup_weights",
     "ngram_diversity",
+    "dup_source_matrix",
 ]
 
 

@@ -314,6 +314,66 @@ def ivf_topk(
     )
 
 
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int | str = 16,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN on the SemDeDup exact coarse quantizer — the
+    oracle-replayable sibling of ``ivf_topk`` (whose MLlib KMeans
+    centroids are float-iterative and can't be replayed in SQL).
+
+    Centroids are the seeded first-k-by-id vectors; corpus assignment is
+    the same broadcast argmax as ``semdedup.assign_clusters`` (one row
+    per vector after the map-side-combining max-struct). Queries rank the
+    k centroids (broadcast, no shuffle), keep ``n_probe``, and score only
+    the vectors assigned to those lists — ~|corpus|·n_probe/n_clusters
+    candidates per query, the IVF contract. A corpus vector lives in
+    exactly one list, so no candidate dedup is needed. Plug
+    ``kmeans_refine``'s output in as better centroids when recall
+    matters; seeding alone is the replay-exact baseline.
+    """
+    from llm_training_data_pipeline_spark.operators.semdedup import (
+        assign_clusters,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(corpus, cents, vec_col=vec_col, id_col=id_col)
+    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
+    probe_cos = F.when(
+        (F.col("_qn") == 0) | (F.col("_cn") == 0), F.lit(0.0)
+    ).otherwise(
+        dot_product(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_pc").desc(), F.col("cluster"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("q_id", "_qv", "_qn", "cluster", probe_cos.alias("_pc"))
+        .withColumn("_prn", F.row_number().over(wp))
+        .filter(F.col("_prn") <= n_probe)
+        .select("q_id", "_qv", "_qn", "cluster")
+    )
+    pair_cos = F.when(
+        (F.col("_qn") == 0) | (F.col("_n") == 0), F.lit(0.0)
+    ).otherwise(
+        dot_product(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_n"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cluster")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), F.round(pair_cos, 6).alias("cosine"))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(wk).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 # (method label, num_planes, num_tables) rows of the recall report —
 # shared with oracle.ann_recall_report_sql so the two sides cannot drift.
 # Four configs span the planes/tables tradeoff (fewer planes = bigger

@@ -3659,16 +3659,13 @@ def semdedup_pairs_scaled_sql(
     """
 
 
-def _semdedup_pairs_cte(n_clusters: int | str) -> str:
-    """Shared CTE chain replaying semdedup.assign_clusters +
-    semdedup_pairs: seed centroids = first k vectors by id, nearest
-    centroid by (cosine desc, cluster asc), within-cluster pairs."""
+def _semdedup_assign_cte(n_clusters: int | str) -> str:
+    """CTE chain replaying semdedup.seed_centroids + assign_clusters:
+    seed centroids = first k vectors by id, nearest centroid by
+    (cosine desc, cluster asc)."""
     cos_c = """CASE WHEN v.nrm = 0 OR c.cnrm = 0 THEN 0.0
                ELSE list_sum(list_transform(list_zip(v.vec, c.cvec),
                       p -> p[1] * p[2])) / (v.nrm * c.cnrm) END"""
-    cos_p = """CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
-               ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
-                      p -> p[1] * p[2])) / (a.nrm * b.nrm) END"""
     return f"""
         v AS (
           SELECT vec_id,
@@ -3686,7 +3683,16 @@ def _semdedup_pairs_cte(n_clusters: int | str) -> str:
           FROM v CROSS JOIN c
           QUALIFY row_number() OVER (PARTITION BY v.vec_id
                     ORDER BY cs DESC, c.cluster) = 1
-        ), pairs AS (
+        )"""
+
+
+def _semdedup_pairs_cte(n_clusters: int | str) -> str:
+    """Shared CTE chain replaying semdedup.assign_clusters +
+    semdedup_pairs: the assignment chain plus within-cluster pairs."""
+    cos_p = """CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                      p -> p[1] * p[2])) / (a.nrm * b.nrm) END"""
+    return f"""{_semdedup_assign_cte(n_clusters)}, pairs AS (
           SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
                  round({cos_p}, 6) AS cosine
           FROM assigned a JOIN assigned b
@@ -4370,3 +4376,42 @@ def ngram_diversity_sql(ns: tuple[int, ...] = (1, 2, 3), by: str = "source") -> 
         """)
     u = " UNION ALL ".join(blocks)
     return f"SELECT * FROM ({u}) ORDER BY n, {by}"
+
+
+def ivf_topk_seeded_sql(
+    k: int = 5, n_clusters: int = 16, n_probe: int = 3, n_queries: int = 10
+) -> str:
+    """Mirror of similarity.ivf_topk_seeded: the semdedup seeded-centroid
+    assignment chain, per-query top-n_probe centroid lists (unrounded
+    cosine, cluster-asc ties — same rule as the assignment argmax), then
+    exact cosine top-k over the probed lists only, rounded to 6dp before
+    ranking with the id tiebreak (same convention as cosine_topk)."""
+    cos_qc = """CASE WHEN q.qnrm = 0 OR c.cnrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(q.qvec, c.cvec),
+                      p -> p[1] * p[2])) / (q.qnrm * c.cnrm) END"""
+    cos_qa = """CASE WHEN p.qnrm = 0 OR a.nrm = 0 THEN 0.0
+               ELSE list_sum(list_transform(list_zip(p.qvec, a.vec),
+                      p2 -> p2[1] * p2[2])) / (p.qnrm * a.nrm) END"""
+    return f"""
+        WITH {_semdedup_assign_cte(n_clusters)},
+        qs AS (
+          SELECT vec_id AS q_id, vec AS qvec, nrm AS qnrm
+          FROM v WHERE vec_id < {n_queries}
+        ), probes AS (
+          SELECT q_id, qvec, qnrm, cluster FROM (
+            SELECT q.q_id, q.qvec, q.qnrm, c.cluster,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY {cos_qc} DESC, c.cluster) AS prn
+            FROM qs q CROSS JOIN c
+          ) WHERE prn <= {n_probe}
+        ), scored AS (
+          SELECT p.q_id, a.vec_id, round({cos_qa}, 6) AS cosine
+          FROM probes p JOIN assigned a
+            ON a.cluster = p.cluster AND a.vec_id <> p.q_id
+        )
+        SELECT q_id, vec_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

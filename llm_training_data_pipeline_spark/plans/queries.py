@@ -3641,3 +3641,23 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     return corpus.ngram_diversity(_t(spark, sf_dir, "documents"), ns=(1, 2, 3))
+
+
+@register(
+    "ann_ivf_topk_seeded",
+    oracle.ivf_topk_seeded_sql(k=5, n_clusters=16, n_probe=3, n_queries=10),
+)
+def q_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the exact seeded coarse quantizer — upgrades the IVF
+    family from rows-only to hash-checked: centroid seeding, corpus list
+    assignment, per-query probe selection, and the probed top-k are all
+    replayed by the DuckDB oracle. ~|corpus|·n_probe/n_clusters
+    candidates per query; probe table broadcast, no candidate dedup
+    needed (each vector lives in one list)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ivf_topk_seeded,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_seeded(emb, queries, k=5, n_clusters=16, n_probe=3)

@@ -139,3 +139,39 @@ def test_hard_negatives_ceiling_binds(spark):
     # sanity: without the ceiling the near-dup would head the list
     top = brute_force_topk(df, q, k=1).collect()[0]
     assert top["vec_id"] == 1 and top["cosine"] >= 0.95
+
+
+def test_ivf_seeded_full_probe_equals_brute_force(spark):
+    """ivf_topk_seeded with n_probe == n_clusters scores every list, so
+    it must equal brute_force_topk EXACTLY (same rounding, same
+    tiebreak) — the IVF plumbing adds no approximation of its own."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_seeded,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 6)
+    ivf = ivf_topk_seeded(emb, q, k=4, n_clusters=8, n_probe=8)
+    bf = brute_force_topk(emb, q, k=4)
+    got = sorted(map(tuple, ivf.collect()))
+    want = sorted(map(tuple, bf.collect()))
+    assert got == want
+
+
+def test_ivf_seeded_recall_reasonable_at_partial_probe(spark):
+    """Partial probing keeps most of the exact top-k (same corpus/fixture
+    discipline as test_ivf_recall_floor)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_seeded,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    ivf = ivf_topk_seeded(emb, q, k=5, n_clusters=16, n_probe=3)
+    bf = brute_force_topk(emb, q, k=5)
+    truth = {(r["q_id"], r["vec_id"]) for r in bf.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, recall

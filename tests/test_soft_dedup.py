@@ -104,3 +104,24 @@ def test_ngram_diversity_repetitive_source_scores_lower(spark):
         for r in ngram_diversity(df, ns=(2,)).collect()
     }
     assert out[(2, "dup")] < out[(2, "var")]
+
+
+def test_soft_weight_group_mass_bounds(spark):
+    """Invariant: each duplicate group's total weight is 1e6 minus at
+    most (n-1) ppm of floor loss — downweighting conserves content mass
+    up to integer rounding, on a corpus with 1/2/3/7-copy groups."""
+    rows = []
+    doc_id = 0
+    for copies, text in ((1, "alpha"), (2, "beta"), (3, "gamma"), (7, "delta")):
+        for _ in range(copies):
+            rows.append((doc_id, f"unique words {text} " * 10, "s"))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = exact_soft_dedup_weights(df).groupBy("n_copies").agg(
+        F.sum("soft_weight_ppm").alias("group_mass"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in out.collect():
+        n = r["n_copies"]
+        assert r["n"] == n
+        assert 1000000 - (n - 1) <= r["group_mass"] <= 1000000, r
