@@ -55,6 +55,87 @@ def streaming_exact_dedup(
     )
 
 
+_COPY_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def streaming_copy_number(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Online soft dedup (the streaming analog of
+    ``dedup.exact_soft_dedup_weights``): EVERY arrival is emitted,
+    annotated with ``copy_number`` k — how many occurrences of its
+    content digest have arrived so far, within-batch ties broken by id —
+    and ``soft_weight_ppm = 1e6 div k``. Downstream keeps k == 1 for hard
+    dedup semantics, or samples by weight to flatten duplicate mass
+    without ever dropping data at ingest (the decision is deferred to the
+    consumer, which a drop-at-ingest operator forecloses).
+
+    Unlike the batch weight (1/n over the FINAL group size, unknowable
+    mid-stream), 1/k is the anytime-consistent choice: the running sum
+    over a group is the harmonic number H(k), monotone and
+    order-insensitive given the id tiebreak. The single-batch replay
+    equals the batch ``row_number() OVER (PARTITION BY digest ORDER BY
+    id)`` exactly (pinned in tests).
+
+    State per digest is ONE long; ``state_ttl_ms`` bounds it with a
+    processing-time timeout (same contract as
+    ``streaming_minhash_dedup``: leave None for bounded test runs so
+    ``processAllAvailable`` can quiesce).
+    """
+    out_schema = StructType(
+        [
+            StructField("h", StringType()),
+            StructField(id_col, LongType()),
+            StructField("copy_number", LongType()),
+            StructField("soft_weight_ppm", LongType()),
+        ]
+    )
+
+    def count_copies(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(id_col)
+            ks = [n + 1 + i for i in range(len(pdf))]
+            n += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "h": [key[0]] * len(pdf),
+                    id_col: pdf[id_col].to_numpy(),
+                    "copy_number": ks,
+                    "soft_weight_ppm": [1_000_000 // k for k in ks],
+                }
+            )
+        state.update((int(n),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+
+    keyed = stream.select(
+        exact_hash(F.col(text_col)).alias("_h"), F.col(id_col)
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("_h").applyInPandasWithState(
+        count_copies,
+        outputStructType=out_schema,
+        stateStructType=_COPY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
 # the stored signature matrix is ONE little-endian int64 buffer, not a
 # nested ARRAY<ARRAY<BIGINT>>: state round-trips every micro-batch for
 # every touched bucket-group, and the flat buffer avoids per-int boxing

@@ -868,3 +868,84 @@ def test_streaming_source_cap_counts_match_batch(spark, tmp_path):
         for r in batch.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert per_batch == per
+
+
+def test_streaming_copy_number_two_batches(spark, tmp_path, doc_rows):
+    """Online soft dedup: every row is emitted; the k-th arrival of a
+    digest carries copy_number k and weight 1e6 div k, counting across
+    micro-batches."""
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        streaming_copy_number,
+    )
+
+    src = str(tmp_path / "src_cn")
+    # batch 1: docs 1-4 (1,2,4 share a normalized digest)
+    _write_docs(spark, src, doc_rows)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    out = streaming_copy_number(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_copy_number")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: another copy of the dup text + a fresh doc
+    import datetime as dt
+
+    t1 = dt.datetime(2024, 1, 1, 12, 5, 0)
+    more = [
+        (5, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG.", t1),  # 4th copy
+        (6, "An entirely new document about streaming state.", t1),
+    ]
+    _write_docs(spark, src, more)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["copy_number"], r["soft_weight_ppm"])
+        for r in spark.sql("SELECT * FROM t_copy_number").collect()
+    }
+    assert got[1] == (1, 1000000)
+    assert got[2] == (2, 500000)
+    assert got[4] == (3, 333333)
+    assert got[3] == (1, 1000000)
+    assert got[5] == (4, 250000)  # cross-batch continuation
+    assert got[6] == (1, 1000000)
+    assert len(got) == 6  # nothing dropped
+
+
+def test_streaming_copy_number_single_batch_equals_batch_row_number(
+    spark, tmp_path, doc_rows
+):
+    """Single-batch replay == the batch row_number-over-digest analog."""
+    from pyspark.sql import Window
+
+    from llm_training_data_pipeline_spark.operators.dedup import exact_hash
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        streaming_copy_number,
+    )
+
+    src = str(tmp_path / "src_cn1")
+    _write_docs(spark, src, doc_rows)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = (
+        streaming_copy_number(stream)
+        .writeStream.format("memory")
+        .queryName("t_copy_number_1b")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    got = {
+        (r["doc_id"], r["copy_number"])
+        for r in spark.sql("SELECT * FROM t_copy_number_1b").collect()
+    }
+    batch = spark.createDataFrame(doc_rows, DOC_SCHEMA)
+    w = Window.partitionBy(exact_hash(F.col("text"))).orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["copy_number"])
+        for r in batch.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("copy_number")
+        ).collect()
+    }
+    assert got == want

@@ -86,8 +86,15 @@ def main() -> None:
             "rows_per_sec": round(n_docs / elapsed, 1),
         }
 
+    from llm_training_data_pipeline_spark.streaming.dedup_stream import (
+        streaming_copy_number,
+    )
+
     results = {
         "exact": run("exact", lambda s: streaming_exact_dedup(s)),
+        # online soft dedup: every row emitted with its running duplicate
+        # ordinal — one long of state per digest, no signature matrix
+        "copy_number": run("copy_number", lambda s: streaming_copy_number(s)),
         "minhash": run(
             "minhash",
             lambda s: streaming_minhash_dedup(
