@@ -4415,3 +4415,32 @@ def ivf_topk_seeded_sql(
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def soft_dedup_sample_sql(pairs_sql: str) -> str:
+    """Mirror of weighted_sample over cluster_soft_dedup_weights: keep a
+    doc iff its arithmetic sample key clears the 1/|cluster| weight
+    threshold (the float formula mirrors corpus.weighted_sample term by
+    term — same doubles, same compare), rolled up per source."""
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000000"
+    return f"""
+        WITH clusters AS ({dedup_clusters_sql(pairs_sql=pairs_sql)}),
+        sizes AS (
+          SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id
+        ),
+        wts AS (
+          SELECT d.doc_id, d.source, d.n_chars,
+                 1000000 // COALESCE(s.sz, 1) AS soft_weight_ppm
+          FROM documents d
+          LEFT JOIN clusters c ON d.doc_id = c.doc_id
+          LEFT JOIN sizes s ON c.cluster_id = s.cluster_id
+        ),
+        kept AS (
+          SELECT * FROM wts
+          WHERE {key} < least(1000000.0,
+                  (soft_weight_ppm / 1000000.0) * 1.0 * 1000000.0)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM kept GROUP BY source ORDER BY source
+    """

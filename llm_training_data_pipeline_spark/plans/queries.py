@@ -3661,3 +3661,38 @@ def q_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk_seeded(emb, queries, k=5, n_clusters=16, n_probe=3)
+
+
+@register(
+    "soft_dedup_sample",
+    oracle.soft_dedup_sample_sql(
+        pairs_sql=oracle.minhash_stars_md5_sql(num_perm=16, num_bands=4)
+    ),
+)
+def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup APPLIED: cluster weights flow through the deterministic
+    weighted sampler (keep probability = 1/|near-dup cluster|, arithmetic
+    sample key — no RNG, same survivors on every run and engine), so the
+    surviving corpus carries ~one document's mass per duplicate cluster
+    while retaining cluster diversity a hard min-id dedup discards."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    stars = dedup.minhash_bucket_stars(
+        docs, cfg=_MD5_CFG, signatures=_md5_sigs(spark, sf_dir)
+    )
+    clusters = dedup.dedup_clusters(stars)
+    weights = dedup.cluster_soft_dedup_weights(docs, clusters)
+    kept = corpus.weighted_sample(
+        docs.join(weights.select("doc_id", "soft_weight_ppm"), on="doc_id"),
+        (F.col("soft_weight_ppm") / F.lit(1_000_000.0)),
+        base_rate=1.0,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
