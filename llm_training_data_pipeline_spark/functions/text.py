@@ -86,3 +86,25 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
         lambda i: norm.substr(i, F.lit(n)),
     )
     return F.when(ln < n, F.array(norm)).otherwise(F.array_distinct(grams))
+
+
+# sentence-boundary sentinel: the ASCII record separator never appears in
+# cleaned corpus text (C6 strips control chars), and RE2 (the DuckDB
+# oracle's regex engine) has no lookbehind — so boundaries are MARKED by
+# substitution, then split, identically on both engines.
+SENTENCE_SENTINEL = "\x1e"
+
+
+def sentence_split(col: Column | str) -> Column:
+    """ARRAY<STRING> of sentences: split after ``.``/``!``/``?`` followed
+    by whitespace (the punctuation stays with its sentence, the
+    inter-sentence whitespace is consumed). A regex heuristic, not a
+    linguistic segmenter — abbreviations like "e.g. " split, same as any
+    rule-based splitter without an abbreviation table; deterministic and
+    DuckDB-replayable, which the corpus-scale consumers (sentence-aligned
+    chunking) need more than abbreviation recall."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(c, r"([.!?])\s+", "$1" + SENTENCE_SENTINEL)
+    return F.filter(
+        F.split(marked, SENTENCE_SENTINEL), lambda s: F.length(s) > 0
+    )

@@ -2255,3 +2255,68 @@ def ngram_diversity(
         )
         .orderBy("n", by)
     )
+
+
+def sentence_chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aligned context-window chunks: sentences are packed into
+    windows that BREAK ONLY AT SENTENCE STARTS — the chunk id is the
+    sentence's cumulative start offset divided by ``chunk_chars`` — so no
+    sentence is ever cut mid-way (``chunk_documents`` is the
+    fixed-character alternative that cuts anywhere). A chunk may overrun
+    ``chunk_chars`` by its final sentence's tail, by construction; an
+    oversized sentence lands in the chunk its start offset falls in and
+    pushes the FOLLOWING sentence several chunk ids ahead (ids are
+    offset//chunk_chars, so they stay monotone but not contiguous).
+
+    Plan: sentence explode → per-doc running-sum window (one hash
+    shuffle, partitioned by doc — document count, not corpus bytes,
+    bounds the window groups) → groupBy (doc, chunk) rebuilding text via
+    sort-by-index concat. Offsets count sentences joined by single
+    spaces (the splitter consumed the originals), mirroring the oracle
+    exactly.
+
+    Emitted: (id, chunk_id, chunk_text, chunk_len, n_sentences).
+    """
+    from llm_training_data_pipeline_spark.functions.text import sentence_split
+
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(sentence_split(F.col(text_col))).alias("_idx", "_sent"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # start offset of sentence i = sum of (len+1 space) of sentences < i
+    with_off = sents.withColumn(
+        "_start",
+        (F.sum(F.length("_sent") + F.lit(1)).over(w) - F.length("_sent") - F.lit(1)),
+    ).withColumn(
+        "_chunk", (F.col("_start") / F.lit(chunk_chars)).cast("long")
+    )
+    return (
+        with_off.groupBy(id_col, F.col("_chunk").alias("chunk_id"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_sent"))),
+                    lambda x: x["_sent"],
+                ),
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "chunk_text",
+            F.length("chunk_text").cast("long").alias("chunk_len"),
+            "n_sentences",
+        )
+    )

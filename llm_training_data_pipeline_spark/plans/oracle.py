@@ -4444,3 +4444,41 @@ def soft_dedup_sample_sql(pairs_sql: str) -> str:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM kept GROUP BY source ORDER BY source
     """
+
+
+def sentence_chunk_sql(chunk_chars: int = 2000) -> str:
+    """Mirror of corpus.sentence_chunk_documents: sentinel sentence
+    split (RE2 has no lookbehind — boundaries are marked by substitution,
+    chr(30) record separator, same constant as
+    functions.text.SENTENCE_SENTINEL), running start offsets over
+    space-joined lengths, chunk = start // chunk_chars, order-preserving
+    string_agg rebuild."""
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 generate_subscripts(sents, 1) - 1 AS idx,
+                 unnest(sents) AS sent
+          FROM (
+            SELECT doc_id,
+                   list_filter(string_split(
+                     regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                     chr(30)), x -> length(x) > 0) AS sents
+            FROM documents
+          )
+        ), o AS (
+          SELECT doc_id, idx, sent,
+                 sum(length(sent) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY idx
+                   ROWS UNBOUNDED PRECEDING
+                 ) - length(sent) - 1 AS start
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(start // {chunk_chars} AS BIGINT) AS chunk_id,
+               string_agg(sent, ' ' ORDER BY idx) AS chunk_text,
+               CAST(length(string_agg(sent, ' ' ORDER BY idx)) AS BIGINT)
+                 AS chunk_len,
+               CAST(count(*) AS BIGINT) AS n_sentences
+        FROM o
+        GROUP BY doc_id, start // {chunk_chars}
+    """

@@ -3696,3 +3696,15 @@ def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register("sentence_chunks", oracle.sentence_chunk_sql(chunk_chars=500))
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned context windows (no mid-sentence cuts): sentinel
+    regex split (both engines lack-lookbehind-safe), per-doc running
+    offsets, chunk = start offset // 500. Full chunk text value-checked."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.sentence_chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=500
+    )
