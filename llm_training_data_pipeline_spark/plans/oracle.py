@@ -4482,3 +4482,33 @@ def sentence_chunk_sql(chunk_chars: int = 2000) -> str:
         FROM o
         GROUP BY doc_id, start // {chunk_chars}
     """
+
+
+def zipf_slope_sql(by: str = "source", min_types: int = 10) -> str:
+    """Mirror of corpus.zipf_slope: per-group (count desc, word) rank,
+    1e-6-unit floored ln terms, HUGEINT regression sums (x·y overflows
+    int64 at vocab scale), one rounded double division."""
+    return f"""
+        WITH wds AS (
+          SELECT {by}, unnest({_lower_toks()}) AS word FROM documents
+        ), per_type AS (
+          SELECT {by}, word, count(*) AS n FROM wds GROUP BY {by}, word
+        ), ranked AS (
+          SELECT {by},
+                 CAST(floor(ln(CAST(row_number() OVER (
+                   PARTITION BY {by} ORDER BY n DESC, word) AS DOUBLE))
+                   * 1e6) AS HUGEINT) AS x,
+                 CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6) AS HUGEINT) AS y
+          FROM per_type
+        ), sums AS (
+          SELECT {by},
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM ranked GROUP BY {by}
+        )
+        SELECT {by}, CAST(n AS BIGINT) AS n_types,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+        FROM sums WHERE n >= {min_types} ORDER BY {by}
+    """

@@ -3708,3 +3708,13 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.sentence_chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_chars=500
     )
+
+
+@register("zipf_slope", oracle.zipf_slope_sql())
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope (ln-freq vs ln-rank least squares) — the
+    distributional templated-source fingerprint; 1e-6-unit floored ln
+    terms, decimal(38,0) sums, one rounded division."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.zipf_slope(_t(spark, sf_dir, "documents"))

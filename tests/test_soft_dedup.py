@@ -125,3 +125,28 @@ def test_soft_weight_group_mass_bounds(spark):
         n = r["n_copies"]
         assert r["n"] == n
         assert 1000000 - (n - 1) <= r["group_mass"] <= 1000000, r
+
+
+def test_zipf_slope_flat_vs_natural(spark):
+    """A templated source (few types, near-uniform frequencies) fits a
+    flatter slope than a Zipf-ish source on the same volume."""
+    import itertools
+
+    from llm_training_data_pipeline_spark.operators.corpus import zipf_slope
+
+    # zipf-ish: type i appears ~60/i times
+    zipf_words = list(
+        itertools.chain.from_iterable(
+            [f"w{i}"] * max(60 // i, 1) for i in range(1, 40)
+        )
+    )
+    # templated: 12 types, all equally frequent
+    flat_words = [f"t{i % 12}" for i in range(len(zipf_words))]
+    rows = [
+        (1, " ".join(zipf_words), "zipfish"),
+        (2, " ".join(flat_words), "flat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["slope"] for r in zipf_slope(df, min_types=5).collect()}
+    assert out["zipfish"] < -0.5, out
+    assert out["flat"] > out["zipfish"] + 0.3, out
