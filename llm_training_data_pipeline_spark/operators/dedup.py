@@ -1397,3 +1397,35 @@ def soft_dedup_mass(
         )
         .orderBy(by)
     )
+
+
+def novelty_weights(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Similarity-weighted soft dedup: each doc keeps its NOVEL fraction,
+    ``1e6 − max est-Jaccard ppm`` against any smaller-id near-dup partner
+    (first copy of any content keeps full weight; an 80%-similar later
+    copy keeps 200k ppm). The graded refinement of
+    ``cluster_soft_dedup_weights``'s flat 1/|cluster|: two 95%-similar
+    docs and two 55%-similar docs stop being downweighted identically.
+
+    ``pairs`` is any verified pair table ``(id_a, id_b, est_jaccard)``
+    with ``id_a < id_b`` (e.g. ``minhash_candidate_pairs``). One
+    pair-table aggregate + one slim left join; docs in no pair keep
+    1e6 via the coalesce.
+    """
+    worst = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max("est_jaccard").alias("_mj")
+    )
+    dup_ppm = F.coalesce(
+        F.floor(F.col("_mj") * F.lit(1e6)).cast("long"), F.lit(0)
+    )
+    return (
+        df.select(id_col)
+        .join(worst, on=id_col, how="left")
+        .select(
+            id_col,
+            dup_ppm.alias("max_dup_ppm"),
+            (F.lit(1_000_000) - dup_ppm).cast("long").alias("novelty_ppm"),
+        )
+    )

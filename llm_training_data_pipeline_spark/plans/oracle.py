@@ -4512,3 +4512,49 @@ def zipf_slope_sql(by: str = "source", min_types: int = 10) -> str:
                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
         FROM sums WHERE n >= {min_types} ORDER BY {by}
     """
+
+
+def novelty_weights_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+) -> str:
+    """Mirror of dedup.novelty_weights over the md5-family verified
+    pairs: max est-Jaccard per id_b, floored to ppm, novel remainder."""
+    pairs = minhash_pairs_md5_sql(num_perm, num_bands, threshold, shingle_size)
+    return f"""
+        WITH worst AS (
+          SELECT id_b AS doc_id, max(est_jaccard) AS mj
+          FROM ({pairs}) GROUP BY id_b
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(floor(w.mj * 1e6), 0) AS BIGINT) AS max_dup_ppm,
+               CAST(1000000 - COALESCE(floor(w.mj * 1e6), 0) AS BIGINT)
+                 AS novelty_ppm
+        FROM documents d LEFT JOIN worst w ON d.doc_id = w.doc_id
+    """
+
+
+def quality_threshold_calibration_sql(keep_rate: float = 0.25) -> str:
+    """Mirror of the calibration query: exact interpolated quantile of
+    the composite quality score at (1 − keep_rate), then the kept count
+    at that threshold (scores and threshold both 6dp-rounded before the
+    compare, so the gate is engine-stable)."""
+    return f"""
+        WITH s AS ({quality_score_sql()}),
+        t AS (
+          SELECT round(quantile_cont(quality_score, {1.0 - keep_rate}), 6)
+                   AS threshold
+          FROM s
+        )
+        SELECT CAST({keep_rate} AS DOUBLE) AS target_keep_rate,
+               t.threshold,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN s.quality_score >= t.threshold
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(1000000 * sum(CASE WHEN s.quality_score >= t.threshold
+                                       THEN 1 ELSE 0 END) // count(*)
+                    AS BIGINT) AS actual_keep_ppm
+        FROM s, t GROUP BY t.threshold
+    """

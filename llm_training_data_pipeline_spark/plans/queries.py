@@ -3718,3 +3718,63 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     return corpus.zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "novelty_weights",
+    oracle.novelty_weights_sql(num_perm=16, num_bands=4, threshold=0.5),
+)
+def q_novelty_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graded soft dedup off the shared md5 signature store:
+    each doc keeps 1e6 − max verified est-Jaccard ppm vs smaller-id
+    partners — 95%-similar and 55%-similar copies stop being
+    downweighted identically (the graded refinement of 1/|cluster|)."""
+    pairs = dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
+    )
+    return dedup.novelty_weights(_t(spark, sf_dir, "documents"), pairs)
+
+
+@register(
+    "quality_threshold_calibration",
+    oracle.quality_threshold_calibration_sql(keep_rate=0.25),
+)
+def q_quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-first quality gating: the exact score threshold that keeps
+    the top 25% of the corpus (interpolated quantile at 0.75) plus the
+    achieved keep rate — the calibration step that turns 'keep the best
+    quarter' into a deployable filter constant."""
+    from llm_training_data_pipeline_spark.operators import textstats
+
+    keep_rate = 0.25
+    scored = textstats.with_quality_score(_t(spark, sf_dir, "documents")).select(
+        "quality_score"
+    )
+    thr = scored.agg(
+        F.round(
+            F.percentile("quality_score", F.lit(1.0 - keep_rate)), 6
+        ).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(
+                F.when(F.col("quality_score") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            F.lit(keep_rate).cast("double").alias("target_keep_rate"),
+            "threshold",
+            "n_total",
+            "n_kept",
+            F.expr("1000000 * n_kept div n_total").cast("long").alias(
+                "actual_keep_ppm"
+            ),
+        )
+    )

@@ -150,3 +150,23 @@ def test_zipf_slope_flat_vs_natural(spark):
     out = {r["source"]: r["slope"] for r in zipf_slope(df, min_types=5).collect()}
     assert out["zipfish"] < -0.5, out
     assert out["flat"] > out["zipfish"] + 0.3, out
+
+
+def test_novelty_weights_graded(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import novelty_weights
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9375), (1, 3, 0.5), (2, 3, 0.25)],
+        "id_a long, id_b long, est_jaccard double",
+    )
+    out = {
+        r["doc_id"]: (r["max_dup_ppm"], r["novelty_ppm"])
+        for r in novelty_weights(df, pairs).collect()
+    }
+    assert out[1] == (0, 1000000)  # never an id_b: first copy, full weight
+    assert out[2] == (937500, 62500)
+    assert out[3] == (500000, 500000)  # max(0.5, 0.25) against smaller ids
+    assert out[4] == (0, 1000000)  # in no pair
