@@ -77,3 +77,33 @@ def test_sentence_chunks_giant_sentence_skips_ids_forward(spark):
     assert out[0]["chunk_text"] == f"Small start. {giant}"
     assert out[0]["n_sentences"] == 2
     assert out[5]["chunk_text"] == "Small end."
+
+
+def test_sentence_chunks_roundtrip_property(spark):
+    """Property: for any doc whose sentences were joined by single
+    spaces, re-joining the chunks in chunk-id order reconstructs the
+    document byte-for-byte (no sentence lost, duplicated, or cut) — 40
+    seeded random corpora across chunk sizes."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "Y", "zz"]
+    rows = []
+    for d in range(40):
+        sents = []
+        for _ in range(rng.randrange(1, 12)):
+            body = " ".join(rng.choice(words) for _ in range(rng.randrange(1, 9)))
+            sents.append(body + rng.choice([".", "!", "?"]))
+        rows.append((d, " ".join(sents)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunk_chars = rng.choice([30, 80, 200])
+    out = sentence_chunk_documents(df, chunk_chars=chunk_chars).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, text in rows:
+        got = " ".join(
+            r["chunk_text"]
+            for r in sorted(by_doc[d], key=lambda r: r["chunk_id"])
+        )
+        assert got == text, (d, got, text)

@@ -142,3 +142,21 @@ def test_select_token_budget_skew_robust(skew_dfs):
         ).count()
     )
     _assert_robust("select_token_budget", t_u, t_s)
+
+
+def test_exact_soft_weights_skew_robust(skew_dfs):
+    """The 240-copy hot digest group concentrates in one window
+    partition; the shuffle carries only (id, digest) and the unordered
+    count frame does no per-row ranking work, so runtime stays flat and
+    the weights stay exact."""
+    uniform, skewed = skew_dfs
+    t_u = _best_of(lambda: dedup.exact_soft_dedup_weights(uniform).count())
+    t_s = _best_of(lambda: dedup.exact_soft_dedup_weights(skewed).count())
+    _assert_robust("exact_soft_dedup_weights", t_u, t_s)
+    hot = (
+        dedup.exact_soft_dedup_weights(skewed)
+        .filter(F.col("n_copies") > 1)
+        .collect()
+    )
+    assert len(hot) == 240
+    assert all(r["n_copies"] == 240 and r["soft_weight_ppm"] == 4166 for r in hot)
