@@ -163,6 +163,12 @@ HEADLINE = [
     "soft_dedup_mass",
     "ngram_diversity",
     "dup_source_matrix",
+    "soft_dedup_sample",
+    "ann_ivf_topk_seeded",
+    "sentence_chunks",
+    "zipf_slope",
+    "novelty_weights",
+    "quality_threshold_calibration",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -231,6 +237,9 @@ LARGE_SUBSET = [
     "soft_dedup_weights",
     "ngram_diversity",
     "dup_source_matrix",
+    # sentence explode + per-doc window family; vocab-rank window family
+    "sentence_chunks",
+    "zipf_slope",
 ]
 
 

@@ -128,6 +128,29 @@ def build_pipeline(
             )
         df = df.observe(obs["dedup"], *dedup_metrics)
 
+        ss = d.get("soft_sample", {})
+        if ss.get("enabled", False):
+            # apply the soft weights through the deterministic sampler:
+            # keep probability = weight (times an optional base_rate) —
+            # ~one document's mass per duplicate group survives while
+            # keeping intra-group diversity a hard dedup discards
+            if algo not in ("soft_exact", "soft_minhash"):
+                raise ValueError(
+                    "deduplication.soft_sample requires a soft_* algorithm "
+                    f"(got {algo!r}: there is no soft_weight_ppm to apply)"
+                )
+            from llm_training_data_pipeline_spark.operators import corpus
+
+            df = corpus.weighted_sample(
+                df,
+                (F.col("soft_weight_ppm") / F.lit(1_000_000.0)),
+                base_rate=float(ss.get("base_rate", 1.0)),
+            )
+            obs["soft_sample"] = Observation("soft_sample")
+            df = df.observe(
+                obs["soft_sample"], F.count(F.lit(1)).alias("rows")
+            )
+
     sr = cfg.section("deduplication").get("span_removal", {})
     if sr.get("enabled", False):
         # sub-document exact-substring pass (Lee et al. 2021): document-

@@ -11,7 +11,7 @@ import json
 from typing import Any
 
 STAGE_ORDER = [
-    "ingest", "clean", "dedup", "span_dedup", "source_cap",
+    "ingest", "clean", "dedup", "soft_sample", "span_dedup", "source_cap",
     "quality", "entropy", "script_mix", "perplexity", "decontaminate",
     "pii", "sample", "dsir", "tokenize",
 ]

@@ -577,3 +577,56 @@ def test_pipeline_soft_dedup_modes_keep_rows_and_weight(spark):
         m = obs["dedup"].get
         assert m["rows"] == 3, algo
         assert m["effective_docs_ppm"] == 2000000, algo
+
+
+def test_pipeline_soft_sample_stage(spark):
+    """deduplication.soft_sample applies the weighted sampler to the
+    soft weights (duplicates thinned to ~one doc's mass, singletons
+    always kept: weight 1.0 clears every sample key) and refuses
+    non-soft algorithms."""
+    import pytest as _pytest
+
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest towards the shining river every morning "
+    ) * 4
+    # ids 1..40 share one digest; 100..102 unique
+    rows = [(i, base) for i in range(1, 41)] + [
+        (100 + i, f"distinct document number {i} about catalyst planning "
+                  "and broadcast joins in distributed engines " * 4)
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {
+                "algorithm": "soft_exact",
+                "soft_sample": {"enabled": True},
+            },
+            "quality": {"enabled": False},
+            "tokenization": {"enabled": False},
+        }
+    )
+    out, obs = build_pipeline(docs, cfg)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert {100, 101, 102} <= kept  # singletons never thinned
+    n_dup_kept = len(kept - {100, 101, 102})
+    assert 1 <= n_dup_kept <= 6, n_dup_kept  # 40 copies at 1/40 weight
+    assert obs["soft_sample"].get["rows"] == len(kept)
+
+    bad = PipelineConfig(
+        {
+            "deduplication": {
+                "algorithm": "minhash_lsh",
+                "soft_sample": {"enabled": True},
+            },
+            "quality": {"enabled": False},
+            "tokenization": {"enabled": False},
+        }
+    )
+    with _pytest.raises(ValueError, match="soft_sample requires"):
+        build_pipeline(docs, bad)
