@@ -169,6 +169,7 @@ HEADLINE = [
     "zipf_slope",
     "novelty_weights",
     "quality_threshold_calibration",
+    "minhash_contamination",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

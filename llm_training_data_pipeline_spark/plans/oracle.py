@@ -4558,3 +4558,20 @@ def quality_threshold_calibration_sql(keep_rate: float = 0.25) -> str:
                     AS BIGINT) AS actual_keep_ppm
         FROM s, t GROUP BY t.threshold
     """
+
+
+def minhash_contamination_sql(
+    split_id: int = 250,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Mirror of the fuzzy train/benchmark contamination check: the
+    md5-family verified pair table restricted to pairs straddling the
+    id split (benchmark = id < split_id, corpus = id >= split_id)."""
+    pairs = minhash_pairs_md5_sql(num_perm, num_bands, threshold)
+    return f"""
+        SELECT id_a AS benchmark_id, id_b AS corpus_id, est_jaccard
+        FROM ({pairs})
+        WHERE id_a < {split_id} AND id_b >= {split_id}
+    """

@@ -3778,3 +3778,29 @@ def q_quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@register(
+    "minhash_contamination",
+    oracle.minhash_contamination_sql(split_id=250, num_perm=16, num_bands=4),
+)
+def q_minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/benchmark decontamination: verified near-dup pairs
+    straddling the id split (benchmark = doc_id < 250) — the MinHash
+    complement of the exact-digest (`exact_dedup_against_corpus`) and
+    embedding (`semdedup_against`) variants: catches paraphrase-level
+    leaks the digest misses at a fraction of the embedding cost. Pure
+    filter over the shared md5 signature store's pair table (min-id
+    convention puts the benchmark side in id_a)."""
+    pairs = dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
+    )
+    return pairs.filter(
+        (F.col("id_a") < 250) & (F.col("id_b") >= 250)
+    ).select(
+        F.col("id_a").alias("benchmark_id"),
+        F.col("id_b").alias("corpus_id"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
