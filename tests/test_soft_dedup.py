@@ -170,3 +170,82 @@ def test_novelty_weights_graded(spark):
     assert out[2] == (937500, 62500)
     assert out[3] == (500000, 500000)  # max(0.5, 0.25) against smaller ids
     assert out[4] == (0, 1000000)  # in no pair
+
+
+def test_ngram_diversity_matches_python_model(spark):
+    """Model pin: distinct/total per (n, source) == a transparent Python
+    computation over 60 seeded random docs (including empty and
+    single-word shorts that exercise the whole-text-gram rule)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = []
+    for d in range(60):
+        n_words = rng.choice([0, 1, 2, rng.randrange(3, 25)])
+        text = " ".join(rng.choice(vocab) for _ in range(n_words))
+        rows.append((d, text, f"s{d % 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def model(n):
+        tot: dict[str, int] = {}
+        dist: dict[str, set] = {}
+        for _, text, src in rows:
+            toks = text.lower().split()
+            if len(toks) < n:
+                grams = [" ".join(toks)]
+            else:
+                grams = list(
+                    {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                )
+            tot[src] = tot.get(src, 0) + (
+                1 if len(toks) < n else len(toks) - n + 1
+            )
+            dist.setdefault(src, set()).update(grams)
+        return {
+            s: (len(dist[s]), tot[s], 1_000_000 * len(dist[s]) // tot[s])
+            for s in tot
+        }
+
+    got = {
+        (r["n"], r["source"]): (
+            r["distinct_grams"],
+            r["total_grams"],
+            r["diversity_ppm"],
+        )
+        for r in ngram_diversity(df, ns=(1, 2, 3)).collect()
+    }
+    for n in (1, 2, 3):
+        want = model(n)
+        for s, vals in want.items():
+            assert got[(n, s)] == vals, (n, s, got[(n, s)], vals)
+
+
+def test_zipf_slope_matches_numpy_fit(spark):
+    """The exact-integer-unit regression agrees with a float numpy
+    polyfit over ln(rank)/ln(freq) to ~1e-3 (the 1e-6 ln-unit floor is
+    the only divergence source)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.corpus import zipf_slope
+
+    rng = random.Random(3)
+    words = []
+    for i in range(1, 80):
+        words += [f"w{i}"] * max(1, int(200 / i))
+    rng.shuffle(words)
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "s")], "doc_id long, text string, source string"
+    )
+    got = zipf_slope(df).collect()[0]["slope"]
+    counts: dict[str, int] = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    freqs = sorted(counts.values(), reverse=True)
+    xs = [math.log(r + 1) for r in range(len(freqs))]
+    ys = [math.log(f) for f in freqs]
+    want = np.polyfit(xs, ys, 1)[0]
+    assert abs(got - want) < 1e-3, (got, want)
