@@ -170,6 +170,8 @@ HEADLINE = [
     "novelty_weights",
     "quality_threshold_calibration",
     "minhash_contamination",
+    "packed_sequences_ws",
+    "corpus_health",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

@@ -4575,3 +4575,68 @@ def minhash_contamination_sql(
         FROM ({pairs})
         WHERE id_a < {split_id} AND id_b >= {split_id}
     """
+
+
+def packed_sequences_ws_sql(seq_len: int = 64) -> str:
+    """Mirror of the whitespace-vocab packing query: vocab ids = global
+    (count desc, word) rank, per-doc token stream + EOS(0), global
+    positions via running doc offsets in ascending id order, windows of
+    ``seq_len``, comma-joined ids. Value-checks pack_token_ids' global
+    prefix-sum positioning end to end (the BPE variant stays rows-only —
+    merges aren't SQL-expressible; the packing arithmetic is identical)."""
+    return f"""
+        WITH wds AS (
+          SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS word
+          FROM (SELECT doc_id, {_lower_toks()} AS toks FROM documents)
+        ), vocab AS (
+          SELECT word,
+                 CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS INT)
+                   AS tid
+          FROM wds GROUP BY word
+        ), doc_tokens AS (
+          SELECT w.doc_id, w.pos, v.tid FROM wds w JOIN vocab v USING (word)
+        ), eos AS (
+          SELECT doc_id, max(pos) + 1 AS pos, 0 AS tid
+          FROM doc_tokens GROUP BY doc_id
+        ), stream AS (
+          SELECT * FROM doc_tokens UNION ALL SELECT * FROM eos
+        ), doc_len AS (
+          SELECT doc_id, count(*) AS n FROM stream GROUP BY doc_id
+        ), offs AS (
+          SELECT doc_id,
+                 sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                   AS off
+          FROM doc_len
+        )
+        SELECT CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(tid, ',' ORDER BY gpos) AS input_ids
+        FROM (
+          SELECT o.off + s.pos AS gpos, s.tid
+          FROM stream s JOIN offs o USING (doc_id)
+        )
+        GROUP BY gpos // {seq_len}
+    """
+
+
+def corpus_health_sql() -> str:
+    """Mirror of the one-row corpus overview: doc/token totals, language
+    spread, exact-dup ppm, mean length — the numbers a curation run
+    prints first."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+                 len({_lower_toks()}) AS n_toks,
+                 md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))
+                   AS h
+          FROM documents
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(1000000 * (count(*) - count(DISTINCT h)) // count(*)
+                    AS BIGINT) AS exact_dup_ppm,
+               CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+        FROM t
+    """

@@ -3804,3 +3804,77 @@ def q_minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").alias("corpus_id"),
         F.round("est_jaccard", 6).alias("est_jaccard"),
     )
+
+
+@register("packed_sequences_ws", oracle.packed_sequences_ws_sql(seq_len=64))
+def q_packed_sequences_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_token_ids upgraded to a value-level cross-engine check: the
+    whitespace-vocab-rank token stream (ids = global count-desc rank, a
+    vocab-sized single sort — the same shape every tokenizer build pays)
+    is packed into 64-token EOS-separated windows; the oracle recomputes
+    the GLOBAL token positions with running offsets, so the distributed
+    prefix sum's arithmetic is hash-checked, not just pinned. The
+    byte-BPE `packed_sequences` stays rows-only (merges aren't
+    SQL-expressible); the packing path is shared."""
+    from llm_training_data_pipeline_spark.functions.text import whitespace_tokens
+    from llm_training_data_pipeline_spark.operators.corpus import pack_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(whitespace_tokens(F.lower(F.col("text")))).alias(
+            "pos", "word"
+        ),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "tid",
+            F.row_number()
+            .over(Window.orderBy(F.col("_n").desc(), F.col("word")))
+            .cast("int"),
+        )
+        .drop("_n")
+    )
+    tokenized = (
+        words.join(vocab, on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x["tid"],
+            ).alias("tokens")
+        )
+    )
+    packed = pack_token_ids(tokenized, seq_len=64, eos_id=0)
+    return packed.select(
+        "seq_id", "n_tokens", F.array_join("input_ids", ",").alias("input_ids")
+    )
+
+
+@register("corpus_health", oracle.corpus_health_sql())
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus overview — docs, whitespace tokens, language
+    spread, exact-duplicate ppm, mean length: the first screen of any
+    curation run, in one scan + one aggregate (the digest distinct is
+    the only memory-bearing term and is exactly the D8 key)."""
+    from llm_training_data_pipeline_spark.functions.text import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(whitespace_tokens(F.lower(F.col("text")))).alias("_nt"),
+        dedup.exact_hash(F.col("text")).alias("_h"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.expr(
+            "1000000 * (count(1) - count(distinct _h)) div count(1)"
+        ).cast("long").alias("exact_dup_ppm"),
+        F.expr("sum(n_chars) div count(1)").cast("long").alias("mean_chars"),
+    )
