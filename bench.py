@@ -172,6 +172,7 @@ HEADLINE = [
     "minhash_contamination",
     "packed_sequences_ws",
     "corpus_health",
+    "dup_ngram_stats",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

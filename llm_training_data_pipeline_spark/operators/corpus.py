@@ -2377,3 +2377,55 @@ def zipf_slope(
         )
         .orderBy(by)
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = 1 << 20,
+) -> DataFrame:
+    """Padding-waste diagnostic for length-bucketed batching: assign every
+    doc to the smallest power-of-two token-length bucket and report, per
+    bucket, how many pad tokens a pad-to-bucket-boundary batcher would
+    burn. The counterpoint to ``pack_stats`` (sequence packing wastes ~0
+    but splits docs; bucketed batching keeps docs whole at the cost of
+    ``pad_waste_ppm``) — together they are the batch-strategy decision
+    for a training run.
+
+    One zero-join plan: a codegen'd scan computes the token count and
+    bucket, then a single hash aggregate on the bucket id (map-side
+    partials; at most ~log2(max doc len) groups exist, so the shuffle is
+    a few dozen rows regardless of corpus size). ``pad_waste_ppm`` is an
+    exact integer ppm, replayable bit-for-bit in DuckDB.
+
+    Bucket arithmetic stays integer: ``2^bit_length(n-1)`` via the
+    base-2 string length of ``n-1`` (``conv``/``bin``), so there is no
+    float ``log2`` to disagree across engines at exact powers of two.
+    Zero/one-token docs land in bucket 1; ``max_bucket`` caps runaway
+    docs into a terminal bucket.
+    """
+    n = F.size(whitespace_tokens(F.col(text_col))).cast("long")
+    bucket = F.when(n <= 1, F.lit(1).cast("long")).otherwise(
+        F.least(
+            F.pow(F.lit(2.0), F.length(F.conv(n - 1, 10, 2))).cast("long"),
+            F.lit(max_bucket).cast("long"),
+        )
+    )
+    per = (
+        df.select(n.alias("_n"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("sum_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.greatest(F.col("bucket_len"), F.lit(1).cast("long"))
+    return per.select(
+        "bucket_len",
+        "n_docs",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        F.expr("1000000 * (n_docs * bucket_len - sum_tokens) div (n_docs * bucket_len)")
+        .cast("long")
+        .alias("pad_waste_ppm"),
+    ).orderBy("bucket_len")

@@ -515,3 +515,131 @@ def with_repetition_stats(
         F.coalesce(F.col("_r_best"), F.lit(0)).cast("long"),
     ).drop("_r_best")
     return small.unionByName(big_done)
+
+
+@dataclass(frozen=True)
+class GopherRepetitionConfig:
+    """Thresholds for the full Gopher n-gram repetition block (Rae et al.
+    2021, table A1): top-n-gram character coverage for n=2..4, duplicate-
+    n-gram character coverage for n=5..10. A doc passes when every
+    fraction is at or below its ceiling."""
+
+    max_top_ngram_frac: tuple[tuple[int, float], ...] = (
+        (2, 0.20), (3, 0.18), (4, 0.16),
+    )
+    max_dup_ngram_frac: tuple[tuple[int, float], ...] = (
+        (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10),
+    )
+
+
+def with_dup_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: GopherRepetitionConfig = GopherRepetitionConfig(),
+) -> DataFrame:
+    """The rest of the Gopher repetition battery (Rae et al. 2021 A1.1;
+    ``with_repetition_stats`` covers the line block + top-2-gram):
+
+    - ``top_{2,3,4}gram_char_frac``  chars covered by the single most
+      frequent word n-gram (count x gram chars) / doc chars
+    - ``dup_{5..10}gram_char_frac``  chars inside NON-FIRST occurrences of
+      any repeated n-gram / doc chars, capped at 1
+
+    plus ``ngram_repetition_pass`` (AND of the nine ceilings).
+
+    Deviations from the reference greedy scan (documented, deterministic
+    on both engines): gram character length counts the space-joined gram
+    (consistent with ``top_2gram_char_frac`` here), tokens are lowercased
+    (same), and the dup fraction charges every non-first occurrence
+    without the greedy skip-ahead — overlapping repeats can overcount,
+    hence the cap at 1. Fractions are exact half-up 1e-6 units so the
+    DuckDB oracle replays them bit-for-bit.
+
+    Plan shape (the 100-TB path, no per-doc quadratic fallback needed):
+    ONE flattened (n, gram) explode — ~9 slim rows per word position —
+    then (id, n, gram) counts, (id, n) coverage partials, a 9-way
+    conditional-aggregation pivot to one row per doc, and a join back on
+    ``id_col``. Every stage is a hash aggregate with map-side partials;
+    nothing is per-doc quadratic, so a pathological 100k-word doc costs
+    its n-gram row count, not distinct x occurrences."""
+    all_ns = sorted(
+        {n for n, _ in cfg.max_top_ngram_frac}
+        | {n for n, _ in cfg.max_dup_ngram_frac}
+    )
+    t = F.col(text_col)
+    toks = df.select(
+        F.col(id_col), whitespace_tokens(F.lower(t)).alias("_w")
+    )
+    w = F.col("_w")
+    # one flattened array<struct<n,gram>> per doc: nested HOFs are safe
+    # here because the only array a lambda references (_w) is a staged
+    # attribute (see the re-evaluation trap note in with_repetition_stats)
+    gram_structs = F.flatten(
+        F.transform(
+            F.array(*[F.lit(n) for n in all_ns]),
+            lambda n: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - n + 1),
+                    lambda i: F.struct(
+                        n.alias("n"),
+                        F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>")),
+        )
+    )
+    exploded = toks.select(
+        F.col(id_col), F.explode_outer(gram_structs).alias("_g")
+    ).select(
+        F.col(id_col), F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram")
+    )
+    counts = (
+        exploded.where(F.col("_n").isNotNull())
+        .groupBy(id_col, "_n", "_gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    glen = F.length("_gram").cast("long")
+    per_n = counts.groupBy(id_col, "_n").agg(
+        F.max(F.col("_cnt") * glen).alias("_best"),
+        F.sum(
+            F.when(F.col("_cnt") >= 2, (F.col("_cnt") - 1) * glen).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("_dup"),
+    )
+    pivot_aggs = []
+    for n, _ in cfg.max_top_ngram_frac:
+        pivot_aggs.append(
+            F.max(F.when(F.col("_n") == n, F.col("_best"))).alias(f"_best{n}")
+        )
+    for n, _ in cfg.max_dup_ngram_frac:
+        pivot_aggs.append(
+            F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup{n}")
+        )
+    per_doc = per_n.groupBy(id_col).agg(*pivot_aggs)
+
+    def _frac_units(num: Column, den: Column) -> Column:
+        # exact half-up 1e-6 units, capped at 1.0 (the dup numerator can
+        # exceed den under overlap; see docstring)
+        u = F.when(
+            den > 0, F.floor((num * 2_000_000 + den) / (den * F.lit(2.0)))
+        ).otherwise(F.lit(0)).cast("long")
+        return F.least(u, F.lit(1_000_000).cast("long"))
+
+    out = df.join(per_doc, on=id_col, how="left")
+    den = F.length(t).cast("long")
+    flag = F.lit(True)
+    frac_cols = []
+    for n, ceil in cfg.max_top_ngram_frac:
+        u = _frac_units(F.coalesce(F.col(f"_best{n}"), F.lit(0)), den)
+        frac_cols.append((u / F.lit(1_000_000.0)).alias(f"top_{n}gram_char_frac"))
+        flag = flag & (u <= int(round(ceil * 1_000_000)))
+    for n, ceil in cfg.max_dup_ngram_frac:
+        u = _frac_units(F.coalesce(F.col(f"_dup{n}"), F.lit(0)), den)
+        frac_cols.append((u / F.lit(1_000_000.0)).alias(f"dup_{n}gram_char_frac"))
+        flag = flag & (u <= int(round(ceil * 1_000_000)))
+    return out.select(
+        *df.columns, *frac_cols, flag.alias("ngram_repetition_pass")
+    )

@@ -4640,3 +4640,101 @@ def corpus_health_sql() -> str:
                CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
         FROM t
     """
+
+
+def dup_ngram_stats_sql() -> str:
+    """Mirror of quality.with_dup_ngram_stats: the full Gopher n-gram
+    repetition block in the same half-up 1e-6 units (overlap-overcount
+    capped at 1; see the operator docstring for the documented deviations
+    from the reference greedy scan)."""
+    from llm_training_data_pipeline_spark.operators.quality import (
+        GopherRepetitionConfig,
+    )
+
+    cfg = GopherRepetitionConfig()
+    toks = (
+        f"CASE WHEN regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    all_ns = sorted(
+        {n for n, _ in cfg.max_top_ngram_frac}
+        | {n for n, _ in cfg.max_dup_ngram_frac}
+    )
+    pivots = []
+    for n, _ in cfg.max_top_ngram_frac:
+        pivots.append(f"max(CASE WHEN n = {n} THEN best END) AS best{n}")
+    for n, _ in cfg.max_dup_ngram_frac:
+        pivots.append(f"max(CASE WHEN n = {n} THEN dup END) AS dup{n}")
+
+    def units(num: str) -> str:
+        return (
+            f"CASE WHEN length(doc.text) > 0 THEN least("
+            f"(coalesce({num}, 0) * 2000000 + length(doc.text)) "
+            f"// (2 * length(doc.text)), 1000000) ELSE 0 END"
+        )
+
+    fracs, passes = [], []
+    for n, ceil in cfg.max_top_ngram_frac:
+        u = units(f"best{n}")
+        fracs.append(f"{u} / 1000000.0 AS top_{n}gram_char_frac")
+        passes.append(f"({u}) <= {int(round(ceil * 1_000_000))}")
+    for n, ceil in cfg.max_dup_ngram_frac:
+        u = units(f"dup{n}")
+        fracs.append(f"{u} / 1000000.0 AS dup_{n}gram_char_frac")
+        passes.append(f"({u}) <= {int(round(ceil * 1_000_000))}")
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {toks} AS w FROM documents
+        ), g AS (
+          SELECT t.doc_id, n.n,
+                 unnest(list_transform(generate_series(1, len(t.w) - n.n + 1),
+                        i -> array_to_string(list_slice(t.w, i, i + n.n - 1), ' ')))
+                   AS gram
+          FROM t, (SELECT unnest(ARRAY{all_ns}) AS n) n
+        ), c AS (
+          SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram
+        ), p AS (
+          SELECT doc_id, n,
+                 max(cnt * length(gram)) AS best,
+                 sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * length(gram) ELSE 0 END) AS dup
+          FROM c GROUP BY doc_id, n
+        ), d AS (
+          SELECT doc_id, {", ".join(pivots)} FROM p GROUP BY doc_id
+        )
+        SELECT doc.doc_id,
+               {", ".join(fracs)},
+               ({" AND ".join(passes)}) AS ngram_repetition_pass
+        FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+    """
+
+
+def length_bucket_stats_sql(max_bucket: int = 1 << 20) -> str:
+    """Mirror of corpus.length_bucket_stats: power-of-two bucket via the
+    base-2 string length of n-1 (integer, no float log2), exact ppm."""
+    toks = (
+        f"CASE WHEN regexp_replace(text, '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(text, '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    return f"""
+        WITH t AS (
+          SELECT CAST(len({toks}) AS BIGINT) AS n FROM documents
+        ), b AS (
+          SELECT n,
+                 CASE WHEN n <= 1 THEN 1
+                      ELSE least(CAST(power(2, length(bin(n - 1))) AS BIGINT),
+                                 {max_bucket}) END AS bucket_len
+          FROM t
+        ), p AS (
+          SELECT bucket_len,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS sum_tokens
+          FROM b GROUP BY bucket_len
+        )
+        SELECT bucket_len, n_docs, sum_tokens,
+               CAST(n_docs * bucket_len AS BIGINT) AS padded_tokens,
+               CAST(1000000 * (n_docs * bucket_len - sum_tokens)
+                    // (n_docs * bucket_len) AS BIGINT) AS pad_waste_ppm
+        FROM p
+    """

@@ -3878,3 +3878,30 @@ def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("exact_dup_ppm"),
         F.expr("sum(n_chars) div count(1)").cast("long").alias("mean_chars"),
     )
+
+
+@register("dup_ngram_stats", oracle.dup_ngram_stats_sql())
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher n-gram repetition block (Rae et al. 2021 A1.1): top-
+    {2,3,4}-gram character coverage + duplicate-{5..10}-gram character
+    coverage per doc, with the nine-ceiling pass flag. One flattened
+    (n, gram) explode then three hash aggregates — no per-doc quadratic
+    path (see quality.with_dup_ngram_stats)."""
+    out = quality.with_dup_ngram_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+        "ngram_repetition_pass",
+    )
+
+
+@register("length_bucket_stats", oracle.length_bucket_stats_sql())
+def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-power-of-two bucketed-batching waste per bucket — the
+    counterpoint to pack_stats for the batch-strategy decision. Zero-join
+    scan + one ~log2(max_len)-group aggregate (corpus.length_bucket_stats)."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.length_bucket_stats(_t(spark, sf_dir, "documents"))

@@ -1138,3 +1138,29 @@ def test_dsir_zero_feature_doc_scores_zero(spark):
            for r in corpus.with_dsir_score(docs, lr).collect()}
     assert got[2] == (0, 0) and got[3] == (0, 0)
     assert got[1][0] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_length_bucket_stats_hand_computed(spark):
+    # token counts: 1, 2, 3, 5, 8, 0 -> buckets 1, 2, 4, 8, 8, 1
+    texts = ["a", "a b", "a b c", "a b c d e", "a b c d e f g h", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = {r["bucket_len"]: r for r in corpus.length_bucket_stats(df).collect()}
+    assert set(rows) == {1, 2, 4, 8}
+    assert rows[1]["n_docs"] == 2 and rows[1]["sum_tokens"] == 1
+    assert rows[2]["n_docs"] == 1 and rows[2]["sum_tokens"] == 2
+    assert rows[4]["n_docs"] == 1 and rows[4]["sum_tokens"] == 3
+    assert rows[8]["n_docs"] == 2 and rows[8]["sum_tokens"] == 13
+    # bucket 8: padded 16, waste = 1e6*3//16 = 187500
+    assert rows[8]["padded_tokens"] == 16
+    assert rows[8]["pad_waste_ppm"] == 187500
+    # bucket 1 holds the empty doc: padded 2, sum 1 -> 500000
+    assert rows[1]["pad_waste_ppm"] == 500000
+
+
+def test_length_bucket_exact_power_boundary(spark):
+    # 4 tokens must land in bucket 4, not 8 (the float-log2 trap the
+    # integer bit-length construction avoids)
+    df = spark.createDataFrame([("a b c d",), ("a b c d e",)], "text string")
+    rows = {r["bucket_len"]: r for r in corpus.length_bucket_stats(df).collect()}
+    assert rows[4]["n_docs"] == 1
+    assert rows[8]["n_docs"] == 1

@@ -245,3 +245,51 @@ def test_repetition_stats_explode_fallback_matches_hof(spark):
     mixed = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
     for k in (1, 2, 3):
         assert abs(mixed[k]["top_2gram_char_frac"] - via_explode[k]["top_2gram_char_frac"]) < 1e-9
+
+
+def test_dup_ngram_stats_hand_computed(spark):
+    from llm_training_data_pipeline_spark.operators.quality import (
+        with_dup_ngram_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "one two three four five one two three four five"),
+            (3, ""),
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in with_dup_ngram_stats(df).collect()
+    }
+    # doc 1 (11 chars): top2 "a b" 3x3=9/11; top3 "a b a" 2x5=10/11;
+    # top4 "a b a b" 2x7=14/11 -> overlap overcount capped at 1
+    assert rows[1]["top_2gram_char_frac"] == 0.818182
+    assert rows[1]["top_3gram_char_frac"] == 0.909091
+    assert rows[1]["top_4gram_char_frac"] == 1.0
+    assert rows[1]["dup_5gram_char_frac"] == 0.0
+    assert rows[1]["ngram_repetition_pass"] is False
+    # doc 2 (47 chars): top2 "three four" 2x10=20/47; the 5-gram
+    # "one two three four five" repeats once -> 23/47 non-first chars
+    assert rows[2]["top_2gram_char_frac"] == 0.425532
+    assert rows[2]["dup_5gram_char_frac"] == 0.489362
+    assert rows[2]["dup_6gram_char_frac"] == 0.0
+    assert rows[2]["ngram_repetition_pass"] is False
+    # empty / single-word docs: zero everywhere, pass
+    for d in (3, 4):
+        assert rows[d]["top_2gram_char_frac"] == 0.0
+        assert rows[d]["dup_10gram_char_frac"] == 0.0
+        assert rows[d]["ngram_repetition_pass"] is True
+
+
+def test_dup_ngram_clean_prose_passes(spark):
+    from llm_training_data_pipeline_spark.operators.quality import (
+        with_dup_ngram_stats,
+    )
+
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    row = with_dup_ngram_stats(df).collect()[0]
+    assert row["ngram_repetition_pass"] is True
+    assert row["dup_5gram_char_frac"] == 0.0
