@@ -173,6 +173,8 @@ HEADLINE = [
     "packed_sequences_ws",
     "corpus_health",
     "dup_ngram_stats",
+    "length_bucket_stats",
+    "paragraph_dedup",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

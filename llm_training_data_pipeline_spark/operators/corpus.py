@@ -2429,3 +2429,80 @@ def length_bucket_stats(
         .cast("long")
         .alias("pad_waste_ppm"),
     ).orderBy("bucket_len")
+
+
+def remove_dup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup, first occurrence wins: every verbatim
+    repeat of a non-blank paragraph (blank-line-delimited block) after
+    its globally-first occurrence — ordered by ``(doc_id, pos)`` — is cut
+    and the doc is reassembled in original paragraph order. The
+    paragraph-granular complement of ``remove_common_lines`` (frequency-
+    thresholded lines) and ``remove_dup_spans`` (token spans): this is
+    the classic cross-page syndication cut that keeps one canonical copy
+    instead of dropping whole near-dup docs.
+
+    Blank paragraphs are never deduped (structure, not content). Output:
+    input columns with ``text_col`` replaced by the cleaned text, plus
+    ``n_paras_removed``.
+
+    Shape: posexplode → one paragraph-keyed aggregate taking
+    ``min(struct(doc_id, pos))`` (map-side partials; the winner tag is
+    2 longs per distinct paragraph) → join back on the paragraph →
+    order-preserving per-doc rebuild. Like ``remove_common_lines``, the
+    winner set is NOT broadcast-hinted: at web scale the distinct-
+    paragraph table is corpus-sized, so the join strategy is left to
+    AQE."""
+    sep = "\n\n"
+    paras = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
+    )
+    first = (
+        paras.filter(F.trim("para") != "")
+        .groupBy("para")
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+                "_first"
+            )
+        )
+    )
+    keep = F.when(
+        F.col("_first").isNull()
+        | (
+            (F.col("_first.d") == F.col(id_col))
+            & (F.col("_first.p") == F.col("pos"))
+        ),
+        1,
+    ).otherwise(0)
+    tagged = paras.join(first, on="para", how="left").select(
+        F.col(id_col), "pos", "para", keep.alias("_keep")
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep") == 1, F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias("_clean"),
+        F.sum(1 - F.col("_keep")).cast("long").alias("n_paras_removed"),
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            *others,
+            F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_paras_removed"), F.lit(0).cast("long")).alias(
+                "n_paras_removed"
+            ),
+        )
+    )

@@ -4738,3 +4738,52 @@ def length_bucket_stats_sql(max_bucket: int = 1 << 20) -> str:
                     // (n_docs * bucket_len) AS BIGINT) AS pad_waste_ppm
         FROM p
     """
+
+
+def paragraph_dedup_sql() -> str:
+    """Mirror of corpus.remove_dup_paragraphs (md5 + length projection of
+    the rebuilt text, the fim_sample discipline for long-text outputs).
+
+    The testdata docs are single-paragraph and all distinct, so the query
+    first derives a multi-paragraph frame from the corpus itself — every
+    doc gains the globally-first doc's text and a repeat of its own text
+    as extra paragraphs — making both cross-doc and within-doc removal
+    non-vacuous while staying a pure function of the input table."""
+    return """
+        WITH src AS (
+          SELECT doc_id,
+                 text || chr(10) || chr(10)
+                      || (SELECT text FROM documents ORDER BY doc_id LIMIT 1)
+                      || chr(10) || chr(10) || text AS text
+          FROM documents
+        ), t AS (
+          SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+          FROM src
+        ), p AS (
+          SELECT doc_id, s.pos AS pos, s.para AS para FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ps)),
+                          i -> struct_pack(pos := i - 1, para := ps[i]))) AS s
+            FROM t
+          )
+        ), f AS (
+          SELECT para, min(struct_pack(d := doc_id, p := pos)) AS first
+          FROM p WHERE trim(para) <> '' GROUP BY para
+        ), k AS (
+          SELECT p.doc_id, p.pos, p.para,
+                 CASE WHEN f.para IS NULL
+                        OR (f.first.d = p.doc_id AND f.first.p = p.pos)
+                      THEN 1 ELSE 0 END AS keep
+          FROM p LEFT JOIN f ON p.para = f.para
+        ), r AS (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN keep = 1 THEN para END,
+                                     chr(10) || chr(10) ORDER BY pos), '') AS clean,
+                 CAST(sum(1 - keep) AS BIGINT) AS n_paras_removed
+          FROM k GROUP BY doc_id
+        )
+        SELECT doc_id, md5(clean) AS text_md5,
+               CAST(length(clean) AS BIGINT) AS n_chars_clean,
+               n_paras_removed
+        FROM r
+    """

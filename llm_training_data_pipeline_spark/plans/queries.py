@@ -3905,3 +3905,29 @@ def q_length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     return corpus.length_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("paragraph_dedup", oracle.paragraph_dedup_sql())
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence-wins paragraph dedup (the Dolma-style
+    syndication cut; corpus.remove_dup_paragraphs), every rebuilt byte
+    value-checked via the md5 + length projection. The input frame is
+    derived from the corpus (each doc + the globally-first doc's text +
+    its own text again as paragraphs) so cross-doc AND within-doc removal
+    are both exercised — the raw testdata is single-paragraph/distinct."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    first = F.broadcast(
+        docs.orderBy("doc_id").limit(1).select(F.col("text").alias("_mt"))
+    )
+    derived = docs.crossJoin(first).select(
+        "doc_id", F.concat_ws("\n\n", "text", "_mt", "text").alias("text")
+    )
+    out = corpus.remove_dup_paragraphs(derived)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_clean"),
+        "n_paras_removed",
+    )

@@ -1164,3 +1164,36 @@ def test_length_bucket_exact_power_boundary(spark):
     rows = {r["bucket_len"]: r for r in corpus.length_bucket_stats(df).collect()}
     assert rows[4]["n_docs"] == 1
     assert rows[8]["n_docs"] == 1
+
+
+def test_remove_dup_paragraphs_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "intro one\n\nshared boilerplate\n\nbody a"),
+            (2, "shared boilerplate\n\nbody b"),
+            (3, "body b\n\n\n\nbody c"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in corpus.remove_dup_paragraphs(df).collect()}
+    # doc 1 owns every first occurrence: untouched
+    assert rows[1]["text"] == "intro one\n\nshared boilerplate\n\nbody a"
+    assert rows[1]["n_paras_removed"] == 0
+    # doc 2 loses the boilerplate doc 1 had first, keeps its own body
+    assert rows[2]["text"] == "body b"
+    assert rows[2]["n_paras_removed"] == 1
+    # doc 3 loses "body b" to doc 2; the blank paragraph survives
+    assert rows[3]["text"] == "\n\nbody c"
+    assert rows[3]["n_paras_removed"] == 1
+    # empty doc passes through
+    assert rows[4]["text"] == "" and rows[4]["n_paras_removed"] == 0
+
+
+def test_remove_dup_paragraphs_within_doc(spark):
+    df = spark.createDataFrame(
+        [(7, "same para\n\nother\n\nsame para")], "doc_id long, text string"
+    )
+    row = corpus.remove_dup_paragraphs(df).collect()[0]
+    assert row["text"] == "same para\n\nother"
+    assert row["n_paras_removed"] == 1
