@@ -175,6 +175,7 @@ HEADLINE = [
     "dup_ngram_stats",
     "length_bucket_stats",
     "paragraph_dedup",
+    "heavy_hitters_cms",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

@@ -4787,3 +4787,48 @@ def paragraph_dedup_sql() -> str:
                n_paras_removed
         FROM r
     """
+
+
+def heavy_hitters_cms_sql(top_k: int = 20, depth: int = 4, width: int = 1024) -> str:
+    """Mirror of sketch.heavy_hitters_report: the CMS is a deterministic
+    integer function of the corpus on the md5_fold31 lane, so exact
+    counts, every sketch cell, the min-estimate, and the error-contract
+    boolean all replay bit-for-bit."""
+    toks = (
+        f"CASE WHEN regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g') = '' "
+        f"THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array("
+        f"regexp_replace(lower(text), '{q(STRIP_WS)}', '', 'g'), '\\s+') END"
+    )
+    js = ", ".join(str(j) for j in range(depth))
+    bucket = (
+        "CAST((md5_number_lower(word || chr(31) || 'cms' || j.j) % 2147483647) "
+        f"% {width} AS BIGINT)"
+    )
+    return f"""
+        WITH w AS (
+          SELECT unnest({toks}) AS word FROM documents
+        ), c AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word
+        ), n AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+        ), b AS (
+          SELECT j.j AS row_j, {bucket} AS bucket, cnt
+          FROM c, (SELECT unnest(ARRAY[{js}]) AS j) j
+        ), s AS (
+          SELECT row_j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+          FROM b GROUP BY row_j, bucket
+        ), topk AS (
+          SELECT word, cnt FROM c ORDER BY cnt DESC, word ASC LIMIT {top_k}
+        ), est AS (
+          SELECT t.word, t.cnt AS exact_cnt, CAST(min(s.cell) AS BIGINT) AS est_cnt
+          FROM topk t, (SELECT unnest(ARRAY[{js}]) AS j) j
+          JOIN s ON s.row_j = j.j AND s.bucket = {bucket.replace('word', 't.word')}
+          GROUP BY t.word, t.cnt
+        )
+        SELECT word, exact_cnt, est_cnt,
+               est_cnt - exact_cnt AS overestimate_cnt,
+               (est_cnt >= exact_cnt
+                AND est_cnt - exact_cnt <=
+                    (5 * (SELECT total FROM n)) // {width} + 20) AS bound_ok
+        FROM est
+    """

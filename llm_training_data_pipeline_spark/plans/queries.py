@@ -3931,3 +3931,18 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_clean"),
         "n_paras_removed",
     )
+
+
+@register("heavy_hitters_cms", oracle.heavy_hitters_cms_sql(width=8))
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters with the falsifiable error contract
+    (never undercounts; overestimate <= 5N/width + 20): exact top-20
+    words vs their sketch estimates on the md5_fold31 lane — sketch cells
+    and estimates replay bit-for-bit in DuckDB (operators/sketch.py).
+    width=8 on purpose: the testdata vocabulary is ~31 words, so the
+    production default (1024) would be collision-free and the
+    overestimate/min-over-rows machinery vacuous; a saturated sketch
+    exercises both while the bound still holds."""
+    from llm_training_data_pipeline_spark.operators import sketch
+
+    return sketch.heavy_hitters_report(_t(spark, sf_dir, "documents"), width=8)
