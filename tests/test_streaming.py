@@ -949,3 +949,80 @@ def test_streaming_copy_number_single_batch_equals_batch_row_number(
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """A CMS folded batch-by-batch (maxFilesPerTrigger=1) must equal the
+    batch cms_sketch of the concatenated input bit-for-bit — addition
+    commutes, and the epoch store's sum is the authoritative sketch."""
+    from llm_training_data_pipeline_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+        word_counts,
+    )
+    from llm_training_data_pipeline_spark.streaming.sketch_stream import (
+        read_sketch,
+        streaming_cms,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "cms_src")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, "beta beta delta"), (3, "alpha epsilon")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    state_dir = str(tmp_path / "cms_state")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = streaming_cms(stream, state_dir=state_dir, width=16).start()
+    q.processAllAvailable()
+    q.stop()
+
+    batch_df = spark.read.parquet(src)
+    expected = cms_sketch(word_counts(batch_df), width=16)
+    merged = read_sketch(spark, state_dir)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # and the merged sketch answers point queries like the batch one:
+    # alpha occurs 3 times; CMS never undercounts
+    probes = spark.createDataFrame([("alpha",)], "word string")
+    est = cms_estimate(merged, probes, width=16).collect()[0]["est_cnt"]
+    assert est >= 3
+
+
+def test_streaming_cms_epoch_replay_idempotent(spark, tmp_path):
+    """Rewriting an existing epoch partition (checkpoint-restart replay)
+    must not double-count: the store sum equals the batch sketch after a
+    second identical run over the same source."""
+    from llm_training_data_pipeline_spark.operators.sketch import (
+        cms_sketch,
+        word_counts,
+    )
+    from llm_training_data_pipeline_spark.streaming.sketch_stream import (
+        read_sketch,
+        streaming_cms,
+    )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "cms_replay_src")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "beta beta delta")], schema
+    ).coalesce(1).write.parquet(src)
+    state_dir = str(tmp_path / "cms_replay_state")
+
+    for _ in range(2):  # second run replays epoch 0 into the same store
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_cms(stream, state_dir=state_dir, width=16).start()
+        q.processAllAvailable()
+        q.stop()
+
+    expected = cms_sketch(word_counts(spark.read.parquet(src)), width=16)
+    merged = read_sketch(spark, state_dir)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
