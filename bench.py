@@ -176,6 +176,10 @@ HEADLINE = [
     "length_bucket_stats",
     "paragraph_dedup",
     "heavy_hitters_cms",
+    # ngram_diversity_approx is deliberately NOT here (the recall-audit
+    # precedent): its CONTRACT row computes the exact count_distinct
+    # alongside the HLL sketch, duplicating ngram_diversity's cost; the
+    # driver rotation still hash-checks it at sf0.01
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

@@ -2506,3 +2506,47 @@ def remove_dup_paragraphs(
             ),
         )
     )
+
+
+def ngram_diversity_approx(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+    rsd: float = 0.02,
+) -> DataFrame:
+    """The 100-TB path of ``ngram_diversity``: HLL++ distinct-gram
+    estimates instead of exact ``count_distinct``. The exact operator's
+    shuffle ships every distinct gram string to its reducer — at corpus
+    scale the 3-gram vocabulary IS the corpus; here each mapper emits one
+    fixed-size HLL register set per (n, group) partial and the shuffle is
+    O(groups x sketch bytes), data-size-independent.
+
+    Falsifiable-accuracy contract (the ``approx_distinct_users``
+    pattern): the hash-checked row carries the exact distinct count and
+    a boolean asserting |HLL − exact| <= 5·rsd·exact; the oracle emits
+    TRUE, so a sketch escaping five standard deviations fails the value
+    hash. (The exact count in the same aggregate exists FOR the
+    contract; the production call drops it and keeps only the sketch.)
+    """
+    branches = [
+        df.select(
+            F.lit(n).cast("int").alias("n"),
+            F.col(by),
+            F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
+        )
+        for n in ns
+    ]
+    grams = branches[0]
+    for b in branches[1:]:
+        grams = grams.unionByName(b)
+    agg = grams.groupBy("n", by).agg(
+        F.approx_count_distinct("gram", rsd).alias("_approx"),
+        F.count_distinct("gram").cast("long").alias("distinct_grams"),
+    )
+    bound = F.abs(F.col("_approx") - F.col("distinct_grams")) <= (
+        F.lit(5 * rsd) * F.col("distinct_grams")
+    )
+    return agg.select(
+        "n", by, "distinct_grams", bound.alias("within_bound")
+    ).orderBy("n", by)

@@ -4832,3 +4832,25 @@ def heavy_hitters_cms_sql(top_k: int = 20, depth: int = 4, width: int = 1024) ->
                     (5 * (SELECT total FROM n)) // {width} + 20) AS bound_ok
         FROM est
     """
+
+
+def ngram_diversity_approx_sql(
+    ns: tuple[int, ...] = (1, 2, 3), by: str = "source"
+) -> str:
+    """Mirror of corpus.ngram_diversity_approx: exact distincts from the
+    same per-doc-distinct gram sets, bound hard-coded TRUE (the HLL
+    registers are engine-specific; the CONTRACT is what's cross-engine —
+    see approx_distinct_bound_sql)."""
+    blocks = []
+    for n in ns:
+        blocks.append(f"""
+        SELECT CAST({n} AS INTEGER) AS n, {by},
+               CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+               TRUE AS within_bound
+        FROM (
+          SELECT {by}, unnest({_word_ngrams_sql('text', n)}) AS gram
+          FROM documents
+        ) GROUP BY {by}
+        """)
+    u = " UNION ALL ".join(blocks)
+    return f"SELECT * FROM ({u}) ORDER BY n, {by}"

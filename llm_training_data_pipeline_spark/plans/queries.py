@@ -3946,3 +3946,14 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import sketch
 
     return sketch.heavy_hitters_report(_t(spark, sf_dir, "documents"), width=8)
+
+
+@register("ngram_diversity_approx", oracle.ngram_diversity_approx_sql())
+def q_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct-n diversity with the five-sigma error contract —
+    the scale path of ngram_diversity whose shuffle ships fixed-size
+    sketch registers per (n, source) instead of every distinct gram
+    string (corpus.ngram_diversity_approx)."""
+    from llm_training_data_pipeline_spark.operators import corpus
+
+    return corpus.ngram_diversity_approx(_t(spark, sf_dir, "documents"))

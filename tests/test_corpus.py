@@ -1197,3 +1197,40 @@ def test_remove_dup_paragraphs_within_doc(spark):
     row = corpus.remove_dup_paragraphs(df).collect()[0]
     assert row["text"] == "same para\n\nother"
     assert row["n_paras_removed"] == 1
+
+
+def test_ngram_diversity_approx_contract(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "a"),
+            (2, "alpha alpha alpha alpha", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        (r["n"], r["source"]): r
+        for r in corpus.ngram_diversity_approx(df).collect()
+    }
+    # exact distincts match hand counts; every bound holds at this size
+    assert rows[(1, "a")]["distinct_grams"] == 4
+    assert rows[(1, "b")]["distinct_grams"] == 1
+    assert rows[(2, "a")]["distinct_grams"] == 3  # 3 distinct bigrams
+    assert rows[(2, "b")]["distinct_grams"] == 1  # "alpha alpha" only
+    assert all(r["within_bound"] is True for r in rows.values())
+
+
+def test_ngram_diversity_approx_agrees_with_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 11} w{i % 5} common tail", "s")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    exact = {
+        (r["n"], r["source"]): r["distinct_grams"]
+        for r in corpus.ngram_diversity(docs).collect()
+    }
+    approx = {
+        (r["n"], r["source"]): r["distinct_grams"]
+        for r in corpus.ngram_diversity_approx(docs).collect()
+    }
+    assert exact == approx  # same per-doc-distinct gram construction
