@@ -186,6 +186,19 @@ def build_pipeline(
         obs["span_dedup"] = Observation("span_dedup")
         df = df.observe(obs["span_dedup"], F.count(F.lit(1)).alias("rows"))
 
+    pdd = cfg.section("deduplication").get("paragraph_dedup", {})
+    if pdd.get("enabled", False):
+        # corpus-wide first-occurrence-wins paragraph cut (the Dolma-
+        # style syndication pass): verbatim repeats of a non-blank
+        # paragraph after its globally-first (doc_id, pos) occurrence
+        # are excised and the doc reassembled; docs emptied by the cut
+        # fall to the min-length/quality gates downstream
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        df = corpus.remove_dup_paragraphs(df, "text").drop("n_paras_removed")
+        obs["paragraph_dedup"] = Observation("paragraph_dedup")
+        df = df.observe(obs["paragraph_dedup"], F.count(F.lit(1)).alias("rows"))
+
     sc = cfg.section("sampling").get("source_cap", {})
     if sc.get("enabled", False):
         # RefinedWeb-style anti-over-representation: never more than N
@@ -264,6 +277,27 @@ def build_pipeline(
         )
         obs["script_mix"] = Observation("script_mix")
         df = df.observe(obs["script_mix"], F.count(F.lit(1)).alias("rows"))
+
+    nr = qsec.get("ngram_repetition_filter", {}) if qsec.get("enabled", True) else {}
+    if nr.get("enabled", False):
+        # the full Gopher n-gram repetition battery as a gate: drop docs
+        # whose top-{2,3,4}-gram coverage or duplicate-{5..10}-gram
+        # coverage exceeds the Rae et al. 2021 ceilings (the per-doc
+        # complement of the corpus-level paragraph/span dedup passes)
+        helper = [
+            f"top_{n}gram_char_frac"
+            for n, _ in quality.GopherRepetitionConfig().max_top_ngram_frac
+        ] + [
+            f"dup_{n}gram_char_frac"
+            for n, _ in quality.GopherRepetitionConfig().max_dup_ngram_frac
+        ]
+        df = (
+            quality.with_dup_ngram_stats(df, "text")
+            .filter(F.col("ngram_repetition_pass"))
+            .drop("ngram_repetition_pass", *helper)
+        )
+        obs["ngram_repetition"] = Observation("ngram_repetition")
+        df = df.observe(obs["ngram_repetition"], F.count(F.lit(1)).alias("rows"))
 
     pf = qsec.get("perplexity_filter", {}) if qsec.get("enabled", True) else {}
     if pf.get("enabled", False):

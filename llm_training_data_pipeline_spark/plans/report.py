@@ -11,9 +11,10 @@ import json
 from typing import Any
 
 STAGE_ORDER = [
-    "ingest", "clean", "dedup", "soft_sample", "span_dedup", "source_cap",
-    "quality", "entropy", "script_mix", "perplexity", "decontaminate",
-    "pii", "sample", "dsir", "tokenize",
+    "ingest", "clean", "dedup", "soft_sample", "span_dedup",
+    "paragraph_dedup", "source_cap",
+    "quality", "entropy", "script_mix", "ngram_repetition", "perplexity",
+    "decontaminate", "pii", "sample", "dsir", "tokenize",
 ]
 
 
@@ -24,7 +25,7 @@ def render_report(summary: dict[str, Any]) -> str:
     title = f"Pipeline report — {summary.get('pipeline', '?')}"
     lines.append(title)
     lines.append("=" * len(title))
-    header = f"{'stage':<10} {'rows out':>12} {'filtered':>12} {'filter %':>9} {'docs/s':>10}"
+    header = f"{'stage':<16} {'rows out':>12} {'filtered':>12} {'filter %':>9} {'docs/s':>10}"
     lines.append(header)
     lines.append("-" * len(header))
     prev_rows: int | None = None
@@ -37,7 +38,7 @@ def render_report(summary: dict[str, Any]) -> str:
         rate = (filtered / prev_rows * 100) if prev_rows else 0.0
         thr = m.get("throughput_docs_per_sec", "")
         lines.append(
-            f"{name:<10} {rows:>12,} {filtered:>12,} {rate:>8.1f}% {thr:>10}"
+            f"{name:<16} {rows:>12,} {filtered:>12,} {rate:>8.1f}% {thr:>10}"
         )
         prev_rows = rows
     lines.append("-" * len(header))

@@ -630,3 +630,81 @@ def test_pipeline_soft_sample_stage(spark):
     )
     with _pytest.raises(ValueError, match="soft_sample requires"):
         build_pipeline(docs, bad)
+
+
+def test_paragraph_dedup_stage_gates(spark):
+    """r8 config stage: default-off is a no-op; enabled, a paragraph
+    repeated from an earlier doc is excised (the doc survives with its
+    unique content) and the Observation row lands in the summary."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    boiler = "subscribe banner text shared across every page of the site"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "\n\nunique first article body with real words here", "en", "s0"),
+            (2, boiler + "\n\nsecond article body equally unique and wordy", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    base_cfg = {
+        "cleaning": {"min_length_chars": 10, "normalize_unicode": False,
+                     "fix_encoding": False},
+        "deduplication": {"enabled": False},
+        # quality off: its line-count repetition heuristic reads a
+        # 3-distinct-line doc as 1/3 > 0.3 — orthogonal to this stage
+        "quality": {"enabled": False},
+    }
+    off, _ = build_pipeline(docs, PipelineConfig(dict(base_cfg)))
+    assert all(boiler in r["text"] for r in off.collect())
+    cfg = dict(base_cfg)
+    cfg["deduplication"] = {"enabled": False, "paragraph_dedup": {"enabled": True}}
+    on, obs = build_pipeline(docs, PipelineConfig(cfg))
+    out = {r["doc_id"]: r["text"] for r in on.collect()}
+    assert "paragraph_dedup" in obs
+    assert boiler in out[1]          # first occurrence kept
+    assert boiler not in out[2]      # repeat excised
+    assert "unique" in out[1] and "second article" in out[2]
+
+
+def test_ngram_repetition_filter_stage_gates(spark):
+    """r8 config stage: default-off is a no-op; enabled, a doc violating
+    the Gopher dup-5-gram ceiling drops, clean prose passes, and helper
+    columns do not leak."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    # long enough that no single n-gram covers a big char share (the
+    # Gopher ceilings assume real-length docs; a 15-word doc fails
+    # top-3 on any one long phrase)
+    clean = (
+        "thoughtful prose with steadily varying vocabulary keeps every "
+        "phrase fresh across the entire document body while careful "
+        "authors introduce new terminology in each successive sentence "
+        "and readers encounter different ideas throughout the whole "
+        "piece because genuine writing rarely recycles identical "
+        "wording between neighbouring passages or repeats openings"
+    )
+    loop = ("one two three four five six seven " * 12).strip()
+    docs = spark.createDataFrame(
+        [(1, clean, "en", "s0"), (2, loop, "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    base_cfg = {
+        "cleaning": {"min_length_chars": 10, "normalize_unicode": False,
+                     "fix_encoding": False},
+        "deduplication": {"enabled": False},
+        "quality": {"min_words": 5, "max_words": 100000,
+                    "min_avg_word_length": 1.0},
+    }
+    off, _ = build_pipeline(docs, PipelineConfig(dict(base_cfg)))
+    assert off.count() == 2
+    cfg = dict(base_cfg)
+    cfg["quality"] = dict(base_cfg["quality"],
+                          ngram_repetition_filter={"enabled": True})
+    on, obs = build_pipeline(docs, PipelineConfig(cfg))
+    out = on.collect()
+    assert "ngram_repetition" in obs
+    assert [r["doc_id"] for r in out] == [1], out
+    assert "ngram_repetition_pass" not in on.columns
+    assert "dup_5gram_char_frac" not in on.columns
