@@ -251,6 +251,11 @@ LARGE_SUBSET = [
     # sentence explode + per-doc window family; vocab-rank window family
     "sentence_chunks",
     "zipf_slope",
+    # round-8 third wave: the 9-way (n, gram) explode battery, the
+    # paragraph-keyed min-struct dedup, and the sketch family
+    "dup_ngram_stats",
+    "paragraph_dedup",
+    "heavy_hitters_cms",
 ]
 
 
