@@ -2550,3 +2550,122 @@ def ngram_diversity_approx(
     return agg.select(
         "n", by, "distinct_grams", bound.alias("within_bound")
     ).orderBy("n", by)
+
+
+# ---------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a keyword query by Okapi BM25 — the standard
+    retrieval-curation primitive (pull the docs most *about* a topic out
+    of a raw corpus, seed classifier training sets, audit a source's
+    topical footprint). Complements ``tfidf_top_terms`` (per-doc terms)
+    with the inverse direction (per-query docs).
+
+    Exact-rational arithmetic so the ranking replays bit-for-bit in any
+    engine: with ``k1 = K/10`` and ``b = B/100`` the per-term score
+
+        idf · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+
+    becomes, after multiplying through by ``1000·T`` (T = total corpus
+    tokens, so ``avgdl = T/N`` never materializes as a float),
+
+        idf_units · 100·(K+10)·T·tf  DIV  (1000·T·tf + K·(100−B)·T + K·B·dl·N)
+
+    — one integer division per (doc, term). ``idf`` is the Lucene
+    BM25Similarity form ``ln(1 + (N − df + 0.5)/(df + 0.5))`` =
+    ``ln((2N+2)/(2df+1))`` (always positive, so DIV truncation == floor),
+    floored to 1e-8 units once per query term. All products run in
+    decimal(38,0): at 100-TB scale T ~ 1e13 and tf ~ 1e4 keep the
+    numerator < 1e30, far inside both decimal(38) and DuckDB's HUGEINT.
+
+    Plan: one corpus scan feeds the doc-length aggregate; the query-term
+    tf aggregate scans only rows whose word is in the (tiny, literal)
+    term list — Catalyst pushes the IN filter below the explode's
+    generator. ``docfreq`` and the (N, T) scalar row are broadcast, so
+    the only shuffles are the two hash aggregates on natural keys plus
+    the final top-k (single-partition over ≤ |terms|·N candidate rows
+    after per-doc aggregation — bounded by the match set, not the
+    corpus).
+
+    Reference analogue: the reference pipeline has no retrieval stage;
+    this extends its quality_filter.py word-statistics vocabulary
+    (quality_filter.py:163 tokenization) to query-relevance scoring.
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    term_list = sorted({t.lower() for t in terms})
+    K, B = int(k1_tenths), int(b_hundredths)
+
+    words = _lower_words(df, text_col, id_col)
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    corpus_stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("dl").cast("long").alias("_t"),
+    )
+    tf = (
+        words.filter(F.col("word").isin(term_list))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    docfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+
+    dec = "decimal(38,0)"
+    idf_units = F.floor(
+        F.log(
+            (F.lit(2) * F.col("_n") + F.lit(2)).cast("double")
+            / (F.lit(2) * F.col("df_docs") + F.lit(1)).cast("double")
+        )
+        * F.lit(1e8)
+    ).cast("long")
+    numer = (
+        idf_units.cast(dec)
+        * F.lit(100 * (K + 10)).cast(dec)
+        * F.col("_t").cast(dec)
+        * F.col("tf").cast(dec)
+    )
+    denom = (
+        F.lit(1000).cast(dec) * F.col("_t").cast(dec) * F.col("tf").cast(dec)
+        + F.lit(K * (100 - B)).cast(dec) * F.col("_t").cast(dec)
+        + F.lit(K * B).cast(dec) * F.col("dl").cast(dec) * F.col("_n").cast(dec)
+    )
+    per_term = (
+        tf.join(F.broadcast(docfreq), on="word")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn("_numer", numer)
+        .withColumn("_denom", denom)
+        # `div` (IntegralDivide) is exact on decimal(38,0); a scale-6
+        # decimal division + cast would round HALF_UP across integer
+        # boundaries (4.9999999 -> 5) and break cross-engine replay.
+        .withColumn("_units", F.expr("_numer div _denom"))
+    )
+    per_doc = per_term.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        F.sum("_units").cast("long").alias("_score_units"),
+    )
+    w = Window.orderBy(F.desc("_score_units"), F.asc(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            id_col,
+            "matched_terms",
+            F.round(F.col("_score_units").cast("double") / F.lit(1e8), 6).alias(
+                "bm25"
+            ),
+        )
+    )

@@ -4854,3 +4854,53 @@ def ngram_diversity_approx_sql(
         """)
     u = " UNION ALL ".join(blocks)
     return f"SELECT * FROM ({u}) ORDER BY n, {by}"
+
+
+def bm25_topk_sql(
+    terms: tuple[str, ...],
+    k: int = 10,
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+) -> str:
+    """Mirror of corpus.bm25_topk: Lucene-form idf in exact 1e-8 units,
+    the saturation fraction cleared to one HUGEINT integer division per
+    (doc, term) — `//` here == Spark's `div`, both exact truncation on
+    positive operands."""
+    K, B = int(k1_tenths), int(b_hundredths)
+    in_list = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in terms}))
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest({_lower_toks()}) AS word FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS t FROM dl
+        ), tf AS (
+          SELECT doc_id, word, count(*) AS tf FROM w
+          WHERE word IN ({in_list}) GROUP BY doc_id, word
+        ), docfreq AS (
+          SELECT word, count(*) AS df_docs FROM tf GROUP BY word
+        ), scored AS (
+          SELECT tf.doc_id,
+                 (CAST(floor(ln(CAST(2 * stats.n + 2 AS DOUBLE)
+                                / CAST(2 * docfreq.df_docs + 1 AS DOUBLE))
+                             * 100000000.0) AS HUGEINT)
+                  * {100 * (K + 10)} * CAST(stats.t AS HUGEINT) * tf.tf)
+                 // (CAST(1000 AS HUGEINT) * stats.t * tf.tf
+                     + {K * (100 - B)} * CAST(stats.t AS HUGEINT)
+                     + {K * B} * CAST(dl.dl AS HUGEINT) * stats.n)
+                   AS units
+          FROM tf JOIN docfreq USING (word) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        ), per_doc AS (
+          SELECT doc_id, count(*) AS matched_terms, sum(units) AS score_units
+          FROM scored GROUP BY doc_id
+        ), ranked AS (
+          SELECT *, row_number() OVER (ORDER BY score_units DESC, doc_id) AS rank
+          FROM per_doc
+        )
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(matched_terms AS BIGINT) AS matched_terms,
+               round(CAST(score_units AS DOUBLE) / 100000000.0, 6) AS bm25
+        FROM ranked WHERE rank <= {k}
+    """

@@ -3957,3 +3957,20 @@ def q_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     return corpus.ngram_diversity_approx(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "bm25_topk",
+    oracle.bm25_topk_sql(terms=("vector", "stream", "window"), k=10),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a keyword query — the curation
+    primitive for pulling topical documents out of a raw corpus (seed
+    sets, source audits). Exact-rational scoring (idf in 1e-8 units, the
+    saturation fraction as one decimal(38,0) integer division) so the
+    ranking replays bit-for-bit in DuckDB (corpus.bm25_topk)."""
+    from llm_training_data_pipeline_spark.operators.corpus import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=["vector", "stream", "window"], k=10
+    )
