@@ -434,3 +434,66 @@ def semdedup_against(
         an.select(id_col, "cluster"), on=id_col, how="left"
     )
     return survivors.join(drops, on=id_col, how="left_anti").select(id_col, "cluster")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    n_clusters: int | str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling: cap each embedding cluster
+    at ``max(1, floor(sqrt(|cluster|)))`` members, keeping the vectors
+    most central to their cluster — the standard "don't let one dense
+    topic dominate the mix" curation move (the cluster-aware
+    downsampling family popularized by the public DataComp / SemDeDup
+    line of work). Dense near-duplicate topics shrink ~quadratically
+    while small clusters survive intact, so the sample's topic
+    distribution flattens without dropping coverage.
+
+    Determinism: the quantizer is the seeded ``assign_clusters`` chain
+    (first-k-by-id centroids — oracle-replayable); within a cluster,
+    rank = (centroid cosine desc, id asc). The sqrt cap rides IEEE-754
+    ``sqrt`` (correctly rounded by spec, so identical in every engine)
+    plus ``floor`` — no epsilon games.
+
+    Plan: one broadcast of k centroids for assignment (argmax collapses
+    map-side, one row per vector shuffles), a second tiny broadcast of
+    the same centroids to re-score the winner's cosine, then ONE
+    shuffle on cluster id for the count+rank window. Output volume is
+    Σ sqrt(|c|) ≤ sqrt(k·n) — sublinear in the corpus.
+    """
+    centroids = seed_centroids(df, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col,
+                               materialize=materialize)
+    cs = F.when((F.col("_n") == 0) | (F.col("_cn") == 0), F.lit(0.0)).otherwise(
+        dot_product(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    )
+    scored = assigned.join(F.broadcast(centroids), on="cluster").select(
+        "cluster", id_col, cs.alias("_cs")
+    )
+    w = Window.partitionBy("cluster")
+    rank = F.row_number().over(w.orderBy(F.desc("_cs"), F.asc(id_col)))
+    size = F.count(F.lit(1)).over(w)
+    ranked = scored.select(
+        "cluster",
+        F.col(id_col),
+        F.col("_cs"),
+        rank.cast("long").alias("rank"),
+        size.cast("long").alias("cluster_size"),
+    ).withColumn(
+        "cap",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.sqrt(F.col("cluster_size").cast("double"))),
+        ),
+    )
+    return ranked.filter(F.col("rank") <= F.col("cap")).select(
+        "cluster",
+        "cluster_size",
+        "cap",
+        "rank",
+        id_col,
+        F.round(F.col("_cs"), 6).alias("centroid_cosine"),
+    )

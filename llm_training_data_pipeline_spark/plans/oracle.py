@@ -4904,3 +4904,24 @@ def bm25_topk_sql(
                round(CAST(score_units AS DOUBLE) / 100000000.0, 6) AS bm25
         FROM ranked WHERE rank <= {k}
     """
+
+
+def cluster_balanced_sample_sql(n_clusters: int | str = "auto") -> str:
+    """Mirror of semdedup.cluster_balanced_sample: the seeded assignment
+    chain, then per-cluster rank by (cosine desc, id) capped at
+    max(1, floor(sqrt(size))). IEEE sqrt is correctly rounded, so the
+    cap is engine-independent."""
+    cap = "greatest(1, CAST(floor(sqrt(CAST(csize AS DOUBLE))) AS BIGINT))"
+    return f"""
+        WITH {_semdedup_assign_cte(_semdedup_k(n_clusters))}, ranked AS (
+          SELECT cluster, vec_id, cs,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY cs DESC, vec_id) AS rnk,
+                 count(*) OVER (PARTITION BY cluster) AS csize
+          FROM assigned
+        )
+        SELECT cluster, CAST(csize AS BIGINT) AS cluster_size,
+               {cap} AS cap, CAST(rnk AS BIGINT) AS rank, vec_id,
+               round(cs, 6) AS centroid_cosine
+        FROM ranked WHERE rnk <= {cap}
+    """

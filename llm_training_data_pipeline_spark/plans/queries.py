@@ -3974,3 +3974,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), terms=["vector", "stream", "window"], k=10
     )
+
+
+@register("cluster_balanced_sample", oracle.cluster_balanced_sample_sql())
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling over the embeddings table:
+    cap every seeded-quantizer cluster at floor(sqrt(size)), keeping the
+    most-central vectors — dense topics shrink ~quadratically, small
+    ones survive, output volume Σ sqrt|c| is sublinear in the corpus
+    (semdedup.cluster_balanced_sample)."""
+    from llm_training_data_pipeline_spark.operators.semdedup import (
+        cluster_balanced_sample,
+    )
+
+    return cluster_balanced_sample(_t(spark, sf_dir, "embeddings"))
