@@ -2669,3 +2669,75 @@ def bm25_topk(
             ),
         )
     )
+
+
+def source_unigram_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus-wide unigram
+    distribution — the standard "how far does this source's vocabulary
+    sit from the mixture" diagnostic for weighting/curating sources
+    (high KL = niche jargon or a different language; ~0 = looks like
+    the average of everything).
+
+    KL(s‖corpus) = Σ_w (c_sw/T_s)·ln(c_sw·T / (c_w·T_s)). Each ln is
+    floored to 1e-8 integer units INDIVIDUALLY (the DSIR discipline —
+    one float op per vocabulary word, everything downstream exact);
+    per-word contributions ``c_sw · ln_units`` accumulate in
+    decimal(38,0) (at 100-TB scale T_s ~ 1e13 keeps the sum ~1e22,
+    past int64 but far inside decimal(38)/HUGEINT). The final
+    normalization is ONE double division per source, identical in any
+    IEEE engine.
+
+    Plan: one explode feeds the (source, word) hash aggregate; word
+    totals re-aggregate FROM that table (no second corpus scan) and
+    join back on the word key; the grand total is a broadcast scalar.
+    Two shuffles on natural keys — no per-row Python, no collect.
+    """
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    csw = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    cw = csw.groupBy("word").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").cast("long").alias("_t"))
+
+    dec = "decimal(38,0)"
+    ln_units = F.floor(
+        F.log(
+            (F.col("c_sw").cast("double") * F.col("_t").cast("double"))
+            / (F.col("c_w").cast("double") * F.col("t_s").cast("double"))
+        )
+        * F.lit(1e8)
+    ).cast("long")
+    w_src = Window.partitionBy("source")
+    per_word = (
+        csw.withColumn("t_s", F.sum("c_sw").over(w_src).cast("long"))
+        .join(cw, on="word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_contrib", F.col("c_sw").cast(dec) * ln_units.cast(dec))
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("_contrib").alias("_units"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.col("_units").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1e8)),
+                6,
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

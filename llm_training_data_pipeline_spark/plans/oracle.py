@@ -4925,3 +4925,40 @@ def cluster_balanced_sample_sql(n_clusters: int | str = "auto") -> str:
                round(cs, 6) AS centroid_cosine
         FROM ranked WHERE rnk <= {cap}
     """
+
+
+def source_unigram_kl_sql() -> str:
+    """Mirror of corpus.source_unigram_kl: per-word ln floored to 1e-8
+    units individually, contributions summed in HUGEINT, one double
+    normalization per source."""
+    return f"""
+        WITH w AS (
+          SELECT source, unnest({_lower_toks()}) AS word FROM documents
+        ), csw AS (
+          SELECT source, word, count(*) AS c_sw FROM w GROUP BY source, word
+        ), cw AS (
+          SELECT word, sum(c_sw) AS c_w FROM csw GROUP BY word
+        ), ts AS (
+          SELECT source, sum(c_sw) AS t_s, count(*) AS vocab
+          FROM csw GROUP BY source
+        ), tot AS (
+          SELECT sum(c_w) AS t FROM cw
+        ), per AS (
+          SELECT csw.source,
+                 CAST(csw.c_sw AS HUGEINT)
+                 * CAST(floor(ln(
+                       (CAST(csw.c_sw AS DOUBLE) * CAST(tot.t AS DOUBLE))
+                       / (CAST(cw.c_w AS DOUBLE) * CAST(ts.t_s AS DOUBLE)))
+                     * 100000000.0) AS HUGEINT) AS contrib
+          FROM csw JOIN cw USING (word) JOIN ts USING (source)
+          CROSS JOIN tot
+        ), agg AS (
+          SELECT source, sum(contrib) AS units FROM per GROUP BY source
+        )
+        SELECT ts.source, CAST(ts.t_s AS BIGINT) AS n_tokens,
+               CAST(ts.vocab AS BIGINT) AS vocab,
+               round(CAST(agg.units AS DOUBLE)
+                     / (CAST(ts.t_s AS DOUBLE) * 100000000.0), 6) AS kl_nats
+        FROM agg JOIN ts USING (source)
+        ORDER BY source
+    """

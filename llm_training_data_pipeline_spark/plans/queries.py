@@ -3988,3 +3988,14 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cluster_balanced_sample(_t(spark, sf_dir, "embeddings"))
+
+
+@register("source_unigram_kl", oracle.source_unigram_kl_sql())
+def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram mixture — the
+    source-weighting diagnostic (high = niche vocabulary, ~0 = average).
+    Every ln floored to 1e-8 units individually, contributions summed
+    exactly in decimal(38,0) (corpus.source_unigram_kl)."""
+    from llm_training_data_pipeline_spark.operators.corpus import source_unigram_kl
+
+    return source_unigram_kl(_t(spark, sf_dir, "documents"))
