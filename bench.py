@@ -176,6 +176,10 @@ HEADLINE = [
     "length_bucket_stats",
     "paragraph_dedup",
     "heavy_hitters_cms",
+    # round-8 fourth wave
+    "bm25_topk",
+    "cluster_balanced_sample",
+    "source_unigram_kl",
     # ngram_diversity_approx is deliberately NOT here (the recall-audit
     # precedent): its CONTRACT row computes the exact count_distinct
     # alongside the HLL sketch, duplicating ngram_diversity's cost; the
@@ -256,6 +260,12 @@ LARGE_SUBSET = [
     "dup_ngram_stats",
     "paragraph_dedup",
     "heavy_hitters_cms",
+    # round-8 fourth wave: retrieval scoring (two word-keyed aggregates
+    # + the match-bounded top-k), the sqrt-capped cluster sampler, and
+    # the per-source KL join on the vocabulary key
+    "bm25_topk",
+    "cluster_balanced_sample",
+    "source_unigram_kl",
 ]
 
 

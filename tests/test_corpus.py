@@ -1234,3 +1234,54 @@ def test_ngram_diversity_approx_agrees_with_exact(spark):
         for r in corpus.ngram_diversity_approx(docs).collect()
     }
     assert exact == approx  # same per-doc-distinct gram construction
+
+
+def test_bm25_topk_ranking_and_saturation(spark):
+    # "apple" appears 1x in doc 0 and 10x in doc 1 (same length docs
+    # padded with filler): BM25's tf saturation must rank doc 1 first
+    # but at far less than 10x doc 0's score.
+    filler = " ".join(f"f{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, "apple " + filler, "en", "s"),
+            (1, " ".join(["apple"] * 10) + " " + filler, "en", "s"),
+            (2, filler + " " + filler, "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = corpus.bm25_topk(docs, terms=["apple"], k=5).collect()
+    assert [r.doc_id for r in got] == [1, 0]  # doc 2 never matches
+    assert got[0].rank == 1 and got[1].rank == 2
+    assert got[0].bm25 > got[1].bm25
+    assert got[0].bm25 < 5 * got[1].bm25  # saturated, nowhere near 10x
+
+
+def test_bm25_topk_absent_term_and_empty_terms(spark):
+    docs = _docs(spark, [(0, "alpha beta", "en", "s")])
+    assert corpus.bm25_topk(docs, terms=["zzz_missing"], k=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus.bm25_topk(docs, terms=[])
+
+
+def test_source_unigram_kl_single_source_is_zero(spark):
+    docs = _docs(
+        spark,
+        [(0, "a b c a", "en", "only"), (1, "b c d", "en", "only")],
+    )
+    rows = corpus.source_unigram_kl(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # one source == the corpus: every ratio is exactly 1, ln floored at 0
+    assert r.kl_nats == 0.0 and r.n_tokens == 7 and r.vocab == 4
+
+
+def test_source_unigram_kl_disjoint_sources_positive(spark):
+    docs = _docs(
+        spark,
+        [(0, "xx xx yy", "en", "s1"), (1, "zz ww ww ww", "en", "s2")],
+    )
+    rows = {r.source: r for r in corpus.source_unigram_kl(docs).collect()}
+    # fully disjoint vocabularies: KL(s||corpus) = ln(T/T_s) > 0
+    assert rows["s1"].kl_nats > 0 and rows["s2"].kl_nats > 0

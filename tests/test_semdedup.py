@@ -279,3 +279,23 @@ def test_auto_k_default_matches_scaled_k(spark):
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_cluster_balanced_sample_caps_and_singletons(spark):
+    # seeds = ids 0,1 (orthogonal axes). Ids 2-9 all lie on seed 0's
+    # axis -> cluster 0 has 9 members (cap floor(sqrt(9)) = 3); cluster 1
+    # is the singleton seed (cap max(1, floor(sqrt(1))) = 1).
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])] + [
+        (i, [float(i), 0.0]) for i in range(2, 10)
+    ]
+    got = semdedup.cluster_balanced_sample(_emb(spark, rows), n_clusters=2)
+    by_cluster = {}
+    for r in got.collect():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert len(by_cluster[0]) == 3 and all(r.cap == 3 for r in by_cluster[0])
+    assert len(by_cluster[1]) == 1 and by_cluster[1][0].cap == 1
+    # every kept row is within its cap and ranks are 1..cap
+    assert sorted(r.rank for r in by_cluster[0]) == [1, 2, 3]
+    # all cluster-0 vectors are colinear with the centroid (cosine 1.0),
+    # so the id tiebreak decides: the three lowest ids win
+    assert sorted(r.vec_id for r in by_cluster[0]) == [0, 2, 3]
