@@ -3999,3 +3999,27 @@ def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import source_unigram_kl
 
     return source_unigram_kl(_t(spark, sf_dir, "documents"))
+
+
+@register("wet_ingestion_demo", None)
+def q_wet_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl WET ingestion: JVM-side record framing via the text
+    source's custom lineSep, header regexp_extract, conversion-record
+    projection + parse_url domain (rows-only; self-contained fixture —
+    sources/warc.py)."""
+    from llm_training_data_pipeline_spark.sources.warc import demo_wet_ingestion
+
+    return demo_wet_ingestion(spark)
+
+
+@register("wet_domain_stats", None)
+def q_wet_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation report over the WET fixture: pages, chars,
+    exact-ppm crawl share — the first look before per-domain caps
+    (rows-only; sources/warc.py)."""
+    from llm_training_data_pipeline_spark.sources.warc import (
+        demo_wet_ingestion,
+        domain_stats,
+    )
+
+    return domain_stats(demo_wet_ingestion(spark))

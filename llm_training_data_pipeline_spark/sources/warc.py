@@ -1,0 +1,170 @@
+"""WARC / WET (CommonCrawl) ingestion — the web-scale source format an
+LLM training-data pipeline actually starts from.
+
+WARC is the ISO 28500 container CommonCrawl publishes; WET files are its
+``conversion`` records: plain-text extractions with a small header block
+(``WARC-Target-URI``, ``WARC-Date``, ``Content-Length``) separated from
+the payload by one blank line, records separated by two CRLFs.
+
+Spark-first design: the record split rides the text source's custom
+``lineSep`` (``"\\r\\n\\r\\nWARC/"`` — the inter-record boundary), so
+splitting happens JVM-side in the scan itself, parallel across files
+and (for uncompressed inputs) across file splits. Header fields come
+out with ``regexp_extract``; no Python touches the hot path.
+
+Caveats, stated honestly:
+- A payload that itself contains ``\\r\\n\\r\\nWARC/`` at a line start
+  would mis-split; byte-exact framing needs ``Content-Length``-driven
+  record reading (a custom input format), which this reader trades away
+  for the zero-copy JVM split. CommonCrawl WET text never legitimately
+  contains the boundary.
+- ``content_length`` is the header's BYTE count; ``text`` is trimmed by
+  character, so the two disagree on multi-byte payloads — the length is
+  surfaced as metadata, not used to slice.
+- ``.gz`` inputs decompress transparently but are unsplittable (one
+  task per file) — at 100 TB, point this at the many-file WET layout
+  (one task per ~150 MB member) rather than concatenating.
+
+Reference: the reference pipeline ingests Wikipedia dumps only
+(downloader.py, wiki_parser.py); WET support extends the same
+scan→project→filter shape (wiki.py:124-139 here) to CommonCrawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SEP = "\r\n\r\nWARC/"
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Scan WET files into one row per WARC record:
+    ``(warc_version, record_type, target_uri, warc_date, content_length,
+    text)``. Non-``conversion`` records (``warcinfo``, ...) are kept —
+    filter with :func:`wet_documents` for the document view.
+    """
+    raw = spark.read.text(path, lineSep=RECORD_SEP)
+    # The FIRST record in each file keeps its leading "WARC/" (no
+    # preceding separator); later records had it consumed by lineSep.
+    body = F.regexp_replace(F.col("value"), r"^WARC/", "")
+    head = F.substring_index(body, "\r\n\r\n", 1)
+    payload = F.expr(
+        "substring(_body, length(_head) + 5)"
+    )  # +4 for the CRLFCRLF, +1 for 1-based substring
+    hdr = lambda name: F.regexp_extract(  # noqa: E731
+        F.col("_head"), rf"(?m)^{name}:\s*(\S+)", 1
+    )
+    return (
+        raw.filter(F.length(F.trim(F.col("value"))) > 0)
+        .withColumn("_body", body)
+        .withColumn("_head", head)
+        .select(
+            F.regexp_extract(F.col("_head"), r"^(\d+\.\d+)", 1).alias(
+                "warc_version"
+            ),
+            hdr("WARC-Type").alias("record_type"),
+            hdr("WARC-Target-URI").alias("target_uri"),
+            hdr("WARC-Date").alias("warc_date"),
+            hdr("Content-Length").cast("long").alias("content_length"),
+            F.regexp_replace(payload, r"(\r\n)+$", "").alias("text"),
+        )
+    )
+
+
+def wet_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
+    """Project WET ``conversion`` records to the pipeline's document
+    shape: ``(target_uri, domain, warc_date, text, n_chars)``. The
+    domain comes from the JVM ``parse_url`` (no UDF) — the key for
+    per-domain caps, blocklists, and provenance stats.
+    """
+    return (
+        records.filter(F.col("record_type") == "conversion")
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .filter(F.col("n_chars") >= min_chars)
+        .select(
+            "target_uri",
+            F.lower(F.parse_url(F.col("target_uri"), F.lit("HOST"))).alias(
+                "domain"
+            ),
+            "warc_date",
+            "text",
+            "n_chars",
+        )
+    )
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-domain curation report over a :func:`wet_documents` frame:
+    page count, total/mean chars, share of the crawl in exact ppm
+    (integer division — replayable anywhere). One hash aggregate on the
+    domain key plus a broadcast total; the standard first look before
+    writing per-domain caps.
+    """
+    per = docs.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("pages"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    tot = per.agg(F.sum("pages").cast("long").alias("_tp"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "pages",
+            "total_chars",
+            (F.col("total_chars") / F.col("pages")).cast("long").alias(
+                "mean_chars"
+            ),
+            F.expr("pages * 1000000 div _tp").alias("page_share_ppm"),
+        )
+        .orderBy(F.desc("pages"), "domain")
+    )
+
+
+# A deterministic three-record WET fixture (one warcinfo + two
+# conversion records, one with an embedded blank line in the payload —
+# the case a naive blank-line splitter breaks on).
+DEMO_WET = (
+    "WARC/1.0\r\n"
+    "WARC-Type: warcinfo\r\n"
+    "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+    "Content-Length: 20\r\n"
+    "\r\n"
+    "software: demo-crawl\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://example.com/articles/spark\r\n"
+    "WARC-Date: 2024-01-02T03:04:05Z\r\n"
+    "Content-Length: 64\r\n"
+    "\r\n"
+    "Spark splits records in the scan itself.\n"
+    "\n"
+    "Second paragraph survives the embedded blank line.\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Target-URI: https://docs.example.org/wet?page=1\r\n"
+    "WARC-Date: 2024-01-02T03:04:06Z\r\n"
+    "Content-Length: 30\r\n"
+    "\r\n"
+    "A second tiny document body.\r\n"
+    "\r\n"
+)
+
+
+def demo_wet_ingestion(spark: SparkSession) -> DataFrame:
+    """Self-contained WET demonstration: writes the fixture to a temp
+    file, runs the distributed record scan + conversion projection +
+    domain extraction. Deterministic — used as a rows-only
+    driver-contract query (same pattern as wiki.demo_ingestion)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="wet_demo_")
+    path = os.path.join(d, "demo.warc.wet")
+    with open(path, "w", newline="") as f:
+        f.write(DEMO_WET)
+    return wet_documents(read_wet(spark, path)).select(
+        "target_uri", "domain", "warc_date", "n_chars", "text"
+    )

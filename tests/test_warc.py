@@ -1,0 +1,79 @@
+"""WET/WARC source: record framing, header extraction, domain stats."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from llm_training_data_pipeline_spark.sources import warc
+
+
+def _write_fixture(tmp_path, name="demo.warc.wet", data=None, gz=False):
+    p = os.path.join(str(tmp_path), name)
+    payload = (data if data is not None else warc.DEMO_WET).encode()
+    if gz:
+        with gzip.open(p, "wb") as f:
+            f.write(payload)
+    else:
+        with open(p, "wb") as f:
+            f.write(payload)
+    return p
+
+
+def test_read_wet_frames_all_records(spark, tmp_path):
+    recs = warc.read_wet(spark, _write_fixture(tmp_path)).collect()
+    assert [r.record_type for r in recs] == ["warcinfo", "conversion", "conversion"]
+    assert all(r.warc_version == "1.0" for r in recs)
+    assert recs[0].target_uri == ""  # warcinfo has no URI
+    assert recs[1].content_length == 64
+
+
+def test_wet_documents_keep_embedded_blank_lines(spark, tmp_path):
+    docs = warc.wet_documents(
+        warc.read_wet(spark, _write_fixture(tmp_path))
+    ).collect()
+    assert len(docs) == 2
+    first = docs[0]
+    # the embedded blank line is payload, not a record boundary
+    assert "\n\nSecond paragraph" in first.text
+    # the trailing record-separator CRLFs are trimmed
+    assert not first.text.endswith("\r\n")
+    assert first.domain == "example.com"
+    assert docs[1].domain == "docs.example.org"
+
+
+def test_wet_gzip_transparent(spark, tmp_path):
+    docs = warc.wet_documents(
+        warc.read_wet(spark, _write_fixture(tmp_path, name="d.warc.wet.gz", gz=True))
+    )
+    assert docs.count() == 2
+
+
+def test_min_chars_gate(spark, tmp_path):
+    docs = warc.wet_documents(
+        warc.read_wet(spark, _write_fixture(tmp_path)), min_chars=50
+    ).collect()
+    assert [d.domain for d in docs] == ["example.com"]
+
+
+def test_domain_stats_ppm_and_order(spark, tmp_path):
+    two_same = warc.DEMO_WET + (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/second\r\n"
+        "WARC-Date: 2024-01-03T00:00:00Z\r\n"
+        "Content-Length: 10\r\n"
+        "\r\n"
+        "ten bytes.\r\n"
+        "\r\n"
+    )
+    stats = warc.domain_stats(
+        warc.wet_documents(
+            warc.read_wet(spark, _write_fixture(tmp_path, data=two_same))
+        )
+    ).collect()
+    assert [s.domain for s in stats] == ["example.com", "docs.example.org"]
+    assert stats[0].pages == 2 and stats[1].pages == 1
+    # exact integer ppm: 2/3 and 1/3 truncated
+    assert stats[0].page_share_ppm == 666666
+    assert stats[1].page_share_ppm == 333333
