@@ -4962,3 +4962,59 @@ def source_unigram_kl_sql() -> str:
         FROM agg JOIN ts USING (source)
         ORDER BY source
     """
+
+
+def _sft_conv_cte(turns_per_conv: int = 4, content_chars: int = 120) -> str:
+    """CTE replaying sft.conversations_from_documents (the deterministic
+    documents -> turns adapter)."""
+    t = f"(doc_id % {turns_per_conv})"
+    return f"""
+        conv AS (
+          SELECT CAST(doc_id - {t} AS BIGINT) AS conv_id,
+                 CAST({t} AS INT) AS turn_idx,
+                 CASE WHEN {t} % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                 substring(text, 1, {content_chars}) AS content
+          FROM documents
+        )"""
+
+
+def chat_render_sql(turns_per_conv: int = 4, content_chars: int = 120) -> str:
+    """Mirror of sft.render_chat over the documents-derived turns:
+    ordered string_agg == Spark's array_sort(collect_list) + array_join."""
+    return f"""
+        WITH {_sft_conv_cte(turns_per_conv, content_chars)}, r AS (
+          SELECT conv_id, turn_idx,
+                 '<|im_start|>' || role || chr(10) || content
+                   || '<|im_end|>' || chr(10) AS rendered
+          FROM conv
+        )
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(length(string_agg(rendered, '' ORDER BY turn_idx))
+                    AS BIGINT) AS n_chars,
+               string_agg(rendered, '' ORDER BY turn_idx) AS text
+        FROM r GROUP BY conv_id
+    """
+
+
+def assistant_loss_spans_sql(
+    turns_per_conv: int = 4, content_chars: int = 120
+) -> str:
+    """Mirror of sft.assistant_loss_spans: prefix sums of rendered-turn
+    lengths; header = len('<|im_start|>') + len(role) + len('\\n')."""
+    return f"""
+        WITH {_sft_conv_cte(turns_per_conv, content_chars)}, lens AS (
+          SELECT conv_id, turn_idx, role, content,
+                 CAST(24 + length(role) + length(content) AS BIGINT) AS rlen
+          FROM conv
+        ), offs AS (
+          SELECT conv_id, turn_idx, role, content,
+                 CAST(coalesce(sum(rlen) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + 13 + length(role) AS BIGINT) AS start_char
+          FROM lens
+        )
+        SELECT conv_id, turn_idx, start_char,
+               CAST(start_char + length(content) AS BIGINT) AS end_char
+        FROM offs WHERE role = 'assistant'
+    """

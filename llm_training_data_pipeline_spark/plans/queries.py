@@ -4023,3 +4023,28 @@ def q_wet_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return domain_stats(demo_wet_ingestion(spark))
+
+
+@register("chat_render", oracle.chat_render_sql())
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering: conversations (deterministically
+    derived from documents) rendered to one ChatML-style training string
+    each — order pinned by struct sort, one shuffle on the conversation
+    key (operators/sft.py)."""
+    from llm_training_data_pipeline_spark.operators import sft
+
+    return sft.render_chat(
+        sft.conversations_from_documents(_t(spark, sf_dir, "documents"))
+    )
+
+
+@register("assistant_loss_spans", oracle.assistant_loss_spans_sql())
+def q_assistant_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant-only loss mask as character spans inside the rendered
+    conversation — prefix-sum arithmetic over turn lengths, no text
+    search, exact in both engines (operators/sft.py)."""
+    from llm_training_data_pipeline_spark.operators import sft
+
+    return sft.assistant_loss_spans(
+        sft.conversations_from_documents(_t(spark, sf_dir, "documents"))
+    )
