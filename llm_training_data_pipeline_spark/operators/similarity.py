@@ -504,3 +504,63 @@ def cosine_topk_int8(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_id: int = 0,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: fuse a BM25 keyword
+    ranking with a cosine vector ranking for the same information need
+    — the standard public hybrid-search recipe (RRF: Cormack et al.;
+    score = Σ 1/(rrf_k + rank) over the rankings a doc appears in).
+    Curation use: "find docs about X" where either lexical or semantic
+    evidence alone misses half the set.
+
+    Exactness: each reciprocal is ONE integer division in 1e-8 units
+    (``1e8 div (rrf_k + rank)``) — ranks are small integers, so the
+    fused score is exact in both engines; no float sums of reciprocals.
+
+    Plan: the two candidate lists are k_each rows each (top-k windows
+    over their own pipelines), so the fusion join + final top-k run on
+    O(k_each) rows — negligible next to the scans that produced them.
+    The doc and embedding id spaces are assumed parallel (doc_id ==
+    vec_id), the testdata layout; production callers pass the mapping
+    join upstream.
+    """
+    from llm_training_data_pipeline_spark.operators.corpus import bm25_topk
+
+    text = bm25_topk(docs, terms=terms, k=k_each).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("text_rank")
+    )
+    qs = emb.filter(F.col("vec_id") == query_id)
+    vec = brute_force_topk(emb, qs, k=k_each).select(
+        F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
+    )
+    units = F.coalesce(
+        F.expr(f"100000000 div ({rrf_k} + text_rank)"), F.lit(0).cast("long")
+    ) + F.coalesce(
+        F.expr(f"100000000 div ({rrf_k} + vec_rank)"), F.lit(0).cast("long")
+    )
+    fused = text.join(vec, on="id", how="full_outer").withColumn(
+        "_units", units.cast("long")
+    )
+    w = Window.orderBy(F.desc("_units"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.col("id").alias("doc_id"),
+            F.round(F.col("_units").cast("double") / F.lit(1e8), 6).alias(
+                "rrf_score"
+            ),
+            "text_rank",
+            "vec_rank",
+        )
+    )

@@ -5018,3 +5018,97 @@ def assistant_loss_spans_sql(
                CAST(start_char + length(content) AS BIGINT) AS end_char
         FROM offs WHERE role = 'assistant'
     """
+
+
+def hybrid_rrf_topk_sql(
+    terms: tuple[str, ...],
+    query_id: int = 0,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    """Mirror of similarity.hybrid_rrf_topk: BM25 and cosine rankings
+    fused with exact integer reciprocals (1e8 // (rrf_k + rank))."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id AS id, rank AS text_rank
+          FROM ({bm25_topk_sql(terms, k=k_each)})
+        ), vq AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_vec,
+                 sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_nrm
+          FROM embeddings WHERE vec_id = {query_id}
+        ), vs AS (
+          SELECT vec_id,
+                 round(CASE WHEN vq.q_nrm = 0 OR nrm = 0 THEN 0.0
+                       ELSE list_sum(list_transform(list_zip(vq.q_vec, vec),
+                              p -> p[1] * p[2])) / (vq.q_nrm * nrm) END, 6)
+                   AS cosine
+          FROM (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                   sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings WHERE vec_id <> {query_id}
+          ) CROSS JOIN vq
+        ), v AS (
+          SELECT vec_id AS id, rank AS vec_rank FROM (
+            SELECT vec_id, CAST(row_number() OVER (
+                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+            FROM vs
+          ) WHERE rank <= {k_each}
+        ), fused AS (
+          SELECT coalesce(t.id, v.id) AS id, t.text_rank, v.vec_rank,
+                 coalesce(100000000 // ({rrf_k} + t.text_rank), 0)
+                 + coalesce(100000000 // ({rrf_k} + v.vec_rank), 0) AS units
+          FROM t FULL OUTER JOIN v ON t.id = v.id
+        )
+        SELECT CAST(row_number() OVER (ORDER BY units DESC, id) AS BIGINT)
+                 AS rank,
+               id AS doc_id,
+               round(CAST(units AS DOUBLE) / 100000000.0, 6) AS rrf_score,
+               CAST(text_rank AS BIGINT) AS text_rank,
+               CAST(vec_rank AS BIGINT) AS vec_rank
+        FROM fused
+        QUALIFY rank <= {k}
+    """
+
+
+def preference_pair_stats_sql() -> str:
+    """Mirror of preference.preference_pair_stats over the deterministic
+    documents-derived pairs (even doc = chosen). The mean gap is one
+    double division (negative-capable; integer div semantics on
+    negatives differ between engines and are avoided)."""
+    def wc(col: str) -> str:
+        stripped = f"regexp_replace({col}, '{q(STRIP_WS)}', '', 'g')"
+        return (
+            f"CASE WHEN {stripped} = '' THEN 0 "
+            f"ELSE len(regexp_split_to_array({stripped}, '\\s+')) END"
+        )
+
+    return f"""
+        WITH c AS (
+          SELECT CAST(doc_id - (doc_id % 2) AS BIGINT) AS pair_id,
+                 source, text AS chosen
+          FROM documents WHERE doc_id % 2 = 0
+        ), r AS (
+          SELECT CAST(doc_id - (doc_id % 2) AS BIGINT) AS pair_id,
+                 text AS rejected
+          FROM documents WHERE doc_id % 2 = 1
+        ), per AS (
+          SELECT source,
+                 CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS degen,
+                 CASE WHEN {wc('chosen')} > {wc('rejected')} THEN 1 ELSE 0 END
+                   AS longer,
+                 CAST({wc('chosen')} AS BIGINT)
+                   - CAST({wc('rejected')} AS BIGINT) AS gap
+          FROM c JOIN r USING (pair_id)
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(degen) AS BIGINT) AS degenerate_pairs,
+               CAST(sum(longer) * 1000000 // count(*) AS BIGINT)
+                 AS chosen_longer_ppm,
+               round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS mean_word_gap
+        FROM per GROUP BY source ORDER BY source
+    """

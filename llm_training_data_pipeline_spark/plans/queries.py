@@ -4048,3 +4048,37 @@ def q_assistant_loss_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sft.assistant_loss_spans(
         sft.conversations_from_documents(_t(spark, sf_dir, "documents"))
     )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle.hybrid_rrf_topk_sql(terms=("vector", "stream", "window"), query_id=0),
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword rank fused with cosine vector rank
+    by Reciprocal Rank Fusion — each reciprocal one exact integer
+    division in 1e-8 units, fusion join bounded by the two candidate
+    lists (similarity.hybrid_rrf_topk)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    return hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        terms=["vector", "stream", "window"],
+        query_id=0,
+    )
+
+
+@register("preference_pair_stats", oracle.preference_pair_stats_sql())
+def q_preference_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF/DPO preference-data health: degenerate (chosen == rejected)
+    pairs and length bias (chosen-longer share in exact ppm, mean word
+    gap) per source, over deterministic documents-derived pairs
+    (operators/preference.py)."""
+    from llm_training_data_pipeline_spark.operators import preference
+
+    return preference.preference_pair_stats(
+        preference.preference_pairs_from_documents(_t(spark, sf_dir, "documents"))
+    )
