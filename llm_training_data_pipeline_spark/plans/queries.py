@@ -4082,3 +4082,34 @@ def q_preference_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference.preference_pair_stats(
         preference.preference_pairs_from_documents(_t(spark, sf_dir, "documents"))
     )
+
+
+@register("wet_url_dedup", None)
+def q_wet_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: normalize URLs (tracking params, default
+    ports, fragments, trailing slash) and keep the earliest fetch per
+    canonical URL — the free pass that removes recrawl mass before any
+    content hashing (rows-only; self-contained fixture with a utm
+    recrawl — sources/warc.py)."""
+    import os
+    import tempfile
+
+    from llm_training_data_pipeline_spark.sources import warc
+
+    d = tempfile.mkdtemp(prefix="wet_url_")
+    path = os.path.join(d, "demo.warc.wet")
+    recrawl = warc.DEMO_WET + (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/articles/spark/?utm_c=1\r\n"
+        "WARC-Date: 2024-02-01T00:00:00Z\r\n"
+        "Content-Length: 8\r\n"
+        "\r\n"
+        "recrawl.\r\n"
+        "\r\n"
+    )
+    with open(path, "w", newline="") as f:
+        f.write(recrawl)
+    return warc.url_dedup(warc.wet_documents(warc.read_wet(spark, path))).select(
+        "target_uri", "domain", "warc_date", "n_chars", "n_fetches"
+    )

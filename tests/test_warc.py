@@ -77,3 +77,46 @@ def test_domain_stats_ppm_and_order(spark, tmp_path):
     # exact integer ppm: 2/3 and 1/3 truncated
     assert stats[0].page_share_ppm == 666666
     assert stats[1].page_share_ppm == 333333
+
+
+def test_normalize_url_canonicalization(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://Example.com:80/a/?utm_source=x&b=2&a=1#frag",),
+            ("http://example.com/a?a=1&b=2",),
+            ("https://example.com:8443/x/",),
+            ("https://example.com/?fbclid=zz&gclid=q",),
+        ],
+        "u string",
+    )
+    got = [r.n for r in df.select(warc.normalize_url("u").alias("n")).collect()]
+    # tracking params dropped, query sorted, default port stripped,
+    # trailing slash + fragment trimmed -> first two key identically
+    assert got[0] == got[1] == "http://example.com/a?a=1&b=2"
+    assert got[2] == "https://example.com:8443/x"  # non-default port kept
+    assert got[3] == "https://example.com"
+
+
+def test_url_dedup_earliest_fetch_wins(spark, tmp_path):
+    recrawl = warc.DEMO_WET + (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/articles/spark/?utm_c=1\r\n"
+        "WARC-Date: 2024-02-01T00:00:00Z\r\n"
+        "Content-Length: 8\r\n"
+        "\r\n"
+        "recrawl.\r\n"
+        "\r\n"
+    )
+    docs = warc.wet_documents(
+        warc.read_wet(spark, _write_fixture(tmp_path, data=recrawl))
+    )
+    kept = warc.url_dedup(docs).collect()
+    assert len(kept) == 2  # the utm recrawl collapses into the original
+    by_domain = {r.domain: r for r in kept}
+    w = by_domain["example.com"]
+    assert w.warc_date == "2024-01-02T03:04:05Z"  # earliest fetch won
+    assert w.n_fetches == 2
+    assert by_domain["docs.example.org"].n_fetches == 1
