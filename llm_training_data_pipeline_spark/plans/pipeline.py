@@ -563,7 +563,7 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet path or wiki XML dump")
     ap.add_argument(
         "--input-format",
-        choices=["parquet", "wiki-xml", "html-parquet"],
+        choices=["parquet", "wiki-xml", "html-parquet", "wet"],
         default="parquet",
     )
     ap.add_argument("--max-articles", type=int, default=None)
@@ -610,6 +610,26 @@ def main() -> None:
                 "--input-format html-parquet needs an 'html' or 'raw_html' column"
             )
         docs = raw.withColumn("text", html_to_text(F.col(html_col))).drop(html_col)
+        if args.max_articles:
+            docs = docs.limit(args.max_articles)
+    elif args.input_format == "wet":
+        # CommonCrawl WET landing: JVM-framed record scan, conversion
+        # projection, then the free URL-level dedup pass (earliest fetch
+        # per canonical URL) BEFORE any content-hash stage downstream.
+        # doc_id = xxhash64(target_uri): deterministic, shuffle-free
+        # (a row_number would order-depend); the domain rides along as
+        # `source`, so every per-source operator works per-domain.
+        from llm_training_data_pipeline_spark.sources.warc import (
+            read_wet,
+            url_dedup,
+            wet_documents,
+        )
+
+        docs = url_dedup(wet_documents(read_wet(spark, args.input))).select(
+            F.xxhash64("target_uri").alias("doc_id"),
+            F.col("domain").alias("source"),
+            "text",
+        )
         if args.max_articles:
             docs = docs.limit(args.max_articles)
     else:

@@ -120,3 +120,31 @@ def test_url_dedup_earliest_fetch_wins(spark, tmp_path):
     assert w.warc_date == "2024-01-02T03:04:05Z"  # earliest fetch won
     assert w.n_fetches == 2
     assert by_domain["docs.example.org"].n_fetches == 1
+
+
+def test_wet_input_feeds_the_pipeline(spark, tmp_path):
+    """The CLI's --input-format wet composition: WET scan -> url_dedup ->
+    (doc_id, source, text) -> run_pipeline, domain as source."""
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    path = _write_fixture(tmp_path)
+    docs = warc.url_dedup(warc.wet_documents(warc.read_wet(spark, path))).select(
+        F.xxhash64("target_uri").alias("doc_id"),
+        F.col("domain").alias("source"),
+        "text",
+    )
+    cfg = PipelineConfig(
+        {
+            "quality": {"min_words": 2},
+            "cleaning": {"min_length_chars": 10},
+            "tokenization": {"vocab_size": 100, "min_frequency": 1},
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    assert summary["stages"]["ingest"]["rows"] == 2
+    assert summary["stages"]["quality"]["rows"] >= 1
