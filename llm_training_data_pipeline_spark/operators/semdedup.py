@@ -497,3 +497,48 @@ def cluster_balanced_sample(
         id_col,
         F.round(F.col("_cs"), 6).alias("centroid_cosine"),
     )
+
+
+def cluster_source_matrix(
+    emb: DataFrame,
+    docs: DataFrame,
+    n_clusters: int | str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Topic × source balance matrix: how each source's documents
+    distribute over the embedding clusters — the mixing diagnostic that
+    shows WHICH topics a source contributes (a source can look balanced
+    by volume while owning one dense cluster). Cells carry exact
+    within-cluster ppm shares.
+
+    Plan: the seeded assignment (broadcast centroids, map-side argmax),
+    one slim (id, cluster) ⋈ (id, source) equi-join, one hash aggregate
+    on (cluster, source), and a window-free share via a second tiny
+    aggregate joined back on cluster. Output is ≤ k × |sources| rows.
+    """
+    assigned = assign_clusters(emb, n_clusters=n_clusters, vec_col=vec_col,
+                               id_col=id_col).select(id_col, "cluster")
+    src = docs.select(
+        F.col(doc_id_col).alias(id_col), F.col(source_col).alias("source")
+    )
+    cells = (
+        assigned.join(src, on=id_col)
+        .groupBy("cluster", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy("cluster").agg(
+        F.sum("n_docs").cast("long").alias("_ct")
+    )
+    return (
+        cells.join(totals, on="cluster")
+        .select(
+            "cluster",
+            "source",
+            "n_docs",
+            F.expr("n_docs * 1000000 div _ct").alias("cluster_share_ppm"),
+        )
+        .orderBy("cluster", "source")
+    )

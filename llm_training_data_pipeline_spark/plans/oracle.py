@@ -5112,3 +5112,24 @@ def preference_pair_stats_sql() -> str:
                  AS mean_word_gap
         FROM per GROUP BY source ORDER BY source
     """
+
+
+def cluster_source_matrix_sql(n_clusters: int | str = "auto") -> str:
+    """Mirror of semdedup.cluster_source_matrix: the seeded assignment
+    chain joined to documents on the parallel id space, exact-ppm
+    within-cluster shares."""
+    return f"""
+        WITH {_semdedup_assign_cte(_semdedup_k(n_clusters))}, cells AS (
+          SELECT a.cluster, d.source, count(*) AS n_docs
+          FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+          GROUP BY a.cluster, d.source
+        ), totals AS (
+          SELECT cluster, sum(n_docs) AS ct FROM cells GROUP BY cluster
+        )
+        SELECT cells.cluster, cells.source,
+               CAST(cells.n_docs AS BIGINT) AS n_docs,
+               CAST(cells.n_docs * 1000000 // totals.ct AS BIGINT)
+                 AS cluster_share_ppm
+        FROM cells JOIN totals USING (cluster)
+        ORDER BY cluster, source
+    """

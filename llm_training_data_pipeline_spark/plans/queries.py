@@ -4113,3 +4113,18 @@ def q_wet_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc.url_dedup(warc.wet_documents(warc.read_wet(spark, path))).select(
         "target_uri", "domain", "warc_date", "n_chars", "n_fetches"
     )
+
+
+@register("cluster_source_matrix", oracle.cluster_source_matrix_sql())
+def q_cluster_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic x source balance: per-source document counts and exact-ppm
+    shares within each embedding cluster — shows which topics a source
+    actually owns (semdedup.cluster_source_matrix; doc_id == vec_id in
+    the testdata layout)."""
+    from llm_training_data_pipeline_spark.operators.semdedup import (
+        cluster_source_matrix,
+    )
+
+    return cluster_source_matrix(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )

@@ -44,7 +44,19 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     text)``. Non-``conversion`` records (``warcinfo``, ...) are kept —
     filter with :func:`wet_documents` for the document view.
     """
-    raw = spark.read.text(path, lineSep=RECORD_SEP)
+    return _parse_records(spark.read.text(path, lineSep=RECORD_SEP))
+
+
+def read_wet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_wet`: the continuous-crawl shape
+    (new WET files land in a directory, records flow out). The record
+    parse is stateless column algebra, so the exact batch expressions
+    run under Structured Streaming unchanged; compose with
+    ``wet_documents`` and a foreachBatch dedup/sink downstream."""
+    return _parse_records(spark.readStream.text(path, lineSep=RECORD_SEP))
+
+
+def _parse_records(raw: DataFrame) -> DataFrame:
     # The FIRST record in each file keeps its leading "WARC/" (no
     # preceding separator); later records had it consumed by lineSep.
     body = F.regexp_replace(F.col("value"), r"^WARC/", "")

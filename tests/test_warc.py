@@ -148,3 +148,33 @@ def test_wet_input_feeds_the_pipeline(spark, tmp_path):
     summary = run_pipeline(spark, docs, cfg, None)
     assert summary["stages"]["ingest"]["rows"] == 2
     assert summary["stages"]["quality"]["rows"] >= 1
+
+
+def test_read_wet_stream_matches_batch(spark, tmp_path):
+    import os
+
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    _write_fixture(d)
+    stream = warc.wet_documents(warc.read_wet_stream(spark, d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wet_stream_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.target_uri, r.n_chars)
+        for r in spark.sql("SELECT * FROM wet_stream_t").collect()
+    }
+    want = {
+        (r.target_uri, r.n_chars)
+        for r in warc.wet_documents(
+            warc.read_wet(spark, os.path.join(d, "demo.warc.wet"))
+        ).collect()
+    }
+    assert got == want and len(got) == 2
