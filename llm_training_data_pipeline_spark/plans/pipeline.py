@@ -195,6 +195,14 @@ def build_pipeline(
         # fall to the min-length/quality gates downstream
         from llm_training_data_pipeline_spark.operators import corpus
 
+        # the paragraph rebuild consumes df on three branches (explode,
+        # winner join-back, per-doc reassembly); everything upstream —
+        # including the cleaning pandas UDF — would re-run per branch,
+        # and the fused plan trips janino's 64KB codegen method limit
+        # into interpreted fallback. One eager checkpoint runs the
+        # upstream once and resets the plan (values bit-identical;
+        # measured 86s -> ~7s on the c4 preset at 120 docs).
+        df = df.localCheckpoint(eager=True)
         df = corpus.remove_dup_paragraphs(df, "text").drop("n_paras_removed")
         obs["paragraph_dedup"] = Observation("paragraph_dedup")
         df = df.observe(obs["paragraph_dedup"], F.count(F.lit(1)).alias("rows"))
@@ -235,7 +243,16 @@ def build_pipeline(
         if lf.get("enabled"):
             from llm_training_data_pipeline_spark.operators import textstats
 
-            df = textstats.with_lang_id(df, "text")
+            # Stage barrier: stacking the quality battery's projection
+            # chain on top of the lang-id's staged score columns lets
+            # iterative CollapseProject inline the per-language regex
+            # passes MANY times over (measured: a 32 KB standalone plan
+            # became 1.8 MB fused — 3,185 regexp_extract_all / 6,138
+            # split nodes — and 120 docs took 30s). Checkpointing the
+            # detected_lang column pins the scores to ONE evaluation;
+            # at scale the one extra materialization is strictly
+            # cheaper than a ~50x-duplicated regex scan.
+            df = textstats.with_lang_id(df, "text").localCheckpoint(eager=True)
             lang_col = "detected_lang"
         df = quality.with_quality(df, "text", qcfg, lang_col=lang_col, include_scores=False)
         df = df.filter(F.col("passed")).drop("passed", "reason")
