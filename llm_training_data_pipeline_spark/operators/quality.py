@@ -643,3 +643,47 @@ def with_dup_ngram_stats(
     return out.select(
         *df.columns, *frac_cols, flag.alias("ngram_repetition_pass")
     )
+
+
+DEFAULT_CHAT_MARKERS = (
+    "<|im_start|>",
+    "<|im_end|>",
+    "<|endoftext|>",
+    "[INST]",
+    "<s>",
+)
+
+
+def chat_markup_contamination(
+    df: DataFrame,
+    markers: tuple[str, ...] = DEFAULT_CHAT_MARKERS,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source screen for chat-template / special-token leakage in
+    pretraining text — documents containing markers like
+    ``<|im_start|>`` or ``<|endoftext|>`` are usually model OUTPUT that
+    leaked back into the crawl (or prior training data), and training
+    on them teaches the model to emit its own control tokens.
+
+    Plain substring containment (no regex — markers carry ``|``/``[``),
+    one literal-array explode per row (|markers| tiny) and one hash
+    aggregate on (source, marker); exact ppm shares. Zero joins.
+    """
+    m = F.explode(F.array(*[F.lit(x) for x in sorted(markers)])).alias("marker")
+    per = df.select(F.col(source_col).alias("source"), F.col(text_col), m).select(
+        "source",
+        "marker",
+        F.contains(F.col(text_col), F.col("marker")).cast("long").alias("_hit"),
+    )
+    agg = per.groupBy("source", "marker").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_hit").cast("long").alias("contaminated"),
+    )
+    return agg.select(
+        "source",
+        "marker",
+        "n_docs",
+        "contaminated",
+        F.expr("contaminated * 1000000 div n_docs").alias("contaminated_ppm"),
+    ).orderBy("source", "marker")

@@ -542,3 +542,54 @@ def cluster_source_matrix(
         )
         .orderBy("cluster", "source")
     )
+
+
+def semdedup_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.35, 0.6, 0.8),
+    centroids: DataFrame | None = None,
+    n_clusters: int | str = "auto",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """Retention-vs-threshold sensitivity in ONE pair pass: the
+    within-cluster pairs are computed once at the loosest threshold and
+    every requested threshold re-reads that bounded pair table (a tiny
+    broadcast theta-join), so picking the SemDeDup knob costs one scan
+    instead of |thresholds| full runs. The pick-the-knob step is the
+    first thing a curation run does; paying Σ|cluster|² once matters.
+    """
+    ts = sorted(set(float(t) for t in thresholds))
+    pairs = semdedup_pairs(
+        df, min(ts), centroids, n_clusters, vec_col, id_col, materialize=materialize
+    )
+    th = pairs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in ts])).alias("threshold")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    hit = th.join(
+        pairs, on=pairs["cosine"] >= th["threshold"], how="left"
+    )
+    agg = hit.groupBy("threshold").agg(
+        F.count(F.col("cosine")).cast("long").alias("n_dup_pairs"),
+        F.count_distinct(F.col("b_id")).cast("long").alias("n_dropped"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_dup_pairs",
+            "n_dropped",
+            F.when(F.col("n_vectors") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    (F.col("n_vectors") - F.col("n_dropped"))
+                    / F.col("n_vectors").cast("double"),
+                    4,
+                )
+            )
+            .alias("retention"),
+        )
+        .orderBy("threshold")
+    )

@@ -5133,3 +5133,54 @@ def cluster_source_matrix_sql(n_clusters: int | str = "auto") -> str:
         FROM cells JOIN totals USING (cluster)
         ORDER BY cluster, source
     """
+
+
+def chat_markup_contamination_sql(markers: tuple[str, ...]) -> str:
+    """Mirror of quality.chat_markup_contamination: substring
+    containment per (source, marker), exact ppm."""
+    vals = ", ".join(f"('{m}')" for m in sorted(markers))
+    return f"""
+        WITH m(marker) AS (VALUES {vals}), per AS (
+          SELECT d.source, m.marker,
+                 CASE WHEN contains(d.text, m.marker) THEN 1 ELSE 0 END AS hit
+          FROM documents d CROSS JOIN m
+        )
+        SELECT source, marker, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(hit) AS BIGINT) AS contaminated,
+               CAST(sum(hit) * 1000000 // count(*) AS BIGINT)
+                 AS contaminated_ppm
+        FROM per GROUP BY source, marker ORDER BY source, marker
+    """
+
+
+def semdedup_threshold_sweep_sql(
+    thresholds: tuple[float, ...] = (0.35, 0.6, 0.8),
+    n_clusters: int | str = "auto",
+) -> str:
+    """Mirror of semdedup.semdedup_threshold_sweep: one pair table at
+    the loosest threshold, every threshold re-read from it."""
+    ts = sorted(set(float(t) for t in thresholds))
+    vals = ", ".join(f"({t})" for t in ts)
+    return f"""
+        WITH {_semdedup_pairs_cte(_semdedup_k(n_clusters))},
+        kept AS (
+          SELECT * FROM pairs WHERE cosine >= {min(ts)}
+        ), th(threshold) AS (VALUES {vals}), tot AS (
+          SELECT count(*) AS n_vectors FROM embeddings
+        ), agg AS (
+          SELECT th.threshold,
+                 count(kept.cosine) AS n_dup_pairs,
+                 count(DISTINCT kept.b_id) AS n_dropped
+          FROM th LEFT JOIN kept ON kept.cosine >= th.threshold
+          GROUP BY th.threshold
+        )
+        SELECT CAST(threshold AS DOUBLE) AS threshold,
+               CAST(n_dup_pairs AS BIGINT) AS n_dup_pairs,
+               CAST(n_dropped AS BIGINT) AS n_dropped,
+               CASE WHEN tot.n_vectors = 0 THEN NULL
+                    ELSE round((tot.n_vectors - agg.n_dropped)
+                               / CAST(tot.n_vectors AS DOUBLE), 4) END
+                 AS retention
+        FROM agg CROSS JOIN tot
+        ORDER BY threshold
+    """

@@ -4128,3 +4128,35 @@ def q_cluster_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_source_matrix(
         _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "chat_markup_contamination",
+    oracle.chat_markup_contamination_sql(
+        markers=("<|im_start|>", "<|im_end|>", "<|endoftext|>", "[INST]", "<s>")
+    ),
+)
+def q_chat_markup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template / special-token leakage screen: per-source share of
+    documents containing control markers like <|im_start|> — leaked
+    model output that teaches a model to emit its own control tokens.
+    Plain containment, zero joins, exact ppm
+    (quality.chat_markup_contamination)."""
+    from llm_training_data_pipeline_spark.operators.quality import (
+        chat_markup_contamination,
+    )
+
+    return chat_markup_contamination(_t(spark, sf_dir, "documents"))
+
+
+@register("semdedup_threshold_sweep", oracle.semdedup_threshold_sweep_sql())
+def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup retention vs threshold in one pair pass — the
+    pick-the-knob report: pairs computed once at the loosest threshold,
+    each candidate threshold a broadcast re-read of the bounded pair
+    table (semdedup.semdedup_threshold_sweep)."""
+    from llm_training_data_pipeline_spark.operators.semdedup import (
+        semdedup_threshold_sweep,
+    )
+
+    return semdedup_threshold_sweep(_t(spark, sf_dir, "embeddings"))

@@ -293,3 +293,28 @@ def test_dup_ngram_clean_prose_passes(spark):
     row = with_dup_ngram_stats(df).collect()[0]
     assert row["ngram_repetition_pass"] is True
     assert row["dup_5gram_char_frac"] == 0.0
+
+
+def test_chat_markup_contamination_flags_leaked_markers(spark):
+    from llm_training_data_pipeline_spark.operators.quality import (
+        chat_markup_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "normal prose here", "en", "s1"),
+            (1, "leaked <|im_start|>assistant reply", "en", "s1"),
+            (2, "fine text", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {
+        (r.source, r.marker): r
+        for r in chat_markup_contamination(docs, markers=("<|im_start|>", "<s>")).collect()
+    }
+    assert rows[("s1", "<|im_start|>")].contaminated == 1
+    assert rows[("s1", "<|im_start|>")].contaminated_ppm == 500000
+    # "<s>" is substring-contained nowhere (plain containment, no regex)
+    assert rows[("s1", "<s>")].contaminated == 0
+    assert rows[("s2", "<|im_start|>")].contaminated == 0
+    assert len(rows) == 4  # full source x marker grid

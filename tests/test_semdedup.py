@@ -299,3 +299,22 @@ def test_cluster_balanced_sample_caps_and_singletons(spark):
     # all cluster-0 vectors are colinear with the centroid (cosine 1.0),
     # so the id tiebreak decides: the three lowest ids win
     assert sorted(r.vec_id for r in by_cluster[0]) == [0, 2, 3]
+
+
+def test_threshold_sweep_monotone_and_matches_stats(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    sweep = {
+        r.threshold: r
+        for r in semdedup.semdedup_threshold_sweep(
+            emb, thresholds=(0.35, 0.6, 0.8), n_clusters=16
+        ).collect()
+    }
+    # dropping is monotone non-increasing in the threshold
+    assert sweep[0.35].n_dropped >= sweep[0.6].n_dropped >= sweep[0.8].n_dropped
+    assert sweep[0.35].retention <= sweep[0.6].retention <= sweep[0.8].retention
+    # each row equals an independent semdedup_stats run at that threshold
+    for t in (0.35, 0.8):
+        ref = semdedup.semdedup_stats(emb, threshold=t, n_clusters=16).collect()[0]
+        assert sweep[t].n_dup_pairs == ref.n_dup_pairs
+        assert sweep[t].n_dropped == ref.n_dropped
+        assert sweep[t].retention == ref.retention
