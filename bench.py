@@ -178,8 +178,15 @@ HEADLINE = [
     "heavy_hitters_cms",
     # round-8 fourth wave
     "bm25_topk",
+    "hybrid_rrf_topk",
     "cluster_balanced_sample",
+    "cluster_source_matrix",
     "source_unigram_kl",
+    "chat_render",
+    "assistant_loss_spans",
+    "preference_pair_stats",
+    "chat_markup_contamination",
+    "semdedup_threshold_sweep",
     # ngram_diversity_approx is deliberately NOT here (the recall-audit
     # precedent): its CONTRACT row computes the exact count_distinct
     # alongside the HLL sketch, duplicating ngram_diversity's cost; the
@@ -266,6 +273,12 @@ LARGE_SUBSET = [
     "bm25_topk",
     "cluster_balanced_sample",
     "source_unigram_kl",
+    # hybrid fusion (two candidate pipelines + bounded join), the SFT
+    # render's per-conversation string aggregate, and the one-pass
+    # multi-threshold pair re-read
+    "hybrid_rrf_topk",
+    "chat_render",
+    "semdedup_threshold_sweep",
 ]
 
 
