@@ -54,3 +54,92 @@ def write_summary(summary: dict, path: str) -> None:
 def read_pipeline_output(spark, path: str) -> DataFrame:
     """S11: read the pipeline's parquet output back for analysis."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (``bucketBy`` + ``saveAsTable``): the
+    co-location layout for repeated joins/aggregations on one key.
+    Two tables bucketed on the same key with the same bucket count
+    equi-join WITHOUT a shuffle — at 100 TB, pre-bucketing the
+    documents and embeddings tables turns every doc_id-keyed join in
+    the curation suite from an Exchange into a local zip. The
+    exchange-free plan is pinned in tests/test_bucketed.py.
+
+    ``saveAsTable`` is required (plain ``.parquet(path)`` drops bucket
+    metadata); the table lands in the session's warehouse dir.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+    n_shards: int = 16,
+) -> list[str]:
+    """WebDataset-style tar shards: the public tar-of-samples layout
+    multimodal training loaders stream (one ``{key}.txt`` member per
+    document; binary columns would add ``{key}.{ext}`` members). Each
+    Spark partition writes ONE tar via stdlib ``tarfile`` inside
+    ``foreachPartition`` — embarrassingly parallel, no driver
+    collection; determinism comes from repartitioning on the shard id
+    (``xxhash64(key) pmod n_shards`` unless ``shard_col`` names a
+    precomputed assignment, e.g. corpus.shard_assignment's size-balanced
+    plan) and sorting members within the shard.
+
+    Returns the shard paths (deterministic names, ``shard-%05d.tar``).
+    """
+    import io
+    import tarfile
+
+    os.makedirs(path, exist_ok=True)
+    sid = (
+        F.col(shard_col)
+        if shard_col
+        else F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    ).cast("int")
+    slim = (
+        df.select(
+            sid.alias("_shard"),
+            F.col(key_col).cast("string").alias("_key"),
+            F.col(text_col).alias("_text"),
+        )
+        .repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+    )
+
+    def _write(rows) -> None:
+        tars: dict[int, tarfile.TarFile] = {}
+        try:
+            for r in rows:
+                tf = tars.get(r["_shard"])
+                if tf is None:
+                    tf = tarfile.open(
+                        os.path.join(path, f"shard-{r['_shard']:05d}.tar"), "w"
+                    )
+                    tars[r["_shard"]] = tf
+                data = (r["_text"] or "").encode("utf-8")
+                info = tarfile.TarInfo(name=f"{r['_key']}.txt")
+                info.size = len(data)
+                info.mtime = 0  # deterministic archives
+                tf.addfile(info, io.BytesIO(data))
+        finally:
+            for tf in tars.values():
+                tf.close()
+
+    slim.foreachPartition(_write)
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".tar")
+    )
