@@ -316,6 +316,25 @@ def build_pipeline(
         obs["ngram_repetition"] = Observation("ngram_repetition")
         df = df.observe(obs["ngram_repetition"], F.count(F.lit(1)).alias("rows"))
 
+    cm = qsec.get("chat_marker_filter", {}) if qsec.get("enabled", True) else {}
+    if cm.get("enabled", False):
+        # drop documents carrying chat-template control tokens
+        # (<|im_start|>, <|endoftext|>, ...) — leaked model output that
+        # teaches a model to emit its own markers; plain containment
+        # (the markers hold regex metachars), one codegen'd scan
+        from llm_training_data_pipeline_spark.operators.quality import (
+            DEFAULT_CHAT_MARKERS,
+        )
+
+        markers = tuple(cm.get("markers", DEFAULT_CHAT_MARKERS))
+        hit = None
+        for m in sorted(markers):
+            c = F.contains(F.col("text"), F.lit(m))
+            hit = c if hit is None else (hit | c)
+        df = df.filter(~hit)
+        obs["chat_marker"] = Observation("chat_marker")
+        df = df.observe(obs["chat_marker"], F.count(F.lit(1)).alias("rows"))
+
     pf = qsec.get("perplexity_filter", {}) if qsec.get("enabled", True) else {}
     if pf.get("enabled", False):
         # the reference's declared-but-dead knob, live: surprisal is

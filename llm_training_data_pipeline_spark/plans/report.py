@@ -13,7 +13,8 @@ from typing import Any
 STAGE_ORDER = [
     "ingest", "clean", "dedup", "soft_sample", "span_dedup",
     "paragraph_dedup", "source_cap",
-    "quality", "entropy", "script_mix", "ngram_repetition", "perplexity",
+    "quality", "entropy", "script_mix", "ngram_repetition", "chat_marker",
+    "perplexity",
     "decontaminate", "pii", "sample", "dsir", "tokenize",
 ]
 

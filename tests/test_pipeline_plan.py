@@ -708,3 +708,25 @@ def test_ngram_repetition_filter_stage_gates(spark):
     assert [r["doc_id"] for r in out] == [1], out
     assert "ngram_repetition_pass" not in on.columns
     assert "dup_5gram_char_frac" not in on.columns
+
+
+def test_chat_marker_filter_stage(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["clean prose word"] * 20), "en", "s"),
+            (1, " ".join(["fine text here"] * 20) + " <|im_start|>leak", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    base = {
+        "cleaning": {"min_length_chars": 10},
+        "deduplication": {"enabled": False},
+        "quality": {"min_words": 5},
+        "tokenization": {"enabled": False},
+    }
+    off = run_pipeline(spark, docs, PipelineConfig(base), None)
+    assert "chat_marker" not in off["stages"]  # default-off no-op
+    on_cfg = dict(base)
+    on_cfg["quality"] = {"min_words": 5, "chat_marker_filter": {"enabled": True}}
+    on = run_pipeline(spark, docs, PipelineConfig(on_cfg), None)
+    assert on["stages"]["chat_marker"]["rows"] == 1  # the leak dropped

@@ -178,3 +178,27 @@ def test_read_wet_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_normalize_url_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) over a URL zoo — the
+    property that makes it safe as a repeated dedup key."""
+    from pyspark.sql import functions as F
+
+    zoo = [
+        "HTTP://Example.com:80/a/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a?a=1&b=2",
+        "https://example.com:8443/x/",
+        "https://example.com/?fbclid=zz",
+        "https://example.com",
+        "http://a.b.c.example.org/deep/path/here?z=1&y=2&x=3",
+        "https://example.com/a%20b?q=1#x",
+        "ftp://files.example.com/pub/",
+    ]
+    df = spark.createDataFrame([(u,) for u in zoo], "u string")
+    once = df.select(warc.normalize_url("u").alias("n1"))
+    twice = once.select(
+        F.col("n1"), warc.normalize_url(F.col("n1")).alias("n2")
+    ).collect()
+    for r in twice:
+        assert r.n2 == r.n1, (r.n1, r.n2)
