@@ -765,3 +765,55 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("alpha_chars", F.length(t).cast("long")).withColumn(
         "char_entropy", char_entropy(F.col(text_col))
     )
+
+
+# Zero-width characters (ZWSP/ZWNJ/ZWJ/WJ/BOM) and bidi controls
+# (embeddings, overrides, isolates, LRM/RLM). Unicode category Cf — the
+# cleaning stage strips Cc only, so these survive into "clean" text.
+ZERO_WIDTH_CLASS = "\u200b\u200c\u200d\u2060\ufeff"
+BIDI_CONTROL_CLASS = "\u200e\u200f\u202a-\u202e\u2066-\u2069"
+
+
+def invisible_char_stats(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source audit of invisible Unicode: zero-width characters and
+    bidi controls. Both are classic data-poisoning / spoofing vectors
+    (invisible text, reordered rendering — the publicly documented
+    "bad characters" attacks) and neither is touched by the Cc-only
+    control strip, so a clean-looking corpus can still carry them.
+    One codegen'd scan, one hash aggregate on source, exact ppm of
+    documents carrying EITHER class.
+    """
+    zw = F.regexp_count(F.col(text_col), F.lit(f"[{ZERO_WIDTH_CLASS}]")).cast(
+        "long"
+    )
+    bidi = F.regexp_count(
+        F.col(text_col), F.lit(f"[{BIDI_CONTROL_CLASS}]")
+    ).cast("long")
+    per = df.select(
+        F.col(source_col).alias("source"),
+        (zw > 0).cast("long").alias("_zw_doc"),
+        (bidi > 0).cast("long").alias("_bidi_doc"),
+        zw.alias("_zw"),
+        bidi.alias("_bidi"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_zw_doc").cast("long").alias("zero_width_docs"),
+        F.sum("_bidi_doc").cast("long").alias("bidi_docs"),
+        F.sum(
+            F.greatest(F.col("_zw_doc"), F.col("_bidi_doc"))
+        ).cast("long").alias("_either"),
+        F.sum("_zw").cast("long").alias("zero_width_chars"),
+        F.sum("_bidi").cast("long").alias("bidi_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "zero_width_docs",
+        "bidi_docs",
+        "zero_width_chars",
+        "bidi_chars",
+        F.expr("_either * 1000000 div n_docs").alias("flagged_ppm"),
+    ).orderBy("source")

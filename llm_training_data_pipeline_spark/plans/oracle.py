@@ -5184,3 +5184,28 @@ def semdedup_threshold_sweep_sql(
         FROM agg CROSS JOIN tot
         ORDER BY threshold
     """
+
+
+def invisible_char_stats_sql() -> str:
+    """Mirror of textstats.invisible_char_stats (the char classes are
+    embedded as literal codepoints in both engines' regexes)."""
+    zw = "​‌‍⁠﻿"
+    bidi = "‎‏‪-‮⁦-⁩"
+    return f"""
+        WITH per AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '[{zw}]')) AS zw,
+                 len(regexp_extract_all(text, '[{bidi}]')) AS bidi
+          FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN zw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_width_docs,
+               CAST(sum(CASE WHEN bidi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bidi_docs,
+               CAST(sum(zw) AS BIGINT) AS zero_width_chars,
+               CAST(sum(bidi) AS BIGINT) AS bidi_chars,
+               CAST(sum(CASE WHEN zw > 0 OR bidi > 0 THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+        FROM per GROUP BY source ORDER BY source
+    """

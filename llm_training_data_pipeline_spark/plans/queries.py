@@ -4160,3 +4160,16 @@ def q_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return semdedup_threshold_sweep(_t(spark, sf_dir, "embeddings"))
+
+
+@register("invisible_char_stats", oracle.invisible_char_stats_sql())
+def q_invisible_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-Unicode audit: zero-width and bidi-control characters
+    per source — the data-poisoning vectors a Cc-only control strip
+    misses. One scan, one aggregate, exact ppm
+    (textstats.invisible_char_stats)."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        invisible_char_stats,
+    )
+
+    return invisible_char_stats(_t(spark, sf_dir, "documents"))

@@ -338,3 +338,26 @@ def test_script_class_languages_detected(spark):
     df = spark.createDataFrame(list(samples.items()), "lang string, text string")
     got = {r["lang"]: r["detected_lang"] for r in with_lang_id(df).collect()}
     assert got == {k: k for k in samples}, got
+
+
+def test_invisible_char_stats_catches_poisoned_docs(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        invisible_char_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean prose", "en", "s1"),
+            (1, "zero​width‌here", "en", "s1"),  # 2 zw chars
+            (2, "bidi ‮attack‬ text", "en", "s1"),  # override+PDF
+            (3, "normal", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in invisible_char_stats(docs).collect()}
+    s1 = rows["s1"]
+    assert s1.zero_width_docs == 1 and s1.zero_width_chars == 2
+    assert s1.bidi_docs == 1 and s1.bidi_chars == 2
+    assert s1.flagged_ppm == 666666  # 2 of 3 docs carry either class
+    s2 = rows["s2"]
+    assert s2.flagged_ppm == 0 and s2.zero_width_chars == 0
