@@ -817,3 +817,53 @@ def invisible_char_stats(
         "bidi_chars",
         F.expr("_either * 1000000 div n_docs").alias("flagged_ppm"),
     ).orderBy("source")
+
+
+# Adjacent Latin<->Cyrillic / Latin<->Greek pairs with no separator:
+# the within-word mixed-script shape confusable spoofing produces
+# ("pаypal" with a Cyrillic а). Doc-level script_mix can't see it —
+# a document can be legitimately bilingual; a WORD almost never is.
+_CONF_PAIRS = (
+    ("A-Za-z", "Ѐ-ӿ"),
+    ("A-Za-z", "Ͱ-Ͽ"),
+)
+CONFUSABLE_ADJACENCY = "|".join(
+    f"[{a}][{b}]|[{b}][{a}]" for a, b in _CONF_PAIRS
+)
+
+
+def confusable_stats(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source homoglyph-spoofing audit: occurrences of script
+    switches INSIDE a character run (Latin↔Cyrillic, Latin↔Greek
+    adjacency with no separator between them) — the shape confusable
+    substitution produces and doc-level script mixing can't flag.
+    One regexp scan, one aggregate on source, exact ppm.
+    """
+    hits = F.regexp_count(
+        F.col(text_col), F.lit(CONFUSABLE_ADJACENCY)
+    ).cast("long")
+    per = df.select(
+        F.col(source_col).alias("source"),
+        (hits > 0).cast("long").alias("_doc"),
+        hits.alias("_hits"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_doc").cast("long").alias("confusable_docs"),
+            F.sum("_hits").cast("long").alias("confusable_switches"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "confusable_docs",
+            "confusable_switches",
+            F.expr("confusable_docs * 1000000 div n_docs").alias(
+                "confusable_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -5209,3 +5209,23 @@ def invisible_char_stats_sql() -> str:
                     * 1000000 // count(*) AS BIGINT) AS flagged_ppm
         FROM per GROUP BY source ORDER BY source
     """
+
+
+def confusable_stats_sql() -> str:
+    """Mirror of textstats.confusable_stats (same adjacency regex,
+    codepoint ranges literal in both engines)."""
+    pat = '[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]|[A-Za-z][Ͱ-Ͽ]|[Ͱ-Ͽ][A-Za-z]'
+    return f"""
+        WITH per AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{pat}')) AS hits
+          FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS confusable_docs,
+               CAST(sum(hits) AS BIGINT) AS confusable_switches,
+               CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS confusable_ppm
+        FROM per GROUP BY source ORDER BY source
+    """

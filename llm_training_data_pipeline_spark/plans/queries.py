@@ -4173,3 +4173,16 @@ def q_invisible_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return invisible_char_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("confusable_stats", oracle.confusable_stats_sql())
+def q_confusable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-spoofing audit: within-run Latin<->Cyrillic/Greek
+    adjacency — the confusable-substitution shape doc-level script
+    mixing can't flag. One regexp scan, exact ppm
+    (textstats.confusable_stats)."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        confusable_stats,
+    )
+
+    return confusable_stats(_t(spark, sf_dir, "documents"))

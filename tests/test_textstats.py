@@ -361,3 +361,27 @@ def test_invisible_char_stats_catches_poisoned_docs(spark):
     assert s1.flagged_ppm == 666666  # 2 of 3 docs carry either class
     s2 = rows["s2"]
     assert s2.flagged_ppm == 0 and s2.zero_width_chars == 0
+
+
+def test_confusable_stats_flags_homoglyph_words(spark):
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        confusable_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "pаypal login", "en", "s1"),  # Cyrillic а inside Latin word
+            (1, "clean latin text", "en", "s1"),
+            (2, "русский текст and english words", "en", "s1"),  # separated: fine
+            (3, "ok", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in confusable_stats(docs).collect()}
+    s1 = rows["s1"]
+    assert s1.confusable_docs == 1  # only the homoglyph doc
+    # non-overlapping matching: 'pаy' counts once ('pа' consumes
+    # the shared char before 'аy' could match) — same in both engines
+    assert s1.confusable_switches == 1
+    assert s1.confusable_ppm == 333333
+    assert rows["s2"].confusable_docs == 0
