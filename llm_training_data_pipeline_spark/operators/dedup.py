@@ -1429,3 +1429,60 @@ def novelty_weights(
             (F.lit(1_000_000) - dup_ppm).cast("long").alias("novelty_ppm"),
         )
     )
+
+
+def prefix_dedup(
+    df: DataFrame,
+    prefix_chars: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the smallest-id row per normalized-PREFIX hash: the mirror
+    page whose body is identical but whose tail differs (appended
+    footers, share widgets, timestamps — the classic syndication shape
+    exact dedup misses and MinHash only catches above its threshold).
+    Digest = md5 of the first ``prefix_chars`` characters of the
+    whitespace-collapsed, lowercased text, so tail-only variants
+    collapse into one canonical doc. Same one-shuffle min-id-winner
+    plan as ``exact_dedup``; the digest is 16 bytes regardless of
+    document size.
+    """
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", prefix_hash(F.col(text_col), prefix_chars))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def prefix_hash(text: Column, prefix_chars: int = 256) -> Column:
+    """md5 of the whitespace-collapsed lowercased first
+    ``prefix_chars`` characters — collapsing BEFORE slicing so
+    formatting-only differences inside the window don't split keys."""
+    collapsed = F.regexp_replace(F.lower(strip_ws(text)), r"\s+", " ")
+    return F.md5(F.encode(F.substring(collapsed, 1, prefix_chars), "UTF-8"))
+
+
+def prefix_dedup_stats(
+    df: DataFrame, prefix_chars: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """One-row report for the prefix pass: docs, distinct prefixes,
+    removable tail-variants, and how many of those exact dedup would
+    ALSO have caught (the marginal value of the prefix key is the
+    difference). Two map-side-combinable aggregates, no window."""
+    ph = prefix_hash(F.col(text_col), prefix_chars)
+    eh = exact_hash(F.col(text_col))
+    per_prefix = df.groupBy(ph.alias("_p")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct(eh).cast("long").alias("n_exact"),
+    )
+    return per_prefix.agg(
+        F.sum("n").cast("long").alias("total_docs"),
+        F.count(F.lit(1)).cast("long").alias("distinct_prefixes"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("prefix_removable"),
+        (F.sum("n") - F.sum("n_exact")).cast("long").alias("exact_removable"),
+        (F.sum("n_exact") - F.count(F.lit(1)))
+        .cast("long")
+        .alias("tail_variants_only"),
+    )

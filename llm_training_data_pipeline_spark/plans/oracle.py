@@ -5229,3 +5229,25 @@ def confusable_stats_sql() -> str:
                     * 1000000 // count(*) AS BIGINT) AS confusable_ppm
         FROM per GROUP BY source ORDER BY source
     """
+
+
+def prefix_dedup_stats_sql(prefix_chars: int = 256) -> str:
+    """Mirror of dedup.prefix_dedup_stats: collapse-then-slice prefix
+    digest vs the full exact digest."""
+    stripped = f"regexp_replace(text, '{q(STRIP_WS)}', '', 'g')"
+    norm = f"regexp_replace(lower({stripped}), '\\s+', ' ', 'g')"
+    ph = f"md5(substring({norm}, 1, {prefix_chars}))"
+    eh = f"md5(lower({stripped}))"
+    return f"""
+        WITH per AS (
+          SELECT {ph} AS p, count(*) AS n,
+                 count(DISTINCT {eh}) AS n_exact
+          FROM documents GROUP BY p
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS total_docs,
+               CAST(count(*) AS BIGINT) AS distinct_prefixes,
+               CAST(sum(n) - count(*) AS BIGINT) AS prefix_removable,
+               CAST(sum(n) - sum(n_exact) AS BIGINT) AS exact_removable,
+               CAST(sum(n_exact) - count(*) AS BIGINT) AS tail_variants_only
+        FROM per
+    """

@@ -4186,3 +4186,14 @@ def q_confusable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return confusable_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("prefix_dedup_stats", oracle.prefix_dedup_stats_sql(prefix_chars=256))
+def q_prefix_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-key dedup report: tail-variant mirrors (same leading 256
+    normalized chars, different footer) that exact dedup misses —
+    prefix_removable minus exact_removable is the marginal win
+    (dedup.prefix_dedup_stats)."""
+    from llm_training_data_pipeline_spark.operators.dedup import prefix_dedup_stats
+
+    return prefix_dedup_stats(_t(spark, sf_dir, "documents"))

@@ -498,3 +498,31 @@ def test_simhash_recall_matches_oracle_and_band_lossless(spark, ddb):
     assert row["n_true_pairs"] > 0, "fixture must contain true near-dups"
     # identical docs always survive: hamming 0 <= 3
     assert row["recall"] >= 0.5
+
+
+def test_prefix_dedup_collapses_tail_variants(spark):
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        prefix_dedup,
+        prefix_dedup_stats,
+    )
+
+    body = " ".join(f"w{i}" for i in range(80))  # > 256 chars of body
+    docs = spark.createDataFrame(
+        [
+            (0, body + " original tail", "en", "s"),
+            (1, body + " mirrored with a share widget footer", "en", "s"),
+            (2, body.upper() + "   original tail", "en", "s"),  # case+ws only
+            (3, "completely different document body", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    kept = prefix_dedup(docs, prefix_chars=256).collect()
+    assert sorted(r.doc_id for r in kept) == [0, 3]  # min-id winner
+    stats = prefix_dedup_stats(docs, prefix_chars=256).collect()[0]
+    assert stats.total_docs == 4
+    assert stats.distinct_prefixes == 2
+    assert stats.prefix_removable == 2
+    # exact dedup catches none of these (tails/case differ after the
+    # prefix window... doc 2 differs from doc 0 only by case+spacing,
+    # which exact_hash ALSO normalizes - but its tail spacing differs)
+    assert stats.tail_variants_only == stats.prefix_removable - stats.exact_removable
