@@ -62,6 +62,12 @@ def build_pipeline(
         algo = d.get("algorithm", "minhash_lsh")
         if algo == "exact_hash":
             df = dedup.exact_dedup(df)
+        elif algo == "prefix_hash":
+            # tail-variant mirrors: same leading content, different
+            # footer — keyed on the normalized 256-char prefix digest
+            df = dedup.prefix_dedup(
+                df, prefix_chars=int(d.get("prefix_chars", 256))
+            )
         elif algo == "simhash":
             df = dedup.simhash_dedup(df)
         elif algo in ("minhash_lsh", "minhash_keep_best"):
@@ -116,7 +122,7 @@ def build_pipeline(
             raise ValueError(
                 f"unknown deduplication.algorithm {algo!r}; "
                 "choose from minhash_lsh, minhash_keep_best, exact_hash, "
-                "simhash, soft_exact, soft_minhash"
+                "prefix_hash, simhash, soft_exact, soft_minhash"
             )
         obs["dedup"] = Observation("dedup")
         dedup_metrics = [F.count(F.lit(1)).alias("rows")]

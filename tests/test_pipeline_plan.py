@@ -730,3 +730,25 @@ def test_chat_marker_filter_stage(spark):
     on_cfg["quality"] = {"min_words": 5, "chat_marker_filter": {"enabled": True}}
     on = run_pipeline(spark, docs, PipelineConfig(on_cfg), None)
     assert on["stages"]["chat_marker"]["rows"] == 1  # the leak dropped
+
+
+def test_prefix_hash_dedup_mode(spark):
+    body = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [
+            (0, body + " original tail", "en", "s"),
+            (1, body + " mirror footer variant", "en", "s"),
+            (2, "a different document entirely " * 10, "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 10},
+            "deduplication": {"algorithm": "prefix_hash", "prefix_chars": 256},
+            "quality": {"min_words": 5},
+            "tokenization": {"enabled": False},
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    assert summary["stages"]["dedup"]["rows"] == 2  # the mirror collapsed
