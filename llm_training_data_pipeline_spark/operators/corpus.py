@@ -2741,3 +2741,64 @@ def source_unigram_kl(
         )
         .orderBy("source")
     )
+
+
+def oov_rate_split(
+    df: DataFrame,
+    split_id: int = 250,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate of a held-out slice against a vocabulary
+    built from the training slice — the drift check run before reusing
+    a tokenizer on a new crawl (rising OOV = the vocabulary no longer
+    fits the data; retrain or expand).
+
+    Vocabulary = top ``vocab_size`` whitespace words of the train slice
+    (``id < split_id``) by (count desc, word asc) — deterministic ties,
+    so any engine rebuilds the same set. Per held-out source: token
+    count, OOV tokens, exact-ppm OOV rate.
+
+    Plan: one word-count aggregate on the train slice, a top-k window
+    over the vocabulary-sized count table, then an equi-join from the
+    held-out words to the vocab on the word key with a left anti
+    semantics folded into one outer-join null check. No broadcast hint:
+    a real vocabulary is corpus-scale — AQE picks the strategy.
+    """
+    words_train = _lower_words(
+        df.filter(F.col(id_col) < split_id), text_col, id_col
+    )
+    counts = words_train.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = Window.orderBy(F.desc("_c"), F.asc("word"))
+    vocab = (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= vocab_size)
+        .select("word")
+    )
+    held = df.filter(F.col(id_col) >= split_id).select(
+        F.col(source_col).alias("source"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    tagged = held.join(
+        vocab.withColumn("_known", F.lit(1)), on="word", how="left"
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_known").isNull(), 1).otherwise(0)
+            ).cast("long").alias("oov_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.expr("oov_tokens * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -5251,3 +5251,31 @@ def prefix_dedup_stats_sql(prefix_chars: int = 256) -> str:
                CAST(sum(n_exact) - count(*) AS BIGINT) AS tail_variants_only
         FROM per
     """
+
+
+def oov_rate_split_sql(split_id: int = 250, vocab_size: int = 1000) -> str:
+    """Mirror of corpus.oov_rate_split: deterministic top-k vocabulary
+    from the train slice, exact-ppm OOV on the held-out slice."""
+    return f"""
+        WITH wtrain AS (
+          SELECT unnest({_lower_toks()}) AS word FROM documents
+          WHERE doc_id < {split_id}
+        ), counts AS (
+          SELECT word, count(*) AS c FROM wtrain GROUP BY word
+        ), vocab AS (
+          SELECT word FROM (
+            SELECT word, row_number() OVER (ORDER BY c DESC, word) AS r
+            FROM counts
+          ) WHERE r <= {vocab_size}
+        ), held AS (
+          SELECT source, unnest({_lower_toks()}) AS word FROM documents
+          WHERE doc_id >= {split_id}
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS oov_tokens,
+               CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS oov_ppm
+        FROM held LEFT JOIN vocab USING (word)
+        GROUP BY source ORDER BY source
+    """

@@ -4197,3 +4197,14 @@ def q_prefix_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.dedup import prefix_dedup_stats
 
     return prefix_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("oov_rate_split", oracle.oov_rate_split_sql(split_id=250, vocab_size=1000))
+def q_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-drift check: exact-ppm OOV rate of the held-out slice
+    against the train slice's deterministic top-1000 word vocabulary —
+    the run-before-reusing-a-tokenizer diagnostic
+    (corpus.oov_rate_split)."""
+    from llm_training_data_pipeline_spark.operators.corpus import oov_rate_split
+
+    return oov_rate_split(_t(spark, sf_dir, "documents"))

@@ -1285,3 +1285,36 @@ def test_source_unigram_kl_disjoint_sources_positive(spark):
     rows = {r.source: r for r in corpus.source_unigram_kl(docs).collect()}
     # fully disjoint vocabularies: KL(s||corpus) = ln(T/T_s) > 0
     assert rows["s1"].kl_nats > 0 and rows["s2"].kl_nats > 0
+
+
+def test_oov_rate_split_flags_unseen_vocabulary(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma alpha", "en", "s1"),
+            (1, "alpha beta", "en", "s1"),
+            # held-out slice (ids >= 2)
+            (2, "alpha beta novelword", "en", "s1"),
+            (3, "zz yy xx", "en", "s2"),
+        ],
+    )
+    rows = {
+        r.source: r
+        for r in corpus.oov_rate_split(docs, split_id=2, vocab_size=10).collect()
+    }
+    s1 = rows["s1"]
+    assert s1.n_tokens == 3 and s1.oov_tokens == 1
+    assert s1.oov_ppm == 333333
+    s2 = rows["s2"]  # fully unseen source
+    assert s2.oov_tokens == 3 and s2.oov_ppm == 1000000
+
+
+def test_oov_rate_split_vocab_cap_is_deterministic(spark):
+    # vocab_size=1 keeps only the most frequent word; ties broken by word
+    docs = _docs(
+        spark,
+        [(0, "bb aa bb aa", "en", "s"), (2, "aa bb cc", "en", "s")],
+    )
+    r = corpus.oov_rate_split(docs, split_id=2, vocab_size=1).collect()[0]
+    # counts: aa=2, bb=2 -> tie, 'aa' wins (word asc). held-out OOV: bb, cc
+    assert r.oov_tokens == 2 and r.n_tokens == 3
