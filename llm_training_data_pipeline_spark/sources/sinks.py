@@ -88,6 +88,8 @@ def write_webdataset(
     text_col: str = "text",
     shard_col: str | None = None,
     n_shards: int = 16,
+    payload_col: str | None = None,
+    payload_ext: str = "bin",
 ) -> list[str]:
     """WebDataset-style tar shards: the public tar-of-samples layout
     multimodal training loaders stream (one ``{key}.txt`` member per
@@ -110,12 +112,18 @@ def write_webdataset(
         if shard_col
         else F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
     ).cast("int")
+    cols = [
+        sid.alias("_shard"),
+        F.col(key_col).cast("string").alias("_key"),
+        F.col(text_col).alias("_text"),
+    ]
+    if payload_col is not None:
+        # opaque binary sample member ({key}.{ext}) next to the text —
+        # the image/audio WebDataset shape; payload bytes pass through
+        # untouched
+        cols.append(F.col(payload_col).alias("_payload"))
     slim = (
-        df.select(
-            sid.alias("_shard"),
-            F.col(key_col).cast("string").alias("_key"),
-            F.col(text_col).alias("_text"),
-        )
+        df.select(*cols)
         .repartition(n_shards, "_shard")
         .sortWithinPartitions("_shard", "_key")
     )
@@ -130,11 +138,16 @@ def write_webdataset(
                         os.path.join(path, f"shard-{r['_shard']:05d}.tar"), "w"
                     )
                     tars[r["_shard"]] = tf
-                data = (r["_text"] or "").encode("utf-8")
-                info = tarfile.TarInfo(name=f"{r['_key']}.txt")
-                info.size = len(data)
-                info.mtime = 0  # deterministic archives
-                tf.addfile(info, io.BytesIO(data))
+                members = [(f"{r['_key']}.txt", (r["_text"] or "").encode("utf-8"))]
+                if payload_col is not None and r["_payload"] is not None:
+                    members.append(
+                        (f"{r['_key']}.{payload_ext}", bytes(r["_payload"]))
+                    )
+                for name, data in members:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic archives
+                    tf.addfile(info, io.BytesIO(data))
         finally:
             for tf in tars.values():
                 tf.close()

@@ -57,3 +57,26 @@ def test_webdataset_shards_deterministic_and_complete(spark, tmp_path):
     h1 = [hashlib.md5(open(p, "rb").read()).hexdigest() for p in shards1]
     h2 = [hashlib.md5(open(p, "rb").read()).hexdigest() for p in shards2]
     assert h1 == h2
+
+
+def test_webdataset_binary_payload_members(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "caption zero", bytearray(b"\x89PNG\r\n fake")),
+         (1, "caption one", bytearray(b"RIFF fake wav")),
+         (2, "text only", None)],
+        "doc_id long, text string, payload binary",
+    )
+    out = os.path.join(str(tmp_path), "wds_bin")
+    shards = sinks.write_webdataset(
+        df, out, n_shards=2, payload_col="payload", payload_ext="png"
+    )
+    members = {}
+    for p in shards:
+        with tarfile.open(p) as tf:
+            for m in tf.getmembers():
+                members[m.name] = tf.extractfile(m).read()
+    assert members["0.txt"] == b"caption zero"
+    assert members["0.png"] == b"\x89PNG\r\n fake"
+    assert members["1.png"] == b"RIFF fake wav"
+    assert "2.png" not in members  # null payload -> text member only
+    assert members["2.txt"] == b"text only"
