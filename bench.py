@@ -187,6 +187,10 @@ HEADLINE = [
     "preference_pair_stats",
     "chat_markup_contamination",
     "semdedup_threshold_sweep",
+    "invisible_char_stats",
+    "confusable_stats",
+    "prefix_dedup_stats",
+    "oov_rate_split",
     # ngram_diversity_approx is deliberately NOT here (the recall-audit
     # precedent): its CONTRACT row computes the exact count_distinct
     # alongside the HLL sketch, duplicating ngram_diversity's cost; the
@@ -279,6 +283,10 @@ LARGE_SUBSET = [
     "hybrid_rrf_topk",
     "chat_render",
     "semdedup_threshold_sweep",
+    # the regex-scan representative and the vocab-keyed join
+    "confusable_stats",
+    "oov_rate_split",
+    "prefix_dedup_stats",
 ]
 
 
