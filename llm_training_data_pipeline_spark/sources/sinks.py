@@ -153,6 +153,35 @@ def write_webdataset(
                 tf.close()
 
     slim.foreachPartition(_write)
-    return sorted(
+    shards = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".tar")
     )
+    _write_shard_manifest(path, shards)
+    return shards
+
+
+def _write_shard_manifest(path: str, shards: list[str]) -> None:
+    """manifest.json next to the shards: per-shard md5 + byte size +
+    member count — the integrity record a training loader (or a resume
+    after partial upload) checks before streaming 100 TB of tars."""
+    import hashlib
+    import tarfile
+
+    entries = []
+    for p in shards:
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        with tarfile.open(p) as tf:
+            n = len(tf.getmembers())
+        entries.append(
+            {
+                "shard": os.path.basename(p),
+                "md5": h.hexdigest(),
+                "bytes": os.path.getsize(p),
+                "members": n,
+            }
+        )
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"shards": entries}, f, indent=2)

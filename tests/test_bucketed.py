@@ -80,3 +80,22 @@ def test_webdataset_binary_payload_members(spark, tmp_path):
     assert members["1.png"] == b"RIFF fake wav"
     assert "2.png" not in members  # null payload -> text member only
     assert members["2.txt"] == b"text only"
+
+
+def test_webdataset_manifest_checks_out(spark, tmp_path):
+    import hashlib
+    import json
+
+    docs = load_table(spark, "documents", SF_DIR).filter("doc_id < 30")
+    out = os.path.join(str(tmp_path), "wds_m")
+    shards = sinks.write_webdataset(docs, out, n_shards=3)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert [e["shard"] for e in man["shards"]] == [
+        os.path.basename(p) for p in shards
+    ]
+    total_members = 0
+    for e, p in zip(man["shards"], shards):
+        assert e["md5"] == hashlib.md5(open(p, "rb").read()).hexdigest()
+        assert e["bytes"] == os.path.getsize(p)
+        total_members += e["members"]
+    assert total_members == 30
