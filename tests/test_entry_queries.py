@@ -160,3 +160,25 @@ def test_query_against_oracle(name, spark, ddb):
         assert df.columns
     else:
         assert_df_matches_oracle(df, ddb, sql)
+
+
+def test_operator_index_is_current():
+    """docs/OPERATORS.md must be regenerated whenever the registry
+    changes (tools/gen_operator_docs.py) — a stale index misstates
+    coverage."""
+    import io
+    import re
+
+    from llm_training_data_pipeline_spark.plans.queries import _REGISTRY
+
+    text = open("docs/OPERATORS.md").read()
+    m = re.search(r"(\d+) queries registered \((\d+) oracle-paired", text)
+    assert m, "missing summary line"
+    n_oracle = sum(1 for _, s in _REGISTRY.values() if s)
+    assert int(m.group(1)) == len(_REGISTRY), "row count stale — regenerate"
+    assert int(m.group(2)) == n_oracle, "oracle count stale — regenerate"
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    assert listed == set(_REGISTRY), (
+        f"missing: {sorted(set(_REGISTRY) - listed)[:5]} "
+        f"extra: {sorted(listed - set(_REGISTRY))[:5]}"
+    )
