@@ -2178,24 +2178,58 @@ def dsir_sample(
 # ---------------------------------------------------------------------
 
 
+# Auto-dispatch threshold for ngram_diversity: exact count_distinct at or
+# below this many documents, HLL sketch above. Measured on the r9 box
+# (local[32], warm): at sf0.1 (5k docs) exact 2.9s vs sketch 2.6s — a
+# wash, exactness free; at sf1 (50k docs) exact 24.5s vs sketch 7.4s —
+# the gram-vocabulary shuffle dominates and the sketch wins 3.3×. The
+# crossover sits in the decade between, and the sketch's error (rsd 2%)
+# is noise for a diversity *diagnostic*; 20k keeps every corpus the size
+# of the benched sf0.1 slice exact while routing anything sf1-shaped to
+# the registers-only shuffle.
+NGRAM_DIVERSITY_EXACT_MAX_DOCS = 20_000
+
+
+def _resolve_diversity_mode(n_docs: int, exact_max_docs: int) -> str:
+    """The size gate, factored out so tests pin the decision itself."""
+    return "exact" if n_docs <= exact_max_docs else "approx"
+
+
 def ngram_diversity(
     df: DataFrame,
     text_col: str = "text",
     by: str = "source",
     ns: tuple[int, ...] = (1, 2, 3),
+    mode: str = "auto",
+    exact_max_docs: int = NGRAM_DIVERSITY_EXACT_MAX_DOCS,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Distinct-n diversity per group: corpus-distinct word n-grams over
-    total n-gram occurrences, in exact ppm units, for each ``n``. Low
+    total n-gram occurrences, in ppm units, for each ``n``. Low
     distinct-2/distinct-3 against siblings is the classic fingerprint of
     a templated or machine-generated source — the corpus-level complement
     to the per-doc repetition battery (quality.py Q6).
 
-    Plan: totals come from token COUNTS alone, all n's side by side in
-    ONE scan+aggregate (a scalar per doc per n — no explode); distincts
-    run one explode branch per n over the per-doc-distinct gram sets
-    from ``word_ngram_set`` (per-doc distinctness shrinks the explode
-    for repetitive docs and leaves the corpus-level distinct unchanged),
-    unioned and joined to the stacked totals. A struct-tagged
+    ``mode`` is the r8-verdict size gate (the SemDeDup auto-k pattern):
+    ``"auto"`` (default) counts the frame — one cheap action, parquet
+    row-group metadata on a bare scan — and dispatches to ``"exact"``
+    (``count_distinct``) at or below ``exact_max_docs`` documents and to
+    ``"approx"`` (HLL++, ``approx_count_distinct(rsd)``) above. The two
+    paths emit the SAME schema; only the fidelity of ``distinct_grams``
+    (and thus ``diversity_ppm``) differs. The exact path's shuffle ships
+    every distinct gram string to its reducer — at corpus scale the
+    3-gram vocabulary IS the corpus (the suite-worst 8.4× two-decade
+    ratio before the gate) — while the sketch path's shuffle is
+    O(groups × sketch bytes), data-size-independent. A caller who wants
+    a guaranteed path passes ``mode=`` explicitly; ``ngram_diversity_approx``
+    remains the hash-checked accuracy-contract variant.
+
+    Plan (both modes): totals come from token COUNTS alone, all n's side
+    by side in ONE scan+aggregate (a scalar per doc per n — no explode);
+    distincts run one explode branch per n over the per-doc-distinct
+    gram sets from ``word_ngram_set`` (per-doc distinctness shrinks the
+    explode for repetitive docs and leaves the corpus-level distinct
+    unchanged), unioned and joined to the stacked totals. A struct-tagged
     single-explode variant was measured SLOWER at both sf0.1 and sf1
     (34s vs 24s at sf1: the per-gram struct allocation exceeds the
     repeated scan cost, and the gram shuffle volume — the term that
@@ -2203,6 +2237,10 @@ def ngram_diversity(
     (<n words) contribute their whole text as one gram, same rule as
     the contamination check.
     """
+    if mode not in ("auto", "exact", "approx"):
+        raise ValueError(f"mode must be 'auto', 'exact' or 'approx': {mode!r}")
+    if mode == "auto":
+        mode = _resolve_diversity_mode(df.count(), exact_max_docs)
     toks_sz = F.size(whitespace_tokens(F.lower(F.col(text_col))))
     totals = df.groupBy(by).agg(
         *[
@@ -2239,8 +2277,13 @@ def ngram_diversity(
     grams = branches[0]
     for b in branches[1:]:
         grams = grams.unionByName(b)
+    distinct_agg = (
+        F.count_distinct("gram")
+        if mode == "exact"
+        else F.approx_count_distinct("gram", rsd)
+    )
     distincts = grams.groupBy("n", by).agg(
-        F.count_distinct("gram").cast("long").alias("distinct_grams")
+        distinct_agg.cast("long").alias("distinct_grams")
     )
     return (
         distincts.join(total_stack, on=["n", by])

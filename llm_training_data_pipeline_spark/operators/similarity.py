@@ -248,6 +248,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    max_iter: int = 20,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus with seeded MLlib KMeans,
     then search each query only in its ``n_probe`` nearest clusters.
@@ -260,6 +262,17 @@ def ivf_topk(
     ``"auto"`` = ``ivf_scaled_k(count)`` (the r8 semdedup auto-k
     discipline: the naive caller gets the √n-balanced list count, the
     fixed-k curve is opt-in).
+
+    ``train_fraction`` fits the quantizer on a seeded SAMPLE of the
+    corpus and assigns everything — the standard IVF training protocol
+    at scale (FAISS trains coarse quantizers on ~1-10% of vectors; a
+    quantizer only needs the density shape, not every point). Every
+    Lloyd iteration is a full pass over the TRAINING set, so sampling
+    cuts quantizer cost by 1/fraction while the assignment pass —
+    one broadcast argmax over the corpus — is unchanged. ``max_iter``
+    bounds Lloyd rounds (MLlib default 20; quantizer quality plateaus
+    in single digits — recall is governed by n_probe far more than by
+    late-iteration centroid drift, measured in ann_recall_ivf).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -270,8 +283,17 @@ def ivf_topk(
     vecs = _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n").withColumn(
         "_fv", array_to_vector("_v")
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cluster")
-    model = km.fit(vecs)
+    train = vecs if train_fraction is None else vecs.sample(
+        fraction=train_fraction, seed=seed
+    )
+    km = KMeans(
+        k=n_clusters,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_fv",
+        predictionCol="_cluster",
+    )
+    model = km.fit(train)
     assigned = model.transform(vecs).select(id_col, "_v", "_n", "_cluster")
 
     centers = [

@@ -5279,3 +5279,30 @@ def oov_rate_split_sql(split_id: int = 250, vocab_size: int = 1000) -> str:
         FROM held LEFT JOIN vocab USING (word)
         GROUP BY source ORDER BY source
     """
+
+
+def incremental_new_files_sql() -> str:
+    """Mirror of incremental.new_files_frame over the fixture shard
+    listing: per-source "shard files" sized by summed text bytes, a
+    manifest that saw src0..src9 in full (length-4 names), HALF the docs
+    of src10..src18 (doc_id % 40 alternation — source is doc_id % 20 in
+    the testdata, so % 2 would be all-or-nothing), and src19 not at all.
+    The anti-join must drop the fully-seen shards, re-qualify the
+    size-changed ones, and keep the never-seen one."""
+    return """
+        WITH listed AS (
+          SELECT 'shard_' || source || '.parquet' AS path,
+                 CAST(sum(length(text)) AS BIGINT) AS bytes
+          FROM documents GROUP BY source
+        ), seen AS (
+          SELECT 'shard_' || source || '.parquet' AS path,
+                 CAST(sum(length(text)) AS BIGINT) AS bytes
+          FROM documents
+          WHERE (length(source) = 4 OR doc_id % 40 < 20)
+                AND source <> 'src19'
+          GROUP BY source
+        )
+        SELECT path, bytes FROM listed
+        ANTI JOIN seen USING (path, bytes)
+        ORDER BY path
+    """

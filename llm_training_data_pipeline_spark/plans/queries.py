@@ -188,6 +188,15 @@ _CHANGED_IN_ROUND.update(
         "pipeline_e2e_exact": 8,
     }
 )
+# r9: ngram_diversity gained the size-gated auto mode (exact at oracle
+# scale — same values — but the dispatching body changed, re-score);
+# ann_ivf_topk now runs maxIter=4 (rows-only, re-execute)
+_CHANGED_IN_ROUND.update(
+    {
+        "ngram_diversity": 9,
+        "ann_ivf_topk": 9,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -1526,12 +1535,18 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf_topk", None)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (seeded KMeans coarse quantizer + n_probe cluster search)."""
+    """IVF ANN (seeded KMeans coarse quantizer + n_probe cluster search).
+    max_iter=4 (r8 verdict #4): the row exists to execute the MLlib
+    quantizer path, and Lloyd's marginal centroid drift past a few
+    rounds changes recall less than n_probe's coarse dial — 20 default
+    iterations made this the most expensive sweep row (11.7s) for no
+    checked benefit. The replay-exact sibling ann_ivf_topk_seeded
+    carries the hash-checked contract."""
     from llm_training_data_pipeline_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=3)
+    return ivf_topk(emb, queries, k=5, n_clusters=16, n_probe=3, max_iter=4)
 
 
 @register("exact_dedup_against_corpus", oracle.exact_dedup_against_sql(split_id=250))
@@ -3635,9 +3650,13 @@ def q_soft_dedup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ngram_diversity", oracle.ngram_diversity_sql(ns=(1, 2, 3)))
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source distinct-1/2/3 diversity in exact ppm — the corpus-
-    level templated-source fingerprint. Totals come from token counts
-    (no explode); only the distinct count shuffles grams."""
+    """Per-source distinct-1/2/3 diversity in ppm — the corpus-level
+    templated-source fingerprint. Totals come from token counts (no
+    explode); only the distinct count shuffles grams. Size-gated
+    (r8 verdict #1): auto mode resolves to exact count_distinct at
+    oracle scale (≤20k docs) so the DuckDB hash-match holds, and to the
+    registers-only HLL shuffle above — the sf1 bench row exercises the
+    sketch path by construction."""
     from llm_training_data_pipeline_spark.operators import corpus
 
     return corpus.ngram_diversity(_t(spark, sf_dir, "documents"), ns=(1, 2, 3))
@@ -4208,3 +4227,41 @@ def q_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import oov_rate_split
 
     return oov_rate_split(_t(spark, sf_dir, "documents"))
+
+
+@register("incremental_new_files", oracle.incremental_new_files_sql())
+def q_incremental_new_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion work list (r8 verdict #3): the manifest
+    (path, bytes) anti-join that decides which shard files a continuous
+    corpus run must process. Fixture: per-source "shard files" sized by
+    summed text bytes; the manifest saw src0..src9 in full (those drop
+    out), half of src10..src18 (size changed → re-qualifies, the
+    recrawl-in-place rule) and src19 not at all (never-seen → kept).
+    doc_id %% 40 alternation because source IS doc_id %% 20 in the
+    testdata — %% 2 would see each shard all-or-nothing. The
+    filesystem-touching
+    wrapper (listing + epoch-partitioned commit) stays pytest-only —
+    this row pins the relational core it delegates to
+    (incremental.new_files_frame)."""
+    from llm_training_data_pipeline_spark.sources import incremental
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def shard_listing(d: DataFrame) -> DataFrame:
+        return d.groupBy("source").agg(
+            F.sum(F.length("text")).cast("long").alias("bytes")
+        ).select(
+            F.concat(F.lit("shard_"), F.col("source"), F.lit(".parquet")).alias(
+                "path"
+            ),
+            "bytes",
+        )
+
+    listed = shard_listing(docs)
+    seen = shard_listing(
+        docs.filter(
+            ((F.length("source") == 4) | (F.col("doc_id") % 40 < 20))
+            & (F.col("source") != "src19")
+        )
+    )
+    return incremental.new_files_frame(listed, seen).orderBy("path")

@@ -43,6 +43,21 @@ def list_files(spark: SparkSession, input_dir: str, pattern: str = "*") -> DataF
     return spark.createDataFrame(rows, _SCHEMA)
 
 
+def new_files_frame(listed: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """Relational core of ``new_files``: the (path, bytes) anti-join.
+    A path whose byte size changed is ABSENT from the join key match and
+    so re-qualifies as new — recrawl-in-place semantics. ``seen=None``
+    (no manifest yet) returns the full listing. Factored out so the
+    registry can oracle-pair the work-list derivation over fixture
+    tables while the filesystem-touching wrapper stays pytest-only
+    (r8 verdict #3)."""
+    if seen is None:
+        return listed
+    return listed.join(
+        seen.select("path", "bytes"), on=["path", "bytes"], how="left_anti"
+    )
+
+
 def new_files(
     spark: SparkSession, input_dir: str, manifest_path: str, pattern: str = "*"
 ) -> DataFrame:
@@ -50,9 +65,9 @@ def new_files(
     the work list for this run. First run (no manifest) = everything."""
     listed = list_files(spark, input_dir, pattern)
     if not os.path.exists(manifest_path):
-        return listed
+        return new_files_frame(listed, None)
     seen = spark.read.parquet(manifest_path).select("path", "bytes")
-    return listed.join(seen, on=["path", "bytes"], how="left_anti")
+    return new_files_frame(listed, seen)
 
 
 def commit_manifest(

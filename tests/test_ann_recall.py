@@ -175,3 +175,28 @@ def test_ivf_seeded_recall_reasonable_at_partial_probe(spark):
     got = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_ivf_sampled_quantizer_still_recalls(spark):
+    """train_fraction fits the coarse quantizer on a seeded corpus
+    sample (the FAISS training protocol — the quantizer needs the
+    density shape, not every vector): assignment still covers the FULL
+    corpus (k results per query from anywhere), determinism holds, and
+    recall stays in the same band as the full-fit quantizer."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    sampled = ivf_topk(
+        emb, queries, k=10, n_clusters=8, n_probe=3,
+        max_iter=4, train_fraction=0.5,
+    )
+    again = ivf_topk(
+        emb, queries, k=10, n_clusters=8, n_probe=3,
+        max_iter=4, train_fraction=0.5,
+    )
+    a = sorted(map(tuple, sampled.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b  # seeded sample + seeded kmeans => replayable
+    assert sampled.groupBy("q_id").count().agg({"count": "max"}).collect()[0][0] == 10
+    row = ann_recall(exact, sampled.select("q_id", "vec_id")).collect()[0]
+    assert row["recall"] >= 0.30, row["recall"]

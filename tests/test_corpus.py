@@ -1236,6 +1236,50 @@ def test_ngram_diversity_approx_agrees_with_exact(spark):
     assert exact == approx  # same per-doc-distinct gram construction
 
 
+def test_ngram_diversity_size_gate_decision():
+    # the r8-verdict size gate, pinned on the decision function itself:
+    # at-or-below the threshold → exact, above → sketch
+    assert corpus._resolve_diversity_mode(500, 20_000) == "exact"
+    assert corpus._resolve_diversity_mode(20_000, 20_000) == "exact"
+    assert corpus._resolve_diversity_mode(20_001, 20_000) == "approx"
+    assert corpus.NGRAM_DIVERSITY_EXACT_MAX_DOCS == 20_000
+
+
+def test_ngram_diversity_auto_routes_to_sketch_plan(spark):
+    # with the threshold forced to 0, auto must take the HLL path:
+    # the physical plan carries approx_count_distinct (HLL++ partials,
+    # registers-only shuffle), not the exact count_distinct expand
+    df = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 11} common", "s") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    auto = corpus.ngram_diversity(df, exact_max_docs=0)
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_count_distinct" in plan
+    # same schema as the exact path, and the estimate lands within the
+    # 5*rsd contract bound of the exact count at this size
+    exact = {
+        (r["n"], r["source"]): r
+        for r in corpus.ngram_diversity(df, mode="exact").collect()
+    }
+    approx = {(r["n"], r["source"]): r for r in auto.collect()}
+    assert set(exact) == set(approx)
+    for key, er in exact.items():
+        ar = approx[key]
+        assert ar["total_grams"] == er["total_grams"]  # totals are exact
+        assert abs(ar["distinct_grams"] - er["distinct_grams"]) <= max(
+            1, int(5 * 0.02 * er["distinct_grams"])
+        )
+
+
+def test_ngram_diversity_bad_mode_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="mode"):
+        corpus.ngram_diversity(df, mode="hll")
+
+
 def test_bm25_topk_ranking_and_saturation(spark):
     # "apple" appears 1x in doc 0 and 10x in doc 1 (same length docs
     # padded with filler): BM25's tf saturation must rank doc 1 first
