@@ -226,6 +226,67 @@ def _repair_run(run: str, prev: str = "") -> str:
     return run
 
 
+# UTF-16 surrogate code points: never legitimate in a Python str that
+# came from well-formed text, but lossy ingestion (surrogateescape JSON,
+# CESU-8 emitters, mis-split UTF-16) leaves them behind. Mirrors ftfy's
+# fix_surrogates: a properly ORDERED pair becomes the astral character
+# it encodes; a lone half becomes U+FFFD.
+_SURROGATE = re.compile("[\ud800-\udfff]")
+_SURROGATE_PAIR = re.compile("[\ud800-\udbff][\udc00-\udfff]")
+
+
+def _fix_surrogates(s: str) -> str:
+    if not _SURROGATE.search(s):
+        return s
+    s = _SURROGATE_PAIR.sub(
+        lambda m: chr(
+            0x10000
+            + ((ord(m.group()[0]) - 0xD800) << 10)
+            + (ord(m.group()[1]) - 0xDC00)
+        ),
+        s,
+    )
+    return _SURROGATE.sub("�", s)
+
+
+def _decode_nul_lane(body: bytes, zero_lane: int) -> str | None:
+    """Decode ``body`` as UTF-16 when one byte LANE is all NUL and the
+    other all non-NUL (the unmistakable shape of Latin-range UTF-16 read
+    through an 8-bit codec); None when the shape doesn't hold. High
+    bytes are all zero in that shape, so the decode cannot hit
+    surrogates and never raises."""
+    if not body or len(body) % 2:
+        return None
+    zeros, data = body[zero_lane::2], body[1 - zero_lane :: 2]
+    if all(b == 0 for b in zeros) and all(b != 0 for b in data):
+        return body.decode("utf-16-le" if zero_lane else "utf-16-be")
+    return None
+
+
+def _fix_utf16_interleave(s: str) -> str:
+    """UTF-16 read as an 8-bit codec: ``H\\x00e\\x00l\\x00l\\x00o\\x00``
+    (LE) / ``\\x00H\\x00e...`` (BE), optionally behind a byte-order mark
+    surfacing as ``ÿþ``/``þÿ``. The gate is strict — every other byte
+    NUL, the rest non-NUL, length ≥ 4 — because a false positive would
+    garble legitimate text; real 8-bit text never carries alternating
+    NULs (the control strip would eat lone ones AFTER this repair, so
+    it must run first). BOM-led strings must match the lane the BOM
+    declares; the BOM itself is consumed."""
+    if len(s) < 4 or "\x00" not in s:
+        return s
+    try:
+        raw = s.encode("latin-1")
+    except UnicodeEncodeError:
+        return s
+    if raw[:2] == b"\xff\xfe":
+        fixed = _decode_nul_lane(raw[2:], 1)
+    elif raw[:2] == b"\xfe\xff":
+        fixed = _decode_nul_lane(raw[2:], 0)
+    else:
+        fixed = _decode_nul_lane(raw, 1) or _decode_nul_lane(raw, 0)
+    return fixed if fixed is not None else s
+
+
 def _fix_mojibake(s: str) -> str:
     """Best-effort mojibake repair (stand-in for ``ftfy.fix_text``).
 
@@ -242,13 +303,22 @@ def _fix_mojibake(s: str) -> str:
     - UTF-8-read-as-MacRoman (``√©`` → ``é``, ``‚Äô`` → ``’``);
     - mixed strings: repair is per maximal non-ASCII run, so mojibake
       next to legitimate non-ASCII (or unrepairable damage) is still
-      fixed run-by-run instead of failing wholesale.
+      fixed run-by-run instead of failing wholesale;
+    - lone/paired UTF-16 surrogates (ftfy ``fix_surrogates``: ordered
+      pair → astral char, lone half → U+FFFD) and UTF-16 read as an
+      8-bit codec (NUL-interleaved lanes, with or without a mis-decoded
+      ``ÿþ``/``þÿ`` byte-order mark) — the r8-verdict terminal-tail
+      classes; a leading U+FEFF (including one a repair just revealed
+      from ``ï»¿``) is stripped, mid-string ZWNBSP kept (word-joiner
+      semantics), matching ftfy's remove-BOM-at-start behavior.
 
     Deterministic and idempotent; a clearly-marked narrower repair than
     ftfy (reference: src/processing/cleaner.py:108-112).
     """
     if not s:
         return s
+    s = _fix_surrogates(s)
+    s = _fix_utf16_interleave(s)
     for _ in range(3):  # bounded fixpoint for chains + revealed entities
         changed = False
         if "&" in s and _HTML_ENTITY.search(s):
@@ -268,7 +338,7 @@ def _fix_mojibake(s: str) -> str:
                 changed = True
         if not changed:
             break
-    return s
+    return s.lstrip("\ufeff")
 
 
 @pandas_udf(StringType())

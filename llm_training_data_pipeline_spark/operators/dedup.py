@@ -955,7 +955,20 @@ def _driver_union_find(rows: list, id_a: str, id_b: str) -> list[tuple[int, int]
 # the same size-adaptive strategy GraphFrames/AQE-style planners use.
 # 2M edges ≈ 32 MB collected — comfortable; the distributed path has no
 # size limit.
+#
+# Crossover re-measured r9 (the r8 single-run "inversion at sf1" was
+# box noise): warm medians over 4 runs, driver vs forced-distributed —
+# sf0.1 1.96s vs 6.39s, sf1 3.28s vs 6.71s. The driver path wins at
+# both benched scales; the distributed path's fixed cost (~5 propagation
+# jobs + convergence collects) dominates until the edge list itself is
+# collect-hostile, which is what this constant bounds.
 DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_use_driver(n_symmetric_edges: int, driver_cc_max_edges: int) -> bool:
+    """The size-gate decision, factored out so tests pin it: the input
+    is the count of the SYMMETRIZED edge list (2 rows per pair)."""
+    return n_symmetric_edges <= 2 * driver_cc_max_edges
 
 
 def dedup_clusters(
@@ -1004,7 +1017,7 @@ def dedup_clusters(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)  # reused every round
-    if edges.count() <= 2 * driver_cc_max_edges:  # symmetric: 2 rows/pair
+    if _cc_use_driver(edges.count(), driver_cc_max_edges):
         labeled = _driver_union_find(
             edges.collect(), "src", "dst"
         )

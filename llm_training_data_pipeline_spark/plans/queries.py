@@ -195,6 +195,9 @@ _CHANGED_IN_ROUND.update(
     {
         "ngram_diversity": 9,
         "ann_ivf_topk": 9,
+        # r9: C1 terminal tail (surrogates, UTF-16 interleave, BOM
+        # strip) — the fused C1+C2 UDF changed, re-execute
+        "clean_documents_full": 9,
     }
 )
 

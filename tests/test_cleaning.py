@@ -300,3 +300,52 @@ def test_fix_mojibake_roundtrip_battery():
         double = misdecode(misdecode(orig, "cp1252"), "cp1252")
         got = _fix_mojibake(double)
         assert got == orig, f"[double] {double!r} -> {got!r}, want {orig!r}"
+
+
+def test_fix_mojibake_terminal_tail_r9():
+    """r9 (verdict #6): the last public ftfy classes — entity+mojibake
+    stacking, lone/paired UTF-16 surrogates, UTF-16-read-as-8-bit
+    (NUL-interleaved, with and without a mis-decoded BOM), and the
+    leading-BOM strip. Gated tight: every lookalike that ISN'T the
+    class must pass through unchanged."""
+    from llm_training_data_pipeline_spark.operators.cleaning import _fix_mojibake
+
+    cases = [
+        # HTML-entity-encoded mojibake: unescape reveals Ã©, fixpoint
+        # repairs it (the &Atilde;&copy; shape)
+        ("caf&Atilde;&copy;", "café"),
+        ("&Atilde;&copy;t&Atilde;&copy;", "été"),
+        # entity-encoded double-encoding resolves through the chain
+        ("It&acirc;&euro;&trade;s", "It’s"),
+        # surrogate pair (mis-split UTF-16) → the astral char it encodes
+        ("emoji 😀 pair", "emoji 😀 pair"),
+        # lone surrogates → U+FFFD, ftfy's fix_surrogates contract
+        ("broken \ud800 half", "broken � half"),
+        ("tail-only \udc41 mark", "tail-only � mark"),
+        # reversed halves do NOT pair — each is lone
+        ("\udc00\ud800", "��"),
+        # UTF-16-LE read as latin-1 (NUL interleave), bare and BOM-led
+        ("H\x00e\x00l\x00l\x00o\x00", "Hello"),
+        ("ÿþH\x00i\x00 \x00t\x00u\x00", "Hi tu"),
+        # UTF-16-BE, bare and BOM-led
+        ("\x00B\x00i\x00g\x00!", "Big!"),
+        ("þÿ\x00O\x00k\x00a\x00y", "Okay"),
+        # mis-decoded UTF-8 BOM repairs to U+FEFF, then strips at start
+        ("ï»¿Hello world", "Hello world"),
+        ("﻿direct bom", "direct bom"),
+        # mid-string ZWNBSP kept (word-joiner semantics, ftfy parity)
+        ("a﻿b", "a﻿b"),
+        # latin-1-range UTF-16 is still the interleave shape: repair
+        ("é\x00é\x00é\x00", "ééé"),
+        # lookalikes that must NOT trigger the utf-16 repair: lone NUL,
+        # non-alternating NULs, odd-length alternation, text the 8-bit
+        # reading can't even have produced (non-latin1 codepoints)
+        ("one\x00null", "one\x00null"),
+        ("a\x00\x00b", "a\x00\x00b"),
+        ("a\x00b\x00c", "a\x00b\x00c"),
+        ("日\x00本\x00語\x00", "日\x00本\x00語\x00"),
+    ]
+    for inp, want in cases:
+        got = _fix_mojibake(inp)
+        assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
+        assert _fix_mojibake(got) == got, f"not idempotent on {got!r}"

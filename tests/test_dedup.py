@@ -526,3 +526,23 @@ def test_prefix_dedup_collapses_tail_variants(spark):
     # prefix window... doc 2 differs from doc 0 only by case+spacing,
     # which exact_hash ALSO normalizes - but its tail spacing differs)
     assert stats.tail_variants_only == stats.prefix_removable - stats.exact_removable
+
+
+def test_cc_gate_decision_pinned():
+    """The driver/distributed size gate (r8 verdict #2): r9 warm-median
+    re-measurement (4 runs each) shows the driver union-find wins at
+    BOTH benched scales (sf0.1 1.96s vs 6.39s, sf1 3.28s vs 6.71s —
+    the r8 single-run inversion was box noise), so the 2M-edge constant
+    stands. Pin the decision function and the constant so a future
+    change is a deliberate re-measurement, not drift."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        DRIVER_CC_MAX_EDGES,
+        _cc_use_driver,
+    )
+
+    assert DRIVER_CC_MAX_EDGES == 2_000_000
+    # input is the symmetrized edge count (2 rows per pair)
+    assert _cc_use_driver(2 * DRIVER_CC_MAX_EDGES, DRIVER_CC_MAX_EDGES)
+    assert not _cc_use_driver(2 * DRIVER_CC_MAX_EDGES + 1, DRIVER_CC_MAX_EDGES)
+    assert not _cc_use_driver(1, 0)  # forced-distributed override
+    assert _cc_use_driver(0, 0)  # empty graph stays driver-side
