@@ -64,7 +64,9 @@ def nonspace_count(col: Column | str) -> Column:
     return F.length(F.regexp_replace(c, r"\s", "")).cast("long")
 
 
-def char_shingles(col: Column | str, n: int = 5) -> Column:
+def char_shingles(
+    col: Column | str, n: int = 5, *, pre_normalized: bool = False
+) -> Column:
     """Distinct character n-grams of the lowercased, space-collapsed text.
 
     Reference semantics: /root/reference/src/processing/deduplicator.py:110-130
@@ -72,14 +74,17 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     higher-order ``transform`` over an index ``sequence`` — stays JVM-side,
     no explode, no Python.
 
-    Hot-path note: pass a STAGED attribute in performance-critical plans —
-    the normalize expression inside is referenced once per gram, so handing
-    this a raw column is fine, but composing it over another heavy
-    expression re-evaluates that expression per gram (see
-    ``dedup._minhash_sig_table`` for the staged pattern).
+    Hot-path note: expressions captured by a HOF lambda are re-evaluated
+    PER ELEMENT in interpreted Generate contexts — the internal
+    lowercase+collapse regex runs once per gram position, which is
+    quadratic in document length. On hot paths, project the normalized
+    text to a column first and pass it with ``pre_normalized=True`` so
+    the lambda captures only a bound attribute (O(1) per element); see
+    ``dedup._minhash_sig_table`` for the staged pattern and the r9
+    word_ngrams_from_tokens note for the 15x measurement.
     """
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.regexp_replace(F.lower(c), r"\s+", " ")
+    norm = c if pre_normalized else F.regexp_replace(F.lower(c), r"\s+", " ")
     ln = F.length(norm)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(0))),

@@ -128,14 +128,25 @@ def unigram_surprisal(
 # ---------------------------------------------------------------------
 
 
-def word_ngram_set(text: Column, n: int) -> Column:
-    """Distinct word n-grams of the lowercased text; documents shorter
-    than ``n`` words contribute their whole text as one gram (same rule
-    as ``dedup.ngram_jaccard_pairs`` / ``oracle._word_ngrams_sql``)."""
-    toks = whitespace_tokens(F.lower(text))
-    # grams from O(1) element_at lookups — array_join(slice()) allocates
-    # a sub-array per gram and runs 10x+ slower in interpreted Generate
-    # contexts (see boilerplate_ngrams)
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams from a token-array column; documents
+    shorter than ``n`` words contribute their whole text as one gram
+    (same rule as ``dedup.ngram_jaccard_pairs`` /
+    ``oracle._word_ngrams_sql``).
+
+    ``toks`` MUST be a bound column (projected in a prior select /
+    withColumn), not an inline tokenize expression: expressions
+    referenced from inside a HOF lambda are re-evaluated PER ELEMENT in
+    interpreted Generate contexts, so an inline ``split`` re-tokenizes
+    the document once per gram per word — measured 18.7s vs 1.2s for
+    the same n=3 explode at sf1 (r9). ``word_ngram_set`` is the
+    convenience wrapper that keeps the old text-column signature and
+    the perf trap; operators on the hot path project first.
+
+    Grams come from O(1) element_at lookups — array_join(slice())
+    allocates a sub-array per gram and runs 10x+ slower in interpreted
+    Generate contexts (see boilerplate_ngrams).
+    """
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda i: F.concat_ws(
@@ -145,6 +156,14 @@ def word_ngram_set(text: Column, n: int) -> Column:
     return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
         F.array_distinct(grams)
     )
+
+
+def word_ngram_set(text: Column, n: int) -> Column:
+    """Distinct word n-grams of the lowercased text. Convenience form —
+    inside an explode this re-evaluates the tokenize per element (see
+    word_ngrams_from_tokens); hot-path callers project the token array
+    first and call that variant."""
+    return word_ngrams_from_tokens(whitespace_tokens(F.lower(text)), n)
 
 
 def contamination_pairs(
@@ -166,14 +185,19 @@ def contamination_pairs(
     corpus shuffle. Grams are distinct per document, so ``count(*)``
     per pair IS the number of distinct shared grams.
     """
-    cg = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
-    )
-    bg = benchmark.select(
-        F.col(id_col).alias("benchmark_id"),
-        F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
-    )
+    def exploded(df: DataFrame, out_id: str) -> DataFrame:
+        # tokens bound in a prior projection: an inline tokenize inside
+        # the explode re-evaluates per gram (word_ngrams_from_tokens)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("_toks"),
+        ).select(
+            out_id,
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
+        )
+
+    cg = exploded(corpus, "corpus_id")
+    bg = exploded(benchmark, "benchmark_id")
     return (
         cg.join(F.broadcast(bg), on="gram")
         .groupBy("corpus_id", "benchmark_id")
@@ -2179,14 +2203,17 @@ def dsir_sample(
 
 
 # Auto-dispatch threshold for ngram_diversity: exact count_distinct at or
-# below this many documents, HLL sketch above. Measured on the r9 box
-# (local[32], warm): at sf0.1 (5k docs) exact 2.9s vs sketch 2.6s — a
-# wash, exactness free; at sf1 (50k docs) exact 24.5s vs sketch 7.4s —
-# the gram-vocabulary shuffle dominates and the sketch wins 3.3×. The
-# crossover sits in the decade between, and the sketch's error (rsd 2%)
-# is noise for a diversity *diagnostic*; 20k keeps every corpus the size
-# of the benched sf0.1 slice exact while routing anything sf1-shaped to
-# the registers-only shuffle.
+# below this many documents, HLL sketch above. Measured r9 (local[32],
+# warm medians of 3): after the word_ngrams_from_tokens staging fix the
+# explode no longer dominates and the two paths are close on the
+# SYNTHETIC testdata — sf0.1 exact 1.16s vs sketch 0.85s, sf1 exact
+# 1.29s vs 1.19s — because its 30-word vocabulary caps the distinct-gram
+# key space. The gate exists for REAL corpora, where the 3-gram
+# vocabulary grows with the corpus and the exact path's shuffle ships
+# that vocabulary to reducers while the sketch ships fixed-size
+# registers per (n, group); the sketch's rsd-2% error is noise for a
+# diversity *diagnostic*. 20k docs keeps interactive corpus slices exact
+# and routes anything larger to the registers-only shuffle.
 NGRAM_DIVERSITY_EXACT_MAX_DOCS = 20_000
 
 
@@ -2218,11 +2245,15 @@ def ngram_diversity(
     paths emit the SAME schema; only the fidelity of ``distinct_grams``
     (and thus ``diversity_ppm``) differs. The exact path's shuffle ships
     every distinct gram string to its reducer — at corpus scale the
-    3-gram vocabulary IS the corpus (the suite-worst 8.4× two-decade
-    ratio before the gate) — while the sketch path's shuffle is
-    O(groups × sketch bytes), data-size-independent. A caller who wants
-    a guaranteed path passes ``mode=`` explicitly; ``ngram_diversity_approx``
-    remains the hash-checked accuracy-contract variant.
+    3-gram vocabulary IS the corpus — while the sketch path's shuffle is
+    O(groups × sketch bytes), data-size-independent. (The r8
+    suite-worst 8.4× ratio that motivated the gate turned out to be the
+    HOF tokenize re-evaluation, fixed by word_ngrams_from_tokens — post
+    fix the sf1 ratio is ~1.1 on the synthetic corpus, whose 30-word
+    vocabulary can't exercise the shuffle term; the gate remains because
+    real corpora can.) A caller who wants a guaranteed path passes
+    ``mode=`` explicitly; ``ngram_diversity_approx`` remains the
+    hash-checked accuracy-contract variant.
 
     Plan (both modes): totals come from token COUNTS alone, all n's side
     by side in ONE scan+aggregate (a scalar per doc per n — no explode);
@@ -2266,11 +2297,14 @@ def ngram_diversity(
             )
         ).alias("_t"),
     ).select(by, F.col("_t.n").alias("n"), F.col("_t.total_grams").alias("total_grams"))
+    toked = df.select(
+        F.col(by), whitespace_tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
     branches = [
-        df.select(
+        toked.select(
             F.lit(n).cast("int").alias("n"),
             F.col(by),
-            F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
         )
         for n in ns
     ]
@@ -2572,11 +2606,14 @@ def ngram_diversity_approx(
     hash. (The exact count in the same aggregate exists FOR the
     contract; the production call drops it and keeps only the sketch.)
     """
+    toked = df.select(
+        F.col(by), whitespace_tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
     branches = [
-        df.select(
+        toked.select(
             F.lit(n).cast("int").alias("n"),
             F.col(by),
-            F.explode(word_ngram_set(F.col(text_col), n)).alias("gram"),
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
         )
         for n in ns
     ]

@@ -1162,10 +1162,19 @@ def minhash_recall(
     # (sizes + both join sides) in ONE job — unchecked, the explode and
     # corpus scan run three times (the measured shared-subtree pitfall
     # minhash_candidate_pairs documents)
-    sgs = df.select(
-        F.col(id_col),
-        F.explode(char_shingles(F.col(text_col), cfg.shingle_size)).alias("_sg"),
-    ).localCheckpoint(eager=True)
+    sgs = (
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                char_shingles(F.col("_norm"), cfg.shingle_size, pre_normalized=True)
+            ).alias("_sg"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sizes = sgs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
     a = sgs.select(F.col(id_col).alias("id_a"), "_sg")
     b = sgs.select(F.col(id_col).alias("id_b"), "_sg")

@@ -225,10 +225,17 @@ def streaming_minhash_dedup(
     from llm_training_data_pipeline_spark.functions.hashing import lsh_bands, minhash_signature
     from llm_training_data_pipeline_spark.functions.text import char_shingles
 
+    # stage the normalize: char_shingles over a raw column re-runs the
+    # lowercase+collapse regex per gram inside the HOF lambda (r9)
     sig = stream.withColumn(
+        "_norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    ).withColumn(
         "minhash_sig",
-        minhash_signature(char_shingles(F.col(text_col), cfg.shingle_size), cfg.num_perm),
-    )
+        minhash_signature(
+            char_shingles(F.col("_norm"), cfg.shingle_size, pre_normalized=True),
+            cfg.num_perm,
+        ),
+    ).drop("_norm")
     banded = sig.select(
         F.col(id_col),
         F.col("minhash_sig"),
