@@ -195,6 +195,14 @@ HEADLINE = [
     # precedent): its CONTRACT row computes the exact count_distinct
     # alongside the HLL sketch, duplicating ngram_diversity's cost; the
     # driver rotation still hash-checks it at sf0.01
+    # round-9 (r8 verdict #7): the families that had no sf1 row — the
+    # WET/URL ingest pair and the manifest anti-join
+    "wet_domain_stats",
+    "wet_url_dedup",
+    "incremental_new_files",
+    # round-9 (r8 verdict #8): the composed pipeline with every gated
+    # stage on — the compose-at-scale proof
+    "pipeline_e2e_full",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -287,6 +295,24 @@ LARGE_SUBSET = [
     "confusable_stats",
     "oov_rate_split",
     "prefix_dedup_stats",
+    # round-9 (r8 verdict #7): close the family gaps in the two-decade
+    # evidence — WET/URL ingest, preference/SFT stats, binary media
+    # dedup, PII regex battery, FFD packing, contamination probe, the
+    # manifest anti-join, the tokenizer vocab scan, and the
+    # invisible-char audit
+    "wet_domain_stats",
+    "wet_url_dedup",
+    "preference_pair_stats",
+    "assistant_loss_spans",
+    "chat_markup_contamination",
+    "media_exact_dedup",
+    "pii_stats",
+    "packed_sequences_ws",
+    "minhash_contamination",
+    "incremental_new_files",
+    "vocab_stats",
+    "invisible_char_stats",
+    "pipeline_e2e_full",
 ]
 
 

@@ -314,6 +314,12 @@ def build_pipeline(
             f"dup_{n}gram_char_frac"
             for n, _ in quality.GopherRepetitionConfig().max_dup_ngram_frac
         ]
+        # with_dup_ngram_stats consumes df on two branches (the (n,gram)
+        # explode and the per-doc join-back): everything upstream would
+        # re-run per branch (r9 compose-at-scale measurement: the full
+        # configured pipeline cost ~5x its stage sum before these
+        # checkpoints). One eager checkpoint runs the upstream once.
+        df = df.localCheckpoint(eager=True)
         df = (
             quality.with_dup_ngram_stats(df, "text")
             .filter(F.col("ngram_repetition_pass"))
@@ -437,6 +443,9 @@ def build_pipeline(
         target_lang = str(dsec.get("target_lang", "en"))
         frac = float(dsec.get("keep_fraction", 0.25))
         buckets = int(dsec.get("num_buckets", 10_000))
+        # three consumers (ratio fit, scoring join, count-for-k action):
+        # checkpoint so the upstream pipeline runs once, not three times
+        df = df.localCheckpoint(eager=True)
         lr = corpus.dsir_log_ratios_within(
             df,
             F.col("lang") == target_lang,

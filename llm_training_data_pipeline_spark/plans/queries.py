@@ -4268,3 +4268,45 @@ def q_incremental_new_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental.new_files_frame(listed, seen).orderBy("path")
+
+
+@register("pipeline_e2e_full", None)
+def q_pipeline_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose-at-scale proof (r8 verdict #8): ``build_pipeline`` with
+    every r8 gated stage ON — soft MinHash dedup + weighted soft-sample,
+    corpus-wide paragraph dedup, the Gopher n-gram repetition gate, and
+    DSIR importance selection — plus the default C1+C2 pandas-UDF
+    cleaning stages the hash-checked ``pipeline_e2e_exact`` must keep
+    off. Rows-only by design (Gumbel-top-k + UDF stages aren't
+    SQL-replayable as one composition; each constituent stage is
+    oracle-paired individually). Its bench row at sf0.1 and sf1 records
+    whether the COMPOSED plan — four more Observation stages, the
+    paragraph-dedup localCheckpoint, the DSIR count action — stays
+    sublinear, which per-stage rows can't show. soft_exact rather than
+    soft_minhash keeps the row about COMPOSITION cost: the signature
+    pass has its own measured rows (minhash_dedup family) and would
+    triple this row's cost re-measuring them."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 100},
+            "deduplication": {
+                "enabled": True,
+                "algorithm": "soft_exact",
+                "soft_sample": {"enabled": True, "base_rate": 1.0},
+                "paragraph_dedup": {"enabled": True},
+            },
+            "quality": {
+                "enabled": True,
+                "min_words": 20,
+                "ngram_repetition_filter": {"enabled": True},
+            },
+            "dsir": {"enabled": True, "keep_fraction": 0.5},
+        }
+    )
+    df, _obs = build_pipeline(_t(spark, sf_dir, "documents"), cfg)
+    return df.select(
+        "doc_id", F.length("text").cast("long").alias("final_length")
+    )
