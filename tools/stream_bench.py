@@ -240,6 +240,35 @@ def main() -> None:
             s.withColumn("digest", F.md5(F.col("text"))), "digest", bf
         ).filter(~F.col("maybe_dup")),
     )
+    # streaming Count-Min sketch (r8): foreachBatch fold of per-epoch
+    # partial sketches into the parquet store — state is depth x width
+    # cells per epoch, data-size-independent; the read-back sum is the
+    # authoritative sketch (r8 verdict #9: track its rows/s too)
+    from llm_training_data_pipeline_spark.streaming.sketch_stream import (
+        read_sketch,
+        streaming_cms,
+    )
+
+    sketch_dir = tempfile.mkdtemp(prefix="stream_bench_cms_")
+    cms_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max(args.batches // 2, 1))
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = streaming_cms(cms_stream, state_dir=sketch_dir, depth=4, width=1024).start()
+    q.processAllAvailable()
+    q.stop()
+    sketch_cells = read_sketch(spark, sketch_dir).count()
+    elapsed = time.time() - t0
+    results["cms_sketch"] = {
+        "rows_in": n_docs,
+        "sketch_cells": sketch_cells,
+        "sec": round(elapsed, 3),
+        "rows_per_sec": round(n_docs / elapsed, 1),
+    }
+    shutil.rmtree(sketch_dir, ignore_errors=True)
+
     # per-source admission caps: the stateless-looking stateful counter
     # (one int of state per stratum) — measures the applyInPandasWithState
     # floor with minimal state, vs minhash's signature-index state
