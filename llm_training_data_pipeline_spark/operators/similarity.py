@@ -586,3 +586,213 @@ def hybrid_rrf_topk(
             "vec_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-scale path
+# ---------------------------------------------------------------------
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace PQ codebooks from the seeded first-``ks`` vectors by
+    id: ``(sub, code, cent)`` with ``cent`` the sub-vector of seed
+    ``code`` in subspace ``sub`` — the replay-exact discipline of
+    ``semdedup.seed_centroids`` (an iterative k-means codebook can't be
+    replayed in SQL; plug a refined codebook in where recall matters,
+    seeding is the oracle-checkable baseline).
+
+    PQ (Jégou et al. 2011) is the memory side of ANN scale: a 64-dim
+    float vector (256 bytes) compresses to ``m`` one-byte codes, so a
+    100-TB embedding corpus's index fits in RAM where raw vectors never
+    would. The codebook itself is m x ks tiny rows, always broadcast.
+
+    The vector dimension must be divisible by ``m`` (checked at plan
+    time against a literal is impossible — the slice expression floors,
+    so a ragged tail dimension would be silently dropped; callers with
+    exotic dims pad first).
+    """
+    w = Window.orderBy(id_col)
+    seeds = (
+        _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n")
+        .orderBy(id_col)
+        .limit(ks)
+        .select(
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("code"), "_v"
+        )
+    )
+    sd = (F.size("_v") / F.lit(m)).cast("int")
+    return seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "code", "_v"
+    ).select(
+        "sub",
+        "code",
+        F.slice(F.col("_v"), F.col("sub") * sd + F.lit(1), sd).alias("cent"),
+    )
+
+
+def _sub_dist2(a: Column, b: Column) -> Column:
+    """Fixed-order fold of the squared L2 distance between two
+    sub-vectors (aggregate, not SUM — the fold order is part of the
+    cross-engine replay contract)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode_rows(
+    corpus: DataFrame,
+    codebook: DataFrame | None = None,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding in row form: ``(vec_id, sub, code)`` — each vector's
+    nearest codebook entry per subspace (squared-L2 argmin, ties to the
+    smaller code).
+
+    Plan: corpus → m slim sub-vector rows each → broadcast-join the
+    m x ks codebook → per (vec, sub) argmin via ``min_by`` over a
+    (dist, code) struct (one map-side-combining hash aggregate). The
+    only shuffle key is (vec, sub) — corpus-linear, never pairwise.
+    Row form is the registry/oracle surface (the driver's canonicalizer
+    rejects ARRAY cells); ``pq_codes`` collects rows to the compact
+    ``codes`` array for the scoring path.
+    """
+    cb = codebook if codebook is not None else pq_codebook(corpus, m, ks, vec_col, id_col)
+    sd = (F.size("_v") / F.lit(m)).cast("int")
+    subs = (
+        _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "_v",
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(F.col("_v"), F.col("sub") * sd + F.lit(1), sd).alias("_sv"),
+        )
+    )
+    scored = subs.join(F.broadcast(cb), on="sub").select(
+        id_col,
+        "sub",
+        "code",
+        _sub_dist2(F.col("_sv"), F.col("cent")).alias("_d2"),
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min_by("code", F.struct("_d2", "code")).alias("code"))
+        .select(id_col, "sub", "code")
+    )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook: DataFrame | None = None,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compact PQ index: ``(vec_id, codes array<int> length m)`` — the
+    m-byte-per-vector representation ``pq_topk`` scans."""
+    rows = pq_encode_rows(corpus, codebook, m, ks, vec_col, id_col)
+    return rows.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: each query precomputes its
+    m x ks table of squared distances to every codebook entry; a corpus
+    vector's approximate distance is the sum of m table lookups by its
+    codes — no vector arithmetic per candidate at all.
+
+    Distances are quantized to 1e-8 integer units PER TABLE ENTRY and
+    summed in int64, so the ranking replays bit-for-bit in any engine
+    (a float sum across subspaces would hash-unstably reorder). Output:
+    (q_id, vec_id, adist_units ascending, rank), self excluded.
+
+    Plan: the query tables are Q tiny rows (broadcast); the scan side is
+    the m-byte code index, NOT the raw vectors — the point of PQ at
+    100 TB: the scored join streams N x Q slim rows through a fold with
+    zero shuffle before the final per-query top-k window.
+    """
+    cb = pq_codebook(corpus, m, ks, vec_col, id_col)
+    enc = (
+        codes
+        if codes is not None
+        else pq_codes(corpus, cb, m, ks, vec_col, id_col)
+    )
+    sd = (F.size("_qv") / F.lit(m)).cast("int")
+    qsubs = (
+        _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
+        .select(
+            "q_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "_qv",
+        )
+        .select(
+            "q_id",
+            "sub",
+            F.slice(F.col("_qv"), F.col("sub") * sd + F.lit(1), sd).alias("_qsv"),
+        )
+    )
+    qtab = (
+        qsubs.join(F.broadcast(cb), on="sub")
+        .select(
+            "q_id",
+            "sub",
+            "code",
+            F.floor(_sub_dist2(F.col("_qsv"), F.col("cent")) * F.lit(1e8))
+            .cast("long")
+            .alias("_du"),
+        )
+        .groupBy("q_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "_du"))),
+                lambda s: s["_du"],
+            ).alias("_tab")  # ordered by (sub, code): entry sub*ks+code
+        )
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_tab"),
+            (j * F.lit(ks) + F.element_at(F.col("codes"), j + 1) + F.lit(1)).cast(
+                "int"
+            ),
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(qtab), F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), adist.alias("adist_units"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_units", id_col)
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -5306,3 +5306,92 @@ def incremental_new_files_sql() -> str:
         ANTI JOIN seen USING (path, bytes)
         ORDER BY path
     """
+
+
+def _pq_ctes(m: int = 8, ks: int = 16) -> str:
+    """Shared PQ CTE chain: double-cast vectors, the seeded first-ks
+    codebook sliced per subspace, per-(vec, sub) sub-vectors, and the
+    squared-L2 argmin encoding (ties to the smaller code — the same
+    (d2, code) struct-min as similarity.pq_encode_rows)."""
+    sd = f"(len(vec) // {m})"
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+        v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings
+        ), s AS (
+          SELECT CAST(unnest(range({m})) AS INT) AS sub
+        ), seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, vec
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT {ks})
+        ), cb AS (
+          SELECT s.sub, seeds.code,
+                 list_slice(seeds.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS cent
+          FROM seeds CROSS JOIN s
+        ), subs AS (
+          SELECT vec_id, s.sub,
+                 list_slice(v.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS sv
+          FROM v CROSS JOIN s
+        ), encscore AS (
+          SELECT subs.vec_id, subs.sub, cb.code,
+                 {d2.format(a="subs.sv", b="cb.cent")} AS d2
+          FROM subs JOIN cb ON subs.sub = cb.sub
+        ), enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY d2, code) AS rn
+            FROM encscore
+          ) WHERE rn = 1
+        )
+    """
+
+
+def pq_encode_sql(m: int = 8, ks: int = 16) -> str:
+    """Mirror of similarity.pq_encode_rows (row form)."""
+    return f"""
+        WITH {_pq_ctes(m, ks)}
+        SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+        FROM enc ORDER BY vec_id, sub
+    """
+
+
+def pq_topk_sql(
+    k: int = 5, m: int = 8, ks: int = 16, n_queries: int = 10
+) -> str:
+    """Mirror of similarity.pq_topk: per-query distance tables quantized
+    to 1e-8 integer units per entry, int64-summed across subspaces
+    (order-free by exactness), ranked ascending with the id tiebreak."""
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sd = f"(len(vec) // {m})"
+    return f"""
+        WITH {_pq_ctes(m, ks)},
+        qsubs AS (
+          SELECT vec_id AS q_id, s.sub,
+                 list_slice(v.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS qsv
+          FROM v CROSS JOIN s WHERE vec_id < {n_queries}
+        ), qtab AS (
+          SELECT q_id, cb.sub, cb.code,
+                 CAST(floor({d2.format(a="qsv", b="cb.cent")} * 1e8) AS BIGINT) AS du
+          FROM qsubs JOIN cb ON qsubs.sub = cb.sub
+        ), scored AS (
+          SELECT qt.q_id, e.vec_id,
+                 CAST(sum(qt.du) AS BIGINT) AS adist_units
+          FROM enc e JOIN qtab qt
+            ON e.sub = qt.sub AND e.code = qt.code AND e.vec_id <> qt.q_id
+          GROUP BY qt.q_id, e.vec_id
+        )
+        SELECT q_id, vec_id, adist_units, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist_units, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """

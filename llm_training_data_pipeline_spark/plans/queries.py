@@ -4310,3 +4310,49 @@ def q_pipeline_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", F.length("text").cast("long").alias("final_length")
     )
+
+
+@register("pq_encode", oracle.pq_encode_sql(m=8, ks=16))
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (row form): each embedding's
+    nearest seeded-codebook entry per subspace — the m-byte-per-vector
+    index that makes a 100-TB embedding corpus RAM-resident
+    (similarity.pq_encode_rows; Jégou et al. 2011)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_encode_rows,
+    )
+
+    return pq_encode_rows(_t(spark, sf_dir, "embeddings"), m=8, ks=16).orderBy(
+        "vec_id", "sub"
+    )
+
+
+@register("pq_topk", oracle.pq_topk_sql(k=5, m=8, ks=16, n_queries=10))
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC product-quantization top-k: per-query distance tables in
+    exact 1e-8 integer units, m table lookups per candidate, no vector
+    arithmetic on the scan side (similarity.pq_topk)."""
+    from llm_training_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, k=5, m=8, ks=16)
+
+
+@register("pq_recall", None)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC path vs brute force — the accuracy cost
+    of the 32x memory compression, first-class and measured (rows-only:
+    the recall floor is pinned by pytest; both inputs are individually
+    oracle-paired)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    approx = pq_topk(emb, queries, k=10, m=8, ks=16).select("q_id", "vec_id")
+    return ann_recall(exact, approx)

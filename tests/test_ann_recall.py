@@ -200,3 +200,69 @@ def test_ivf_sampled_quantizer_still_recalls(spark):
     assert sampled.groupBy("q_id").count().agg({"count": "max"}).collect()[0][0] == 10
     row = ann_recall(exact, sampled.select("q_id", "vec_id")).collect()[0]
     assert row["recall"] >= 0.30, row["recall"]
+
+
+def test_pq_seed_vectors_encode_to_own_code(spark):
+    """A codebook seed's sub-vectors are distance-0 to themselves, so
+    the first-ks vectors must encode to their own code in EVERY
+    subspace — the identity that pins slicing, argmin, and the
+    (d2, code) tiebreak all at once."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_encode_rows,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = (
+        pq_encode_rows(emb, m=8, ks=16)
+        .filter(F.col("vec_id") < 16)
+        .collect()
+    )
+    assert len(rows) == 16 * 8
+    # seed code == rank of vec_id among the first 16 (ids are dense here)
+    ids = sorted({r["vec_id"] for r in rows})
+    rank = {v: i for i, v in enumerate(ids)}
+    for r in rows:
+        assert r["code"] == rank[r["vec_id"]], r
+
+
+def test_pq_codes_matches_row_form(spark):
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_codes,
+        pq_encode_rows,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode_rows(emb, m=8, ks=16).collect()
+    }
+    for r in pq_codes(emb, m=8, ks=16).collect():
+        assert len(r["codes"]) == 8
+        for sub, code in enumerate(r["codes"]):
+            assert rows[(r["vec_id"], sub)] == code
+
+
+def test_pq_topk_recall_floor_and_determinism(spark):
+    """PQ/ADC recall@10 vs brute force on the near-random synthetic
+    embeddings (neighbor angles ~80deg; real corpora cluster far
+    tighter): measured 0.31 at sf0.001 — floor 0.25. Two runs must be
+    identical (seeded codebook, integer distance units)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    a = pq_topk(emb, queries, k=10, m=8, ks=16)
+    b = pq_topk(emb, queries, k=10, m=8, ks=16)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    row = ann_recall(exact, a.select("q_id", "vec_id")).collect()[0]
+    assert row["expected"] == 100
+    assert row["recall"] >= 0.25, row["recall"]
+    # every query returns exactly k candidates, self excluded
+    per_q = a.groupBy("q_id").count().collect()
+    assert all(r["count"] == 10 for r in per_q)
+    assert a.filter(F.col("q_id") == F.col("vec_id")).count() == 0
