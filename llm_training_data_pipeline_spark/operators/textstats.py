@@ -867,3 +867,95 @@ def confusable_stats(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------
+# Code-vs-prose detection (mixture-routing quality signal)
+# ---------------------------------------------------------------------
+
+# Shared with oracle.code_detection_sql — both engines run these exact
+# patterns (Java regex and RE2 common subset: no lookaround).
+CODE_SYMBOL_CLASS = r"[{}\[\]();=<>|&%#]"
+CODE_KEYWORD = (
+    r"\b(def|class|import|return|function|var|const|void|int|public|"
+    r"static|if|else|for|while|lambda|struct|enum|typedef|printf|"
+    r"println|self|this|new|null|None|true|false|elif|fn|let|match)\b"
+)
+CODE_INDENT_LINE = r"(?m)^(?:    |\t)"
+
+# is_code votes: symbols >= 3% of chars, >= 3 keyword hits, >= 20% of
+# lines indented — two of three carries it. Transparent and cheap; a
+# trained classifier (classify.py's NB over these plus word features)
+# is the upgrade path when labels exist.
+CODE_SYMBOL_PPM_MIN = 30_000
+CODE_KEYWORD_HITS_MIN = 3
+CODE_INDENT_PPM_MIN = 200_000
+
+
+def with_code_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document code-likeness: symbol density, programming-keyword
+    hits, indented-line fraction (all exact integer ppm), and the
+    two-of-three ``is_code`` vote — the mixture-routing signal a
+    training-data pipeline needs before weighting code and prose
+    differently (code is upweighted in most modern mixtures, but only
+    AFTER being recognized; prose pipelines' quality gates would
+    otherwise junk it for "bad punctuation").
+
+    One codegen'd regexp scan per signal, zero shuffles.
+    """
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1)).cast("long")
+    n_lines = (F.regexp_count(t, F.lit(r"\n")) + F.lit(1)).cast("long")
+    sym = F.regexp_count(t, F.lit(CODE_SYMBOL_CLASS)).cast("long")
+    kw = F.regexp_count(t, F.lit(CODE_KEYWORD)).cast("long")
+    ind = F.regexp_count(t, F.lit(CODE_INDENT_LINE)).cast("long")
+    sym_ppm = F.expr(f"_code_sym * 1000000 div _code_nc")
+    ind_ppm = F.expr(f"_code_ind * 1000000 div _code_nl")
+    staged = df.withColumns(
+        {
+            "_code_nc": n_chars,
+            "_code_nl": n_lines,
+            "_code_sym": sym,
+            "_code_kw": kw,
+            "_code_ind": ind,
+        }
+    )
+    votes = (
+        (sym_ppm >= CODE_SYMBOL_PPM_MIN).cast("int")
+        + (F.col("_code_kw") >= CODE_KEYWORD_HITS_MIN).cast("int")
+        + (ind_ppm >= CODE_INDENT_PPM_MIN).cast("int")
+    )
+    return staged.select(
+        *df.columns,
+        sym_ppm.cast("long").alias("code_symbol_ppm"),
+        F.col("_code_kw").alias("code_keyword_hits"),
+        ind_ppm.cast("long").alias("code_indent_ppm"),
+        (votes >= 2).alias("is_code"),
+    )
+
+
+def code_detection_stats(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source code-vs-prose report off ``with_code_signals``: doc
+    counts, code-flagged ppm, and the mean signal levels — the
+    "which sources are secretly code dumps" audit."""
+    sig = with_code_signals(df, text_col)
+    return (
+        sig.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("is_code").cast("long")).cast("long").alias("code_docs"),
+            F.sum("code_symbol_ppm").cast("long").alias("_sym_sum"),
+            F.sum("code_keyword_hits").cast("long").alias("keyword_hits"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "code_docs",
+            F.expr("code_docs * 1000000 div n_docs").alias("code_ppm"),
+            F.expr("_sym_sum div n_docs").alias("mean_symbol_ppm"),
+            "keyword_hits",
+        )
+        .orderBy("source")
+    )

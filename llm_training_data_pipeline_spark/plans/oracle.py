@@ -5395,3 +5395,46 @@ def pq_topk_sql(
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def code_detection_sql() -> str:
+    """Mirror of textstats.code_detection_stats: the same three regex
+    signals (shared constants), two-of-three vote, per-source rollup."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        CODE_INDENT_LINE,
+        CODE_KEYWORD,
+        CODE_SYMBOL_CLASS,
+        CODE_INDENT_PPM_MIN,
+        CODE_KEYWORD_HITS_MIN,
+        CODE_SYMBOL_PPM_MIN,
+    )
+
+    return f"""
+        WITH per AS (
+          SELECT source,
+                 greatest(length(text), 1) AS nc,
+                 len(regexp_extract_all(text, '{q(chr(10))}')) + 1 AS nl,
+                 len(regexp_extract_all(text, '{q(CODE_SYMBOL_CLASS)}')) AS sym,
+                 len(regexp_extract_all(text, '{q(CODE_KEYWORD)}')) AS kw,
+                 len(regexp_extract_all(text, '{q(CODE_INDENT_LINE)}')) AS ind
+          FROM documents
+        ), sig AS (
+          SELECT source, kw,
+                 sym * 1000000 // nc AS sym_ppm,
+                 ind * 1000000 // nl AS ind_ppm,
+                 (CASE WHEN sym * 1000000 // nc >= {CODE_SYMBOL_PPM_MIN}
+                       THEN 1 ELSE 0 END)
+                 + (CASE WHEN kw >= {CODE_KEYWORD_HITS_MIN} THEN 1 ELSE 0 END)
+                 + (CASE WHEN ind * 1000000 // nl >= {CODE_INDENT_PPM_MIN}
+                         THEN 1 ELSE 0 END) AS votes
+          FROM per
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS code_docs,
+               CAST(sum(CASE WHEN votes >= 2 THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS code_ppm,
+               CAST(sum(sym_ppm) // count(*) AS BIGINT) AS mean_symbol_ppm,
+               CAST(sum(kw) AS BIGINT) AS keyword_hits
+        FROM sig GROUP BY source ORDER BY source
+    """

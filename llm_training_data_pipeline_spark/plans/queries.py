@@ -4356,3 +4356,16 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
     approx = pq_topk(emb, queries, k=10, m=8, ks=16).select("q_id", "vec_id")
     return ann_recall(exact, approx)
+
+
+@register("code_detection_stats", oracle.code_detection_sql())
+def q_code_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose audit per source: symbol-density / keyword /
+    indentation two-of-three vote in exact ppm — the mixture-routing
+    signal that keeps code out of prose quality gates
+    (textstats.code_detection_stats)."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        code_detection_stats,
+    )
+
+    return code_detection_stats(_t(spark, sf_dir, "documents"))

@@ -385,3 +385,45 @@ def test_confusable_stats_flags_homoglyph_words(spark):
     assert s1.confusable_switches == 1
     assert s1.confusable_ppm == 333333
     assert rows["s2"].confusable_docs == 0
+
+
+def test_code_signals_flag_code_not_prose(spark):
+    """The two-of-three code vote: a Python snippet (keywords + indent
+    + symbols) flags; plain prose and a bullet list do not; an
+    empty-ish doc survives the greatest(1) guards."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        with_code_signals,
+    )
+
+    code = (
+        "def main(argv):\n"
+        "    import sys\n"
+        "    for i in range(10):\n"
+        "        if i % 2 == 0:\n"
+        "            print(i)\n"
+        "    return 0\n"
+        "class Foo:\n"
+        "    def bar(self):\n"
+        "        return self.x\n"
+    )
+    prose = (
+        "The quick brown fox jumps over the lazy dog. It was a bright "
+        "cold day in April, and the clocks were striking thirteen. "
+        "Nothing else happened that afternoon in the village."
+    )
+    bullets = "- one item\n- another item\n- a third item without code"
+    df = spark.createDataFrame(
+        [(0, code), (1, prose), (2, bullets), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_code_signals(df).collect()}
+    assert rows[0]["is_code"] is True
+    assert rows[0]["code_keyword_hits"] >= 3
+    assert rows[0]["code_indent_ppm"] > 500_000
+    assert rows[1]["is_code"] is False
+    assert rows[2]["is_code"] is False
+    assert rows[3]["is_code"] is False
+    # ppm fields are exact integers on [0, 1e6]
+    for r in rows.values():
+        assert 0 <= r["code_symbol_ppm"] <= 1_000_000
+        assert 0 <= r["code_indent_ppm"] <= 1_000_000
