@@ -2882,3 +2882,99 @@ def oov_rate_split(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------
+# DoReMi-style mixture reweighting (surprisal-guided exponentiated step)
+# ---------------------------------------------------------------------
+
+
+def doremi_mixture_step(
+    df: DataFrame,
+    lr_milli: int = 1000,
+    clip_nats_milli: int = 2000,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """One DoReMi-style exponentiated-gradient step over per-source
+    excess surprisal (Xie et al. 2023, Domain Reweighting with Minimax
+    Optimization — the published proxy-loss update re-expressed over
+    this engine's corpus-intrinsic unigram LM): sources whose tokens are
+    HARDER than the corpus average under the shared add-one unigram LM
+    get upweighted by ``exp(lr * excess)``, renormalized over the
+    doc-share reference weights.
+
+    Derivation keeps everything replay-stable: the per-source mean
+    surprisal shares the ``ln(N+V)`` constant, so the EXCESS is just
+    ``S_c/n_c − S_i/n_i`` over the exact integer sums of per-word
+    ``floor(ln(c_w+1)·1e8)`` units — both divisions are correctly
+    rounded IEEE ops on exact integers, identical on any engine. Only
+    the final ``exp`` is a libm call, quantized to 1e-6 units
+    immediately (the temperature_mix_weights pow-drift lesson: keep the
+    non-correctly-rounded call count at one). Weights come out in exact
+    ppm via integer division.
+
+    Emits one row per stratum: (stratum, n_docs, excess_milli_nats,
+    ref_ppm, weight_ppm). Σ weight_ppm ≤ 1e6 (floor division).
+
+    Plan: one explode → corpus vocab agg (the unigram_surprisal
+    machinery) → per-stratum sums → two broadcast scalar joins. The only
+    shuffles are the word and stratum hash aggregates.
+    """
+    words = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    lnu = F.floor(F.log(F.col("n") + F.lit(1)) * F.lit(1e8)).cast("long")
+    per_src = (
+        words.join(vocab, on="word")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(lnu).cast("decimal(38,0)").alias("_sln"),
+        )
+    )
+    docs = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_src = per_src.join(docs, on="stratum")
+    corp = per_src.agg(
+        F.sum("n_words").cast("decimal(38,0)").alias("_nc"),
+        F.sum("_sln").cast("decimal(38,0)").alias("_sc"),
+        F.sum("n_docs").cast("long").alias("_nd"),
+    )
+    j = per_src.crossJoin(F.broadcast(corp))
+    # mean per-token ln-count units; excess > 0 = rarer vocabulary =
+    # harder under the shared LM (the S term enters negatively)
+    mean_src = F.col("_sln").cast("double") / F.col("n_words").cast("double")
+    mean_corp = F.col("_sc").cast("double") / F.col("_nc").cast("double")
+    excess_nats = (mean_corp - mean_src) / F.lit(1e8)
+    clip = F.lit(clip_nats_milli / 1000.0)
+    clipped = F.greatest(-clip, F.least(clip, excess_nats))
+    factor_units = F.floor(
+        F.exp(F.lit(lr_milli / 1000.0) * clipped) * F.lit(1e6)
+    ).cast("long")
+    staged = j.select(
+        "stratum",
+        "n_docs",
+        F.floor(clipped * F.lit(1000.0)).cast("long").alias("excess_milli_nats"),
+        F.expr("n_docs * 1000000 div _nd").alias("ref_ppm"),
+        factor_units.alias("_fu"),
+    ).withColumn(
+        "_raw", (F.col("ref_ppm") * F.col("_fu")).cast("decimal(38,0)")
+    )
+    tot = staged.agg(F.sum("_raw").cast("decimal(38,0)").alias("_traw"))
+    return (
+        staged.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            "excess_milli_nats",
+            "ref_ppm",
+            F.expr("CAST(_raw * 1000000 div _traw AS BIGINT)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("stratum")
+    )

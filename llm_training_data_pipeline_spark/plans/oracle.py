@@ -5438,3 +5438,57 @@ def code_detection_sql() -> str:
                CAST(sum(kw) AS BIGINT) AS keyword_hits
         FROM sig GROUP BY source ORDER BY source
     """
+
+
+def doremi_mixture_step_sql(
+    lr_milli: int = 1000, clip_nats_milli: int = 2000
+) -> str:
+    """Mirror of corpus.doremi_mixture_step: exact integer ln-unit sums,
+    IEEE divisions on exact integers, ONE exp() quantized to 1e-6 units,
+    ppm renormalization by integer division."""
+    lr = lr_milli / 1000.0
+    clip = clip_nats_milli / 1000.0
+    return f"""
+        WITH w AS (
+          SELECT source AS stratum, unnest({_lower_toks()}) AS word
+          FROM documents
+        ), vocab AS (
+          SELECT word, count(*) AS n FROM w GROUP BY word
+        ), per_src AS (
+          SELECT stratum, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(CAST(floor(ln(vocab.n + 1)
+                        * CAST(100000000 AS DOUBLE)) AS BIGINT))
+                      AS HUGEINT) AS sln
+          FROM w JOIN vocab USING (word) GROUP BY stratum
+        ), docs AS (
+          SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ), corp AS (
+          SELECT CAST(sum(n_words) AS HUGEINT) AS nc,
+                 CAST(sum(sln) AS HUGEINT) AS sc
+          FROM per_src
+        ), nd AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM docs
+        ), staged AS (
+          SELECT p.stratum, d.n_docs,
+                 CAST(floor(greatest(-{clip}, least({clip},
+                      (CAST(c.sc AS DOUBLE) / CAST(c.nc AS DOUBLE)
+                       - CAST(p.sln AS DOUBLE) / CAST(p.n_words AS DOUBLE))
+                      / 1e8)) * 1000.0) AS BIGINT) AS excess_milli_nats,
+                 CAST(d.n_docs * 1000000 // nd.nd AS BIGINT) AS ref_ppm,
+                 CAST(floor(exp({lr} * greatest(-{clip}, least({clip},
+                      (CAST(c.sc AS DOUBLE) / CAST(c.nc AS DOUBLE)
+                       - CAST(p.sln AS DOUBLE) / CAST(p.n_words AS DOUBLE))
+                      / 1e8))) * 1e6) AS BIGINT) AS fu
+          FROM per_src p JOIN docs d USING (stratum)
+          CROSS JOIN corp c CROSS JOIN nd
+        ), tot AS (
+          SELECT CAST(sum(CAST(ref_ppm AS HUGEINT) * fu) AS HUGEINT) AS traw
+          FROM staged
+        )
+        SELECT stratum, n_docs, excess_milli_nats, ref_ppm,
+               CAST(CAST(ref_ppm AS HUGEINT) * fu * 1000000 // tot.traw
+                    AS BIGINT) AS weight_ppm
+        FROM staged CROSS JOIN tot
+        ORDER BY stratum
+    """

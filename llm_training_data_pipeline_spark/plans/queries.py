@@ -4369,3 +4369,16 @@ def q_code_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return code_detection_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("doremi_mixture_step", oracle.doremi_mixture_step_sql())
+def q_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture reweighting: per-source excess surprisal
+    under the shared unigram LM, one exponentiated-gradient step over
+    doc-share reference weights, exact-ppm output
+    (corpus.doremi_mixture_step)."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        doremi_mixture_step,
+    )
+
+    return doremi_mixture_step(_t(spark, sf_dir, "documents"))

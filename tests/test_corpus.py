@@ -1362,3 +1362,44 @@ def test_oov_rate_split_vocab_cap_is_deterministic(spark):
     r = corpus.oov_rate_split(docs, split_id=2, vocab_size=1).collect()[0]
     # counts: aa=2, bb=2 -> tie, 'aa' wins (word asc). held-out OOV: bb, cc
     assert r.oov_tokens == 2 and r.n_tokens == 3
+
+
+def test_doremi_step_upweights_hard_sources(spark):
+    """The exponentiated step must move weight TOWARD the source whose
+    vocabulary is rarer under the shared unigram LM (positive excess)
+    and away from the repetitive one; weights are exact ppm and sum to
+    <= 1e6 (floor division)."""
+    common = " ".join(["the quick brown fox"] * 25)
+    rare = " ".join(f"zq{i}xv{i * 7}" for i in range(100))
+    df = spark.createDataFrame(
+        [(0, common, "easy"), (1, common, "easy"), (2, rare, "hard"),
+         (3, common + " again", "easy")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["stratum"]: r for r in corpus.doremi_mixture_step(df).collect()}
+    assert set(rows) == {"easy", "hard"}
+    assert rows["hard"]["excess_milli_nats"] > 0
+    assert rows["easy"]["excess_milli_nats"] < 0
+    # reference is doc share (1/4 vs 3/4); the step must close the gap
+    assert rows["hard"]["ref_ppm"] == 250_000
+    assert rows["easy"]["ref_ppm"] == 750_000
+    assert rows["hard"]["weight_ppm"] > rows["hard"]["ref_ppm"]
+    assert rows["easy"]["weight_ppm"] < rows["easy"]["ref_ppm"]
+    total = sum(r["weight_ppm"] for r in rows.values())
+    assert 999_990 <= total <= 1_000_000
+
+
+def test_doremi_step_clip_bounds_factor(spark):
+    """clip_nats_milli bounds the exponent: with clip=0 every factor is
+    exp(0)=1 and weights equal the reference shares exactly."""
+    df = spark.createDataFrame(
+        [(0, "aaa bbb", "x"), (1, "zz" * 30 + " yy qq", "y")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["stratum"]: r
+        for r in corpus.doremi_mixture_step(df, clip_nats_milli=0).collect()
+    }
+    for r in rows.values():
+        assert r["excess_milli_nats"] == 0
+        assert abs(r["weight_ppm"] - r["ref_ppm"]) <= 1
