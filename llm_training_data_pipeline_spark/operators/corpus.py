@@ -291,6 +291,56 @@ def pack_sequences(df: DataFrame, cfg: PackConfig = PackConfig()) -> DataFrame:
     )
 
 
+def pack_boundaries(df: DataFrame, cfg: PackConfig = PackConfig()) -> DataFrame:
+    """Per-document boundary spans inside each pack: where every doc
+    STARTS and ENDS (token offsets) in its packed training sequence,
+    plus its ordinal within the pack — exactly what a trainer needs to
+    build the block-diagonal attention mask that stops tokens attending
+    across document boundaries (the packing-correctness detail
+    naive concatenation silently gets wrong; see e.g. the Llama/T5
+    "example packing with attention masking" recipes).
+
+    Same single window pass as ``pack_sequences`` (the cumulative-token
+    sum is shared), plus one row_number over (part, pack) for the
+    ordinal. A doc that straddles its budget keeps the overrun
+    (starts-in semantics, the pack_sequences contract); end_offset is
+    relative to the PACK's first token, so the straddler's end exceeds
+    ``budget_tokens`` and the mask builder right-truncates it.
+    """
+    n_tok = word_count(F.col(cfg.text_col))
+    w = (
+        Window.partitionBy(cfg.part_col)
+        .orderBy(cfg.id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    base = df.select(
+        cfg.part_col,
+        cfg.id_col,
+        n_tok.alias("n_tokens"),
+        (cum - n_tok).alias("_pre"),
+        F.floor((cum - n_tok) / F.lit(cfg.budget_tokens)).alias("pack_id"),
+    )
+    wp = Window.partitionBy(cfg.part_col, "pack_id").orderBy(cfg.id_col)
+    return base.select(
+        cfg.part_col,
+        "pack_id",
+        cfg.id_col,
+        (F.row_number().over(wp) - F.lit(1)).cast("long").alias("pack_ordinal"),
+        (F.col("_pre") - F.col("pack_id") * F.lit(cfg.budget_tokens))
+        .cast("long")
+        .alias("start_offset"),
+        "n_tokens",
+        (
+            F.col("_pre")
+            - F.col("pack_id") * F.lit(cfg.budget_tokens)
+            + F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("end_offset"),
+    )
+
+
 def pack_stats(df: DataFrame, cfg: PackConfig = PackConfig()) -> DataFrame:
     """Per-pack fill statistics: docs per pack and tokens per pack."""
     return (

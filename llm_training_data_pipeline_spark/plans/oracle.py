@@ -5492,3 +5492,31 @@ def doremi_mixture_step_sql(
         FROM staged CROSS JOIN tot
         ORDER BY stratum
     """
+
+
+def pack_boundaries_sql(budget_tokens: int = 2048) -> str:
+    """Mirror of corpus.pack_boundaries: shared running-token window,
+    starts-in pack assignment, per-pack ordinal and token offsets."""
+    return f"""
+        WITH d AS (
+          SELECT source, doc_id,
+                 CAST(len({_lower_toks()}) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens AS pre
+          FROM d
+        ), p AS (
+          SELECT source, doc_id, n_tokens, pre,
+                 CAST(floor(pre / {budget_tokens}) AS BIGINT) AS pack_id
+          FROM c
+        )
+        SELECT source, pack_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY source, pack_id
+                    ORDER BY doc_id) - 1 AS BIGINT) AS pack_ordinal,
+               CAST(pre - pack_id * {budget_tokens} AS BIGINT) AS start_offset,
+               n_tokens,
+               CAST(pre - pack_id * {budget_tokens} + n_tokens AS BIGINT)
+                 AS end_offset
+        FROM p ORDER BY source, pack_id, doc_id
+    """

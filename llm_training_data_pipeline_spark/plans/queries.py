@@ -4382,3 +4382,19 @@ def q_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return doremi_mixture_step(_t(spark, sf_dir, "documents"))
+
+
+@register("pack_boundaries", oracle.pack_boundaries_sql(budget_tokens=256))
+def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boundary spans inside packed training sequences —
+    the block-diagonal attention-mask input (start/end token offsets +
+    ordinal per pack) naive concatenation loses
+    (corpus.pack_boundaries)."""
+    from llm_training_data_pipeline_spark.operators.corpus import (
+        PackConfig,
+        pack_boundaries,
+    )
+
+    return pack_boundaries(
+        _t(spark, sf_dir, "documents"), PackConfig(budget_tokens=256)
+    ).orderBy("source", "pack_id", "doc_id")

@@ -1403,3 +1403,39 @@ def test_doremi_step_clip_bounds_factor(spark):
     for r in rows.values():
         assert r["excess_milli_nats"] == 0
         assert abs(r["weight_ppm"] - r["ref_ppm"]) <= 1
+
+
+def test_pack_boundaries_tile_each_pack(spark):
+    """Within a pack, spans must tile contiguously from offset 0 in
+    ordinal order (end_i == start_{i+1}), agree with pack_sequences'
+    assignment, and only the straddling last doc may cross the
+    budget."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 4)), "s") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    cfg = corpus.PackConfig(budget_tokens=10)
+    rows = sorted(
+        corpus.pack_boundaries(docs, cfg).collect(),
+        key=lambda r: (r["pack_id"], r["pack_ordinal"]),
+    )
+    assign = {
+        r["doc_id"]: r["pack_id"] for r in corpus.pack_sequences(docs, cfg).collect()
+    }
+    for r in rows:
+        assert assign[r["doc_id"]] == r["pack_id"]
+        # every doc STARTS inside the budget; only ends may overrun
+        # (the straddler then consumes the head of the NEXT pack, so a
+        # pack's first member need not start at 0)
+        assert 0 <= r["start_offset"] < 10
+        assert r["end_offset"] == r["start_offset"] + r["n_tokens"]
+    # absolute offsets tile contiguously across the whole stream
+    for a, b in zip(rows, rows[1:]):
+        abs_end = a["pack_id"] * 10 + a["end_offset"]
+        abs_start = b["pack_id"] * 10 + b["start_offset"]
+        assert abs_end == abs_start
+        if a["pack_id"] == b["pack_id"]:
+            assert b["pack_ordinal"] == a["pack_ordinal"] + 1
+        else:
+            assert b["pack_ordinal"] == 0
+    assert rows[0]["pack_ordinal"] == 0 and rows[0]["start_offset"] == 0
