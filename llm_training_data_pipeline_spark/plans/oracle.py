@@ -5520,3 +5520,34 @@ def pack_boundaries_sql(budget_tokens: int = 2048) -> str:
                  AS end_offset
         FROM p ORDER BY source, pack_id, doc_id
     """
+
+
+def domain_blocklist_sql() -> str:
+    """Mirror of warc.domain_blocklist_filter over the synthetic 3-label
+    domain fixture: suffix chain = [full, registrable 2-label], anti
+    semantics on exact labels (w1.src2.com falls to the explicit entry;
+    src5.com blocks every w*.src5.com; nosrc5.com-style lookalikes
+    survive because suffixes are label-split, not string-suffix)."""
+    return """
+        WITH docs AS (
+          SELECT doc_id,
+                 'w' || CAST(doc_id % 7 AS VARCHAR) || '.' || source || '.com'
+                   AS domain
+          FROM documents
+        ), bl AS (
+          SELECT * FROM (VALUES ('src5.com'), ('w1.src2.com'),
+                                ('src13.com')) AS t(blocked_domain)
+        ), sfx AS (
+          SELECT DISTINCT domain,
+                 unnest([domain,
+                         split_part(domain, '.', 2) || '.' ||
+                         split_part(domain, '.', 3)]) AS s
+          FROM docs
+        ), hit AS (
+          SELECT DISTINCT domain FROM sfx
+          WHERE s IN (SELECT blocked_domain FROM bl)
+        )
+        SELECT d.domain, CAST(count(*) AS BIGINT) AS n_docs
+        FROM docs d ANTI JOIN hit USING (domain)
+        GROUP BY d.domain ORDER BY d.domain
+    """

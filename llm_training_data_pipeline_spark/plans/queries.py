@@ -4398,3 +4398,34 @@ def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_boundaries(
         _t(spark, sf_dir, "documents"), PackConfig(budget_tokens=256)
     ).orderBy("source", "pack_id", "doc_id")
+
+
+@register("domain_blocklist", oracle.domain_blocklist_sql())
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level domain blocklist with suffix hierarchy: sub.example.com
+    falls to an example.com entry via the exploded exact-label suffix
+    chain + anti-join — the shape that survives million-entry blocklists
+    where regex alternation dies (warc.domain_blocklist_filter). Fixture
+    domains are synthesized per doc; one entry blocks a whole
+    registrable domain, one a specific host."""
+    from llm_training_data_pipeline_spark.sources.warc import (
+        domain_blocklist_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("w"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("."), F.col("source"), F.lit(".com"),
+        ).alias("domain"),
+    )
+    bl = spark.createDataFrame(
+        [("src5.com",), ("w1.src2.com",), ("src13.com",)],
+        "blocked_domain string",
+    )
+    kept = domain_blocklist_filter(docs, F.broadcast(bl))
+    return (
+        kept.groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("domain")
+    )

@@ -202,3 +202,36 @@ def test_normalize_url_idempotent(spark):
     ).collect()
     for r in twice:
         assert r.n2 == r.n1, (r.n1, r.n2)
+
+
+def test_domain_suffixes_and_blocklist_semantics(spark):
+    from llm_training_data_pipeline_spark.sources.warc import (
+        domain_blocklist_filter,
+        domain_suffixes,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "a.b.example.com"),
+            (1, "example.com"),
+            (2, "notexample.com"),
+            (3, "sub.notexample.com"),
+            (4, "other.org"),
+        ],
+        "doc_id long, domain string",
+    )
+    sfx = {
+        r["domain"]: r["s"]
+        for r in df.select("domain", domain_suffixes("domain").alias("s")).collect()
+    }
+    assert sfx["a.b.example.com"] == [
+        "a.b.example.com", "b.example.com", "example.com",
+    ]
+    assert sfx["example.com"] == ["example.com"]  # never a bare TLD
+    bl = spark.createDataFrame([("example.com",)], "blocked_domain string")
+    kept = sorted(
+        r["doc_id"] for r in domain_blocklist_filter(df, bl).collect()
+    )
+    # exact-label suffixes: the lookalikes survive, the subdomain falls
+    assert kept == [2, 3, 4]
