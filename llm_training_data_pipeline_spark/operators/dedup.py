@@ -1508,3 +1508,57 @@ def prefix_dedup_stats(
         .cast("long")
         .alias("tail_variants_only"),
     )
+
+
+def split_leakage_stats(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate pairs crossing a dataset split — the eval-leakage
+    audit exact decontamination misses: a test document whose near-twin
+    sits in train inflates eval scores without any verbatim overlap
+    (Lee et al. 2021 measured multi-point benchmark gains from exactly
+    this). One row per unordered split combination: pair count, distinct
+    docs involved, and the ``is_leak`` flag (different splits).
+
+    Plan: the pair table (near-dups only — tiny next to the corpus)
+    joins the split tags on each side, then two hash aggregates; the
+    docs-involved count explodes the 2-element id array per pair, so
+    nothing scales beyond the pair volume already paid for.
+    """
+    a = splits.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa"))
+    b = splits.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb"))
+    tagged = (
+        pairs.select("id_a", "id_b")
+        .join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+            "id_a",
+            "id_b",
+        )
+    )
+    n_pairs = tagged.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        tagged.select(
+            "split_lo", "split_hi", F.explode(F.array("id_a", "id_b")).alias("_id")
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count_distinct("_id").cast("long").alias("n_docs"))
+    )
+    return (
+        n_pairs.join(n_docs, on=["split_lo", "split_hi"])
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            "n_docs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

@@ -5551,3 +5551,60 @@ def domain_blocklist_sql() -> str:
         FROM docs d ANTI JOIN hit USING (domain)
         GROUP BY d.domain ORDER BY d.domain
     """
+
+
+def split_leakage_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> str:
+    """Mirror of dedup.split_leakage_stats over the md5-family candidate
+    pairs and the arithmetic-key dataset split."""
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000"
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)}, cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        ), pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+          WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+        ), spl AS (
+          SELECT doc_id,
+                 CASE WHEN {key} < {val_permille} THEN 'val'
+                      WHEN {key} < {val_permille + test_permille} THEN 'test'
+                      ELSE 'train' END AS split
+          FROM documents
+        ), tagged AS (
+          SELECT least(a.split, b.split) AS split_lo,
+                 greatest(a.split, b.split) AS split_hi,
+                 p.id_a, p.id_b
+          FROM pairs p
+          JOIN spl a ON p.id_a = a.doc_id
+          JOIN spl b ON p.id_b = b.doc_id
+        ), np AS (
+          SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM tagged GROUP BY split_lo, split_hi
+        ), nd AS (
+          SELECT split_lo, split_hi,
+                 CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+          FROM (SELECT split_lo, split_hi, unnest([id_a, id_b]) AS id
+                FROM tagged)
+          GROUP BY split_lo, split_hi
+        )
+        SELECT np.split_lo, np.split_hi, np.n_pairs, nd.n_docs,
+               np.split_lo <> np.split_hi AS is_leak
+        FROM np JOIN nd USING (split_lo, split_hi)
+        ORDER BY split_lo, split_hi
+    """

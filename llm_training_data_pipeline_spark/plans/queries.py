@@ -4429,3 +4429,22 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("domain")
     )
+
+
+@register("split_leakage_stats", oracle.split_leakage_sql())
+def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: MinHash near-dup pairs (md5 replay family)
+    crossing the deterministic train/val/test split — the near-twin
+    contamination exact decontamination misses
+    (dedup.split_leakage_stats)."""
+    from llm_training_data_pipeline_spark.operators.corpus import dataset_split
+
+    pairs = dedup.minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        cfg=_MD5_CFG,
+        signatures=_md5_sigs(spark, sf_dir),
+    )
+    splits = dataset_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+    return dedup.split_leakage_stats(pairs, splits)

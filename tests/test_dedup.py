@@ -546,3 +546,29 @@ def test_cc_gate_decision_pinned():
     assert not _cc_use_driver(2 * DRIVER_CC_MAX_EDGES + 1, DRIVER_CC_MAX_EDGES)
     assert not _cc_use_driver(1, 0)  # forced-distributed override
     assert _cc_use_driver(0, 0)  # empty graph stays driver-side
+
+
+def test_split_leakage_flags_cross_split_twins(spark):
+    """A near-dup pair with one member in 'train' and one in 'test'
+    must surface as an is_leak row; within-split pairs must not."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        split_leakage_stats,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "train"),
+         (5, "val"), (6, "test")],
+        "doc_id long, split string",
+    )
+    rows = {
+        (r["split_lo"], r["split_hi"]): r
+        for r in split_leakage_stats(pairs, splits).collect()
+    }
+    assert rows[("test", "train")]["is_leak"] is True
+    assert rows[("test", "train")]["n_pairs"] == 1
+    assert rows[("test", "train")]["n_docs"] == 2
+    assert rows[("train", "train")]["is_leak"] is False
+    assert rows[("test", "val")]["is_leak"] is True
