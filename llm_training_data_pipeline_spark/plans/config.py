@@ -85,6 +85,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "keep_fraction": 0.25,
         "num_buckets": 10_000,
     },
+    # engine extension: WET-ingest knobs (--input-format wet). The
+    # domain blocklist is hierarchy-aware — an entry blocks the domain
+    # and every subdomain (warc.domain_blocklist_filter)
+    "wet": {"domain_blocklist": []},
     "tokenization": {
         "enabled": True,
         "algorithm": "bpe",

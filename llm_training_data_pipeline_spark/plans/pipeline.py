@@ -261,7 +261,25 @@ def build_pipeline(
             df = textstats.with_lang_id(df, "text").localCheckpoint(eager=True)
             lang_col = "detected_lang"
         df = quality.with_quality(df, "text", qcfg, lang_col=lang_col, include_scores=False)
-        df = df.filter(F.col("passed")).drop("passed", "reason")
+        ce = qsec.get("code_exempt", {})
+        if ce.get("enabled", False):
+            # route code past the prose gates: min_words/stopword/symbol
+            # thresholds are calibrated for natural language and junk
+            # real code wholesale. Docs the two-of-three code vote flags
+            # keep flowing regardless of the prose verdict (the mixture
+            # planner downstream sees them via is_code when
+            # keep_flag=true); everything else gates as before.
+            from llm_training_data_pipeline_spark.operators import textstats
+
+            df = textstats.with_code_signals(df, "text").drop(
+                "code_symbol_ppm", "code_keyword_hits", "code_indent_ppm"
+            )
+            df = df.filter(F.col("passed") | F.col("is_code"))
+            if not ce.get("keep_flag", False):
+                df = df.drop("is_code")
+            df = df.drop("passed", "reason")
+        else:
+            df = df.filter(F.col("passed")).drop("passed", "reason")
         obs["quality"] = Observation("quality")
         df = df.observe(obs["quality"], F.count(F.lit(1)).alias("rows"))
 
@@ -671,12 +689,23 @@ def main() -> None:
         # (a row_number would order-depend); the domain rides along as
         # `source`, so every per-source operator works per-domain.
         from llm_training_data_pipeline_spark.sources.warc import (
+            domain_blocklist_filter,
             read_wet,
             url_dedup,
             wet_documents,
         )
 
-        docs = url_dedup(wet_documents(read_wet(spark, args.input))).select(
+        wet_docs = url_dedup(wet_documents(read_wet(spark, args.input)))
+        blocked = cfg.get("wet.domain_blocklist", []) or []
+        if blocked:
+            # hierarchy-aware URL screen BEFORE content stages: an entry
+            # blocks the domain and everything under it (suffix-chain
+            # anti-join, warc.domain_blocklist_filter)
+            bl = spark.createDataFrame(
+                [(str(d),) for d in blocked], "blocked_domain string"
+            )
+            wet_docs = domain_blocklist_filter(wet_docs, F.broadcast(bl))
+        docs = wet_docs.select(
             F.xxhash64("target_uri").alias("doc_id"),
             F.col("domain").alias("source"),
             "text",

@@ -752,3 +752,44 @@ def test_prefix_hash_dedup_mode(spark):
     )
     summary = run_pipeline(spark, docs, cfg, None)
     assert summary["stages"]["dedup"]["rows"] == 2  # the mirror collapsed
+
+
+def test_code_exempt_routes_code_past_prose_gates(spark):
+    """quality.code_exempt: a code document the prose gates reject
+    (min_words, symbol ratio) survives when the two-of-three code vote
+    flags it; prose junk still gates; keep_flag exposes is_code."""
+    from llm_training_data_pipeline_spark.plans.pipeline import build_pipeline
+    from pyspark.sql import functions as F
+
+    code = (
+        "def f(x):\n    return x * 2\n"
+        "class A:\n    def g(self):\n        if x == 1:\n            return []\n"
+    ) * 3
+    prose_ok = (
+        "this is a perfectly ordinary paragraph of english text with "
+        "plenty of common words that the quality battery accepts "
+    ) * 5
+    junk = "zxqv " * 6
+    docs = spark.createDataFrame(
+        [(0, code, "en", "s"), (1, prose_ok, "en", "s"), (2, junk, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    base = {
+        "cleaning": {"min_length_chars": 20, "normalize_unicode": False,
+                     "fix_encoding": False},
+        "deduplication": {"enabled": False},
+        "quality": {"enabled": True, "min_words": 30},
+    }
+    off, _ = build_pipeline(docs, PipelineConfig(base))
+    assert sorted(r["doc_id"] for r in off.select("doc_id").collect()) == [1]
+    on_cfg = dict(base)
+    on_cfg["quality"] = {
+        "enabled": True,
+        "min_words": 30,
+        "code_exempt": {"enabled": True, "keep_flag": True},
+    }
+    on, _ = build_pipeline(docs, PipelineConfig(on_cfg))
+    rows = {r["doc_id"]: r for r in on.select("doc_id", "is_code").collect()}
+    assert sorted(rows) == [0, 1]  # code exempted, junk still gated
+    assert rows[0]["is_code"] is True
+    assert rows[1]["is_code"] is False

@@ -235,3 +235,34 @@ def test_domain_suffixes_and_blocklist_semantics(spark):
     )
     # exact-label suffixes: the lookalikes survive, the subdomain falls
     assert kept == [2, 3, 4]
+
+
+def test_wet_cli_domain_blocklist(tmp_path):
+    """--input-format wet honors wet.domain_blocklist end-to-end: the
+    blocked domain's pages never reach the pipeline stages."""
+    import json
+    import subprocess
+    import sys
+
+    path = _write_fixture(tmp_path)
+    cfg_path = os.path.join(str(tmp_path), "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(
+            "wet:\n  domain_blocklist: [example.com]\n"
+            "quality:\n  min_words: 2\n"
+            "cleaning:\n  min_length_chars: 10\n"
+            "tokenization:\n  vocab_size: 100\n  min_frequency: 1\n"
+        )
+    out_dir = os.path.join(str(tmp_path), "out")
+    r = subprocess.run(
+        [sys.executable, "-m", "llm_training_data_pipeline_spark.plans.pipeline",
+         "--input", path, "--input-format", "wet",
+         "--config", cfg_path, "--output-dir", out_dir],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout)
+    # DEMO_WET has one example.com page and one docs.example.org page;
+    # the example.com entry blocks the former (and would block any
+    # subdomain), leaving exactly one ingested row
+    assert summary["stages"]["ingest"]["rows"] == 1
