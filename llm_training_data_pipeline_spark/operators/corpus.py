@@ -3028,3 +3028,109 @@ def doremi_mixture_step(
         )
         .orderBy("stratum")
     )
+
+
+def unimax_plan(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs_milli: int = 4000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax sampling plan (Chung et al. 2023): allocate a total token
+    budget UNIFORMLY across sources, except that no source may repeat
+    more than ``max_epochs`` times — the fairer alternative to
+    temperature sampling when source sizes span decades (a tiny source
+    stops absorbing budget at its epoch cap instead of being upsampled
+    into memorization).
+
+    Water-filling, exactly and without iteration: sort sources by cap
+    ascending; a source is CAPPED iff its cap can't absorb an equal
+    share of what's left after all smaller caps are paid out —
+    ``cap_i * remaining_sources <= budget - cum_prev_caps``, an integer
+    comparison that marks a consistent prefix (the standard
+    water-filling monotonicity). The uniform fill level is then one
+    global aggregate: ``(budget - sum(capped caps)) div n_uncapped``.
+    Everything is int64/decimal integer arithmetic (caps in tokens,
+    epochs in 1e-3 units), so the plan replays bit-for-bit in DuckDB.
+
+    Plan shape: one token-count aggregate per source; the windows and
+    the capped-sum broadcast run over the per-SOURCE table (thousands
+    of rows at worst — the single-partition window is bounded by source
+    cardinality, never corpus size).
+
+    Emits (source, available_tokens, cap_tokens, alloc_tokens,
+    epochs_milli) with Σ alloc_tokens ≤ budget.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(whitespace_tokens(F.col(text_col))).cast("long").alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("long").alias("available_tokens"))
+        .withColumn(
+            "cap_tokens",
+            F.expr(f"available_tokens * {int(max_epochs_milli)} div 1000"),
+        )
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    wall = Window.partitionBy()
+    staged = per.select(
+        "source",
+        "available_tokens",
+        "cap_tokens",
+        F.row_number().over(w).alias("_rn"),
+        F.coalesce(
+            F.sum("cap_tokens").over(
+                Window.orderBy("cap_tokens", "source").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("_cum_prev"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    ).withColumn(
+        "_capped",
+        (
+            F.col("cap_tokens").cast("decimal(38,0)")
+            * (F.col("_n") - F.col("_rn") + 1)
+        )
+        <= (F.lit(budget_tokens).cast("decimal(38,0)") - F.col("_cum_prev")),
+    )
+    fill = staged.agg(
+        F.sum(F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_capped_sum"),
+        F.sum((~F.col("_capped")).cast("long")).alias("_n_unc"),
+    )
+    out = staged.crossJoin(F.broadcast(fill)).withColumn(
+        "_lambda",
+        F.when(
+            F.col("_n_unc") > 0,
+            F.expr(
+                f"CAST((CAST({int(budget_tokens)} AS DECIMAL(38,0)) - _capped_sum)"
+                " div _n_unc AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    alloc = F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(
+        F.least(F.col("cap_tokens"), F.col("_lambda"))
+    )
+    return (
+        out.withColumn("alloc_tokens", alloc.cast("long"))
+        .select(
+            "source",
+            "available_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            F.expr(
+                "CAST(CASE WHEN available_tokens > 0 THEN"
+                " alloc_tokens * 1000 div available_tokens"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("epochs_milli"),
+        )
+        .orderBy("source")
+    )

@@ -5608,3 +5608,57 @@ def split_leakage_sql(
         FROM np JOIN nd USING (split_lo, split_hi)
         ORDER BY split_lo, split_hi
     """
+
+
+def unimax_plan_sql(budget_tokens: int, max_epochs_milli: int = 4000) -> str:
+    """Mirror of corpus.unimax_plan: the closed-form water-filling —
+    caps sorted ascending, the integer prefix comparison marks the
+    capped prefix, one aggregate fixes the uniform fill level."""
+    return f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len({_lower_toks()})) AS BIGINT) AS available_tokens
+          FROM documents GROUP BY source
+        ), capd AS (
+          SELECT source, available_tokens,
+                 available_tokens * {int(max_epochs_milli)} // 1000
+                   AS cap_tokens
+          FROM per
+        ), staged AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY cap_tokens, source) AS rn,
+                 COALESCE(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev,
+                 count(*) OVER () AS n
+          FROM capd
+        ), marked AS (
+          SELECT *,
+                 CAST(cap_tokens AS HUGEINT) * (n - rn + 1)
+                   <= CAST({int(budget_tokens)} AS HUGEINT) - cum_prev
+                   AS capped
+          FROM staged
+        ), fill AS (
+          SELECT CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                      AS HUGEINT) AS capped_sum,
+                 CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_unc
+          FROM marked
+        )
+        SELECT m.source, m.available_tokens, m.cap_tokens,
+               CAST(CASE WHEN m.capped THEN m.cap_tokens
+                    ELSE least(m.cap_tokens,
+                         (CAST({int(budget_tokens)} AS HUGEINT) - f.capped_sum)
+                           // greatest(f.n_unc, 1)) END AS BIGINT)
+                 AS alloc_tokens,
+               CAST(CASE WHEN m.available_tokens > 0 THEN
+                    CAST(CASE WHEN m.capped THEN m.cap_tokens
+                         ELSE least(m.cap_tokens,
+                              (CAST({int(budget_tokens)} AS HUGEINT)
+                                - f.capped_sum)
+                                // greatest(f.n_unc, 1)) END AS HUGEINT)
+                    * 1000 // m.available_tokens ELSE 0 END AS BIGINT)
+                 AS epochs_milli
+        FROM marked m CROSS JOIN fill f
+        ORDER BY m.source
+    """

@@ -4448,3 +4448,16 @@ def q_split_leakage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split"
     )
     return dedup.split_leakage_stats(pairs, splits)
+
+
+@register("unimax_plan", oracle.unimax_plan_sql(budget_tokens=200_000))
+def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): uniform
+    water-filling across sources under a 4-epoch cap, closed-form via
+    the sorted prefix comparison — integer-exact, no iteration
+    (corpus.unimax_plan)."""
+    from llm_training_data_pipeline_spark.operators.corpus import unimax_plan
+
+    return unimax_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=200_000
+    )

@@ -1439,3 +1439,39 @@ def test_pack_boundaries_tile_each_pack(spark):
         else:
             assert b["pack_ordinal"] == 0
     assert rows[0]["pack_ordinal"] == 0 and rows[0]["start_offset"] == 0
+
+
+def test_unimax_water_filling_semantics(spark):
+    """UniMax: small sources cap at max_epochs x their data; big ones
+    split the remaining budget uniformly; total allocation stays within
+    budget; with a huge budget everyone caps."""
+    docs = spark.createDataFrame(
+        # tokens per source: tiny=10, small=40, big=400, big2=400
+        [(0, " ".join(["w"] * 10), "tiny"), (1, " ".join(["w"] * 40), "small")]
+        + [(10 + i, " ".join(["w"] * 40), "big") for i in range(10)]
+        + [(30 + i, " ".join(["w"] * 40), "big2") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in corpus.unimax_plan(docs, budget_tokens=500,
+                                    max_epochs_milli=2000).collect()
+    }
+    # caps: tiny 20, small 80, big/big2 800 each
+    assert rows["tiny"]["cap_tokens"] == 20
+    assert rows["tiny"]["alloc_tokens"] == 20  # capped
+    assert rows["tiny"]["epochs_milli"] == 2000
+    assert rows["small"]["alloc_tokens"] == 80  # capped
+    # remaining 400 splits evenly over the two uncapped giants
+    assert rows["big"]["alloc_tokens"] == 200
+    assert rows["big2"]["alloc_tokens"] == 200
+    assert rows["big"]["epochs_milli"] == 500  # half an epoch
+    assert sum(r["alloc_tokens"] for r in rows.values()) == 500
+    # huge budget: everyone caps, budget unused beyond caps
+    rows2 = {
+        r["source"]: r
+        for r in corpus.unimax_plan(docs, budget_tokens=10_000,
+                                    max_epochs_milli=2000).collect()
+    }
+    for src, r in rows2.items():
+        assert r["alloc_tokens"] == r["cap_tokens"], src
