@@ -203,6 +203,19 @@ HEADLINE = [
     # round-9 (r8 verdict #8): the composed pipeline with every gated
     # stage on — the compose-at-scale proof
     "pipeline_e2e_full",
+    # round-9 second wave: PQ/ADC retrieval, code routing, mixture
+    # planners, packing boundaries, the domain blocklist join and the
+    # split-leakage audit (pq_recall stays out per the recall-audit
+    # precedent — the driver rotation still scores it at sf0.01)
+    "pq_encode",
+    "pq_topk",
+    "code_detection_stats",
+    "doremi_mixture_step",
+    "pack_boundaries",
+    "domain_blocklist",
+    "split_leakage_stats",
+    "unimax_plan",
+    "ivfpq_topk",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -313,6 +326,12 @@ LARGE_SUBSET = [
     "vocab_stats",
     "invisible_char_stats",
     "pipeline_e2e_full",
+    # round-9 second wave: the new ANN shape (code-index scan + fold),
+    # the vocab-join mixture step, and the pairs+split join
+    "pq_topk",
+    "doremi_mixture_step",
+    "split_leakage_stats",
+    "ivfpq_topk",
 ]
 
 

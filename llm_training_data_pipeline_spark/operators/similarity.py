@@ -796,3 +796,110 @@ def pq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF+PQ — the flagship production ANN index shape (FAISS
+    ``IVFx,PQy`` with ``by_residual=false``): the seeded coarse
+    quantizer routes each query to its ``n_probe`` inverted lists, and
+    candidates inside those lists are scored by PQ asymmetric distance
+    over the m-byte code index — so the scan touches ~n_probe/n_clusters
+    of the corpus AND never reads a raw vector. At 100 TB this is the
+    only shape that is simultaneously RAM-resident (codes) and
+    sub-corpus per query (lists).
+
+    Residual encoding (FAISS's default refinement, PQ over the vector
+    MINUS its centroid) is deliberately off: it buys recall on tightly
+    clustered corpora at the cost of an extra per-(query, probe)
+    distance table, and with it the ranking stays bit-replayable from
+    the same global codebook the ``pq_*`` oracles already pin. Same
+    integer-unit ADC contract as ``pq_topk``; recall is governed by
+    (n_probe, m, ks) and measured in ``ivfpq_recall``-style audits.
+    """
+    from llm_training_data_pipeline_spark.operators.semdedup import (
+        assign_clusters,
+        seed_centroids,
+    )
+
+    cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    assigned = assign_clusters(corpus, cents, vec_col=vec_col, id_col=id_col)
+    cb = pq_codebook(corpus, m, ks, vec_col, id_col)
+    index = pq_codes(corpus, cb, m, ks, vec_col, id_col).join(
+        assigned.select(id_col, "cluster"), on=id_col
+    )
+
+    qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
+    probe_cos = F.when(
+        (F.col("_qn") == 0) | (F.col("_cn") == 0), F.lit(0.0)
+    ).otherwise(
+        dot_product(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("_pc").desc(), F.col("cluster"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("q_id", "_qv", "cluster", probe_cos.alias("_pc"))
+        .withColumn("_prn", F.row_number().over(wp))
+        .filter(F.col("_prn") <= n_probe)
+        .select("q_id", "_qv", "cluster")
+    )
+    sd = (F.size("_qv") / F.lit(m)).cast("int")
+    qsubs = probes.select("q_id", "cluster", "_qv").distinct().select(
+        "q_id",
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "_qv",
+    ).select(
+        "q_id",
+        "cluster",
+        "sub",
+        F.slice(F.col("_qv"), F.col("sub") * sd + F.lit(1), sd).alias("_qsv"),
+    )
+    qtab = (
+        qsubs.join(F.broadcast(cb), on="sub")
+        .select(
+            "q_id",
+            "cluster",
+            "sub",
+            "code",
+            F.floor(_sub_dist2(F.col("_qsv"), F.col("cent")) * F.lit(1e8))
+            .cast("long")
+            .alias("_du"),
+        )
+        .groupBy("q_id", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code", "_du"))),
+                lambda s: s["_du"],
+            ).alias("_tab")
+        )
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("_tab"),
+            (j * F.lit(ks) + F.element_at(F.col("codes"), j + 1) + F.lit(1)).cast(
+                "int"
+            ),
+        ),
+    )
+    scored = (
+        index.join(F.broadcast(qtab), on="cluster")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), adist.alias("adist_units"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adist_units", id_col)
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -4461,3 +4461,19 @@ def q_unimax_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_plan(
         _t(spark, sf_dir, "documents"), budget_tokens=200_000
     )
+
+
+@register(
+    "ivfpq_topk",
+    oracle.ivfpq_topk_sql(k=5, n_clusters=16, n_probe=3, m=8, ks=16),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the FAISS-shape production index (coarse lists route the
+    query, the m-byte code index scores by integer-unit ADC; raw
+    vectors never touched per candidate), by_residual=false so the
+    composed ranking replays bit-for-bit (similarity.ivfpq_topk)."""
+    from llm_training_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(emb, queries, k=5, n_clusters=16, n_probe=3, m=8, ks=16)

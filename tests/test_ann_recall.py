@@ -266,3 +266,28 @@ def test_pq_topk_recall_floor_and_determinism(spark):
     per_q = a.groupBy("q_id").count().collect()
     assert all(r["count"] == 10 for r in per_q)
     assert a.filter(F.col("q_id") == F.col("vec_id")).count() == 0
+
+
+def test_ivfpq_recall_and_pq_consistency(spark):
+    """IVFPQ = PQ/ADC restricted to the probed lists: full probe
+    (n_probe == n_clusters) must equal pq_topk EXACTLY (same codebook,
+    same integer units — the list routing adds no approximation of its
+    own); partial probe keeps a sane recall floor vs brute force."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    full = ivfpq_topk(emb, queries, k=10, n_clusters=8, n_probe=8)
+    flat = pq_topk(emb, queries, k=10)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, flat.collect()))
+    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    part = ivfpq_topk(emb, queries, k=10, n_clusters=8, n_probe=3)
+    row = ann_recall(exact, part.select("q_id", "vec_id")).collect()[0]
+    # double approximation (list routing x PQ codes) on near-random
+    # vectors: measured 0.31 at sf0.001 — floor 0.2
+    assert row["recall"] >= 0.2, row["recall"]
