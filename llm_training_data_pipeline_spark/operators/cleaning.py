@@ -226,6 +226,22 @@ def _repair_run(run: str, prev: str = "") -> str:
     return run
 
 
+# ANSI terminal escapes (ftfy's remove_terminal_escapes): CSI sequences
+# (colors, cursor moves) survive copy-pasted shell output verbatim; the
+# Cc control strip later removes the lone ESC byte but leaves the
+# parameter bytes ("[0;32m") as visible garbage — so the WHOLE sequence
+# goes here, before that strip. CSI only (ESC + '[' + params + final
+# byte): bare ESC or other escape families pass through untouched for
+# the control strip to judge.
+_TERMINAL_ESCAPE = re.compile(r"\x1b\[[0-9;?]*[ -/]*[@-~]")
+
+
+def _remove_terminal_escapes(s: str) -> str:
+    if "\x1b" not in s:
+        return s
+    return _TERMINAL_ESCAPE.sub("", s)
+
+
 # UTF-16 surrogate code points: never legitimate in a Python str that
 # came from well-formed text, but lossy ingestion (surrogateescape JSON,
 # CESU-8 emitters, mis-split UTF-16) leaves them behind. Mirrors ftfy's
@@ -308,7 +324,10 @@ def _fix_mojibake(s: str) -> str:
       pair → astral char, lone half → U+FFFD) and UTF-16 read as an
       8-bit codec (NUL-interleaved lanes, with or without a mis-decoded
       ``ÿþ``/``þÿ`` byte-order mark) — the r8-verdict terminal-tail
-      classes; a leading U+FEFF (including one a repair just revealed
+      classes; plus ANSI terminal escapes (ftfy's
+      ``remove_terminal_escapes``: whole CSI sequences, so the later
+      Cc strip can't orphan their parameter bytes as visible garbage);
+      a leading U+FEFF (including one a repair just revealed
       from ``ï»¿``) is stripped, mid-string ZWNBSP kept (word-joiner
       semantics), matching ftfy's remove-BOM-at-start behavior.
 
@@ -317,6 +336,7 @@ def _fix_mojibake(s: str) -> str:
     """
     if not s:
         return s
+    s = _remove_terminal_escapes(s)
     s = _fix_surrogates(s)
     s = _fix_utf16_interleave(s)
     for _ in range(3):  # bounded fixpoint for chains + revealed entities

@@ -349,3 +349,24 @@ def test_fix_mojibake_terminal_tail_r9():
         got = _fix_mojibake(inp)
         assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
         assert _fix_mojibake(got) == got, f"not idempotent on {got!r}"
+
+
+def test_remove_terminal_escapes():
+    """ANSI CSI sequences vanish whole (colors, cursor moves, the
+    private-mode and intermediate-byte forms); bare ESC and non-CSI
+    escapes pass through for the control strip to judge."""
+    from llm_training_data_pipeline_spark.operators.cleaning import _fix_mojibake
+
+    cases = [
+        ("\x1b[0;32mOK\x1b[0m done", "OK done"),
+        ("ls\x1b[2J\x1b[H$ pwd", "ls$ pwd"),
+        ("\x1b[?25lspinner\x1b[?25h", "spinner"),
+        ("\x1b[38;5;196mred\x1b[0m", "red"),
+        # bare ESC / non-CSI escape: untouched here
+        ("a\x1bZb", "a\x1bZb"),
+        ("no escapes at all", "no escapes at all"),
+    ]
+    for inp, want in cases:
+        got = _fix_mojibake(inp)
+        assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
+        assert _fix_mojibake(got) == got
