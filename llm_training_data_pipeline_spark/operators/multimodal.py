@@ -13,7 +13,12 @@ itself is STUBBED (the image/audio libraries are not in this container):
   iteration, and output schema are exactly what a model-based CLIP/Wav2Vec
   extractor would use (only the inner loop would change).
 - ``resize_image`` / ``sample_frames``  raise ``NotImplementedError`` behind
-  a capability check, keeping the API surface honest.
+  a capability check, keeping the API surface honest. The r9
+  deterministic-fake path keeps their CONSUMERS testable:
+  ``decode_image_stub`` (md5-keystream pixels, ``is_stub``-marked) →
+  ``resize_pixels`` (REAL nearest-neighbor index arithmetic, works on
+  real pixels the day a decoder exists) and ``sample_frames_stub``
+  (real MP4 frame counts, fake frame buffers).
 
 At 100 TB: payloads stay in parquet binary columns; ``mapInPandas``
 processes whole Arrow batches per partition, so decode parallelism ==
@@ -30,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -462,6 +469,26 @@ def _mp4_meta(payload: bytes) -> tuple[str, int, float, int] | None:
     return brand, timescale, dur_s, n_tracks
 
 
+def _mp4_frame_count(payload: bytes) -> int:
+    """REAL frame count: sample_count of the first ``stsz`` box (the
+    sample-size table every playable MP4 video track carries), found by
+    a recursive box walk — stdlib-only, no codec work. 0 when absent."""
+    def walk(start: int, end: int) -> int:
+        for btype, ps, pe in _iter_boxes(payload, start, end):
+            if btype == b"stsz" and pe - ps >= 12:
+                (count,) = _struct.unpack(">I", payload[ps + 8 : ps + 12])
+                return count
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                got = walk(ps, pe)
+                if got:
+                    return got
+        return 0
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return 0
+    return walk(0, len(payload))
+
+
 VIDEO_META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -534,7 +561,21 @@ def synthetic_video_assets(spark, n: int = 64) -> DataFrame:
                 + _struct.pack(">QQ", 0, 0)
                 + _struct.pack(">IQ", timescale, timescale * dur_s),
             )
-        traks = b"".join(box(b"trak", b"\x00" * 8) for _ in range(n_tracks))
+        # first trak carries a REAL sample-size table (20 + 3i frames of
+        # 256 bytes each) so the stsz frame count is parseable; the other
+        # traks stay opaque, keeping the trak count unchanged
+        n_frames = 20 + 3 * i
+        stsz = box(
+            b"stsz",
+            b"\x00\x00\x00\x00" + _struct.pack(">II", 0, n_frames)
+            + _struct.pack(">I", 256) * n_frames,
+        )
+        first_trak = box(
+            b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsz)))
+        )
+        traks = first_trak + b"".join(
+            box(b"trak", b"\x00" * 8) for _ in range(n_tracks - 1)
+        )
         payload = box(b"ftyp", b"isom\x00\x00\x02\x00mp41") + box(
             b"moov", mvhd + traks
         )
@@ -549,7 +590,8 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     if not HAVE_PIL:
         raise NotImplementedError(
             "resize_image needs an imaging library (PIL) not present in this "
-            "environment; the mapInPandas plumbing mirrors decode_image_meta"
+            "environment; decode_image_stub -> resize_pixels is the tested "
+            "plumbing (resize_pixels IS the real resize once pixels exist)"
         )
     raise NotImplementedError("real resize intentionally not implemented")
 
@@ -558,7 +600,8 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling requires a codec library (absent here)."""
     raise NotImplementedError(
         "sample_frames needs a video codec library not present in this "
-        "environment; the batch dataflow mirrors extract_features"
+        "environment; sample_frames_stub carries the tested dataflow "
+        "(real MP4 frame counts, deterministic fake frame buffers)"
     )
 
 
@@ -648,3 +691,171 @@ def media_exact_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------
+# Deterministic-fake decode + REAL resize/frame plumbing (r9)
+# ---------------------------------------------------------------------
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),
+        StructField("is_stub", BooleanType()),
+    ]
+)
+
+
+def _md5_keystream(payload: bytes, n: int) -> bytes:
+    """Deterministic pseudo-pixel bytes: chained md5 of the payload,
+    truncated to n — stable across runs, partitionings, and engines."""
+    import hashlib
+
+    out = bytearray()
+    block = hashlib.md5(payload).digest()
+    while len(out) < n:
+        out += block
+        block = hashlib.md5(block).digest()
+    return bytes(out[:n])
+
+
+def decode_image_stub(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """CLEARLY-MARKED deterministic FAKE decoder (``is_stub=true`` rides
+    on every row): pixel buffers are an md5 keystream of the payload,
+    not decoded content. What IS real — and what this exists to keep
+    tested in a container without imaging libraries — is everything a
+    real decoder's consumers depend on: the mapInPandas batch iteration,
+    the Arrow-friendly (id, w, h, c, pixels BINARY) schema, executor-side
+    payloads, and partition-count parallelism. Swapping the keystream
+    line for a PIL/turbojpeg call is the entire production change;
+    ``resize_pixels`` downstream is already the real arithmetic.
+    """
+    n = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "channels": 3,
+                    "pixels": [
+                        _md5_keystream(bytes(p) if p is not None else b"", n)
+                        for p in pdf[payload_col]
+                    ],
+                    "is_stub": True,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+def resize_pixels(
+    df: DataFrame, out_width: int, out_height: int
+) -> DataFrame:
+    """REAL nearest-neighbor resize over raw pixel buffers — no imaging
+    library needed (index arithmetic over the (h, w, c) ndarray), so
+    this is the production resize for any upstream decoder, stub or
+    real. Nearest-neighbor (not bilinear) keeps the operation exact
+    integer index mapping: src_x = floor(x * w / out_w) — deterministic
+    on every engine, no float filtering kernels to drift.
+
+    Input/output ride the PIXEL_SCHEMA contract; ``is_stub`` passes
+    through untouched so fake pixels stay marked after resizing.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for px, w, h, c in zip(
+                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                ys = (np.arange(out_height) * int(h)) // out_height
+                xs = (np.arange(out_width) * int(w)) // out_width
+                out_px.append(arr[ys][:, xs].tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": out_width,
+                    "height": out_height,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                    "is_stub": pdf["is_stub"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),
+        StructField("is_stub", BooleanType()),
+    ]
+)
+
+
+def sample_frames_stub(
+    df: DataFrame,
+    every_n: int = 30,
+    width: int = 8,
+    height: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Frame sampling with REAL container parsing and FAKE frame
+    content: the frame count comes from the actual MP4 stbl/stsz box
+    walk (``_mp4_meta`` — the same parse ``decode_video_meta`` ships),
+    sampled indices are every ``every_n``-th frame (always including
+    frame 0), and each emitted frame's pixel buffer is the md5
+    keystream of (payload, frame_index) — deterministic and
+    ``is_stub``-marked. A codec library replaces only the keystream
+    line; the explode shape (one row per sampled frame), batch
+    iteration, and schema are the production contract.
+    """
+    n = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, px = [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p) if p is not None else b""
+                n_frames = _mp4_frame_count(payload)
+                for i in range(0, int(n_frames), max(1, int(every_n))):
+                    ids.append(int(aid))
+                    fidx.append(i)
+                    px.append(
+                        _md5_keystream(payload + i.to_bytes(8, "big"), n)
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(fidx, dtype="int64"),
+                    "width": width,
+                    "height": height,
+                    "channels": 3,
+                    "pixels": px,
+                    "is_stub": True,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)

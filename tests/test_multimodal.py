@@ -329,3 +329,61 @@ def test_media_exact_dedup_min_id_winner(spark):
            for r in media_exact_dedup(assets).collect()}
     assert set(got) == {1, 2, 4}
     assert got[1][1] == 3 and got[4][1] == 0
+
+
+def test_decode_stub_resize_and_frames_plumbing(spark):
+    """The r9 deterministic-fake decode path: stub pixels are stable
+    across partitionings and marked is_stub; resize_pixels does REAL
+    nearest-neighbor index mapping (hand-checked 2x2 -> 4x4); frame
+    sampling uses the real MP4 frame count."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    assets = mm.synthetic_assets(spark, n=12)
+    a = {r["asset_id"]: r for r in mm.decode_image_stub(assets, 4, 4).collect()}
+    b = {
+        r["asset_id"]: r
+        for r in mm.decode_image_stub(assets.repartition(7), 4, 4).collect()
+    }
+    assert set(a) == set(b) and len(a) == 12
+    for k in a:
+        assert bytes(a[k]["pixels"]) == bytes(b[k]["pixels"])  # partition-stable
+        assert len(bytes(a[k]["pixels"])) == 4 * 4 * 3
+        assert a[k]["is_stub"] is True
+
+    # hand-checked nearest neighbor: a 2x2 image of 4 distinct colors
+    # doubles each pixel into a 2x2 block
+    quad = bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  9, 9, 9]
+    )
+    src = spark.createDataFrame(
+        [(1, 2, 2, 3, bytearray(quad), True)],
+        "asset_id long, width int, height int, channels int, "
+        "pixels binary, is_stub boolean",
+    )
+    out = mm.resize_pixels(src, 4, 4).collect()[0]
+    arr = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert (arr[0, 0] == [255, 0, 0]).all() and (arr[0, 1] == [255, 0, 0]).all()
+    assert (arr[1, 1] == [255, 0, 0]).all() and (arr[0, 3] == [0, 255, 0]).all()
+    assert (arr[3, 0] == [0, 0, 255]).all() and (arr[3, 3] == [9, 9, 9]).all()
+    assert out["is_stub"] is True  # marker survives
+
+    vids = mm.synthetic_video_assets(spark, n=4)
+    frames = mm.sample_frames_stub(vids, every_n=10).collect()
+    by_asset: dict = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_index"])
+    # fixture writes a real stsz with 20 + 3i samples per asset i
+    for aid, idxs in by_asset.items():
+        expect = list(range(0, 20 + 3 * aid, 10))
+        assert sorted(idxs) == expect, (aid, idxs, expect)
+    assert set(by_asset) == {0, 1, 2, 3}
+    for r in frames:
+        assert r["is_stub"] is True
+        assert len(bytes(r["pixels"])) == 8 * 8 * 3
+    # two frames of the same asset differ (index-salted keystream)
+    p0 = [bytes(r["pixels"]) for r in frames if r["asset_id"] == 3]
+    assert len(set(p0)) == len(p0)
