@@ -4477,3 +4477,26 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_topk(emb, queries, k=5, n_clusters=16, n_probe=3, m=8, ks=16)
+
+
+@register("video_frame_sample_plan", None)
+def q_video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling work plan: per video asset, the REAL stsz frame
+    count (recursive ISO-BMFF box walk) and how many frames an
+    every-30th schedule decodes — the row a pipeline sizes its decode
+    fan-out from. Rows-only (binary payloads); the stub frame buffers
+    themselves are pinned in tests (multimodal.sample_frames_stub)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        sample_frames_stub,
+        synthetic_video_assets,
+    )
+
+    frames = sample_frames_stub(synthetic_video_assets(spark, 64), every_n=30)
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            (F.max("frame_index") + F.lit(1)).cast("long").alias("max_index_p1"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("asset_id")
+    )
