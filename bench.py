@@ -216,6 +216,7 @@ HEADLINE = [
     "split_leakage_stats",
     "unimax_plan",
     "ivfpq_topk",
+    "ivfpq_topk_residual",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

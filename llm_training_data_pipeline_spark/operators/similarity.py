@@ -808,6 +808,7 @@ def ivfpq_topk(
     ks: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF+PQ — the flagship production ANN index shape (FAISS
     ``IVFx,PQy`` with ``by_residual=false``): the seeded coarse
@@ -818,13 +819,18 @@ def ivfpq_topk(
     only shape that is simultaneously RAM-resident (codes) and
     sub-corpus per query (lists).
 
-    Residual encoding (FAISS's default refinement, PQ over the vector
-    MINUS its centroid) is deliberately off: it buys recall on tightly
-    clustered corpora at the cost of an extra per-(query, probe)
-    distance table, and with it the ranking stays bit-replayable from
-    the same global codebook the ``pq_*`` oracles already pin. Same
-    integer-unit ADC contract as ``pq_topk``; recall is governed by
-    (n_probe, m, ks) and measured in ``ivfpq_recall``-style audits.
+    ``by_residual`` (FAISS's default refinement) PQ-encodes the vector
+    MINUS its centroid instead of the raw vector: residual magnitudes
+    are smaller and cluster-conditioned, so the same ks codes spend
+    their resolution where the list actually lives — the recall lever
+    on tightly clustered corpora. Cost: the codebook seeds, the code
+    index, and the per-query distance tables all become
+    cluster-conditioned (one table per (query, probe) instead of per
+    query — already the shape this operator builds). Default off: on
+    near-random vectors the gain is noise and the raw-code ranking is
+    replayable from the same global codebook the ``pq_*`` oracles pin;
+    the residual path has its own oracle. Same integer-unit ADC
+    contract either way.
     """
     from llm_training_data_pipeline_spark.operators.semdedup import (
         assign_clusters,
@@ -833,10 +839,23 @@ def ivfpq_topk(
 
     cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
     assigned = assign_clusters(corpus, cents, vec_col=vec_col, id_col=id_col)
-    cb = pq_codebook(corpus, m, ks, vec_col, id_col)
-    index = pq_codes(corpus, cb, m, ks, vec_col, id_col).join(
-        assigned.select(id_col, "cluster"), on=id_col
-    )
+    if by_residual:
+        # residual frame: v - centroid(cluster(v)); codebook seeds are
+        # the first-ks RESIDUALS so the whole chain stays replay-exact
+        resid = assigned.join(F.broadcast(cents), on="cluster").select(
+            id_col,
+            "cluster",
+            F.zip_with("_v", "_cv", lambda a, b: a - b).alias("_resid"),
+        )
+        cb = pq_codebook(resid, m, ks, "_resid", id_col)
+        index = pq_codes(resid, cb, m, ks, "_resid", id_col).join(
+            resid.select(id_col, "cluster"), on=id_col
+        )
+    else:
+        cb = pq_codebook(corpus, m, ks, vec_col, id_col)
+        index = pq_codes(corpus, cb, m, ks, vec_col, id_col).join(
+            assigned.select(id_col, "cluster"), on=id_col
+        )
 
     qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
     probe_cos = F.when(
@@ -852,6 +871,14 @@ def ivfpq_topk(
         .filter(F.col("_prn") <= n_probe)
         .select("q_id", "_qv", "cluster")
     )
+    if by_residual:
+        # the query is ALSO residualized against each probed centroid,
+        # so its distance table is conditioned the same way the codes are
+        probes = probes.join(F.broadcast(cents), on="cluster").select(
+            "q_id",
+            "cluster",
+            F.zip_with("_qv", "_cv", lambda a, b: a - b).alias("_qv"),
+        )
     sd = (F.size("_qv") / F.lit(m)).cast("int")
     qsubs = probes.select("q_id", "cluster", "_qv").distinct().select(
         "q_id",

@@ -5671,6 +5671,7 @@ def ivfpq_topk_sql(
     m: int = 8,
     ks: int = 16,
     n_queries: int = 10,
+    by_residual: bool = False,
 ) -> str:
     """Mirror of similarity.ivfpq_topk: the semdedup seeded-centroid
     list assignment composed with the global PQ codebook and the
@@ -5684,6 +5685,80 @@ def ivfpq_topk_sql(
     cos_qc = """CASE WHEN q.qnrm = 0 OR c.cnrm = 0 THEN 0.0
                ELSE list_sum(list_transform(list_zip(q.qvec, c.cvec),
                       p -> p[1] * p[2])) / (q.qnrm * c.cnrm) END"""
+    if by_residual:
+        # residual space: rv = v - centroid(cluster(v)); codebook seeds
+        # are the first-ks residuals; the query residualizes per probe
+        return f"""
+        WITH {_semdedup_assign_cte(n_clusters)}, s AS (
+          SELECT CAST(unnest(range({m})) AS INT) AS sub
+        ), rv AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(list_zip(a.vec, c2.cvec),
+                                p -> p[1] - p[2]) AS vec
+          FROM assigned a JOIN c c2 ON a.cluster = c2.cluster
+        ), seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 vec
+          FROM (SELECT * FROM rv ORDER BY vec_id LIMIT {ks})
+        ), cb AS (
+          SELECT s.sub, seeds.code,
+                 list_slice(seeds.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS cent
+          FROM seeds CROSS JOIN s
+        ), subs AS (
+          SELECT vec_id, s.sub,
+                 list_slice(rv.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS sv
+          FROM rv CROSS JOIN s
+        ), encscore AS (
+          SELECT subs.vec_id, subs.sub, cb.code,
+                 {d2.format(a="subs.sv", b="cb.cent")} AS d2
+          FROM subs JOIN cb ON subs.sub = cb.sub
+        ), enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY d2, code) AS rn
+            FROM encscore
+          ) WHERE rn = 1
+        ), qs AS (
+          SELECT vec_id AS q_id, vec AS qvec, nrm AS qnrm
+          FROM v WHERE vec_id < {n_queries}
+        ), probes AS (
+          SELECT q_id, cluster, qres AS qvec FROM (
+            SELECT q.q_id, c.cluster,
+                   list_transform(list_zip(q.qvec, c.cvec),
+                                  p -> p[1] - p[2]) AS qres,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY {cos_qc} DESC, c.cluster) AS prn
+            FROM qs q CROSS JOIN c
+          ) WHERE prn <= {n_probe}
+        ), qsubs AS (
+          SELECT q_id, cluster, s.sub,
+                 list_slice(qvec, s.sub * (len(qvec) // {m}) + 1,
+                            s.sub * (len(qvec) // {m})
+                              + (len(qvec) // {m})) AS qsv
+          FROM probes CROSS JOIN s
+        ), qtab AS (
+          SELECT q_id, cluster, cb.sub, cb.code,
+                 CAST(floor({d2.format(a="qsv", b="cb.cent")} * 1e8)
+                      AS BIGINT) AS du
+          FROM qsubs JOIN cb ON qsubs.sub = cb.sub
+        ), scored AS (
+          SELECT qt.q_id, e.vec_id,
+                 CAST(sum(qt.du) AS BIGINT) AS adist_units
+          FROM enc e
+          JOIN assigned a ON a.vec_id = e.vec_id
+          JOIN qtab qt ON qt.cluster = a.cluster
+            AND e.sub = qt.sub AND e.code = qt.code
+            AND e.vec_id <> qt.q_id
+          GROUP BY qt.q_id, e.vec_id
+        )
+        SELECT q_id, vec_id, adist_units, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist_units, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
     return f"""
         WITH {_semdedup_assign_cte(n_clusters)}, s AS (
           SELECT CAST(unnest(range({m})) AS INT) AS sub

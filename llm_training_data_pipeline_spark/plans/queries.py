@@ -4500,3 +4500,27 @@ def q_video_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "ivfpq_topk_residual",
+    oracle.ivfpq_topk_sql(
+        k=5, n_clusters=16, n_probe=3, m=8, ks=16, by_residual=True
+    ),
+)
+def q_ivfpq_topk_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with residual encoding (the FAISS default refinement):
+    codes and per-probe query tables live in v − centroid space, so the
+    ks codes spend their resolution where each list actually lives —
+    the recall lever on clustered corpora (measured: wins 0.54 vs 0.44
+    on a clustered fixture, loses on the near-random testdata — both
+    pinned). Fully replay-exact including the residual codebook seeds
+    (similarity.ivfpq_topk by_residual=True)."""
+    from llm_training_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        emb, queries, k=5, n_clusters=16, n_probe=3, m=8, ks=16,
+        by_residual=True,
+    )

@@ -291,3 +291,54 @@ def test_ivfpq_recall_and_pq_consistency(spark):
     # double approximation (list routing x PQ codes) on near-random
     # vectors: measured 0.31 at sf0.001 — floor 0.2
     assert row["recall"] >= 0.2, row["recall"]
+
+
+def test_ivfpq_residual_wins_on_clustered_loses_on_random(spark):
+    """by_residual is a LEVER, not a free win (the FAISS guidance,
+    measured here): on a genuinely clustered fixture the
+    cluster-conditioned codes beat raw codes; on the near-random
+    testdata embeddings they lose. Both directions pinned so a future
+    'simplification' can't silently flip the default."""
+    import hashlib
+
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    def noise(i, j):
+        b = hashlib.md5(f"{i}:{j}".encode()).digest()
+        return (b[0] / 255.0 - 0.5) * 0.1
+
+    dim = 16
+    centers = [[(1.0 if d % 4 == c else 0.1) for d in range(dim)] for c in range(4)]
+    clustered = spark.createDataFrame(
+        [(i, [centers[i % 4][d] + noise(i, d) for d in range(dim)])
+         for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = clustered.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(clustered, q, k=10).select("q_id", "vec_id")
+
+    def recall(br):
+        part = ivfpq_topk(
+            clustered, q, k=10, n_clusters=4, n_probe=1, m=4, ks=8,
+            by_residual=br,
+        )
+        return ann_recall(exact, part.select("q_id", "vec_id")).collect()[0][
+            "recall"
+        ]
+
+    plain, resid = recall(False), recall(True)
+    assert resid > plain, (resid, plain)  # measured 0.54 vs 0.44
+    assert resid >= 0.5
+
+    rnd = load_table(spark, "embeddings", SF_DIR)
+    qr = rnd.filter(F.col("vec_id") < 10)
+    exact_r = brute_force_topk(rnd, qr, k=10).select("q_id", "vec_id")
+    pr = ivfpq_topk(rnd, qr, k=10, n_clusters=8, n_probe=3)
+    rr = ivfpq_topk(rnd, qr, k=10, n_clusters=8, n_probe=3, by_residual=True)
+    p_rec = ann_recall(exact_r, pr.select("q_id", "vec_id")).collect()[0]["recall"]
+    r_rec = ann_recall(exact_r, rr.select("q_id", "vec_id")).collect()[0]["recall"]
+    assert p_rec > r_rec, (p_rec, r_rec)  # measured 0.31 vs 0.21
