@@ -217,6 +217,7 @@ HEADLINE = [
     "unimax_plan",
     "ivfpq_topk",
     "ivfpq_topk_residual",
+    "chat_format_stats",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

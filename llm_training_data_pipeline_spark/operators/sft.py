@@ -125,3 +125,80 @@ def assistant_loss_spans(conv: DataFrame) -> DataFrame:
         .filter(F.col("role") == "assistant")
         .select("conv_id", "turn_idx", "start_char", "end_char")
     )
+
+
+VALID_ROLES = ("system", "user", "assistant")
+
+
+def chat_format_report(conv: DataFrame) -> DataFrame:
+    """Per-conversation format validation — the SFT ingest hygiene gate:
+    unknown roles, empty turns, same-role runs (a broken multi-turn
+    merge), wrong opener (must be system or user), and not ending on an
+    assistant turn (nothing to compute loss on) each get a flag;
+    ``valid`` is their conjunction. Malformed conversations are the #1
+    silent SFT-data defect — they render fine and then train the model
+    to speak both sides.
+
+    One hash aggregate per conversation (ordered struct-sort, the
+    render_chat discipline) and pure array algebra on the ≤turns-long
+    role/content lists — no second scan, no window.
+    """
+    sorted_turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "content"))
+    )
+    agg = conv.groupBy("conv_id").agg(sorted_turns.alias("_t"))
+    roles = F.transform(F.col("_t"), lambda s: s["role"])
+    contents = F.transform(F.col("_t"), lambda s: s["content"])
+    n = F.size(roles)
+    unknown_role = F.exists(
+        roles, lambda r: ~r.isin(*[F.lit(x) for x in VALID_ROLES])
+    )
+    empty_turn = F.exists(
+        contents, lambda c: F.length(F.trim(c)) == 0
+    )
+    same_role_run = F.exists(
+        F.zip_with(
+            F.slice(roles, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(roles, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: a == b,
+        ),
+        lambda x: x,
+    )
+    bad_opener = ~F.element_at(roles, 1).isin("system", "user")
+    no_assistant_end = F.element_at(roles, -1) != F.lit("assistant")
+    out = agg.select(
+        "conv_id",
+        n.cast("long").alias("n_turns"),
+        unknown_role.alias("unknown_role"),
+        empty_turn.alias("empty_turn"),
+        same_role_run.alias("same_role_run"),
+        bad_opener.alias("bad_opener"),
+        no_assistant_end.alias("no_assistant_end"),
+    )
+    valid = ~(
+        F.col("unknown_role")
+        | F.col("empty_turn")
+        | F.col("same_role_run")
+        | F.col("bad_opener")
+        | F.col("no_assistant_end")
+    )
+    return out.withColumn("valid", valid)
+
+
+def chat_format_stats(conv: DataFrame) -> DataFrame:
+    """Corpus rollup of :func:`chat_format_report`: one row with counts
+    per violation class and the exact-ppm valid share."""
+    rep = chat_format_report(conv)
+    cnt = lambda c: F.sum(F.col(c).cast("long")).cast("long").alias(c)  # noqa: E731
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversations"),
+        cnt("unknown_role"),
+        cnt("empty_turn"),
+        cnt("same_role_run"),
+        cnt("bad_opener"),
+        cnt("no_assistant_end"),
+        F.sum(F.col("valid").cast("long")).cast("long").alias("valid"),
+    ).select(
+        "*",
+        F.expr("valid * 1000000 div n_conversations").alias("valid_ppm"),
+    )

@@ -5823,3 +5823,60 @@ def ivfpq_topk_sql(
           FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def chat_format_stats_sql(
+    turns_per_conv: int = 4, content_chars: int = 120
+) -> str:
+    """Mirror of sft.chat_format_stats over the documents-derived turns
+    with deterministic flaw injection (conv_id % 20 classes: same-role
+    run / empty turn / unknown role+bad opener / dropped final
+    assistant / valid), so every violation counter is non-vacuous."""
+    return f"""
+        WITH {_sft_conv_cte(turns_per_conv, content_chars)}, flawed AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN conv_id % 20 = 0 AND turn_idx = 1 THEN 'user'
+                      WHEN conv_id % 20 = 8 AND turn_idx = 0 THEN 'tool'
+                      ELSE role END AS role,
+                 CASE WHEN conv_id % 20 = 4 AND turn_idx = 2 THEN ''
+                      ELSE content END AS content
+          FROM conv
+          WHERE NOT (conv_id % 20 = 12 AND turn_idx = {turns_per_conv - 1})
+        ), per AS (
+          SELECT conv_id,
+                 list_sort(list({{'turn_idx': turn_idx, 'role': role,
+                                  'content': content}})) AS t
+          FROM flawed GROUP BY conv_id
+        ), flags AS (
+          SELECT conv_id, len(t) AS n_turns,
+                 len(list_filter(t, s -> s['role'] NOT IN
+                     ('system', 'user', 'assistant'))) > 0 AS unknown_role,
+                 len(list_filter(t, s -> length(trim(s['content'])) = 0))
+                   > 0 AS empty_turn,
+                 len(list_filter(range(2, len(t) + 1),
+                     i -> t[i]['role'] = t[i - 1]['role'])) > 0
+                   AS same_role_run,
+                 t[1]['role'] NOT IN ('system', 'user') AS bad_opener,
+                 t[len(t)]['role'] <> 'assistant' AS no_assistant_end
+          FROM per
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_conversations,
+               CAST(sum(CASE WHEN unknown_role THEN 1 ELSE 0 END) AS BIGINT)
+                 AS unknown_role,
+               CAST(sum(CASE WHEN empty_turn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS empty_turn,
+               CAST(sum(CASE WHEN same_role_run THEN 1 ELSE 0 END) AS BIGINT)
+                 AS same_role_run,
+               CAST(sum(CASE WHEN bad_opener THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bad_opener,
+               CAST(sum(CASE WHEN no_assistant_end THEN 1 ELSE 0 END)
+                 AS BIGINT) AS no_assistant_end,
+               CAST(sum(CASE WHEN NOT (unknown_role OR empty_turn
+                 OR same_role_run OR bad_opener OR no_assistant_end)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS valid,
+               CAST(sum(CASE WHEN NOT (unknown_role OR empty_turn
+                 OR same_role_run OR bad_opener OR no_assistant_end)
+                 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+                 AS valid_ppm
+        FROM flags
+    """

@@ -4524,3 +4524,43 @@ def q_ivfpq_topk_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, n_clusters=16, n_probe=3, m=8, ks=16,
         by_residual=True,
     )
+
+
+@register("chat_format_stats", oracle.chat_format_stats_sql())
+def q_chat_format_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT ingest hygiene: per-violation counts (unknown role, empty
+    turn, same-role run, bad opener, no assistant ending) + exact-ppm
+    valid share over the documents-derived conversations with
+    deterministic flaw injection — every counter non-vacuous
+    (sft.chat_format_stats)."""
+    from llm_training_data_pipeline_spark.operators.sft import (
+        chat_format_stats,
+        conversations_from_documents,
+    )
+
+    conv = conversations_from_documents(_t(spark, sf_dir, "documents"))
+    flawed = (
+        conv.filter(
+            ~((F.col("conv_id") % 20 == 12) & (F.col("turn_idx") == 3))
+        )
+        .withColumn(
+            "role",
+            F.when(
+                (F.col("conv_id") % 20 == 0) & (F.col("turn_idx") == 1),
+                F.lit("user"),
+            )
+            .when(
+                (F.col("conv_id") % 20 == 8) & (F.col("turn_idx") == 0),
+                F.lit("tool"),
+            )
+            .otherwise(F.col("role")),
+        )
+        .withColumn(
+            "content",
+            F.when(
+                (F.col("conv_id") % 20 == 4) & (F.col("turn_idx") == 2),
+                F.lit(""),
+            ).otherwise(F.col("content")),
+        )
+    )
+    return chat_format_stats(flawed)

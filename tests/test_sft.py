@@ -73,3 +73,49 @@ def test_documents_adapter_roundtrip(spark):
         F.col("_marker_chars") != F.col("n_turns") * len(sft.PREFIX)
     )
     assert bad.count() == 0
+
+
+def test_chat_format_report_flags_each_violation(spark):
+    """One hand fixture per violation class + one fully valid (incl. a
+    system opener) — each flag trips exactly where constructed."""
+    from llm_training_data_pipeline_spark.operators.sft import (
+        chat_format_report,
+    )
+
+    rows = [
+        # 0: valid, system opener
+        (0, 0, "system", "be helpful"),
+        (0, 1, "user", "hi"),
+        (0, 2, "assistant", "hello"),
+        # 1: valid, user opener
+        (1, 0, "user", "q"),
+        (1, 1, "assistant", "a"),
+        # 2: same-role run (user, user)
+        (2, 0, "user", "q1"),
+        (2, 1, "user", "q2"),
+        (2, 2, "assistant", "a"),
+        # 3: unknown role (also ends non-assistant)
+        (3, 0, "user", "q"),
+        (3, 1, "tool", "{}"),
+        # 4: empty turn (whitespace only)
+        (4, 0, "user", "q"),
+        (4, 1, "assistant", "   "),
+        # 5: bad opener (assistant first) — also a same-role run free zone
+        (5, 0, "assistant", "unprompted"),
+        (5, 1, "user", "?"),
+    ]
+    conv = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, content string"
+    )
+    rep = {r["conv_id"]: r for r in chat_format_report(conv).collect()}
+    assert rep[0]["valid"] is True and rep[1]["valid"] is True
+    assert rep[2]["same_role_run"] is True and rep[2]["valid"] is False
+    assert rep[3]["unknown_role"] is True
+    assert rep[3]["no_assistant_end"] is True
+    assert rep[4]["empty_turn"] is True
+    assert rep[5]["bad_opener"] is True
+    assert rep[5]["no_assistant_end"] is True
+    # flags that must NOT trip
+    assert rep[0]["same_role_run"] is False
+    assert rep[2]["unknown_role"] is False
+    assert rep[4]["bad_opener"] is False
