@@ -334,6 +334,24 @@ LARGE_SUBSET = [
     "doremi_mixture_step",
     "split_leakage_stats",
     "ivfpq_topk",
+    # round-9 third wave: push toward full-suite sf1 coverage — the
+    # remaining cheap TPC-H, window, scalar, and text-battery shapes
+    "q3_top_unshipped",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q22_global_sales_opportunity",
+    "rollup_order_stats",
+    "session_window_events",
+    "stats_moments",
+    "json_events",
+    "token_counts",
+    "doc_fingerprints",
+    "gopher_quality",
+    "repetition_stats",
+    "readability_scores",
+    "tfidf_top_terms",
+    "char_entropy_stats",
+    "pmi_collocations",
 ]
 
 
