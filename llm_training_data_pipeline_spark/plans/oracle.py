@@ -5880,3 +5880,92 @@ def chat_format_stats_sql(
                  AS valid_ppm
         FROM flags
     """
+
+
+def pq_recall_sql(
+    k: int = 10, m: int = 8, ks: int = 16, n_queries: int = 10
+) -> str:
+    """Replay of similarity.ann_recall over (brute-force cosine top-k,
+    PQ/ADC top-k): both rankings rebuilt in SQL, hits/expected joined on
+    (q_id, vec_id), recall in the exact half-up integer form."""
+    sd = f"(len(vec) // {m})"
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    cos = """CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+             ELSE list_sum(list_transform(list_zip(q.vec, c.vec),
+                    p -> p[1] * p[2])) / (q.nrm * c.nrm) END"""
+    recall = (
+        "CAST(floor((hits * 20000 + expected) / (expected * 2.0)) AS BIGINT)"
+        " / 10000.0"
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), s AS (
+          SELECT CAST(unnest(range({m})) AS INT) AS sub
+        ), seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+                 vec
+          FROM (SELECT * FROM v ORDER BY vec_id LIMIT {ks})
+        ), cb AS (
+          SELECT s.sub, seeds.code,
+                 list_slice(seeds.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS cent
+          FROM seeds CROSS JOIN s
+        ), subs AS (
+          SELECT vec_id, s.sub,
+                 list_slice(v.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS sv
+          FROM v CROSS JOIN s
+        ), encscore AS (
+          SELECT subs.vec_id, subs.sub, cb.code,
+                 {d2.format(a="subs.sv", b="cb.cent")} AS d2
+          FROM subs JOIN cb ON subs.sub = cb.sub
+        ), enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY d2, code) AS rn
+            FROM encscore
+          ) WHERE rn = 1
+        ), qsubs AS (
+          SELECT vec_id AS q_id, s.sub,
+                 list_slice(v.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS qsv
+          FROM v CROSS JOIN s WHERE vec_id < {n_queries}
+        ), qtab AS (
+          SELECT q_id, cb.sub, cb.code,
+                 CAST(floor({d2.format(a="qsv", b="cb.cent")} * 1e8)
+                      AS BIGINT) AS du
+          FROM qsubs JOIN cb ON qsubs.sub = cb.sub
+        ), pqtop AS (
+          SELECT q_id, vec_id FROM (
+            SELECT qt.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY qt.q_id
+                     ORDER BY sum(qt.du), e.vec_id) AS rank
+            FROM enc e JOIN qtab qt
+              ON e.sub = qt.sub AND e.code = qt.code
+                 AND e.vec_id <> qt.q_id
+            GROUP BY qt.q_id, e.vec_id
+          ) WHERE rank <= {k}
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {n_queries}
+          ) WHERE rank <= {k}
+        ), h AS (
+          SELECT CAST(count(*) AS BIGINT) AS hits
+          FROM pqtop JOIN exact USING (q_id, vec_id)
+        ), e2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS expected FROM exact
+        )
+        SELECT hits, expected, {recall} AS recall FROM h CROSS JOIN e2
+    """

@@ -4339,12 +4339,12 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=5, m=8, ks=16)
 
 
-@register("pq_recall", None)
+@register("pq_recall", oracle.pq_recall_sql(k=10, m=8, ks=16))
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ/ADC path vs brute force — the accuracy cost
-    of the 32x memory compression, first-class and measured (rows-only:
-    the recall floor is pinned by pytest; both inputs are individually
-    oracle-paired)."""
+    of the 32x memory compression, first-class and HASH-CHECKED: both
+    rankings and the exact half-up recall arithmetic replay in DuckDB
+    (r9 third wave — was rows-only)."""
     from llm_training_data_pipeline_spark.operators.similarity import (
         ann_recall,
         brute_force_topk,
