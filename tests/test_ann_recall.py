@@ -342,3 +342,34 @@ def test_ivfpq_residual_wins_on_clustered_loses_on_random(spark):
     p_rec = ann_recall(exact_r, pr.select("q_id", "vec_id")).collect()[0]["recall"]
     r_rec = ann_recall(exact_r, rr.select("q_id", "vec_id")).collect()[0]["recall"]
     assert p_rec > r_rec, (p_rec, r_rec)  # measured 0.31 vs 0.21
+
+
+def test_pq_topk_plan_broadcasts_query_tables(spark):
+    """The ADC scan side is the m-byte code index; the per-query
+    distance tables must arrive by BROADCAST (nested-loop on the
+    self-exclusion predicate), never by shuffling the code index — the
+    plan property that makes PQ the RAM-resident 100-TB path."""
+    from llm_training_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 3)
+    df = pq_topk(emb, q, k=5)
+    df.count()  # force execution so AQE finalizes the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_plan_joins_lists_by_cluster(spark):
+    """IVFPQ's candidate restriction is an equi-join on the cluster id
+    with the probe side broadcast — the index is never shuffled and
+    never cartesian-expanded."""
+    from llm_training_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 3)
+    df = ivfpq_topk(emb, q, k=5, n_clusters=8, n_probe=2)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -266,3 +266,24 @@ def test_wet_cli_domain_blocklist(tmp_path):
     # the example.com entry blocks the former (and would block any
     # subdomain), leaving exactly one ingested row
     assert summary["stages"]["ingest"]["rows"] == 1
+
+
+def test_domain_blocklist_plan_is_anti_join(spark):
+    """The blocklist must execute as a semi/anti join chain — a regex
+    alternation or cartesian against the list would die at real
+    blocklist sizes."""
+    from llm_training_data_pipeline_spark.sources.warc import (
+        domain_blocklist_filter,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i}.example{i % 5}.com") for i in range(50)],
+        "doc_id long, domain string",
+    )
+    bl = spark.createDataFrame([("example1.com",)], "blocked_domain string")
+    df = domain_blocklist_filter(docs, F.broadcast(bl))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
