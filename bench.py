@@ -218,6 +218,7 @@ HEADLINE = [
     "ivfpq_topk",
     "ivfpq_topk_residual",
     "chat_format_stats",
+    "pq_bucket_dedup",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

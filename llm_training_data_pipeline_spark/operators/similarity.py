@@ -930,3 +930,44 @@ def ivfpq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def pq_bucket_dedup_stats(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup blocking by PQ code identity: two vectors
+    sharing ALL m codes quantize to the same cell of the product
+    codebook — a coarse near-duplicate bucket at m bytes per vector,
+    the SemDeDup-lite screen that needs no pair scan at all (grouping
+    beats joining: the only shuffle key is the code string, and cell
+    population is bounded by genuine density, not corpus size). Run it
+    BEFORE the cosine-verified passes to cheaply collapse exact and
+    trivial near-duplicates; cell granularity tightens with m and ks.
+
+    One row out: (n_vectors, n_buckets, removable, removable_ppm) with
+    removable = Σ (|cell| − 1) — the min-id-winner discard count.
+    """
+    codes = pq_codes(corpus, None, m, ks, vec_col, id_col)
+    keyed = codes.select(
+        id_col,
+        F.concat_ws(
+            "-", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("_cell"),
+    )
+    cells = keyed.groupBy("_cell").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return cells.agg(
+        F.sum("_n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("_n") - 1).cast("long").alias("removable"),
+    ).select(
+        "n_vectors",
+        "n_buckets",
+        "removable",
+        F.expr("removable * 1000000 div n_vectors").alias("removable_ppm"),
+    )

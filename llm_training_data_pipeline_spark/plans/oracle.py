@@ -5969,3 +5969,26 @@ def pq_recall_sql(
         )
         SELECT hits, expected, {recall} AS recall FROM h CROSS JOIN e2
     """
+
+
+def pq_bucket_dedup_sql(m: int = 8, ks: int = 16) -> str:
+    """Mirror of similarity.pq_bucket_dedup_stats: the PQ encode chain,
+    cells keyed by the ordered code string, min-id-winner discard
+    count."""
+    return f"""
+        WITH {_pq_ctes(m, ks)}, keyed AS (
+          SELECT vec_id,
+                 string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub)
+                   AS cell
+          FROM enc GROUP BY vec_id
+        ), cells AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n
+          FROM keyed GROUP BY cell
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(n - 1) AS BIGINT) AS removable,
+               CAST(sum(n - 1) * 1000000 // sum(n) AS BIGINT)
+                 AS removable_ppm
+        FROM cells
+    """

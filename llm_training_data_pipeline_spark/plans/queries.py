@@ -4564,3 +4564,16 @@ def q_chat_format_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return chat_format_stats(flawed)
+
+
+@register("pq_bucket_dedup", oracle.pq_bucket_dedup_sql(m=8, ks=16))
+def q_pq_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocking by PQ code identity — the
+    SemDeDup-lite screen with NO pair scan: same m-byte cell = coarse
+    near-duplicate; one grouping on the code string
+    (similarity.pq_bucket_dedup_stats)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_bucket_dedup_stats,
+    )
+
+    return pq_bucket_dedup_stats(_t(spark, sf_dir, "embeddings"))

@@ -373,3 +373,26 @@ def test_ivfpq_plan_joins_lists_by_cluster(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_bucket_dedup_groups_identical_and_near_identical(spark):
+    """Exact duplicates always share a PQ cell; a tiny perturbation
+    (within quantization resolution) still does; a genuinely different
+    vector does not. Counts follow the min-id-winner arithmetic."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_bucket_dedup_stats,
+    )
+
+    base = [float(d % 7) / 7.0 for d in range(16)]
+    near = [x + 0.001 for x in base]
+    other = [float((d * 3) % 5) - 2.0 for d in range(16)]
+    rows = (
+        [(i, [float(v + i) for v in base]) for i in range(16)]  # seeds
+        + [(100, base), (101, list(base)), (102, near), (103, other)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    row = pq_bucket_dedup_stats(df, m=4, ks=16).collect()[0]
+    assert row["n_vectors"] == 20
+    assert row["removable"] >= 2  # 101 and 102 collapse onto 100's cell
+    assert row["n_buckets"] < 20
+    assert row["removable_ppm"] == row["removable"] * 1_000_000 // 20
