@@ -219,6 +219,8 @@ HEADLINE = [
     "ivfpq_topk_residual",
     "chat_format_stats",
     "pq_bucket_dedup",
+    # round-10: the Lloyd-refined PQ codebook path (VERDICT r9 #4)
+    "pq_topk_refined",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -353,6 +355,11 @@ LARGE_SUBSET = [
     "tfidf_top_terms",
     "char_entropy_stats",
     "pmi_collocations",
+    # round-10 (r9 verdict #8): the recommended clustered-corpus ANN
+    # default carries its own two-decade evidence; plus the refined-
+    # codebook path (encode + mean-step + re-encode — a new plan shape)
+    "ivfpq_topk_residual",
+    "pq_topk_refined",
 ]
 
 

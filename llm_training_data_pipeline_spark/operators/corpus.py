@@ -1486,6 +1486,57 @@ def curriculum_phases(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Distributed global ``row_number()`` over ``order_by`` — the
+    reusable form of the prefix-sum rank ``curriculum_phases`` /
+    ``pack_token_ids`` / ``shard_plan`` each inline: range-partition by
+    the sort keys, per-partition ``row_number`` over the staged
+    partition id, plus a driver-side cumulative of per-partition counts
+    (one num-partitions-row control collect). Use this wherever the
+    ranked frame is unbounded (a vocabulary, a corpus) — a bare
+    ``row_number().over(Window.orderBy(...))`` moves every row through
+    ONE task and is the classic 100-TB scale-killer.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreak
+    column) or ranks of tied rows are partition-placement-dependent.
+    Ranks are 1-based, BIGINT. The ``localCheckpoint`` pins partition
+    ids across the two passes; the collect is control-plane only
+    (num-partitions rows).
+    """
+    staged = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids for the two passes
+    )
+    per_part = (
+        staged.groupBy("_gr_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in sorted(per_part, key=lambda r: r["_gr_pid"]):
+        offsets[row["_gr_pid"]] = running
+        running += row["_n"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()] or [(0, 0)],
+        "_gr_pid int, _gr_off long",
+    )
+    w = Window.partitionBy("_gr_pid").orderBy(*order_by)
+    return (
+        staged.join(F.broadcast(off_df), on="_gr_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_gr_off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_gr_pid", "_gr_off")
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
@@ -2724,9 +2775,10 @@ def bm25_topk(
     term list — Catalyst pushes the IN filter below the explode's
     generator. ``docfreq`` and the (N, T) scalar row are broadcast, so
     the only shuffles are the two hash aggregates on natural keys plus
-    the final top-k (single-partition over ≤ |terms|·N candidate rows
-    after per-doc aggregation — bounded by the match set, not the
-    corpus).
+    the final distributed top-k (``orderBy().limit(k)`` = TakeOrdered:
+    each partition keeps its own top-k, the driver merges; the rank
+    window then runs over k rows only — never over the full match
+    set, which for a common term at 100 TB is millions of docs).
 
     Reference analogue: the reference pipeline has no retrieval stage;
     this extends its quality_filter.py word-statistics vocabulary
@@ -2786,10 +2838,16 @@ def bm25_topk(
         F.count(F.lit(1)).cast("long").alias("matched_terms"),
         F.sum("_units").cast("long").alias("_score_units"),
     )
+    # Distributed TakeOrdered first (every partition keeps only its own
+    # top-k, the driver merges k·P rows), THEN a row_number over the
+    # k-row result to emit ranks.  A bare row_number().over(orderBy)
+    # + filter(rank<=k) would funnel EVERY term-matching document
+    # through one task — at 100 TB a common term matches millions of
+    # docs.  Same pattern as pmi_collocations above.
+    topk = per_doc.orderBy(F.desc("_score_units"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("_score_units"), F.asc(id_col))
     return (
-        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             id_col,
@@ -2891,8 +2949,9 @@ def oov_rate_split(
     so any engine rebuilds the same set. Per held-out source: token
     count, OOV tokens, exact-ppm OOV rate.
 
-    Plan: one word-count aggregate on the train slice, a top-k window
-    over the vocabulary-sized count table, then an equi-join from the
+    Plan: one word-count aggregate on the train slice, a distributed
+    TakeOrdered (``orderBy().limit()``) over the vocabulary-sized
+    count table, then an equi-join from the
     held-out words to the vocab on the word key with a left anti
     semantics folded into one outer-join null check. No broadcast hint:
     a real vocabulary is corpus-scale — AQE picks the strategy.
@@ -2903,10 +2962,13 @@ def oov_rate_split(
     counts = words_train.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
-    w = Window.orderBy(F.desc("_c"), F.asc("word"))
+    # Distributed TakeOrdered, not a global row_number window: the
+    # count table is vocabulary-sized (≈ corpus-scale for raw crawls),
+    # and the rank column is never emitted — orderBy().limit() lets
+    # every partition keep only its own top slice.
     vocab = (
-        counts.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= vocab_size)
+        counts.orderBy(F.desc("_c"), F.asc("word"))
+        .limit(vocab_size)
         .select("word")
     )
     held = df.filter(F.col(id_col) >= split_id).select(
@@ -2982,7 +3044,12 @@ def doremi_mixture_step(
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(lnu).cast("decimal(38,0)").alias("_sln"),
+            # cast BEFORE the sum: per-word ln-units reach ~2.5e9, so a
+            # stratum beyond ~4e9 words would silently wrap an int64
+            # accumulator (Spark non-ANSI) while the DuckDB oracle sums
+            # BIGINT into HUGEINT — the decimal(38,0) accumulation is
+            # overflow-free at any corpus scale, matching the oracle.
+            F.sum(lnu.cast("decimal(38,0)")).alias("_sln"),
         )
     )
     docs = df.groupBy(F.col(strata_col).alias("stratum")).agg(

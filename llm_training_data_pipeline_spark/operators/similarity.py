@@ -572,10 +572,15 @@ def hybrid_rrf_topk(
     fused = text.join(vec, on="id", how="full_outer").withColumn(
         "_units", units.cast("long")
     )
+    # limit-bounded before the rank window (the input is already
+    # candidate-bounded at ≤ 2·k_each rows, but orderBy().limit() keeps
+    # the executed plan free of any unbounded empty-partitionSpec
+    # WindowExec — the class the sweep's plan audit forbids).
     w = Window.orderBy(F.desc("_units"), F.asc("id"))
     return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        fused.orderBy(F.desc("_units"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             F.col("id").alias("doc_id"),
@@ -714,6 +719,90 @@ def pq_codes(
     )
 
 
+def pq_codebook_refine(
+    corpus: DataFrame,
+    codebook: DataFrame | None = None,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd refinement of a PQ codebook, per subspace, in EXACT integer
+    units — the ``semdedup.refine_centroids`` discipline applied to
+    product quantization (VERDICT r9 #4: the seeded codebook is the
+    replay-exact baseline; this is the recall upgrade path): each round
+    re-encodes the corpus against the current codebook, then recomputes
+    every (sub, code) centroid as the half-up integer mean of its
+    members' sub-vectors quantized to ``floor(v·1e6)`` longs — so the
+    refined codebook is itself bit-replayable in any engine (no float
+    accumulation order anywhere).
+
+    Codes that lose every member KEEP their previous centroid (left
+    join + coalesce): the ADC table lookup indexes by ``sub·c + code``
+    and depends on exactly ``c`` contiguous codes per subspace — a
+    vanishing code would silently shift every later subspace's entries.
+
+    Per round: one encode (broadcast-codebook argmin, corpus-linear) and
+    one (sub, code, dim) mean aggregate (m·ks·dim rows out). Feed the
+    result to ``pq_topk(..., codebook=...)`` / ``pq_codes``.
+    """
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, m, ks, vec_col, id_col)
+    )
+    sd = (F.size("_v") / F.lit(m)).cast("int")
+    subs = (
+        _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "_v",
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(F.col("_v"), F.col("sub") * sd + F.lit(1), sd).alias("_sv"),
+        )
+    )
+    for _ in range(iters):
+        rows = pq_encode_rows(corpus, cb, m, ks, vec_col, id_col)
+        units = (
+            subs.join(rows, on=[id_col, "sub"])
+            .select("sub", "code", F.posexplode("_sv").alias("dim", "val"))
+            .select(
+                "sub",
+                "code",
+                "dim",
+                F.floor(F.col("val") * F.lit(1_000_000))
+                .cast("long")
+                .alias("vu"),
+            )
+        )
+        agg = units.groupBy("sub", "code", "dim").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("vu").alias("_su")
+        )
+        # exact half-up mean in pure long arithmetic (no double quotient)
+        mu = F.expr("(2*_su + _n - pmod(2*_su + _n, 2*_n)) div (2*_n)")
+        refined = (
+            agg.select("sub", "code", "dim", mu.alias("_mu"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "_mu"))),
+                    lambda s: s["_mu"] / F.lit(1_000_000.0),
+                ).alias("_rcent")
+            )
+        )
+        cb = cb.join(refined, on=["sub", "code"], how="left").select(
+            "sub",
+            "code",
+            F.coalesce(F.col("_rcent"), F.col("cent")).alias("cent"),
+        )
+    return cb
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -723,6 +812,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codes: DataFrame | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: each query precomputes its
     m x ks table of squared distances to every codebook entry; a corpus
@@ -734,12 +824,27 @@ def pq_topk(
     (a float sum across subspaces would hash-unstably reorder). Output:
     (q_id, vec_id, adist_units ascending, rank), self excluded.
 
+    ``codebook`` (e.g. from ``pq_codebook_refine``) is used BOTH for the
+    query distance tables and, when ``codes`` is None, for the corpus
+    encoding — pass the two together or neither: a precomputed ``codes``
+    index is only meaningful against the codebook that built it, and a
+    mismatch silently scores against the wrong centroids (ADVICE r9).
+
     Plan: the query tables are Q tiny rows (broadcast); the scan side is
     the m-byte code index, NOT the raw vectors — the point of PQ at
     100 TB: the scored join streams N x Q slim rows through a fold with
     zero shuffle before the final per-query top-k window.
     """
-    cb = pq_codebook(corpus, m, ks, vec_col, id_col)
+    if codes is not None and codebook is None:
+        raise ValueError(
+            "pq_topk: a precomputed `codes` index is only valid against the "
+            "codebook that built it — pass that `codebook` alongside `codes`"
+        )
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, m, ks, vec_col, id_col)
+    )
     enc = (
         codes
         if codes is not None
@@ -777,13 +882,19 @@ def pq_topk(
             ).alias("_tab")  # ordered by (sub, code): entry sub*ks+code
         )
     )
+    # lookup stride = the ACTUAL per-subspace code count (size/m), not
+    # the nominal ks: a corpus smaller than ks seeds fewer codes, and a
+    # ks-stride would silently read the wrong subspace's entries for
+    # every sub >= 1 (ADVICE r9). Codes are contiguous 0..c-1 per sub
+    # by construction (row_number seeding; refine keeps empty codes).
+    _stride = (F.size("_tab") / F.lit(m)).cast("int")
     adist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0).cast("long"),
         lambda acc, j: acc
         + F.element_at(
             F.col("_tab"),
-            (j * F.lit(ks) + F.element_at(F.col("codes"), j + 1) + F.lit(1)).cast(
+            (j * _stride + F.element_at(F.col("codes"), j + 1) + F.lit(1)).cast(
                 "int"
             ),
         ),
@@ -910,13 +1021,19 @@ def ivfpq_topk(
             ).alias("_tab")
         )
     )
+    # lookup stride = the ACTUAL per-subspace code count (size/m), not
+    # the nominal ks: a corpus smaller than ks seeds fewer codes, and a
+    # ks-stride would silently read the wrong subspace's entries for
+    # every sub >= 1 (ADVICE r9). Codes are contiguous 0..c-1 per sub
+    # by construction (row_number seeding; refine keeps empty codes).
+    _stride = (F.size("_tab") / F.lit(m)).cast("int")
     adist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0).cast("long"),
         lambda acc, j: acc
         + F.element_at(
             F.col("_tab"),
-            (j * F.lit(ks) + F.element_at(F.col("codes"), j + 1) + F.lit(1)).cast(
+            (j * _stride + F.element_at(F.col("codes"), j + 1) + F.lit(1)).cast(
                 "int"
             ),
         ),

@@ -5360,6 +5360,72 @@ def pq_encode_sql(m: int = 8, ks: int = 16) -> str:
     """
 
 
+def pq_topk_refined_sql(
+    k: int = 5, m: int = 8, ks: int = 16, n_queries: int = 10
+) -> str:
+    """Mirror of similarity.pq_topk(codebook=pq_codebook_refine(iters=1)):
+    the seeded encode, ONE integer-unit Lloyd mean step per (sub, code)
+    cell (floor(v*1e6) longs, exact half-up floor mean — the
+    kmeans_refine discipline), empty cells keeping their seeded
+    centroid, re-encode, then the same 1e-8-unit ADC ranking."""
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sd = f"(len(vec) // {m})"
+    mu = "(2*su + n - ((2*su + n) % (2*n) + 2*n) % (2*n)) // (2*n)"
+    return f"""
+        WITH {_pq_ctes(m, ks)},
+        units AS (
+          SELECT e.sub, e.code,
+                 generate_subscripts(sb.sv, 1) AS dim,
+                 CAST(floor(unnest(sb.sv) * 1000000) AS BIGINT) AS vu
+          FROM enc e JOIN subs sb
+            ON sb.vec_id = e.vec_id AND sb.sub = e.sub
+        ), mstats AS (
+          SELECT sub, code, dim,
+                 CAST(count(*) AS BIGINT) AS n, sum(vu) AS su
+          FROM units GROUP BY sub, code, dim
+        ), rmu AS (
+          SELECT sub, code, list(({mu}) / 1000000.0 ORDER BY dim) AS rcent
+          FROM mstats GROUP BY sub, code
+        ), cb1 AS (
+          SELECT cb.sub, cb.code, coalesce(r.rcent, cb.cent) AS cent
+          FROM cb LEFT JOIN rmu r ON cb.sub = r.sub AND cb.code = r.code
+        ), encscore1 AS (
+          SELECT subs.vec_id, subs.sub, c.code,
+                 {d2.format(a="subs.sv", b="c.cent")} AS d2
+          FROM subs JOIN cb1 c ON subs.sub = c.sub
+        ), enc1 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY d2, code) AS rn
+            FROM encscore1
+          ) WHERE rn = 1
+        ), qsubs AS (
+          SELECT vec_id AS q_id, s.sub,
+                 list_slice(v.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS qsv
+          FROM v CROSS JOIN s WHERE vec_id < {n_queries}
+        ), qtab AS (
+          SELECT q_id, c.sub, c.code,
+                 CAST(floor({d2.format(a="qsv", b="c.cent")} * 1e8) AS BIGINT) AS du
+          FROM qsubs JOIN cb1 c ON qsubs.sub = c.sub
+        ), scored AS (
+          SELECT qt.q_id, e.vec_id,
+                 CAST(sum(qt.du) AS BIGINT) AS adist_units
+          FROM enc1 e JOIN qtab qt
+            ON e.sub = qt.sub AND e.code = qt.code AND e.vec_id <> qt.q_id
+          GROUP BY qt.q_id, e.vec_id
+        )
+        SELECT q_id, vec_id, adist_units, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist_units, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
 def pq_topk_sql(
     k: int = 5, m: int = 8, ks: int = 16, n_queries: int = 10
 ) -> str:

@@ -396,3 +396,145 @@ def test_pq_bucket_dedup_groups_identical_and_near_identical(spark):
     assert row["removable"] >= 2  # 101 and 102 collapse onto 100's cell
     assert row["n_buckets"] < 20
     assert row["removable_ppm"] == row["removable"] * 1_000_000 // 20
+
+
+def test_pq_refined_codebook_recall_not_worse(spark):
+    """VERDICT r9 #4: one exact-integer Lloyd step over the seeded
+    codebook must not LOSE recall@10 vs the seeded baseline — pinned on
+    both the clustered fixture (0.44 -> 0.45 measured) and the
+    near-random testdata (0.31 -> 0.34 measured), so the refine path
+    can't silently regress into a recall downgrade."""
+    import hashlib
+
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        pq_codebook_refine,
+        pq_topk,
+    )
+
+    def noise(i, j):
+        b = hashlib.md5(f"{i}:{j}".encode()).digest()
+        return (b[0] / 255.0 - 0.5) * 0.1
+
+    dim = 16
+    centers = [[(1.0 if d % 4 == c else 0.1) for d in range(dim)] for c in range(4)]
+    clustered = spark.createDataFrame(
+        [(i, [centers[i % 4][d] + noise(i, d) for d in range(dim)])
+         for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rec(corpus, qn, m, ks, cb):
+        q = corpus.filter(F.col("vec_id") < qn)
+        exact = brute_force_topk(corpus, q, k=10).select("q_id", "vec_id")
+        a = pq_topk(corpus, q, k=10, m=m, ks=ks, codebook=cb)
+        return ann_recall(exact, a.select("q_id", "vec_id")).collect()[0][
+            "recall"
+        ]
+
+    seeded_c = rec(clustered, 10, 4, 8, None)
+    refined_c = rec(
+        clustered, 10, 4, 8, pq_codebook_refine(clustered, m=4, ks=8, iters=1)
+    )
+    assert refined_c >= seeded_c, (refined_c, seeded_c)
+
+    rnd = load_table(spark, "embeddings", SF_DIR)
+    seeded_r = rec(rnd, 10, 8, 16, None)
+    refined_r = rec(
+        rnd, 10, 8, 16, pq_codebook_refine(rnd, m=8, ks=16, iters=1)
+    )
+    assert refined_r >= seeded_r, (refined_r, seeded_r)
+    assert refined_r >= 0.25
+
+
+def test_pq_refined_codebook_keeps_shape(spark):
+    """Refinement must return EXACTLY m x ks contiguous (sub, code) rows
+    (empty cells keep their seed centroid) — the ADC lookup indexes by
+    sub*c + code and a vanished code would shift every later subspace's
+    entries."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_codebook_refine,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    cb = pq_codebook_refine(emb, m=8, ks=16, iters=1)
+    rows = cb.collect()
+    assert len(rows) == 8 * 16
+    assert {(r["sub"], r["code"]) for r in rows} == {
+        (s, c) for s in range(8) for c in range(16)
+    }
+
+
+def test_pq_topk_small_corpus_stride_exact(spark):
+    """ADVICE r9: with fewer corpus vectors than ks the codebook has
+    fewer codes per subspace — the ADC stride must derive from the
+    ACTUAL codebook size, verified here against a brute-force python
+    replay of the table lookups."""
+    import hashlib
+    import math
+
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes,
+        pq_topk,
+    )
+
+    def comp(i, j):
+        b = hashlib.md5(f"v{i}:{j}".encode()).digest()
+        return b[0] / 255.0 - 0.5
+
+    m, ks, dim = 4, 8, 16
+    tiny = spark.createDataFrame(
+        [(i, [comp(i, d) for d in range(dim)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    tq = tiny.filter(F.col("vec_id") < 2)
+    got: dict[int, list] = {}
+    for r in pq_topk(tiny, tq, k=3, m=m, ks=ks).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["adist_units"]))
+
+    sd = dim // m
+    cbmap = {
+        (r["sub"], r["code"]): r["cent"]
+        for r in pq_codebook(tiny, m=m, ks=ks).collect()
+    }
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq_codes(tiny, None, m=m, ks=ks).collect()
+    }
+    for r in tq.collect():
+        qid, qv = r["vec_id"], r["embedding"]
+        tab = {
+            (sub, code): math.floor(
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qv[sub * sd:(sub + 1) * sd], cent)
+                )
+                * 1e8
+            )
+            for (sub, code), cent in cbmap.items()
+        }
+        exp = sorted(
+            (sum(tab[(j, cds[j])] for j in range(m)), vid)
+            for vid, cds in codes.items()
+            if vid != qid
+        )[:3]
+        assert sorted(got[qid]) == [
+            (i + 1, vid, du) for i, (du, vid) in enumerate(exp)
+        ], qid
+
+
+def test_pq_topk_codes_without_codebook_raises(spark):
+    """A precomputed codes index without its codebook would silently
+    score against freshly seeded centroids — must raise instead."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_codes,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 2)
+    codes = pq_codes(emb, None, m=8, ks=16)
+    with pytest.raises(ValueError, match="codebook"):
+        pq_topk(emb, q, k=3, m=8, ks=16, codes=codes)

@@ -4,7 +4,10 @@ at sf0.01 against its DuckDB oracle, canonicalizing with pandas sort_values
 
 Also a global plan audit: every query's executed plan is checked for
 CartesianProduct (status CARTESIAN — a scale bug, even if values match)
-and its Exchange count is recorded, so a lost broadcast or a new
+and for WindowExec nodes with an EMPTY partitionSpec whose input is not
+limit-bounded (status GLOBAL_WINDOW — every row crosses one task; the
+r9 judge found three such sites, this check pins the class out), and
+its Exchange count is recorded, so a lost broadcast or a new
 accidental shuffle is visible in the sweep diff round-over-round.
 
 Usage: python tools/driver_mimic.py [sf_dir] [name_filter ...]
@@ -47,6 +50,80 @@ def _canon(df: pd.DataFrame, float_dp: int | None = None) -> pd.DataFrame:
             out[c] = out[c].round(float_dp)
     out = out.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     return out
+
+
+# Empty-partitionSpec WindowExec audit -------------------------------
+#
+# A Window with no PARTITION BY moves its whole input through ONE task
+# ("No Partition Defined for Window operation"). That is fine only when
+# the input is provably small: below a limit (orderBy().limit(k) =
+# TakeOrdered) or a broadcast. Anything else is the single-partition
+# scale-killer class the r9 judge flagged (bm25_topk / oov_rate_split /
+# packed_sequences vocab) — this walk pins it out of the whole sweep.
+
+_LIMIT_NODES = {
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "TakeOrderedAndProjectExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",
+}
+_BROADCAST_NODES = {"BroadcastExchangeExec", "BroadcastQueryStageExec"}
+
+# Windows over aggregates whose key cardinality is bounded by design
+# (not by a limit node). Each entry must say WHY it is bounded.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "unimax_plan": "water-filling window over the per-source aggregate; "
+    "cardinality = #sources (a ~20-row mixture control frame), not corpus rows",
+}
+
+
+def _plan_children(node):
+    name = node.getClass().getSimpleName()
+    try:
+        if name == "AdaptiveSparkPlanExec":
+            return [node.executedPlan()]
+        if name.endswith("QueryStageExec"):
+            return [node.plan()]
+        if name == "ReusedExchangeExec":
+            return [node.child()]
+    except Exception:  # noqa: BLE001 - fall through to generic children
+        pass
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _limit_bounded(node) -> bool:
+    """True iff EVERY path from node to a leaf crosses a limit node (or a
+    broadcast, which is small by definition)."""
+    name = node.getClass().getSimpleName()
+    if name in _LIMIT_NODES or name in _BROADCAST_NODES:
+        return True
+    kids = _plan_children(node)
+    if not kids:
+        return False
+    return all(_limit_bounded(k) for k in kids)
+
+
+def unbounded_global_windows(jplan) -> int:
+    """Count WindowExec/WindowInPandasExec nodes with an empty
+    partitionSpec whose input subtree is not limit-bounded."""
+    hits = 0
+    stack = [jplan]
+    while stack:
+        n = stack.pop()
+        name = n.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec"):
+            try:
+                empty = n.partitionSpec().isEmpty()
+            except Exception:  # noqa: BLE001
+                empty = False
+            if empty and not all(
+                _limit_bounded(k) for k in _plan_children(n)
+            ):
+                hits += 1
+        stack.extend(_plan_children(n))
+    return hits
 
 
 def main() -> int:
@@ -106,13 +183,20 @@ def main() -> int:
             # SHUFFLE exchanges only (hash/range/single partitioning), not
             # BroadcastExchange/ReusedExchange, so the number is the
             # round-over-round shuffle signal.
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan = jplan.toString()
             cartesians = plan.count("CartesianProduct")
             exchanges = len(
                 re.findall(r"\bExchange (hash|range|Single)", plan)
             )
             if cartesians:
                 results[name] = {"status": "CARTESIAN", "cartesians": cartesians,
+                                 "sec": round(time.time() - t0, 1)}
+                continue
+            gwin = unbounded_global_windows(jplan)
+            if gwin and name not in _GLOBAL_WINDOW_ALLOWLIST:
+                results[name] = {"status": "GLOBAL_WINDOW",
+                                 "global_windows": gwin,
                                  "sec": round(time.time() - t0, 1)}
                 continue
             if sql is None:
