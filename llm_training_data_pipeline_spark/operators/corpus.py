@@ -2323,6 +2323,38 @@ def _resolve_diversity_mode(n_docs: int, exact_max_docs: int) -> str:
     return "exact" if n_docs <= exact_max_docs else "approx"
 
 
+# Logical-plan nodes under which a count() is one cheap scan action
+# (projection/alias shuffle-free wrappers over a relation — including
+# load_table's small-scan repartition guard). Anything else (a join, an
+# aggregate, a filter, a generate) means counting would execute the
+# full upstream plan just to pick a dispatch path.
+_CHEAP_COUNT_NODES = {
+    "Project",
+    "SubqueryAlias",
+    "LogicalRelation",
+    "DataSourceV2Relation",
+    "DataSourceV2ScanRelation",
+    "LocalRelation",
+    "Repartition",
+    "RepartitionByExpression",
+    "ResolvedHint",
+}
+
+
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff the frame's optimized plan is only cheap-count nodes —
+    the gate that keeps ``mode='auto'`` from silently executing a whole
+    derived pipeline once for its row count (ADVICE r9)."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() not in _CHEAP_COUNT_NODES:
+            return False
+        seq = n.children()
+        stack.extend(seq.apply(i) for i in range(seq.size()))
+    return True
+
+
 def ngram_diversity(
     df: DataFrame,
     text_col: str = "text",
@@ -2339,10 +2371,15 @@ def ngram_diversity(
     to the per-doc repetition battery (quality.py Q6).
 
     ``mode`` is the r8-verdict size gate (the SemDeDup auto-k pattern):
-    ``"auto"`` (default) counts the frame — one cheap action, parquet
-    row-group metadata on a bare scan — and dispatches to ``"exact"``
+    ``"auto"`` (default) counts BARE SCANS only — one cheap action,
+    parquet row-group metadata — and dispatches to ``"exact"``
     (``count_distinct``) at or below ``exact_max_docs`` documents and to
-    ``"approx"`` (HLL++, ``approx_count_distinct(rsd)``) above. The two
+    ``"approx"`` (HLL++, ``approx_count_distinct(rsd)``) above. On a
+    DERIVED frame (joins/filters/aggregates upstream) auto goes straight
+    to ``"approx"`` — counting there would execute the whole upstream
+    plan once just to dispatch, and a count hovering near the gate would
+    flap the output fidelity run to run (ADVICE r9); pass ``mode=``
+    explicitly to force a path. The two
     paths emit the SAME schema; only the fidelity of ``distinct_grams``
     (and thus ``diversity_ppm``) differs. The exact path's shuffle ships
     every distinct gram string to its reducer — at corpus scale the
@@ -2372,7 +2409,16 @@ def ngram_diversity(
     if mode not in ("auto", "exact", "approx"):
         raise ValueError(f"mode must be 'auto', 'exact' or 'approx': {mode!r}")
     if mode == "auto":
-        mode = _resolve_diversity_mode(df.count(), exact_max_docs)
+        # count only when the frame is a bare scan (one cheap action);
+        # on a DERIVED frame a count() would execute the full upstream
+        # plan just to pick the dispatch path — go straight to the
+        # scale-safe sketch instead; callers who want the exact path on
+        # a derived frame pass mode="exact" explicitly (ADVICE r9).
+        mode = (
+            _resolve_diversity_mode(df.count(), exact_max_docs)
+            if _is_bare_scan(df)
+            else "approx"
+        )
     toks_sz = F.size(whitespace_tokens(F.lower(F.col(text_col))))
     totals = df.groupBy(by).agg(
         *[

@@ -1523,17 +1523,26 @@ def split_leakage_stats(
     this). One row per unordered split combination: pair count, distinct
     docs involved, and the ``is_leak`` flag (different splits).
 
+    Docs missing from ``splits`` surface as the ``(untagged)`` split
+    value instead of silently dropping their pairs — an inner join here
+    would undercount in exactly the audit meant to catch silent leakage
+    (ADVICE r9); an ``(untagged)``-involving row is a coverage bug to
+    chase, not a pair to hide.
+
     Plan: the pair table (near-dups only — tiny next to the corpus)
-    joins the split tags on each side, then two hash aggregates; the
-    docs-involved count explodes the 2-element id array per pair, so
+    left-joins the split tags on each side, then two hash aggregates;
+    the docs-involved count explodes the 2-element id array per pair, so
     nothing scales beyond the pair volume already paid for.
     """
     a = splits.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa"))
     b = splits.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb"))
+    untag = F.lit("(untagged)")
     tagged = (
         pairs.select("id_a", "id_b")
-        .join(a, on="id_a")
-        .join(b, on="id_b")
+        .join(a, on="id_a", how="left")
+        .join(b, on="id_b", how="left")
+        .withColumn("_sa", F.coalesce("_sa", untag))
+        .withColumn("_sb", F.coalesce("_sb", untag))
         .select(
             F.least("_sa", "_sb").alias("split_lo"),
             F.greatest("_sa", "_sb").alias("split_hi"),

@@ -2522,6 +2522,112 @@ def ann_recall_report_sql(
     return "WITH " + ",\n        ".join(ctes) + "\n        " + body
 
 
+def ann_recall_unified_sql(
+    k: int = 10,
+    n_queries: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    num_planes: int = 4,
+    num_tables: int = 8,
+) -> str:
+    """Replay of the unified ANN recall table (VERDICT r9 #7): every
+    index family — brute (sanity 1.0), OR-amplified LSH, seeded IVF,
+    PQ/ADC, Lloyd-refined PQ, IVF+PQ and its residual variant — against
+    ONE exact ground truth, each family's ranking rebuilt by its own
+    existing oracle SQL inlined as a subquery (single source of truth
+    per family; the budget strings are shared literals with the Spark
+    side)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        table_seed,
+    )
+
+    cos = """CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+             ELSE list_sum(list_transform(list_zip(q.vec, c.vec),
+                    p -> p[1] * p[2])) / (q.nrm * c.nrm) END"""
+    recall = (
+        "CAST(floor((hits * 20000 + expected) / (expected * 2.0)) AS BIGINT)"
+        " / 10000.0"
+    )
+    buckets = ", ".join(
+        f"{_hyperplane_bucket_expr(num_planes, dim, table_seed(seed, t))} AS b{t}"
+        for t in range(num_tables)
+    )
+    on = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+    lsh = f"""
+        WITH lv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), bk AS (SELECT vec_id, vec, nrm, {buckets} FROM lv)
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS rank
+          FROM (
+            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   round({cos}, 6) AS cosine
+            FROM bk q JOIN bk c ON ({on}) AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {n_queries}
+          )
+        ) WHERE rank <= {k}
+    """
+    legs = [
+        ("brute", "full scan", "SELECT q_id, vec_id FROM exact"),
+        (f"lsh_p{num_planes}_t{num_tables}",
+         f"{num_tables} tables / 2^{num_planes} buckets", lsh),
+        (f"ivf_c{n_clusters}_p{n_probe}", f"{n_probe}/{n_clusters} lists",
+         ivf_topk_seeded_sql(k, n_clusters, n_probe, n_queries)),
+        (f"pq_m{m}_ks{ks}", "full scan, m-byte codes",
+         pq_topk_sql(k, m, ks, n_queries)),
+        (f"pq_refined_m{m}_ks{ks}", "full scan, m-byte codes",
+         pq_topk_refined_sql(k, m, ks, n_queries)),
+        (f"ivfpq_c{n_clusters}_p{n_probe}",
+         f"{n_probe}/{n_clusters} lists, m-byte codes",
+         ivfpq_topk_sql(k, n_clusters, n_probe, m, ks, n_queries)),
+        (f"ivfpq_resid_c{n_clusters}_p{n_probe}",
+         f"{n_probe}/{n_clusters} lists, m-byte codes",
+         ivfpq_topk_sql(k, n_clusters, n_probe, m, ks, n_queries,
+                        by_residual=True)),
+    ]
+    selects = []
+    for name, budget, sql in legs:
+        selects.append(f"""
+        SELECT '{name}' AS method, '{budget}' AS budget,
+               CAST(hits AS BIGINT) AS hits,
+               CAST(expected AS BIGINT) AS expected,
+               {recall} AS recall
+        FROM (
+          SELECT count(*) AS hits
+          FROM (SELECT q_id, vec_id FROM ({sql}) _a) a
+          JOIN exact e USING (q_id, vec_id)
+        ) CROSS JOIN exp_cnt""")
+    body = "\n        UNION ALL\n        ".join(selects)
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {n_queries}
+          ) WHERE rank <= {k}
+        ), exp_cnt AS (SELECT count(*) AS expected FROM exact)
+        {body}
+    """
+
+
 def duplicated_span_stats_sql(window: int = 8) -> str:
     """Mirror of corpus.duplicated_span_stats: per-doc fraction of
     ``window``-token spans appearing verbatim in >= 2 distinct docs.
@@ -5653,12 +5759,14 @@ def split_leakage_sql(
                       ELSE 'train' END AS split
           FROM documents
         ), tagged AS (
-          SELECT least(a.split, b.split) AS split_lo,
-                 greatest(a.split, b.split) AS split_hi,
+          SELECT least(coalesce(a.split, '(untagged)'),
+                       coalesce(b.split, '(untagged)')) AS split_lo,
+                 greatest(coalesce(a.split, '(untagged)'),
+                          coalesce(b.split, '(untagged)')) AS split_hi,
                  p.id_a, p.id_b
           FROM pairs p
-          JOIN spl a ON p.id_a = a.doc_id
-          JOIN spl b ON p.id_b = b.doc_id
+          LEFT JOIN spl a ON p.id_a = a.doc_id
+          LEFT JOIN spl b ON p.id_b = b.doc_id
         ), np AS (
           SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
           FROM tagged GROUP BY split_lo, split_hi

@@ -219,6 +219,9 @@ _CHANGED_IN_ROUND.update(
         "ivfpq_topk": 10,
         "ivfpq_topk_residual": 10,
         "doremi_mixture_step": 10,
+        # r10: untagged docs surface as '(untagged)' instead of being
+        # inner-join-dropped (ADVICE r9) — both engines changed
+        "split_leakage_stats": 10,
     }
 )
 
@@ -326,6 +329,32 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cached_minhash_signatures(
         _t(spark, sf_dir, "documents"), cfg=_MD5_CFG, cache_key=sf_dir
     )
+
+
+# The ANN recall family (ann_recall_report / pq_recall / ann_recall_ivf /
+# ann_recall_unified) scores against the SAME brute-force top-10 ground
+# truth; compute + materialize it once per (session, sf_dir) — the
+# signature-store discipline applied to recall audits (VERDICT r9 #6).
+_ANN_GT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ann_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    gt = _ANN_GT_CACHE.get(key)
+    if gt is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        gt = (
+            brute_force_topk(emb, queries, k=10)
+            .select("q_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        _ANN_GT_CACHE[key] = gt
+    return gt
 
 
 def _units(col, scale: int = 4):
@@ -660,29 +689,93 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper + lower recall; more tables = OR-amplification = recall back
     up at linear cost)."""
     from llm_training_data_pipeline_spark.operators.similarity import (
-        RECALL_REPORT_METHODS,
+        ann_lsh_recall_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # ground truth from the session store (shared with pq_recall /
+    # ann_recall_ivf / ann_recall_unified); the bucket index is ONE scan
+    # shared by all configs and every method flows through one join /
+    # window / aggregate (VERDICT r9 #6 — the per-config ann_lsh_topk
+    # composition ran ~20 tiny stages and re-evaluated shared plane
+    # families up to 4x)
+    return ann_lsh_recall_report(emb, _ann_gt(spark, sf_dir), k=10, n_queries=10)
+
+
+@register(
+    "ann_recall_unified",
+    oracle.ann_recall_unified_sql(k=10, n_queries=10),
+)
+def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ANN audit table (VERDICT r9 #7): recall@10 of every index
+    family — brute (sanity 1.0), OR-amplified LSH, seeded IVF, PQ/ADC,
+    Lloyd-refined PQ, IVF+PQ raw and residual — against one shared
+    ground truth, with the candidate budget each method spends spelled
+    out per row. The single table a 100-TB ANN user reads to pick the
+    recall/cost point; every leg is the production operator itself, and
+    the whole table hash-checks against the composed DuckDB replay."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
         ann_lsh_topk,
         ann_recall,
-        brute_force_topk,
+        ivf_topk_seeded,
+        ivfpq_topk,
+        pq_codebook_refine,
+        pq_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    # materialize the ground truth once: the union re-reads it per method
-    # (hits join + expected count), ~10 recomputes of the brute-force
-    # subplan otherwise
-    exact = (
-        brute_force_topk(emb, queries, k=10)
-        .select("q_id", "vec_id")
-        .localCheckpoint(eager=True)
-    )
+    exact = _ann_gt(spark, sf_dir)
+    legs: list[tuple[str, str, DataFrame]] = [
+        ("brute", "full scan", exact),
+        (
+            "lsh_p4_t8",
+            "8 tables / 2^4 buckets",
+            ann_lsh_topk(emb, queries, k=10, num_planes=4, num_tables=8),
+        ),
+        (
+            "ivf_c16_p3",
+            "3/16 lists",
+            ivf_topk_seeded(emb, queries, k=10, n_clusters=16, n_probe=3),
+        ),
+        (
+            "pq_m8_ks16",
+            "full scan, m-byte codes",
+            pq_topk(emb, queries, k=10, m=8, ks=16),
+        ),
+        (
+            "pq_refined_m8_ks16",
+            "full scan, m-byte codes",
+            pq_topk(
+                emb,
+                queries,
+                k=10,
+                m=8,
+                ks=16,
+                codebook=pq_codebook_refine(emb, m=8, ks=16, iters=1),
+            ),
+        ),
+        (
+            "ivfpq_c16_p3",
+            "3/16 lists, m-byte codes",
+            ivfpq_topk(emb, queries, k=10, n_clusters=16, n_probe=3),
+        ),
+        (
+            "ivfpq_resid_c16_p3",
+            "3/16 lists, m-byte codes",
+            ivfpq_topk(
+                emb, queries, k=10, n_clusters=16, n_probe=3, by_residual=True
+            ),
+        ),
+    ]
     out: DataFrame | None = None
-    for method, num_planes, num_tables in RECALL_REPORT_METHODS:
-        approx = ann_lsh_topk(
-            emb, queries, k=10, num_planes=num_planes, num_tables=num_tables
-        ).select("q_id", "vec_id")
-        row = ann_recall(exact, approx).select(
-            F.lit(method).alias("method"), "hits", "expected", "recall"
+    for method, budget, approx in legs:
+        row = ann_recall(exact, approx.select("q_id", "vec_id")).select(
+            F.lit(method).alias("method"),
+            F.lit(budget).alias("budget"),
+            "hits",
+            "expected",
+            "recall",
         )
         out = row if out is None else out.unionByName(row)
     assert out is not None
@@ -696,13 +789,12 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor is pinned by pytest instead)."""
     from llm_training_data_pipeline_spark.operators.similarity import (
         ann_recall,
-        brute_force_topk,
         ivf_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    exact = _ann_gt(spark, sf_dir)
     approx = ivf_topk(emb, queries, k=10, n_clusters=16, n_probe=3).select(
         "q_id", "vec_id"
     )
@@ -4390,13 +4482,12 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r9 third wave — was rows-only)."""
     from llm_training_data_pipeline_spark.operators.similarity import (
         ann_recall,
-        brute_force_topk,
         pq_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, queries, k=10).select("q_id", "vec_id")
+    exact = _ann_gt(spark, sf_dir)
     approx = pq_topk(emb, queries, k=10, m=8, ks=16).select("q_id", "vec_id")
     return ann_recall(exact, approx)
 

@@ -1475,3 +1475,36 @@ def test_unimax_water_filling_semantics(spark):
     }
     for src, r in rows2.items():
         assert r["alloc_tokens"] == r["cap_tokens"], src
+
+
+def test_ngram_diversity_auto_counts_only_bare_scans(spark):
+    """ADVICE r9: auto mode must not execute a derived upstream plan
+    just to pick a dispatch path — bare scans count (exact at test
+    scale), derived frames go straight to the sketch."""
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    assert corpus._is_bare_scan(docs)
+    assert corpus._is_bare_scan(docs.select("source", "text"))
+    derived = docs.join(
+        docs.select(F.col("doc_id").alias("doc_id")), on="doc_id"
+    )
+    assert not corpus._is_bare_scan(derived)
+    assert not corpus._is_bare_scan(docs.filter(F.col("doc_id") > 5))
+    # derived + auto → approx plan (HLL++ visible in the plan text)
+    plan = (
+        corpus.ngram_diversity(derived, ns=(1,))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "approx_count_distinct" in plan
+    # bare scan + auto at test scale → exact
+    plan2 = (
+        corpus.ngram_diversity(docs, ns=(1,))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "approx_count_distinct" not in plan2

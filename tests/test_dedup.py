@@ -572,3 +572,27 @@ def test_split_leakage_flags_cross_split_twins(spark):
     assert rows[("test", "train")]["n_docs"] == 2
     assert rows[("train", "train")]["is_leak"] is False
     assert rows[("test", "val")]["is_leak"] is True
+
+
+def test_split_leakage_surfaces_untagged_docs(spark):
+    """ADVICE r9: a pair whose doc is missing from the split table must
+    appear under '(untagged)' (flagged as a leak row when the other side
+    is tagged) — never silently vanish from the leakage audit."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        split_leakage_stats,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (3, 9)], "id_a long, id_b long")
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test")], "doc_id long, split string"
+    )
+    rows = {
+        (r["split_lo"], r["split_hi"]): r
+        for r in split_leakage_stats(pairs, splits).collect()
+    }
+    assert ("(untagged)", "test") in rows, rows
+    assert rows[("(untagged)", "test")]["n_pairs"] == 1
+    assert rows[("(untagged)", "test")]["is_leak"] is True
+    assert rows[("train", "train")]["n_pairs"] == 1
+    # total pairs conserved: nothing dropped
+    assert sum(r["n_pairs"] for r in rows.values()) == 2

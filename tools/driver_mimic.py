@@ -105,9 +105,38 @@ def _limit_bounded(node) -> bool:
     return all(_limit_bounded(k) for k in kids)
 
 
-def unbounded_global_windows(jplan) -> int:
+def _has_global_window_line(plan_str: str) -> bool:
+    """Cheap string prescan: a WindowExec with an EMPTY partitionSpec
+    prints as ``Window [exprs], [orderSpec]`` — two top-level bracket
+    groups instead of three. Only when one exists is the (py4j-costly)
+    tree walk worth running; most plans skip it entirely."""
+    for line in plan_str.splitlines():
+        idx = line.find("Window [")
+        if idx < 0 or "WindowGroupLimit" in line:
+            continue
+        groups = 0
+        depth = 0
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups <= 2:
+            return True
+    return False
+
+
+def unbounded_global_windows(jplan, plan_str: str | None = None) -> int:
     """Count WindowExec/WindowInPandasExec nodes with an empty
-    partitionSpec whose input subtree is not limit-bounded."""
+    partitionSpec whose input subtree is not limit-bounded. The py4j
+    tree walk costs ~1ms per node, so it only runs when the string
+    prescan sees a candidate line."""
+    if plan_str is None:
+        plan_str = jplan.toString()
+    if not _has_global_window_line(plan_str):
+        return 0
     hits = 0
     stack = [jplan]
     while stack:
@@ -193,7 +222,7 @@ def main() -> int:
                 results[name] = {"status": "CARTESIAN", "cartesians": cartesians,
                                  "sec": round(time.time() - t0, 1)}
                 continue
-            gwin = unbounded_global_windows(jplan)
+            gwin = unbounded_global_windows(jplan, plan)
             if gwin and name not in _GLOBAL_WINDOW_ALLOWLIST:
                 results[name] = {"status": "GLOBAL_WINDOW",
                                  "global_windows": gwin,
