@@ -1046,6 +1046,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     by_residual: bool = False,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ — the flagship production ANN index shape (FAISS
     ``IVFx,PQy`` with ``by_residual=false``): the seeded coarse
@@ -1084,12 +1085,24 @@ def ivfpq_topk(
             "cluster",
             F.zip_with("_v", "_cv", lambda a, b: a - b).alias("_resid"),
         )
-        cb = pq_codebook(resid, m, ks, "_resid", id_col)
+        # an external codebook must be RESIDUAL-conditioned (e.g.
+        # pq_codebook_refine over this same resid frame) — raw-space
+        # centroids would silently mis-rank; same contract as pq_topk's
+        # codes/codebook pairing (ADVICE r9)
+        cb = (
+            codebook
+            if codebook is not None
+            else pq_codebook(resid, m, ks, "_resid", id_col)
+        )
         index = pq_codes(resid, cb, m, ks, "_resid", id_col).join(
             resid.select(id_col, "cluster"), on=id_col
         )
     else:
-        cb = pq_codebook(corpus, m, ks, vec_col, id_col)
+        cb = (
+            codebook
+            if codebook is not None
+            else pq_codebook(corpus, m, ks, vec_col, id_col)
+        )
         index = pq_codes(corpus, cb, m, ks, vec_col, id_col).join(
             assigned.select(id_col, "cluster"), on=id_col
         )

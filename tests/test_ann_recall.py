@@ -538,3 +538,26 @@ def test_pq_topk_codes_without_codebook_raises(spark):
     codes = pq_codes(emb, None, m=8, ks=16)
     with pytest.raises(ValueError, match="codebook"):
         pq_topk(emb, q, k=3, m=8, ks=16, codes=codes)
+
+
+def test_ivfpq_accepts_refined_codebook(spark):
+    """ADVICE r9 follow-through: ivfpq_topk accepts an external codebook
+    (refined in RAW space when by_residual=False); full probe with the
+    refined codebook must equal pq_topk with the same codebook exactly
+    — the list routing still adds no approximation of its own."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_codebook_refine,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 5)
+    cb = pq_codebook_refine(emb, m=8, ks=16, iters=1)
+    full = ivfpq_topk(
+        emb, q, k=10, n_clusters=8, n_probe=8, codebook=cb
+    )
+    flat = pq_topk(emb, q, k=10, m=8, ks=16, codebook=cb)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
