@@ -845,6 +845,56 @@ def pq_codes(
     )
 
 
+def collect_pq_codebook(cb: DataFrame) -> list[list[list[float]]]:
+    """Collect a ``pq_codebook``/``pq_codebook_refine`` frame to the
+    nested driver literal ``codebook[sub][code] = centroid`` that
+    ``pq_encode_expr`` embeds — m·ks·sd doubles (8·16·8 = 1 KiB at the
+    defaults), control-plane only."""
+    rows = cb.collect()
+    m = 1 + max(r["sub"] for r in rows)
+    out: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
+        if r["code"] != len(out[r["sub"]]):
+            raise ValueError(
+                "codebook codes must be contiguous per subspace "
+                f"(sub {r['sub']} jumps to code {r['code']})"
+            )
+        out[r["sub"]].append([float(x) for x in r["cent"]])
+    return out
+
+
+def pq_encode_expr(vec: Column, codebook: list[list[list[float]]]) -> Column:
+    """Row-local PQ encode: ``codes array<int>`` for one vector from a
+    DRIVER-LITERAL codebook — no join, no aggregate, so it runs
+    STATELESS in Structured Streaming: the production shape where the
+    codebook is trained offline (``pq_codebook`` / ``pq_codebook_refine``
+    → ``collect_pq_codebook``) and a 100-TB embedding stream is encoded
+    to m-byte codes on ingest, appending to the ANN index with zero
+    state.
+
+    Bit-identical to ``pq_encode_rows`` by construction: the same
+    ``zip_with`` + left-fold squared-L2 (``_sub_dist2``'s exact
+    accumulation order) and the same smaller-code tiebreak
+    (``array_position`` returns the FIRST minimum).
+    """
+    m = len(codebook)
+    sd = len(codebook[0][0])
+
+    def sub_code(j: int) -> Column:
+        sub = F.slice(vec, j * sd + 1, sd)
+        dists = F.array(
+            *[
+                _sub_dist2(
+                    sub, F.array(*[F.lit(float(x)) for x in cent])
+                )
+                for cent in codebook[j]
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.array(*[sub_code(j) for j in range(m)])
+
+
 def pq_codebook_refine(
     corpus: DataFrame,
     codebook: DataFrame | None = None,

@@ -561,3 +561,81 @@ def test_ivfpq_accepts_refined_codebook(spark):
     assert sorted(map(tuple, full.collect())) == sorted(
         map(tuple, flat.collect())
     )
+
+
+def test_pq_encode_expr_matches_batch_encode(spark):
+    """The row-local literal-codebook encoder (the stateless streaming
+    path) must produce the SAME codes as the broadcast-join batch
+    encoder — same fold order, same smaller-code tiebreak."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        collect_pq_codebook,
+        pq_codebook,
+        pq_codes,
+        pq_encode_expr,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    cb = pq_codebook(emb, m=8, ks=16)
+    lit_cb = collect_pq_codebook(cb)
+    assert len(lit_cb) == 8 and all(len(s) == 16 for s in lit_cb)
+    expr_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in emb.select(
+            "vec_id",
+            pq_encode_expr(
+                F.transform("embedding", lambda x: x.cast("double")),
+                lit_cb,
+            ).alias("codes"),
+        ).collect()
+    }
+    batch_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_codes(emb, cb, m=8, ks=16).collect()
+    }
+    assert expr_codes == batch_codes
+
+
+def test_pq_encode_expr_streams_stateless(spark, tmp_path):
+    """pq_encode_expr over readStream: append mode, no state store, and
+    the streamed codes equal the batch codes — the streaming ANN index
+    build."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        collect_pq_codebook,
+        pq_codebook,
+        pq_codes,
+        pq_encode_expr,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.parquet(src)
+    cb = pq_codebook(emb, m=8, ks=16)
+    lit_cb = collect_pq_codebook(cb)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream.select(
+        "vec_id",
+        pq_encode_expr(
+            F.transform("embedding", lambda x: x.cast("double")), lit_cb
+        ).alias("codes"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pq_stream_codes")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.table("pq_stream_codes").collect()
+    }
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_codes(emb, cb, m=8, ks=16).collect()
+    }
+    assert got == want

@@ -288,6 +288,36 @@ def main() -> None:
         src_schema=capped_src.schema,
     )
     shutil.rmtree(src_cap, ignore_errors=True)
+
+    # stateless streaming PQ encode (r10): codebook trained batch-side,
+    # codes computed row-locally from the driver-literal codebook — the
+    # streaming ANN index build (no join, no aggregate, no state store)
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        collect_pq_codebook,
+        pq_codebook,
+        pq_encode_expr,
+    )
+
+    emb = load_table(spark, "embeddings", args.sf_dir)
+    n_emb = emb.count()
+    lit_cb = collect_pq_codebook(pq_codebook(emb, m=8, ks=16))
+    src_pq = tempfile.mkdtemp(prefix="stream_bench_pq_")
+    emb.repartition(args.batches).write.mode("overwrite").parquet(src_pq)
+    pq_res = run(
+        "pq_encode",
+        lambda s: s.select(
+            "vec_id",
+            pq_encode_expr(
+                F.transform("embedding", lambda x: x.cast("double")), lit_cb
+            ).alias("codes"),
+        ),
+        src_dir=src_pq,
+        src_schema=emb.schema,
+    )
+    pq_res["rows_in"] = n_emb
+    pq_res["rows_per_sec"] = round(n_emb / pq_res["sec"], 1)
+    results["pq_encode"] = pq_res
+    shutil.rmtree(src_pq, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     print(
         json.dumps(
