@@ -2335,6 +2335,7 @@ _CHEAP_COUNT_NODES = {
     "DataSourceV2Relation",
     "DataSourceV2ScanRelation",
     "LocalRelation",
+    "LogicalRDD",  # createDataFrame over driver-local rows
     "Repartition",
     "RepartitionByExpression",
     "ResolvedHint",
