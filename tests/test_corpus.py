@@ -1508,3 +1508,39 @@ def test_ngram_diversity_auto_counts_only_bare_scans(spark):
         .toString()
     )
     assert "approx_count_distinct" not in plan2
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """corpus.global_rank (the distributed prefix-sum rank) must equal a
+    single-partition row_number over the same total order — on skewed,
+    shuffled input, across multiple partitions, 1-based and dense."""
+    import random as _r
+
+    from pyspark.sql import Window
+
+    rng = _r.Random(11)
+    rows = [(i, rng.randrange(5)) for i in range(257)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, grp long").repartition(7)
+    ranked = corpus.global_rank(
+        df, order_by=[F.col("grp").desc(), F.col("id").asc()], rank_col="r"
+    )
+    got = {r["id"]: r["r"] for r in ranked.collect()}
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn(
+            "r",
+            F.row_number()
+            .over(Window.orderBy(F.col("grp").desc(), F.col("id").asc()))
+            .cast("long"),
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 258))
+
+
+def test_global_rank_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, grp long")
+    out = corpus.global_rank(df, order_by=[F.col("id")], rank_col="r")
+    assert out.count() == 0
+    assert "r" in out.columns
