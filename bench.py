@@ -219,8 +219,11 @@ HEADLINE = [
     "ivfpq_topk_residual",
     "chat_format_stats",
     "pq_bucket_dedup",
-    # round-10: the Lloyd-refined PQ codebook path (VERDICT r9 #4)
+    # round-10: the Lloyd-refined PQ codebook path (VERDICT r9 #4) and
+    # the vocab-budget inflation curve (one training, merge-prefix
+    # prunes, three encode passes)
     "pq_topk_refined",
+    "vocab_prune_curve",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

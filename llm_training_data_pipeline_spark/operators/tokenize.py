@@ -779,6 +779,101 @@ def tokenize_documents(
     return out.withColumn("token_count", F.size(F.col(out_col)).cast("long"))
 
 
+def prune_merges(tok, n_merges: int):
+    """Frequency pruning by merge-prefix truncation — the vocab-budget
+    lever run before committing a tokenizer to a training run.
+
+    Merge-based trainers (BPE, WordPiece-scored BPE, byte-BPE) learn
+    merges SEQUENTIALLY: merge ``i`` depends only on the corpus state
+    after merges ``0..i-1``, never on later ones — so the first
+    ``n_merges`` of a large training ARE the full training at the
+    smaller budget, and pruning is exact retraining for free (pinned:
+    ``prune_merges(train(V), m) == train(base+m)``). Vocab ids are
+    assigned merge-ordered (specials, alphabet, then one per merge), so
+    the surviving vocab is exactly the id-prefix and ids stay dense.
+
+    Not applicable to Unigram (vocabulary is EM-scored, not
+    merge-ordered) — raises for tokenizers without merges.
+    """
+    merges = getattr(tok, "merges", None)
+    if merges is None:
+        raise ValueError(
+            f"prune_merges needs a merge-based tokenizer, got {type(tok).__name__}"
+        )
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0: {n_merges}")
+    if n_merges >= len(merges):
+        return tok
+    base = len(tok.vocab) - len(merges)
+    keep_vocab = {s: i for s, i in tok.vocab.items() if i < base + n_merges}
+    return type(tok)(
+        vocab=keep_vocab,
+        merges=list(merges[:n_merges]),
+        special_tokens=list(tok.special_tokens),
+    )
+
+
+def vocab_prune_curve(
+    df: DataFrame,
+    budgets: tuple[int, ...] = (300, 400, 500),
+    algorithm: str = "bpe",
+    text_col: str = "text",
+    min_frequency: int = 2,
+) -> DataFrame:
+    """Token-inflation curve across vocabulary budgets: train ONCE at the
+    largest budget, merge-prefix-prune to each smaller one (exact — see
+    ``prune_merges``), encode the corpus with each, and report tokens
+    per 100 whitespace words. The table a tokenizer owner reads to pick
+    the vocab-size/sequence-length trade: shrinking the vocab inflates
+    every sequence (and so the training bill) by a measured factor, not
+    a guessed one.
+
+    One distributed count + ONE driver training for the whole curve;
+    per budget, one Arrow-batched encode pass (the broadcast tokenizer /
+    per-executor cache path — the engine's only sanctioned Python
+    crossing). Rows: (vocab_size, n_merges, total_tokens, total_words,
+    tokens_per_100w), budget-ascending.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    if algorithm == "unigram":
+        raise ValueError("vocab_prune_curve needs a merge-based algorithm")
+    budgets = tuple(sorted(set(int(b) for b in budgets)))
+    tok = train_tokenizer(
+        df, text_col, algorithm, vocab_size=budgets[-1], min_frequency=min_frequency
+    )
+    base = len(tok.vocab) - len(tok.merges)
+    words = df.select(
+        F.coalesce(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(0)
+        ).alias("_nw")
+    ).agg(F.sum("_nw").cast("long").alias("total_words"))
+    out: DataFrame | None = None
+    for b in budgets:
+        tok_b = prune_merges(tok, max(b - base, 0))
+        enc = tokenize_documents(df, tok_b, text_col)
+        row = (
+            enc.agg(F.sum("token_count").cast("long").alias("total_tokens"))
+            .crossJoin(F.broadcast(words))
+            .select(
+                F.lit(tok_b.vocab_size).cast("long").alias("vocab_size"),
+                F.lit(len(tok_b.merges)).cast("long").alias("n_merges"),
+                "total_tokens",
+                "total_words",
+                F.round(
+                    F.when(
+                        F.col("total_words") > 0,
+                        F.col("total_tokens") * 100.0 / F.col("total_words"),
+                    ),
+                    4,
+                ).alias("tokens_per_100w"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
+
+
 def tokenization_stats(df_tokenized: DataFrame, tokenizer, text_col: str = "text") -> DataFrame:
     """TokenizationStats aggregate (tokenizer.py:24-55): totals + derived
     avg_tokens_per_doc and compression_ratio (chars/token)."""

@@ -635,6 +635,23 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenization_stats(tokenize_documents(docs, tok), tok)
 
 
+@register("vocab_prune_curve", None)
+def q_vocab_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-inflation curve across vocab budgets: train once at the
+    largest, merge-prefix-prune to each smaller (EXACT retraining —
+    merge learning is sequential, pinned in tests), encode, and report
+    tokens per 100 words per budget — the vocab-size/sequence-length
+    trade measured, not guessed (tokenize.vocab_prune_curve; rows-only:
+    BPE merge application is not SQL-expressible)."""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        vocab_prune_curve,
+    )
+
+    return vocab_prune_curve(
+        _t(spark, sf_dir, "documents"), budgets=(300, 500, 800)
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================

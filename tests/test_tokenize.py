@@ -304,3 +304,72 @@ def test_tokenizer_fertility_sane(spark):
     for r in rows:
         assert 1.0 <= r["chars_per_token"] <= 20.0, r
         assert r["tokens_per_word"] >= 1.0, r
+
+
+def test_prune_merges_equals_retraining_smaller(spark):
+    """Merge learning is sequential, so prefix-pruning a large training
+    must equal training at the smaller budget outright — merges, vocab,
+    and encodings all identical (for BPE, WordPiece AND byte-BPE)."""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        prune_merges,
+        train_tokenizer,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).limit(120)
+    for algo in ("bpe", "wordpiece", "byte_bpe"):
+        big = train_tokenizer(docs, algorithm=algo, vocab_size=400)
+        base = len(big.vocab) - len(big.merges)
+        small_budget = base + len(big.merges) // 2
+        retrained = train_tokenizer(docs, algorithm=algo, vocab_size=small_budget)
+        pruned = prune_merges(big, small_budget - base)
+        assert pruned.merges == retrained.merges, algo
+        assert pruned.vocab == retrained.vocab, algo
+        sample = "the quick brown fox jumps over the lazy dog"
+        assert pruned.encode(sample) == retrained.encode(sample), algo
+
+
+def test_prune_merges_rejects_unigram_and_bad_n(spark):
+    import pytest as _pytest
+
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        prune_merges,
+        train_tokenizer,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).limit(50)
+    uni = train_tokenizer(docs, algorithm="unigram", vocab_size=300)
+    with _pytest.raises(ValueError, match="merge-based"):
+        prune_merges(uni, 10)
+    bpe = train_tokenizer(docs, algorithm="bpe", vocab_size=300)
+    with _pytest.raises(ValueError, match=">= 0"):
+        prune_merges(bpe, -1)
+    assert prune_merges(bpe, 10**9) is bpe  # over-ask returns unchanged
+
+
+def test_vocab_prune_curve_monotone(spark):
+    """More vocabulary can only merge more — total tokens must be
+    non-increasing as the budget grows, and the words column constant."""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        vocab_prune_curve,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR).limit(150)
+    rows = (
+        vocab_prune_curve(docs, budgets=(280, 340, 420))
+        .orderBy("vocab_size")
+        .collect()
+    )
+    assert [r["vocab_size"] for r in rows] == sorted(
+        r["vocab_size"] for r in rows
+    )
+    toks = [r["total_tokens"] for r in rows]
+    assert toks == sorted(toks, reverse=True) or len(set(toks)) < len(toks)
+    assert all(toks[i] >= toks[i + 1] for i in range(len(toks) - 1))
+    assert len({r["total_words"] for r in rows}) == 1
+    assert all(r["tokens_per_100w"] > 0 for r in rows)
