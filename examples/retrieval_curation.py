@@ -64,6 +64,30 @@ def main() -> None:
     exact = brute_force_topk(emb, queries, k=5).select("q_id", "vec_id")
     ann_recall(exact, approx.select("q_id", "vec_id")).show()
 
+    print("== 3d. Lloyd-refined codebook (r10): recall upgrade, still replay-exact ==")
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        collect_pq_codebook,
+        pq_codebook_refine,
+        pq_encode_expr,
+    )
+
+    cb1 = pq_codebook_refine(emb, m=8, ks=16, iters=1)
+    pq_topk(emb, queries, k=5, codebook=cb1).show(5, truncate=False)
+
+    print("== 3e. streaming encode shape: row-local codes off the driver-literal codebook ==")
+    lit_cb = collect_pq_codebook(cb1)
+    emb.select(
+        "vec_id",
+        pq_encode_expr(
+            F.transform("embedding", lambda x: x.cast("double")), lit_cb
+        ).alias("codes"),
+    ).orderBy("vec_id").show(5, truncate=False)
+
+    print("== 3f. unified recall audit: every index family, one ground truth ==")
+    from llm_training_data_pipeline_spark.plans.queries import registry
+
+    registry()["ann_recall_unified"][0](spark, sf_dir).show(truncate=False)
+
     print("== 4. hard negatives (close but not near-dup) ==")
     hard_negatives(emb, queries, k=3, dup_ceiling=0.95).show(truncate=False)
 
