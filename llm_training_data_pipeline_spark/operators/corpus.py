@@ -1348,6 +1348,70 @@ def dataset_split(
     )
 
 
+def eval_holdout(
+    df: DataFrame,
+    per_source: int = 50,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build a clean eval holdout in one composition — the operational
+    "give me an eval set I can trust" op:
+
+    1. **Quota sampling**: the ``per_source`` lowest deterministic
+       sample keys within each source become eval CANDIDATES (a rate
+       cannot promise a count; a quota can — and the arithmetic key
+       makes the same ids land in eval on every rebuild, so an
+       incremental refresh can never leak yesterday's eval set into
+       today's training set).
+    2. **Exact decontamination**: a candidate whose normalized-text
+       digest also appears OUTSIDE the candidate set is rejected back to
+       train — its verbatim twin would hand the eval answer to training.
+       Twins *within* the candidate set stay (no train-side leak).
+    3. Every row comes back tagged: ``split`` in {eval, train} plus
+       ``reject_reason`` ('digest_twin_in_train' or NULL).
+
+    By construction the eval and train digest sets are DISJOINT. Run the
+    MinHash complement (``split_leakage_stats``) afterwards for
+    paraphrase-level leaks — this op guarantees the exact tier only.
+
+    Plan: one projection (key + digest), a per-source ranking window
+    (partitioned by source — bounded by the largest source, never
+    global), one digest aggregate, one join back. The digest join is the
+    only corpus-keyed shuffle.
+    """
+    from llm_training_data_pipeline_spark.operators.dedup import exact_hash
+
+    if per_source <= 0:
+        raise ValueError(f"per_source must be positive: {per_source}")
+    staged = df.withColumn(
+        "_hk", sample_key(F.col(id_col), _HASH_MOD)
+    ).withColumn("_dg", exact_hash(F.col(text_col)))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("_hk").asc(), F.col(id_col).asc()
+    )
+    cand = staged.withColumn(
+        "_cand", F.row_number().over(w) <= per_source
+    )
+    dstats = cand.groupBy("_dg").agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum(F.when(F.col("_cand"), 1).otherwise(0)).alias("_nc"),
+    )
+    tagged = cand.join(dstats, on="_dg")
+    return tagged.select(
+        *df.columns,
+        F.when(
+            F.col("_cand") & (F.col("_nt") == F.col("_nc")), F.lit("eval")
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.when(
+            F.col("_cand") & (F.col("_nt") > F.col("_nc")),
+            F.lit("digest_twin_in_train"),
+        ).alias("reject_reason"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Term blocklist filtering (C4-style badword / policy filtering)
 # ---------------------------------------------------------------------

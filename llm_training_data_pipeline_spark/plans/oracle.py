@@ -3047,6 +3047,41 @@ def mixture_apply_sql(
     """
 
 
+def eval_holdout_stats_sql(per_source: int = 10) -> str:
+    """Mirror of corpus.eval_holdout aggregated per source: quota
+    candidates by the arithmetic sample key (fine-grained: buckets =
+    the hash modulus), exact-digest decontamination (candidate rejected
+    iff its md5(lower(trim(text))) digest appears outside the candidate
+    set), per-source counts."""
+    key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000003"
+    dg = f"md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))"
+    return f"""
+        WITH staged AS (
+          SELECT doc_id, source, {key} AS hk, {dg} AS dg FROM documents
+        ), cand AS (
+          SELECT *, (row_number() OVER (PARTITION BY source
+                       ORDER BY hk, doc_id)) <= {per_source} AS is_cand
+          FROM staged
+        ), dstats AS (
+          SELECT dg, count(*) AS nt,
+                 sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS nc
+          FROM cand GROUP BY dg
+        ), tagged AS (
+          SELECT c.source,
+                 CASE WHEN c.is_cand AND d.nt = d.nc THEN 'eval'
+                      ELSE 'train' END AS split,
+                 CASE WHEN c.is_cand AND d.nt > d.nc THEN 1 ELSE 0 END AS rej
+          FROM cand c JOIN dstats d USING (dg)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_eval,
+               CAST(sum(rej) AS BIGINT) AS n_rejected
+        FROM tagged GROUP BY source ORDER BY source
+    """
+
+
 def dataset_split_sql(val_permille: int = 50, test_permille: int = 50) -> str:
     """Mirror of corpus.dataset_split aggregated per (source, split)."""
     key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000"

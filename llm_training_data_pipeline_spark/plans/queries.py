@@ -2791,6 +2791,27 @@ def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("eval_holdout_stats", oracle.eval_holdout_stats_sql(per_source=10))
+def q_eval_holdout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-eval-set construction audit: per-source docs, eval quota
+    kept, and candidates rejected by exact-digest decontamination (a
+    verbatim twin outside the candidate set hands training the eval
+    answer) — eval/train digest sets disjoint by construction
+    (corpus.eval_holdout)."""
+    from llm_training_data_pipeline_spark.operators.corpus import eval_holdout
+
+    out = eval_holdout(_t(spark, sf_dir, "documents"), per_source=10)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+        F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rejected"),
+    )
+
+
 _BLOCKLIST_TERMS = ["spark", "merge", "vector"]
 
 

@@ -1544,3 +1544,52 @@ def test_global_rank_empty_frame(spark):
     out = corpus.global_rank(df, order_by=[F.col("id")], rank_col="r")
     assert out.count() == 0
     assert "r" in out.columns
+
+
+def test_eval_holdout_decontaminates_and_keeps_quota(spark):
+    """Quota candidates by deterministic key; a candidate with a twin in
+    train is rejected (digest disjointness); twins WITHIN the candidate
+    set both stay (no train-side leak); deterministic across runs."""
+    rows = []
+    for i in range(40):
+        rows.append((i, f"unique doc {i}", "s0"))
+    # 100/101: identical twins — one will land in candidates, one in train
+    rows.append((100, "twin text", "s1"))
+    rows.append((101, "twin text", "s1"))
+    for i in range(110, 120):
+        rows.append((i, f"s1 filler {i}", "s1"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.eval_holdout(df, per_source=5)
+    c = {r["doc_id"]: r for r in out.collect()}
+    assert len(c) == len(rows)
+    evals = {k for k, r in c.items() if r["split"] == "eval"}
+    # quota respected per source
+    by_src = {}
+    for k in evals:
+        by_src.setdefault(c[k]["source"], 0)
+        by_src[c[k]["source"]] += 1
+    assert all(v <= 5 for v in by_src.values()), by_src
+    # digest disjointness: no eval text equals any train text
+    eval_txt = {c[k]["text"].strip().lower() for k in evals}
+    train_txt = {
+        r["text"].strip().lower() for k, r in c.items() if r["split"] == "train"
+    }
+    assert not (eval_txt & train_txt)
+    # rejected rows carry the reason and sit in train
+    rejected = [r for r in c.values() if r["reject_reason"] is not None]
+    for r in rejected:
+        assert r["split"] == "train"
+        assert r["reject_reason"] == "digest_twin_in_train"
+    # determinism
+    again = {r["doc_id"]: r["split"] for r in corpus.eval_holdout(df, per_source=5).collect()}
+    assert again == {k: r["split"] for k, r in c.items()}
+
+
+def test_eval_holdout_twins_inside_candidates_both_stay(spark):
+    """If BOTH twins are candidates (nt == nc), neither leaks to train —
+    they stay eval together."""
+    rows = [(1, "same text", "s"), (2, "same text", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in corpus.eval_holdout(df, per_source=5).collect()}
+    assert out[1]["split"] == "eval" and out[2]["split"] == "eval"
+    assert out[1]["reject_reason"] is None
