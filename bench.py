@@ -224,6 +224,9 @@ HEADLINE = [
     # prunes, three encode passes)
     "pq_topk_refined",
     "vocab_prune_curve",
+    # round-10: the clean-eval-set construction (quota window + digest
+    # decontamination join)
+    "eval_holdout_stats",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
