@@ -1097,6 +1097,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     by_residual: bool = False,
     codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ — the flagship production ANN index shape (FAISS
     ``IVFx,PQy`` with ``by_residual=false``): the seeded coarse
@@ -1125,6 +1126,11 @@ def ivfpq_topk(
         seed_centroids,
     )
 
+    if codes is not None and by_residual:
+        raise ValueError(
+            "ivfpq_topk: `codes` reuse is raw-space only — residual codes "
+            "are cluster-conditioned and must be built inside this operator"
+        )
     cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
     assigned = assign_clusters(corpus, cents, vec_col=vec_col, id_col=id_col)
     if by_residual:
@@ -1153,9 +1159,21 @@ def ivfpq_topk(
             if codebook is not None
             else pq_codebook(corpus, m, ks, vec_col, id_col)
         )
-        index = pq_codes(corpus, cb, m, ks, vec_col, id_col).join(
-            assigned.select(id_col, "cluster"), on=id_col
+        # same codes/codebook pairing contract as pq_topk: a precomputed
+        # raw-space code index is only valid with the codebook that
+        # built it (lets an audit/sweep reuse ONE corpus encode across
+        # the pq and ivfpq legs)
+        if codes is not None and codebook is None:
+            raise ValueError(
+                "ivfpq_topk: a precomputed `codes` index is only valid with "
+                "the codebook that built it — pass that `codebook` too"
+            )
+        enc = (
+            codes
+            if codes is not None
+            else pq_codes(corpus, cb, m, ks, vec_col, id_col)
         )
+        index = enc.join(assigned.select(id_col, "cluster"), on=id_col)
 
     qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
     probe_cos = F.when(

@@ -736,13 +736,23 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_recall,
         ivf_topk_seeded,
         ivfpq_topk,
+        pq_codebook,
         pq_codebook_refine,
+        pq_codes,
         pq_topk,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = _ann_gt(spark, sf_dir)
+    # the seeded corpus encode is shared by the pq AND ivfpq legs
+    # (codes/codebook pairing contract) — one materialized encode
+    # instead of two plan-inlined ones; the refined and residual legs
+    # need their own conditioned codes by definition
+    cb_seeded = pq_codebook(emb, m=8, ks=16)
+    codes_seeded = pq_codes(emb, cb_seeded, m=8, ks=16).localCheckpoint(
+        eager=True
+    )
     legs: list[tuple[str, str, DataFrame]] = [
         ("brute", "full scan", exact),
         (
@@ -758,7 +768,15 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "pq_m8_ks16",
             "full scan, m-byte codes",
-            pq_topk(emb, queries, k=10, m=8, ks=16),
+            pq_topk(
+                emb,
+                queries,
+                k=10,
+                m=8,
+                ks=16,
+                codes=codes_seeded,
+                codebook=cb_seeded,
+            ),
         ),
         (
             "pq_refined_m8_ks16",
@@ -769,13 +787,23 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k=10,
                 m=8,
                 ks=16,
-                codebook=pq_codebook_refine(emb, m=8, ks=16, iters=1),
+                codebook=pq_codebook_refine(
+                    emb, codebook=cb_seeded, m=8, ks=16, iters=1
+                ),
             ),
         ),
         (
             "ivfpq_c16_p3",
             "3/16 lists, m-byte codes",
-            ivfpq_topk(emb, queries, k=10, n_clusters=16, n_probe=3),
+            ivfpq_topk(
+                emb,
+                queries,
+                k=10,
+                n_clusters=16,
+                n_probe=3,
+                codes=codes_seeded,
+                codebook=cb_seeded,
+            ),
         ),
         (
             "ivfpq_resid_c16_p3",
