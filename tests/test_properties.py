@@ -366,3 +366,42 @@ def test_span_corrupt_reconstructs_any_text(spark, batch, span_len):
         )
         assert rebuilt == t, (i, span_len)
         assert len(m.group(1)) == span_len and len(m.group(2)) == span_len
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1,
+                max_size=8,
+            ),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+@SETTINGS
+def test_prune_merges_prefix_is_exact_retraining(wc, m):
+    """For ANY word-count table: prefix-pruning a large BPE training to
+    m merges equals training with vocab budget base+m outright — merge
+    learning is sequential, so later merges can't rewrite earlier ones.
+    (Driver-side property — no Spark job per example.)"""
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        prune_merges,
+        train_bpe_from_word_counts,
+    )
+
+    big = train_bpe_from_word_counts(wc, vocab_size=100_000, min_frequency=1)
+    base = len(big.vocab) - len(big.merges)
+    m = min(m, len(big.merges))
+    small = train_bpe_from_word_counts(
+        wc, vocab_size=base + m, min_frequency=1
+    )
+    pruned = prune_merges(big, m)
+    assert pruned.merges == small.merges
+    assert pruned.vocab == small.vocab
+    for w, _ in wc[:5]:
+        assert pruned.encode(w) == small.encode(w)
