@@ -1374,11 +1374,18 @@ def eval_holdout(
     By construction the eval and train digest sets are DISJOINT. Run the
     MinHash complement (``split_leakage_stats``) afterwards for
     paraphrase-level leaks — this op guarantees the exact tier only.
+    NULL texts digest to a shared sentinel (they are verbatim twins of
+    each other for leak purposes) so no row can drop out of the tagging
+    through a null join key.
 
-    Plan: one projection (key + digest), a per-source ranking window
-    (partitioned by source — bounded by the largest source, never
-    global), one digest aggregate, one join back. The digest join is the
-    only corpus-keyed shuffle.
+    Plan: one projection (key + digest); candidate selection is a
+    row_number window WITH a rank filter, so Spark inserts a
+    WindowGroupLimit — each task keeps only ``per_source`` rows per
+    source BEFORE the sort, and a 90%-one-source corpus never funnels
+    through one task (the boolean-tag formulation would); the candidate
+    id set (quota x sources rows) joins back as a flag, then one digest
+    aggregate + one join. The digest join is the only corpus-keyed
+    shuffle.
     """
     from llm_training_data_pipeline_spark.operators.dedup import exact_hash
 
@@ -1386,12 +1393,20 @@ def eval_holdout(
         raise ValueError(f"per_source must be positive: {per_source}")
     staged = df.withColumn(
         "_hk", sample_key(F.col(id_col), _HASH_MOD)
-    ).withColumn("_dg", exact_hash(F.col(text_col)))
+    ).withColumn(
+        "_dg", F.coalesce(exact_hash(F.col(text_col)), F.lit("(null-text)"))
+    )
     w = Window.partitionBy(source_col).orderBy(
         F.col("_hk").asc(), F.col(id_col).asc()
     )
-    cand = staged.withColumn(
-        "_cand", F.row_number().over(w) <= per_source
+    cand_ids = (
+        staged.select(source_col, id_col, "_hk")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_source)
+        .select(id_col, F.lit(True).alias("_cand"))
+    )
+    cand = staged.join(cand_ids, on=id_col, how="left").withColumn(
+        "_cand", F.coalesce(F.col("_cand"), F.lit(False))
     )
     dstats = cand.groupBy("_dg").agg(
         F.count(F.lit(1)).alias("_nt"),
@@ -1571,9 +1586,12 @@ def global_rank(
     ids across the two passes; the collect is control-plane only
     (num-partitions rows).
     """
+    # range-partition only — no sortWithinPartitions: the offsets need
+    # per-partition COUNTS (contents, not order), and the rank window
+    # re-sorts within each partition anyway, so a pre-sort would be one
+    # wasted corpus-wide sort materialized into the checkpoint
     staged = (
         df.repartitionByRange(*order_by)
-        .sortWithinPartitions(*order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partition ids for the two passes
     )

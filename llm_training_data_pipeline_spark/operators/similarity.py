@@ -428,9 +428,11 @@ def ann_lsh_recall_report(
     single pass over the corpus — the interpreted HOF bucket lambdas are
     the dominant cost, and configs SHARE table families (``lsh_p4_t1``'s
     one table is ``lsh_p4_t8``'s table 0), so per-config ``ann_lsh_topk``
-    calls re-evaluated the same planes up to 4×. The bucketed index is
-    localCheckpoint-ed once; each method is then a filter + bucket join
-    + top-k over it. Values are identical to per-config ``ann_lsh_topk``
+    calls re-evaluated the same planes up to 4×. The whole report is ONE
+    lazy plan: one candidate join for every config, the method tag
+    attached by a (planes, table-prefix) broadcast join, one distinct /
+    window / aggregate regardless of config count (no checkpoint — the
+    bucket scan has exactly one consumer). Values are identical to per-config ``ann_lsh_topk``
     (same planes via ``table_seed``, same DISTINCT-collapse, same
     rounded-cosine ranking) — the oracle replays per config and must
     keep hash-matching.

@@ -843,10 +843,10 @@ def vocab_prune_curve(
         df, text_col, algorithm, vocab_size=budgets[-1], min_frequency=min_frequency
     )
     base = len(tok.vocab) - len(tok.merges)
+    # the shared tokenizer (empty/whitespace-only docs count 0 words;
+    # a trim+split reimplementation counted the leading '' token)
     words = df.select(
-        F.coalesce(
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(0)
-        ).alias("_nw")
+        F.size(whitespace_tokens(F.col(text_col))).alias("_nw")
     ).agg(F.sum("_nw").cast("long").alias("total_words"))
     out: DataFrame | None = None
     for b in budgets:

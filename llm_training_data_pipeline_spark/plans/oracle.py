@@ -3054,7 +3054,10 @@ def eval_holdout_stats_sql(per_source: int = 10) -> str:
     iff its md5(lower(trim(text))) digest appears outside the candidate
     set), per-source counts."""
     key = "(((doc_id % 1000003 + 1000003) % 1000003) * 2654435761) % 1000003"
-    dg = f"md5(lower(regexp_replace(text, '{q(STRIP_WS)}', '', 'g')))"
+    dg = (
+        "coalesce(md5(lower(regexp_replace(text, "
+        f"'{q(STRIP_WS)}', '', 'g'))), '(null-text)')"
+    )
     return f"""
         WITH staged AS (
           SELECT doc_id, source, {key} AS hk, {dg} AS dg FROM documents

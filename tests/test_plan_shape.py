@@ -192,3 +192,12 @@ def test_global_window_audit_detects_the_class(spark):
     )
     df.collect()
     assert unbounded_global_windows(df._jdf.queryExecution().executedPlan()) == 1
+
+
+def test_eval_holdout_quota_plan_is_group_limited(spark):
+    """The per-source quota selection must carry a WindowGroupLimit in
+    its executed plan — each task keeps only per_source rows per source
+    BEFORE the sort, so a 90%-one-source corpus cannot funnel through
+    one task (the boolean-tag formulation defeated the rewrite)."""
+    plan = _plan(spark, "eval_holdout_stats")
+    assert "WindowGroupLimit" in plan

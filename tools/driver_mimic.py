@@ -111,12 +111,19 @@ def _has_global_window_line(plan_str: str) -> bool:
     groups instead of three. Only when one exists is the (py4j-costly)
     tree walk worth running; most plans skip it entirely."""
     for line in plan_str.splitlines():
-        idx = line.find("Window [")
-        if idx < 0 or "WindowGroupLimit" in line:
+        if "WindowGroupLimit" in line:
+            continue
+        idx = -1
+        for tok in ("Window [", "WindowInPandas ["):
+            idx = line.find(tok)
+            if idx >= 0:
+                idx += len(tok) - 1  # position of the first '['
+                break
+        if idx < 0:
             continue
         groups = 0
         depth = 0
-        for ch in line[idx + len("Window ") :]:
+        for ch in line[idx:]:
             if ch == "[":
                 if depth == 0:
                     groups += 1
