@@ -843,7 +843,8 @@ def pack_token_ids(
     docs = (
         tokenized.select(F.col(id_col).alias("_id"), ids.alias("_ids"))
         .repartitionByRange(F.col("_id"))
-        .sortWithinPartitions("_id")
+        # no sortWithinPartitions: offsets need per-partition SUMS
+        # (contents, not order) and the window re-sorts anyway
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partition ids for the two passes
     )
@@ -1537,7 +1538,7 @@ def curriculum_phases(
     staged = (
         df.withColumn("_score", score)
         .repartitionByRange(F.col("_score"), F.col(id_col))
-        .sortWithinPartitions("_score", id_col)
+        # no sortWithinPartitions: offsets need COUNTS, the window re-sorts
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partition ids for the two passes
     )
@@ -1950,7 +1951,7 @@ def shard_assignment(
             key.alias("_k"),
         )
         .repartitionByRange(F.col("_k"), F.col(id_col))
-        .sortWithinPartitions("_k", id_col)
+        # no sortWithinPartitions: offsets need SUMS, the window re-sorts
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partition ids for the two passes
     )

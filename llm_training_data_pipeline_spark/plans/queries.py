@@ -222,6 +222,13 @@ _CHANGED_IN_ROUND.update(
         # r10: untagged docs surface as '(untagged)' instead of being
         # inner-join-dropped (ADVICE r9) — both engines changed
         "split_leakage_stats": 10,
+        # r10 second wave: the distributed prefix-sum sites dropped the
+        # pre-checkpoint sortWithinPartitions (offsets need counts/sums,
+        # not order; the rank window re-sorts) — same values, new plans
+        "curriculum_phases": 10,
+        "shard_plan": 10,
+        "token_budget_fill": 10,
+        "packed_sequences_ws": 10,
     }
 )
 
