@@ -227,7 +227,6 @@ _CHANGED_IN_ROUND.update(
         # not order; the rank window re-sorts) — same values, new plans
         "curriculum_phases": 10,
         "shard_plan": 10,
-        "token_budget_fill": 10,
         "packed_sequences_ws": 10,
     }
 )
