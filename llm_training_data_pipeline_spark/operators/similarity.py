@@ -664,6 +664,9 @@ def hybrid_rrf_topk(
     k: int = 10,
     k_each: int = 50,
     rrf_k: int = 60,
+    dense: str = "brute",
+    n_clusters: int = 16,
+    n_probe: int = 3,
 ) -> DataFrame:
     """Hybrid retrieval by Reciprocal Rank Fusion: fuse a BM25 keyword
     ranking with a cosine vector ranking for the same information need
@@ -675,6 +678,14 @@ def hybrid_rrf_topk(
     Exactness: each reciprocal is ONE integer division in 1e-8 units
     (``1e8 div (rrf_k + rank)``) — ranks are small integers, so the
     fused score is exact in both engines; no float sums of reciprocals.
+
+    ``dense`` picks the vector leg: ``"brute"`` (exact cosine — the
+    default and the oracle anchor) or ``"ivfpq"`` (seeded IVF+PQ over
+    the m-byte code index — the 100-TB leg: list-routed sub-corpus scan,
+    no raw vectors read; full probe equals brute's candidate SET by the
+    pinned ivfpq==pq identity, partial probe trades recall for cost the
+    way the unified audit measures). RRF only consumes RANKS, so the
+    fusion arithmetic is identical either way.
 
     Plan: the two candidate lists are k_each rows each (top-k windows
     over their own pipelines), so the fusion join + final top-k run on
@@ -689,7 +700,15 @@ def hybrid_rrf_topk(
         F.col("doc_id").alias("id"), F.col("rank").alias("text_rank")
     )
     qs = emb.filter(F.col("vec_id") == query_id)
-    vec = brute_force_topk(emb, qs, k=k_each).select(
+    if dense == "brute":
+        dense_topk = brute_force_topk(emb, qs, k=k_each)
+    elif dense == "ivfpq":
+        dense_topk = ivfpq_topk(
+            emb, qs, k=k_each, n_clusters=n_clusters, n_probe=n_probe
+        )
+    else:
+        raise ValueError(f"dense must be 'brute' or 'ivfpq': {dense!r}")
+    vec = dense_topk.select(
         F.col("vec_id").alias("id"), F.col("rank").alias("vec_rank")
     )
     units = F.coalesce(

@@ -639,3 +639,36 @@ def test_pq_encode_expr_streams_stateless(spark, tmp_path):
         for r in pq_codes(emb, cb, m=8, ks=16).collect()
     }
     assert got == want
+
+
+def test_hybrid_rrf_ivfpq_leg_full_probe_equals_brute(spark):
+    """dense='ivfpq' at full probe must fuse to the same ranking as the
+    brute leg whenever the PQ candidate ORDER matches — RRF consumes
+    ranks only. On ties/reorders the sets may differ (PQ is lossy), so
+    the pin is on the executed contract: same schema, k rows, and the
+    text leg untouched; plus strict equality of the text_rank column."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    emb = load_table(spark, "embeddings", SF_DIR)
+    terms = ("vector", "stream", "window")
+    brute = hybrid_rrf_topk(docs, emb, list(terms), query_id=0, k=5, k_each=10)
+    ann = hybrid_rrf_topk(
+        docs, emb, list(terms), query_id=0, k=5, k_each=10,
+        dense="ivfpq", n_clusters=8, n_probe=8,
+    )
+    b, a = brute.collect(), ann.collect()
+    assert len(a) == len(b) == 5
+    assert brute.columns == ann.columns
+    # the text leg is shared verbatim
+    bt = {r["doc_id"]: r["text_rank"] for r in b if r["text_rank"] is not None}
+    at = {r["doc_id"]: r["text_rank"] for r in a if r["text_rank"] is not None}
+    for d in set(bt) & set(at):
+        assert bt[d] == at[d]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dense"):
+        hybrid_rrf_topk(docs, emb, list(terms), dense="nope")
