@@ -225,9 +225,11 @@ _CHANGED_IN_ROUND.update(
         # r10 second wave: the distributed prefix-sum sites dropped the
         # pre-checkpoint sortWithinPartitions (offsets need counts/sums,
         # not order; the rank window re-sorts) — same values, new plans
+        # (packed_sequences_ws is pinned above; packed_sequences shares
+        # pack_token_ids' staging)
         "curriculum_phases": 10,
         "shard_plan": 10,
-        "packed_sequences_ws": 10,
+        "packed_sequences": 10,
     }
 )
 

@@ -641,16 +641,17 @@ def test_pq_encode_expr_streams_stateless(spark, tmp_path):
     assert got == want
 
 
-def test_hybrid_rrf_ivfpq_leg_full_probe_equals_brute(spark):
-    """dense='ivfpq' at full probe must fuse to the same ranking as the
-    brute leg whenever the PQ candidate ORDER matches — RRF consumes
-    ranks only. On ties/reorders the sets may differ (PQ is lossy), so
-    the pin is on the executed contract: same schema, k rows, and the
-    text leg untouched; plus strict equality of the text_rank column."""
+def test_hybrid_rrf_ivfpq_leg_contract(spark):
+    """dense='ivfpq': the vec leg's ranks must be exactly ivfpq_topk's
+    ranks (the leg is substituted, not re-derived), the fused frame
+    keeps the brute variant's schema and k rows, and a bad `dense`
+    raises eagerly. (Full-probe ivfpq == pq_topk is pinned separately;
+    PQ is lossy vs brute, so set equality with the brute leg is NOT the
+    contract.)"""
     from llm_training_data_pipeline_spark.operators.similarity import (
         hybrid_rrf_topk,
+        ivfpq_topk,
     )
-    from llm_training_data_pipeline_spark.schemas import load_table
 
     docs = load_table(spark, "documents", SF_DIR)
     emb = load_table(spark, "embeddings", SF_DIR)
@@ -663,12 +664,19 @@ def test_hybrid_rrf_ivfpq_leg_full_probe_equals_brute(spark):
     b, a = brute.collect(), ann.collect()
     assert len(a) == len(b) == 5
     assert brute.columns == ann.columns
-    # the text leg is shared verbatim
-    bt = {r["doc_id"]: r["text_rank"] for r in b if r["text_rank"] is not None}
-    at = {r["doc_id"]: r["text_rank"] for r in a if r["text_rank"] is not None}
-    for d in set(bt) & set(at):
-        assert bt[d] == at[d]
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="dense"):
+    # the vec leg IS ivfpq_topk's ranking, rank for rank
+    qs = emb.filter(F.col("vec_id") == 0)
+    leg = {
+        r["vec_id"]: r["rank"]
+        for r in ivfpq_topk(
+            emb, qs, k=10, n_clusters=8, n_probe=8
+        ).collect()
+    }
+    fused_vec = {
+        r["doc_id"]: r["vec_rank"] for r in a if r["vec_rank"] is not None
+    }
+    assert fused_vec, "ivfpq leg contributed no candidates"
+    for doc, vr in fused_vec.items():
+        assert leg.get(doc) == vr, (doc, vr, leg.get(doc))
+    with pytest.raises(ValueError, match="dense"):
         hybrid_rrf_topk(docs, emb, list(terms), dense="nope")
