@@ -89,6 +89,15 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # domain blocklist is hierarchy-aware — an entry blocks the domain
     # and every subdomain (warc.domain_blocklist_filter)
     "wet": {"domain_blocklist": []},
+    # engine extension: clean eval holdout (corpus.eval_holdout) —
+    # per-source quota by the deterministic sample key + exact-digest
+    # decontamination; separate_output writes eval rows to
+    # holdout.parquet and keeps only train rows in the main output
+    "holdout": {
+        "enabled": False,
+        "per_source": 50,
+        "separate_output": True,
+    },
     "tokenization": {
         "enabled": True,
         "algorithm": "bpe",

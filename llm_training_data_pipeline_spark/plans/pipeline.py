@@ -478,6 +478,32 @@ def build_pipeline(
         obs["dsir"] = Observation("dsir")
         df = df.observe(obs["dsir"], F.count(F.lit(1)).alias("rows"))
 
+    hsec = cfg.section("holdout")
+    if hsec.get("enabled", False):
+        # clean eval holdout (corpus.eval_holdout): per-source quota by
+        # the deterministic sample key + exact-digest decontamination —
+        # every row tagged split/reject_reason, eval and train digest
+        # sets disjoint by construction. The op's candidate frame has
+        # two consumers (digest aggregate + tag join), so checkpoint the
+        # upstream once — the multi-branch-stage rule (BENCH_NOTES r8).
+        from llm_training_data_pipeline_spark.operators import corpus
+
+        df = df.localCheckpoint(eager=True)
+        df = corpus.eval_holdout(
+            df, per_source=int(hsec.get("per_source", 50))
+        )
+        obs["holdout"] = Observation("holdout")
+        df = df.observe(
+            obs["holdout"],
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias(
+                "eval_rows"
+            ),
+            F.sum(
+                F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0)
+            ).alias("rejected_rows"),
+        )
+
     return df, obs
 
 
@@ -567,6 +593,24 @@ def run_pipeline(
         )
 
     out_format = cfg.get("output.format", "parquet")
+    holdout_path = None
+    hsec = cfg.section("holdout")
+    if (
+        hsec.get("enabled", False)
+        and hsec.get("separate_output", True)
+        and output_dir
+    ):
+        # two sinks consume the tagged frame — materialize once so the
+        # composed upstream doesn't run per sink
+        df = df.localCheckpoint(eager=True)
+        holdout_path = os.path.join(output_dir, "holdout.parquet")
+        sinks.write_parquet(
+            df.filter(F.col("split") == "eval").drop("split", "reject_reason"),
+            holdout_path,
+        )
+        df = df.filter(F.col("split") != "eval").drop(
+            "split", "reject_reason"
+        )
     try:
         if output_dir:
             path = os.path.join(output_dir, f"pipeline_output.{out_format}")
@@ -615,6 +659,8 @@ def run_pipeline(
         "tokenization": tok_summary,
         "output_path": path,
     }
+    if holdout_path is not None:
+        summary["holdout_path"] = holdout_path
     for name, m in stage_metrics.items():
         rows = m.get("rows")
         if rows:

@@ -15,7 +15,7 @@ STAGE_ORDER = [
     "paragraph_dedup", "source_cap",
     "quality", "entropy", "script_mix", "ngram_repetition", "chat_marker",
     "perplexity",
-    "decontaminate", "pii", "sample", "dsir", "tokenize",
+    "decontaminate", "pii", "sample", "dsir", "holdout", "tokenize",
 ]
 
 

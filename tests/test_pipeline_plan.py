@@ -793,3 +793,62 @@ def test_code_exempt_routes_code_past_prose_gates(spark):
     assert sorted(rows) == [0, 1]  # code exempted, junk still gated
     assert rows[0]["is_code"] is True
     assert rows[1]["is_code"] is False
+
+
+def test_run_pipeline_holdout_stage(spark, tmp_path):
+    """holdout.enabled: eval rows land in holdout.parquet, the main
+    output keeps only train rows, the split columns are stripped from
+    both sinks, the stage observation reports eval/rejected counts, and
+    the eval/train normalized-text digest sets are disjoint."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"enabled": False},
+            "quality": {"min_words": 10},
+            "tokenization": {"enabled": False},
+            "holdout": {"enabled": True, "per_source": 3},
+        }
+    )
+    out_dir = str(tmp_path / "hout")
+    summary = run_pipeline(spark, docs, cfg, out_dir)
+    h = summary["stages"]["holdout"]
+    assert h["rows"] > 0 and h["eval_rows"] > 0
+    assert summary["holdout_path"].endswith("holdout.parquet")
+
+    ev = spark.read.parquet(summary["holdout_path"])
+    tr = spark.read.parquet(os.path.join(out_dir, "pipeline_output.parquet"))
+    assert ev.count() == h["eval_rows"]
+    assert tr.count() == h["rows"] - h["eval_rows"]
+    for col in ("split", "reject_reason"):
+        assert col not in ev.columns and col not in tr.columns
+    # per-source quota respected
+    from pyspark.sql import functions as F
+
+    per_src = {r["source"]: r["count"] for r in ev.groupBy("source").count().collect()}
+    assert all(v <= 3 for v in per_src.values()), per_src
+    # exact-digest disjointness between the two sinks
+    ev_dg = {r[0] for r in ev.select(F.md5(F.lower(F.trim("text")))).collect()}
+    tr_dg = {r[0] for r in tr.select(F.md5(F.lower(F.trim("text")))).collect()}
+    assert not (ev_dg & tr_dg)
+
+
+def test_run_pipeline_holdout_inline_column(spark):
+    """separate_output=False keeps the tagged frame in one output: the
+    split column survives to the sink."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 50},
+            "deduplication": {"enabled": False},
+            "quality": {"min_words": 10},
+            "tokenization": {"enabled": False},
+            "holdout": {
+                "enabled": True,
+                "per_source": 3,
+                "separate_output": False,
+            },
+        }
+    )
+    summary = run_pipeline(spark, docs, cfg, None)
+    assert summary["stages"]["holdout"]["eval_rows"] > 0
