@@ -230,6 +230,9 @@ _CHANGED_IN_ROUND.update(
         "curriculum_phases": 10,
         "shard_plan": 10,
         "packed_sequences": 10,
+        # r10: the composed full pipeline gained the gated holdout
+        # stage (+ split column in its projection) — re-execute
+        "pipeline_e2e_full": 10,
     }
 )
 
@@ -4493,11 +4496,16 @@ def q_pipeline_e2e_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ngram_repetition_filter": {"enabled": True},
             },
             "dsir": {"enabled": True, "keep_fraction": 0.5},
+            # r10 gated stage: quota eval tagging + exact-digest
+            # decontamination rides the same composed plan
+            "holdout": {"enabled": True, "per_source": 5},
         }
     )
     df, _obs = build_pipeline(_t(spark, sf_dir, "documents"), cfg)
     return df.select(
-        "doc_id", F.length("text").cast("long").alias("final_length")
+        "doc_id",
+        F.length("text").cast("long").alias("final_length"),
+        "split",
     )
 
 
