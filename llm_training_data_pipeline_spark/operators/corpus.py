@@ -1355,16 +1355,33 @@ def eval_holdout(
     id_col: str = "doc_id",
     source_col: str = "source",
     text_col: str = "text",
+    rate_permille: int | None = None,
 ) -> DataFrame:
     """Build a clean eval holdout in one composition — the operational
     "give me an eval set I can trust" op:
 
-    1. **Quota sampling**: the ``per_source`` lowest deterministic
-       sample keys within each source become eval CANDIDATES (a rate
-       cannot promise a count; a quota can — and the arithmetic key
-       makes the same ids land in eval on every rebuild, so an
-       incremental refresh can never leak yesterday's eval set into
-       today's training set).
+    1. **Candidate sampling**, one of two modes:
+
+       - **Quota** (default, ``rate_permille=None``): the ``per_source``
+         lowest deterministic sample keys within each source become eval
+         CANDIDATES. Exact per-source count, deterministic **per corpus
+         snapshot** — but NOT stable under incremental growth: a newly
+         ingested doc with a smaller key displaces the rank-
+         ``per_source`` candidate, moving a previously-eval doc into
+         train (ADVICE r10). Use quota when the corpus is rebuilt as a
+         unit and the eval set is re-issued with it.
+       - **Rate** (``rate_permille=r``): every row whose sample key
+         falls below ``r``/1000 is a candidate, regardless of source.
+         Membership depends only on the row's own id, so it IS
+         growth-stable: ingesting new docs can never move an existing
+         candidate out (``per_source`` is ignored — a rate cannot
+         promise a count; that is the price of stability). The
+         decontamination tier below can still demote a candidate when a
+         newly ingested verbatim twin lands in train — the demotion
+         direction is the leak-safe one (the doc joins train only
+         because train already holds its twin), but consumers who
+         pinned an older eval snapshot should re-issue it after a
+         refresh.
     2. **Exact decontamination**: a candidate whose normalized-text
        digest also appears OUTSIDE the candidate set is rejected back to
        train — its verbatim twin would hand the eval answer to training.
@@ -1379,36 +1396,49 @@ def eval_holdout(
     each other for leak purposes) so no row can drop out of the tagging
     through a null join key.
 
-    Plan: one projection (key + digest); candidate selection is a
-    row_number window WITH a rank filter, so Spark inserts a
+    Plan: one projection (key + digest); quota-mode candidate selection
+    is a row_number window WITH a rank filter, so Spark inserts a
     WindowGroupLimit — each task keeps only ``per_source`` rows per
     source BEFORE the sort, and a 90%-one-source corpus never funnels
     through one task (the boolean-tag formulation would); the candidate
     id set (quota x sources rows) joins back as a flag, then one digest
-    aggregate + one join. The digest join is the only corpus-keyed
-    shuffle.
+    aggregate + one join. Rate mode replaces the window with a pure
+    per-row predicate (no shuffle at all for candidacy). The digest
+    join is the only corpus-keyed shuffle either way.
     """
     from llm_training_data_pipeline_spark.operators.dedup import exact_hash
 
-    if per_source <= 0:
-        raise ValueError(f"per_source must be positive: {per_source}")
     staged = df.withColumn(
         "_hk", sample_key(F.col(id_col), _HASH_MOD)
     ).withColumn(
         "_dg", F.coalesce(exact_hash(F.col(text_col)), F.lit("(null-text)"))
     )
-    w = Window.partitionBy(source_col).orderBy(
-        F.col("_hk").asc(), F.col(id_col).asc()
-    )
-    cand_ids = (
-        staged.select(source_col, id_col, "_hk")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= per_source)
-        .select(id_col, F.lit(True).alias("_cand"))
-    )
-    cand = staged.join(cand_ids, on=id_col, how="left").withColumn(
-        "_cand", F.coalesce(F.col("_cand"), F.lit(False))
-    )
+    if rate_permille is not None:
+        if not 0 < rate_permille <= 1000:
+            raise ValueError(
+                f"rate_permille must be in (0, 1000]: {rate_permille}"
+            )
+        # growth-stable: candidacy is a function of the row's own id
+        # only — thresholding the same arithmetic key quota mode ranks
+        cand = staged.withColumn(
+            "_cand",
+            F.col("_hk") < F.lit(int(rate_permille * (_HASH_MOD // 1000))),
+        )
+    else:
+        if per_source <= 0:
+            raise ValueError(f"per_source must be positive: {per_source}")
+        w = Window.partitionBy(source_col).orderBy(
+            F.col("_hk").asc(), F.col(id_col).asc()
+        )
+        cand_ids = (
+            staged.select(source_col, id_col, "_hk")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= per_source)
+            .select(id_col, F.lit(True).alias("_cand"))
+        )
+        cand = staged.join(cand_ids, on=id_col, how="left").withColumn(
+            "_cand", F.coalesce(F.col("_cand"), F.lit(False))
+        )
     dstats = cand.groupBy("_dg").agg(
         F.count(F.lit(1)).alias("_nt"),
         F.sum(F.when(F.col("_cand"), 1).otherwise(0)).alias("_nc"),

@@ -872,15 +872,40 @@ def collect_pq_codebook(cb: DataFrame) -> list[list[list[float]]]:
     ``pq_encode_expr`` embeds — m·ks·sd doubles (8·16·8 = 1 KiB at the
     defaults), control-plane only."""
     rows = cb.collect()
+    if not rows:
+        raise ValueError("empty codebook frame")
     m = 1 + max(r["sub"] for r in rows)
     out: list[list[list[float]]] = [[] for _ in range(m)]
     for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
+        if r["sub"] < 0:
+            raise ValueError(f"negative subspace index: {r['sub']}")
         if r["code"] != len(out[r["sub"]]):
             raise ValueError(
                 "codebook codes must be contiguous per subspace "
                 f"(sub {r['sub']} jumps to code {r['code']})"
             )
         out[r["sub"]].append([float(x) for x in r["cent"]])
+    # a malformed frame (a dropped subspace, ragged code counts across
+    # subspaces) would otherwise surface as an opaque IndexError inside
+    # pq_encode_expr or as silently mismatched ADC strides (ADVICE r10)
+    counts = {sub: len(codes) for sub, codes in enumerate(out)}
+    missing = [sub for sub, n in counts.items() if n == 0]
+    if missing:
+        raise ValueError(
+            f"codebook is missing subspaces {missing}: every sub in "
+            f"0..{m - 1} must have at least one code"
+        )
+    if len(set(counts.values())) > 1:
+        raise ValueError(
+            "codebook subspaces have unequal code counts "
+            f"{counts}: the ADC stride (size/m) requires the same "
+            "contiguous code range in every subspace"
+        )
+    dims = {len(c) for codes in out for c in codes}
+    if len(dims) > 1:
+        raise ValueError(
+            f"codebook centroids have mixed dimensions {sorted(dims)}"
+        )
     return out
 
 

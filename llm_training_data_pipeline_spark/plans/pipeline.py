@@ -546,9 +546,25 @@ def run_pipeline(
         pre_cache.count()
         df = pre_cache
 
+        # decontamination boundary (ADVICE r10): with holdout on, the
+        # frame is still split-tagged at this point — every TRAINING
+        # artifact (the tokenizer's vocab/merges and the packed
+        # training sequences below) must be derived from the train
+        # split only, or enabling holdout + pack would hand eval text
+        # straight to the training loader, defeating the guarantee the
+        # holdout stage advertises. Eval rows still get ENCODED (the
+        # holdout sink ships token ids produced by the train-only
+        # tokenizer — that is how an eval set is consumed, not a leak).
+        holdout_on = (
+            cfg.get("holdout.enabled", False) and "split" in df.columns
+        )
+        train_view = (
+            df.filter(F.col("split") != "eval") if holdout_on else df
+        )
+
         algo = tsec.get("algorithm", "bpe")
         tokenizer = tk.train_tokenizer(
-            df,
+            train_view,
             "text",
             algorithm=algo,
             vocab_size=tsec.get("vocab_size", 32_000),
@@ -561,12 +577,16 @@ def run_pipeline(
         if pk.get("enabled", False) and output_dir:
             # training-loader artifact: GPT-style fixed-length input_ids
             # windows over the EOS-separated global token stream, written
-            # alongside the document-level output
+            # alongside the document-level output — train split only
+            # (same decontamination boundary as tokenizer training)
             from llm_training_data_pipeline_spark.operators import corpus
 
             seq_len = int(pk.get("seq_len", 2048))
             eos = getattr(tokenizer, "vocab", {}).get("<eos>")
-            packed = corpus.pack_token_ids(df, seq_len, eos_id=eos)
+            pack_src = (
+                df.filter(F.col("split") != "eval") if holdout_on else df
+            )
+            packed = corpus.pack_token_ids(pack_src, seq_len, eos_id=eos)
             packed_path = os.path.join(output_dir, "packed_sequences.parquet")
             sinks.write_parquet(packed, packed_path)
             tok_summary["packed_path"] = packed_path

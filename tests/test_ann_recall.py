@@ -680,3 +680,43 @@ def test_hybrid_rrf_ivfpq_leg_contract(spark):
         assert leg.get(doc) == vr, (doc, vr, leg.get(doc))
     with pytest.raises(ValueError, match="dense"):
         hybrid_rrf_topk(docs, emb, list(terms), dense="nope")
+
+
+def test_collect_pq_codebook_rejects_malformed(spark):
+    """ADVICE r10: a dropped subspace or ragged per-subspace code counts
+    must raise a descriptive ValueError here, not an opaque IndexError
+    inside pq_encode_expr or a silently wrong ADC stride."""
+    import pytest as _pytest
+
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        collect_pq_codebook,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "sub int, code int, cent array<double>"
+        )
+
+    # missing subspace 1 of m=3
+    with _pytest.raises(ValueError, match="missing subspaces"):
+        collect_pq_codebook(
+            frame([(0, 0, [0.0]), (2, 0, [0.0])])
+        )
+    # unequal code counts across subspaces
+    with _pytest.raises(ValueError, match="unequal code counts"):
+        collect_pq_codebook(
+            frame([(0, 0, [0.0]), (0, 1, [1.0]), (1, 0, [0.0])])
+        )
+    # mixed centroid dimensions
+    with _pytest.raises(ValueError, match="mixed dimensions"):
+        collect_pq_codebook(
+            frame([(0, 0, [0.0]), (1, 0, [0.0, 1.0])])
+        )
+    # empty frame
+    with _pytest.raises(ValueError, match="empty"):
+        collect_pq_codebook(frame([]))
+    # well-formed passes
+    out = collect_pq_codebook(
+        frame([(0, 0, [0.0]), (0, 1, [1.0]), (1, 0, [2.0]), (1, 1, [3.0])])
+    )
+    assert out == [[[0.0], [1.0]], [[2.0], [3.0]]]

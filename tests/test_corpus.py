@@ -1593,3 +1593,50 @@ def test_eval_holdout_twins_inside_candidates_both_stay(spark):
     out = {r["doc_id"]: r for r in corpus.eval_holdout(df, per_source=5).collect()}
     assert out[1]["split"] == "eval" and out[2]["split"] == "eval"
     assert out[1]["reject_reason"] is None
+
+
+def test_eval_holdout_rate_mode_growth_stable(spark):
+    """ADVICE r10: quota sampling is deterministic per snapshot but not
+    growth-stable; rate mode must be — candidacy depends only on the
+    row's own id, so ingesting new docs never moves an existing
+    candidate out of eval."""
+    base = [(i, f"unique doc number {i}", "s0") for i in range(200)]
+    df = spark.createDataFrame(base, "doc_id long, text string, source string")
+    first = {
+        r["doc_id"]: r["split"]
+        for r in corpus.eval_holdout(df, rate_permille=100).collect()
+    }
+    evals = {k for k, v in first.items() if v == "eval"}
+    assert evals, "rate 10% of 200 docs should yield some eval rows"
+    # grow the corpus: 200 new docs with fresh unique text
+    grown = base + [(i, f"unique doc number {i}", "s1") for i in range(1000, 1200)]
+    df2 = spark.createDataFrame(grown, "doc_id long, text string, source string")
+    second = {
+        r["doc_id"]: r["split"]
+        for r in corpus.eval_holdout(df2, rate_permille=100).collect()
+    }
+    # every original row keeps its split (no twin texts involved)
+    for k, v in first.items():
+        assert second[k] == v, (k, v, second[k])
+    # decontamination still applies in rate mode: a new train-side twin
+    # demotes the candidate (leak-safe direction)
+    an_eval = min(evals)
+    with_twin = grown + [(5000, f"unique doc number {an_eval}", "s1")]
+    df3 = spark.createDataFrame(
+        with_twin, "doc_id long, text string, source string"
+    )
+    third = {r["doc_id"]: r for r in corpus.eval_holdout(df3, rate_permille=100).collect()}
+    assert third[an_eval]["split"] == "train"
+    assert third[an_eval]["reject_reason"] == "digest_twin_in_train"
+
+
+def test_eval_holdout_rate_mode_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "t", "s")], "doc_id long, text string, source string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate_permille"):
+        corpus.eval_holdout(df, rate_permille=0)
+    with _pytest.raises(ValueError, match="rate_permille"):
+        corpus.eval_holdout(df, rate_permille=1001)

@@ -852,3 +852,73 @@ def test_run_pipeline_holdout_inline_column(spark):
     )
     summary = run_pipeline(spark, docs, cfg, None)
     assert summary["stages"]["holdout"]["eval_rows"] > 0
+
+
+def test_run_pipeline_holdout_excludes_eval_from_training_artifacts(
+    spark, tmp_path
+):
+    """ADVICE r10: with holdout enabled, the TRAINING artifacts — the
+    tokenizer's learned vocab and the packed training sequences — must
+    be derived from the train split only. Marker words ('zebra',
+    'quokka') appear ONLY in the two eval docs, frequently enough that
+    a leak-trained BPE would certainly learn them as merges and the
+    packed stream would certainly contain them."""
+    rows = []
+    for i in range(30):
+        rows.append(
+            (
+                i,
+                "the quick brown fox jumps over the lazy dog "
+                f"variant number {i} with extra filler words here",
+                "tr",
+            )
+        )
+    # the tiny source sits entirely inside the quota -> both docs eval
+    marker = " ".join(f"zebra quokka token{j}" for j in range(60))
+    rows.append((100, marker + " first", "ev"))
+    rows.append((101, marker + " second", "ev"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cfg = PipelineConfig(
+        {
+            "cleaning": {"min_length_chars": 10},
+            "deduplication": {"enabled": False},
+            "quality": {"enabled": False},
+            "tokenization": {
+                "enabled": True,
+                "vocab_size": 400,
+                "min_frequency": 2,
+                "pack": {"enabled": True, "seq_len": 16},
+            },
+            "holdout": {"enabled": True, "per_source": 10},
+        }
+    )
+    out_dir = str(tmp_path / "noleak")
+    summary = run_pipeline(spark, docs, cfg, out_dir)
+    # 10 of the 30 'tr' docs + both 'ev' docs make the quota
+    assert summary["stages"]["holdout"]["eval_rows"] == 12
+
+    from llm_training_data_pipeline_spark.operators.tokenize import (
+        BpeTokenizer,
+    )
+
+    tok = BpeTokenizer.load(summary["tokenization"]["tokenizer_path"])
+    leaked_vocab = [
+        t for t in tok.vocab if "zebra" in t or "quokka" in t or "zebr" in t
+    ]
+    assert not leaked_vocab, leaked_vocab
+
+    packed = spark.read.parquet(summary["tokenization"]["packed_path"])
+    ids = [
+        i
+        for r in packed.select("input_ids").collect()
+        for i in r["input_ids"]
+    ]
+    text = tok.decode(ids)
+    assert "zebra" not in text and "quokka" not in text
+    assert "fox" in text  # train text did flow through pack
+    # eval rows still ship ENCODED in the holdout sink (consumption,
+    # not training): both marker docs are there
+    ev = spark.read.parquet(summary["holdout_path"])
+    assert ev.count() == 12
+    ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+    assert {100, 101} <= ev_ids
