@@ -2587,6 +2587,11 @@ def ann_recall_unified_sql(
          pq_topk_sql(k, m, ks, n_queries)),
         (f"pq_refined_m{m}_ks{ks}", "full scan, m-byte codes",
          pq_topk_refined_sql(k, m, ks, n_queries)),
+        # the shipped-default family (r11): m=dim/4, ks=256, exact
+        # rerank of the 5*k ADC shortlist — budget string in lockstep
+        # with queries.q_ann_recall_unified
+        ("pq_rr_m16_ks256", "full scan, m-byte codes + 50-vec rerank",
+         _pq_rank_sql(k, 16, 256, n_queries, iters=0, rerank=5 * k)),
         (f"ivfpq_c{n_clusters}_p{n_probe}",
          f"{n_probe}/{n_clusters} lists, m-byte codes",
          ivfpq_topk_sql(k, n_clusters, n_probe, m, ks, n_queries)),
@@ -5604,6 +5609,174 @@ def pq_topk_sql(
                    ORDER BY adist_units, vec_id) AS BIGINT) AS rank
           FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _pq_rank_sql(
+    k: int,
+    m: int,
+    ks: int,
+    n_queries: int,
+    iters: int = 0,
+    rerank: int | None = None,
+) -> str:
+    """Generalized PQ ranking replay: the seeded codebook, ``iters``
+    exact-integer Lloyd rounds (the pq_topk_refined_sql round chain,
+    generated mechanically per round), the 1e-8-unit ADC ranking, and
+    optionally the exact rerank of the ``rerank``-deep ADC shortlist
+    (full-vector squared L2 in the same units — mirror of
+    similarity._exact_rerank). pq_topk_sql / pq_topk_refined_sql remain
+    the pinned single-config forms; this generator backs the
+    (m, ks, refine, rerank) curve and the reranked unified leg."""
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    sd = f"(len(vec) // {m})"
+    mu = "(2*su + n - ((2*su + n) % (2*n) + 2*n) % (2*n)) // (2*n)"
+    ctes = [_pq_ctes(m, ks)]
+    prev_cb, prev_enc = "cb", "enc"
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+        units{i} AS (
+          SELECT e.sub, e.code,
+                 generate_subscripts(sb.sv, 1) AS dim,
+                 CAST(floor(unnest(sb.sv) * 1000000) AS BIGINT) AS vu
+          FROM {prev_enc} e JOIN subs sb
+            ON sb.vec_id = e.vec_id AND sb.sub = e.sub
+        ), mstats{i} AS (
+          SELECT sub, code, dim,
+                 CAST(count(*) AS BIGINT) AS n, sum(vu) AS su
+          FROM units{i} GROUP BY sub, code, dim
+        ), rmu{i} AS (
+          SELECT sub, code, list(({mu}) / 1000000.0 ORDER BY dim) AS rcent
+          FROM mstats{i} GROUP BY sub, code
+        ), cb{i} AS (
+          SELECT p.sub, p.code, coalesce(r.rcent, p.cent) AS cent
+          FROM {prev_cb} p LEFT JOIN rmu{i} r
+            ON p.sub = r.sub AND p.code = r.code
+        ), encscore{i} AS (
+          SELECT subs.vec_id, subs.sub, c.code,
+                 {d2.format(a="subs.sv", b="c.cent")} AS d2
+          FROM subs JOIN cb{i} c ON subs.sub = c.sub
+        ), enc{i} AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY d2, code) AS rn
+            FROM encscore{i}
+          ) WHERE rn = 1
+        )""")
+        prev_cb, prev_enc = f"cb{i}", f"enc{i}"
+    ctes.append(f"""
+        qsubs AS (
+          SELECT vec_id AS q_id, s.sub,
+                 list_slice(v.vec, s.sub * {sd} + 1,
+                            s.sub * {sd} + {sd}) AS qsv
+          FROM v CROSS JOIN s WHERE vec_id < {n_queries}
+        ), qtab AS (
+          SELECT q_id, c.sub, c.code,
+                 CAST(floor({d2.format(a="qsv", b="c.cent")} * 1e8)
+                      AS BIGINT) AS du
+          FROM qsubs JOIN {prev_cb} c ON qsubs.sub = c.sub
+        ), scored AS (
+          SELECT qt.q_id, e.vec_id,
+                 CAST(sum(qt.du) AS BIGINT) AS adist_units
+          FROM {prev_enc} e JOIN qtab qt
+            ON e.sub = qt.sub AND e.code = qt.code AND e.vec_id <> qt.q_id
+          GROUP BY qt.q_id, e.vec_id
+        )""")
+    body = ",".join(ctes)
+    if rerank is None:
+        return f"""
+        WITH {body}
+        SELECT q_id, vec_id, adist_units, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist_units, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
+    return f"""
+        WITH {body},
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist_units, vec_id) AS srn
+            FROM scored
+          ) WHERE srn <= {rerank}
+        ), rer AS (
+          SELECT sh.q_id, sh.vec_id,
+                 CAST(floor({d2.format(a="qv.vec", b="cv.vec")} * 1e8)
+                      AS BIGINT) AS adist_units
+          FROM short sh
+          JOIN v cv ON sh.vec_id = cv.vec_id
+          JOIN v qv ON sh.q_id = qv.vec_id
+        )
+        SELECT q_id, vec_id, adist_units, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY adist_units, vec_id) AS BIGINT) AS rank
+          FROM rer
+        ) WHERE rank <= {k}
+    """
+
+
+def pq_recall_curve_sql(
+    k: int = 10,
+    n_queries: int = 10,
+    configs: list[tuple[int, int, int, int]] | None = None,
+) -> str:
+    """Replay of similarity.pq_recall_curve: one recall row per
+    (m, ks, refine_rounds, rerank) config, every ranking rebuilt by
+    ``_pq_rank_sql`` against the shared exact cosine ground truth."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        PQ_CURVE_CONFIGS,
+    )
+
+    cfgs = configs if configs is not None else PQ_CURVE_CONFIGS
+    cos = """CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+             ELSE list_sum(list_transform(list_zip(q.vec, c.vec),
+                    p -> p[1] * p[2])) / (q.nrm * c.nrm) END"""
+    recall = (
+        "CAST(floor((hits * 20000 + expected) / (expected * 2.0)) AS BIGINT)"
+        " / 10000.0"
+    )
+    selects = []
+    for m, ks, iters, rr in cfgs:
+        sql = _pq_rank_sql(k, m, ks, n_queries, iters, rr or None)
+        name = f"pq_m{m}_ks{ks}_r{iters}" + (f"_rr{rr}" if rr else "")
+        cbytes = m * (1 if ks <= 256 else 2)
+        selects.append(f"""
+        SELECT '{name}' AS method,
+               CAST({m} AS INT) AS m, CAST({ks} AS INT) AS ks,
+               CAST({iters} AS INT) AS refine_rounds,
+               CAST({rr} AS INT) AS rerank,
+               CAST({cbytes} AS INT) AS code_bytes,
+               CAST(hits AS BIGINT) AS hits,
+               CAST(expected AS BIGINT) AS expected,
+               {recall} AS recall
+        FROM (
+          SELECT count(*) AS hits
+          FROM (SELECT q_id, vec_id FROM ({sql}) _a) a
+          JOIN exact e USING (q_id, vec_id)
+        ) CROSS JOIN exp_cnt""")
+    body = "\n        UNION ALL\n        ".join(selects)
+    return f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round({cos}, 6) DESC, c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {n_queries}
+          ) WHERE rank <= {k}
+        ), exp_cnt AS (SELECT count(*) AS expected FROM exact)
+        {body}
     """
 
 

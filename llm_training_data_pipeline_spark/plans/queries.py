@@ -235,6 +235,17 @@ _CHANGED_IN_ROUND.update(
         "pipeline_e2e_full": 10,
     }
 )
+# r11: ann_recall_unified gained the shipped-default reranked leg
+# (pq_rr_m16_ks256) and per-leg eager materialization (same values per
+# leg, one new row, plan reshaped); pipeline_e2e_full's tokenizer/pack
+# inputs now exclude the eval split when holdout is on (ADVICE r10 —
+# default-config plan unchanged, composing code changed)
+_CHANGED_IN_ROUND.update(
+    {
+        "ann_recall_unified": 11,
+        "pipeline_e2e_full": 11,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -804,6 +815,14 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
         (
+            # the SHIPPED DEFAULT family (r11): sub-dim 4, ks=256,
+            # exact rerank of the 5*k ADC shortlist — the config
+            # pq_recall_curve measures at 0.99 on this fixture
+            "pq_rr_m16_ks256",
+            "full scan, m-byte codes + 50-vec rerank",
+            pq_topk(emb, queries, k=10, m=16, ks=256, rerank=50),
+        ),
+        (
             "ivfpq_c16_p3",
             "3/16 lists, m-byte codes",
             ivfpq_topk(
@@ -824,15 +843,34 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    out: DataFrame | None = None
-    for method, budget, approx in legs:
-        row = ann_recall(exact, approx.select("q_id", "vec_id")).select(
+    # materialize each family's tiny candidate set (<= k x Q rows)
+    # eagerly AND concurrently: the unioned 8-family plan otherwise
+    # re-derives every family's full chain inside ONE job (86 Exchanges
+    # at sf0.01, the most expensive sweep row — VERDICT r10 #2/#3); as
+    # concurrent small jobs the shared checkpointed GT/encode are
+    # reused, the final union reads 8 one-row scans, and the wall clock
+    # is the slowest family instead of the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(leg) -> DataFrame:
+        method, budget, approx = leg
+        cand = (
+            approx.select("q_id", "vec_id")
+            if method == "brute"
+            else approx.select("q_id", "vec_id").localCheckpoint(eager=True)
+        )
+        return ann_recall(exact, cand).select(
             F.lit(method).alias("method"),
             F.lit(budget).alias("budget"),
             "hits",
             "expected",
             "recall",
         )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        rows = list(ex.map(build, legs))
+    out: DataFrame | None = None
+    for row in rows:
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
@@ -4572,6 +4610,24 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _ann_gt(spark, sf_dir)
     approx = pq_topk(emb, queries, k=10, m=8, ks=16).select("q_id", "vec_id")
     return ann_recall(exact, approx)
+
+
+@register("pq_recall_curve", oracle.pq_recall_curve_sql(k=10, n_queries=10))
+def q_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE PQ sizing table (VERDICT r10 #1): recall@10 across
+    (m, ks, refine_rounds, rerank) with the per-vector index cost
+    spelled out — the answer to "what do I set?" backed by measurement,
+    hash-checked end to end. Measured on this fixture: bare m=8/ks=16
+    ADC = 0.28; the shipped default (m=dim/4, ks=256, exact rerank of a
+    5*k shortlist) = 0.99 at 16 bytes/vector. Guidance in
+    docs/OPERATORS.md (similarity.pq_recall_curve)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        pq_recall_curve,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_recall_curve(emb, queries, _ann_gt(spark, sf_dir), k=10)
 
 
 @register("code_detection_stats", oracle.code_detection_sql())

@@ -720,3 +720,99 @@ def test_collect_pq_codebook_rejects_malformed(spark):
         frame([(0, 0, [0.0]), (0, 1, [1.0]), (1, 0, [2.0]), (1, 1, [3.0])])
     )
     assert out == [[[0.0], [1.0]], [[2.0], [3.0]]]
+
+
+def test_pq_topk_rerank_full_shortlist_is_exact(spark):
+    """Exact rerank over the FULL corpus shortlist is exact nearest
+    neighbours: recall@10 vs the cosine ground truth is 1.0 (vectors
+    are unit-norm, so L2 and cosine rank identically)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    gt = brute_force_topk(emb, q, k=10).select("q_id", "vec_id")
+    approx = pq_topk(emb, q, k=10, m=8, ks=16, rerank=n - 1)
+    row = ann_recall(gt, approx.select("q_id", "vec_id")).collect()[0]
+    assert row["recall"] == 1.0
+
+
+def test_pq_topk_rerank_beats_bare_adc(spark):
+    """The shipped-default shape (seeded m=16/ks=256 + 5*k rerank) must
+    clear the recall floor the bare ADC scan misses — the r10 weak mark
+    (recall@10 >= 0.7; measured 0.99 on this fixture)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = brute_force_topk(emb, q, k=10).select("q_id", "vec_id").localCheckpoint(eager=True)
+    bare = pq_topk(emb, q, k=10, m=8, ks=16)
+    rr = pq_topk(emb, q, k=10, m=16, ks=256, rerank=50)
+    r_bare = ann_recall(gt, bare.select("q_id", "vec_id")).collect()[0]["recall"]
+    r_rr = ann_recall(gt, rr.select("q_id", "vec_id")).collect()[0]["recall"]
+    assert r_rr >= 0.7, r_rr
+    assert r_rr > r_bare
+
+
+def test_pq_topk_rerank_validates_shortlist(spark):
+    import pytest as _pytest
+
+    from llm_training_data_pipeline_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 3)
+    with _pytest.raises(ValueError, match="rerank"):
+        pq_topk(emb, q, k=10, rerank=5).collect()
+
+
+def test_ivfpq_rerank_full_probe_equals_pq_rerank(spark):
+    """Full-probe IVFPQ sees every candidate with the same global
+    codebook, so its ADC shortlist — and therefore the exact rerank —
+    must equal pq_topk's row for row."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 5)
+    full = ivfpq_topk(
+        emb, q, k=10, n_clusters=8, n_probe=8, m=8, ks=16, rerank=30
+    )
+    flat = pq_topk(emb, q, k=10, m=8, ks=16, rerank=30)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
+def test_pq_recall_curve_values(spark):
+    """The sizing table itself: monotone recall in the rerank direction
+    per (m, ks), the shipped default >= 0.7, and code_bytes reporting
+    the index cost."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        pq_recall_curve,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = brute_force_topk(emb, q, k=10).select("q_id", "vec_id").localCheckpoint(eager=True)
+    configs = [(8, 16, 0, 0), (8, 16, 0, 50), (16, 256, 0, 50)]
+    rows = {
+        r["method"]: r
+        for r in pq_recall_curve(emb, q, gt, k=10, configs=configs).collect()
+    }
+    assert rows["pq_m8_ks16_r0_rr50"]["recall"] > rows["pq_m8_ks16_r0"]["recall"]
+    assert rows["pq_m16_ks256_r0_rr50"]["recall"] >= 0.7
+    assert rows["pq_m8_ks16_r0"]["code_bytes"] == 8
+    assert rows["pq_m16_ks256_r0_rr50"]["code_bytes"] == 16
+    for r in rows.values():
+        assert r["expected"] == 100
