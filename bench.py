@@ -366,6 +366,12 @@ LARGE_SUBSET = [
     # codebook path (encode + mean-step + re-encode — a new plan shape)
     "ivfpq_topk_residual",
     "pq_topk_refined",
+    # round-11: the capped band join (VERDICT r10 #2 — the sf1 row that
+    # shows the cap bounding the pair volume the 6.62-ratio uncapped
+    # minhash_pairs_md5 row pays) and the shipped-default reranked PQ
+    # (ADC shortlist + broadcast point-lookup rerank — a new plan shape)
+    "minhash_pairs_md5_capped",
+    "pq_topk_reranked",
 ]
 
 

@@ -209,6 +209,7 @@ def minhash_candidate_pairs(
     cfg: MinHashConfig = MinHashConfig(),
     *,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """D4 candidate generation: LSH band self-join → (id_a < id_b) pairs with
     signature-estimated Jaccard.
@@ -235,7 +236,14 @@ def minhash_candidate_pairs(
         if signatures is not None
         else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
     )
-    return minhash_candidate_pairs_from_signatures(sig, id_col, cfg)
+    cand = (
+        minhash_band_candidates(sig, id_col, cfg, max_bucket_size)
+        if max_bucket_size is not None
+        else None
+    )
+    return minhash_candidate_pairs_from_signatures(
+        sig, id_col, cfg, candidates=cand
+    )
 
 
 # Session-scoped signature store: one signature pass per (application,
@@ -319,23 +327,98 @@ def minhash_band_buckets(
     sig: DataFrame,
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """(id, bucket) table — one row per (doc, LSH band)."""
-    return sig.withColumn(
+    """(id, bucket) table — one row per (doc, LSH band).
+
+    ``max_bucket_size`` (VERDICT r10 #2): deterministically keep only
+    the ``max_bucket_size`` smallest ids of an over-populated band
+    bucket. A boilerplate band shared by 100k documents is quadratic
+    WITHIN its bucket at real scale (5e9 pairs from one bucket); the
+    cap bounds every bucket's pair contribution at cap^2/2 while the
+    min-id keep rule stays replayable. Dropped memberships usually cost
+    little recall — a document trimmed from one bucket still meets its
+    true near-twins in its other ``num_bands - 1`` bands
+    (``minhash_cap_recall`` measures exactly this). The caveat: EXACT
+    duplicates share identical signatures, so all their bands cap
+    identically and a verbatim-duplicate cluster bigger than the cap
+    loses its tail pairs in every band at once — run ``exact_dedup``
+    BEFORE the capped near-dup pass (the pipeline's stage order
+    already does). Rank-filter form so
+    Spark inserts WindowGroupLimit — each task pre-trims to the cap
+    before the per-bucket sort; no single-task funnel on a dominant
+    bucket."""
+    banded = sig.withColumn(
         "band",
         F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)),
     ).select(F.col(id_col), _band_bucket_expr(cfg).alias("bucket"))
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2 (a 1-member bucket emits "
+                f"no pairs): {max_bucket_size}"
+            )
+        w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    return banded
+
+
+def band_cap_stats(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """One-row overflow accounting for a band-bucket cap BEFORE paying
+    for the capped join: buckets over the cap, memberships the cap
+    would drop, the largest observed bucket, and the exact pair-volume
+    saving (sum over capped buckets of C(n,2) - C(cap,2)) — the number
+    that says whether boilerplate bands are about to go quadratic.
+    Two map-side-combinable aggregates, no window, no join."""
+    if max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2: {max_bucket_size}")
+    per = (
+        minhash_band_buckets(sig, id_col, cfg)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cap = F.lit(max_bucket_size).cast("long")
+    over = F.col("n") > cap
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("total_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("capped_buckets"),
+        F.sum("n").cast("long").alias("total_memberships"),
+        F.sum(F.when(over, F.col("n") - cap).otherwise(0))
+        .cast("long")
+        .alias("dropped_memberships"),
+        F.max("n").cast("long").alias("max_bucket_observed"),
+        F.sum(
+            F.when(
+                over,
+                (F.col("n") * (F.col("n") - 1) - cap * (cap - 1)) / 2,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pairs_saved"),
+    )
 
 
 def minhash_band_candidates(
     sig: DataFrame,
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band — the
     raw candidate set, before any similarity verification. Per-bucket
-    joins, never all-pairs; the shuffle ships (id, bucket) only."""
-    banded = minhash_band_buckets(sig, id_col, cfg)
+    joins, never all-pairs; the shuffle ships (id, bucket) only.
+    ``max_bucket_size`` caps each bucket's contribution (see
+    ``minhash_band_buckets``)."""
+    banded = minhash_band_buckets(sig, id_col, cfg, max_bucket_size)
     return (
         banded.alias("a")
         .join(banded.alias("b"), on="bucket")
@@ -431,9 +514,17 @@ def minhash_dedup(
     cfg: MinHashConfig = MinHashConfig(),
     *,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """D5: drop every doc that near-matches a smaller-id doc (min-id wins)."""
-    pairs = minhash_candidate_pairs(df, text_col, id_col, cfg, signatures=signatures)
+    """D5: drop every doc that near-matches a smaller-id doc (min-id wins).
+
+    ``max_bucket_size`` caps each band bucket's pair contribution (see
+    ``minhash_band_buckets`` — run exact dedup first; the pipeline's
+    stage order does)."""
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col, cfg,
+        signatures=signatures, max_bucket_size=max_bucket_size,
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -1158,45 +1249,12 @@ def minhash_recall(
     the audit on a uniform sample — the recall estimate stays unbiased
     because both sides see the same sample.
     """
-    # materialized: the exploded shingle table feeds three branches
-    # (sizes + both join sides) in ONE job — unchecked, the explode and
-    # corpus scan run three times (the measured shared-subtree pitfall
+    # truth via _shingle_jaccard_truth: the exploded shingle table is
+    # materialized there because it feeds three branches (sizes + both
+    # join sides) in ONE job — unchecked, the explode and corpus scan
+    # run three times (the measured shared-subtree pitfall
     # minhash_candidate_pairs documents)
-    sgs = (
-        df.select(
-            F.col(id_col),
-            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
-        )
-        .select(
-            F.col(id_col),
-            F.explode(
-                char_shingles(F.col("_norm"), cfg.shingle_size, pre_normalized=True)
-            ).alias("_sg"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    sizes = sgs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
-    a = sgs.select(F.col(id_col).alias("id_a"), "_sg")
-    b = sgs.select(F.col(id_col).alias("id_b"), "_sg")
-    inter = (
-        a.join(b, on="_sg")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb"))
-    truth = (
-        inter.join(sa, on="id_a")
-        .join(sb, on="id_b")
-        .filter(
-            F.col("_i")
-            / (F.col("_sa") + F.col("_sb") - F.col("_i")).cast("double")
-            >= F.lit(cfg.threshold)
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    truth = _shingle_jaccard_truth(df, text_col, id_col, cfg)
     sig = (
         signatures
         if signatures is not None
@@ -1235,6 +1293,130 @@ def minhash_recall(
             _recall("n_emitted_caught").alias("emit_recall"),
         )
     )
+
+
+def _shingle_jaccard_truth(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    cfg: MinHashConfig,
+) -> DataFrame:
+    """Exact distinct-shingle Jaccard >= threshold pairs — the ground
+    truth both recall audits score against (cost = sum over shingles of
+    df(s)^2 via the shingle equi-join, never all-pairs; at 100 TB run
+    on a uniform sample — unbiased because both sides see the same
+    sample). Returns a MATERIALIZED (id_a, id_b) frame."""
+    sgs = (
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_norm"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                char_shingles(F.col("_norm"), cfg.shingle_size, pre_normalized=True)
+            ).alias("_sg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = sgs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    a = sgs.select(F.col(id_col).alias("id_a"), "_sg")
+    b = sgs.select(F.col(id_col).alias("id_b"), "_sg")
+    inter = (
+        a.join(b, on="_sg")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb"))
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .filter(
+            F.col("_i")
+            / (F.col("_sa") + F.col("_sb") - F.col("_i")).cast("double")
+            >= F.lit(cfg.threshold)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+
+def minhash_cap_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = MinHashConfig(),
+    caps: tuple[int | None, ...] = (None, 16, 4),
+    *,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """The band-bucket cap's recall/cost table (VERDICT r10 #2): one
+    row per cap setting — candidate-pair volume (the cost the cap
+    bounds) next to band/emit recall against the SAME exact Jaccard
+    ground truth, so the "how much pair volume does capping boilerplate
+    bands save, for how much recall" trade reads off one hash-checked
+    table. Truth and signatures are computed ONCE; each cap re-runs
+    only the banded self-join (exactly what the knob changes).
+    """
+    truth = _shingle_jaccard_truth(df, text_col, id_col, cfg)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(
+            eager=True
+        )
+    )
+    out: DataFrame | None = None
+    for cap in caps:
+        band = minhash_band_candidates(sig, id_col, cfg, cap).localCheckpoint(
+            eager=True
+        )
+        emitted = minhash_candidate_pairs_from_signatures(
+            sig, id_col, cfg, candidates=band
+        ).select("id_a", "id_b")
+        tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        n_cand = band.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        band_hits = truth.join(band, on=["id_a", "id_b"], how="left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_band_caught")
+        )
+        emit_hits = truth.join(
+            emitted, on=["id_a", "id_b"], how="left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_emitted_caught"))
+
+        def _recall(num: str) -> Column:
+            return F.when(
+                F.col("n_true_pairs") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.round(F.col(num) / F.col("n_true_pairs").cast("double"), 4)
+            )
+
+        row = (
+            tot.crossJoin(n_cand)
+            .crossJoin(band_hits)
+            .crossJoin(emit_hits)
+            .select(
+                F.lit("uncapped" if cap is None else f"cap{cap}").alias(
+                    "method"
+                ),
+                F.lit(-1 if cap is None else cap).cast("int").alias(
+                    "max_bucket_size"
+                ),
+                "n_candidate_pairs",
+                "n_true_pairs",
+                "n_band_caught",
+                "n_emitted_caught",
+                _recall("n_band_caught").alias("band_recall"),
+                _recall("n_emitted_caught").alias("emit_recall"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
 
 
 def simhash_recall(

@@ -40,6 +40,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "threshold": 0.8,
         "num_bands": 16,
         "shingle_size": 5,
+        # cap each LSH band bucket at this many members (min-id keep) —
+        # bounds the quadratic pair blowup of boilerplate bands at
+        # scale; None = uncapped. See dedup.minhash_band_buckets.
+        "max_band_bucket": None,
     },
     "quality": {
         "enabled": True,

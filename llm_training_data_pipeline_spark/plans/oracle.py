@@ -1554,20 +1554,33 @@ def minhash_pairs_md5_sql(
     num_bands: int = 4,
     threshold: float = 0.5,
     shingle_size: int = 5,
+    max_bucket_size: int | None = None,
 ) -> str:
     """Bit-for-bit replay of dedup.minhash_candidate_pairs with the md5
     hash family: same normalization, same multiset shingles, the same
     (a*h+b) mod M31 permutation constants (shared RNG seed), banding via
     band-array equality (Spark buckets by hashing the band — identical
-    pairs modulo 64-bit hash collisions)."""
+    pairs modulo 64-bit hash collisions). ``max_bucket_size`` replays
+    the band-bucket cap (min-id keep via row_number per bucket)."""
     eq_terms = " + ".join(
         f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
         for i in range(num_perm)
     )
+    src = (
+        "bands"
+        if max_bucket_size is None
+        else f"""(
+            SELECT doc_id, band_id, band_sig FROM (
+              SELECT *, row_number() OVER (PARTITION BY band_id, band_sig
+                          ORDER BY doc_id) AS rn
+              FROM bands
+            ) WHERE rn <= {max_bucket_size}
+          )"""
+    )
     return f"""
         WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)}, cand AS (
           SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-          FROM bands x JOIN bands y
+          FROM {src} x JOIN {src} y
             ON x.band_id = y.band_id AND x.band_sig = y.band_sig
                AND x.doc_id < y.doc_id
         )
@@ -4130,6 +4143,128 @@ def minhash_recall_sql(
     """
 
 
+def minhash_cap_recall_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 5,
+    caps: tuple[int | None, ...] = (None, 16, 4),
+) -> str:
+    """Mirror of dedup.minhash_cap_recall: per band-bucket cap, the
+    candidate-pair volume plus band/emit recall against ONE exact
+    distinct-shingle Jaccard ground truth. The cap replays as
+    row_number over (band_id, band_sig) ordered by doc_id — the same
+    deterministic min-id keep as the Spark WindowGroupLimit form."""
+    eq_terms = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_perm)
+    )
+    cap_ctes, cap_rows = [], []
+    for cap in caps:
+        tag = "u" if cap is None else f"c{cap}"
+        method = "uncapped" if cap is None else f"cap{cap}"
+        capv = -1 if cap is None else cap
+        src = (
+            "bands"
+            if cap is None
+            else f"""(
+            SELECT doc_id, band_id, band_sig FROM (
+              SELECT *, row_number() OVER (PARTITION BY band_id, band_sig
+                          ORDER BY doc_id) AS rn
+              FROM bands
+            ) WHERE rn <= {cap}
+          )"""
+        )
+        cap_ctes.append(f"""cand_{tag} AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM {src} x JOIN {src} y
+            ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+               AND x.doc_id < y.doc_id
+        ), emitted_{tag} AS (
+          SELECT c.id_a, c.id_b
+          FROM cand_{tag} c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+          WHERE ({eq_terms}) / CAST({num_perm} AS DOUBLE) >= {threshold}
+        )""")
+        cap_rows.append(f"""
+        SELECT '{method}' AS method, CAST({capv} AS INT) AS max_bucket_size,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand_{tag})
+                 AS n_candidate_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                  SEMI JOIN cand_{tag} c
+                    ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                 AS n_band_caught,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth t
+                  SEMI JOIN emitted_{tag} e
+                    ON t.id_a = e.id_a AND t.id_b = e.id_b)
+                 AS n_emitted_caught""")
+    rows = "\n        UNION ALL\n        ".join(
+        f"""SELECT method, max_bucket_size, n_candidate_pairs, n_true_pairs,
+               n_band_caught, n_emitted_caught,
+               CASE WHEN n_true_pairs = 0 THEN NULL
+                    ELSE round(n_band_caught / CAST(n_true_pairs AS DOUBLE), 4)
+                 END AS band_recall,
+               CASE WHEN n_true_pairs = 0 THEN NULL
+                    ELSE round(n_emitted_caught / CAST(n_true_pairs AS DOUBLE), 4)
+                 END AS emit_recall
+        FROM ({r})"""
+        for r in cap_rows
+    )
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)},
+        dsh AS (
+          SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+        ), ex AS (
+          SELECT doc_id, unnest(ds) AS sg FROM dsh
+        ), sz AS (
+          SELECT doc_id, CAST(len(ds) AS BIGINT) AS sz FROM dsh
+        ), it AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT id_a, id_b
+          FROM it
+          JOIN sz sa ON it.id_a = sa.doc_id
+          JOIN sz sb ON it.id_b = sb.doc_id
+          WHERE i / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {threshold}
+        ), {", ".join(cap_ctes)}
+        {rows}
+    """
+
+
+def band_cap_stats_sql(
+    num_perm: int = 16,
+    num_bands: int = 4,
+    shingle_size: int = 5,
+    max_bucket_size: int = 16,
+) -> str:
+    """Mirror of dedup.band_cap_stats: per-bucket membership counts,
+    overflow accounting, and the exact pair-volume saving."""
+    c = max_bucket_size
+    return f"""
+        WITH {_minhash_bands_prefix_sql(num_perm, num_bands, shingle_size)},
+        per AS (
+          SELECT band_id, band_sig, CAST(count(*) AS BIGINT) AS n
+          FROM bands GROUP BY band_id, band_sig
+        )
+        SELECT CAST(count(*) AS BIGINT) AS total_buckets,
+               CAST(sum(CASE WHEN n > {c} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS capped_buckets,
+               CAST(sum(n) AS BIGINT) AS total_memberships,
+               CAST(sum(CASE WHEN n > {c} THEN n - {c} ELSE 0 END) AS BIGINT)
+                 AS dropped_memberships,
+               CAST(max(n) AS BIGINT) AS max_bucket_observed,
+               CAST(sum(CASE WHEN n > {c}
+                        THEN (n * (n - 1) - {c * (c - 1)}) / 2
+                        ELSE 0 END) AS BIGINT) AS pairs_saved
+        FROM per
+    """
+
+
 def simhash_recall_sql(
     max_hamming: int = 3, num_bands: int = 4, cos_threshold: float | None = None
 ) -> str:
@@ -5718,6 +5853,19 @@ def _pq_rank_sql(
           FROM rer
         ) WHERE rank <= {k}
     """
+
+
+def pq_topk_rerank_sql(
+    k: int = 10,
+    m: int = 16,
+    ks: int = 256,
+    n_queries: int = 10,
+    shortlist: int = 50,
+) -> str:
+    """Mirror of similarity.pq_topk(rerank=shortlist) — the shipped
+    default: seeded codebook ADC shortlist, exact full-vector re-rank
+    in the same 1e-8 integer units."""
+    return _pq_rank_sql(k, m, ks, n_queries, iters=0, rerank=shortlist)
 
 
 def pq_recall_curve_sql(

@@ -92,7 +92,16 @@ def build_pipeline(
                     ).drop("_dedup_score")
                 )
             else:
-                df = dedup.minhash_dedup(df, cfg=mh)
+                # max_band_bucket (r11): bound each LSH bucket's pair
+                # contribution — the boilerplate-band quadratic guard;
+                # exact_hash twins are already gone (the recipes that
+                # need both run exact first), so the cap costs only
+                # tail pairs of same-band near-dup clusters
+                df = dedup.minhash_dedup(
+                    df,
+                    cfg=mh,
+                    max_bucket_size=d.get("max_band_bucket"),
+                )
         elif algo == "soft_exact":
             # downweight, don't drop: every row survives with a
             # 1/n_copies ppm weight over its content-digest group (one

@@ -596,3 +596,146 @@ def test_split_leakage_surfaces_untagged_docs(spark):
     assert rows[("train", "train")]["n_pairs"] == 1
     # total pairs conserved: nothing dropped
     assert sum(r["n_pairs"] for r in rows.values()) == 2
+
+
+def test_band_bucket_cap_bounds_hot_bucket(spark):
+    """VERDICT r10 #2: a bucket fatter than the cap keeps exactly its
+    ``cap`` smallest ids; pair volume from a verbatim-duplicate cluster
+    collapses from C(n,2) to C(cap,2)."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_band_candidates,
+        minhash_signatures,
+    )
+
+    n_dup, cap = 30, 8
+    rows = [(i, "boilerplate cookie banner accept terms and conditions page")
+            for i in range(n_dup)]
+    rows += [(100 + i, f"genuinely unique document number {i} about topic {i * 7}")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = MinHashConfig(num_perm=16, threshold=0.5, shingle_size=5, num_bands=4)
+    sig = minhash_signatures(df, cfg=cfg).localCheckpoint(eager=True)
+
+    banded = minhash_band_buckets(sig, cfg=cfg, max_bucket_size=cap)
+    per_bucket = banded.groupBy("bucket").count().collect()
+    assert max(r["count"] for r in per_bucket) <= cap
+    # min-id keep: the capped duplicate bucket holds ids 0..cap-1
+    kept_dup_ids = {
+        r["doc_id"]
+        for r in banded.filter(F.col("doc_id") < 100).distinct().collect()
+    }
+    assert kept_dup_ids == set(range(cap))
+
+    unc = minhash_band_candidates(sig, cfg=cfg).count()
+    capped = minhash_band_candidates(sig, cfg=cfg, max_bucket_size=cap).count()
+    assert unc >= n_dup * (n_dup - 1) // 2
+    assert capped < unc
+    # the duplicate cluster contributes exactly C(cap,2) now
+    dup_pairs = (
+        minhash_band_candidates(sig, cfg=cfg, max_bucket_size=cap)
+        .filter((F.col("id_a") < 100) & (F.col("id_b") < 100))
+        .count()
+    )
+    assert dup_pairs == cap * (cap - 1) // 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_band_buckets(sig, cfg=cfg, max_bucket_size=1)
+
+
+def test_band_cap_stats_accounting(spark):
+    """Exact overflow accounting on a constructed hot bucket: every
+    band of a verbatim cluster caps identically (identical signatures),
+    so capped_buckets == num_bands and pairs_saved is exact."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        band_cap_stats,
+        minhash_signatures,
+    )
+
+    n_dup, cap = 30, 8
+    rows = [(i, "boilerplate cookie banner accept terms and conditions page")
+            for i in range(n_dup)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = MinHashConfig(num_perm=16, threshold=0.5, shingle_size=5, num_bands=4)
+    sig = minhash_signatures(df, cfg=cfg)
+    row = band_cap_stats(sig, cfg=cfg, max_bucket_size=cap).collect()[0]
+    assert row["total_buckets"] == 4
+    assert row["capped_buckets"] == 4
+    assert row["total_memberships"] == 4 * n_dup
+    assert row["dropped_memberships"] == 4 * (n_dup - cap)
+    assert row["max_bucket_observed"] == n_dup
+    expected_saved = 4 * (n_dup * (n_dup - 1) // 2 - cap * (cap - 1) // 2)
+    assert row["pairs_saved"] == expected_saved
+
+
+def test_minhash_cap_recall_near_dup_cluster(spark):
+    """The recall trade the cap table exists to measure: near-dup (NOT
+    verbatim) variants keep most recall under a generous cap because a
+    doc trimmed from one hot band still meets its twins in other bands;
+    pair volume shrinks. Verbatim clusters are the documented caveat
+    (exact_dedup runs first in the pipeline)."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        minhash_cap_recall,
+    )
+
+    base = (
+        "the quarterly report shows strong revenue growth across all "
+        "segments with particular strength in cloud services and "
+        "subscription products while operating margins expanded"
+    )
+    rows = [(i, base + f" footnote {i}") for i in range(24)]
+    rows += [(200 + i, f"wholly unrelated text number {i} discussing astronomy "
+              f"planet {i * 13} and telescopes") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = MinHashConfig(num_perm=16, threshold=0.5, shingle_size=5, num_bands=4)
+    out = {
+        r["method"]: r
+        for r in minhash_cap_recall(df, cfg=cfg, caps=(None, 8)).collect()
+    }
+    unc, c8 = out["uncapped"], out["cap8"]
+    assert unc["n_true_pairs"] > 0
+    assert c8["n_candidate_pairs"] < unc["n_candidate_pairs"]
+    # The honest trade, pinned: a high-similarity cluster has CORRELATED
+    # bands (P[band equal] = J^rows_per_band), so one fat cluster caps
+    # near-identically in every band and its tail pairs vanish from the
+    # PAIR output — recall collapses on exactly the boilerplate the cap
+    # tames. That is why pair-volume capping is for pair-emitting
+    # consumers (audits, similarity graphs); cluster CONNECTIVITY at
+    # scale uses the linear star form below, which needs no cap.
+    assert c8["band_recall"] < unc["band_recall"]
+    assert unc["band_recall"] >= 0.9
+    # star form: linear edges per bucket, every cluster member still
+    # connected to the min-id root — dedup loses nothing while never
+    # going quadratic in the bucket
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        minhash_bucket_stars,
+    )
+
+    star_rows = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_bucket_stars(df, cfg=cfg).collect()
+    ]
+    parent = {i: i for i in range(24)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in star_rows:
+        if a < 200 and b < 200:
+            parent[find(a)] = find(b)
+    assert len({find(i) for i in range(24)}) == 1  # one component
+    cluster_edges = sum(1 for a, b in star_rows if a < 200 and b < 200)
+    assert cluster_edges < 24 * 23 // 2  # linear vs quadratic
+    # determinism
+    again = {
+        r["method"]: r["n_candidate_pairs"]
+        for r in minhash_cap_recall(df, cfg=cfg, caps=(None, 8)).collect()
+    }
+    assert again == {
+        m: r["n_candidate_pairs"] for m, r in out.items()
+    }
