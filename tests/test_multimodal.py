@@ -387,3 +387,118 @@ def test_decode_stub_resize_and_frames_plumbing(spark):
     # two frames of the same asset differ (index-salted keystream)
     p0 = [bytes(r["pixels"]) for r in frames if r["asset_id"] == 3]
     assert len(set(p0)) == len(p0)
+
+
+def test_bmp_pixels_known_image_exact():
+    """Hand-built 2x2 bottom-up BMP with known colors decodes to the
+    exact RGB bytes — the first REAL (non-stub) pixel decode."""
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _bmp_pixels,
+    )
+
+    # top row: red, green; bottom row: blue, white — stored bottom-up
+    w, h = 2, 2
+    row_size = (w * 3 + 3) & ~3  # 8 (2 bytes padding)
+    bottom = bytes((255, 0, 0)) + bytes((255, 255, 255)) + b"\x00\x00"  # BGR!
+    top = bytes((0, 0, 255)) + bytes((0, 255, 0)) + b"\x00\x00"
+    img = bottom + top  # bottom-up storage: last row first
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img),
+                      2835, 2835, 0, 0)
+    )
+    got = _bmp_pixels(hdr + img)
+    assert got is not None
+    gw, gh, rgb = got
+    assert (gw, gh) == (2, 2)
+    # normalized top-down RGB: red, green / blue, white
+    assert rgb == bytes(
+        (255, 0, 0, 0, 255, 0) + (0, 0, 255, 255, 255, 255)
+    )
+
+
+def test_bmp_pixels_rejects_unsupported():
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _bmp_pixels,
+    )
+
+    assert _bmp_pixels(b"") is None
+    assert _bmp_pixels(b"BM" + b"\x00" * 60) is None  # bpp 0
+    # 8bpp rejected
+    hdr8 = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    )
+    assert _bmp_pixels(hdr8 + b"\x00" * 64) is None
+    # truncated pixel array rejected
+    hdr24 = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    assert _bmp_pixels(hdr24 + b"\x00" * 10) is None
+    # PNG magic is not a BMP
+    assert _bmp_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 60) is None
+
+
+def test_decode_bmp_pixels_matches_formula(spark):
+    """Every decoded byte of the synthetic fixture matches the
+    independent per-pixel formula — top-down and bottom-up files both
+    normalize to the same top-down RGB layout, padding stripped."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        synthetic_bmp_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_bmp_pixels(synthetic_bmp_assets(spark, n=12)).collect()
+    }
+    assert len(out) == 12
+    for i, r in out.items():
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["is_stub"] is False
+        px = bytes(r["pixels"])
+        assert len(px) == w * h * 3
+        for y in range(h):
+            for x in range(w):
+                o = (y * w + x) * 3
+                assert px[o] == (x * 37 + i) % 256  # R
+                assert px[o + 1] == (y * 53 + i) % 256  # G
+                assert px[o + 2] == (x + y + i) % 256  # B
+
+
+def test_image_pixel_stats_pinned_values(spark):
+    """Channel means and BT.601 luminance in exact milli-units equal
+    the independently computed integer formula; stub flag rides
+    through; real BMP pixels resize with is_stub=False preserved."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        image_pixel_stats,
+        resize_pixels,
+        synthetic_bmp_assets,
+    )
+
+    assets = synthetic_bmp_assets(spark, n=8)
+    px = decode_bmp_pixels(assets)
+    stats = {r["asset_id"]: r for r in image_pixel_stats(px).collect()}
+    assert len(stats) == 8
+    for i, r in stats.items():
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        n = w * h
+        sr = sum((x * 37 + i) % 256 for y in range(h) for x in range(w))
+        sg = sum((y * 53 + i) % 256 for y in range(h) for x in range(w))
+        sb = sum((x + y + i) % 256 for y in range(h) for x in range(w))
+        assert r["n_pixels"] == n
+        assert r["mean_r_milli"] == sr * 1000 // n
+        assert r["mean_g_milli"] == sg * 1000 // n
+        assert r["mean_b_milli"] == sb * 1000 // n
+        assert r["luminance_milli"] == (299 * sr + 587 * sg + 114 * sb) // n
+        assert r["is_stub"] is False
+    resized = resize_pixels(decode_bmp_pixels(assets), 2, 2).collect()
+    assert all(rr["is_stub"] is False for rr in resized)
+    assert all(len(bytes(rr["pixels"])) == 2 * 2 * 3 for rr in resized)
