@@ -1753,3 +1753,61 @@ def split_leakage_stats(
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+def eval_leakage_ppm(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    eval_value: str = "eval",
+) -> DataFrame:
+    """The enforcement form of the leakage audit (VERDICT r10 #5):
+    one row — eval docs, eval docs with a near-dup twin OUTSIDE the
+    eval split, and that count as exact ppm of the eval set. This is
+    the number a pipeline GATE compares against ``max_leakage_ppm``:
+    ``split_leakage_stats`` tells you where leakage lives; this tells
+    you whether the holdout is shippable.
+
+    Docs missing from ``splits`` count as non-eval (the leak-safe
+    reading: an untagged twin still invalidates the eval doc). Plan:
+    the pair table left-joins tags on both sides (pair-volume-bounded),
+    one distinct on leaked eval ids, two tiny aggregates.
+    """
+    a = splits.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa"))
+    b = splits.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb"))
+    tagged = (
+        pairs.select("id_a", "id_b")
+        .join(a, on="id_a", how="left")
+        .join(b, on="id_b", how="left")
+    )
+    ev = F.lit(eval_value)
+    leaked = (
+        tagged.select(
+            F.explode(
+                F.when(
+                    (F.col("_sa") == ev) & (F.coalesce("_sb", F.lit("")) != ev),
+                    F.array("id_a"),
+                )
+                .when(
+                    (F.col("_sb") == ev) & (F.coalesce("_sa", F.lit("")) != ev),
+                    F.array("id_b"),
+                )
+                .otherwise(F.array().cast("array<long>"))
+            ).alias("_id")
+        )
+        .agg(F.count_distinct("_id").cast("long").alias("leaked_eval_docs"))
+    )
+    total = splits.filter(F.col(split_col) == ev).agg(
+        F.count(F.lit(1)).cast("long").alias("eval_docs")
+    )
+    return total.crossJoin(leaked).select(
+        "eval_docs",
+        "leaked_eval_docs",
+        F.when(F.col("eval_docs") == 0, F.lit(0))
+        .otherwise(
+            (F.col("leaked_eval_docs") * F.lit(1_000_000)) / F.col("eval_docs")
+        )
+        .cast("long")
+        .alias("leakage_ppm"),
+    )

@@ -101,6 +101,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "enabled": False,
         "per_source": 50,
         "separate_output": True,
+        # paraphrase-tier leakage GATE: when set, measure MinHash
+        # near-dup pairs crossing the split and fail (or warn — see
+        # leakage_action) if more than this many ppm of eval docs have
+        # a twin outside eval. None = measure-on-demand only.
+        "max_leakage_ppm": None,
+        "leakage_action": "fail",  # fail | warn
     },
     "tokenization": {
         "enabled": True,

@@ -534,6 +534,47 @@ def run_pipeline(
     t0 = time.time()
     df, obs = build_pipeline(docs, cfg)
 
+    # Holdout leakage GATE (VERDICT r10 #5 — enforcement, not just
+    # measurement): eval_holdout guarantees the exact-digest tier by
+    # construction; max_leakage_ppm additionally measures the PARAPHRASE
+    # tier (MinHash near-dup pairs crossing the split) and refuses to
+    # ship a holdout above the threshold. Runs BEFORE any sink write so
+    # a leaky holdout fails the run instead of shipping quietly;
+    # leakage_action: "fail" (default) raises, "warn" records and
+    # continues (the measured ppm lands in the summary either way).
+    leakage_ppm = None
+    hsec0 = cfg.section("holdout")
+    max_ppm = hsec0.get("max_leakage_ppm")
+    if hsec0.get("enabled", False) and max_ppm is not None:
+        from llm_training_data_pipeline_spark.operators import dedup as _dd
+
+        lm = hsec0.get("leakage_minhash", {})
+        mh = _dd.MinHashConfig(
+            num_perm=int(lm.get("num_permutations", 16)),
+            threshold=float(lm.get("threshold", 0.5)),
+            shingle_size=int(lm.get("shingle_size", 5)),
+            num_bands=int(lm.get("num_bands", 4)),
+        )
+        pairs = _dd.minhash_candidate_pairs(df, cfg=mh)
+        row = _dd.eval_leakage_ppm(
+            pairs, df.select("doc_id", "split")
+        ).collect()[0]
+        leakage_ppm = int(row["leakage_ppm"])
+        if leakage_ppm > int(max_ppm):
+            msg = (
+                f"holdout leakage gate: {row['leaked_eval_docs']} of "
+                f"{row['eval_docs']} eval docs ({leakage_ppm} ppm) have a "
+                f"near-dup twin outside eval (max_leakage_ppm="
+                f"{int(max_ppm)}). Tighten dedup, raise the threshold, "
+                "or regenerate the holdout."
+            )
+            if hsec0.get("leakage_action", "fail") == "warn":
+                import sys as _sys
+
+                print(f"WARNING: {msg}", file=_sys.stderr)
+            else:
+                raise ValueError(msg)
+
     tok_summary: dict[str, Any] = {}
     tsec = cfg.section("tokenization")
     pre_cache = None
@@ -690,6 +731,8 @@ def run_pipeline(
     }
     if holdout_path is not None:
         summary["holdout_path"] = holdout_path
+    if leakage_ppm is not None:
+        summary["holdout_leakage_ppm"] = leakage_ppm
     for name, m in stage_metrics.items():
         rows = m.get("rows")
         if rows:

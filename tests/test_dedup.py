@@ -739,3 +739,32 @@ def test_minhash_cap_recall_near_dup_cluster(spark):
     assert again == {
         m: r["n_candidate_pairs"] for m, r in out.items()
     }
+
+
+def test_eval_leakage_ppm_exact_values(spark):
+    """Unit pin for the gate's metric: leaked eval docs counted
+    distinct, untagged twins count as non-eval (leak-safe), exact
+    floor-ppm arithmetic."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        eval_leakage_ppm,
+    )
+
+    splits = spark.createDataFrame(
+        [(1, "eval"), (2, "eval"), (3, "eval"), (4, "train"), (5, "train")],
+        "doc_id long, split string",
+    )
+    # doc 1 leaks twice (two train twins) -> counted once; doc 2 pairs
+    # with an UNTAGGED doc 99 -> still a leak; doc 3 pairs only with
+    # another eval doc -> not a leak
+    pairs = spark.createDataFrame(
+        [(1, 4), (1, 5), (2, 99), (1, 3)], "id_a long, id_b long"
+    )
+    row = eval_leakage_ppm(pairs, splits).collect()[0]
+    assert row["eval_docs"] == 3
+    assert row["leaked_eval_docs"] == 2
+    assert row["leakage_ppm"] == 2 * 1_000_000 // 3
+
+    # no pairs -> zero ppm
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    row0 = eval_leakage_ppm(empty, splits).collect()[0]
+    assert (row0["leaked_eval_docs"], row0["leakage_ppm"]) == (0, 0)

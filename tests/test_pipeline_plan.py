@@ -922,3 +922,60 @@ def test_run_pipeline_holdout_excludes_eval_from_training_artifacts(
     assert ev.count() == 12
     ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
     assert {100, 101} <= ev_ids
+
+
+def _leaky_docs(spark):
+    """Corpus with a deliberate paraphrase leak: both 'ev' docs are
+    near-dup variants of a 'tr' doc (different footnotes — exact-digest
+    decontamination can NOT catch them), plus unique train filler."""
+    base = (
+        "the annual sustainability report details emissions reductions "
+        "across manufacturing logistics and procurement with verified "
+        "third party auditing of scope one and scope two categories"
+    )
+    rows = [(100, base + " footnote alpha", "ev"),
+            (101, base + " footnote beta", "ev"),
+            (7, base + " footnote gamma", "tr")]
+    rows += [(i, f"wholly unrelated train document number {i} about subject "
+              f"{i * 11} with enough words to pass the gates", "tr")
+             for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+_GATE_CFG = {
+    "cleaning": {"min_length_chars": 10},
+    "deduplication": {"enabled": False},
+    "quality": {"enabled": False},
+    "tokenization": {"enabled": False},
+    "holdout": {"enabled": True, "per_source": 2, "max_leakage_ppm": 0},
+}
+
+
+def test_holdout_leakage_gate_trips(spark, tmp_path):
+    """VERDICT r10 #5: an injected near-dup leak FAILS the run before
+    any sink write — enforcement, not just measurement."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="leakage gate"):
+        run_pipeline(spark, _leaky_docs(spark), PipelineConfig(_GATE_CFG),
+                     str(tmp_path / "leaky"))
+    # nothing shipped
+    assert not (tmp_path / "leaky" / "pipeline_output.parquet").exists()
+
+
+def test_holdout_leakage_gate_warn_records_ppm(spark):
+    cfg = dict(_GATE_CFG)
+    cfg["holdout"] = dict(_GATE_CFG["holdout"], leakage_action="warn")
+    summary = run_pipeline(spark, _leaky_docs(spark), PipelineConfig(cfg), None)
+    assert summary["holdout_leakage_ppm"] > 0
+
+
+def test_holdout_leakage_gate_clean_corpus_passes(spark):
+    # per-doc-unique vocabulary: no two docs share a single 5-shingle
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"term{i}word{j}unique" for j in range(12)), "s")
+         for i in range(25)],
+        "doc_id long, text string, source string",
+    )
+    summary = run_pipeline(spark, docs, PipelineConfig(_GATE_CFG), None)
+    assert summary["holdout_leakage_ppm"] == 0
