@@ -971,10 +971,24 @@ def test_holdout_leakage_gate_warn_records_ppm(spark):
 
 
 def test_holdout_leakage_gate_clean_corpus_passes(spark):
-    # per-doc-unique vocabulary: no two docs share a single 5-shingle
+    """VERDICT r11 #1: the gate must NOT false-positive on a genuinely
+    clean corpus.  The r11 fixture (`term{i}word{j}unique`) was wrong for
+    the engine's CHARACTER 5-shingles — docs shared "uniqu"/"word0"/... so
+    the gate correctly fired.  This fixture gives every doc its own
+    single-letter alphabet, so no 5-char substring can appear in two docs
+    (verified below, in-test, with the same shingling the engine uses)."""
+    texts = {i: " ".join(chr(ord("a") + i) * 8 for _ in range(12))
+             for i in range(25)}
+    # prove the fixture is clean for char-5-shingles before trusting the gate
+    shingle_sets = {
+        i: {t[k:k + 5] for k in range(len(t) - 4)} for i, t in texts.items()
+    }
+    for i in shingle_sets:
+        for j in shingle_sets:
+            if i < j:
+                assert not (shingle_sets[i] & shingle_sets[j]), (i, j)
     docs = spark.createDataFrame(
-        [(i, " ".join(f"term{i}word{j}unique" for j in range(12)), "s")
-         for i in range(25)],
+        [(i, t, "s") for i, t in texts.items()],
         "doc_id long, text string, source string",
     )
     summary = run_pipeline(spark, docs, PipelineConfig(_GATE_CFG), None)
