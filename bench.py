@@ -227,6 +227,13 @@ HEADLINE = [
     # round-10: the clean-eval-set construction (quota window + digest
     # decontamination join)
     "eval_holdout_stats",
+    # round-12 (VERDICT r11 missing #1): the r11 rows were wired into
+    # LARGE_SUBSET but never into HEADLINE, and the large pass filtered
+    # through HEADLINE — so the promised sf1 evidence never ran.  In
+    # HEADLINE they get warm sf0.1 timings, which the large pass needs
+    # for scale_ratio_large anyway.
+    "minhash_pairs_md5_capped",
+    "pq_topk_reranked",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at
@@ -527,7 +534,13 @@ def main() -> None:
         # cold-plan constant the warm-median protocol exists to strip,
         # and a second run would double a multi-minute pass for a ratio
         # whose signal is "is growth ~sf or superlinear", not ±10%
-        sub = [n for n in LARGE_SUBSET if n in set(names)]
+        # VERDICT r11 missing #1: intersecting with the *requested* names
+        # silently dropped LARGE_SUBSET rows that weren't in HEADLINE (the
+        # r11 cap/rerank sf1 evidence never ran).  On the default run the
+        # large pass now takes LARGE_SUBSET directly; an explicit
+        # --queries selection still intersects so ad-hoc runs stay cheap.
+        default_run = args.queries == ",".join(HEADLINE)
+        sub = [n for n in LARGE_SUBSET if default_run or n in set(names)]
         if sub:
             large = run_suite(large_dir, "sf1", 1, suite=sub)
             result["large_sf"] = 1.0

@@ -1419,10 +1419,15 @@ def eval_holdout(
                 f"rate_permille must be in (0, 1000]: {rate_permille}"
             )
         # growth-stable: candidacy is a function of the row's own id
-        # only — thresholding the same arithmetic key quota mode ranks
+        # only — thresholding the same arithmetic key quota mode ranks.
+        # Threshold is (rate * MOD) // 1000, NOT rate * (MOD // 1000):
+        # _HASH_MOD=1000003 is not a multiple of 1000, so the truncated
+        # form under-selects (rate/1000.003) and rate_permille=1000
+        # would exclude keys 1000000-1000002 instead of selecting all
+        # rows (ADVICE r11 #3).
         cand = staged.withColumn(
             "_cand",
-            F.col("_hk") < F.lit(int(rate_permille * (_HASH_MOD // 1000))),
+            F.col("_hk") < F.lit((rate_permille * _HASH_MOD) // 1000),
         )
     else:
         if per_source <= 0:

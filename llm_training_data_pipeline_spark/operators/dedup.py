@@ -339,12 +339,17 @@ def minhash_band_buckets(
     min-id keep rule stays replayable. Dropped memberships usually cost
     little recall — a document trimmed from one bucket still meets its
     true near-twins in its other ``num_bands - 1`` bands
-    (``minhash_cap_recall`` measures exactly this). The caveat: EXACT
-    duplicates share identical signatures, so all their bands cap
-    identically and a verbatim-duplicate cluster bigger than the cap
-    loses its tail pairs in every band at once — run ``exact_dedup``
-    BEFORE the capped near-dup pass (the pipeline's stage order
-    already does). Rank-filter form so
+    (``minhash_cap_recall`` measures exactly this). The caveat: a
+    HIGH-similarity cluster has correlated bands (P[band equal] =
+    J^rows_per_band) — a verbatim cluster (identical signatures) is the
+    extreme — so the cluster caps to near-identical min-ids in every
+    band at once and its tail members emit NO pairs. The capped pair
+    path is therefore for pair-EMITTING consumers only (recall audits,
+    similarity graphs, pair exports) where bounding output volume is
+    the point; the *removal* consumer (``minhash_dedup``) unions these
+    pairs with verified ``minhash_bucket_stars`` hub edges, which reach
+    every bucket member in O(k) with no cap (VERDICT r11 #2).
+    Rank-filter form so
     Spark inserts WindowGroupLimit — each task pre-trims to the cap
     before the per-bucket sort; no single-task funnel on a dominant
     bucket."""
@@ -378,7 +383,14 @@ def band_cap_stats(
     would drop, the largest observed bucket, and the exact pair-volume
     saving (sum over capped buckets of C(n,2) - C(cap,2)) — the number
     that says whether boilerplate bands are about to go quadratic.
-    Two map-side-combinable aggregates, no window, no join."""
+    Two map-side-combinable aggregates, no window, no join.
+
+    Pair arithmetic stays in LONG integers end to end (n*(n-1) and
+    cap*(cap-1) are both even, so the halving is an exact shiftright —
+    no double division that loses exactness past 2^53, ADVICE r11 #4).
+    Magnitude bound: n*(n-1) overflows bigint at n ≈ 3.04e9 members in
+    ONE bucket — above any real corpus's single-band population (100 TB
+    ≈ 1e11 docs spread over ~1e9+ buckets)."""
     if max_bucket_size < 2:
         raise ValueError(f"max_bucket_size must be >= 2: {max_bucket_size}")
     per = (
@@ -399,7 +411,9 @@ def band_cap_stats(
         F.sum(
             F.when(
                 over,
-                (F.col("n") * (F.col("n") - 1) - cap * (cap - 1)) / 2,
+                F.shiftright(
+                    F.col("n") * (F.col("n") - 1) - cap * (cap - 1), 1
+                ),
             ).otherwise(0)
         )
         .cast("long")
@@ -518,14 +532,53 @@ def minhash_dedup(
 ) -> DataFrame:
     """D5: drop every doc that near-matches a smaller-id doc (min-id wins).
 
-    ``max_bucket_size`` caps each band bucket's pair contribution (see
-    ``minhash_band_buckets`` — run exact dedup first; the pipeline's
-    stage order does)."""
-    pairs = minhash_candidate_pairs(
-        df, text_col, id_col, cfg,
-        signatures=signatures, max_bucket_size=max_bucket_size,
+    ``max_bucket_size`` (VERDICT r11 #2): the *removal* consumer must NOT
+    rely on the capped pair path alone — high-similarity clusters have
+    CORRELATED bands (P[band equal] = J^rows_per_band), so one fat
+    near-dup cluster caps to near-identical min-ids in every band and its
+    tail members appear in no pair at all: they would silently survive.
+    (Verbatim-duplicate clusters are the extreme case — identical
+    signatures cap identically in ALL bands — so this also covers
+    exact-dup-heavy corpora with no separate exact pass, ADVICE r11 #1.)
+
+    When the cap is set, losers therefore come from the UNION of
+    - the capped pair path (exact within-cap semantics: chains among the
+      ``max_bucket_size`` smallest ids of each bucket still resolve), and
+    - the STAR form (``minhash_bucket_stars``): per-bucket hub edges
+      root=min(id) → member, O(k) per k-member bucket with no cap needed,
+      each edge verified by est-Jaccard >= threshold before it removes.
+    Every star loser genuinely near-matches a smaller-id doc (the bucket
+    root), so min-id-wins semantics are preserved; a hot cluster's tail
+    now always reaches the root and is removed. The capped PAIR path
+    stays what it is good for: pair-emitting consumers (recall audits,
+    similarity graphs) where bounded output volume is the point.
+    Uncapped behavior is unchanged (single pair path, bit-identical)."""
+    if max_bucket_size is None:
+        pairs = minhash_candidate_pairs(
+            df, text_col, id_col, cfg, signatures=signatures,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(eager=True)
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    capped_pairs = minhash_candidate_pairs_from_signatures(
+        sig, id_col, cfg,
+        candidates=minhash_band_candidates(sig, id_col, cfg, max_bucket_size),
+    )
+    star_pairs = minhash_candidate_pairs_from_signatures(
+        sig, id_col, cfg,
+        candidates=minhash_bucket_stars(
+            df, text_col, id_col, cfg, signatures=sig
+        ),
+    )
+    losers = (
+        capped_pairs.select(F.col("id_b").alias(id_col))
+        .unionByName(star_pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -1793,7 +1846,11 @@ def eval_leakage_ppm(
                     (F.col("_sb") == ev) & (F.coalesce("_sa", F.lit("")) != ev),
                     F.array("id_b"),
                 )
-                .otherwise(F.array().cast("array<long>"))
+                # empty fallback typed from the actual id columns, not a
+                # hardcoded array<long> — string-id corpora (schemas.py
+                # documents.doc_id variants) would otherwise fail analysis
+                # with mismatched when/otherwise branch types (ADVICE r11)
+                .otherwise(F.slice(F.array("id_a"), 1, 0))
             ).alias("_id")
         )
         .agg(F.count_distinct("_id").cast("long").alias("leaked_eval_docs"))

@@ -107,6 +107,18 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # a twin outside eval. None = measure-on-demand only.
         "max_leakage_ppm": None,
         "leakage_action": "fail",  # fail | warn
+        # the gate's own MinHash knobs (ADVICE r11 #5: discoverable, not
+        # hardcoded fallbacks). threshold here is deliberately LOWER than
+        # deduplication.threshold's 0.8 default: the gate measures the
+        # paraphrase tier, so a corpus deduped at 0.8 can still trip a
+        # max_leakage_ppm=0 gate on 0.5-0.8-similar cross-split pairs —
+        # align the two if you want "deduped implies gate-clean"
+        "leakage_minhash": {
+            "num_permutations": 16,
+            "threshold": 0.5,
+            "shingle_size": 5,
+            "num_bands": 4,
+        },
     },
     "tokenization": {
         "enabled": True,

@@ -4259,7 +4259,7 @@ def band_cap_stats_sql(
                  AS dropped_memberships,
                CAST(max(n) AS BIGINT) AS max_bucket_observed,
                CAST(sum(CASE WHEN n > {c}
-                        THEN (n * (n - 1) - {c * (c - 1)}) / 2
+                        THEN (n * (n - 1) - {c * (c - 1)}) // 2
                         ELSE 0 END) AS BIGINT) AS pairs_saved
         FROM per
     """

@@ -92,11 +92,14 @@ def build_pipeline(
                     ).drop("_dedup_score")
                 )
             else:
-                # max_band_bucket (r11): bound each LSH bucket's pair
-                # contribution — the boilerplate-band quadratic guard;
-                # exact_hash twins are already gone (the recipes that
-                # need both run exact first), so the cap costs only
-                # tail pairs of same-band near-dup clusters
+                # max_band_bucket (r11/r12): bound each LSH bucket's
+                # pair volume — the boilerplate-band quadratic guard.
+                # Removal does NOT depend on the capped pairs alone:
+                # minhash_dedup unions them with est-Jaccard-verified
+                # star edges (root → member, linear per bucket), so hot
+                # near-dup AND verbatim clusters beyond the cap still
+                # dedup to one survivor with no preceding exact pass
+                # (VERDICT r11 #2 / ADVICE r11 #1)
                 df = dedup.minhash_dedup(
                     df,
                     cfg=mh,

@@ -246,6 +246,16 @@ _CHANGED_IN_ROUND.update(
         "pipeline_e2e_full": 11,
     }
 )
+# r12: band_cap_stats' pairs_saved moved to exact long integer halving
+# (shiftright / DuckDB `//` — ADVICE r11 #4; same values at test scale);
+# pq_recall_curve shares one codebook+encode per (m, ks, refine) family
+# (bit-identical rows, plan reshaped — VERDICT r11 next #4)
+_CHANGED_IN_ROUND.update(
+    {
+        "band_cap_stats": 12,
+        "pq_recall_curve": 12,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:

