@@ -523,7 +523,21 @@ def main() -> None:
         # one). Costs one JVM restart + re-paying the signature-store
         # pass — both part of honest cold-at-scale cost.
         spark.stop()
-        spark = get_spark(app_name="bench-large")
+        # openCostInBytes 256 KB (r10 verdict #6): the sf1 slice is now
+        # written with ~32 row groups per table, but Spark's split
+        # formula min(maxPartitionBytes, max(openCost, size/parallelism))
+        # keeps a 6 MB documents file at 2 splits under the 4 MB default
+        # open cost — the DECODE of the 10x slice ran near-serially and
+        # the two-decade ratios measured input spread, not the operator.
+        # Local NVMe open cost is negligible; set it only in THIS fresh
+        # large-pass session (every sf1 file is multi-group, so no
+        # empty-split/single-group interaction — the driver-generated
+        # sf0.1/sf0.01 single-group files are read by the main session
+        # with the defaults and its repartition guard).
+        spark = get_spark(
+            app_name="bench-large",
+            extra_conf={"spark.sql.files.openCostInBytes": str(256 * 1024)},
+        )
         spark.range(1000).count()
         for t in TABLE_NAMES:
             try:
