@@ -165,30 +165,13 @@ def _make_neardup_fn(threshold: float, num_perm: int, state_ttl_ms: int | None):
                 [list(s) for s in pdf["minhash_sig"]], dtype=np.int64
             ).reshape(-1, num_perm)
             ids = pdf["doc_id"].to_numpy()
-            # phase 1 — one matrix op against the whole stored state:
-            # (n_batch, 1, num_perm) == (1, n_seen, num_perm) → est-Jaccard max
-            if seen_mat.shape[0]:
-                sims = (
-                    (sig_mat[:, None, :] == seen_mat[None, :, :])
-                    .mean(axis=2)
-                    .max(axis=1)
-                )
-                survivors = np.flatnonzero(sims < threshold)
-            else:
-                survivors = np.arange(sig_mat.shape[0])
-            # phase 2 — within-batch near-dups among survivors, in arrival
-            # order; each accepted signature joins the comparison matrix
-            new_rows: list[np.ndarray] = []
-            for i in survivors:
-                sig = sig_mat[i]
-                if new_rows and (
-                    (np.stack(new_rows) == sig).mean(axis=1).max() >= threshold
-                ):
-                    continue
-                new_rows.append(sig)
-                out_ids.append(int(ids[i]))
-            if new_rows:
-                seen_mat = np.concatenate([seen_mat, np.stack(new_rows)])
+            # phase 1 screens the batch against stored state in one
+            # matrix op; phase 2 resolves within-batch near-dups in
+            # arrival order (shared kernel with the sharded layout)
+            accepted, seen_mat = _accept_greedy(
+                seen_mat, sig_mat, ids, threshold
+            )
+            out_ids.extend(accepted)
         state.update((np.ascontiguousarray(seen_mat, dtype="<i8").tobytes(),))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)  # TTL bounds state size
@@ -197,12 +180,121 @@ def _make_neardup_fn(threshold: float, num_perm: int, state_ttl_ms: int | None):
     return dedup_bucket
 
 
+def _accept_greedy(seen_mat, sig_mat, ids, threshold: float):
+    """Shared first-seen-per-bucket kernel: phase 1 screens the batch
+    against the stored signatures in one matrix op, phase 2 resolves
+    within-batch near-dups among the survivors in arrival order. Returns
+    (accepted ids, updated seen matrix) — identical semantics for the
+    per-bucket and sharded state layouts."""
+    import numpy as np
+
+    out_ids: list[int] = []
+    if seen_mat.shape[0]:
+        sims = (
+            (sig_mat[:, None, :] == seen_mat[None, :, :])
+            .mean(axis=2)
+            .max(axis=1)
+        )
+        survivors = np.flatnonzero(sims < threshold)
+    else:
+        survivors = np.arange(sig_mat.shape[0])
+    new_rows: list = []
+    for i in survivors:
+        sig = sig_mat[i]
+        if new_rows and (
+            (np.stack(new_rows) == sig).mean(axis=1).max() >= threshold
+        ):
+            continue
+        new_rows.append(sig)
+        out_ids.append(int(ids[i]))
+    if new_rows:
+        seen_mat = np.concatenate([seen_mat, np.stack(new_rows)])
+    return out_ids, seen_mat
+
+
+def _encode_shard(store: dict, num_perm: int) -> bytes:
+    """{bucket: (n, num_perm) int64 matrix} → flat little-endian int64
+    blob: [n_buckets, (bucket, n_rows, rows...)*]."""
+    import numpy as np
+
+    parts = [np.array([len(store)], dtype="<i8")]
+    for b, mat in store.items():
+        parts.append(np.array([b, mat.shape[0]], dtype="<i8"))
+        parts.append(np.ascontiguousarray(mat, dtype="<i8").ravel())
+    return np.concatenate(parts).tobytes()
+
+
+def _decode_shard(buf: bytes, num_perm: int) -> dict:
+    import numpy as np
+
+    arr = np.frombuffer(buf or b"", dtype="<i8")
+    if not arr.size:
+        return {}
+    out: dict = {}
+    pos = 1
+    for _ in range(int(arr[0])):
+        b, rows = int(arr[pos]), int(arr[pos + 1])
+        pos += 2
+        out[b] = arr[pos : pos + rows * num_perm].reshape(rows, num_perm)
+        pos += rows * num_perm
+    return out
+
+
+def _make_sharded_neardup_fn(
+    threshold: float, num_perm: int, state_ttl_ms: int | None
+):
+    """Sharded state layout (r12, VERDICT r10 ask #8 / r11 next #7): the
+    per-bucket layout dispatches ONE Python call + state get/put PER
+    BAND BUCKET — ~n_docs x num_bands tiny groups per micro-batch, and
+    that dispatch (not signature compute) bounds throughput (~280
+    rows/s at sf0.1). Keying the state by ``bucket % n_shards`` instead
+    packs ~U/n_shards buckets into one blob, so a micro-batch pays
+    n_shards Python crossings instead of tens of thousands, while the
+    per-bucket greedy semantics (``_accept_greedy``) are unchanged."""
+
+    def dedup_shard(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (blob,) = state.get if state.exists else (b"",)
+        store = _decode_shard(blob, num_perm)
+        out_buckets: list[int] = []
+        out_ids: list[int] = []
+        empty = np.empty((0, num_perm), dtype=np.int64)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            sig_mat = np.array(
+                [list(s) for s in pdf["minhash_sig"]], dtype=np.int64
+            ).reshape(-1, num_perm)
+            ids = pdf["doc_id"].to_numpy()
+            # first-appearance bucket order == arrival order per bucket
+            for b, idx in pdf.groupby("bucket", sort=False).indices.items():
+                b = int(b)
+                accepted, store[b] = _accept_greedy(
+                    store.get(b, empty), sig_mat[idx], ids[idx], threshold
+                )
+                out_buckets.extend([b] * len(accepted))
+                out_ids.extend(accepted)
+        state.update((_encode_shard(store, num_perm),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({"bucket": out_buckets, "doc_id": out_ids})
+
+    return dedup_shard
+
+
 def streaming_minhash_dedup(
     stream: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(num_perm=32, num_bands=8),
     state_ttl_ms: int | None = None,
+    state_shards: int | None = None,
 ) -> DataFrame:
     """D6 near-dup variant: stateful per-band-bucket signature index.
 
@@ -221,6 +313,16 @@ def streaming_minhash_dedup(
     Note: ``minhash_signatures`` is aggregation-based and not streamable, so the
     signature here is computed with the HOF expression path on the (small)
     per-microbatch data — acceptable because each microbatch is bounded.
+
+    ``state_shards`` (r12): key the state store by ``bucket % state_shards``
+    instead of by bucket. The per-bucket layout pays one Python dispatch +
+    state get/put per (doc, band) GROUP — tens of thousands of tiny groups
+    per micro-batch, and that dispatch (not signature compute) is the
+    measured throughput bound (tools/stream_bench.py). Sharding packs many
+    buckets into one state blob: ``state_shards`` crossings per micro-batch,
+    identical per-bucket greedy semantics (the shared ``_accept_greedy``
+    kernel; pinned stream==batch in tests). Size it ~2-4x the executor
+    cores at scale — each shard's state must fit one task's memory.
     """
     from llm_training_data_pipeline_spark.functions.hashing import lsh_bands, minhash_signature
     from llm_training_data_pipeline_spark.functions.text import char_shingles
@@ -253,6 +355,24 @@ def streaming_minhash_dedup(
         if state_ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
+    if state_shards is not None:
+        if state_shards < 1:
+            raise ValueError(f"state_shards must be >= 1: {state_shards}")
+        return (
+            banded.withColumn(
+                "_shard", F.pmod(F.col("bucket"), F.lit(state_shards))
+            )
+            .groupBy("_shard")
+            .applyInPandasWithState(
+                _make_sharded_neardup_fn(
+                    cfg.threshold, cfg.num_perm, state_ttl_ms
+                ),
+                outputStructType=out_schema,
+                stateStructType=_NEARDUP_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=timeout_conf,
+            )
+        )
     return banded.groupBy("bucket").applyInPandasWithState(
         _make_neardup_fn(cfg.threshold, cfg.num_perm, state_ttl_ms),
         outputStructType=out_schema,

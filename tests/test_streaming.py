@@ -108,6 +108,50 @@ def test_streaming_minhash_dedup(spark, tmp_path, doc_rows):
     assert unique == {1, 3}
 
 
+def test_streaming_minhash_dedup_sharded_matches_per_bucket(
+    spark, tmp_path, doc_rows
+):
+    """r12 sharded state layout: keying state by bucket % n_shards must
+    emit the exact same (bucket, doc_id) acceptance set as the per-bucket
+    layout — the shared _accept_greedy kernel only changed WHERE a
+    bucket's signatures live, never the greedy semantics."""
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    # a second micro-batch with a near-dup of doc 3 and a fresh doc
+    later = [
+        (5, "Python is a great programming language for data!", doc_rows[0][2]),
+        (6, "Entirely new content about distributed stream processing.", doc_rows[0][2]),
+    ]
+    outs = {}
+    for name, shards in (("per_bucket", None), ("sharded", 4)):
+        src = str(tmp_path / f"src_{name}")
+        _write_docs(spark, src, doc_rows)
+        import time as _time
+
+        _time.sleep(1.1)  # distinct mtimes fix micro-batch replay order
+        _write_docs(spark, src, later)
+        stream = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        accepted = streaming_minhash_dedup(stream, cfg=cfg, state_shards=shards)
+        q = (
+            accepted.writeStream.format("memory")
+            .queryName(f"t_shard_eq_{name}")
+            .outputMode("append")
+            .start()
+        )
+        _run_to_completion(q)
+        outs[name] = {
+            (r["bucket"], r["doc_id"])
+            for r in spark.sql(
+                f"SELECT bucket, doc_id FROM t_shard_eq_{name}"
+            ).collect()
+        }
+    assert outs["sharded"] == outs["per_bucket"]
+    assert outs["sharded"]  # non-vacuous
+
+
 def test_windowed_event_counts(spark, tmp_path):
     import datetime as dt
 

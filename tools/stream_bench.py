@@ -101,6 +101,18 @@ def main() -> None:
                 s, cfg=MinHashConfig(num_perm=32, num_bands=8), state_ttl_ms=None
             ),
         ),
+        # r12 sharded state layout: same greedy semantics, state keyed by
+        # bucket % 32 so a micro-batch pays 32 Python crossings instead
+        # of one per band bucket (the measured per-bucket dispatch bound)
+        "minhash_sharded": run(
+            "minhash_sharded",
+            lambda s: streaming_minhash_dedup(
+                s,
+                cfg=MinHashConfig(num_perm=32, num_bands=8),
+                state_ttl_ms=None,
+                state_shards=32,
+            ),
+        ),
     }
 
     # foreachBatch + signature-store incremental near-dup (r7): the
