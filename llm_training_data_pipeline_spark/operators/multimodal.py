@@ -802,25 +802,22 @@ def _bmp_pixels(payload: bytes) -> tuple[int, int, bytes] | None:
     return w, h, arr.tobytes()
 
 
-def decode_bmp_pixels(
-    df: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "asset_id",
+def _real_pixel_decode_op(
+    df: DataFrame, decode_fn, payload_col: str, id_col: str
 ) -> DataFrame:
-    """REAL image decode to the PIXEL_SCHEMA contract (``is_stub`` =
-    FALSE — the first decoder in the engine whose pixel buffers are the
-    image's actual content): uncompressed 24bpp BMP via ``_bmp_pixels``.
-    Rows whose payload is not a decodable BMP are OMITTED (count them
-    with an anti-join on asset_id if the drop rate matters — at 100 TB
-    that audit is one broadcast join). Same mapInPandas/Arrow plumbing
-    as ``decode_image_stub``, so ``resize_pixels`` / ``image_pixel_
-    stats`` downstream are unchanged."""
+    """Shared mapInPandas plumbing for REAL decoders (``is_stub`` =
+    FALSE): ``decode_fn(payload) -> (w, h, rgb_bytes) | None``; rows the
+    decoder rejects are OMITTED (count them with an anti-join on
+    asset_id if the drop rate matters — at 100 TB that audit is one
+    broadcast join). Same Arrow batch shape as ``decode_image_stub``,
+    so ``resize_pixels`` / ``image_pixel_stats`` downstream are
+    unchanged."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, pxs = [], [], [], []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
-                got = _bmp_pixels(bytes(p) if p is not None else b"")
+                got = decode_fn(bytes(p) if p is not None else b"")
                 if got is None:
                     continue
                 w, h, rgb = got
@@ -840,6 +837,75 @@ def decode_bmp_pixels(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
+def decode_bmp_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL image decode to the PIXEL_SCHEMA contract (``is_stub`` =
+    FALSE — the first decoder in the engine whose pixel buffers are the
+    image's actual content): uncompressed 24bpp BMP via ``_bmp_pixels``
+    (row padding, both row orders, BGR->RGB)."""
+    return _real_pixel_decode_op(df, _bmp_pixels, payload_col, id_col)
+
+
+def _pnm_pixels(payload: bytes):
+    """Binary PNM (P5 grayscale / P6 RGB) → (w, h, rgb bytes) or None —
+    the second real decoder (VERDICT r11 next #8), same pure-arithmetic
+    style as ``_bmp_pixels``. Header tokens (width, height, maxval) are
+    whitespace-separated with ``#`` comments skipped; exactly one
+    whitespace byte separates maxval from the sample plane (the PNM
+    spec's framing rule). Only maxval <= 255 (1 byte/sample) decodes —
+    16-bit planes return an honest None. P5 grayscale replicates to
+    r=g=b so every downstream consumer sees one channel layout."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
+        return None
+    rgb = payload[:2] == b"P6"
+    pos, n, vals = 2, len(payload), []
+    while len(vals) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+        elif 48 <= c <= 57:
+            start = pos
+            while pos < n and 48 <= payload[pos] <= 57:
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(vals) < 3 or pos >= n or payload[pos] not in b" \t\r\n":
+        return None
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        return None
+    pos += 1
+    nsamp = w * h * (3 if rgb else 1)
+    if len(payload) < pos + nsamp:
+        return None
+    arr = np.frombuffer(payload, np.uint8, count=nsamp, offset=pos)
+    if rgb:
+        out = arr.reshape(h, w, 3)
+    else:
+        out = np.repeat(arr.reshape(h, w, 1), 3, axis=2)
+    return w, h, out.tobytes()
+
+
+def decode_pnm_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL PNM (P5/P6) decode to the PIXEL_SCHEMA contract (``is_stub``
+    = FALSE) via ``_pnm_pixels`` — same plumbing and downstream contract
+    as ``decode_bmp_pixels``."""
+    return _real_pixel_decode_op(df, _pnm_pixels, payload_col, id_col)
 
 
 PIXEL_STATS_SCHEMA = StructType(
@@ -935,6 +1001,41 @@ def synthetic_bmp_assets(spark, n: int = 32) -> DataFrame:
             )
         )
         rows.append((i, "image", bytes(hdr) + bytes(img), "image/bmp", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def synthetic_pnm_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL binary-PNM fixture: alternating P6 (RGB) and
+    P5 (grayscale), varied dimensions, a header comment line on every
+    third file (the tokenizer path), gradient samples computed from
+    (x, y, i) — every byte derivable by the pinning test."""
+    rows = []
+    for i in range(n):
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        gray = i % 2 == 1
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                if gray:
+                    body.append((x * 41 + y * 17 + i) % 256)
+                else:
+                    body += bytes(
+                        (
+                            (x * 37 + i) % 256,
+                            (y * 53 + i) % 256,
+                            (x + y + i) % 256,
+                        )
+                    )
+        comment = b"# synthetic fixture\n" if i % 3 == 0 else b""
+        hdr = (
+            (b"P5" if gray else b"P6")
+            + b"\n" + comment
+            + f"{w} {h}\n255\n".encode()
+        )
+        mime = "image/x-portable-graymap" if gray else "image/x-portable-pixmap"
+        rows.append((i, "image", bytes(hdr) + bytes(body), mime, {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

@@ -472,6 +472,60 @@ def test_decode_bmp_pixels_matches_formula(spark):
                 assert px[o + 2] == (x + y + i) % 256  # B
 
 
+def test_decode_pnm_pixels_matches_formula(spark):
+    """VERDICT r11 next #8 — the second real decoder: every decoded byte
+    of the P5/P6 fixture matches the independent per-sample formula;
+    grayscale replicates to r=g=b; header comments are tokenized past."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_pnm_pixels,
+        synthetic_pnm_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_pnm_pixels(synthetic_pnm_assets(spark, n=12)).collect()
+    }
+    assert len(out) == 12
+    for i, r in out.items():
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["is_stub"] is False
+        px = bytes(r["pixels"])
+        assert len(px) == w * h * 3
+        gray = i % 2 == 1
+        for y in range(h):
+            for x in range(w):
+                o = (y * w + x) * 3
+                if gray:
+                    g = (x * 41 + y * 17 + i) % 256
+                    assert px[o] == px[o + 1] == px[o + 2] == g
+                else:
+                    assert px[o] == (x * 37 + i) % 256
+                    assert px[o + 1] == (y * 53 + i) % 256
+                    assert px[o + 2] == (x + y + i) % 256
+
+
+def test_pnm_pixels_rejects_malformed(spark):
+    """Honest None for anything the pure-arithmetic path can't decode:
+    ASCII PNM (P2/P3), 16-bit maxval, truncated planes, missing
+    post-maxval whitespace, junk."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _pnm_pixels,
+    )
+
+    assert _pnm_pixels(b"") is None
+    assert _pnm_pixels(b"P2\n2 2\n255\n0 1 2 3") is None  # ASCII variant
+    assert _pnm_pixels(b"P6\n2 2\n65535\n" + b"\x00" * 24) is None  # 16-bit
+    assert _pnm_pixels(b"P6\n2 2\n255\n" + b"\x00" * 11) is None  # truncated
+    assert _pnm_pixels(b"P6\n2 2\n255") is None  # nothing after maxval
+    assert _pnm_pixels(b"not an image") is None
+    # and a well-formed minimal P6 decodes
+    got = _pnm_pixels(b"P6\n# c\n2 1\n255\n" + bytes(range(6)))
+    assert got is not None
+    w, h, px = got
+    assert (w, h) == (2, 1) and px == bytes(range(6))
+
+
 def test_image_pixel_stats_pinned_values(spark):
     """Channel means and BT.601 luminance in exact milli-units equal
     the independently computed integer formula; stub flag rides
