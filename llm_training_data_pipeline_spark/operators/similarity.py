@@ -161,6 +161,57 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def lsh_buckets_multi(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """ALL tables' sign-pattern bucket ids (array<long>, one per table)
+    in ONE traversal of the vector — r12: the 8-table unified-audit leg
+    paid 8 separate dim-length interpreted HOF folds per row (one
+    ``lsh_bucket`` per table), and that fold overhead, not arithmetic,
+    dominated the leg. Bit-identical per plane: each dot is the same
+    left fold (0 + v1*w1) + v2*w2 + ... over a flat T*P plane array;
+    the bucket bits are integer sums (order-free). The sign step runs
+    in ``aggregate``'s finish lambda, where ``dots`` is a BOUND lambda
+    parameter — referencing it per (table, plane) is an array index,
+    not a re-evaluation of the fold (the r9 HOF capture trap)."""
+    dim = len(tables[0][0])
+    per = len(tables[0])
+    n_tables = len(tables)
+    all_planes = [p for t in tables for p in t]
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in plane]) for plane in all_planes]
+    )
+
+    def finish(dots: Column) -> Column:
+        def bucket(t: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for p in range(per):
+                out = out + F.when(
+                    F.element_at(dots, (t * per + F.lit(p + 1)).cast("int")) > 0,
+                    F.lit(1 << p).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        return F.transform(F.sequence(F.lit(0), F.lit(n_tables - 1)), bucket)
+
+    buckets = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.array_repeat(F.lit(0.0), len(all_planes)),
+        lambda acc, i: F.zip_with(
+            acc,
+            planes_lit,
+            lambda a, pl: a + F.element_at(pl, i) * F.element_at(vec, i),
+        ),
+        finish,
+    )
+    return F.when(F.size(vec) == dim, buckets).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_buckets_multi: expected vector dim {dim}, got "),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+
+
 def table_seed(seed: int, table: int) -> int:
     """Per-table hyperplane seed for multi-table LSH (table 0 == ``seed``,
     so single-table results are unchanged by the num_tables extension)."""
@@ -195,16 +246,15 @@ def ann_lsh_topk(
 
     def with_tb(df: DataFrame) -> DataFrame:
         vec = "_qv" if "_qv" in df.columns else "_v"
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"), lsh_bucket(F.col(vec), planes).alias("b")
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
-        return df.withColumn("_tb", F.explode(entries)).select(
-            *df.columns, F.col("_tb.t").alias("t"), F.col("_tb.b").alias("bucket")
+        # one fused fold for all tables (lsh_buckets_multi) — the
+        # per-table lsh_bucket form paid num_tables separate dim-length
+        # interpreted folds per row; posexplode yields the same
+        # (t, bucket) keys bit-for-bit
+        return df.select(
+            "*",
+            F.posexplode(lsh_buckets_multi(F.col(vec), tables)).alias(
+                "t", "bucket"
+            ),
         )
 
     vecs = with_tb(_with_norm(corpus, vec_col, id_col, id_col, "_v", "_n"))
@@ -447,18 +497,31 @@ def ann_lsh_recall_report(
 
     def with_all(df: DataFrame) -> DataFrame:
         vec = "_qv" if "_qv" in df.columns else "_v"
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(p).alias("p"),
-                    F.lit(t).alias("t"),
-                    lsh_bucket(
-                        F.col(vec), _hyperplanes(dim, p, table_seed(seed, t))
-                    ).alias("b"),
-                )
-                for p, mt in sorted(max_tables.items())
-                for t in range(mt)
+        # r12: one fused fold PER PLANE FAMILY (lsh_buckets_multi) —
+        # the per-(p, t) lsh_bucket form paid one dim-length interpreted
+        # fold per table; same (p, t, b) keys bit-for-bit
+        def fam_entries(fam_p: int, fam_mt: int) -> Column:
+            # closure (not a default arg — PySpark counts lambda params
+            # to pick the HOF arity, so `lambda b, t, _p=p` would be
+            # passed three arguments and fail analysis)
+            fam_tables = [
+                _hyperplanes(dim, fam_p, table_seed(seed, t))
+                for t in range(fam_mt)
             ]
+            return F.zip_with(
+                lsh_buckets_multi(F.col(vec), fam_tables),
+                F.sequence(F.lit(0), F.lit(fam_mt - 1)),
+                lambda b, t: F.struct(
+                    F.lit(fam_p).alias("p"),
+                    t.cast("int").alias("t"),
+                    b.alias("b"),
+                ),
+            )
+
+        entries = F.flatten(
+            F.array(
+                *[fam_entries(p, mt) for p, mt in sorted(max_tables.items())]
+            )
         )
         return df.withColumn("_tb", F.explode(entries)).select(
             *df.columns,

@@ -254,6 +254,12 @@ _CHANGED_IN_ROUND.update(
     {
         "band_cap_stats": 12,
         "pq_recall_curve": 12,
+        # r12: multi-table LSH buckets fused into ONE fold traversal
+        # (lsh_buckets_multi + posexplode) — same (t, bucket) keys and
+        # values bit-for-bit, plan reshaped; re-execute all consumers
+        "ann_lsh_topk": 12,
+        "ann_recall_report": 12,
+        "ann_recall_unified": 12,
     }
 )
 
