@@ -674,6 +674,214 @@ def synthetic_audio_assets(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
+AUDIO_SAMPLES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("samples", BinaryType()),  # int32 LE, interleaved
+        StructField("is_stub", BooleanType()),
+    ]
+)
+
+
+def _wav_pcm_samples(payload: bytes):
+    """REAL WAV sample decode (r12 — the audio analog of ``_bmp_pixels``):
+    (sample_rate, channels, n_frames, int32-LE interleaved sample bytes)
+    for uncompressed PCM (format tag 1, 8 or 16 bits/sample), honest
+    None for anything else (float/ADPCM/24-bit, truncated chunks). Same
+    RIFF chunk walk as ``_wav_meta``; 8-bit samples are unsigned per the
+    WAV spec and are centered (-128) so both widths land on a signed
+    zero-DC scale; 16-bit are signed little-endian. Widening to int32
+    keeps downstream arithmetic exact."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt_tag = rate = channels = bits = None
+    data_off = data_len = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = _struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            fmt_tag, channels, rate = _struct.unpack(
+                "<HHI", payload[i + 8 : i + 16]
+            )
+            (bits,) = _struct.unpack("<H", payload[i + 22 : i + 24])
+        elif cid == b"data":
+            data_off, data_len = i + 8, clen
+        i += 8 + clen + (clen % 2)
+    if (
+        fmt_tag != 1
+        or not rate
+        or not channels
+        or bits not in (8, 16)
+        or data_off is None
+        or len(payload) < data_off + data_len
+    ):
+        return None
+    width = bits // 8
+    n_samples = data_len // (width * channels) * channels
+    if n_samples == 0:
+        return None
+    if bits == 8:
+        arr = (
+            np.frombuffer(payload, np.uint8, count=n_samples, offset=data_off)
+            .astype(np.int32)
+            - 128
+        )
+    else:
+        arr = np.frombuffer(
+            payload, "<i2", count=n_samples, offset=data_off
+        ).astype(np.int32)
+    return (
+        int(rate),
+        int(channels),
+        n_samples // channels,
+        arr.astype("<i4").tobytes(),
+    )
+
+
+def decode_wav_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL audio decode to the AUDIO_SAMPLES_SCHEMA contract
+    (``is_stub`` = FALSE): PCM WAV via ``_wav_pcm_samples``; rows whose
+    payload is not decodable PCM are OMITTED. Same mapInPandas/Arrow
+    plumbing discipline as the pixel decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chans, frames, smps = [], [], [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                got = _wav_pcm_samples(bytes(p) if p is not None else b"")
+                if got is None:
+                    continue
+                rate, ch, nf, raw = got
+                ids.append(int(aid))
+                rates.append(rate)
+                chans.append(ch)
+                frames.append(nf)
+                smps.append(raw)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "channels": pd.Series(chans, dtype="int32"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                    "samples": pd.Series(smps, dtype="object"),
+                    "is_stub": pd.Series([False] * len(ids), dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_SAMPLES_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("mean_milli", LongType()),
+        StructField("rms_milli", LongType()),
+        StructField("is_stub", BooleanType()),
+    ]
+)
+
+
+def audio_sample_stats(samples: DataFrame) -> DataFrame:
+    """Per-asset waveform statistics over an AUDIO_SAMPLES_SCHEMA frame
+    in EXACT integers: peak |sample|, DC offset in milli-units
+    (floor-div toward -inf, Python's //), and RMS in milli-units via
+    integer isqrt(1e6 * sum(x^2) // n) — int32 samples keep every sum
+    inside exact int64/arbitrary-precision arithmetic, so the numbers
+    are deterministic under any partitioning. Pure row-wise transform
+    (mapInPandas), no shuffle; ``is_stub`` rides through."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, rate, ch, nf, raw, stub in zip(
+                pdf["asset_id"], pdf["sample_rate"], pdf["channels"],
+                pdf["n_frames"], pdf["samples"], pdf["is_stub"],
+            ):
+                arr = np.frombuffer(bytes(raw), dtype="<i4")
+                n = int(arr.size)
+                total = int(arr.sum(dtype=np.int64))
+                energy = int((arr.astype(np.int64) ** 2).sum())
+                rows.append(
+                    (
+                        int(aid), int(rate), int(ch), int(nf), n,
+                        int(np.abs(arr).max()) if n else 0,
+                        total * 1000 // n,
+                        math.isqrt(1_000_000 * energy // n),
+                        bool(stub),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "channels", "n_frames",
+                    "n_samples", "peak_abs", "mean_milli", "rms_milli",
+                    "is_stub",
+                ],
+            )
+
+    return samples.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+def synthetic_pcm_wav_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL PCM WAV fixture: alternating 16-bit/8-bit,
+    mono/stereo, varied rates, sample values computed from (k, i) so
+    every decoded int32 is derivable by the pinning test; every third
+    file carries a trailing junk chunk (the chunk-walk path)."""
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        channels = 1 + (i % 2)
+        bits = 16 if i % 2 == 0 else 8
+        n_frames = 20 + (i % 5)
+        count = n_frames * channels
+        if bits == 16:
+            pcm = b"".join(
+                _struct.pack("<h", ((k * 31 + i * 7) % 65536) - 32768)
+                for k in range(count)
+            )
+        else:
+            pcm = bytes(((k * 13 + i * 3) % 256) for k in range(count))
+        byte_rate = rate * channels * bits // 8
+        fmt = b"fmt " + _struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, byte_rate,
+            channels * bits // 8, bits,
+        )
+        data = b"data" + _struct.pack("<I", len(pcm)) + pcm
+        if len(pcm) % 2:
+            data += b"\x00"  # chunk word alignment
+        junk = (
+            b"JUNK" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+            if i % 3 == 0
+            else b""
+        )
+        body = b"WAVE" + junk + fmt + data
+        payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+        rows.append((i, "audio", payload, "audio/wav", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
 def media_exact_dedup(
     df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
 ) -> DataFrame:

@@ -1654,6 +1654,25 @@ def q_pnm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("wav_sample_stats", None)
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio family's first REAL decode (r12): PCM WAV samples
+    (RIFF chunk walk, 16-bit signed / 8-bit centered, junk chunks)
+    widened to int32, then exact integer waveform stats — peak |x|,
+    floor-div DC milli-offset, integer-isqrt RMS. Rows-only check
+    (binary self-contained fixture); every decoded sample pinned against
+    an independent formula in tests/test_multimodal.py
+    (multimodal.decode_wav_samples + audio_sample_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        audio_sample_stats,
+        decode_wav_samples,
+        synthetic_pcm_wav_assets,
+    )
+
+    samples = decode_wav_samples(synthetic_pcm_wav_assets(spark, n=32))
+    return audio_sample_stats(samples).orderBy("asset_id")
+
+
 @register("multimodal_features", None)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram feature extraction over Arrow batches (rows-only

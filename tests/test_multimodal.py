@@ -526,6 +526,96 @@ def test_pnm_pixels_rejects_malformed(spark):
     assert (w, h) == (2, 1) and px == bytes(range(6))
 
 
+def test_decode_wav_samples_matches_formula(spark):
+    """r12 — the audio family's first REAL decoder: every decoded int32
+    of the PCM fixture matches the independent per-sample formula
+    (16-bit signed passthrough, 8-bit unsigned centered at -128), junk
+    chunks walked past, mono/stereo both exact."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        synthetic_pcm_wav_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_wav_samples(
+            synthetic_pcm_wav_assets(spark, n=12)
+        ).collect()
+    }
+    assert len(out) == 12
+    import struct
+
+    for i, r in out.items():
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        channels = 1 + (i % 2)
+        bits = 16 if i % 2 == 0 else 8
+        n_frames = 20 + (i % 5)
+        count = n_frames * channels
+        assert (r["sample_rate"], r["channels"], r["n_frames"]) == (
+            rate, channels, n_frames,
+        )
+        assert r["is_stub"] is False
+        vals = struct.unpack(f"<{count}i", bytes(r["samples"]))
+        for k, v in enumerate(vals):
+            if bits == 16:
+                assert v == ((k * 31 + i * 7) % 65536) - 32768
+            else:
+                assert v == ((k * 13 + i * 3) % 256) - 128
+
+
+def test_wav_pcm_samples_rejects_non_pcm(spark):
+    """Honest None for non-PCM (float tag), 24-bit width, truncated
+    data, non-RIFF junk."""
+    import struct as _s
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _wav_pcm_samples,
+    )
+
+    def wav(fmt_tag=1, bits=16, data=b"\x00\x00"):
+        fmt = b"fmt " + _s.pack("<IHHIIHH", 16, fmt_tag, 1, 8000,
+                                8000 * bits // 8, bits // 8, bits)
+        body = b"WAVE" + fmt + b"data" + _s.pack("<I", len(data)) + data
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    assert _wav_pcm_samples(b"") is None
+    assert _wav_pcm_samples(b"RIFFxxxxNOPE") is None
+    assert _wav_pcm_samples(wav(fmt_tag=3)) is None  # IEEE float
+    assert _wav_pcm_samples(wav(bits=24, data=b"\x00" * 6)) is None
+    truncated = wav(data=b"\x00" * 100)[:-60]
+    assert _wav_pcm_samples(truncated) is None
+    got = _wav_pcm_samples(wav(data=_s.pack("<2h", -5, 7)))
+    assert got is not None and got[:3] == (8000, 1, 2)
+
+
+def test_audio_sample_stats_pinned_values(spark):
+    """Exact integer stats: peak, floor-div DC milli-offset, integer
+    isqrt RMS — all equal the independently computed formulas."""
+    import math
+    import struct
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        audio_sample_stats,
+        decode_wav_samples,
+        synthetic_pcm_wav_assets,
+    )
+
+    samples = decode_wav_samples(synthetic_pcm_wav_assets(spark, n=8))
+    raw = {r["asset_id"]: bytes(r["samples"]) for r in samples.collect()}
+    stats = {r["asset_id"]: r for r in audio_sample_stats(samples).collect()}
+    assert len(stats) == 8
+    for i, r in stats.items():
+        vals = struct.unpack(f"<{len(raw[i]) // 4}i", raw[i])
+        n = len(vals)
+        assert r["n_samples"] == n
+        assert r["peak_abs"] == max(abs(v) for v in vals)
+        assert r["mean_milli"] == sum(vals) * 1000 // n
+        assert r["rms_milli"] == math.isqrt(
+            1_000_000 * sum(v * v for v in vals) // n
+        )
+        assert r["is_stub"] is False
+
+
 def test_image_pixel_stats_pinned_values(spark):
     """Channel means and BT.601 luminance in exact milli-units equal
     the independently computed integer formula; stub flag rides
