@@ -42,7 +42,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "shingle_size": 5,
         # cap each LSH band bucket at this many members (min-id keep) —
         # bounds the quadratic pair blowup of boilerplate bands at
-        # scale; None = uncapped. See dedup.minhash_band_buckets.
+        # scale; None = uncapped. Removal stays complete under the cap:
+        # minhash_dedup unions the capped pairs with verified star
+        # edges, so hot clusters beyond the cap still collapse (r12).
+        # See dedup.minhash_band_buckets / dedup.minhash_dedup.
         "max_band_bucket": None,
     },
     "quality": {
