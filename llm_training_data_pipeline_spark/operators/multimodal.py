@@ -18,10 +18,14 @@ itself is STUBBED (the image/audio libraries are not in this container):
   ``decode_image_stub`` (md5-keystream pixels, ``is_stub``-marked) →
   ``resize_pixels`` (REAL nearest-neighbor index arithmetic) and
   ``sample_frames_stub`` (real MP4 frame counts, fake frame buffers).
-  Since r11 one REAL decoder exists: ``decode_bmp_pixels`` (uncompressed
-  24bpp BMP, pure row arithmetic, ``is_stub=false``) feeding
-  ``image_pixel_stats`` — pixels from an actual image flow through the
-  same PIXEL_SCHEMA consumers the stub proved out.
+  REAL decoders (``is_stub=false``) now cover four formats:
+  ``decode_bmp_pixels`` (uncompressed 24bpp BMP, r11),
+  ``decode_pnm_pixels`` (binary P5/P6, r12), ``decode_png_pixels``
+  (stdlib-zlib inflate + scanline unfiltering — the first COMPRESSED
+  format, r12), and ``decode_wav_samples`` (PCM audio, r12) — actual
+  image/audio content flows through the same PIXEL_SCHEMA consumers the
+  stub proved out. JPEG/GIF pixel decode remains honestly gated (no
+  codec library in the container).
 
 At 100 TB: payloads stay in parquet binary columns; ``mapInPandas``
 processes whole Arrow batches per partition, so decode parallelism ==
@@ -1116,6 +1120,162 @@ def decode_pnm_pixels(
     return _real_pixel_decode_op(df, _pnm_pixels, payload_col, id_col)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color_type -> samples per pixel at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw, height: int, stride: int, bpp: int):
+    """Invert PNG scanline filtering (spec §6: None/Sub/Up/Average/
+    Paeth). ``raw`` is the decompressed stream — ``height`` scanlines of
+    ``1 + stride`` bytes (leading filter-type byte). Returns the
+    reconstructed (height, stride) uint8 array, or None on an unknown
+    filter type.
+
+    None and Up are fully vectorized; Sub is a mod-256 cumsum down each
+    of the ``bpp`` byte lanes (np.cumsum with dtype=uint8 wraps exactly
+    like the spec's mod-256 add). Average and Paeth carry a true
+    sequential dependence along the row (each byte needs the already-
+    reconstructed byte bpp to its left), so those rows fall back to a
+    per-byte loop — correctness first; a codec library or C kernel
+    replaces only this inner loop at production scale."""
+    import numpy as np
+
+    lines = np.frombuffer(raw, np.uint8).reshape(height, 1 + stride)
+    recon = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        f = int(lines[y, 0])
+        line = lines[y, 1:]
+        if f == 0:
+            out = line.copy()
+        elif f == 1:  # Sub: cumsum mod 256 per byte lane
+            out = np.cumsum(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            out = ((line.astype(np.int32) + prev) & 255).astype(np.uint8)
+        elif f in (3, 4):
+            cur = line.astype(np.int32)
+            o = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = o[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:  # Average
+                    o[x] = (cur[x] + ((a + b) >> 1)) & 255
+                else:  # Paeth
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    o[x] = (cur[x] + pred) & 255
+            out = o.astype(np.uint8)
+        else:
+            return None
+        recon[y] = out
+        prev = out.astype(np.int32)
+    return recon
+
+
+def _png_pixels(payload: bytes):
+    """REAL PNG decode → (w, h, rgb bytes) or None — stdlib ``zlib`` +
+    numpy only, no imaging library. Decodes the common still-image
+    profile: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), interlace 0 (non-interlaced), all five
+    scanline filters, multi-IDAT streams. Everything else — 1/2/4/16-bit
+    depths, Adam7 interlace, truncated or corrupt streams, bad palette
+    indices — returns an honest None (same contract as ``_bmp_pixels``).
+    Alpha is DROPPED, not composited (deterministic; compositing needs a
+    background-color policy — pinned in tests). Chunk CRCs are not
+    verified: a flipped payload bit surfaces as a zlib error or a
+    rejected header, and at 100 TB the per-chunk CRC pass costs a full
+    extra scan of every byte for corruption parquet checksums already
+    catch."""
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, n = len(_PNG_SIG), len(payload)
+    width = height = None
+    bit_depth = color_type = interlace = -1
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if length > n or data_end + 4 > n:
+            return None
+        data = payload[pos + 8 : data_end]
+        pos = data_end + 4  # skip CRC
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type = data[8], data[9]
+            if data[10] != 0 or data[11] != 0:  # compression / filter method
+                return None
+            interlace = data[12]
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0:
+                return None
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat or width <= 0 or height <= 0:
+        return None
+    if bit_depth != 8 or interlace != 0:
+        return None
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or (color_type == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != (1 + stride) * height:
+        return None
+    recon = _png_unfilter(raw, height, stride, channels)
+    if recon is None:
+        return None
+    img = recon.reshape(height, width, channels)
+    if color_type == 0:
+        out = np.repeat(img, 3, axis=2)
+    elif color_type == 2:
+        out = img
+    elif color_type == 3:
+        idx = img.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(plte):
+            return None
+        out = plte[idx]
+    elif color_type == 4:
+        out = np.repeat(img[..., :1], 3, axis=2)
+    else:  # 6: RGBA -> drop alpha
+        out = img[..., :3]
+    return width, height, np.ascontiguousarray(out).tobytes()
+
+
+def decode_png_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL PNG decode to the PIXEL_SCHEMA contract (``is_stub`` =
+    FALSE) via ``_png_pixels`` — the third real image decoder and the
+    first covering a COMPRESSED format (zlib inflate + scanline
+    unfiltering), closing the gap the header-only ``decode_image_meta``
+    left for PNG. Same plumbing and downstream contract as
+    ``decode_bmp_pixels`` (reference parity: src/wiki_pipeline.py's
+    pipeline treats assets as opaque; this engine decodes them)."""
+    return _real_pixel_decode_op(df, _png_pixels, payload_col, id_col)
+
+
 PIXEL_STATS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -1244,6 +1404,115 @@ def synthetic_pnm_assets(spark, n: int = 32) -> DataFrame:
         )
         mime = "image/x-portable-graymap" if gray else "image/x-portable-pixmap"
         rows.append((i, "image", bytes(hdr) + bytes(body), mime, {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def _png_build(
+    width: int,
+    height: int,
+    color_type: int,
+    pixels: bytes,
+    filters,
+    palette: bytes = None,
+    idat_split: int = 0,
+) -> bytes:
+    """Forward PNG encoder for fixtures/tests — the spec's FORWARD
+    filtering direction (filt = orig − predictor, mod 256), so a
+    decode-equals-original assertion proves ``_png_pixels`` implements
+    the true inverse rather than mirroring its own code. ``pixels`` is
+    the raw sample plane (height*width*channels bytes), ``filters`` one
+    spec filter type (0–4) per scanline, ``idat_split`` > 0 splits the
+    compressed stream into chunks of that many bytes (multi-IDAT
+    framing). Not an optimizing encoder; not exported API."""
+    import zlib
+
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    assert len(pixels) == stride * height and len(filters) == height
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        orig = pixels[y * stride : (y + 1) * stride]
+        f = filters[y]
+        out.append(f)
+        for x in range(stride):
+            a = orig[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            pred = (0, a, b, (a + b) >> 1, paeth(a, b, c))[f]
+            out.append((orig[x] - pred) & 255)
+        prior = orig
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, color_type, 0, 0, 0))
+    )
+    comp = zlib.compress(bytes(out))
+    png = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", palette)
+    if idat_split > 0:
+        for i in range(0, len(comp), idat_split):
+            png += chunk(b"IDAT", comp[i : i + idat_split])
+    else:
+        png += chunk(b"IDAT", comp)
+    return png + chunk(b"IEND", b"")
+
+
+def synthetic_png_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL PNG fixture: cycles color types (2 RGB, 0
+    gray, 6 RGBA, 3 palette, 4 gray+alpha), every scanline's filter type
+    is (y + i) % 5 so all five filters appear, every third file uses
+    multi-IDAT framing, gradient samples computed from (x, y, i) —
+    every decoded byte derivable by the pinning test."""
+    rows = []
+    for i in range(n):
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        ct = (2, 0, 6, 3, 4)[i % 5]
+        bpp = _PNG_CHANNELS[ct]
+        body = bytearray()
+        for y in range(h):
+            for x in range(w):
+                if ct == 3:
+                    body.append((x + y + i) % 16)
+                else:
+                    samples = (
+                        (x * 37 + i) % 256,
+                        (y * 53 + i) % 256,
+                        (x + y + i) % 256,
+                        (x * y + i) % 256,
+                    )[:bpp]
+                    body += bytes(samples)
+        palette = None
+        if ct == 3:
+            palette = b"".join(
+                bytes(((j * 16) % 256, (j * 7 + i) % 256, (255 - j * 16) % 256))
+                for j in range(16)
+            )
+        png = _png_build(
+            w, h, ct, bytes(body),
+            [(y + i) % 5 for y in range(h)],
+            palette=palette,
+            idat_split=8 if i % 3 == 0 else 0,
+        )
+        rows.append((i, "image", png, "image/png", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

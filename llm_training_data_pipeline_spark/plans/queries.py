@@ -1654,6 +1654,26 @@ def q_pnm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("png_pixel_stats", None)
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL pixel decode and the first COMPRESSED format (r12):
+    PNG via stdlib zlib inflate + scanline unfiltering (all five spec
+    filters incl. Paeth; color types gray/RGB/palette/gray+alpha/RGBA;
+    multi-IDAT), then the same exact integer milli-unit stats as
+    image_pixel_stats. Rows-only check (binary self-contained fixture);
+    the decoder is pinned against an independent FORWARD-direction
+    encoder (_png_build) in tests/test_multimodal.py
+    (multimodal.decode_png_pixels + image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        image_pixel_stats,
+        synthetic_png_assets,
+    )
+
+    px = decode_png_pixels(synthetic_png_assets(spark, n=32))
+    return image_pixel_stats(px).orderBy("asset_id")
+
+
 @register("wav_sample_stats", None)
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio family's first REAL decode (r12): PCM WAV samples

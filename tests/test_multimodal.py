@@ -526,6 +526,148 @@ def test_pnm_pixels_rejects_malformed(spark):
     assert (w, h) == (2, 1) and px == bytes(range(6))
 
 
+def test_png_unfilter_inverts_forward_filtering():
+    """r12 — the third real decoder, first compressed format: the
+    decoder's unfiltering is pinned against the INDEPENDENT forward
+    direction (_png_build applies filt = orig − predictor per the spec;
+    the decoder must reconstruct orig) for every color type × every
+    filter pattern, including multi-IDAT framing. A decoder that
+    mirrored its own math instead of inverting the spec's would fail
+    this round-trip."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        _png_build,
+        _png_pixels,
+    )
+
+    w, h = 7, 6
+    for ct in (0, 2, 3, 4, 6):
+        bpp = _PNG_CHANNELS[ct]
+        rng = np.random.RandomState(ct + 1)
+        if ct == 3:
+            px = rng.randint(0, 16, size=(h, w, 1), dtype=np.uint8)
+            pal = bytes(rng.randint(0, 256, size=48, dtype=np.uint8))
+        else:
+            px = rng.randint(0, 256, size=(h, w, bpp), dtype=np.uint8)
+            pal = None
+        for filters in (
+            [0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+            [(y * 3 + 1) % 5 for y in range(h)],
+        ):
+            png = _png_build(
+                w, h, ct, px.tobytes(), filters, palette=pal, idat_split=5
+            )
+            got = _png_pixels(png)
+            assert got is not None, (ct, filters)
+            gw, gh, rgb = got
+            arr = np.frombuffer(rgb, np.uint8).reshape(gh, gw, 3)
+            if ct == 0:
+                exp = np.repeat(px, 3, axis=2)
+            elif ct == 2:
+                exp = px
+            elif ct == 3:
+                exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[
+                    px.reshape(h, w)
+                ]
+            elif ct == 4:
+                exp = np.repeat(px[..., :1], 3, axis=2)
+            else:
+                exp = px[..., :3]
+            assert (gw, gh) == (w, h) and np.array_equal(arr, exp), (
+                ct,
+                filters,
+            )
+
+
+def test_decode_png_pixels_matches_formula(spark):
+    """Every decoded byte of the Spark-side PNG fixture matches the
+    independent per-sample formula — gray and gray+alpha replicate to
+    r=g=b, RGBA drops alpha, palette indices resolve through PLTE."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        synthetic_png_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_png_pixels(synthetic_png_assets(spark, n=15)).collect()
+    }
+    assert len(out) == 15
+    for i, r in out.items():
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        ct = (2, 0, 6, 3, 4)[i % 5]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["is_stub"] is False
+        px = bytes(r["pixels"])
+        assert len(px) == w * h * 3
+        for y in range(h):
+            for x in range(w):
+                o = (y * w + x) * 3
+                if ct == 2 or ct == 6:
+                    assert px[o] == (x * 37 + i) % 256
+                    assert px[o + 1] == (y * 53 + i) % 256
+                    assert px[o + 2] == (x + y + i) % 256
+                elif ct in (0, 4):
+                    g = (x * 37 + i) % 256
+                    assert px[o] == px[o + 1] == px[o + 2] == g
+                else:  # palette
+                    j = (x + y + i) % 16
+                    assert px[o] == (j * 16) % 256
+                    assert px[o + 1] == (j * 7 + i) % 256
+                    assert px[o + 2] == (255 - j * 16) % 256
+
+
+def test_png_pixels_rejects_unsupported():
+    """Honest None outside the decoded profile: bad signature, 16-bit
+    depth, Adam7 interlace, truncated stream, corrupt zlib, palette
+    index past PLTE, unknown filter type."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _png_build,
+        _png_pixels,
+    )
+
+    good = _png_build(3, 3, 2, bytes(range(27)), [0, 1, 2])
+    assert _png_pixels(good) is not None
+    assert _png_pixels(b"not a png") is None
+    assert _png_pixels(good[:24]) is None  # truncated mid-IHDR
+    bad = bytearray(good)
+    bad[24] = 16  # IHDR bit-depth byte
+    assert _png_pixels(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[28] = 1  # IHDR interlace byte -> Adam7
+    assert _png_pixels(bytes(bad)) is None
+    # corrupt the deflate stream (first IDAT data byte)
+    bad = bytearray(good)
+    idat_at = bytes(bad).index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    assert _png_pixels(bytes(bad)) is None
+    # 3-entry palette, index 15 out of range
+    assert (
+        _png_pixels(
+            _png_build(2, 2, 3, bytes([0, 1, 2, 15]), [0, 0], palette=bytes(9))
+        )
+        is None
+    )
+    # unknown filter type byte survives deflate but fails unfiltering
+    import zlib
+
+    raw = b"\x05" + bytes(9) + b"\x00" + bytes(9)  # filter 5 on row 0
+    hacked = _png_build(3, 2, 2, bytes(18), [0, 0])
+    pre, post = hacked.split(b"IDAT", 1)
+    comp = zlib.compress(raw)
+    rebuilt = (
+        pre[:-4]
+        + len(comp).to_bytes(4, "big")
+        + b"IDAT"
+        + comp
+        + (zlib.crc32(b"IDAT" + comp) & 0xFFFFFFFF).to_bytes(4, "big")
+        + post[post.index(b"\x00\x00\x00\x00IEND") :]
+    )
+    assert _png_pixels(rebuilt) is None
+
+
 def test_decode_wav_samples_matches_formula(spark):
     """r12 — the audio family's first REAL decoder: every decoded int32
     of the PCM fixture matches the independent per-sample formula
