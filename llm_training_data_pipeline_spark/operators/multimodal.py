@@ -18,14 +18,16 @@ itself is STUBBED (the image/audio libraries are not in this container):
   ``decode_image_stub`` (md5-keystream pixels, ``is_stub``-marked) →
   ``resize_pixels`` (REAL nearest-neighbor index arithmetic) and
   ``sample_frames_stub`` (real MP4 frame counts, fake frame buffers).
-  REAL decoders (``is_stub=false``) now cover four formats:
+  REAL decoders (``is_stub=false``) now cover five formats:
   ``decode_bmp_pixels`` (uncompressed 24bpp BMP, r11),
   ``decode_pnm_pixels`` (binary P5/P6, r12), ``decode_png_pixels``
   (stdlib-zlib inflate + scanline unfiltering — the first COMPRESSED
-  format, r12), and ``decode_wav_samples`` (PCM audio, r12) — actual
-  image/audio content flows through the same PIXEL_SCHEMA consumers the
-  stub proved out. JPEG/GIF pixel decode remains honestly gated (no
-  codec library in the container).
+  format, r12), ``decode_gif_pixels`` (pure-Python LZW + palette +
+  de-interlacing, r12), and ``decode_wav_samples`` (PCM audio, r12) —
+  actual image/audio content flows through the same PIXEL_SCHEMA
+  consumers the stub proved out. JPEG pixel decode remains honestly
+  gated (DCT entropy coding needs a codec library not in the
+  container).
 
 At 100 TB: payloads stay in parquet binary columns; ``mapInPandas``
 processes whole Arrow batches per partition, so decode parallelism ==
@@ -1261,6 +1263,149 @@ def _png_pixels(payload: bytes):
     return width, height, np.ascontiguousarray(out).tobytes()
 
 
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int):
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width starting at min_code_size+1, LSB-first bit packing, CLEAR
+    resets the table, widths grow when the table reaches 2^width (cap
+    12 bits). Returns the index stream, or None on a corrupt code
+    sequence. Pure Python — the table ops are per-CODE, not per-pixel
+    (each code emits a whole string), so cost is O(compressed size)."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + width <= nbits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _gif_pixels(payload: bytes):
+    """REAL GIF decode → (w, h, rgb bytes) or None — pure Python LZW +
+    palette lookup, no imaging library. Decodes the FIRST image
+    descriptor (animated GIFs: frame 1) at the frame's own dimensions,
+    global or local color table, interlaced (the 4-pass row order) or
+    sequential. Extension blocks (incl. Graphic Control) are walked
+    past; transparency is ignored — the palette color shows, matching
+    the alpha-drop policy pinned for PNG. Missing color table, corrupt
+    LZW, short index streams and out-of-range indices return an honest
+    None."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if len(payload) < pos + 3 * n:
+            return None
+        gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    n_total = len(payload)
+    while pos < n_total:
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < n_total and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n_total:
+                return None
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if n_total < pos + 3 * n:
+                    return None
+                ct = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None or w <= 0 or h <= 0 or pos >= n_total:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            comp = bytearray()
+            while pos < n_total and payload[pos] != 0:
+                ln = payload[pos]
+                comp += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx_stream = _gif_lzw_decode(bytes(comp), min_code)
+            if idx_stream is None or len(idx_stream) < w * h:
+                return None
+            idx = np.frombuffer(idx_stream[: w * h], np.uint8).reshape(h, w)
+            if int(idx.max(initial=0)) >= len(ct):
+                return None
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return w, h, np.ascontiguousarray(ct[idx]).tobytes()
+        elif b == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+def decode_gif_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL GIF decode to the PIXEL_SCHEMA contract (``is_stub`` =
+    FALSE) via ``_gif_pixels`` — the fourth real image decoder (LZW,
+    the second compressed format after PNG's deflate), closing the gap
+    ``decode_image_meta``'s header-only GIF parsing left. Same plumbing
+    and downstream contract as ``decode_bmp_pixels``."""
+    return _real_pixel_decode_op(df, _gif_pixels, payload_col, id_col)
+
+
 def decode_png_pixels(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1474,6 +1619,144 @@ def _png_build(
     else:
         png += chunk(b"IDAT", comp)
     return png + chunk(b"IEND", b"")
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Forward GIF-LZW compressor for fixtures/tests — the spec's
+    FORWARD direction (greedy longest-match string table, the classic
+    early-change width rule: width grows when next_code reaches
+    2^width + 1, mirroring the decoder's table-length trigger one
+    emit-step later), CLEAR emitted at table-full (4096). Not exported
+    API; pairs with ``_gif_lzw_decode`` the way ``_png_build`` pairs
+    with ``_png_pixels``."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    buf = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += w
+        while accbits >= 8:
+            buf.append(acc & 255)
+            acc >>= 8
+            accbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for ch in indices:
+        k = bytes([ch])
+        if w + k in table:
+            w += k
+            continue
+        emit(table[w], width)
+        table[w + k] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # table full -> spec-mandated reset
+            emit(clear, width)
+            table = fresh()
+            next_code = end + 1
+            width = min_code_size + 1
+        w = k
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if accbits:
+        buf.append(acc & 255)
+    return bytes(buf)
+
+
+def _gif_build(
+    width: int,
+    height: int,
+    palette: bytes,
+    indices: bytes,
+    interlace: bool = False,
+    local_ct: bool = False,
+    with_extensions: bool = False,
+) -> bytes:
+    """Assemble a real GIF89a container around ``_gif_lzw_encode`` for
+    fixtures/tests: logical screen descriptor, global or image-local
+    color table, optional interlaced row order (pixels are reordered
+    into the 4-pass stream order here, so the decoder must invert it),
+    optional Graphic Control + comment extensions (the block-walker
+    path), 255-byte data sub-blocks. ``palette`` length must be
+    3 * 2^k. Not an optimizing encoder; not exported API."""
+    n_colors = len(palette) // 3
+    assert n_colors & (n_colors - 1) == 0 and 2 <= n_colors <= 256
+    assert len(indices) == width * height and max(indices) < n_colors
+    ct_exp = n_colors.bit_length() - 2  # 2^(exp+1) entries
+    min_code = max(2, n_colors.bit_length() - 1)
+    if interlace:
+        order = [
+            y
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, height, step)
+        ]
+        indices = b"".join(
+            indices[y * width : (y + 1) * width] for y in order
+        )
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    if local_ct:
+        out += bytes((0x00, 0, 0))  # no GCT
+    else:
+        out += bytes((0x80 | ct_exp, 0, 0))
+        out += palette
+    if with_extensions:
+        out += bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))  # GCE
+        out += bytes((0x21, 0xFE, 7)) + b"fixture" + b"\x00"  # comment
+    out += bytes((0x2C,)) + bytes(4)  # descriptor, left=top=0
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    ipacked = (0x40 if interlace else 0) | (0x80 | ct_exp if local_ct else 0)
+    out += bytes((ipacked,))
+    if local_ct:
+        out += palette
+    out += bytes((min_code,))
+    comp = _gif_lzw_encode(indices, min_code)
+    for i in range(0, len(comp), 255):
+        blk = comp[i : i + 255]
+        out += bytes((len(blk),)) + blk
+    out += bytes((0, 0x3B))
+    return bytes(out)
+
+
+def synthetic_gif_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL GIF fixture: varied dimensions and palette
+    sizes (4/16/256 colors), every third file interlaced, alternating
+    global and image-local color tables, extension blocks on every
+    fourth file, gradient palette indices computed from (x, y, i) —
+    every decoded byte derivable by the pinning test."""
+    rows = []
+    for i in range(n):
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        n_colors = (4, 16, 256)[i % 3]
+        palette = b"".join(
+            bytes(((j * 31 + i) % 256, (j * 7) % 256, (255 - j) % 256))
+            for j in range(n_colors)
+        )
+        indices = bytes(
+            (x * 5 + y * 3 + i) % n_colors for y in range(h) for x in range(w)
+        )
+        gif = _gif_build(
+            w, h, palette, indices,
+            interlace=i % 3 == 0,
+            local_ct=i % 2 == 1,
+            with_extensions=i % 4 == 0,
+        )
+        rows.append((i, "image", gif, "image/gif", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
 def synthetic_png_assets(spark, n: int = 32) -> DataFrame:

@@ -1674,6 +1674,26 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("gif_pixel_stats", None)
+def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL pixel decode, second compressed codec (r12): GIF via
+    pure-Python LZW (variable code widths, early-change rule, CLEAR
+    resets) + global/local color-table lookup + 4-pass de-interlacing,
+    then the same exact integer milli-unit stats as image_pixel_stats.
+    Rows-only check (binary self-contained fixture); the decoder is
+    pinned against an independent FORWARD-direction LZW compressor
+    (_gif_lzw_encode / _gif_build) in tests/test_multimodal.py
+    (multimodal.decode_gif_pixels + image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        image_pixel_stats,
+        synthetic_gif_assets,
+    )
+
+    px = decode_gif_pixels(synthetic_gif_assets(spark, n=32))
+    return image_pixel_stats(px).orderBy("asset_id")
+
+
 @register("wav_sample_stats", None)
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio family's first REAL decode (r12): PCM WAV samples

@@ -668,6 +668,111 @@ def test_png_pixels_rejects_unsupported():
     assert _png_pixels(rebuilt) is None
 
 
+def test_gif_lzw_decode_inverts_forward_compression():
+    """r12 — the fourth real decoder: GIF LZW decode pinned against the
+    INDEPENDENT forward compressor (greedy longest-match table build;
+    the decoder must replay the table one emit-step behind), across
+    palette sizes, interlacing, local color tables and extension
+    blocks, plus a 40k-pixel stream that crosses the 4096-entry
+    table-full CLEAR reset."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _gif_build,
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+        _gif_pixels,
+    )
+
+    w, h = 9, 7
+    for n_colors in (2, 4, 16, 256):
+        for interlace in (False, True):
+            for local_ct in (False, True):
+                rng = np.random.RandomState(
+                    n_colors + interlace * 3 + local_ct * 5
+                )
+                pal = bytes(rng.randint(0, 256, 3 * n_colors, dtype=np.uint8))
+                idx = bytes(rng.randint(0, n_colors, w * h, dtype=np.uint8))
+                gif = _gif_build(
+                    w, h, pal, idx, interlace, local_ct,
+                    with_extensions=interlace,
+                )
+                got = _gif_pixels(gif)
+                assert got is not None, (n_colors, interlace, local_ct)
+                gw, gh, rgb = got
+                exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[
+                    np.frombuffer(idx, np.uint8).reshape(h, w)
+                ]
+                assert (gw, gh) == (w, h)
+                assert np.array_equal(
+                    np.frombuffer(rgb, np.uint8).reshape(gh, gw, 3), exp
+                ), (n_colors, interlace, local_ct)
+    big = bytes(
+        np.random.RandomState(0).randint(0, 256, 200 * 200, dtype=np.uint8)
+    )
+    assert _gif_lzw_decode(_gif_lzw_encode(big, 8), 8) == big
+
+
+def test_decode_gif_pixels_matches_formula(spark):
+    """Every decoded byte of the Spark-side GIF fixture matches the
+    independent per-sample formula through the palette indirection."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        synthetic_gif_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_gif_pixels(synthetic_gif_assets(spark, n=12)).collect()
+    }
+    assert len(out) == 12
+    for i, r in out.items():
+        w, h = 3 + (i % 5), 2 + (i % 4)
+        n_colors = (4, 16, 256)[i % 3]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["is_stub"] is False
+        px = bytes(r["pixels"])
+        assert len(px) == w * h * 3
+        for y in range(h):
+            for x in range(w):
+                j = (x * 5 + y * 3 + i) % n_colors
+                o = (y * w + x) * 3
+                assert px[o] == (j * 31 + i) % 256
+                assert px[o + 1] == (j * 7) % 256
+                assert px[o + 2] == (255 - j) % 256
+
+
+def test_gif_pixels_rejects_malformed():
+    """Honest None outside the decoded profile: bad signature,
+    truncated stream, trailer before any image, missing color table,
+    index stream shorter than w*h."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _gif_build,
+        _gif_pixels,
+    )
+
+    good = _gif_build(3, 3, bytes(12), bytes(9))
+    assert _gif_pixels(good) is not None
+    assert _gif_pixels(b"not a gif") is None
+    assert _gif_pixels(b"GIF89a") is None
+    assert _gif_pixels(good[:15]) is None
+    # trailer with no image descriptor
+    assert (
+        _gif_pixels(
+            b"GIF89a" + bytes((3, 0, 3, 0, 0, 0, 0)) + b"\x3b"
+        )
+        is None
+    )
+    # descriptor claims 4x4 but only 3x3 indices were encoded: patch the
+    # image-descriptor dims (bytes 5-8 after the 0x2C at offset 19)
+    short = bytearray(good)
+    at = short.index(0x2C)
+    short[at + 5 : at + 9] = (4).to_bytes(2, "little") + (4).to_bytes(
+        2, "little"
+    )
+    assert _gif_pixels(bytes(short)) is None
+
+
 def test_decode_wav_samples_matches_formula(spark):
     """r12 — the audio family's first REAL decoder: every decoded int32
     of the PCM fixture matches the independent per-sample formula
