@@ -18,16 +18,18 @@ itself is STUBBED (the image/audio libraries are not in this container):
   ``decode_image_stub`` (md5-keystream pixels, ``is_stub``-marked) →
   ``resize_pixels`` (REAL nearest-neighbor index arithmetic) and
   ``sample_frames_stub`` (real MP4 frame counts, fake frame buffers).
-  REAL decoders (``is_stub=false``) now cover five formats:
-  ``decode_bmp_pixels`` (uncompressed 24bpp BMP, r11),
+  REAL decoders (``is_stub=false``) now cover every header-parsed
+  format: ``decode_bmp_pixels`` (uncompressed 24bpp BMP, r11),
   ``decode_pnm_pixels`` (binary P5/P6, r12), ``decode_png_pixels``
-  (stdlib-zlib inflate + scanline unfiltering — the first COMPRESSED
-  format, r12), ``decode_gif_pixels`` (pure-Python LZW + palette +
-  de-interlacing, r12), and ``decode_wav_samples`` (PCM audio, r12) —
-  actual image/audio content flows through the same PIXEL_SCHEMA
-  consumers the stub proved out. JPEG pixel decode remains honestly
-  gated (DCT entropy coding needs a codec library not in the
-  container).
+  (stdlib-zlib inflate + scanline unfiltering, r12),
+  ``decode_gif_pixels`` (pure-Python LZW + palette + de-interlacing,
+  r12), ``decode_jpeg_pixels`` (baseline T.81: Huffman entropy decode,
+  dequantize, vectorized 8x8 IDCT, chroma upsample, YCbCr→RGB, r12),
+  and ``decode_wav_samples`` (PCM audio, r12) — actual image/audio
+  content flows through the same PIXEL_SCHEMA consumers the stub
+  proved out. Each ships with an independent FORWARD-direction encoder
+  used only by fixtures/tests, so every decoder is proven to invert
+  its spec rather than mirror its own code.
 
 At 100 TB: payloads stay in parquet binary columns; ``mapInPandas``
 processes whole Arrow batches per partition, so decode parallelism ==
@@ -1406,6 +1408,301 @@ def decode_gif_pixels(
     return _real_pixel_decode_op(df, _gif_pixels, payload_col, id_col)
 
 
+# JPEG baseline decode (ITU T.81 sequential DCT) — pure numpy, no codec
+# library.  Zigzag position -> raster index within an 8x8 block.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II basis M (M @ B @ M.T is the JPEG forward
+    DCT of a level-shifted block; M.T @ F @ M the inverse)."""
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        a = (0.5 / (2.0**0.5)) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+class _JpegBits:
+    """MSB-first entropy bit reader over a JPEG scan: 0xFF00 stuffing
+    unwrapped, any other marker ends the readable stream (the decoder
+    checks for expected RSTn itself)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            d, p = self.data, self.pos
+            if p >= len(d):
+                raise EOFError
+            b = d[p]
+            p += 1
+            if b == 0xFF:
+                if p < len(d) and d[p] == 0x00:
+                    p += 1
+                else:
+                    raise EOFError  # a real marker: scan is over
+            self.pos = p
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, idx: int) -> bool:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        d, p = self.data, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (idx & 7):
+            return False
+        self.pos = p + 2
+        return True
+
+
+def _jpeg_huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise EOFError
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG decode → (w, h, rgb bytes) or None — pure
+    numpy, no codec library (ITU T.81 is a public spec). Decodes the
+    dominant interchange profile: SOF0 baseline sequential DCT, 8-bit,
+    Huffman entropy coding, 1-component grayscale or 3-component
+    JFIF YCbCr at any integer sampling (4:4:4 / 4:2:2 / 4:2:0 …),
+    restart intervals, multi-segment DQT/DHT. Progressive (SOF2),
+    arithmetic coding, 12-bit, hierarchical and truncated streams
+    return an honest None. Per-block work is two 8x8 matrix products
+    (vectorized IDCT); the Huffman loop is per-SYMBOL Python — the
+    codec-kernel swap point at 100 TB, same caveat as PNG's Paeth
+    rows."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(payload)
+    qt = {}
+    huff = {}
+    frame = None  # (w, h, comps)
+    restart = 0
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            seg = payload[pos + 4 : pos + 2 + seg_len]
+            if len(seg) != seg_len - 2:
+                return None
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    prec, tid = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if prec == 0:
+                        tbl = np.frombuffer(
+                            seg[i : i + 64], np.uint8
+                        ).astype(np.int32)
+                        i += 64
+                    else:
+                        tbl = np.frombuffer(
+                            seg[i : i + 128], ">u2"
+                        ).astype(np.int32)
+                        i += 128
+                    if len(tbl) != 64:
+                        return None
+                    raster = np.zeros(64, np.int32)
+                    raster[list(_JPEG_ZIGZAG)] = tbl
+                    qt[tid] = raster.reshape(8, 8)
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i + 17 <= len(seg):
+                    cls, tid = seg[i] >> 4, seg[i] & 15
+                    counts = seg[i + 1 : i + 17]
+                    i += 17
+                    total = sum(counts)
+                    syms = seg[i : i + total]
+                    if len(syms) != total:
+                        return None
+                    i += total
+                    table, code, k = {}, 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(cls, tid)] = table
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, samp >> 4, samp & 15, qid))
+                frame = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scomp = {}
+                for c in range(ns):
+                    cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scomp[cid] = (tids >> 4, tids & 15)
+                return _jpeg_scan(
+                    payload, pos + 2 + seg_len, frame, scomp, qt, huff,
+                    restart,
+                )
+            pos += 2 + seg_len
+    except (EOFError, IndexError):
+        return None
+    return None
+
+
+def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
+    import numpy as np
+
+    w, h, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if max_h == 0 or max_v == 0:
+        return None
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    m = _jpeg_dct_matrix()
+    planes = []
+    for cid, ch, cv, qid in comps:
+        if qid not in qt or cid not in scomp:
+            return None
+        dc_t, ac_t = scomp[cid]
+        if (0, dc_t) not in huff or (1, ac_t) not in huff:
+            return None
+        planes.append(
+            np.zeros((mcuy * cv * 8, mcux * ch * 8), np.float64)
+        )
+    bits = _JpegBits(payload, pos)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    if not bits.align_restart(mcu_i // restart - 1):
+                        return None
+                    pred = [0] * len(comps)
+                mcu_i += 1
+                for ci, (cid, ch, cv, qid) in enumerate(comps):
+                    dc_tab = huff[(0, scomp[cid][0])]
+                    ac_tab = huff[(1, scomp[cid][1])]
+                    q = qt[qid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef = np.zeros(64, np.int32)
+                            t = _jpeg_huff_decode(bits, dc_tab)
+                            diff = (
+                                _jpeg_extend(bits.bits(t), t) if t else 0
+                            )
+                            pred[ci] += diff
+                            coef[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_huff_decode(bits, ac_tab)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                    bits.bits(s), s
+                                )
+                                k += 1
+                            blk = (
+                                coef.reshape(8, 8).astype(np.float64) * q
+                            )
+                            px = m.T @ blk @ m + 128.0
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    except (EOFError, IndexError):
+        return None
+    out_planes = []
+    for ci, (cid, ch, cv, qid) in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(
+            np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1
+        )
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        g = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(g[..., None], 3, axis=2).tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
+        axis=2,
+    )
+    return w, h, rgb.tobytes()
+
+
+def decode_jpeg_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL baseline JPEG decode to the PIXEL_SCHEMA contract
+    (``is_stub`` = FALSE) via ``_jpeg_pixels`` — the fifth real image
+    decoder, retiring the engine's last gated image format for the
+    dominant interchange profile (SOF0 sequential Huffman). Same
+    plumbing and downstream contract as ``decode_bmp_pixels``. JPEG is
+    LOSSY: tests pin reconstruction tolerance, not byte equality (and
+    exact equality for the DC-only constant case)."""
+    return _real_pixel_decode_op(df, _jpeg_pixels, payload_col, id_col)
+
+
 def decode_png_pixels(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1730,6 +2027,223 @@ def _gif_build(
     return bytes(out)
 
 
+_JPEG_FLAT_QUANT = [[1] * 8 for _ in range(8)]
+# A plausible coarse table for lossy-path tests (NOT Annex K — any
+# legal table works; the decoder reads whatever DQT carries).
+_JPEG_DEMO_QUANT = [[16 + 4 * (x + y) for x in range(8)] for y in range(8)]
+
+
+class _JpegBitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # stuffing
+                self.acc, self.n = 0, 0
+
+    def align(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1s per spec
+
+
+def _jpeg_build(
+    width: int,
+    height: int,
+    samples: bytes,
+    gray: bool = False,
+    quant=None,
+    subsample: bool = False,
+    restart: int = 0,
+) -> bytes:
+    """Forward baseline-JPEG encoder for fixtures/tests — the spec's
+    FORWARD direction (RGB→YCbCr, optional 2x2 chroma subsampling by
+    block average, level shift, orthonormal DCT, quantize, zigzag,
+    DC-diff + run-length Huffman), so decode-vs-original tolerance
+    assertions prove ``_jpeg_pixels`` inverts T.81 rather than
+    mirroring its own math. Huffman tables are valid fixed-length
+    canonical codes built from the stream's own distinct symbols and
+    shipped in DHT — the decoder must handle arbitrary DHT, not just
+    Annex K. ``quant`` defaults to the all-ones table (near-lossless:
+    only DCT float rounding and color-convert rounding remain). Not an
+    optimizing encoder; not exported API."""
+    import numpy as np
+
+    q = np.array(quant if quant is not None else _JPEG_FLAT_QUANT, np.int32)
+    assert q.shape == (8, 8) and q.min() >= 1 and q.max() <= 255
+    m = _jpeg_dct_matrix()
+
+    if gray:
+        y = np.frombuffer(samples, np.uint8).reshape(height, width)
+        full_planes = [y.astype(np.float64)]
+    else:
+        rgb = np.frombuffer(samples, np.uint8).reshape(
+            height, width, 3
+        ).astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        yp = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        full_planes = [np.clip(np.rint(p), 0, 255) for p in (yp, cb, cr)]
+
+    hs, vs = (2, 2) if (subsample and not gray) else (1, 1)
+    comps = []  # (cid, ch, cv, plane)
+    for ci, plane in enumerate(full_planes):
+        if ci == 0:
+            ch, cv = hs, vs
+        else:
+            ch, cv = 1, 1
+            # subsample by block average over the sampling factors
+            ph = -(-height // vs) * vs
+            pw = -(-width // hs) * hs
+            p = np.pad(
+                plane, ((0, ph - height), (0, pw - width)), mode="edge"
+            )
+            plane = np.rint(
+                p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+            )
+        comps.append((ci + 1, ch, cv, plane))
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-width // (8 * max_h))
+    mcuy = -(-height // (8 * max_v))
+
+    # quantized blocks per component, indexed [by][bx]
+    blocks = []
+    for cid, ch, cv, plane in comps:
+        th, tw = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        nby, nbx = th // 8, tw // 8
+        qb = np.zeros((nby, nbx, 8, 8), np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                qb[by, bx] = np.rint((m @ blk @ m.T) / q).astype(np.int32)
+        blocks.append(qb)
+
+    def mag_bits(v: int):
+        t = abs(v).bit_length()
+        return (t, v if v >= 0 else v + (1 << t) - 1)
+
+    # pass 1: symbol stream.  Table ids: DC 0 / AC 0 for luma,
+    # DC 1 / AC 1 for chroma (gray uses luma tables only).
+    ops = []  # ("s", tkey, sym) | ("b", val, nbits) | ("r", rst_idx)
+    seen = {}  # tkey -> set of symbols
+    pred = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                ops.append(("r", mcu_i // restart - 1))
+                pred = [0] * len(comps)
+            mcu_i += 1
+            for ci, (cid, ch, cv, _pl) in enumerate(comps):
+                tid = 0 if ci == 0 else 1
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = blocks[ci][my * cv + by, mx * ch + bx]
+                        zz = coef.reshape(64)[list(_JPEG_ZIGZAG)]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, vb = mag_bits(diff)
+                        ops.append(("s", (0, tid), t))
+                        seen.setdefault((0, tid), set()).add(t)
+                        if t:
+                            ops.append(("b", vb, t))
+                        run = 0
+                        last_nz = 0
+                        for k in range(1, 64):
+                            if zz[k]:
+                                last_nz = k
+                        for k in range(1, last_nz + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ops.append(("s", (1, tid), 0xF0))
+                                seen.setdefault((1, tid), set()).add(0xF0)
+                                run -= 16
+                            t, vb = mag_bits(v)
+                            sym = (run << 4) | t
+                            ops.append(("s", (1, tid), sym))
+                            seen.setdefault((1, tid), set()).add(sym)
+                            ops.append(("b", vb, t))
+                            run = 0
+                        if last_nz < 63:
+                            ops.append(("s", (1, tid), 0x00))  # EOB
+                            seen.setdefault((1, tid), set()).add(0x00)
+
+    # fixed-length canonical Huffman per table (valid, not optimal):
+    # K symbols at length L = ceil(log2(K+1)) so the all-ones code of
+    # length L is never assigned.
+    tables = {}  # tkey -> (counts[16], syms, {sym: (code, L)})
+    for tkey, symset in seen.items():
+        syms = sorted(symset)
+        lcap = max(1, (len(syms)).bit_length())
+        if (1 << lcap) - 1 < len(syms):
+            lcap += 1
+        counts = [0] * 16
+        counts[lcap - 1] = len(syms)
+        enc = {s: (i, lcap) for i, s in enumerate(syms)}
+        tables[tkey] = (counts, syms, enc)
+
+    wtr = _JpegBitWriter()
+    for op in ops:
+        if op[0] == "s":
+            code, ln = tables[op[1]][2][op[2]]
+            wtr.put(code, ln)
+        elif op[0] == "b":
+            wtr.put(op[1], op[2])
+        else:
+            wtr.align()
+            wtr.buf += bytes((0xFF, 0xD0 + (op[1] & 7)))
+    wtr.align()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zzq = bytes(int(q.reshape(64)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes((0x00,)) + zzq)
+    if len(comps) == 3:
+        out += seg(0xDB, bytes((0x01,)) + zzq)
+    sof = bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes((len(comps),))
+    for ci, (cid, ch, cv, _pl) in enumerate(comps):
+        sof += bytes((cid, (ch << 4) | cv, 0 if ci == 0 else 1))
+    out += seg(0xC0, sof)
+    for (cls, tid), (counts, syms, _enc) in sorted(tables.items()):
+        out += seg(
+            0xC4,
+            bytes(((cls << 4) | tid,)) + bytes(counts) + bytes(syms),
+        )
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes((len(comps),))
+    for ci, (cid, _ch, _cv, _pl) in enumerate(comps):
+        tid = 0 if ci == 0 else 1
+        sos += bytes((cid, (tid << 4) | tid))
+    sos += bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def synthetic_gif_assets(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL GIF fixture: varied dimensions and palette
     sizes (4/16/256 colors), every third file interlaced, alternating
@@ -1754,6 +2268,54 @@ def synthetic_gif_assets(spark, n: int = 32) -> DataFrame:
             with_extensions=i % 4 == 0,
         )
         rows.append((i, "image", gif, "image/gif", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def synthetic_jpeg_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL baseline-JPEG fixture, all-ones quant tables
+    (near-lossless — reconstruction within ±3 of the formula pixels,
+    pinned): cycles grayscale / RGB 4:4:4 / RGB 4:2:0 (content constant
+    over 2x2 so chroma subsampling is exactly invertible), restart
+    intervals on every fourth file, varied non-multiple-of-8 dims."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        kind = i % 3
+        if kind == 2:
+            w, h = 8 + 2 * (i % 3), 6 + 2 * (i % 2)  # even dims
+        else:
+            w, h = 7 + (i % 6), 5 + (i % 5)
+        if kind == 0:
+            img = np.fromfunction(
+                lambda y, x: (x * 37 + y * 11 + i) % 256, (h, w)
+            ).astype(np.uint8)
+            payload = _jpeg_build(
+                w, h, img.tobytes(), gray=True,
+                restart=2 if i % 4 == 0 else 0,
+            )
+        else:
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            if kind == 2:  # 2x2-constant so 4:2:0 is invertible
+                xs, ys = xs // 2 * 2, ys // 2 * 2
+            img = np.stack(
+                [
+                    (xs * 37 + ys * 0 + i) % 256
+                    + np.zeros((h, w), np.int64),
+                    (ys * 53 + i) % 256 + np.zeros((h, w), np.int64),
+                    (xs + ys + i) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload = _jpeg_build(
+                w, h, img.tobytes(),
+                subsample=kind == 2,
+                restart=2 if i % 4 == 0 else 0,
+            )
+        rows.append((i, "image", payload, "image/jpeg", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

@@ -1694,6 +1694,27 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("jpeg_pixel_stats", None)
+def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL pixel decode — the last gated image format (r12):
+    baseline JPEG via pure-numpy Huffman entropy decode, dequantize,
+    vectorized 8x8 IDCT, chroma upsampling and YCbCr→RGB, then the same
+    exact integer milli-unit stats as image_pixel_stats. Rows-only
+    check (binary self-contained fixture); because JPEG is lossy the
+    pin is a ±3 reconstruction tolerance against the formula pixels
+    (exact for the DC-only constant case) via an independent
+    FORWARD-direction encoder (_jpeg_build) in tests/test_multimodal.py
+    (multimodal.decode_jpeg_pixels + image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        image_pixel_stats,
+        synthetic_jpeg_assets,
+    )
+
+    px = decode_jpeg_pixels(synthetic_jpeg_assets(spark, n=32))
+    return image_pixel_stats(px).orderBy("asset_id")
+
+
 @register("wav_sample_stats", None)
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio family's first REAL decode (r12): PCM WAV samples

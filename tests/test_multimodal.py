@@ -773,6 +773,140 @@ def test_gif_pixels_rejects_malformed():
     assert _gif_pixels(bytes(short)) is None
 
 
+def test_jpeg_decode_inverts_forward_encoding():
+    """r12 — the fifth real decoder retires the last gated image
+    format: baseline JPEG decode pinned against the INDEPENDENT
+    forward encoder (_jpeg_build: RGB→YCbCr, DCT, quantize, DC-diff +
+    run-length Huffman with stream-derived DHT tables). JPEG is lossy,
+    so the pins are tolerances, tightest first: EXACT for a constant
+    gray image (DC-only, all-ones quant), ±1 for random gray (DCT
+    float rounding only), ±3 for color (color-convert rounding both
+    directions), 4:2:0 with 2x2-constant content (subsampling exactly
+    invertible), restart-marker streams, and a coarse-quant file whose
+    mean luminance must survive (DC path)."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _JPEG_DEMO_QUANT,
+        _jpeg_build,
+        _jpeg_pixels,
+    )
+
+    def delta(a, b):
+        return int(np.max(np.abs(a.astype(np.int32) - b.astype(np.int32))))
+
+    rng = np.random.RandomState(7)
+    g = np.full((16, 24), 97, np.uint8)
+    w, h, rgb = _jpeg_pixels(_jpeg_build(24, 16, g.tobytes(), gray=True))
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert (w, h) == (24, 16) and delta(arr[..., 0], g) == 0
+    assert np.array_equal(arr[..., 0], arr[..., 1])
+    assert np.array_equal(arr[..., 1], arr[..., 2])
+
+    g = rng.randint(0, 256, (24, 17), np.uint8)  # non-multiple-of-8
+    w, h, rgb = _jpeg_pixels(_jpeg_build(17, 24, g.tobytes(), gray=True))
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert (w, h) == (17, 24) and delta(arr[..., 0], g) <= 1
+
+    im = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    w, h, rgb = _jpeg_pixels(_jpeg_build(16, 16, im.tobytes()))
+    assert delta(np.frombuffer(rgb, np.uint8).reshape(16, 16, 3), im) <= 3
+
+    base = rng.randint(0, 200, (8, 8, 3), np.uint8)
+    im = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    w, h, rgb = _jpeg_pixels(
+        _jpeg_build(16, 16, im.tobytes(), subsample=True)
+    )
+    assert delta(np.frombuffer(rgb, np.uint8).reshape(16, 16, 3), im) <= 3
+
+    im = rng.randint(0, 256, (24, 40, 3), np.uint8)
+    w, h, rgb = _jpeg_pixels(_jpeg_build(40, 24, im.tobytes(), restart=2))
+    assert delta(np.frombuffer(rgb, np.uint8).reshape(24, 40, 3), im) <= 3
+
+    im = rng.randint(0, 256, (32, 32, 3), np.uint8)
+    got = _jpeg_pixels(
+        _jpeg_build(32, 32, im.tobytes(), quant=_JPEG_DEMO_QUANT)
+    )
+    assert got is not None
+    arr = np.frombuffer(got[2], np.uint8).reshape(32, 32, 3)
+    assert abs(float(arr.mean()) - float(im.mean())) <= 4.0
+
+
+def test_jpeg_pixels_rejects_unsupported():
+    """Honest None outside the baseline profile: junk after SOI,
+    truncated streams, progressive (SOF2)."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _jpeg_build,
+        _jpeg_pixels,
+    )
+
+    good = _jpeg_build(
+        16, 16,
+        np.random.RandomState(0)
+        .randint(0, 256, (16, 16, 3), np.uint8)
+        .tobytes(),
+    )
+    assert _jpeg_pixels(good) is not None
+    assert _jpeg_pixels(b"not a jpeg") is None
+    assert _jpeg_pixels(b"\xff\xd8junk") is None
+    assert _jpeg_pixels(good[:40]) is None
+    prog = bytearray(good)
+    at = bytes(prog).index(b"\xff\xc0")
+    prog[at + 1] = 0xC2  # progressive frame marker
+    assert _jpeg_pixels(bytes(prog)) is None
+
+
+def test_decode_jpeg_pixels_within_tolerance(spark):
+    """The Spark-side JPEG fixture reconstructs within ±3 of the
+    formula pixels through the full mapInPandas path (exactly the
+    tolerance the lossy codec permits at all-ones quant); gray files
+    replicate to r=g=b."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthetic_jpeg_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_jpeg_pixels(
+            synthetic_jpeg_assets(spark, n=12)
+        ).collect()
+    }
+    assert len(out) == 12
+    for i, r in out.items():
+        kind = i % 3
+        if kind == 2:
+            w, h = 8 + 2 * (i % 3), 6 + 2 * (i % 2)
+        else:
+            w, h = 7 + (i % 6), 5 + (i % 5)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["is_stub"] is False
+        arr = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(h, w, 3)
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        if kind == 0:
+            exp1 = ((xs * 37 + ys * 11 + i) % 256).astype(np.int32)
+            assert np.array_equal(arr[..., 0], arr[..., 1])
+            assert np.array_equal(arr[..., 1], arr[..., 2])
+            assert int(np.max(np.abs(arr[..., 0].astype(np.int32) - exp1))) <= 1
+            continue
+        if kind == 2:
+            xs, ys = xs // 2 * 2, ys // 2 * 2
+        exp = np.stack(
+            [
+                (xs * 37 + i) % 256 + np.zeros((h, w), np.int64),
+                (ys * 53 + i) % 256 + np.zeros((h, w), np.int64),
+                (xs + ys + i) % 256,
+            ],
+            axis=2,
+        ).astype(np.int32)
+        assert int(np.max(np.abs(arr.astype(np.int32) - exp))) <= 3, i
+
+
 def test_decode_wav_samples_matches_formula(spark):
     """r12 — the audio family's first REAL decoder: every decoded int32
     of the PCM fixture matches the independent per-sample formula
