@@ -752,21 +752,159 @@ def _wav_pcm_samples(payload: bytes):
     )
 
 
-def decode_wav_samples(
-    df: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "asset_id",
+def _ieee754_extended_to_int(b: bytes):
+    """Decode an 80-bit IEEE 754 extended float (AIFF's sampleRate
+    field) to a non-negative int, or None — audio rates are exact
+    integers in practice; fractional or negative values reject."""
+    if len(b) != 10:
+        return None
+    exp = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    if exp & 0x8000 or (exp == 0 and mant == 0):
+        return 0 if exp == 0 and mant == 0 else None
+    shift = (exp & 0x7FFF) - 16383 - 63
+    if shift >= 0:
+        return mant << shift
+    if mant & ((1 << -shift) - 1):
+        return None  # fractional rate
+    return mant >> -shift
+
+
+def _aiff_pcm_samples(payload: bytes):
+    """REAL AIFF sample decode — the big-endian sibling of
+    ``_wav_pcm_samples``: FORM/AIFF chunk walk, COMM (channels, frame
+    count, sample size, 80-bit extended-float rate), SSND (offset +
+    blocksize header, then big-endian signed PCM). Only 8/16-bit PCM
+    ``AIFF`` decodes; compressed ``AIFC``, 24-bit and truncated chunks
+    return an honest None. AIFF 8-bit is SIGNED (unlike WAV's
+    unsigned) per the spec."""
+    import numpy as np
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"FORM"
+        or payload[8:12] != b"AIFF"
+    ):
+        return None
+    i = 12
+    channels = n_frames = bits = rate = None
+    snd_off = snd_len = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = _struct.unpack(">I", payload[i + 4 : i + 8])
+        if cid == b"COMM" and clen >= 18 and i + 26 <= len(payload):
+            channels, n_frames, bits = _struct.unpack(
+                ">hIh", payload[i + 8 : i + 16]
+            )
+            rate = _ieee754_extended_to_int(payload[i + 16 : i + 26])
+        elif cid == b"SSND" and i + 16 <= len(payload):
+            (off,) = _struct.unpack(">I", payload[i + 8 : i + 12])
+            snd_off = i + 16 + off
+            snd_len = clen - 8 - off
+        i += 8 + clen + (clen % 2)
+    if (
+        not rate
+        or not channels
+        or channels < 1
+        or bits not in (8, 16)
+        or not n_frames
+        or snd_off is None
+        or snd_len < n_frames * channels * (bits // 8)
+        or len(payload) < snd_off + n_frames * channels * (bits // 8)
+    ):
+        return None
+    count = n_frames * channels
+    if bits == 8:
+        arr = np.frombuffer(
+            payload, np.int8, count=count, offset=snd_off
+        ).astype(np.int32)
+    else:
+        arr = np.frombuffer(
+            payload, ">i2", count=count, offset=snd_off
+        ).astype(np.int32)
+    return int(rate), int(channels), int(n_frames), arr.astype("<i4").tobytes()
+
+
+def _ulaw_expand_table():
+    """G.711 mu-law expansion (CCITT reference formula) for all 256
+    code bytes, 16-bit-scaled linear values."""
+    import numpy as np
+
+    out = np.zeros(256, np.int32)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        out[byte] = -mag if u & 0x80 else mag
+    return out
+
+
+def _au_samples(payload: bytes):
+    """REAL Sun/NeXT .au sample decode: '.snd' header (big-endian data
+    offset/size/encoding/rate/channels), encodings 1 (G.711 mu-law,
+    expanded to 16-bit-scaled linear), 2 (8-bit signed linear PCM) and
+    3 (16-bit signed big-endian PCM). A-law, float and 24/32-bit
+    encodings return an honest None. data_size of 0xFFFFFFFF means
+    'until EOF' per the spec."""
+    import numpy as np
+
+    if len(payload) < 28 or payload[:4] != b".snd":
+        return None
+    off, size, enc, rate, channels = _struct.unpack(
+        ">IIIII", payload[4:24]
+    )
+    if off < 24 or enc not in (1, 2, 3) or not rate or not channels:
+        return None
+    if size == 0xFFFFFFFF:
+        size = len(payload) - off
+    if len(payload) < off + size:
+        return None
+    width = 2 if enc == 3 else 1
+    count = size // (width * channels) * channels
+    if count == 0:
+        return None
+    if enc == 1:
+        codes = np.frombuffer(payload, np.uint8, count=count, offset=off)
+        arr = _ulaw_expand_table()[codes]
+    elif enc == 2:
+        arr = np.frombuffer(
+            payload, np.int8, count=count, offset=off
+        ).astype(np.int32)
+    else:
+        arr = np.frombuffer(
+            payload, ">i2", count=count, offset=off
+        ).astype(np.int32)
+    return int(rate), int(channels), count // channels, arr.astype("<i4").tobytes()
+
+
+def _sniff_audio_samples(payload: bytes):
+    """Container-sniffing dispatch: RIFF/WAVE → WAV, FORM/AIFF → AIFF,
+    .snd → AU; anything else None."""
+    if len(payload) >= 4:
+        head = payload[:4]
+        if head == b"RIFF":
+            return _wav_pcm_samples(payload)
+        if head == b"FORM":
+            return _aiff_pcm_samples(payload)
+        if head == b".snd":
+            return _au_samples(payload)
+    return None
+
+
+def _audio_samples_op(
+    df: DataFrame, decode_fn, payload_col: str, id_col: str
 ) -> DataFrame:
-    """REAL audio decode to the AUDIO_SAMPLES_SCHEMA contract
-    (``is_stub`` = FALSE): PCM WAV via ``_wav_pcm_samples``; rows whose
-    payload is not decodable PCM are OMITTED. Same mapInPandas/Arrow
-    plumbing discipline as the pixel decoders."""
+    """Shared mapInPandas plumbing for REAL audio decoders (``is_stub``
+    = FALSE): ``decode_fn(payload) -> (rate, channels, n_frames,
+    int32-LE bytes) | None``; undecodable rows are OMITTED — the audio
+    analog of ``_real_pixel_decode_op``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, rates, chans, frames, smps = [], [], [], [], []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
-                got = _wav_pcm_samples(bytes(p) if p is not None else b"")
+                got = decode_fn(bytes(p) if p is not None else b"")
                 if got is None:
                     continue
                 rate, ch, nf, raw = got
@@ -789,6 +927,32 @@ def decode_wav_samples(
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=AUDIO_SAMPLES_SCHEMA
     )
+
+
+def decode_wav_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL audio decode to the AUDIO_SAMPLES_SCHEMA contract
+    (``is_stub`` = FALSE): PCM WAV via ``_wav_pcm_samples``; rows whose
+    payload is not decodable PCM are OMITTED. Same mapInPandas/Arrow
+    plumbing discipline as the pixel decoders."""
+    return _audio_samples_op(df, _wav_pcm_samples, payload_col, id_col)
+
+
+def decode_audio_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL audio decode across containers (``is_stub`` = FALSE):
+    sniffs each payload's magic and dispatches to the WAV (RIFF,
+    little-endian), AIFF (FORM, big-endian + 80-bit extended-float
+    rate) or AU (.snd — PCM and G.711 mu-law) decoder — one operator a
+    mixed 100-TB audio corpus can run without pre-sorting by format.
+    Undecodable rows are OMITTED."""
+    return _audio_samples_op(df, _sniff_audio_samples, payload_col, id_col)
 
 
 AUDIO_STATS_SCHEMA = StructType(
@@ -885,6 +1049,102 @@ def synthetic_pcm_wav_assets(spark, n: int = 32) -> DataFrame:
         body = b"WAVE" + junk + fmt + data
         payload = b"RIFF" + _struct.pack("<I", len(body)) + body
         rows.append((i, "audio", payload, "audio/wav", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def _ieee754_extended_from_int(v: int) -> bytes:
+    """Encode a positive int as an 80-bit IEEE 754 extended float (the
+    forward direction of ``_ieee754_extended_to_int``, fixture use)."""
+    assert v > 0
+    msb = v.bit_length() - 1
+    return (16383 + msb).to_bytes(2, "big") + (v << (63 - msb)).to_bytes(
+        8, "big"
+    )
+
+
+def _aiff_build(
+    rate: int, channels: int, bits: int, pcm_be: bytes, junk: bool = False
+) -> bytes:
+    """Forward AIFF container builder for fixtures/tests: FORM/AIFF
+    with COMM (80-bit extended rate) and SSND (zero offset/blocksize);
+    ``pcm_be`` is the big-endian (or signed 8-bit) sample plane. Not
+    exported API."""
+    n_frames = len(pcm_be) // (channels * (bits // 8))
+    comm = (
+        b"COMM"
+        + _struct.pack(">I", 18)
+        + _struct.pack(">hIh", channels, n_frames, bits)
+        + _ieee754_extended_from_int(rate)
+    )
+    ssnd = b"SSND" + _struct.pack(">I", 8 + len(pcm_be)) + bytes(8) + pcm_be
+    if len(pcm_be) % 2:
+        ssnd += b"\x00"
+    extra = b"ANNO" + _struct.pack(">I", 4) + b"test" if junk else b""
+    body = b"AIFF" + extra + comm + ssnd
+    return b"FORM" + _struct.pack(">I", len(body)) + body
+
+
+def _au_build(
+    rate: int, channels: int, encoding: int, data: bytes,
+    annotation: bytes = b"",
+) -> bytes:
+    """Forward Sun .au builder for fixtures/tests: '.snd' magic,
+    big-endian header, optional annotation field before the data
+    (its length folds into the data offset per the spec)."""
+    off = 24 + len(annotation)
+    return (
+        b".snd"
+        + _struct.pack(">IIIII", off, len(data), encoding, rate, channels)
+        + annotation
+        + data
+    )
+
+
+def synthetic_mixed_audio_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL mixed-container audio fixture for the
+    sniffing decoder: cycles WAV 16-bit LE / AIFF 16-bit BE / AIFF
+    8-bit signed / AU 16-bit BE PCM / AU G.711 mu-law, mono/stereo,
+    varied rates, formula samples — every decoded int32 derivable by
+    the pinning test (mu-law via the canonical expansion of the stored
+    code bytes)."""
+    rows = []
+    for i in range(n):
+        kind = i % 5
+        rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
+        channels = 1 + (i % 2)
+        n_frames = 16 + (i % 5)
+        count = n_frames * channels
+        vals16 = [((k * 31 + i * 7) % 65536) - 32768 for k in range(count)]
+        vals8 = [((k * 13 + i * 5) % 256) - 128 for k in range(count)]
+        if kind == 0:
+            pcm = b"".join(_struct.pack("<h", v) for v in vals16)
+            fmt = b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, 1, channels, rate, rate * channels * 2,
+                channels * 2, 16,
+            )
+            data = b"data" + _struct.pack("<I", len(pcm)) + pcm
+            body = b"WAVE" + fmt + data
+            payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+            mime = "audio/wav"
+        elif kind == 1:
+            pcm = b"".join(_struct.pack(">h", v) for v in vals16)
+            payload = _aiff_build(rate, channels, 16, pcm, junk=i % 3 == 0)
+            mime = "audio/aiff"
+        elif kind == 2:
+            pcm = b"".join(_struct.pack("b", v) for v in vals8)
+            payload = _aiff_build(rate, channels, 8, pcm)
+            mime = "audio/aiff"
+        elif kind == 3:
+            pcm = b"".join(_struct.pack(">h", v) for v in vals16)
+            payload = _au_build(rate, channels, 3, pcm, b"note")
+            mime = "audio/basic"
+        else:
+            codes = bytes((k * 17 + i * 3) % 256 for k in range(count))
+            payload = _au_build(rate, channels, 1, codes)
+            mime = "audio/basic"
+        rows.append((i, "audio", payload, mime, {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

@@ -1715,6 +1715,27 @@ def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("audio_decode_stats", None)
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-container audio decode (r12): one sniffing operator over
+    WAV (RIFF LE) / AIFF (FORM BE, 80-bit extended-float rate, signed
+    8-bit) / AU (.snd — BE PCM and G.711 mu-law expansion) payloads —
+    what a 100-TB audio corpus needs without pre-sorting by format —
+    then the exact integer waveform stats. Rows-only check (binary
+    self-contained fixture); every decoded int32 pinned against
+    per-sample formulas and the canonical G.711 table in
+    tests/test_multimodal.py (multimodal.decode_audio_samples +
+    audio_sample_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        audio_sample_stats,
+        decode_audio_samples,
+        synthetic_mixed_audio_assets,
+    )
+
+    samples = decode_audio_samples(synthetic_mixed_audio_assets(spark, n=32))
+    return audio_sample_stats(samples).orderBy("asset_id")
+
+
 @register("wav_sample_stats", None)
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio family's first REAL decode (r12): PCM WAV samples

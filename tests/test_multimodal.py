@@ -907,6 +907,120 @@ def test_decode_jpeg_pixels_within_tolerance(spark):
         assert int(np.max(np.abs(arr.astype(np.int32) - exp))) <= 3, i
 
 
+def test_aiff_au_decoders_match_formula_and_g711_table():
+    """r12 — the audio family goes multi-container: AIFF (big-endian,
+    80-bit extended-float rate, signed 8-bit per spec) and AU (BE PCM +
+    G.711 mu-law) decode pinned against forward builders and the
+    PUBLISHED mu-law expansion values; AIFC / float-AU / truncated
+    streams reject."""
+    import struct
+
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _aiff_build,
+        _aiff_pcm_samples,
+        _au_build,
+        _au_samples,
+        _ieee754_extended_from_int,
+        _ieee754_extended_to_int,
+        _sniff_audio_samples,
+        _ulaw_expand_table,
+    )
+
+    for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 1):
+        assert _ieee754_extended_to_int(_ieee754_extended_from_int(r)) == r
+
+    # published G.711 decode-table anchors (max, zero codes, segment
+    # boundaries) — independent of the formula implementation
+    t = _ulaw_expand_table()
+    for code, lin in (
+        (0x80, 32124), (0x00, -32124), (0xFF, 0), (0x7F, 0),
+        (0xF0, 120), (0x70, -120), (0xEF, 132), (0x6F, -132),
+    ):
+        assert t[code] == lin, hex(code)
+
+    vals = [((k * 31 + 7) % 65536) - 32768 for k in range(20)]
+    pcm = b"".join(struct.pack(">h", v) for v in vals)
+    rate, ch, nf, raw = _aiff_pcm_samples(
+        _aiff_build(44100, 2, 16, pcm, junk=True)
+    )
+    assert (rate, ch, nf) == (44100, 2, 10)
+    assert list(np.frombuffer(raw, "<i4")) == vals
+
+    vals8 = [((k * 13 + 5) % 256) - 128 for k in range(15)]
+    pcm8 = b"".join(struct.pack("b", v) for v in vals8)
+    got = _aiff_pcm_samples(_aiff_build(8000, 1, 8, pcm8))
+    assert got and list(np.frombuffer(got[3], "<i4")) == vals8
+
+    got = _au_samples(_au_build(16000, 2, 3, pcm, b"anno"))
+    assert got and got[:3] == (16000, 2, 10)
+    assert list(np.frombuffer(got[3], "<i4")) == vals
+
+    codes = bytes(range(30))
+    got = _au_samples(_au_build(8000, 1, 1, codes))
+    assert got and list(np.frombuffer(got[3], "<i4")) == [
+        int(t[c]) for c in codes
+    ]
+    # size 0xFFFFFFFF = until-EOF per spec
+    p = _au_build(8000, 1, 2, bytes(range(10)))
+    got = _au_samples(p[:8] + b"\xff\xff\xff\xff" + p[12:])
+    assert got and got[2] == 10
+
+    assert _sniff_audio_samples(b"garbage") is None
+    aifc = bytearray(_aiff_build(8000, 1, 16, pcm))
+    aifc[8:12] = b"AIFC"
+    assert _aiff_pcm_samples(bytes(aifc)) is None
+    assert _aiff_pcm_samples(_aiff_build(8000, 1, 16, pcm)[:20]) is None
+    assert _aiff_pcm_samples(_aiff_build(8000, 1, 16, pcm)[:40]) is None
+    assert _au_samples(_au_build(8000, 1, 6, pcm)) is None  # float enc
+    # 24-bit AIFF rejects: patch COMM sampleSize
+    b24 = bytearray(_aiff_build(8000, 1, 16, pcm))
+    at = bytes(b24).index(b"COMM") + 8 + 6
+    b24[at : at + 2] = (24).to_bytes(2, "big")
+    assert _aiff_pcm_samples(bytes(b24)) is None
+
+
+def test_decode_audio_samples_sniffs_mixed_containers(spark):
+    """The mixed fixture decodes every row through one operator; each
+    container kind's int32 samples match the per-sample formula (mu-law
+    rows via the canonical expansion of the stored code bytes)."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _ulaw_expand_table,
+        decode_audio_samples,
+        synthetic_mixed_audio_assets,
+    )
+
+    out = {
+        r["asset_id"]: r
+        for r in decode_audio_samples(
+            synthetic_mixed_audio_assets(spark, n=15)
+        ).collect()
+    }
+    assert len(out) == 15
+    t = _ulaw_expand_table()
+    for i, r in out.items():
+        kind = i % 5
+        rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
+        channels = 1 + (i % 2)
+        n_frames = 16 + (i % 5)
+        count = n_frames * channels
+        assert (r["sample_rate"], r["channels"], r["n_frames"]) == (
+            rate, channels, n_frames,
+        )
+        assert r["is_stub"] is False
+        arr = list(np.frombuffer(bytes(r["samples"]), "<i4"))
+        if kind in (0, 1, 3):
+            exp = [((k * 31 + i * 7) % 65536) - 32768 for k in range(count)]
+        elif kind == 2:
+            exp = [((k * 13 + i * 5) % 256) - 128 for k in range(count)]
+        else:
+            exp = [int(t[(k * 17 + i * 3) % 256]) for k in range(count)]
+        assert arr == exp, i
+
+
 def test_decode_wav_samples_matches_formula(spark):
     """r12 — the audio family's first REAL decoder: every decoded int32
     of the PCM fixture matches the independent per-sample formula
