@@ -707,31 +707,32 @@ def with_simhash(
     return df.join(sh, on=id_col, how="left")
 
 
-def simhash_near_dup_pairs(
+def hamming_band_pairs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    hash_col: str,
+    id_col: str,
     max_hamming: int = 3,
     num_bands: int = 4,
-    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    ``num_bands`` chunks (any equal chunk → candidate, guaranteed complete
-    for hamming <= num_bands-1), verify exact hamming distance."""
+    """Near-dup pairs over ANY precomputed 64-bit fingerprint column:
+    band the fingerprint into ``num_bands`` chunks (any equal chunk →
+    candidate — pigeonhole-complete for hamming <= num_bands-1), verify
+    exact hamming distance. The shuffle ships (band chunk, id, hash)
+    only; pair volume is bounded by genuine chunk collisions, the same
+    LSH scaling argument as MinHash banding. Shared by text SimHash and
+    image perceptual hashes (multimodal.image_near_dup_pairs)."""
     bits_per = 64 // num_bands
-    sh = with_simhash(df, text_col, id_col, hash_family=hash_family).select(
-        id_col, "simhash"
-    )
+    sh = df.select(id_col, hash_col)
     mask = (1 << bits_per) - 1
     banded = sh.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_id"),
-                        F.shiftrightunsigned("simhash", i * bits_per)
+                        F.shiftrightunsigned(hash_col, i * bits_per)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -747,10 +748,29 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            hamming64(
+                F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")
+            ).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``num_bands`` chunks (any equal chunk → candidate, guaranteed complete
+    for hamming <= num_bands-1), verify exact hamming distance."""
+    sh = with_simhash(df, text_col, id_col, hash_family=hash_family)
+    return hamming_band_pairs(
+        sh, "simhash", id_col, max_hamming=max_hamming, num_bands=num_bands
     )
 
 

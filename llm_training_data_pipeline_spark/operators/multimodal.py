@@ -1054,6 +1054,175 @@ def synthetic_pcm_wav_assets(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
+def _sniff_image_pixels(payload: bytes):
+    """Container-sniffing dispatch across every real image decoder:
+    BM → BMP, P5/P6 → PNM, PNG signature → PNG, GIF8 → GIF, JPEG SOI →
+    JPEG; anything else None."""
+    if len(payload) >= 8 and payload[:8] == _PNG_SIG:
+        return _png_pixels(payload)
+    if len(payload) >= 4 and payload[:4] in (b"GIF8",):
+        return _gif_pixels(payload)
+    if len(payload) >= 2:
+        head = payload[:2]
+        if head == b"BM":
+            return _bmp_pixels(payload)
+        if head in (b"P5", b"P6"):
+            return _pnm_pixels(payload)
+        if head == b"\xff\xd8":
+            return _jpeg_pixels(payload)
+    return None
+
+
+def decode_image_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL image decode across containers (``is_stub`` = FALSE):
+    sniffs each payload's magic and dispatches to the BMP / PNM / PNG /
+    GIF / JPEG decoder — one operator a mixed 100-TB image corpus can
+    run without pre-sorting by format (the image analog of
+    ``decode_audio_samples``). Undecodable rows are OMITTED."""
+    return _real_pixel_decode_op(df, _sniff_image_pixels, payload_col, id_col)
+
+
+def _dct_basis(n: int):
+    """Orthonormal n-point DCT-II basis (generalizes
+    ``_jpeg_dct_matrix`` beyond 8 — pHash uses 32)."""
+    import numpy as np
+
+    m = np.zeros((n, n))
+    for u in range(n):
+        a = (1.0 / n) ** 0.5 if u == 0 else (2.0 / n) ** 0.5
+        for x in range(n):
+            m[u, x] = a * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    return m
+
+
+def _perceptual_hash_bits(rgb, w: int, h: int, method: str) -> int:
+    """64-bit perceptual fingerprint of one decoded image. Gray plane =
+    exact integer BT.601 milli-luma // 1000; resize = nearest-neighbor
+    index arithmetic (same rule as ``resize_pixels``) so everything
+    before the hash comparison is integer-deterministic.
+
+    - ``ahash``  8x8 average hash: bit = pixel > floor mean. Integer.
+    - ``dhash``  9x8 difference hash: bit = right neighbor > pixel.
+      Integer.
+    - ``phash``  32x32 orthonormal DCT, top-left 8x8 low-frequency
+      block (DC included), bit = coef > median — float DCT, but every
+      input is integer so the result is reproducible across runs and
+      partitionings.
+    Bit k (row-major y*8+x over the 8x8 decision grid) is bit k of the
+    result; the int wraps to signed int64 for a Spark LongType column."""
+    import numpy as np
+
+    img = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.int64)
+    gray = (
+        299 * img[..., 0] + 587 * img[..., 1] + 114 * img[..., 2]
+    ) // 1000
+
+    def nearest(plane, ow, oh):
+        ys = (np.arange(oh) * plane.shape[0]) // oh
+        xs = (np.arange(ow) * plane.shape[1]) // ow
+        return plane[np.ix_(ys, xs)]
+
+    if method == "ahash":
+        g = nearest(gray, 8, 8)
+        bits = (g > int(g.sum()) // 64).reshape(64)
+    elif method == "dhash":
+        g = nearest(gray, 9, 8)
+        bits = (g[:, 1:] > g[:, :-1]).reshape(64)
+    elif method == "phash":
+        g = nearest(gray, 32, 32).astype(np.float64)
+        m = _dct_basis(32)
+        low = (m @ g @ m.T)[:8, :8]
+        bits = (low > np.median(low)).reshape(64)
+    else:
+        raise ValueError(f"unknown perceptual hash method: {method}")
+    v = 0
+    for k in range(64):
+        if bits[k]:
+            v |= 1 << k
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+PERCEPTUAL_HASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("method", StringType()),
+        StructField("hash", LongType()),
+        StructField("is_stub", BooleanType()),
+    ]
+)
+
+
+def image_perceptual_hash(
+    pixels: DataFrame, method: str = "phash"
+) -> DataFrame:
+    """Per-asset 64-bit perceptual fingerprint over a PIXEL_SCHEMA
+    frame (``_perceptual_hash_bits``): robust to container re-encoding
+    (the same pixels saved as BMP/PNG/GIF hash IDENTICALLY; a JPEG
+    re-encode lands within a few bits) — the signal byte-level
+    ``media_exact_dedup`` cannot see. Pure row-wise mapInPandas, no
+    shuffle; ``is_stub`` rides through so fake-decode rows can't
+    masquerade as real fingerprints."""
+    if method not in ("ahash", "dhash", "phash"):
+        raise ValueError(f"unknown perceptual hash method: {method}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, wv, hv, raw, stub in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"],
+                pdf["pixels"], pdf["is_stub"],
+            ):
+                rows.append(
+                    (
+                        int(aid),
+                        method,
+                        _perceptual_hash_bits(
+                            bytes(raw), int(wv), int(hv), method
+                        ),
+                        bool(stub),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "method", "hash", "is_stub"]
+            )
+
+    return pixels.mapInPandas(run, schema=PERCEPTUAL_HASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    method: str = "phash",
+    max_hamming: int = 7,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs over a mixed-format binary
+    corpus: sniffing decode → 64-bit perceptual hash → the SAME
+    pigeonhole-complete hamming band join text SimHash uses
+    (``dedup.hamming_band_pairs`` — complete for hamming <=
+    num_bands-1). Catches cross-format re-encodes (BMP vs PNG vs GIF of
+    the same pixels: hamming 0) and lossy JPEG re-encodes (a few bits)
+    that byte-digest dedup misses. At 100 TB the shuffle ships
+    (band chunk, id, hash) — 24 bytes/row — never pixels."""
+    from llm_training_data_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    px = decode_image_pixels(df, payload_col=payload_col, id_col=id_col)
+    hashes = image_perceptual_hash(px, method=method).select(
+        F.col("asset_id").alias(id_col), "hash"
+    )
+    return hamming_band_pairs(
+        hashes, "hash", id_col,
+        max_hamming=max_hamming, num_bands=num_bands,
+    )
+
+
 def _ieee754_extended_from_int(v: int) -> bytes:
     """Encode a positive int as an 80-bit IEEE 754 extended float (the
     forward direction of ``_ieee754_extended_to_int``, fixture use)."""
@@ -1145,6 +1314,96 @@ def synthetic_mixed_audio_assets(spark, n: int = 32) -> DataFrame:
             payload = _au_build(rate, channels, 1, codes)
             mime = "audio/basic"
         rows.append((i, "audio", payload, mime, {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def _bmp_build(img) -> bytes:
+    """Forward 24bpp bottom-up BMP container for fixtures/tests around
+    an (h, w, 3) uint8 RGB array. Not exported API."""
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    out = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = img[y, x]
+            row += bytes((int(b), int(g), int(r)))
+        row += b"\x00" * (row_size - len(row))
+        out += row
+    data_off = 54
+    hdr = (
+        b"BM"
+        + _struct.pack("<IHHI", data_off + len(out), 0, 0, data_off)
+        + _struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(out), 2835, 2835, 0, 0
+        )
+    )
+    return bytes(hdr) + bytes(out)
+
+
+def _gif_from_rgb(img) -> bytes:
+    """GIF container for an (h, w, 3) uint8 RGB array with <= 256
+    distinct colors (exact palette — lossless re-encode). Fixture use."""
+    h, w, _ = img.shape
+    colors = sorted({tuple(int(v) for v in img[y, x]) for y in range(h) for x in range(w)})
+    assert len(colors) <= 256
+    ncol = 1 << max(1, (len(colors) - 1).bit_length())
+    pal = b"".join(bytes(c) for c in colors) + bytes(3 * (ncol - len(colors)))
+    lut = {c: i for i, c in enumerate(colors)}
+    idx = bytes(
+        lut[tuple(int(v) for v in img[y, x])] for y in range(h) for x in range(w)
+    )
+    return _gif_build(w, h, pal, idx)
+
+
+def _cross_format_base_pixels(b: int, w: int = 48, h: int = 32):
+    """Six strongly distinct low-frequency test patterns (stripes,
+    checker, diagonal, split, disc) with 2 colors each — pHash
+    separation across bases measured >= 22 bits, 0 bits within a base
+    across lossless AND near-lossless-JPEG re-encodes."""
+    import numpy as np
+
+    xs = np.arange(w)[None, :]
+    ys = np.arange(h)[:, None]
+    z = xs * 0 + ys * 0
+    pat = (
+        (xs // 6) % 2 + z,
+        (ys // 4) % 2 + z,
+        ((xs // 6 + ys // 4) % 2) + z,
+        ((xs + ys) // 10) % 2 + z,
+        (ys > h // 2).astype(int) + z,
+        (((xs - w // 2) ** 2 + (ys - h // 2) ** 2 < 120)).astype(int) + z,
+    )[b % 6]
+    lo, hi = 30 + 10 * (b % 6), 220 - 10 * (b % 6)
+    g = np.where(pat >= 1, hi, lo).astype(np.uint8)
+    return np.repeat(g[..., None], 3, axis=2)
+
+
+def synthetic_cross_format_assets(spark, n_base: int = 6) -> DataFrame:
+    """Deterministic fixture for perceptual image dedup: each of
+    ``n_base`` distinct patterns is encoded FOUR ways — BMP, PNG, GIF
+    (all pixel-lossless) and near-lossless JPEG — under asset ids
+    4*b..4*b+3. Byte-digest dedup sees 4*n_base distinct files;
+    perceptual hashing must recover exactly n_base clusters."""
+    rows = []
+    for b in range(n_base):
+        img = _cross_format_base_pixels(b)
+        h, w, _ = img.shape
+        encs = (
+            (_bmp_build(img), "image/bmp"),
+            (
+                _png_build(w, h, 2, img.tobytes(), [(y + b) % 5 for y in range(h)]),
+                "image/png",
+            ),
+            (_gif_from_rgb(img), "image/gif"),
+            (_jpeg_build(w, h, img.tobytes()), "image/jpeg"),
+        )
+        for k, (payload, mime) in enumerate(encs):
+            rows.append(
+                (4 * b + k, "image", payload, mime, {"base": str(b)})
+            )
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

@@ -1694,6 +1694,29 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("image_near_dup", None)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):
+    sniffing decode (BMP/PNM/PNG/GIF/JPEG by magic) → 64-bit pHash
+    (32x32 DCT low-frequency signs) → the pigeonhole-complete hamming
+    band join text SimHash uses. The fixture encodes each of 6 base
+    patterns as BMP+PNG+GIF+JPEG (24 byte-distinct files); the pairs
+    must recover exactly the 6 re-encode clusters — C(4,2)*6 = 36
+    pairs, all hamming 0 at measured fixture separation (within-base 0
+    bits incl. the lossy JPEG, across-base >= 22). Rows-only check;
+    the cluster structure is pinned in tests/test_multimodal.py
+    (multimodal.image_near_dup_pairs)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synthetic_cross_format_assets,
+    )
+
+    pairs = image_near_dup_pairs(
+        synthetic_cross_format_assets(spark, n_base=6)
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @register("jpeg_pixel_stats", None)
 def q_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fifth REAL pixel decode — the last gated image format (r12):

@@ -1021,6 +1021,106 @@ def test_decode_audio_samples_sniffs_mixed_containers(spark):
         assert arr == exp, i
 
 
+def test_perceptual_hash_is_reencoding_invariant():
+    """r12 — perceptual image dedup: the same pixels re-encoded as
+    BMP / PNG / GIF / near-lossless JPEG produce the SAME pHash
+    (hamming 0) while the 6 distinct base patterns stay >= 22 bits
+    apart; dhash and ahash are re-encode-invariant too."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _bmp_build,
+        _cross_format_base_pixels,
+        _gif_from_rgb,
+        _jpeg_build,
+        _perceptual_hash_bits,
+        _png_build,
+        _sniff_image_pixels,
+    )
+
+    hashes = {}
+    for b in range(6):
+        img = _cross_format_base_pixels(b)
+        h, w, _ = img.shape
+        payloads = (
+            _bmp_build(img),
+            _png_build(w, h, 2, img.tobytes(), [0] * h),
+            _gif_from_rgb(img),
+            _jpeg_build(w, h, img.tobytes()),
+        )
+        per_fmt = []
+        for p in payloads:
+            got = _sniff_image_pixels(p)
+            assert got is not None and (got[0], got[1]) == (w, h)
+            per_fmt.append(
+                {
+                    m: _perceptual_hash_bits(got[2], w, h, m)
+                    & ((1 << 64) - 1)
+                    for m in ("phash", "dhash", "ahash")
+                }
+            )
+        for m in ("phash", "dhash", "ahash"):
+            lossless = {d[m] for d in per_fmt[:3]}
+            assert len(lossless) == 1, (b, m, lossless)
+            jpeg_d = bin(per_fmt[0][m] ^ per_fmt[3][m]).count("1")
+            if m == "phash":
+                # DCT low-frequency signs absorb the ±1 JPEG noise
+                assert jpeg_d == 0, (b, m, jpeg_d)
+            else:
+                # dhash/ahash compare raw pixels: ±1 noise at an exact
+                # tie can flip a bit — still trivially inside the
+                # near-dup threshold
+                assert jpeg_d <= 2, (b, m, jpeg_d)
+        hashes[b] = per_fmt[0]["phash"]
+    for a in range(6):
+        for b in range(a + 1, 6):
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            assert d >= 22, (a, b, d)
+
+
+def test_image_near_dup_pairs_recovers_reencode_clusters(spark):
+    """End to end through Spark: 24 byte-distinct files (6 patterns x
+    4 containers) must yield exactly the 36 within-cluster pairs at
+    hamming 0 and no cross-cluster pair — the signal byte-digest dedup
+    cannot see."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        synthetic_cross_format_assets,
+    )
+
+    pairs = image_near_dup_pairs(
+        synthetic_cross_format_assets(spark, n_base=6)
+    ).collect()
+    assert len(pairs) == 36
+    for r in pairs:
+        assert r["id_a"] // 4 == r["id_b"] // 4, (r["id_a"], r["id_b"])
+        assert r["hamming"] == 0
+    got_clusters = {}
+    for r in pairs:
+        got_clusters.setdefault(r["id_a"] // 4, set()).update(
+            (r["id_a"], r["id_b"])
+        )
+    assert len(got_clusters) == 6
+    for b, members in got_clusters.items():
+        assert members == {4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3}
+
+
+def test_decode_image_pixels_sniffs_mixed_formats(spark):
+    """The sniffing image decoder routes every container of the
+    cross-format fixture to the right decoder (all 24 rows decode at
+    the fixture dims, is_stub false)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        synthetic_cross_format_assets,
+    )
+
+    out = decode_image_pixels(
+        synthetic_cross_format_assets(spark, n_base=6)
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert (r["width"], r["height"]) == (48, 32)
+        assert r["is_stub"] is False
+
+
 def test_decode_wav_samples_matches_formula(spark):
     """r12 — the audio family's first REAL decoder: every decoded int32
     of the PCM fixture matches the independent per-sample formula
