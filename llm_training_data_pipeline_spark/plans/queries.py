@@ -1694,6 +1694,40 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("mjpeg_frame_stats", None)
+def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO family's first REAL frame path (r12): MJPEG AVI —
+    RIFF container walk to the '00dc' chunks, every-2nd-frame sampling
+    (only sampled frames pay entropy decode), each through the real
+    JPEG decoder, then per-(asset, frame) exact integer pixel stats
+    via a composite id (asset_id * 1000 + frame_index — fixture clips
+    are < 1000 frames). Rows-only check (binary self-contained
+    fixture); frame content pinned against the cross-format pattern
+    battery in tests/test_multimodal.py (multimodal.sample_avi_frames
+    + image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_pixel_stats,
+        sample_avi_frames,
+        synthetic_mjpeg_avi_assets,
+    )
+
+    frames = sample_avi_frames(
+        synthetic_mjpeg_avi_assets(spark, n=8), every_n=2
+    )
+    composite = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_index")).alias("asset_id"),
+        "width", "height", "channels", "pixels", "is_stub",
+    )
+    stats = image_pixel_stats(composite)
+    return stats.select(
+        (F.col("asset_id") / 1000).cast("long").alias("clip_id"),
+        F.pmod("asset_id", F.lit(1000)).cast("long").alias("frame_index"),
+        "width", "height", "n_pixels",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli",
+        "luminance_milli", "is_stub",
+    ).orderBy("clip_id", "frame_index")
+
+
 @register("image_near_dup", None)
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):

@@ -1121,6 +1121,79 @@ def test_decode_image_pixels_sniffs_mixed_formats(spark):
         assert r["is_stub"] is False
 
 
+def test_avi_mjpeg_walk_and_frame_decode():
+    """r12 — the video family's first real frame path: the AVI RIFF
+    walk recovers dims/fps/frame payloads built by the independent
+    forward builder, and every frame decodes through the real JPEG
+    decoder to within the lossy tolerance of its source pattern."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _avi_build,
+        _avi_mjpeg_frames,
+        _cross_format_base_pixels,
+        _jpeg_pixels,
+    )
+
+    frames = [_cross_format_base_pixels(f % 6) for f in range(6)]
+    avi = _avi_build(frames, fps=25)
+    got = _avi_mjpeg_frames(avi)
+    assert got is not None
+    w, h, fps_milli, jpegs = got
+    assert (w, h, len(jpegs)) == (48, 32, 6)
+    assert fps_milli == 10**9 // (10**6 // 25)
+    for f, j in enumerate(jpegs):
+        fw, fh, rgb = _jpeg_pixels(j)
+        arr = np.frombuffer(rgb, np.uint8).reshape(fh, fw, 3)
+        exp = _cross_format_base_pixels(f % 6)
+        assert int(np.max(np.abs(arr.astype(int) - exp.astype(int)))) <= 3
+
+    assert _avi_mjpeg_frames(b"RIFFxxxxWAVE") is None
+    assert _avi_mjpeg_frames(avi[:40]) is None
+    assert _avi_mjpeg_frames(avi[:200]) is None
+    assert _avi_mjpeg_frames(b"junk") is None
+    bad = bytearray(avi)
+    at = bytes(bad).index(b"avih") + 8
+    bad[at : at + 4] = b"\x00\x00\x00\x00"  # zero frame period
+    assert _avi_mjpeg_frames(bytes(bad)) is None
+
+
+def test_sample_avi_frames_real_pixels(spark):
+    """End to end through Spark: every-2nd-frame sampling yields
+    is_stub=false FRAME_SCHEMA rows whose pixels match the per-frame
+    pattern within the JPEG tolerance; frame 0 always included."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _cross_format_base_pixels,
+        sample_avi_frames,
+        synthetic_mjpeg_avi_assets,
+    )
+
+    rows = sample_avi_frames(
+        synthetic_mjpeg_avi_assets(spark, n=4), every_n=2
+    ).collect()
+    by_asset = {}
+    for r in rows:
+        assert r["is_stub"] is False
+        assert (r["width"], r["height"], r["channels"]) == (48, 32, 3)
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {0, 1, 2, 3}
+    for i, rs in by_asset.items():
+        n_frames = 4 + (i % 4)
+        assert sorted(r["frame_index"] for r in rs) == list(
+            range(0, n_frames, 2)
+        )
+        for r in rs:
+            exp = _cross_format_base_pixels((i + r["frame_index"]) % 6)
+            arr = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(
+                32, 48, 3
+            )
+            assert (
+                int(np.max(np.abs(arr.astype(int) - exp.astype(int)))) <= 3
+            )
+
+
 def test_decode_wav_samples_matches_formula(spark):
     """r12 — the audio family's first REAL decoder: every decoded int32
     of the PCM fixture matches the independent per-sample formula
