@@ -904,7 +904,11 @@ def _audio_samples_op(
         for pdf in batches:
             ids, rates, chans, frames, smps = [], [], [], [], []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
-                got = decode_fn(bytes(p) if p is not None else b"")
+                # same corrupt-file policy as _real_pixel_decode_op
+                try:
+                    got = decode_fn(bytes(p) if p is not None else b"")
+                except Exception:
+                    got = None
                 if got is None:
                     continue
                 rate, ch, nf, raw = got
@@ -1552,7 +1556,15 @@ def _real_pixel_decode_op(
         for pdf in batches:
             ids, ws, hs, pxs = [], [], [], []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
-                got = decode_fn(bytes(p) if p is not None else b"")
+                # last-resort guard: at 100 TB one hand-corrupted file
+                # must never kill the job — decoders return None on
+                # every malformed shape the fuzz suite found, and this
+                # catch covers the shapes it didn't (row is omitted,
+                # same contract as None)
+                try:
+                    got = decode_fn(bytes(p) if p is not None else b"")
+                except Exception:
+                    got = None
                 if got is None:
                     continue
                 w, h, rgb = got
@@ -1794,7 +1806,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
     12 bits). Returns the index stream, or None on a corrupt code
     sequence. Pure Python — the table ops are per-CODE, not per-pixel
     (each code emits a whole string), so cost is O(compressed size)."""
-    if not 2 <= min_code_size <= 11:
+    if not 2 <= min_code_size <= 8:  # GIF spec: <= 8 bits/pixel
         return None
     clear = 1 << min_code_size
     end = clear + 1
@@ -2047,11 +2059,15 @@ def _jpeg_pixels(payload: bytes):
                     prec, tid = seg[i] >> 4, seg[i] & 15
                     i += 1
                     if prec == 0:
+                        if i + 64 > len(seg):
+                            return None
                         tbl = np.frombuffer(
                             seg[i : i + 64], np.uint8
                         ).astype(np.int32)
                         i += 64
                     else:
+                        if i + 128 > len(seg):
+                            return None
                         tbl = np.frombuffer(
                             seg[i : i + 128], ">u2"
                         ).astype(np.int32)
@@ -2087,6 +2103,8 @@ def _jpeg_pixels(payload: bytes):
                 w = int.from_bytes(seg[3:5], "big")
                 nc = seg[5]
                 if nc not in (1, 3) or w == 0 or h == 0:
+                    return None
+                if len(seg) < 6 + 3 * nc:
                     return None
                 comps = []
                 for c in range(nc):
@@ -2160,6 +2178,11 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
                                 _jpeg_extend(bits.bits(t), t) if t else 0
                             )
                             pred[ci] += diff
+                            if abs(pred[ci]) > (1 << 24):
+                                # legal baseline DC never gets close;
+                                # corrupt streams can run the predictor
+                                # away — treat as corrupt
+                                raise EOFError
                             coef[0] = pred[ci]
                             k = 1
                             while k < 64:
@@ -2999,12 +3022,21 @@ def sample_avi_frames(
         for pdf in batches:
             ids, fidx, ws, hs, px = [], [], [], [], []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
-                got = _avi_mjpeg_frames(bytes(p) if p is not None else b"")
+                # same corrupt-file policy as _real_pixel_decode_op
+                try:
+                    got = _avi_mjpeg_frames(
+                        bytes(p) if p is not None else b""
+                    )
+                except Exception:
+                    got = None
                 if got is None:
                     continue
                 _w, _h, _fps, frames = got
                 for i in range(0, len(frames), max(1, int(every_n))):
-                    dec = _jpeg_pixels(frames[i])
+                    try:
+                        dec = _jpeg_pixels(frames[i])
+                    except Exception:
+                        dec = None
                     if dec is None:
                         continue
                     fw, fh, rgb = dec
