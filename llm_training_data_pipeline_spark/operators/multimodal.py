@@ -38,6 +38,7 @@ partition count and nothing ever collects to the driver.
 
 from __future__ import annotations
 
+import functools as _functools
 import struct as _struct
 from typing import Iterator
 
@@ -724,6 +725,7 @@ def _wav_pcm_samples(payload: bytes):
     if (
         fmt_tag != 1
         or not rate
+        or rate >= (1 << 31)  # int32 schema bound; larger = corrupt
         or not channels
         or bits not in (8, 16)
         or data_off is None
@@ -762,12 +764,18 @@ def _ieee754_extended_to_int(b: bytes):
     mant = int.from_bytes(b[2:], "big")
     if exp & 0x8000 or (exp == 0 and mant == 0):
         return 0 if exp == 0 and mant == 0 else None
+    if (exp & 0x7FFF) == 0x7FFF:
+        return None  # inf / NaN
     shift = (exp & 0x7FFF) - 16383 - 63
     if shift >= 0:
-        return mant << shift
-    if mant & ((1 << -shift) - 1):
+        v = mant << shift if shift < 64 else None
+    elif mant & ((1 << -shift) - 1):
         return None  # fractional rate
-    return mant >> -shift
+    else:
+        v = mant >> -shift
+    # int32-representable rates only (the samples schema is int32, and
+    # no real audio rate is near 2^31 — headers beyond it are corrupt)
+    return v if v is not None and v < (1 << 31) else None
 
 
 def _aiff_pcm_samples(payload: bytes):
@@ -825,9 +833,11 @@ def _aiff_pcm_samples(payload: bytes):
     return int(rate), int(channels), int(n_frames), arr.astype("<i4").tobytes()
 
 
+@_functools.lru_cache(maxsize=1)
 def _ulaw_expand_table():
     """G.711 mu-law expansion (CCITT reference formula) for all 256
-    code bytes, 16-bit-scaled linear values."""
+    code bytes, 16-bit-scaled linear values. lru_cached — built once
+    per executor, reused across rows; treat as read-only."""
     import numpy as np
 
     out = np.zeros(256, np.int32)
@@ -854,7 +864,15 @@ def _au_samples(payload: bytes):
     off, size, enc, rate, channels = _struct.unpack(
         ">IIIII", payload[4:24]
     )
-    if off < 24 or enc not in (1, 2, 3) or not rate or not channels:
+    # rate/channels bounds: the samples schema is int32, and u32 header
+    # fields past these are corrupt files, not real audio — without the
+    # check a 28-byte crafted .au kills the Arrow batch, not the row
+    if (
+        off < 24
+        or enc not in (1, 2, 3)
+        or not 0 < rate < (1 << 31)
+        or not 0 < channels <= 32768
+    ):
         return None
     if size == 0xFFFFFFFF:
         size = len(payload) - off
@@ -1090,9 +1108,11 @@ def decode_image_pixels(
     return _real_pixel_decode_op(df, _sniff_image_pixels, payload_col, id_col)
 
 
+@_functools.lru_cache(maxsize=8)
 def _dct_basis(n: int):
-    """Orthonormal n-point DCT-II basis (generalizes
-    ``_jpeg_dct_matrix`` beyond 8 — pHash uses 32)."""
+    """Orthonormal n-point DCT-II basis (JPEG uses 8, pHash 32).
+    lru_cached — built once per executor, REUSED across rows in the hot
+    mapInPandas loops; treat the returned array as read-only."""
     import numpy as np
 
     m = np.zeros((n, n))
@@ -1659,6 +1679,13 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color_type -> samples per pixel at bit depth 8
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Decode-bomb guard shared by the compressed decoders (PNG/GIF/JPEG):
+# header-declared dimensions above this pixel count reject BEFORE any
+# allocation or inflation. 2^28 pixels = 768 MB of RGB — far above any
+# training-corpus image, far below what a crafted 1 KB header could
+# otherwise make one executor allocate.
+_MAX_DECODE_PIXELS = 1 << 28
+
 
 def _png_unfilter(raw, height: int, stride: int, bpp: int):
     """Invert PNG scanline filtering (spec §6: None/Sub/Up/Average/
@@ -1764,17 +1791,23 @@ def _png_pixels(payload: bytes):
             break
     if width is None or not idat or width <= 0 or height <= 0:
         return None
+    if width * height > _MAX_DECODE_PIXELS:
+        return None  # decode-bomb guard: reject before inflating
     if bit_depth != 8 or interlace != 0:
         return None
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
         return None
+    stride = width * channels
+    expect = (1 + stride) * height
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: a crafted high-ratio stream stops at the
+        # declared size + 1 instead of materializing gigabytes
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
     except zlib.error:
         return None
-    stride = width * channels
-    if len(raw) != (1 + stride) * height:
+    if len(raw) != expect or d.decompress(b"", 1):
         return None
     recon = _png_unfilter(raw, height, stride, channels)
     if recon is None:
@@ -1799,13 +1832,16 @@ def _png_pixels(payload: bytes):
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int):
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int = -1):
     """GIF-variant LZW decode (GIF89a spec appendix F): variable code
     width starting at min_code_size+1, LSB-first bit packing, CLEAR
     resets the table, widths grow when the table reaches 2^width (cap
     12 bits). Returns the index stream, or None on a corrupt code
-    sequence. Pure Python — the table ops are per-CODE, not per-pixel
-    (each code emits a whole string), so cost is O(compressed size)."""
+    sequence. ``max_out`` >= 0 stops once that many indices exist —
+    the caller knows w*h, so a crafted max-expansion stream can't
+    materialize more than one frame of output (decode-bomb guard).
+    Pure Python — the table ops are per-CODE, not per-pixel (each code
+    emits a whole string), so cost is O(compressed size)."""
     if not 2 <= min_code_size <= 8:  # GIF spec: <= 8 bits/pixel
         return None
     clear = 1 << min_code_size
@@ -1842,6 +1878,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int):
             return None
         out += entry
         prev = entry
+        if 0 <= max_out <= len(out):
+            break
         if len(table) == (1 << width) and width < 12:
             width += 1
     return bytes(out)
@@ -1896,6 +1934,8 @@ def _gif_pixels(payload: bytes):
                 pos += 3 * n
             if ct is None or w <= 0 or h <= 0 or pos >= n_total:
                 return None
+            if w * h > _MAX_DECODE_PIXELS:
+                return None  # decode-bomb guard
             min_code = payload[pos]
             pos += 1
             comp = bytearray()
@@ -1903,7 +1943,7 @@ def _gif_pixels(payload: bytes):
                 ln = payload[pos]
                 comp += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
-            idx_stream = _gif_lzw_decode(bytes(comp), min_code)
+            idx_stream = _gif_lzw_decode(bytes(comp), min_code, max_out=w * h)
             if idx_stream is None or len(idx_stream) < w * h:
                 return None
             idx = np.frombuffer(idx_stream[: w * h], np.uint8).reshape(h, w)
@@ -1951,15 +1991,10 @@ _JPEG_ZIGZAG = (
 
 def _jpeg_dct_matrix():
     """Orthonormal 8x8 DCT-II basis M (M @ B @ M.T is the JPEG forward
-    DCT of a level-shifted block; M.T @ F @ M the inverse)."""
-    import numpy as np
-
-    m = np.zeros((8, 8))
-    for u in range(8):
-        a = (0.5 / (2.0**0.5)) if u == 0 else 0.5
-        for x in range(8):
-            m[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16.0)
-    return m
+    DCT of a level-shifted block; M.T @ F @ M the inverse) — the n=8
+    instance of ``_dct_basis``, one definition for the JPEG and pHash
+    paths."""
+    return _dct_basis(8)
 
 
 class _JpegBits:
@@ -2140,8 +2175,11 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
     w, h, comps = frame
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
-    if max_h == 0 or max_v == 0:
+    if max_h == 0 or max_v == 0 or max_h > 4 or max_v > 4:
         return None
+    if w * h > _MAX_DECODE_PIXELS:
+        return None  # decode-bomb guard: a 1 KB header can't make the
+        # executor allocate the float planes for a 65535x65535 frame
     mcux = -(-w // (8 * max_h))
     mcuy = -(-h // (8 * max_v))
     m = _jpeg_dct_matrix()

@@ -1194,6 +1194,82 @@ def test_sample_avi_frames_real_pixels(spark):
             )
 
 
+def test_decode_bomb_payloads_reject_cheaply():
+    """r12 review findings: crafted sub-KB headers must not make an
+    executor allocate gigabytes — PNG inflate is bounded by the
+    declared size, GIF LZW output is capped at w*h, JPEG plane
+    allocation and PNG dims are gated at _MAX_DECODE_PIXELS, and audio
+    headers with int32-overflowing rate/channel fields reject BEFORE
+    the Arrow batch (where they would kill the task outside the
+    per-row guard)."""
+    import struct
+    import zlib
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    # audio: u32 header fields past the int32 samples schema
+    p = b".snd" + struct.pack(">IIIII", 24, 4, 2, 0x80000000, 1) + bytes(4)
+    assert mm._au_samples(p) is None
+    p = b".snd" + struct.pack(">IIIII", 24, 4, 2, 8000, 0x80000000) + bytes(4)
+    assert mm._au_samples(p) is None
+    aiff = bytearray(mm._aiff_build(8000, 1, 16, bytes(8)))
+    at = bytes(aiff).index(b"COMM") + 16
+    aiff[at : at + 2] = b"\x7f\xff"  # 80-bit extended inf/NaN exponent
+    assert mm._aiff_pcm_samples(bytes(aiff)) is None
+    wav = (
+        b"RIFF" + (56).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + struct.pack("<HHIIHH", 1, 1, 0x80000000, 16000, 2, 16)
+        + b"data" + (20).to_bytes(4, "little") + bytes(20)
+    )
+    assert mm._wav_pcm_samples(wav) is None
+
+    def chunk(t, d):
+        return (
+            len(d).to_bytes(4, "big") + t + d
+            + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # PNG: dims past the pixel cap reject before inflating
+    ihdr = (
+        (1 << 20).to_bytes(4, "big") + (1 << 12).to_bytes(4, "big")
+        + bytes((8, 0, 0, 0, 0))
+    )
+    bomb = (
+        mm._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(10000)))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._png_pixels(bomb) is None
+    # PNG: a high-ratio stream for small declared dims stops at the
+    # declared size + 1 (bounded decompressobj), not at full expansion
+    ihdr = (
+        (4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+        + bytes((8, 0, 0, 0, 0))
+    )
+    overlong = (
+        mm._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(10_000_000)))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._png_pixels(overlong) is None
+
+    # JPEG: SOF0 claiming 65535x65535 rejects before plane allocation
+    jp = bytearray(mm._jpeg_build(16, 16, bytes(16 * 16 * 3)))
+    at = bytes(jp).index(b"\xff\xc0") + 5
+    jp[at : at + 4] = b"\xff\xff\xff\xff"
+    assert mm._jpeg_pixels(bytes(jp)) is None
+
+    # GIF: LZW output is capped at the frame's w*h (max_out)
+    import random
+
+    rng = random.Random(0)
+    big = bytes(rng.randrange(256) for _ in range(100_000))
+    comp = mm._gif_lzw_encode(big, 8)
+    capped = mm._gif_lzw_decode(comp, 8, max_out=6)
+    assert capped is not None and 6 <= len(capped) < 6 + 4096
+
+
 def test_decoders_never_raise_on_corrupt_input():
     """r12 hardening — at 100 TB one corrupt file must never kill the
     job: every decoder returns None (or a valid tuple) on mutated
