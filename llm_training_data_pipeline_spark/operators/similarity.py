@@ -1473,6 +1473,7 @@ def pq_recall_curve(
     configs: list[tuple[int, int, int, int]] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    family_cache: dict | None = None,
 ) -> DataFrame:
     """Recall@k of PQ across (m, ks, refine_rounds, rerank) against one
     shared exact ground truth — the sizing table a 100-TB user reads to
@@ -1495,12 +1496,23 @@ def pq_recall_curve(
     of the audit (VERDICT r11 next-round #4). Bit-identical by
     construction — the rerank knob only changes the consumer of the
     same ADC scan.
+
+    ``family_cache`` (optional dict of (m, ks, iters) → (codebook,
+    codes), both already materialized) shares trained families ACROSS
+    queries in one session — the sweep runs this audit AND
+    ann_recall_unified, which both train (16, 256, 0); the second
+    caller gets it free. The derivations are deterministic-seeded, so
+    a cache hit is bit-identical to a rebuild.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     cfgs = configs if configs is not None else PQ_CURVE_CONFIGS
+    cache = family_cache if family_cache is not None else {}
 
     def build_family(fam: tuple[int, int, int]) -> tuple:
+        got = cache.get(fam)
+        if got is not None:
+            return fam, got
         m, ks, iters = fam
         cb = pq_codebook(corpus, m, ks, vec_col, id_col)
         if iters:
@@ -1512,6 +1524,7 @@ def pq_recall_curve(
         enc = pq_codes(corpus, cb, m, ks, vec_col, id_col).localCheckpoint(
             eager=True
         )
+        cache[fam] = (cb, enc)
         return fam, (cb, enc)
 
     fams = sorted({(m, ks, it) for m, ks, it, _ in cfgs})

@@ -374,6 +374,20 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truth; compute + materialize it once per (session, sf_dir) — the
 # signature-store discipline applied to recall audits (VERDICT r9 #6).
 _ANN_GT_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (appId, sf_dir) -> {(m, ks, iters): (codebook, codes)} — trained PQ
+# families shared across the recall audits in one session (the _ann_gt
+# discipline; derivations are deterministic-seeded so a hit is
+# bit-identical to a rebuild)
+_PQ_FAMILY_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _pq_family_store(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    store = _PQ_FAMILY_CACHE.get(key)
+    if store is None:
+        store = {}
+        _PQ_FAMILY_CACHE[key] = store
+    return store
 
 
 def _ann_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,14 +797,27 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = _ann_gt(spark, sf_dir)
+
+    # trained PQ families come from the session-level store shared with
+    # pq_recall_curve (deterministic-seeded, so a hit is bit-identical
+    # to a rebuild): in the sweep both audits run in one session and
+    # the second caller gets (8,16) and (16,256) free
+    def fam_cached(m: int, ks: int):
+        store = _pq_family_store(spark, sf_dir)
+        got = store.get((m, ks, 0))
+        if got is None:
+            cb = pq_codebook(emb, m=m, ks=ks).localCheckpoint(eager=True)
+            enc = pq_codes(emb, cb, m, ks).localCheckpoint(eager=True)
+            got = (cb, enc)
+            store[(m, ks, 0)] = got
+        return got
+
     # the seeded corpus encode is shared by the pq AND ivfpq legs
     # (codes/codebook pairing contract) — one materialized encode
     # instead of two plan-inlined ones; the refined and residual legs
     # need their own conditioned codes by definition
-    cb_seeded = pq_codebook(emb, m=8, ks=16)
-    codes_seeded = pq_codes(emb, cb_seeded, m=8, ks=16).localCheckpoint(
-        eager=True
-    )
+    cb_seeded, codes_seeded = fam_cached(8, 16)
+    cb_rr, codes_rr = fam_cached(16, 256)
     legs: list[tuple[str, str, DataFrame]] = [
         ("brute", "full scan", exact),
         (
@@ -836,7 +863,16 @@ def q_ann_recall_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pq_recall_curve measures at 0.99 on this fixture
             "pq_rr_m16_ks256",
             "full scan, m-byte codes + 50-vec rerank",
-            pq_topk(emb, queries, k=10, m=16, ks=256, rerank=50),
+            pq_topk(
+                emb,
+                queries,
+                k=10,
+                m=16,
+                ks=256,
+                rerank=50,
+                codes=codes_rr,
+                codebook=cb_rr,
+            ),
         ),
         (
             "ivfpq_c16_p3",
@@ -4920,7 +4956,10 @@ def q_pq_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_recall_curve(emb, queries, _ann_gt(spark, sf_dir), k=10)
+    return pq_recall_curve(
+        emb, queries, _ann_gt(spark, sf_dir), k=10,
+        family_cache=_pq_family_store(spark, sf_dir),
+    )
 
 
 @register("code_detection_stats", oracle.code_detection_sql())
