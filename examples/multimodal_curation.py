@@ -4,10 +4,11 @@ modalities, then the curation ops a 100-TB multimodal corpus needs.
 Every decoder here is REAL (``is_stub=false``) and dependency-free —
 pure numpy + stdlib against the public format specs:
 
-1. IMAGES — a mixed-format corpus (BMP + PNG + GIF + JPEG, 24
-   byte-distinct files hiding 6 distinct pictures) runs ONE sniffing
-   decode, gets exact integer pixel stats, and perceptual pHash dedup
-   recovers the 6 re-encode clusters that byte-digest dedup cannot see;
+1. IMAGES — a mixed-format corpus (BMP + PNG + GIF + PackBits-TIFF +
+   JPEG, 30 byte-distinct files hiding 6 distinct pictures) runs ONE
+   sniffing decode, gets exact integer pixel stats, and perceptual
+   pHash dedup recovers the 6 re-encode clusters that byte-digest
+   dedup cannot see;
 2. AUDIO — mixed WAV/AIFF/AU (incl. G.711 mu-law) payloads run one
    sniffing decode into exact integer waveform stats;
 3. VIDEO — MJPEG AVI clips sample every 2nd frame at the container

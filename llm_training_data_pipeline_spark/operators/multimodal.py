@@ -25,7 +25,8 @@ itself is STUBBED (the image/audio libraries are not in this container):
   ``decode_gif_pixels`` (pure-Python LZW + palette + de-interlacing,
   r12), ``decode_jpeg_pixels`` (baseline T.81: Huffman entropy decode,
   dequantize, vectorized 8x8 IDCT, chroma upsample, YCbCr→RGB, r12),
-  and ``decode_wav_samples`` (PCM audio, r12) — actual image/audio
+  ``_tiff_pixels`` (baseline TIFF strips, none + PackBits, r12), and
+  ``decode_wav_samples`` (PCM audio, r12) — actual image/audio
   content flows through the same PIXEL_SCHEMA consumers the stub
   proved out. Each ships with an independent FORWARD-direction encoder
   used only by fixtures/tests, so every decoder is proven to invert
@@ -1076,6 +1077,254 @@ def synthetic_pcm_wav_assets(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
+def _packbits_decode(data: bytes, max_out: int):
+    """Apple PackBits RLE (TIFF compression 32773): n in 0..127 copies
+    n+1 literals, n in -127..-1 repeats the next byte 1-n times, -128
+    is a noop. Output capped at ``max_out`` (decode-bomb guard)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < max_out:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat run of 257 - c
+            if i >= n:
+                return None
+            out += bytes((data[i],)) * (257 - c)
+            i += 1
+        # c == 128: noop
+    return bytes(out[:max_out])
+
+
+def _tiff_pixels(payload: bytes):
+    """REAL baseline TIFF decode → (w, h, rgb bytes) or None — the
+    sixth real image decoder: first-IFD walk (both byte orders), 8-bit
+    grayscale (photometric 0 WhiteIsZero inverted / 1 BlackIsZero) and
+    RGB (photometric 2), strip layout, compression 1 (none) and 32773
+    (PackBits). LZW/JPEG-in-TIFF, tiles, 16-bit, palette and planar
+    configurations return an honest None."""
+    import numpy as np
+
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd_off,) = _struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = _struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags = {}
+
+    def read_values(typ: int, count: int, field: bytes):
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None or count == 0 or count > (1 << 20):
+            return None
+        total = size * count
+        if total <= 4:
+            raw = field[:total]
+        else:
+            (off,) = _struct.unpack(bo + "I", field)
+            if off + total > len(payload):
+                return None
+            raw = payload[off : off + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return list(_struct.unpack(bo + fmt * count, raw))
+
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(payload):
+            return None
+        tag, typ, count = _struct.unpack(bo + "HHI", payload[e : e + 8])
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+            vals = read_values(typ, count, payload[e + 8 : e + 12])
+            if vals is None:
+                return None
+            tags[tag] = vals
+
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [None])[0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    rows_per_strip = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    if (
+        not w
+        or not h
+        or w * h > _MAX_DECODE_PIXELS
+        or photometric not in (0, 1, 2)
+        or compression not in (1, 32773)
+        or planar != 1
+        or offsets is None
+        or counts is None
+        or len(offsets) != len(counts)
+        or any(b != 8 for b in bits)
+        or (photometric == 2 and spp < 3)
+        or (photometric in (0, 1) and spp != 1)
+    ):
+        return None
+    need = w * h * spp
+    plane = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            return None
+        strip = payload[off : off + cnt]
+        if compression == 32773:
+            remaining = need - len(plane)
+            rows_here = min(rows_per_strip, h)  # cap per-strip output
+            strip = _packbits_decode(
+                strip, min(remaining, rows_here * w * spp)
+            )
+            if strip is None:
+                return None
+        plane += strip
+        if len(plane) >= need:
+            break
+    if len(plane) < need:
+        return None
+    arr = np.frombuffer(bytes(plane), np.uint8, count=need).reshape(
+        h, w, spp
+    )
+    if photometric == 2:
+        out = arr[..., :3]
+    else:
+        g = arr[..., 0]
+        if photometric == 0:  # WhiteIsZero
+            g = 255 - g
+        out = np.repeat(g[..., None], 3, axis=2)
+    return w, h, np.ascontiguousarray(out).tobytes()
+
+
+def _tiff_build(
+    img, byte_order: str = "<", packbits: bool = False,
+    photometric: int = None, rows_per_strip: int = None,
+) -> bytes:
+    """Forward baseline TIFF builder for fixtures/tests: single IFD,
+    8-bit gray (photometric 1, or 0 with inverted samples) or RGB,
+    strip layout, optional PackBits compression (naive literal+repeat
+    runs). ``img`` is (h, w) gray or (h, w, 3) RGB uint8. Not exported
+    API."""
+    import numpy as np
+
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    if photometric is None:
+        photometric = 1 if gray else 2
+    samples = img.astype(np.uint8)
+    if photometric == 0:
+        samples = 255 - samples
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = samples[y0 : y0 + rps].tobytes()
+        if packbits:
+            enc = bytearray()
+            i = 0
+            while i < len(raw):
+                run = 1
+                while (
+                    i + run < len(raw)
+                    and raw[i + run] == raw[i]
+                    and run < 128
+                ):
+                    run += 1
+                if run >= 2:
+                    enc += bytes((257 - run, raw[i]))
+                    i += run
+                else:
+                    lit_end = i + 1
+                    while (
+                        lit_end < len(raw)
+                        and lit_end - i < 128
+                        and not (
+                            lit_end + 1 < len(raw)
+                            and raw[lit_end] == raw[lit_end + 1]
+                        )
+                    ):
+                        lit_end += 1
+                    enc += bytes((lit_end - i - 1,)) + raw[i:lit_end]
+                    i = lit_end
+            strips.append(bytes(enc))
+        else:
+            strips.append(raw)
+
+    bo = byte_order
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    n_strips = len(strips)
+    entries = []  # (tag, typ, count, packed-value-or-None, ext_data)
+
+    def entry(tag, typ, values):
+        size = {3: 2, 4: 4}[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = _struct.pack(bo + fmt * len(values), *values)
+        return [tag, typ, len(values), raw]
+
+    ents = [
+        entry(256, 4, [w]),
+        entry(257, 4, [h]),
+        entry(258, 3, [8] * spp),
+        entry(259, 3, [32773 if packbits else 1]),
+        entry(262, 3, [photometric]),
+        entry(273, 4, [0] * n_strips),  # offsets patched below
+        entry(277, 3, [spp]),
+        entry(278, 4, [rps]),
+        entry(279, 4, [len(s) for s in strips]),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(ents) + 4
+    ext_off = ifd_off + ifd_size
+    # lay out external value blocks
+    ext = bytearray()
+    for e in ents:
+        if len(e[3]) > 4:
+            e.append(ext_off + len(ext))
+            ext += e[3]
+        else:
+            e.append(None)
+    strip_base = ext_off + len(ext)
+    strip_offsets = []
+    pos = strip_base
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    # rebuild the offsets entry now that positions are known
+    off_entry = entry(273, 4, strip_offsets)
+    for idx, e in enumerate(ents):
+        if e[0] == 273:
+            if len(off_entry[3]) > 4:
+                # reuse the reserved external slot (same size)
+                ents[idx][3] = off_entry[3]
+                ext_at = ents[idx][4] - ext_off
+                ext[ext_at : ext_at + len(off_entry[3])] = off_entry[3]
+            else:
+                ents[idx][3] = off_entry[3]
+    out = bytearray(magic + _struct.pack(bo + "I", ifd_off))
+    out += _struct.pack(bo + "H", len(ents))
+    for tag, typ, count, raw, ext_at in ents:
+        out += _struct.pack(bo + "HHI", tag, typ, count)
+        if ext_at is not None:
+            out += _struct.pack(bo + "I", ext_at)
+        else:
+            out += raw + bytes(4 - len(raw))
+    out += _struct.pack(bo + "I", 0)  # next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _sniff_image_pixels(payload: bytes):
     """Container-sniffing dispatch across every real image decoder:
     BM → BMP, P5/P6 → PNM, PNG signature → PNG, GIF8 → GIF, JPEG SOI →
@@ -1084,6 +1333,8 @@ def _sniff_image_pixels(payload: bytes):
         return _png_pixels(payload)
     if len(payload) >= 4 and payload[:4] in (b"GIF8",):
         return _gif_pixels(payload)
+    if len(payload) >= 4 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_pixels(payload)
     if len(payload) >= 2:
         head = payload[:2]
         if head == b"BM":
@@ -1407,10 +1658,10 @@ def _cross_format_base_pixels(b: int, w: int = 48, h: int = 32):
 
 def synthetic_cross_format_assets(spark, n_base: int = 6) -> DataFrame:
     """Deterministic fixture for perceptual image dedup: each of
-    ``n_base`` distinct patterns is encoded FOUR ways — BMP, PNG, GIF
-    (all pixel-lossless) and near-lossless JPEG — under asset ids
-    4*b..4*b+3. Byte-digest dedup sees 4*n_base distinct files;
-    perceptual hashing must recover exactly n_base clusters."""
+    ``n_base`` distinct patterns is encoded FIVE ways — BMP, PNG, GIF,
+    PackBits TIFF (all pixel-lossless) and near-lossless JPEG — under
+    asset ids 5*b..5*b+4. Byte-digest dedup sees 5*n_base distinct
+    files; perceptual hashing must recover exactly n_base clusters."""
     rows = []
     for b in range(n_base):
         img = _cross_format_base_pixels(b)
@@ -1422,11 +1673,17 @@ def synthetic_cross_format_assets(spark, n_base: int = 6) -> DataFrame:
                 "image/png",
             ),
             (_gif_from_rgb(img), "image/gif"),
+            (
+                _tiff_build(
+                    img, "<" if b % 2 == 0 else ">", packbits=True
+                ),
+                "image/tiff",
+            ),
             (_jpeg_build(w, h, img.tobytes()), "image/jpeg"),
         )
         for k, (payload, mime) in enumerate(encs):
             rows.append(
-                (4 * b + k, "image", payload, mime, {"base": str(b)})
+                (5 * b + k, "image", payload, mime, {"base": str(b)})
             )
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 

@@ -1730,6 +1730,28 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(px).orderBy("asset_id")
 
 
+@register("tiff_pixel_stats", None)
+def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth REAL pixel decode (r12): baseline TIFF — first-IFD walk in
+    both byte orders, strip layout, 8-bit gray (both photometrics) and
+    RGB, compression none + PackBits RLE — through the sniffing
+    decoder, then the exact integer milli-unit stats. Rows-only check
+    (binary self-contained fixture: the PackBits-TIFF leg of the
+    cross-format battery); decoder pinned against the independent
+    forward _tiff_build in tests/test_multimodal.py
+    (multimodal._tiff_pixels + image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_image_pixels,
+        image_pixel_stats,
+        synthetic_cross_format_assets,
+    )
+
+    assets = synthetic_cross_format_assets(spark, n_base=6).filter(
+        F.col("mime_type") == "image/tiff"
+    )
+    return image_pixel_stats(decode_image_pixels(assets)).orderBy("asset_id")
+
+
 @register("mjpeg_frame_stats", None)
 def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VIDEO family's first REAL frame path (r12): MJPEG AVI —
@@ -1767,13 +1789,13 @@ def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("image_near_dup", None)
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):
-    sniffing decode (BMP/PNM/PNG/GIF/JPEG by magic) → 64-bit pHash
+    sniffing decode (BMP/PNM/PNG/GIF/TIFF/JPEG by magic) → 64-bit pHash
     (32x32 DCT low-frequency signs) → the pigeonhole-complete hamming
     band join text SimHash uses. The fixture encodes each of 6 base
-    patterns as BMP+PNG+GIF+JPEG (24 byte-distinct files); the pairs
-    must recover exactly the 6 re-encode clusters — C(4,2)*6 = 36
-    pairs, all hamming 0 at measured fixture separation (within-base 0
-    bits incl. the lossy JPEG, across-base >= 22). Rows-only check;
+    patterns as BMP+PNG+GIF+TIFF+JPEG (30 byte-distinct files); the
+    pairs must recover exactly the 6 re-encode clusters — C(5,2)*6 =
+    60 pairs, all hamming 0 at measured fixture separation (within-base
+    0 bits incl. the lossy JPEG, across-base >= 22). Rows-only check;
     the cluster structure is pinned in tests/test_multimodal.py
     (multimodal.image_near_dup_pairs)."""
     from llm_training_data_pipeline_spark.operators.multimodal import (

@@ -1023,9 +1023,9 @@ def test_decode_audio_samples_sniffs_mixed_containers(spark):
 
 def test_perceptual_hash_is_reencoding_invariant():
     """r12 — perceptual image dedup: the same pixels re-encoded as
-    BMP / PNG / GIF / near-lossless JPEG produce the SAME pHash
-    (hamming 0) while the 6 distinct base patterns stay >= 22 bits
-    apart; dhash and ahash are re-encode-invariant too."""
+    BMP / PNG / GIF / PackBits-TIFF / near-lossless JPEG produce the
+    SAME pHash (hamming 0) while the 6 distinct base patterns stay
+    >= 22 bits apart; dhash and ahash are re-encode-invariant too."""
     from llm_training_data_pipeline_spark.operators.multimodal import (
         _bmp_build,
         _cross_format_base_pixels,
@@ -1036,6 +1036,10 @@ def test_perceptual_hash_is_reencoding_invariant():
         _sniff_image_pixels,
     )
 
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _tiff_build,
+    )
+
     hashes = {}
     for b in range(6):
         img = _cross_format_base_pixels(b)
@@ -1044,6 +1048,7 @@ def test_perceptual_hash_is_reencoding_invariant():
             _bmp_build(img),
             _png_build(w, h, 2, img.tobytes(), [0] * h),
             _gif_from_rgb(img),
+            _tiff_build(img, packbits=True),
             _jpeg_build(w, h, img.tobytes()),
         )
         per_fmt = []
@@ -1058,9 +1063,9 @@ def test_perceptual_hash_is_reencoding_invariant():
                 }
             )
         for m in ("phash", "dhash", "ahash"):
-            lossless = {d[m] for d in per_fmt[:3]}
+            lossless = {d[m] for d in per_fmt[:4]}
             assert len(lossless) == 1, (b, m, lossless)
-            jpeg_d = bin(per_fmt[0][m] ^ per_fmt[3][m]).count("1")
+            jpeg_d = bin(per_fmt[0][m] ^ per_fmt[4][m]).count("1")
             if m == "phash":
                 # DCT low-frequency signs absorb the ±1 JPEG noise
                 assert jpeg_d == 0, (b, m, jpeg_d)
@@ -1077,8 +1082,8 @@ def test_perceptual_hash_is_reencoding_invariant():
 
 
 def test_image_near_dup_pairs_recovers_reencode_clusters(spark):
-    """End to end through Spark: 24 byte-distinct files (6 patterns x
-    4 containers) must yield exactly the 36 within-cluster pairs at
+    """End to end through Spark: 30 byte-distinct files (6 patterns x
+    5 containers) must yield exactly the 60 within-cluster pairs at
     hamming 0 and no cross-cluster pair — the signal byte-digest dedup
     cannot see."""
     from llm_training_data_pipeline_spark.operators.multimodal import (
@@ -1089,18 +1094,18 @@ def test_image_near_dup_pairs_recovers_reencode_clusters(spark):
     pairs = image_near_dup_pairs(
         synthetic_cross_format_assets(spark, n_base=6)
     ).collect()
-    assert len(pairs) == 36
+    assert len(pairs) == 60
     for r in pairs:
-        assert r["id_a"] // 4 == r["id_b"] // 4, (r["id_a"], r["id_b"])
+        assert r["id_a"] // 5 == r["id_b"] // 5, (r["id_a"], r["id_b"])
         assert r["hamming"] == 0
     got_clusters = {}
     for r in pairs:
-        got_clusters.setdefault(r["id_a"] // 4, set()).update(
+        got_clusters.setdefault(r["id_a"] // 5, set()).update(
             (r["id_a"], r["id_b"])
         )
     assert len(got_clusters) == 6
     for b, members in got_clusters.items():
-        assert members == {4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3}
+        assert members == {5 * b + k for k in range(5)}
 
 
 def test_decode_image_pixels_sniffs_mixed_formats(spark):
@@ -1115,7 +1120,7 @@ def test_decode_image_pixels_sniffs_mixed_formats(spark):
     out = decode_image_pixels(
         synthetic_cross_format_assets(spark, n_base=6)
     ).collect()
-    assert len(out) == 24
+    assert len(out) == 30
     for r in out:
         assert (r["width"], r["height"]) == (48, 32)
         assert r["is_stub"] is False
@@ -1270,6 +1275,51 @@ def test_decode_bomb_payloads_reject_cheaply():
     assert capped is not None and 6 <= len(capped) < 6 + 4096
 
 
+def test_tiff_decode_inverts_forward_building():
+    """r12 — the sixth real decoder: baseline TIFF round-trips across
+    both byte orders, none/PackBits compression, gray (both
+    photometrics — WhiteIsZero inverted) and RGB, single- and
+    multi-strip layouts; LZW and truncated files reject."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(0)
+    for bo in ("<", ">"):
+        for packbits in (False, True):
+            for kind, pm in (("gray", 1), ("gray0", 0), ("rgb", 2)):
+                for rps in (None, 5):
+                    if kind == "rgb":
+                        img = rng.randint(0, 256, (13, 17, 3), np.uint8)
+                    else:
+                        img = rng.randint(0, 256, (13, 17), np.uint8)
+                    t = mm._tiff_build(
+                        img, bo, packbits, photometric=pm,
+                        rows_per_strip=rps,
+                    )
+                    got = mm._tiff_pixels(t)
+                    assert got is not None, (bo, packbits, kind, rps)
+                    w, h, rgb = got
+                    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    exp = (
+                        img if kind == "rgb"
+                        else np.repeat(img[..., None], 3, axis=2)
+                    )
+                    assert (w, h) == (17, 13) and np.array_equal(arr, exp)
+                    assert mm._sniff_image_pixels(t) is not None
+
+    # LZW compression rejects (tag 259 patched to 5)
+    tlzw = bytearray(mm._tiff_build(np.zeros((4, 4), np.uint8), "<"))
+    at = bytes(tlzw).index((259).to_bytes(2, "little"))
+    tlzw[at + 8] = 5
+    assert mm._tiff_pixels(bytes(tlzw)) is None
+    assert mm._tiff_pixels(b"II*\x00" + bytes(4)) is None
+    assert (
+        mm._tiff_pixels(mm._tiff_build(np.zeros((4, 4), np.uint8), "<")[:30])
+        is None
+    )
+
+
 def test_decoders_never_raise_on_corrupt_input():
     """r12 hardening — at 100 TB one corrupt file must never kill the
     job: every decoder returns None (or a valid tuple) on mutated
@@ -1291,6 +1341,8 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._gif_from_rgb(img),
         mm._jpeg_build(w, h, img.tobytes()),
         mm._jpeg_build(w, h, img.tobytes(), subsample=True, restart=2),
+        mm._tiff_build(img, "<", packbits=True),
+        mm._tiff_build(img[..., 0], ">", rows_per_strip=7),
         b"P6\n48 32\n255\n" + img.tobytes(),
         mm._avi_build([img, img], fps=25),
         mm._aiff_build(8000, 1, 16, bytes(40)),
