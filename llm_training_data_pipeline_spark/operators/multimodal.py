@@ -1633,6 +1633,131 @@ def _gif_from_rgb(img) -> bytes:
     return _gif_build(w, h, pal, idx)
 
 
+def _rgb_palette_indices(img):
+    """Exact palette + index plane for an (h, w, 3) uint8 array with
+    <= 256 distinct colors (fixture helper shared by ``_gif_from_rgb``
+    and the animation builder)."""
+    h, w, _ = img.shape
+    colors = sorted(
+        {tuple(int(v) for v in img[y, x]) for y in range(h) for x in range(w)}
+    )
+    assert len(colors) <= 256
+    ncol = 1 << max(1, (len(colors) - 1).bit_length())
+    pal = b"".join(bytes(c) for c in colors) + bytes(3 * (ncol - len(colors)))
+    lut = {c: i for i, c in enumerate(colors)}
+    idx = bytes(
+        lut[tuple(int(v) for v in img[y, x])]
+        for y in range(h)
+        for x in range(w)
+    )
+    return pal, idx, ncol
+
+
+def _gif_build_animation(frames_rgb, interlace_every: int = 0) -> bytes:
+    """Forward ANIMATED GIF builder for fixtures/tests: GIF89a header
+    (no global color table), then per frame a Graphic Control
+    Extension + image descriptor with an exact image-local color
+    table + LZW data (frame ``f`` interlaced when ``interlace_every``
+    > 0 and f % interlace_every == 0), then the trailer. Frames may
+    have different dimensions (stored-frame semantics — the decoder
+    returns frames AS STORED). Not exported API."""
+    h0, w0, _ = frames_rgb[0].shape
+    out = bytearray(b"GIF89a")
+    out += w0.to_bytes(2, "little") + h0.to_bytes(2, "little")
+    out += bytes((0x00, 0, 0))  # no GCT
+    for f, img in enumerate(frames_rgb):
+        h, w, _ = img.shape
+        pal, idx, ncol = _rgb_palette_indices(img)
+        ct_exp = ncol.bit_length() - 2
+        min_code = max(2, ncol.bit_length() - 1)
+        interlaced = interlace_every > 0 and f % interlace_every == 0
+        if interlaced:
+            order = [
+                y
+                for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, h, step)
+            ]
+            idx = b"".join(idx[y * w : (y + 1) * w] for y in order)
+        out += bytes((0x21, 0xF9, 4, 0, 10, 0, 0, 0))  # GCE, 10cs delay
+        out += bytes((0x2C,)) + bytes(4)
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes(((0x40 if interlaced else 0) | 0x80 | ct_exp,))
+        out += pal
+        out += bytes((min_code,))
+        comp = _gif_lzw_encode(idx, min_code)
+        for i in range(0, len(comp), 255):
+            blk = comp[i : i + 255]
+            out += bytes((len(blk),)) + blk
+        out += bytes((0,))
+    out += bytes((0x3B,))
+    return bytes(out)
+
+
+def sample_gif_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL animated-GIF frame sampling (``is_stub`` = FALSE) into the
+    same FRAME_SCHEMA contract as ``sample_avi_frames``: every
+    ``every_n``-th STORED frame (always including frame 0), each at its
+    own dimensions — no disposal-method compositing (frames are what
+    the file stores; a compositing consumer layers them onto the
+    logical screen itself). Undecodable payloads are OMITTED."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ws, hs, px = [], [], [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                # same corrupt-file policy as _real_pixel_decode_op
+                try:
+                    frames = _gif_frames(bytes(p) if p is not None else b"")
+                except Exception:
+                    frames = None
+                if not frames:
+                    continue
+                for i in range(0, len(frames), max(1, int(every_n))):
+                    fw, fh, rgb = frames[i]
+                    ids.append(int(aid))
+                    fidx.append(i)
+                    ws.append(fw)
+                    hs.append(fh)
+                    px.append(rgb)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(fidx, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series([3] * len(ids), dtype="int32"),
+                    "pixels": pd.Series(px, dtype="object"),
+                    "is_stub": pd.Series([False] * len(ids), dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthetic_animated_gif_assets(spark, n: int = 8) -> DataFrame:
+    """Deterministic REAL animated-GIF fixture: each asset is a clip
+    whose frame f shows pattern (i + f) % 6 from the cross-format
+    battery, every third frame interlaced — formula-derivable frame
+    content with temporal variation (the GIF analog of
+    ``synthetic_mjpeg_avi_assets``)."""
+    rows = []
+    for i in range(n):
+        n_frames = 3 + (i % 4)
+        frames = [
+            _cross_format_base_pixels((i + f) % 6) for f in range(n_frames)
+        ]
+        payload = _gif_build_animation(frames, interlace_every=3)
+        rows.append((i, "image", payload, "image/gif", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
 def _cross_format_base_pixels(b: int, w: int = 48, h: int = 32):
     """Six strongly distinct low-frequency test patterns (stripes,
     checker, diagonal, split, disc) with 2 colors each — pHash
@@ -2142,16 +2267,20 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int = -1):
     return bytes(out)
 
 
-def _gif_pixels(payload: bytes):
-    """REAL GIF decode → (w, h, rgb bytes) or None — pure Python LZW +
-    palette lookup, no imaging library. Decodes the FIRST image
-    descriptor (animated GIFs: frame 1) at the frame's own dimensions,
-    global or local color table, interlaced (the 4-pass row order) or
-    sequential. Extension blocks (incl. Graphic Control) are walked
-    past; transparency is ignored — the palette color shows, matching
-    the alpha-drop policy pinned for PNG. Missing color table, corrupt
-    LZW, short index streams and out-of-range indices return an honest
-    None."""
+def _gif_frames(payload: bytes, max_frames: int = -1):
+    """REAL GIF frame walk → list of (w, h, rgb bytes) or None — pure
+    Python LZW + palette lookup, no imaging library. Decodes EVERY
+    image descriptor (animated GIFs: all stored frames, at each
+    frame's own dimensions — frames are returned AS STORED, without
+    disposal-method compositing onto the logical screen; document
+    consumers accordingly), global or local color table, interlaced
+    (the 4-pass row order) or sequential. Extension blocks (incl.
+    Graphic Control) are walked past; transparency is ignored — the
+    palette color shows, matching the alpha-drop policy pinned for
+    PNG. Missing color table, corrupt LZW, short index streams and
+    out-of-range indices return an honest None. ``max_frames`` >= 0
+    stops the walk early (sampling consumers pay decode only for the
+    frames they keep when sampling a prefix)."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2166,6 +2295,7 @@ def _gif_pixels(payload: bytes):
         gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
     n_total = len(payload)
+    frames = []
     while pos < n_total:
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
@@ -2174,6 +2304,8 @@ def _gif_pixels(payload: bytes):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if 0 <= max_frames <= len(frames):
+                break
             if pos + 10 > n_total:
                 return None
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
@@ -2200,6 +2332,7 @@ def _gif_pixels(payload: bytes):
                 ln = payload[pos]
                 comp += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # the 0x00 block terminator
             idx_stream = _gif_lzw_decode(bytes(comp), min_code, max_out=w * h)
             if idx_stream is None or len(idx_stream) < w * h:
                 return None
@@ -2215,12 +2348,21 @@ def _gif_pixels(payload: bytes):
                 deinter = np.empty_like(idx)
                 deinter[order] = idx
                 idx = deinter
-            return w, h, np.ascontiguousarray(ct[idx]).tobytes()
-        elif b == 0x3B:  # trailer before any image
-            return None
+            frames.append((w, h, np.ascontiguousarray(ct[idx]).tobytes()))
+        elif b == 0x3B:  # trailer
+            break
         else:
             return None
-    return None
+    return frames or None
+
+
+def _gif_pixels(payload: bytes):
+    """REAL GIF decode → (w, h, rgb bytes) or None: the FIRST stored
+    frame via ``_gif_frames`` (same contract as the other still-image
+    decoders; animations expose all frames through
+    ``sample_gif_frames``)."""
+    frames = _gif_frames(payload, max_frames=1)
+    return frames[0] if frames else None
 
 
 def decode_gif_pixels(

@@ -1752,6 +1752,39 @@ def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_stats(decode_image_pixels(assets)).orderBy("asset_id")
 
 
+@register("gif_frame_stats", None)
+def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling (r12): every-2nd STORED frame of
+    each clip (no disposal compositing — frames as the file stores
+    them), each through the real GIF decoder, then per-(clip, frame)
+    exact integer pixel stats via the same composite-id trick as
+    mjpeg_frame_stats. Rows-only check (binary self-contained fixture);
+    frame content pinned against the cross-format pattern battery in
+    tests/test_multimodal.py (multimodal.sample_gif_frames +
+    image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_pixel_stats,
+        sample_gif_frames,
+        synthetic_animated_gif_assets,
+    )
+
+    frames = sample_gif_frames(
+        synthetic_animated_gif_assets(spark, n=8), every_n=2
+    )
+    composite = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_index")).alias("asset_id"),
+        "width", "height", "channels", "pixels", "is_stub",
+    )
+    stats = image_pixel_stats(composite)
+    return stats.select(
+        (F.col("asset_id") / 1000).cast("long").alias("clip_id"),
+        F.pmod("asset_id", F.lit(1000)).cast("long").alias("frame_index"),
+        "width", "height", "n_pixels",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli",
+        "luminance_milli", "is_stub",
+    ).orderBy("clip_id", "frame_index")
+
+
 @register("mjpeg_frame_stats", None)
 def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VIDEO family's first REAL frame path (r12): MJPEG AVI —

@@ -1126,6 +1126,71 @@ def test_decode_image_pixels_sniffs_mixed_formats(spark):
         assert r["is_stub"] is False
 
 
+def test_gif_animation_frames_decode_as_stored():
+    """r12 — animated GIFs: every stored frame round-trips through the
+    frame walker (local color tables, mixed interlacing), the
+    first-frame _gif_pixels contract is unchanged, and max_frames
+    stops the walk early."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _cross_format_base_pixels,
+        _gif_build_animation,
+        _gif_frames,
+        _gif_pixels,
+    )
+
+    frames = [_cross_format_base_pixels(f % 6) for f in range(5)]
+    gif = _gif_build_animation(frames, interlace_every=3)
+    got = _gif_frames(gif)
+    assert got is not None and len(got) == 5
+    for f, (w, h, rgb) in enumerate(got):
+        assert (w, h) == (48, 32)
+        assert np.array_equal(
+            np.frombuffer(rgb, np.uint8).reshape(h, w, 3), frames[f]
+        ), f
+    w, h, rgb = _gif_pixels(gif)
+    assert np.array_equal(
+        np.frombuffer(rgb, np.uint8).reshape(h, w, 3), frames[0]
+    )
+    assert len(_gif_frames(gif, max_frames=2)) == 2
+    assert _gif_frames(b"GIF89a") is None
+
+
+def test_sample_gif_frames_real_pixels(spark):
+    """End to end through Spark: every-2nd-frame GIF sampling yields
+    is_stub=false FRAME_SCHEMA rows matching the per-frame pattern
+    exactly (GIF is lossless); frame 0 always included."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _cross_format_base_pixels,
+        sample_gif_frames,
+        synthetic_animated_gif_assets,
+    )
+
+    rows = sample_gif_frames(
+        synthetic_animated_gif_assets(spark, n=4), every_n=2
+    ).collect()
+    by_asset = {}
+    for r in rows:
+        assert r["is_stub"] is False
+        assert (r["width"], r["height"], r["channels"]) == (48, 32, 3)
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {0, 1, 2, 3}
+    for i, rs in by_asset.items():
+        n_frames = 3 + (i % 4)
+        assert sorted(r["frame_index"] for r in rs) == list(
+            range(0, n_frames, 2)
+        )
+        for r in rs:
+            exp = _cross_format_base_pixels((i + r["frame_index"]) % 6)
+            arr = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(
+                32, 48, 3
+            )
+            assert np.array_equal(arr, exp), (i, r["frame_index"])
+
+
 def test_avi_mjpeg_walk_and_frame_decode():
     """r12 — the video family's first real frame path: the AVI RIFF
     walk recovers dims/fps/frame payloads built by the independent
