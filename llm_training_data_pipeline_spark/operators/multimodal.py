@@ -1622,14 +1622,7 @@ def _gif_from_rgb(img) -> bytes:
     """GIF container for an (h, w, 3) uint8 RGB array with <= 256
     distinct colors (exact palette — lossless re-encode). Fixture use."""
     h, w, _ = img.shape
-    colors = sorted({tuple(int(v) for v in img[y, x]) for y in range(h) for x in range(w)})
-    assert len(colors) <= 256
-    ncol = 1 << max(1, (len(colors) - 1).bit_length())
-    pal = b"".join(bytes(c) for c in colors) + bytes(3 * (ncol - len(colors)))
-    lut = {c: i for i, c in enumerate(colors)}
-    idx = bytes(
-        lut[tuple(int(v) for v in img[y, x])] for y in range(h) for x in range(w)
-    )
+    pal, idx, _ncol = _rgb_palette_indices(img)
     return _gif_build(w, h, pal, idx)
 
 
