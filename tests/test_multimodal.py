@@ -1567,3 +1567,65 @@ def test_image_pixel_stats_pinned_values(spark):
     resized = resize_pixels(decode_bmp_pixels(assets), 2, 2).collect()
     assert all(rr["is_stub"] is False for rr in resized)
     assert all(len(bytes(rr["pixels"])) == 2 * 2 * 3 for rr in resized)
+
+
+def test_tiff_spp_bomb_guard_rejects_before_allocating():
+    """r13 (ADVICE r12) — the decode-bomb guard bounds the BUFFER
+    (w*h*spp), not just the pixel count: SamplesPerPixel is
+    attacker-controlled up to 65535, so a crafted photometric-2 TIFF
+    could otherwise expand ~64x its payload into a multi-GB plane.
+    Crafted headers with spp>8 or w*h*spp past 3x the pixel ceiling
+    must reject (return None) before any strip is decoded."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    base = mm._tiff_build(img, "<")
+    assert mm._tiff_pixels(base) is not None
+
+    def patch_short(buf: bytes, tag: int, value: int) -> bytes:
+        b = bytearray(buf)
+        at = buf.index(tag.to_bytes(2, "little"))
+        b[at + 8 : at + 10] = value.to_bytes(2, "little")
+        return bytes(b)
+
+    # spp > 8 rejects outright (even though strip data is tiny)
+    assert mm._tiff_pixels(patch_short(base, 277, 9)) is None
+    assert mm._tiff_pixels(patch_short(base, 277, 65535)) is None
+    # w*h <= pixel ceiling but w*h*spp past 3x the ceiling also rejects:
+    # 16384 * 12000 = 196M <= 2^28, * 8 samples = 1.57 GB buffer target
+    big = patch_short(patch_short(base, 256, 16384), 257, 12000)
+    big = patch_short(big, 277, 8)
+    assert mm._tiff_pixels(big) is None
+    # sanity: the same dims at spp=8 stay inside the arithmetic we claim
+    assert 16384 * 12000 <= mm._MAX_DECODE_PIXELS
+    assert 16384 * 12000 * 8 > 3 * mm._MAX_DECODE_PIXELS
+
+
+def test_jpeg_non_dividing_sampling_rejects():
+    """r13 (ADVICE r12) — the chroma upsampler replicates by the
+    integer factor max/c, which is only correct when each component
+    factor divides the frame max. A legal-but-exotic SOF0 with luma
+    3x1 / chroma 2x1 must reject honestly (None) instead of silently
+    dropping the row via an undersized-plane stack error."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    img = np.random.RandomState(7).randint(0, 256, (16, 16, 3), np.uint8)
+    good = mm._jpeg_build(16, 16, img.tobytes(), subsample=True)
+    assert mm._jpeg_pixels(good) is not None
+    # SOF0 component spec: ... [cid, (h<<4)|v, qid] x ncomp. Patch luma
+    # to 3x1 and Cb to 2x1 — max_h=3, chroma ch=2, 3 % 2 != 0 — the
+    # exact ADVICE scenario, caught by the divisibility guard before
+    # any entropy decode is attempted.
+    b = bytearray(good)
+    at = bytes(b).index(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1) then specs
+    spec0 = at + 2 + 2 + 1 + 2 + 2 + 1
+    assert b[spec0] == 1 and b[spec0 + 1] == 0x22  # luma id=1, 2x2
+    b[spec0 + 1] = 0x31  # luma 3x1
+    assert b[spec0 + 3] == 2 and b[spec0 + 4] == 0x11  # Cb id=2, 1x1
+    b[spec0 + 4] = 0x21  # Cb 2x1 — does not divide max_h=3
+    assert mm._jpeg_pixels(bytes(b)) is None
