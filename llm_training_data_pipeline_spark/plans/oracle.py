@@ -5747,22 +5747,12 @@ def pq_topk_sql(
     """
 
 
-def _pq_rank_sql(
-    k: int,
-    m: int,
-    ks: int,
-    n_queries: int,
-    iters: int = 0,
-    rerank: int | None = None,
-) -> str:
-    """Generalized PQ ranking replay: the seeded codebook, ``iters``
-    exact-integer Lloyd rounds (the pq_topk_refined_sql round chain,
-    generated mechanically per round), the 1e-8-unit ADC ranking, and
-    optionally the exact rerank of the ``rerank``-deep ADC shortlist
-    (full-vector squared L2 in the same units — mirror of
-    similarity._exact_rerank). pq_topk_sql / pq_topk_refined_sql remain
-    the pinned single-config forms; this generator backs the
-    (m, ks, refine, rerank) curve and the reranked unified leg."""
+def _pq_scored_ctes(m: int, ks: int, n_queries: int, iters: int = 0) -> str:
+    """CTE body through ``scored`` — the ADC scan every PQ replay
+    shares (mirror of similarity._adc_scored): seeded codebook,
+    ``iters`` exact-integer Lloyd rounds, 1e-8-unit distance tables,
+    int64 lookup-sum scoring. Used by ``_pq_rank_sql`` (rankings) and
+    ``rerank_bound_stats_sql`` (the shortlist-bound audit)."""
     d2 = (
         "list_sum(list_transform(list_zip({a}, {b}),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -5820,7 +5810,30 @@ def _pq_rank_sql(
             ON e.sub = qt.sub AND e.code = qt.code AND e.vec_id <> qt.q_id
           GROUP BY qt.q_id, e.vec_id
         )""")
-    body = ",".join(ctes)
+    return ",".join(ctes)
+
+
+def _pq_rank_sql(
+    k: int,
+    m: int,
+    ks: int,
+    n_queries: int,
+    iters: int = 0,
+    rerank: int | None = None,
+) -> str:
+    """Generalized PQ ranking replay: the seeded codebook, ``iters``
+    exact-integer Lloyd rounds (the pq_topk_refined_sql round chain,
+    generated mechanically per round), the 1e-8-unit ADC ranking, and
+    optionally the exact rerank of the ``rerank``-deep ADC shortlist
+    (full-vector squared L2 in the same units — mirror of
+    similarity._exact_rerank). pq_topk_sql / pq_topk_refined_sql remain
+    the pinned single-config forms; this generator backs the
+    (m, ks, refine, rerank) curve and the reranked unified leg."""
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    body = _pq_scored_ctes(m, ks, n_queries, iters)
     if rerank is None:
         return f"""
         WITH {body}
@@ -5866,6 +5879,40 @@ def pq_topk_rerank_sql(
     default: seeded codebook ADC shortlist, exact full-vector re-rank
     in the same 1e-8 integer units."""
     return _pq_rank_sql(k, m, ks, n_queries, iters=0, rerank=shortlist)
+
+
+def rerank_bound_stats_sql(
+    m: int = 16,
+    ks: int = 256,
+    n_queries: int = 10,
+    shortlist: int = 50,
+) -> str:
+    """Mirror of similarity.rerank_shortlist_stats: the same ADC scan
+    and per-query shortlist window, then the Q x rerank bound
+    accounting — proving (value-checked) that the rerank join's input
+    is the bounded shortlist, never the N^2 candidate space."""
+    body = _pq_scored_ctes(m, ks, n_queries, iters=0)
+    return f"""
+        WITH {body},
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY adist_units, vec_id) AS srn
+            FROM scored
+          ) WHERE srn <= {shortlist}
+        ), per_q AS (
+          SELECT q_id, count(*) AS _n FROM short GROUP BY q_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST({shortlist} AS BIGINT) AS rerank_bound,
+               CAST(sum(_n) AS BIGINT) AS shortlist_rows,
+               CAST(max(_n) AS BIGINT) AS max_per_query,
+               CAST(count(*) * {shortlist} AS BIGINT) AS bound_rows,
+               (sum(_n) <= count(*) * {shortlist}
+                AND max(_n) <= {shortlist}) AS within_bound
+        FROM per_q
+    """
 
 
 def pq_recall_curve_sql(

@@ -4978,6 +4978,29 @@ def q_pq_topk_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries, k=10, m=16, ks=256, rerank=50)
 
 
+@register(
+    "rerank_bound_stats",
+    oracle.rerank_bound_stats_sql(m=16, ks=256, n_queries=10, shortlist=50),
+)
+def q_rerank_bound_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``band_cap_stats`` discipline applied to the shipped-default
+    ANN path (VERDICT r12 #2): hash-checked accounting that
+    ``pq_topk_reranked``'s exact-rerank join touches EXACTLY the
+    Q x rerank ADC shortlist — shortlist_rows, per-query max, the
+    bound, and the within_bound verdict on one row. With this pinned,
+    any sf1 timing spread on pq_topk_reranked is provably box variance,
+    not candidate-volume growth (similarity.rerank_shortlist_stats)."""
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        rerank_shortlist_stats,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return rerank_shortlist_stats(
+        emb, queries, k=10, m=16, ks=256, rerank=50
+    )
+
+
 @register("pq_recall", oracle.pq_recall_sql(k=10, m=8, ks=16))
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ/ADC path vs brute force — the accuracy cost

@@ -201,3 +201,47 @@ def test_eval_holdout_quota_plan_is_group_limited(spark):
     one task (the boolean-tag formulation defeated the rewrite)."""
     plan = _plan(spark, "eval_holdout_stats")
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_rerank_candidate_bound_is_pinned(spark):
+    """VERDICT r12 #2: pq_topk_reranked's exact-rerank join must take
+    the Q x rerank ADC shortlist — never the N^2 candidate space — and
+    the plan must show it: a WindowGroupLimit prunes each query's
+    candidates to the shortlist depth BEFORE the rerank joins, and both
+    rerank joins are broadcast point lookups (no SortMergeJoin
+    anywhere). The value-level bound is hash-checked by the registered
+    rerank_bound_stats query; together they make any sf1 timing spread
+    provably box variance, not plan growth."""
+    plan = _plan(spark, "pq_topk_reranked")
+    assert "WindowGroupLimit" in plan  # shortlist rank pushdown
+    assert "SortMergeJoin" not in plan  # rerank joins stay broadcast
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist + query vecs
+
+    # and the actual rerank input is exactly Q x rerank rows
+    from pyspark.sql import functions as F
+
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        rerank_shortlist_stats,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10)
+    row = rerank_shortlist_stats(
+        emb, queries, k=10, m=16, ks=256, rerank=50
+    ).collect()[0]
+    assert row["within_bound"] is True
+    assert row["n_queries"] == 10
+    assert row["shortlist_rows"] == row["bound_rows"] == 10 * 50
+    assert row["max_per_query"] == 50
+
+
+def test_rerank_shortlist_stats_rejects_rerank_below_k(spark):
+    from llm_training_data_pipeline_spark.operators.similarity import (
+        rerank_shortlist_stats,
+    )
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    with pytest.raises(ValueError, match="must be >= k"):
+        rerank_shortlist_stats(emb, emb, k=10, rerank=5)
