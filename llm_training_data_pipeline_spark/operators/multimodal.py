@@ -2457,18 +2457,20 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _jpeg_pixels(payload: bytes):
-    """REAL baseline JPEG decode → (w, h, rgb bytes) or None — pure
-    numpy, no codec library (ITU T.81 is a public spec). Decodes the
-    dominant interchange profile: SOF0 baseline sequential DCT, 8-bit,
-    Huffman entropy coding, 1-component grayscale or 3-component
-    JFIF YCbCr at sampling factors that divide the frame max (4:4:4 /
-    4:2:2 / 4:2:0 …; exotic non-dividing ratios reject honestly),
-    restart intervals, multi-segment DQT/DHT. Progressive (SOF2),
-    arithmetic coding, 12-bit, hierarchical and truncated streams
-    return an honest None. Per-block work is two 8x8 matrix products
-    (vectorized IDCT); the Huffman loop is per-SYMBOL Python — the
-    codec-kernel swap point at 100 TB, same caveat as PNG's Paeth
-    rows."""
+    """REAL JPEG decode → (w, h, rgb bytes) or None — pure numpy, no
+    codec library (ITU T.81 is a public spec). Decodes the dominant
+    interchange profiles: SOF0 baseline sequential DCT AND SOF2
+    progressive (spectral selection + successive approximation, EOB
+    runs, per-scan table redefinition — T.81 Annex G; r13, the most
+    common real-world web-JPEG variant), 8-bit, Huffman entropy
+    coding, 1-component grayscale or 3-component JFIF YCbCr at
+    sampling factors that divide the frame max (4:4:4 / 4:2:2 /
+    4:2:0 …; exotic non-dividing ratios reject honestly), restart
+    intervals, multi-segment DQT/DHT. Arithmetic coding, 12-bit,
+    hierarchical and truncated streams return an honest None.
+    Per-block work is two 8x8 matrix products (vectorized IDCT); the
+    Huffman loop is per-SYMBOL Python — the codec-kernel swap point at
+    100 TB, same caveat as PNG's Paeth rows."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -2478,14 +2480,22 @@ def _jpeg_pixels(payload: bytes):
     huff = {}
     frame = None  # (w, h, comps)
     restart = 0
+    progressive = False
+    coefs = None  # progressive: per-comp natural-order coefficient grids
+    scans_done = 0
+    eob_state = [0]  # EOB run survives blocks within a scan, never across
     try:
-        while pos + 4 <= n:
+        while pos + 2 <= n:
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 4 > n:
+                return None
             seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
             seg = payload[pos + 4 : pos + 2 + seg_len]
             if len(seg) != seg_len - 2:
@@ -2533,9 +2543,10 @@ def _jpeg_pixels(payload: bytes):
                             k += 1
                         code <<= 1
                     huff[(cls, tid)] = table
-            elif marker == 0xC0:  # SOF0 baseline
-                if seg[0] != 8:
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if seg[0] != 8 or frame is not None:
                     return None
+                progressive = marker == 0xC2
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
                 nc = seg[5]
@@ -2548,26 +2559,49 @@ def _jpeg_pixels(payload: bytes):
                     cid, samp, qid = seg[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, samp >> 4, samp & 15, qid))
                 frame = (w, h, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                if progressive:
+                    coefs = _jpeg_alloc_coefs(frame)
+                    if coefs is None:
+                        return None
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline frame types
+                return None  # non-baseline/progressive frame types
             elif marker == 0xDD:  # DRI
                 restart = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS — entropy data follows
                 if frame is None:
                     return None
                 ns = seg[0]
+                if len(seg) < 1 + 2 * ns + 3:
+                    return None
                 scomp = {}
+                scan_ids = []
                 for c in range(ns):
                     cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                     scomp[cid] = (tids >> 4, tids & 15)
-                return _jpeg_scan(
-                    payload, pos + 2 + seg_len, frame, scomp, qt, huff,
-                    restart,
+                    scan_ids.append(cid)
+                if not progressive:
+                    return _jpeg_scan(
+                        payload, pos + 2 + seg_len, frame, scomp, qt,
+                        huff, restart,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah_al = seg[3 + 2 * ns]
+                eob_state[0] = 0
+                pos = _jpeg_progressive_scan(
+                    payload, pos + 2 + seg_len, frame, scan_ids, scomp,
+                    huff, restart, coefs, ss, se, ah_al >> 4,
+                    ah_al & 15, eob_state,
                 )
+                if pos is None:
+                    return None
+                scans_done += 1
+                continue
             pos += 2 + seg_len
     except (EOFError, IndexError):
         return None
+    if progressive and coefs is not None and scans_done:
+        return _jpeg_reconstruct(frame, qt, coefs)
     return None
 
 
@@ -2584,7 +2618,11 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
     # … — all common ratios). Legal-but-exotic non-dividing factors (e.g.
     # luma 3x1 with chroma 2x1) would yield an undersized plane, so
     # reject them honestly rather than emit wrong pixels (ADVICE r12).
-    if any(max_h % ch or max_v % cv for _, ch, cv, _ in comps):
+    # A zero factor is corrupt outright (fuzz r13: modulo-by-zero).
+    if any(
+        ch == 0 or cv == 0 or max_h % ch or max_v % cv
+        for _, ch, cv, _ in comps
+    ):
         return None
     if w * h > _MAX_DECODE_PIXELS:
         return None  # decode-bomb guard: a 1 KB header can't make the
@@ -2656,6 +2694,15 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
                             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
     except (EOFError, IndexError):
         return None
+    return _jpeg_planes_to_rgb(planes, comps, w, h, max_h, max_v)
+
+
+def _jpeg_planes_to_rgb(planes, comps, w, h, max_h, max_v):
+    """Shared tail of baseline and progressive decode: integer-factor
+    chroma upsample (divisibility pre-checked by the caller), crop to
+    the frame, YCbCr→RGB (or gray replicate)."""
+    import numpy as np
+
     out_planes = []
     for ci, (cid, ch, cv, qid) in enumerate(comps):
         p = planes[ci]
@@ -2677,18 +2724,249 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
     return w, h, rgb.tobytes()
 
 
+def _jpeg_frame_geometry(frame):
+    """(max_h, max_v, mcux, mcuy) after the shared sanity checks, or
+    None — frame dims, factor bounds, divisibility (the upsampler
+    contract) and the decode-bomb pixel ceiling."""
+    w, h, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if max_h == 0 or max_v == 0 or max_h > 4 or max_v > 4:
+        return None
+    if any(
+        ch == 0 or cv == 0 or max_h % ch or max_v % cv
+        for _, ch, cv, _ in comps
+    ):
+        return None  # zero factors are corrupt; non-dividing are honest
+        # rejections (the integer-replicate upsampler contract)
+    if w * h > _MAX_DECODE_PIXELS:
+        return None
+    return max_h, max_v, -(-w // (8 * max_h)), -(-h // (8 * max_v))
+
+
+def _jpeg_alloc_coefs(frame):
+    """Progressive coefficient store: one (blocks_y, blocks_x, 64)
+    int32 grid per component in NATURAL (raster) coefficient order,
+    sized by the MCU grid (a superset of the non-interleaved grid).
+    None on an insane frame — allocation is gated by the same bomb
+    guard as the baseline path."""
+    import numpy as np
+
+    geo = _jpeg_frame_geometry(frame)
+    if geo is None:
+        return None
+    _mh, _mv, mcux, mcuy = geo
+    return [
+        np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
+        for _cid, ch, cv, _qid in frame[2]
+    ]
+
+
+def _jpeg_scan_units(frame, scan_ids, mcux, mcuy, max_h, max_v):
+    """Block traversal for one progressive scan as a list of units —
+    each unit a list of (ci, by, bx). Interleaved scans (ns > 1) walk
+    the MCU grid; single-component scans walk THAT component's own
+    block grid (T.81 A.2.2 — can be smaller than the MCU grid's
+    span), restart intervals counting units either way."""
+    w, h, comps = frame
+    by_id = {c[0]: (ci, c) for ci, c in enumerate(comps)}
+    if len(scan_ids) > 1:
+        order = [by_id[cid] for cid in scan_ids]
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                u = []
+                for ci, (_cid, ch, cv, _q) in order:
+                    for by in range(cv):
+                        for bx in range(ch):
+                            u.append((ci, my * cv + by, mx * ch + bx))
+                units.append(u)
+        return units
+    ci, (_cid, ch, cv, _q) = by_id[scan_ids[0]]
+    cw = -(-(w * ch) // max_h)  # component width/height (T.81 A.1.1)
+    chh = -(-(h * cv) // max_v)
+    bw, bh = -(-cw // 8), -(-chh // 8)
+    return [
+        [(ci, by, bx)] for by in range(bh) for bx in range(bw)
+    ]
+
+
+def _jpeg_progressive_scan(
+    payload, pos, frame, scan_ids, scomp, huff, restart, coefs,
+    ss, se, ah, al, eob_state,
+):
+    """One progressive (SOF2) scan decoded into the persistent
+    coefficient store — ITU T.81 G.2: DC first/refine (Ss=Se=0, point
+    transform Al), AC first/refine (single component, spectral band
+    Ss..Se, EOB runs, correction bits), restart intervals. Returns the
+    payload offset of the next marker, or None on corrupt data. The
+    scan loop is per-symbol Python like the baseline path — same
+    codec-kernel caveat."""
+    w, h, comps = frame
+    geo = _jpeg_frame_geometry(frame)
+    if geo is None:
+        return None
+    max_h, max_v, mcux, mcuy = geo
+    if ss > se or se > 63 or ah > 13 or al > 13:
+        return None
+    if ss == 0 and se != 0:
+        return None  # progressive DC scans carry DC only
+    if ss > 0 and len(scan_ids) != 1:
+        return None  # AC scans are single-component
+    if any(cid not in {c[0] for c in comps} for cid in scan_ids):
+        return None
+    units = _jpeg_scan_units(frame, scan_ids, mcux, mcuy, max_h, max_v)
+    zig = _JPEG_ZIGZAG
+    bits = _JpegBits(payload, pos)
+    pred = {cid: 0 for cid in scan_ids}
+    cid_of = {ci: c[0] for ci, c in enumerate(comps)}
+    eobrun = eob_state[0]
+    p1, m1 = 1 << al, -(1 << al)
+    try:
+        for ui, unit in enumerate(units):
+            if restart and ui and ui % restart == 0:
+                if not bits.align_restart(ui // restart - 1):
+                    return None
+                pred = {cid: 0 for cid in scan_ids}
+                eobrun = 0
+            for ci, by, bx in unit:
+                blk = coefs[ci][by, bx]
+                if ss == 0 and ah == 0:  # DC first
+                    tab = huff.get((0, scomp[cid_of[ci]][0]))
+                    if tab is None:
+                        return None
+                    t = _jpeg_huff_decode(bits, tab)
+                    diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                    pred[cid_of[ci]] += diff
+                    if abs(pred[cid_of[ci]]) > (1 << 24):
+                        raise EOFError  # runaway predictor: corrupt
+                    blk[0] = pred[cid_of[ci]] << al
+                elif ss == 0:  # DC refinement: one bit per block
+                    if bits.bit():
+                        blk[0] |= p1
+                elif ah == 0:  # AC first (T.81 G.2.2)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    tab = huff.get((1, scomp[cid_of[ci]][1]))
+                    if tab is None:
+                        return None
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(bits, tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1  # this block included
+                            if r:
+                                eobrun += bits.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            return None
+                        blk[zig[k]] = _jpeg_extend(bits.bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (T.81 G.2.3 / the jdphuff shape)
+                    tab = huff.get((1, scomp[cid_of[ci]][1]))
+                    if tab is None:
+                        return None
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_huff_decode(bits, tab)
+                            r, s = rs >> 4, rs & 15
+                            if s:
+                                if s != 1:
+                                    return None  # only ±1 is legal here
+                                val = p1 if bits.bit() else m1
+                            else:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += bits.bits(r)
+                                    break
+                                val = 0  # ZRL: 16 zero-history skips
+                            while k <= se:
+                                c = int(blk[zig[k]])
+                                if c != 0:
+                                    if bits.bit() and (c & p1) == 0:
+                                        blk[zig[k]] = c + (
+                                            p1 if c >= 0 else m1
+                                        )
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                blk[zig[k]] = val
+                            k += 1
+                    if eobrun > 0:
+                        # correction bits for the band remainder of a
+                        # block inside an EOB run
+                        while k <= se:
+                            c = int(blk[zig[k]])
+                            if c != 0:
+                                if bits.bit() and (c & p1) == 0:
+                                    blk[zig[k]] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    except (EOFError, IndexError):
+        return None
+    eob_state[0] = eobrun
+    # skip to the next real marker (the reader may sit mid-byte inside
+    # pad bits; stuffed 0xFF00 and RSTn bytes are entropy data)
+    p, n = bits.pos, len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return None  # ran off the stream without a closing marker
+
+
+def _jpeg_reconstruct(frame, qt, coefs):
+    """Dequantize + vectorized IDCT of the accumulated progressive
+    coefficients, then the shared upsample/color tail."""
+    import numpy as np
+
+    w, h, comps = frame
+    geo = _jpeg_frame_geometry(frame)
+    if geo is None:
+        return None
+    max_h, max_v, mcux, mcuy = geo
+    m = _jpeg_dct_matrix()
+    planes = []
+    for ci, (cid, ch, cv, qid) in enumerate(comps):
+        if qid not in qt:
+            return None
+        q = qt[qid].astype(np.float64)
+        nby, nbx = coefs[ci].shape[:2]
+        blk = coefs[ci].reshape(nby, nbx, 8, 8).astype(np.float64) * q
+        # px[by,bx] = m.T @ blk @ m + 128 for every block at once
+        px = np.einsum("ij,abjk,kl->abil", m.T, blk, m) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        planes.append(plane)
+    return _jpeg_planes_to_rgb(planes, comps, w, h, max_h, max_v)
+
+
 def decode_jpeg_pixels(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """REAL baseline JPEG decode to the PIXEL_SCHEMA contract
-    (``is_stub`` = FALSE) via ``_jpeg_pixels`` — the fifth real image
-    decoder, retiring the engine's last gated image format for the
-    dominant interchange profile (SOF0 sequential Huffman). Same
-    plumbing and downstream contract as ``decode_bmp_pixels``. JPEG is
-    LOSSY: tests pin reconstruction tolerance, not byte equality (and
-    exact equality for the DC-only constant case)."""
+    """REAL JPEG decode to the PIXEL_SCHEMA contract (``is_stub`` =
+    FALSE) via ``_jpeg_pixels`` — baseline SOF0 sequential Huffman AND
+    (r13) SOF2 progressive, together the dominant web interchange
+    profiles. Same plumbing and downstream contract as
+    ``decode_bmp_pixels``. JPEG is LOSSY: tests pin reconstruction
+    tolerance, not byte equality (and exact equality for the DC-only
+    constant case); progressive decode is additionally pinned
+    BIT-IDENTICAL to the baseline path on the same quantized
+    coefficients."""
     return _real_pixel_decode_op(df, _jpeg_pixels, payload_col, id_col)
 
 
@@ -3043,32 +3321,33 @@ class _JpegBitWriter:
             self.put(1, 1)  # pad with 1s per spec
 
 
-def _jpeg_build(
-    width: int,
-    height: int,
-    samples: bytes,
-    gray: bool = False,
-    quant=None,
-    subsample: bool = False,
-    restart: int = 0,
-) -> bytes:
-    """Forward baseline-JPEG encoder for fixtures/tests — the spec's
-    FORWARD direction (RGB→YCbCr, optional 2x2 chroma subsampling by
-    block average, level shift, orthonormal DCT, quantize, zigzag,
-    DC-diff + run-length Huffman), so decode-vs-original tolerance
-    assertions prove ``_jpeg_pixels`` inverts T.81 rather than
-    mirroring its own math. Huffman tables are valid fixed-length
-    canonical codes built from the stream's own distinct symbols and
-    shipped in DHT — the decoder must handle arbitrary DHT, not just
-    Annex K. ``quant`` defaults to the all-ones table (near-lossless:
-    only DCT float rounding and color-convert rounding remain). Not an
-    optimizing encoder; not exported API."""
+def _jpeg_canonical_tables(seen: dict) -> dict:
+    """Fixed-length canonical Huffman per table (valid, not optimal):
+    K symbols at length L = ceil(log2(K+1)) so the all-ones code of
+    length L is never assigned. seen: tkey -> set of symbols; returns
+    tkey -> (counts[16], syms, {sym: (code, L)})."""
+    tables = {}
+    for tkey, symset in seen.items():
+        syms = sorted(symset)
+        lcap = max(1, (len(syms)).bit_length())
+        if (1 << lcap) - 1 < len(syms):
+            lcap += 1
+        counts = [0] * 16
+        counts[lcap - 1] = len(syms)
+        enc = {s: (i, lcap) for i, s in enumerate(syms)}
+        tables[tkey] = (counts, syms, enc)
+    return tables
+
+
+def _jpeg_forward_blocks(width, height, samples, gray, q, subsample):
+    """Shared front half of the forward JPEG encoders: RGB→YCbCr,
+    optional 2x2 chroma subsampling (block average), pad to the MCU
+    grid, forward DCT, quantize. Returns (comps, blocks, mcux, mcuy)
+    with comps = [(cid, ch, cv, plane)] and blocks[ci] indexed
+    [by][bx] as 8x8 int32 quantized coefficients."""
     import numpy as np
 
-    q = np.array(quant if quant is not None else _JPEG_FLAT_QUANT, np.int32)
-    assert q.shape == (8, 8) and q.min() >= 1 and q.max() <= 255
     m = _jpeg_dct_matrix()
-
     if gray:
         y = np.frombuffer(samples, np.uint8).reshape(height, width)
         full_planes = [y.astype(np.float64)]
@@ -3121,6 +3400,36 @@ def _jpeg_build(
                 blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 qb[by, bx] = np.rint((m @ blk @ m.T) / q).astype(np.int32)
         blocks.append(qb)
+    return comps, blocks, mcux, mcuy
+
+
+def _jpeg_build(
+    width: int,
+    height: int,
+    samples: bytes,
+    gray: bool = False,
+    quant=None,
+    subsample: bool = False,
+    restart: int = 0,
+) -> bytes:
+    """Forward baseline-JPEG encoder for fixtures/tests — the spec's
+    FORWARD direction (RGB→YCbCr, optional 2x2 chroma subsampling by
+    block average, level shift, orthonormal DCT, quantize, zigzag,
+    DC-diff + run-length Huffman), so decode-vs-original tolerance
+    assertions prove ``_jpeg_pixels`` inverts T.81 rather than
+    mirroring its own math. Huffman tables are valid fixed-length
+    canonical codes built from the stream's own distinct symbols and
+    shipped in DHT — the decoder must handle arbitrary DHT, not just
+    Annex K. ``quant`` defaults to the all-ones table (near-lossless:
+    only DCT float rounding and color-convert rounding remain). Not an
+    optimizing encoder; not exported API."""
+    import numpy as np
+
+    q = np.array(quant if quant is not None else _JPEG_FLAT_QUANT, np.int32)
+    assert q.shape == (8, 8) and q.min() >= 1 and q.max() <= 255
+    comps, blocks, mcux, mcuy = _jpeg_forward_blocks(
+        width, height, samples, gray, q, subsample
+    )
 
     def mag_bits(v: int):
         t = abs(v).bit_length()
@@ -3175,19 +3484,7 @@ def _jpeg_build(
                             ops.append(("s", (1, tid), 0x00))  # EOB
                             seen.setdefault((1, tid), set()).add(0x00)
 
-    # fixed-length canonical Huffman per table (valid, not optimal):
-    # K symbols at length L = ceil(log2(K+1)) so the all-ones code of
-    # length L is never assigned.
-    tables = {}  # tkey -> (counts[16], syms, {sym: (code, L)})
-    for tkey, symset in seen.items():
-        syms = sorted(symset)
-        lcap = max(1, (len(syms)).bit_length())
-        if (1 << lcap) - 1 < len(syms):
-            lcap += 1
-        counts = [0] * 16
-        counts[lcap - 1] = len(syms)
-        enc = {s: (i, lcap) for i, s in enumerate(syms)}
-        tables[tkey] = (counts, syms, enc)
+    tables = _jpeg_canonical_tables(seen)
 
     wtr = _JpegBitWriter()
     for op in ops:
@@ -3229,6 +3526,247 @@ def _jpeg_build(
     sos += bytes((0, 63, 0))
     out += seg(0xDA, sos)
     out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_build_progressive(
+    width: int,
+    height: int,
+    samples: bytes,
+    gray: bool = False,
+    quant=None,
+    subsample: bool = False,
+    restart: int = 0,
+    script=None,
+) -> bytes:
+    """Forward PROGRESSIVE-JPEG encoder for fixtures/tests — the
+    spec's forward direction of T.81 Annex G (spectral selection +
+    successive approximation), mirroring the libjpeg jcphuff shape:
+    DC first/refine with point transform, AC first scans with
+    accumulated EOB runs, AC refinement scans with ZRL folding and
+    buffered correction bits. Per-scan Huffman tables (fresh DHT before
+    every SOS — the decoder must handle table redefinition). ``script``
+    = [(comp_indices, Ss, Se, Ah, Al)]; the default is the cjpeg
+    standard 10-scan (3-comp) / 6-scan (gray) script. Not exported
+    API; used only so progressive decode is pinned against an
+    independent forward encoder."""
+    import numpy as np
+
+    q = np.array(quant if quant is not None else _JPEG_FLAT_QUANT, np.int32)
+    assert q.shape == (8, 8) and q.min() >= 1 and q.max() <= 255
+    comps, blocks, mcux, mcuy = _jpeg_forward_blocks(
+        width, height, samples, gray, q, subsample
+    )
+    ncomp = len(comps)
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if script is None:
+        if ncomp == 1:
+            script = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+                ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+            ]
+
+    zig = list(_JPEG_ZIGZAG)
+
+    def zz_of(ci, by, bx):
+        return blocks[ci][by, bx].reshape(64)[zig]
+
+    def units_for(scan_cis):
+        if len(scan_cis) > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    u = []
+                    for ci in scan_cis:
+                        _cid, ch, cv, _p = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                u.append((ci, my * cv + by, mx * ch + bx))
+                    units.append(u)
+            return units
+        ci = scan_cis[0]
+        _cid, ch, cv, _p = comps[ci]
+        cw = -(-(width * ch) // max_h)
+        chh = -(-(height * cv) // max_v)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        return [[(ci, by, bx)] for by in range(bh) for bx in range(bw)]
+
+    def mag_bits(v: int):
+        t = abs(v).bit_length()
+        return (t, v if v >= 0 else v + (1 << t) - 1)
+
+    scans_out = []  # (tables, sos_body, entropy bytes)
+    for scan_cis, ss, se, ah, al in script:
+        ops = []  # ("s", tkey, sym) | ("b", val, nbits) | ("r", idx)
+        seen = {}
+
+        def sym(tkey, s):
+            ops.append(("s", tkey, s))
+            seen.setdefault(tkey, set()).add(s)
+
+        tid_of = {ci: (0 if ci == 0 else 1) for ci in scan_cis}
+        units = units_for(scan_cis)
+        if ss == 0:
+            pred = {ci: 0 for ci in scan_cis}
+            for ui, unit in enumerate(units):
+                if restart and ui and ui % restart == 0:
+                    ops.append(("r", (ui // restart - 1) & 7))
+                    pred = {ci: 0 for ci in scan_cis}
+                for ci, by, bx in unit:
+                    dc = int(zz_of(ci, by, bx)[0])
+                    if ah == 0:  # DC first: diff-code the point transform
+                        v = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t, vb = mag_bits(diff)
+                        sym((0, tid_of[ci]), t)
+                        if t:
+                            ops.append(("b", vb, t))
+                    else:  # DC refinement: one raw bit
+                        ops.append(("b", (dc >> al) & 1, 1))
+        else:
+            ci = scan_cis[0]
+            tkey = (1, tid_of[ci])
+            eobrun = 0
+            be_bits: list[int] = []  # corrections owned by pending EOBRUN
+
+            def flush_eob():
+                nonlocal eobrun, be_bits
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    sym(tkey, r << 4)
+                    if r:
+                        ops.append(("b", eobrun - (1 << r), r))
+                    eobrun = 0
+                for b in be_bits:
+                    ops.append(("b", b, 1))
+                be_bits = []
+
+            for ui, unit in enumerate(units):
+                if restart and ui and ui % restart == 0:
+                    flush_eob()
+                    ops.append(("r", (ui // restart - 1) & 7))
+                (ci, by, bx) = unit[0]
+                zz = zz_of(ci, by, bx)
+                if ah == 0:  # AC first (jcphuff encode_mcu_AC_first)
+                    r = 0
+                    emitted = False
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        tv = (abs(v)) >> al
+                        if tv == 0:
+                            r += 1
+                            continue
+                        flush_eob()
+                        while r > 15:
+                            sym(tkey, 0xF0)  # ZRL
+                            r -= 16
+                        t = tv.bit_length()
+                        _t, vb = mag_bits(tv if v > 0 else -tv)
+                        sym(tkey, (r << 4) | t)
+                        ops.append(("b", vb, t))
+                        r = 0
+                        emitted = True
+                    if r > 0 or not emitted:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                else:  # AC refinement (jcphuff encode_mcu_AC_refine)
+                    ab = [(abs(int(zz[k]))) >> al for k in range(64)]
+                    eob_k = ss - 1
+                    for k in range(ss, se + 1):
+                        if ab[k] == 1:
+                            eob_k = k
+                    r = 0
+                    br: list[int] = []
+                    for k in range(ss, se + 1):
+                        t = ab[k]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_k:
+                            flush_eob()
+                            sym(tkey, 0xF0)
+                            r -= 16
+                            for b in br:
+                                ops.append(("b", b, 1))
+                            br = []
+                        if t > 1:  # history-nonzero: correction bit
+                            br.append(t & 1)
+                            continue
+                        flush_eob()
+                        sym(tkey, (r << 4) | 1)
+                        ops.append(("b", 1 if int(zz[k]) > 0 else 0, 1))
+                        for b in br:
+                            ops.append(("b", b, 1))
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        be_bits.extend(br)
+                        if eobrun == 0x7FFF or len(be_bits) > 900:
+                            flush_eob()
+            flush_eob()
+
+        tables = _jpeg_canonical_tables(seen)
+        wtr = _JpegBitWriter()
+        for op in ops:
+            if op[0] == "s":
+                code, ln = tables[op[1]][2][op[2]]
+                wtr.put(code, ln)
+            elif op[0] == "b":
+                wtr.put(op[1], op[2])
+            else:
+                wtr.align()
+                wtr.buf += bytes((0xFF, 0xD0 + op[1]))
+        wtr.align()
+
+        sos = bytes((len(scan_cis),))
+        for ci in scan_cis:
+            tid = tid_of[ci]
+            sos += bytes((comps[ci][0], (tid << 4) | tid))
+        sos += bytes((ss, se, (ah << 4) | al))
+        scans_out.append((tables, sos, bytes(wtr.buf)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + (len(body) + 2).to_bytes(2, "big") + body
+
+    zzq = bytes(int(q.reshape(64)[zig[k]]) for k in range(64))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes((0x00,)) + zzq)
+    if ncomp == 3:
+        out += seg(0xDB, bytes((0x01,)) + zzq)
+    sof = bytes((8,)) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes((ncomp,))
+    for ci, (cid, ch, cv, _pl) in enumerate(comps):
+        sof += bytes((cid, (ch << 4) | cv, 0 if ci == 0 else 1))
+    out += seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    for tables, sos, entropy in scans_out:
+        for (cls, tid), (counts, syms, _enc) in sorted(tables.items()):
+            out += seg(
+                0xC4,
+                bytes(((cls << 4) | tid,)) + bytes(counts) + bytes(syms),
+            )
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)
 

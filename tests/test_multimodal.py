@@ -833,8 +833,10 @@ def test_jpeg_decode_inverts_forward_encoding():
 
 
 def test_jpeg_pixels_rejects_unsupported():
-    """Honest None outside the baseline profile: junk after SOI,
-    truncated streams, progressive (SOF2)."""
+    """Honest None outside the supported profiles: junk after SOI,
+    truncated streams, and a BASELINE scan mislabeled as progressive
+    (SOF2 requires DC scans to carry Ss=Se=0; a baseline Ss=0/Se=63
+    SOS under a progressive frame header is corrupt, r13)."""
     import numpy as np
 
     from llm_training_data_pipeline_spark.operators.multimodal import (
@@ -854,8 +856,11 @@ def test_jpeg_pixels_rejects_unsupported():
     assert _jpeg_pixels(good[:40]) is None
     prog = bytearray(good)
     at = bytes(prog).index(b"\xff\xc0")
-    prog[at + 1] = 0xC2  # progressive frame marker
+    prog[at + 1] = 0xC2  # progressive frame marker, baseline scan
     assert _jpeg_pixels(bytes(prog)) is None
+    lossless = bytearray(good)
+    lossless[at + 1] = 0xC3  # lossless frame type stays rejected
+    assert _jpeg_pixels(bytes(lossless)) is None
 
 
 def test_decode_jpeg_pixels_within_tolerance(spark):
@@ -1406,6 +1411,10 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._gif_from_rgb(img),
         mm._jpeg_build(w, h, img.tobytes()),
         mm._jpeg_build(w, h, img.tobytes(), subsample=True, restart=2),
+        mm._jpeg_build_progressive(w, h, img.tobytes()),
+        mm._jpeg_build_progressive(
+            w, h, img.tobytes(), subsample=True, restart=2
+        ),
         mm._tiff_build(img, "<", packbits=True),
         mm._tiff_build(img[..., 0], ">", rows_per_strip=7),
         b"P6\n48 32\n255\n" + img.tobytes(),
@@ -1629,3 +1638,167 @@ def test_jpeg_non_dividing_sampling_rejects():
     assert b[spec0 + 3] == 2 and b[spec0 + 4] == 0x11  # Cb id=2, 1x1
     b[spec0 + 4] = 0x21  # Cb 2x1 — does not divide max_h=3
     assert mm._jpeg_pixels(bytes(b)) is None
+
+
+def test_progressive_jpeg_matches_baseline_bit_for_bit():
+    """r13 (VERDICT r12 #3) — SOF2 progressive decode, pinned the
+    strongest way available: on the SAME quantized coefficients the
+    progressive scan chain (DC first/refine, spectral-selection AC
+    bands, successive-approximation refinement, EOB runs) must
+    reconstruct pixels BIT-IDENTICAL to the already-pinned baseline
+    path, across dims / gray / chroma subsampling / restart intervals /
+    lossy quant tables."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(20260816)
+    q_lossy = np.clip((np.arange(64).reshape(8, 8) + 1) * 2, 1, 255)
+    cases = []
+    for w, h in ((8, 8), (16, 16), (17, 13), (24, 16), (7, 5)):
+        img = rng.randint(0, 256, (h, w, 3), np.uint8)
+        cases.append((w, h, img.tobytes(), dict()))
+        cases.append((w, h, img.tobytes(), dict(quant=q_lossy)))
+        cases.append((w, h, img[..., 0].tobytes(), dict(gray=True)))
+    img = rng.randint(0, 256, (16, 24, 3), np.uint8)
+    for rst in (0, 2, 3):
+        cases.append(
+            (24, 16, img.tobytes(), dict(subsample=True, restart=rst))
+        )
+        cases.append((24, 16, img.tobytes(), dict(restart=rst)))
+    for w, h, samples, kw in cases:
+        prog = mm._jpeg_pixels(mm._jpeg_build_progressive(w, h, samples, **kw))
+        base = mm._jpeg_pixels(mm._jpeg_build(w, h, samples, **kw))
+        assert prog is not None and base is not None, kw
+        assert prog[:2] == base[:2] == (w, h)
+        assert prog[2] == base[2], kw
+
+
+def test_progressive_jpeg_decodes_within_tolerance_of_source():
+    """And against the ORIGINAL pixels (not just the baseline path):
+    flat-quant progressive round-trip stays within the same tolerance
+    the baseline fixtures pin (DCT float rounding + color convert)."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 17, 3), np.uint8)
+    w, h, rgb = mm._jpeg_pixels(
+        mm._jpeg_build_progressive(17, 13, img.tobytes())
+    )
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(int)
+    assert (w, h) == (17, 13)
+    assert np.abs(arr - img.astype(int)).max() <= 4
+    # DC-only constant image is exact even through the scan chain
+    const = np.full((16, 16, 3), 137, np.uint8)
+    w, h, rgb = mm._jpeg_pixels(
+        mm._jpeg_build_progressive(16, 16, const.tobytes())
+    )
+    assert np.array_equal(
+        np.frombuffer(rgb, np.uint8).reshape(16, 16, 3), const
+    )
+
+
+def test_progressive_jpeg_eob_runs_and_custom_scripts():
+    """EOB runs spanning many blocks (mostly-flat image: AC bands are
+    all-zero across consecutive blocks, forcing EOBn with extension
+    bits through the accumulation path) and non-default scan scripts:
+    spectral-selection-only (no successive approximation) and a
+    many-band split — all must still match the baseline path
+    bit-for-bit."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    # 64x48 nearly-flat: one bright block in a sea of constant gray →
+    # long EOB runs in every AC scan
+    img = np.full((48, 64, 3), 90, np.uint8)
+    img[20:24, 30:34] = 240
+    base = mm._jpeg_pixels(mm._jpeg_build(64, 48, img.tobytes()))
+    prog = mm._jpeg_pixels(mm._jpeg_build_progressive(64, 48, img.tobytes()))
+    assert prog[2] == base[2]
+
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    scripts = [
+        # spectral selection only, Ah=Al=0 everywhere
+        [([0, 1, 2], 0, 0, 0, 0), ([0], 1, 63, 0, 0),
+         ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+        # many narrow bands
+        [([0, 1, 2], 0, 0, 0, 0),
+         ([0], 1, 2, 0, 0), ([0], 3, 9, 0, 0), ([0], 10, 63, 0, 0),
+         ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+        # deep successive approximation on luma AC
+        [([0, 1, 2], 0, 0, 0, 2), ([0, 1, 2], 0, 0, 1, 1),
+         ([0, 1, 2], 0, 0, 1, 0),
+         ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1),
+         ([0], 1, 63, 1, 0),
+         ([1], 1, 63, 0, 0), ([2], 1, 63, 0, 0)],
+    ]
+    base = mm._jpeg_pixels(mm._jpeg_build(16, 16, noisy.tobytes()))
+    for script in scripts:
+        prog = mm._jpeg_pixels(
+            mm._jpeg_build_progressive(16, 16, noisy.tobytes(), script=script)
+        )
+        assert prog is not None, script
+        assert prog[2] == base[2], script
+
+
+def test_progressive_jpeg_partial_scan_prefix_renders():
+    """A progressive stream cut after complete scans (plus EOI) is a
+    legal coarse render — the defining property of the format. The
+    DC-only prefix must decode to the per-block DC average, and each
+    added scan must stay decodable; the full chain equals baseline."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+    full = mm._jpeg_build_progressive(16, 16, img.tobytes())
+    # scan boundaries = positions of DHT markers following entropy data;
+    # find all SOS segments and cut before the 2nd/3rd/... DHT group
+    pre_cuts, cuts = [], []  # DHT positions before/after the 1st SOS
+    i = 2
+    n = len(full)
+    scans_seen = 0
+    while i + 4 <= n:  # walk top-level markers like the decoder does
+        if full[i] != 0xFF:
+            i += 1
+            continue
+        m = full[i + 1]
+        if m == 0xC4:
+            (cuts if scans_seen else pre_cuts).append(i)
+        if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(full[i + 2 : i + 4], "big")
+        if m == 0xDA:  # skip entropy till next real marker
+            scans_seen += 1
+            j = i + 2 + seg_len
+            while j + 1 < n and not (
+                full[j] == 0xFF
+                and full[j + 1] != 0
+                and not (0xD0 <= full[j + 1] <= 0xD7)
+            ):
+                j += 1
+            i = j
+        else:
+            i += 2 + seg_len
+    # a prefix cut before the first SOS has no scan and must reject;
+    # every cut after >= 1 complete scan renders
+    for c in pre_cuts:
+        assert mm._jpeg_pixels(full[:c] + b"\xff\xd9") is None
+    assert len(cuts) >= 4
+    for c in cuts:
+        got = mm._jpeg_pixels(full[:c] + b"\xff\xd9")
+        assert got is not None and got[:2] == (16, 16)
+    # DC-only prefix (cut right after the first scan): every 8x8 cell
+    # of the render is constant (no AC energy yet)
+    w, h, rgb = mm._jpeg_pixels(full[: cuts[0]] + b"\xff\xd9")
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    for by in range(2):
+        for bx in range(2):
+            cell = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (cell == cell[0, 0]).all()
