@@ -1655,18 +1655,42 @@ def _rgb_palette_indices(img):
     return pal, idx, ncol
 
 
-def _gif_build_animation(frames_rgb, interlace_every: int = 0) -> bytes:
-    """Forward ANIMATED GIF builder for fixtures/tests: GIF89a header
-    (no global color table), then per frame a Graphic Control
-    Extension + image descriptor with an exact image-local color
-    table + LZW data (frame ``f`` interlaced when ``interlace_every``
-    > 0 and f % interlace_every == 0), then the trailer. Frames may
-    have different dimensions (stored-frame semantics — the decoder
-    returns frames AS STORED). Not exported API."""
+def _gif_build_animation(
+    frames_rgb,
+    interlace_every: int = 0,
+    screen=None,
+    placements=None,
+    disposals=None,
+    transparent_colors=None,
+    bg_rgb=None,
+) -> bytes:
+    """Forward ANIMATED GIF builder for fixtures/tests: GIF89a header,
+    then per frame a Graphic Control Extension + image descriptor with
+    an exact image-local color table + LZW data (frame ``f``
+    interlaced when ``interlace_every`` > 0 and f % interlace_every ==
+    0), then the trailer. Frames may have different dimensions.
+
+    Compositing knobs (r13, all default to the stored-frame shape the
+    r12 tests pinned): ``screen`` = (w, h) logical screen (default
+    frame 0's dims), ``placements`` = per-frame (left, top),
+    ``disposals`` = per-frame GIF89a disposal method 0-3,
+    ``transparent_colors`` = per-frame RGB tuple mapped to the GCE
+    transparency index (or None), ``bg_rgb`` = emits a 2-entry global
+    color table with that color as background index 0. Not exported
+    API."""
     h0, w0, _ = frames_rgb[0].shape
+    sw, sh = screen if screen is not None else (w0, h0)
+    nf = len(frames_rgb)
+    placements = placements or [(0, 0)] * nf
+    disposals = disposals or [0] * nf
+    transparent_colors = transparent_colors or [None] * nf
     out = bytearray(b"GIF89a")
-    out += w0.to_bytes(2, "little") + h0.to_bytes(2, "little")
-    out += bytes((0x00, 0, 0))  # no GCT
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    if bg_rgb is not None:
+        out += bytes((0x80, 0, 0))  # GCT flag, 2 entries, bg index 0
+        out += bytes(bg_rgb) + bytes(3)
+    else:
+        out += bytes((0x00, 0, 0))  # no GCT
     for f, img in enumerate(frames_rgb):
         h, w, _ = img.shape
         pal, idx, ncol = _rgb_palette_indices(img)
@@ -1680,8 +1704,18 @@ def _gif_build_animation(frames_rgb, interlace_every: int = 0) -> bytes:
                 for y in range(start, h, step)
             ]
             idx = b"".join(idx[y * w : (y + 1) * w] for y in order)
-        out += bytes((0x21, 0xF9, 4, 0, 10, 0, 0, 0))  # GCE, 10cs delay
-        out += bytes((0x2C,)) + bytes(4)
+        tcol = transparent_colors[f]
+        tidx = 0
+        if tcol is not None:
+            # the exact-palette builder sorts colors, so the index of
+            # the transparent color is its sorted rank
+            pal_colors = [tuple(pal[i : i + 3]) for i in range(0, len(pal), 3)]
+            tidx = pal_colors.index(tuple(tcol))
+        gp = (disposals[f] & 7) << 2 | (1 if tcol is not None else 0)
+        out += bytes((0x21, 0xF9, 4, gp, 10, 0, tidx, 0))  # GCE
+        left, top = placements[f]
+        out += bytes((0x2C,))
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
         out += bytes(((0x40 if interlaced else 0) | 0x80 | ct_exp,))
         out += pal
@@ -1700,13 +1734,18 @@ def sample_gif_frames(
     every_n: int = 1,
     payload_col: str = "payload",
     id_col: str = "asset_id",
+    rendered: bool = True,
 ) -> DataFrame:
     """REAL animated-GIF frame sampling (``is_stub`` = FALSE) into the
     same FRAME_SCHEMA contract as ``sample_avi_frames``: every
-    ``every_n``-th STORED frame (always including frame 0), each at its
-    own dimensions — no disposal-method compositing (frames are what
-    the file stores; a compositing consumer layers them onto the
-    logical screen itself). Undecodable payloads are OMITTED."""
+    ``every_n``-th frame (always including frame 0). Default
+    ``rendered=True`` (r13): frames are COMPOSITED onto the logical
+    screen per the GIF89a animation model — placement, transparency,
+    disposal methods 0-3 (``_gif_frames_rendered``), so every row is
+    what a viewer shows at logical-screen dimensions.
+    ``rendered=False`` returns frames AS STORED at their own
+    dimensions. Undecodable payloads are OMITTED."""
+    decode = _gif_frames_rendered if rendered else _gif_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1714,7 +1753,7 @@ def sample_gif_frames(
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
                 # same corrupt-file policy as _real_pixel_decode_op
                 try:
-                    frames = _gif_frames(bytes(p) if p is not None else b"")
+                    frames = decode(bytes(p) if p is not None else b"")
                 except Exception:
                     frames = None
                 if not frames:
@@ -2269,25 +2308,25 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int = -1):
     return bytes(out)
 
 
-def _gif_frames(payload: bytes, max_frames: int = -1):
-    """REAL GIF frame walk → list of (w, h, rgb bytes) or None — pure
-    Python LZW + palette lookup, no imaging library. Decodes EVERY
-    image descriptor (animated GIFs: all stored frames, at each
-    frame's own dimensions — frames are returned AS STORED, without
-    disposal-method compositing onto the logical screen; document
-    consumers accordingly), global or local color table, interlaced
-    (the 4-pass row order) or sequential. Extension blocks (incl.
-    Graphic Control) are walked past; transparency is ignored — the
-    palette color shows, matching the alpha-drop policy pinned for
-    PNG. Missing color table, corrupt LZW, short index streams and
-    out-of-range indices return an honest None. ``max_frames`` >= 0
-    stops the walk early (sampling consumers pay decode only for the
-    frames they keep when sampling a prefix)."""
+def _gif_frame_records(payload: bytes, max_frames: int = -1):
+    """REAL GIF container walk → (screen_w, screen_h, bg_idx, gct,
+    records) or None — pure Python LZW + palette lookup, no imaging
+    library. One record per image descriptor:
+    (left, top, w, h, idx ndarray (de-interlaced), ct, transparent_idx
+    or None, disposal) — everything both the stored-frame and the
+    disposal-compositing consumers need. Graphic Control Extensions
+    are parsed (disposal method, transparency index) and apply to the
+    NEXT image only, per GIF89a. Missing color table, corrupt LZW,
+    short index streams and out-of-range indices return an honest
+    None. ``max_frames`` >= 0 stops the walk early."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
+    bg_idx = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -2297,19 +2336,28 @@ def _gif_frames(payload: bytes, max_frames: int = -1):
         gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
     n_total = len(payload)
-    frames = []
+    records = []
+    disposal, transparent = 0, None  # pending GCE state (next image)
     while pos < n_total:
         b = payload[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            if pos + 1 < n_total and payload[pos + 1] == 0xF9:
+                # Graphic Control Extension: disposal + transparency
+                if pos + 6 < n_total and payload[pos + 2] >= 4:
+                    gp = payload[pos + 3]
+                    disposal = (gp >> 2) & 7
+                    transparent = payload[pos + 6] if gp & 1 else None
             pos += 2
             while pos < n_total and payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            if 0 <= max_frames <= len(frames):
+            if 0 <= max_frames <= len(records):
                 break
             if pos + 10 > n_total:
                 return None
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             ipacked = payload[pos + 9]
@@ -2350,12 +2398,83 @@ def _gif_frames(payload: bytes, max_frames: int = -1):
                 deinter = np.empty_like(idx)
                 deinter[order] = idx
                 idx = deinter
-            frames.append((w, h, np.ascontiguousarray(ct[idx]).tobytes()))
+            records.append(
+                (left, top, w, h, idx, ct, transparent, disposal)
+            )
+            disposal, transparent = 0, None  # GCE applies once
         elif b == 0x3B:  # trailer
             break
         else:
             return None
-    return frames or None
+    if not records:
+        return None
+    return sw, sh, bg_idx, gct, records
+
+
+def _gif_frames(payload: bytes, max_frames: int = -1):
+    """REAL GIF frame walk → list of (w, h, rgb bytes) or None: every
+    stored frame AS STORED at its own dimensions, no disposal
+    compositing (``_gif_frames_rendered`` is the rendered view);
+    transparency is ignored — the palette color shows, matching the
+    alpha-drop policy pinned for PNG."""
+    import numpy as np
+
+    parsed = _gif_frame_records(payload, max_frames)
+    if parsed is None:
+        return None
+    _sw, _sh, _bg, _gct, records = parsed
+    return [
+        (w, h, np.ascontiguousarray(ct[idx]).tobytes())
+        for _l, _t, w, h, idx, ct, _tr, _d in records
+    ]
+
+
+def _gif_frames_rendered(payload: bytes, max_frames: int = -1):
+    """REAL GIF frame RENDERING → list of (screen_w, screen_h, rgb
+    bytes) or None — the GIF89a animation model (r13, VERDICT r12 #5):
+    each stored frame is composited onto the logical screen at its
+    (left, top) placement with transparent pixels showing what is
+    underneath, then the canvas is snapshotted; disposal methods 0/1
+    (leave), 2 (restore rect to background) and 3 (restore rect to the
+    pre-draw canvas) are applied between frames. The canvas starts at
+    the global background color (black without a usable GCT entry).
+    Every rendered frame has the logical-screen dimensions — what a
+    browser shows per frame, not what the file stores."""
+    import numpy as np
+
+    parsed = _gif_frame_records(payload, max_frames)
+    if parsed is None:
+        return None
+    sw, sh, bg_idx, gct, records = parsed
+    if sw <= 0 or sh <= 0 or sw * sh > _MAX_DECODE_PIXELS:
+        return None
+    bg = (
+        gct[bg_idx]
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+    frames = []
+    for left, top, w, h, idx, ct, transparent, disposal in records:
+        # clip the frame rect to the logical screen
+        x0, y0 = min(left, sw), min(top, sh)
+        x1, y1 = min(left + w, sw), min(top + h, sh)
+        prev = canvas[y0:y1, x0:x1].copy() if disposal == 3 else None
+        if x1 > x0 and y1 > y0:
+            sub_idx = idx[: y1 - y0, : x1 - x0]
+            rgb = ct[sub_idx]
+            region = canvas[y0:y1, x0:x1]
+            if transparent is not None:
+                mask = sub_idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+        frames.append((sw, sh, canvas.tobytes()))
+        if disposal == 2 and x1 > x0 and y1 > y0:
+            canvas[y0:y1, x0:x1] = bg
+        elif disposal == 3 and prev is not None:
+            canvas[y0:y1, x0:x1] = prev
+    return frames
 
 
 def _gif_pixels(payload: bytes):

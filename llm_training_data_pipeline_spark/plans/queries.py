@@ -262,6 +262,16 @@ _CHANGED_IN_ROUND.update(
         "ann_recall_unified": 12,
     }
 )
+# r13: pq_topk's ADC scan extracted into the shared _adc_scored (plan
+# identical, code moved — re-execute the rerank consumer); GIF frame
+# sampling defaults to disposal-composited RENDERED frames (row values
+# change: logical-screen dims; row count unchanged, rows-only check)
+_CHANGED_IN_ROUND.update(
+    {
+        "pq_topk_reranked": 13,
+        "gif_frame_stats": 13,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -1754,14 +1764,15 @@ def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("gif_frame_stats", None)
 def q_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Animated-GIF frame sampling (r12): every-2nd STORED frame of
-    each clip (no disposal compositing — frames as the file stores
-    them), each through the real GIF decoder, then per-(clip, frame)
-    exact integer pixel stats via the same composite-id trick as
-    mjpeg_frame_stats. Rows-only check (binary self-contained fixture);
-    frame content pinned against the cross-format pattern battery in
-    tests/test_multimodal.py (multimodal.sample_gif_frames +
-    image_pixel_stats)."""
+    """Animated-GIF frame sampling: every-2nd frame of each clip,
+    RENDERED per the GIF89a animation model (r13 — placement,
+    transparency, disposal compositing onto the logical screen;
+    VERDICT r12 #5), each through the real GIF decoder, then
+    per-(clip, frame) exact integer pixel stats via the same
+    composite-id trick as mjpeg_frame_stats. Rows-only check (binary
+    self-contained fixture); compositing pinned against an independent
+    in-test compositor in tests/test_multimodal.py
+    (multimodal.sample_gif_frames + image_pixel_stats)."""
     from llm_training_data_pipeline_spark.operators.multimodal import (
         image_pixel_stats,
         sample_gif_frames,
