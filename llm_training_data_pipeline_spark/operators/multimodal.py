@@ -1103,12 +1103,118 @@ def _packbits_decode(data: bytes, max_out: int):
     return bytes(out[:max_out])
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int):
+    """TIFF-variant LZW decode (TIFF 6.0 §13) → bytes or None: MSB-first
+    bit packing (GIF is LSB-first), codes start at 9 bits, ClearCode
+    256 / EOI 257, and the EARLY-CHANGE convention — the code width
+    grows one code earlier than GIF (when the next assignable code is
+    2^width - 1). Output is capped at ``max_out`` (decode-bomb guard,
+    same contract as ``_gif_lzw_decode``)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = nbits = 0
+    pos, n = 0, len(data)
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < max_out:
+        while nbits < width:
+            if pos >= n:
+                return None  # ran out before EOI
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change, decoder side: the decoder's appends LAG the
+        # encoder's assignments by one code, so it must widen one entry
+        # earlier still — at table size 2^w - 2 (TIFF 6.0 §13: "switch
+        # at 511, 1023, 2047", counting the about-to-be-added entry)
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:max_out])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Forward TIFF-LZW compressor for fixtures/tests (TIFF 6.0 §13):
+    Clear first, greedy longest-match, EOI last, MSB-first packing,
+    early change in lockstep with the decoder. Not exported API."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 255)
+            nbits -= 8
+
+    CLEAR, EOI = 256, 257
+    table = {bytes((i,)): i for i in range(256)}
+    next_code, width = 258, 9
+    put(CLEAR, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes((byte,))
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: the ENCODER grows the width as soon as the next
+        # code to be WRITTEN could be next_code (one earlier than GIF)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: clear (keeps width sane)
+            put(CLEAR, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code, width = 258, 9
+        run = bytes((byte,))
+    if run:
+        put(table[run], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 255)
+    return bytes(out)
+
+
 def _tiff_pixels(payload: bytes):
     """REAL baseline TIFF decode → (w, h, rgb bytes) or None — the
     sixth real image decoder: first-IFD walk (both byte orders), 8-bit
     grayscale (photometric 0 WhiteIsZero inverted / 1 BlackIsZero) and
-    RGB (photometric 2), strip layout, compression 1 (none) and 32773
-    (PackBits). LZW/JPEG-in-TIFF, tiles, 16-bit, palette and planar
+    RGB (photometric 2), strip layout, compression 1 (none), 5 (LZW,
+    r13 — MSB-first early-change variant, with the horizontal-
+    differencing Predictor tag 317 it usually rides with) and 32773
+    (PackBits). JPEG-in-TIFF, tiles, 16-bit, palette and planar
     configurations return an honest None."""
     import numpy as np
 
@@ -1146,7 +1252,7 @@ def _tiff_pixels(payload: bytes):
         if e + 12 > len(payload):
             return None
         tag, typ, count = _struct.unpack(bo + "HHI", payload[e : e + 8])
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317):
             vals = read_values(typ, count, payload[e + 8 : e + 12])
             if vals is None:
                 return None
@@ -1162,6 +1268,7 @@ def _tiff_pixels(payload: bytes):
     counts = tags.get(279)
     rows_per_strip = tags.get(278, [h])[0] or h
     planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
     if (
         not w
         or not h
@@ -1173,7 +1280,8 @@ def _tiff_pixels(payload: bytes):
         or spp > 8
         or w * h * spp > 3 * _MAX_DECODE_PIXELS
         or photometric not in (0, 1, 2)
-        or compression not in (1, 32773)
+        or compression not in (1, 5, 32773)
+        or predictor not in (1, 2)
         or planar != 1
         or offsets is None
         or counts is None
@@ -1189,11 +1297,14 @@ def _tiff_pixels(payload: bytes):
         if off + cnt > len(payload):
             return None
         strip = payload[off : off + cnt]
-        if compression == 32773:
+        if compression in (5, 32773):
             remaining = need - len(plane)
             rows_here = min(rows_per_strip, h)  # cap per-strip output
-            strip = _packbits_decode(
-                strip, min(remaining, rows_here * w * spp)
+            cap = min(remaining, rows_here * w * spp)
+            strip = (
+                _tiff_lzw_decode(strip, cap)
+                if compression == 5
+                else _packbits_decode(strip, cap)
             )
             if strip is None:
                 return None
@@ -1205,6 +1316,11 @@ def _tiff_pixels(payload: bytes):
     arr = np.frombuffer(bytes(plane), np.uint8, count=need).reshape(
         h, w, spp
     )
+    if predictor == 2:
+        # horizontal differencing (TIFF 6.0 §14): each sample stores
+        # the delta to its left neighbor — invert by a per-row cumsum
+        # mod 256 over each sample lane
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
     if photometric == 2:
         out = arr[..., :3]
     else:
@@ -1218,14 +1334,17 @@ def _tiff_pixels(payload: bytes):
 def _tiff_build(
     img, byte_order: str = "<", packbits: bool = False,
     photometric: int = None, rows_per_strip: int = None,
+    lzw: bool = False, predictor: int = 1,
 ) -> bytes:
     """Forward baseline TIFF builder for fixtures/tests: single IFD,
     8-bit gray (photometric 1, or 0 with inverted samples) or RGB,
-    strip layout, optional PackBits compression (naive literal+repeat
-    runs). ``img`` is (h, w) gray or (h, w, 3) RGB uint8. Not exported
-    API."""
+    strip layout, optional PackBits or LZW compression (r13 — the
+    MSB-first early-change TIFF variant, optionally with horizontal-
+    differencing predictor 2). ``img`` is (h, w) gray or (h, w, 3) RGB
+    uint8. Not exported API."""
     import numpy as np
 
+    assert not (packbits and lzw)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
@@ -1234,11 +1353,19 @@ def _tiff_build(
     samples = img.astype(np.uint8)
     if photometric == 0:
         samples = 255 - samples
+    if predictor == 2:
+        # forward horizontal differencing per row / sample lane
+        plane = samples.reshape(h, w, spp).astype(np.int16)
+        diff = plane.copy()
+        diff[:, 1:] = plane[:, 1:] - plane[:, :-1]
+        samples = (diff & 255).astype(np.uint8).reshape(samples.shape)
     rps = rows_per_strip or h
     strips = []
     for y0 in range(0, h, rps):
         raw = samples[y0 : y0 + rps].tobytes()
-        if packbits:
+        if lzw:
+            strips.append(_tiff_lzw_encode(raw))
+        elif packbits:
             enc = bytearray()
             i = 0
             while i < len(raw):
@@ -1284,13 +1411,15 @@ def _tiff_build(
         entry(256, 4, [w]),
         entry(257, 4, [h]),
         entry(258, 3, [8] * spp),
-        entry(259, 3, [32773 if packbits else 1]),
+        entry(259, 3, [5 if lzw else (32773 if packbits else 1)]),
         entry(262, 3, [photometric]),
         entry(273, 4, [0] * n_strips),  # offsets patched below
         entry(277, 3, [spp]),
         entry(278, 4, [rps]),
         entry(279, 4, [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        ents.append(entry(317, 3, [2]))
     ifd_off = 8
     ifd_size = 2 + 12 * len(ents) + 4
     ext_off = ifd_off + ifd_size
@@ -2165,11 +2294,14 @@ def _png_unfilter(raw, height: int, stride: int, bpp: int):
 def _png_pixels(payload: bytes):
     """REAL PNG decode → (w, h, rgb bytes) or None — stdlib ``zlib`` +
     numpy only, no imaging library. Decodes the common still-image
-    profile: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), interlace 0 (non-interlaced), all five
-    scanline filters, multi-IDAT streams. Everything else — 1/2/4/16-bit
-    depths, Adam7 interlace, truncated or corrupt streams, bad palette
-    indices — returns an honest None (same contract as ``_bmp_pixels``).
+    profile: bit depths 8 and 16 (r13 — 16-bit samples down-convert by
+    high byte, v >> 8, the mainstream-decoder rule), color types 0
+    (gray), 2 (RGB), 3 (palette, 8-bit only per spec), 4 (gray+alpha),
+    6 (RGBA), interlace 0 (non-interlaced), all five scanline filters
+    (byte-wise at both depths, per spec 9.2), multi-IDAT streams.
+    Everything else — 1/2/4-bit depths, Adam7 interlace, truncated or
+    corrupt streams, bad palette indices — returns an honest None
+    (same contract as ``_bmp_pixels``).
     Alpha is DROPPED, not composited (deterministic; compositing needs a
     background-color policy — pinned in tests). Chunk CRCs are not
     verified: a flipped payload bit surfaces as a zlib error or a
@@ -2216,12 +2348,15 @@ def _png_pixels(payload: bytes):
         return None
     if width * height > _MAX_DECODE_PIXELS:
         return None  # decode-bomb guard: reject before inflating
-    if bit_depth != 8 or interlace != 0:
+    if bit_depth not in (8, 16) or interlace != 0:
         return None
+    if bit_depth == 16 and color_type == 3:
+        return None  # palette PNG is 8-bit-indexed only (spec 11.2.2)
     channels = _PNG_CHANNELS.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
         return None
-    stride = width * channels
+    sb = bit_depth // 8  # bytes per sample
+    stride = width * channels * sb
     expect = (1 + stride) * height
     try:
         # bounded inflate: a crafted high-ratio stream stops at the
@@ -2232,10 +2367,17 @@ def _png_pixels(payload: bytes):
         return None
     if len(raw) != expect or d.decompress(b"", 1):
         return None
-    recon = _png_unfilter(raw, height, stride, channels)
+    # PNG filtering is BYTE-wise regardless of depth: at 16 bits the
+    # left-predictor distance is channels*2 bytes (spec 9.2)
+    recon = _png_unfilter(raw, height, stride, channels * sb)
     if recon is None:
         return None
-    img = recon.reshape(height, width, channels)
+    if sb == 2:
+        # 16→8: high byte of each big-endian sample (the v >> 8
+        # down-conversion every mainstream decoder applies)
+        img = recon.reshape(height, width, channels, 2)[..., 0]
+    else:
+        img = recon.reshape(height, width, channels)
     if color_type == 0:
         out = np.repeat(img, 3, axis=2)
     elif color_type == 2:
@@ -3245,18 +3387,22 @@ def _png_build(
     filters,
     palette: bytes = None,
     idat_split: int = 0,
+    bit_depth: int = 8,
 ) -> bytes:
     """Forward PNG encoder for fixtures/tests — the spec's FORWARD
     filtering direction (filt = orig − predictor, mod 256), so a
     decode-equals-original assertion proves ``_png_pixels`` implements
     the true inverse rather than mirroring its own code. ``pixels`` is
-    the raw sample plane (height*width*channels bytes), ``filters`` one
-    spec filter type (0–4) per scanline, ``idat_split`` > 0 splits the
-    compressed stream into chunks of that many bytes (multi-IDAT
-    framing). Not an optimizing encoder; not exported API."""
+    the raw sample plane (height*width*channels*(bit_depth/8) bytes —
+    16-bit samples big-endian), ``filters`` one spec filter type (0–4)
+    per scanline (applied byte-wise with the depth-scaled left
+    distance, per spec 9.2), ``idat_split`` > 0 splits the compressed
+    stream into chunks of that many bytes (multi-IDAT framing). Not an
+    optimizing encoder; not exported API."""
     import zlib
 
-    bpp = _PNG_CHANNELS[color_type]
+    assert bit_depth in (8, 16)
+    bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
     stride = width * bpp
     assert len(pixels) == stride * height and len(filters) == height
 
@@ -3290,7 +3436,7 @@ def _png_build(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes((8, color_type, 0, 0, 0))
+        + bytes((bit_depth, color_type, 0, 0, 0))
     )
     comp = zlib.compress(bytes(out))
     png = _PNG_SIG + chunk(b"IHDR", ihdr)

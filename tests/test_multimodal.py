@@ -1378,11 +1378,12 @@ def test_tiff_decode_inverts_forward_building():
                     assert (w, h) == (17, 13) and np.array_equal(arr, exp)
                     assert mm._sniff_image_pixels(t) is not None
 
-    # LZW compression rejects (tag 259 patched to 5)
-    tlzw = bytearray(mm._tiff_build(np.zeros((4, 4), np.uint8), "<"))
-    at = bytes(tlzw).index((259).to_bytes(2, "little"))
-    tlzw[at + 8] = 5
-    assert mm._tiff_pixels(bytes(tlzw)) is None
+    # JPEG-in-TIFF compression rejects (tag 259 patched to 7; LZW is
+    # supported as of r13 — see test_tiff_lzw_decode_inverts_encoder)
+    tjpg = bytearray(mm._tiff_build(np.zeros((4, 4), np.uint8), "<"))
+    at = bytes(tjpg).index((259).to_bytes(2, "little"))
+    tjpg[at + 8] = 7
+    assert mm._tiff_pixels(bytes(tjpg)) is None
     assert mm._tiff_pixels(b"II*\x00" + bytes(4)) is None
     assert (
         mm._tiff_pixels(mm._tiff_build(np.zeros((4, 4), np.uint8), "<")[:30])
@@ -1417,6 +1418,12 @@ def test_decoders_never_raise_on_corrupt_input():
         ),
         mm._tiff_build(img, "<", packbits=True),
         mm._tiff_build(img[..., 0], ">", rows_per_strip=7),
+        mm._tiff_build(img, "<", lzw=True, predictor=2),
+        mm._png_build(
+            w, h, 2,
+            b"".join(bytes((v, 0)) for v in img.tobytes()),
+            [4] * h, bit_depth=16,
+        ),
         b"P6\n48 32\n255\n" + img.tobytes(),
         mm._avi_build([img, img], fps=25),
         mm._aiff_build(8000, 1, 16, bytes(40)),
@@ -1918,3 +1925,108 @@ def test_sample_gif_frames_rendered_default_and_stored_optin(spark):
     # rendered: every frame of an asset has the SAME logical-screen dims
     assert all(len(dims) == 1 for dims in by_asset.values())
     assert all(r["is_stub"] is False for r in rend)
+
+
+def test_tiff_lzw_decode_inverts_encoder():
+    """r13 (VERDICT r12 #7) — TIFF LZW: MSB-first packing, 9→12-bit
+    codes with the EARLY-CHANGE width convention (decoder widens one
+    entry before the encoder's assignment point — the lag every naive
+    port gets wrong at the 511/1023/2047 boundaries), Clear/EOI, table
+    wraparound via encoder Clear near 4094, and the horizontal-
+    differencing predictor it usually rides with. Round-trips across
+    byte orders, photometrics, strip layouts and data shapes that
+    cross every width boundary."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(42)
+    # raw codec: incompressible data crossing 9→10→11→12-bit widths +
+    # the encoder-Clear path, and compressible KwKwK-heavy patterns
+    for nbytes in (1, 200, 511, 512, 1000, 20000, 60000):
+        data = bytes(rng.randint(0, 256, nbytes, np.uint8))
+        assert mm._tiff_lzw_decode(mm._tiff_lzw_encode(data), nbytes) == data
+    for pat in (b"ab" * 30000, bytes(range(256)) * 200, b"\x00" * 50000):
+        assert mm._tiff_lzw_decode(mm._tiff_lzw_encode(pat), len(pat)) == pat
+
+    # full container round-trips
+    for bo in ("<", ">"):
+        for pred in (1, 2):
+            for kind, pm in (("gray", 1), ("gray0", 0), ("rgb", 2)):
+                for rps in (None, 5):
+                    shape = (13, 17, 3) if kind == "rgb" else (13, 17)
+                    img = rng.randint(0, 256, shape, np.uint8)
+                    t = mm._tiff_build(
+                        img, bo, lzw=True, photometric=pm,
+                        rows_per_strip=rps, predictor=pred,
+                    )
+                    got = mm._tiff_pixels(t)
+                    assert got is not None, (bo, pred, kind, rps)
+                    w, h, rgb = got
+                    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                    exp = (
+                        img if kind == "rgb"
+                        else np.repeat(img[..., None], 3, axis=2)
+                    )
+                    assert np.array_equal(arr, exp), (bo, pred, kind, rps)
+    # predictor also composes with UNcompressed strips
+    img = rng.randint(0, 256, (9, 11, 3), np.uint8)
+    t = mm._tiff_build(img, "<", predictor=2)
+    assert np.array_equal(
+        np.frombuffer(mm._tiff_pixels(t)[2], np.uint8).reshape(9, 11, 3), img
+    )
+    # corrupt LZW (truncated mid-stream, no EOI) returns None
+    t = bytearray(mm._tiff_build(img, "<", lzw=True))
+    assert mm._tiff_pixels(bytes(t)[:-10]) is None
+    # predictor values beyond {1, 2} reject
+    t = bytearray(mm._tiff_build(img, "<", lzw=True, predictor=2))
+    at = bytes(t).index((317).to_bytes(2, "little"))
+    t[at + 8] = 3
+    assert mm._tiff_pixels(bytes(t)) is None
+
+
+def test_png_16bit_decode_inverts_forward_encoding():
+    """r13 (VERDICT r12 #7) — 16-bit PNG: byte-wise filtering with the
+    depth-scaled left distance (spec 9.2), big-endian samples
+    down-converted by high byte. All non-palette color types, all five
+    filters; low bytes are noise on purpose so any low/high confusion
+    would show; 8-bit behavior unchanged; 16-bit palette stays an
+    honest None (spec: palette PNG is 8-bit-indexed only)."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(0)
+    w, h = 9, 7
+    for ct, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        hi = rng.randint(0, 256, (h, w, nch), np.uint8)
+        lo = rng.randint(0, 256, (h, w, nch), np.uint8)
+        px16 = np.stack([hi, lo], axis=-1).astype(np.uint8).tobytes()
+        for filts in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                      [0, 1, 2, 3, 4, 3, 2]):
+            p = mm._png_build(w, h, ct, px16, filts, bit_depth=16)
+            got = mm._png_pixels(p)
+            assert got is not None, (ct, filts)
+            arr = np.frombuffer(got[2], np.uint8).reshape(h, w, 3)
+            if ct == 0:
+                exp = np.repeat(hi, 3, axis=2)
+            elif ct == 2:
+                exp = hi
+            elif ct == 4:
+                exp = np.repeat(hi[..., :1], 3, axis=2)
+            else:
+                exp = hi[..., :3]
+            assert np.array_equal(arr, exp), (ct, filts)
+    # 16-bit palette: craft IHDR depth 16 + color type 3 → None
+    hi = rng.randint(0, 4, (h, w, 1), np.uint8)
+    pal = bytes(range(12))
+    p8 = mm._png_build(w, h, 3, hi.tobytes(), [0] * h, palette=pal)
+    assert mm._png_pixels(p8) is not None
+    bad = bytearray(p8)
+    at = bad.index(b"IHDR") + 4 + 8
+    bad[at] = 16
+    assert mm._png_pixels(bytes(bad)) is None
+    # 1/2/4-bit depths still reject
+    for d in (1, 2, 4):
+        bad[at] = d
+        assert mm._png_pixels(bytes(bad)) is None
