@@ -5,7 +5,7 @@ metadata (``MULTIMODAL_SCHEMA``). The Spark-side plumbing — schema,
 partition-friendly batch processing via ``mapInPandas``, Arrow batch shapes,
 deterministic synthetic fixtures — is real and tested, and so are the
 codecs: pure-Python/numpy decoders cover BMP, PNM, PNG, GIF, JPEG
-(baseline + progressive), TIFF (none/PackBits/LZW strips), WAV/AIFF/AU
+(baseline + progressive), TIFF (none/PackBits/LZW/deflate strips), WAV/AIFF/AU
 audio, and MJPEG-AVI / animated-GIF / Y4M frame sampling. Only formats
 we cannot decode honestly (H.264/VP9, …) remain capability-gated stubs:
 
@@ -1213,9 +1213,10 @@ def _tiff_pixels(payload: bytes):
     grayscale (photometric 0 WhiteIsZero inverted / 1 BlackIsZero) and
     RGB (photometric 2), strip layout, compression 1 (none), 5 (LZW,
     r13 — MSB-first early-change variant, with the horizontal-
-    differencing Predictor tag 317 it usually rides with) and 32773
-    (PackBits). JPEG-in-TIFF, tiles, 16-bit, palette and planar
-    configurations return an honest None."""
+    differencing Predictor tag 317 it usually rides with), 8/32946
+    (zlib deflate, bounded inflate, r13) and 32773 (PackBits).
+    JPEG-in-TIFF, tiles, 16-bit, palette and planar configurations
+    return an honest None."""
     import numpy as np
 
     if len(payload) < 8:
@@ -1280,7 +1281,7 @@ def _tiff_pixels(payload: bytes):
         or spp > 8
         or w * h * spp > 3 * _MAX_DECODE_PIXELS
         or photometric not in (0, 1, 2)
-        or compression not in (1, 5, 32773)
+        or compression not in (1, 5, 8, 32773, 32946)
         or predictor not in (1, 2)
         or planar != 1
         or offsets is None
@@ -1297,15 +1298,22 @@ def _tiff_pixels(payload: bytes):
         if off + cnt > len(payload):
             return None
         strip = payload[off : off + cnt]
-        if compression in (5, 32773):
+        if compression != 1:
             remaining = need - len(plane)
             rows_here = min(rows_per_strip, h)  # cap per-strip output
             cap = min(remaining, rows_here * w * spp)
-            strip = (
-                _tiff_lzw_decode(strip, cap)
-                if compression == 5
-                else _packbits_decode(strip, cap)
-            )
+            if compression == 5:
+                strip = _tiff_lzw_decode(strip, cap)
+            elif compression in (8, 32946):  # zlib/deflate (Adobe + old)
+                import zlib
+
+                try:
+                    d = zlib.decompressobj()
+                    strip = d.decompress(strip, cap)  # bounded inflate
+                except zlib.error:
+                    return None
+            else:
+                strip = _packbits_decode(strip, cap)
             if strip is None:
                 return None
         plane += strip
@@ -1334,7 +1342,7 @@ def _tiff_pixels(payload: bytes):
 def _tiff_build(
     img, byte_order: str = "<", packbits: bool = False,
     photometric: int = None, rows_per_strip: int = None,
-    lzw: bool = False, predictor: int = 1,
+    lzw: bool = False, predictor: int = 1, deflate: bool = False,
 ) -> bytes:
     """Forward baseline TIFF builder for fixtures/tests: single IFD,
     8-bit gray (photometric 1, or 0 with inverted samples) or RGB,
@@ -1344,7 +1352,7 @@ def _tiff_build(
     uint8. Not exported API."""
     import numpy as np
 
-    assert not (packbits and lzw)
+    assert sum((packbits, lzw, deflate)) <= 1
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
@@ -1365,6 +1373,10 @@ def _tiff_build(
         raw = samples[y0 : y0 + rps].tobytes()
         if lzw:
             strips.append(_tiff_lzw_encode(raw))
+        elif deflate:
+            import zlib
+
+            strips.append(zlib.compress(raw))
         elif packbits:
             enc = bytearray()
             i = 0
@@ -1411,7 +1423,10 @@ def _tiff_build(
         entry(256, 4, [w]),
         entry(257, 4, [h]),
         entry(258, 3, [8] * spp),
-        entry(259, 3, [5 if lzw else (32773 if packbits else 1)]),
+        entry(
+            259, 3,
+            [5 if lzw else (8 if deflate else (32773 if packbits else 1))],
+        ),
         entry(262, 3, [photometric]),
         entry(273, 4, [0] * n_strips),  # offsets patched below
         entry(277, 3, [spp]),
@@ -2297,11 +2312,12 @@ def _png_pixels(payload: bytes):
     profile: bit depths 8 and 16 (r13 — 16-bit samples down-convert by
     high byte, v >> 8, the mainstream-decoder rule), color types 0
     (gray), 2 (RGB), 3 (palette, 8-bit only per spec), 4 (gray+alpha),
-    6 (RGBA), interlace 0 (non-interlaced), all five scanline filters
-    (byte-wise at both depths, per spec 9.2), multi-IDAT streams.
-    Everything else — 1/2/4-bit depths, Adam7 interlace, truncated or
-    corrupt streams, bad palette indices — returns an honest None
-    (same contract as ``_bmp_pixels``).
+    6 (RGBA), interlace 0 AND Adam7 interlace 1 (r13 — per-pass
+    unfilter, lattice scatter), all five scanline filters (byte-wise
+    at both depths, per spec 9.2), multi-IDAT streams. Everything else
+    — 1/2/4-bit depths, truncated or corrupt streams, bad palette
+    indices — returns an honest None (same contract as
+    ``_bmp_pixels``).
     Alpha is DROPPED, not composited (deterministic; compositing needs a
     background-color policy — pinned in tests). Chunk CRCs are not
     verified: a flipped payload bit surfaces as a zlib error or a
@@ -2348,7 +2364,7 @@ def _png_pixels(payload: bytes):
         return None
     if width * height > _MAX_DECODE_PIXELS:
         return None  # decode-bomb guard: reject before inflating
-    if bit_depth not in (8, 16) or interlace != 0:
+    if bit_depth not in (8, 16) or interlace not in (0, 1):
         return None
     if bit_depth == 16 and color_type == 3:
         return None  # palette PNG is 8-bit-indexed only (spec 11.2.2)
@@ -2356,8 +2372,13 @@ def _png_pixels(payload: bytes):
     if channels is None or (color_type == 3 and plte is None):
         return None
     sb = bit_depth // 8  # bytes per sample
-    stride = width * channels * sb
-    expect = (1 + stride) * height
+    bpp = channels * sb
+    stride = width * bpp
+    if interlace == 1:
+        passes = _adam7_passes(width, height)
+        expect = sum((1 + wp * bpp) * hp for _xs, _ys, _xst, _yst, wp, hp in passes)
+    else:
+        expect = (1 + stride) * height
     try:
         # bounded inflate: a crafted high-ratio stream stops at the
         # declared size + 1 instead of materializing gigabytes
@@ -2367,17 +2388,35 @@ def _png_pixels(payload: bytes):
         return None
     if len(raw) != expect or d.decompress(b"", 1):
         return None
-    # PNG filtering is BYTE-wise regardless of depth: at 16 bits the
-    # left-predictor distance is channels*2 bytes (spec 9.2)
-    recon = _png_unfilter(raw, height, stride, channels * sb)
-    if recon is None:
-        return None
-    if sb == 2:
-        # 16→8: high byte of each big-endian sample (the v >> 8
-        # down-conversion every mainstream decoder applies)
-        img = recon.reshape(height, width, channels, 2)[..., 0]
+    if interlace == 1:
+        # Adam7 (r13): each pass is an independently filtered
+        # sub-image; unfilter per pass, scatter into the full grid by
+        # the pass's (start, step) lattice
+        img = np.zeros((height, width, channels), np.uint8)
+        off = 0
+        for xs, ys, xst, yst, wp, hp in passes:
+            plen = (1 + wp * bpp) * hp
+            sub = _png_unfilter(raw[off : off + plen], hp, wp * bpp, bpp)
+            if sub is None:
+                return None
+            off += plen
+            if sb == 2:
+                p = sub.reshape(hp, wp, channels, 2)[..., 0]
+            else:
+                p = sub.reshape(hp, wp, channels)
+            img[ys::yst, xs::xst] = p
     else:
-        img = recon.reshape(height, width, channels)
+        # PNG filtering is BYTE-wise regardless of depth: at 16 bits the
+        # left-predictor distance is channels*2 bytes (spec 9.2)
+        recon = _png_unfilter(raw, height, stride, bpp)
+        if recon is None:
+            return None
+        if sb == 2:
+            # 16→8: high byte of each big-endian sample (the v >> 8
+            # down-conversion every mainstream decoder applies)
+            img = recon.reshape(height, width, channels, 2)[..., 0]
+        else:
+            img = recon.reshape(height, width, channels)
     if color_type == 0:
         out = np.repeat(img, 3, axis=2)
     elif color_type == 2:
@@ -2392,6 +2431,25 @@ def _png_pixels(payload: bytes):
     else:  # 6: RGBA -> drop alpha
         out = img[..., :3]
     return width, height, np.ascontiguousarray(out).tobytes()
+
+
+_ADAM7 = (  # (x_start, y_start, x_step, y_step) per pass, spec 8.2
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes as (xs, ys, xstep, ystep, wp, hp) — a
+    pass with zero reduced width or height contributes NO scanlines
+    (spec 8.2); shared by the decoder and the forward encoder."""
+    out = []
+    for xs, ys, xst, yst in _ADAM7:
+        wp = (width - xs + xst - 1) // xst
+        hp = (height - ys + yst - 1) // yst
+        if wp > 0 and hp > 0:
+            out.append((xs, ys, xst, yst, wp, hp))
+    return out
 
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -3722,6 +3780,7 @@ def _png_build(
     palette: bytes = None,
     idat_split: int = 0,
     bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Forward PNG encoder for fixtures/tests — the spec's FORWARD
     filtering direction (filt = orig − predictor, mod 256), so a
@@ -3738,26 +3797,48 @@ def _png_build(
     assert bit_depth in (8, 16)
     bpp = _PNG_CHANNELS[color_type] * (bit_depth // 8)
     stride = width * bpp
-    assert len(pixels) == stride * height and len(filters) == height
+    assert len(pixels) == stride * height
 
     def paeth(a, b, c):
         p = a + b - c
         pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
         return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
+    if interlace:
+        # Adam7: each pass is extracted from the sample plane by its
+        # lattice and filtered as an independent sub-image (prior row
+        # resets per pass); ``filters`` indexes the EMITTED scanlines
+        # across passes, in order
+        planes = []
+        for xs, ys, xst, yst, wp, hp in _adam7_passes(width, height):
+            rows = bytearray()
+            for i in range(hp):
+                y = ys + i * yst
+                row = pixels[y * stride : (y + 1) * stride]
+                for j in range(wp):
+                    x0 = (xs + j * xst) * bpp
+                    rows += row[x0 : x0 + bpp]
+            planes.append((bytes(rows), wp * bpp, hp))
+    else:
+        planes = [(pixels, stride, height)]
+    assert len(filters) == sum(hp for _px, _st, hp in planes)
+
     out = bytearray()
-    prior = bytes(stride)
-    for y in range(height):
-        orig = pixels[y * stride : (y + 1) * stride]
-        f = filters[y]
-        out.append(f)
-        for x in range(stride):
-            a = orig[x - bpp] if x >= bpp else 0
-            b = prior[x]
-            c = prior[x - bpp] if x >= bpp else 0
-            pred = (0, a, b, (a + b) >> 1, paeth(a, b, c))[f]
-            out.append((orig[x] - pred) & 255)
-        prior = orig
+    fi = 0
+    for ppx, pstride, phei in planes:
+        prior = bytes(pstride)
+        for y in range(phei):
+            orig = ppx[y * pstride : (y + 1) * pstride]
+            f = filters[fi]
+            fi += 1
+            out.append(f)
+            for x in range(pstride):
+                a = orig[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                pred = (0, a, b, (a + b) >> 1, paeth(a, b, c))[f]
+                out.append((orig[x] - pred) & 255)
+            prior = orig
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -3770,7 +3851,7 @@ def _png_build(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes((bit_depth, color_type, 0, 0, 0))
+        + bytes((bit_depth, color_type, 0, 0, 1 if interlace else 0))
     )
     comp = zlib.compress(bytes(out))
     png = _PNG_SIG + chunk(b"IHDR", ihdr)

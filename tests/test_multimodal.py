@@ -1419,6 +1419,14 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._tiff_build(img, "<", packbits=True),
         mm._tiff_build(img[..., 0], ">", rows_per_strip=7),
         mm._tiff_build(img, "<", lzw=True, predictor=2),
+        mm._tiff_build(img, ">", deflate=True, predictor=2),
+        mm._png_build(
+            w, h, 2, img.tobytes(),
+            [k % 5 for k in range(
+                sum(hp for *_r, hp in mm._adam7_passes(w, h))
+            )],
+            interlace=True,
+        ),
         mm._y4m_build([img, img], "420jpeg"),
         mm._y4m_build([img[..., 0]], "mono"),
         mm._png_build(
@@ -2168,3 +2176,101 @@ def test_jpeg_corrupt_sos_extra_component_returns_none():
     bad[at + 4] = ns + 1
     bad[at + 2 : at + 4] = (seg_len + 2).to_bytes(2, "big")
     assert mm._jpeg_pixels(bytes(bad)) is None
+
+
+def test_png_adam7_interlace_decode_inverts_forward_encoding():
+    """r13 — Adam7 interlace: seven independently filtered sub-images
+    scattered by their (start, step) lattices (spec 8.2), with empty
+    passes contributing no scanlines. Round-trips across color types,
+    odd/edge dims (incl. 1x1 and single-row/column where most passes
+    are empty), all five filters cycling across emitted scanlines,
+    8- and 16-bit, and palette."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+
+    def nlines(w, h):
+        return sum(hp for *_rest, hp in mm._adam7_passes(w, h))
+
+    for (w, h) in ((9, 7), (8, 8), (1, 1), (2, 3), (16, 13), (5, 1), (1, 9)):
+        for ct, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            img = rng.randint(0, 256, (h, w, nch), np.uint8)
+            filts = [k % 5 for k in range(nlines(w, h))]
+            p = mm._png_build(w, h, ct, img.tobytes(), filts, interlace=True)
+            got = mm._png_pixels(p)
+            assert got is not None, (w, h, ct)
+            arr = np.frombuffer(got[2], np.uint8).reshape(h, w, 3)
+            exp = {
+                0: np.repeat(img, 3, axis=2),
+                2: img,
+                4: np.repeat(img[..., :1], 3, axis=2),
+                6: img[..., :3],
+            }[ct]
+            assert np.array_equal(arr, exp), (w, h, ct)
+    # 16-bit interlaced: noisy low bytes, high byte must survive
+    hi = rng.randint(0, 256, (7, 9, 3), np.uint8)
+    lo = rng.randint(0, 256, (7, 9, 3), np.uint8)
+    p = mm._png_build(
+        9, 7, 2, np.stack([hi, lo], -1).tobytes(),
+        [k % 5 for k in range(nlines(9, 7))],
+        bit_depth=16, interlace=True,
+    )
+    assert np.array_equal(
+        np.frombuffer(mm._png_pixels(p)[2], np.uint8).reshape(7, 9, 3), hi
+    )
+    # palette interlaced
+    pi = rng.randint(0, 4, (7, 9), np.uint8)
+    pal = bytes(range(12))
+    p = mm._png_build(
+        9, 7, 3, pi.tobytes(), [k % 5 for k in range(nlines(9, 7))],
+        palette=pal, interlace=True,
+    )
+    exp = np.frombuffer(pal, np.uint8).reshape(4, 3)[pi]
+    assert np.array_equal(
+        np.frombuffer(mm._png_pixels(p)[2], np.uint8).reshape(7, 9, 3), exp
+    )
+    # truncated interlaced stream rejects; interlace byte 2 rejects
+    full = mm._png_build(
+        9, 7, 2, hi.tobytes(), [0] * nlines(9, 7), interlace=True
+    )
+    assert mm._png_pixels(full[:60]) is None
+    bad = bytearray(full)
+    bad[bad.index(b"IHDR") + 4 + 12] = 2
+    assert mm._png_pixels(bytes(bad)) is None
+
+
+def test_tiff_deflate_decode_inverts_forward_building():
+    """r13 — TIFF compression 8 (Adobe deflate) and legacy 32946:
+    bounded zlib inflate per strip, composing with both byte orders,
+    the horizontal predictor and multi-strip layouts; truncated
+    streams reject."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    for bo in ("<", ">"):
+        for pred in (1, 2):
+            for rps in (None, 5):
+                img = rng.randint(0, 256, (13, 17, 3), np.uint8)
+                t = mm._tiff_build(
+                    img, bo, deflate=True, rows_per_strip=rps,
+                    predictor=pred,
+                )
+                got = mm._tiff_pixels(t)
+                assert got is not None, (bo, pred, rps)
+                assert np.array_equal(
+                    np.frombuffer(got[2], np.uint8).reshape(13, 17, 3), img
+                ), (bo, pred, rps)
+    # the legacy deflate tag decodes identically
+    t = bytearray(mm._tiff_build(rng.randint(0, 256, (6, 8), np.uint8),
+                                 "<", deflate=True))
+    at = bytes(t).index((259).to_bytes(2, "little"))
+    t[at + 8 : at + 10] = (32946).to_bytes(2, "little")
+    assert mm._tiff_pixels(bytes(t)) is not None
+    # truncated deflate strip rejects
+    t2 = mm._tiff_build(rng.randint(0, 256, (13, 17, 3), np.uint8),
+                        "<", deflate=True)
+    assert mm._tiff_pixels(t2[:-12]) is None
