@@ -687,6 +687,53 @@ def synthetic_audio_assets(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
+def synthetic_flac_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL FLAC fixture sweeping the decode surface:
+    subframe kinds (constant via flat runs, verbatim, fixed 0-2,
+    order-1 LPC), stereo decorrelations, 8/16-bit, rice partitions and
+    the escape-to-raw path — formula samples, so every decoded int32
+    is derivable by the pinning test (FLAC is lossless)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        rate = (8000, 16000, 44100, 48000)[i % 4]
+        channels = 1 + (i % 2)
+        bps = 8 if i % 5 == 0 else 16
+        lim = 100 if bps == 8 else 20000
+        n_frames = 48 + (i % 7) * 8
+        mat = np.array(
+            [
+                [((k * 37 + c * 11 + i * 7) % (2 * lim)) - lim
+                 for c in range(channels)]
+                for k in range(n_frames)
+            ],
+            np.int64,
+        )
+        kw: dict = {}
+        if i % 4 == 3:
+            kw["partition_order"] = 2  # every block size here is 8k
+        if i % 8 == 5:
+            kw["escape_raw"] = 18
+        payload = _flac_build(
+            mat,
+            rate=rate,
+            bps=bps,
+            block_size=(8, 16, 32)[i % 3],
+            subframe=("verbatim", "fixed0", "fixed1", "fixed2", "lpc1")[i % 5],
+            stereo=(
+                ("independent", "left_side", "right_side", "mid_side")[i % 4]
+                if channels == 2
+                else "independent"
+            ),
+            **kw,
+        )
+        rows.append((i, "audio", payload, "audio/flac", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
 AUDIO_SAMPLES_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -902,7 +949,7 @@ def _au_samples(payload: bytes):
 
 def _sniff_audio_samples(payload: bytes):
     """Container-sniffing dispatch: RIFF/WAVE → WAV, FORM/AIFF → AIFF,
-    .snd → AU; anything else None."""
+    .snd → AU, fLaC → FLAC (r13); anything else None."""
     if len(payload) >= 4:
         head = payload[:4]
         if head == b"RIFF":
@@ -911,7 +958,531 @@ def _sniff_audio_samples(payload: bytes):
             return _aiff_pcm_samples(payload)
         if head == b".snd":
             return _au_samples(payload)
+        if head == b"fLaC":
+            return _flac_samples(payload)
     return None
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8 poly 0x07, init 0 — the FLAC frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16 poly 0x8005, init 0 (MSB-first) — the FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FIXED_COEFS = {
+    0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+}
+
+
+class _FlacBits:
+    """MSB-first bit reader for FLAC frames: multi-bit get, signed get,
+    unary (zero-run) — raises EOFError past the end. Tracks the byte
+    position so frame CRC16 can be verified over the exact span."""
+
+    __slots__ = ("buf", "pos", "acc", "n", "nbuf")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.acc, self.n = buf, pos, 0, 0
+        self.nbuf = len(buf)
+
+    def get(self, k: int) -> int:
+        acc, n = self.acc, self.n
+        while n < k:
+            if self.pos >= self.nbuf:
+                raise EOFError
+            acc = (acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            n += 8
+        n -= k
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
+        return (acc >> n) & ((1 << k) - 1)
+
+    def sget(self, k: int) -> int:
+        v = self.get(k)
+        return v - (1 << k) if v & (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.get(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise EOFError  # corrupt: runaway quotient
+        return q
+
+    def align(self) -> None:
+        self.acc = self.n = 0
+
+    def byte_pos(self) -> int:
+        """Current position rounded down to the consumed byte."""
+        return self.pos
+
+
+def _flac_residual(bits: "_FlacBits", blocksize: int, order: int):
+    """Rice-coded residual (FLAC spec: RESIDUAL): 2-bit method (rice /
+    rice2), 4-bit partition order, per-partition parameter with the
+    all-ones escape to raw n-bit samples. Returns list[int] of
+    blocksize - order values."""
+    method = bits.get(2)
+    if method > 1:
+        return None
+    plen_bits = 4 if method == 0 else 5
+    escape = (1 << plen_bits) - 1
+    po = bits.get(4)
+    nparts = 1 << po
+    if blocksize % nparts:
+        return None  # partitions must divide the block evenly
+    out = []
+    for p in range(nparts):
+        n = (blocksize >> po) - (order if p == 0 else 0)
+        if n < 0:
+            return None
+        param = bits.get(plen_bits)
+        if param == escape:
+            raw = bits.get(5)
+            if raw:
+                out.extend(bits.sget(raw) for _ in range(n))
+            else:
+                out.extend([0] * n)
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                v = (q << param) | bits.get(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(bits: "_FlacBits", blocksize: int, bps: int):
+    """One subframe (FLAC spec: SUBFRAME): constant / verbatim /
+    fixed 0-4 / LPC 1-32, wasted-bits unpacking. Returns list[int]."""
+    if bits.get(1) != 0:
+        return None  # padding bit must be 0
+    ftype = bits.get(6)
+    wasted = 0
+    if bits.get(1):
+        wasted = 1
+        while bits.get(1) == 0:
+            wasted += 1
+            if wasted > bps:
+                return None
+    ebps = bps - wasted
+    if ebps <= 0 or ebps > 32:
+        return None
+    if ftype == 0:  # CONSTANT
+        out = [bits.sget(ebps)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        out = [bits.sget(ebps) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED, order 0-4
+        order = ftype - 8
+        if order > blocksize:
+            return None
+        out = [bits.sget(ebps) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        if res is None:
+            return None
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(pred + r)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = (ftype & 31) + 1
+        if order > blocksize:
+            return None
+        out = [bits.sget(ebps) for _ in range(order)]
+        prec = bits.get(4)
+        if prec == 15:
+            return None
+        prec += 1
+        shift = bits.sget(5)
+        if shift < 0:
+            return None
+        qlp = [bits.sget(prec) for _ in range(order)]
+        res = _flac_residual(bits, blocksize, order)
+        if res is None:
+            return None
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(qlp)) >> shift
+            out.append(pred + r)
+    else:
+        return None  # reserved subframe types
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _flac_utf8_number(bits: "_FlacBits"):
+    """The UTF-8-style coded frame/sample number (FLAC borrows the
+    encoding, extended to 36 bits / 7 bytes)."""
+    b0 = bits.get(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x40
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 1 or nbytes > 6:
+        return None
+    v = b0 & (mask - 1)
+    for _ in range(nbytes):
+        c = bits.get(8)
+        if c & 0xC0 != 0x80:
+            return None
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_samples(payload: bytes):
+    """REAL FLAC decode → (rate, channels, n_frames, int32-LE bytes) or
+    None — the audio family's first COMPRESSED codec (r13), pure
+    Python, no codec library (the FLAC format is a public spec /
+    RFC 9639): STREAMINFO walk, frame sync with CRC-8-verified headers
+    and CRC-16-verified frames, constant / verbatim / fixed(0-4) /
+    LPC(1-32) subframes, rice + rice2 residuals with escape partitions,
+    wasted bits, and left-side / right-side / mid-side stereo
+    decorrelation. Corrupt streams (bad sync, CRC mismatch, reserved
+    codes, truncation) return an honest None."""
+    import numpy as np
+
+    meta = _flac_meta(payload)
+    if meta is None:
+        return None
+    rate0, channels0, bps0, _dur = meta
+    if not rate0 or rate0 >= (1 << 31) or channels0 < 1 or channels0 > 8:
+        return None
+    # walk metadata blocks to the first frame
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if pos >= len(payload):
+        return None
+    total_limit = _MAX_DECODE_PIXELS  # decode-bomb guard: samples cap
+    chans: list[list[int]] = [[] for _ in range(channels0)]
+    try:
+        while pos < len(payload):
+            frame_start = pos
+            bits = _FlacBits(payload, pos)
+            sync = bits.get(14)
+            if sync != 0x3FFE:
+                return None
+            if bits.get(1) != 0:
+                return None  # reserved bit
+            bits.get(1)  # blocking strategy
+            bs_code = bits.get(4)
+            sr_code = bits.get(4)
+            ca = bits.get(4)
+            ss_code = bits.get(3)
+            if bits.get(1) != 0:
+                return None  # reserved bit
+            if _flac_utf8_number(bits) is None:
+                return None
+            if bs_code == 0:
+                return None  # reserved
+            elif bs_code == 6:
+                blocksize = bits.get(8) + 1
+            elif bs_code == 7:
+                blocksize = bits.get(16) + 1
+            else:
+                blocksize = _FLAC_BLOCK_SIZES[bs_code]
+            if sr_code == 0:
+                pass  # from STREAMINFO
+            elif sr_code in _FLAC_RATES:
+                if _FLAC_RATES[sr_code] != rate0:
+                    return None
+            elif sr_code == 12:
+                if bits.get(8) * 1000 != rate0:
+                    return None
+            elif sr_code == 13:
+                if bits.get(16) != rate0:
+                    return None
+            elif sr_code == 14:
+                if bits.get(16) * 10 != rate0:
+                    return None
+            else:
+                return None  # 15 is invalid
+            if ss_code == 0:
+                bps = bps0
+            elif ss_code in _FLAC_BPS:
+                if _FLAC_BPS[ss_code] != bps0:
+                    return None
+                bps = bps0
+            else:
+                return None
+            # CRC-8 over the header bytes read so far
+            hdr_end = bits.byte_pos()
+            if bits.get(8) != _crc8_flac(payload[frame_start:hdr_end]):
+                return None
+            if ca <= 7:
+                nch = ca + 1
+                if nch != channels0:
+                    return None
+                sub = [
+                    _flac_subframe(bits, blocksize, bps) for _ in range(nch)
+                ]
+                if any(s is None for s in sub):
+                    return None
+            elif ca in (8, 9, 10):
+                if channels0 != 2:
+                    return None
+                # the SIDE channel carries one extra bit
+                b0 = bps + (1 if ca == 9 else 0)
+                b1 = bps + (1 if ca in (8, 10) else 0)
+                s0 = _flac_subframe(bits, blocksize, b0)
+                s1 = _flac_subframe(bits, blocksize, b1)
+                if s0 is None or s1 is None:
+                    return None
+                if ca == 8:  # left/side: right = left - side
+                    sub = [s0, [a - b for a, b in zip(s0, s1)]]
+                elif ca == 9:  # right/side: left = right + side
+                    sub = [[a + b for a, b in zip(s0, s1)], s1]
+                else:  # mid/side
+                    left, right = [], []
+                    for m, s in zip(s0, s1):
+                        m = (m << 1) | (s & 1)
+                        left.append((m + s) >> 1)
+                        right.append((m - s) >> 1)
+                    sub = [left, right]
+            else:
+                return None  # reserved channel assignments
+            bits.align()
+            crc_end = bits.byte_pos()
+            crc16 = bits.get(16)
+            if crc16 != _crc16_flac(payload[frame_start:crc_end]):
+                return None
+            for ci in range(channels0):
+                chans[ci].extend(sub[ci])
+            if len(chans[0]) > total_limit:
+                return None  # decode bomb
+            pos = bits.byte_pos()
+    except (EOFError, IndexError, KeyError):
+        return None
+    n_frames = len(chans[0])
+    if n_frames == 0:
+        return None
+    arr = np.empty((n_frames, channels0), np.int32)
+    for ci in range(channels0):
+        arr[:, ci] = np.asarray(chans[ci], dtype=np.int64).astype(np.int32)
+    return (
+        rate0,
+        channels0,
+        n_frames,
+        np.ascontiguousarray(arr.reshape(-1).astype("<i4")).tobytes(),
+    )
+
+
+class _FlacBitWriter:
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)  # zero padding per spec
+
+
+def _flac_build(
+    samples,
+    rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 256,
+    subframe: str = "fixed2",
+    stereo: str = "independent",
+    rice_param: int | None = None,
+    partition_order: int = 0,
+    escape_raw: int | None = None,
+) -> bytes:
+    """Forward FLAC encoder for fixtures/tests — the spec's forward
+    direction (STREAMINFO, CRC-8 frame headers, CRC-16 frame trailers,
+    rice-zigzag residuals), so decode-equals-original proves
+    ``_flac_samples`` inverts RFC 9639 rather than its own code.
+    ``samples`` is an (n_frames, channels) int array within the bps
+    range. ``subframe``: constant-where-possible is automatic;
+    'verbatim', 'fixed0'..'fixed2', or 'lpc1' (order-1 LPC with unit
+    coefficient — exercises the LPC path deterministically).
+    ``stereo``: 'independent' / 'left_side' / 'right_side' /
+    'mid_side'. ``escape_raw`` forces escape partitions with that raw
+    bit width. Not an optimizing encoder; not exported API."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    assert 1 <= channels <= 8 and bps in (8, 16)
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += block_size.to_bytes(2, "big") * 2  # min/max block size
+    si += bytes(6)  # min/max frame size unknown
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | n
+    si += packed.to_bytes(8, "big")
+    si += bytes(16)  # md5 unset
+    out += bytes((0x80,)) + len(si).to_bytes(3, "big") + bytes(si)
+
+    def write_residual(w, res, order_param):
+        w.put(0, 2)  # rice method 0 (4-bit params)
+        w.put(partition_order, 4)
+        nparts = 1 << partition_order
+        per = len(res) + order_param  # == blocksize
+        assert per % nparts == 0
+        idx = 0
+        for p in range(nparts):
+            cnt = per // nparts - (order_param if p == 0 else 0)
+            part = res[idx : idx + cnt]
+            idx += cnt
+            if escape_raw is not None:
+                w.put(15, 4)  # escape
+                w.put(escape_raw, 5)
+                for v in part:
+                    w.put(int(v), escape_raw)
+                continue
+            if rice_param is not None:
+                param = rice_param
+            else:
+                m = int(np.abs(part).mean()) if len(part) else 0
+                param = max(0, min(14, m.bit_length()))
+            w.put(param, 4)
+            for v in part:
+                u = (int(v) << 1) ^ (int(v) >> 63)  # zigzag
+                q, r = u >> param, u & ((1 << param) - 1)
+                w.put(0, q)
+                w.put(1, 1)
+                w.put(r, param)
+
+    def write_subframe(w, vals, ebps):
+        vals = [int(v) for v in vals]
+        if len(set(vals)) == 1 and subframe != "verbatim":
+            w.put(0, 1)
+            w.put(0, 6)  # CONSTANT
+            w.put(0, 1)  # no wasted bits
+            w.put(vals[0], ebps)
+            return
+        if subframe == "verbatim":
+            w.put(0, 1)
+            w.put(1, 6)
+            w.put(0, 1)
+            for v in vals:
+                w.put(v, ebps)
+            return
+        if subframe == "lpc1":
+            # order-1 LPC, unit coefficient, shift 0 — deterministic
+            # exercise of the LPC header/coefficient/residual path
+            order = 1
+            w.put(0, 1)
+            w.put(32 + (order - 1), 6)
+            w.put(0, 1)
+            for v in vals[:order]:
+                w.put(v, ebps)
+            w.put(3, 4)  # precision-1 = 3 → 4-bit coefficients
+            w.put(0, 5)  # shift 0
+            w.put(1, 4)  # qlp coefficient = 1
+            res = [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+            write_residual(w, res, order)
+            return
+        if subframe.startswith("fixed"):
+            order = int(subframe[5:])
+            coefs = _FIXED_COEFS[order]
+            w.put(0, 1)
+            w.put(8 + order, 6)
+            w.put(0, 1)
+            for v in vals[:order]:
+                w.put(v, ebps)
+            res = []
+            for i in range(order, len(vals)):
+                pred = sum(c * vals[i - 1 - j] for j, c in enumerate(coefs))
+                res.append(vals[i] - pred)
+            write_residual(w, res, order)
+            return
+        raise AssertionError(f"unknown subframe kind {subframe}")
+
+    frame_no = 0
+    for start in range(0, n, block_size):
+        blk = arr[start : start + block_size]
+        bsz = blk.shape[0]
+        hdr = _FlacBitWriter()
+        hdr.put(0x3FFE, 14)
+        hdr.put(0, 1)
+        hdr.put(0, 1)  # fixed blocking strategy
+        hdr.put(7, 4)  # explicit 16-bit block size
+        hdr.put(0, 4)  # sample rate from STREAMINFO
+        if stereo == "independent":
+            hdr.put(channels - 1, 4)
+        else:
+            assert channels == 2
+            hdr.put({"left_side": 8, "right_side": 9, "mid_side": 10}[stereo], 4)
+        hdr.put({8: 1, 16: 4}[bps], 3)
+        hdr.put(0, 1)
+        assert frame_no < 128  # single-byte UTF-8 number in fixtures
+        hdr.put(frame_no, 8)
+        hdr.put(bsz - 1, 16)
+        hdr.align()
+        hdr_bytes = bytes(hdr.buf)
+        body = _FlacBitWriter()
+        body.buf += hdr_bytes
+        body.put(_crc8_flac(hdr_bytes), 8)
+        if stereo == "independent":
+            for ci in range(channels):
+                write_subframe(body, blk[:, ci], bps)
+        else:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side = left - right
+            if stereo == "left_side":
+                write_subframe(body, left, bps)
+                write_subframe(body, side, bps + 1)
+            elif stereo == "right_side":
+                write_subframe(body, side, bps + 1)
+                write_subframe(body, right, bps)
+            else:  # mid_side
+                mid = (left + right) >> 1
+                write_subframe(body, mid, bps)
+                write_subframe(body, side, bps + 1)
+        body.align()
+        frame_bytes = bytes(body.buf)
+        out += frame_bytes
+        out += _crc16_flac(frame_bytes).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)
 
 
 def _audio_samples_op(
@@ -975,10 +1546,25 @@ def decode_audio_samples(
     """REAL audio decode across containers (``is_stub`` = FALSE):
     sniffs each payload's magic and dispatches to the WAV (RIFF,
     little-endian), AIFF (FORM, big-endian + 80-bit extended-float
-    rate) or AU (.snd — PCM and G.711 mu-law) decoder — one operator a
-    mixed 100-TB audio corpus can run without pre-sorting by format.
-    Undecodable rows are OMITTED."""
+    rate), AU (.snd — PCM and G.711 mu-law) or FLAC (r13 — the first
+    COMPRESSED audio codec) decoder — one operator a mixed 100-TB
+    audio corpus can run without pre-sorting by format. Undecodable
+    rows are OMITTED."""
     return _audio_samples_op(df, _sniff_audio_samples, payload_col, id_col)
+
+
+def decode_flac_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL FLAC decode to the AUDIO_SAMPLES_SCHEMA contract
+    (``is_stub`` = FALSE) via ``_flac_samples`` — rice-coded
+    fixed/LPC-predicted subframes, stereo decorrelation, CRC-verified
+    frames; FLAC is LOSSLESS, so tests pin byte-exact sample equality
+    (unlike the tolerance-pinned lossy JPEG). Same mapInPandas/Arrow
+    plumbing as ``decode_wav_samples``."""
+    return _audio_samples_op(df, _flac_samples, payload_col, id_col)
 
 
 AUDIO_STATS_SCHEMA = StructType(
@@ -1702,13 +2288,14 @@ def _au_build(
 def synthetic_mixed_audio_assets(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL mixed-container audio fixture for the
     sniffing decoder: cycles WAV 16-bit LE / AIFF 16-bit BE / AIFF
-    8-bit signed / AU 16-bit BE PCM / AU G.711 mu-law, mono/stereo,
-    varied rates, formula samples — every decoded int32 derivable by
-    the pinning test (mu-law via the canonical expansion of the stored
-    code bytes)."""
+    8-bit signed / AU 16-bit BE PCM / AU G.711 mu-law / FLAC (r13 —
+    fixed-predictor rice frames, stereo decorrelation cycling),
+    mono/stereo, varied rates, formula samples — every decoded int32
+    derivable by the pinning test (mu-law via the canonical expansion
+    of the stored code bytes; FLAC is lossless so samples are exact)."""
     rows = []
     for i in range(n):
-        kind = i % 5
+        kind = i % 6
         rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
         channels = 1 + (i % 2)
         n_frames = 16 + (i % 5)
@@ -1737,10 +2324,24 @@ def synthetic_mixed_audio_assets(spark, n: int = 32) -> DataFrame:
             pcm = b"".join(_struct.pack(">h", v) for v in vals16)
             payload = _au_build(rate, channels, 3, pcm, b"note")
             mime = "audio/basic"
-        else:
+        elif kind == 4:
             codes = bytes((k * 17 + i * 3) % 256 for k in range(count))
             payload = _au_build(rate, channels, 1, codes)
             mime = "audio/basic"
+        else:  # FLAC: lossless fixed-predictor frames, varied stereo
+            import numpy as np
+
+            mat = np.array(vals16, np.int64).reshape(n_frames, channels)
+            stereo = (
+                ("independent", "left_side", "mid_side")[i % 3]
+                if channels == 2
+                else "independent"
+            )
+            payload = _flac_build(
+                mat, rate=rate, bps=16, block_size=8,
+                subframe=("fixed1", "fixed2", "lpc1")[i % 3], stereo=stereo,
+            )
+            mime = "audio/flac"
         rows.append((i, "audio", payload, mime, {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 

@@ -265,11 +265,14 @@ _CHANGED_IN_ROUND.update(
 # r13: pq_topk's ADC scan extracted into the shared _adc_scored (plan
 # identical, code moved — re-execute the rerank consumer); GIF frame
 # sampling defaults to disposal-composited RENDERED frames (row values
-# change: logical-screen dims; row count unchanged, rows-only check)
+# change: logical-screen dims; row count unchanged, rows-only check);
+# the mixed-audio fixture now cycles 6 container kinds (FLAC added) so
+# audio_decode_stats row values shift (count unchanged, rows-only)
 _CHANGED_IN_ROUND.update(
     {
         "pq_topk_reranked": 13,
         "gif_frame_stats": 13,
+        "audio_decode_stats": 13,
     }
 )
 
@@ -1925,6 +1928,27 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     samples = decode_audio_samples(synthetic_mixed_audio_assets(spark, n=32))
+    return audio_sample_stats(samples).orderBy("asset_id")
+
+
+@register("flac_sample_stats", None)
+def q_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio family's first COMPRESSED codec (r13): FLAC frames —
+    CRC-verified headers/trailers, rice/rice2 residuals, constant /
+    verbatim / fixed(0-4) / LPC subframes, wasted bits, left-side /
+    right-side / mid-side stereo decorrelation — decoded to exact
+    int32 samples, then the integer waveform stats. Rows-only check
+    (binary self-contained fixture); FLAC is lossless, so every sample
+    is pinned byte-exact against the forward _flac_build in
+    tests/test_multimodal.py (multimodal.decode_flac_samples +
+    audio_sample_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        audio_sample_stats,
+        decode_flac_samples,
+        synthetic_flac_assets,
+    )
+
+    samples = decode_flac_samples(synthetic_flac_assets(spark, n=32))
     return audio_sample_stats(samples).orderBy("asset_id")
 
 

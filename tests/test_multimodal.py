@@ -1001,13 +1001,13 @@ def test_decode_audio_samples_sniffs_mixed_containers(spark):
     out = {
         r["asset_id"]: r
         for r in decode_audio_samples(
-            synthetic_mixed_audio_assets(spark, n=15)
+            synthetic_mixed_audio_assets(spark, n=18)
         ).collect()
     }
-    assert len(out) == 15
+    assert len(out) == 18
     t = _ulaw_expand_table()
     for i, r in out.items():
-        kind = i % 5
+        kind = i % 6  # r13: FLAC joined the cycle
         rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
         channels = 1 + (i % 2)
         n_frames = 16 + (i % 5)
@@ -1017,7 +1017,7 @@ def test_decode_audio_samples_sniffs_mixed_containers(spark):
         )
         assert r["is_stub"] is False
         arr = list(np.frombuffer(bytes(r["samples"]), "<i4"))
-        if kind in (0, 1, 3):
+        if kind in (0, 1, 3, 5):  # PCM containers + lossless FLAC
             exp = [((k * 31 + i * 7) % 65536) - 32768 for k in range(count)]
         elif kind == 2:
             exp = [((k * 13 + i * 5) % 256) - 128 for k in range(count)]
@@ -1438,6 +1438,7 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._avi_build([img, img], fps=25),
         mm._aiff_build(8000, 1, 16, bytes(40)),
         mm._au_build(8000, 1, 1, bytes(30)),
+        mm._flac_build(list(range(-50, 50)), block_size=32),
         b"RIFF" + (56).to_bytes(4, "little") + b"WAVEfmt "
         + (16).to_bytes(4, "little")
         + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -2274,3 +2275,113 @@ def test_tiff_deflate_decode_inverts_forward_building():
     t2 = mm._tiff_build(rng.randint(0, 256, (13, 17, 3), np.uint8),
                         "<", deflate=True)
     assert mm._tiff_pixels(t2[:-12]) is None
+
+
+def test_flac_decode_inverts_forward_encoding():
+    """r13 — the audio family's first COMPRESSED codec: FLAC decode
+    pinned byte-exact (lossless) against the independent forward
+    encoder across subframe kinds (constant / verbatim / fixed 0-2 /
+    order-1 LPC), stereo decorrelations (independent, left-side,
+    right-side, mid-side), 8/16-bit, multi-frame blocking, rice
+    partitions, explicit rice params, and the escape-to-raw path."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(6)
+
+    def rt(samples, **kw):
+        p = mm._flac_build(samples, **kw)
+        got = mm._flac_samples(p)
+        assert got is not None, kw
+        rate, ch, nf, raw = got
+        arr = np.frombuffer(raw, "<i4").reshape(nf, ch)
+        s = np.asarray(samples)
+        if s.ndim == 1:
+            s = s[:, None]
+        assert np.array_equal(arr, s), kw
+        return p
+
+    s = rng.randint(-30000, 30000, 700).astype(np.int64)
+    for sf in ("verbatim", "fixed0", "fixed1", "fixed2", "lpc1"):
+        rt(s, subframe=sf)
+    rt(np.full(300, 1234))  # constant auto-detected
+    rt(rng.randint(-128, 128, 500), bps=8)
+    st = rng.randint(-20000, 20000, (600, 2))
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        rt(st, stereo=mode)
+    rt(rng.randint(-100, 100, (300, 5)), subframe="fixed1")  # 5 channels
+    rt(s[:512], partition_order=2, subframe="fixed1")
+    rt(np.clip(s[:256], -200, 200), escape_raw=12, subframe="fixed0")
+    rt(s[:256], rice_param=9, subframe="fixed2")
+    # extreme values survive (int16 bounds; side channel uses bps+1)
+    edge = np.array([[-32768, 32767], [32767, -32768], [0, -1]], np.int64)
+    for mode in ("left_side", "right_side", "mid_side"):
+        rt(np.vstack([edge] * 20), stereo=mode)
+
+
+def test_flac_rejects_corrupt_and_is_crc_checked():
+    """Bit flips anywhere in a frame flip a CRC → None (the CRCs are
+    real, not decorative); truncation, bad magic, reserved codes and
+    wrong-channel assignments reject; the sniffer dispatches fLaC."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    s = rng.randint(-1000, 1000, 300).astype(np.int64)
+    good = mm._flac_build(s)
+    assert mm._flac_samples(good) is not None
+    assert mm._sniff_audio_samples(good) is not None
+    assert mm._flac_samples(good[:-20]) is None
+    assert mm._flac_samples(b"fLaC" + bytes(10)) is None
+    assert mm._flac_samples(b"not flac") is None
+    # flip one bit inside the LAST frame's audio data → CRC16 mismatch
+    bad = bytearray(good)
+    bad[-40] ^= 0x10
+    assert mm._flac_samples(bytes(bad)) is None
+    # flip a frame-header bit → CRC8 mismatch (find a sync: 0xFF 0xF8)
+    at = good.index(b"\xff\xf8", 50)
+    bad = bytearray(good)
+    bad[at + 3] ^= 0x04
+    assert mm._flac_samples(bytes(bad)) is None
+
+
+def test_decode_flac_samples_operator_and_fixture(spark):
+    """The Spark operator over the sweep fixture: every asset decodes
+    (no omissions — the fixture is all-valid), stats match exact
+    integer formulas recomputed from the same formula samples."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        audio_sample_stats,
+        decode_flac_samples,
+        synthetic_flac_assets,
+    )
+
+    assets = synthetic_flac_assets(spark, n=16)
+    samples = decode_flac_samples(assets)
+    rows = {r["asset_id"]: r for r in samples.collect()}
+    assert len(rows) == 16
+    for i, r in rows.items():
+        channels = 1 + (i % 2)
+        bps = 8 if i % 5 == 0 else 16
+        lim = 100 if bps == 8 else 20000
+        n_frames = 48 + (i % 7) * 8
+        exp = np.array(
+            [
+                [((k * 37 + c * 11 + i * 7) % (2 * lim)) - lim
+                 for c in range(channels)]
+                for k in range(n_frames)
+            ],
+            np.int64,
+        )
+        got = np.frombuffer(bytes(r["samples"]), "<i4").reshape(
+            r["n_frames"], r["channels"]
+        )
+        assert r["channels"] == channels and r["n_frames"] == n_frames
+        assert np.array_equal(got, exp), i
+        assert r["is_stub"] is False
+    stats = audio_sample_stats(samples).collect()
+    assert len(stats) == 16 and all(s["n_samples"] > 0 for s in stats)
