@@ -749,12 +749,13 @@ AUDIO_SAMPLES_SCHEMA = StructType(
 def _wav_pcm_samples(payload: bytes):
     """REAL WAV sample decode (r12 — the audio analog of ``_bmp_pixels``):
     (sample_rate, channels, n_frames, int32-LE interleaved sample bytes)
-    for uncompressed PCM (format tag 1, 8 or 16 bits/sample), honest
-    None for anything else (float/ADPCM/24-bit, truncated chunks). Same
-    RIFF chunk walk as ``_wav_meta``; 8-bit samples are unsigned per the
-    WAV spec and are centered (-128) so both widths land on a signed
-    zero-DC scale; 16-bit are signed little-endian. Widening to int32
-    keeps downstream arithmetic exact."""
+    for uncompressed PCM (format tag 1; 8/16/24/32 bits per sample —
+    24/32 added r13), honest None for anything else (float/ADPCM,
+    truncated chunks). Same RIFF chunk walk as ``_wav_meta``; 8-bit
+    samples are unsigned per the WAV spec and are centered (-128) so
+    every width lands on a signed zero-DC scale; wider samples are
+    signed little-endian (24-bit sign-extended vectorized). Widening to
+    int32 keeps downstream arithmetic exact."""
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -778,7 +779,7 @@ def _wav_pcm_samples(payload: bytes):
         or not rate
         or rate >= (1 << 31)  # int32 schema bound; larger = corrupt
         or not channels
-        or bits not in (8, 16)
+        or bits not in (8, 16, 24, 32)
         or data_off is None
         or len(payload) < data_off + data_len
     ):
@@ -793,9 +794,17 @@ def _wav_pcm_samples(payload: bytes):
             .astype(np.int32)
             - 128
         )
-    else:
+    elif bits == 16:
         arr = np.frombuffer(
             payload, "<i2", count=n_samples, offset=data_off
+        ).astype(np.int32)
+    elif bits == 24:  # r13: 3-byte little-endian signed — studio PCM
+        arr = _pcm24_to_int32(
+            payload[data_off : data_off + n_samples * 3], "<"
+        )
+    else:  # 32-bit integer PCM (format tag 1; float32 is tag 3 → None)
+        arr = np.frombuffer(
+            payload, "<i4", count=n_samples, offset=data_off
         ).astype(np.int32)
     return (
         int(rate),
@@ -803,6 +812,28 @@ def _wav_pcm_samples(payload: bytes):
         n_samples // channels,
         arr.astype("<i4").tobytes(),
     )
+
+
+def _pcm24_to_int32(raw: bytes, byte_order: str):
+    """Vectorized 3-byte signed PCM → int32 (``byte_order`` '<' or
+    '>'): widen each triple into a 4-byte lane, then an arithmetic
+    shift restores the sign — no per-sample Python."""
+    import numpy as np
+
+    b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+    if byte_order == "<":
+        v = (
+            b[:, 0].astype(np.uint32)
+            | (b[:, 1].astype(np.uint32) << 8)
+            | (b[:, 2].astype(np.uint32) << 16)
+        )
+    else:
+        v = (
+            b[:, 2].astype(np.uint32)
+            | (b[:, 1].astype(np.uint32) << 8)
+            | (b[:, 0].astype(np.uint32) << 16)
+        )
+    return (v.astype(np.int32) << 8) >> 8  # sign-extend bit 23
 
 
 def _ieee754_extended_to_int(b: bytes):
@@ -833,10 +864,10 @@ def _aiff_pcm_samples(payload: bytes):
     """REAL AIFF sample decode — the big-endian sibling of
     ``_wav_pcm_samples``: FORM/AIFF chunk walk, COMM (channels, frame
     count, sample size, 80-bit extended-float rate), SSND (offset +
-    blocksize header, then big-endian signed PCM). Only 8/16-bit PCM
-    ``AIFF`` decodes; compressed ``AIFC``, 24-bit and truncated chunks
-    return an honest None. AIFF 8-bit is SIGNED (unlike WAV's
-    unsigned) per the spec."""
+    blocksize header, then big-endian signed PCM). 8/16/24/32-bit PCM
+    ``AIFF`` decodes (24/32 added r13); compressed ``AIFC`` and
+    truncated chunks return an honest None. AIFF 8-bit is SIGNED
+    (unlike WAV's unsigned) per the spec."""
     import numpy as np
 
     if (
@@ -865,7 +896,7 @@ def _aiff_pcm_samples(payload: bytes):
         not rate
         or not channels
         or channels < 1
-        or bits not in (8, 16)
+        or bits not in (8, 16, 24, 32)
         or not n_frames
         or snd_off is None
         or snd_len < n_frames * channels * (bits // 8)
@@ -877,9 +908,15 @@ def _aiff_pcm_samples(payload: bytes):
         arr = np.frombuffer(
             payload, np.int8, count=count, offset=snd_off
         ).astype(np.int32)
-    else:
+    elif bits == 16:
         arr = np.frombuffer(
             payload, ">i2", count=count, offset=snd_off
+        ).astype(np.int32)
+    elif bits == 24:
+        arr = _pcm24_to_int32(payload[snd_off : snd_off + count * 3], ">")
+    else:
+        arr = np.frombuffer(
+            payload, ">i4", count=count, offset=snd_off
         ).astype(np.int32)
     return int(rate), int(channels), int(n_frames), arr.astype("<i4").tobytes()
 
@@ -904,10 +941,10 @@ def _ulaw_expand_table():
 def _au_samples(payload: bytes):
     """REAL Sun/NeXT .au sample decode: '.snd' header (big-endian data
     offset/size/encoding/rate/channels), encodings 1 (G.711 mu-law,
-    expanded to 16-bit-scaled linear), 2 (8-bit signed linear PCM) and
-    3 (16-bit signed big-endian PCM). A-law, float and 24/32-bit
-    encodings return an honest None. data_size of 0xFFFFFFFF means
-    'until EOF' per the spec."""
+    expanded to 16-bit-scaled linear), 2 (8-bit signed linear PCM),
+    3 (16-bit), 4 (24-bit, r13) and 5 (32-bit) signed big-endian PCM.
+    A-law and float encodings return an honest None. data_size of
+    0xFFFFFFFF means 'until EOF' per the spec."""
     import numpy as np
 
     if len(payload) < 28 or payload[:4] != b".snd":
@@ -920,7 +957,7 @@ def _au_samples(payload: bytes):
     # check a 28-byte crafted .au kills the Arrow batch, not the row
     if (
         off < 24
-        or enc not in (1, 2, 3)
+        or enc not in (1, 2, 3, 4, 5)
         or not 0 < rate < (1 << 31)
         or not 0 < channels <= 32768
     ):
@@ -929,7 +966,7 @@ def _au_samples(payload: bytes):
         size = len(payload) - off
     if len(payload) < off + size:
         return None
-    width = 2 if enc == 3 else 1
+    width = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}[enc]
     count = size // (width * channels) * channels
     if count == 0:
         return None
@@ -940,9 +977,15 @@ def _au_samples(payload: bytes):
         arr = np.frombuffer(
             payload, np.int8, count=count, offset=off
         ).astype(np.int32)
-    else:
+    elif enc == 3:
         arr = np.frombuffer(
             payload, ">i2", count=count, offset=off
+        ).astype(np.int32)
+    elif enc == 4:
+        arr = _pcm24_to_int32(payload[off : off + count * 3], ">")
+    else:
+        arr = np.frombuffer(
+            payload, ">i4", count=count, offset=off
         ).astype(np.int32)
     return int(rate), int(channels), count // channels, arr.astype("<i4").tobytes()
 

@@ -1513,8 +1513,9 @@ def test_decode_wav_samples_matches_formula(spark):
 
 
 def test_wav_pcm_samples_rejects_non_pcm(spark):
-    """Honest None for non-PCM (float tag), 24-bit width, truncated
-    data, non-RIFF junk."""
+    """Honest None for non-PCM (float tag), odd bit widths, truncated
+    data, non-RIFF junk (24/32-bit integer PCM decode as of r13 — see
+    test_pcm_24_and_32_bit_widths_decode)."""
     import struct as _s
 
     from llm_training_data_pipeline_spark.operators.multimodal import (
@@ -1530,7 +1531,7 @@ def test_wav_pcm_samples_rejects_non_pcm(spark):
     assert _wav_pcm_samples(b"") is None
     assert _wav_pcm_samples(b"RIFFxxxxNOPE") is None
     assert _wav_pcm_samples(wav(fmt_tag=3)) is None  # IEEE float
-    assert _wav_pcm_samples(wav(bits=24, data=b"\x00" * 6)) is None
+    assert _wav_pcm_samples(wav(bits=12, data=b"\x00" * 6)) is None
     truncated = wav(data=b"\x00" * 100)[:-60]
     assert _wav_pcm_samples(truncated) is None
     got = _wav_pcm_samples(wav(data=_s.pack("<2h", -5, 7)))
@@ -2385,3 +2386,64 @@ def test_decode_flac_samples_operator_and_fixture(spark):
         assert r["is_stub"] is False
     stats = audio_sample_stats(samples).collect()
     assert len(stats) == 16 and all(s["n_samples"] > 0 for s in stats)
+
+
+def test_pcm_24_and_32_bit_widths_decode():
+    """r13 — studio sample widths: 24-bit (3-byte signed, vectorized
+    sign extension, both endiannesses) and 32-bit integer PCM across
+    WAV (LE), AIFF (BE) and AU (encodings 4/5). Values straddle the
+    sign boundary on purpose."""
+    import struct
+
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    vals = [0, 1, -1, 8388607, -8388608, 123456, -123456, 42]
+    # raw 24-bit packers
+    le24 = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    be24 = b"".join(struct.pack(">i", v)[1:] for v in vals)
+    assert list(mm._pcm24_to_int32(le24, "<")) == vals
+    assert list(mm._pcm24_to_int32(be24, ">")) == vals
+
+    # WAV 24-bit stereo
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 48000, 6, 24)
+    data = b"data" + struct.pack("<I", len(le24)) + le24
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, nf, raw = mm._wav_pcm_samples(wav)
+    assert (rate, ch, nf) == (8000, 2, 4)
+    assert list(np.frombuffer(raw, "<i4")) == vals
+
+    # WAV 32-bit mono
+    v32 = [2**31 - 1, -(2**31), 7, -9]
+    pcm = b"".join(struct.pack("<i", v) for v in v32)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 32000, 4, 32)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert list(
+        np.frombuffer(mm._wav_pcm_samples(wav)[3], "<i4")
+    ) == v32
+
+    # AIFF 24-bit (big-endian)
+    aiff = mm._aiff_build(16000, 2, 24, be24)
+    rate, ch, nf, raw = mm._aiff_pcm_samples(aiff)
+    assert (rate, ch, nf) == (16000, 2, 4)
+    assert list(np.frombuffer(raw, "<i4")) == vals
+
+    # AU encodings 4 (24-bit) and 5 (32-bit), big-endian
+    au = mm._au_build(8000, 2, 4, be24)
+    rate, ch, nf, raw = mm._au_samples(au)
+    assert (rate, ch, nf) == (8000, 2, 4)
+    assert list(np.frombuffer(raw, "<i4")) == vals
+    pcm = b"".join(struct.pack(">i", v) for v in v32)
+    au = mm._au_build(8000, 1, 5, pcm)
+    assert list(np.frombuffer(mm._au_samples(au)[3], "<i4")) == v32
+
+    # float WAV (format tag 3) still rejects honestly
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+    data = b"data" + struct.pack("<I", 8) + bytes(8)
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert mm._wav_pcm_samples(wav) is None
