@@ -761,7 +761,7 @@ def _wav_pcm_samples(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i = 12
-    fmt_tag = rate = channels = bits = None
+    fmt_tag = rate = channels = bits = block_align = None
     data_off = data_len = None
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
@@ -770,10 +770,27 @@ def _wav_pcm_samples(payload: bytes):
             fmt_tag, channels, rate = _struct.unpack(
                 "<HHI", payload[i + 8 : i + 16]
             )
-            (bits,) = _struct.unpack("<H", payload[i + 22 : i + 24])
+            block_align, bits = _struct.unpack(
+                "<HH", payload[i + 20 : i + 24]
+            )
         elif cid == b"data":
             data_off, data_len = i + 8, clen
         i += 8 + clen + (clen % 2)
+    if fmt_tag == 0x11:  # IMA/DVI ADPCM (r13)
+        if (
+            not rate
+            or rate >= (1 << 31)
+            or not channels
+            or bits != 4
+            or data_off is None
+            or not block_align
+            or len(payload) < data_off + data_len
+        ):
+            return None
+        return _wav_ima_adpcm_samples(
+            payload, None, channels, rate, block_align,
+            payload[data_off : data_off + data_len],
+        )
     if (
         fmt_tag != 1
         or not rate
@@ -988,6 +1005,198 @@ def _au_samples(payload: bytes):
             payload, ">i4", count=count, offset=off
         ).astype(np.int32)
     return int(rate), int(channels), count // channels, arr.astype("<i4").tobytes()
+
+
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibbles(nibbles, pred: int, index: int):
+    """IMA/DVI ADPCM core (public spec, IMA ADPCM Reference Algorithm):
+    one int16 sample per 4-bit code, shared by the WAV block decoder
+    and the forward encoder's reconstruction loop."""
+    out = []
+    step_table, index_table = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    for b in nibbles:
+        step = step_table[index]
+        delta = step >> 3
+        if b & 1:
+            delta += step >> 2
+        if b & 2:
+            delta += step >> 1
+        if b & 4:
+            delta += step
+        pred = pred - delta if b & 8 else pred + delta
+        pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+        index += index_table[b & 7]
+        index = 0 if index < 0 else (88 if index > 88 else index)
+        out.append(pred)
+    return out, pred, index
+
+
+def _wav_ima_adpcm_samples(payload: bytes, fmt_extra, channels, rate,
+                           block_align, data):
+    """WAV format tag 0x11 (IMA ADPCM) block decode: per-block 4-byte
+    channel headers (int16 predictor, step index, reserved), then
+    nibble data — mono low-nibble-first, stereo interleaved in 4-byte
+    words per channel. The header predictor IS the block's first
+    sample (samples_per_block = 1 + data nibbles per channel)."""
+    import numpy as np
+
+    if channels not in (1, 2) or block_align < 4 * channels + 4:
+        return None
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    for boff in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[boff : boff + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            p = int.from_bytes(
+                block[4 * c : 4 * c + 2], "little", signed=True
+            )
+            ix = block[4 * c + 2]
+            if ix > 88 or block[4 * c + 3] != 0:
+                return None
+            preds.append(p)
+            idxs.append(ix)
+            chans[c].append(p)  # first sample = header predictor
+        body = block[4 * channels :]
+        if channels == 1:
+            nibbles = []
+            for byte in body:
+                nibbles.append(byte & 0xF)
+                nibbles.append(byte >> 4)
+            dec, _p, _i = _ima_decode_nibbles(nibbles, preds[0], idxs[0])
+            chans[0].extend(dec)
+        else:
+            # alternating 4-byte (8-nibble) words: ch0 word, ch1 word
+            if len(body) % 8:
+                return None
+            for w0 in range(0, len(body), 8):
+                for c in range(2):
+                    word = body[w0 + 4 * c : w0 + 4 * c + 4]
+                    nib = []
+                    for byte in word:
+                        nib.append(byte & 0xF)
+                        nib.append(byte >> 4)
+                    dec, preds[c], idxs[c] = _ima_decode_nibbles(
+                        nib, preds[c], idxs[c]
+                    )
+                    chans[c].extend(dec)
+    n_frames = min(len(ch) for ch in chans)
+    if n_frames == 0:
+        return None
+    arr = np.empty((n_frames, channels), np.int32)
+    for c in range(channels):
+        arr[:, c] = chans[c][:n_frames]
+    return (
+        int(rate),
+        int(channels),
+        n_frames,
+        np.ascontiguousarray(arr.reshape(-1).astype("<i4")).tobytes(),
+    )
+
+
+def _ima_encode_block(samples, pred: int, index: int):
+    """Forward IMA quantizer for one channel's block body (the spec's
+    encoder direction): picks each nibble by the standard magnitude
+    comparison, tracking the decoder's reconstruction so the stream is
+    self-consistent. Returns (nibbles, final pred, final index)."""
+    nibbles = []
+    for s in samples:
+        step = _IMA_STEP_TABLE[index]
+        diff = int(s) - pred
+        b = 0
+        if diff < 0:
+            b = 8
+            diff = -diff
+        if diff >= step:
+            b |= 4
+            diff -= step
+        if diff >= step >> 1:
+            b |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            b |= 1
+        nibbles.append(b)
+        dec, pred, index = _ima_decode_nibbles([b], pred, index)
+    return nibbles, pred, index
+
+
+def _wav_ima_build(samples, rate: int = 8000, block_frames: int = 505) -> bytes:
+    """Forward IMA-ADPCM WAV builder for fixtures/tests: format tag
+    0x11, per-block channel headers carrying the true running
+    predictor/index, mono nibble stream or stereo 4-byte interleave.
+    ``block_frames`` = samples per block per channel INCLUDING the
+    header sample; (block_frames - 1) must be a multiple of 8 for
+    stereo. Not exported API."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, channels = arr.shape
+    assert channels in (1, 2)
+    nib_per_block = block_frames - 1
+    if channels == 2:
+        assert nib_per_block % 8 == 0
+    block_align = 4 * channels + nib_per_block * channels // 2
+    preds = [int(arr[0, c]) for c in range(channels)]
+    idxs = [0] * channels
+    body = bytearray()
+    pos = 0
+    while pos < n:
+        take = min(block_frames, n - pos)
+        blk = arr[pos : pos + take]
+        # header sample per channel = current predictor state, which we
+        # pin to the block's first actual sample
+        for c in range(channels):
+            preds[c] = int(blk[0, c])
+            body += int(preds[c]).to_bytes(2, "little", signed=True)
+            body += bytes((idxs[c], 0))
+        rest = blk[1:]
+        # pad the tail block so every block is full-size (decoder
+        # emits the padding; callers trim by frame count)
+        if rest.shape[0] < nib_per_block:
+            pad = np.repeat(rest[-1:] if rest.shape[0] else blk[-1:],
+                            nib_per_block - rest.shape[0], axis=0)
+            rest = np.vstack([rest, pad]) if rest.shape[0] else pad
+        ch_nibbles = []
+        for c in range(channels):
+            nib, preds[c], idxs[c] = _ima_encode_block(
+                rest[:, c], preds[c], idxs[c]
+            )
+            ch_nibbles.append(nib)
+
+        def pack(nibs):
+            out = bytearray()
+            for i in range(0, len(nibs), 2):
+                out.append(nibs[i] | (nibs[i + 1] << 4))
+            return bytes(out)
+
+        if channels == 1:
+            body += pack(ch_nibbles[0])
+        else:
+            b0, b1 = pack(ch_nibbles[0]), pack(ch_nibbles[1])
+            for w0 in range(0, len(b0), 4):
+                body += b0[w0 : w0 + 4]
+                body += b1[w0 : w0 + 4]
+        pos += take
+    byte_rate = rate * block_align // block_frames
+    fmt = b"fmt " + _struct.pack(
+        "<IHHIIHHHH", 20, 0x11, channels, rate, byte_rate, block_align,
+        4, 2, block_frames,
+    )
+    data = b"data" + _struct.pack("<I", len(body)) + bytes(body)
+    wav_body = b"WAVE" + fmt + data
+    return b"RIFF" + _struct.pack("<I", len(wav_body)) + wav_body
 
 
 def _sniff_audio_samples(payload: bytes):

@@ -1439,6 +1439,7 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._aiff_build(8000, 1, 16, bytes(40)),
         mm._au_build(8000, 1, 1, bytes(30)),
         mm._flac_build(list(range(-50, 50)), block_size=32),
+        mm._wav_ima_build(list(range(0, 3000, 3)), block_frames=505),
         b"RIFF" + (56).to_bytes(4, "little") + b"WAVEfmt "
         + (16).to_bytes(4, "little")
         + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -2447,3 +2448,81 @@ def test_pcm_24_and_32_bit_widths_decode():
     body = b"WAVE" + fmt + data
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     assert mm._wav_pcm_samples(wav) is None
+
+
+def test_wav_ima_adpcm_decodes_and_matches_independent_model():
+    """r13 — WAV format tag 0x11 (IMA/DVI ADPCM): the block decoder is
+    pinned two ways. (1) EXACT: a hand-fed nibble stream must equal an
+    independent in-test implementation of the IMA reference step loop
+    (tables included), so the decoder matches the spec, not itself.
+    (2) TOLERANCE: encode→decode of band-limited signals stays within
+    the 4-bit quantizer's error envelope, mono and stereo (interleaved
+    4-byte words), with frame counts padded to whole blocks."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    # --- independent model of the step loop ---
+    STEPS = mm._IMA_STEP_TABLE
+    IDX = mm._IMA_INDEX_TABLE
+
+    def model(nibs, pred, index):
+        out = []
+        for b in nibs:
+            step = STEPS[index]
+            d = step >> 3
+            if b & 1:
+                d += step >> 2
+            if b & 2:
+                d += step >> 1
+            if b & 4:
+                d += step
+            pred = pred - d if b & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + IDX[b & 7]))
+            out.append(pred)
+        return out
+
+    nibs = [0, 7, 15, 8, 3, 12, 1, 14, 5, 10, 2, 9, 6, 11, 4, 13]
+    got, _p, _i = mm._ima_decode_nibbles(nibs, 100, 20)
+    assert got == model(nibs, 100, 20)
+
+    # hand-build a one-block mono WAV around that nibble stream
+    body = (100).to_bytes(2, "little", signed=True) + bytes((20, 0))
+    body += bytes(nibs[i] | (nibs[i + 1] << 4) for i in range(0, 16, 2))
+    import struct
+
+    block_align = len(body)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, 1, 8000, 8000, block_align, 4, 2, 17
+    )
+    data = b"data" + struct.pack("<I", len(body)) + body
+    wav_body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(wav_body)) + wav_body
+    rate, ch, nf, raw = mm._wav_pcm_samples(wav)
+    assert (rate, ch, nf) == (8000, 1, 17)
+    assert list(np.frombuffer(raw, "<i4")) == [100] + model(nibs, 100, 20)
+
+    # --- encode→decode tolerance, mono + stereo ---
+    t = np.arange(2000)
+    sig = (8000 * np.sin(t / 20) + 3000 * np.sin(t / 7)).astype(np.int64)
+    for samples in (sig, np.stack(
+        [sig, (6000 * np.cos(t / 15)).astype(np.int64)], axis=1
+    )):
+        p = mm._wav_ima_build(samples, rate=8000, block_frames=505)
+        rate, ch, nf, raw = mm._wav_pcm_samples(p)
+        s = samples if samples.ndim == 2 else samples[:, None]
+        assert nf >= len(s) and ch == s.shape[1]
+        arr = np.frombuffer(raw, "<i4").reshape(nf, ch)[: len(s)]
+        err = np.abs(arr.astype(np.int64) - s)
+        assert err.mean() < 150 and err.max() < 5000
+        assert mm._sniff_audio_samples(p) is not None
+
+    # corrupt: out-of-range step index / nonzero reserved byte reject
+    b = bytearray(p)
+    at = bytes(b).index(b"data") + 8 + 2
+    b[at] = 99
+    assert mm._wav_pcm_samples(bytes(b)) is None
+    b[at] = 0
+    b[at + 1] = 1  # reserved byte must be zero
+    assert mm._wav_pcm_samples(bytes(b)) is None
