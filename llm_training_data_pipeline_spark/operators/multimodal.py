@@ -776,6 +776,27 @@ def _wav_pcm_samples(payload: bytes):
         elif cid == b"data":
             data_off, data_len = i + 8, clen
         i += 8 + clen + (clen % 2)
+    if fmt_tag in (6, 7):  # G.711 A-law / mu-law in WAV (r13)
+        if (
+            not rate
+            or rate >= (1 << 31)
+            or not channels
+            or bits != 8
+            or data_off is None
+            or len(payload) < data_off + data_len
+        ):
+            return None
+        count = data_len // channels * channels
+        if count == 0:
+            return None
+        codes = np.frombuffer(payload, np.uint8, count=count, offset=data_off)
+        table = _alaw_expand_table() if fmt_tag == 6 else _ulaw_expand_table()
+        return (
+            int(rate),
+            int(channels),
+            count // channels,
+            table[codes].astype("<i4").tobytes(),
+        )
     if fmt_tag == 0x11:  # IMA/DVI ADPCM (r13)
         if (
             not rate
@@ -955,13 +976,33 @@ def _ulaw_expand_table():
     return out
 
 
+@_functools.lru_cache(maxsize=1)
+def _alaw_expand_table():
+    """G.711 A-law expansion (ITU G.711 / CCITT reference) for all 256
+    code bytes, 16-bit-scaled linear values (r13 — the telephony
+    sibling of ``_ulaw_expand_table``). lru_cached per executor."""
+    import numpy as np
+
+    out = np.zeros(256, np.int32)
+    for byte in range(256):
+        a = byte ^ 0x55  # even-bit inversion per spec
+        seg = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if seg == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (seg - 1)
+        out[byte] = mag if a & 0x80 else -mag
+    return out
+
+
 def _au_samples(payload: bytes):
     """REAL Sun/NeXT .au sample decode: '.snd' header (big-endian data
     offset/size/encoding/rate/channels), encodings 1 (G.711 mu-law,
     expanded to 16-bit-scaled linear), 2 (8-bit signed linear PCM),
-    3 (16-bit), 4 (24-bit, r13) and 5 (32-bit) signed big-endian PCM.
-    A-law and float encodings return an honest None. data_size of
-    0xFFFFFFFF means 'until EOF' per the spec."""
+    3 (16-bit), 4 (24-bit, r13), 5 (32-bit) signed big-endian PCM and
+    27 (G.711 A-law, r13). Float encodings return an honest None.
+    data_size of 0xFFFFFFFF means 'until EOF' per the spec."""
     import numpy as np
 
     if len(payload) < 28 or payload[:4] != b".snd":
@@ -974,7 +1015,7 @@ def _au_samples(payload: bytes):
     # check a 28-byte crafted .au kills the Arrow batch, not the row
     if (
         off < 24
-        or enc not in (1, 2, 3, 4, 5)
+        or enc not in (1, 2, 3, 4, 5, 27)
         or not 0 < rate < (1 << 31)
         or not 0 < channels <= 32768
     ):
@@ -983,13 +1024,14 @@ def _au_samples(payload: bytes):
         size = len(payload) - off
     if len(payload) < off + size:
         return None
-    width = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4}[enc]
+    width = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}[enc]
     count = size // (width * channels) * channels
     if count == 0:
         return None
-    if enc == 1:
+    if enc in (1, 27):
         codes = np.frombuffer(payload, np.uint8, count=count, offset=off)
-        arr = _ulaw_expand_table()[codes]
+        table = _ulaw_expand_table() if enc == 1 else _alaw_expand_table()
+        arr = table[codes]
     elif enc == 2:
         arr = np.frombuffer(
             payload, np.int8, count=count, offset=off

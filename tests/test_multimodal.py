@@ -2526,3 +2526,52 @@ def test_wav_ima_adpcm_decodes_and_matches_independent_model():
     b[at] = 0
     b[at + 1] = 1  # reserved byte must be zero
     assert mm._wav_pcm_samples(bytes(b)) is None
+
+
+def test_g711_alaw_decodes_in_wav_and_au():
+    """r13 — G.711 A-law (WAV tag 6, AU encoding 27) alongside the
+    existing mu-law: the expansion table is pinned against an
+    independent in-test computation of the ITU G.711 segment formula,
+    and canonical anchor codes get exact values; WAV tag 7 (mu-law)
+    must equal the AU mu-law path byte-for-byte."""
+    import struct
+
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    t = mm._alaw_expand_table()
+
+    # independent model of the A-law expansion
+    def alaw(byte):
+        a = byte ^ 0x55
+        seg = (a >> 4) & 7
+        mant = a & 0xF
+        mag = (mant << 4) + 8 if seg == 0 else ((mant << 4) + 0x108) << (seg - 1)
+        return mag if a & 0x80 else -mag
+
+    assert list(t) == [alaw(b) for b in range(256)]
+    # anchors: 0x55 is the A-law code for magnitude 8 (quiet negative),
+    # 0xD5 its positive mirror; the table is odd-symmetric under ^0x80
+    assert t[0x55] == -8 and t[0xD5] == 8
+    assert all(int(t[b]) == -int(t[b ^ 0x80]) for b in range(256))
+
+    codes = bytes(range(256))
+
+    def wav(tag):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
+        data = b"data" + struct.pack("<I", len(codes)) + codes
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rate, ch, nf, raw = mm._wav_pcm_samples(wav(6))
+    assert (rate, ch, nf) == (8000, 1, 256)
+    assert list(np.frombuffer(raw, "<i4")) == [alaw(b) for b in range(256)]
+    # WAV mu-law (tag 7) == AU mu-law (encoding 1) on the same codes
+    _r, _c, _n, raw7 = mm._wav_pcm_samples(wav(7))
+    au = mm._au_build(8000, 1, 1, codes)
+    assert raw7 == mm._au_samples(au)[3]
+    # AU A-law (encoding 27)
+    au = mm._au_build(8000, 1, 27, codes)
+    rate, ch, nf, raw = mm._au_samples(au)
+    assert raw == mm._wav_pcm_samples(wav(6))[3]
