@@ -4,10 +4,13 @@ Images/audio/video are opaque ``BINARY`` payload columns plus typed
 metadata (``MULTIMODAL_SCHEMA``). The Spark-side plumbing — schema,
 partition-friendly batch processing via ``mapInPandas``, Arrow batch shapes,
 deterministic synthetic fixtures — is real and tested, and so are the
-codecs: pure-Python/numpy decoders cover BMP, PNM, PNG, GIF, JPEG
-(baseline + progressive), TIFF (none/PackBits/LZW/deflate strips), WAV/AIFF/AU
+codecs: pure-Python/numpy decoders cover BMP, PNM, PNG (8/16-bit,
+Adam7), GIF (incl. disposal-composited animation), JPEG (baseline +
+progressive), TIFF (none/PackBits/LZW/deflate strips), WebP lossless
+(VP8L — operators/webp_lossless.py), WAV/AIFF/AU/FLAC/IMA-ADPCM/G.711
 audio, and MJPEG-AVI / animated-GIF / Y4M frame sampling. Only formats
-we cannot decode honestly (H.264/VP9, …) remain capability-gated stubs:
+we cannot decode honestly (H.264/VP9, lossy VP8, MP3, …) remain
+capability-gated stubs:
 
 - ``decode_image_meta``   parses width/height from PNG/GIF/JPEG headers —
   real parsing, stdlib-only (struct), no pixel decode.
@@ -2361,13 +2364,20 @@ def _tiff_build(
 def _sniff_image_pixels(payload: bytes):
     """Container-sniffing dispatch across every real image decoder:
     BM → BMP, P5/P6 → PNM, PNG signature → PNG, GIF8 → GIF, JPEG SOI →
-    JPEG, II*/MM* → TIFF; anything else None."""
+    JPEG, II*/MM* → TIFF, RIFF/WEBP → WebP lossless (r13); anything
+    else None."""
     if len(payload) >= 8 and payload[:8] == _PNG_SIG:
         return _png_pixels(payload)
     if len(payload) >= 4 and payload[:4] in (b"GIF8",):
         return _gif_pixels(payload)
     if len(payload) >= 4 and payload[:4] in (b"II*\x00", b"MM\x00*"):
         return _tiff_pixels(payload)
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from llm_training_data_pipeline_spark.operators.webp_lossless import (
+            _vp8l_decode,
+        )
+
+        return _vp8l_decode(payload)
     if len(payload) >= 2:
         head = payload[:2]
         if head == b"BM":
@@ -4516,6 +4526,54 @@ def decode_jpeg_pixels(
     BIT-IDENTICAL to the baseline path on the same quantized
     coefficients."""
     return _real_pixel_decode_op(df, _jpeg_pixels, payload_col, id_col)
+
+
+def decode_webp_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL WebP-lossless decode to the PIXEL_SCHEMA contract
+    (``is_stub`` = FALSE) — the seventh real image decoder (r13):
+    VP8L prefix codes, LZ77 + 2D distance map, color cache, meta
+    groups, and all four transforms (see
+    ``operators/webp_lossless.py``). Lossy VP8/VP8X payloads reject
+    honestly — lossless is the only WebP profile a no-codec-library
+    engine can decode exactly. Same plumbing and downstream contract
+    as ``decode_bmp_pixels``."""
+    from llm_training_data_pipeline_spark.operators.webp_lossless import (
+        _vp8l_decode,
+    )
+
+    return _real_pixel_decode_op(df, _vp8l_decode, payload_col, id_col)
+
+
+def synthetic_webp_assets(spark, n: int = 12) -> DataFrame:
+    """Deterministic REAL WebP-lossless fixture: the cross-format
+    pattern battery encoded with cycling VP8L features — plain /
+    subtract-green / color-cache / predictor / color-transform /
+    palette — so one driver-executed row exercises every decode
+    path."""
+    from llm_training_data_pipeline_spark.operators.webp_lossless import (
+        _vp8l_build,
+    )
+
+    rows = []
+    for i in range(n):
+        img = _cross_format_base_pixels(i % 6)
+        kw = [
+            {},
+            {"subtract_green": True},
+            {"cache_bits": 5},
+            {"predictor_mode": 11, "predictor_bits": 3},
+            {"color_element": (23, 250, 7)},
+            {"subtract_green": True, "predictor_mode": 2},
+        ][i % 6]
+        payload = _vp8l_build(img, **kw)
+        rows.append((i, "image", payload, "image/webp", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
 def decode_png_pixels(

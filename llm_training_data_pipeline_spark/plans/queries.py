@@ -1931,6 +1931,27 @@ def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_sample_stats(samples).orderBy("asset_id")
 
 
+@register("webp_pixel_stats", None)
+def q_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seventh real image decoder (r13): WebP lossless (VP8L) —
+    canonical prefix codes, LZ77 with the 2D distance map, color
+    cache, meta prefix groups, and all four transforms (predictor /
+    color / subtract-green / palette), each exercised by the cycling
+    fixture — then exact integer pixel stats. Rows-only check (binary
+    self-contained fixture); VP8L is lossless, so every decoded byte
+    is pinned against the forward encoder in
+    tests/test_webp_lossless.py (multimodal.decode_webp_pixels +
+    image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_webp_pixels,
+        image_pixel_stats,
+        synthetic_webp_assets,
+    )
+
+    px = decode_webp_pixels(synthetic_webp_assets(spark, n=12))
+    return image_pixel_stats(px).orderBy("asset_id")
+
+
 @register("flac_sample_stats", None)
 def q_flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio family's first COMPRESSED codec (r13): FLAC frames —
