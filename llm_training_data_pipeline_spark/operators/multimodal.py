@@ -31,7 +31,8 @@ capability-gated stubs:
   ``decode_gif_pixels`` (pure-Python LZW + palette + de-interlacing,
   r12), ``decode_jpeg_pixels`` (baseline T.81: Huffman entropy decode,
   dequantize, vectorized 8x8 IDCT, chroma upsample, YCbCr→RGB, r12),
-  ``_tiff_pixels`` (baseline TIFF strips, none + PackBits, r12), and
+  ``_tiff_pixels`` (baseline TIFF strips + tiles, none / PackBits /
+  LZW / deflate, r12-r13), and
   ``decode_wav_samples`` (PCM audio, r12) — actual image/audio
   content flows through the same PIXEL_SCHEMA consumers the stub
   proved out. Each ships with an independent FORWARD-direction encoder
@@ -2098,8 +2099,9 @@ def _tiff_pixels(payload: bytes):
     r13 — MSB-first early-change variant, with the horizontal-
     differencing Predictor tag 317 it usually rides with), 8/32946
     (zlib deflate, bounded inflate, r13) and 32773 (PackBits).
-    JPEG-in-TIFF, tiles, 16-bit, palette and planar configurations
-    return an honest None."""
+    Tile layout (tags 322-325, r13): same codecs, per-tile predictor,
+    edge tiles clipped per TIFF 6.0 §15. JPEG-in-TIFF, 16-bit, palette
+    and planar configurations return an honest None."""
     import numpy as np
 
     if len(payload) < 8:
@@ -2136,7 +2138,8 @@ def _tiff_pixels(payload: bytes):
         if e + 12 > len(payload):
             return None
         tag, typ, count = _struct.unpack(bo + "HHI", payload[e : e + 8])
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317,
+                   322, 323, 324, 325):
             vals = read_values(typ, count, payload[e + 8 : e + 12])
             if vals is None:
                 return None
@@ -2150,6 +2153,11 @@ def _tiff_pixels(payload: bytes):
     bits = tags.get(258, [8])
     offsets = tags.get(273)
     counts = tags.get(279)
+    tile_w = tags.get(322, [0])[0]
+    tile_h = tags.get(323, [0])[0]
+    tile_offsets = tags.get(324)
+    tile_counts = tags.get(325)
+    tiled = tile_offsets is not None
     rows_per_strip = tags.get(278, [h])[0] or h
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
@@ -2167,51 +2175,97 @@ def _tiff_pixels(payload: bytes):
         or compression not in (1, 5, 8, 32773, 32946)
         or predictor not in (1, 2)
         or planar != 1
-        or offsets is None
-        or counts is None
-        or len(offsets) != len(counts)
+        or (
+            not tiled
+            and (
+                offsets is None
+                or counts is None
+                or len(offsets) != len(counts)
+            )
+        )
         or any(b != 8 for b in bits)
         or (photometric == 2 and spp < 3)
         or (photometric in (0, 1) and spp != 1)
     ):
         return None
-    need = w * h * spp
-    plane = bytearray()
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(payload):
+
+    def _decompress(seg: bytes, cap: int):
+        if compression == 1:
+            return seg
+        if compression == 5:
+            return _tiff_lzw_decode(seg, cap)
+        if compression in (8, 32946):  # zlib/deflate (Adobe + old)
+            import zlib
+
+            try:
+                return zlib.decompressobj().decompress(seg, cap)
+            except zlib.error:
+                return None
+        return _packbits_decode(seg, cap)
+
+    if tiled:
+        # tile layout (TIFF 6.0 §15): the image is a grid of
+        # ceil(w/tw) x ceil(h/th) tiles, each stored FULL-SIZE (edge
+        # tiles padded by the writer) and compressed independently;
+        # the predictor, when present, restarts per tile row.
+        if (
+            offsets is not None  # strips and tiles are mutually exclusive
+            or tile_counts is None
+            or len(tile_offsets) != len(tile_counts)
+            or tile_w <= 0
+            or tile_h <= 0
+            # the per-tile buffer needs its own bomb guard: tile dims
+            # are independent of the image dims in the header
+            or tile_w * tile_h * spp > 3 * _MAX_DECODE_PIXELS
+        ):
             return None
-        strip = payload[off : off + cnt]
-        if compression != 1:
+        across = (w + tile_w - 1) // tile_w
+        down = (h + tile_h - 1) // tile_h
+        if len(tile_offsets) != across * down:
+            return None
+        tsz = tile_w * tile_h * spp
+        arr = np.zeros((h, w, spp), np.uint8)
+        for ti, (off, cnt) in enumerate(zip(tile_offsets, tile_counts)):
+            if off + cnt > len(payload):
+                return None
+            tile = _decompress(payload[off : off + cnt], tsz)
+            if tile is None or len(tile) < tsz:
+                return None
+            t = np.frombuffer(tile, np.uint8, count=tsz).reshape(
+                tile_h, tile_w, spp
+            )
+            if predictor == 2:
+                t = np.cumsum(t, axis=1, dtype=np.uint8)
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * tile_h, tx * tile_w
+            ch_ = min(tile_h, h - y0)
+            cw_ = min(tile_w, w - x0)
+            arr[y0 : y0 + ch_, x0 : x0 + cw_] = t[:ch_, :cw_]
+    else:
+        need = w * h * spp
+        plane = bytearray()
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(payload):
+                return None
             remaining = need - len(plane)
             rows_here = min(rows_per_strip, h)  # cap per-strip output
             cap = min(remaining, rows_here * w * spp)
-            if compression == 5:
-                strip = _tiff_lzw_decode(strip, cap)
-            elif compression in (8, 32946):  # zlib/deflate (Adobe + old)
-                import zlib
-
-                try:
-                    d = zlib.decompressobj()
-                    strip = d.decompress(strip, cap)  # bounded inflate
-                except zlib.error:
-                    return None
-            else:
-                strip = _packbits_decode(strip, cap)
+            strip = _decompress(payload[off : off + cnt], cap)
             if strip is None:
                 return None
-        plane += strip
-        if len(plane) >= need:
-            break
-    if len(plane) < need:
-        return None
-    arr = np.frombuffer(bytes(plane), np.uint8, count=need).reshape(
-        h, w, spp
-    )
-    if predictor == 2:
-        # horizontal differencing (TIFF 6.0 §14): each sample stores
-        # the delta to its left neighbor — invert by a per-row cumsum
-        # mod 256 over each sample lane
-        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+            plane += strip
+            if len(plane) >= need:
+                break
+        if len(plane) < need:
+            return None
+        arr = np.frombuffer(bytes(plane), np.uint8, count=need).reshape(
+            h, w, spp
+        )
+        if predictor == 2:
+            # horizontal differencing (TIFF 6.0 §14): each sample stores
+            # the delta to its left neighbor — invert by a per-row cumsum
+            # mod 256 over each sample lane
+            arr = np.cumsum(arr, axis=1, dtype=np.uint8)
     if photometric == 2:
         out = arr[..., :3]
     else:
@@ -2226,13 +2280,16 @@ def _tiff_build(
     img, byte_order: str = "<", packbits: bool = False,
     photometric: int = None, rows_per_strip: int = None,
     lzw: bool = False, predictor: int = 1, deflate: bool = False,
+    tile: tuple = None,
 ) -> bytes:
     """Forward baseline TIFF builder for fixtures/tests: single IFD,
     8-bit gray (photometric 1, or 0 with inverted samples) or RGB,
     strip layout, optional PackBits or LZW compression (r13 — the
     MSB-first early-change TIFF variant, optionally with horizontal-
     differencing predictor 2). ``img`` is (h, w) gray or (h, w, 3) RGB
-    uint8. Not exported API."""
+    uint8. ``tile=(tw, th)`` switches to the tile layout (tags
+    322-325): full-size zero-padded edge tiles, per-tile predictor
+    (r13). Not exported API."""
     import numpy as np
 
     assert sum((packbits, lzw, deflate)) <= 1
@@ -2244,16 +2301,34 @@ def _tiff_build(
     samples = img.astype(np.uint8)
     if photometric == 0:
         samples = 255 - samples
-    if predictor == 2:
+
+    def hdiff(block):
         # forward horizontal differencing per row / sample lane
-        plane = samples.reshape(h, w, spp).astype(np.int16)
+        plane = block.astype(np.int16)
         diff = plane.copy()
         diff[:, 1:] = plane[:, 1:] - plane[:, :-1]
-        samples = (diff & 255).astype(np.uint8).reshape(samples.shape)
+        return (diff & 255).astype(np.uint8)
+
+    if tile is None and predictor == 2:
+        samples = hdiff(samples.reshape(h, w, spp)).reshape(samples.shape)
     rps = rows_per_strip or h
+    raws = []
+    if tile is not None:
+        tw, th = tile
+        full = samples.reshape(h, w, spp)
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                t = np.zeros((th, tw, spp), np.uint8)
+                blk = full[y0 : y0 + th, x0 : x0 + tw]
+                t[: blk.shape[0], : blk.shape[1]] = blk
+                if predictor == 2:
+                    t = hdiff(t)
+                raws.append(t.tobytes())
+    else:
+        for y0 in range(0, h, rps):
+            raws.append(samples[y0 : y0 + rps].tobytes())
     strips = []
-    for y0 in range(0, h, rps):
-        raw = samples[y0 : y0 + rps].tobytes()
+    for raw in raws:
         if lzw:
             strips.append(_tiff_lzw_encode(raw))
         elif deflate:
@@ -2302,6 +2377,8 @@ def _tiff_build(
         raw = _struct.pack(bo + fmt * len(values), *values)
         return [tag, typ, len(values), raw]
 
+    # tile layouts use tags 322-325 in place of the strip trio
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     ents = [
         entry(256, 4, [w]),
         entry(257, 4, [h]),
@@ -2311,13 +2388,18 @@ def _tiff_build(
             [5 if lzw else (8 if deflate else (32773 if packbits else 1))],
         ),
         entry(262, 3, [photometric]),
-        entry(273, 4, [0] * n_strips),  # offsets patched below
+        entry(off_tag, 4, [0] * n_strips),  # offsets patched below
         entry(277, 3, [spp]),
-        entry(278, 4, [rps]),
-        entry(279, 4, [len(s) for s in strips]),
+        entry(cnt_tag, 4, [len(s) for s in strips]),
     ]
+    if tile is not None:
+        ents.append(entry(322, 4, [tile[0]]))
+        ents.append(entry(323, 4, [tile[1]]))
+    else:
+        ents.append(entry(278, 4, [rps]))
     if predictor == 2:
         ents.append(entry(317, 3, [2]))
+    ents.sort(key=lambda e: e[0])  # TIFF requires ascending tag order
     ifd_off = 8
     ifd_size = 2 + 12 * len(ents) + 4
     ext_off = ifd_off + ifd_size
@@ -2336,9 +2418,9 @@ def _tiff_build(
         strip_offsets.append(pos)
         pos += len(s)
     # rebuild the offsets entry now that positions are known
-    off_entry = entry(273, 4, strip_offsets)
+    off_entry = entry(off_tag, 4, strip_offsets)
     for idx, e in enumerate(ents):
-        if e[0] == 273:
+        if e[0] == off_tag:
             if len(off_entry[3]) > 4:
                 # reuse the reserved external slot (same size)
                 ents[idx][3] = off_entry[3]
@@ -2874,9 +2956,11 @@ def _cross_format_base_pixels(b: int, w: int = 48, h: int = 32):
 def synthetic_cross_format_assets(spark, n_base: int = 6) -> DataFrame:
     """Deterministic fixture for perceptual image dedup: each of
     ``n_base`` distinct patterns is encoded FIVE ways — BMP, PNG, GIF,
-    PackBits TIFF (all pixel-lossless) and near-lossless JPEG — under
-    asset ids 5*b..5*b+4. Byte-digest dedup sees 5*n_base distinct
-    files; perceptual hashing must recover exactly n_base clusters."""
+    TIFF (PackBits strips for even patterns, LZW+predictor 16x16
+    TILES for odd — all pixel-lossless) and near-lossless JPEG —
+    under asset ids 5*b..5*b+4. Byte-digest dedup sees 5*n_base
+    distinct files; perceptual hashing must recover exactly n_base
+    clusters."""
     rows = []
     for b in range(n_base):
         img = _cross_format_base_pixels(b)
@@ -2889,8 +2973,10 @@ def synthetic_cross_format_assets(spark, n_base: int = 6) -> DataFrame:
             ),
             (_gif_from_rgb(img), "image/gif"),
             (
-                _tiff_build(
-                    img, "<" if b % 2 == 0 else ">", packbits=True
+                _tiff_build(img, "<", packbits=True)
+                if b % 2 == 0
+                else _tiff_build(
+                    img, ">", lzw=True, predictor=2, tile=(16, 16)
                 ),
                 "image/tiff",
             ),

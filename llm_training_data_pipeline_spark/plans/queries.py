@@ -1746,13 +1746,15 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tiff_pixel_stats", None)
 def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sixth REAL pixel decode (r12): baseline TIFF — first-IFD walk in
-    both byte orders, strip layout, 8-bit gray (both photometrics) and
-    RGB, compression none + PackBits RLE — through the sniffing
-    decoder, then the exact integer milli-unit stats. Rows-only check
-    (binary self-contained fixture: the PackBits-TIFF leg of the
-    cross-format battery); decoder pinned against the independent
-    forward _tiff_build in tests/test_multimodal.py
-    (multimodal._tiff_pixels + image_pixel_stats)."""
+    both byte orders, strip AND tile layouts (tags 322-325, r13),
+    8-bit gray (both photometrics) and RGB, compression none /
+    PackBits / LZW+predictor / deflate — through the sniffing decoder,
+    then the exact integer milli-unit stats. Rows-only check (binary
+    self-contained fixture: the TIFF leg of the cross-format battery —
+    PackBits strips for even patterns, LZW tiled for odd); decoder
+    pinned against the independent forward _tiff_build in
+    tests/test_multimodal.py (multimodal._tiff_pixels +
+    image_pixel_stats)."""
     from llm_training_data_pipeline_spark.operators.multimodal import (
         decode_image_pixels,
         image_pixel_stats,

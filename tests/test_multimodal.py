@@ -1391,6 +1391,69 @@ def test_tiff_decode_inverts_forward_building():
     )
 
 
+def test_tiff_tiled_decode_inverts_forward_building():
+    """r13 — tile layout (tags 322-325, TIFF 6.0 §15): round-trips
+    across byte orders, all four codecs, predictor 2, gray and RGB,
+    dividing and NON-dividing tile grids (edge tiles are stored
+    full-size and must be clipped on paste); mixed strip+tile IFDs
+    and oversized tile dims reject."""
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    cases = [
+        # (tile dims, codec kwargs)
+        ((8, 8), {}),                                   # divides 16x24? no: h=13
+        ((16, 16), {"lzw": True, "predictor": 2}),      # single edge tile
+        ((6, 5), {"packbits": True}),
+        ((4, 8), {"deflate": True, "predictor": 2}),
+    ]
+    for bo in ("<", ">"):
+        for kind in ("gray", "rgb"):
+            for tile, kw in cases:
+                if kind == "rgb":
+                    img = rng.randint(0, 256, (13, 17, 3), np.uint8)
+                    exp = img
+                else:
+                    img = rng.randint(0, 256, (13, 17), np.uint8)
+                    exp = np.repeat(img[..., None], 3, axis=2)
+                t = mm._tiff_build(img, bo, tile=tile, **kw)
+                got = mm._tiff_pixels(t)
+                assert got is not None, (bo, kind, tile, kw)
+                w, h, rgb = got
+                arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+                assert (w, h) == (17, 13) and np.array_equal(arr, exp), (
+                    bo, kind, tile, kw,
+                )
+                assert mm._sniff_image_pixels(t) is not None
+
+    # a tiled IFD that ALSO carries strip offsets (tag 273) is
+    # malformed — strips and tiles are mutually exclusive
+    import struct
+
+    base = mm._tiff_build(
+        np.zeros((8, 8), np.uint8), "<", tile=(8, 8)
+    )
+    n = struct.unpack("<H", base[8:10])[0]
+    extra = struct.pack("<HHII", 273, 4, 1, 0)
+    bad = (
+        base[:8]
+        + struct.pack("<H", n + 1)
+        + base[10 : 10 + 12 * n]
+        + extra
+        + base[10 + 12 * n :]
+    )
+    assert mm._tiff_pixels(bad) is None
+
+    # tile-dim bomb guard: legal-looking header whose PER-TILE buffer
+    # (tw*th*spp) exceeds the ceiling rejects before allocating
+    bomb = bytearray(mm._tiff_build(np.zeros((8, 8), np.uint8), "<", tile=(8, 8)))
+    at = bytes(bomb).index(struct.pack("<HH", 322, 4))
+    bomb[at + 8 : at + 12] = struct.pack("<I", 1 << 30)
+    assert mm._tiff_pixels(bytes(bomb)) is None
+
+
 def test_decoders_never_raise_on_corrupt_input():
     """r12 hardening — at 100 TB one corrupt file must never kill the
     job: every decoder returns None (or a valid tuple) on mutated
@@ -1420,6 +1483,7 @@ def test_decoders_never_raise_on_corrupt_input():
         mm._tiff_build(img[..., 0], ">", rows_per_strip=7),
         mm._tiff_build(img, "<", lzw=True, predictor=2),
         mm._tiff_build(img, ">", deflate=True, predictor=2),
+        mm._tiff_build(img, "<", lzw=True, predictor=2, tile=(16, 16)),
         mm._png_build(
             w, h, 2, img.tobytes(),
             [k % 5 for k in range(
