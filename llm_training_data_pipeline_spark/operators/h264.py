@@ -20,13 +20,13 @@ prediction (all nine 4x4 modes, four 16x16 modes, four chroma modes
 with the per-quadrant DC rules), coded_block_pattern via the intra
 me(v) mapping, mb_qp_delta tracking, CAVLC residual decode
 (coeff_token in all five nC contexts, trailing-one signs, adaptive
-suffix-length levels, total_zeros, run_before), dequantisation and the
-inverse transforms. Deblocking is honestly out of scope: streams that
-do not disable the loop filter (disable_deblocking_filter_idc != 1)
-return None rather than un-filtered approximations — the filter is a
-normative decode stage, and skipping it silently would violate the
-repo's no-fake-data rule. Inter slices (P/B), CABAC, MBAFF, multiple
-slices per picture and High-profile tools also return None.
+suffix-length levels, total_zeros, run_before), dequantisation, the
+inverse transforms, and the in-loop deblocking filter (8.7 — bS 4/3
+strong+normal edges with the alpha/beta/tc0 threshold tables and
+slice-level offsets; intra prediction reads unfiltered samples, the
+output is filtered, per the spec). Inter slices (P/B), CABAC, MBAFF,
+multiple slices per picture and High-profile tools return None —
+honest rejection, never approximated pixels.
 
 Forward ``_h264_build`` emits spec-syntax Annex B bytes over RGB
 frames: an SPS with real frame cropping, a PPS, one IDR slice per
@@ -1087,11 +1087,19 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
     qp = pps["init_qp"] + b.se()
     if not 0 <= qp <= 51:
         return None
+    filter_on, off_a, off_b = True, 0, 0
     if pps["deblock_ctrl"]:
-        if b.ue() != 1:  # disable_deblocking_filter_idc
-            return None  # loop filter not implemented: honest reject
-    else:
-        return None  # deblocking active by default: honest reject
+        disable_idc = b.ue()
+        if disable_idc > 2:
+            return None
+        # idc 2 disables filtering across slice boundaries only; with
+        # one slice per picture it is identical to 0
+        filter_on = disable_idc != 1
+        if filter_on:
+            off_a = 2 * b.se()
+            off_b = 2 * b.se()
+            if not (-12 <= off_a <= 12 and -12 <= off_b <= 12):
+                return None
 
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
     W, H = mb_w * 16, mb_h * 16
@@ -1103,6 +1111,8 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
     cb_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
     cr_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
     i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+    mb_qp = np.zeros((mb_h, mb_w), np.int16)
+    mb_pcm = np.zeros((mb_h, mb_w), bool)
 
     def n_ctx(tc_arr, by, bx):
         na = int(tc_arr[by, bx - 1]) if bx > 0 else None
@@ -1148,6 +1158,8 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
             cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
             cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
             # QP carries over unchanged; i4 modes stay -1 (not I_4x4)
+            mb_qp[my, mx] = qp
+            mb_pcm[my, mx] = True  # filters as QP 0 (8.7.2)
             continue
 
         if mb_type == 0:  # I_4x4 (I_NxN)
@@ -1219,6 +1231,7 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
                 cb_plane, cr_plane, chroma_mode, chroma_res, qp,
                 pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
             )
+            mb_qp[my, mx] = qp
             continue
 
         # I_16x16
@@ -1278,7 +1291,13 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
             cb_plane, cr_plane, chroma_mode, chroma_res, qp,
             pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
         )
+        mb_qp[my, mx] = qp
 
+    if filter_on:
+        _deblock_picture(
+            y_plane, cb_plane, cr_plane, mb_qp, mb_pcm, off_a, off_b,
+            pps["chroma_qp_offset"],
+        )
     return y_plane, cb_plane, cr_plane, sps
 
 
@@ -1334,19 +1353,24 @@ def _recon_chroma(cb_plane, cr_plane, mode, res, qp_y, qp_off, cx, cy,
             ] = _recon_block(sub, blk, qpc, dc_override=dcs[r][c])
 
 
-def _h264_frames(payload: bytes, max_frames: int = -1):
-    """REAL H.264 intra decode -> list of (w, h, rgb bytes) or None.
+def _h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
+    """REAL H.264 intra decode -> list of (frame_index, w, h, rgb
+    bytes) or None.
 
     Annex B elementary streams of IDR I-slices (the Baseline intra
     subset this module implements — see the module docstring for the
     honest-rejection list). ``max_frames`` >= 0 stops after that many
-    decoded frames."""
+    decoded frames; ``every_n`` decodes every n-th IDR picture only —
+    because every picture is an independent IDR, skipped frames cost
+    one NAL scan and ZERO entropy/pixel work (sampling cost scales
+    with frames KEPT, the sample_avi_frames discipline)."""
     try:
         nals = _split_nals(payload)
         if not nals:
             return None
         sps_map, pps_map = {}, {}
         frames = []
+        idr_idx = 0
         for typ, _ref, rbsp in nals:
             if 0 <= max_frames <= len(frames):
                 break
@@ -1361,17 +1385,21 @@ def _h264_frames(payload: bytes, max_frames: int = -1):
                     return None
                 pps_map[pps["id"]] = pps
             elif typ == 5:
+                idx = idr_idx
+                idr_idx += 1
+                if idx % max(1, every_n):
+                    continue  # skipped: no decode work at all
                 got = _decode_idr_slice(rbsp, sps_map, pps_map)
                 if got is None:
                     return None
-                frames.append(got)
+                frames.append((idx, got))
             elif typ == 1:
                 return None  # non-IDR (inter) slice: out of scope
             # SEI (6), AUD (9), filler (12), end-of-* (10/11): skipped
         if not frames:
             return None
         out = []
-        for y, cb, cr, sps in frames:
+        for idx, (y, cb, cr, sps) in frames:
             from llm_training_data_pipeline_spark.operators.multimodal import (
                 _ycbcr_to_rgb,
             )
@@ -1386,7 +1414,7 @@ def _h264_frames(payload: bytes, max_frames: int = -1):
             left, _right, top, _bottom = sps["crop"]
             w, h = sps["width"], sps["height"]
             rgb = rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
-            out.append((w, h, np.ascontiguousarray(rgb).tobytes()))
+            out.append((idx, w, h, np.ascontiguousarray(rgb).tobytes()))
         return out or None
     except (EOFError, ValueError, IndexError, struct.error):
         return None
@@ -1459,7 +1487,7 @@ def _write_sps(mb_w, mb_h, crop, level=30):
     return w.getvalue()
 
 
-def _write_pps(init_qp, chroma_qp_offset=0):
+def _write_pps(init_qp, chroma_qp_offset=0, deblock_ctrl=True):
     w = _BitW()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
@@ -1473,7 +1501,7 @@ def _write_pps(init_qp, chroma_qp_offset=0):
     w.se(init_qp - 26)
     w.se(0)  # pic_init_qs_minus26
     w.se(chroma_qp_offset)
-    w.u(1, 1)  # deblocking_filter_control_present_flag
+    w.u(1 if deblock_ctrl else 0, 1)  # deblocking_filter_control_present
     w.u(0, 1)  # constrained_intra_pred_flag
     w.u(0, 1)  # redundant_pic_cnt_present_flag
     w.rbsp_trailing()
@@ -1481,14 +1509,17 @@ def _write_pps(init_qp, chroma_qp_offset=0):
 
 
 def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
-                return_recon: bool = False):
+                return_recon: bool = False, deblock: bool = False,
+                deblock_offsets=(0, 0), pps_deblock_ctrl: bool = True):
     """Forward H.264 builder for fixtures/tests: all-IDR Annex B
     stream over (h, w, 3) uint8 RGB frames (even dims), cycling
     I_PCM / I_16x16 (all four prediction modes) / I_4x4 (all nine)
-    macroblocks with varying mb_qp_delta. With ``return_recon`` also
-    returns the per-frame reconstructed (y, cb, cr) planes (cropped)
-    that a conformant decoder MUST reproduce bit-exactly. Not
-    exported API."""
+    macroblocks with varying mb_qp_delta. ``deblock`` emits
+    disable_deblocking_filter_idc = 0 (+ the div2 alpha/beta offsets)
+    and runs the in-loop filter over the reconstruction. With
+    ``return_recon`` also returns the per-frame reconstructed
+    (y, cb, cr) planes (cropped) that a conformant decoder MUST
+    reproduce bit-exactly. Not exported API."""
     f0 = frames_rgb[0]
     h, w = f0.shape[:2]
     if h % 2 or w % 2:
@@ -1496,9 +1527,15 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     W, H = mb_w * 16, mb_h * 16
     crop = (0, (W - w) // 2, 0, (H - h) // 2)  # left right top bottom
+    if not pps_deblock_ctrl:
+        # implicit filter: the PPS omits the control flag, so the
+        # slice header carries no idc/offsets and the filter is ON
+        assert deblock and deblock_offsets == (0, 0)
     out = bytearray()
     out += _wrap_nal(7, 3, _write_sps(mb_w, mb_h, crop))
-    out += _wrap_nal(8, 3, _write_pps(qp, chroma_qp_offset))
+    out += _wrap_nal(
+        8, 3, _write_pps(qp, chroma_qp_offset, deblock_ctrl=pps_deblock_ctrl)
+    )
     recons = []
     for fi, img in enumerate(frames_rgb):
         assert img.shape[:2] == (h, w)
@@ -1511,7 +1548,9 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
             cr_src, ((0, (H - h) // 2), (0, (W - w) // 2)), mode="edge"
         )
         rbsp, planes = _encode_idr_slice(
-            y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset, fi
+            y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset, fi,
+            deblock=deblock, deblock_offsets=deblock_offsets,
+            write_idc=pps_deblock_ctrl,
         )
         out += _wrap_nal(5, 3, rbsp)
         if return_recon:
@@ -1523,7 +1562,8 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
 
 
 def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
-                      chroma_qp_offset, frame_idx):
+                      chroma_qp_offset, frame_idx, deblock=False,
+                      deblock_offsets=(0, 0), write_idc=True):
     """Encode one IDR I-slice; returns (rbsp, recon planes)."""
     W, H = mb_w * 16, mb_h * 16
     w = _BitW()
@@ -1535,7 +1575,14 @@ def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
     w.u(0, 1)  # no_output_of_prior_pics_flag
     w.u(0, 1)  # long_term_reference_flag
     w.se(0)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc: filter off
+    if not write_idc:
+        pass  # PPS has no deblocking control: filter implicitly on
+    elif deblock:
+        w.ue(0)  # disable_deblocking_filter_idc: filter on
+        w.se(deblock_offsets[0])  # slice_alpha_c0_offset_div2
+        w.se(deblock_offsets[1])  # slice_beta_offset_div2
+    else:
+        w.ue(1)  # disable_deblocking_filter_idc: filter off
 
     y_rec = np.zeros((H, W), np.uint8)
     cb_rec = np.zeros((H // 2, W // 2), np.uint8)
@@ -1544,6 +1591,8 @@ def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
     cb_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
     cr_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
     i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+    mb_qp = np.zeros((mb_h, mb_w), np.int16)
+    mb_pcm = np.zeros((mb_h, mb_w), bool)
 
     def n_ctx(tc_arr, by, bx):
         na = int(tc_arr[by, bx - 1]) if bx > 0 else None
@@ -1585,6 +1634,8 @@ def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
             cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
             cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
             i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+            mb_qp[my, mx] = qp
+            mb_pcm[my, mx] = True
             continue
 
         # chroma mode plan: DC always legal, others availability-gated
@@ -1668,6 +1719,7 @@ def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
                 cb_rec, cr_rec, chroma_mode, (dc_q, ac_q), qp,
                 chroma_qp_offset, x0 // 2, y0 // 2, avail_l, avail_t,
             )
+            mb_qp[my, mx] = qp
             continue
 
         # I_4x4 (sel 4 or 5)
@@ -1751,11 +1803,18 @@ def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
         )
         _recon_chroma(
             cb_rec, cr_rec, chroma_mode, (dc_q, ac_q),
-            qp if cbp else qp, chroma_qp_offset, x0 // 2, y0 // 2,
+            qp, chroma_qp_offset, x0 // 2, y0 // 2,
             avail_l, avail_t,
         )
+        mb_qp[my, mx] = qp
 
     w.rbsp_trailing()
+    if deblock:
+        _deblock_picture(
+            y_rec, cb_rec, cr_rec, mb_qp, mb_pcm,
+            2 * deblock_offsets[0], 2 * deblock_offsets[1],
+            chroma_qp_offset,
+        )
     return w.getvalue(), (y_rec, cb_rec, cr_rec)
 
 
@@ -1813,3 +1872,177 @@ def _write_chroma_residual(w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc,
             else:
                 tc = 0
             tc_arr[by, bx] = tc
+
+
+# ---------------------------------------------------------------------------
+# deblocking filter (8.7) for all-intra pictures — bS is 4 on
+# macroblock edges and 3 on internal 4x4 edges (intra trumps the
+# coefficient rules), applied after the picture is constructed (intra
+# prediction always reads UNFILTERED samples, so reconstruction is
+# untouched). One shared implementation: the spec defines a single
+# filter both sides must evaluate identically over the reconstruction.
+# ---------------------------------------------------------------------------
+
+_ALPHA = (0,) * 16 + (4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22,
+                      25, 28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90,
+                      101, 113, 127, 144, 162, 182, 203, 226, 255, 255)
+_BETA = (0,) * 16 + (2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9,
+                     9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+                     16, 16, 17, 17, 18, 18)
+_TC0 = (
+    (0,) * 16 + (0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2,
+                 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13),
+    (0,) * 16 + (0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+                 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17,
+                 19, 23),
+    (0,) * 16 + (0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 4,
+                 4, 4, 5, 6, 6, 7, 9, 10, 11, 13, 14, 16, 18, 20, 23,
+                 25, 27, 31),
+)
+
+
+def _clip3(lo, hi, v):
+    return np.minimum(hi, np.maximum(lo, v))
+
+
+def _filter_lines(p, q, bs, index_a, index_b, chroma):
+    """Filter one edge: ``p``/``q`` are (n_lines, 4) int64 arrays of
+    samples on each side, p[:, 0] adjacent to the edge. Returns the
+    modified copies (only the spec-allowed taps change)."""
+    alpha = _ALPHA[index_a]
+    beta = _BETA[index_b]
+    p = p.copy()
+    q = q.copy()
+    p0, p1, p2, p3 = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+    q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    act = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not act.any():
+        return p, q
+    ap = np.abs(p2 - p0)
+    aq = np.abs(q2 - q0)
+    if bs == 4:
+        small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        if chroma:
+            strong_p = np.zeros_like(act, bool)
+            strong_q = np.zeros_like(act, bool)
+        else:
+            strong_p = act & small & (ap < beta)
+            strong_q = act & small & (aq < beta)
+        basic_p = act & ~strong_p
+        basic_q = act & ~strong_q
+        np0 = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+        np1 = (p2 + p1 + p0 + q0 + 2) >> 2
+        np2 = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        bp0 = (2 * p1 + p0 + q1 + 2) >> 2
+        nq0 = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+        nq1 = (q2 + q1 + q0 + p0 + 2) >> 2
+        nq2 = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        bq0 = (2 * q1 + q0 + p1 + 2) >> 2
+        p[:, 0] = np.where(strong_p, np0, np.where(basic_p, bp0, p0))
+        p[:, 1] = np.where(strong_p, np1, p1)
+        p[:, 2] = np.where(strong_p, np2, p2)
+        q[:, 0] = np.where(strong_q, nq0, np.where(basic_q, bq0, q0))
+        q[:, 1] = np.where(strong_q, nq1, q1)
+        q[:, 2] = np.where(strong_q, nq2, q2)
+        return p, q
+    # bS 1..3: clipped delta filter
+    tc0 = _TC0[bs - 1][index_a]
+    if chroma:
+        tc = tc0 + 1
+        adj_p1 = np.zeros_like(act, bool)
+        adj_q1 = np.zeros_like(act, bool)
+    else:
+        adj_p1 = act & (ap < beta)
+        adj_q1 = act & (aq < beta)
+        tc = tc0 + adj_p1.astype(np.int64) + adj_q1.astype(np.int64)
+    delta = _clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+    np0 = _clip3(0, 255, p0 + delta)
+    nq0 = _clip3(0, 255, q0 - delta)
+    np1 = p1 + _clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)
+    nq1 = q1 + _clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1)
+    p[:, 0] = np.where(act, np0, p0)
+    q[:, 0] = np.where(act, nq0, q0)
+    p[:, 1] = np.where(adj_p1, np1, p1)
+    q[:, 1] = np.where(adj_q1, nq1, q1)
+    return p, q
+
+
+def _deblock_edge(plane, x, y, n_lines, vertical, bs, index_a, index_b,
+                  chroma):
+    """Apply the filter across one edge of ``n_lines`` sample lines;
+    the edge lies between column x-1 and x (vertical) or row y-1 and
+    y (horizontal)."""
+    pl = plane.astype(np.int64)
+    if vertical:
+        p = pl[y : y + n_lines, x - 4 : x][:, ::-1]
+        q = pl[y : y + n_lines, x : x + 4]
+    else:
+        p = pl[y - 4 : y, x : x + n_lines][::-1].T
+        q = pl[y : y + 4, x : x + n_lines].T
+    p, q = _filter_lines(p, q, bs, index_a, index_b, chroma)
+    if vertical:
+        plane[y : y + n_lines, x - 4 : x] = p[:, ::-1]
+        plane[y : y + n_lines, x : x + 4] = q
+    else:
+        plane[y - 4 : y, x : x + n_lines] = p[::-1].T.copy()
+        plane[y : y + 4, x : x + n_lines] = q.T
+
+
+def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
+                     off_a, off_b, chroma_qp_offset):
+    """In-place loop filter over the whole all-intra picture, MB by
+    MB in raster order: vertical edges left-to-right, then horizontal
+    edges top-to-bottom (8.7's order — later edges read already-
+    filtered samples). ``mb_qp``/``mb_pcm`` are (mb_h, mb_w) arrays;
+    I_PCM macroblocks filter as QP 0 (8.7.2)."""
+    mb_h, mb_w = mb_qp.shape
+
+    def qp_of(my, mx):
+        return 0 if mb_pcm[my, mx] else int(mb_qp[my, mx])
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            x0, y0 = mx * 16, my * 16
+            qp_cur = qp_of(my, mx)
+            for vertical in (True, False):
+                for e in range(4):
+                    if e == 0:
+                        if vertical and mx == 0:
+                            continue
+                        if not vertical and my == 0:
+                            continue
+                        qp_nb = qp_of(my, mx - 1) if vertical else qp_of(
+                            my - 1, mx
+                        )
+                        bs = 4
+                    else:
+                        qp_nb = qp_cur
+                        bs = 3
+                    qpav = (qp_cur + qp_nb + 1) >> 1
+                    ia = min(51, max(0, qpav + off_a))
+                    ib = min(51, max(0, qpav + off_b))
+                    if vertical:
+                        _deblock_edge(y_plane, x0 + 4 * e, y0, 16, True,
+                                      bs, ia, ib, False)
+                    else:
+                        _deblock_edge(y_plane, x0, y0 + 4 * e, 16, False,
+                                      bs, ia, ib, False)
+                    if e in (0, 2):  # chroma edges at luma offsets 0 and 8
+                        qc = (
+                            _chroma_qp(qp_cur, chroma_qp_offset)
+                            + _chroma_qp(qp_nb, chroma_qp_offset)
+                            + 1
+                        ) >> 1
+                        ia_c = min(51, max(0, qc + off_a))
+                        ib_c = min(51, max(0, qc + off_b))
+                        for pl in (cb_plane, cr_plane):
+                            if vertical:
+                                _deblock_edge(pl, x0 // 2 + 2 * e, y0 // 2,
+                                              8, True, bs, ia_c, ib_c, True)
+                            else:
+                                _deblock_edge(pl, x0 // 2, y0 // 2 + 2 * e,
+                                              8, False, bs, ia_c, ib_c, True)

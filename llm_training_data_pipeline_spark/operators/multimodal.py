@@ -8,8 +8,9 @@ codecs: pure-Python/numpy decoders cover BMP, PNM, PNG (8/16-bit,
 Adam7), GIF (incl. disposal-composited animation), JPEG (baseline +
 progressive), TIFF (none/PackBits/LZW/deflate strips), WebP lossless
 (VP8L — operators/webp_lossless.py), WAV/AIFF/AU/FLAC/IMA-ADPCM/G.711
-audio, and MJPEG-AVI / animated-GIF / Y4M frame sampling. Only formats
-we cannot decode honestly (H.264/VP9, lossy VP8, MP3, …) remain
+audio, and MJPEG-AVI / animated-GIF / Y4M / H.264-intra
+(operators/h264.py, r13) frame sampling. Only formats we cannot
+decode honestly (H.264 inter/CABAC, VP9, lossy VP8, MP3, …) remain
 capability-gated stubs:
 
 - ``decode_image_meta``   parses width/height from PNG/GIF/JPEG headers —
@@ -6010,6 +6011,89 @@ def synthetic_y4m_assets(spark, n: int = 8) -> DataFrame:
             frames.append(img[..., 0] if cs == "mono" else img)
         payload = _y4m_build(frames, colorspace=cs, fps=(24 + i, 1))
         rows.append((i, "video", payload, "video/x-yuv4mpeg", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def sample_h264_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL H.264 frame sampling (``is_stub`` = FALSE) — the third
+    real video path (r13): Annex B intra/IDR elementary streams
+    through the pure-Python Baseline-intra decoder in
+    ``operators/h264.py`` (CAVLC, all intra prediction modes, the 4x4
+    integer transform stack), into the same FRAME_SCHEMA contract as
+    ``sample_avi_frames``. Every picture is an independent IDR, so
+    every ``every_n``-th frame decodes and the rest cost one NAL scan
+    — sampling cost scales with frames KEPT. The in-loop deblocking
+    filter is applied when the stream enables it. Streams the intra
+    subset cannot decode honestly (inter slices, CABAC, High profile)
+    are OMITTED, never faked. At 100 TB the payloads
+    stay in parquet binary columns; decode parallelism == partition
+    count (mapInPandas)."""
+    from llm_training_data_pipeline_spark.operators.h264 import _h264_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ws, hs, px = [], [], [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                # same corrupt-file policy as _real_pixel_decode_op
+                try:
+                    frames = _h264_frames(
+                        bytes(p) if p is not None else b"",
+                        every_n=max(1, int(every_n)),
+                    )
+                except Exception:
+                    frames = None
+                if not frames:
+                    continue
+                for i, fw, fh, rgb in frames:
+                    ids.append(int(aid))
+                    fidx.append(i)
+                    ws.append(fw)
+                    hs.append(fh)
+                    px.append(rgb)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(fidx, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series([3] * len(ids), dtype="int32"),
+                    "pixels": pd.Series(px, dtype="object"),
+                    "is_stub": pd.Series([False] * len(ids), dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthetic_h264_assets(spark, n: int = 6) -> DataFrame:
+    """Deterministic REAL H.264 fixture: each asset is an all-IDR
+    Annex B clip whose frame f shows pattern (i + f) % 6 from the
+    cross-format battery, QP varying per clip (14..39) so fixtures
+    span sparse and dense CAVLC — the compressed-video analog of
+    ``synthetic_y4m_assets``. The forward encoder's per-macroblock
+    plan cycles I_PCM / I_16x16 / I_4x4, so every clip exercises all
+    three macroblock families; odd clips enable the in-loop
+    deblocking filter."""
+    from llm_training_data_pipeline_spark.operators.h264 import _h264_build
+
+    rows = []
+    for i in range(n):
+        n_frames = 2 + (i % 3)
+        frames = [
+            _cross_format_base_pixels((i + f) % 6) for f in range(n_frames)
+        ]
+        payload = _h264_build(
+            frames, qp=14 + (i * 5) % 26, deblock=bool(i % 2),
+            deblock_offsets=((1, -1) if i % 4 == 3 else (0, 0)),
+        )
+        rows.append((i, "video", payload, "video/h264", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
 
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

