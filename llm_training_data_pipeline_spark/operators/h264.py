@@ -1398,26 +1398,32 @@ def _h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
             # SEI (6), AUD (9), filler (12), end-of-* (10/11): skipped
         if not frames:
             return None
-        out = []
-        for idx, (y, cb, cr, sps) in frames:
-            from llm_training_data_pipeline_spark.operators.multimodal import (
-                _ycbcr_to_rgb,
-            )
-
-            cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
-            cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
-            rgb = _ycbcr_to_rgb(
-                y.astype(np.float64),
-                cb_up.astype(np.float64),
-                cr_up.astype(np.float64),
-            )
-            left, _right, top, _bottom = sps["crop"]
-            w, h = sps["width"], sps["height"]
-            rgb = rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
-            out.append((idx, w, h, np.ascontiguousarray(rgb).tobytes()))
-        return out or None
+        return [
+            (idx, *_planes_to_rgb(y, cb, cr, sps))
+            for idx, (y, cb, cr, sps) in frames
+        ]
     except (EOFError, ValueError, IndexError, struct.error):
         return None
+
+
+def _planes_to_rgb(y, cb, cr, sps):
+    """Upsample + convert decoded planes to display-cropped RGB bytes
+    (full-range JFIF matrix, the repo-wide convention)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _ycbcr_to_rgb,
+    )
+
+    cb_up = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr_up = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    rgb = _ycbcr_to_rgb(
+        y.astype(np.float64),
+        cb_up.astype(np.float64),
+        cr_up.astype(np.float64),
+    )
+    left, _right, top, _bottom = sps["crop"]
+    w, h = sps["width"], sps["height"]
+    rgb = rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
+    return w, h, np.ascontiguousarray(rgb).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -2046,3 +2052,324 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
                             else:
                                 _deblock_edge(pl, x0 // 2, y0 // 2 + 2 * e,
                                               8, False, bs, ia_c, ib_c, True)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF, 14496-12/-15) carriage of AVC: demux for the decoder,
+# mux for fixtures. Most real-world H.264 travels in MP4 'avc1' tracks
+# as length-prefixed NAL units with SPS/PPS in the avcC record — this
+# is what turns sample_frames_stub's md5 buffers into real pixels for
+# the intra subset.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_avc_track(payload: bytes):
+    """Locate the first avc1/avc3 video track -> (sps_list, pps_list,
+    nal_length_size, [sample byte ranges]) or None.
+
+    Walks moov/trak/mdia/minf/stbl, reads avcC (parameter sets +
+    lengthSizeMinusOne), stsz (sample sizes), stsc (sample-to-chunk
+    runs) and stco/co64 (chunk offsets), then maps every sample to its
+    byte range. Caps: <= 100k samples (decode-bomb guard for the
+    table allocations)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _iter_boxes,
+    )
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def find(start, end, *path):
+        for btype, ps, pe in _iter_boxes(payload, start, end):
+            if btype == path[0]:
+                if len(path) == 1:
+                    return ps, pe
+                got = find(ps, pe, *path[1:])
+                if got:
+                    return got
+        return None
+
+    moov = find(0, len(payload), b"moov")
+    if not moov:
+        return None
+    for btype, ts, te in _iter_boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        stbl = find(ts, te, b"mdia", b"minf", b"stbl")
+        if not stbl:
+            continue
+        got = _parse_stbl(payload, stbl)
+        if got:
+            return got
+    return None
+
+
+def _parse_stbl(payload: bytes, stbl):
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _iter_boxes,
+    )
+
+    sps_l = pps_l = None
+    nal_len = 4
+    sizes = None
+    chunk_offsets = None
+    stsc_runs = None
+    for btype, ps, pe in _iter_boxes(payload, stbl[0], stbl[1]):
+        if btype == b"stsd" and pe - ps >= 8:
+            # full box header (4) + entry_count (4), then sample entries
+            for etype, es, ee in _iter_boxes(payload, ps + 8, pe):
+                if etype not in (b"avc1", b"avc3"):
+                    continue
+                # VisualSampleEntry: 78 bytes before the child boxes
+                for ctype, cs, ce in _iter_boxes(payload, es + 78, ee):
+                    if ctype != b"avcC" or ce - cs < 7:
+                        continue
+                    nal_len = (payload[cs + 4] & 3) + 1
+                    pos = cs + 5
+                    n_sps = payload[pos] & 31
+                    pos += 1
+                    sps_l = []
+                    for _ in range(n_sps):
+                        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+                        sps_l.append(payload[pos + 2 : pos + 2 + ln])
+                        pos += 2 + ln
+                    n_pps = payload[pos]
+                    pos += 1
+                    pps_l = []
+                    for _ in range(n_pps):
+                        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+                        pps_l.append(payload[pos + 2 : pos + 2 + ln])
+                        pos += 2 + ln
+        elif btype == b"stsz" and pe - ps >= 12:
+            uniform, count = struct.unpack(">II", payload[ps + 4 : ps + 12])
+            if count > 100_000:
+                return None
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                if ps + 12 + 4 * count > pe:
+                    return None
+                sizes = list(
+                    struct.unpack(">" + "I" * count,
+                                   payload[ps + 12 : ps + 12 + 4 * count])
+                )
+        elif btype in (b"stco", b"co64") and pe - ps >= 8:
+            (count,) = struct.unpack(">I", payload[ps + 4 : ps + 8])
+            if count > 100_000:
+                return None
+            fmt, width = (">I", 4) if btype == b"stco" else (">Q", 8)
+            if ps + 8 + width * count > pe:
+                return None
+            chunk_offsets = [
+                struct.unpack(fmt, payload[ps + 8 + width * i : ps + 8 + width * (i + 1)])[0]
+                for i in range(count)
+            ]
+        elif btype == b"stsc" and pe - ps >= 8:
+            (count,) = struct.unpack(">I", payload[ps + 4 : ps + 8])
+            if count > 100_000 or ps + 8 + 12 * count > pe:
+                return None
+            stsc_runs = [
+                struct.unpack(">III", payload[ps + 8 + 12 * i : ps + 20 + 12 * i])
+                for i in range(count)
+            ]
+    if not sps_l or not pps_l or sizes is None or chunk_offsets is None \
+            or stsc_runs is None:
+        return None
+    # expand sample->chunk mapping into per-sample byte ranges
+    ranges = []
+    si = 0
+    n_chunks = len(chunk_offsets)
+    for ri, (first_chunk, per_chunk, _desc) in enumerate(stsc_runs):
+        last_chunk = (
+            stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else n_chunks
+        )
+        if first_chunk < 1 or per_chunk < 1:
+            return None
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk > n_chunks:
+                break
+            off = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                if off + sizes[si] > len(payload):
+                    return None
+                ranges.append((off, off + sizes[si]))
+                off += sizes[si]
+                si += 1
+    if si < len(sizes):
+        return None
+    return sps_l, pps_l, nal_len, ranges
+
+
+def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
+    """REAL H.264-in-MP4 decode -> [(sample_index, w, h, rgb bytes)]
+    or None: avc1 track demux (length-prefixed NALs, avcC parameter
+    sets) feeding the same intra/IDR slice decoder as the Annex B
+    path. Non-intra samples (any slice NAL that is not IDR) return
+    None — honest rejection; skipped samples (every_n) cost nothing
+    but the sample-table walk."""
+    try:
+        track = _mp4_avc_track(payload)
+        if track is None:
+            return None
+        sps_nals, pps_nals, nal_len, ranges = track
+        sps_map, pps_map = {}, {}
+        for raw in sps_nals:
+            if not raw or raw[0] & 0x1F != 7:
+                return None
+            sps = _parse_sps(_ebsp_to_rbsp(raw[1:]))
+            if sps is None:
+                return None
+            sps_map[sps["id"]] = sps
+        for raw in pps_nals:
+            if not raw or raw[0] & 0x1F != 8:
+                return None
+            pps = _parse_pps(_ebsp_to_rbsp(raw[1:]))
+            if pps is None:
+                return None
+            pps_map[pps["id"]] = pps
+        out = []
+        for idx, (lo, hi) in enumerate(ranges):
+            if 0 <= max_frames <= len(out):
+                break
+            if idx % max(1, every_n):
+                continue
+            pos = lo
+            decoded = None
+            while pos + nal_len <= hi:
+                ln = int.from_bytes(payload[pos : pos + nal_len], "big")
+                pos += nal_len
+                if ln == 0 or pos + ln > hi:
+                    return None
+                nal = payload[pos : pos + ln]
+                pos += ln
+                typ = nal[0] & 0x1F
+                if nal[0] & 0x80:
+                    return None
+                if typ == 5:
+                    got = _decode_idr_slice(
+                        _ebsp_to_rbsp(nal[1:]), sps_map, pps_map
+                    )
+                    if got is None:
+                        return None
+                    decoded = got
+                elif typ == 1:
+                    return None  # inter sample: out of scope
+                elif typ == 7:
+                    sps = _parse_sps(_ebsp_to_rbsp(nal[1:]))
+                    if sps is None:
+                        return None
+                    sps_map[sps["id"]] = sps
+                elif typ == 8:
+                    pps = _parse_pps(_ebsp_to_rbsp(nal[1:]))
+                    if pps is None:
+                        return None
+                    pps_map[pps["id"]] = pps
+                # SEI/AUD/filler: skip
+            if decoded is None:
+                return None
+            out.append((idx, *_planes_to_rgb(*decoded)))
+        return out or None
+    except (EOFError, ValueError, IndexError, struct.error, OverflowError):
+        return None
+
+
+def _full_box(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    data = bytes((version,)) + flags.to_bytes(3, "big") + body
+    return struct.pack(">I", 8 + len(data)) + btype + data
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_avc_build(frames_rgb, qp: int = 28, fps: int = 25, **enc_kw):
+    """Forward MP4 muxer for fixtures/tests: the Annex B output of
+    ``_h264_build`` re-framed as an isom/avc1 track — SPS/PPS in avcC,
+    one length-prefixed IDR sample per frame, real stts/stsc/stsz/stco
+    tables, mdat before moov so chunk offsets are stable. Returns
+    (mp4_bytes, recon) when the encoder kwargs request recon. Not
+    exported API."""
+    got = _h264_build(frames_rgb, qp=qp, **enc_kw)
+    annexb, recons = got if isinstance(got, tuple) else (got, None)
+    nals = _split_nals(annexb)
+    sps_raw = pps_raw = None
+    samples = []
+    for typ, ref, rbsp in nals:
+        raw = bytes(((ref << 5) | typ,)) + _rbsp_to_ebsp(rbsp)
+        if typ == 7:
+            sps_raw = raw
+        elif typ == 8:
+            pps_raw = raw
+        elif typ == 5:
+            samples.append(struct.pack(">I", len(raw)) + raw)
+    h, w = frames_rgb[0].shape[:2]
+    n = len(samples)
+    avcc = (
+        bytes((1, sps_raw[1], sps_raw[2], sps_raw[3], 0xFC | 3, 0xE0 | 1))
+        + struct.pack(">H", len(sps_raw)) + sps_raw
+        + bytes((1,))
+        + struct.pack(">H", len(pps_raw)) + pps_raw
+    )
+    visual_entry = (
+        bytes(6) + struct.pack(">H", 1)  # reserved + data_reference_index
+        + bytes(16)  # pre_defined/reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + bytes(4)
+        + struct.pack(">H", 1)  # frame_count
+        + bytes(32)  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    avc1 = _box(b"avc1", visual_entry + _box(b"avcC", avcc))
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + avc1)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    mdat_payload = b"".join(samples)
+    # layout: ftyp, mdat, moov — first sample offset = len(ftyp) + 8
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+    first_off = len(ftyp) + 8
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, first_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url_ = _full_box(b"url ", 0, 1, b"")
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + url_)
+    dinf = _box(b"dinf", dref)
+    vmhd = _full_box(b"vmhd", 0, 1, bytes(8))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        bytes(4) + b"vide" + bytes(12) + b"VideoHandler\x00",
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n) + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", n)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + bytes(8)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    mp4 = ftyp + _box(b"mdat", mdat_payload) + moov
+    return (mp4, recons) if recons is not None else mp4

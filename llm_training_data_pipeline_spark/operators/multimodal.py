@@ -6099,6 +6099,83 @@ def synthetic_h264_assets(spark, n: int = 6) -> DataFrame:
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
 
 
+def sample_mp4_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL MP4 frame sampling (``is_stub`` = FALSE) for H.264-intra
+    'avc1' tracks — the container most real-world H.264 travels in:
+    ISO-BMFF demux (avcC parameter sets, stsz/stsc/stco sample
+    tables, length-prefixed NALs) feeding the same intra/IDR decoder
+    as ``sample_h264_frames``, into the FRAME_SCHEMA contract. This is
+    the REAL path next to ``sample_frames_stub``'s honest fake: MP4s
+    whose samples the intra subset cannot decode (inter GOPs, CABAC,
+    non-AVC codecs) are OMITTED, never faked. Skipped samples cost a
+    sample-table walk only. At 100 TB the payloads stay in parquet
+    binary columns; decode parallelism == partition count."""
+    from llm_training_data_pipeline_spark.operators.h264 import (
+        _mp4_h264_frames,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ws, hs, px = [], [], [], [], []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    frames = _mp4_h264_frames(
+                        bytes(p) if p is not None else b"",
+                        every_n=max(1, int(every_n)),
+                    )
+                except Exception:
+                    frames = None
+                if not frames:
+                    continue
+                for i, fw, fh, rgb in frames:
+                    ids.append(int(aid))
+                    fidx.append(i)
+                    ws.append(fw)
+                    hs.append(fh)
+                    px.append(rgb)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(fidx, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series([3] * len(ids), dtype="int32"),
+                    "pixels": pd.Series(px, dtype="object"),
+                    "is_stub": pd.Series([False] * len(ids), dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthetic_mp4_avc_assets(spark, n: int = 6) -> DataFrame:
+    """Deterministic REAL MP4 fixture: each asset is an isom/avc1
+    container muxing the H.264 forward encoder's all-IDR output
+    (length-prefixed samples, real stsd/stsz/stsc/stco tables), frame
+    f showing pattern (i + f) % 6 — the containerised sibling of
+    ``synthetic_h264_assets``; odd clips run the loop filter."""
+    from llm_training_data_pipeline_spark.operators.h264 import _mp4_avc_build
+
+    rows = []
+    for i in range(n):
+        n_frames = 2 + (i % 3)
+        frames = [
+            _cross_format_base_pixels((i + f) % 6) for f in range(n_frames)
+        ]
+        payload = _mp4_avc_build(
+            frames, qp=16 + (i * 7) % 24, fps=24 + i, deblock=bool(i % 2)
+        )
+        rows.append((i, "video", payload, "video/mp4", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
 def sample_frames_stub(
     df: DataFrame,
     every_n: int = 30,
@@ -6113,9 +6190,9 @@ def sample_frames_stub(
     sampled indices are every ``every_n``-th frame (always including
     frame 0), and each emitted frame's pixel buffer is the md5
     keystream of (payload, frame_index) — deterministic and
-    ``is_stub``-marked. A codec library replaces only the keystream
-    line; the explode shape (one row per sampled frame), batch
-    iteration, and schema are the production contract.
+    ``is_stub``-marked. The REAL path for H.264-intra avc1 tracks is
+    ``sample_mp4_frames`` (r13); this stub remains the honest-fake
+    contract for codecs we cannot decode (inter GOPs, H.265, VP9…).
     """
     n = width * height * 3
 

@@ -1903,6 +1903,39 @@ def q_h264_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "frame_index")
 
 
+@register("mp4_frame_stats", None)
+def q_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264-in-MP4 — the container most real-world H.264 travels in
+    (r13): ISO-BMFF avc1 demux (avcC parameter sets, stsz/stsc/stco
+    sample tables, length-prefixed NALs) feeding the same intra/IDR
+    decoder as h264_frame_stats, every-2nd-sample sampling, then
+    per-(clip, frame) exact integer pixel stats. This is the REAL
+    path that retires sample_frames_stub's md5 buffers for intra AVC
+    tracks. Rows-only check (binary self-contained fixture); demux +
+    decode pinned against the independent forward _mp4_avc_build /
+    _h264_build in tests/test_h264.py (multimodal.sample_mp4_frames +
+    image_pixel_stats)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        image_pixel_stats,
+        sample_mp4_frames,
+        synthetic_mp4_avc_assets,
+    )
+
+    frames = sample_mp4_frames(synthetic_mp4_avc_assets(spark, n=6), every_n=2)
+    composite = frames.select(
+        (F.col("asset_id") * 1000 + F.col("frame_index")).alias("asset_id"),
+        "width", "height", "channels", "pixels", "is_stub",
+    )
+    stats = image_pixel_stats(composite)
+    return stats.select(
+        (F.col("asset_id") / 1000).cast("long").alias("clip_id"),
+        F.pmod("asset_id", F.lit(1000)).cast("long").alias("frame_index"),
+        "width", "height", "n_pixels",
+        "mean_r_milli", "mean_g_milli", "mean_b_milli",
+        "luminance_milli", "is_stub",
+    ).orderBy("clip_id", "frame_index")
+
+
 @register("image_near_dup", None)
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):

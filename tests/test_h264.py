@@ -327,6 +327,88 @@ def test_decoder_never_raises_on_corrupt_input():
                     assert len(px) == w * h * 3
 
 
+def test_mp4_avc_demux_matches_annexb_path():
+    """H.264-in-MP4 (r13): the isom/avc1 mux round-trips — demuxed
+    samples decode to pixels IDENTICAL to the Annex B path over the
+    same frames; every_n walks the sample table without decoding
+    skipped samples; the existing _mp4_meta/_mp4_frame_count parsers
+    read the muxed file (cross-validation of both sides)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _mp4_frame_count,
+        _mp4_meta,
+    )
+
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 256, (34, 50, 3)).astype(np.uint8)
+            for _ in range(4)]
+    mp4 = h264._mp4_avc_build(imgs, qp=26, deblock=True)
+    assert _mp4_meta(mp4)[0] == "isom"
+    assert _mp4_frame_count(mp4) == 4
+    fr = h264._mp4_h264_frames(mp4)
+    ann = h264._h264_frames(h264._h264_build(imgs, qp=26, deblock=True))
+    assert fr is not None and len(fr) == 4
+    for a, b in zip(fr, ann):
+        assert a == b
+    sampled = h264._mp4_h264_frames(mp4, every_n=3)
+    assert [i for i, *_ in sampled] == [0, 3]
+    assert sampled[1][3] == fr[3][3]
+    # honest rejections: truncated mdat, non-MP4, corrupt avcC
+    assert h264._mp4_h264_frames(mp4[: len(mp4) // 2]) is None
+    assert h264._mp4_h264_frames(b"not an mp4") is None
+    at = mp4.index(b"avcC")
+    bad = bytearray(mp4)
+    bad[at + 8] ^= 0xFF  # corrupt the SPS inside avcC
+    assert h264._mp4_h264_frames(bytes(bad)) is None
+    # fuzz slice over the container path
+    rnd = random.Random(4)
+    for _ in range(600):
+        b = bytearray(mp4)
+        op = rnd.randrange(3)
+        if op == 0:
+            for _ in range(rnd.randrange(1, 4)):
+                i = rnd.randrange(len(b))
+                b[i] ^= 1 << rnd.randrange(8)
+        elif op == 1:
+            b = b[: rnd.randrange(1, len(b))]
+        else:
+            i = rnd.randrange(len(b))
+            b[i:i] = bytes(
+                rnd.randrange(256) for _ in range(rnd.randrange(1, 8))
+            )
+        out = h264._mp4_h264_frames(bytes(b))
+        if out is not None:
+            for _i, w, h, px in out:
+                assert len(px) == w * h * 3
+
+
+def test_sample_mp4_frames_spark_surface(spark):
+    """The REAL MP4 path through mapInPandas: avc1-intra clips decode
+    (is_stub false), a non-AVC MP4 and a corrupt payload are omitted
+    (the stub path remains their honest contract)."""
+    import pyspark.sql.functions as F
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        sample_mp4_frames,
+        synthetic_mp4_avc_assets,
+        synthetic_video_assets,
+    )
+
+    assets = synthetic_mp4_avc_assets(spark, n=4)
+    stub_mp4s = synthetic_video_assets(spark, n=2).withColumn(
+        "asset_id", F.col("asset_id") + 100
+    )
+    rows = sample_mp4_frames(
+        assets.unionByName(stub_mp4s), every_n=2
+    ).collect()
+    assert rows and all(r["asset_id"] < 100 for r in rows)
+    assert all(not r["is_stub"] for r in rows)
+    expect = sum((2 + (i % 3) + 1) // 2 for i in range(4))
+    assert len(rows) == expect
+    assert all(
+        len(r["pixels"]) == r["width"] * r["height"] * 3 for r in rows
+    )
+
+
 def test_sample_h264_frames_spark_surface(spark):
     """FRAME_SCHEMA contract through mapInPandas: every clip of the
     fixture decodes (is_stub false), every_n sampling keeps indices
