@@ -6221,3 +6221,257 @@ def sample_frames_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (r13): the APP1 payload IS a TIFF structure, so this
+# reuses the IFD conventions _tiff_pixels already decodes — camera
+# make/model, orientation, capture timestamps and the Exif-IFD pixel
+# dims, the fields an image-corpus pipeline filters and stratifies on.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {271: "make", 272: "model", 274: "orientation",
+              306: "datetime", 34665: "_exif_ifd"}
+_EXIF_SUB_TAGS = {36867: "datetime_original", 40962: "exif_width",
+                  40963: "exif_height"}
+
+
+def _tiff_ifd_entries(buf: bytes, bo: str, ifd_off: int, wanted: dict):
+    """Read one IFD, returning {name: value} for the wanted tags.
+    Types: 2 ASCII (NUL-stripped str), 3 SHORT, 4 LONG (first value).
+    Offsets are relative to the TIFF header at buf[0]."""
+    out = {}
+    if ifd_off + 2 > len(buf):
+        return out
+    (n,) = _struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+    if n > 256:
+        return out
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        if e + 12 > len(buf):
+            return out
+        tag, typ, count = _struct.unpack(bo + "HHI", buf[e : e + 8])
+        name = wanted.get(tag)
+        if name is None:
+            continue
+        field = buf[e + 8 : e + 12]
+        size = {2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None or count == 0 or count > (1 << 16):
+            continue
+        total = size * count
+        if total <= 4:
+            raw = field[:total]
+        else:
+            (off,) = _struct.unpack(bo + "I", field)
+            if off + total > len(buf):
+                continue
+            raw = buf[off : off + total]
+        if typ == 2:
+            out[name] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            out[name] = _struct.unpack(bo + fmt, raw[:size])[0]
+    return out
+
+
+def _exif_tags(payload: bytes):
+    """EXIF fields from a JPEG APP1 segment or a bare TIFF header ->
+    dict or None. Real parsing only — absent segments yield None."""
+    tiff = None
+    if payload[:2] == b"\xff\xd8":  # JPEG: find the Exif APP1 segment
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xDA:  # SOS: no APP1 before scan data
+                return None
+            if i + 4 > len(payload):
+                return None
+            (seg_len,) = _struct.unpack(">H", payload[i + 2 : i + 4])
+            if seg_len < 2 or i + 2 + seg_len > len(payload):
+                return None
+            if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = payload[i + 10 : i + 2 + seg_len]
+                break
+            i += 2 + seg_len
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = payload
+    if tiff is None or len(tiff) < 8:
+        return None
+    bo = "<" if tiff[:2] == b"II" else ">"
+    if tiff[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    (ifd0,) = _struct.unpack(bo + "I", tiff[4:8])
+    tags = _tiff_ifd_entries(tiff, bo, ifd0, _EXIF_TAGS)
+    sub_off = tags.pop("_exif_ifd", None)
+    if isinstance(sub_off, int):
+        tags.update(_tiff_ifd_entries(tiff, bo, sub_off, _EXIF_SUB_TAGS))
+    return tags or None
+
+
+EXIF_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("orientation", IntegerType()),
+        StructField("datetime_original", StringType()),
+        StructField("exif_width", IntegerType()),
+        StructField("exif_height", IntegerType()),
+        StructField("has_exif", BooleanType()),
+    ]
+)
+
+
+def decode_exif_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """EXIF extraction over Arrow batches (JPEG APP1 / bare TIFF):
+    camera make/model, orientation (1-8), DateTimeOriginal and the
+    Exif-IFD pixel dims — the stratification/filter fields of an
+    image-corpus pipeline (dedup by camera+timestamp, drop screenshots
+    by missing EXIF, re-orient before hashing). Payloads without EXIF
+    yield has_exif = false with NULL fields — never invented values.
+    Same 100 TB shape as decode_image_meta: payloads stay executor-
+    side, one projection, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in EXIF_META_SCHEMA.fields}
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    tags = _exif_tags(b)
+                except Exception:
+                    tags = None
+                tags = tags or {}
+                rows["asset_id"].append(int(aid))
+                rows["make"].append(tags.get("make"))
+                rows["model"].append(tags.get("model"))
+                rows["orientation"].append(tags.get("orientation"))
+                rows["datetime_original"].append(tags.get("datetime_original"))
+                rows["exif_width"].append(tags.get("exif_width"))
+                rows["exif_height"].append(tags.get("exif_height"))
+                rows["has_exif"].append(bool(tags))
+            out = pd.DataFrame(rows)
+            out["asset_id"] = out["asset_id"].astype("int64")
+            for c in ("orientation", "exif_width", "exif_height"):
+                out[c] = out[c].astype("Int32")
+            out["has_exif"] = out["has_exif"].astype("bool")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=EXIF_META_SCHEMA
+    )
+
+
+def _exif_app1(make=None, model=None, orientation=None, datetime=None,
+               datetime_original=None, exif_dims=None, bo="<") -> bytes:
+    """Forward APP1-Exif builder for fixtures/tests: a real TIFF
+    structure (IFD0 + optional Exif IFD) wrapped in the JPEG APP1
+    segment. Not exported API."""
+    def entry(tag, typ, count, field4):
+        return _struct.pack(bo + "HHI", tag, typ, count) + field4
+
+    ifd0 = []
+    ext = bytearray()
+    # layout: header(8) + ifd0 + next(4) + [exif ifd] + ext strings
+    sub = []
+    if datetime_original is not None:
+        s = datetime_original.encode() + b"\x00"
+        sub.append((36867, 2, len(s), s))
+    if exif_dims is not None:
+        sub.append((40962, 4, 1, _struct.pack(bo + "I", exif_dims[0])))
+        sub.append((40963, 4, 1, _struct.pack(bo + "I", exif_dims[1])))
+    main = []
+    if make is not None:
+        s = make.encode() + b"\x00"
+        main.append((271, 2, len(s), s))
+    if model is not None:
+        s = model.encode() + b"\x00"
+        main.append((272, 2, len(s), s))
+    if orientation is not None:
+        main.append((274, 3, 1, _struct.pack(bo + "H", orientation) + b"\x00\x00"))
+    if datetime is not None:
+        s = datetime.encode() + b"\x00"
+        main.append((306, 2, len(s), s))
+    n_main = len(main) + (1 if sub else 0)
+    ifd0_off = 8
+    ifd0_size = 2 + 12 * n_main + 4
+    sub_off = ifd0_off + ifd0_size
+    sub_size = (2 + 12 * len(sub) + 4) if sub else 0
+    ext_off = sub_off + sub_size
+
+    def build_ifd(entries, ext_base):
+        body = _struct.pack(bo + "H", len(entries))
+        ext_local = bytearray()
+        for tag, typ, count, raw in entries:
+            if len(raw) <= 4:
+                field = raw + bytes(4 - len(raw))
+            else:
+                field = _struct.pack(bo + "I", ext_base + len(ext_local))
+                ext_local += raw
+            body += entry(tag, typ, count, field)
+        body += _struct.pack(bo + "I", 0)
+        return body, ext_local
+
+    entries0 = sorted(
+        main + ([(34665, 4, 1, _struct.pack(bo + "I", sub_off))] if sub else [])
+    )
+    # two-pass: sizes are fixed, so ext offsets are computable
+    ifd0_body, ext0 = build_ifd(entries0, ext_off)
+    sub_body, ext1 = (b"", bytearray())
+    if sub:
+        sub_body, ext1 = build_ifd(sorted(sub), ext_off + len(ext0))
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    tiff = (
+        magic + _struct.pack(bo + "I", ifd0_off) + ifd0_body + sub_body
+        + ext0 + ext1
+    )
+    seg = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + _struct.pack(">H", len(seg) + 2) + seg
+
+
+def _jpeg_with_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI (fixture helper)."""
+    assert jpeg[:2] == b"\xff\xd8"
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def synthetic_exif_assets(spark, n: int = 24) -> DataFrame:
+    """Deterministic EXIF fixture: real JPEGs (forward _jpeg_build)
+    carrying forward-built APP1 segments — camera make/model cycling a
+    4-vendor pool, orientations 1-8, capture timestamps derived from
+    the asset id, both byte orders; every 4th asset has NO EXIF (the
+    has_exif=false leg), every 6th is a bare TIFF with IFD0 tags."""
+    rows = []
+    makes = ("Acme", "PixelWorks", "OptiCam", "FotoCorp")
+    for i in range(n):
+        img = _cross_format_base_pixels(i % 6)
+        h, w, _ = img.shape
+        jpeg = _jpeg_build(w, h, img.tobytes())
+        if i % 4 == 3:
+            payload = jpeg  # no EXIF
+        elif i % 6 == 5:
+            payload = _tiff_build(img, "<" if i % 2 == 0 else ">")
+            # bare TIFF pixels carry no EXIF tags either — also the
+            # has_exif=false leg (IFD0 has only layout tags)
+        else:
+            app1 = _exif_app1(
+                make=makes[i % 4],
+                model=f"Model {i % 3}",
+                orientation=1 + (i % 8),
+                datetime=f"2024:0{1 + i % 9}:1{i % 10} 0{i % 10}:00:00"[:19],
+                datetime_original=f"2023:0{1 + i % 9}:02 10:2{i % 10}:33",
+                exif_dims=(w, h),
+                bo="<" if i % 2 == 0 else ">",
+            )
+            payload = _jpeg_with_exif(jpeg, app1)
+        rows.append((i, "image", payload, "image/jpeg", {"idx": str(i)}))
+    from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
+
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)

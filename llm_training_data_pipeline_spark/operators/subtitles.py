@@ -1,0 +1,138 @@
+"""Subtitle/caption text extraction (SRT, WebVTT) — engine extension.
+
+Video-corpus pipelines mine most of their TEXT from caption sidecars;
+this module turns subtitle documents into per-cue rows with integer
+millisecond timestamps using ONLY native column expressions (split /
+posexplode / regexp_extract — zero Python in the path, whole-stage
+codegen end to end), so the cue table scales like any other projection
+at 100 TB and the whole parse is DuckDB-oracle-replayable.
+
+Both formats ride one grammar: blocks separated by blank lines; a cue
+block contains a timestamp arrow line ``HH:MM:SS,mmm --> HH:MM:SS.mmm``
+(SRT comma / VTT dot accepted everywhere; VTT's optional hours field
+handled) with the cue text on the following lines. SRT numeric index
+lines, VTT cue identifiers, and per-cue settings after the end
+timestamp are absorbed; WEBVTT headers, NOTE/STYLE blocks and anything
+else without an arrow are dropped.
+
+Regexes live in the Java∩RE2 subset (the PII precedent) so the Spark
+and DuckDB sides run literally the same patterns.
+
+Reference parity note: the reference pipeline has no media-adjacent
+text sources (src/wiki_pipeline.py ingests wiki XML only); this is an
+engine extension in the training-data family the task brief asks for.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# one timestamp: optional hours, minutes, seconds, millis (4 groups)
+_TS = r"(?:(\d{2,}):)?(\d{2}):(\d{2})[,.](\d{3})"
+# the arrow line: 8 groups; cue settings after the end stamp absorbed
+_ARROW = _TS + r"\s*-->\s*" + _TS
+# cue text: everything after the arrow line (group 9)
+_CUE_TEXT = r"(?s)" + _ARROW + r"[^\n]*\n(.*)"
+_BLOCK_SEP = r"(\r?\n){2,}"
+
+
+def _ms(prefix_col, g_hour, g_min, g_sec, g_milli):
+    """Millisecond total from the four timestamp groups; the optional
+    hours group extracts as '' when absent (both engines) -> 0."""
+    hours = F.when(g_hour == "", F.lit(0)).otherwise(g_hour.cast("long"))
+    return (
+        (hours * 3600 + g_min.cast("long") * 60 + g_sec.cast("long")) * 1000
+        + g_milli.cast("long")
+    )
+
+
+def subtitle_cues(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse subtitle documents into one row per cue.
+
+    Output: (doc_id, cue_index [1-based per doc, in file order],
+    start_ms, end_ms, duration_ms, cue_text, cue_chars). Blocks
+    without a timestamp arrow (headers, NOTEs, garbage) are dropped;
+    cues never invent fields. The per-doc cue_index window partitions
+    by document — bounded by cues-per-file, never global."""
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _BLOCK_SEP)).alias(
+            "_pos", "_block"
+        ),
+    ).filter(F.regexp_extract("_block", _ARROW, 0) != "")
+
+    def g(i):
+        return F.regexp_extract("_block", _ARROW, i)
+
+    parsed = blocks.select(
+        id_col,
+        "_pos",
+        _ms("_block", g(1), g(2), g(3), g(4)).alias("start_ms"),
+        _ms("_block", g(5), g(6), g(7), g(8)).alias("end_ms"),
+        F.regexp_extract("_block", _CUE_TEXT, 9).alias("cue_text"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        parsed.withColumn("cue_index", F.row_number().over(w))
+        .select(
+            id_col,
+            "cue_index",
+            "start_ms",
+            "end_ms",
+            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+            "cue_text",
+            F.length("cue_text").cast("long").alias("cue_chars"),
+        )
+    )
+
+
+def render_srt(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_cues: int = 3,
+) -> DataFrame:
+    """Deterministic SRT renderer (native columns): each document
+    becomes an ``srt`` column of ``n_cues`` cue blocks whose timestamps
+    derive from the doc id and whose text is a newline-flattened slice
+    of the document text — the forward direction the parse query is
+    checked against (the oracle replays BOTH directions in SQL)."""
+    did = F.col(id_col)
+
+    def fmt(ms):
+        # floor-div, never divide-and-cast (the repo-wide rounding pin:
+        # DuckDB CAST rounds, Spark cast truncates — floor agrees)
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            F.floor(ms / 3600000).cast("long"),
+            F.floor(ms / 60000).cast("long") % 60,
+            F.floor(ms / 1000).cast("long") % 60,
+            ms % 1000,
+        )
+
+    cues = []
+    for k in range(n_cues):
+        start = (did % 863) * 977 + k * 1300
+        end = start + 1150 + (did % 7) * 13
+        body = F.concat(
+            F.lit(f"cue {k} "),
+            F.regexp_replace(
+                F.substring(F.col(text_col), 1 + 60 * k, 55),
+                r"[\r\n]+",
+                " ",
+            ),
+        )
+        cues.append(
+            F.concat(
+                F.lit(f"{k + 1}\n"),
+                fmt(start),
+                F.lit(" --> "),
+                fmt(end),
+                F.lit("\n"),
+                body,
+            )
+        )
+    return df.select(id_col, F.concat_ws("\n\n", *cues).alias("srt"))

@@ -6572,3 +6572,75 @@ def pq_bucket_dedup_sql(m: int = 8, ks: int = 16) -> str:
                  AS removable_ppm
         FROM cells
     """
+
+
+def subtitle_cues_sql(n_cues: int = 3) -> str:
+    """Mirror of subtitles.render_srt + subtitles.subtitle_cues: the
+    forward SRT render (floor-div timestamps — never divide-and-cast,
+    the repo rounding pin; newline-flattened 55-char text slices) and
+    the native-column cue parse (blank-line block split, the shared
+    Java∩RE2 arrow regex with optional hours, (?s) cue-text tail),
+    both replayed in DuckDB SQL. Blocks without an arrow are dropped;
+    cue_index is the per-doc file-order row_number."""
+    arrow = (
+        r"(?:(\d{2,}):)?(\d{2}):(\d{2})[,.](\d{3})"
+        r"\s*-->\s*"
+        r"(?:(\d{2,}):)?(\d{2}):(\d{2})[,.](\d{3})"
+    )
+    cue_tail = "(?s)" + arrow + r"[^\n]*\n(.*)"
+    fmt = (
+        "printf('%02d:%02d:%02d,%03d', {ms} // 3600000, "
+        "({ms} // 60000) % 60, ({ms} // 1000) % 60, {ms} % 1000)"
+    )
+    cue_exprs = []
+    for k in range(n_cues):
+        start = f"((doc_id % 863) * 977 + {k * 1300})"
+        end = f"({start} + 1150 + (doc_id % 7) * 13)"
+        cue_exprs.append(
+            f"'{k + 1}' || chr(10) || {fmt.format(ms=start)} || ' --> ' || "
+            f"{fmt.format(ms=end)} || chr(10) || 'cue {k} ' || "
+            f"regexp_replace(substr(text, 1 + {60 * k}, 55), "
+            f"'[\\r\\n]+', ' ', 'g')"
+        )
+    srt = (" || chr(10) || chr(10) || ").join(cue_exprs)
+    return f"""
+        WITH rendered AS (
+          SELECT doc_id, {srt} AS srt FROM documents
+        ), blocks AS (
+          SELECT doc_id,
+                 generate_subscripts(bl, 1) AS pos,
+                 unnest(bl) AS block
+          FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(srt, '(\\r?\\n){{2,}}') AS bl
+            FROM rendered
+          )
+        ), cues AS (
+          SELECT doc_id, pos,
+                 regexp_extract(block, '{arrow}', 1) AS h1,
+                 CAST(regexp_extract(block, '{arrow}', 2) AS BIGINT) AS m1,
+                 CAST(regexp_extract(block, '{arrow}', 3) AS BIGINT) AS s1,
+                 CAST(regexp_extract(block, '{arrow}', 4) AS BIGINT) AS x1,
+                 regexp_extract(block, '{arrow}', 5) AS h2,
+                 CAST(regexp_extract(block, '{arrow}', 6) AS BIGINT) AS m2,
+                 CAST(regexp_extract(block, '{arrow}', 7) AS BIGINT) AS s2,
+                 CAST(regexp_extract(block, '{arrow}', 8) AS BIGINT) AS x2,
+                 regexp_extract(block, '{cue_tail}', 9) AS cue_text
+          FROM blocks
+          WHERE regexp_extract(block, '{arrow}', 0) <> ''
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS cue_index,
+               ((CASE WHEN h1 = '' THEN 0 ELSE CAST(h1 AS BIGINT) END)
+                 * 3600 + m1 * 60 + s1) * 1000 + x1 AS start_ms,
+               ((CASE WHEN h2 = '' THEN 0 ELSE CAST(h2 AS BIGINT) END)
+                 * 3600 + m2 * 60 + s2) * 1000 + x2 AS end_ms,
+               ((CASE WHEN h2 = '' THEN 0 ELSE CAST(h2 AS BIGINT) END)
+                 * 3600 + m2 * 60 + s2) * 1000 + x2
+               - (((CASE WHEN h1 = '' THEN 0 ELSE CAST(h1 AS BIGINT) END)
+                 * 3600 + m1 * 60 + s1) * 1000 + x1) AS duration_ms,
+               cue_text,
+               CAST(length(cue_text) AS BIGINT) AS cue_chars
+        FROM cues
+    """

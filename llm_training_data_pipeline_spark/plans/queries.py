@@ -1936,6 +1936,56 @@ def q_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id", "frame_index")
 
 
+@register("subtitle_cues_parse", oracle.subtitle_cues_sql(n_cues=3))
+def q_subtitle_cues_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle/caption text extraction (r13) — where video corpora
+    get most of their TEXT: documents rendered to deterministic SRT
+    (floor-div timestamps, flattened 55-char slices) then parsed back
+    to per-cue rows by the native-column parser (blank-line block
+    split, shared Java∩RE2 arrow regex with optional hours, (?s) cue
+    tail) — block split, timestamps, durations and full cue text all
+    value-checked against the DuckDB replay of BOTH directions. Zero
+    Python in the path; the only window partitions per document
+    (operators/subtitles.py)."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        render_srt,
+        subtitle_cues,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return subtitle_cues(render_srt(docs, n_cues=3), text_col="srt")
+
+
+@register("exif_meta_stats", None)
+def q_exif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction (r13): JPEG APP1 / bare-TIFF IFD walk for
+    camera make/model, orientation, DateTimeOriginal and Exif-IFD
+    dims — the stratify/filter fields of an image-corpus pipeline —
+    then a per-make aggregate (count, orientation spread, has_exif
+    split). Rows-only check (binary self-contained fixture built by
+    the forward _exif_app1/_jpeg_with_exif pair; both byte orders,
+    no-EXIF legs included) — see tests/test_multimodal.py
+    (multimodal.decode_exif_meta)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_exif_meta,
+        synthetic_exif_assets,
+    )
+
+    meta = decode_exif_meta(synthetic_exif_assets(spark, n=24))
+    return (
+        meta.groupBy("make", "has_exif")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("orientation").alias("n_oriented"),
+            F.min("orientation").alias("min_orientation"),
+            F.max("orientation").alias("max_orientation"),
+            F.count("datetime_original").alias("n_dated"),
+            F.sum(F.coalesce("exif_width", F.lit(0))).alias("sum_exif_w"),
+        )
+        .orderBy("make", "has_exif")
+    )
+
+
 @register("image_near_dup", None)
 def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup over a MIXED-FORMAT binary corpus (r12):

@@ -409,6 +409,23 @@ def test_sample_mp4_frames_spark_surface(spark):
     )
 
 
+def test_frame_decode_paths_have_no_shuffle(spark):
+    """100-TB shape pin: the H.264/MP4 decode operators are a single
+    projection + mapInPandas — no Exchange anywhere in the physical
+    plan (decode parallelism == partition count; pixels never cross
+    the wire)."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        sample_h264_frames,
+        sample_mp4_frames,
+        synthetic_h264_assets,
+    )
+
+    assets = synthetic_h264_assets(spark, n=2)
+    for op in (sample_h264_frames, sample_mp4_frames):
+        plan = op(assets)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (op.__name__, plan)
+
+
 def test_sample_h264_frames_spark_surface(spark):
     """FRAME_SCHEMA contract through mapInPandas: every clip of the
     fixture decodes (is_stub false), every_n sampling keeps indices

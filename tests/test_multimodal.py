@@ -1454,6 +1454,90 @@ def test_tiff_tiled_decode_inverts_forward_building():
     assert mm._tiff_pixels(bytes(bomb)) is None
 
 
+def test_exif_extraction_inverts_forward_builder():
+    """r13 — EXIF: the APP1 payload is a TIFF structure; tags written
+    by the forward _exif_app1 builder (both byte orders, IFD0 + Exif
+    IFD, inline and external values) read back exactly; JPEGs without
+    APP1 and TIFFs without the tags yield None; corrupt segments never
+    raise; the pixel decoder still decodes EXIF-carrying JPEGs."""
+    import random
+
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators import multimodal as mm
+
+    img = mm._cross_format_base_pixels(2)
+    h, w, _ = img.shape
+    jpeg = mm._jpeg_build(w, h, img.tobytes())
+    for bo in ("<", ">"):
+        app1 = mm._exif_app1(
+            make="ACME", model="Cam 9", orientation=6,
+            datetime="2021:03:04 05:06:07",
+            datetime_original="2020:01:02 03:04:05",
+            exif_dims=(640, 480), bo=bo,
+        )
+        j = mm._jpeg_with_exif(jpeg, app1)
+        tags = mm._exif_tags(j)
+        assert tags == {
+            "make": "ACME", "model": "Cam 9", "orientation": 6,
+            "datetime": "2021:03:04 05:06:07",
+            "datetime_original": "2020:01:02 03:04:05",
+            "exif_width": 640, "exif_height": 480,
+        }, bo
+        # pixels unaffected by the APP1 segment
+        assert mm._jpeg_pixels(j) is not None
+    # partial tag sets round-trip too
+    assert mm._exif_tags(
+        mm._jpeg_with_exif(jpeg, mm._exif_app1(orientation=3, bo=">"))
+    ) == {"orientation": 3}
+    # absent EXIF -> None (JPEG without APP1, TIFF without the tags)
+    assert mm._exif_tags(jpeg) is None
+    assert mm._exif_tags(mm._tiff_build(np.zeros((4, 4), np.uint8))) is None
+    assert mm._exif_tags(b"") is None
+    # fuzz: mutations never raise
+    rnd = random.Random(2)
+    base = mm._jpeg_with_exif(
+        jpeg, mm._exif_app1(make="X", orientation=1, exif_dims=(9, 9))
+    )
+    for _ in range(2000):
+        b = bytearray(base)
+        op = rnd.randrange(3)
+        if op == 0:
+            for _ in range(rnd.randrange(1, 4)):
+                i = rnd.randrange(len(b))
+                b[i] ^= 1 << rnd.randrange(8)
+        elif op == 1:
+            b = b[: rnd.randrange(1, len(b))]
+        else:
+            i = rnd.randrange(len(b))
+            b[i:i] = bytes(rnd.randrange(256) for _ in range(rnd.randrange(1, 6)))
+        mm._exif_tags(bytes(b))  # must not raise
+
+
+def test_decode_exif_meta_spark_surface(spark):
+    """decode_exif_meta through mapInPandas: EXIF rows carry the
+    fixture's fields, no-EXIF rows have has_exif=false with NULLs."""
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_exif_meta,
+        synthetic_exif_assets,
+    )
+
+    rows = {r["asset_id"]: r for r in
+            decode_exif_meta(synthetic_exif_assets(spark, n=24)).collect()}
+    assert len(rows) == 24
+    makes = ("Acme", "PixelWorks", "OptiCam", "FotoCorp")
+    for i in range(24):
+        r = rows[i]
+        if i % 4 == 3 or i % 6 == 5:
+            assert r["has_exif"] is False and r["make"] is None
+            assert r["orientation"] is None
+        else:
+            assert r["has_exif"] is True
+            assert r["make"] == makes[i % 4]
+            assert r["orientation"] == 1 + (i % 8)
+            assert r["exif_width"] is not None
+
+
 def test_decoders_never_raise_on_corrupt_input():
     """r12 hardening — at 100 TB one corrupt file must never kill the
     job: every decoder returns None (or a valid tuple) on mutated

@@ -1,0 +1,113 @@
+"""Subtitle cue extraction pins (r13): SRT and WebVTT through one
+native-column grammar — timestamps (comma/dot millis, optional VTT
+hours), cue settings, identifiers and index lines absorbed, headers
+and NOTE blocks dropped, CRLF handled, multi-line cue text preserved.
+The ⊕ query (subtitle_cues_parse) value-checks the whole parse against
+DuckDB; these tests pin the format corners the synthetic SRT doesn't
+reach."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from llm_training_data_pipeline_spark.operators.subtitles import (
+    render_srt,
+    subtitle_cues,
+)
+
+SRT = (
+    "1\n"
+    "00:00:01,000 --> 00:00:03,500\n"
+    "Hello there.\n"
+    "\n"
+    "2\n"
+    "00:00:04,200 --> 00:01:00,000\n"
+    "Two lines of\n"
+    "cue text.\n"
+    "\n"
+    "3\n"
+    "01:02:03,456 --> 01:02:04,000\n"
+    "Third.\n"
+)
+
+VTT = (
+    "WEBVTT Kind: captions; Language: en\n"
+    "\n"
+    "NOTE\n"
+    "this block must be dropped\n"
+    "\n"
+    "intro-cue-id\n"
+    "00:05.000 --> 00:07.250 align:start position:0%\n"
+    "VTT short-form hours.\n"
+    "\n"
+    "00:01:00.000 --> 00:01:02.000\n"
+    "Full form.\n"
+    "\n"
+    "STYLE\n"
+    "::cue { color: red }\n"
+)
+
+
+def _parse(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return {
+        r["cue_index"]: r for r in subtitle_cues(df).orderBy("cue_index").collect()
+    }
+
+
+def test_srt_cues_parse_exactly(spark):
+    cues = _parse(spark, SRT)
+    assert len(cues) == 3
+    assert (cues[1]["start_ms"], cues[1]["end_ms"]) == (1000, 3500)
+    assert cues[1]["cue_text"] == "Hello there."
+    assert cues[2]["start_ms"] == 4200 and cues[2]["end_ms"] == 60000
+    assert cues[2]["cue_text"] == "Two lines of\ncue text."
+    assert cues[2]["duration_ms"] == 55800
+    assert cues[3]["start_ms"] == 3723456 and cues[3]["end_ms"] == 3724000
+    # CRLF variant parses identically
+    crlf = _parse(spark, SRT.replace("\n", "\r\n"))
+    assert len(crlf) == 3
+    assert crlf[2]["cue_text"] == "Two lines of\r\ncue text."
+    assert [
+        (crlf[i]["start_ms"], crlf[i]["end_ms"]) for i in (1, 2, 3)
+    ] == [(cues[i]["start_ms"], cues[i]["end_ms"]) for i in (1, 2, 3)]
+
+
+def test_vtt_header_notes_settings_and_short_hours(spark):
+    cues = _parse(spark, VTT)
+    assert len(cues) == 2  # WEBVTT header, NOTE and STYLE blocks dropped
+    assert (cues[1]["start_ms"], cues[1]["end_ms"]) == (5000, 7250)
+    assert cues[1]["cue_text"] == "VTT short-form hours."
+    assert (cues[2]["start_ms"], cues[2]["end_ms"]) == (60000, 62000)
+    assert cues[2]["cue_text"] == "Full form."
+
+
+def test_garbage_and_empty_inputs_yield_no_cues(spark):
+    assert _parse(spark, "") == {}
+    assert _parse(spark, "no cues here\n\njust prose") == {}
+    assert _parse(spark, "WEBVTT\n") == {}
+
+
+def test_render_srt_round_trips_through_the_parser(spark):
+    """Forward render -> parse recovers cue count, monotone per-doc
+    timestamps and the flattened text slices (the ⊕ query's shape,
+    pinned here without the oracle in the loop)."""
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma " * 20), (12, "x\ny\nz"), (863, "")],
+        "doc_id long, text string",
+    )
+    cues = subtitle_cues(render_srt(docs, n_cues=3), text_col="srt")
+    rows = cues.orderBy("doc_id", "cue_index").collect()
+    assert len(rows) == 9
+    for did in (7, 12, 863):
+        sub = [r for r in rows if r["doc_id"] == did]
+        assert [r["cue_index"] for r in sub] == [1, 2, 3]
+        assert all(
+            a["start_ms"] < a["end_ms"] for a in sub
+        )
+        assert all(
+            a["end_ms"] < b["start_ms"] for a, b in zip(sub, sub[1:])
+        )
+        assert all(r["cue_text"].startswith(f"cue {i} ")
+                   for i, r in enumerate(sub))
+    # newline flattening: the multi-line doc's cue text has no newline
+    assert "\n" not in [r for r in rows if r["doc_id"] == 12][0]["cue_text"]
