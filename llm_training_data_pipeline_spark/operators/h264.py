@@ -24,9 +24,12 @@ suffix-length levels, total_zeros, run_before), dequantisation, the
 inverse transforms, and the in-loop deblocking filter (8.7 — bS 4/3
 strong+normal edges with the alpha/beta/tc0 threshold tables and
 slice-level offsets; intra prediction reads unfiltered samples, the
-output is filtered, per the spec). Inter slices (P/B), CABAC, MBAFF,
-multiple slices per picture and High-profile tools return None —
-honest rejection, never approximated pixels.
+output is filtered, per the spec). Pictures may span multiple
+I-slices (raster order): prediction, CAVLC contexts and the mode
+predictor honour slice independence, and idc 2 keeps slice-boundary
+edges unfiltered. Inter slices (P/B), CABAC, MBAFF, FMO/ASO and
+High-profile tools return None — honest rejection, never
+approximated pixels.
 
 Forward ``_h264_build`` emits spec-syntax Annex B bytes over RGB
 frames: an SPS with real frame cropping, a PPS, one IDR slice per
@@ -1060,18 +1063,16 @@ def _parse_pps(rbsp: bytes):
 # ---------------------------------------------------------------------------
 
 
-def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
-    """Decode one IDR I-slice covering the whole picture.
-
-    Returns (y, cb, cr) uint8 planes at padded (16*mb) size, or None.
-    """
+def _parse_idr_slice_header(rbsp: bytes, sps_map, pps_map):
+    """Parse one IDR I-slice header -> dict (reader positioned at the
+    first macroblock) or None."""
     b = _Bits(rbsp)
-    if b.ue() != 0:  # first_mb_in_slice: single slice per picture only
-        return None
+    first_mb = b.ue()
     slice_type = b.ue()
     if slice_type % 5 != 2:  # I slice (2 or 7)
         return None
-    pps = pps_map.get(b.ue())
+    pps_id = b.ue()
+    pps = pps_map.get(pps_id)
     if pps is None:
         return None
     sps = sps_map.get(pps["sps_id"])
@@ -1087,19 +1088,50 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
     qp = pps["init_qp"] + b.se()
     if not 0 <= qp <= 51:
         return None
-    filter_on, off_a, off_b = True, 0, 0
+    idc, off_a, off_b = 0, 0, 0
     if pps["deblock_ctrl"]:
-        disable_idc = b.ue()
-        if disable_idc > 2:
+        idc = b.ue()
+        if idc > 2:
             return None
-        # idc 2 disables filtering across slice boundaries only; with
-        # one slice per picture it is identical to 0
-        filter_on = disable_idc != 1
-        if filter_on:
+        if idc != 1:
             off_a = 2 * b.se()
             off_b = 2 * b.se()
             if not (-12 <= off_a <= 12 and -12 <= off_b <= 12):
                 return None
+    return {
+        "b": b, "rbsp": rbsp, "first_mb": first_mb, "pps_id": pps_id,
+        "pps": pps, "sps": sps, "qp": qp, "idc": idc,
+        "off_a": off_a, "off_b": off_b,
+    }
+
+
+def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
+    """Back-compat single-slice entry (tests use it directly)."""
+    return _decode_idr_picture([rbsp], sps_map, pps_map)
+
+
+def _decode_idr_picture(rbsps, sps_map, pps_map):
+    """Decode one IDR picture from its slice RBSPs (one or more).
+
+    Slices are independently decodable: intra prediction, the CAVLC
+    total_coeff contexts and the intra-4x4 mode predictor all treat
+    macroblocks of OTHER slices as unavailable, and per-slice
+    disable_deblocking_filter_idc == 2 skips filtering across slice
+    boundaries only. Slices must cover the picture in raster order
+    (no ASO/FMO). Returns (y, cb, cr, sps) or None.
+    """
+    heads = []
+    for rbsp in rbsps:
+        hd = _parse_idr_slice_header(rbsp, sps_map, pps_map)
+        if hd is None:
+            return None
+        heads.append(hd)
+    if not heads or heads[0]["first_mb"] != 0:
+        return None
+    sps = heads[0]["sps"]
+    pps = heads[0]["pps"]
+    if any(h["pps_id"] != heads[0]["pps_id"] for h in heads):
+        return None  # mixed PPS within a picture: out of scope
 
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
     W, H = mb_w * 16, mb_h * 16
@@ -1113,191 +1145,246 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
     i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
     mb_qp = np.zeros((mb_h, mb_w), np.int16)
     mb_pcm = np.zeros((mb_h, mb_w), bool)
+    mb_slice = np.full((mb_h, mb_w), -1, np.int32)
+    mb_idc = np.zeros((mb_h, mb_w), np.int16)
+    mb_offa = np.zeros((mb_h, mb_w), np.int16)
+    mb_offb = np.zeros((mb_h, mb_w), np.int16)
 
-    def n_ctx(tc_arr, by, bx):
-        na = int(tc_arr[by, bx - 1]) if bx > 0 else None
-        nb = int(tc_arr[by - 1, bx]) if by > 0 else None
-        if na is not None and nb is not None:
-            return (na + nb + 1) >> 1
-        if na is not None:
-            return na
-        if nb is not None:
-            return nb
-        return 0
+    next_mb = 0
+    total = mb_w * mb_h
+    for sid, hd in enumerate(heads):
+        if hd["first_mb"] != next_mb:
+            return None  # gaps / arbitrary slice order: out of scope
+        b = hd["b"]
+        rbsp = hd["rbsp"]
+        qp = hd["qp"]
 
-    for mb in range(mb_w * mb_h):
-        my, mx = divmod(mb, mb_w)
-        x0, y0 = mx * 16, my * 16
-        bx0, by0 = mx * 4, my * 4  # luma 4x4 block coords
-        cx0, cy0 = mx * 2, my * 2  # chroma 4x4 block coords
-        avail_l = mx > 0
-        avail_t = my > 0
-        mb_type = b.ue()
-        if mb_type > 25:
-            return None
+        def n_ctx(tc_arr, by, bx, gran):
+            # neighbours outside the CURRENT slice are unavailable
+            na = nb = None
+            if bx > 0 and mb_slice[by // gran, (bx - 1) // gran] == sid:
+                na = int(tc_arr[by, bx - 1])
+            if by > 0 and mb_slice[(by - 1) // gran, bx // gran] == sid:
+                nb = int(tc_arr[by - 1, bx])
+            if na is not None and nb is not None:
+                return (na + nb + 1) >> 1
+            if na is not None:
+                return na
+            if nb is not None:
+                return nb
+            return 0
 
-        if mb_type == 25:  # I_PCM
-            while b.pos % 8:
-                if b.u(1):
-                    return None  # pcm_alignment_zero_bit must be 0
-            need = 256 + 128
-            if b.pos // 8 + need > len(rbsp):
+        def n_ctx_chroma(tc_arr, by, bx):
+            return n_ctx(tc_arr, by, bx, 2)
+
+        first_in_slice = True
+        while next_mb < total and (first_in_slice or b.more_rbsp_data()):
+            first_in_slice = False
+            mb = next_mb
+            next_mb += 1
+            my, mx = divmod(mb, mb_w)
+            mb_slice[my, mx] = sid
+            mb_idc[my, mx] = hd["idc"]
+            mb_offa[my, mx] = hd["off_a"]
+            mb_offb[my, mx] = hd["off_b"]
+            x0, y0 = mx * 16, my * 16
+            bx0, by0 = mx * 4, my * 4  # luma 4x4 block coords
+            cx0, cy0 = mx * 2, my * 2  # chroma 4x4 block coords
+            avail_l = mx > 0 and mb_slice[my, mx - 1] == sid
+            avail_t = my > 0 and mb_slice[my - 1, mx] == sid
+            avail_tl = (
+                mx > 0 and my > 0 and mb_slice[my - 1, mx - 1] == sid
+            )
+            avail_tr = (
+                my > 0 and mx + 1 < mb_w and mb_slice[my - 1, mx + 1] == sid
+            )
+            mb_type = b.ue()
+            if mb_type > 25:
                 return None
-            base = b.pos // 8
-            y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.frombuffer(
-                rbsp, np.uint8, 256, base
-            ).reshape(16, 16)
-            cb_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
-                np.frombuffer(rbsp, np.uint8, 64, base + 256).reshape(8, 8)
-            )
-            cr_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
-                np.frombuffer(rbsp, np.uint8, 64, base + 320).reshape(8, 8)
-            )
-            b.pos += need * 8
-            luma_tc[by0 : by0 + 4, bx0 : bx0 + 4] = 16
-            cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
-            cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
-            # QP carries over unchanged; i4 modes stay -1 (not I_4x4)
-            mb_qp[my, mx] = qp
-            mb_pcm[my, mx] = True  # filters as QP 0 (8.7.2)
-            continue
 
-        if mb_type == 0:  # I_4x4 (I_NxN)
-            modes = [0] * 16
-            for z in range(16):
-                r, c = _Z4_INV[z]
-                by, bx = by0 + r, bx0 + c
-                left = int(i4_modes[by, bx - 1]) if bx > 0 else -1
-                top = int(i4_modes[by - 1, bx]) if by > 0 else -1
-                pred_mode = min(
-                    left if left >= 0 else 2, top if top >= 0 else 2
+            if mb_type == 25:  # I_PCM
+                while b.pos % 8:
+                    if b.u(1):
+                        return None  # pcm_alignment_zero_bit must be 0
+                need = 256 + 128
+                if b.pos // 8 + need > len(rbsp):
+                    return None
+                base = b.pos // 8
+                y_plane[y0 : y0 + 16, x0 : x0 + 16] = np.frombuffer(
+                    rbsp, np.uint8, 256, base
+                ).reshape(16, 16)
+                cb_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
+                    np.frombuffer(rbsp, np.uint8, 64, base + 256).reshape(8, 8)
                 )
-                if b.flag():  # prev_intra4x4_pred_mode_flag
-                    modes[z] = pred_mode
-                else:
-                    rem = b.u(3)
-                    modes[z] = rem if rem < pred_mode else rem + 1
-                i4_modes[by, bx] = modes[z]
+                cr_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
+                    np.frombuffer(rbsp, np.uint8, 64, base + 320).reshape(8, 8)
+                )
+                b.pos += need * 8
+                luma_tc[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+                cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+                cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+                # QP carries over unchanged; i4 modes stay -1
+                mb_qp[my, mx] = qp
+                mb_pcm[my, mx] = True  # filters as QP 0 (8.7.2)
+                continue
+
+            if mb_type == 0:  # I_4x4 (I_NxN)
+                modes = [0] * 16
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    by, bx = by0 + r, bx0 + c
+                    left = (
+                        int(i4_modes[by, bx - 1])
+                        if bx > 0 and mb_slice[by // 4, (bx - 1) // 4] == sid
+                        else -1
+                    )
+                    top = (
+                        int(i4_modes[by - 1, bx])
+                        if by > 0 and mb_slice[(by - 1) // 4, bx // 4] == sid
+                        else -1
+                    )
+                    pred_mode = min(
+                        left if left >= 0 else 2, top if top >= 0 else 2
+                    )
+                    if b.flag():  # prev_intra4x4_pred_mode_flag
+                        modes[z] = pred_mode
+                    else:
+                        rem = b.u(3)
+                        modes[z] = rem if rem < pred_mode else rem + 1
+                    i4_modes[by, bx] = modes[z]
+                chroma_mode = b.ue()
+                if chroma_mode > 3:
+                    return None
+                code_num = b.ue()
+                if code_num > 47:
+                    return None
+                cbp = _CBP_INTRA[code_num]
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp_chroma == 3:
+                    return None
+                if cbp:
+                    delta = b.se()
+                    if not -26 <= delta <= 25:
+                        return None
+                    qp = (qp + delta + 52) % 52
+                # parse luma residuals (z-scan), then chroma
+                luma_coeffs = []
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    by, bx = by0 + r, bx0 + c
+                    if cbp_luma & (1 << (z >> 2)):
+                        nc = n_ctx(luma_tc, by, bx, 4)
+                        coeffs, tc = _cavlc_decode_block(b, nc, 16)
+                    else:
+                        coeffs, tc = [0] * 16, 0
+                    luma_tc[by, bx] = tc
+                    luma_coeffs.append(coeffs)
+                chroma_res = _parse_chroma_residual(
+                    b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx_chroma
+                )
+                if chroma_res is None:
+                    return None
+                # reconstruct luma 4x4 blocks in z-scan order
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    sx, sy = x0 + c * 4, y0 + r * 4
+                    al = avail_l if c == 0 else True
+                    at = avail_t if r == 0 else True
+                    if r == 0 and c == 0:
+                        atl = avail_tl
+                    elif r == 0:
+                        atl = avail_t
+                    elif c == 0:
+                        atl = avail_l
+                    else:
+                        atl = True
+                    if r == 0:
+                        atr = avail_t if c < 3 else avail_tr
+                    else:
+                        atr = c < 3 and _Z4[r - 1][c + 1] < z
+                    zz = luma_coeffs[z]
+                    blk = np.zeros((4, 4), np.int64)
+                    for k in range(16):
+                        blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = zz[k]
+                    pred = _pred4x4(
+                        modes[z], y_plane, sx, sy, al, at, atl, atr
+                    )
+                    y_plane[sy : sy + 4, sx : sx + 4] = _recon_block(
+                        pred, blk, qp
+                    )
+                _recon_chroma(
+                    cb_plane, cr_plane, chroma_mode, chroma_res, qp,
+                    pps["chroma_qp_offset"], x0 // 2, y0 // 2,
+                    avail_l, avail_t,
+                )
+                mb_qp[my, mx] = qp
+                continue
+
+            # I_16x16
+            m = mb_type - 1
+            pred16 = m % 4
+            cbp_chroma = (m // 4) % 3
+            cbp_luma = 15 if m >= 12 else 0
+            if (pred16 == 0 and not avail_t) or (
+                pred16 == 1 and not avail_l
+            ) or (pred16 == 3 and not (avail_l and avail_t)):
+                return None
             chroma_mode = b.ue()
             if chroma_mode > 3:
                 return None
-            code_num = b.ue()
-            if code_num > 47:
+            delta = b.se()
+            if not -26 <= delta <= 25:
                 return None
-            cbp = _CBP_INTRA[code_num]
-            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-            if cbp_chroma == 3:
-                return None
-            if cbp:
-                delta = b.se()
-                if not -26 <= delta <= 25:
-                    return None
-                qp = (qp + delta + 52) % 52
-            # parse luma residuals (z-scan), then chroma
+            qp = (qp + delta + 52) % 52
+            # luma DC (16 coeffs, context of block 0)
+            nc = n_ctx(luma_tc, by0, bx0, 4)
+            dc_coeffs, _dc_tc = _cavlc_decode_block(b, nc, 16)
             luma_coeffs = []
             for z in range(16):
                 r, c = _Z4_INV[z]
                 by, bx = by0 + r, bx0 + c
-                if cbp_luma & (1 << (z >> 2)):
-                    nc = n_ctx(luma_tc, by, bx)
-                    coeffs, tc = _cavlc_decode_block(b, nc, 16)
+                if cbp_luma:
+                    nc = n_ctx(luma_tc, by, bx, 4)
+                    coeffs, tc = _cavlc_decode_block(b, nc, 15)
                 else:
-                    coeffs, tc = [0] * 16, 0
+                    coeffs, tc = [0] * 15, 0
                 luma_tc[by, bx] = tc
                 luma_coeffs.append(coeffs)
             chroma_res = _parse_chroma_residual(
-                b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx
+                b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx_chroma
             )
             if chroma_res is None:
                 return None
-            # reconstruct luma 4x4 blocks in z-scan order
+            i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+            # reconstruct: 16x16 prediction, DC hadamard, per-block AC
+            pred = _pred16x16(pred16, y_plane, x0, y0, avail_l, avail_t)
+            dcm = np.zeros((4, 4), np.int64)
+            for k in range(16):
+                dcm[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = dc_coeffs[k]
+            f = _HAD4 @ dcm @ _HAD4
+            dc_deq = _luma_dc_dequant(f, qp)
             for z in range(16):
                 r, c = _Z4_INV[z]
-                sx, sy = x0 + c * 4, y0 + r * 4
-                al = sx > 0
-                at = sy > 0
-                atl = al and at
-                if r == 0:
-                    atr = at and (sx + 4 < W)
-                else:
-                    atr = c < 3 and _Z4[r - 1][c + 1] < z
-                zz = luma_coeffs[z]
                 blk = np.zeros((4, 4), np.int64)
-                for k in range(16):
-                    blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = zz[k]
-                pred = _pred4x4(modes[z], y_plane, sx, sy, al, at, atl, atr)
-                y_plane[sy : sy + 4, sx : sx + 4] = _recon_block(pred, blk, qp)
+                zz = luma_coeffs[z]
+                for k in range(15):
+                    blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = zz[k]
+                sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                y_plane[
+                    y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
+                ] = _recon_block(sub, blk, qp, dc_override=int(dc_deq[r, c]))
             _recon_chroma(
                 cb_plane, cr_plane, chroma_mode, chroma_res, qp,
                 pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
             )
             mb_qp[my, mx] = qp
-            continue
 
-        # I_16x16
-        m = mb_type - 1
-        pred16 = m % 4
-        cbp_chroma = (m // 4) % 3
-        cbp_luma = 15 if m >= 12 else 0
-        if (pred16 == 0 and not avail_t) or (pred16 == 1 and not avail_l) or (
-            pred16 == 3 and not (avail_l and avail_t)
-        ):
-            return None
-        chroma_mode = b.ue()
-        if chroma_mode > 3:
-            return None
-        delta = b.se()
-        if not -26 <= delta <= 25:
-            return None
-        qp = (qp + delta + 52) % 52
-        # luma DC (16 coeffs, context of block 0)
-        nc = n_ctx(luma_tc, by0, bx0)
-        dc_coeffs, _dc_tc = _cavlc_decode_block(b, nc, 16)
-        luma_coeffs = []
-        for z in range(16):
-            r, c = _Z4_INV[z]
-            by, bx = by0 + r, bx0 + c
-            if cbp_luma:
-                nc = n_ctx(luma_tc, by, bx)
-                coeffs, tc = _cavlc_decode_block(b, nc, 15)
-            else:
-                coeffs, tc = [0] * 15, 0
-            luma_tc[by, bx] = tc
-            luma_coeffs.append(coeffs)
-        chroma_res = _parse_chroma_residual(
-            b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx
-        )
-        if chroma_res is None:
-            return None
-        i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
-        # reconstruct: 16x16 prediction, DC hadamard, per-block AC
-        pred = _pred16x16(pred16, y_plane, x0, y0, avail_l, avail_t)
-        dcm = np.zeros((4, 4), np.int64)
-        for k in range(16):
-            dcm[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = dc_coeffs[k]
-        f = _HAD4 @ dcm @ _HAD4
-        dc_deq = _luma_dc_dequant(f, qp)
-        for z in range(16):
-            r, c = _Z4_INV[z]
-            blk = np.zeros((4, 4), np.int64)
-            zz = luma_coeffs[z]
-            for k in range(15):
-                blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = zz[k]
-            sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
-            y_plane[
-                y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
-            ] = _recon_block(sub, blk, qp, dc_override=int(dc_deq[r, c]))
-        _recon_chroma(
-            cb_plane, cr_plane, chroma_mode, chroma_res, qp,
-            pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
-        )
-        mb_qp[my, mx] = qp
-
-    if filter_on:
-        _deblock_picture(
-            y_plane, cb_plane, cr_plane, mb_qp, mb_pcm, off_a, off_b,
-            pps["chroma_qp_offset"],
-        )
+    if next_mb != total:
+        return None  # picture not fully covered by its slices
+    _deblock_picture(
+        y_plane, cb_plane, cr_plane, mb_qp, mb_pcm, mb_idc, mb_slice,
+        mb_offa, mb_offb, pps["chroma_qp_offset"],
+    )
     return y_plane, cb_plane, cr_plane, sps
 
 
@@ -1359,21 +1446,20 @@ def _h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
 
     Annex B elementary streams of IDR I-slices (the Baseline intra
     subset this module implements — see the module docstring for the
-    honest-rejection list). ``max_frames`` >= 0 stops after that many
-    decoded frames; ``every_n`` decodes every n-th IDR picture only —
-    because every picture is an independent IDR, skipped frames cost
-    one NAL scan and ZERO entropy/pixel work (sampling cost scales
-    with frames KEPT, the sample_avi_frames discipline)."""
+    honest-rejection list). A picture may span MULTIPLE slices: a
+    slice whose first_mb_in_slice == 0 opens a new picture and the
+    following slices complete it. ``max_frames`` >= 0 stops after
+    that many decoded pictures; ``every_n`` decodes every n-th IDR
+    picture only — skipped pictures cost one NAL scan and ZERO
+    entropy/pixel work (sampling cost scales with frames KEPT, the
+    sample_avi_frames discipline)."""
     try:
         nals = _split_nals(payload)
         if not nals:
             return None
         sps_map, pps_map = {}, {}
-        frames = []
-        idr_idx = 0
+        pictures = []  # list of [slice rbsp, ...]
         for typ, _ref, rbsp in nals:
-            if 0 <= max_frames <= len(frames):
-                break
             if typ == 7:
                 sps = _parse_sps(rbsp)
                 if sps is None:
@@ -1385,17 +1471,25 @@ def _h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
                     return None
                 pps_map[pps["id"]] = pps
             elif typ == 5:
-                idx = idr_idx
-                idr_idx += 1
-                if idx % max(1, every_n):
-                    continue  # skipped: no decode work at all
-                got = _decode_idr_slice(rbsp, sps_map, pps_map)
-                if got is None:
+                if _Bits(rbsp).ue() == 0:  # first_mb == 0: new picture
+                    pictures.append([rbsp])
+                elif pictures:
+                    pictures[-1].append(rbsp)
+                else:
                     return None
-                frames.append((idx, got))
             elif typ == 1:
                 return None  # non-IDR (inter) slice: out of scope
             # SEI (6), AUD (9), filler (12), end-of-* (10/11): skipped
+        frames = []
+        for idx, slices in enumerate(pictures):
+            if 0 <= max_frames <= len(frames):
+                break
+            if idx % max(1, every_n):
+                continue  # skipped: no decode work at all
+            got = _decode_idr_picture(slices, sps_map, pps_map)
+            if got is None:
+                return None
+            frames.append((idx, got))
         if not frames:
             return None
         return [
@@ -1516,7 +1610,8 @@ def _write_pps(init_qp, chroma_qp_offset=0, deblock_ctrl=True):
 
 def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
                 return_recon: bool = False, deblock: bool = False,
-                deblock_offsets=(0, 0), pps_deblock_ctrl: bool = True):
+                deblock_offsets=(0, 0), pps_deblock_ctrl: bool = True,
+                slices: int = 1, idc2: bool = False):
     """Forward H.264 builder for fixtures/tests: all-IDR Annex B
     stream over (h, w, 3) uint8 RGB frames (even dims), cycling
     I_PCM / I_16x16 (all four prediction modes) / I_4x4 (all nine)
@@ -1553,12 +1648,13 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
         cr_src = np.pad(
             cr_src, ((0, (H - h) // 2), (0, (W - w) // 2)), mode="edge"
         )
-        rbsp, planes = _encode_idr_slice(
+        rbsps, planes = _encode_idr_picture(
             y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset, fi,
             deblock=deblock, deblock_offsets=deblock_offsets,
-            write_idc=pps_deblock_ctrl,
+            write_idc=pps_deblock_ctrl, n_slices=slices, idc2=idc2,
         )
-        out += _wrap_nal(5, 3, rbsp)
+        for rbsp in rbsps:
+            out += _wrap_nal(5, 3, rbsp)
         if return_recon:
             yp, cbp_, crp = planes
             recons.append(
@@ -1567,28 +1663,20 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
     return (bytes(out), recons) if return_recon else bytes(out)
 
 
-def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
-                      chroma_qp_offset, frame_idx, deblock=False,
-                      deblock_offsets=(0, 0), write_idc=True):
-    """Encode one IDR I-slice; returns (rbsp, recon planes)."""
+def _encode_idr_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
+                        chroma_qp_offset, frame_idx, deblock=False,
+                        deblock_offsets=(0, 0), write_idc=True,
+                        n_slices=1, idc2=False):
+    """Encode one IDR picture as ``n_slices`` contiguous I-slices;
+    returns ([slice rbsp, ...], recon planes). Slice independence is
+    honoured exactly as the decoder requires: prediction, CAVLC
+    contexts and the intra-4x4 mode predictor never cross a slice
+    boundary, and with idc 2 the loop filter skips cross-slice
+    macroblock edges."""
     W, H = mb_w * 16, mb_h * 16
-    w = _BitW()
-    w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
-    w.ue(0)  # pic_parameter_set_id
-    w.u(0, 4)  # frame_num (log2_max_frame_num == 4)
-    w.ue(frame_idx & 1)  # idr_pic_id (alternate between IDRs)
-    w.u(0, 1)  # no_output_of_prior_pics_flag
-    w.u(0, 1)  # long_term_reference_flag
-    w.se(0)  # slice_qp_delta
-    if not write_idc:
-        pass  # PPS has no deblocking control: filter implicitly on
-    elif deblock:
-        w.ue(0)  # disable_deblocking_filter_idc: filter on
-        w.se(deblock_offsets[0])  # slice_alpha_c0_offset_div2
-        w.se(deblock_offsets[1])  # slice_beta_offset_div2
-    else:
-        w.ue(1)  # disable_deblocking_filter_idc: filter off
+    total = mb_w * mb_h
+    n_slices = max(1, min(n_slices, total))
+    bounds = [total * k // n_slices for k in range(n_slices + 1)]
 
     y_rec = np.zeros((H, W), np.uint8)
     cb_rec = np.zeros((H // 2, W // 2), np.uint8)
@@ -1599,229 +1687,295 @@ def _encode_idr_slice(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
     i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
     mb_qp = np.zeros((mb_h, mb_w), np.int16)
     mb_pcm = np.zeros((mb_h, mb_w), bool)
+    mb_slice = np.full((mb_h, mb_w), -1, np.int32)
+    mb_idc = np.zeros((mb_h, mb_w), np.int16)
+    mb_offa = np.zeros((mb_h, mb_w), np.int16)
+    mb_offb = np.zeros((mb_h, mb_w), np.int16)
+    eff_idc = ((2 if idc2 else 0) if deblock else 1) if write_idc else 0
 
-    def n_ctx(tc_arr, by, bx):
-        na = int(tc_arr[by, bx - 1]) if bx > 0 else None
-        nb = int(tc_arr[by - 1, bx]) if by > 0 else None
-        if na is not None and nb is not None:
-            return (na + nb + 1) >> 1
-        if na is not None:
-            return na
-        if nb is not None:
-            return nb
-        return 0
+    rbsps = []
+    for sid in range(n_slices):
+        w = _BitW()
+        w.ue(bounds[sid])  # first_mb_in_slice
+        w.ue(7)  # slice_type: I (all slices in picture)
+        w.ue(0)  # pic_parameter_set_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num == 4)
+        w.ue(frame_idx & 1)  # idr_pic_id (alternate between IDRs)
+        w.u(0, 1)  # no_output_of_prior_pics_flag
+        w.u(0, 1)  # long_term_reference_flag
+        w.se(0)  # slice_qp_delta
+        if write_idc:
+            if deblock:
+                # idc 0 = filter everything; idc 2 = keep slice
+                # boundaries unfiltered (both carry the offsets)
+                w.ue(2 if idc2 else 0)
+                w.se(deblock_offsets[0])
+                w.se(deblock_offsets[1])
+            else:
+                w.ue(1)  # filter off
 
-    qp = slice_qp
-    for mb in range(mb_w * mb_h):
-        my, mx = divmod(mb, mb_w)
-        x0, y0 = mx * 16, my * 16
-        bx0, by0 = mx * 4, my * 4
-        cx0, cy0 = mx * 2, my * 2
-        avail_l, avail_t = mx > 0, my > 0
-        sel = (mx + 2 * my + 3 * frame_idx) % 7
-        desired_qp = min(46, max(10, slice_qp + ((mb * 7) % 5) - 2))
+        def n_ctx(tc_arr, by, bx, gran):
+            na = nb = None
+            if bx > 0 and mb_slice[by // gran, (bx - 1) // gran] == sid:
+                na = int(tc_arr[by, bx - 1])
+            if by > 0 and mb_slice[(by - 1) // gran, bx // gran] == sid:
+                nb = int(tc_arr[by - 1, bx])
+            if na is not None and nb is not None:
+                return (na + nb + 1) >> 1
+            if na is not None:
+                return na
+            if nb is not None:
+                return nb
+            return 0
 
-        if sel == 0:  # I_PCM
-            w.ue(25)
-            w.byte_align_zero()
-            for v in y_src[y0 : y0 + 16, x0 : x0 + 16].ravel():
-                w.u(int(v), 8)
-            for pl in (cb_src, cr_src):
-                for v in pl[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8].ravel():
+        def n_ctx_chroma(tc_arr, by, bx):
+            return n_ctx(tc_arr, by, bx, 2)
+
+        qp = slice_qp
+        for mb in range(bounds[sid], bounds[sid + 1]):
+            my, mx = divmod(mb, mb_w)
+            mb_slice[my, mx] = sid
+            mb_idc[my, mx] = eff_idc
+            mb_offa[my, mx] = 2 * deblock_offsets[0]
+            mb_offb[my, mx] = 2 * deblock_offsets[1]
+            x0, y0 = mx * 16, my * 16
+            bx0, by0 = mx * 4, my * 4
+            cx0, cy0 = mx * 2, my * 2
+            avail_l = mx > 0 and mb_slice[my, mx - 1] == sid
+            avail_t = my > 0 and mb_slice[my - 1, mx] == sid
+            avail_tl = mx > 0 and my > 0 and mb_slice[my - 1, mx - 1] == sid
+            avail_tr = (
+                my > 0 and mx + 1 < mb_w and mb_slice[my - 1, mx + 1] == sid
+            )
+            sel = (mx + 2 * my + 3 * frame_idx) % 7
+            desired_qp = min(46, max(10, slice_qp + ((mb * 7) % 5) - 2))
+
+            if sel == 0:  # I_PCM
+                w.ue(25)
+                w.byte_align_zero()
+                for v in y_src[y0 : y0 + 16, x0 : x0 + 16].ravel():
                     w.u(int(v), 8)
-            y_rec[y0 : y0 + 16, x0 : x0 + 16] = y_src[y0 : y0 + 16, x0 : x0 + 16]
-            cb_rec[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = cb_src[
-                y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
-            ]
-            cr_rec[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = cr_src[
-                y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
-            ]
-            luma_tc[by0 : by0 + 4, bx0 : bx0 + 4] = 16
-            cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
-            cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
-            i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
-            mb_qp[my, mx] = qp
-            mb_pcm[my, mx] = True
-            continue
+                for pl in (cb_src, cr_src):
+                    for v in pl[
+                        y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
+                    ].ravel():
+                        w.u(int(v), 8)
+                y_rec[y0 : y0 + 16, x0 : x0 + 16] = y_src[
+                    y0 : y0 + 16, x0 : x0 + 16
+                ]
+                cb_rec[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = cb_src[
+                    y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
+                ]
+                cr_rec[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = cr_src[
+                    y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8
+                ]
+                luma_tc[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+                cb_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+                cr_tc[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
+                i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+                mb_qp[my, mx] = qp
+                mb_pcm[my, mx] = True
+                continue
 
-        # chroma mode plan: DC always legal, others availability-gated
-        cm_want = (mb + frame_idx) % 4
-        legal_cm = [0]
-        if avail_l:
-            legal_cm.append(1)
-        if avail_t:
-            legal_cm.append(2)
-        if avail_l and avail_t:
-            legal_cm.append(3)
-        chroma_mode = cm_want if cm_want in legal_cm else 0
+            # chroma mode plan: DC always legal, others availability-gated
+            cm_want = (mb + frame_idx) % 4
+            legal_cm = [0]
+            if avail_l:
+                legal_cm.append(1)
+            if avail_t:
+                legal_cm.append(2)
+            if avail_l and avail_t:
+                legal_cm.append(3)
+            chroma_mode = cm_want if cm_want in legal_cm else 0
 
-        if sel in (1, 2, 3, 6):  # I_16x16
-            want = {1: 2, 2: 0, 3: 3, 6: 1}[sel]
-            if want == 0 and not avail_t:
-                want = 2
-            elif want == 1 and not avail_l:
-                want = 2
-            elif want == 3 and not (avail_l and avail_t):
-                want = 2
-            new_qp = desired_qp  # always codable for I_16x16
-            qpc = _chroma_qp(new_qp, chroma_qp_offset)
-            pred = _pred16x16(want, y_rec, x0, y0, avail_l, avail_t)
-            dcm = np.zeros((4, 4), np.int64)
-            ac_z = [None] * 16
-            w_mats = [None] * 16
+            if sel in (1, 2, 3, 6):  # I_16x16
+                want = {1: 2, 2: 0, 3: 3, 6: 1}[sel]
+                if want == 0 and not avail_t:
+                    want = 2
+                elif want == 1 and not avail_l:
+                    want = 2
+                elif want == 3 and not (avail_l and avail_t):
+                    want = 2
+                new_qp = desired_qp  # always codable for I_16x16
+                qpc = _chroma_qp(new_qp, chroma_qp_offset)
+                pred = _pred16x16(want, y_rec, x0, y0, avail_l, avail_t)
+                dcm = np.zeros((4, 4), np.int64)
+                ac_z = [None] * 16
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    orig = y_src[
+                        y0 + r * 4 : y0 + r * 4 + 4,
+                        x0 + c * 4 : x0 + c * 4 + 4,
+                    ].astype(np.int64)
+                    res = orig - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    wm = _fwd_core(res)
+                    dcm[r, c] = wm[0, 0]
+                    ac_z[z] = _zigzag_list(
+                        _quant4x4(wm, new_qp, skip_dc=True), skip_dc=True
+                    )
+                cbp_luma = 15 if any(any(v for v in zz) for zz in ac_z) else 0
+                f = _HAD4 @ dcm @ _HAD4
+                z_dc = _quant_dc(f, new_qp)
+                cres = _encode_chroma_blocks(
+                    cb_src, cr_src, cb_rec, cr_rec, chroma_mode, x0 // 2,
+                    y0 // 2, avail_l, avail_t, qpc,
+                )
+                cbp_chroma, dc_q, ac_q = cres
+                m = want + 4 * cbp_chroma + (12 if cbp_luma else 0)
+                w.ue(1 + m)
+                w.ue(chroma_mode)
+                w.se(new_qp - qp)
+                qp = new_qp
+                nc = n_ctx(luma_tc, by0, bx0, 4)
+                _cavlc_encode_block(w, _zigzag_list(z_dc), nc, 16)
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    by, bx = by0 + r, bx0 + c
+                    if cbp_luma:
+                        nc = n_ctx(luma_tc, by, bx, 4)
+                        tc = _cavlc_encode_block(w, ac_z[z], nc, 15)
+                    else:
+                        tc = 0
+                    luma_tc[by, bx] = tc
+                _write_chroma_residual(
+                    w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0,
+                    n_ctx_chroma,
+                )
+                i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+                # reconstruct exactly as the decoder will
+                f_rec = _HAD4 @ z_dc @ _HAD4
+                dc_deq = _luma_dc_dequant(f_rec, qp)
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    blk = np.zeros((4, 4), np.int64)
+                    for k in range(15):
+                        blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = ac_z[z][k]
+                    sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    y_rec[
+                        y0 + r * 4 : y0 + r * 4 + 4,
+                        x0 + c * 4 : x0 + c * 4 + 4,
+                    ] = _recon_block(sub, blk, qp, dc_override=int(dc_deq[r, c]))
+                _recon_chroma(
+                    cb_rec, cr_rec, chroma_mode, (dc_q, ac_q), qp,
+                    chroma_qp_offset, x0 // 2, y0 // 2, avail_l, avail_t,
+                )
+                mb_qp[my, mx] = qp
+                continue
+
+            # I_4x4 (sel 4 or 5)
+            trial_qp = desired_qp
+            qpc = _chroma_qp(trial_qp, chroma_qp_offset)
+            modes = [0] * 16
+            coeffs_z = [None] * 16
+            # first pass: choose modes, quantise, reconstruct per block
             for z in range(16):
                 r, c = _Z4_INV[z]
-                orig = y_src[
-                    y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
-                ].astype(np.int64)
-                res = orig - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
-                wm = _fwd_core(res)
-                dcm[r, c] = wm[0, 0]
-                w_mats[z] = _quant4x4(wm, new_qp, skip_dc=True)
-                ac_z[z] = _zigzag_list(w_mats[z], skip_dc=True)
-            cbp_luma = 15 if any(any(v for v in zz) for zz in ac_z) else 0
-            f = _HAD4 @ dcm @ _HAD4
-            z_dc = _quant_dc(f, new_qp)
-            # chroma forward
+                by, bx = by0 + r, bx0 + c
+                sx, sy = x0 + c * 4, y0 + r * 4
+                al = avail_l if c == 0 else True
+                at = avail_t if r == 0 else True
+                if r == 0 and c == 0:
+                    atl = avail_tl
+                elif r == 0:
+                    atl = avail_t
+                elif c == 0:
+                    atl = avail_l
+                else:
+                    atl = True
+                if r == 0:
+                    atr = avail_t if c < 3 else avail_tr
+                else:
+                    atr = c < 3 and _Z4[r - 1][c + 1] < z
+                legal = [2]
+                if at:
+                    legal += [0, 3, 7]
+                if al:
+                    legal += [1, 8]
+                if al and at and atl:
+                    legal += [4, 5, 6]
+                mode = (
+                    2 if sel == 4 else legal[(z + mb + frame_idx) % len(legal)]
+                )
+                modes[z] = mode
+                pred = _pred4x4(mode, y_rec, sx, sy, al, at, atl, atr)
+                orig = y_src[sy : sy + 4, sx : sx + 4].astype(np.int64)
+                zq = _quant4x4(_fwd_core(orig - pred), trial_qp)
+                coeffs_z[z] = _zigzag_list(zq)
+                blk = np.zeros((4, 4), np.int64)
+                for k in range(16):
+                    blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = coeffs_z[z][k]
+                y_rec[sy : sy + 4, sx : sx + 4] = _recon_block(
+                    pred, blk, trial_qp
+                )
+                i4_modes[by, bx] = mode
+            cbp_luma = 0
+            for z in range(16):
+                if any(coeffs_z[z]):
+                    cbp_luma |= 1 << (z >> 2)
             cres = _encode_chroma_blocks(
                 cb_src, cr_src, cb_rec, cr_rec, chroma_mode, x0 // 2,
                 y0 // 2, avail_l, avail_t, qpc,
             )
             cbp_chroma, dc_q, ac_q = cres
-            m = want + 4 * cbp_chroma + (12 if cbp_luma else 0)
-            w.ue(1 + m)
-            w.ue(chroma_mode)
-            w.se(new_qp - qp)
-            qp = new_qp
-            # luma DC block (16 coeffs, context of block 0)
-            nc = n_ctx(luma_tc, by0, bx0)
-            _cavlc_encode_block(w, _zigzag_list(z_dc), nc, 16)
+            cbp = cbp_luma | (cbp_chroma << 4)
+            # NOTE: if cbp == 0 no mb_qp_delta is coded and qp stays —
+            # the residuals are all zero, so trial_qp never mattered
+            w.ue(0)  # mb_type I_NxN
             for z in range(16):
                 r, c = _Z4_INV[z]
                 by, bx = by0 + r, bx0 + c
-                if cbp_luma:
-                    nc = n_ctx(luma_tc, by, bx)
-                    tc = _cavlc_encode_block(w, ac_z[z], nc, 15)
+                left = (
+                    int(i4_modes[by, bx - 1])
+                    if bx > 0 and mb_slice[by // 4, (bx - 1) // 4] == sid
+                    else -1
+                )
+                top = (
+                    int(i4_modes[by - 1, bx])
+                    if by > 0 and mb_slice[(by - 1) // 4, bx // 4] == sid
+                    else -1
+                )
+                pred_mode = min(
+                    left if left >= 0 else 2, top if top >= 0 else 2
+                )
+                if modes[z] == pred_mode:
+                    w.u(1, 1)
+                else:
+                    w.u(0, 1)
+                    rem = modes[z] if modes[z] < pred_mode else modes[z] - 1
+                    w.u(rem, 3)
+            w.ue(chroma_mode)
+            w.ue(_CBP_INTRA_INV[cbp])
+            if cbp:
+                w.se(trial_qp - qp)
+                qp = trial_qp
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                by, bx = by0 + r, bx0 + c
+                if cbp_luma & (1 << (z >> 2)):
+                    nc = n_ctx(luma_tc, by, bx, 4)
+                    tc = _cavlc_encode_block(w, coeffs_z[z], nc, 16)
                 else:
                     tc = 0
                 luma_tc[by, bx] = tc
             _write_chroma_residual(
-                w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0, n_ctx
+                w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0,
+                n_ctx_chroma,
             )
-            i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
-            # reconstruct exactly as the decoder will
-            f_rec = _HAD4 @ z_dc @ _HAD4
-            dc_deq = _luma_dc_dequant(f_rec, qp)
-            for z in range(16):
-                r, c = _Z4_INV[z]
-                blk = np.zeros((4, 4), np.int64)
-                for k in range(15):
-                    blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = ac_z[z][k]
-                sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
-                y_rec[
-                    y0 + r * 4 : y0 + r * 4 + 4, x0 + c * 4 : x0 + c * 4 + 4
-                ] = _recon_block(sub, blk, qp, dc_override=int(dc_deq[r, c]))
             _recon_chroma(
-                cb_rec, cr_rec, chroma_mode, (dc_q, ac_q), qp,
-                chroma_qp_offset, x0 // 2, y0 // 2, avail_l, avail_t,
+                cb_rec, cr_rec, chroma_mode, (dc_q, ac_q),
+                qp, chroma_qp_offset, x0 // 2, y0 // 2,
+                avail_l, avail_t,
             )
             mb_qp[my, mx] = qp
-            continue
 
-        # I_4x4 (sel 4 or 5)
-        trial_qp = desired_qp
-        qpc = _chroma_qp(trial_qp, chroma_qp_offset)
-        modes = [0] * 16
-        coeffs_z = [None] * 16
-        # first pass: choose modes, quantise, reconstruct block by block
-        for z in range(16):
-            r, c = _Z4_INV[z]
-            by, bx = by0 + r, bx0 + c
-            sx, sy = x0 + c * 4, y0 + r * 4
-            al, at = sx > 0, sy > 0
-            atl = al and at
-            if r == 0:
-                atr = at and (sx + 4 < W)
-            else:
-                atr = c < 3 and _Z4[r - 1][c + 1] < z
-            legal = [2]
-            if at:
-                legal += [0, 3, 7]
-            if al:
-                legal += [1, 8]
-            if al and at and atl:
-                legal += [4, 5, 6]
-            mode = 2 if sel == 4 else legal[(z + mb + frame_idx) % len(legal)]
-            modes[z] = mode
-            pred = _pred4x4(mode, y_rec, sx, sy, al, at, atl, atr)
-            orig = y_src[sy : sy + 4, sx : sx + 4].astype(np.int64)
-            zq = _quant4x4(_fwd_core(orig - pred), trial_qp)
-            coeffs_z[z] = _zigzag_list(zq)
-            blk = np.zeros((4, 4), np.int64)
-            for k in range(16):
-                blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = coeffs_z[z][k]
-            y_rec[sy : sy + 4, sx : sx + 4] = _recon_block(pred, blk, trial_qp)
-            i4_modes[by, bx] = mode
-        cbp_luma = 0
-        for z in range(16):
-            if any(coeffs_z[z]):
-                cbp_luma |= 1 << (z >> 2)
-        cres = _encode_chroma_blocks(
-            cb_src, cr_src, cb_rec, cr_rec, chroma_mode, x0 // 2, y0 // 2,
-            avail_l, avail_t, qpc,
-        )
-        cbp_chroma, dc_q, ac_q = cres
-        cbp = cbp_luma | (cbp_chroma << 4)
-        # NOTE: if cbp == 0 no mb_qp_delta is coded and qp stays — the
-        # residuals are all zero, so trial_qp never influenced recon
-        w.ue(0)  # mb_type I_NxN
-        for z in range(16):
-            r, c = _Z4_INV[z]
-            by, bx = by0 + r, bx0 + c
-            left = int(i4_modes[by, bx - 1]) if bx > 0 else -1
-            top = int(i4_modes[by - 1, bx]) if by > 0 else -1
-            # NB: the predictor must use the NEIGHBOUR state as the
-            # decoder sees it — our own i4_modes already holds this
-            # MB's earlier blocks, matching decode order
-            pred_mode = min(left if left >= 0 else 2, top if top >= 0 else 2)
-            if modes[z] == pred_mode:
-                w.u(1, 1)
-            else:
-                w.u(0, 1)
-                rem = modes[z] if modes[z] < pred_mode else modes[z] - 1
-                w.u(rem, 3)
-        w.ue(chroma_mode)
-        w.ue(_CBP_INTRA_INV[cbp])
-        if cbp:
-            w.se(trial_qp - qp)
-            qp = trial_qp
-        for z in range(16):
-            r, c = _Z4_INV[z]
-            by, bx = by0 + r, bx0 + c
-            if cbp_luma & (1 << (z >> 2)):
-                nc = n_ctx(luma_tc, by, bx)
-                tc = _cavlc_encode_block(w, coeffs_z[z], nc, 16)
-            else:
-                tc = 0
-            luma_tc[by, bx] = tc
-        _write_chroma_residual(
-            w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0, n_ctx
-        )
-        _recon_chroma(
-            cb_rec, cr_rec, chroma_mode, (dc_q, ac_q),
-            qp, chroma_qp_offset, x0 // 2, y0 // 2,
-            avail_l, avail_t,
-        )
-        mb_qp[my, mx] = qp
+        w.rbsp_trailing()
+        rbsps.append(w.getvalue())
 
-    w.rbsp_trailing()
-    if deblock:
-        _deblock_picture(
-            y_rec, cb_rec, cr_rec, mb_qp, mb_pcm,
-            2 * deblock_offsets[0], 2 * deblock_offsets[1],
-            chroma_qp_offset,
-        )
-    return w.getvalue(), (y_rec, cb_rec, cr_rec)
+    _deblock_picture(
+        y_rec, cb_rec, cr_rec, mb_qp, mb_pcm, mb_idc, mb_slice,
+        mb_offa, mb_offb, chroma_qp_offset,
+    )
+    return rbsps, (y_rec, cb_rec, cr_rec)
 
 
 def _encode_chroma_blocks(cb_src, cr_src, cb_rec, cr_rec, mode, cx, cy,
@@ -1999,12 +2153,16 @@ def _deblock_edge(plane, x, y, n_lines, vertical, bs, index_a, index_b,
 
 
 def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
-                     off_a, off_b, chroma_qp_offset):
+                     mb_idc, mb_slice, mb_offa, mb_offb,
+                     chroma_qp_offset):
     """In-place loop filter over the whole all-intra picture, MB by
     MB in raster order: vertical edges left-to-right, then horizontal
     edges top-to-bottom (8.7's order — later edges read already-
-    filtered samples). ``mb_qp``/``mb_pcm`` are (mb_h, mb_w) arrays;
-    I_PCM macroblocks filter as QP 0 (8.7.2)."""
+    filtered samples). All mb_* inputs are (mb_h, mb_w) arrays; each
+    macroblock filters under ITS slice's idc and alpha/beta offsets:
+    idc 1 skips the MB entirely, idc 2 skips macroblock edges whose
+    neighbour lies in a different slice. I_PCM macroblocks filter as
+    QP 0 (8.7.2)."""
     mb_h, mb_w = mb_qp.shape
 
     def qp_of(my, mx):
@@ -2012,6 +2170,11 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
 
     for my in range(mb_h):
         for mx in range(mb_w):
+            idc = int(mb_idc[my, mx])
+            if idc == 1:
+                continue
+            off_a = int(mb_offa[my, mx])
+            off_b = int(mb_offb[my, mx])
             x0, y0 = mx * 16, my * 16
             qp_cur = qp_of(my, mx)
             for vertical in (True, False):
@@ -2021,9 +2184,10 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
                             continue
                         if not vertical and my == 0:
                             continue
-                        qp_nb = qp_of(my, mx - 1) if vertical else qp_of(
-                            my - 1, mx
-                        )
+                        ny, nx = (my, mx - 1) if vertical else (my - 1, mx)
+                        if idc == 2 and mb_slice[ny, nx] != mb_slice[my, mx]:
+                            continue  # slice-boundary edge, idc 2
+                        qp_nb = qp_of(ny, nx)
                         bs = 4
                     else:
                         qp_nb = qp_cur
@@ -2236,7 +2400,7 @@ def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
             if idx % max(1, every_n):
                 continue
             pos = lo
-            decoded = None
+            slices = []  # a sample is one picture; it may be multi-slice
             while pos + nal_len <= hi:
                 ln = int.from_bytes(payload[pos : pos + nal_len], "big")
                 pos += nal_len
@@ -2248,12 +2412,7 @@ def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
                 if nal[0] & 0x80:
                     return None
                 if typ == 5:
-                    got = _decode_idr_slice(
-                        _ebsp_to_rbsp(nal[1:]), sps_map, pps_map
-                    )
-                    if got is None:
-                        return None
-                    decoded = got
+                    slices.append(_ebsp_to_rbsp(nal[1:]))
                 elif typ == 1:
                     return None  # inter sample: out of scope
                 elif typ == 7:
@@ -2267,6 +2426,9 @@ def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
                         return None
                     pps_map[pps["id"]] = pps
                 # SEI/AUD/filler: skip
+            if not slices:
+                return None
+            decoded = _decode_idr_picture(slices, sps_map, pps_map)
             if decoded is None:
                 return None
             out.append((idx, *_planes_to_rgb(*decoded)))
@@ -2303,7 +2465,11 @@ def _mp4_avc_build(frames_rgb, qp: int = 28, fps: int = 25, **enc_kw):
         elif typ == 8:
             pps_raw = raw
         elif typ == 5:
-            samples.append(struct.pack(">I", len(raw)) + raw)
+            framed = struct.pack(">I", len(raw)) + raw
+            if _Bits(rbsp).ue() == 0:  # first_mb == 0: new picture
+                samples.append(framed)
+            else:  # later slice of the same picture -> same sample
+                samples[-1] += framed
     h, w = frames_rgb[0].shape[:2]
     n = len(samples)
     avcc = (

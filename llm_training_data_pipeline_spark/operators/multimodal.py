@@ -6030,9 +6030,9 @@ def sample_h264_frames(
     ``sample_avi_frames``. Every picture is an independent IDR, so
     every ``every_n``-th frame decodes and the rest cost one NAL scan
     — sampling cost scales with frames KEPT. The in-loop deblocking
-    filter is applied when the stream enables it. Streams the intra
-    subset cannot decode honestly (inter slices, CABAC, High profile)
-    are OMITTED, never faked. At 100 TB the payloads
+    filter is applied when the stream enables it; pictures may span
+    multiple slices. Streams the intra subset cannot decode honestly
+    (inter slices, CABAC, High profile) are OMITTED, never faked. At 100 TB the payloads
     stay in parquet binary columns; decode parallelism == partition
     count (mapInPandas)."""
     from llm_training_data_pipeline_spark.operators.h264 import _h264_frames
@@ -6080,7 +6080,8 @@ def synthetic_h264_assets(spark, n: int = 6) -> DataFrame:
     ``synthetic_y4m_assets``. The forward encoder's per-macroblock
     plan cycles I_PCM / I_16x16 / I_4x4, so every clip exercises all
     three macroblock families; odd clips enable the in-loop
-    deblocking filter."""
+    deblocking filter, clips cycle 1-3 slices per picture (idc 2 on
+    every 6th)."""
     from llm_training_data_pipeline_spark.operators.h264 import _h264_build
 
     rows = []
@@ -6092,6 +6093,7 @@ def synthetic_h264_assets(spark, n: int = 6) -> DataFrame:
         payload = _h264_build(
             frames, qp=14 + (i * 5) % 26, deblock=bool(i % 2),
             deblock_offsets=((1, -1) if i % 4 == 3 else (0, 0)),
+            slices=1 + (i % 3), idc2=(i % 6 == 5),
         )
         rows.append((i, "video", payload, "video/h264", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
@@ -6168,7 +6170,8 @@ def synthetic_mp4_avc_assets(spark, n: int = 6) -> DataFrame:
             _cross_format_base_pixels((i + f) % 6) for f in range(n_frames)
         ]
         payload = _mp4_avc_build(
-            frames, qp=16 + (i * 7) % 24, fps=24 + i, deblock=bool(i % 2)
+            frames, qp=16 + (i * 7) % 24, fps=24 + i, deblock=bool(i % 2),
+            slices=1 + (i % 2),
         )
         rows.append((i, "video", payload, "video/mp4", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA

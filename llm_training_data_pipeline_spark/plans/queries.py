@@ -273,6 +273,12 @@ _CHANGED_IN_ROUND.update(
         "pq_topk_reranked": 13,
         "gif_frame_stats": 13,
         "audio_decode_stats": 13,
+        # r13 third wave: the cross-format battery's TIFF leg now
+        # alternates PackBits strips / LZW+predictor 16x16 tiles, so
+        # tiff_pixel_stats values and image_near_dup payload digests
+        # shift (row counts unchanged, rows-only checks)
+        "tiff_pixel_stats": 13,
+        "image_near_dup": 13,
     }
 )
 

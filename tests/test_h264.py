@@ -222,6 +222,100 @@ def test_deblocking_filter_pins_bit_exactly():
     assert np.array_equal(cb[:17, :11], recons[0][1])
 
 
+def test_multi_slice_pictures_pin_bit_exactly():
+    """r13 third wave: pictures spanning multiple I-slices. Slice
+    independence is normative — prediction, CAVLC contexts and the
+    intra-4x4 mode predictor must not cross slice boundaries — so a
+    2-slice encode of the same frame DIFFERS from the 1-slice encode,
+    yet each decodes bit-exactly to its own encoder reconstruction;
+    idc 2 (filter on, slice boundaries unfiltered) differs from idc 0
+    and pins exactly; slice gaps reject; the MP4 mux packs all slices
+    of a picture into ONE sample."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    outs = {}
+    for n_sl in (1, 2, 3, 9):
+        stream, recons = h264._h264_build(
+            [img, np.roll(img, 4, 1)], qp=30, return_recon=True,
+            deblock=True, slices=n_sl,
+        )
+        nals = h264._split_nals(stream)
+        sps = h264._parse_sps(nals[0][2])
+        pps = h264._parse_pps(nals[1][2])
+        slice_rbsps = [rb for t, _r, rb in nals if t == 5]
+        assert len(slice_rbsps) == 2 * n_sl
+        for fi in range(2):
+            got = h264._decode_idr_picture(
+                slice_rbsps[fi * n_sl : (fi + 1) * n_sl], {0: sps}, {0: pps}
+            )
+            assert got is not None, n_sl
+            y, cb, cr, _sps = got
+            assert np.array_equal(y[:48, :48], recons[fi][0]), n_sl
+            assert np.array_equal(cb[:24, :24], recons[fi][1]), n_sl
+        outs[n_sl] = h264._h264_frames(stream)[0][3]
+        if n_sl > 1:
+            # a picture missing its tail slice rejects (not covered)
+            assert h264._decode_idr_picture(
+                slice_rbsps[:n_sl - 1], {0: sps}, {0: pps}
+            ) is None
+            assert h264._decode_idr_picture(
+                slice_rbsps[1:n_sl], {0: sps}, {0: pps}
+            ) is None  # first slice must start at MB 0
+    # boundary independence is observable: outputs differ by slicing
+    assert outs[1] != outs[3]
+    # idc 2 leaves slice-boundary edges unfiltered — differs from idc 0
+    s0 = h264._h264_frames(
+        h264._h264_build([img], qp=32, deblock=True, slices=3)
+    )[0][3]
+    s2, r2 = h264._h264_build(
+        [img], qp=32, return_recon=True, deblock=True, slices=3, idc2=True
+    )
+    fr2 = h264._h264_frames(s2)
+    assert fr2[0][3] != s0
+    nals = h264._split_nals(s2)
+    sps = h264._parse_sps(nals[0][2])
+    pps = h264._parse_pps(nals[1][2])
+    y, cb, cr, _ = h264._decode_idr_picture(
+        [rb for t, _r, rb in nals if t == 5], {0: sps}, {0: pps}
+    )
+    assert np.array_equal(y[:48, :48], r2[0][0])
+    # MP4: multi-slice pictures = one sample each, identical pixels
+    mp4 = h264._mp4_avc_build(
+        [img, img[::-1].copy()], qp=26, deblock=True, slices=3
+    )
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _mp4_frame_count,
+    )
+
+    assert _mp4_frame_count(mp4) == 2
+    ann = h264._h264_frames(
+        h264._h264_build([img, img[::-1].copy()], qp=26, deblock=True,
+                         slices=3)
+    )
+    assert h264._mp4_h264_frames(mp4) == ann
+    # fuzz the multi-slice parse paths
+    base = h264._h264_build([img], qp=30, deblock=True, slices=3, idc2=True)
+    rnd = random.Random(6)
+    for _ in range(1200):
+        b = bytearray(base)
+        op = rnd.randrange(3)
+        if op == 0:
+            for _ in range(rnd.randrange(1, 4)):
+                i = rnd.randrange(len(b))
+                b[i] ^= 1 << rnd.randrange(8)
+        elif op == 1:
+            b = b[: rnd.randrange(1, len(b))]
+        else:
+            i = rnd.randrange(len(b))
+            b[i:i] = bytes(
+                rnd.randrange(256) for _ in range(rnd.randrange(1, 8))
+            )
+        out = h264._h264_frames(bytes(b))
+        if out is not None:
+            for _i, w, h, px in out:
+                assert len(px) == w * h * 3
+
+
 def test_frame_api_crop_every_n_and_max_frames():
     """_h264_frames returns display-size RGB honoring the SPS crop;
     every_n decodes only the selected IDRs (identical pixels to the
