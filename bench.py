@@ -665,7 +665,16 @@ def main() -> None:
     # also echoed to stderr for interactive runs.
     repo = repo_dir
     result["loadavg"] = loadavg
-    detail_path = os.path.join(repo, "artifacts", "bench_full.json")
+    # Subset runs (--queries) must NEVER clobber the committed full-run
+    # artifact: it is the guard's prior (a 1-query overwrite at HEAD
+    # disarms the contention guard for the next full pass — exactly
+    # what happened between the r13 closing run and its re-run) and the
+    # judge's round record. They get their own scratch file.
+    full_run = args.queries == ",".join(HEADLINE)
+    detail_path = os.path.join(
+        repo, "artifacts",
+        "bench_full.json" if full_run else "bench_partial.json",
+    )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
         with open(detail_path, "w") as fh:

@@ -510,6 +510,34 @@ def _mp4_frame_count(payload: bytes) -> int:
     return walk(0, len(payload))
 
 
+_VIDEO_FOURCCS = frozenset(
+    (b"avc1", b"avc3", b"hvc1", b"hev1", b"mp4v", b"vp08", b"vp09",
+     b"av01", b"s263", b"mjpa", b"jpeg")
+)
+
+
+def _mp4_video_codec(payload: bytes):
+    """(codec fourcc, width, height) of the first video sample entry
+    (stsd walk; VisualSampleEntry fixed layout) or None — real box
+    parsing, no codec work (r13)."""
+    def walk(start: int, end: int):
+        for btype, ps, pe in _iter_boxes(payload, start, end):
+            if btype == b"stsd" and pe - ps >= 8:
+                for etype, es, ee in _iter_boxes(payload, ps + 8, pe):
+                    if etype in _VIDEO_FOURCCS and ee - es >= 28:
+                        w, h = _struct.unpack(">HH", payload[es + 24 : es + 28])
+                        return etype.decode("ascii"), w, h
+            elif btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                got = walk(ps, pe)
+                if got:
+                    return got
+        return None
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    return walk(0, len(payload))
+
+
 VIDEO_META_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
@@ -518,6 +546,9 @@ VIDEO_META_SCHEMA = StructType(
         StructField("timescale", IntegerType()),
         StructField("duration_s", FloatType()),
         StructField("n_tracks", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("track_width", IntegerType()),
+        StructField("track_height", IntegerType()),
         StructField("n_bytes", LongType()),
     ]
 )
@@ -527,10 +558,13 @@ def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Header-only video container metadata (ISO-BMFF / MP4) over Arrow
     batches — the video counterpart of ``decode_image_meta`` /
     ``decode_audio_meta``: ftyp brand, mvhd timescale + duration, track
-    count. Non-MP4 payloads yield NULL fields. Frame/pixel work stays
-    behind the ``sample_frames`` capability gate (codecs absent); the
-    container walk itself is real and dependency-free. Same 100 TB
-    shape: payloads never leave the executors."""
+    count, plus the first video track's sample-entry codec fourcc and
+    coded dims (stsd walk, r13 — this is how a 100-TB video corpus
+    routes payloads: avc1-intra to the REAL sample_mp4_frames path,
+    everything else to the honest stub). Non-MP4 payloads yield NULL
+    fields; frame/pixel work lives in sample_mp4_frames /
+    sample_frames_stub. Same 100 TB shape: payloads never leave the
+    executors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -541,17 +575,30 @@ def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 "timescale": [],
                 "duration_s": [],
                 "n_tracks": [],
+                "codec": [],
+                "track_width": [],
+                "track_height": [],
                 "n_bytes": [],
             }
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
                 meta = _mp4_meta(b)
+                try:
+                    codec = _mp4_video_codec(b)
+                except Exception:
+                    codec = None
                 out["brand"].append(meta[0] if meta else None)
                 out["timescale"].append(meta[1] if meta else None)
                 out["duration_s"].append(meta[2] if meta else None)
                 out["n_tracks"].append(meta[3] if meta else None)
+                out["codec"].append(codec[0] if codec else None)
+                out["track_width"].append(codec[1] if codec else None)
+                out["track_height"].append(codec[2] if codec else None)
                 out["n_bytes"].append(len(b))
-            yield pd.DataFrame(out)
+            out = pd.DataFrame(out)
+            for c in ("track_width", "track_height"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
     return df.mapInPandas(run, schema=VIDEO_META_SCHEMA)
 

@@ -279,6 +279,9 @@ _CHANGED_IN_ROUND.update(
         # shift (row counts unchanged, rows-only checks)
         "tiff_pixel_stats": 13,
         "image_near_dup": 13,
+        # r13 third wave: multimodal_video_meta gains codec/dims
+        # columns + 4 real avc1 rows (schema and count both change)
+        "multimodal_video_meta": 13,
     }
 )
 
@@ -2711,15 +2714,25 @@ def q_multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_video_meta", None)
 def q_multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video counterpart: ISO-BMFF/MP4 container box-walk (ftyp brand,
-    mvhd timescale + duration in both version layouts, trak count) over
-    Arrow batches — real stdlib parsing, deterministic fixture,
+    mvhd timescale + duration in both version layouts, trak count,
+    plus the stsd codec fourcc + coded dims, r13) over Arrow batches —
+    real stdlib parsing over the header-only fixture (NULL codec) AND
+    real muxed avc1 clips (codec='avc1', dims from the sample entry);
     rows-only check (binary payloads are not SQL-expressible)."""
+    import pyspark.sql.functions as _F
+
     from llm_training_data_pipeline_spark.operators.multimodal import (
         decode_video_meta,
+        synthetic_mp4_avc_assets,
         synthetic_video_assets,
     )
 
-    return decode_video_meta(synthetic_video_assets(spark, 64))
+    assets = synthetic_video_assets(spark, 64).unionByName(
+        synthetic_mp4_avc_assets(spark, n=4).withColumn(
+            "asset_id", _F.col("asset_id") + 100
+        )
+    )
+    return decode_video_meta(assets).orderBy("asset_id")
 
 
 @register("vocab_stats", oracle.vocab_stats_sql())

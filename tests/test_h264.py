@@ -475,6 +475,31 @@ def test_mp4_avc_demux_matches_annexb_path():
                 assert len(px) == w * h * 3
 
 
+def test_video_meta_reports_avc_codec_and_dims(spark):
+    """decode_video_meta's r13 stsd walk: muxed avc1 clips report
+    codec='avc1' with the sample-entry dims; header-only stub MP4s
+    (no stbl) keep NULL codec fields."""
+    import pyspark.sql.functions as F
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        decode_video_meta,
+        synthetic_mp4_avc_assets,
+        synthetic_video_assets,
+    )
+
+    assets = synthetic_video_assets(spark, 4).unionByName(
+        synthetic_mp4_avc_assets(spark, n=3).withColumn(
+            "asset_id", F.col("asset_id") + 100
+        )
+    )
+    rows = {r["asset_id"]: r for r in decode_video_meta(assets).collect()}
+    for i in range(4):
+        assert rows[i]["codec"] is None and rows[i]["track_width"] is None
+    for i in (100, 101, 102):
+        assert rows[i]["codec"] == "avc1"
+        assert (rows[i]["track_width"], rows[i]["track_height"]) == (48, 32)
+
+
 def test_sample_mp4_frames_spark_surface(spark):
     """The REAL MP4 path through mapInPandas: avc1-intra clips decode
     (is_stub false), a non-AVC MP4 and a corrupt payload are omitted
