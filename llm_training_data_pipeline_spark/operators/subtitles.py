@@ -1,4 +1,5 @@
-"""Subtitle/caption text extraction (SRT, WebVTT) — engine extension.
+"""Subtitle/caption text extraction (SRT, WebVTT, ASS/SSA) — engine
+extension.
 
 Video-corpus pipelines mine most of their TEXT from caption sidecars;
 this module turns subtitle documents into per-cue rows with integer
@@ -136,3 +137,132 @@ def render_srt(
             )
         )
     return df.select(id_col, F.concat_ws("\n\n", *cues).alias("srt"))
+
+
+# ---------------------------------------------------------------------------
+# ASS/SSA (Advanced SubStation Alpha) — the third caption format:
+# line-oriented `Dialogue:` events with H:MM:SS.cc centisecond
+# timestamps and a 10th comma field carrying the text (which may
+# itself contain commas and {\...} style-override blocks)
+# ---------------------------------------------------------------------------
+
+# start, end, then six skipped fields (style/name/margins/effect), text
+_ASS_DIALOGUE = (
+    r"^Dialogue:\s*[^,]*,(\d+):(\d{2}):(\d{2})[.,](\d{2}),"
+    r"(\d+):(\d{2}):(\d{2})[.,](\d{2}),(?:[^,]*,){6}(.*)$"
+)
+
+
+def ass_dialogue_cues(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse ASS/SSA subtitle documents into one row per Dialogue
+    event (native columns only, like ``subtitle_cues``).
+
+    Output: (doc_id, cue_index [1-based, file order], start_ms,
+    end_ms, duration_ms, cue_text [raw], cue_plain [style-override
+    ``{...}`` blocks stripped, ``\\N``/``\\n`` soft breaks flattened
+    to spaces], cue_chars [of cue_plain]). Non-Dialogue lines
+    (headers, Format:, Comment:, styles) are dropped. Timestamps are
+    centisecond-precision per the format — *_ms values are exact
+    multiples of 10."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias(
+            "_pos", "_line"
+        ),
+    ).filter(F.regexp_extract("_line", _ASS_DIALOGUE, 0) != "")
+
+    def g(i):
+        return F.regexp_extract("_line", _ASS_DIALOGUE, i)
+
+    def ms(h, m, s, cs):
+        return (
+            (g(h).cast("long") * 3600 + g(m).cast("long") * 60
+             + g(s).cast("long")) * 1000 + g(cs).cast("long") * 10
+        )
+
+    raw = F.regexp_extract("_line", _ASS_DIALOGUE, 9)
+    plain = F.regexp_replace(
+        F.regexp_replace(raw, r"\{[^}]*\}", ""), r"\\[Nnh]", " "
+    )
+    parsed = lines.select(
+        id_col,
+        "_pos",
+        ms(1, 2, 3, 4).alias("start_ms"),
+        ms(5, 6, 7, 8).alias("end_ms"),
+        raw.alias("cue_text"),
+        plain.alias("cue_plain"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        parsed.withColumn("cue_index", F.row_number().over(w))
+        .select(
+            id_col,
+            "cue_index",
+            "start_ms",
+            "end_ms",
+            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+            "cue_text",
+            "cue_plain",
+            F.length("cue_plain").cast("long").alias("cue_chars"),
+        )
+    )
+
+
+def render_ass(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_cues: int = 3,
+) -> DataFrame:
+    """Deterministic ASS renderer (native columns): a Script Info +
+    Events header, then ``n_cues`` Dialogue lines per document whose
+    timestamps derive from the doc id and whose text is a flattened
+    slice of the document text wearing a ``{\\\\b1}`` style block and a
+    ``\\\\N`` soft break — the forward direction the parse query is
+    value-checked against (the oracle replays BOTH directions)."""
+    did = F.col(id_col)
+
+    def fmt(ms):
+        return F.format_string(
+            "%d:%02d:%02d.%02d",
+            F.floor(ms / 3600000).cast("long"),
+            F.floor(ms / 60000).cast("long") % 60,
+            F.floor(ms / 1000).cast("long") % 60,
+            F.floor(ms / 10).cast("long") % 100,
+        )
+
+    parts = [
+        F.lit(
+            "[Script Info]\nTitle: synthetic\n\n[Events]\n"
+            "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+            "MarginV, Effect, Text"
+        )
+    ]
+    for k in range(n_cues):
+        # centisecond grid: the format cannot express sub-cs times
+        start = (F.floor(((did % 863) * 977 + k * 1300) / 10) * 10).cast(
+            "long"
+        )
+        end = start + 1150 + (did % 7) * 10
+        body = F.concat(
+            F.lit(f"{{\\b1}}part {k}{{\\b0}}, "),
+            F.regexp_replace(
+                F.substring(F.col(text_col), 1 + 50 * k, 40),
+                r"[\r\n,]+",
+                " ",
+            ),
+            F.lit("\\Ntail"),
+        )
+        parts.append(
+            F.concat(
+                F.lit(f"Dialogue: 0,"),
+                fmt(start),
+                F.lit(","),
+                fmt(end),
+                F.lit(f",Default,,0,0,0,,"),
+                body,
+            )
+        )
+    return df.select(id_col, F.concat_ws("\n", *parts).alias("ass"))

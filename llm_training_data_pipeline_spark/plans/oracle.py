@@ -6644,3 +6644,86 @@ def subtitle_cues_sql(n_cues: int = 3) -> str:
                CAST(length(cue_text) AS BIGINT) AS cue_chars
         FROM cues
     """
+
+
+def ass_cues_sql(n_cues: int = 3) -> str:
+    """Mirror of subtitles.render_ass + subtitles.ass_dialogue_cues:
+    Script Info/Events header + Dialogue lines with H:MM:SS.cc
+    centisecond timestamps on a 10 ms grid, then the line-oriented
+    parse (the SAME _ASS_DIALOGUE regex constant — it is the format,
+    like the sentence sentinel), {...} override stripping and
+    soft-break flattening, per-doc file-order row_number."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        _ASS_DIALOGUE,
+    )
+
+    header = (
+        "[Script Info]" "' || chr(10) || '" "Title: synthetic"
+        "' || chr(10) || chr(10) || '" "[Events]" "' || chr(10) || '"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+        "MarginV, Effect, Text"
+    )
+    fmt = (
+        "printf('%d:%02d:%02d.%02d', {ms} // 3600000, "
+        "({ms} // 60000) % 60, ({ms} // 1000) % 60, ({ms} // 10) % 100)"
+    )
+    cue_exprs = [f"'{header}'"]
+    for k in range(n_cues):
+        start = f"((((doc_id % 863) * 977 + {k * 1300}) // 10) * 10)"
+        end = f"({start} + 1150 + (doc_id % 7) * 10)"
+        body = (
+            f"'{{\\b1}}part {k}{{\\b0}}, ' || "
+            f"regexp_replace(substr(text, 1 + {50 * k}, 40), "
+            f"'[\\r\\n,]+', ' ', 'g') || '\\Ntail'"
+        )
+        cue_exprs.append(
+            f"'Dialogue: 0,' || {fmt.format(ms=start)} || ',' || "
+            f"{fmt.format(ms=end)} || ',Default,,0,0,0,,' || {body}"
+        )
+    ass = (" || chr(10) || ").join(cue_exprs)
+    dlg = _ASS_DIALOGUE.replace("'", "''")
+    ms1 = (
+        "(CAST(regexp_extract(line, '{re}', 1) AS BIGINT) * 3600 + "
+        "CAST(regexp_extract(line, '{re}', 2) AS BIGINT) * 60 + "
+        "CAST(regexp_extract(line, '{re}', 3) AS BIGINT)) * 1000 + "
+        "CAST(regexp_extract(line, '{re}', 4) AS BIGINT) * 10"
+    ).format(re=dlg)
+    ms2 = (
+        "(CAST(regexp_extract(line, '{re}', 5) AS BIGINT) * 3600 + "
+        "CAST(regexp_extract(line, '{re}', 6) AS BIGINT) * 60 + "
+        "CAST(regexp_extract(line, '{re}', 7) AS BIGINT)) * 1000 + "
+        "CAST(regexp_extract(line, '{re}', 8) AS BIGINT) * 10"
+    ).format(re=dlg)
+    return f"""
+        WITH rendered AS (
+          SELECT doc_id, {ass} AS ass FROM documents
+        ), lines AS (
+          SELECT doc_id,
+                 generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS line
+          FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(ass, '\\r?\\n') AS ls
+            FROM rendered
+          )
+        ), cues AS (
+          SELECT doc_id, pos,
+                 {ms1} AS start_ms,
+                 {ms2} AS end_ms,
+                 regexp_extract(line, '{dlg}', 9) AS cue_text
+          FROM lines
+          WHERE regexp_extract(line, '{dlg}', 0) <> ''
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS cue_index,
+               start_ms, end_ms,
+               end_ms - start_ms AS duration_ms,
+               cue_text,
+               regexp_replace(regexp_replace(cue_text, '\\{{[^}}]*\\}}', '',
+                 'g'), '\\\\[Nnh]', ' ', 'g') AS cue_plain,
+               CAST(length(regexp_replace(regexp_replace(cue_text,
+                 '\\{{[^}}]*\\}}', '', 'g'), '\\\\[Nnh]', ' ', 'g'))
+                 AS BIGINT) AS cue_chars
+        FROM cues
+    """

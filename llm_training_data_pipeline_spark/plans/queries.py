@@ -1965,6 +1965,27 @@ def q_subtitle_cues_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subtitle_cues(render_srt(docs, n_cues=3), text_col="srt")
 
 
+@register("ass_cues_parse", oracle.ass_cues_sql(n_cues=3))
+def q_ass_cues_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASS/SSA dialogue extraction (r13) — the third caption format
+    (the fansub standard): documents rendered to deterministic ASS
+    (Script Info + Events header, H:MM:SS.cc centisecond stamps on a
+    10 ms grid, {\\b1} override blocks and \\N soft breaks), parsed
+    back by the line-oriented native-column parser, override blocks
+    stripped and breaks flattened into cue_plain — every value incl.
+    raw and plain cue text hash-checked against the DuckDB replay of
+    BOTH directions (the shared _ASS_DIALOGUE regex is the format
+    constant). Zero Python; one per-document window
+    (operators/subtitles.py)."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        ass_dialogue_cues,
+        render_ass,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ass_dialogue_cues(render_ass(docs, n_cues=3), text_col="ass")
+
+
 @register("exif_meta_stats", None)
 def q_exif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF extraction (r13): JPEG APP1 / bare-TIFF IFD walk for

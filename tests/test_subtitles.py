@@ -111,3 +111,80 @@ def test_render_srt_round_trips_through_the_parser(spark):
                    for i, r in enumerate(sub))
     # newline flattening: the multi-line doc's cue text has no newline
     assert "\n" not in [r for r in rows if r["doc_id"] == 12][0]["cue_text"]
+
+
+ASS = (
+    "[Script Info]\n"
+    "Title: t\n"
+    "\n"
+    "[V4+ Styles]\n"
+    "Format: Name, Fontname\n"
+    "Style: Default,Arial\n"
+    "\n"
+    "[Events]\n"
+    "Format: Layer, Start, End, Style, Name, MarginL, MarginR, "
+    "MarginV, Effect, Text\n"
+    "Comment: 0,0:00:00.00,0:00:01.00,Default,,0,0,0,,dropped\n"
+    "Dialogue: 0,0:00:01.50,0:00:03.25,Default,,0,0,0,,"
+    "{\\b1}Bold{\\b0} and, with a comma\n"
+    "Dialogue: 1,1:02:03.04,1:02:04.99,Alt,speaker,10,10,10,fx,"
+    "line one\\Nline two\\hnb\n"
+)
+
+
+def test_ass_dialogue_parse(spark):
+    """ASS/SSA: Dialogue lines only (Comment:/Style:/headers dropped),
+    centisecond timestamps, text keeps embedded commas, cue_plain
+    strips {...} override blocks and flattens \\N / \\h soft breaks."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        ass_dialogue_cues,
+    )
+
+    df = spark.createDataFrame([(1, ASS)], "doc_id long, text string")
+    rows = {r["cue_index"]: r
+            for r in ass_dialogue_cues(df).orderBy("cue_index").collect()}
+    assert len(rows) == 2
+    assert (rows[1]["start_ms"], rows[1]["end_ms"]) == (1500, 3250)
+    assert rows[1]["cue_text"] == "{\\b1}Bold{\\b0} and, with a comma"
+    assert rows[1]["cue_plain"] == "Bold and, with a comma"
+    assert rows[2]["start_ms"] == 3723040 and rows[2]["end_ms"] == 3724990
+    assert rows[2]["cue_text"] == "line one\\Nline two\\hnb"
+    assert rows[2]["cue_plain"] == "line one line two nb"
+    assert rows[2]["cue_chars"] == len("line one line two nb")
+    # CRLF + garbage-only inputs
+    crlf = spark.createDataFrame(
+        [(2, ASS.replace("\n", "\r\n")), (3, "no events here")],
+        "doc_id long, text string",
+    )
+    got = ass_dialogue_cues(crlf).collect()
+    assert sorted(r["doc_id"] for r in got) == [2, 2]
+
+
+def test_render_ass_round_trips_through_the_parser(spark):
+    """Forward ASS render -> parse: cue count, 10 ms-grid monotone
+    timestamps, override stripping (the ⊕ query's shape)."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        ass_dialogue_cues,
+        render_ass,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "alpha, beta gamma " * 20), (12, "x\ny,z")],
+        "doc_id long, text string",
+    )
+    rows = (
+        ass_dialogue_cues(render_ass(docs, n_cues=3), text_col="ass")
+        .orderBy("doc_id", "cue_index")
+        .collect()
+    )
+    assert len(rows) == 6
+    for did in (7, 12):
+        sub = [r for r in rows if r["doc_id"] == did]
+        assert [r["cue_index"] for r in sub] == [1, 2, 3]
+        assert all(r["start_ms"] % 10 == 0 and r["end_ms"] % 10 == 0
+                   for r in sub)
+        assert all(a["end_ms"] < b["start_ms"] for a, b in zip(sub, sub[1:]))
+        assert all(r["cue_text"].startswith("{\\b1}part") for r in sub)
+        assert all(r["cue_plain"].startswith(f"part {i}, ")
+                   for i, r in enumerate(sub))
+        assert all("{" not in r["cue_plain"] for r in sub)
