@@ -294,7 +294,13 @@ def _banded_stream(
     """Shared prep for the stateful near-dup variants: normalize once
     (staged — char_shingles over a raw column re-runs the
     lowercase+collapse regex per gram inside the HOF lambda, r9),
-    HOF-path minhash signature, explode to (id, sig, band bucket)."""
+    HOF-path minhash signature, explode to (id, sig, band bucket).
+
+    Contract: the id column is ALWAYS emitted as ``doc_id`` regardless of
+    ``id_col`` — the stateful processors downstream (GroupState and
+    transformWithState variants) key on that fixed name, and the public
+    acceptance schema is ``(bucket, doc_id)`` (ADVICE r13: a custom
+    ``id_col`` used to KeyError inside the processor)."""
     from llm_training_data_pipeline_spark.functions.hashing import lsh_bands, minhash_signature
     from llm_training_data_pipeline_spark.functions.text import char_shingles
 
@@ -308,11 +314,11 @@ def _banded_stream(
         ),
     ).drop("_norm")
     return sig.select(
-        F.col(id_col),
+        F.col(id_col).alias("doc_id"),
         F.col("minhash_sig"),
         F.explode(lsh_bands(F.col("minhash_sig"), cfg.num_bands, cfg.rows_per_band)).alias("band"),
     ).select(
-        F.col(id_col),
+        F.col("doc_id"),
         F.col("minhash_sig"),
         F.xxhash64(F.col("band.band_id"), F.col("band.band_sig")).alias("bucket"),
     )

@@ -108,6 +108,37 @@ def test_streaming_minhash_dedup(spark, tmp_path, doc_rows):
     assert unique == {1, 3}
 
 
+def test_streaming_minhash_dedup_custom_id_col(spark, tmp_path, doc_rows):
+    """ADVICE r13: a non-default id_col used to KeyError inside the stateful
+    processor (it reads pdf['doc_id']); _banded_stream now normalizes the id
+    column to doc_id, so any id_col works and the acceptance schema is the
+    documented fixed (bucket, doc_id)."""
+    src = str(tmp_path / "src_idcol")
+    renamed = [{"page_id": r[0], "text": r[1]} for r in doc_rows]
+    spark.createDataFrame(
+        renamed, "page_id long, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("page_id long, text string").parquet(src)
+    cfg = MinHashConfig(num_perm=32, threshold=0.8, shingle_size=5, num_bands=8)
+    accepted = streaming_minhash_dedup(stream, id_col="page_id", cfg=cfg)
+    q = (
+        accepted.writeStream.format("memory")
+        .queryName("t_minhash_idcol")
+        .outputMode("append")
+        .start()
+    )
+    _run_to_completion(q)
+    per_doc = {}
+    for r in spark.sql("SELECT bucket, doc_id FROM t_minhash_idcol").collect():
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    # docs 1/2/4 are near-dups: exactly one (first arrival per bucket) wins
+    # all 8 bands, the others none; unrelated doc 3 wins everywhere
+    dup_winners = [d for d in (1, 2, 4) if per_doc.get(d, 0) == 8]
+    assert len(dup_winners) == 1
+    assert sum(per_doc.get(d, 0) for d in (1, 2, 4)) == 8
+    assert per_doc.get(3, 0) == 8
+
+
 def test_streaming_minhash_dedup_sharded_matches_per_bucket(
     spark, tmp_path, doc_rows
 ):
