@@ -2035,13 +2035,205 @@ def _packbits_decode(data: bytes, max_out: int):
     return bytes(out[:max_out])
 
 
+def _lzw_width_schedule(base_size: int, start_width: int, early_change: bool):
+    """Per-code code-width schedule for one clear-to-clear LZW run.
+
+    The decoder's table grows by EXACTLY one entry per code consumed
+    (except the first code after a clear, which appends nothing), so
+    the width used to read the k-th code since the last clear is a
+    pure function of k — the insight that lets code extraction be
+    vectorized (the r13 LUT-Huffman precedent, VERDICT r13 #5): widths
+    are deterministic until a CLEAR appears in the already-extracted
+    batch, at which point the schedule restarts at position 0.
+
+    ``early_change`` selects the TIFF trigger (table size reaches
+    2^w - 2, TIFF 6.0 §13) vs GIF's (table size reaches 2^w exactly).
+    Returns an int64 array long enough that its last element is the
+    cap width 12 — positions past the end stay 12 until a clear.
+    """
+    import numpy as np
+
+    widths = []
+    size, width = base_size, start_width
+    k = 0
+    while width < 12:
+        widths.append(width)
+        if k >= 1:  # first code after clear appends nothing
+            size += 1
+            if early_change:
+                if size >= (1 << width) - 2 and width < 12:
+                    width += 1
+            else:
+                if size == (1 << width) and width < 12:
+                    width += 1
+        k += 1
+    widths.append(12)
+    return np.array(widths, dtype=np.int64)
+
+
+_LZW_SCHED_CACHE: dict = {}
+
+
+def _lzw_sched(base_size: int, start_width: int, early_change: bool):
+    key = (base_size, start_width, early_change)
+    s = _LZW_SCHED_CACHE.get(key)
+    if s is None:
+        s = _LZW_SCHED_CACHE[key] = _lzw_width_schedule(
+            base_size, start_width, early_change
+        )
+    return s
+
+
+def _lzw_extract(d, bitpos: int, nbits_total: int, sched, sched_pos: int,
+                 msb: bool, batch: int = 8192):
+    """Vectorized extraction of up to ``batch`` codes starting at bit
+    ``bitpos``, widths following ``sched`` from ``sched_pos`` (constant
+    12 past its end). ``d`` is the payload as an int64 ndarray padded
+    with 2 trailing zero bytes. Returns (codes int64 ndarray, widths
+    int64 ndarray) clipped to the codes that fit in the data."""
+    import numpy as np
+
+    tail = sched[sched_pos:sched_pos + batch]
+    if len(tail) < batch:
+        widths = np.full(batch, 12, dtype=np.int64)
+        widths[: len(tail)] = tail
+    else:
+        widths = tail
+    ends = bitpos + np.cumsum(widths)
+    k = int(np.searchsorted(ends, nbits_total, side="right"))
+    if k == 0:
+        return None, None
+    widths = widths[:k]
+    offs = ends[:k] - widths
+    byte_i = offs >> 3
+    if msb:
+        chunk = (d[byte_i] << 16) | (d[byte_i + 1] << 8) | d[byte_i + 2]
+        codes = (chunk >> (24 - (offs & 7) - widths)) & ((1 << widths) - 1)
+    else:
+        chunk = d[byte_i] | (d[byte_i + 1] << 8) | (d[byte_i + 2] << 16)
+        codes = (chunk >> (offs & 7)) & ((1 << widths) - 1)
+    return codes, widths
+
+
+def _lzw_emit(codes, out: bytearray, t_src: list, t_len: list,
+              prev_src: int, prev_len: int, lit_max: int, base: int,
+              max_out: int):
+    """Sequential half of the vectorized LZW decode: resolve one batch
+    of (non-special) codes against the string table and append their
+    strings to ``out``.
+
+    The table stores NO byte strings — entry ``base + i`` is the pair
+    ``(t_src[i], t_len[i])``: a slice of ``out`` itself. That works
+    because each appended entry is (previous emission) + (first byte of
+    the emission that immediately follows it), and emissions are
+    contiguous in ``out`` — so the entry's bytes already sit at
+    ``out[prev_src : prev_src + prev_len + 1]`` by the time any later
+    code can reference them. No per-code bytes construction, no
+    quadratic accumulator (the old per-code reader's unmasked ``acc``
+    grew into a multi-megabit Python int — the real r13
+    tiff_pixel_stats cost).
+
+    Returns (prev_src, prev_len, status) where status is "ok",
+    "error", or "full" (max_out reached)."""
+    n_app = len(t_src)
+    for code in codes:
+        if code < lit_max:
+            e_src = len(out)
+            e_len = 1
+            out.append(code)
+        else:
+            idx = code - base
+            if 0 <= idx < n_app:
+                s = t_src[idx]
+                l = t_len[idx]
+                e_src = len(out)
+                e_len = l
+                out += out[s:s + l]
+            elif idx == n_app and prev_src >= 0:
+                # KwKwK: entry = prev + prev[0]
+                e_src = len(out)
+                e_len = prev_len + 1
+                out += out[prev_src:prev_src + prev_len]
+                out.append(out[prev_src])
+            else:
+                return prev_src, prev_len, "error"
+        if prev_src >= 0:
+            t_src.append(prev_src)
+            t_len.append(prev_len + 1)
+            n_app += 1
+        prev_src, prev_len = e_src, e_len
+        if 0 <= max_out <= len(out):
+            return prev_src, prev_len, "full"
+    return prev_src, prev_len, "ok"
+
+
 def _tiff_lzw_decode(data: bytes, max_out: int):
     """TIFF-variant LZW decode (TIFF 6.0 §13) → bytes or None: MSB-first
     bit packing (GIF is LSB-first), codes start at 9 bits, ClearCode
     256 / EOI 257, and the EARLY-CHANGE convention — the code width
     grows one code earlier than GIF (when the next assignable code is
     2^width - 1). Output is capped at ``max_out`` (decode-bomb guard,
-    same contract as ``_gif_lzw_decode``)."""
+    same contract as ``_gif_lzw_decode``).
+
+    Vectorized (r14): code widths since a clear are deterministic, so
+    codes are extracted in numpy batches (``_lzw_extract``) and only the
+    table walk is a Python loop over plain ints (``_lzw_emit``) — the
+    string table is (offset, length) slices of the output buffer.
+    Bit-identical to ``_tiff_lzw_decode_ref`` (parity-fuzzed)."""
+    import numpy as np
+
+    CLEAR, EOI = 256, 257
+    if max_out <= 0:
+        return b""
+    d = np.frombuffer(data + b"\x00\x00", np.uint8).astype(np.int64)
+    nbits_total = len(data) * 8
+    sched = _lzw_sched(258, 9, early_change=True)
+    out = bytearray()
+    t_src: list = []
+    t_len: list = []
+    prev_src = prev_len = -1
+    bitpos = 0
+    sched_pos = 0
+    while len(out) < max_out:
+        codes, widths = _lzw_extract(d, bitpos, nbits_total, sched, sched_pos, msb=True)
+        if codes is None:
+            return None  # ran out before EOI
+        specials = np.flatnonzero((codes == CLEAR) | (codes == EOI))
+        special_j = int(specials[0]) if len(specials) else -1
+        if special_j < 0:
+            prev_src, prev_len, st = _lzw_emit(
+                codes.tolist(), out, t_src, t_len, prev_src, prev_len,
+                256, 258, max_out,
+            )
+            if st == "error":
+                return None
+            bitpos += int(widths.sum())
+            sched_pos += len(codes)
+            continue
+        prev_src, prev_len, st = _lzw_emit(
+            codes[:special_j].tolist(), out, t_src, t_len, prev_src, prev_len,
+            256, 258, max_out,
+        )
+        if st == "error":
+            return None
+        bitpos += int(widths[: special_j + 1].sum())
+        if st == "full":
+            break
+        if codes[special_j] == EOI:
+            break
+        # CLEAR: reset table and width schedule
+        t_src.clear()
+        t_len.clear()
+        prev_src = prev_len = -1
+        sched_pos = 0
+    return bytes(out[:max_out])
+
+
+def _tiff_lzw_decode_ref(data: bytes, max_out: int):
+    """Reference per-code TIFF-LZW decoder (the pre-r14 loop, kept for
+    parity fuzzing against the vectorized ``_tiff_lzw_decode``; the
+    accumulator is masked here — the original's unmasked ``acc`` grew
+    quadratically). Not used in the decode path."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -2061,7 +2253,7 @@ def _tiff_lzw_decode(data: bytes, max_out: int):
         while nbits < width:
             if pos >= n:
                 return None  # ran out before EOI
-            acc = (acc << 8) | data[pos]
+            acc = ((acc << 8) | data[pos]) & 0xFFFFFFFF
             nbits += 8
             pos += 1
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
@@ -2108,6 +2300,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 255)
             nbits -= 8
+        acc &= (1 << nbits) - 1  # unmasked acc grows quadratically (r14)
 
     CLEAR, EOI = 256, 257
     table = {bytes((i,)): i for i in range(256)}
@@ -3502,8 +3695,67 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_out: int = -1):
     sequence. ``max_out`` >= 0 stops once that many indices exist —
     the caller knows w*h, so a crafted max-expansion stream can't
     materialize more than one frame of output (decode-bomb guard).
-    Pure Python — the table ops are per-CODE, not per-pixel (each code
-    emits a whole string), so cost is O(compressed size)."""
+
+    Vectorized (r14) like ``_tiff_lzw_decode``: numpy batch code
+    extraction over the deterministic width schedule + the
+    slice-table ``_lzw_emit`` kernel. Bit-identical to
+    ``_gif_lzw_decode_ref`` (parity-fuzzed)."""
+    import numpy as np
+
+    if not 2 <= min_code_size <= 8:  # GIF spec: <= 8 bits/pixel
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    d = np.frombuffer(data + b"\x00\x00", np.uint8).astype(np.int64)
+    nbits_total = len(data) * 8
+    sched = _lzw_sched(clear + 2, min_code_size + 1, early_change=False)
+    out = bytearray()
+    t_src: list = []
+    t_len: list = []
+    prev_src = prev_len = -1
+    bitpos = 0
+    sched_pos = 0
+    while True:
+        if 0 <= max_out <= len(out):
+            break
+        codes, widths = _lzw_extract(d, bitpos, nbits_total, sched, sched_pos, msb=False)
+        if codes is None:
+            break  # bits exhausted: GIF ends gracefully (no EOI required)
+        specials = np.flatnonzero((codes == clear) | (codes == end))
+        special_j = int(specials[0]) if len(specials) else -1
+        if special_j < 0:
+            prev_src, prev_len, st = _lzw_emit(
+                codes.tolist(), out, t_src, t_len, prev_src, prev_len,
+                clear, clear + 2, max_out,
+            )
+            if st == "error":
+                return None
+            bitpos += int(widths.sum())
+            sched_pos += len(codes)
+            if st == "full":
+                break
+            continue
+        prev_src, prev_len, st = _lzw_emit(
+            codes[:special_j].tolist(), out, t_src, t_len, prev_src, prev_len,
+            clear, clear + 2, max_out,
+        )
+        if st == "error":
+            return None
+        bitpos += int(widths[: special_j + 1].sum())
+        if st == "full" or codes[special_j] == end:
+            break
+        # CLEAR: reset table and width schedule
+        t_src.clear()
+        t_len.clear()
+        prev_src = prev_len = -1
+        sched_pos = 0
+    return bytes(out)
+
+
+def _gif_lzw_decode_ref(data: bytes, min_code_size: int, max_out: int = -1):
+    """Reference per-code GIF-LZW decoder (the pre-r14 loop, kept for
+    parity fuzzing against the vectorized ``_gif_lzw_decode``). Not
+    used in the decode path."""
     if not 2 <= min_code_size <= 8:  # GIF spec: <= 8 bits/pixel
         return None
     clear = 1 << min_code_size
