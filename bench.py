@@ -444,6 +444,46 @@ def _contention_suspects(
     return out
 
 
+def _quiet_verdict(
+    start: float, end: float, start_max: float = 1.5, end_max: float = 4.0
+) -> bool:
+    """The r14 closing-run criterion (VERDICT r13 #2): a headline pass is
+    trustworthy only if the box was quiet when it STARTED (start 1-min
+    loadavg < start_max — external load, the bench hasn't run yet) and
+    not drowned while it RAN (end loadavg < end_max; the pass's own
+    bursty local[32] work contributes, so the end bar is looser). The
+    per-row guard protects individual ratios against >2x cliffs; this
+    protects the headline TOTAL, whose r13 committed value carried ~17%
+    median inflation no single row tripped on."""
+    return start < start_max and end < end_max
+
+
+def _wait_for_quiet(
+    start_max: float,
+    deadline_secs: float,
+    poll_secs: float = 15.0,
+    load_fn=None,
+    sleep_fn=None,
+) -> float:
+    """Poll the 1-min loadavg until it drops below ``start_max`` or the
+    deadline passes; returns the last observed loadavg. Injectable
+    load/sleep for tests."""
+    load_fn = load_fn or (lambda: os.getloadavg()[0])
+    sleep_fn = sleep_fn or time.sleep
+    waited = 0.0
+    la = load_fn()
+    while la >= start_max and waited < deadline_secs:
+        print(
+            f"# --require-quiet: loadavg {la:.2f} >= {start_max}, waiting "
+            f"({waited:.0f}/{deadline_secs:.0f}s)",
+            file=sys.stderr,
+        )
+        sleep_fn(poll_secs)
+        waited += poll_secs
+        la = load_fn()
+    return la
+
+
 def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     ap = argparse.ArgumentParser()
@@ -468,6 +508,18 @@ def main() -> None:
         "<repo>/.testdata/sf1 (generated via tools/gen_scale.py if absent), "
         "'none' disables the large pass",
     )
+    ap.add_argument(
+        "--require-quiet",
+        action="store_true",
+        help="closing-run mode (VERDICT r13 #2): wait for start loadavg < "
+        "--quiet-start-max before the headline pass, re-run the pass once "
+        "if end loadavg >= --quiet-end-max, and exit non-zero (artifact "
+        "marked quiet:false) if the re-run is still contended — a "
+        "contended headline must not become the committed round record",
+    )
+    ap.add_argument("--quiet-start-max", type=float, default=1.5)
+    ap.add_argument("--quiet-end-max", type=float, default=4.0)
+    ap.add_argument("--quiet-wait-secs", type=float, default=600.0)
     args = ap.parse_args()
 
     from llm_training_data_pipeline_spark.plans.queries import registry
@@ -536,7 +588,28 @@ def main() -> None:
         loadavg[label].append(round(os.getloadavg()[0], 2))
         return timings
 
+    quiet_ok = None
+    if args.require_quiet:
+        _wait_for_quiet(args.quiet_start_max, args.quiet_wait_secs)
     timings = run_suite(args.sf_dir, f"sf{sf}", args.repeat)
+    if args.require_quiet:
+        start_la, end_la = loadavg[f"sf{sf}"][0], loadavg[f"sf{sf}"][-1]
+        quiet_ok = _quiet_verdict(
+            start_la, end_la, args.quiet_start_max, args.quiet_end_max
+        )
+        if not quiet_ok:
+            print(
+                f"# --require-quiet: headline pass contended (start {start_la}, "
+                f"end {end_la}); waiting and re-running the FULL pass",
+                file=sys.stderr,
+            )
+            _wait_for_quiet(args.quiet_start_max, args.quiet_wait_secs)
+            retry_label = f"sf{sf}-quietretry"
+            timings = run_suite(args.sf_dir, retry_label, args.repeat)
+            start_la, end_la = loadavg[retry_label][0], loadavg[retry_label][-1]
+            quiet_ok = _quiet_verdict(
+                start_la, end_la, args.quiet_start_max, args.quiet_end_max
+            )
 
     scale_dir = args.scale_dir
     if scale_dir == "auto":
@@ -666,6 +739,12 @@ def main() -> None:
     # also echoed to stderr for interactive runs.
     repo = repo_dir
     result["loadavg"] = loadavg
+    if quiet_ok is not None:
+        result["quiet"] = quiet_ok
+        result["quiet_criterion"] = {
+            "start_max": args.quiet_start_max,
+            "end_max": args.quiet_end_max,
+        }
     # Subset runs (--queries) must NEVER clobber the committed full-run
     # artifact: it is the guard's prior (a 1-query overwrite at HEAD
     # disarms the contention guard for the next full pass — exactly
@@ -709,9 +788,15 @@ def main() -> None:
         # BENCH_r{N}.json alone must see that a large-pass ratio tripped
         # the >2x-prior guard and was re-measured
         summary["contention_reruns"] = sorted(result["contention_reruns"])
+    if quiet_ok is not None:
+        summary["quiet"] = quiet_ok
     line = json.dumps(summary)
     assert len(line) <= 1024, f"summary line {len(line)}B exceeds 1 KB budget"
     print(line)
+    if quiet_ok is False:
+        # refuse-to-commit signal: the artifact says quiet:false and the
+        # exit code makes a closing script stop before `git add`
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,33 @@ def test_large_subset_is_subset_of_headline_or_registry():
     assert not missing
     missing_h = [n for n in bench.HEADLINE if n not in reg]
     assert not missing_h
+
+
+def test_quiet_verdict_criterion():
+    """r14 (VERDICT r13 #2): the committed closing headline is binding
+    only when the pass started on a quiet box (start < 1.5) and did not
+    end drowned (end < 4.0 — the pass's own local[32] work contributes,
+    hence the looser end bar)."""
+    assert bench._quiet_verdict(0.04, 3.2)
+    assert bench._quiet_verdict(1.49, 3.99)
+    assert not bench._quiet_verdict(1.5, 0.1)   # started contended
+    assert not bench._quiet_verdict(0.1, 4.0)   # ended drowned
+    assert not bench._quiet_verdict(5.0, 6.0)
+    # thresholds are parameters, not constants
+    assert bench._quiet_verdict(2.0, 5.0, start_max=3.0, end_max=6.0)
+
+
+def test_wait_for_quiet_polls_until_quiet_or_deadline():
+    loads = iter([8.0, 4.0, 1.0])
+    slept = []
+    la = bench._wait_for_quiet(
+        1.5, deadline_secs=100, poll_secs=10,
+        load_fn=lambda: next(loads), sleep_fn=slept.append,
+    )
+    assert la == 1.0 and slept == [10, 10]
+    # deadline: gives up after budget is spent, returns last observation
+    la = bench._wait_for_quiet(
+        1.5, deadline_secs=25, poll_secs=10,
+        load_fn=lambda: 9.0, sleep_fn=lambda s: None,
+    )
+    assert la == 9.0
