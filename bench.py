@@ -86,6 +86,7 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "ngram_jaccard_lsh",
     "embedding_ann_pairs",
+    "embedding_ann_pairs_capped",
     "pipeline_e2e_exact",
     "boilerplate_ngrams",
     # round-6 additions (ann_recall_report is deliberately NOT here: it is
@@ -281,6 +282,7 @@ LARGE_SUBSET = [
     "cosine_topk",
     "ann_lsh_topk",
     "embedding_ann_pairs",
+    "embedding_ann_pairs_capped",
     "semdedup_pairs",
     "semdedup_pairs_scaled",
     "semdedup_incremental",

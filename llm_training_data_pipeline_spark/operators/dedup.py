@@ -960,6 +960,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     num_tables: int = 1,
     allow_cross_join: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
@@ -979,6 +980,20 @@ def embedding_near_dup_pairs(
     the oracle-parity anchor). ``allow_cross_join=True`` restores the
     exhaustive all-pairs form for tiny inputs; without it, an unblocked
     call never plans a CartesianProduct.
+
+    ``max_bucket_size`` (VERDICT r13 #6 — the minhash band-cap
+    treatment): deterministically keep only the ``max_bucket_size``
+    smallest ids of each (table, bucket) before the self-join, bounding
+    every bucket's pair contribution at cap²/2. A dense embedding
+    region that lands 100k vectors in one bucket is quadratic there at
+    real scale; a vector trimmed from one table's hot bucket still
+    meets its near-twins in the other ``num_tables - 1`` tables (the
+    same OR-amplification that gives multi-table recall —
+    ``embedding_cap_recall`` measures exactly this). Rank-filter form
+    so Spark plans WindowGroupLimit (no single-task funnel on a hot
+    bucket; pinned in test_plan_shape). Only applies to the LSH-bucket
+    path (ignored under ``block_col``/``allow_cross_join``, which exist
+    for oracle parity on tiny inputs).
 
     Vectors are cast to DOUBLE before arithmetic so results are
     bit-stable across engines, and norms are STAGED per row before the
@@ -1025,6 +1040,19 @@ def embedding_near_dup_pairs(
                 F.col("_tb.t").alias("_t"),
                 F.col("_tb.b").alias("_bkt"),
             )
+        if max_bucket_size is not None:
+            if max_bucket_size < 2:
+                raise ValueError(
+                    f"max_bucket_size must be >= 2 (a 1-member bucket "
+                    f"emits no pairs): {max_bucket_size}"
+                )
+            part = ["_t", "_bkt"] if multi_table else ["_bkt"]
+            w = Window.partitionBy(*part).orderBy(F.col(id_col).asc())
+            vecs = (
+                vecs.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_bucket_size)
+                .drop("_rn")
+            )
     a, b = vecs.alias("a"), vecs.alias("b")
     if block_col:
         joined = a.join(b, on=[F.col(f"a.{block_col}") == F.col(f"b.{block_col}")])
@@ -1056,6 +1084,110 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return out.distinct() if multi_table else out
+
+
+def embedding_cap_recall(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    caps: tuple[int | None, ...] = (None, 32, 8),
+    *,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    num_tables: int = 4,
+) -> DataFrame:
+    """The (table, bucket) cap's recall/cost table for embedding LSH
+    pairs (VERDICT r13 #6 — the ``minhash_cap_recall`` twin): one row
+    per cap setting — candidate-pair volume next to recall against the
+    SAME exact-cosine ground truth, so the "how much pair volume does
+    capping hot buckets save, for how much recall" trade reads off one
+    hash-checked table.
+
+    Truth = every pair with rounded cosine >= threshold, via a
+    broadcast nested-loop join (the ``brute_force_topk`` shape, never a
+    CartesianProduct node). Unlike the minhash audit there is no
+    band/emit recall split: verification uses the SAME rounded cosine
+    as the truth, so a true pair among the candidates is always
+    emitted — ``n_caught`` counts both.
+    """
+    from llm_training_data_pipeline_spark.functions.vectors import dot_product, l2_norm
+
+    vecs = (
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .localCheckpoint(eager=True)
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = F.when(
+        (F.col("a._n") == 0) | (F.col("b._n") == 0), F.lit(0.0)
+    ).otherwise(
+        dot_product(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for cap in caps:
+        # threshold -2.0 keeps every bucket-join pair (cosine >= -1):
+        # one pass yields candidates AND, filtered, the emitted pairs
+        cand = embedding_near_dup_pairs(
+            df,
+            vec_col,
+            id_col,
+            threshold=-2.0,
+            num_planes=num_planes,
+            dim=dim,
+            seed=seed,
+            num_tables=num_tables,
+            max_bucket_size=cap,
+        ).localCheckpoint(eager=True)
+        tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        hits = truth.join(cand, on=["id_a", "id_b"], how="left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_caught")
+        )
+        row = (
+            tot.crossJoin(n_cand)
+            .crossJoin(hits)
+            .select(
+                F.lit("uncapped" if cap is None else f"cap{cap}").alias("method"),
+                F.lit(-1 if cap is None else cap).cast("int").alias(
+                    "max_bucket_size"
+                ),
+                "n_candidate_pairs",
+                "n_true_pairs",
+                "n_caught",
+                F.when(
+                    F.col("n_true_pairs") == 0, F.lit(None).cast("double")
+                )
+                .otherwise(
+                    F.round(
+                        F.col("n_caught") / F.col("n_true_pairs").cast("double"),
+                        4,
+                    )
+                )
+                .alias("recall"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out
 
 
 # --- incremental dedup against an existing corpus -------------------------

@@ -394,7 +394,84 @@ def ann_lsh_topk_sql(
     """
 
 
+def _embedding_tables_cte(num_planes: int, dim: int, seed: int, num_tables: int) -> str:
+    """Shared CTE prefix: normalized vectors + the per-table (t, bucket)
+    membership table ``m`` (one row per vector per LSH table, the same
+    exploded layout the Spark multi-table plan builds)."""
+    from llm_training_data_pipeline_spark.operators.similarity import table_seed
+
+    buckets = ", ".join(
+        f"{_hyperplane_bucket_expr(num_planes, dim, table_seed(seed, t))} AS b{t}"
+        for t in range(num_tables)
+    )
+    member = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS b FROM bk" for t in range(num_tables)
+    )
+    return f"""
+        v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+                 sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        ), bk AS (
+          SELECT vec_id, vec, nrm, {buckets} FROM v
+        ), m AS (
+          {member}
+        )"""
+
+
+def _embedding_capped_members(cap: int | None, name: str) -> str:
+    """CTE: per-(table, bucket) membership after the deterministic
+    min-id cap — row_number over (t, b) ordered by vec_id, the exact
+    keep rule of dedup.embedding_near_dup_pairs(max_bucket_size=...)."""
+    if cap is None:
+        return f"{name} AS (SELECT vec_id, t, b FROM m)"
+    return f"""{name} AS (
+          SELECT vec_id, t, b FROM (
+            SELECT vec_id, t, b,
+                   row_number() OVER (PARTITION BY t, b ORDER BY vec_id) AS rn
+            FROM m
+          ) WHERE rn <= {cap}
+        )"""
+
+
 def embedding_ann_pairs_sql(
+    threshold: float = 0.8,
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    num_tables: int = 1,
+    max_bucket_size: int | None = None,
+) -> str:
+    if max_bucket_size is not None:
+        # capped form (r14, VERDICT r13 #6): per-(table, bucket) min-id
+        # keep via row_number, pairs from the kept membership, DISTINCT
+        # collapse across tables, exact-cosine verify — the same plan
+        # shape the Spark side runs (WindowGroupLimit rank filter)
+        return f"""
+        WITH {_embedding_tables_cte(num_planes, dim, seed, num_tables)},
+        {_embedding_capped_members(max_bucket_size, "k")},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM k a JOIN k b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                     ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                            p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) AS cosine
+        FROM cand c
+        JOIN v a ON a.vec_id = c.id_a
+        JOIN v b ON b.vec_id = c.id_b
+        WHERE round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
+                           p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) >= {threshold}
+        """
+    return _embedding_ann_pairs_uncapped_sql(
+        threshold, num_planes, dim, seed, num_tables
+    )
+
+
+def _embedding_ann_pairs_uncapped_sql(
     threshold: float = 0.8,
     num_planes: int = 6,
     dim: int = 64,
@@ -458,6 +535,56 @@ def embedding_near_dup_sql(threshold: float = 0.95, block_col: str = "label") ->
                     ELSE list_sum(list_transform(list_zip(a.vec, b.vec),
                            p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6) >= {threshold}
     """
+
+
+def embedding_cap_recall_sql(
+    threshold: float = 0.3,
+    caps: tuple[int | None, ...] = (None, 32, 8),
+    num_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    num_tables: int = 4,
+) -> str:
+    """Mirror of dedup.embedding_cap_recall: per (table, bucket) cap,
+    candidate-pair volume + recall against ONE exact-cosine ground
+    truth. The cap replays as row_number over (t, b) ordered by
+    vec_id — the same deterministic min-id keep the Spark
+    WindowGroupLimit rank filter applies."""
+    cos = (
+        "round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0 "
+        "ELSE list_sum(list_transform(list_zip(a.vec, b.vec), "
+        "p -> p[1] * p[2])) / (a.nrm * b.nrm) END, 6)"
+    )
+    parts = [f"WITH {_embedding_tables_cte(num_planes, dim, seed, num_tables)}"]
+    parts.append(f""",
+        truth AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}
+        )""")
+    rows = []
+    for i, cap in enumerate(caps):
+        parts.append(",\n" + _embedding_capped_members(cap, f"k{i}"))
+        parts.append(f""",
+        cand{i} AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM k{i} a JOIN k{i} b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+        )""")
+        method = "uncapped" if cap is None else f"cap{cap}"
+        capval = -1 if cap is None else cap
+        rows.append(f"""
+        SELECT '{method}' AS method, CAST({capval} AS INTEGER) AS max_bucket_size,
+               (SELECT COUNT(*) FROM cand{i}) AS n_candidate_pairs,
+               (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+               (SELECT COUNT(*) FROM truth t
+                  JOIN cand{i} c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                 AS n_caught,
+               CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+                    ELSE round((SELECT COUNT(*) FROM truth t
+                                 JOIN cand{i} c ON t.id_a = c.id_a AND t.id_b = c.id_b)
+                               / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 4)
+               END AS recall""")
+    return "".join(parts) + (" UNION ALL ".join(rows))
 
 
 # --- textstats oracles ----------------------------------------------------

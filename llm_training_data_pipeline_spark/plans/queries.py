@@ -284,6 +284,15 @@ _CHANGED_IN_ROUND.update(
         "multimodal_video_meta": 13,
     }
 )
+# r14: new capped embedding-pair row + its recall audit (VERDICT r13
+# #6); embedding_ann_pairs itself is UNCHANGED (the cap branch is
+# no-op when max_bucket_size is None)
+_CHANGED_IN_ROUND.update(
+    {
+        "embedding_ann_pairs_capped": 14,
+        "embedding_cap_recall": 14,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -598,6 +607,58 @@ def q_embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"),
         threshold=0.3,
+        num_planes=6,
+        dim=64,
+        seed=42,
+        num_tables=4,
+    )
+
+
+@register(
+    "embedding_ann_pairs_capped",
+    oracle.embedding_ann_pairs_sql(
+        threshold=0.3, num_planes=6, dim=64, seed=42, num_tables=4,
+        max_bucket_size=32,
+    ),
+)
+def q_embedding_ann_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_ann_pairs with the (table, bucket) cap ON (VERDICT r13
+    #6 — the minhash_pairs_md5_capped treatment): each bucket's pair
+    contribution is bounded at C(32,2) by deterministic min-id keep —
+    the production shape at 100 TB, where a dense embedding region
+    landing 100k vectors in one bucket would otherwise go quadratic
+    there. A vector trimmed from one table's hot bucket still meets its
+    near-twins in the other 3 tables (OR-amplification); the measured
+    recall cost is ``embedding_cap_recall``; pair-volume scaling is
+    measured against the uncapped row in the sf1 bench pass."""
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        num_planes=6,
+        dim=64,
+        seed=42,
+        num_tables=4,
+        max_bucket_size=32,
+    )
+
+
+@register(
+    "embedding_cap_recall",
+    oracle.embedding_cap_recall_sql(
+        threshold=0.3, caps=(None, 32, 8), num_planes=6, dim=64, seed=42,
+        num_tables=4,
+    ),
+)
+def q_embedding_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding bucket cap's recall/cost table: candidate-pair
+    volume next to recall at uncapped / cap=32 / cap=8, all against ONE
+    exact-cosine ground truth (broadcast NL join, no CartesianProduct) —
+    how much pair volume the cap saves, for how much recall, on one
+    hash-checked table (dedup.embedding_cap_recall)."""
+    return dedup.embedding_cap_recall(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        caps=(None, 32, 8),
         num_planes=6,
         dim=64,
         seed=42,

@@ -203,6 +203,33 @@ def test_eval_holdout_quota_plan_is_group_limited(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_embedding_cap_plan_is_group_limited(spark):
+    """VERDICT r13 #6: the capped embedding pair path must prune each
+    (table, bucket) to the cap with a WindowGroupLimit BEFORE the
+    self-join — each task pre-trims to the cap, so a hot bucket cannot
+    funnel through one task — and the uncapped row's plan must be
+    unchanged (no window at all)."""
+    assert "WindowGroupLimit" in _plan(spark, "embedding_ann_pairs_capped")
+    assert "Window" not in _plan(spark, "embedding_ann_pairs")
+
+    # value-level: the cap bounds every (table, bucket) contribution
+    from llm_training_data_pipeline_spark.operators import dedup
+    from llm_training_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    capped = dedup.embedding_near_dup_pairs(
+        emb, threshold=-2.0, num_tables=4, max_bucket_size=4
+    )
+    uncapped = dedup.embedding_near_dup_pairs(
+        emb, threshold=-2.0, num_tables=4
+    )
+    assert capped.count() < uncapped.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.embedding_near_dup_pairs(emb, num_tables=4, max_bucket_size=1)
+
+
 def test_pq_rerank_candidate_bound_is_pinned(spark):
     """VERDICT r12 #2: pq_topk_reranked's exact-rerank join must take
     the Q x rerank ADC shortlist — never the N^2 candidate space — and
