@@ -802,8 +802,10 @@ def _wav_pcm_samples(payload: bytes):
     """REAL WAV sample decode (r12 — the audio analog of ``_bmp_pixels``):
     (sample_rate, channels, n_frames, int32-LE interleaved sample bytes)
     for uncompressed PCM (format tag 1; 8/16/24/32 bits per sample —
-    24/32 added r13), honest None for anything else (float/ADPCM,
-    truncated chunks). Same RIFF chunk walk as ``_wav_meta``; 8-bit
+    24/32 added r13), IEEE float PCM (tag 3, 32/64-bit, r14 — scaled to
+    int32 via the pinned ``_float_to_int32`` rule), G.711 (6/7), IMA
+    ADPCM (0x11); honest None for anything else (truncated chunks,
+    WAVE_FORMAT_EXTENSIBLE). Same RIFF chunk walk as ``_wav_meta``; 8-bit
     samples are unsigned per the WAV spec and are centered (-128) so
     every width lands on a signed zero-DC scale; wider samples are
     signed little-endian (24-bit sign-extended vectorized). Widening to
@@ -848,6 +850,30 @@ def _wav_pcm_samples(payload: bytes):
             int(channels),
             count // channels,
             table[codes].astype("<i4").tobytes(),
+        )
+    if fmt_tag == 3:  # IEEE float PCM (r14, VERDICT r13 #10)
+        if (
+            not rate
+            or rate >= (1 << 31)
+            or not channels
+            or bits not in (32, 64)
+            or data_off is None
+            or len(payload) < data_off + data_len
+        ):
+            return None
+        width = bits // 8
+        n_samples = data_len // (width * channels) * channels
+        if n_samples == 0:
+            return None
+        arr = np.frombuffer(
+            payload, "<f4" if bits == 32 else "<f8",
+            count=n_samples, offset=data_off,
+        )
+        return (
+            int(rate),
+            int(channels),
+            n_samples // channels,
+            _float_to_int32(arr).astype("<i4").tobytes(),
         )
     if fmt_tag == 0x11:  # IMA/DVI ADPCM (r13)
         if (
@@ -904,6 +930,18 @@ def _wav_pcm_samples(payload: bytes):
     )
 
 
+def _float_to_int32(arr):
+    """Float PCM → the int32 sample contract (r14, VERDICT r13 #10):
+    sanitize (NaN→0, ±inf→±1), clip to [-1, 1], scale by 2^31 - 1 and
+    round-half-even (numpy rint). The scale choice is pinned in tests —
+    any change breaks the byte-exact audio stats downstream."""
+    import numpy as np
+
+    x = np.nan_to_num(arr.astype(np.float64), nan=0.0, posinf=1.0, neginf=-1.0)
+    x = np.clip(x, -1.0, 1.0)
+    return np.rint(x * 2147483647.0).astype(np.int32)
+
+
 def _pcm24_to_int32(raw: bytes, byte_order: str):
     """Vectorized 3-byte signed PCM → int32 (``byte_order`` '<' or
     '>'): widen each triple into a 4-byte lane, then an arithmetic
@@ -951,23 +989,30 @@ def _ieee754_extended_to_int(b: bytes):
 
 
 def _aiff_pcm_samples(payload: bytes):
-    """REAL AIFF sample decode — the big-endian sibling of
+    """REAL AIFF/AIFC sample decode — the big-endian sibling of
     ``_wav_pcm_samples``: FORM/AIFF chunk walk, COMM (channels, frame
     count, sample size, 80-bit extended-float rate), SSND (offset +
     blocksize header, then big-endian signed PCM). 8/16/24/32-bit PCM
-    ``AIFF`` decodes (24/32 added r13); compressed ``AIFC`` and
-    truncated chunks return an honest None. AIFF 8-bit is SIGNED
-    (unlike WAV's unsigned) per the spec."""
+    ``AIFF`` decodes (24/32 added r13). ``AIFC`` (r14, VERDICT r13 #10)
+    adds the compression-typed COMM: NONE (BE PCM), sowt (LE PCM — the
+    classic Mac byte-swap type), fl32/FL32 + fl64/FL64 (BE IEEE float,
+    scaled by the pinned ``_float_to_int32`` rule), ulaw/ULAW +
+    alaw/ALAW (G.711 codes, 1 byte per sample regardless of the
+    nominal bits field). Unknown compression types and truncated
+    chunks return an honest None. AIFF 8-bit is SIGNED (unlike WAV's
+    unsigned) per the spec."""
     import numpy as np
 
     if (
         len(payload) < 12
         or payload[:4] != b"FORM"
-        or payload[8:12] != b"AIFF"
+        or payload[8:12] not in (b"AIFF", b"AIFC")
     ):
         return None
+    is_aifc = payload[8:12] == b"AIFC"
     i = 12
     channels = n_frames = bits = rate = None
+    comp = b"NONE"
     snd_off = snd_len = None
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
@@ -977,36 +1022,71 @@ def _aiff_pcm_samples(payload: bytes):
                 ">hIh", payload[i + 8 : i + 16]
             )
             rate = _ieee754_extended_to_int(payload[i + 16 : i + 26])
+            if is_aifc:
+                if clen < 22 or i + 30 > len(payload):
+                    return None
+                comp = payload[i + 26 : i + 30]
         elif cid == b"SSND" and i + 16 <= len(payload):
             (off,) = _struct.unpack(">I", payload[i + 8 : i + 12])
             snd_off = i + 16 + off
             snd_len = clen - 8 - off
         i += 8 + clen + (clen % 2)
+    comp_u = comp.upper()
+    if comp_u == b"NONE" or comp == b"sowt":
+        if bits not in (8, 16, 24, 32):
+            return None
+        bps = bits // 8
+    elif comp_u == b"FL32":
+        if bits != 32:
+            return None
+        bps = 4
+    elif comp_u == b"FL64":
+        if bits != 64:
+            return None
+        bps = 8
+    elif comp_u in (b"ULAW", b"ALAW"):
+        bps = 1  # G.711 code bytes; the nominal bits field says 16
+    else:
+        return None  # honest rejection: unknown AIFC compression
     if (
         not rate
         or not channels
         or channels < 1
-        or bits not in (8, 16, 24, 32)
         or not n_frames
         or snd_off is None
-        or snd_len < n_frames * channels * (bits // 8)
-        or len(payload) < snd_off + n_frames * channels * (bits // 8)
+        or snd_len < n_frames * channels * bps
+        or len(payload) < snd_off + n_frames * channels * bps
     ):
         return None
     count = n_frames * channels
-    if bits == 8:
+    le = comp == b"sowt"
+    if comp_u in (b"ULAW", b"ALAW"):
+        codes = np.frombuffer(payload, np.uint8, count=count, offset=snd_off)
+        table = _ulaw_expand_table() if comp_u == b"ULAW" else _alaw_expand_table()
+        arr = table[codes]
+    elif comp_u == b"FL32":
+        arr = _float_to_int32(
+            np.frombuffer(payload, ">f4", count=count, offset=snd_off)
+        )
+    elif comp_u == b"FL64":
+        arr = _float_to_int32(
+            np.frombuffer(payload, ">f8", count=count, offset=snd_off)
+        )
+    elif bits == 8:
         arr = np.frombuffer(
             payload, np.int8, count=count, offset=snd_off
         ).astype(np.int32)
     elif bits == 16:
         arr = np.frombuffer(
-            payload, ">i2", count=count, offset=snd_off
+            payload, "<i2" if le else ">i2", count=count, offset=snd_off
         ).astype(np.int32)
     elif bits == 24:
-        arr = _pcm24_to_int32(payload[snd_off : snd_off + count * 3], ">")
+        arr = _pcm24_to_int32(
+            payload[snd_off : snd_off + count * 3], "<" if le else ">"
+        )
     else:
         arr = np.frombuffer(
-            payload, ">i4", count=count, offset=snd_off
+            payload, "<i4" if le else ">i4", count=count, offset=snd_off
         ).astype(np.int32)
     return int(rate), int(channels), int(n_frames), arr.astype("<i4").tobytes()
 
@@ -1950,11 +2030,20 @@ def audio_sample_stats(samples: DataFrame) -> DataFrame:
                 arr = np.frombuffer(bytes(raw), dtype="<i4")
                 n = int(arr.size)
                 total = int(arr.sum(dtype=np.int64))
-                energy = int((arr.astype(np.int64) ** 2).sum())
+                # exact energy: full-scale float-PCM samples square to
+                # ~4.6e18 — an int64 SUM of those overflows (r14). Each
+                # square fits int64; sum hi/lo 32-bit halves separately
+                # in exact Python ints (vectorized, arbitrary precision)
+                sq = arr.astype(np.int64)
+                sq *= sq
+                energy = (int((sq >> 32).sum(dtype=np.int64)) << 32) + int(
+                    (sq & 0xFFFFFFFF).sum(dtype=np.int64)
+                )
                 rows.append(
                     (
                         int(aid), int(rate), int(ch), int(nf), n,
-                        int(np.abs(arr).max()) if n else 0,
+                        # widen before abs: np.abs(int32 min) overflows
+                        int(np.abs(arr.astype(np.int64)).max()) if n else 0,
                         total * 1000 // n,
                         math.isqrt(1_000_000 * energy // n),
                         bool(stub),
@@ -2875,24 +2964,44 @@ def _ieee754_extended_from_int(v: int) -> bytes:
 
 
 def _aiff_build(
-    rate: int, channels: int, bits: int, pcm_be: bytes, junk: bool = False
+    rate: int, channels: int, bits: int, pcm_be: bytes, junk: bool = False,
+    compression: bytes | None = None,
 ) -> bytes:
-    """Forward AIFF container builder for fixtures/tests: FORM/AIFF
-    with COMM (80-bit extended rate) and SSND (zero offset/blocksize);
-    ``pcm_be`` is the big-endian (or signed 8-bit) sample plane. Not
-    exported API."""
-    n_frames = len(pcm_be) // (channels * (bits // 8))
-    comm = (
-        b"COMM"
-        + _struct.pack(">I", 18)
-        + _struct.pack(">hIh", channels, n_frames, bits)
-        + _ieee754_extended_from_int(rate)
-    )
+    """Forward AIFF/AIFC container builder for fixtures/tests:
+    FORM/AIFF with COMM (80-bit extended rate) and SSND (zero
+    offset/blocksize); ``pcm_be`` is the big-endian (or signed 8-bit)
+    sample plane. ``compression`` (r14) switches to FORM/AIFC with the
+    typed COMM (NONE/sowt/fl32/fl64/ulaw/alaw + empty pstring name);
+    bytes-per-sample then follows the compression type (1 for G.711,
+    4/8 for floats). Not exported API."""
+    if compression is None:
+        bps = bits // 8
+        comm = (
+            b"COMM"
+            + _struct.pack(">I", 18)
+            + _struct.pack(">hIh", channels, n_frames := len(pcm_be) // (channels * bps), bits)
+            + _ieee754_extended_from_int(rate)
+        )
+        form_type = b"AIFF"
+    else:
+        cu = compression.upper()
+        bps = {b"NONE": bits // 8, b"SOWT": bits // 8, b"FL32": 4,
+               b"FL64": 8, b"ULAW": 1, b"ALAW": 1}.get(cu, bits // 8)
+        n_frames = len(pcm_be) // (channels * bps)
+        # compression name: empty pstring (count byte 0 + pad to even)
+        comm_body = (
+            _struct.pack(">hIh", channels, n_frames, bits)
+            + _ieee754_extended_from_int(rate)
+            + compression
+            + b"\x00\x00"
+        )
+        comm = b"COMM" + _struct.pack(">I", len(comm_body)) + comm_body
+        form_type = b"AIFC"
     ssnd = b"SSND" + _struct.pack(">I", 8 + len(pcm_be)) + bytes(8) + pcm_be
     if len(pcm_be) % 2:
         ssnd += b"\x00"
     extra = b"ANNO" + _struct.pack(">I", 4) + b"test" if junk else b""
-    body = b"AIFF" + extra + comm + ssnd
+    body = form_type + extra + comm + ssnd
     return b"FORM" + _struct.pack(">I", len(body)) + body
 
 
@@ -2916,13 +3025,14 @@ def synthetic_mixed_audio_assets(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL mixed-container audio fixture for the
     sniffing decoder: cycles WAV 16-bit LE / AIFF 16-bit BE / AIFF
     8-bit signed / AU 16-bit BE PCM / AU G.711 mu-law / FLAC (r13 —
-    fixed-predictor rice frames, stereo decorrelation cycling),
+    fixed-predictor rice frames, stereo decorrelation cycling) /
+    float32 WAV (tag 3) / AIFC sowt (both r14),
     mono/stereo, varied rates, formula samples — every decoded int32
     derivable by the pinning test (mu-law via the canonical expansion
     of the stored code bytes; FLAC is lossless so samples are exact)."""
     rows = []
     for i in range(n):
-        kind = i % 6
+        kind = i % 8
         rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
         channels = 1 + (i % 2)
         n_frames = 16 + (i % 5)
@@ -2955,6 +3065,21 @@ def synthetic_mixed_audio_assets(spark, n: int = 32) -> DataFrame:
             codes = bytes((k * 17 + i * 3) % 256 for k in range(count))
             payload = _au_build(rate, channels, 1, codes)
             mime = "audio/basic"
+        elif kind == 6:  # float32 WAV (format tag 3, r14)
+            floats = [v / 32768.0 for v in vals16]
+            pcm = b"".join(_struct.pack("<f", v) for v in floats)
+            fmt = b"fmt " + _struct.pack(
+                "<IHHIIHH", 16, 3, channels, rate, rate * channels * 4,
+                channels * 4, 32,
+            )
+            data = b"data" + _struct.pack("<I", len(pcm)) + pcm
+            body = b"WAVE" + fmt + data
+            payload = b"RIFF" + _struct.pack("<I", len(body)) + body
+            mime = "audio/wav"
+        elif kind == 7:  # AIFC sowt (little-endian PCM in FORM/AIFC, r14)
+            pcm = b"".join(_struct.pack("<h", v) for v in vals16)
+            payload = _aiff_build(rate, channels, 16, pcm, compression=b"sowt")
+            mime = "audio/aiff"
         else:  # FLAC: lossless fixed-predictor frames, varied stereo
             import numpy as np
 

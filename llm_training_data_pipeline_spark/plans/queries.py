@@ -291,6 +291,9 @@ _CHANGED_IN_ROUND.update(
     {
         "embedding_ann_pairs_capped": 14,
         "embedding_cap_recall": 14,
+        # r14: the mixed-audio fixture cycles 8 kinds (float32 WAV +
+        # AIFC sowt added) — row values shift, count unchanged
+        "audio_decode_stats": 14,
     }
 )
 

@@ -1001,13 +1001,13 @@ def test_decode_audio_samples_sniffs_mixed_containers(spark):
     out = {
         r["asset_id"]: r
         for r in decode_audio_samples(
-            synthetic_mixed_audio_assets(spark, n=18)
+            synthetic_mixed_audio_assets(spark, n=24)
         ).collect()
     }
-    assert len(out) == 18
+    assert len(out) == 24
     t = _ulaw_expand_table()
     for i, r in out.items():
-        kind = i % 6  # r13: FLAC joined the cycle
+        kind = i % 8  # r13: FLAC joined; r14: float32 WAV + AIFC sowt
         rate = (8000, 16000, 22050, 44100, 48000)[i % 5]
         channels = 1 + (i % 2)
         n_frames = 16 + (i % 5)
@@ -1017,10 +1017,16 @@ def test_decode_audio_samples_sniffs_mixed_containers(spark):
         )
         assert r["is_stub"] is False
         arr = list(np.frombuffer(bytes(r["samples"]), "<i4"))
-        if kind in (0, 1, 3, 5):  # PCM containers + lossless FLAC
-            exp = [((k * 31 + i * 7) % 65536) - 32768 for k in range(count)]
+        vals16 = [((k * 31 + i * 7) % 65536) - 32768 for k in range(count)]
+        if kind in (0, 1, 3, 5, 7):  # PCM containers, FLAC, AIFC sowt
+            exp = vals16
         elif kind == 2:
             exp = [((k * 13 + i * 5) % 256) - 128 for k in range(count)]
+        elif kind == 6:  # float32 WAV: the pinned _float_to_int32 scale
+            f32 = np.array([v / 32768.0 for v in vals16], np.float32)
+            exp = list(
+                np.rint(f32.astype(np.float64) * 2147483647.0).astype(np.int32)
+            )
         else:
             exp = [int(t[(k * 17 + i * 3) % 256]) for k in range(count)]
         assert arr == exp, i
@@ -1679,12 +1685,84 @@ def test_wav_pcm_samples_rejects_non_pcm(spark):
 
     assert _wav_pcm_samples(b"") is None
     assert _wav_pcm_samples(b"RIFFxxxxNOPE") is None
-    assert _wav_pcm_samples(wav(fmt_tag=3)) is None  # IEEE float
+    # IEEE float (tag 3) decodes as of r14 — but only at 32/64 bits
+    assert _wav_pcm_samples(wav(fmt_tag=3, bits=16)) is None
     assert _wav_pcm_samples(wav(bits=12, data=b"\x00" * 6)) is None
     truncated = wav(data=b"\x00" * 100)[:-60]
     assert _wav_pcm_samples(truncated) is None
     got = _wav_pcm_samples(wav(data=_s.pack("<2h", -5, 7)))
     assert got is not None and got[:3] == (8000, 1, 2)
+
+
+def test_float_pcm_wav_and_aifc_decode():
+    """r14 (VERDICT r13 #10): float-PCM WAV (format tag 3, 32/64-bit)
+    and the AIFC compression matrix (NONE / sowt / fl32 / fl64 / ulaw /
+    alaw) decode to the pinned int32 scale; unknown AIFC compression
+    and malformed float widths reject with None."""
+    import struct as _s
+
+    import numpy as np
+
+    from llm_training_data_pipeline_spark.operators.multimodal import (
+        _aiff_build,
+        _aiff_pcm_samples,
+        _alaw_expand_table,
+        _float_to_int32,
+        _ulaw_expand_table,
+        _wav_pcm_samples,
+    )
+
+    def fwav(floats, bits=32, rate=8000, channels=1):
+        pcm = b"".join(
+            _s.pack("<f" if bits == 32 else "<d", v) for v in floats
+        )
+        fmt = b"fmt " + _s.pack(
+            "<IHHIIHH", 16, 3, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        body = b"WAVE" + fmt + b"data" + _s.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    # the pinned scale: rint(clip(x) * (2^31 - 1)); NaN→0, inf→full scale
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 2.0, -2.0, float("nan"),
+            float("inf"), float("-inf"), 0.25]
+    for bits in (32, 64):
+        got = _wav_pcm_samples(fwav(vals, bits=bits))
+        assert got is not None and got[:3] == (8000, 1, len(vals))
+        arr = np.frombuffer(got[3], "<i4")
+        stored = np.array(vals, np.float32 if bits == 32 else np.float64)
+        assert list(arr) == list(_float_to_int32(stored))
+    assert arr[0] == 0 and arr[3] == 2147483647 and arr[4] == -2147483647
+    assert arr[5] == 2147483647 and arr[7] == 0 and arr[8] == 2147483647
+
+    # AIFC: every compression type round-trips against the formula
+    ints = [((k * 37) % 65536) - 32768 for k in range(24)]
+    f64 = [v / 32768.0 for v in ints]
+    cases = [
+        (b"NONE", 16, b"".join(_s.pack(">h", v) for v in ints),
+         ints),
+        (b"sowt", 16, b"".join(_s.pack("<h", v) for v in ints),
+         ints),
+        (b"fl32", 32, b"".join(_s.pack(">f", v) for v in f64),
+         list(_float_to_int32(np.array(f64, np.float32)))),
+        (b"fl64", 64, b"".join(_s.pack(">d", v) for v in f64),
+         list(_float_to_int32(np.array(f64, np.float64)))),
+        (b"ulaw", 16, bytes(k % 256 for k in range(24)),
+         [int(_ulaw_expand_table()[k % 256]) for k in range(24)]),
+        (b"alaw", 16, bytes(k % 256 for k in range(24)),
+         [int(_alaw_expand_table()[k % 256]) for k in range(24)]),
+    ]
+    for comp, bits, plane, exp in cases:
+        payload = _aiff_build(22050, 2, bits, plane, compression=comp)
+        got = _aiff_pcm_samples(payload)
+        assert got is not None, comp
+        assert got[:3] == (22050, 2, 12), comp
+        assert list(np.frombuffer(got[3], "<i4")) == exp, comp
+
+    # honest rejections: unknown compression, float width mismatch
+    bad = _aiff_build(8000, 1, 16, b"\x00" * 32, compression=b"ima4")
+    assert _aiff_pcm_samples(bad) is None
+    assert _wav_pcm_samples(fwav(vals, bits=32)[:-20]) is None
 
 
 def test_audio_sample_stats_pinned_values(spark):
