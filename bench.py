@@ -249,6 +249,7 @@ HEADLINE = [
     # self-contained-fixture precedent)
     "subtitle_cues_parse",
     "ass_cues_parse",
+    "ttml_cues_parse",
 ]
 
 # The two-decade scale audit (r6 verdict #1): these queries also run at

@@ -266,3 +266,171 @@ def render_ass(
             )
         )
     return df.select(id_col, F.concat_ws("\n", *parts).alias("ass"))
+
+
+# ---------------------------------------------------------------------------
+# TTML/DFXP (Timed Text Markup Language) — the fourth caption format:
+# XML <p begin="..." end="...">text</p> paragraphs inside <body>/<div>,
+# with THREE clock syntaxes (clock "HH:MM:SS.fff", offset-seconds
+# "12.345s", offset-millis "1234ms"). Broadcast/streaming services
+# (DFXP is the SMPTE/Netflix profile) deliver captions this way.
+# ---------------------------------------------------------------------------
+
+# one <p> element: begin attr, end attr, inner text (non-greedy, (?s)).
+# The attribute ORDER (begin before end) is part of the rendered-format
+# contract, like the ASS Dialogue field order; a permuted-attribute
+# document parses via from_xml-style readers, not this scan.
+_TTML_P = r'(?s)<p\b[^>]*\sbegin="([^"]*)"[^>]*\send="([^"]*)"[^>]*>(.*?)</p>'
+# the three TTML time syntaxes (anchored; all Java∩RE2)
+_TTML_CLOCK = r"^(\d{2,}):(\d{2}):(\d{2})(?:\.(\d{1,3}))?$"
+_TTML_SECS = r"^(\d+)(?:\.(\d{1,3}))?s$"
+_TTML_MS = r"^(\d+)ms$"
+
+
+def _ttml_ms(c):
+    """TTML time expression → integer milliseconds (native columns):
+    clock / offset-seconds / offset-millis; fractional parts right-pad
+    to 3 digits (both engines' rpad), unparseable strings → NULL."""
+
+    def g(pat, i):
+        return F.regexp_extract(c, pat, i)
+
+    frac = lambda pat, i: F.rpad(g(pat, i), 3, "0").cast("long")  # noqa: E731
+    clock = (
+        (
+            g(_TTML_CLOCK, 1).cast("long") * 3600
+            + g(_TTML_CLOCK, 2).cast("long") * 60
+            + g(_TTML_CLOCK, 3).cast("long")
+        )
+        * 1000
+        + frac(_TTML_CLOCK, 4)
+    )
+    secs = g(_TTML_SECS, 1).cast("long") * 1000 + frac(_TTML_SECS, 2)
+    return (
+        F.when(g(_TTML_MS, 0) != "", g(_TTML_MS, 1).cast("long"))
+        .when(g(_TTML_SECS, 0) != "", secs)
+        .when(g(_TTML_CLOCK, 0) != "", clock)
+        .otherwise(F.lit(None).cast("long"))
+    )
+
+
+def ttml_cues(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Parse TTML/DFXP caption documents into one row per <p> cue
+    (native columns only — regexp_extract_all over the element scan;
+    zero Python, whole-stage codegen, DuckDB-oracle-replayable like
+    the SRT/VTT/ASS siblings).
+
+    Output: (doc_id, cue_index [1-based, document order], start_ms,
+    end_ms, duration_ms, cue_text [raw inner XML], cue_plain [<br/>
+    flattened to spaces, remaining tags stripped, the five predefined
+    XML entities unescaped — in that order, so escaped markup stays
+    literal text], cue_chars [of cue_plain]). <p> elements whose time
+    expressions don't parse are dropped (both must parse); headers,
+    styling and metadata elements never match the element scan."""
+    els = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_TTML_P), F.lit(0))
+        ).alias("_pos", "_el"),
+    )
+
+    def g(i):
+        return F.regexp_extract("_el", _TTML_P, i)
+
+    raw = g(3)
+    plain = F.regexp_replace(raw, r"<br\s*/?>", " ")
+    plain = F.regexp_replace(plain, r"<[^>]*>", "")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),  # amp LAST: && stays literal
+    ):
+        plain = F.regexp_replace(plain, ent, ch)
+    parsed = els.select(
+        id_col,
+        "_pos",
+        _ttml_ms(g(1)).alias("start_ms"),
+        _ttml_ms(g(2)).alias("end_ms"),
+        raw.alias("cue_text"),
+        plain.alias("cue_plain"),
+    ).filter(F.col("start_ms").isNotNull() & F.col("end_ms").isNotNull())
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        parsed.withColumn("cue_index", F.row_number().over(w))
+        .select(
+            id_col,
+            "cue_index",
+            "start_ms",
+            "end_ms",
+            (F.col("end_ms") - F.col("start_ms")).alias("duration_ms"),
+            "cue_text",
+            "cue_plain",
+            F.length("cue_plain").cast("long").alias("cue_chars"),
+        )
+    )
+
+
+def render_ttml(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_cues: int = 3,
+) -> DataFrame:
+    """Deterministic TTML renderer (native columns): a <tt>/<body>/<div>
+    skeleton with ``n_cues`` <p> elements per document. Cue k cycles
+    the time syntax (clock with millis / offset-seconds / offset-ms) so
+    one rendered corpus exercises every parse leg; the body carries a
+    <br/>, a <span> wrapper and an &amp; entity so cue_plain's
+    flatten/strip/unescape pipeline is value-checked too. The forward
+    direction the ttml_cues_parse oracle replays in SQL."""
+    did = F.col(id_col)
+
+    def clock(ms):
+        return F.format_string(
+            "%02d:%02d:%02d.%03d",
+            F.floor(ms / 3600000).cast("long"),
+            F.floor(ms / 60000).cast("long") % 60,
+            F.floor(ms / 1000).cast("long") % 60,
+            ms % 1000,
+        )
+
+    def secs(ms):
+        return F.format_string(
+            "%d.%03ds", F.floor(ms / 1000).cast("long"), ms % 1000
+        )
+
+    def millis(ms):
+        return F.format_string("%dms", ms)
+
+    fmts = (clock, secs, millis)
+    parts = [
+        F.lit(
+            '<tt xmlns="http://www.w3.org/ns/ttml">\n  <body>\n    <div>'
+        )
+    ]
+    for k in range(n_cues):
+        start = (did % 863) * 977 + k * 1300
+        end = start + 1200 + (did % 9) * 7
+        body = F.concat(
+            F.lit(f"<span>seg {k}</span> "),
+            F.regexp_replace(
+                F.substring(F.col(text_col), 1 + 45 * k, 38),
+                r'[\r\n<>&"]+',
+                " ",
+            ),
+            F.lit("<br/>tail &amp; more"),
+        )
+        parts.append(
+            F.concat(
+                F.lit('      <p begin="'),
+                fmts[k % 3](start),
+                F.lit('" end="'),
+                fmts[k % 3](end),
+                F.lit('">'),
+                body,
+                F.lit("</p>"),
+            )
+        )
+    parts.append(F.lit("    </div>\n  </body>\n</tt>"))
+    return df.select(id_col, F.concat_ws("\n", *parts).alias("ttml"))

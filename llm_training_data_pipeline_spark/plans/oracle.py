@@ -6854,3 +6854,101 @@ def ass_cues_sql(n_cues: int = 3) -> str:
                  AS BIGINT) AS cue_chars
         FROM cues
     """
+
+
+def ttml_cues_sql(n_cues: int = 3) -> str:
+    """Mirror of subtitles.render_ttml + subtitles.ttml_cues: the
+    <tt>/<body>/<div> skeleton with <p begin end> elements cycling the
+    three TTML time syntaxes, then the element scan (the SAME _TTML_P /
+    _TTML_CLOCK / _TTML_SECS / _TTML_MS regex constants), <br/>
+    flattening + tag strip + entity unescape for cue_plain, per-doc
+    document-order row_number."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        _TTML_CLOCK,
+        _TTML_MS,
+        _TTML_P,
+        _TTML_SECS,
+    )
+
+    clock_fmt = (
+        "printf('%02d:%02d:%02d.%03d', {ms} // 3600000, "
+        "({ms} // 60000) % 60, ({ms} // 1000) % 60, {ms} % 1000)"
+    )
+    secs_fmt = "printf('%d.%03ds', {ms} // 1000, {ms} % 1000)"
+    ms_fmt = "printf('%dms', {ms})"
+    fmts = (clock_fmt, secs_fmt, ms_fmt)
+    parts = [
+        "'<tt xmlns=\"http://www.w3.org/ns/ttml\">' || chr(10) || "
+        "'  <body>' || chr(10) || '    <div>'"
+    ]
+    for k in range(n_cues):
+        start = f"((doc_id % 863) * 977 + {k * 1300})"
+        end = f"({start} + 1200 + (doc_id % 9) * 7)"
+        body = (
+            f"'<span>seg {k}</span> ' || "
+            "regexp_replace(substr(text, 1 + "
+            f"{45 * k}, 38), "
+            "'[\\r\\n<>&\"]+', ' ', 'g') || '<br/>tail &amp; more'"
+        )
+        parts.append(
+            "'      <p begin=\"' || " + fmts[k % 3].format(ms=start)
+            + " || '\" end=\"' || " + fmts[k % 3].format(ms=end)
+            + " || '\">' || " + body + " || '</p>'"
+        )
+    parts.append("'    </div>' || chr(10) || '  </body>' || chr(10) || '</tt>'")
+    ttml = " || chr(10) || ".join(parts)
+
+    def ms_expr(ts: str) -> str:
+        return (
+            "CASE "
+            f"WHEN regexp_extract({ts}, '{_TTML_MS}', 0) <> '' THEN "
+            f"CAST(regexp_extract({ts}, '{_TTML_MS}', 1) AS BIGINT) "
+            f"WHEN regexp_extract({ts}, '{_TTML_SECS}', 0) <> '' THEN "
+            f"CAST(regexp_extract({ts}, '{_TTML_SECS}', 1) AS BIGINT) * 1000 "
+            f"+ CAST(rpad(regexp_extract({ts}, '{_TTML_SECS}', 2), 3, '0') AS BIGINT) "
+            f"WHEN regexp_extract({ts}, '{_TTML_CLOCK}', 0) <> '' THEN "
+            f"(CAST(regexp_extract({ts}, '{_TTML_CLOCK}', 1) AS BIGINT) * 3600 "
+            f"+ CAST(regexp_extract({ts}, '{_TTML_CLOCK}', 2) AS BIGINT) * 60 "
+            f"+ CAST(regexp_extract({ts}, '{_TTML_CLOCK}', 3) AS BIGINT)) * 1000 "
+            f"+ CAST(rpad(regexp_extract({ts}, '{_TTML_CLOCK}', 4), 3, '0') AS BIGINT) "
+            "ELSE NULL END"
+        )
+
+    pat = _TTML_P
+    apos = "''"
+    plain = (
+        "replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(cue_text, '<br\\s*/?>', ' ', 'g'), "
+        "'<[^>]*>', '', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        f"'&apos;', '{apos}'), '&amp;', '&')"
+    )
+    return f"""
+        WITH rendered AS (
+          SELECT doc_id, {ttml} AS ttml FROM documents
+        ), els AS (
+          SELECT doc_id,
+                 generate_subscripts(es, 1) AS pos,
+                 unnest(es) AS el
+          FROM (
+            SELECT doc_id, regexp_extract_all(ttml, '{pat}', 0) AS es
+            FROM rendered
+          )
+        ), cues AS (
+          SELECT doc_id, pos,
+                 {ms_expr(f"regexp_extract(el, '{pat}', 1)")} AS start_ms,
+                 {ms_expr(f"regexp_extract(el, '{pat}', 2)")} AS end_ms,
+                 regexp_extract(el, '{pat}', 3) AS cue_text
+          FROM els
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS cue_index,
+               start_ms, end_ms,
+               end_ms - start_ms AS duration_ms,
+               cue_text,
+               {plain} AS cue_plain,
+               CAST(length({plain}) AS BIGINT) AS cue_chars
+        FROM cues
+        WHERE start_ms IS NOT NULL AND end_ms IS NOT NULL
+    """

@@ -294,6 +294,8 @@ _CHANGED_IN_ROUND.update(
         # r14: the mixed-audio fixture cycles 8 kinds (float32 WAV +
         # AIFC sowt added) — row values shift, count unchanged
         "audio_decode_stats": 14,
+        # r14: TTML/DFXP joins the caption family
+        "ttml_cues_parse": 14,
     }
 )
 
@@ -2048,6 +2050,27 @@ def q_ass_cues_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return ass_dialogue_cues(render_ass(docs, n_cues=3), text_col="ass")
+
+
+@register("ttml_cues_parse", oracle.ttml_cues_sql(n_cues=3))
+def q_ttml_cues_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTML/DFXP caption extraction (r14, VERDICT r13 #9) — the fourth
+    caption format (the SMPTE/broadcast profile): documents rendered to
+    deterministic TTML (<tt>/<body>/<div> skeleton, <p> elements
+    cycling all three TTML time syntaxes — clock / offset-seconds /
+    offset-ms — with <span> wrappers, <br/> breaks and &amp; entities),
+    parsed back by the native-column element scan; cue_plain's
+    flatten-strip-unescape pipeline and every timestamp value
+    hash-checked against the DuckDB replay of BOTH directions (shared
+    _TTML_* regex constants). Zero Python; one per-document window
+    (operators/subtitles.py)."""
+    from llm_training_data_pipeline_spark.operators.subtitles import (
+        render_ttml,
+        ttml_cues,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ttml_cues(render_ttml(docs, n_cues=3), text_col="ttml")
 
 
 @register("exif_meta_stats", None)
