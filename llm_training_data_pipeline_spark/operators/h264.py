@@ -1,4 +1,5 @@
-"""H.264/AVC intra (IDR) codec — pure Python, no codec library.
+"""H.264/AVC intra + single-reference P codec — pure Python, no codec
+library.
 
 The third REAL video path (r13) and the one VERDICT r12 named as the
 top decode miss: ITU-T Rec. H.264 (ISO/IEC 14496-10) is a public
@@ -10,6 +11,20 @@ repo's forward-encoder pinning discipline applies EXACTLY: the
 decoder's output must equal, bit for bit, the reconstruction the
 independent forward encoder computed while emitting the stream (both
 sides predict from reconstructed neighbours, per the spec).
+
+r14 (VERDICT r13 #7) adds the single-reference P-slice subset — the
+shape of most real web-video GOPs (IDR + P...): P_Skip with its MV
+inference (8.4.1.1), P_L0_16x16 / 16x8 / 8x16 partitions with the
+median MV predictor and its directional shortcuts (8.4.1.3),
+quarter-pel luma MC (6-tap halves + averaged quarters, 8.4.2.2.1),
+eighth-pel bilinear chroma MC, unrestricted MVs (edge clamping),
+intra-in-P macroblocks (mb_type offset 5), the inter CBP me(v)
+mapping, mb_skip_run syntax, and the full inter deblock bS ladder
+(4/3/2/1/0 per 4-sample edge segment, 8.7.2.1). The DPB is a single
+entry (the previous reference picture): multi-reference streams,
+list reordering, MMCO adaptive marking, weighted prediction, P_8x8
+sub-partitions, and B slices all return None — honest rejection,
+never approximated pixels.
 
 Decoder surface (``_h264_frames``): Annex B start-code scan with
 emulation-prevention removal, exp-Golomb SPS/PPS parsing (profiles
@@ -25,10 +40,10 @@ inverse transforms, and the in-loop deblocking filter (8.7 — bS 4/3
 strong+normal edges with the alpha/beta/tc0 threshold tables and
 slice-level offsets; intra prediction reads unfiltered samples, the
 output is filtered, per the spec). Pictures may span multiple
-I-slices (raster order): prediction, CAVLC contexts and the mode
-predictor honour slice independence, and idc 2 keeps slice-boundary
-edges unfiltered. Inter slices (P/B), CABAC, MBAFF, FMO/ASO and
-High-profile tools return None — honest rejection, never
+slices (raster order): prediction, CAVLC contexts, the mode
+predictor and (r14) the MV predictor honour slice independence, and
+idc 2 keeps slice-boundary edges unfiltered. B slices, CABAC, MBAFF,
+FMO/ASO and High-profile tools return None — honest rejection, never
 approximated pixels.
 
 Forward ``_h264_build`` emits spec-syntax Annex B bytes over RGB
@@ -37,6 +52,10 @@ frame, and a deterministic per-macroblock mode plan that cycles
 I_PCM, I_16x16 (DC / V / H / Plane) and I_4x4 (all nine modes where
 available) with varying mb_qp_delta — so the pin exercises every
 prediction mode, both transform chains and all CAVLC contexts.
+``gop=N`` (r14) interleaves P pictures whose plan cycles P_Skip,
+zero-MV, every quarter-pel fractional position, out-of-frame MVs,
+16x8/8x16 partitions, intra-in-P and qp-delta macroblocks
+(``_encode_p_picture``).
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed spec
 constants shared by both directions — they ARE the format, like the
@@ -1037,9 +1056,9 @@ def _parse_pps(rbsp: bytes):
     b.flag()  # bottom_field_pic_order_in_frame_present_flag
     if b.ue() != 0:  # num_slice_groups_minus1 (FMO)
         return None
-    b.ue()  # num_ref_idx_l0_active_minus1
+    num_ref_l0 = b.ue() + 1  # num_ref_idx_l0_active_minus1
     b.ue()  # num_ref_idx_l1_active_minus1
-    b.flag()  # weighted_pred_flag
+    weighted_pred = b.flag()
     b.u(2)  # weighted_bipred_idc
     init_qp = 26 + b.se()
     b.se()  # pic_init_qs_minus26
@@ -1055,7 +1074,193 @@ def _parse_pps(rbsp: bytes):
         pass
     return {"id": pps_id, "sps_id": sps_id, "init_qp": init_qp,
             "chroma_qp_offset": chroma_qp_offset,
-            "deblock_ctrl": deblock_ctrl}
+            "deblock_ctrl": deblock_ctrl,
+            "num_ref_l0": num_ref_l0,
+            "weighted_pred": weighted_pred}
+
+
+# ---------------------------------------------------------------------------
+# inter prediction (r14, VERDICT r13 #7): quarter-pel luma MC (8.4.2.2.1
+# 6-tap half-pel + averaged quarter positions), eighth-pel bilinear
+# chroma MC (8.4.2.2.2), and the median MV predictor (8.4.1.3) with the
+# 16x8/8x16 directional rules and P_Skip inference (8.4.1.1). MVs are
+# unrestricted: reads outside the reference picture clamp to the edge
+# samples (the spec's sample clipping).
+# ---------------------------------------------------------------------------
+
+
+def _six_tap(a0, a1, a2, a3, a4, a5):
+    return a0 - 5 * a1 + 20 * a2 + 20 * a3 - 5 * a4 + a5
+
+
+def _mc_luma(ref, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int):
+    """Quarter-sample luma prediction for the w x h block whose
+    top-left sits at (x0, y0), motion vector in quarter-pel units.
+    Returns an int64 (h, w) array of predicted samples."""
+    ix, iy = mvx >> 2, mvy >> 2
+    fx, fy = mvx & 3, mvy & 3
+    ys = np.clip(np.arange(y0 + iy - 2, y0 + iy + h + 3), 0, ref.shape[0] - 1)
+    xs = np.clip(np.arange(x0 + ix - 2, x0 + ix + w + 3), 0, ref.shape[1] - 1)
+    G = ref[np.ix_(ys, xs)].astype(np.int64)  # (h+5, w+5) integer window
+    g_int = G[2 : 2 + h, 2 : 2 + w]
+    if fx == 0 and fy == 0:
+        return g_int
+
+    def clip1(v):
+        return np.clip(v, 0, 255)
+
+    # unclipped intermediates (the spec keeps full precision until the
+    # final shift, so the separable 2D 6-tap for j is exact)
+    b1 = _six_tap(*(G[:, k : k + w] for k in range(6)))  # (h+5, w)
+    h1 = _six_tap(*(G[k : k + h, :] for k in range(6)))  # (h, w+5)
+    b_pos = clip1((b1[2 : 2 + h, :] + 16) >> 5)
+    s_pos = clip1((b1[3 : 3 + h, :] + 16) >> 5)  # b one integer row down
+    h_pos = clip1((h1[:, 2 : 2 + w] + 16) >> 5)
+    m_pos = clip1((h1[:, 3 : 3 + w] + 16) >> 5)  # h one integer col right
+    j_pos = None
+    if fx in (1, 2, 3) and fy in (1, 2, 3) and (fx == 2 or fy == 2):
+        j1 = _six_tap(*(b1[k : k + h, :] for k in range(6)))
+        j_pos = clip1((j1 + 512) >> 10)
+    h_int = G[2 : 2 + h, 3 : 3 + w]  # integer sample at x+1
+    m_int = G[3 : 3 + h, 2 : 2 + w]  # integer sample at y+1
+
+    def avg(a, b):
+        return (a + b + 1) >> 1
+
+    table = {
+        (1, 0): lambda: avg(g_int, b_pos),
+        (2, 0): lambda: b_pos,
+        (3, 0): lambda: avg(b_pos, h_int),
+        (0, 1): lambda: avg(g_int, h_pos),
+        (1, 1): lambda: avg(b_pos, h_pos),
+        (2, 1): lambda: avg(b_pos, j_pos),
+        (3, 1): lambda: avg(b_pos, m_pos),
+        (0, 2): lambda: h_pos,
+        (1, 2): lambda: avg(h_pos, j_pos),
+        (2, 2): lambda: j_pos,
+        (3, 2): lambda: avg(j_pos, m_pos),
+        (0, 3): lambda: avg(h_pos, m_int),
+        (1, 3): lambda: avg(h_pos, s_pos),
+        (2, 3): lambda: avg(j_pos, s_pos),
+        (3, 3): lambda: avg(m_pos, s_pos),
+    }
+    return table[(fx, fy)]()
+
+
+def _mc_chroma(ref, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int):
+    """Eighth-sample bilinear chroma prediction (8.4.2.2.2); the
+    chroma MV is the luma quarter-pel MV reinterpreted on the
+    half-resolution plane (same numeric value, eighth-pel units)."""
+    ix, iy = mvx >> 3, mvy >> 3
+    dx, dy = mvx & 7, mvy & 7
+    ys = np.clip(np.arange(y0 + iy, y0 + iy + h + 1), 0, ref.shape[0] - 1)
+    xs = np.clip(np.arange(x0 + ix, x0 + ix + w + 1), 0, ref.shape[1] - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    a = win[:h, :w]
+    b = win[:h, 1 : 1 + w]
+    c = win[1 : 1 + h, :w]
+    d = win[1 : 1 + h, 1 : 1 + w]
+    return (
+        (8 - dx) * (8 - dy) * a + dx * (8 - dy) * b
+        + (8 - dx) * dy * c + dx * dy * d + 32
+    ) >> 6
+
+
+def _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx):
+    """(mvx, mvy, ref, addr_available) of the 4x4 block (by, bx) for MV
+    prediction: blocks outside the picture or the current slice are
+    address-unavailable; intra blocks are available with ref -1 and a
+    zero MV (8.4.1.3.2)."""
+    h4, w4 = blk_ref.shape
+    if not (0 <= by < h4 and 0 <= bx < w4):
+        return 0, 0, -1, False
+    if mb_slice[by // 4, bx // 4] != sid:
+        return 0, 0, -1, False
+    r = int(blk_ref[by, bx])
+    if r < 0:  # intra-coded neighbour
+        return 0, 0, -1, True
+    return int(mv_x[by, bx]), int(mv_y[by, bx]), r, True
+
+
+def _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, w4,
+                ref_idx: int = 0):
+    """Luma MV predictor, general rule (8.4.1.3.1) for the partition
+    whose top-left 4x4 block is (by, bx) and block-width is w4:
+    neighbour C (above-right) falls back to D (above-left); if B, C
+    and D are all address-unavailable and A is available, mvpA; if
+    exactly one neighbour shares the reference index, its MV; else the
+    componentwise median."""
+    a = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
+    bq = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx)
+    c = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx + w4)
+    d = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx - 1)
+    c_used = c if c[3] else d
+    if not bq[3] and not c[3] and not d[3] and a[3]:
+        return a[0], a[1]
+    matches = [n for n in (a, bq, c_used) if n[3] and n[2] == ref_idx]
+    if len(matches) == 1:
+        return matches[0][0], matches[0][1]
+    xs = sorted((a[0], bq[0], c_used[0]))
+    ys = sorted((a[1], bq[1], c_used[1]))
+    return xs[1], ys[1]
+
+
+def _mvp_for_partition(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx,
+                       part: str):
+    """Partition-shaped MV predictor (8.4.1.3): the 16x8/8x16
+    directional shortcuts apply when the designated neighbour shares
+    the reference index, else the general rule. (by, bx) is the
+    partition's top-left 4x4 block."""
+    if part == "16x8_top":
+        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx)
+        if n[3] and n[2] == 0:
+            return n[0], n[1]
+        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+    if part == "16x8_bottom":
+        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
+        if n[3] and n[2] == 0:
+            return n[0], n[1]
+        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+    if part == "8x16_left":
+        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
+        if n[3] and n[2] == 0:
+            return n[0], n[1]
+        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 2)
+    if part == "8x16_right":
+        c = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx + 2)
+        n = c if c[3] else _mv_neighbor(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx - 1
+        )
+        if n[3] and n[2] == 0:
+            return n[0], n[1]
+        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 2)
+    return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+
+
+def _skip_mv(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx):
+    """P_Skip motion inference (8.4.1.1): zero MV if either the left
+    or the above neighbour block is address-unavailable or is an
+    inter block with reference 0 and a zero MV; else the 16x16
+    predictor."""
+    a = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
+    bq = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx)
+    for n in (a, bq):
+        if not n[3]:
+            return 0, 0
+        if n[2] == 0 and n[0] == 0 and n[1] == 0:
+            return 0, 0
+    return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+
+
+# coded_block_pattern me(v) mapping for Inter macroblocks (Table 9-4,
+# Inter column) — the inter sibling of _CBP_INTRA; a permutation of
+# 0..47 (asserted in tests, with the well-known anchor values)
+_CBP_INTER = (
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+)
+_CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
 
 
 # ---------------------------------------------------------------------------
@@ -1063,14 +1268,23 @@ def _parse_pps(rbsp: bytes):
 # ---------------------------------------------------------------------------
 
 
-def _parse_idr_slice_header(rbsp: bytes, sps_map, pps_map):
-    """Parse one IDR I-slice header -> dict (reader positioned at the
-    first macroblock) or None."""
+def _parse_slice_header(rbsp: bytes, sps_map, pps_map, is_idr: bool,
+                        nal_ref_idc: int = 3):
+    """Parse one I- or P-slice header -> dict (reader positioned at
+    the first macroblock) or None. P slices (r14, VERDICT r13 #7) are
+    accepted with the single-reference subset: no active-count
+    override beyond one picture, no list modification, no adaptive
+    (MMCO) marking, no weighted prediction — each rejects honestly."""
     b = _Bits(rbsp)
     first_mb = b.ue()
     slice_type = b.ue()
-    if slice_type % 5 != 2:  # I slice (2 or 7)
+    st = slice_type % 5
+    if is_idr:
+        if st != 2:  # IDR pictures contain I slices only
+            return None
+    elif st not in (0, 2):  # P or I; B/SP/SI out of scope
         return None
+    is_p = st == 0
     pps_id = b.ue()
     pps = pps_map.get(pps_id)
     if pps is None:
@@ -1078,13 +1292,28 @@ def _parse_idr_slice_header(rbsp: bytes, sps_map, pps_map):
     sps = sps_map.get(pps["sps_id"])
     if sps is None:
         return None
-    b.u(sps["log2_max_frame_num"])  # frame_num
-    b.ue()  # idr_pic_id
+    frame_num = b.u(sps["log2_max_frame_num"])
+    if is_idr:
+        b.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         b.u(sps["log2_max_poc_lsb"])  # pic_order_cnt_lsb
-    # dec_ref_pic_marking for IDR
-    b.flag()  # no_output_of_prior_pics_flag
-    b.flag()  # long_term_reference_flag
+    if is_p:
+        if pps["weighted_pred"]:
+            return None  # weighted P prediction: out of scope
+        num_ref = pps["num_ref_l0"]
+        if b.flag():  # num_ref_idx_active_override_flag
+            num_ref = b.ue() + 1
+        if num_ref != 1:
+            return None  # single-reference subset
+        if b.flag():  # ref_pic_list_modification_flag_l0
+            return None  # list reordering: out of scope
+    if is_idr:
+        # dec_ref_pic_marking for IDR
+        b.flag()  # no_output_of_prior_pics_flag
+        b.flag()  # long_term_reference_flag
+    elif nal_ref_idc != 0:
+        if b.flag():  # adaptive_ref_pic_marking_mode_flag (MMCO)
+            return None  # sliding window only
     qp = pps["init_qp"] + b.se()
     if not 0 <= qp <= 51:
         return None
@@ -1101,8 +1330,14 @@ def _parse_idr_slice_header(rbsp: bytes, sps_map, pps_map):
     return {
         "b": b, "rbsp": rbsp, "first_mb": first_mb, "pps_id": pps_id,
         "pps": pps, "sps": sps, "qp": qp, "idc": idc,
-        "off_a": off_a, "off_b": off_b,
+        "off_a": off_a, "off_b": off_b, "is_p": is_p,
+        "frame_num": frame_num,
     }
+
+
+def _parse_idr_slice_header(rbsp: bytes, sps_map, pps_map):
+    """Back-compat IDR wrapper around ``_parse_slice_header``."""
+    return _parse_slice_header(rbsp, sps_map, pps_map, is_idr=True)
 
 
 def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
@@ -1111,18 +1346,27 @@ def _decode_idr_slice(rbsp: bytes, sps_map, pps_map):
 
 
 def _decode_idr_picture(rbsps, sps_map, pps_map):
-    """Decode one IDR picture from its slice RBSPs (one or more).
+    """Back-compat intra entry around ``_decode_picture``."""
+    return _decode_picture(rbsps, sps_map, pps_map, is_idr=True, ref=None)
+
+
+def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
+                    ref=None):
+    """Decode one picture (IDR/I or P, r14) from its slice RBSPs.
 
     Slices are independently decodable: intra prediction, the CAVLC
-    total_coeff contexts and the intra-4x4 mode predictor all treat
-    macroblocks of OTHER slices as unavailable, and per-slice
-    disable_deblocking_filter_idc == 2 skips filtering across slice
-    boundaries only. Slices must cover the picture in raster order
-    (no ASO/FMO). Returns (y, cb, cr, sps) or None.
+    total_coeff contexts, the intra-4x4 mode predictor AND the inter
+    MV predictor all treat macroblocks of OTHER slices as unavailable,
+    and per-slice disable_deblocking_filter_idc == 2 skips filtering
+    across slice boundaries only. Slices must cover the picture in
+    raster order (no ASO/FMO) and share one slice type. ``ref`` is the
+    previous decoded (filtered) picture's (y, cb, cr) planes — the
+    single L0 reference a P picture predicts from; P pictures without
+    a reference return None. Returns (y, cb, cr, sps) or None.
     """
     heads = []
     for rbsp in rbsps:
-        hd = _parse_idr_slice_header(rbsp, sps_map, pps_map)
+        hd = _parse_slice_header(rbsp, sps_map, pps_map, is_idr)
         if hd is None:
             return None
         heads.append(hd)
@@ -1132,6 +1376,15 @@ def _decode_idr_picture(rbsps, sps_map, pps_map):
     pps = heads[0]["pps"]
     if any(h["pps_id"] != heads[0]["pps_id"] for h in heads):
         return None  # mixed PPS within a picture: out of scope
+    if any(h["is_p"] != heads[0]["is_p"] for h in heads):
+        return None  # mixed slice types within a picture: out of scope
+    pic_is_p = heads[0]["is_p"]
+    if pic_is_p:
+        if ref is None:
+            return None  # P picture with no decoded reference
+        ref_y, ref_cb, ref_cr = ref
+        if ref_y.shape != (sps["mb_h"] * 16, sps["mb_w"] * 16):
+            return None  # reference/current dimension mismatch
 
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
     W, H = mb_w * 16, mb_h * 16
@@ -1149,6 +1402,12 @@ def _decode_idr_picture(rbsps, sps_map, pps_map):
     mb_idc = np.zeros((mb_h, mb_w), np.int16)
     mb_offa = np.zeros((mb_h, mb_w), np.int16)
     mb_offb = np.zeros((mb_h, mb_w), np.int16)
+    # inter bookkeeping (r14): per-4x4-block MV + reference (-1 =
+    # intra), per-MB intra flag — MV prediction and deblock bS inputs
+    mv_x = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+    mv_y = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+    blk_ref = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+    mb_intra = np.ones((mb_h, mb_w), bool)
 
     next_mb = 0
     total = mb_w * mb_h
@@ -1177,9 +1436,45 @@ def _decode_idr_picture(rbsps, sps_map, pps_map):
         def n_ctx_chroma(tc_arr, by, bx):
             return n_ctx(tc_arr, by, bx, 2)
 
+        def p_skip_mb(mb):
+            """Reconstruct one P_Skip macroblock: inferred MV
+            (8.4.1.1), pure MC copy, zero residual."""
+            my, mx = divmod(mb, mb_w)
+            mb_slice[my, mx] = sid
+            mb_idc[my, mx] = hd["idc"]
+            mb_offa[my, mx] = hd["off_a"]
+            mb_offb[my, mx] = hd["off_b"]
+            x0, y0 = mx * 16, my * 16
+            bx0, by0 = mx * 4, my * 4
+            mvx, mvy = _skip_mv(mv_x, mv_y, blk_ref, mb_slice, sid, by0, bx0)
+            y_plane[y0 : y0 + 16, x0 : x0 + 16] = _mc_luma(
+                ref_y, x0, y0, 16, 16, mvx, mvy
+            ).astype(np.uint8)
+            cb_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
+                _mc_chroma(ref_cb, x0 // 2, y0 // 2, 8, 8, mvx, mvy)
+            ).astype(np.uint8)
+            cr_plane[y0 // 2 : y0 // 2 + 8, x0 // 2 : x0 // 2 + 8] = (
+                _mc_chroma(ref_cr, x0 // 2, y0 // 2, 8, 8, mvx, mvy)
+            ).astype(np.uint8)
+            mv_x[by0 : by0 + 4, bx0 : bx0 + 4] = mvx
+            mv_y[by0 : by0 + 4, bx0 : bx0 + 4] = mvy
+            blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+            mb_intra[my, mx] = False
+            mb_qp[my, mx] = qp  # no delta: running slice QP carries
+
         first_in_slice = True
+        slice_is_p = hd["is_p"]
         while next_mb < total and (first_in_slice or b.more_rbsp_data()):
             first_in_slice = False
+            if slice_is_p:
+                skip_run = b.ue()
+                if skip_run > total - next_mb:
+                    return None
+                for _ in range(skip_run):
+                    p_skip_mb(next_mb)
+                    next_mb += 1
+                if next_mb >= total or not b.more_rbsp_data():
+                    break
             mb = next_mb
             next_mb += 1
             my, mx = divmod(mb, mb_w)
@@ -1199,6 +1494,108 @@ def _decode_idr_picture(rbsps, sps_map, pps_map):
                 my > 0 and mx + 1 < mb_w and mb_slice[my - 1, mx + 1] == sid
             )
             mb_type = b.ue()
+            if slice_is_p:
+                if mb_type < 5:
+                    # inter macroblock: 16x16 / 16x8 / 8x16 partitions;
+                    # P_8x8 + sub-partitions reject honestly
+                    if mb_type == 0:
+                        parts = [(0, 0, 4, 4, "16x16")]
+                    elif mb_type == 1:
+                        parts = [(0, 0, 4, 2, "16x8_top"),
+                                 (2, 0, 4, 2, "16x8_bottom")]
+                    elif mb_type == 2:
+                        parts = [(0, 0, 2, 4, "8x16_left"),
+                                 (0, 2, 2, 4, "8x16_right")]
+                    else:
+                        return None  # P_8x8 / P_8x8ref0: out of scope
+                    mvs = []
+                    for ry, rx, w4, h4, tag in parts:
+                        # single reference: ref_idx_l0 not present
+                        mvd_x = b.se()
+                        mvd_y = b.se()
+                        if abs(mvd_x) > (1 << 15) or abs(mvd_y) > (1 << 15):
+                            return None
+                        px, py = _mvp_for_partition(
+                            mv_x, mv_y, blk_ref, mb_slice, sid,
+                            by0 + ry, bx0 + rx, tag,
+                        )
+                        mvx, mvy = px + mvd_x, py + mvd_y
+                        mvs.append((ry, rx, w4, h4, mvx, mvy))
+                        # later partitions of this MB predict from
+                        # earlier ones: write through before the next
+                        mv_x[by0 + ry : by0 + ry + h4,
+                             bx0 + rx : bx0 + rx + w4] = mvx
+                        mv_y[by0 + ry : by0 + ry + h4,
+                             bx0 + rx : bx0 + rx + w4] = mvy
+                        blk_ref[by0 + ry : by0 + ry + h4,
+                                bx0 + rx : bx0 + rx + w4] = 0
+                    code_num = b.ue()
+                    if code_num > 47:
+                        return None
+                    cbp = _CBP_INTER[code_num]
+                    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                    if cbp_chroma == 3:
+                        return None
+                    if cbp:
+                        delta = b.se()
+                        if not -26 <= delta <= 25:
+                            return None
+                        qp = (qp + delta + 52) % 52
+                    luma_coeffs = []
+                    for z in range(16):
+                        r, c = _Z4_INV[z]
+                        by, bx = by0 + r, bx0 + c
+                        if cbp_luma & (1 << (z >> 2)):
+                            nc = n_ctx(luma_tc, by, bx, 4)
+                            coeffs, tc = _cavlc_decode_block(b, nc, 16)
+                        else:
+                            coeffs, tc = [0] * 16, 0
+                        luma_tc[by, bx] = tc
+                        luma_coeffs.append(coeffs)
+                    chroma_res = _parse_chroma_residual(
+                        b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx_chroma
+                    )
+                    if chroma_res is None:
+                        return None
+                    pred = np.zeros((16, 16), np.int64)
+                    pred_cb = np.zeros((8, 8), np.int64)
+                    pred_cr = np.zeros((8, 8), np.int64)
+                    for ry, rx, w4, h4, mvx, mvy in mvs:
+                        pred[ry * 4 : (ry + h4) * 4,
+                             rx * 4 : (rx + w4) * 4] = _mc_luma(
+                            ref_y, x0 + rx * 4, y0 + ry * 4,
+                            w4 * 4, h4 * 4, mvx, mvy,
+                        )
+                        pred_cb[ry * 2 : (ry + h4) * 2,
+                                rx * 2 : (rx + w4) * 2] = _mc_chroma(
+                            ref_cb, x0 // 2 + rx * 2, y0 // 2 + ry * 2,
+                            w4 * 2, h4 * 2, mvx, mvy,
+                        )
+                        pred_cr[ry * 2 : (ry + h4) * 2,
+                                rx * 2 : (rx + w4) * 2] = _mc_chroma(
+                            ref_cr, x0 // 2 + rx * 2, y0 // 2 + ry * 2,
+                            w4 * 2, h4 * 2, mvx, mvy,
+                        )
+                    for z in range(16):
+                        r, c = _Z4_INV[z]
+                        blk = np.zeros((4, 4), np.int64)
+                        zz = luma_coeffs[z]
+                        for k in range(16):
+                            blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = zz[k]
+                        sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                        y_plane[
+                            y0 + r * 4 : y0 + r * 4 + 4,
+                            x0 + c * 4 : x0 + c * 4 + 4,
+                        ] = _recon_block(sub, blk, qp)
+                    _recon_chroma(
+                        cb_plane, cr_plane, 0, chroma_res, qp,
+                        pps["chroma_qp_offset"], x0 // 2, y0 // 2,
+                        avail_l, avail_t, preds=(pred_cb, pred_cr),
+                    )
+                    mb_intra[my, mx] = False
+                    mb_qp[my, mx] = qp
+                    continue
+                mb_type -= 5  # intra-in-P: same syntax, offset by 5
             if mb_type > 25:
                 return None
 
@@ -1384,6 +1781,8 @@ def _decode_idr_picture(rbsps, sps_map, pps_map):
     _deblock_picture(
         y_plane, cb_plane, cr_plane, mb_qp, mb_pcm, mb_idc, mb_slice,
         mb_offa, mb_offb, pps["chroma_qp_offset"],
+        mb_intra=mb_intra, luma_tc=luma_tc, mv_x=mv_x, mv_y=mv_y,
+        blk_ref=blk_ref,
     )
     return y_plane, cb_plane, cr_plane, sps
 
@@ -1412,12 +1811,18 @@ def _parse_chroma_residual(b, cbp_chroma, cb_tc, cr_tc, cy0, cx0, n_ctx):
 
 
 def _recon_chroma(cb_plane, cr_plane, mode, res, qp_y, qp_off, cx, cy,
-                  avail_l, avail_t):
-    """Reconstruct both 8x8 chroma blocks of one MB."""
+                  avail_l, avail_t, preds=None):
+    """Reconstruct both 8x8 chroma blocks of one MB. ``preds`` (r14)
+    supplies motion-compensated predictions for inter macroblocks —
+    when given, ``mode``/availability are ignored and no intra
+    prediction is computed."""
     dc, ac = res
     qpc = _chroma_qp(qp_y, qp_off)
     for comp, plane in ((0, cb_plane), (1, cr_plane)):
-        pred = _pred_chroma(mode, plane, cx, cy, avail_l, avail_t)
+        if preds is not None:
+            pred = preds[comp]
+        else:
+            pred = _pred_chroma(mode, plane, cx, cy, avail_l, avail_t)
         # 2x2 DC hadamard + dequant (raster-scanned coefficients)
         d = dc[comp]
         f00 = d[0] + d[1] + d[2] + d[3]
@@ -1458,8 +1863,8 @@ def _h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
         if not nals:
             return None
         sps_map, pps_map = {}, {}
-        pictures = []  # list of [slice rbsp, ...]
-        for typ, _ref, rbsp in nals:
+        pictures = []  # list of (is_idr, nal_ref_idc, [slice rbsp, ...])
+        for typ, ref_idc, rbsp in nals:
             if typ == 7:
                 sps = _parse_sps(rbsp)
                 if sps is None:
@@ -1470,25 +1875,32 @@ def _h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
                 if pps is None:
                     return None
                 pps_map[pps["id"]] = pps
-            elif typ == 5:
+            elif typ in (1, 5):  # 5 = IDR; 1 = non-IDR (P subset, r14)
                 if _Bits(rbsp).ue() == 0:  # first_mb == 0: new picture
-                    pictures.append([rbsp])
-                elif pictures:
-                    pictures[-1].append(rbsp)
+                    pictures.append((typ == 5, ref_idc, [rbsp]))
+                elif pictures and pictures[-1][0] == (typ == 5):
+                    pictures[-1][2].append(rbsp)
                 else:
                     return None
-            elif typ == 1:
-                return None  # non-IDR (inter) slice: out of scope
             # SEI (6), AUD (9), filler (12), end-of-* (10/11): skipped
         frames = []
-        for idx, slices in enumerate(pictures):
+        ref = None  # last decoded reference picture (filtered planes)
+        have_inter = any(not p[0] for p in pictures)
+        for idx, (is_idr, ref_idc, slices) in enumerate(pictures):
             if 0 <= max_frames <= len(frames):
                 break
-            if idx % max(1, every_n):
-                continue  # skipped: no decode work at all
-            got = _decode_idr_picture(slices, sps_map, pps_map)
+            if idx % max(1, every_n) and not have_inter:
+                continue  # skipped intra picture: no decode work at all
+            got = _decode_picture(slices, sps_map, pps_map, is_idr, ref)
             if got is None:
                 return None
+            y, cb, cr, sps = got
+            if ref_idc != 0:
+                # reference pictures update the (single-entry) DPB;
+                # non-reference pictures are display-only
+                ref = (y, cb, cr)
+            if idx % max(1, every_n):
+                continue  # inter GOPs: decoded as a reference, not kept
             frames.append((idx, got))
         if not frames:
             return None
@@ -1611,14 +2023,18 @@ def _write_pps(init_qp, chroma_qp_offset=0, deblock_ctrl=True):
 def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
                 return_recon: bool = False, deblock: bool = False,
                 deblock_offsets=(0, 0), pps_deblock_ctrl: bool = True,
-                slices: int = 1, idc2: bool = False):
-    """Forward H.264 builder for fixtures/tests: all-IDR Annex B
-    stream over (h, w, 3) uint8 RGB frames (even dims), cycling
-    I_PCM / I_16x16 (all four prediction modes) / I_4x4 (all nine)
-    macroblocks with varying mb_qp_delta. ``deblock`` emits
-    disable_deblocking_filter_idc = 0 (+ the div2 alpha/beta offsets)
-    and runs the in-loop filter over the reconstruction. With
-    ``return_recon`` also returns the per-frame reconstructed
+                slices: int = 1, idc2: bool = False, gop: int = 1):
+    """Forward H.264 builder for fixtures/tests: Annex B stream over
+    (h, w, 3) uint8 RGB frames (even dims). With the default
+    ``gop=1`` every frame is an IDR picture cycling I_PCM / I_16x16
+    (all four prediction modes) / I_4x4 (all nine) macroblocks with
+    varying mb_qp_delta — byte-identical to the pre-r14 builder.
+    ``gop=N`` (r14, VERDICT r13 #7) makes every N-th frame an IDR and
+    the rest P pictures referencing the previous reconstruction (see
+    ``_encode_p_picture`` for the inter macroblock plan). ``deblock``
+    emits disable_deblocking_filter_idc = 0 (+ the div2 alpha/beta
+    offsets) and runs the in-loop filter over the reconstruction.
+    With ``return_recon`` also returns the per-frame reconstructed
     (y, cb, cr) planes (cropped) that a conformant decoder MUST
     reproduce bit-exactly. Not exported API."""
     f0 = frames_rgb[0]
@@ -1638,6 +2054,8 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
         8, 3, _write_pps(qp, chroma_qp_offset, deblock_ctrl=pps_deblock_ctrl)
     )
     recons = []
+    prev_planes = None  # full (uncropped) reference planes
+    frame_num = 0
     for fi, img in enumerate(frames_rgb):
         assert img.shape[:2] == (h, w)
         y_src, cb_src, cr_src = _rgb_to_yuv420(img.astype(np.uint8))
@@ -1648,13 +2066,25 @@ def _h264_build(frames_rgb, qp: int = 28, chroma_qp_offset: int = 0,
         cr_src = np.pad(
             cr_src, ((0, (H - h) // 2), (0, (W - w) // 2)), mode="edge"
         )
-        rbsps, planes = _encode_idr_picture(
-            y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset, fi,
-            deblock=deblock, deblock_offsets=deblock_offsets,
-            write_idc=pps_deblock_ctrl, n_slices=slices, idc2=idc2,
-        )
+        is_idr = gop <= 1 or fi % gop == 0
+        if is_idr:
+            frame_num = 0
+            rbsps, planes = _encode_idr_picture(
+                y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset, fi,
+                deblock=deblock, deblock_offsets=deblock_offsets,
+                write_idc=pps_deblock_ctrl, n_slices=slices, idc2=idc2,
+            )
+        else:
+            frame_num += 1
+            rbsps, planes = _encode_p_picture(
+                y_src, cb_src, cr_src, mb_w, mb_h, qp, chroma_qp_offset,
+                frame_num, fi, prev_planes,
+                deblock=deblock, deblock_offsets=deblock_offsets,
+                write_idc=pps_deblock_ctrl, n_slices=slices, idc2=idc2,
+            )
         for rbsp in rbsps:
-            out += _wrap_nal(5, 3, rbsp)
+            out += _wrap_nal(5 if is_idr else 1, 3, rbsp)
+        prev_planes = planes
         if return_recon:
             yp, cbp_, crp = planes
             recons.append(
@@ -1978,15 +2408,358 @@ def _encode_idr_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
     return rbsps, (y_rec, cb_rec, cr_rec)
 
 
+def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
+                      chroma_qp_offset, frame_num, frame_idx, ref_planes,
+                      deblock=False, deblock_offsets=(0, 0),
+                      write_idc=True, n_slices=1, idc2=False):
+    """Encode one P picture (r14, VERDICT r13 #7) as ``n_slices``
+    contiguous P-slices; returns ([slice rbsp, ...], recon planes).
+
+    The deterministic per-macroblock plan cycles P_Skip, zero-MV
+    P_16x16, P_16x16 over every quarter-pel fractional position,
+    out-of-frame MVs (edge-clamp path), P_16x8 and P_8x16 partitions
+    (their directional MV-predictor rules), I_16x16 intra-in-P (the
+    mb_type + 5 offset and the intra-neighbour MV/bS interactions),
+    and qp-delta carrying macroblocks — so one GOP exercises the MC
+    interpolator, the MV predictor, the skip-run syntax and every
+    inter deblock bS value. Motion search is NOT the point (any MV is
+    a valid encode); the pin is that the decoder reproduces this
+    reconstruction bit for bit. Prediction/MC/MVP code is shared with
+    the decoder — it is the format, like the intra predictors; the
+    entropy writer, forward transforms and bookkeeping are this
+    side's own."""
+    W, H = mb_w * 16, mb_h * 16
+    total = mb_w * mb_h
+    n_slices = max(1, min(n_slices, total))
+    bounds = [total * k // n_slices for k in range(n_slices + 1)]
+    ref_y, ref_cb, ref_cr = ref_planes
+
+    y_rec = np.zeros((H, W), np.uint8)
+    cb_rec = np.zeros((H // 2, W // 2), np.uint8)
+    cr_rec = np.zeros((H // 2, W // 2), np.uint8)
+    luma_tc = np.zeros((mb_h * 4, mb_w * 4), np.int16)
+    cb_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
+    cr_tc = np.zeros((mb_h * 2, mb_w * 2), np.int16)
+    i4_modes = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+    mb_qp = np.zeros((mb_h, mb_w), np.int16)
+    mb_pcm = np.zeros((mb_h, mb_w), bool)
+    mb_slice = np.full((mb_h, mb_w), -1, np.int32)
+    mb_idc = np.zeros((mb_h, mb_w), np.int16)
+    mb_offa = np.zeros((mb_h, mb_w), np.int16)
+    mb_offb = np.zeros((mb_h, mb_w), np.int16)
+    mv_x = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+    mv_y = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+    blk_ref = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
+    mb_intra = np.ones((mb_h, mb_w), bool)
+    eff_idc = ((2 if idc2 else 0) if deblock else 1) if write_idc else 0
+
+    rbsps = []
+    for sid in range(n_slices):
+        w = _BitW()
+        w.ue(bounds[sid])  # first_mb_in_slice
+        w.ue(5)  # slice_type: P (all slices in picture)
+        w.ue(0)  # pic_parameter_set_id
+        w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num == 4)
+        w.u(0, 1)  # num_ref_idx_active_override_flag
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+        w.se(0)  # slice_qp_delta
+        if write_idc:
+            if deblock:
+                w.ue(2 if idc2 else 0)
+                w.se(deblock_offsets[0])
+                w.se(deblock_offsets[1])
+            else:
+                w.ue(1)  # filter off
+
+        def n_ctx(tc_arr, by, bx, gran):
+            na = nb = None
+            if bx > 0 and mb_slice[by // gran, (bx - 1) // gran] == sid:
+                na = int(tc_arr[by, bx - 1])
+            if by > 0 and mb_slice[(by - 1) // gran, bx // gran] == sid:
+                nb = int(tc_arr[by - 1, bx])
+            if na is not None and nb is not None:
+                return (na + nb + 1) >> 1
+            if na is not None:
+                return na
+            if nb is not None:
+                return nb
+            return 0
+
+        def n_ctx_chroma(tc_arr, by, bx):
+            return n_ctx(tc_arr, by, bx, 2)
+
+        qp = slice_qp
+        skip_run = 0
+        for mb in range(bounds[sid], bounds[sid + 1]):
+            my, mx = divmod(mb, mb_w)
+            mb_slice[my, mx] = sid
+            mb_idc[my, mx] = eff_idc
+            mb_offa[my, mx] = 2 * deblock_offsets[0]
+            mb_offb[my, mx] = 2 * deblock_offsets[1]
+            x0, y0 = mx * 16, my * 16
+            bx0, by0 = mx * 4, my * 4
+            cx0, cy0 = mx * 2, my * 2
+            avail_l = mx > 0 and mb_slice[my, mx - 1] == sid
+            avail_t = my > 0 and mb_slice[my - 1, mx] == sid
+            sel = (mx + 2 * my + 3 * frame_idx) % 8
+            desired_qp = min(46, max(10, slice_qp + ((mb * 7) % 5) - 2))
+
+            def mc_recon_16x16(mvx, mvy):
+                return (
+                    _mc_luma(ref_y, x0, y0, 16, 16, mvx, mvy),
+                    _mc_chroma(ref_cb, x0 // 2, y0 // 2, 8, 8, mvx, mvy),
+                    _mc_chroma(ref_cr, x0 // 2, y0 // 2, 8, 8, mvx, mvy),
+                )
+
+            if sel == 0:  # P_Skip
+                mvx, mvy = _skip_mv(
+                    mv_x, mv_y, blk_ref, mb_slice, sid, by0, bx0
+                )
+                py_, pcb, pcr = mc_recon_16x16(mvx, mvy)
+                y_rec[y0 : y0 + 16, x0 : x0 + 16] = py_.astype(np.uint8)
+                cb_rec[cy0 * 4 : cy0 * 4 + 8, cx0 * 4 : cx0 * 4 + 8] = (
+                    pcb.astype(np.uint8)
+                )
+                cr_rec[cy0 * 4 : cy0 * 4 + 8, cx0 * 4 : cx0 * 4 + 8] = (
+                    pcr.astype(np.uint8)
+                )
+                mv_x[by0 : by0 + 4, bx0 : bx0 + 4] = mvx
+                mv_y[by0 : by0 + 4, bx0 : bx0 + 4] = mvy
+                blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+                mb_intra[my, mx] = False
+                mb_qp[my, mx] = qp
+                skip_run += 1
+                continue
+
+            if sel == 6:  # I_16x16 intra-in-P (DC / availability-gated)
+                w.ue(skip_run)
+                skip_run = 0
+                want = 2  # DC: always legal
+                new_qp = desired_qp
+                qpc = _chroma_qp(new_qp, chroma_qp_offset)
+                pred = _pred16x16(want, y_rec, x0, y0, avail_l, avail_t)
+                dcm = np.zeros((4, 4), np.int64)
+                ac_z = [None] * 16
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    orig = y_src[
+                        y0 + r * 4 : y0 + r * 4 + 4,
+                        x0 + c * 4 : x0 + c * 4 + 4,
+                    ].astype(np.int64)
+                    res = orig - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    wm = _fwd_core(res)
+                    dcm[r, c] = wm[0, 0]
+                    ac_z[z] = _zigzag_list(
+                        _quant4x4(wm, new_qp, skip_dc=True), skip_dc=True
+                    )
+                cbp_luma = (
+                    15 if any(any(v for v in zz) for zz in ac_z) else 0
+                )
+                f = _HAD4 @ dcm @ _HAD4
+                z_dc = _quant_dc(f, new_qp)
+                cres = _encode_chroma_blocks(
+                    cb_src, cr_src, cb_rec, cr_rec, 0, x0 // 2, y0 // 2,
+                    avail_l, avail_t, qpc,
+                )
+                cbp_chroma, dc_q, ac_q = cres
+                m = want + 4 * cbp_chroma + (12 if cbp_luma else 0)
+                w.ue(5 + 1 + m)  # intra mb_type offset by 5 in P slices
+                w.ue(0)  # intra_chroma_pred_mode: DC
+                w.se(new_qp - qp)
+                qp = new_qp
+                nc = n_ctx(luma_tc, by0, bx0, 4)
+                _cavlc_encode_block(w, _zigzag_list(z_dc), nc, 16)
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    by, bx = by0 + r, bx0 + c
+                    if cbp_luma:
+                        nc = n_ctx(luma_tc, by, bx, 4)
+                        tc = _cavlc_encode_block(w, ac_z[z], nc, 15)
+                    else:
+                        tc = 0
+                    luma_tc[by, bx] = tc
+                _write_chroma_residual(
+                    w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0,
+                    n_ctx_chroma,
+                )
+                i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+                f_rec = _HAD4 @ z_dc @ _HAD4
+                dc_deq = _luma_dc_dequant(f_rec, qp)
+                for z in range(16):
+                    r, c = _Z4_INV[z]
+                    blk = np.zeros((4, 4), np.int64)
+                    for k in range(15):
+                        blk[_ZIGZAG[k + 1] >> 2, _ZIGZAG[k + 1] & 3] = (
+                            ac_z[z][k]
+                        )
+                    sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    y_rec[
+                        y0 + r * 4 : y0 + r * 4 + 4,
+                        x0 + c * 4 : x0 + c * 4 + 4,
+                    ] = _recon_block(
+                        sub, blk, qp, dc_override=int(dc_deq[r, c])
+                    )
+                _recon_chroma(
+                    cb_rec, cr_rec, 0, (dc_q, ac_q), qp,
+                    chroma_qp_offset, x0 // 2, y0 // 2, avail_l, avail_t,
+                )
+                # intra MB: blocks stay ref -1 / zero MV for neighbours
+                mv_x[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+                mv_y[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+                blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+                mb_intra[my, mx] = True
+                mb_qp[my, mx] = qp
+                continue
+
+            # inter macroblock: pick partitions + deterministic MVs
+            w.ue(skip_run)
+            skip_run = 0
+            if sel == 4:
+                mb_type = 1  # P_16x8
+                parts = [(0, 0, 4, 2, "16x8_top"), (2, 0, 4, 2, "16x8_bottom")]
+            elif sel == 5:
+                mb_type = 2  # P_8x16
+                parts = [(0, 0, 2, 4, "8x16_left"), (0, 2, 2, 4, "8x16_right")]
+            else:
+                mb_type = 0  # P_L0_16x16
+                parts = [(0, 0, 4, 4, "16x16")]
+            new_qp = desired_qp if sel == 7 else qp
+            mv_plan = []
+            for pi, (ry, rx, w4, h4, tag) in enumerate(parts):
+                if sel == 1:
+                    mvx = mvy = 0
+                elif sel == 3:
+                    # large / out-of-frame MVs: exercise edge clamping
+                    mvx = (-64 - 4 * (mb % 5)) if mx == 0 else 64 + 4 * (
+                        (mb + pi) % 7
+                    )
+                    mvy = (-48 - 4 * (my % 3)) if my == 0 else 40
+                else:
+                    # cycle all 16 quarter-pel fractional positions
+                    base = mb * 5 + frame_idx * 7 + pi * 3
+                    mvx = ((base % 13) - 6) * 4 + (base % 4)
+                    mvy = (((base // 2) % 11) - 5) * 4 + ((base + 1) % 4)
+                mv_plan.append((ry, rx, w4, h4, tag, mvx, mvy))
+            # write partitions: mvd against the shared predictor; the
+            # write-through order matters (later partitions predict
+            # from earlier ones)
+            w.ue(mb_type)
+            pred = np.zeros((16, 16), np.int64)
+            pred_cb = np.zeros((8, 8), np.int64)
+            pred_cr = np.zeros((8, 8), np.int64)
+            for ry, rx, w4, h4, tag, mvx, mvy in mv_plan:
+                px, py = _mvp_for_partition(
+                    mv_x, mv_y, blk_ref, mb_slice, sid, by0 + ry, bx0 + rx,
+                    tag,
+                )
+                w.se(mvx - px)
+                w.se(mvy - py)
+                mv_x[by0 + ry : by0 + ry + h4,
+                     bx0 + rx : bx0 + rx + w4] = mvx
+                mv_y[by0 + ry : by0 + ry + h4,
+                     bx0 + rx : bx0 + rx + w4] = mvy
+                blk_ref[by0 + ry : by0 + ry + h4,
+                        bx0 + rx : bx0 + rx + w4] = 0
+                pred[ry * 4 : (ry + h4) * 4, rx * 4 : (rx + w4) * 4] = (
+                    _mc_luma(ref_y, x0 + rx * 4, y0 + ry * 4,
+                             w4 * 4, h4 * 4, mvx, mvy)
+                )
+                pred_cb[ry * 2 : (ry + h4) * 2, rx * 2 : (rx + w4) * 2] = (
+                    _mc_chroma(ref_cb, x0 // 2 + rx * 2, y0 // 2 + ry * 2,
+                               w4 * 2, h4 * 2, mvx, mvy)
+                )
+                pred_cr[ry * 2 : (ry + h4) * 2, rx * 2 : (rx + w4) * 2] = (
+                    _mc_chroma(ref_cr, x0 // 2 + rx * 2, y0 // 2 + ry * 2,
+                               w4 * 2, h4 * 2, mvx, mvy)
+                )
+            # forward-transform the residual at new_qp (inter rounding)
+            ac_z = [None] * 16
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                orig = y_src[
+                    y0 + r * 4 : y0 + r * 4 + 4,
+                    x0 + c * 4 : x0 + c * 4 + 4,
+                ].astype(np.int64)
+                res = orig - pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                ac_z[z] = _zigzag_list(
+                    _quant4x4(_fwd_core(res), new_qp, intra=False)
+                )
+            cbp_luma = 0
+            for z in range(16):
+                if any(ac_z[z]):
+                    cbp_luma |= 1 << (z >> 2)
+            qpc = _chroma_qp(new_qp, chroma_qp_offset)
+            cres = _encode_chroma_blocks(
+                cb_src, cr_src, cb_rec, cr_rec, 0, x0 // 2, y0 // 2,
+                avail_l, avail_t, qpc, preds=(pred_cb, pred_cr),
+            )
+            cbp_chroma, dc_q, ac_q = cres
+            cbp = cbp_luma | (cbp_chroma << 4)
+            w.ue(_CBP_INTER_INV[cbp])
+            if cbp:
+                w.se(new_qp - qp)
+                qp = new_qp
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                by, bx = by0 + r, bx0 + c
+                if cbp_luma & (1 << (z >> 2)):
+                    nc = n_ctx(luma_tc, by, bx, 4)
+                    tc = _cavlc_encode_block(w, ac_z[z], nc, 16)
+                else:
+                    tc = 0
+                luma_tc[by, bx] = tc
+            _write_chroma_residual(
+                w, cbp_chroma, dc_q, ac_q, cb_tc, cr_tc, cy0, cx0,
+                n_ctx_chroma,
+            )
+            # reconstruct exactly as the decoder will
+            for z in range(16):
+                r, c = _Z4_INV[z]
+                blk = np.zeros((4, 4), np.int64)
+                for k in range(16):
+                    blk[_ZIGZAG[k] >> 2, _ZIGZAG[k] & 3] = ac_z[z][k]
+                sub = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                y_rec[
+                    y0 + r * 4 : y0 + r * 4 + 4,
+                    x0 + c * 4 : x0 + c * 4 + 4,
+                ] = _recon_block(sub, blk, qp)
+            _recon_chroma(
+                cb_rec, cr_rec, 0, (dc_q, ac_q), qp, chroma_qp_offset,
+                x0 // 2, y0 // 2, avail_l, avail_t,
+                preds=(pred_cb, pred_cr),
+            )
+            i4_modes[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+            mb_intra[my, mx] = False
+            mb_qp[my, mx] = qp
+
+        if skip_run:
+            w.ue(skip_run)  # trailing skipped macroblocks
+        w.rbsp_trailing()
+        rbsps.append(w.getvalue())
+
+    _deblock_picture(
+        y_rec, cb_rec, cr_rec, mb_qp, mb_pcm, mb_idc, mb_slice,
+        mb_offa, mb_offb, chroma_qp_offset,
+        mb_intra=mb_intra, luma_tc=luma_tc, mv_x=mv_x, mv_y=mv_y,
+        blk_ref=blk_ref,
+    )
+    return rbsps, (y_rec, cb_rec, cr_rec)
+
+
 def _encode_chroma_blocks(cb_src, cr_src, cb_rec, cr_rec, mode, cx, cy,
-                          avail_l, avail_t, qpc):
-    """Forward-transform both chroma 8x8s -> (cbp_chroma, dc_q, ac_q)."""
+                          avail_l, avail_t, qpc, preds=None):
+    """Forward-transform both chroma 8x8s -> (cbp_chroma, dc_q, ac_q).
+    ``preds`` (r14) supplies MC predictions for inter macroblocks."""
     dc_q = {0: [0] * 4, 1: [0] * 4}
     ac_q = {0: [[0] * 15 for _ in range(4)], 1: [[0] * 15 for _ in range(4)]}
     any_ac = False
     any_dc = False
     for comp, (src, rec) in enumerate(((cb_src, cb_rec), (cr_src, cr_rec))):
-        pred = _pred_chroma(mode, rec, cx, cy, avail_l, avail_t)
+        if preds is not None:
+            pred = preds[comp]
+        else:
+            pred = _pred_chroma(mode, rec, cx, cy, avail_l, avail_t)
         dcm = np.zeros((2, 2), np.int64)
         for z in range(4):
             r, c = z >> 1, z & 1
@@ -2154,19 +2927,54 @@ def _deblock_edge(plane, x, y, n_lines, vertical, bs, index_a, index_b,
 
 def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
                      mb_idc, mb_slice, mb_offa, mb_offb,
-                     chroma_qp_offset):
-    """In-place loop filter over the whole all-intra picture, MB by
-    MB in raster order: vertical edges left-to-right, then horizontal
-    edges top-to-bottom (8.7's order — later edges read already-
-    filtered samples). All mb_* inputs are (mb_h, mb_w) arrays; each
-    macroblock filters under ITS slice's idc and alpha/beta offsets:
-    idc 1 skips the MB entirely, idc 2 skips macroblock edges whose
-    neighbour lies in a different slice. I_PCM macroblocks filter as
-    QP 0 (8.7.2)."""
+                     chroma_qp_offset, mb_intra=None, luma_tc=None,
+                     mv_x=None, mv_y=None, blk_ref=None):
+    """In-place loop filter over the whole picture, MB by MB in raster
+    order: vertical edges left-to-right, then horizontal edges
+    top-to-bottom (8.7's order — later edges read already-filtered
+    samples). All mb_* inputs are (mb_h, mb_w) arrays; each macroblock
+    filters under ITS slice's idc and alpha/beta offsets: idc 1 skips
+    the MB entirely, idc 2 skips macroblock edges whose neighbour lies
+    in a different slice. I_PCM macroblocks filter as QP 0 (8.7.2).
+
+    With inter pictures (r14) bS follows 8.7.2.1 per 4-sample edge
+    segment: 4 on intra macroblock edges, 3 on intra internal edges,
+    2 when either adjacent 4x4 luma block has non-zero coefficients,
+    1 on a quarter-pel MV difference >= 4 in either component, else 0
+    (segment unfiltered). Chroma edge segments reuse the co-located
+    luma segment's bS. When the inter inputs are omitted (the
+    all-intra callers) every MB is intra and the historic constant
+    4/3 behaviour — bit-identical output — falls out of the same
+    rule."""
     mb_h, mb_w = mb_qp.shape
+    if mb_intra is None:
+        mb_intra = np.ones((mb_h, mb_w), bool)
+    if luma_tc is None:
+        luma_tc = np.zeros((mb_h * 4, mb_w * 4), np.int16)
+    if mv_x is None:
+        mv_x = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        mv_y = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        blk_ref = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
 
     def qp_of(my, mx):
         return 0 if mb_pcm[my, mx] else int(mb_qp[my, mx])
+
+    def seg_bs(p_by, p_bx, q_by, q_bx, mb_edge):
+        if (
+            mb_intra[p_by // 4, p_bx // 4]
+            or mb_intra[q_by // 4, q_bx // 4]
+        ):
+            return 4 if mb_edge else 3
+        if luma_tc[p_by, p_bx] > 0 or luma_tc[q_by, q_bx] > 0:
+            return 2
+        if blk_ref[p_by, p_bx] != blk_ref[q_by, q_bx]:
+            return 1
+        if (
+            abs(int(mv_x[p_by, p_bx]) - int(mv_x[q_by, q_bx])) >= 4
+            or abs(int(mv_y[p_by, p_bx]) - int(mv_y[q_by, q_bx])) >= 4
+        ):
+            return 1
+        return 0
 
     for my in range(mb_h):
         for mx in range(mb_w):
@@ -2176,6 +2984,7 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
             off_a = int(mb_offa[my, mx])
             off_b = int(mb_offb[my, mx])
             x0, y0 = mx * 16, my * 16
+            by0, bx0 = my * 4, mx * 4
             qp_cur = qp_of(my, mx)
             for vertical in (True, False):
                 for e in range(4):
@@ -2188,34 +2997,66 @@ def _deblock_picture(y_plane, cb_plane, cr_plane, mb_qp, mb_pcm,
                         if idc == 2 and mb_slice[ny, nx] != mb_slice[my, mx]:
                             continue  # slice-boundary edge, idc 2
                         qp_nb = qp_of(ny, nx)
-                        bs = 4
+                        mb_edge = True
                     else:
                         qp_nb = qp_cur
-                        bs = 3
+                        mb_edge = False
+                    # per-4x4-segment bS along the 16-sample edge
+                    seg = []
+                    for s in range(4):
+                        if vertical:
+                            q_by, q_bx = by0 + s, bx0 + e
+                            p_by, p_bx = q_by, q_bx - 1
+                        else:
+                            q_by, q_bx = by0 + e, bx0 + s
+                            p_by, p_bx = q_by - 1, q_bx
+                        seg.append(seg_bs(p_by, p_bx, q_by, q_bx, mb_edge))
                     qpav = (qp_cur + qp_nb + 1) >> 1
                     ia = min(51, max(0, qpav + off_a))
                     ib = min(51, max(0, qpav + off_b))
-                    if vertical:
-                        _deblock_edge(y_plane, x0 + 4 * e, y0, 16, True,
-                                      bs, ia, ib, False)
-                    else:
-                        _deblock_edge(y_plane, x0, y0 + 4 * e, 16, False,
-                                      bs, ia, ib, False)
-                    if e in (0, 2):  # chroma edges at luma offsets 0 and 8
-                        qc = (
-                            _chroma_qp(qp_cur, chroma_qp_offset)
-                            + _chroma_qp(qp_nb, chroma_qp_offset)
-                            + 1
-                        ) >> 1
-                        ia_c = min(51, max(0, qc + off_a))
-                        ib_c = min(51, max(0, qc + off_b))
-                        for pl in (cb_plane, cr_plane):
+                    qc = (
+                        _chroma_qp(qp_cur, chroma_qp_offset)
+                        + _chroma_qp(qp_nb, chroma_qp_offset)
+                        + 1
+                    ) >> 1
+                    ia_c = min(51, max(0, qc + off_a))
+                    ib_c = min(51, max(0, qc + off_b))
+                    # group consecutive equal-bS segments (one call for
+                    # the constant all-intra case — identical to r13)
+                    s = 0
+                    while s < 4:
+                        t = s
+                        while t < 4 and seg[t] == seg[s]:
+                            t += 1
+                        bs = seg[s]
+                        if bs > 0:
+                            n = (t - s) * 4
                             if vertical:
-                                _deblock_edge(pl, x0 // 2 + 2 * e, y0 // 2,
-                                              8, True, bs, ia_c, ib_c, True)
+                                _deblock_edge(
+                                    y_plane, x0 + 4 * e, y0 + 4 * s, n,
+                                    True, bs, ia, ib, False,
+                                )
                             else:
-                                _deblock_edge(pl, x0 // 2, y0 // 2 + 2 * e,
-                                              8, False, bs, ia_c, ib_c, True)
+                                _deblock_edge(
+                                    y_plane, x0 + 4 * s, y0 + 4 * e, n,
+                                    False, bs, ia, ib, False,
+                                )
+                            if e in (0, 2):  # chroma edges: luma 0 and 8
+                                nc_ = (t - s) * 2
+                                for pl in (cb_plane, cr_plane):
+                                    if vertical:
+                                        _deblock_edge(
+                                            pl, x0 // 2 + 2 * e,
+                                            y0 // 2 + 2 * s, nc_, True,
+                                            bs, ia_c, ib_c, True,
+                                        )
+                                    else:
+                                        _deblock_edge(
+                                            pl, x0 // 2 + 2 * s,
+                                            y0 // 2 + 2 * e, nc_, False,
+                                            bs, ia_c, ib_c, True,
+                                        )
+                        s = t
 
 
 # ---------------------------------------------------------------------------
@@ -2369,10 +3210,13 @@ def _parse_stbl(payload: bytes, stbl):
 def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
     """REAL H.264-in-MP4 decode -> [(sample_index, w, h, rgb bytes)]
     or None: avc1 track demux (length-prefixed NALs, avcC parameter
-    sets) feeding the same intra/IDR slice decoder as the Annex B
-    path. Non-intra samples (any slice NAL that is not IDR) return
-    None — honest rejection; skipped samples (every_n) cost nothing
-    but the sample-table walk."""
+    sets) feeding the same slice decoder as the Annex B path — IDR/I
+    pictures and (r14) the single-reference P subset; other inter
+    shapes reject honestly inside ``_parse_slice_header``. When the
+    track is all-intra, skipped samples (every_n) cost nothing but
+    the sample-table walk; with inter samples present every picture
+    must still decode as a potential reference and the sampling only
+    bounds the RGB conversion + output."""
     try:
         track = _mp4_avc_track(payload)
         if track is None:
@@ -2393,14 +3237,11 @@ def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
             if pps is None:
                 return None
             pps_map[pps["id"]] = pps
-        out = []
-        for idx, (lo, hi) in enumerate(ranges):
-            if 0 <= max_frames <= len(out):
-                break
-            if idx % max(1, every_n):
-                continue
+
+        def sample_nals(lo, hi):
+            """[(typ, ref_idc, rbsp), ...] of one sample or None."""
             pos = lo
-            slices = []  # a sample is one picture; it may be multi-slice
+            nals = []
             while pos + nal_len <= hi:
                 ln = int.from_bytes(payload[pos : pos + nal_len], "big")
                 pos += nal_len
@@ -2408,13 +3249,38 @@ def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
                     return None
                 nal = payload[pos : pos + ln]
                 pos += ln
-                typ = nal[0] & 0x1F
                 if nal[0] & 0x80:
                     return None
-                if typ == 5:
+                nals.append((nal[0] & 0x1F, (nal[0] >> 5) & 3, nal))
+            return nals
+
+        # an inter sample anywhere forces reference decoding of all
+        have_inter = False
+        parsed = []
+        for lo, hi in ranges:
+            nals = sample_nals(lo, hi)
+            if nals is None:
+                return None
+            if any(t == 1 for t, _r, _n in nals):
+                have_inter = True
+            parsed.append(nals)
+        out = []
+        ref = None
+        for idx, nals in enumerate(parsed):
+            if 0 <= max_frames <= len(out):
+                break
+            if idx % max(1, every_n) and not have_inter:
+                continue
+            slices = []
+            is_idr = None
+            ref_idc = 3
+            for typ, ridc, nal in nals:
+                if typ in (1, 5):
+                    if is_idr is None:
+                        is_idr, ref_idc = typ == 5, ridc
+                    elif is_idr != (typ == 5):
+                        return None  # mixed NAL types in one sample
                     slices.append(_ebsp_to_rbsp(nal[1:]))
-                elif typ == 1:
-                    return None  # inter sample: out of scope
                 elif typ == 7:
                     sps = _parse_sps(_ebsp_to_rbsp(nal[1:]))
                     if sps is None:
@@ -2428,10 +3294,15 @@ def _mp4_h264_frames(payload: bytes, max_frames: int = -1, every_n: int = 1):
                 # SEI/AUD/filler: skip
             if not slices:
                 return None
-            decoded = _decode_idr_picture(slices, sps_map, pps_map)
+            decoded = _decode_picture(slices, sps_map, pps_map, is_idr, ref)
             if decoded is None:
                 return None
-            out.append((idx, *_planes_to_rgb(*decoded)))
+            y, cb, cr, sps = decoded
+            if ref_idc != 0:
+                ref = (y, cb, cr)
+            if idx % max(1, every_n):
+                continue
+            out.append((idx, *_planes_to_rgb(y, cb, cr, sps)))
         return out or None
     except (EOFError, ValueError, IndexError, struct.error, OverflowError):
         return None
@@ -2464,7 +3335,7 @@ def _mp4_avc_build(frames_rgb, qp: int = 28, fps: int = 25, **enc_kw):
             sps_raw = raw
         elif typ == 8:
             pps_raw = raw
-        elif typ == 5:
+        elif typ in (1, 5):  # IDR or (r14) P slices
             framed = struct.pack(">I", len(raw)) + raw
             if _Bits(rbsp).ue() == 0:  # first_mb == 0: new picture
                 samples.append(framed)

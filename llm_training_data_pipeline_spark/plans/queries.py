@@ -296,6 +296,10 @@ _CHANGED_IN_ROUND.update(
         "audio_decode_stats": 14,
         # r14: TTML/DFXP joins the caption family
         "ttml_cues_parse": 14,
+        # r14: the H.264/MP4 fixtures now include IDR+P GOP clips
+        # (P-slice decode, VERDICT r13 #7) — row values shift
+        "h264_frame_stats": 14,
+        "mp4_frame_stats": 14,
     }
 )
 
@@ -1946,17 +1950,19 @@ def q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("h264_frame_stats", None)
 def q_h264_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VIDEO family's third REAL frame path and first COMPRESSED
-    inter-frame-free codec (r13, VERDICT r12 missing #2): H.264
-    intra/IDR Annex B streams — NAL framing, exp-Golomb parameter
-    sets, CAVLC entropy decode, all intra prediction modes, the 4x4
-    integer transform stack (operators/h264.py) — every-2nd-frame
-    sampling (each picture is an independent IDR, so skipped frames
-    cost one NAL scan and no decode), then per-(clip, frame) exact
-    integer pixel stats via the composite-id trick shared with
-    mjpeg_frame_stats. Rows-only check (binary self-contained
-    fixture); decoder pinned BIT-EXACT against the independent
-    forward _h264_build in tests/test_h264.py
-    (multimodal.sample_h264_frames + image_pixel_stats)."""
+    codec (r13; r14 adds P slices, VERDICT r13 #7): H.264 Annex B
+    streams — NAL framing, exp-Golomb parameter sets, CAVLC entropy
+    decode, all intra prediction modes, quarter-pel motion
+    compensation with P_Skip/16x8/8x16 partitions, the 4x4 integer
+    transform stack (operators/h264.py) — every-2nd-frame sampling
+    (all-IDR clips skip decode entirely; IDR+P GOP clips decode every
+    picture as a reference and sample the output — the honest
+    inter-GOP cost model), then per-(clip, frame) exact integer pixel
+    stats via the composite-id trick shared with mjpeg_frame_stats.
+    Rows-only check (binary self-contained fixture); decoder pinned
+    BIT-EXACT against the independent forward _h264_build in
+    tests/test_h264.py (multimodal.sample_h264_frames +
+    image_pixel_stats)."""
     from llm_training_data_pipeline_spark.operators.multimodal import (
         image_pixel_stats,
         sample_h264_frames,
@@ -1981,12 +1987,13 @@ def q_h264_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mp4_frame_stats", None)
 def q_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H.264-in-MP4 — the container most real-world H.264 travels in
-    (r13): ISO-BMFF avc1 demux (avcC parameter sets, stsz/stsc/stco
-    sample tables, length-prefixed NALs) feeding the same intra/IDR
-    decoder as h264_frame_stats, every-2nd-sample sampling, then
-    per-(clip, frame) exact integer pixel stats. This is the REAL
-    path that retires sample_frames_stub's md5 buffers for intra AVC
-    tracks. Rows-only check (binary self-contained fixture); demux +
+    (r13; r14 adds IDR+P GOP samples): ISO-BMFF avc1 demux (avcC
+    parameter sets, stsz/stsc/stco sample tables, length-prefixed
+    NALs) feeding the same decoder as h264_frame_stats,
+    every-2nd-sample sampling, then per-(clip, frame) exact integer
+    pixel stats. This is the REAL path that retires
+    sample_frames_stub's md5 buffers for intra and single-reference-P
+    AVC tracks. Rows-only check (binary self-contained fixture); demux +
     decode pinned against the independent forward _mp4_avc_build /
     _h264_build in tests/test_h264.py (multimodal.sample_mp4_frames +
     image_pixel_stats)."""

@@ -573,3 +573,373 @@ def test_sample_h264_frames_spark_surface(spark):
     # 6 clips with 2 + (i % 3) frames, every 2nd kept
     expect = sum((2 + (i % 3) + 1) // 2 for i in range(6))
     assert len(rows) == expect
+
+
+# ---------------------------------------------------------------------------
+# P slices (r14, VERDICT r13 #7)
+# ---------------------------------------------------------------------------
+
+
+def _decode_gop_planes(stream):
+    """Decode a GOP stream at plane level, threading the reference."""
+    nals = h264._split_nals(stream)
+    sps_map, pps_map, pics = {}, {}, []
+    for typ, _ref, rbsp in nals:
+        if typ == 7:
+            sps = h264._parse_sps(rbsp)
+            sps_map[sps["id"]] = sps
+        elif typ == 8:
+            pps = h264._parse_pps(rbsp)
+            pps_map[pps["id"]] = pps
+        elif typ in (1, 5):
+            if h264._Bits(rbsp).ue() == 0:
+                pics.append((typ == 5, [rbsp]))
+            else:
+                pics[-1][1].append(rbsp)
+    out, ref = [], None
+    for is_idr, slices in pics:
+        got = h264._decode_picture(slices, sps_map, pps_map, is_idr, ref)
+        assert got is not None
+        y, cb, cr, sps = got
+        ref = (y, cb, cr)
+        out.append(got)
+    return out
+
+
+def _gop_frames(dims, n=6, seed=11):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (*dims, 3)).astype(np.uint8)
+    return [
+        np.clip(
+            np.roll(base, (i, 2 * i), axis=(0, 1)).astype(np.int32)
+            + rng.randint(-5, 6, (*dims, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("dims", [(48, 64), (32, 48), (18, 34)])
+@pytest.mark.parametrize("kw", [
+    dict(gop=6, qp=30),
+    dict(gop=6, qp=20, deblock=True),
+    dict(gop=3, qp=35, deblock=True, deblock_offsets=(2, -1)),
+    dict(gop=6, qp=28, slices=3),
+    dict(gop=6, qp=28, slices=2, deblock=True, idc2=True),
+    dict(gop=6, qp=24, chroma_qp_offset=3, deblock=True),
+])
+def test_p_gop_matrix_bit_exact(dims, kw):
+    """The r14 inter pin: IDR + P GOPs across dims, QPs, deblocking
+    (inter bS segments), multi-slice and idc2 — the decoder must
+    reproduce the forward encoder's reconstruction BIT-EXACTLY. The
+    encoder plan cycles P_Skip / zero-MV / all 16 quarter-pel
+    fractional positions / out-of-frame MVs / 16x8 / 8x16 /
+    intra-in-P / qp-delta macroblocks."""
+    frames = _gop_frames(dims)
+    payload, recons = h264._h264_build(frames, return_recon=True, **kw)
+    pics = _decode_gop_planes(payload)
+    assert len(pics) == len(frames)
+    for i, (y, cb, cr, _sps) in enumerate(pics):
+        ey, ecb, ecr = recons[i]
+        hh, ww = ey.shape
+        assert np.array_equal(y[:hh, :ww], ey), (dims, kw, i)
+        assert np.array_equal(cb[: hh // 2, : ww // 2], ecb), (dims, kw, i)
+        assert np.array_equal(cr[: hh // 2, : ww // 2], ecr), (dims, kw, i)
+
+
+def test_mc_luma_matches_naive_spec_reimplementation():
+    """Independent verification of the quarter-pel interpolator: a
+    straight per-pixel transcription of 8.4.2.2.1 (6-tap halves,
+    unclipped intermediates for j, average quarters, edge clamping)
+    must equal the vectorized _mc_luma at every fractional position,
+    including reads beyond the picture edge."""
+    rng = np.random.RandomState(5)
+    ref = rng.randint(0, 256, (24, 28)).astype(np.uint8)
+
+    def px(x, y):
+        return int(ref[min(max(y, 0), 23), min(max(x, 0), 27)])
+
+    def clip1(v):
+        return min(255, max(0, v))
+
+    def t6(a):
+        return a[0] - 5 * a[1] + 20 * a[2] + 20 * a[3] - 5 * a[4] + a[5]
+
+    def bh1(x, y):  # unclipped horizontal half intermediate
+        return t6([px(x + k, y) for k in range(-2, 4)])
+
+    def hv1(x, y):  # unclipped vertical half intermediate
+        return t6([px(x, y + k) for k in range(-2, 4)])
+
+    def naive(x0, y0, w, h, mvx, mvy):
+        ix, iy, fx, fy = mvx >> 2, mvy >> 2, mvx & 3, mvy & 3
+        out = np.zeros((h, w), np.int64)
+        for dy in range(h):
+            for dx in range(w):
+                X, Y = x0 + ix + dx, y0 + iy + dy
+                g = px(X, Y)
+                b = clip1((bh1(X, Y) + 16) >> 5)
+                hh = clip1((hv1(X, Y) + 16) >> 5)
+                m = clip1((hv1(X + 1, Y) + 16) >> 5)
+                s = clip1((bh1(X, Y + 1) + 16) >> 5)
+                j = clip1(
+                    (t6([bh1(X, Y + k) for k in range(-2, 4)]) + 512) >> 10
+                )
+                H, M = px(X + 1, Y), px(X, Y + 1)
+                av = lambda a, b2: (a + b2 + 1) >> 1  # noqa: E731
+                table = {
+                    (0, 0): g, (1, 0): av(g, b), (2, 0): b,
+                    (3, 0): av(b, H), (0, 1): av(g, hh),
+                    (1, 1): av(b, hh), (2, 1): av(b, j),
+                    (3, 1): av(b, m), (0, 2): hh, (1, 2): av(hh, j),
+                    (2, 2): j, (3, 2): av(j, m), (0, 3): av(hh, M),
+                    (1, 3): av(hh, s), (2, 3): av(j, s), (3, 3): av(m, s),
+                }
+                out[dy, dx] = table[(fx, fy)]
+        return out
+
+    for fy in range(4):
+        for fx in range(4):
+            for (x0, y0, mvi_x, mvi_y) in ((4, 4, 8, 4), (0, 0, -12, -8),
+                                           (20, 16, 24, 20)):
+                mvx, mvy = mvi_x + fx, mvi_y + fy
+                got = h264._mc_luma(ref, x0, y0, 8, 8, mvx, mvy)
+                exp = naive(x0, y0, 8, 8, mvx, mvy)
+                assert np.array_equal(got, exp), (fx, fy, x0, y0)
+
+
+def test_mc_chroma_matches_naive_bilinear():
+    rng = np.random.RandomState(9)
+    ref = rng.randint(0, 256, (12, 14)).astype(np.uint8)
+
+    def px(x, y):
+        return int(ref[min(max(y, 0), 11), min(max(x, 0), 13)])
+
+    for mvx in (-9, -3, 0, 5, 13, 40):
+        for mvy in (-7, 0, 6, 11, 33):
+            got = h264._mc_chroma(ref, 4, 4, 4, 4, mvx, mvy)
+            ix, iy, dx, dy = mvx >> 3, mvy >> 3, mvx & 7, mvy & 7
+            exp = np.zeros((4, 4), np.int64)
+            for r in range(4):
+                for c in range(4):
+                    X, Y = 4 + ix + c, 4 + iy + r
+                    exp[r, c] = (
+                        (8 - dx) * (8 - dy) * px(X, Y)
+                        + dx * (8 - dy) * px(X + 1, Y)
+                        + (8 - dx) * dy * px(X, Y + 1)
+                        + dx * dy * px(X + 1, Y + 1) + 32
+                    ) >> 6
+            assert np.array_equal(got, exp), (mvx, mvy)
+
+
+def test_mv_predictor_rules():
+    """8.4.1.3 predictor corners on hand-built neighbour states."""
+    mvx = np.zeros((8, 12), np.int32)
+    mvy = np.zeros((8, 12), np.int32)
+    ref = np.full((8, 12), -1, np.int8)
+    sl = np.zeros((2, 3), np.int32)  # all MBs in slice 0
+
+    # median: A=(4,0) B=(0,8) C=(8,4) -> (4,4)
+    for (by, bx), (x, y) in (((4, 3), (4, 0)), ((3, 4), (0, 8)),
+                             ((3, 8), (8, 4))):
+        mvx[by, bx], mvy[by, bx], ref[by, bx] = x, y, 0
+    assert h264._mvp_median(mvx, mvy, ref, sl, 0, 4, 4, 4) == (4, 4)
+
+    # exactly one neighbour shares ref 0 -> its MV wins over median
+    ref[3, 4] = -1  # B intra
+    ref[3, 8] = -1  # C intra
+    assert h264._mvp_median(mvx, mvy, ref, sl, 0, 4, 4, 4) == (4, 0)
+
+    # A-only rule: B/C/D address-unavailable (top row) -> mvA verbatim
+    mvx2 = np.zeros((8, 12), np.int32); mvy2 = np.zeros((8, 12), np.int32)
+    ref2 = np.full((8, 12), -1, np.int8)
+    mvx2[0, 3], mvy2[0, 3], ref2[0, 3] = 7, -9, 0
+    assert h264._mvp_median(mvx2, mvy2, ref2, sl, 0, 0, 4, 4) == (7, -9)
+
+    # skip inference: zero-MV neighbour forces zero
+    mvx3 = np.zeros((8, 12), np.int32); mvy3 = np.zeros((8, 12), np.int32)
+    ref3 = np.full((8, 12), -1, np.int8)
+    ref3[4, 3] = 0  # A inter, zero MV
+    mvx3[3, 4], mvy3[3, 4], ref3[3, 4] = 12, 4, 0  # B inter, nonzero
+    assert h264._skip_mv(mvx3, mvy3, ref3, sl, 0, 4, 4) == (0, 0)
+    # unavailable above neighbour forces zero too
+    assert h264._skip_mv(mvx3, mvy3, ref3, sl, 0, 0, 4) == (0, 0)
+
+    # 16x8 directional: top partition takes B when B has ref 0
+    mvx4 = np.zeros((8, 12), np.int32); mvy4 = np.zeros((8, 12), np.int32)
+    ref4 = np.full((8, 12), -1, np.int8)
+    mvx4[3, 4], mvy4[3, 4], ref4[3, 4] = 20, -8, 0  # B of the top part
+    mvx4[6, 3], mvy4[6, 3], ref4[6, 3] = 2, 2, 0    # A of the bottom part
+    got = h264._mvp_for_partition(mvx4, mvy4, ref4, sl, 0, 4, 4, "16x8_top")
+    assert got == (20, -8)
+    got = h264._mvp_for_partition(mvx4, mvy4, ref4, sl, 0, 6, 4,
+                                  "16x8_bottom")
+    assert got == (2, 2)  # bottom takes A
+
+
+def test_cbp_inter_table_is_permutation_with_anchors():
+    t = h264._CBP_INTER
+    assert sorted(t) == list(range(48))
+    # well-known anchors of Table 9-4's Inter column
+    assert t[0] == 0 and t[1] == 16 and t[2] == 1
+    assert t[6] == 32 and t[11] == 15 and t[12] == 47
+
+
+def test_p_rejections_are_honest():
+    """Out-of-scope inter shapes must reject with None, never fake
+    pixels: P_8x8 macroblocks, MMCO marking, reference-list
+    modification, weighted prediction, and P pictures with no decoded
+    reference."""
+    sps = h264._parse_sps(h264._write_sps(3, 2, (0, 0, 0, 0)))
+    pps = h264._parse_pps(h264._write_pps(28, 0))
+    sps_map, pps_map = {sps["id"]: sps}, {pps["id"]: pps}
+    ref = (np.zeros((32, 48), np.uint8), np.zeros((16, 24), np.uint8),
+           np.zeros((16, 24), np.uint8))
+
+    def p_header(w):
+        w.ue(0)   # first_mb
+        w.ue(5)   # slice_type P
+        w.ue(0)   # pps id
+        w.u(0, 4)  # frame_num
+        w.u(0, 1)  # num_ref_idx_active_override
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        w.se(0)   # slice_qp_delta
+        w.ue(1)   # disable_deblocking_filter_idc
+
+    # P_8x8 (mb_type 3) rejects
+    w = h264._BitW()
+    p_header(w)
+    w.ue(0)  # skip_run
+    w.ue(3)  # P_8x8
+    w.rbsp_trailing()
+    assert h264._decode_picture(
+        [w.getvalue()], sps_map, pps_map, False, ref) is None
+
+    # MMCO (adaptive marking) rejects
+    w = h264._BitW()
+    w.ue(0); w.ue(5); w.ue(0); w.u(0, 4)
+    w.u(0, 1); w.u(0, 1)
+    w.u(1, 1)  # adaptive_ref_pic_marking_mode_flag = 1
+    w.rbsp_trailing()
+    assert h264._parse_slice_header(
+        w.getvalue(), sps_map, pps_map, False) is None
+
+    # list modification rejects
+    w = h264._BitW()
+    w.ue(0); w.ue(5); w.ue(0); w.u(0, 4)
+    w.u(0, 1)
+    w.u(1, 1)  # ref_pic_list_modification_flag_l0 = 1
+    w.rbsp_trailing()
+    assert h264._parse_slice_header(
+        w.getvalue(), sps_map, pps_map, False) is None
+
+    # weighted prediction (PPS flag) rejects at the P header
+    w = h264._BitW()
+    w.ue(1); w.ue(0)  # pps id 1, sps id 0
+    w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
+    w.u(1, 1)  # weighted_pred_flag = 1
+    w.u(0, 2)
+    w.se(28 - 26); w.se(0); w.se(0)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    wpps = h264._parse_pps(w.getvalue())
+    assert wpps is not None and wpps["weighted_pred"] == 1
+    pm2 = dict(pps_map); pm2[1] = wpps
+    w = h264._BitW()
+    w.ue(0); w.ue(5); w.ue(1); w.u(0, 4)
+    w.rbsp_trailing()
+    assert h264._parse_slice_header(
+        w.getvalue(), sps_map, pm2, False) is None
+
+    # P picture with no reference rejects
+    w = h264._BitW()
+    p_header(w)
+    w.ue(1)  # one skipped MB then end
+    w.rbsp_trailing()
+    assert h264._decode_picture(
+        [w.getvalue()], sps_map, pps_map, False, None) is None
+
+    # a stream OPENING with a non-IDR slice rejects end to end
+    frames = _gop_frames((32, 48), n=3)
+    payload = h264._h264_build(frames, gop=3)
+    nals = h264._split_nals(payload)
+    keep = bytearray()
+    for typ, ridc, rbsp in nals:
+        if typ == 5:
+            continue  # drop the IDR picture
+        keep += h264._wrap_nal(typ, ridc, rbsp)
+    assert h264._h264_frames(bytes(keep)) is None
+
+
+def test_deblock_inter_bs_semantics():
+    """Independent check of the inter bS rules (8.7.2.1) on crafted
+    state: equal-MV no-residual inter edges must stay untouched
+    (bS 0), a >= 1-pel MV difference filters (bS 1), non-zero
+    coefficients filter stronger (bS 2), and an intra MB edge keeps
+    the historic bS 4 behaviour."""
+    def make_planes():
+        # smooth step across the MB edge at x=16: inside every
+        # activity threshold, so any bS > 0 WILL modify samples
+        y = np.full((16, 32), 100, np.uint8)
+        y[:, 16:] = 104
+        cb = np.full((8, 16), 90, np.uint8)
+        cb[:, 8:] = 94
+        cr = cb.copy()
+        return y, cb, cr
+
+    def run(mvq=(0, 0), tc_q=0, intra_q=False):
+        y, cb, cr = make_planes()
+        mb_qp = np.full((1, 2), 30, np.int16)
+        mb_pcm = np.zeros((1, 2), bool)
+        mb_idc = np.zeros((1, 2), np.int16)
+        mb_slice = np.zeros((1, 2), np.int32)
+        zero = np.zeros((1, 2), np.int16)
+        mb_intra = np.array([[False, intra_q]])
+        luma_tc = np.zeros((4, 8), np.int16)
+        luma_tc[:, 4] = tc_q
+        mv_x = np.zeros((4, 8), np.int32)
+        mv_y = np.zeros((4, 8), np.int32)
+        mv_x[:, 4:], mv_y[:, 4:] = mvq
+        blk_ref = np.zeros((4, 8), np.int8)
+        if intra_q:
+            blk_ref[:, 4:] = -1
+        h264._deblock_picture(
+            y, cb, cr, mb_qp, mb_pcm, mb_idc, mb_slice, zero, zero, 0,
+            mb_intra=mb_intra, luma_tc=luma_tc, mv_x=mv_x, mv_y=mv_y,
+            blk_ref=blk_ref,
+        )
+        return y
+
+    raw = make_planes()[0]
+    base = run()  # same MV, no coeffs -> MB edge at x=16 must be bS 0
+    assert np.array_equal(base[:, 12:20], raw[:, 12:20])
+
+    moved = run(mvq=(4, 0))  # 1-pel x difference -> bS 1 filters
+    assert not np.array_equal(moved[:, 12:20], raw[:, 12:20])
+
+    coeffs = run(tc_q=2)  # non-zero coefficients -> bS 2 filters
+    assert not np.array_equal(coeffs[:, 12:20], raw[:, 12:20])
+
+    intra = run(intra_q=True)  # intra MB edge -> bS 4 filters
+    assert not np.array_equal(intra[:, 12:20], raw[:, 12:20])
+    # bS 4 touches more taps than bS 1 (the strong filter)
+    assert not np.array_equal(intra[:, 12:20], moved[:, 12:20])
+
+
+def test_mp4_p_gop_and_inter_sampling():
+    """MP4 avc1 carriage of an IDR+P GOP decodes identically to the
+    Annex B stream, and every_n sampling with inter frames present
+    still returns the correct (reference-threaded) pixels."""
+    frames = _gop_frames((32, 48), n=4, seed=3)
+    mp4 = h264._mp4_avc_build(frames, qp=26, gop=4, deblock=True)
+    annexb = h264._h264_build(frames, qp=26, gop=4, deblock=True)
+    got = h264._mp4_h264_frames(mp4)
+    g2 = h264._h264_frames(annexb)
+    assert got is not None and g2 is not None
+    assert [g[3] for g in got] == [g[3] for g in g2]
+    g3 = h264._h264_frames(annexb, every_n=2)
+    assert [g[0] for g in g3] == [0, 2]
+    assert g3[1][3] == g2[2][3]
+    g4 = h264._mp4_h264_frames(mp4, every_n=2, max_frames=2)
+    assert [g[0] for g in g4] == [0, 2] and g4[1][3] == g2[2][3]

@@ -2716,12 +2716,15 @@ def test_pcm_24_and_32_bit_widths_decode():
     au = mm._au_build(8000, 1, 5, pcm)
     assert list(np.frombuffer(mm._au_samples(au)[3], "<i4")) == v32
 
-    # float WAV (format tag 3) still rejects honestly
+    # float WAV (format tag 3) DECODES as of r14 — zero floats land on
+    # exact zero int32 samples (see test_float_pcm_wav_and_aifc_decode
+    # for the full scale-rule battery)
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
     data = b"data" + struct.pack("<I", 8) + bytes(8)
     body = b"WAVE" + fmt + data
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
-    assert mm._wav_pcm_samples(wav) is None
+    got = mm._wav_pcm_samples(wav)
+    assert got is not None and got[3] == bytes(8)
 
 
 def test_wav_ima_adpcm_decodes_and_matches_independent_model():
