@@ -21,9 +21,11 @@ eighth-pel bilinear chroma MC, unrestricted MVs (edge clamping),
 intra-in-P macroblocks (mb_type offset 5), the inter CBP me(v)
 mapping, mb_skip_run syntax, and the full inter deblock bS ladder
 (4/3/2/1/0 per 4-sample edge segment, 8.7.2.1). The DPB is a single
-entry (the previous reference picture): multi-reference streams,
-list reordering, MMCO adaptive marking, weighted prediction, P_8x8
-sub-partitions, and B slices all return None — honest rejection,
+entry (the previous reference picture); P_8x8/P_8x8ref0 decode with
+all four sub-partition shapes (8x8/8x4/4x8/4x4, decode-order
+neighbour availability for the sub-partition MV predictor).
+Multi-reference streams, list reordering, MMCO adaptive marking,
+weighted prediction and B slices return None — honest rejection,
 never approximated pixels.
 
 Decoder surface (``_h264_frames``): Annex B start-code scan with
@@ -1166,15 +1168,21 @@ def _mc_chroma(ref, x0: int, y0: int, w: int, h: int, mvx: int, mvy: int):
     ) >> 6
 
 
-def _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx):
+def _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, done=None):
     """(mvx, mvy, ref, addr_available) of the 4x4 block (by, bx) for MV
-    prediction: blocks outside the picture or the current slice are
+    prediction: blocks outside the picture, outside the current slice,
+    or (``done`` given) not yet decoded in decoding order are
     address-unavailable; intra blocks are available with ref -1 and a
-    zero MV (8.4.1.3.2)."""
+    zero MV (8.4.1.3.2). ``done`` matters only for P_8x8
+    sub-partitions, whose above-right neighbour can be a later block
+    of the SAME macroblock — MB-level partitions always see fully
+    decoded raster neighbours."""
     h4, w4 = blk_ref.shape
     if not (0 <= by < h4 and 0 <= bx < w4):
         return 0, 0, -1, False
     if mb_slice[by // 4, bx // 4] != sid:
+        return 0, 0, -1, False
+    if done is not None and not done[by, bx]:
         return 0, 0, -1, False
     r = int(blk_ref[by, bx])
     if r < 0:  # intra-coded neighbour
@@ -1183,17 +1191,21 @@ def _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx):
 
 
 def _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, w4,
-                ref_idx: int = 0):
+                ref_idx: int = 0, done=None):
     """Luma MV predictor, general rule (8.4.1.3.1) for the partition
     whose top-left 4x4 block is (by, bx) and block-width is w4:
     neighbour C (above-right) falls back to D (above-left); if B, C
     and D are all address-unavailable and A is available, mvpA; if
     exactly one neighbour shares the reference index, its MV; else the
     componentwise median."""
-    a = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
-    bq = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx)
-    c = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx + w4)
-    d = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx - 1)
+    a = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1, done)
+    bq = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx, done)
+    c = _mv_neighbor(
+        mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx + w4, done
+    )
+    d = _mv_neighbor(
+        mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx - 1, done
+    )
     c_used = c if c[3] else d
     if not bq[3] and not c[3] and not d[3] and a[3]:
         return a[0], a[1]
@@ -1206,50 +1218,70 @@ def _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, w4,
 
 
 def _mvp_for_partition(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx,
-                       part: str):
+                       part: str, done=None):
     """Partition-shaped MV predictor (8.4.1.3): the 16x8/8x16
     directional shortcuts apply when the designated neighbour shares
     the reference index, else the general rule. (by, bx) is the
-    partition's top-left 4x4 block."""
+    partition's top-left 4x4 block. P_8x8 sub-partitions use the
+    general rule with their own block width (``subWxH`` parts)."""
     if part == "16x8_top":
-        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx)
+        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx, done)
         if n[3] and n[2] == 0:
             return n[0], n[1]
-        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+        return _mvp_median(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4, done=done
+        )
     if part == "16x8_bottom":
-        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
+        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1, done)
         if n[3] and n[2] == 0:
             return n[0], n[1]
-        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+        return _mvp_median(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4, done=done
+        )
     if part == "8x16_left":
-        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
+        n = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1, done)
         if n[3] and n[2] == 0:
             return n[0], n[1]
-        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 2)
+        return _mvp_median(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 2, done=done
+        )
     if part == "8x16_right":
-        c = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx + 2)
+        c = _mv_neighbor(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx + 2, done
+        )
         n = c if c[3] else _mv_neighbor(
-            mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx - 1
+            mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx - 1, done
         )
         if n[3] and n[2] == 0:
             return n[0], n[1]
-        return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 2)
-    return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+        return _mvp_median(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 2, done=done
+        )
+    if part.startswith("sub"):  # P_8x8 sub-partition: general rule only
+        w4 = int(part[3])
+        return _mvp_median(
+            mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, w4, done=done
+        )
+    return _mvp_median(
+        mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4, done=done
+    )
 
 
-def _skip_mv(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx):
+def _skip_mv(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, done=None):
     """P_Skip motion inference (8.4.1.1): zero MV if either the left
     or the above neighbour block is address-unavailable or is an
     inter block with reference 0 and a zero MV; else the 16x16
     predictor."""
-    a = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1)
-    bq = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx)
+    a = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx - 1, done)
+    bq = _mv_neighbor(mv_x, mv_y, blk_ref, mb_slice, sid, by - 1, bx, done)
     for n in (a, bq):
         if not n[3]:
             return 0, 0
         if n[2] == 0 and n[0] == 0 and n[1] == 0:
             return 0, 0
-    return _mvp_median(mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4)
+    return _mvp_median(
+        mv_x, mv_y, blk_ref, mb_slice, sid, by, bx, 4, done=done
+    )
 
 
 # coded_block_pattern me(v) mapping for Inter macroblocks (Table 9-4,
@@ -1408,6 +1440,10 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
     mv_y = np.zeros((mb_h * 4, mb_w * 4), np.int32)
     blk_ref = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
     mb_intra = np.ones((mb_h, mb_w), bool)
+    # decode-order block availability: a P_8x8 sub-partition's
+    # above-right neighbour can be a LATER block of the same MB, which
+    # the MV predictor must treat as unavailable (C -> D fallback)
+    blk_done = np.zeros((mb_h * 4, mb_w * 4), bool)
 
     next_mb = 0
     total = mb_w * mb_h
@@ -1446,7 +1482,9 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
             mb_offb[my, mx] = hd["off_b"]
             x0, y0 = mx * 16, my * 16
             bx0, by0 = mx * 4, my * 4
-            mvx, mvy = _skip_mv(mv_x, mv_y, blk_ref, mb_slice, sid, by0, bx0)
+            mvx, mvy = _skip_mv(
+                mv_x, mv_y, blk_ref, mb_slice, sid, by0, bx0, done=blk_done
+            )
             y_plane[y0 : y0 + 16, x0 : x0 + 16] = _mc_luma(
                 ref_y, x0, y0, 16, 16, mvx, mvy
             ).astype(np.uint8)
@@ -1459,6 +1497,7 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
             mv_x[by0 : by0 + 4, bx0 : bx0 + 4] = mvx
             mv_y[by0 : by0 + 4, bx0 : bx0 + 4] = mvy
             blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+            blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
             mb_intra[my, mx] = False
             mb_qp[my, mx] = qp  # no delta: running slice QP carries
 
@@ -1496,8 +1535,9 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
             mb_type = b.ue()
             if slice_is_p:
                 if mb_type < 5:
-                    # inter macroblock: 16x16 / 16x8 / 8x16 partitions;
-                    # P_8x8 + sub-partitions reject honestly
+                    # inter macroblock: 16x16 / 16x8 / 8x16 MB
+                    # partitions, or P_8x8(/ref0) with per-8x8
+                    # sub-partitions (8x8/8x4/4x8/4x4, r14)
                     if mb_type == 0:
                         parts = [(0, 0, 4, 4, "16x16")]
                     elif mb_type == 1:
@@ -1506,8 +1546,27 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
                     elif mb_type == 2:
                         parts = [(0, 0, 2, 4, "8x16_left"),
                                  (0, 2, 2, 4, "8x16_right")]
-                    else:
-                        return None  # P_8x8 / P_8x8ref0: out of scope
+                    else:  # P_8x8 / P_8x8ref0: sub_mb_types first
+                        parts = []
+                        for i8 in range(4):
+                            st = b.ue()
+                            if st > 3:
+                                return None
+                            ry8, rx8 = (i8 >> 1) * 2, (i8 & 1) * 2
+                            if st == 0:
+                                subs = [(0, 0, 2, 2)]
+                            elif st == 1:  # 8x4: top, bottom
+                                subs = [(0, 0, 2, 1), (1, 0, 2, 1)]
+                            elif st == 2:  # 4x8: left, right
+                                subs = [(0, 0, 1, 2), (0, 1, 1, 2)]
+                            else:  # 4x4 z-order
+                                subs = [(0, 0, 1, 1), (0, 1, 1, 1),
+                                        (1, 0, 1, 1), (1, 1, 1, 1)]
+                            for sy, sx, w4, h4 in subs:
+                                parts.append(
+                                    (ry8 + sy, rx8 + sx, w4, h4, f"sub{w4}")
+                                )
+                        # single reference: no ref_idx_l0 fields
                     mvs = []
                     for ry, rx, w4, h4, tag in parts:
                         # single reference: ref_idx_l0 not present
@@ -1517,7 +1576,7 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
                             return None
                         px, py = _mvp_for_partition(
                             mv_x, mv_y, blk_ref, mb_slice, sid,
-                            by0 + ry, bx0 + rx, tag,
+                            by0 + ry, bx0 + rx, tag, done=blk_done,
                         )
                         mvx, mvy = px + mvd_x, py + mvd_y
                         mvs.append((ry, rx, w4, h4, mvx, mvy))
@@ -1529,6 +1588,8 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
                              bx0 + rx : bx0 + rx + w4] = mvy
                         blk_ref[by0 + ry : by0 + ry + h4,
                                 bx0 + rx : bx0 + rx + w4] = 0
+                        blk_done[by0 + ry : by0 + ry + h4,
+                                 bx0 + rx : bx0 + rx + w4] = True
                     code_num = b.ue()
                     if code_num > 47:
                         return None
@@ -1623,6 +1684,7 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
                 # QP carries over unchanged; i4 modes stay -1
                 mb_qp[my, mx] = qp
                 mb_pcm[my, mx] = True  # filters as QP 0 (8.7.2)
+                blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
                 continue
 
             if mb_type == 0:  # I_4x4 (I_NxN)
@@ -1715,6 +1777,7 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
                     avail_l, avail_t,
                 )
                 mb_qp[my, mx] = qp
+                blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
                 continue
 
             # I_16x16
@@ -1775,6 +1838,7 @@ def _decode_picture(rbsps, sps_map, pps_map, is_idr: bool = True,
                 pps["chroma_qp_offset"], x0 // 2, y0 // 2, avail_l, avail_t,
             )
             mb_qp[my, mx] = qp
+            blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
 
     if next_mb != total:
         return None  # picture not fully covered by its slices
@@ -2451,6 +2515,7 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
     mv_y = np.zeros((mb_h * 4, mb_w * 4), np.int32)
     blk_ref = np.full((mb_h * 4, mb_w * 4), -1, np.int8)
     mb_intra = np.ones((mb_h, mb_w), bool)
+    blk_done = np.zeros((mb_h * 4, mb_w * 4), bool)
     eff_idc = ((2 if idc2 else 0) if deblock else 1) if write_idc else 0
 
     rbsps = []
@@ -2502,7 +2567,7 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
             cx0, cy0 = mx * 2, my * 2
             avail_l = mx > 0 and mb_slice[my, mx - 1] == sid
             avail_t = my > 0 and mb_slice[my - 1, mx] == sid
-            sel = (mx + 2 * my + 3 * frame_idx) % 8
+            sel = (mx + 2 * my + 3 * frame_idx) % 9
             desired_qp = min(46, max(10, slice_qp + ((mb * 7) % 5) - 2))
 
             def mc_recon_16x16(mvx, mvy):
@@ -2514,7 +2579,8 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
 
             if sel == 0:  # P_Skip
                 mvx, mvy = _skip_mv(
-                    mv_x, mv_y, blk_ref, mb_slice, sid, by0, bx0
+                    mv_x, mv_y, blk_ref, mb_slice, sid, by0, bx0,
+                    done=blk_done,
                 )
                 py_, pcb, pcr = mc_recon_16x16(mvx, mvy)
                 y_rec[y0 : y0 + 16, x0 : x0 + 16] = py_.astype(np.uint8)
@@ -2527,6 +2593,7 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
                 mv_x[by0 : by0 + 4, bx0 : bx0 + 4] = mvx
                 mv_y[by0 : by0 + 4, bx0 : bx0 + 4] = mvy
                 blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+                blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
                 mb_intra[my, mx] = False
                 mb_qp[my, mx] = qp
                 skip_run += 1
@@ -2608,6 +2675,7 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
                 mv_x[by0 : by0 + 4, bx0 : bx0 + 4] = 0
                 mv_y[by0 : by0 + 4, bx0 : bx0 + 4] = 0
                 blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+                blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
                 mb_intra[my, mx] = True
                 mb_qp[my, mx] = qp
                 continue
@@ -2615,12 +2683,31 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
             # inter macroblock: pick partitions + deterministic MVs
             w.ue(skip_run)
             skip_run = 0
+            sub_types = None
             if sel == 4:
                 mb_type = 1  # P_16x8
                 parts = [(0, 0, 4, 2, "16x8_top"), (2, 0, 4, 2, "16x8_bottom")]
             elif sel == 5:
                 mb_type = 2  # P_8x16
                 parts = [(0, 0, 2, 4, "8x16_left"), (0, 2, 2, 4, "8x16_right")]
+            elif sel == 8:
+                mb_type = 3  # P_8x8: all four sub shapes in one MB,
+                # rotated per MB so every 8x8 position sees every shape
+                sub_types = [(i8 + mb + frame_idx) % 4 for i8 in range(4)]
+                parts = []
+                for i8, st in enumerate(sub_types):
+                    ry8, rx8 = (i8 >> 1) * 2, (i8 & 1) * 2
+                    if st == 0:
+                        subs = [(0, 0, 2, 2)]
+                    elif st == 1:
+                        subs = [(0, 0, 2, 1), (1, 0, 2, 1)]
+                    elif st == 2:
+                        subs = [(0, 0, 1, 2), (0, 1, 1, 2)]
+                    else:
+                        subs = [(0, 0, 1, 1), (0, 1, 1, 1),
+                                (1, 0, 1, 1), (1, 1, 1, 1)]
+                    for sy, sx, w4, h4 in subs:
+                        parts.append((ry8 + sy, rx8 + sx, w4, h4, f"sub{w4}"))
             else:
                 mb_type = 0  # P_L0_16x16
                 parts = [(0, 0, 4, 4, "16x16")]
@@ -2645,13 +2732,16 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
             # write-through order matters (later partitions predict
             # from earlier ones)
             w.ue(mb_type)
+            if sub_types is not None:
+                for st in sub_types:
+                    w.ue(st)
             pred = np.zeros((16, 16), np.int64)
             pred_cb = np.zeros((8, 8), np.int64)
             pred_cr = np.zeros((8, 8), np.int64)
             for ry, rx, w4, h4, tag, mvx, mvy in mv_plan:
                 px, py = _mvp_for_partition(
                     mv_x, mv_y, blk_ref, mb_slice, sid, by0 + ry, bx0 + rx,
-                    tag,
+                    tag, done=blk_done,
                 )
                 w.se(mvx - px)
                 w.se(mvy - py)
@@ -2661,6 +2751,8 @@ def _encode_p_picture(y_src, cb_src, cr_src, mb_w, mb_h, slice_qp,
                      bx0 + rx : bx0 + rx + w4] = mvy
                 blk_ref[by0 + ry : by0 + ry + h4,
                         bx0 + rx : bx0 + rx + w4] = 0
+                blk_done[by0 + ry : by0 + ry + h4,
+                         bx0 + rx : bx0 + rx + w4] = True
                 pred[ry * 4 : (ry + h4) * 4, rx * 4 : (rx + w4) * 4] = (
                     _mc_luma(ref_y, x0 + rx * 4, y0 + ry * 4,
                              w4 * 4, h4 * 4, mvx, mvy)

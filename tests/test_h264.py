@@ -807,11 +807,14 @@ def test_p_rejections_are_honest():
         w.se(0)   # slice_qp_delta
         w.ue(1)   # disable_deblocking_filter_idc
 
-    # P_8x8 (mb_type 3) rejects
+    # P_8x8 decodes as of the sub-partition extension — but an
+    # out-of-range sub_mb_type rejects
     w = h264._BitW()
     p_header(w)
     w.ue(0)  # skip_run
     w.ue(3)  # P_8x8
+    w.ue(4)  # sub_mb_type 4: invalid
+    w.ue(0); w.ue(0); w.ue(0)
     w.rbsp_trailing()
     assert h264._decode_picture(
         [w.getvalue()], sps_map, pps_map, False, ref) is None
