@@ -258,7 +258,9 @@ def test_wet_cli_domain_blocklist(tmp_path):
         [sys.executable, "-m", "llm_training_data_pipeline_spark.plans.pipeline",
          "--input", path, "--input-format", "wet",
          "--config", cfg_path, "--output-dir", out_dir],
-        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        # 600s: the CLI spawns its own Spark JVM; 300s flaked once under
+        # full-suite contention (r14) while passing in 45s isolated
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout)
