@@ -523,6 +523,13 @@ def main() -> None:
     ap.add_argument("--quiet-start-max", type=float, default=1.5)
     ap.add_argument("--quiet-end-max", type=float, default=4.0)
     ap.add_argument("--quiet-wait-secs", type=float, default=600.0)
+    ap.add_argument(
+        "--quiet-settle-secs", type=float, default=45.0,
+        help="before judging the end loadavg, wait this long for the "
+        "1-min average to shed the pass's OWN 32-thread tail (e^(-45/60) "
+        "~ 0.47x); what remains elevated after the settle is external "
+        "load, which is what the gate exists to catch",
+    )
     args = ap.parse_args()
 
     from llm_training_data_pipeline_spark.plans.queries import registry
@@ -591,12 +598,29 @@ def main() -> None:
         loadavg[label].append(round(os.getloadavg()[0], 2))
         return timings
 
+    def settled_end_load(raw_end: float) -> float:
+        """The raw end sample includes the pass's own just-finished
+        32-thread work; if it exceeds the bar, give the 1-min average
+        one settle interval to shed self-load and re-read — what stays
+        high is EXTERNAL contention (the thing the gate exists for)."""
+        if raw_end < args.quiet_end_max:
+            return raw_end
+        time.sleep(args.quiet_settle_secs)
+        settled = round(os.getloadavg()[0], 2)
+        print(
+            f"# --require-quiet: end loadavg {raw_end} settled to "
+            f"{settled} after {args.quiet_settle_secs:.0f}s",
+            file=sys.stderr,
+        )
+        return settled
+
     quiet_ok = None
     if args.require_quiet:
         _wait_for_quiet(args.quiet_start_max, args.quiet_wait_secs)
     timings = run_suite(args.sf_dir, f"sf{sf}", args.repeat)
     if args.require_quiet:
-        start_la, end_la = loadavg[f"sf{sf}"][0], loadavg[f"sf{sf}"][-1]
+        start_la = loadavg[f"sf{sf}"][0]
+        end_la = settled_end_load(loadavg[f"sf{sf}"][-1])
         quiet_ok = _quiet_verdict(
             start_la, end_la, args.quiet_start_max, args.quiet_end_max
         )
@@ -609,7 +633,8 @@ def main() -> None:
             _wait_for_quiet(args.quiet_start_max, args.quiet_wait_secs)
             retry_label = f"sf{sf}-quietretry"
             timings = run_suite(args.sf_dir, retry_label, args.repeat)
-            start_la, end_la = loadavg[retry_label][0], loadavg[retry_label][-1]
+            start_la = loadavg[retry_label][0]
+            end_la = settled_end_load(loadavg[retry_label][-1])
             quiet_ok = _quiet_verdict(
                 start_la, end_la, args.quiet_start_max, args.quiet_end_max
             )
@@ -794,6 +819,15 @@ def main() -> None:
     if quiet_ok is not None:
         summary["quiet"] = quiet_ok
     line = json.dumps(summary)
+    # ≤1 KB is a hard driver-capture budget: TRIM (slowest-queries list
+    # first, then rerun names) instead of crashing at the finish line —
+    # the r14 quiet/reruns keys pushed one run 6 bytes over the assert
+    while len(line) > 1024 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary)
+    while len(line) > 1024 and summary.get("contention_reruns"):
+        summary["contention_reruns"].pop()
+        line = json.dumps(summary)
     assert len(line) <= 1024, f"summary line {len(line)}B exceeds 1 KB budget"
     print(line)
     if quiet_ok is False:
