@@ -1408,16 +1408,34 @@ def eval_holdout(
     """
     from llm_training_data_pipeline_spark.operators.dedup import exact_hash
 
-    staged = df.withColumn(
-        "_hk", sample_key(F.col(id_col), _HASH_MOD)
-    ).withColumn(
-        "_dg", F.coalesce(exact_hash(F.col(text_col)), F.lit("(null-text)"))
-    )
+    if rate_permille is not None and not 0 < rate_permille <= 1000:
+        raise ValueError(
+            f"rate_permille must be in (0, 1000]: {rate_permille}"
+        )
+    if rate_permille is None and per_source <= 0:
+        raise ValueError(f"per_source must be positive: {per_source}")
+
+    # r14 slim-proxy restructure (the guide-§8 "decide with small rows,
+    # move big rows once" shape): digests, sample keys and the candidate
+    # window run over a SLIM (id, source, key, digest) projection
+    # materialized once — the former form re-ran the text scan + the
+    # full-text md5 on BOTH sides of a corpus-wide digest join (the r14
+    # plan audit showed the entire upstream duplicated around a
+    # text-carrying SortMergeJoin). The digest-twin aggregate now ships
+    # 16-byte digests; the split decision is computed for CANDIDATE rows
+    # only and re-attached with one id-keyed join (AQE broadcasts it
+    # when small — quota mode bounds it at per_source x |sources| rows).
+    # Values are identical: non-candidates are always (train, NULL),
+    # candidates carry the same _nt/_nc comparison as before.
+    slim = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        sample_key(F.col(id_col), _HASH_MOD).alias("_hk"),
+        F.coalesce(exact_hash(F.col(text_col)), F.lit("(null-text)")).alias(
+            "_dg"
+        ),
+    ).localCheckpoint(eager=True)
     if rate_permille is not None:
-        if not 0 < rate_permille <= 1000:
-            raise ValueError(
-                f"rate_permille must be in (0, 1000]: {rate_permille}"
-            )
         # growth-stable: candidacy is a function of the row's own id
         # only — thresholding the same arithmetic key quota mode ranks.
         # Threshold is (rate * MOD) // 1000, NOT rate * (MOD // 1000):
@@ -1425,41 +1443,42 @@ def eval_holdout(
         # form under-selects (rate/1000.003) and rate_permille=1000
         # would exclude keys 1000000-1000002 instead of selecting all
         # rows (ADVICE r11 #3).
-        cand = staged.withColumn(
-            "_cand",
-            F.col("_hk") < F.lit((rate_permille * _HASH_MOD) // 1000),
+        cand_rows = slim.filter(
+            F.col("_hk") < F.lit((rate_permille * _HASH_MOD) // 1000)
         )
     else:
-        if per_source <= 0:
-            raise ValueError(f"per_source must be positive: {per_source}")
         w = Window.partitionBy(source_col).orderBy(
             F.col("_hk").asc(), F.col(id_col).asc()
         )
-        cand_ids = (
-            staged.select(source_col, id_col, "_hk")
-            .withColumn("_rn", F.row_number().over(w))
+        cand_rows = (
+            slim.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= per_source)
-            .select(id_col, F.lit(True).alias("_cand"))
+            .drop("_rn")
         )
-        cand = staged.join(cand_ids, on=id_col, how="left").withColumn(
-            "_cand", F.coalesce(F.col("_cand"), F.lit(False))
+    # cand_rows stays LAZY: its two consumers (digest marginal +
+    # decision join) each re-derive it from the materialized slim table
+    # — a cheap slim-width window — and the quota WindowGroupLimit
+    # stays visible in the executed plan (pinned by
+    # tests/test_plan_shape.py::test_eval_holdout_quota_plan_is_group_limited)
+    nt = slim.groupBy("_dg").agg(F.count(F.lit(1)).alias("_nt"))
+    nc = cand_rows.groupBy("_dg").agg(F.count(F.lit(1)).alias("_nc"))
+    decision = (
+        cand_rows.join(nt, on="_dg")
+        .join(nc, on="_dg")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_nt") == F.col("_nc"), F.lit("eval"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            F.when(
+                F.col("_nt") > F.col("_nc"), F.lit("digest_twin_in_train")
+            ).alias("reject_reason"),
         )
-    dstats = cand.groupBy("_dg").agg(
-        F.count(F.lit(1)).alias("_nt"),
-        F.sum(F.when(F.col("_cand"), 1).otherwise(0)).alias("_nc"),
     )
-    tagged = cand.join(dstats, on="_dg")
-    return tagged.select(
+    return df.join(decision, on=id_col, how="left").select(
         *df.columns,
-        F.when(
-            F.col("_cand") & (F.col("_nt") == F.col("_nc")), F.lit("eval")
-        )
-        .otherwise(F.lit("train"))
-        .alias("split"),
-        F.when(
-            F.col("_cand") & (F.col("_nt") > F.col("_nc")),
-            F.lit("digest_twin_in_train"),
-        ).alias("reject_reason"),
+        F.coalesce(F.col("split"), F.lit("train")).alias("split"),
+        F.col("reject_reason"),
     )
 
 
@@ -2214,18 +2233,27 @@ def dsir_features(
     toks = df.select(
         F.col(id_col), whitespace_tokens(F.lower(F.col(text_col))).alias("_ws")
     )
-    uni = toks.select(id_col, F.explode("_ws").alias("f"))
-    bi = toks.select(
+    # ONE fused explode for unigrams + bigrams (r14): the former
+    # uni-UNION-bi form re-scanned and re-tokenized the corpus per
+    # branch. The bigram builder zip_withs the token array against its
+    # 1-shifted self, padding the tail with NULL — the isNotNull filter
+    # drops exactly those pads (unigrams are split() output and can
+    # never be NULL), so the exploded multiset is identical.
+    feats = toks.select(
         id_col,
         F.explode(
-            F.zip_with(
+            F.concat(
                 F.col("_ws"),
-                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+                F.zip_with(
+                    F.col("_ws"),
+                    F.slice(
+                        F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
             )
         ).alias("f"),
     ).filter(F.col("f").isNotNull())
-    feats = uni.unionByName(bi)
     return feats.select(
         id_col, F.pmod(md5_fold31(F.col("f")), F.lit(num_buckets)).alias("bucket")
     )
@@ -2281,6 +2309,63 @@ def dsir_log_ratios(
     )
 
 
+def dsir_doc_bucket_counts(
+    df: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 10_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Shared DSIR feature table: ``(id, _t, bucket, n)`` — per-document
+    hashed-feature counts with the target flag, ONE tokenize+md5 pass.
+
+    This is the r14 shared-pass artifact: the ratio fit
+    (``dsir_log_ratios_within(doc_counts=...)``) and the per-doc scoring
+    (``with_dsir_score(doc_counts=...)``) both derive from it, so the
+    dominant cost — tokenizing and md5-hashing every token occurrence —
+    is paid once instead of once per consumer. At 100 TB the
+    materialized table is 4 small ints per distinct (doc, bucket) pair:
+    far cheaper to write+read once than to re-tokenize the corpus.
+    ``_t`` is constant per document, so the (id, _t, bucket) grouping is
+    keyed by (id, bucket)."""
+    from llm_training_data_pipeline_spark.functions.hashing import md5_fold31
+
+    toks = df.select(
+        F.col(id_col),
+        target_cond.alias("_t"),
+        whitespace_tokens(F.lower(F.col(text_col))).alias("_ws"),
+    )
+    feats = toks.select(
+        id_col,
+        "_t",
+        F.explode(
+            F.concat(
+                F.col("_ws"),
+                F.zip_with(
+                    F.col("_ws"),
+                    F.slice(
+                        F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            )
+        ).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    counts = (
+        feats.select(
+            id_col,
+            "_t",
+            F.pmod(md5_fold31(F.col("f")), F.lit(num_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    return counts
+
+
 def dsir_log_ratios_within(
     df: DataFrame,
     target_cond: Column,
@@ -2288,6 +2373,7 @@ def dsir_log_ratios_within(
     id_col: str = "doc_id",
     num_buckets: int = 10_000,
     materialize: bool = False,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """``dsir_log_ratios`` for the common case where the target corpus
     is a PREDICATE over the raw corpus (a language slice, a quality
@@ -2295,34 +2381,65 @@ def dsir_log_ratios_within(
     conditional aggregate — halving the dominant cost (the md5 feature
     hash) versus hashing the raw and target slices separately. Bit-
     identical to ``dsir_log_ratios(df, df.filter(target_cond))``
-    (pinned in tests)."""
+    (pinned in tests).
+
+    ``doc_counts``: a precomputed ``dsir_doc_bucket_counts`` table —
+    the bucket marginals then come from a slim re-aggregation and
+    ``df``/``target_cond`` are not read at all (callers that also score
+    documents share one feature pass; bit-identical, pinned)."""
     from llm_training_data_pipeline_spark.functions.hashing import md5_fold31
 
     fl = lambda c: F.floor(F.log(c) * F.lit(float(_DSIR_UNITS))).cast("long")
-    toks = df.select(
-        target_cond.alias("_t"),
-        whitespace_tokens(F.lower(F.col(text_col))).alias("_ws"),
-    )
-    uni = toks.select("_t", F.explode("_ws").alias("f"))
-    bi = toks.select(
-        "_t",
-        F.explode(
-            F.zip_with(
-                F.col("_ws"),
-                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("f"),
-    ).filter(F.col("f").isNotNull())
-    counts = (
-        uni.unionByName(bi)
-        .select("_t", F.pmod(md5_fold31(F.col("f")), F.lit(num_buckets)).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c_r"),
-            F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("c_t"),
+    if doc_counts is not None:
+        # shared-pass path (r14): the per-(doc, bucket) count table
+        # already carries the target flag — the bucket marginals are a
+        # slim re-aggregation of it, no second tokenize+hash pass.
+        # Exact-sum equality: c_r = Σ_docs n, c_t = Σ_{target docs} n.
+        counts = doc_counts.groupBy("bucket").agg(
+            F.sum("n").cast("long").alias("c_r"),
+            F.sum(F.when(F.col("_t"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("c_t"),
         )
-    )
+    else:
+        toks = df.select(
+            target_cond.alias("_t"),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("_ws"),
+        )
+        # fused unigram+bigram explode — see dsir_features for the
+        # NULL-pad equivalence argument
+        feats = toks.select(
+            "_t",
+            F.explode(
+                F.concat(
+                    F.col("_ws"),
+                    F.zip_with(
+                        F.col("_ws"),
+                        F.slice(
+                            F.col("_ws"),
+                            2,
+                            F.greatest(F.size("_ws") - 1, F.lit(0)),
+                        ),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                )
+            ).alias("f"),
+        ).filter(F.col("f").isNotNull())
+        counts = (
+            feats.select(
+                "_t",
+                F.pmod(md5_fold31(F.col("f")), F.lit(num_buckets)).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c_r"),
+                F.sum(F.when(F.col("_t"), 1).otherwise(0))
+                .cast("long")
+                .alias("c_t"),
+            )
+        )
     if materialize:
         # counts (≤num_buckets rows) feeds BOTH the totals scalar and the
         # ratio select, and the downstream broadcast boundary blocks
@@ -2351,6 +2468,7 @@ def with_dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 10_000,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance score: ``(id, n_feats,
     score_units)`` with ``score_units = Σ_features lr_units[bucket]``
@@ -2358,16 +2476,32 @@ def with_dsir_score(
     0 with 0 features (kept: DSIR has no evidence either way).
 
     The join is feature-rows ⋈ broadcast(10k-row ratio table) — no
-    shuffle beyond the per-doc aggregate on the natural id key."""
-    feats = dsir_features(df, text_col, id_col, num_buckets)
-    scored = (
-        feats.join(F.broadcast(log_ratios), on="bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("lr_units").cast("long").alias("score_units"),
+    shuffle beyond the per-doc aggregate on the natural id key.
+
+    ``doc_counts``: a precomputed ``dsir_doc_bucket_counts`` table —
+    scoring then reads it instead of re-tokenizing ``df``
+    (``Σ_occurrences lr`` ≡ ``Σ_buckets n·lr`` exactly, in longs)."""
+    if doc_counts is not None:
+        scored = (
+            doc_counts.join(F.broadcast(log_ratios), on="bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum("n").cast("long").alias("n_feats"),
+                F.sum(F.col("n") * F.col("lr_units"))
+                .cast("long")
+                .alias("score_units"),
+            )
         )
-    )
+    else:
+        feats = dsir_features(df, text_col, id_col, num_buckets)
+        scored = (
+            feats.join(F.broadcast(log_ratios), on="bucket")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_feats"),
+                F.sum("lr_units").cast("long").alias("score_units"),
+            )
+        )
     return (
         df.select(id_col)
         .join(scored, on=id_col, how="left")
@@ -2388,6 +2522,7 @@ def dsir_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 10_000,
+    doc_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR's Gumbel-top-k importance resample: keep the ``k`` documents
     maximizing ``log w(x) + Gumbel(id)`` — equivalent to sampling k
@@ -2406,7 +2541,9 @@ def dsir_sample(
         -F.log(inner_units.cast("double") / F.lit(float(_DSIR_UNITS)))
         * F.lit(float(_DSIR_UNITS))
     ).cast("long")
-    scored = with_dsir_score(df, log_ratios, text_col, id_col, num_buckets)
+    scored = with_dsir_score(
+        df, log_ratios, text_col, id_col, num_buckets, doc_counts=doc_counts
+    )
     keyed = scored.select(
         id_col,
         "score_units",

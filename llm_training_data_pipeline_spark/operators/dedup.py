@@ -642,7 +642,7 @@ def minhash_dedup_stats(
 # implements `deduplication.algorithm: simhash`, pipeline_config.yaml:34) ---
 
 
-def with_simhash(
+def simhash_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -650,7 +650,14 @@ def with_simhash(
     out_col: str = "simhash",
     hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per doc via explode + 64 bit-vote aggregates.
+    """Slim ``(id, simhash)`` fingerprint table via explode + 64 bit-vote
+    aggregates — the computation behind ``with_simhash`` WITHOUT the
+    join-back onto the full document frame. Zero-token documents (which
+    ``with_simhash`` surfaces as NULL fingerprints) have no row here;
+    they can never band-collide, so every pair/dedup consumer is
+    unaffected (r14: the join-back forced the whole corpus — text
+    included — through an extra join both sides of the downstream band
+    self-join re-ran).
 
     Same explode-aggregate shape as ``with_minhash`` and for the same
     reason: a single higher-order expression re-evaluates the token hash
@@ -703,7 +710,23 @@ def with_simhash(
             F.lit(0).cast("long")
         )
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    sh = votes.select(F.col(id_col), fingerprint.alias(out_col))
+    return votes.select(F.col(id_col), fingerprint.alias(out_col))
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    out_col: str = "simhash",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Column-append contract over ``simhash_table``: every input column
+    passes through, ``out_col`` carries the 64-bit fingerprint (NULL for
+    zero-token documents, which have no vote row)."""
+    sh = simhash_table(
+        df, text_col, id_col, out_col=out_col, hash_family=hash_family
+    )
     return df.join(sh, on=id_col, how="left")
 
 
@@ -767,8 +790,18 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``num_bands`` chunks (any equal chunk → candidate, guaranteed complete
-    for hamming <= num_bands-1), verify exact hamming distance."""
-    sh = with_simhash(df, text_col, id_col, hash_family=hash_family)
+    for hamming <= num_bands-1), verify exact hamming distance.
+
+    The slim fingerprint table is MATERIALIZED (eager localCheckpoint)
+    before the band self-join: the join references it on both sides, so
+    a lazy frame re-runs the whole explode + 64-vote aggregate per side
+    (the r14 plan audit showed the full fingerprint pipeline duplicated
+    — the same measured pitfall ``minhash_candidate_pairs`` documents).
+    Zero-token docs have no fingerprint row; they banded as NULL chunks
+    before, which never satisfy the equality join, so the pair set is
+    identical."""
+    sh = simhash_table(df, text_col, id_col, hash_family=hash_family)
+    sh = sh.localCheckpoint(eager=True)
     return hamming_band_pairs(
         sh, "simhash", id_col, max_hamming=max_hamming, num_bands=num_bands
     )

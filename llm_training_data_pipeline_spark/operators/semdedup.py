@@ -204,13 +204,23 @@ def kmeans_refine(
     both linear scans, no quadratic step anywhere. Returns the final
     ``(id, cluster, _v, _n)`` assignment table.
     """
+    # intermediate assignments are consumed exactly ONCE (by the next
+    # round's mean recompute), so they stay lazy — materializing them
+    # bought nothing and cost a full corpus materialization per round
+    # (r14; the multi-branch-stage rule only applies to frames with >1
+    # consumer). Only the FINAL assignment is materialized: the pair
+    # scan downstream reads it on both join sides.
     assigned = assign_clusters(
-        df, centroids, n_clusters, vec_col, id_col, materialize=True
+        df, centroids, n_clusters, vec_col, id_col, materialize=(iters == 0)
     )
-    for _ in range(iters):
+    for i in range(iters):
         cents = refine_centroids(assigned)
         assigned = assign_clusters(
-            df, centroids=cents, vec_col=vec_col, id_col=id_col, materialize=True
+            df,
+            centroids=cents,
+            vec_col=vec_col,
+            id_col=id_col,
+            materialize=(i == iters - 1),
         )
     return assigned
 

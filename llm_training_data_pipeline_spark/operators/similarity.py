@@ -414,7 +414,12 @@ def ivf_topk_seeded(
         seed_centroids,
     )
 
-    cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    # materialized: the k-row centroid table is consumed by BOTH the
+    # corpus assignment and the query probe ranking — lazy, each
+    # broadcast re-ran the seed top-k corpus scan (r14)
+    cents = seed_centroids(corpus, n_clusters, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
     assigned = assign_clusters(corpus, cents, vec_col=vec_col, id_col=id_col)
     qs = _with_norm(queries, vec_col, id_col, "q_id", "_qv", "_qn")
     probe_cos = F.when(
@@ -1035,7 +1040,12 @@ def pq_codebook_refine(
     cb = (
         codebook
         if codebook is not None
-        else pq_codebook(corpus, m, ks, vec_col, id_col)
+        # materialized for the same reason as in _adc_scored: the seed
+        # codebook is consumed by every round's encode AND the final
+        # coalesce join — lazy, each consumer re-runs the seed top-k scan
+        else pq_codebook(corpus, m, ks, vec_col, id_col).localCheckpoint(
+            eager=True
+        )
     )
     sd = (F.size("_v") / F.lit(m)).cast("int")
     subs = (
@@ -1085,13 +1095,14 @@ def pq_codebook_refine(
             "code",
             F.coalesce(F.col("_rcent"), F.col("cent")).alias("cent"),
         )
-        if iters > 1:
-            # bound the plan: each round re-encodes against the PREVIOUS
-            # round's m*ks-row codebook — materializing the tiny frame
-            # keeps round r's plan from inlining rounds 0..r-1 (the
-            # multi-branch-stage rule); single-round callers keep the
-            # original lazy plan (the exercised oracle row's shape)
-            cb = cb.localCheckpoint(eager=True)
+        # bound the plan EVERY round (r14): each round re-encodes against
+        # the previous round's m*ks-row codebook, and the returned frame
+        # is consumed at least twice downstream (corpus encode + query
+        # distance tables in pq_topk) — lazy, each consumer re-ran the
+        # whole refine chain (the r14 plan audit measured 20 corpus scans
+        # in pq_topk_refined's single plan). Materializing the tiny
+        # frame per round collapses both; values are bit-identical.
+        cb = cb.localCheckpoint(eager=True)
     return cb
 
 
@@ -1220,10 +1231,18 @@ def _adc_scored(
             "pq_topk: a precomputed `codes` index is only valid against the "
             "codebook that built it — pass that `codebook` alongside `codes`"
         )
+    # materialize the internally-built codebook: it feeds BOTH the corpus
+    # encode and the query distance tables, and a lazy m·ks-row frame
+    # inlines its seed top-k (a full corpus scan) under each consumer —
+    # the r14 plan audit measured 12 corpus scans in the reranked plan,
+    # half of them codebook re-derivations. One tiny eager checkpoint
+    # (m·ks rows) collapses them; values are bit-identical.
     cb = (
         codebook
         if codebook is not None
-        else pq_codebook(corpus, m, ks, vec_col, id_col)
+        else pq_codebook(corpus, m, ks, vec_col, id_col).localCheckpoint(
+            eager=True
+        )
     )
     enc = (
         codes
@@ -1374,15 +1393,30 @@ def ivfpq_topk(
             "ivfpq_topk: `codes` reuse is raw-space only — residual codes "
             "are cluster-conditioned and must be built inside this operator"
         )
-    cents = seed_centroids(corpus, n_clusters, vec_col, id_col)
+    # the k-row centroid table is consumed up to four times (assignment,
+    # residualization, query probing, probe residualization) and a lazy
+    # frame re-runs its seed top-k corpus scan under each consumer — the
+    # r14 plan audit measured 30 corpus scans in the residual plan, most
+    # of them centroid/assignment re-derivations. One tiny eager
+    # checkpoint collapses them; values are bit-identical.
+    cents = seed_centroids(corpus, n_clusters, vec_col, id_col).localCheckpoint(
+        eager=True
+    )
     assigned = assign_clusters(corpus, cents, vec_col=vec_col, id_col=id_col)
     if by_residual:
         # residual frame: v - centroid(cluster(v)); codebook seeds are
-        # the first-ks RESIDUALS so the whole chain stays replay-exact
-        resid = assigned.join(F.broadcast(cents), on="cluster").select(
-            id_col,
-            "cluster",
-            F.zip_with("_v", "_cv", lambda a, b: a - b).alias("_resid"),
+        # the first-ks RESIDUALS so the whole chain stays replay-exact.
+        # Materialized: three consumers (codebook seed, corpus encode,
+        # cluster join-back) would otherwise each re-run the assignment
+        # argmax over the whole corpus (the multi-branch-stage rule).
+        resid = (
+            assigned.join(F.broadcast(cents), on="cluster")
+            .select(
+                id_col,
+                "cluster",
+                F.zip_with("_v", "_cv", lambda a, b: a - b).alias("_resid"),
+            )
+            .localCheckpoint(eager=True)
         )
         # an external codebook must be RESIDUAL-conditioned (e.g.
         # pq_codebook_refine over this same resid frame) — raw-space
@@ -1391,7 +1425,9 @@ def ivfpq_topk(
         cb = (
             codebook
             if codebook is not None
-            else pq_codebook(resid, m, ks, "_resid", id_col)
+            else pq_codebook(resid, m, ks, "_resid", id_col).localCheckpoint(
+                eager=True
+            )
         )
         index = pq_codes(resid, cb, m, ks, "_resid", id_col).join(
             resid.select(id_col, "cluster"), on=id_col
@@ -1400,7 +1436,9 @@ def ivfpq_topk(
         cb = (
             codebook
             if codebook is not None
-            else pq_codebook(corpus, m, ks, vec_col, id_col)
+            else pq_codebook(corpus, m, ks, vec_col, id_col).localCheckpoint(
+                eager=True
+            )
         )
         # same codes/codebook pairing contract as pq_topk: a precomputed
         # raw-space code index is only valid with the codebook that

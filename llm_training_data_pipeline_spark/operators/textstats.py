@@ -206,7 +206,7 @@ HAN_CLASS_DUCKDB = SCRIPT_CLASS_DUCKDB["zh"]
 BPE_ISH_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
+def lang_scores(text: Column, *, nonascii: Column | None = None) -> dict[str, Column]:
     """Per-language evidence scores (stopword hits per word; script-char
     ratios for the script-class languages).
 
@@ -214,8 +214,17 @@ def lang_scores(text: Column) -> dict[str, Column]:
     counting matches is cheaper than ``regexp_replace`` building the
     stripped string just to measure it. All evidence is taken from the
     first LANG_ID_PREFIX_CHARS characters (see constant).
+
+    ``nonascii``: an optional pre-staged "contains a non-ASCII char"
+    column gating every script-class regex (r14 — the same value-neutral
+    gate ``with_lang_id`` stages for the document path: ASCII-only text
+    contains zero script chars, so skipping the 24 script passes changes
+    nothing). Pass a STAGED attribute so the probe evaluates once per
+    row; when omitted, an inline probe per script expression is used.
     """
     text = F.substring(text, 1, LANG_ID_PREFIX_CHARS)
+    if nonascii is None:
+        nonascii = text.rlike(r"[^\x00-\x7F]")
     lowered = F.lower(text)
     n_words = word_count(text)
     safe_words = F.when(n_words > 0, n_words.cast("double"))
@@ -227,16 +236,25 @@ def lang_scores(text: Column) -> dict[str, Column]:
     safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
     for lang, cls in SCRIPT_CLASS_SPARK.items():
         scores[lang] = (
-            F.regexp_count(text, F.lit(f"[{cls}]")).cast("double") / safe_chars
+            F.when(
+                nonascii, F.regexp_count(text, F.lit(f"[{cls}]")).cast("double")
+            ).otherwise(F.lit(0.0))
+            / safe_chars
         )
     for base, (base_pat, refinements) in SCRIPT_REFINEMENTS.items():
         scores[f"_m_{base}"] = (
-            F.regexp_count(text, F.lit(base_pat)).cast("long")
+            F.when(nonascii, F.regexp_count(text, F.lit(base_pat)))
+            .otherwise(F.lit(0))
+            .cast("long")
             if base_pat
             else F.lit(0)
         )
         for refined, pat in refinements:
-            scores[f"_m_{refined}"] = F.regexp_count(text, F.lit(pat)).cast("long")
+            scores[f"_m_{refined}"] = (
+                F.when(nonascii, F.regexp_count(text, F.lit(pat)))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
     return scores
 
 
@@ -648,7 +666,14 @@ def segment_lang_table(
             F.slice(F.col("_toks"), F.col("seg_idx") * w + 1, w), " "
         ).alias("_seg"),
     )
-    scores = lang_scores(F.col("_seg"))
+    # stage the non-ASCII probe ONCE per segment: every script-class
+    # regex in lang_scores gates on it (r14 — ASCII segments, the bulk
+    # of web corpora, skip all 24 script passes; value-neutral because
+    # ASCII text has zero script chars)
+    segs = segs.select(
+        "*", F.col("_seg").rlike(r"[^\x00-\x7F]").alias("_seg_na")
+    )
+    scores = lang_scores(F.col("_seg"), nonascii=F.col("_seg_na"))
     extra = ["_seg"] if keep_segment else []
     staged = segs.select(
         id_col,

@@ -473,19 +473,25 @@ def build_pipeline(
         target_lang = str(dsec.get("target_lang", "en"))
         frac = float(dsec.get("keep_fraction", 0.25))
         buckets = int(dsec.get("num_buckets", 10_000))
-        # three consumers (ratio fit, scoring join, count-for-k action):
-        # checkpoint so the upstream pipeline runs once, not three times
+        # three consumers (feature pass, count-for-k action, final
+        # semi-join): checkpoint so the upstream pipeline runs once.
+        # The ratio fit and the scoring join then share ONE tokenize+md5
+        # feature pass via dsir_doc_bucket_counts (r14; previously each
+        # ran its own — two full passes over the checkpointed corpus).
         df = df.localCheckpoint(eager=True)
+        cond = F.col("lang") == target_lang
+        counts = corpus.dsir_doc_bucket_counts(df, cond, num_buckets=buckets)
         lr = corpus.dsir_log_ratios_within(
             df,
-            F.col("lang") == target_lang,
+            cond,
             num_buckets=buckets,
             materialize=True,
+            doc_counts=counts,
         )
         k = max(1, int(df.count() * frac))
-        keep = corpus.dsir_sample(df, lr, k=k, num_buckets=buckets).select(
-            "doc_id"
-        )
+        keep = corpus.dsir_sample(
+            df, lr, k=k, num_buckets=buckets, doc_counts=counts
+        ).select("doc_id")
         df = df.join(keep, on="doc_id", how="left_semi")
         obs["dsir"] = Observation("dsir")
         df = df.observe(obs["dsir"], F.count(F.lit(1)).alias("rows"))

@@ -302,6 +302,44 @@ _CHANGED_IN_ROUND.update(
         "mp4_frame_stats": 14,
     }
 )
+# r14 OPTIMIZATION round: result-preserving plan restructures (values
+# bit-identical — each verified against the oracle via driver_mimic this
+# round — but the executing plans changed, so re-score):
+_CHANGED_IN_ROUND.update(
+    {
+        # shared one-pass DSIR feature table + fused uni+bi explode
+        "dsir_scores": 14,
+        "dsir_sample": 14,
+        # composed pipeline: DSIR stage shares one feature pass; holdout
+        # stage rides the slim-proxy eval_holdout
+        "pipeline_e2e_full": 14,
+        # slim materialized fingerprint table before the band self-join
+        "simhash_near_dup_pairs": 14,
+        "simhash_pairs_md5": 14,
+        # eval_holdout slim-proxy restructure (digest shuffle no longer
+        # carries text; md5 once)
+        "eval_holdout_stats": 14,
+        # PQ/IVF shared-subtree materialization (codebook/centroids/
+        # residuals checkpointed once instead of inlined per consumer)
+        "pq_topk": 14,
+        "pq_topk_refined": 14,
+        "pq_topk_reranked": 14,
+        "ivfpq_topk": 14,
+        "ivfpq_topk_residual": 14,
+        "rerank_bound_stats": 14,
+        "pq_recall_curve": 14,
+        "ann_recall_unified": 14,
+        "ann_ivf_topk_seeded": 14,
+        # kmeans_refine: intermediate assignments stay lazy
+        "semdedup_pairs_refined": 14,
+        # per-part average pre-filtered by the brand semi-join
+        "q17_small_quantity_revenue": 14,
+        # segment LID: script regexes gated behind a staged non-ASCII
+        # probe (value-neutral gate, plan changed)
+        "segment_lang_mix": 14,
+        "remove_wrong_lang": 14,
+    }
+)
 
 
 def _scorecard_rounds() -> tuple[dict[str, int], dict[str, int]]:
@@ -2478,10 +2516,15 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     docs = _t(spark, sf_dir, "documents")
+    # one tokenize+md5 feature pass shared by the ratio fit and the
+    # scoring aggregate (r14; was two full passes — four corpus scans
+    # with the former per-pass unigram/bigram union branches)
+    cond = F.col("lang") == "en"
+    counts = corpus.dsir_doc_bucket_counts(docs, cond)
     lr = corpus.dsir_log_ratios_within(
-        docs, F.col("lang") == "en", materialize=True
+        docs, cond, materialize=True, doc_counts=counts
     )
-    return corpus.with_dsir_score(docs, lr)
+    return corpus.with_dsir_score(docs, lr, doc_counts=counts)
 
 
 @register("dsir_sample", oracle.dsir_sample_sql(target_lang="en", frac=4))
@@ -2493,10 +2536,13 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     docs = _t(spark, sf_dir, "documents")
+    # shared feature pass, as in dsir_scores (r14)
+    cond = F.col("lang") == "en"
+    counts = corpus.dsir_doc_bucket_counts(docs, cond)
     lr = corpus.dsir_log_ratios_within(
-        docs, F.col("lang") == "en", materialize=True
+        docs, cond, materialize=True, doc_counts=counts
     )
-    return corpus.dsir_sample(docs, lr, k=docs.count() // 4)
+    return corpus.dsir_sample(docs, lr, k=docs.count() // 4, doc_counts=counts)
 
 
 @register(
@@ -3337,11 +3383,24 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from below-half-average-quantity lines of
     one brand. The per-part average-quantity table is broadcast (part
-    cardinality ~ dimensions); threshold uses the deterministic davg."""
+    cardinality ~ dimensions); threshold uses the deterministic davg.
+
+    r14: the average-quantity aggregate only matters for the filtered
+    brand's parts, so its input is pre-filtered with a broadcast
+    semi-join on the brand part keys (guide §3.2 — reduce the big side
+    before aggregating/shuffling it) instead of aggregating every part's
+    lines and discarding ~98% at the final join. Per-part averages for
+    the surviving keys are unchanged, so the result is identical."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    pa = li.groupBy(F.col("l_partkey").alias("_pa_key")).agg(
-        _davg("l_quantity").alias("avg_qty")
+    pa = (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("_pa_key"))),
+            li.l_partkey == F.col("_pa_key"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("_pa_key"))
+        .agg(_davg("l_quantity").alias("avg_qty"))
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
