@@ -24,6 +24,31 @@ from llm_training_data_pipeline_spark.operators import cleaning, dedup, quality
 from llm_training_data_pipeline_spark.plans.config import PipelineConfig
 
 
+def _ckpt_spread(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint, re-spread across the cluster when the
+    materialized partitioning collapsed below ``defaultParallelism``.
+
+    AQE coalesces small shuffle outputs down to ONE partition — correct
+    for the bytes it sees, but the stages that follow these checkpoints
+    (paragraph/gram explodes ~10x rows per word position, the 24-regex
+    quality battery, the DSIR tokenize+md5 pass) amplify per-row work by
+    2-3 orders of magnitude, so partitioning must be sized for the
+    amplified work, not the input bytes (guide §2.2/§6: partition for
+    the stage's compute). Measured at sf0.1: the composed ngram gate ran
+    13.5s on the 1-partition checkpoint vs 0.8s standalone on a 16-way
+    scan. The re-spread is a round-robin shuffle of an already-small
+    checkpointed frame; when the frame already spans the cluster
+    (any realistic production input) it is a no-op — no constant tuned
+    to either local mode or the cluster. Values are unchanged: every
+    downstream stage is row-order independent (keyed joins, keyed
+    windows, deterministic arithmetic sample keys)."""
+    df = df.localCheckpoint(eager=True)
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp).localCheckpoint(eager=True)
+
+
 def build_pipeline(
     docs: DataFrame, cfg: PipelineConfig
 ) -> tuple[DataFrame, dict[str, Observation]]:
@@ -220,7 +245,7 @@ def build_pipeline(
         # into interpreted fallback. One eager checkpoint runs the
         # upstream once and resets the plan (values bit-identical;
         # measured 86s -> ~7s on the c4 preset at 120 docs).
-        df = df.localCheckpoint(eager=True)
+        df = _ckpt_spread(df)
         df = corpus.remove_dup_paragraphs(df, "text").drop("n_paras_removed")
         obs["paragraph_dedup"] = Observation("paragraph_dedup")
         df = df.observe(obs["paragraph_dedup"], F.count(F.lit(1)).alias("rows"))
@@ -270,7 +295,7 @@ def build_pipeline(
             # detected_lang column pins the scores to ONE evaluation;
             # at scale the one extra materialization is strictly
             # cheaper than a ~50x-duplicated regex scan.
-            df = textstats.with_lang_id(df, "text").localCheckpoint(eager=True)
+            df = _ckpt_spread(textstats.with_lang_id(df, "text"))
             lang_col = "detected_lang"
         df = quality.with_quality(df, "text", qcfg, lang_col=lang_col, include_scores=False)
         ce = qsec.get("code_exempt", {})
@@ -349,7 +374,7 @@ def build_pipeline(
         # re-run per branch (r9 compose-at-scale measurement: the full
         # configured pipeline cost ~5x its stage sum before these
         # checkpoints). One eager checkpoint runs the upstream once.
-        df = df.localCheckpoint(eager=True)
+        df = _ckpt_spread(df)
         df = (
             quality.with_dup_ngram_stats(df, "text")
             .filter(F.col("ngram_repetition_pass"))
@@ -478,7 +503,7 @@ def build_pipeline(
         # The ratio fit and the scoring join then share ONE tokenize+md5
         # feature pass via dsir_doc_bucket_counts (r14; previously each
         # ran its own — two full passes over the checkpointed corpus).
-        df = df.localCheckpoint(eager=True)
+        df = _ckpt_spread(df)
         cond = F.col("lang") == target_lang
         counts = corpus.dsir_doc_bucket_counts(df, cond, num_buckets=buckets)
         lr = corpus.dsir_log_ratios_within(
@@ -506,7 +531,7 @@ def build_pipeline(
         # upstream once — the multi-branch-stage rule (BENCH_NOTES r8).
         from llm_training_data_pipeline_spark.operators import corpus
 
-        df = df.localCheckpoint(eager=True)
+        df = _ckpt_spread(df)
         df = corpus.eval_holdout(
             df, per_source=int(hsec.get("per_source", 50))
         )
