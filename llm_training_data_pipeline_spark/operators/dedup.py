@@ -426,14 +426,22 @@ def minhash_band_candidates(
     id_col: str = "doc_id",
     cfg: MinHashConfig = MinHashConfig(),
     max_bucket_size: int | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band — the
     raw candidate set, before any similarity verification. Per-bucket
     joins, never all-pairs; the shuffle ships (id, bucket) only.
     ``max_bucket_size`` caps each bucket's contribution (see
-    ``minhash_band_buckets``)."""
+    ``minhash_band_buckets``).
+
+    ``distinct_pairs=False`` skips the pair-level ``distinct()`` — a full
+    shuffle of the candidate set (measured 4.5s of the sf1 minhash_dedup
+    row; duplicate rate is only the multi-band co-occurrence, ~1% on the
+    bench corpus). Correct ONLY for consumers that reduce pairs to a
+    per-id existence decision downstream (the dedup loser set's
+    ``distinct(id_b)``), never for pair-emitting queries."""
     banded = minhash_band_buckets(sig, id_col, cfg, max_bucket_size)
-    return (
+    pairs = (
         banded.alias("a")
         .join(banded.alias("b"), on="bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -441,8 +449,8 @@ def minhash_band_candidates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def minhash_candidate_pairs_from_signatures(
@@ -554,8 +562,23 @@ def minhash_dedup(
     similarity graphs) where bounded output volume is the point.
     Uncapped behavior is unchanged (single pair path, bit-identical)."""
     if max_bucket_size is None:
-        pairs = minhash_candidate_pairs(
-            df, text_col, id_col, cfg, signatures=signatures,
+        # the loser set reduces pairs to distinct(id_b), so the pair-level
+        # distinct inside the default candidate path is a redundant full
+        # shuffle of the candidate set here (r14; ~1% duplicate pairs on
+        # the bench corpus, collapsed one aggregation later either way —
+        # values identical, one Exchange + pair-sized HashAggregate less)
+        sig = (
+            signatures
+            if signatures is not None
+            else minhash_signatures(df, text_col, id_col, cfg).localCheckpoint(
+                eager=True
+            )
+        )
+        pairs = minhash_candidate_pairs_from_signatures(
+            sig, id_col, cfg,
+            candidates=minhash_band_candidates(
+                sig, id_col, cfg, distinct_pairs=False
+            ),
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(losers, on=id_col, how="left_anti")
@@ -566,7 +589,9 @@ def minhash_dedup(
     )
     capped_pairs = minhash_candidate_pairs_from_signatures(
         sig, id_col, cfg,
-        candidates=minhash_band_candidates(sig, id_col, cfg, max_bucket_size),
+        candidates=minhash_band_candidates(
+            sig, id_col, cfg, max_bucket_size, distinct_pairs=False
+        ),
     )
     star_pairs = minhash_candidate_pairs_from_signatures(
         sig, id_col, cfg,
@@ -1369,21 +1394,32 @@ def dedup_clusters(
     # steps trades a little duplicated lineage for half the rounds
     # (measured on the sf0.1 star graph: 11 rounds/5.1s at 1 step,
     # 6 rounds/4.2s at 2, 3 steps regresses — lineage growth wins out).
+    # The pointer jump runs ONCE per round (after the second prop step),
+    # not once per step: the r14 schedule sweep on the same graph
+    # measured prop+jump/prop+jump at 6 rounds / 4.5-7.6s vs
+    # prop/prop+jump at the SAME 6 rounds / 3.5s — the second jump's
+    # two extra label-sized shuffles bought no rounds. One jump per
+    # round still halves remaining chain depth every round, keeping
+    # convergence O(log diameter); the fixpoint (and therefore the
+    # labeling) is schedule-independent because labels only decrease
+    # and the sum check only stops on a full no-change round.
     steps_per_round = 2
     for _ in range(max_iter):
         merged = labels
-        for _ in range(steps_per_round):
+        for step in range(steps_per_round):
             prop = edges.join(
                 merged.withColumnRenamed("node", "dst"), on="dst"
             ).select(F.col("src").alias("node"), "label")
             merged = (
                 merged.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
             )
+            if step != steps_per_round - 1:
+                continue
             # pointer jump: label ← label(label). Every label value is a
             # node id (labels start as node→node and min-merge only moves
             # existing ids around), so the left join misses only at the
             # fixpoint root. Measured: no-jump converges in graph-diameter
-            # rounds, one jump per step halves remaining chain depth.
+            # rounds, one jump per round halves remaining chain depth.
             jump = merged.select(
                 F.col("node").alias("label"), F.col("label").alias("_jlabel")
             )
