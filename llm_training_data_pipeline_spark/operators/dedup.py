@@ -1486,17 +1486,24 @@ def dedup_keep_best(
     """
     stars = minhash_bucket_stars(df, text_col, id_col, cfg, signatures=signatures)
     clusters = dedup_clusters(stars).withColumnRenamed("doc_id", id_col)
-    labeled = df.join(clusters, on=id_col, how="left").withColumn(
-        "_cluster", F.coalesce(F.col("cluster_id"), F.col(id_col))
-    )
-    w = Window.partitionBy("_cluster").orderBy(
+    # Decide winners on SLIM rows (guide §8): the ranking needs only
+    # (cluster, score, id), and only CLUSTERED docs compete — the old
+    # form shuffled the whole corpus (text included) through a window
+    # whose singleton partitions always ranked 1. Docs in no cluster are
+    # never losers, so the anti-join passes them through untouched —
+    # identical rows (oracle ⊕), full-width shuffle gone; the loser set
+    # (cluster members minus winners) is near-dup-sized, so the
+    # anti-join's build side broadcasts at any realistic dup rate.
+    member_scores = clusters.join(df.select(id_col, score_col), on=id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
         F.col(score_col).desc(), F.col(id_col)
     )
-    return (
-        labeled.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_cluster", "cluster_id")
+    losers = (
+        member_scores.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col)
     )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def minhash_recall(
