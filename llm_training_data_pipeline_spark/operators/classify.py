@@ -111,6 +111,13 @@ def nb_train(
             .alias("miss_u"),
         )
     )
+    if materialize:
+        # `classes` is C rows but has TWO consumers (the model projection
+        # below and the scoring crossJoin) — lazy, each consumer re-runs
+        # the train-corpus class/doc aggregates under itself (the r14
+        # shared-small-table rule: materialize tiny multi-consumer
+        # intermediates; bit-identical output)
+        classes = classes.localCheckpoint(eager=True)
     model = (
         wc.join(F.broadcast(classes.select("_label", "_tc", "_v", "miss_u")), on="_label")
         .select(

@@ -3048,6 +3048,7 @@ def bm25_topk(
     b_hundredths: int = 75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Top-k documents for a keyword query by Okapi BM25 — the standard
     retrieval-curation primitive (pull the docs most *about* a topic out
@@ -3072,15 +3073,22 @@ def bm25_topk(
     decimal(38,0): at 100-TB scale T ~ 1e13 and tf ~ 1e4 keep the
     numerator < 1e30, far inside both decimal(38) and DuckDB's HUGEINT.
 
-    Plan: one corpus scan feeds the doc-length aggregate; the query-term
-    tf aggregate scans only rows whose word is in the (tiny, literal)
-    term list — Catalyst pushes the IN filter below the explode's
-    generator. ``docfreq`` and the (N, T) scalar row are broadcast, so
-    the only shuffles are the two hash aggregates on natural keys plus
-    the final distributed top-k (``orderBy().limit(k)`` = TakeOrdered:
-    each partition keeps its own top-k, the driver merges; the rank
-    window then runs over k rows only — never over the full match
-    set, which for a common term at 100 TB is millions of docs).
+    Plan: ONE corpus explode pass feeds a single per-doc aggregate that
+    computes the document length AND every query term's tf together
+    (the term list is tiny and literal, so the conditional sums are
+    per-row codegen, not extra passes); the per-(doc, term) rows come
+    back out of that slim table via ``stack`` — r14 fused what were two
+    full explode passes (doc lengths; term tfs), each of which the lazy
+    plan then duplicated under its two consumers (4 corpus scans
+    total). The aggregate is materialized (it is one slim row per doc
+    with > 0 words; every downstream table — corpus stats, docfreq,
+    per-term scores — derives from it). ``docfreq`` and the (N, T)
+    scalar row are broadcast, so the only shuffle is the per-doc hash
+    aggregate plus the final distributed top-k (``orderBy().limit(k)``
+    = TakeOrdered: each partition keeps its own top-k, the driver
+    merges; the rank window then runs over k rows only — never over
+    the full match set, which for a common term at 100 TB is millions
+    of docs).
 
     Reference analogue: the reference pipeline has no retrieval stage;
     this extends its quality_filter.py word-statistics vocabulary
@@ -3092,15 +3100,41 @@ def bm25_topk(
     K, B = int(k1_tenths), int(b_hundredths)
 
     words = _lower_words(df, text_col, id_col)
-    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    corpus_stats = dl.agg(
+    # dl + per-term tf in ONE aggregate over one explode pass. A doc
+    # with zero tokens has no words row, hence no dl row — identical to
+    # the old two-pass form.
+    doc_tf = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == F.lit(t), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_tf_{i}")
+            for i, t in enumerate(term_list)
+        ],
+    )
+    if materialize:
+        doc_tf = doc_tf.localCheckpoint(eager=True)
+    corpus_stats = doc_tf.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("dl").cast("long").alias("_t"),
     )
+    # (id, dl, word, tf) rows for matched terms only — `stack` unpivots
+    # the per-term counts; tf = 0 rows are dropped exactly as the old
+    # filtered groupBy never produced them. Terms are whitespace tokens
+    # (no quotes possible), but escape defensively for the literal.
+    stack_args = ", ".join(
+        "'{}', _tf_{}".format(t.replace("'", "\\'"), i)
+        for i, t in enumerate(term_list)
+    )
     tf = (
-        words.filter(F.col("word").isin(term_list))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        doc_tf.select(
+            id_col,
+            "dl",
+            F.expr(
+                f"stack({len(term_list)}, {stack_args}) AS (word, tf)"
+            ),
+        )
+        .filter(F.col("tf") > 0)
     )
     docfreq = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df_docs")
@@ -3126,8 +3160,8 @@ def bm25_topk(
         + F.lit(K * B).cast(dec) * F.col("dl").cast(dec) * F.col("_n").cast(dec)
     )
     per_term = (
+        # tf rows already carry dl (same per-doc aggregate) — no dl join
         tf.join(F.broadcast(docfreq), on="word")
-        .join(dl, on=id_col)
         .crossJoin(F.broadcast(corpus_stats))
         .withColumn("_numer", numer)
         .withColumn("_denom", denom)
@@ -3166,6 +3200,7 @@ def source_unigram_kl(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-source KL divergence from the corpus-wide unigram
     distribution — the standard "how far does this source's vocabulary
@@ -3194,6 +3229,12 @@ def source_unigram_kl(
     csw = words.groupBy("source", "word").agg(
         F.count(F.lit(1)).cast("long").alias("c_sw")
     )
+    if materialize:
+        # csw (slim (source, word, count) rows) feeds THREE consumers —
+        # cw, the grand total via cw, and the per_word join — each of
+        # which otherwise inlines the corpus explode + aggregate under
+        # itself (r14 shared-table rule; bit-identical output)
+        csw = csw.localCheckpoint(eager=True)
     cw = csw.groupBy("word").agg(F.sum("c_sw").cast("long").alias("c_w"))
     tot = cw.agg(F.sum("c_w").cast("long").alias("_t"))
 
@@ -3309,6 +3350,7 @@ def doremi_mixture_step(
     clip_nats_milli: int = 2000,
     strata_col: str = "source",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """One DoReMi-style exponentiated-gradient step over per-source
     excess surprisal (Xie et al. 2023, Domain Reweighting with Minimax
@@ -3358,6 +3400,12 @@ def doremi_mixture_step(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     per_src = per_src.join(docs, on="stratum")
+    if materialize:
+        # per_src is ONE slim row per stratum but has two consumers (the
+        # corpus-total aggregate and the crossJoin below) — lazy, each
+        # consumer re-runs the corpus explode + vocab join under itself
+        # (r14 shared-small-table rule; bit-identical output)
+        per_src = per_src.localCheckpoint(eager=True)
     corp = per_src.agg(
         F.sum("n_words").cast("decimal(38,0)").alias("_nc"),
         F.sum("_sln").cast("decimal(38,0)").alias("_sc"),

@@ -338,6 +338,16 @@ _CHANGED_IN_ROUND.update(
         # probe (value-neutral gate, plan changed)
         "segment_lang_mix": 14,
         "remove_wrong_lang": 14,
+        # bm25: dl + per-term tf fused into ONE explode pass (stack
+        # unpivot); hybrid inherits the fused text leg
+        "bm25_topk": 14,
+        "hybrid_rrf_topk": 14,
+        # NB classifier: the C-row classes table is materialized once
+        # instead of re-running the train aggregates per consumer
+        "nb_classify_lang": 14,
+        # per-stratum / (source, word) shared tables materialized once
+        "doremi_mixture_step": 14,
+        "source_unigram_kl": 14,
     }
 )
 
@@ -4992,7 +5002,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators.corpus import bm25_topk
 
     return bm25_topk(
-        _t(spark, sf_dir, "documents"), terms=["vector", "stream", "window"], k=10
+        _t(spark, sf_dir, "documents"),
+        terms=["vector", "stream", "window"],
+        k=10,
+        materialize=True,
     )
 
 
@@ -5018,7 +5031,7 @@ def q_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in decimal(38,0) (corpus.source_unigram_kl)."""
     from llm_training_data_pipeline_spark.operators.corpus import source_unigram_kl
 
-    return source_unigram_kl(_t(spark, sf_dir, "documents"))
+    return source_unigram_kl(_t(spark, sf_dir, "documents"), materialize=True)
 
 
 @register("wet_ingestion_demo", None)
@@ -5465,7 +5478,7 @@ def q_doremi_mixture_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         doremi_mixture_step,
     )
 
-    return doremi_mixture_step(_t(spark, sf_dir, "documents"))
+    return doremi_mixture_step(_t(spark, sf_dir, "documents"), materialize=True)
 
 
 @register("pack_boundaries", oracle.pack_boundaries_sql(budget_tokens=256))
