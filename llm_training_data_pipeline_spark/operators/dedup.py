@@ -26,6 +26,7 @@ final keep-side is a broadcast-able anti-join on the (small) drop-list.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1828,7 +1829,10 @@ def exact_soft_dedup_weights(
 
 
 def cluster_soft_dedup_weights(
-    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Near-dup soft weights: ``1/|cluster|`` ppm over ``dedup_clusters``
     labels; docs outside every cluster keep full weight (singleton).
@@ -1837,6 +1841,11 @@ def cluster_soft_dedup_weights(
     size join broadcasts; the label join is id-to-id. Composes with any
     pair graph the clusterer accepts (MinHash bands, SimHash, n-gram
     Jaccard).
+
+    ``carry`` lets a consumer ride extra ``df`` columns through the ONE
+    label join instead of re-joining the weights back onto the corpus by
+    id afterwards (each doc has exactly one weight row, so carrying a
+    column through is join-equivalent by construction).
     """
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("_sz")
@@ -1845,10 +1854,11 @@ def cluster_soft_dedup_weights(
         F.col("doc_id").alias(id_col), "_sz"
     )
     return (
-        df.select(id_col)
+        df.select(id_col, *carry)
         .join(labeled, on=id_col, how="left")
         .select(
             id_col,
+            *carry,
             F.coalesce(F.col("_sz"), F.lit(1)).cast("long").alias("cluster_size"),
             F.expr("1000000 div coalesce(_sz, 1)").cast("long").alias(
                 "soft_weight_ppm"
@@ -1870,7 +1880,13 @@ def soft_dedup_mass(
     should budget against, not the raw row count.
     """
     size_col = "n_copies" if "n_copies" in weights.columns else "cluster_size"
-    joined = df.select(id_col, by).join(weights, on=id_col)
+    # A weights table that already carries the group column (built with
+    # cluster_soft_dedup_weights(carry=[by])) needs no join-back: it has
+    # exactly one row per doc, so re-joining df by id is the identity.
+    if by in weights.columns:
+        joined = weights
+    else:
+        joined = df.select(id_col, by).join(weights, on=id_col)
     return (
         joined.groupBy(by)
         .agg(

@@ -348,6 +348,13 @@ _CHANGED_IN_ROUND.update(
         # per-stratum / (source, word) shared tables materialized once
         "doremi_mixture_step": 14,
         "source_unigram_kl": 14,
+        # soft-dedup: group/sample columns ride the ONE cluster-label
+        # join (carry=) instead of a second corpus-wide id join-back;
+        # the md5 star-graph cluster table joins the session-store
+        # discipline (shared by dedup_clusters + both soft rows)
+        "soft_dedup_mass": 14,
+        "soft_dedup_sample": 14,
+        "dedup_clusters": 14,
     }
 )
 
@@ -455,6 +462,31 @@ def _md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cached_minhash_signatures(
         _t(spark, sf_dir, "documents"), cfg=_MD5_CFG, cache_key=sf_dir
     )
+
+
+# (appId, sf_dir) -> md5-family star-graph cluster labels — the
+# signature-store discipline one level up: dedup_clusters /
+# soft_dedup_mass / soft_dedup_sample all derive the IDENTICAL
+# stars -> transitive-closure label table, and the driver union-find
+# already materializes it as a local relation, so the first caller pays
+# the build and the rest reuse it within the session (recomputed from
+# parquet in every new session; dedup_clusters_distributed deliberately
+# does NOT use it — it exists to exercise and time the distributed path).
+_MD5_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _md5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MD5_CLUSTER_CACHE.get(key)
+    if got is None:
+        stars = dedup.minhash_bucket_stars(
+            _t(spark, sf_dir, "documents"),
+            cfg=_MD5_CFG,
+            signatures=_md5_sigs(spark, sf_dir),
+        )
+        got = dedup.dedup_clusters(stars)
+        _MD5_CLUSTER_CACHE[key] = got
+    return got
 
 
 # The ANN recall family (ann_recall_report / pq_recall / ann_recall_ivf /
@@ -2663,12 +2695,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a hot bucket contributing thousands vs millions of edges —
     and the shallow star topology converges the label propagation in a
     couple of rounds instead of graph-diameter rounds."""
-    stars = dedup.minhash_bucket_stars(
-        _t(spark, sf_dir, "documents"),
-        cfg=_MD5_CFG,
-        signatures=_md5_sigs(spark, sf_dir),
-    )
-    return dedup.dedup_clusters(stars)
+    return _md5_clusters(spark, sf_dir)
 
 
 @register(
@@ -4649,11 +4676,8 @@ def q_soft_dedup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts (one row per cluster); the oracle replays the full chain
     through the recursive-CTE closure."""
     docs = _t(spark, sf_dir, "documents")
-    stars = dedup.minhash_bucket_stars(
-        docs, cfg=_MD5_CFG, signatures=_md5_sigs(spark, sf_dir)
-    )
-    clusters = dedup.dedup_clusters(stars)
-    weights = dedup.cluster_soft_dedup_weights(docs, clusters)
+    clusters = _md5_clusters(spark, sf_dir)
+    weights = dedup.cluster_soft_dedup_weights(docs, clusters, carry=("source",))
     return dedup.soft_dedup_mass(docs, weights)
 
 
@@ -4706,13 +4730,12 @@ def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from llm_training_data_pipeline_spark.operators import corpus
 
     docs = _t(spark, sf_dir, "documents")
-    stars = dedup.minhash_bucket_stars(
-        docs, cfg=_MD5_CFG, signatures=_md5_sigs(spark, sf_dir)
+    clusters = _md5_clusters(spark, sf_dir)
+    weighted = dedup.cluster_soft_dedup_weights(
+        docs, clusters, carry=("source", "n_chars")
     )
-    clusters = dedup.dedup_clusters(stars)
-    weights = dedup.cluster_soft_dedup_weights(docs, clusters)
     kept = corpus.weighted_sample(
-        docs.join(weights.select("doc_id", "soft_weight_ppm"), on="doc_id"),
+        weighted,
         (F.col("soft_weight_ppm") / F.lit(1_000_000.0)),
         base_rate=1.0,
     )
