@@ -556,69 +556,94 @@ def with_dup_ngram_stats(
     hence the cap at 1. Fractions are exact half-up 1e-6 units so the
     DuckDB oracle replays them bit-for-bit.
 
-    Plan shape (the 100-TB path, no per-doc quadratic fallback needed):
-    ONE flattened (n, gram) explode — ~9 slim rows per word position —
-    then (id, n, gram) counts, (id, n) coverage partials, a 9-way
-    conditional-aggregation pivot to one row per doc, and a join back on
-    ``id_col``. Every stage is a hash aggregate with map-side partials;
-    nothing is per-doc quadratic, so a pathological 100k-word doc costs
-    its n-gram row count, not distinct x occurrences."""
+    Plan shape (r14): ZERO Exchange — every statistic is per-document,
+    so all nine are per-row higher-order folds on the scan, no explode,
+    no shuffle aggregates, no join back (was: a 9-way (n, gram) explode
+    through three shuffle aggregates keyed by gram STRINGS, then an id
+    join — at 100 TB that shipped the corpus's n-gram text through the
+    network three times to compute row-local facts). Identities, exact
+    in longs:
+
+    - ``dup_n  = Σ_all_grams len − Σ_distinct_grams len``
+      (== Σ_{cnt≥2} (cnt−1)·len: cnt=1 terms vanish from both sides);
+    - ``best_n = max run-length × gram length over the SORTED gram
+      array`` (sorting groups equal grams contiguously, so a run IS a
+      gram's count — the fold tracks (prev, run, best) in one pass).
+
+    A pathological 100k-word doc costs one in-task O(G log G) sort of
+    its own grams — bounded, never distinct × occurrences quadratic."""
+    t = F.col(text_col)
+    staged = df.select("*", whitespace_tokens(F.lower(t)).alias("_w"))
+    w = F.col("_w")
     all_ns = sorted(
         {n for n, _ in cfg.max_top_ngram_frac}
         | {n for n, _ in cfg.max_dup_ngram_frac}
     )
-    t = F.col(text_col)
-    toks = df.select(
-        F.col(id_col), whitespace_tokens(F.lower(t)).alias("_w")
-    )
-    w = F.col("_w")
-    # one flattened array<struct<n,gram>> per doc: nested HOFs are safe
-    # here because the only array a lambda references (_w) is a staged
-    # attribute (see the re-evaluation trap note in with_repetition_stats)
-    gram_structs = F.flatten(
-        F.transform(
-            F.array(*[F.lit(n) for n in all_ns]),
-            lambda n: F.when(
+    best_ns = {n for n, _ in cfg.max_top_ngram_frac}
+    # stage each n's gram array as an attribute (lambdas may only
+    # reference staged arrays — the re-evaluation trap, see
+    # with_repetition_stats)
+    def _gram_lambda(n: int):
+        # single-parameter closure: a `lambda i, n=n` two-parameter form
+        # would be treated as transform's (element, index) binary lambda
+        # and bind n to the array INDEX
+        return lambda i: F.concat_ws(" ", F.slice(w, i, n))
+
+    gram_cols = {}
+    for n in all_ns:
+        gram_cols[n] = (
+            F.when(
                 F.size(w) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(w) - n + 1),
-                    lambda i: F.struct(
-                        n.alias("n"),
-                        F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
-                    ),
+                    _gram_lambda(n),
                 ),
-            ).otherwise(F.array().cast("array<struct<n:int,gram:string>>")),
-        )
-    )
-    exploded = toks.select(
-        F.col(id_col), F.explode_outer(gram_structs).alias("_g")
-    ).select(
-        F.col(id_col), F.col("_g.n").alias("_n"), F.col("_g.gram").alias("_gram")
-    )
-    counts = (
-        exploded.where(F.col("_n").isNotNull())
-        .groupBy(id_col, "_n", "_gram")
-        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-    )
-    glen = F.length("_gram").cast("long")
-    per_n = counts.groupBy(id_col, "_n").agg(
-        F.max(F.col("_cnt") * glen).alias("_best"),
-        F.sum(
-            F.when(F.col("_cnt") >= 2, (F.col("_cnt") - 1) * glen).otherwise(
-                F.lit(0).cast("long")
             )
-        ).alias("_dup"),
-    )
-    pivot_aggs = []
-    for n, _ in cfg.max_top_ngram_frac:
-        pivot_aggs.append(
-            F.max(F.when(F.col("_n") == n, F.col("_best"))).alias(f"_best{n}")
+            .otherwise(F.array().cast("array<string>"))
+            .alias(f"_g{n}")
         )
-    for n, _ in cfg.max_dup_ngram_frac:
-        pivot_aggs.append(
-            F.max(F.when(F.col("_n") == n, F.col("_dup"))).alias(f"_dup{n}")
+    staged = staged.select("*", *gram_cols.values())
+
+    def _len_sum(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"),
         )
-    per_doc = per_n.groupBy(id_col).agg(*pivot_aggs)
+
+    def _best_run(sorted_arr: Column) -> Column:
+        # one fold over the sorted grams: run = count of the current
+        # gram so far, best = max(run·len). Empty array → 0, matching
+        # the old pivot's NULL→coalesce(0).
+        init = F.struct(
+            F.lit(None).cast("string").alias("p"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("b"),
+        )
+
+        def step(acc, x):
+            run = F.when(x.eqNullSafe(acc["p"]), acc["r"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("p"),
+                run.alias("r"),
+                F.greatest(acc["b"], run * F.length(x).cast("long")).alias(
+                    "b"
+                ),
+            )
+
+        return F.aggregate(sorted_arr, init, step, lambda acc: acc["b"])
+
+    stat_cols = []
+    for n in all_ns:
+        g = F.col(f"_g{n}")
+        if n in best_ns:
+            stat_cols.append(_best_run(F.array_sort(g)).alias(f"_best{n}"))
+        else:
+            stat_cols.append(
+                (_len_sum(g) - _len_sum(F.array_distinct(g))).alias(f"_dup{n}")
+            )
 
     def _frac_units(num: Column, den: Column) -> Column:
         # exact half-up 1e-6 units, capped at 1.0 (the dup numerator can
@@ -628,7 +653,7 @@ def with_dup_ngram_stats(
         ).otherwise(F.lit(0)).cast("long")
         return F.least(u, F.lit(1_000_000).cast("long"))
 
-    out = df.join(per_doc, on=id_col, how="left")
+    out = staged.select("*", *stat_cols)
     den = F.length(t).cast("long")
     flag = F.lit(True)
     frac_cols = []
