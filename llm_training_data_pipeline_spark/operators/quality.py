@@ -396,6 +396,31 @@ def with_c4_quality(
     )
 
 
+def _sorted_run_best(sorted_arr: Column) -> Column:
+    """``max(count(g) · length(g))`` over the distinct grams of a SORTED
+    gram array, as one per-row fold: sorting groups equal grams
+    contiguously, so a run of equal neighbours IS a gram's count. The
+    fold tracks (prev, run, best); empty array → 0. O(G) after the
+    O(G log G) sort — never the distinct × occurrences quadratic."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        F.lit(0).cast("long").alias("r"),
+        F.lit(0).cast("long").alias("b"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["p"]), acc["r"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("p"),
+            run.alias("r"),
+            F.greatest(acc["b"], run * F.length(x).cast("long")).alias("b"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["b"])
+
+
 def with_repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -411,15 +436,15 @@ def with_repetition_stats(
     - ``top_2gram_char_frac`` characters covered by the most frequent word
                               2-gram (count x gram length) / doc length
 
-    Pure higher-order expressions for typical docs; the top-2gram
-    distinct x occurrences scan is O(distinct * n) per doc, so one
-    pathological many-word doc would otherwise pin a task. Docs over
-    ``hof_max_words`` words therefore switch to an explode + groupBy
-    top-gram count — O(n log n) shuffle work spread over the cluster —
-    and are joined back by ``id_col``. Values are identical on both
-    paths; with no ``id_col`` in the frame the HOF path handles
-    everything (no way to join the fallback back).
+    Pure per-row higher-order expressions for EVERY doc (r14): the
+    top-2gram cover is the sorted-run fold (``_sorted_run_best``),
+    O(G log G) per row, so the old explode+groupBy fallback for huge
+    docs — a corpus shuffle keyed by gram strings, plus a plan-doubling
+    union — is gone. ``hof_max_words`` is retained for signature
+    compatibility and no longer routes anything (both former paths were
+    value-identical; the single path equals both).
     """
+    del hof_max_words  # retired routing knob (single path since r14)
     t = F.col(text_col)
     # stage the arrays as attributes: a lambda referencing a non-staged
     # array expression re-evaluates it once PER ELEMENT of the outer
@@ -435,13 +460,6 @@ def with_repetition_stats(
     s2 = s1.select(
         "*",
         F.array_distinct("_r_lines").alias("_r_dlines"),
-        # gram COUNT as its own cheap column: the path-routing filter below
-        # must NOT test size(_r_grams) — predicate pushdown substitutes the
-        # alias into the condition unconditionally, and the inlined lambda
-        # re-runs element_at(split(text),i) once PER SEQUENCE ELEMENT,
-        # turning the filter itself O(words^2) per row (a 100k-word doc
-        # pins a task for hours). size(_r_words) inlines to one split.
-        F.when(F.size(w) < 2, F.lit(0)).otherwise(F.size(w) - 1).alias("_r_ng"),
         F.when(F.size(w) < 2, F.array().cast("array<string>"))
         .otherwise(
             F.transform(
@@ -453,9 +471,8 @@ def with_repetition_stats(
         )
         .alias("_r_grams"),
     )
-    s3 = s2.select("*", F.array_distinct("_r_grams").alias("_r_dgrams"))
     lines, dlines = F.col("_r_lines"), F.col("_r_dlines")
-    grams, dgrams = F.col("_r_grams"), F.col("_r_dgrams")
+    grams = F.col("_r_grams")
     n_lines, n_distinct = F.size(lines), F.size(dlines)
     total_line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
@@ -463,58 +480,21 @@ def with_repetition_stats(
     distinct_line_chars = F.aggregate(
         dlines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
     )
-    hof_cover = (
+    best_cover = _sorted_run_best(F.array_sort(grams))
+    return s2.select(
+        "*",
         F.when(
-            F.size(grams) > 0,
-            F.array_max(
-                F.transform(
-                    dgrams,
-                    lambda g: F.size(F.filter(grams, lambda x: x == g)) * F.length(g),
-                )
-            ).cast("long"),
-        )
-        .otherwise(F.lit(0).cast("long"))
-    )
-
-    def _finish(frame: DataFrame, best_cover) -> DataFrame:
-        return frame.select(
-            "*",
-            F.when(
-                n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
-            ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
-            F.when(
-                total_line_chars > 0,
-                (total_line_chars - distinct_line_chars)
-                / total_line_chars.cast("double"),
-            ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
-            F.when(
-                F.length(t) > 0, best_cover / F.length(t).cast("double")
-            ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
-        ).drop("_r_lines", "_r_words", "_r_dlines", "_r_grams", "_r_dgrams", "_r_ng")
-
-    if id_col not in df.columns:
-        return _finish(s3, hof_cover)
-    small = _finish(s3.filter(F.col("_r_ng") <= hof_max_words), hof_cover)
-    big = s3.filter(F.col("_r_ng") > hof_max_words)
-    # explode_OUTER, deliberately: plain explode triggers the
-    # InferFiltersFromGenerate rule, which infers size(_r_grams) > 0 and
-    # pushes it below the projections with the gram-building lambda
-    # inlined — the same O(words^2)-per-row trap as filtering on
-    # size(_r_grams) directly. The rule skips outer generators, and the
-    # two are identical here (every big-path array is non-empty; an
-    # empty-array null gram would aggregate to null and coalesce to 0).
-    top = (
-        big.select(F.col(id_col), F.explode_outer(grams).alias("_r_g"))
-        .groupBy(id_col, "_r_g")
-        .agg(F.count(F.lit(1)).alias("_r_cnt"))
-        .groupBy(id_col)
-        .agg(F.max(F.col("_r_cnt") * F.length("_r_g")).alias("_r_best"))
-    )
-    big_done = _finish(
-        big.join(top, on=id_col, how="left"),
-        F.coalesce(F.col("_r_best"), F.lit(0)).cast("long"),
-    ).drop("_r_best")
-    return small.unionByName(big_done)
+            n_lines > 0, (n_lines - n_distinct) / n_lines.cast("double")
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            total_line_chars > 0,
+            (total_line_chars - distinct_line_chars)
+            / total_line_chars.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(
+            F.length(t) > 0, best_cover / F.length(t).cast("double")
+        ).otherwise(F.lit(0.0)).alias("top_2gram_char_frac"),
+    ).drop("_r_lines", "_r_words", "_r_dlines", "_r_grams")
 
 
 @dataclass(frozen=True)
@@ -611,35 +591,13 @@ def with_dup_ngram_stats(
             lambda acc, x: acc + F.length(x).cast("long"),
         )
 
-    def _best_run(sorted_arr: Column) -> Column:
-        # one fold over the sorted grams: run = count of the current
-        # gram so far, best = max(run·len). Empty array → 0, matching
-        # the old pivot's NULL→coalesce(0).
-        init = F.struct(
-            F.lit(None).cast("string").alias("p"),
-            F.lit(0).cast("long").alias("r"),
-            F.lit(0).cast("long").alias("b"),
-        )
-
-        def step(acc, x):
-            run = F.when(x.eqNullSafe(acc["p"]), acc["r"] + 1).otherwise(
-                F.lit(1).cast("long")
-            )
-            return F.struct(
-                x.alias("p"),
-                run.alias("r"),
-                F.greatest(acc["b"], run * F.length(x).cast("long")).alias(
-                    "b"
-                ),
-            )
-
-        return F.aggregate(sorted_arr, init, step, lambda acc: acc["b"])
-
     stat_cols = []
     for n in all_ns:
         g = F.col(f"_g{n}")
         if n in best_ns:
-            stat_cols.append(_best_run(F.array_sort(g)).alias(f"_best{n}"))
+            stat_cols.append(
+                _sorted_run_best(F.array_sort(g)).alias(f"_best{n}")
+            )
         else:
             stat_cols.append(
                 (_len_sum(g) - _len_sum(F.array_distinct(g))).alias(f"_dup{n}")
