@@ -355,6 +355,12 @@ _CHANGED_IN_ROUND.update(
         "soft_dedup_mass": 14,
         "soft_dedup_sample": 14,
         "dedup_clusters": 14,
+        # Gopher repetition: the n-gram battery and the top-2gram cover
+        # are per-row sorted-run folds now — zero Exchange (was a 9-way
+        # gram explode through three shuffle aggregates / an explode
+        # fallback union)
+        "dup_ngram_stats": 14,
+        "repetition_stats": 14,
     }
 )
 
