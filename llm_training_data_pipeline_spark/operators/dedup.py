@@ -1405,6 +1405,8 @@ def dedup_clusters(
     # labeling) is schedule-independent because labels only decrease
     # and the sum check only stops on a full no-change round.
     steps_per_round = 2
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         merged = labels
         for step in range(steps_per_round):
@@ -1427,8 +1429,15 @@ def dedup_clusters(
             merged = merged.join(jump, on="label", how="left").select(
                 "node", F.coalesce("_jlabel", "label").alias("label")
             )
-        new_labels = merged.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(_label_sum).collect()[0][0]
+        # the convergence sum rides the checkpoint's own action as an
+        # Observation instead of a separate agg+collect job — one job
+        # and one full labels scan saved per round (r14; values
+        # identical, the observed sum IS the same _label_sum)
+        obs = Observation()
+        new_labels = merged.observe(obs, _label_sum.alias("s")).localCheckpoint(
+            eager=True
+        )
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             break
