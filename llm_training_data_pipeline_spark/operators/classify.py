@@ -79,10 +79,20 @@ def nb_train(
         wc = wc.localCheckpoint(eager=True)
     tc = wc.groupBy("_label").agg(F.sum("_nwc").alias("_tc"))
     vocab = wc.select("word").distinct().agg(F.count(F.lit(1)).alias("_v"))
-    n_docs = train.agg(F.count(F.lit(1)).alias("_n"))
+    tcounts = train.groupBy(F.col(label_col).alias("_label")).agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    if materialize:
+        # C rows, two consumers (the classes rows and, via the sum
+        # below, the doc total): checkpoint so the train-corpus class
+        # aggregate runs once (r14)
+        tcounts = tcounts.localCheckpoint(eager=True)
+    # n_docs = Σ_c n_c exactly (every train row lands in one label
+    # group, NULL included) — derived from the C-row class-count table
+    # instead of a second full train scan (r14)
+    n_docs = tcounts.agg(F.sum("_nc").alias("_n"))
     classes = (
-        train.groupBy(F.col(label_col).alias("_label"))
-        .agg(F.count(F.lit(1)).alias("_nc"))
+        tcounts
         # LEFT join + coalesce: a class whose training docs are all
         # zero-token has no tc row, but add-one smoothing still defines
         # its scores (prior + n·ln(1/V)) — an inner join would silently
@@ -144,12 +154,21 @@ def nb_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-(doc, class) log-score in exact 1e-8 units: (id, _label,
-    score_u). One word-keyed join + two doc-keyed aggregates."""
+    score_u). One word-keyed join + two doc-keyed aggregates.
+
+    ``materialize=True`` checkpoints the slim (id, word, n) table —
+    it has two consumers (the doc totals and the model join), so lazy
+    it re-runs the test-corpus explode per branch; at 100 TB the scan
+    dominates and one slim write is strictly cheaper (bit-identical,
+    same convention as the train-side ``wc``)."""
     words = df.select(
         F.col(id_col), F.explode(whitespace_tokens(F.lower(F.col(text_col)))).alias("word")
     ).groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("_n"))
+    if materialize:
+        words = words.localCheckpoint(eager=True)
     doc_totals = words.groupBy(id_col).agg(F.sum("_n").alias("_total"))
     deltas = (
         words.join(model, on="word")
@@ -184,7 +203,7 @@ def nb_classify(
     gap to the runner-up class, both rounded 6dp from exact units.
     Ties break deterministically (score DESC, label ASC)."""
     model, classes = nb_train(train, text_col, label_col, id_col, materialize)
-    scores = nb_scores(model, classes, test, text_col, id_col)
+    scores = nb_scores(model, classes, test, text_col, id_col, materialize)
     w = Window.partitionBy(id_col).orderBy(F.desc("score_u"), F.asc("_label"))
     ranked = scores.select(
         id_col,
