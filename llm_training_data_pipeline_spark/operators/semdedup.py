@@ -412,6 +412,11 @@ def semdedup_against(
     """
     if centroids is None:
         centroids = seed_centroids(corpus, n_clusters, vec_col, id_col)
+        if materialize:
+            # the k-row centroid table feeds BOTH assignment broadcasts;
+            # lazy, each broadcast build re-runs the seed sort-limit over
+            # the corpus (r14 shared-small-table rule; bit-identical)
+            centroids = centroids.localCheckpoint(eager=True)
     an = assign_clusters(new, centroids, n_clusters, vec_col, id_col, materialize)
     ac = assign_clusters(corpus, centroids, n_clusters, vec_col, id_col, materialize)
     n_side = an.select(
