@@ -361,10 +361,6 @@ _CHANGED_IN_ROUND.update(
         # fallback union)
         "dup_ngram_stats": 14,
         "repetition_stats": 14,
-        # slim (doc, pos, word) table checkpointed once — the vocab
-        # count and the tokenize join shared it lazily (2 corpus
-        # tokenize+explode passes -> 1)
-        "packed_sequences_ws": 14,
     }
 )
 
@@ -4885,16 +4881,12 @@ def q_packed_sequences_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # the slim (doc, pos, word) table feeds TWO consumers (the vocab
-    # count aggregate and the tokenize join) — lazy, the corpus
-    # tokenize+posexplode ran once per branch (r14; one slim write is
-    # strictly cheaper than a second corpus scan at any scale)
     words = docs.select(
         "doc_id",
         F.posexplode(whitespace_tokens(F.lower(F.col("text")))).alias(
             "pos", "word"
         ),
-    ).localCheckpoint(eager=True)
+    )
     # Vocabulary ids via the DISTRIBUTED prefix-sum rank (corpus.
     # global_rank) — a bare row_number().over(orderBy) here would move
     # the WHOLE vocabulary through one task (no rank filter exists to
