@@ -202,8 +202,12 @@ def nb_classify(
     margin). ``score`` is the winning log-likelihood and ``margin`` the
     gap to the runner-up class, both rounded 6dp from exact units.
     Ties break deterministically (score DESC, label ASC)."""
+    # nb_scores' materialize is NOT forwarded: the per-(id, word) table
+    # is token-volume-sized, and at bench scale checkpointing it costs
+    # more than the duplicated explode it saves (measured r14: +0.4s at
+    # sf0.1); a 100-TB caller whose scan dominates can pass it directly.
     model, classes = nb_train(train, text_col, label_col, id_col, materialize)
-    scores = nb_scores(model, classes, test, text_col, id_col, materialize)
+    scores = nb_scores(model, classes, test, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy(F.desc("score_u"), F.asc("_label"))
     ranked = scores.select(
         id_col,
