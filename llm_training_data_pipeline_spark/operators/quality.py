@@ -591,17 +591,19 @@ def with_dup_ngram_stats(
             lambda acc, x: acc + F.length(x).cast("long"),
         )
 
+    # build the two stat families from their OWN config lists (an n may
+    # appear in both max_top_ngram_frac and max_dup_ngram_frac, and then
+    # needs both _best{n} and _dup{n})
+    dup_ns = {n for n, _ in cfg.max_dup_ngram_frac}
     stat_cols = []
-    for n in all_ns:
+    for n in sorted(best_ns):
         g = F.col(f"_g{n}")
-        if n in best_ns:
-            stat_cols.append(
-                _sorted_run_best(F.array_sort(g)).alias(f"_best{n}")
-            )
-        else:
-            stat_cols.append(
-                (_len_sum(g) - _len_sum(F.array_distinct(g))).alias(f"_dup{n}")
-            )
+        stat_cols.append(_sorted_run_best(F.array_sort(g)).alias(f"_best{n}"))
+    for n in sorted(dup_ns):
+        g = F.col(f"_g{n}")
+        stat_cols.append(
+            (_len_sum(g) - _len_sum(F.array_distinct(g))).alias(f"_dup{n}")
+        )
 
     def _frac_units(num: Column, den: Column) -> Column:
         # exact half-up 1e-6 units, capped at 1.0 (the dup numerator can

@@ -79,6 +79,56 @@ STOPWORD_ORDER = (
     "sw", "tl",
 )
 
+# Token-membership form of the stopword battery (r15, guide §1.2 "per-
+# task work"): over the LOWERED prefix, ``\b(w1|...|wn)\b`` matches are
+# exactly the maximal boundary-word-char runs equal to some wi. Spark's
+# Java regex defines the \b word-char set as Unicode
+# letter ∪ decimal digit ∪ '_', plus a non-spacing mark (Mn) WHEN its
+# base character — the nearest preceding non-Mn — is itself a word char
+# (java.util.regex Pattern.Bound: isLetterOrDigit ∥ '_' ∥ Mn-with-word-
+# base). NOT the ASCII \w that \W/split uses. Probed empirically on
+# this engine (ñ/ï/Lm are word chars for \b; a leading Mn is a
+# boundary while an Mn after a letter is not; Mc/Nl/No/Pc/Cf and all
+# punctuation are boundaries) and pinned by
+# test_stopword_token_form_equals_regex_form incl. a fuzz battery over
+# those categories. The separator regex below reproduces the rule
+# exactly: a separator is an Mn run at string start (no base), or any
+# run of (non-word-non-Mn char + trailing Mn's) — those Mn's have a
+# non-word base. Every profile word consists only of letters (incl.
+# de's "für": ü ∈ \p{L}), so a \b-match must span a FULL word-char run
+# (a partial run leaves a word char on one side, killing the boundary)
+# and can never cross runs. Hence regexp_count(lowered, profile) ==
+# count of tokens from split(lowered, _WORD_RUN_SPLIT) equal to a
+# profile word. Counting membership over ONE staged token array
+# replaces 30 alternation-regex passes over the prefix with 30
+# hash-set lookups per token (Catalyst rewrites a >10-literal IN to
+# INSET). The oracle SQL keeps the regexp_count spelling — equivalence
+# is what the hash check proves.
+_WORD_RUN_SPLIT = r"\A\p{Mn}+|(?:[^\p{L}\p{Mn}\p{Nd}_]\p{Mn}*)+"
+LANG_PROFILE_WORDS: dict[str, tuple[str, ...]] = {}
+import re as _re  # noqa: E402
+
+for _lang, _pat in LANG_PROFILES.items():
+    assert _pat.startswith(r"\b(") and _pat.endswith(r")\b"), _lang
+    _words = tuple(_pat[3:-3].split("|"))
+    # every char of every word must be a \b word char (letters only —
+    # the full-run equivalence above depends on it)
+    assert all(_w and all(ch.isalpha() for ch in _w) for _w in _words), _lang
+    LANG_PROFILE_WORDS[_lang] = _words
+del _lang, _pat, _words
+
+
+def _stopword_hits(tokens: Column, lang: str, lowered: Column) -> Column:
+    """Stopword occurrence count for one profile: tokens (maximal
+    \\b-word-char runs of ``lowered``) in the profile word set — equal
+    to the \\b-alternation regexp_count over ``lowered`` (see the
+    equivalence note above). ``lowered`` is unused since the r15
+    all-words-are-runs proof landed; kept so a future profile word
+    with a non-word char can fall back to a residual regex."""
+    del lowered
+    return F.size(F.filter(tokens, lambda t: t.isin(*LANG_PROFILE_WORDS[lang])))
+
+
 # Script-class languages: character evidence beats stopword evidence.
 # Java spells the classes \p{IsHan}; RE2 (DuckDB oracle) spells them \p{Han}.
 # ja is checked BEFORE zh: kanji-heavy Japanese also scores on Han, but any
@@ -206,7 +256,12 @@ HAN_CLASS_DUCKDB = SCRIPT_CLASS_DUCKDB["zh"]
 BPE_ISH_TOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 
-def lang_scores(text: Column, *, nonascii: Column | None = None) -> dict[str, Column]:
+def lang_scores(
+    text: Column,
+    *,
+    nonascii: Column | None = None,
+    tokens: Column | None = None,
+) -> dict[str, Column]:
     """Per-language evidence scores (stopword hits per word; script-char
     ratios for the script-class languages).
 
@@ -221,16 +276,25 @@ def lang_scores(text: Column, *, nonascii: Column | None = None) -> dict[str, Co
     contains zero script chars, so skipping the 24 script passes changes
     nothing). Pass a STAGED attribute so the probe evaluates once per
     row; when omitted, an inline probe per script expression is used.
+
+    ``tokens``: an optional pre-staged \\w-run token array of the
+    LOWERED prefix (``split(lower(substring(text, 1, PREFIX)),
+    _WORD_RUN_SPLIT)``) feeding the stopword counts (r15 token-
+    membership form — see the LANG_PROFILE_WORDS note). Pass a STAGED
+    attribute; when omitted the split is built inline and relies on
+    Catalyst subexpression elimination to run once per row.
     """
     text = F.substring(text, 1, LANG_ID_PREFIX_CHARS)
     if nonascii is None:
         nonascii = text.rlike(r"[^\x00-\x7F]")
     lowered = F.lower(text)
+    if tokens is None:
+        tokens = F.split(lowered, _WORD_RUN_SPLIT)
     n_words = word_count(text)
     safe_words = F.when(n_words > 0, n_words.cast("double"))
     scores: dict[str, Column] = {
-        lang: (F.regexp_count(lowered, F.lit(pat)).cast("double") / safe_words)
-        for lang, pat in LANG_PROFILES.items()
+        lang: (_stopword_hits(tokens, lang, lowered).cast("double") / safe_words)
+        for lang in LANG_PROFILE_WORDS
     }
     n_chars = F.length(text)
     safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
@@ -327,12 +391,21 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
         word_count(t).alias("_lid_nw"),
         t.rlike(r"[^\x00-\x7F]").alias("_lid_nonascii"),
     )
+    # stage the \w-run token array ONCE: the 30 stopword counts are
+    # hash-set membership folds over it (r15 token-membership form —
+    # exact regexp_count equivalence proven at LANG_PROFILE_WORDS)
+    pre = pre.select(
+        "*", F.split(F.col("_lid_low"), _WORD_RUN_SPLIT).alias("_lid_toks")
+    )
     safe_words = F.when(F.col("_lid_nw") > 0, F.col("_lid_nw").cast("double"))
     n_chars = F.length(t)
     safe_chars = F.when(n_chars > 0, n_chars.cast("double"))
     score_exprs: dict[str, Column] = {
-        lang: (F.regexp_count(F.col("_lid_low"), F.lit(pat)).cast("double") / safe_words)
-        for lang, pat in LANG_PROFILES.items()
+        lang: (
+            _stopword_hits(F.col("_lid_toks"), lang, F.col("_lid_low")).cast("double")
+            / safe_words
+        )
+        for lang in LANG_PROFILE_WORDS
     }
     for lang, cls in SCRIPT_CLASS_SPARK.items():
         score_exprs[lang] = (
@@ -364,6 +437,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", *, out_col: str = "detec
         "_lid_low",
         "_lid_nw",
         "_lid_nonascii",
+        "_lid_toks",
         *[f"_ls_{lang}" for lang in score_exprs],
     )
 
@@ -669,11 +743,22 @@ def segment_lang_table(
     # stage the non-ASCII probe ONCE per segment: every script-class
     # regex in lang_scores gates on it (r14 — ASCII segments, the bulk
     # of web corpora, skip all 24 script passes; value-neutral because
-    # ASCII text has zero script chars)
+    # ASCII text has zero script chars). Likewise stage the \w-run
+    # token array of the (truncated, lowered) segment ONCE: the 30
+    # stopword counts are set-membership folds over it (r15; built with
+    # the exact recipe lang_scores would use inline — substring then
+    # lower then split — so the counts are bit-identical)
     segs = segs.select(
-        "*", F.col("_seg").rlike(r"[^\x00-\x7F]").alias("_seg_na")
+        "*",
+        F.col("_seg").rlike(r"[^\x00-\x7F]").alias("_seg_na"),
+        F.split(
+            F.lower(F.substring(F.col("_seg"), 1, LANG_ID_PREFIX_CHARS)),
+            _WORD_RUN_SPLIT,
+        ).alias("_seg_toks"),
     )
-    scores = lang_scores(F.col("_seg"), nonascii=F.col("_seg_na"))
+    scores = lang_scores(
+        F.col("_seg"), nonascii=F.col("_seg_na"), tokens=F.col("_seg_toks")
+    )
     extra = ["_seg"] if keep_segment else []
     staged = segs.select(
         id_col,

@@ -710,6 +710,19 @@ def train_tokenizer(
     (tokenizer.py:58-133)."""
     if algorithm not in TRAINERS:
         raise ValueError(f"unknown algorithm {algorithm!r}; choose from {sorted(TRAINERS)}")
+    # driver-collect guard (VERDICT r14 #8): the collect below is bounded
+    # by limit(max_words) rows of (word, count) — fine at vocab scale,
+    # but an unbounded max_words would let a 100 TB caller OOM the
+    # driver instead of failing loudly. ~50 B/row keeps even the 20M cap
+    # around 1 GB of framed rows (spark.driver.maxResultSize territory).
+    _MAX_WORDS_CAP = 20_000_000
+    if max_words > _MAX_WORDS_CAP:
+        raise ValueError(
+            f"max_words={max_words} exceeds the driver-collect guard "
+            f"({_MAX_WORDS_CAP}): tokenizer training collects the top "
+            "max_words (word, count) rows to the driver; raise the cap "
+            "only with driver memory sized for it"
+        )
     if algorithm == "byte_bpe":
         wc_df = (
             pretoken_counts(df, text_col)

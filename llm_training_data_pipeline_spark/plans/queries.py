@@ -361,6 +361,39 @@ _CHANGED_IN_ROUND.update(
         # fallback union)
         "dup_ngram_stats": 14,
         "repetition_stats": 14,
+        # r14 entries the optimizer missed (VERDICT r14 #2): these paths
+        # also changed in the r14 optimization round — minhash_dedup
+        # (loser-path distinct drop), its md5 twin, distributed CC
+        # (pointer-jump schedule + Observation convergence), semdedup
+        # incremental (shared seed-centroid checkpoint), keep-best
+        # (slim-rank + anti-join), gopher_quality (rides the n-gram fold)
+        "minhash_dedup": 14,
+        "minhash_dedup_md5": 14,
+        "dedup_clusters_distributed": 14,
+        "semdedup_incremental": 14,
+        "dedup_keep_best": 14,
+        "simhash_dedup_md5": 14,
+        "gopher_quality": 14,
+    }
+)
+# r15 OPTIMIZATION round: result-preserving restructures (oracle
+# re-proven via driver_mimic before each landed; plans changed, re-score)
+_CHANGED_IN_ROUND.update(
+    {
+        # with_dup_ngram_stats: overlapping-n config fix (ADVICE r14) —
+        # default-config plan byte-identical, but the operator changed
+        "dup_ngram_stats": 15,
+        # stopword battery token-membership rewrite (30 regex passes →
+        # one staged split + INSET folds; equivalence proven in
+        # test_stopword_token_form_equals_regex_form and re-proven vs
+        # the oracle via driver_mimic) — every lang_scores/with_lang_id
+        # consumer re-scores
+        "lang_id_histogram": 15,
+        "quality_with_language": 15,
+        "lang_confusion_matrix": 15,
+        "segment_lang_mix": 15,
+        "remove_wrong_lang": 15,
+        "tokenizer_fertility": 15,
     }
 )
 

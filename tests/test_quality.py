@@ -295,6 +295,35 @@ def test_dup_ngram_clean_prose_passes(spark):
     assert row["dup_5gram_char_frac"] == 0.0
 
 
+def test_dup_ngram_overlapping_n_builds_both_columns(spark):
+    # regression (r15): an n present in BOTH max_top_ngram_frac and
+    # max_dup_ngram_frac must yield both top_{n}gram and dup_{n}gram
+    # columns (the r14 fold built one or the other -> UNRESOLVED_COLUMN)
+    from llm_training_data_pipeline_spark.operators.quality import (
+        GopherRepetitionConfig,
+        with_dup_ngram_stats,
+    )
+
+    cfg = GopherRepetitionConfig(
+        max_top_ngram_frac=((2, 0.20), (3, 0.18)),
+        max_dup_ngram_frac=((3, 0.15), (5, 0.15)),
+    )
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "one two three four five one two three four five")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_dup_ngram_stats(df, cfg=cfg).collect()}
+    # doc 1 (11 chars): top3 "a b a" 2x5=10/11; dup3: grams are
+    # [aba,bab,aba,bab] lens [5,5,5,5] sum 20, distinct sum 10 -> 10/11
+    assert rows[1]["top_3gram_char_frac"] == 0.909091
+    assert rows[1]["dup_3gram_char_frac"] == 0.909091
+    # doc 2: no repeated 3-gram-free doc — "one two three" etc. each appear
+    # twice: all 6 distinct 3-grams repeat once; dup3 > 0, top3 > 0
+    assert rows[2]["dup_3gram_char_frac"] > 0.0
+    assert rows[2]["top_3gram_char_frac"] > 0.0
+    assert rows[2]["dup_5gram_char_frac"] == 0.489362
+
+
 def test_chat_markup_contamination_flags_leaked_markers(spark):
     from llm_training_data_pipeline_spark.operators.quality import (
         chat_markup_contamination,

@@ -427,3 +427,65 @@ def test_code_signals_flag_code_not_prose(spark):
     for r in rows.values():
         assert 0 <= r["code_symbol_ppm"] <= 1_000_000
         assert 0 <= r["code_indent_ppm"] <= 1_000_000
+
+
+def test_stopword_token_form_equals_regex_form(spark):
+    # r15: the token-membership stopword battery must reproduce
+    # regexp_count of the \b-alternation EXACTLY (oracle SQL keeps the
+    # regex spelling). Battery: every fixture + adversarial boundary
+    # cases (punctuation-glued words, digits/underscore as \w, non-ASCII
+    # letters as boundaries, the non-ASCII residual word "für").
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        LANG_ID_PREFIX_CHARS,
+        LANG_PROFILES,
+        LANG_PROFILE_WORDS,
+        _WORD_RUN_SPLIT,
+        _stopword_hits,
+    )
+
+    adversarial = [
+        (100, "the,the.the;the the2 2the _the the_ theater -the- THE The", "x"),
+        (101, "für fur für, xfür fürx für2 _für für.", "x"),
+        (102, "und für der die das... und,für und2für ein eine einear", "x"),
+        (103, "don't it's l'est d'une señor-the thé the", "x"),
+        (104, "", "x"),
+        (105, "   ", "x"),
+        (106, "a" * 3000 + " the and of", "x"),  # truncation cuts mid-run
+        (107, ("the " * 600)[:2500], "x"),  # word split AT the prefix edge
+        (108, "ė i̇s the İstanbul İ the", "x"),
+        (109, "ni\u00f1o na\u00efve \u00eds the\u00bdand \u2164the \u203fthe a\u00b7the \u0663the the\u30fc", "x"),
+    ]
+    # fuzz: profile words glued to chars from every probed \b category
+    # (word chars: L/Lm/Lo/Mn/Nd/_; boundaries: Mc/Nl/No/Pc/Cf/P/space)
+    # -- pins the engine's \b word-char set against _WORD_RUN_SPLIT
+    import random
+
+    rng = random.Random(1537)
+    pool = list("ae _.,-'2") + [
+        "\u00f1", "\u00fc", "\u0301", "\u30fc", "\u02b0", "\u3053",
+        "\u216b", "\u00bd", "\u203f", "\u00b7", "\u200d", "\u0903",
+        "\u0663", "\u0438", "\u0627",
+    ]
+    words = ["the", "und", "f\u00fcr", "le", "na", "ni", "og", "je"]
+    for i in range(40):
+        parts = [
+            rng.choice(words) if rng.random() < 0.5 else rng.choice(pool)
+            for _ in range(rng.randint(3, 30))
+        ]
+        adversarial.append((200 + i, "".join(parts), "x"))
+    df = spark.createDataFrame(
+        FIXTURES + adversarial, "doc_id long, text string, expected string"
+    )
+    pref = F.substring(F.col("text"), 1, LANG_ID_PREFIX_CHARS)
+    low = F.lower(pref)
+    toks = F.split(low, _WORD_RUN_SPLIT)
+    cols = []
+    for lang, pat in LANG_PROFILES.items():
+        cols.append(F.regexp_count(low, F.lit(pat)).alias(f"re_{lang}"))
+        cols.append(_stopword_hits(toks, lang, low).alias(f"tk_{lang}"))
+    rows = df.select("doc_id", *cols).collect()
+    for r in rows:
+        for lang in LANG_PROFILE_WORDS:
+            assert r[f"re_{lang}"] == r[f"tk_{lang}"], (
+                r["doc_id"], lang, r[f"re_{lang}"], r[f"tk_{lang}"]
+            )

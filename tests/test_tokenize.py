@@ -373,3 +373,15 @@ def test_vocab_prune_curve_monotone(spark):
     assert all(toks[i] >= toks[i + 1] for i in range(len(toks) - 1))
     assert len({r["total_words"] for r in rows}) == 1
     assert all(r["tokens_per_100w"] > 0 for r in rows)
+
+
+def test_train_tokenizer_guards_driver_collect(spark):
+    # r15: the word-count collect is bounded by limit(max_words); an
+    # absurd max_words must fail loudly BEFORE any job runs
+    import pytest
+
+    from llm_training_data_pipeline_spark.operators.tokenize import train_tokenizer
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="driver-collect guard"):
+        train_tokenizer(df, "text", max_words=100_000_000)
