@@ -590,15 +590,17 @@ def embedding_cap_recall_sql(
 # --- textstats oracles ----------------------------------------------------
 
 
-def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
+def _lang_score_exprs(text_col: str = "text") -> dict[str, str]:
+    """Every evidence expression of the 62-language cascade, named —
+    the SINGLE source the staged wrapper and cascade are built from.
+    Expressions are verbatim the former inline forms (same regexes,
+    same CASE/NULL semantics, same divisions), so staging them as
+    columns changes SQL text but not one value."""
     from llm_training_data_pipeline_spark.operators.textstats import (
         LANG_ID_PREFIX_CHARS,
         LANG_PROFILES,
         SCRIPT_CLASS_DUCKDB,
-        SCRIPT_MIN_RATIO,
-        SCRIPT_ORDER,
         SCRIPT_REFINEMENTS,
-        STOPWORD_ORDER,
     )
 
     # evidence is scored over the same bounded prefix as the Spark side
@@ -607,49 +609,80 @@ def _lang_id_case_sql(text_col: str = "text", min_score: float = 0.01) -> str:
         f"CASE WHEN regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g') = '' THEN 0 "
         f"ELSE len(regexp_split_to_array(regexp_replace({text_col}, '{q(STRIP_WS)}', '', 'g'), '\\s+')) END"
     )
-    scores = {
-        lang: (
+    exprs: dict[str, str] = {}
+    for lang, pat in LANG_PROFILES.items():
+        exprs[f"_ls_{lang}"] = (
             f"CASE WHEN {wc} > 0 THEN len(regexp_extract_all(lower({text_col}), '{q(pat)}'))"
             f" / CAST({wc} AS DOUBLE) END"
         )
-        for lang, pat in LANG_PROFILES.items()
-    }
-    script = {
-        lang: (
+    for lang, cls in SCRIPT_CLASS_DUCKDB.items():
+        exprs[f"_sc_{lang}"] = (
             f"CASE WHEN length({text_col}) > 0 THEN "
             f"length(regexp_replace({text_col}, '[^{q(cls)}]', '', 'g'))"
             f" / CAST(length({text_col}) AS DOUBLE) END"
         )
-        for lang, cls in SCRIPT_CLASS_DUCKDB.items()
-    }
-    best = "greatest(" + ", ".join(scores[lang] for lang in STOPWORD_ORDER) + ")"
+    for base, (base_pat, refinements) in SCRIPT_REFINEMENTS.items():
+        exprs[f"_mc_{base}"] = (
+            f"len(regexp_extract_all({text_col}, '{q(base_pat)}'))"
+            if base_pat
+            else "0"
+        )
+        for refined, pat in refinements:
+            exprs[f"_mc_{refined}"] = (
+                f"len(regexp_extract_all({text_col}, '{q(pat)}'))"
+            )
+    return exprs
+
+
+def _lang_scored_wrap_sql(inner_sql: str, text_col: str = "text") -> str:
+    """Wrap an inner SELECT so every cascade evidence expression is a
+    STAGED column evaluated once per row (r15: the former fully-inlined
+    CASE re-evaluated each regex once per cascade branch — the en score
+    ~31x — which made the language oracles the slowest SQL in the
+    driver's correctness pass and the pytest suite). ``_lsbest`` rides a
+    second layer so the 30-way greatest is also staged."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        STOPWORD_ORDER,
+    )
+
+    cols = ", ".join(
+        f"{expr} AS {name}" for name, expr in _lang_score_exprs(text_col).items()
+    )
+    best = "greatest(" + ", ".join(f"_ls_{lang}" for lang in STOPWORD_ORDER) + ")"
+    return (
+        f"SELECT *, {best} AS _lsbest FROM (SELECT *, {cols} FROM ({inner_sql}))"
+    )
+
+
+def _lang_id_case_staged_sql(min_score: float = 0.01) -> str:
+    """The 62-language argmax cascade over the staged evidence columns
+    (_lang_scored_wrap_sql) — branch logic identical to the former
+    inline CASE and to textstats._lang_cascade."""
+    from llm_training_data_pipeline_spark.operators.textstats import (
+        SCRIPT_MIN_RATIO,
+        SCRIPT_ORDER,
+        SCRIPT_REFINEMENTS,
+        STOPWORD_ORDER,
+    )
+
     case = "CASE"
     for lang in SCRIPT_ORDER:
         label = f"'{lang}'"
         if lang in SCRIPT_REFINEMENTS:
-            base_pat, refinements = SCRIPT_REFINEMENTS[lang]
-            base_n = (
-                f"len(regexp_extract_all({text_col}, '{q(base_pat)}'))"
-                if base_pat
-                else "0"
-            )
-            counts = {
-                refined: f"len(regexp_extract_all({text_col}, '{q(pat)}'))"
-                for refined, pat in refinements
-            }
+            _base_pat, refinements = SCRIPT_REFINEMENTS[lang]
             # refined wins iff > base marks AND >= every later refined
             # (earlier refined wins ties) — mirrors _lang_cascade exactly
             label = "(CASE"
             for i, (refined, _pat) in enumerate(refinements):
-                cond = f"{counts[refined]} > {base_n}"
+                cond = f"_mc_{refined} > _mc_{lang}"
                 for other, _p in refinements[i + 1 :]:
-                    cond += f" AND {counts[refined]} >= {counts[other]}"
+                    cond += f" AND _mc_{refined} >= _mc_{other}"
                 label += f" WHEN {cond} THEN '{refined}'"
             label += f" ELSE '{lang}' END)"
-        case += f" WHEN ({script[lang]}) >= {SCRIPT_MIN_RATIO} THEN {label}"
+        case += f" WHEN (_sc_{lang}) >= {SCRIPT_MIN_RATIO} THEN {label}"
     for lang in STOPWORD_ORDER:
         case += (
-            f" WHEN ({best}) >= {min_score} AND ({scores[lang]}) = ({best}) THEN '{lang}'"
+            f" WHEN (_lsbest) >= {min_score} AND (_ls_{lang}) = (_lsbest) THEN '{lang}'"
         )
     case += " ELSE 'unknown' END"
     return case
@@ -660,12 +693,17 @@ def doc_lang_table_sql() -> str:
     sweep-shared source table (tools/driver_mimic.py materializes it once
     per sf_dir so the 62-language CASE runs once, not once per consuming
     query).  The CASE is still the single source of truth."""
-    return f"SELECT doc_id, {_lang_id_case_sql()} AS detected_lang FROM documents"
+    scored = _lang_scored_wrap_sql("SELECT doc_id, text FROM documents")
+    return (
+        f"SELECT doc_id, {_lang_id_case_staged_sql()} AS detected_lang "
+        f"FROM ({scored})"
+    )
 
 
 def lang_id_histogram_sql(lang_table: str | None = None) -> str:
     src = (
-        f"SELECT {_lang_id_case_sql()} AS detected_lang FROM documents"
+        f"SELECT {_lang_id_case_staged_sql()} AS detected_lang FROM "
+        f"({_lang_scored_wrap_sql('SELECT text FROM documents')})"
         if lang_table is None
         else f"SELECT detected_lang FROM {lang_table}"
     )
@@ -1357,20 +1395,31 @@ def sliding_window_events_sql() -> str:
 def quality_with_language_sql(
     min_words: int = 20, allowed: tuple = ("en",), lang_table: str | None = None
 ) -> str:
-    lang_expr = (
-        f"({_lang_id_case_sql('text')})" if lang_table is None else "dl.detected_lang"
-    )
     allowed_list = ", ".join(f"'{a}'" for a in allowed)
     base_case = quality_reason_case(min_words=min_words)
+    if lang_table is None:
+        # stage the detected label once next to the quality ratios
+        # (r15: the inline CASE evaluated the full 62-language battery
+        # twice — once per lang_expr occurrence below)
+        scored = _lang_scored_wrap_sql("SELECT * FROM ratios")
+        src = (
+            f"(SELECT *, {_lang_id_case_staged_sql()} AS _dl FROM ({scored}))"
+            " ratios"
+        )
+        lang_expr = "ratios._dl"
+        join = ""
+    else:
+        src = "ratios"
+        lang_expr = "dl.detected_lang"
+        join = f" JOIN {lang_table} dl ON dl.doc_id = ratios.doc_id"
     # language check has LOWEST precedence (reference checks it last)
     wrapped = f"""CASE WHEN ({base_case}) <> 'passed' THEN ({base_case})
             WHEN {lang_expr} <> 'unknown' AND {lang_expr} NOT IN ({allowed_list})
             THEN 'wrong_language' ELSE 'passed' END"""
-    join = "" if lang_table is None else f" JOIN {lang_table} dl ON dl.doc_id = ratios.doc_id"
     return f"""
         WITH {_quality_scores_cte()}
         SELECT ratios.doc_id AS doc_id, {wrapped} AS reason, ({wrapped}) = 'passed' AS passed
-        FROM ratios{join}
+        FROM {src}{join}
     """
 
 
@@ -3659,7 +3708,8 @@ def lang_confusion_sql(lang_table: str | None = None) -> str:
     """Mirror of the labeled-vs-detected language cross-tab (reuses the
     full lang-id CASE mirror; exact half-up 6dp row-share)."""
     d_src = (
-        f"SELECT lang, {_lang_id_case_sql()} AS detected_lang FROM documents"
+        f"SELECT lang, {_lang_id_case_staged_sql()} AS detected_lang FROM "
+        f"({_lang_scored_wrap_sql('SELECT lang, text FROM documents')})"
         if lang_table is None
         else f"SELECT lang, detected_lang FROM documents JOIN {lang_table} USING (doc_id)"
     )
@@ -3804,10 +3854,12 @@ def _seg_lid_ctes(w: int, lid_table: str | None = None) -> str:
                                             CAST(i * {w} + {w} AS INT)),
                                  ' ') AS seg
           FROM idx
+        ), scored AS (
+          {_lang_scored_wrap_sql("SELECT doc_id, seg_idx, seg FROM segs", text_col="seg")}
         ), lid AS (
           SELECT doc_id, seg_idx, seg,
-                 {_lang_id_case_sql(text_col='seg')} AS seg_lang
-          FROM segs
+                 {_lang_id_case_staged_sql()} AS seg_lang
+          FROM scored
         )"""
 
 

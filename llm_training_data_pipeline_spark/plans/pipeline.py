@@ -369,11 +369,15 @@ def build_pipeline(
             f"dup_{n}gram_char_frac"
             for n, _ in quality.GopherRepetitionConfig().max_dup_ngram_frac
         ]
-        # with_dup_ngram_stats consumes df on two branches (the (n,gram)
-        # explode and the per-doc join-back): everything upstream would
-        # re-run per branch (r9 compose-at-scale measurement: the full
-        # configured pipeline cost ~5x its stage sum before these
-        # checkpoints). One eager checkpoint runs the upstream once.
+        # Keep this checkpoint, but for a re-measured reason (r15,
+        # ADVICE r14): the r14 fold rewrite made with_dup_ngram_stats
+        # single-consumer (the old two-branch justification is gone),
+        # yet dropping the barrier fused the quality battery's staged
+        # regex projection into the fold's gram-array projection chain
+        # and the composed e2e run went 16.6s -> 30.9s (same-window
+        # A/B, sf0.1) — the CollapseProject/codegen blowup class, not
+        # branch recompute. A plan barrier before the fold pins the
+        # quality stage to one evaluation.
         df = _ckpt_spread(df)
         df = (
             quality.with_dup_ngram_stats(df, "text")
@@ -517,21 +521,38 @@ def build_pipeline(
         keep = corpus.dsir_sample(
             df, lr, k=k, num_buckets=buckets, doc_counts=counts
         ).select("doc_id")
-        df = df.join(keep, on="doc_id", how="left_semi")
+        # decide-slim, attach-once (r15, guide §8): materialize the
+        # k-row keep ID SET — not the full surviving frame — and attach
+        # it to the checkpointed corpus with one broadcast semi-join.
+        # The observation rides the slim set: dsir_sample emits one row
+        # per kept document and every kept id exists in df, so
+        # count(keep) == count(df ⋈ keep) — the same "rows" the
+        # post-join observe reported. Firing it on the keep checkpoint
+        # keeps it to exactly one execution even though downstream
+        # stages (holdout) consume the joined frame on two branches.
         obs["dsir"] = Observation("dsir")
-        df = df.observe(obs["dsir"], F.count(F.lit(1)).alias("rows"))
+        keep = keep.observe(obs["dsir"], F.count(F.lit(1)).alias("rows"))
+        keep = keep.localCheckpoint(eager=True)
+        df = df.join(keep, on="doc_id", how="left_semi")
 
     hsec = cfg.section("holdout")
     if hsec.get("enabled", False):
         # clean eval holdout (corpus.eval_holdout): per-source quota by
         # the deterministic sample key + exact-digest decontamination —
         # every row tagged split/reject_reason, eval and train digest
-        # sets disjoint by construction. The op's candidate frame has
-        # two consumers (digest aggregate + tag join), so checkpoint the
-        # upstream once — the multi-branch-stage rule (BENCH_NOTES r8).
+        # sets disjoint by construction. The op consumes its input on
+        # two branches (slim digest projection + tag join), but no
+        # full-width checkpoint is needed here (r15): with the DSIR
+        # stage attaching a MATERIALIZED keep-id set to the already-
+        # checkpointed corpus, each branch re-derives the input as one
+        # cheap checkpoint scan + broadcast semi-join — strictly
+        # cheaper at scale than materializing the full text-carrying
+        # frame a fourth time. (Without DSIR on, the upstream may be
+        # unmaterialized compute — keep the barrier for that shape.)
         from llm_training_data_pipeline_spark.operators import corpus
 
-        df = _ckpt_spread(df)
+        if not dsec.get("enabled", False):
+            df = _ckpt_spread(df)
         df = corpus.eval_holdout(
             df, per_source=int(hsec.get("per_source", 50))
         )

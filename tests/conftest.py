@@ -21,7 +21,17 @@ TABLES = (
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")  # keep unit tests light
-    spark = get_spark(shuffle_partitions=8)
+    # wholeStage codegen OFF for the test session only (r15 suite-time
+    # fix): at sf0.001 nearly every query is dominated by janino
+    # compilation of its generated stage classes, not by data — measured
+    # ~21% off a 40-query registry slice (95.2s -> 75.1s, same box).
+    # Execution semantics are identical by Spark's contract (codegen is
+    # an execution strategy, not a semantic switch); the production
+    # session (session.py) keeps codegen on.
+    spark = get_spark(
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.codegen.wholeStage": "false"},
+    )
     yield spark
 
 

@@ -94,8 +94,13 @@ def test_surprisal_ln_units_agree_across_engines(spark):
         )
     }
     con = duckdb.connect()
-    con.execute("CREATE TABLE ns(n BIGINT)")
-    con.executemany("INSERT INTO ns VALUES (?)", [(n,) for n in ns])
+    # bulk-load via a registered pandas frame: executemany was a ~50s
+    # row-at-a-time prepared-statement loop for the 101k-value sweep
+    # (r15 suite-time fix; values and assertions unchanged)
+    import pandas as pd
+
+    con.register("ns_src", pd.DataFrame({"n": pd.Series(ns, dtype="int64")}))
+    con.execute("CREATE TABLE ns AS SELECT n FROM ns_src")
     ddb_units = dict(
         con.execute(
             "SELECT n, CAST(floor(ln(n + 1) * 1e8) AS BIGINT) FROM ns"
@@ -132,8 +137,11 @@ def test_temperature_sqrt_agrees_across_engines(spark):
         )
     }
     con = duckdb.connect()
-    con.execute("CREATE TABLE ps(p DOUBLE)")
-    con.executemany("INSERT INTO ps VALUES (?)", [(p,) for p in ps])
+    # bulk-load (see the ln-units test above — same r15 suite-time fix)
+    import pandas as pd
+
+    con.register("ps_src", pd.DataFrame({"p": pd.Series(ps, dtype="float64")}))
+    con.execute("CREATE TABLE ps AS SELECT p FROM ps_src")
     ddb = {
         p: (a, b)
         for p, a, b in con.execute(
