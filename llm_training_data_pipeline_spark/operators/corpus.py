@@ -2929,37 +2929,30 @@ def remove_dup_paragraphs(
     input columns with ``text_col`` replaced by the cleaned text, plus
     ``n_paras_removed``.
 
-    Shape: posexplode → one paragraph-keyed aggregate taking
-    ``min(struct(doc_id, pos))`` (map-side partials; the winner tag is
-    2 longs per distinct paragraph) → join back on the paragraph →
-    order-preserving per-doc rebuild. Like ``remove_common_lines``, the
-    winner set is NOT broadcast-hinted: at web scale the distinct-
-    paragraph table is corpus-sized, so the join strategy is left to
-    AQE."""
+    Shape (r15, guide §2.4): posexplode → ONE window over the paragraph
+    (``row_number`` ordered by (doc_id, pos); rank 1 IS the global
+    first occurrence — (doc_id, pos) is unique, so this equals the old
+    ``min(struct)`` winner exactly) → order-preserving per-doc rebuild.
+    The previous shape computed the winner as a paragraph-keyed
+    aggregate and joined it back on the paragraph STRING — the
+    paragraph text crossed the network three times (agg, join, rebuild)
+    where the window form ships it twice and drops the join stage
+    outright. Blank paragraphs are exempt from dedup, so they skip the
+    window's hot key by salting their partition key with the doc id
+    (the window key includes ``para``, so blank and non-blank rows can
+    never share a partition and the salt cannot perturb non-blank
+    ranks); their ``row_number`` is irrelevant — ``_keep`` short-
+    circuits on blankness."""
     sep = "\n\n"
     paras = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
     )
-    first = (
-        paras.filter(F.trim("para") != "")
-        .groupBy("para")
-        .agg(
-            F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
-                "_first"
-            )
-        )
-    )
-    keep = F.when(
-        F.col("_first").isNull()
-        | (
-            (F.col("_first.d") == F.col(id_col))
-            & (F.col("_first.p") == F.col("pos"))
-        ),
-        1,
-    ).otherwise(0)
-    tagged = paras.join(first, on="para", how="left").select(
-        F.col(id_col), "pos", "para", keep.alias("_keep")
-    )
+    blank = F.trim("para") == ""
+    w = Window.partitionBy(
+        "para", F.when(blank, F.col(id_col)).otherwise(F.lit(0))
+    ).orderBy(F.col(id_col), F.col("pos"))
+    keep = F.when(blank | (F.row_number().over(w) == 1), 1).otherwise(0)
+    tagged = paras.select(F.col(id_col), "pos", "para", keep.alias("_keep"))
     rebuilt = tagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(

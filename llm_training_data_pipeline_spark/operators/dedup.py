@@ -945,8 +945,14 @@ def ngram_jaccard_pairs(
         )
     g = _word_gram_table(df, text_col, id_col, n, block_col)
     a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a._grams"), F.col("b._grams")))
+    # ONE set operation per pair (r15, guide §1.2): _grams is distinct
+    # per doc, so |a∩b| == |a|+|b|−|a∪b| exactly in integers — the
+    # array_intersect pass re-built the same hash set array_union
+    # already pays for; jaccard values are bit-identical
     union = F.size(F.array_union(F.col("a._grams"), F.col("b._grams")))
+    inter = (
+        F.size(F.col("a._grams")) + F.size(F.col("b._grams")) - union
+    )
     return (
         a.join(b, on="_blk")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -990,8 +996,10 @@ def ngram_jaccard_pairs_lsh(
     g = _word_gram_table(df, text_col, id_col, n)
     ga = g.select(F.col(id_col).alias("id_a"), F.col("_grams").alias("_ga"))
     gb = g.select(F.col(id_col).alias("id_b"), F.col("_grams").alias("_gb"))
-    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    # |a∩b| from sizes + ONE array_union (see ngram_jaccard_pairs):
+    # _grams is distinct per doc, values bit-identical
     union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    inter = F.size(F.col("_ga")) + F.size(F.col("_gb")) - union
     return (
         cand.join(ga, on="id_a")
         .join(gb, on="id_b")

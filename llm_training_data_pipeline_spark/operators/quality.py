@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -536,74 +537,87 @@ def with_dup_ngram_stats(
     hence the cap at 1. Fractions are exact half-up 1e-6 units so the
     DuckDB oracle replays them bit-for-bit.
 
-    Plan shape (r14): ZERO Exchange — every statistic is per-document,
-    so all nine are per-row higher-order folds on the scan, no explode,
-    no shuffle aggregates, no join back (was: a 9-way (n, gram) explode
-    through three shuffle aggregates keyed by gram STRINGS, then an id
-    join — at 100 TB that shipped the corpus's n-gram text through the
-    network three times to compute row-local facts). Identities, exact
-    in longs:
+    Plan shape (r15): ZERO Exchange — every statistic is per-document —
+    and the per-row work runs in ONE Arrow pandas UDF over the staged
+    token array (guide §4.1/§4.2). The r14 form computed the nine stats
+    as higher-order folds (9 gram-array builds + 3 string sorts + 6
+    ``array_distinct`` per row); higher-order functions are
+    CodegenFallback, so every gram cost an interpreted expression walk
+    plus a gram-STRING allocation — measured 53-57s of the composed
+    pipeline's sf1 run, by far its largest segment. The UDF does the
+    same counting with hash-map lookups on token tuples at native dict
+    speed; only ``_w`` crosses the Python boundary (tokenization stays
+    in SQL — ``split``/``lower`` semantics are the engine's), and
+    every output is an exact INTEGER (gram char length = Σ token
+    lengths + (n−1) separators, identical to ``length(concat_ws(' ',
+    gram))`` because tokens cannot contain the separator), so the
+    values are bit-identical to the fold form and the DuckDB oracle.
+    Identities, exact in longs:
 
     - ``dup_n  = Σ_all_grams len − Σ_distinct_grams len``
       (== Σ_{cnt≥2} (cnt−1)·len: cnt=1 terms vanish from both sides);
-    - ``best_n = max run-length × gram length over the SORTED gram
-      array`` (sorting groups equal grams contiguously, so a run IS a
-      gram's count — the fold tracks (prev, run, best) in one pass).
+    - ``best_n = max over grams of count(g) · length(g)`` (tracked as
+      counts increment: count only grows, so the running max at each
+      increment reaches the final value).
 
-    A pathological 100k-word doc costs one in-task O(G log G) sort of
+    A pathological 100k-word doc costs one in-task O(G) dict pass over
     its own grams — bounded, never distinct × occurrences quadratic."""
     t = F.col(text_col)
     staged = df.select("*", whitespace_tokens(F.lower(t)).alias("_w"))
-    w = F.col("_w")
-    all_ns = sorted(
-        {n for n, _ in cfg.max_top_ngram_frac}
-        | {n for n, _ in cfg.max_dup_ngram_frac}
-    )
-    best_ns = {n for n, _ in cfg.max_top_ngram_frac}
-    # stage each n's gram array as an attribute (lambdas may only
-    # reference staged arrays — the re-evaluation trap, see
-    # with_repetition_stats)
-    def _gram_lambda(n: int):
-        # single-parameter closure: a `lambda i, n=n` two-parameter form
-        # would be treated as transform's (element, index) binary lambda
-        # and bind n to the array INDEX
-        return lambda i: F.concat_ws(" ", F.slice(w, i, n))
+    best_ns = sorted({n for n, _ in cfg.max_top_ngram_frac})
+    dup_ns = sorted({n for n, _ in cfg.max_dup_ngram_frac})
+    all_ns = sorted(set(best_ns) | set(dup_ns))
+    fields = [f"b{n}" for n in best_ns] + [f"d{n}" for n in dup_ns]
+    schema = ", ".join(f"{f} long" for f in fields)
 
-    gram_cols = {}
-    for n in all_ns:
-        gram_cols[n] = (
-            F.when(
-                F.size(w) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - n + 1),
-                    _gram_lambda(n),
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias(f"_g{n}")
-        )
-    staged = staged.select("*", *gram_cols.values())
-
-    def _len_sum(arr: Column) -> Column:
-        return F.aggregate(
-            arr,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x).cast("long"),
-        )
+    @F.pandas_udf(schema)
+    def _ngram_stats(toks: pd.Series) -> pd.DataFrame:
+        rows = []
+        for arr in toks:
+            tokens = [] if arr is None else list(arr)
+            lens = [len(tk) for tk in tokens]
+            nw = len(tokens)
+            rec = {}
+            for n in all_ns:
+                if nw < n:
+                    if n in best_ns:
+                        rec[f"b{n}"] = 0
+                    if n in dup_ns:
+                        rec[f"d{n}"] = 0
+                    continue
+                counts: dict = {}
+                glen = sum(lens[:n]) + (n - 1)
+                total_len = 0
+                distinct_len = 0
+                best = 0
+                for i in range(nw - n + 1):
+                    if i:
+                        glen += lens[i + n - 1] - lens[i - 1]
+                    g = tuple(tokens[i : i + n])
+                    c = counts.get(g, 0) + 1
+                    counts[g] = c
+                    total_len += glen
+                    if c == 1:
+                        distinct_len += glen
+                    cover = c * glen
+                    if cover > best:
+                        best = cover
+                if n in best_ns:
+                    rec[f"b{n}"] = best
+                if n in dup_ns:
+                    rec[f"d{n}"] = total_len - distinct_len
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=fields).astype("int64")
 
     # build the two stat families from their OWN config lists (an n may
     # appear in both max_top_ngram_frac and max_dup_ngram_frac, and then
     # needs both _best{n} and _dup{n})
-    dup_ns = {n for n, _ in cfg.max_dup_ngram_frac}
+    staged = staged.select("*", _ngram_stats(F.col("_w")).alias("_ng"))
     stat_cols = []
-    for n in sorted(best_ns):
-        g = F.col(f"_g{n}")
-        stat_cols.append(_sorted_run_best(F.array_sort(g)).alias(f"_best{n}"))
-    for n in sorted(dup_ns):
-        g = F.col(f"_g{n}")
-        stat_cols.append(
-            (_len_sum(g) - _len_sum(F.array_distinct(g))).alias(f"_dup{n}")
-        )
+    for n in best_ns:
+        stat_cols.append(F.col(f"_ng.b{n}").alias(f"_best{n}"))
+    for n in dup_ns:
+        stat_cols.append(F.col(f"_ng.d{n}").alias(f"_dup{n}"))
 
     def _frac_units(num: Column, den: Column) -> Column:
         # exact half-up 1e-6 units, capped at 1.0 (the dup numerator can

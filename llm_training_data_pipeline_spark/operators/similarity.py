@@ -879,15 +879,29 @@ def pq_encode_rows(
     nearest codebook entry per subspace (squared-L2 argmin, ties to the
     smaller code).
 
-    Plan: corpus → m slim sub-vector rows each → broadcast-join the
-    m x ks codebook → per (vec, sub) argmin via ``min_by`` over a
-    (dist, code) struct (one map-side-combining hash aggregate). The
-    only shuffle key is (vec, sub) — corpus-linear, never pairwise.
+    Plan (r15, guide §2.3/§2.4): corpus → m slim sub-vector rows each →
+    broadcast-join the codebook GROUPED to m rows of code-ordered
+    centroid arrays → the argmin is a row-local ``array_min`` over
+    (dist, code) structs. The previous shape joined the full m x ks
+    codebook row-per-code and fed N·m·ks rows (82M at the sf1 slice
+    with m=16, ks=256) through a ``min_by`` hash aggregate; the argmin
+    is per-(vec, sub) local, so those rows, their aggregate, and its
+    exchange were pure overhead. Bit-identical: the same ``_sub_dist2``
+    fold per centroid, and ``array_min`` over ``struct(_d2, code)`` is
+    the same lexicographic (distance, code) order ``min_by`` used.
     Row form is the registry/oracle surface (the driver's canonicalizer
     rejects ARRAY cells); ``pq_codes`` collects rows to the compact
     ``codes`` array for the scoring path.
     """
     cb = codebook if codebook is not None else pq_codebook(corpus, m, ks, vec_col, id_col)
+    # m rows: the sub's centroids as ONE array ordered by code, so the
+    # per-(vec, sub) argmin never leaves the row
+    cb_by_sub = cb.groupBy("sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "cent"))),
+            lambda s: s["cent"],
+        ).alias("_cents")
+    )
     sd = (F.size("_v") / F.lit(m)).cast("int")
     subs = (
         _with_norm(corpus, vec_col, id_col, id_col, "_v", "_n")
@@ -902,16 +916,18 @@ def pq_encode_rows(
             F.slice(F.col("_v"), F.col("sub") * sd + F.lit(1), sd).alias("_sv"),
         )
     )
-    scored = subs.join(F.broadcast(cb), on="sub").select(
-        id_col,
-        "sub",
-        "code",
-        _sub_dist2(F.col("_sv"), F.col("cent")).alias("_d2"),
-    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                _sub_dist2(F.col("_sv"), c).alias("_d2"),
+                i.cast("int").alias("code"),
+            ),
+        )
+    )["code"]
     return (
-        scored.groupBy(id_col, "sub")
-        .agg(F.min_by("code", F.struct("_d2", "code")).alias("code"))
-        .select(id_col, "sub", "code")
+        subs.join(F.broadcast(cb_by_sub), on="sub")
+        .select(id_col, "sub", best.alias("code"))
     )
 
 

@@ -369,15 +369,16 @@ def build_pipeline(
             f"dup_{n}gram_char_frac"
             for n, _ in quality.GopherRepetitionConfig().max_dup_ngram_frac
         ]
-        # Keep this checkpoint, but for a re-measured reason (r15,
-        # ADVICE r14): the r14 fold rewrite made with_dup_ngram_stats
-        # single-consumer (the old two-branch justification is gone),
-        # yet dropping the barrier fused the quality battery's staged
-        # regex projection into the fold's gram-array projection chain
-        # and the composed e2e run went 16.6s -> 30.9s (same-window
-        # A/B, sf0.1) — the CollapseProject/codegen blowup class, not
-        # branch recompute. A plan barrier before the fold pins the
-        # quality stage to one evaluation.
+        # Keep this checkpoint (re-measured AGAIN in r15 after the
+        # pandas-UDF rewrite of with_dup_ngram_stats, ADVICE r14):
+        # without the barrier the quality battery's staged regex
+        # projection stacks under the Arrow UDF's input projection and
+        # the composed run regressed (sf0.1 cold/warm 15.9/8.6s ->
+        # 21.8/21.2s; sf1 35.5/14.3 -> 30.9/15.2 — the one cold-run win
+        # is codegen-compile luck, the warm data says the barrier pays
+        # for itself at both scales). A plan barrier before the gate
+        # pins the quality stage to one evaluation and keeps the UDF
+        # stage's input partitioning spread.
         df = _ckpt_spread(df)
         df = (
             quality.with_dup_ngram_stats(df, "text")

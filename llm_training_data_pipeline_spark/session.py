@@ -48,6 +48,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # A/B knob (r15, guide §3.1): when set, let the planner pick shuffled
+    # hash join over sort-merge ("false" enables SHJ when its size
+    # conditions fit). Unset = Spark default (prefer sort-merge). Kept as
+    # an env knob so the suite-wide A/B is reproducible; see
+    # OPTIMIZATION_r15.md for the measured verdict.
+    psm = os.environ.get("SPARK_GRAFT_PREFER_SMJ")
+    if psm is not None:
+        builder = builder.config("spark.sql.join.preferSortMergeJoin", psm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
