@@ -394,6 +394,34 @@ _CHANGED_IN_ROUND.update(
         "segment_lang_mix": 15,
         "remove_wrong_lang": 15,
         "tokenizer_fertility": 15,
+        # pq_encode_rows: row-local argmin over a grouped-codebook
+        # broadcast (the N·m·ks min_by aggregate is gone) — every
+        # encode consumer re-scores
+        "pq_encode": 15,
+        "pq_recall": 15,
+        "pq_bucket_dedup": 15,
+        "pq_topk": 15,
+        "pq_topk_refined": 15,
+        "pq_topk_reranked": 15,
+        "rerank_bound_stats": 15,
+        "ivfpq_topk": 15,
+        "ivfpq_topk_residual": 15,
+        "pq_recall_curve": 15,
+        "ann_recall_unified": 15,
+        # exact n-gram jaccard: |a∩b| derived from sizes + ONE
+        # array_union (grams distinct per doc; values bit-identical)
+        "ngram_jaccard_pairs": 15,
+        "ngram_jaccard_lsh": 15,
+        # paragraph dedup: winner via one row_number window over the
+        # paragraph instead of aggregate + join-back on the string
+        "paragraph_dedup": 15,
+        # Gopher n-gram battery: per-row stats now one Arrow pandas UDF
+        # over the staged token array (exact integer counting) instead
+        # of interpreted HOF folds; dup_ngram_stats already pinned 15
+        "gopher_quality": 15,
+        # composed pipeline: ngram gate rides the UDF battery, DSIR
+        # decide-slim attach-once, paragraph stage windows its winner
+        "pipeline_e2e_full": 15,
     }
 )
 
